@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function library (reference §2.5): math, text, date, email/URL,
+  * geo — all expressed as `Column` combinators over Spark's codegen'd
+  * builtins (functions._), never UDFs, so every one of them stays inside
+  * WholeStageCodegen and pushes through Catalyst untouched.
+  */
+object MathFunctions {
+  /** Null-propagating arithmetic with non-finite guards: the reference's
+    * divide/multiply return None when the result is NaN/Inf
+    * (MathTransformers.scala:138,185). */
+  private def finite(c: Column): Column = when(!isnan(c) && !c.isin(Double.PositiveInfinity, Double.NegativeInfinity), c)
+  def plus(a: Column, b: Column): Column = a + b
+  def minus(a: Column, b: Column): Column = a - b
+  def times(a: Column, b: Column): Column = finite(a * b)
+  def divide(a: Column, b: Column): Column = finite(try_divide(a, b))
+  def absOf(c: Column): Column = abs(c)
+  def ceilOf(c: Column): Column = ceil(c)
+  def floorOf(c: Column): Column = floor(c)
+  def roundTo(c: Column, digits: Int): Column = round(c, digits)
+  def expOf(c: Column): Column = exp(c)
+  def sqrtOf(c: Column): Column = sqrt(c)
+  def logBase(base: Double, c: Column): Column = log(base, c)
+  def powerOf(c: Column, p: Double): Column = pow(c, p)
+}
+
+object TextFunctions {
+  /** Simple-mode tokenizer (reference TextTokenizer.scala "simple" path):
+    * lowercase, split on non-alphanumerics, drop empties and tokens
+    * shorter than minLength. */
+  def tokenize(c: Column, minLength: Int = 1): Column =
+    filter(split(lower(c), "[^\\p{L}\\p{N}]+"),
+      t => length(t) >= minLength)
+  def textLength(c: Column): Column = length(c)
+  def isSubstring(sub: Column, in: Column): Column = in.contains(sub)
+  /** Email parsing (reference RichTextFeature.scala:589-603). */
+  def emailPrefix(c: Column): Column = when(isValidEmail(c), split(c, "@").getItem(0))
+  def emailDomain(c: Column): Column = when(isValidEmail(c), split(c, "@").getItem(1))
+  def isValidEmail(c: Column): Column = c.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$")
+  /** URL parsing (reference RichTextFeature.scala:642-654). */
+  def urlProtocol(c: Column): Column = parse_url(c, lit("PROTOCOL"))
+  def urlDomain(c: Column): Column = parse_url(c, lit("HOST"))
+  def isValidUrl(c: Column): Column = parse_url(c, lit("HOST")).isNotNull &&
+    lower(parse_url(c, lit("PROTOCOL"))).isin("http", "https", "ftp")
+  /** Jaccard similarity of two string arrays (reference JaccardSimilarity.scala). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 1.0).otherwise(inter / uni)
+  }
+  /** Word n-grams (reference OpNGram.scala wraps ml.feature.NGram). */
+  def ngrams(tokens: Column, n: Int): Column =
+    filter(
+      transform(tokens, (_, i) =>
+        when(i <= size(tokens) - n,
+          array_join(slice(tokens, i + 1, lit(n)), " "))),
+      g => g.isNotNull)
+}
+
+object DateFunctions {
+  /** TimePeriod extraction (reference TimePeriodTransformer.scala; enum
+    * TimePeriod.scala). Input: timestamp column. */
+  def timePeriod(ts: Column, period: String): Column = period match {
+    case "DayOfMonth"  => dayofmonth(ts)
+    case "DayOfWeek"   => dayofweek(ts)   // 1 = Sunday (Spark & DuckDB ISO differ; callers align)
+    case "DayOfYear"   => dayofyear(ts)
+    case "HourOfDay"   => hour(ts)
+    case "MonthOfYear" => month(ts)
+    case "WeekOfMonth" => ceil(dayofmonth(ts) / 7.0).cast("int")
+    case "WeekOfYear"  => weekofyear(ts)
+    case other => throw new IllegalArgumentException(s"unknown period $other")
+  }
+  /** Circular (unit-circle) encoding: sin/cos of 2π·unit/periodSize
+    * (reference DateToUnitCircleTransformer.scala:121). */
+  def unitCircle(unit: Column, periodSize: Int): (Column, Column) = {
+    val angle = unit.cast("double") * (2.0 * math.Pi / periodSize)
+    (sin(angle), cos(angle))
+  }
+}
+
+object GeoFunctions {
+  /** Haversine distance in km between (lat1,lon1) and (lat2,lon2) degrees. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val r = 6371.0
+    def rad(c: Column) = radians(c)
+    val dLat = rad(lat2 - lat1); val dLon = rad(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) + cos(rad(lat1)) * cos(rad(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * r) * asin(sqrt(a))
+  }
+}

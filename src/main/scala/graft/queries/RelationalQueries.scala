@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Tables, AggregateReader, ConditionalReader, JoinedReader, AggSpec, CutOff, TimeStampToKeep}
+import graft.aggregators.MonoidAggregators
+import graft.functions.{MathFunctions => M, DateFunctions => D}
+
+/** Oracle-gated queries for the relational core of SURVEY §2: scans &
+  * projections (§2.1-2.2), monoid aggregations with event-time cutoffs
+  * (§2.3), joins incl. secondary aggregation (§2.4), and the scalar math /
+  * date function library (§2.5).
+  *
+  * Float determinism convention (both here and in the DuckDB oracle):
+  * money-like sums run over DECIMAL(18,2) (exact, order-independent) and
+  * are cast to DOUBLE at the end; irrational scalar outputs are rounded
+  * to a fixed number of digits.
+  */
+object RelationalQueries {
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- §2.1/§2.2 scan + projection + row filter -----------------------
+    "q01_scan_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+            .cast("double").as("revenue"))
+    }),
+
+    // per-row conditional projection: filter-with-default / exists /
+    // replace / occurs (reference RichFeature.scala:61-179)
+    "q02_row_transforms" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") > 25, col("l_quantity")).otherwise(lit(0.0)).as("qty_filtered"),
+        (col("l_discount") > 0.05).as("has_big_discount"),
+        when(col("l_returnflag") === "N", lit("NONE")).otherwise(col("l_returnflag")).as("flag_replaced"),
+        when(col("l_tax") > 0.03, 1.0).otherwise(0.0).as("high_tax_occurs"))
+    }),
+
+    // ---- §2.3 monoid aggregations ---------------------------------------
+    "q03_agg_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q04_agg_minmax_mean" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          MonoidAggregators.minOf(col("value")).as("min_value"),
+          MonoidAggregators.maxOf(col("value")).as("max_value"),
+          sum(money(col("value"))).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q05_agg_logical" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy(col("user_id")).agg(
+        MonoidAggregators.logicalOr(col("value") > 400).as("any_big"),
+        MonoidAggregators.logicalAnd(col("value") > 1).as("all_over_one"),
+        MonoidAggregators.logicalXor(col("event_type") === "purchase").as("odd_purchases"))
+    }),
+
+    "q06_agg_first_last" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy(col("user_id")).agg(
+        MonoidAggregators.firstByTime(col("event_type"), col("ts")).as("first_event"),
+        MonoidAggregators.lastByTime(col("event_type"), col("ts")).as("last_event"),
+        MonoidAggregators.firstByTime(col("value"), col("ts")).as("first_value"),
+        MonoidAggregators.lastByTime(col("value"), col("ts")).as("last_value"))
+    }),
+
+    "q07_agg_concat_by_time" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(MonoidAggregators.concatByTime(col("event_type"), col("ts")).as("purchase_trail"))
+    }),
+
+    "q08_agg_mode" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(MonoidAggregators.modeString(col("event_type")).as("mode_event"))
+    }),
+
+    "q09_agg_set_union" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_join(MonoidAggregators.unionSet(col("event_type")), ",").as("event_types"))
+    }),
+
+    // event-time cutoff aggregation (reference FeatureAggregator.scala:105-130)
+    "q10_agg_cutoff" -> ((s, d) => {
+      AggregateReader.aggregateWithCutoff(
+        Tables.events(s, d),
+        key = col("user_id"), ts = col("ts"),
+        cutoff = CutOff.At("2024-01-15 00:00:00"),
+        predictors = Seq(
+          AggSpec("pred_sum_value", sum, money(col("value"))),
+          AggSpec("pred_n", count, lit(1))),
+        responses = Seq(
+          AggSpec("resp_n_purchases", count, when(col("event_type") === "purchase", lit(1)))))
+        .withColumn("pred_sum_value", col("pred_sum_value").cast("double"))
+    }),
+
+    // conditional / as-of aggregation (reference DataReader.scala:303-384)
+    "q11_agg_asof_conditional" -> ((s, d) => {
+      ConditionalReader.aggregateAsOf(
+        Tables.events(s, d),
+        key = col("user_id"), ts = col("ts"),
+        targetCondition = col("event_type") === "purchase",
+        keep = TimeStampToKeep.Min,
+        predictors = Seq(
+          AggSpec("pred_sum_value", sum, money(col("value"))),
+          AggSpec("pred_n_events", count, lit(1))),
+        responses = Seq(
+          AggSpec("resp_n_events", count, lit(1))))
+        .withColumn("pred_sum_value", col("pred_sum_value").cast("double"))
+    }),
+
+    // ---- §2.4 joins ------------------------------------------------------
+    "q12_join_broadcast_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      JoinedReader.join(o, c, col("o_custkey"), col("c_custkey"), "inner", broadcastRight = true)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(money(col("o_totalprice"))).cast("double").as("segment_revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    "q13_join_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      JoinedReader.join(c, o, col("c_custkey"), col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(sum(money(col("o_totalprice"))).cast("double"), lit(0.0)).as("total_spend"))
+    }),
+
+    "q14_join_multiway" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d); val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+    }),
+
+    // post-join secondary (windowed) aggregation
+    // (reference JoinedDataReader.scala:234-347)
+    "q15_join_secondary_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+      val joined = JoinedReader.join(o, l, col("o_orderkey"), col("l_orderkey"), "inner")
+      JoinedReader.secondaryAggregate(
+        joined,
+        key = col("o_orderkey"),
+        parentSide = Seq("o_totalprice" -> col("o_totalprice")),
+        manySide = Seq(
+          AggSpec("early_ship_revenue", sum, money(col("l_extendedprice"))),
+          AggSpec("early_ship_items", count, lit(1))),
+        ts = col("l_shipdate"),
+        cutoff = col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        window = Some(expr("INTERVAL 30 DAYS")))
+        .withColumn("early_ship_revenue", col("early_ship_revenue").cast("double"))
+    }),
+
+    // ---- §2.5 scalar math / date functions -------------------------------
+    "q16_math_functions" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      p.select(
+        col("p_partkey"),
+        M.absOf(col("p_retailprice") - 1000).as("abs_centered"),
+        M.ceilOf(col("p_retailprice")).cast("long").as("ceil_price"),
+        M.floorOf(col("p_retailprice")).cast("long").as("floor_price"),
+        M.roundTo(M.sqrtOf(col("p_retailprice")), 6).as("sqrt_price"),
+        M.roundTo(M.expOf(col("p_size") / 25.0), 6).as("exp_size"),
+        M.roundTo(M.logBase(10.0, col("p_retailprice")), 6).as("log10_price"),
+        M.roundTo(M.powerOf(col("p_size").cast("double"), 1.5), 6).as("size_pow"),
+        M.divide(col("p_retailprice"), col("p_size").cast("double") - 1).as("price_per_sizem1"))
+        .withColumn("price_per_sizem1", M.roundTo(col("price_per_sizem1"), 6))
+    }),
+
+    "q17_date_functions" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val month = D.timePeriod(col("o_orderdate"), "MonthOfYear")
+      val (msin, mcos) = D.unitCircle(month - 1, 12)
+      o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month.as("order_month"),
+        D.timePeriod(col("o_orderdate"), "DayOfMonth").as("order_dom"),
+        D.timePeriod(col("o_orderdate"), "DayOfWeek").as("order_dow"),
+        D.timePeriod(col("o_orderdate"), "DayOfYear").as("order_doy"),
+        D.timePeriod(col("o_orderdate"), "WeekOfMonth").as("order_wom"),
+        round(msin, 6).as("month_sin"),
+        round(mcos, 6).as("month_cos"))
+    })
+  )
+
+  private val MONEY_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST($MONEY_REV AS DOUBLE) AS revenue
+         FROM lineitem WHERE l_quantity > 45""",
+
+    "q02_row_transforms" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0.0 END AS qty_filtered,
+           l_discount > 0.05 AS has_big_discount,
+           CASE WHEN l_returnflag = 'N' THEN 'NONE' ELSE l_returnflag END AS flag_replaced,
+           CASE WHEN l_tax > 0.03 THEN 1.0 ELSE 0.0 END AS high_tax_occurs
+         FROM lineitem""",
+
+    "q03_agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM($MONEY_REV) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q04_agg_minmax_mean" ->
+      """SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n
+         FROM events GROUP BY event_type""",
+
+    "q05_agg_logical" ->
+      """SELECT user_id,
+           BOOL_OR(value > 400) AS any_big,
+           BOOL_AND(value > 1) AS all_over_one,
+           (COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) % 2 = 1) AS odd_purchases
+         FROM events GROUP BY user_id""",
+
+    "q06_agg_first_last" ->
+      """SELECT user_id,
+           ARG_MIN(event_type, ts) AS first_event, ARG_MAX(event_type, ts) AS last_event,
+           ARG_MIN(value, ts) AS first_value, ARG_MAX(value, ts) AS last_value
+         FROM events GROUP BY user_id""",
+
+    "q07_agg_concat_by_time" ->
+      """SELECT user_id, STRING_AGG(event_type, ',' ORDER BY ts) AS purchase_trail
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id""",
+
+    "q08_agg_mode" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+               FROM c)
+         SELECT user_id, event_type AS mode_event FROM r WHERE rn = 1""",
+
+    "q09_agg_set_union" ->
+      """SELECT user_id, STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+         FROM events GROUP BY user_id""",
+
+    "q10_agg_cutoff" ->
+      """SELECT user_id,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS pred_sum_value,
+           COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS pred_n,
+           COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                 AND event_type = 'purchase' THEN 1 END) AS resp_n_purchases
+         FROM events GROUP BY user_id""",
+
+    "q11_agg_asof_conditional" ->
+      """WITH cut AS (
+           SELECT user_id AS k, MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS cutoff
+           FROM events GROUP BY user_id)
+         SELECT user_id,
+           CAST(SUM(CASE WHEN ts < cutoff THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS pred_sum_value,
+           COUNT(CASE WHEN ts < cutoff THEN 1 END) AS pred_n_events,
+           COUNT(CASE WHEN ts >= cutoff THEN 1 END) AS resp_n_events
+         FROM events JOIN cut ON user_id = k
+         WHERE cutoff IS NOT NULL
+         GROUP BY user_id""",
+
+    "q12_join_broadcast_agg" ->
+      """SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue,
+           COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "q13_join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+
+    "q14_join_multiway" ->
+      s"""SELECT r_name, n_name, CAST(SUM($MONEY_REV) AS DOUBLE) AS revenue
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "q15_join_secondary_agg" ->
+      """SELECT o_orderkey, ANY_VALUE(o_totalprice) AS o_totalprice,
+           CAST(SUM(CASE WHEN l_shipdate >= o_orderdate
+                          AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS early_ship_revenue,
+           COUNT(CASE WHEN l_shipdate >= o_orderdate
+                       AND l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 1 END) AS early_ship_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderkey""",
+
+    "q16_math_functions" ->
+      """SELECT p_partkey,
+           ABS(p_retailprice - 1000) AS abs_centered,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+           ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+           ROUND(EXP(p_size / 25.0), 6) AS exp_size,
+           ROUND(LOG10(p_retailprice), 6) AS log10_price,
+           ROUND(POW(CAST(p_size AS DOUBLE), 1.5), 6) AS size_pow,
+           ROUND(p_retailprice / (CAST(p_size AS DOUBLE) - 1), 6) AS price_per_sizem1
+         FROM part""",
+
+    "q17_date_functions" ->
+      """SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAYOFMONTH(o_orderdate) AS INT) AS order_dom,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS order_dow,
+           CAST(DAYOFYEAR(o_orderdate) AS INT) AS order_doy,
+           CAST(CEIL(DAYOFMONTH(o_orderdate) / 7.0) AS INT) AS order_wom,
+           ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) AS month_sin,
+           ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) AS month_cos
+         FROM orders"""
+  )
+}
