@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (RelationalQueries.queries, RelationalQueries.oracles)
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

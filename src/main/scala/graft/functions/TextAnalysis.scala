@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus processing: token
+  * counting, quality scoring, n-gram language ID, and fingerprinting.
+  * Reference analogs: TextTokenizer / TextStats in the reference's
+  * SmartTextVectorizer (core/.../impl/feature/SmartTextVectorizer.scala:232)
+  * and LangDetector (core/.../impl/feature/LangDetector.scala) — here
+  * re-expressed as pure `Column` combinators over Spark builtins so every
+  * op stays inside WholeStageCodegen and is trivially replayable in ANSI
+  * SQL for the differential oracle.
+  *
+  * Scale note: everything below is row-local (no shuffle, no fit pass);
+  * at 100 TB these run at parquet-scan speed and pipeline into whatever
+  * aggregation follows.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * non-space symbols each count as one token — the pre-tokenization
+    * regex most BPE vocabularies (GPT-2 style) apply before merges. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[0-9]+|[^\\s\\p{L}0-9]"), lit(0)))
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  // Small fixed stopword profiles per language for the n-gram/word
+  // heuristic language ID. Deterministic by construction.
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "los", "y", "que", "en", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  val englishStopwords: Seq[String] = stopwordProfiles.toMap.apply("en")
+
+  /** Count of tokens found in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Per-language stopword-hit scores, ordered as stopwordProfiles. */
+  def languageScores(text: Column): Seq[(String, Column)] =
+    stopwordProfiles.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+
+  /** Argmax language with deterministic tiebreak: first language in
+    * lexicographic profile order reaching the max score; all-zero → "und"
+    * (undetermined, BCP-47). The CASE chain form mirrors 1:1 into the
+    * DuckDB oracle. */
+  def languageId(text: Column): Column = {
+    val scores = languageScores(text)
+    val m = greatest(scores.map(_._2): _*)
+    val chain = scores.foldLeft(when(m === 0, "und")) {
+      case (acc, (lang, s)) => acc.when(s === m, lang)
+    }
+    chain
+  }
+
+  /** Punctuation character ratio (over all characters). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      nullif(length(text), lit(0))
+
+  /** Ratio of whitespace tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column, words: Seq[String] = englishStopwords): Column =
+    stopwordHits(text, words).cast("double") / nullif(tokenCount(text), lit(0))
+
+  /** Uppercase-letter ratio over letters. */
+  def uppercaseRatio(text: Column): Column =
+    (length(regexp_replace(text, "[^A-Z]", ""))).cast("double") /
+      nullif(length(regexp_replace(text, "[^A-Za-z]", "")), lit(0))
+
+  /** Composite quality score in [0,1]: rewards mid-range length, some
+    * stopword presence (fluency proxy), and low punctuation noise —
+    * the shape of the heuristics C4/Gopher-style corpus filters apply.
+    * quality = 0.4*min(1, tokens/100) + 0.4*min(1, 4*stopword_ratio)
+    *         + 0.2*(1 - min(1, 4*punct_ratio))                      */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val sw = stopwordRatio(text)
+    val pr = punctRatio(text)
+    lit(0.4) * least(lit(1.0), toks / 100.0) +
+      lit(0.4) * least(lit(1.0), sw * 4.0) +
+      lit(0.2) * (lit(1.0) - least(lit(1.0), pr * 4.0))
+  }
+
+  /** 60-bit deterministic hash of a string column: first 15 hex chars of
+    * md5 as a signed long. 60 bits keeps it positive and exactly
+    * representable on both Spark and DuckDB ('0x'||hex cast). The md5
+    * basis makes the differential oracle replayable — both engines ship
+    * bit-identical md5. */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Seeded variant for minhash families: h_i(x) = hash60(i:x). */
+  def hash60(c: Column, seed: Int): Column = hash60(concat_ws(":", lit(seed), c))
+
+  /** Rolling-hash document fingerprint: min over character k-gram
+    * shingle hashes (= 1-hash MinHash; collision-resistant content id
+    * robust to document reordering at the shingle scale). */
+  def minShingleHash(text: Column, k: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => hash60(text.substr(i, lit(k)))))
+
+  /** Whole-document content hash (exact-dedup key). */
+  def contentHash(text: Column): Column = md5(text)
+}
