@@ -16,7 +16,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
-      (TextQueries.queries, TextQueries.oracles)
+      (TextQueries.queries, TextQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (FeatureQueries.queries, FeatureQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis.{tokens, hash60, contentHash}
+
+/** Corpus deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard (shingle-share join, exact), MinHash+LSH
+  * (band-bucket join, approximate candidate generation), and SimHash
+  * (bit-chunk blocking). All hash functions are md5-derived so the whole
+  * pipeline — including the approximate ones — replays bit-identically in
+  * the DuckDB differential oracle.
+  *
+  * Scale design (100 TB): every pipeline is
+  *   row-local signature → explode to (bucket, doc) → shuffle on bucket →
+  *   within-bucket pair join → exact verify,
+  * i.e. one wide shuffle keyed on content-derived buckets, never an
+  * all-pairs product. Hot buckets (stop-shingles) can be capped with a
+  * frequency filter before the join (maxBucketSize).
+  */
+object Dedup {
+
+  /** Distinct word k-gram shingles of lowercased whitespace tokens.
+    * Guarded so fewer than k tokens yields an empty array (Spark's
+    * `sequence(1, n)` with n < 1 would count DOWN, not empty). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact dedup: group identical content by md5, keep the smallest id
+    * as the canonical representative. One shuffle on the digest. */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(contentHash(text).as("content_md5"))
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle-share join.
+    * Guaranteed recall: any pair with J >= t > 0 shares at least one
+    * shingle, so generating candidates from co-occurring shingles loses
+    * nothing. The per-pair intersection size falls out of the join
+    * (count of shared shingles), so only ONE pass over the exploded
+    * shingles is needed; doc shingle counts are broadcast back. */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, k: Int, threshold: Double): DataFrame = {
+    // persist: the shingle table feeds three branches (sizes + both join
+    // sides); without it Catalyst inlines the shingle expression into
+    // each branch and recomputes it per reference
+    val sh = df.select(id.as("doc"), wordShingles(text, k).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .persist()
+    val sizes = sh.select(col("doc"), size(col("shingles")).as("n"))
+    val exploded = sh.select(col("doc"), explode(col("shingles")).as("s"))
+    val inter = exploded.as("a").join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: element j (1-based) = min over shingles of the
+    * md5-derived 60-bit hash of "j:shingle". */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      j => array_min(transform(shingles, s => hash60(concat_ws(":", j, s)))))
+
+  /** LSH band hashes of a minhash signature: bands of `rowsPerBand`
+    * consecutive signature slots, each hashed to one bucket id. */
+  def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => md5(concat_ws("|", b,
+        array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+
+  /** MinHash+LSH near-dup pairs: shingle → signature → band buckets →
+    * bucket join for candidates → exact Jaccard verification of the
+    * candidates. Deterministic end-to-end (md5 hash family), so the
+    * oracle replays candidate generation exactly: the output is "pairs
+    * the LSH surfaces AND whose true Jaccard >= threshold". */
+  def minHashLshPairs(df: DataFrame, id: Column, text: Column, k: Int,
+                      numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    // Materialization discipline (the expensive md5 signature must be
+    // computed exactly once per doc, never inlined into both sides of
+    // the self-join): persist the shingle table and the tiny
+    // (doc, bucket) table, generate candidates from buckets only, and
+    // join the shingle sets back for exact verification.
+    val sh = df.select(id.as("doc"), wordShingles(text, k).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .persist()
+    val banded = sh.select(col("doc"),
+      explode(bandHashes(minHashSignature(col("shingles"), numHashes), numBands, rowsPerBand)).as("bucket"))
+      .persist()
+    val candIds = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    val cands = candIds
+      .join(sh.select(col("doc").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    cands.select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Per-token 60-bit hashes (one md5 per distinct token) — the input to
+    * simHashOf. Materialize once; the 60 bit-sums then fold over plain
+    * longs with no further hashing. */
+  def tokenHashes(text: Column): Column =
+    transform(array_distinct(tokens(text)), t => hash60(t))
+
+  /** 60-bit SimHash over a token-hash array column: bit j of the result
+    * is set iff more token hashes have bit j set than unset. Expressed as
+    * a SQL expression because the shift amount is itself a lambda
+    * variable (the Scala DSL's shiftright only takes literal shifts).
+    * pow(2, j) is exact for j <= 62 (power-of-two doubles are exact). */
+  def simHashOf(tokenHashCol: String): Column = expr(
+    s"""aggregate(
+          transform(sequence(0, 59), j ->
+            CASE WHEN aggregate($tokenHashCol, 0L, (acc, h) ->
+                   acc + CASE WHEN shiftright(h, j) % 2 = 1 THEN 1L ELSE -1L END) > 0
+                 THEN CAST(pow(2, j) AS BIGINT) ELSE 0L END),
+          0L, (acc, x) -> acc + x)""")
+
+  /** SimHash near-dup pairs: block on the 4 disjoint 15-bit chunks of
+    * the 60-bit simhash (two docs within hamming distance d share at
+    * least one chunk when d < 4 is violated only past 3 flipped chunks —
+    * the standard Charikar blocking), join per chunk, verify by true
+    * hamming distance. */
+  def simHashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
+    // persist the tiny (doc, simhash) table: both join sides and the
+    // hamming output read materialized signatures instead of inlining
+    // the 60-bit-sum md5 expression into the join
+    val sigs = df.select(id.as("doc"), tokenHashes(text).as("_th"))
+      .withColumn("simhash", simHashOf("_th")).drop("_th")
+      .persist()
+    val posed = sigs.select(col("doc"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 15) % 32768)")))
+      .withColumnRenamed("pos", "c").withColumnRenamed("col", "chunk")
+    posed.as("a").join(posed.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

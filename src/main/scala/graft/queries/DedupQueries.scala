@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Dedup
+
+/** Oracle-gated deduplication queries over `documents`: exact hash
+  * dedup, exact n-gram Jaccard via shingle-share join, MinHash+LSH with
+  * md5-derived hash family (the DuckDB oracle replays the identical
+  * signatures, bands and candidates), and SimHash chunk-blocked pairs.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q22_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
+    }),
+
+    "q23_dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q24_dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minHashLshPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+          k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q25_dedup_simhash" -> ((s, d) => {
+      Dedup.simHashPairs(Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 2)
+    })
+  )
+
+  // DuckDB 60-bit md5 hash, shingles, and tokens shared across oracles.
+  private val H60 = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+  private val TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val SHINGLES =
+    s"""SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+2], ' ')
+                         for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+        FROM (SELECT doc_id, $TOKS AS toks FROM documents)"""
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
+         FROM documents GROUP BY 1""",
+
+    "q23_dedup_ngram_jaccard" ->
+      s"""WITH sh AS ($SHINGLES),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+          SELECT id_a, id_b,
+            ROUND(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+          FROM inter
+            JOIN sz na ON na.doc_id = id_a
+            JOIN sz nb ON nb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.4""",
+
+    "q24_dedup_minhash_lsh" ->
+      s"""WITH sh AS ($SHINGLES),
+          f AS (SELECT * FROM sh WHERE len(shingles) > 0),
+          sig AS (
+            SELECT doc_id, shingles,
+              [${"list_min(list_transform(shingles, s -> " + H60("CAST(j AS VARCHAR) || ':' || s") + "))"}
+               for j in range(1, 13)] AS sig
+            FROM f),
+          band AS (
+            SELECT doc_id, shingles,
+              unnest([md5(CAST(b AS VARCHAR) || '|' ||
+                          array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], ','))
+                      for b in range(0, 6)]) AS bucket
+            FROM sig),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              a.shingles AS sh_a, b.shingles AS sh_b
+            FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b,
+            ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                  (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+          FROM cand
+          WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.35""",
+
+    "q25_dedup_simhash" ->
+      s"""WITH th AS (
+            SELECT doc_id,
+              list_transform(list_distinct($TOKS), t -> ${H60("t")}) AS th
+            FROM documents),
+          sig AS (
+            SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 60), j ->
+                CASE WHEN list_sum(list_transform(th, h ->
+                       CASE WHEN (h >> CAST(j AS INT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                     THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+            FROM th),
+          chunks AS (
+            SELECT doc_id, simhash, c,
+              (simhash >> CAST(c * 15 AS INT)) % 32768 AS chunk
+            FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM chunks a
+            JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2"""
+  )
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Vectorizers
+import graft.aggregators.MonoidAggregators
+
+/** Oracle-gated feature-engineering queries (reference §2.6-§2.7):
+  * one-hot top-K pivot, imputation + null indicator, z-scaling,
+  * bucketizing, percentile calibration, string indexing, and the
+  * date-list pivot aggregations. Fit = window/agg SQL the DuckDB oracle
+  * replays exactly (same (-count, value) tiebreaks as the reference).
+  */
+object FeatureQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q29_onehot_topk" -> ((s, d) => {
+      Vectorizers.oneHotTopK(Tables.orders(s, d),
+          col("o_orderkey"), col("o_orderpriority"), k = 3, minSupport = 10)
+        .withColumnRenamed("id", "o_orderkey")
+    }),
+
+    "q30_impute_indicator" -> ((s, d) => {
+      // treat zero discount as missing: exercises fill + indicator on a
+      // table with no physical nulls
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_discount"), lit(0.0)).as("disc"))
+      Vectorizers.imputeMean(
+          li.withColumn("rid", concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+          col("rid"), col("disc"))
+        .select(col("id").as("rid"), round(col("imputed"), 6).as("imputed"), col("is_null"))
+    }),
+
+    "q31_standard_scale" -> ((s, d) => {
+      Vectorizers.standardScale(Tables.orders(s, d), col("o_orderkey"), col("o_totalprice"))
+        .select(col("id").as("o_orderkey"), round(col("z"), 6).as("z"))
+    }),
+
+    "q32_bucketize" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Vectorizers.bucketize(col("l_quantity"), Seq(0, 10, 25, 40, 51)).as("qty_bucket"))
+    }),
+
+    "q33_percentile" -> ((s, d) => {
+      Tables.orders(s, d).select(col("o_orderkey"),
+        Vectorizers.percentile100(col("o_totalprice")).as("price_pctile"))
+    }),
+
+    "q34_string_index" -> ((s, d) => {
+      Vectorizers.stringIndex(Tables.customer(s, d), col("c_custkey"), col("c_mktsegment"))
+        .select(col("id").as("c_custkey"), col("idx").as("segment_idx"))
+    }),
+
+    // DateListVectorizer pivots (reference DateListVectorizer.scala):
+    // SinceFirst / SinceLast vs a reference date + ModeDay(-of-week)
+    "q35_datelist_pivot" -> ((s, d) => {
+      val ref = to_timestamp(lit("2024-06-30 00:00:00"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          datediff(ref, min(col("ts"))).as("days_since_first"),
+          datediff(ref, max(col("ts"))).as("days_since_last"),
+          MonoidAggregators.modeString(dayofweek(col("ts")).cast("string")).as("mode_dow"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q29_onehot_topk" ->
+      """WITH fitted AS (
+           SELECT value, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rank
+           FROM (SELECT o_orderpriority AS value, count(*) AS cnt FROM orders
+                 WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+           WHERE cnt >= 10 QUALIFY rank <= 3)
+         SELECT o_orderkey,
+           CASE WHEN rank = 1 THEN 1 ELSE 0 END AS slot_1,
+           CASE WHEN rank = 2 THEN 1 ELSE 0 END AS slot_2,
+           CASE WHEN rank = 3 THEN 1 ELSE 0 END AS slot_3,
+           CASE WHEN o_orderpriority IS NOT NULL AND rank IS NULL THEN 1 ELSE 0 END AS slot_other,
+           CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS slot_null
+         FROM orders LEFT JOIN fitted ON o_orderpriority = fitted.value""",
+
+    "q30_impute_indicator" ->
+      """WITH src AS (
+           SELECT l_orderkey || '-' || l_linenumber AS rid,
+                  nullif(l_discount, 0.0) AS disc
+           FROM lineitem),
+         stats AS (SELECT AVG(disc) AS fill FROM src)
+         SELECT rid, ROUND(COALESCE(disc, fill), 6) AS imputed,
+                CASE WHEN disc IS NULL THEN 1 ELSE 0 END AS is_null
+         FROM src CROSS JOIN stats""",
+
+    "q31_standard_scale" ->
+      """WITH stats AS (
+           SELECT AVG(o_totalprice) AS mu, STDDEV_SAMP(o_totalprice) AS sigma FROM orders)
+         SELECT o_orderkey, ROUND((o_totalprice - mu) / sigma, 6) AS z
+         FROM orders CROSS JOIN stats""",
+
+    "q32_bucketize" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 AND l_quantity < 51 THEN 3
+                WHEN l_quantity >= 25 AND l_quantity < 40 THEN 2
+                WHEN l_quantity >= 10 AND l_quantity < 25 THEN 1
+                WHEN l_quantity >= 0  AND l_quantity < 10 THEN 0
+                ELSE NULL END AS qty_bucket
+         FROM lineitem""",
+
+    "q33_percentile" ->
+      """SELECT o_orderkey,
+           CAST(FLOOR(PERCENT_RANK() OVER (ORDER BY o_totalprice) * 100) AS INT) AS price_pctile
+         FROM orders""",
+
+    "q34_string_index" ->
+      """WITH idx AS (
+           SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INT) AS segment_idx
+           FROM (SELECT c_mktsegment AS value, count(*) AS cnt FROM customer
+                 WHERE c_mktsegment IS NOT NULL GROUP BY 1))
+         SELECT c_custkey, c_mktsegment AS value, segment_idx
+         FROM customer LEFT JOIN idx ON c_mktsegment = idx.value""",
+
+    "q35_datelist_pivot" ->
+      """WITH ref AS (SELECT TIMESTAMP '2024-06-30 00:00:00' AS r),
+         base AS (
+           SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), DATE '2024-06-30') AS days_since_first,
+             date_diff('day', CAST(max(ts) AS DATE), DATE '2024-06-30') AS days_since_last
+           FROM events GROUP BY user_id),
+         dowc AS (
+           SELECT user_id, dow, count(*) AS n
+           FROM (SELECT user_id, CAST(dayofweek(ts) + 1 AS VARCHAR) AS dow FROM events)
+           GROUP BY 1, 2),
+         moded AS (
+           SELECT user_id, dow AS mode_dow,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, dow ASC) AS rn
+           FROM dowc)
+         SELECT b.user_id, b.days_since_first, b.days_since_last, m.mode_dow
+         FROM base b JOIN moded m ON b.user_id = m.user_id AND m.rn = 1"""
+  )
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Similarity
+
+/** Oracle-gated similarity-search queries over `embeddings`:
+  * brute-force cosine top-k, cosine near-dup pairs, and SRP-LSH
+  * bucketed approximate top-k. Dot products are sequential
+  * left-to-right in both engines so doubles agree.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 10
+  private val QUERY_PRED = "vec_id < 5"
+
+  val queries: Map[String, Q] = Map(
+    "q26_sim_bruteforce_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.where(expr(QUERY_PRED)), K)
+    }),
+
+    "q27_sim_cosine_neardup" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)
+    }),
+
+    "q28_sim_srp_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
+    })
+  )
+
+  // --- DuckDB oracle building blocks -----------------------------------
+  private val H60 = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+  /** Sequential dot product of two double-list expressions. */
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  /** md5-derived hyperplane weight for (plane p, dim i) in [-1, 1). */
+  private val W = s"(${H60("'srp:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} / 1152921504606846976.0 * 2.0 - 1.0)"
+  /** SRP bucket id of a double-list expression (4 planes). */
+  private def bucketSql(e: String) =
+    s"""CAST(list_sum(list_transform(range(0, 4), p ->
+          CASE WHEN list_sum(list_transform(range(0, len($e)), i ->
+                 $e[CAST(i + 1 AS INT)] * $W)) > 0
+               THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+
+  val oracles: Map[String, String] = Map(
+    "q26_sim_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          q AS (SELECT * FROM e WHERE $QUERY_PRED),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosSql("q.emb", "c.emb")} AS cos
+            FROM e c CROSS JOIN q
+            WHERE q.vec_id <> c.vec_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= $K""",
+
+    "q27_sim_cosine_neardup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(${cosSql("a.emb", "b.emb")}, 6) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE ${cosSql("a.emb", "b.emb")} >= 0.45""",
+
+    "q28_sim_srp_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          c AS (SELECT vec_id AS neighbor_id, emb AS c_emb, ${bucketSql("emb")} AS bucket FROM e),
+          q AS (SELECT vec_id AS query_id, emb AS q_emb, ${bucketSql("emb")} AS bucket FROM e
+                WHERE $QUERY_PRED),
+          scored AS (
+            SELECT query_id, neighbor_id, ${cosSql("q_emb", "c_emb")} AS cos
+            FROM c JOIN q USING (bucket)
+            WHERE query_id <> neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= $K"""
+  )
+}
