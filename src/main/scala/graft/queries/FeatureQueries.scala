@@ -119,7 +119,7 @@ object FeatureQueries {
            SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INT) AS segment_idx
            FROM (SELECT c_mktsegment AS value, count(*) AS cnt FROM customer
                  WHERE c_mktsegment IS NOT NULL GROUP BY 1))
-         SELECT c_custkey, c_mktsegment AS value, segment_idx
+         SELECT c_custkey, segment_idx
          FROM customer LEFT JOIN idx ON c_mktsegment = idx.value""",
 
     "q35_datelist_pivot" ->
