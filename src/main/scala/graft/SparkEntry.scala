@@ -19,7 +19,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
-      (FeatureQueries.queries, FeatureQueries.oracles)
+      (FeatureQueries.queries, FeatureQueries.oracles),
+      (WorkflowQueries.queries, WorkflowQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

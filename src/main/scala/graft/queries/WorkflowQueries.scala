@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.workflow._
+
+/** End-to-end workflow-DAG queries. q36 drives the full plan/fit/score
+  * engine (feature graph → layered DAG → fused fit/transform) and is
+  * oracle-gated: the fitted pipeline's output is replayed in SQL. The
+  * ML queries exercise spark.ml training inside the DAG (rows-only
+  * checks — a trained model isn't SQL-expressible).
+  */
+object WorkflowQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // impute + scale + one-hot + index + unit-circle, all through the
+    // Workflow planner (layer fusion, estimator fit, scoring projection)
+    "q36_workflow_pipeline" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val Seq(okey, price, prio, odate) =
+        Seq("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate").map { n =>
+          Feature.raw(n, FeatureKind.fromSpark(orders.schema(n).dataType))
+        }
+      val priceZ = Stages.standardScale(price, "price_z")
+      val prioHot = Stages.oneHotTopK(prio, "prio", k = 3, minSupport = 10)
+      val prioIdx = Stages.stringIndexer(prio, "prio_idx")
+      val monthCirc = Stages.monthUnitCircle(odate, "omonth")
+      val results = priceZ.outputFeatures ++ prioHot.outputFeatures ++
+        prioIdx.outputFeatures ++ monthCirc.outputFeatures
+      val model = new Workflow(results).fit(orders)
+      val out = model.score(orders, keep = Seq("o_orderkey"))
+      out.withColumn("price_z", round(col("price_z"), 6))
+        .withColumn("omonth_sin", round(col("omonth_sin"), 6))
+        .withColumn("omonth_cos", round(col("omonth_cos"), 6))
+    }),
+
+    // LR trained on embeddings to predict label<5, scored through the
+    // DAG; deterministic given the seed-fixed data but not
+    // SQL-expressible → rows-only check
+    "q37_ml_train_score" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("y", (col("label") < 5).cast("double"))
+      val fVec = Feature.raw("emb_d", FeatureKind.VectorK)
+      val fLab = Feature.raw("y", FeatureKind.RealK, isResponse = true)
+      val lr = MLStages.logisticRegression(fVec, fLab, "lr", maxIter = 30)
+      val model = new Workflow(lr.outputFeatures).fit(emb)
+      model.score(emb, keep = Seq("vec_id", "y"))
+        .select(col("vec_id"), col("y"),
+          col("lr_prediction"), round(col("lr_prob_1"), 4).as("lr_prob_1"))
+    }),
+
+    // evaluator aggregations over the scored frame (rows-only)
+    "q38_ml_evaluate" -> ((s, d) => {
+      val scored = queries("q37_ml_train_score")(s, d)
+      val m = MLTuning.binaryMetrics(scored, "lr_prob_1", "y")
+      val spark = s
+      import spark.implicits._
+      Seq((m.auroc, m.aupr, m.accuracy)).toDF("auroc", "aupr", "accuracy")
+        .select(round(col("auroc"), 4).as("auroc"), round(col("aupr"), 4).as("aupr"),
+          round(col("accuracy"), 4).as("accuracy"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q36_workflow_pipeline" ->
+      """WITH stats AS (
+           SELECT AVG(o_totalprice) AS mu, STDDEV_SAMP(o_totalprice) AS sigma FROM orders),
+         fitted AS (
+           SELECT value, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rank
+           FROM (SELECT o_orderpriority AS value, count(*) AS cnt FROM orders
+                 WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+           WHERE cnt >= 10 QUALIFY rank <= 3),
+         idx AS (
+           SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INT) AS i
+           FROM (SELECT o_orderpriority AS value, count(*) AS cnt FROM orders
+                 WHERE o_orderpriority IS NOT NULL GROUP BY 1))
+         SELECT o_orderkey,
+           ROUND((o_totalprice - mu) / sigma, 6) AS price_z,
+           CASE WHEN rank = 1 THEN 1 ELSE 0 END AS prio_1,
+           CASE WHEN rank = 2 THEN 1 ELSE 0 END AS prio_2,
+           CASE WHEN rank = 3 THEN 1 ELSE 0 END AS prio_3,
+           CASE WHEN o_orderpriority IS NOT NULL AND rank IS NULL THEN 1 ELSE 0 END AS prio_other,
+           CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS prio_null,
+           i AS prio_idx,
+           ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) AS omonth_sin,
+           ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) AS omonth_cos
+         FROM orders CROSS JOIN stats
+           LEFT JOIN fitted ON o_orderpriority = fitted.value
+           LEFT JOIN idx ON o_orderpriority = idx.value"""
+  )
+}

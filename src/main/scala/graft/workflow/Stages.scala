@@ -1,0 +1,106 @@
+package graft.workflow
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.workflow.FeatureKind._
+
+/** Standard estimator/transformer stages for the workflow DAG — the
+  * fit halves run tiny aggregations and fold the fitted statistics into
+  * literal Column expressions (broadcast-safe, codegen-fused transform).
+  * References: RealVectorizer (impute+indicator), OpScalarStandardScaler,
+  * OpOneHotVectorizer (top-K by (-count, value)), OpStringIndexer,
+  * NumericBucketizer, DateToUnitCircleTransformer.
+  */
+object Stages {
+
+  /** Mean-impute + null indicator (RealVectorizer trackNulls). */
+  def imputeMean(in: Feature, out: String): ColumnEstimator =
+    new ColumnEstimator("imputeMean", Seq(in)) {
+      def outputNames = Seq(out, s"${out}_isnull")
+      def fitExpressions(df: DataFrame): Seq[(String, Column)] = {
+        val mean = df.agg(avg(col(in.name))).head.getDouble(0)
+        Seq(
+          out -> coalesce(col(in.name), lit(mean)),
+          s"${out}_isnull" -> when(col(in.name).isNull, 1).otherwise(0))
+      }
+      override def outputKindOf(n: String): FeatureKind =
+        if (n.endsWith("_isnull")) IntegralK else RealK
+    }
+
+  /** Z-normalization (OpScalarStandardScaler). */
+  def standardScale(in: Feature, out: String): ColumnEstimator =
+    new ColumnEstimator("standardScale", Seq(in)) {
+      def outputNames = Seq(out)
+      def fitExpressions(df: DataFrame): Seq[(String, Column)] = {
+        val row = df.agg(avg(col(in.name)), stddev_samp(col(in.name))).head
+        Seq(out -> ((col(in.name) - lit(row.getDouble(0))) / lit(row.getDouble(1))))
+      }
+    }
+
+  /** One-hot top-K pivot with Other + Null slots; fit order is
+    * (count desc, value asc) like the reference. */
+  def oneHotTopK(in: Feature, outPrefix: String, k: Int, minSupport: Long = 1): ColumnEstimator =
+    new ColumnEstimator("oneHotTopK", Seq(in)) {
+      def outputNames = (1 to k).map(i => s"${outPrefix}_$i") ++
+        Seq(s"${outPrefix}_other", s"${outPrefix}_null")
+      def fitExpressions(df: DataFrame): Seq[(String, Column)] = {
+        val top = df.where(col(in.name).isNotNull)
+          .groupBy(col(in.name).as("v")).agg(count(lit(1)).as("c"))
+          .where(col("c") >= minSupport)
+          .orderBy(col("c").desc, col("v").asc)
+          .limit(k).select("v").collect().map(_.get(0))
+        val c = col(in.name)
+        val slots = (1 to k).map { i =>
+          val name = s"${outPrefix}_$i"
+          if (i <= top.length) name -> when(c === lit(top(i - 1)), 1).otherwise(0)
+          else name -> lit(0)
+        }
+        slots ++ Seq(
+          s"${outPrefix}_other" ->
+            when(c.isNotNull && !c.isin(top.toIndexedSeq: _*), 1).otherwise(0),
+          s"${outPrefix}_null" -> when(c.isNull, 1).otherwise(0))
+      }
+      override def outputKindOf(n: String): FeatureKind = IntegralK
+    }
+
+  /** String index by (count desc, value asc), 0-based; unseen/null → null. */
+  def stringIndexer(in: Feature, out: String): ColumnEstimator =
+    new ColumnEstimator("stringIndexer", Seq(in)) {
+      def outputNames = Seq(out)
+      def fitExpressions(df: DataFrame): Seq[(String, Column)] = {
+        val ordered = df.where(col(in.name).isNotNull)
+          .groupBy(col(in.name).as("v")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("v").asc)
+          .select("v").collect().map(_.get(0))
+        val chain = ordered.zipWithIndex.foldLeft(lit(null).cast("int")) {
+          case (acc, (v, i)) => when(col(in.name) === lit(v), i).otherwise(acc)
+        }
+        Seq(out -> chain)
+      }
+      override def outputKindOf(n: String): FeatureKind = IntegralK
+    }
+
+  /** Fixed-split bucketizer (no fit needed). */
+  def bucketize(in: Feature, out: String, splits: Seq[Double]): ColumnStage =
+    ColumnStage("bucketize", Seq(in), out, IntegralK) { cols =>
+      graft.operators.Vectorizers.bucketize(cols.head, splits)
+    }
+
+  /** Month-of-year unit-circle encoding (DateToUnitCircleTransformer). */
+  def monthUnitCircle(in: Feature, outPrefix: String): ColumnStage =
+    new ColumnStage("monthUnitCircle", Seq(in)) {
+      def expressions: Seq[(String, Column)] = {
+        val angle = (month(col(in.name)) - 1).cast("double") * lit(2.0 * math.Pi / 12)
+        Seq(s"${outPrefix}_sin" -> sin(angle), s"${outPrefix}_cos" -> cos(angle))
+      }
+    }
+
+  /** Assemble features into an array<double> vector column (the engine's
+    * OPVector analog; VectorsCombiner). */
+  def assemble(ins: Seq[Feature], out: String): ColumnStage =
+    new ColumnStage("assemble", ins) {
+      def expressions: Seq[(String, Column)] =
+        Seq(out -> array(ins.map(i => col(i.name).cast("double")): _*))
+      override protected def outputKind(n: String): FeatureKind = VectorK
+    }
+}

@@ -1,0 +1,81 @@
+package graft.workflow
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** DAG planner + executor (reference OpWorkflow / FitStagesUtil):
+  *
+  *  1. Plan: DFS from result features over `Feature.parents`, annotate
+  *     each origin stage with max distance-from-result, group stages
+  *     into layers by distance desc, dedup by uid, sort each layer by
+  *     first output name for determinism
+  *     (FitStagesUtil.computeDAG:173-196). Dead stages — anything not an
+  *     ancestor of a result — never enter the plan.
+  *  2. Fit: fold over layers; estimators fit first, then ALL row-level
+  *     ColumnStages of the layer are applied in one `select` (Catalyst
+  *     fuses them into one codegen function); DataFrame stages apply
+  *     sequentially. Optional persist cadence truncates lineage every K
+  *     layers (the AQE-era analog of the reference's RDD round-trip,
+  *     FitStagesUtil.applySparkTransformations:134-165).
+  *  3. Score: same replay with fitted transformers only; final
+  *     projection prunes to key + requested features
+  *     (OpWorkflowModel.saveScores column pruning:404-414).
+  */
+class Workflow(val resultFeatures: Seq[Feature], persistEveryKLayers: Int = 5) {
+
+  /** Layers of unique stages, farthest-from-result first. */
+  def plan(): Seq[Seq[Stage]] = {
+    val distances = resultFeatures
+      .flatMap(_.parentStages().toSeq)
+      .groupBy(_._1.uid)
+      .map { case (_, xs) => (xs.head._1, xs.map(_._2).max) }
+    distances.toSeq
+      .groupBy(_._2).toSeq
+      .sortBy(-_._1)
+      .map(_._2.map(_._1).sortBy(_.outputFeatures.head.name).toSeq)
+  }
+
+  /** Fit every estimator layer-by-layer and return the scoring model. */
+  def fit(df: DataFrame): WorkflowModel = {
+    var data = df
+    var persistedCount = 0
+    val fittedLayers = plan().zipWithIndex.map { case (layer, i) =>
+      val fitted: Seq[TransformerStage] = layer.map {
+        case e: EstimatorStage => e.fit(data)
+        case t: TransformerStage => t
+      }
+      data = Workflow.applyLayer(data, fitted)
+      if ((i + 1) % persistEveryKLayers == 0) { data = data.persist(); persistedCount += 1 }
+      fitted
+    }
+    new WorkflowModel(fittedLayers, resultFeatures)
+  }
+}
+
+object Workflow {
+  /** Apply one layer: all ColumnStages in a single select (fused by
+    * CollapseProject/WholeStageCodegen), DataFrame stages sequentially. */
+  private[workflow] def applyLayer(df: DataFrame, layer: Seq[TransformerStage]): DataFrame = {
+    val (columnStages, frameStages) = layer.partition(_.isInstanceOf[ColumnStage])
+    val afterColumns =
+      if (columnStages.isEmpty) df
+      else {
+        val exprs = columnStages.collect { case c: ColumnStage => c.expressions }.flatten
+        df.select(col("*") +: exprs.map { case (n, e) => e.as(n) }: _*)
+      }
+    frameStages.foldLeft(afterColumns) { case (d, s: DataFrameStage) => s.transform(d) }
+  }
+}
+
+/** Fitted workflow: replays transformer layers; final select prunes to
+  * the requested result features (+ passthrough keys). */
+class WorkflowModel(val layers: Seq[Seq[TransformerStage]], val resultFeatures: Seq[Feature]) {
+
+  def transform(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val scored = layers.foldLeft(df)(Workflow.applyLayer)
+    val wanted = keep ++ resultFeatures.map(_.name)
+    scored.select(wanted.distinct.map(col): _*)
+  }
+
+  def score(df: DataFrame, keep: Seq[String] = Nil): DataFrame = transform(df, keep)
+}
