@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import TextAnalysis._
+
+  def one[T](c: org.apache.spark.sql.Column): T = {
+    val s = spark; import s.implicits._
+    Seq(1).toDF("x").select(c.as("r")).collect().head.getAs[T]("r")
+  }
+
+  test("token counts") {
+    assert(one[Int](tokenCount(lit("Hello  world again"))) == 3)
+    assert(one[Int](bpeTokenCount(lit("don't stop, 42 times!"))) == 8)
+    // don | ' | t | stop | , | 42 | times | !
+  }
+
+  test("language id picks profile with most hits, und when none") {
+    assert(one[String](languageId(lit("the cat and the dog of it"))) == "en")
+    assert(one[String](languageId(lit("der hund und die katze ist"))) == "de")
+    assert(one[String](languageId(lit("xyzzy plugh"))) == "und")
+  }
+
+  test("quality score bounded and monotone in stopword presence") {
+    val good = one[Double](qualityScore(lit("the cat and the dog of it is in a house " * 10)))
+    val bad = one[Double](qualityScore(lit("!!! ??? *** ### $$$")))
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("hash60 is deterministic, positive, 60-bit") {
+    val h1 = one[Long](hash60(lit("abc")))
+    val h2 = one[Long](hash60(lit("abc")))
+    assert(h1 == h2 && h1 > 0 && h1 < (1L << 60))
+    assert(one[Long](hash60(lit("abd"))) != h1)
+  }
+
+  test("minShingleHash invariant under shingle-preserving permutation") {
+    // same multiset of 8-char shingles -> same min hash for a rotation
+    val a = one[Long](minShingleHash(lit("abcdefgh"), 8))
+    val b = one[Long](hash60(lit("abcdefgh")))
+    assert(a == b) // single shingle == its own hash
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different words entirely here now"),
+      (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("wordShingles: k-grams, distinct, empty when too short") {
+    val s = spark; import s.implicits._
+    val sh = docs.select(Dedup.wordShingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0).contains("the quick brown"))
+    assert(sh(0).length == 7) // 9 tokens -> 7 shingles, all distinct here
+    val short = Seq((1L, "just two")).toDF("doc_id", "text")
+      .select(Dedup.wordShingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(short.head.isEmpty)
+  }
+
+  test("exactGroups groups identical content") {
+    val s = spark; import s.implicits._
+    val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
+      .as[(String, Long, Long)].collect()
+    assert(g.length == 3)
+    val dupGroup = g.find(_._3 == 2).get
+    assert(dupGroup._2 == 1L) // keeper = min id
+  }
+
+  test("jaccardPairs finds near-dups above threshold with exact scores") {
+    val s = spark; import s.implicits._
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0) // exact dup
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.4 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minHashLshPairs surfaces exact duplicates with jaccard 1") {
+    val s = spark; import s.implicits._
+    val pairs = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+  }
+
+  test("simHashPairs: identical docs at hamming 0, near-dups close") {
+    val s = spark; import s.implicits._
+    val pairs = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 30)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.get((1L, 2L)).forall(_ <= 30))
+  }
+}

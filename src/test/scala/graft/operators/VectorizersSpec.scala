@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorizersSpec extends SparkSpec {
+
+  test("bucketize: left-closed right-open, null passthrough") {
+    val s = spark; import s.implicits._
+    val out = Seq(Some(0.0), Some(9.99), Some(10.0), Some(50.9), None)
+      .toDF("x")
+      .select(Vectorizers.bucketize(col("x"), Seq(0, 10, 25, 40, 51)).as("b"))
+      .as[Option[Int]].collect()
+    assert(out.toSeq == Seq(Some(0), Some(0), Some(1), Some(3), None))
+  }
+
+  test("topKByCount ranks by count desc then value asc, honors minSupport") {
+    val s = spark; import s.implicits._
+    val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(3)("c") ++ Seq("d")).toDF("v")
+    val top = Vectorizers.topKByCount(df, col("v"), k = 3, minSupport = 2)
+      .as[(String, Int)].collect().toMap
+    assert(top == Map("a" -> 1, "b" -> 2, "c" -> 3)) // a before b on tie
+  }
+
+  test("stringIndex is dense 0-based by frequency") {
+    val s = spark; import s.implicits._
+    val df = (Seq.fill(3)("y") ++ Seq.fill(5)("x") ++ Seq("z")).toDF("v")
+      .withColumn("id", monotonically_increasing_id())
+    val idx = Vectorizers.stringIndex(df, col("id"), col("v"))
+      .select("value", "idx").distinct()
+      .as[(String, Int)].collect().toMap
+    assert(idx == Map("x" -> 0, "y" -> 1, "z" -> 2))
+  }
+
+  test("imputeMean fills nulls with the non-null mean + indicator") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(4.0))).toDF("id", "x")
+    val out = Vectorizers.imputeMean(df, col("id"), col("x"))
+      .orderBy("id").as[(Long, Double, Int)].collect()
+    assert(out.toSeq == Seq((1L, 2.0, 0), (2L, 3.0, 1), (3L, 4.0, 0)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.workflow
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.workflow.FeatureKind._
+
+class WorkflowSpec extends SparkSpec {
+
+  lazy val df = {
+    val s = spark; import s.implicits._
+    Seq[(Long, Option[Double], String)]((1L, Some(10.0), "a"), (2L, Some(20.0), "b"), (3L, None, "a"))
+      .toDF("id", "x", "cat")
+  }
+
+  test("fromSchema infers kinds") {
+    val fs = Feature.fromSchema(df.schema)
+    assert(fs.map(_.kind) == Seq(IntegralK, RealK, TextK))
+    assert(fs.forall(_.isRaw))
+  }
+
+  test("plan layers by distance and dedups shared stages") {
+    val Seq(_, x, cat) = Feature.fromSchema(df.schema)
+    val imp = Stages.imputeMean(x, "x_f") // layer 2 (shared parent)
+    val imputed = imp.outputFeatures.head
+    val scaled = Stages.standardScale(imputed, "x_z") // layer 1, child of imp
+    val hot = Stages.oneHotTopK(cat, "cat", 2) // layer 1 (independent)
+    val wf = new Workflow(scaled.outputFeatures ++ hot.outputFeatures ++ Seq(imputed))
+    val layers = wf.plan()
+    assert(layers.length == 2)
+    assert(layers.head.map(_.uid) == Seq(imp.uid)) // farthest first
+    assert(layers(1).map(_.uid).toSet == Set(scaled.uid, hot.uid))
+    // imp appears once even though it is both a result's origin and a parent
+    assert(layers.flatten.map(_.uid).distinct.length == layers.flatten.length)
+  }
+
+  test("fit + score computes fitted pipeline") {
+    val Seq(_, x, _) = Feature.fromSchema(df.schema)
+    val imp = Stages.imputeMean(x, "x_f")
+    val model = new Workflow(imp.outputFeatures).fit(df)
+    val out = model.score(df, keep = Seq("id")).orderBy("id").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 15.0)) // null -> mean
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 0, 1)) // indicator
+  }
+
+  test("layer fusion: row-level stages collapse into the scan projection") {
+    val Seq(_, x, _) = Feature.fromSchema(df.schema)
+    val a = ColumnStage("double", Seq(x), "x2", RealK)(c => c.head * 2)
+    val b = ColumnStage("square", Seq(x), "xx", RealK)(c => c.head * c.head)
+    val scored = new Workflow(a.outputFeatures ++ b.outputFeatures)
+      .fit(df).score(df, keep = Seq("id"))
+    val plan = scored.queryExecution.optimizedPlan.toString()
+    // both expressions live in ONE Project over the relation (or the
+    // optimizer folded everything into the LocalRelation — zero Projects)
+    assert(plan.split("Project").length <= 2, s"expected at most one Project:\n$plan")
+  }
+
+  test("lineage traversal annotates max distance") {
+    val x = Feature.raw("x", RealK)
+    val s1 = ColumnStage("a", Seq(x), "y", RealK)(_.head)
+    val y = s1.outputFeatures.head
+    val s2 = ColumnStage("b", Seq(y, x), "z", RealK)(_.head)
+    val z = s2.outputFeatures.head
+    val d = z.parentStages()
+    assert(d(s2) == 0)
+    assert(d(s1) == 1)
+  }
+}
