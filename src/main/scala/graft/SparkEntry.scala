@@ -20,7 +20,8 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (FeatureQueries.queries, FeatureQueries.oracles),
-      (WorkflowQueries.queries, WorkflowQueries.oracles)
+      (WorkflowQueries.queries, WorkflowQueries.oracles),
+      (QualityQueries.queries, QualityQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

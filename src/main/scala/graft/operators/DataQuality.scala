@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / feature-selection operators (SURVEY §2.7):
+  *
+  *  - Fill-rate + drift stats between a training and a scoring frame —
+  *    the RawFeatureFilter gate (reference
+  *    core/src/main/scala/com/salesforce/op/filters/RawFeatureFilter.scala:90-101,486).
+  *  - Per-column variance gate — MinVarianceFilter (reference
+  *    core/.../preparators/MinVarianceFilter.scala).
+  *  - Label/feature Pearson correlations + Cramér's V for categoricals —
+  *    the SanityChecker fit statistics (reference
+  *    core/.../preparators/SanityChecker.scala:232,367).
+  *  - Equi-width histograms + Jensen-Shannon divergence for
+  *    distribution drift (reference filters/FeatureDistribution.scala).
+  *
+  * Scale notes: every statistic here is ONE map-side-combinable
+  * aggregation pass over the data (sum/count/avg/var/corr/histogram all
+  * have partial+final forms), so each gate costs a single scan with no
+  * shuffle beyond the final single-row reduce — the same cost profile at
+  * 60k rows and 100 TB. Nothing is collected to the driver except the
+  * O(#columns) statistics row(s).
+  */
+object DataQuality {
+
+  /** Fraction of non-null (and non-empty-string) values per column —
+    * one row out, one scan in. */
+  def fillRates(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      avg(fillIndicator(df, cols.head)).as(s"fill_${cols.head}"),
+      cols.tail.map(c => avg(fillIndicator(df, c)).as(s"fill_$c")): _*)
+
+  private def fillIndicator(df: DataFrame, c: String): Column = {
+    val base = col(c).isNotNull
+    val filled = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType => base && length(col(c)) > 0
+      case _ => base
+    }
+    filled.cast("double")
+  }
+
+  /** RawFeatureFilter core: per-column fill rate on train + score frames
+    * and their absolute difference; a feature fails the gate when
+    * trainFill < minFill or |trainFill - scoreFill| > maxFillDifference.
+    * Returns one row per column: (column, train_fill, score_fill,
+    * fill_diff, keep). */
+  def rawFeatureFilterStats(
+      train: DataFrame, score: DataFrame, cols: Seq[String],
+      minFill: Double, maxFillDifference: Double): DataFrame = {
+    val t = fillRates(train, cols)
+    val s = fillRates(score, cols)
+    // single-row frames: cross join is a broadcast of one row — free
+    val joined = t.crossJoin(s.select(cols.map(c => col(s"fill_$c").as(s"sfill_$c")): _*))
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"fill_$c").as("train_fill"),
+        col(s"sfill_$c").as("score_fill"),
+        abs(col(s"fill_$c") - col(s"sfill_$c")).as("fill_diff"))
+    }
+    joined.select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.column"), round(col("s.train_fill"), 6).as("train_fill"),
+        round(col("s.score_fill"), 6).as("score_fill"),
+        round(col("s.fill_diff"), 6).as("fill_diff"),
+        (col("s.train_fill") >= minFill &&
+          col("s.fill_diff") <= maxFillDifference).as("keep"))
+  }
+
+  /** MinVarianceFilter: sample variance per numeric column; keep when
+    * variance >= minVariance. One row per column. */
+  def minVarianceStats(df: DataFrame, cols: Seq[String], minVariance: Double): DataFrame = {
+    val agg = df.agg(
+      var_samp(col(cols.head)).as(s"v_${cols.head}"),
+      cols.tail.map(c => var_samp(col(c)).as(s"v_$c")): _*)
+    val perCol = cols.map(c => struct(lit(c).as("column"), col(s"v_$c").as("variance")))
+    agg.select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.column"), round(col("s.variance"), 6).as("variance"),
+        (col("s.variance") >= minVariance).as("keep"))
+  }
+
+  /** SanityChecker numeric stats: Pearson correlation of each feature
+    * with the label, plus feature variance — one aggregation pass.
+    * A feature is dropped when |corr| > maxCorrelation (leakage) or
+    * |corr| < minCorrelation (useless) or variance < minVariance. */
+  def sanityCheckStats(
+      df: DataFrame, label: String, features: Seq[String],
+      minCorrelation: Double, maxCorrelation: Double, minVariance: Double): DataFrame = {
+    val agg = df.agg(
+      corr(col(label), col(features.head)).as(s"c_${features.head}"),
+      (features.tail.map(f => corr(col(label), col(f)).as(s"c_$f")) ++
+        features.map(f => var_samp(col(f)).as(s"v_$f"))): _*)
+    val perCol = features.map { f =>
+      struct(lit(f).as("feature"), col(s"c_$f").as("label_corr"), col(s"v_$f").as("variance"))
+    }
+    agg.select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.feature"),
+        round(col("s.label_corr"), 6).as("label_corr"),
+        round(col("s.variance"), 6).as("variance"),
+        (abs(col("s.label_corr")) <= maxCorrelation &&
+          abs(col("s.label_corr")) >= minCorrelation &&
+          col("s.variance") >= minVariance).as("keep"))
+  }
+
+  /** Cramér's V between two categorical columns (SanityChecker
+    * categorical association, reference SanityCheckerMetadata):
+    * V = sqrt((chi2/n) / (min(r,c) - 1)) over the contingency table.
+    * Contingency cells via one groupBy — shuffle size = #distinct pairs,
+    * tiny regardless of row count. */
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.where(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a), col(b)).agg(count(lit(1)).cast("double").as("o"))
+    // zero cells never appear in the groupBy, so use the identity
+    // chi2/n = sum(o^2 / (row_total*col_total)) - 1 which only needs
+    // observed cells (missing-cell terms fold into the -1)
+    val withMargins = cells
+      .withColumn("row_total", sum(col("o")).over(org.apache.spark.sql.expressions.Window.partitionBy(a)))
+      .withColumn("col_total", sum(col("o")).over(org.apache.spark.sql.expressions.Window.partitionBy(b)))
+      .withColumn("n", sum(col("o")).over())
+    val chi2 = withMargins.agg(
+      (sum(col("o") * col("o") / (col("row_total") * col("col_total"))) - 1).as("chi2_over_n"),
+      first(col("n")).as("n"),
+      countDistinct(col(a)).as("r"),
+      countDistinct(col(b)).as("c"))
+    chi2.select(
+      round(sqrt(col("chi2_over_n") / (least(col("r"), col("c")) - 1)), 6).as("cramers_v"),
+      col("n").cast("long").as("n"), col("r"), col("c"))
+  }
+
+  /** Equi-width histogram of `c` clipped to [lo, hi) with `buckets`
+    * buckets (FeatureDistribution analog). Returns (bucket, cnt, frac),
+    * including empty buckets so two histograms align bucket-by-bucket. */
+  def histogram(df: DataFrame, c: Column, lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val w = (hi - lo) / buckets
+    val bucket = least(greatest(floor((c - lo) / w), lit(0)), lit(buckets - 1)).cast("int")
+    val counts = df.where(c.isNotNull).groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
+    val all = df.sparkSession.range(buckets).select(col("id").cast("int").as("bucket"))
+    all.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("frac", round(col("cnt") / sum(col("cnt")).over(), 6))
+  }
+
+  /** Jensen-Shannon divergence between two aligned discrete
+    * distributions (RawFeatureFilter's maxJSDivergence gate). Driver-side
+    * over the O(buckets) histogram — the heavy lifting happened in the
+    * distributed histogram pass. */
+  def jsDivergence(p: Seq[Double], q: Seq[Double]): Double = {
+    require(p.length == q.length, "histograms must align")
+    val ps = p.sum; val qs = q.sum
+    val pn = p.map(x => if (ps == 0) 0.0 else x / ps)
+    val qn = q.map(x => if (qs == 0) 0.0 else x / qs)
+    def kl(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => if (x > 0 && y > 0) x * math.log(x / y) else 0.0 }.sum
+    val m = pn.zip(qn).map { case (x, y) => (x + y) / 2 }
+    (kl(pn, m) + kl(qn, m)) / (2 * math.log(2)) // normalized to [0,1]
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column support: opaque `binary`
+  * payloads + typed metadata, with decode / feature-extraction staged as
+  * batched per-partition transforms. The container has no codec
+  * libraries, so the actual byte→pixels decode is a STUB — a
+  * deterministic fake derived from the payload's MD5 — while everything
+  * Spark-side (schema, batch shape, partitioning, null handling) is
+  * real and tested. Swap `FakeCodec` for a JNI/FFmpeg codec in
+  * production; nothing else changes.
+  *
+  * Scale notes: decode runs via `mapPartitions` with an internal batch
+  * size, the Scala analog of `mapInPandas` — per-partition batching
+  * amortizes codec init without materializing the partition; payloads
+  * stream through one batch at a time. Binary columns stay opaque to
+  * the optimizer, so metadata predicates (mime, size) are projected to
+  * separate columns FIRST and pushed to the parquet scan, keeping the
+  * expensive decode behind the cheap filter.
+  */
+object Multimodal {
+
+  /** Payload envelope: binary bytes + metadata columns the scan can
+    * filter on without touching the bytes. */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", to_binary(col(textCol), lit("utf-8")))
+      .withColumn("payload_bytes", octet_length(col("payload")).cast("long"))
+
+  /** Magic-byte MIME sniff over the first 4 payload bytes (the
+    * deterministic core of reference MimeTypeDetector.scala, minus the
+    * Tika database). */
+  def sniffMime(payload: Column): Column = {
+    val magic = upper(hex(substring(payload, 1, 4)))
+    when(magic.startsWith("89504E47"), "image/png")
+      .when(magic.startsWith("FFD8FF"), "image/jpeg")
+      .when(magic.startsWith("47494638"), "image/gif")
+      .when(magic.startsWith("494433"), "audio/mpeg")
+      .when(magic.startsWith("52494646"), "audio/wav")
+      .when(magic.startsWith("1A45DFA3"), "video/webm")
+      .otherwise("text/plain")
+  }
+
+  /** Output schema of the decode stage: fixed-width image features. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("feat", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB codec: deterministic fake "decode" from the payload MD5.
+    * Replace with a real image/audio decoder in production. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def u(i: Int): Int = md(i) & 0xff
+      val width = 64 + (u(0) << 4 | u(1) >> 4)        // 64..4159, deterministic
+      val height = 64 + (u(2) << 4 | u(3) >> 4)
+      val nFrames = 1 + u(4) % 16
+      val feat = Array.tabulate(8)(i => (u(2 * i) * 256 + u(2 * i + 1)) / 65535.0f)
+      (width, height, nFrames, feat)
+    }
+  }
+
+  /** Batched decode: (doc_id, payload) → decodedSchema rows. Batches of
+    * `batchSize` per partition emulate the mapInPandas batch shape —
+    * codec state is initialized once per partition, rows stream
+    * through without materializing the whole partition. */
+  def decodeFeatures(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col("payload"))
+    val rdd = input.rdd.mapPartitions { rows =>
+      // per-partition codec init would go here (real codecs are costly)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.collect { case r if !r.isNullAt(1) =>
+          val (w, h, f, feat) = FakeCodec.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), w, h, f, feat.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+}

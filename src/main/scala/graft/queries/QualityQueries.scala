@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Tables, FormatReaders}
+import graft.operators.{DataQuality, Multimodal}
+import graft.streaming.Streaming
+
+/** Oracle-gated queries for the remaining SURVEY §2 families: data
+  * quality / feature selection (§2.7), structured streaming (§2.9),
+  * CSV/JSON sources (§2.1), and the multimodal binary-payload layer.
+  * The synthetic tables have no NULLs, so the fill-rate gate runs over
+  * NULLIF-derived columns to exercise non-trivial rates.
+  */
+object QualityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // §2.7 RawFeatureFilter: train/score fill rates + drift gate
+    "q39_raw_feature_filter" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_shipdate"),
+        nullif(col("l_returnflag"), lit("N")).as("returned_flag"),
+        nullif(col("l_discount"), lit(0.0)).as("nz_discount"),
+        nullif(col("l_tax"), lit(0.0)).as("nz_tax"))
+      val train = li.where(col("l_shipdate") < "1998-01-01")
+      val score = li.where(col("l_shipdate") >= "1998-01-01")
+      DataQuality.rawFeatureFilterStats(
+        train, score, Seq("returned_flag", "nz_discount", "nz_tax"),
+        minFill = 0.5, maxFillDifference = 0.05)
+    }),
+
+    // §2.7 MinVarianceFilter
+    "q40_min_variance_filter" -> ((s, d) => {
+      DataQuality.minVarianceStats(
+        Tables.lineitem(s, d),
+        Seq("l_quantity", "l_discount", "l_tax", "l_linenumber"),
+        minVariance = 0.01)
+    }),
+
+    // §2.7 SanityChecker numeric stats: label correlations + variance gate
+    "q41_sanity_check" -> ((s, d) => {
+      DataQuality.sanityCheckStats(
+        Tables.lineitem(s, d), label = "l_extendedprice",
+        features = Seq("l_quantity", "l_discount", "l_tax"),
+        minCorrelation = 0.01, maxCorrelation = 0.95, minVariance = 0.0001)
+    }),
+
+    // §2.7 SanityChecker categorical association (Cramér's V)
+    "q42_cramers_v" -> ((s, d) => {
+      DataQuality.cramersV(Tables.orders(s, d), "o_orderpriority", "o_orderstatus")
+    }),
+
+    // §2.7 FeatureDistribution histograms for drift (JS divergence over
+    // these is driver-side; see DataQualitySpec)
+    "q43_histogram_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val early = DataQuality.histogram(
+        o.where(col("o_orderdate") < "1998-01-01"), col("o_totalprice"), 0, 500000, 20)
+      val late = DataQuality.histogram(
+        o.where(col("o_orderdate") >= "1998-01-01"), col("o_totalprice"), 0, 500000, 20)
+      early.withColumnRenamed("cnt", "cnt_early").withColumnRenamed("frac", "frac_early")
+        .join(late.withColumnRenamed("cnt", "cnt_late").withColumnRenamed("frac", "frac_late"),
+          Seq("bucket"))
+    }),
+
+    // §2.9 structured streaming: watermark + tumbling window through the
+    // streaming engine (AvailableNow → batch-equivalent result)
+    "q44_stream_windowed_agg" -> ((s, d) => {
+      val agg = Streaming.windowedAgg(
+        Streaming.eventStream(s, d), windowLen = "1 day", lateness = "1 day")
+      Streaming.runToCompletion(s, agg, "q44_stream")
+    }),
+
+    // multimodal: binary payload envelope + metadata (octet length, magic
+    // MIME sniff, content digest) — decode stays behind these cheap cols
+    "q45_multimodal_meta" -> ((s, d) => {
+      val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
+      docs.select(col("doc_id"), col("payload_bytes"),
+        Multimodal.sniffMime(col("payload")).as("mime"),
+        md5(col("payload")).as("payload_md5"))
+    }),
+
+    // multimodal: batched per-partition decode (STUB codec — schema,
+    // batch shape, partitioning real; byte decode deterministic-fake).
+    // Not SQL-expressible → rows-only check.
+    "q46_multimodal_decode" -> ((s, d) => {
+      val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
+      Multimodal.decodeFeatures(docs, "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          round(aggregate(col("feat"), lit(0.0d), (a, x) => a + x.cast("double")), 4).as("feat_sum"))
+    }),
+
+    // §2.1 CSV source round-trip: parquet → CSV sink → explicit-schema
+    // CSV scan → aggregate; matches the oracle's parquet-direct answer
+    "q47_csv_roundtrip" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val out = "/root/repo/target/roundtrip/orders_csv"
+      FormatReaders.writeCsv(Tables.orders(s, d).select(cols.map(col): _*), out)
+      val schema = org.apache.spark.sql.types.StructType(
+        Tables.orders(s, d).select(cols.map(col): _*).schema.fields)
+      FormatReaders.readCsv(s, out, schema)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+
+    // §2.1 JSON source round-trip
+    "q48_json_roundtrip" -> ((s, d) => {
+      val cols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
+      val out = "/root/repo/target/roundtrip/customer_json"
+      FormatReaders.writeJson(Tables.customer(s, d).select(cols.map(col): _*), out)
+      val schema = org.apache.spark.sql.types.StructType(
+        Tables.customer(s, d).select(cols.map(col): _*).schema.fields)
+      FormatReaders.readJson(s, out, schema)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q39_raw_feature_filter" ->
+      """WITH li AS (
+           SELECT l_shipdate,
+             NULLIF(l_returnflag, 'N') AS returned_flag,
+             NULLIF(l_discount, 0.0) AS nz_discount,
+             NULLIF(l_tax, 0.0) AS nz_tax
+           FROM lineitem),
+         t AS (SELECT
+             AVG(CASE WHEN returned_flag IS NOT NULL AND LENGTH(returned_flag) > 0 THEN 1.0 ELSE 0.0 END) AS f1,
+             AVG(CASE WHEN nz_discount IS NOT NULL THEN 1.0 ELSE 0.0 END) AS f2,
+             AVG(CASE WHEN nz_tax IS NOT NULL THEN 1.0 ELSE 0.0 END) AS f3
+           FROM li WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+         sc AS (SELECT
+             AVG(CASE WHEN returned_flag IS NOT NULL AND LENGTH(returned_flag) > 0 THEN 1.0 ELSE 0.0 END) AS f1,
+             AVG(CASE WHEN nz_discount IS NOT NULL THEN 1.0 ELSE 0.0 END) AS f2,
+             AVG(CASE WHEN nz_tax IS NOT NULL THEN 1.0 ELSE 0.0 END) AS f3
+           FROM li WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+         v AS (
+           SELECT 'returned_flag' AS name, t.f1 AS tf, sc.f1 AS sf FROM t, sc
+           UNION ALL SELECT 'nz_discount', t.f2, sc.f2 FROM t, sc
+           UNION ALL SELECT 'nz_tax', t.f3, sc.f3 FROM t, sc)
+         SELECT name AS "column", ROUND(tf, 6) AS train_fill, ROUND(sf, 6) AS score_fill,
+           ROUND(ABS(tf - sf), 6) AS fill_diff,
+           (tf >= 0.5 AND ABS(tf - sf) <= 0.05) AS keep
+         FROM v""",
+
+    "q40_min_variance_filter" ->
+      """WITH a AS (SELECT VAR_SAMP(l_quantity) v1, VAR_SAMP(l_discount) v2,
+                  VAR_SAMP(l_tax) v3, VAR_SAMP(l_linenumber) v4 FROM lineitem),
+         v AS (
+           SELECT 'l_quantity' AS name, v1 AS variance FROM a
+           UNION ALL SELECT 'l_discount', v2 FROM a
+           UNION ALL SELECT 'l_tax', v3 FROM a
+           UNION ALL SELECT 'l_linenumber', v4 FROM a)
+         SELECT name AS "column", ROUND(variance, 6) AS variance, variance >= 0.01 AS keep
+         FROM v""",
+
+    "q41_sanity_check" ->
+      """WITH a AS (SELECT
+             CORR(l_extendedprice, l_quantity) c1, CORR(l_extendedprice, l_discount) c2,
+             CORR(l_extendedprice, l_tax) c3,
+             VAR_SAMP(l_quantity) v1, VAR_SAMP(l_discount) v2, VAR_SAMP(l_tax) v3
+           FROM lineitem),
+         v AS (
+           SELECT 'l_quantity' AS feature, c1 AS label_corr, v1 AS variance FROM a
+           UNION ALL SELECT 'l_discount', c2, v2 FROM a
+           UNION ALL SELECT 'l_tax', c3, v3 FROM a)
+         SELECT feature, ROUND(label_corr, 6) AS label_corr,
+           ROUND(variance, 6) AS variance,
+           (ABS(label_corr) <= 0.95 AND ABS(label_corr) >= 0.01
+             AND variance >= 0.0001) AS keep
+         FROM v""",
+
+    "q42_cramers_v" ->
+      """WITH cells AS (
+           SELECT o_orderpriority a, o_orderstatus b, CAST(COUNT(*) AS DOUBLE) o
+           FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+           GROUP BY 1, 2),
+         marg AS (
+           SELECT o, SUM(o) OVER (PARTITION BY a) row_total,
+             SUM(o) OVER (PARTITION BY b) col_total, SUM(o) OVER () n FROM cells),
+         tot AS (SELECT COUNT(DISTINCT a) r, COUNT(DISTINCT b) c FROM cells)
+         SELECT ROUND(SQRT((SUM(o * o / (row_total * col_total)) - 1) / (LEAST(r, c) - 1)), 6) AS cramers_v,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n, r, c
+         FROM marg, tot GROUP BY r, c""",
+
+    "q43_histogram_drift" ->
+      """WITH buckets AS (SELECT UNNEST(RANGE(0, 20)) AS bucket),
+         e AS (SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19) b,
+                 COUNT(*) cnt FROM orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+         l AS (SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19) b,
+                 COUNT(*) cnt FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1)
+         SELECT CAST(bucket AS INT) AS bucket,
+           COALESCE(e.cnt, 0) AS cnt_early,
+           ROUND(COALESCE(e.cnt, 0) / (SELECT SUM(cnt) FROM e), 6) AS frac_early,
+           COALESCE(l.cnt, 0) AS cnt_late,
+           ROUND(COALESCE(l.cnt, 0) / (SELECT SUM(cnt) FROM l), 6) AS frac_late
+         FROM buckets LEFT JOIN e ON bucket = e.b LEFT JOIN l ON bucket = l.b""",
+
+    "q44_stream_windowed_agg" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q45_multimodal_meta" ->
+      """SELECT doc_id, STRLEN(text) AS payload_bytes,
+           'text/plain' AS mime, MD5(text) AS payload_md5
+         FROM documents""",
+
+    "q47_csv_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q48_json_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY c_mktsegment"""
+  )
+}

@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV / JSON sources and sinks (SURVEY §2.1: CSVReader
+  * readers/.../CSVReaders.scala:54-84, CSVAutoReader with header-driven
+  * schema inference CSVAutoReaders.scala:57-99, sinks
+  * RichDataset.scala:218). Thin, declarative wrappers over
+  * DataFrameReader/Writer so Catalyst keeps pushdown; explicit-schema
+  * reads avoid the double-scan that inferSchema costs at 100 TB.
+  */
+object FormatReaders {
+
+  /** CSVReader analog: explicit schema — single pass, no inference scan. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** CSVAutoReader analog: header + inference (costs an extra scan of a
+    * sample; acceptable for exploration, not for the 100 TB hot path). */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import graft.workflow.WorkflowModel
+
+/** Structured Streaming layer (SURVEY §2.9). The reference only has
+  * stateless DStream micro-batch scoring
+  * (readers/.../StreamingReader.scala:40-54,
+  * core/.../OpWorkflowRunner.scala:232-263 — foreachRDD + score + save);
+  * we re-express it on Structured Streaming and add the event-time
+  * machinery the reference lacks: watermarks + windowed aggregation,
+  * the streaming analog of the batch cutoff aggregations (§2.3).
+  *
+  * Scale notes: file-source streams list + split work across executors
+  * exactly like batch scans; windowed aggregation state is partitioned
+  * by (key, window) across executors and pruned by the watermark, so
+  * state size is bounded by (#active keys × windows inside the
+  * watermark), not by stream length.
+  */
+object Streaming {
+
+  /** events.parquet schema for the file-source stream (ts is
+    * TIMESTAMP(NANOS) which arrives as Long under
+    * spark.sql.legacy.parquet.nanosAsLong — converted below). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Open events as a file-source stream with a proper event-time column.
+    * File streams require a directory: point at the sf dir and glob the
+    * one table (new matching files would be picked up incrementally). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window aggregation over an event stream:
+    * per (window, event_type) count + sum. Late data beyond `lateness`
+    * is dropped and its state reclaimed. */
+  def windowedAgg(stream: DataFrame, windowLen: String, lateness: String): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run a streaming aggregation to completion over the (finite) file
+    * source and return the result as a batch DataFrame — Trigger
+    * .AvailableNow processes everything then stops, giving batch
+    * semantics through the streaming engine. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Micro-batch model scoring (reference streamingScore,
+    * OpWorkflowRunner.scala:232-263): score each micro-batch with a
+    * fitted workflow model and hand it to a sink callback (parquet
+    * writer, Kafka producer, …). Empty batches are skipped like the
+    * reference does. */
+  def scoreStream(
+      stream: DataFrame, model: WorkflowModel, keep: Seq[String],
+      checkpoint: String)(sink: (DataFrame, Long) => Unit) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) sink(model.score(batch, keep), id)
+      }
+      .start()
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSpec {
+
+  lazy val df = {
+    val s = spark; import s.implicits._
+    Seq[(Option[Double], Option[String], Double)](
+      (Some(1.0), Some("a"), 10.0), (Some(2.0), Some(""), 20.0),
+      (None, Some("b"), 30.0), (Some(4.0), None, 40.0))
+      .toDF("x", "s", "y")
+  }
+
+  test("fillRates counts empty strings as unfilled") {
+    val r = DataQuality.fillRates(df, Seq("x", "s", "y")).collect()(0)
+    assert(r.getDouble(0) == 0.75) // x: 3/4 non-null
+    assert(r.getDouble(1) == 0.50) // s: "b","a" filled; "" and null not
+    assert(r.getDouble(2) == 1.00)
+  }
+
+  test("rawFeatureFilterStats gates on fill and drift") {
+    val out = DataQuality.rawFeatureFilterStats(df, df, Seq("x", "s"), 0.6, 0.1)
+      .orderBy("column").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("s", "x"))
+    assert(out.map(_.getBoolean(4)).toSeq == Seq(false, true)) // s fails minFill
+    assert(out.forall(_.getDouble(3) == 0.0)) // same frame → zero drift
+  }
+
+  test("minVarianceStats drops constant columns") {
+    val d2 = df.withColumn("const", lit(5.0))
+    val out = DataQuality.minVarianceStats(d2, Seq("y", "const"), 0.01)
+      .orderBy("column").collect()
+    assert(out.find(_.getString(0) == "const").get.getBoolean(2) == false)
+    assert(out.find(_.getString(0) == "y").get.getBoolean(2) == true)
+  }
+
+  test("cramersV is 1 for perfectly associated columns, ~0 for independent") {
+    val s = spark; import s.implicits._
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    val v1 = DataQuality.cramersV(perfect, "u", "v").collect()(0).getDouble(0)
+    assert(v1 == 1.0)
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("u", "v")
+    val v0 = DataQuality.cramersV(indep, "u", "v").collect()(0).getDouble(0)
+    assert(v0 == 0.0)
+  }
+
+  test("histogram clips to range and includes empty buckets") {
+    val s = spark; import s.implicits._
+    val d = Seq(-5.0, 0.0, 1.0, 5.0, 99.0, 150.0).toDF("v")
+    val h = DataQuality.histogram(d, col("v"), 0, 100, 4).orderBy("bucket").collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    // -5 clips to bucket 0 (with 0,1,5); 150 clips to bucket 3 (with 99)
+    assert(h.map(_.getLong(1)).toSeq == Seq(4L, 0L, 0L, 2L))
+  }
+
+  test("jsDivergence: 0 for identical, 1 for disjoint, symmetric") {
+    val p = Seq(1.0, 2.0, 3.0)
+    assert(DataQuality.jsDivergence(p, p) == 0.0)
+    val a = Seq(1.0, 0.0); val b = Seq(0.0, 1.0)
+    assert(math.abs(DataQuality.jsDivergence(a, b) - 1.0) < 1e-12)
+    val q = Seq(3.0, 2.0, 1.0)
+    assert(DataQuality.jsDivergence(p, q) == DataQuality.jsDivergence(q, p))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.workflow._
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("windowed aggregation over a file stream equals the batch answer") {
+    val streamed = Streaming.runToCompletion(
+      spark,
+      Streaming.windowedAgg(Streaming.eventStream(spark, sfDir), "1 day", "1 day"),
+      "stream_spec_agg")
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("foreachBatch scores micro-batches with a fitted workflow model") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val value = Feature.raw("value", FeatureKind.RealK)
+    val stage = ColumnStage("double", Seq(value), "value_x2", FeatureKind.RealK)(c => c.head * 2)
+    val model = new Workflow(stage.outputFeatures).fit(events)
+
+    val scored = new java.util.concurrent.atomic.AtomicLong(0)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = Streaming.scoreStream(
+      Streaming.eventStream(spark, sfDir), model, keep = Seq("event_id"), ckpt) {
+      (batch, _) => scored.addAndGet(batch.count())
+    }
+    q.awaitTermination()
+    assert(scored.get() == events.count())
+  }
+}
