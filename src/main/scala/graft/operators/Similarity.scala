@@ -57,6 +57,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("c_emb"))
       .withColumn("c_nrm", norm(col("c_emb")))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val q = queries.select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("q_emb"))
       .withColumn("q_nrm", norm(col("q_emb")))
     val scored = c.crossJoin(broadcast(q))
@@ -77,7 +78,11 @@ object Similarity {
     // norms hoisted to the per-row projection: n sqrt+dot instead of 2n^2
     val e = df.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // the corpus often arrives as one parquet file = one partition, which
+    // would serialize the O(n^2) pair loop on a single core; spread the
+    // streamed side so every core owns a slice of the pair space
+    val a = e.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    a.as("a").join(broadcast(e).as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         cosinePreNormed(dotFast(col("a.emb"), col("b.emb")),
           col("a.nrm"), col("b.nrm")).as("cos"))
