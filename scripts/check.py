@@ -68,7 +68,9 @@ def main():
         for c in got.columns:
             a, b = got[c].values, want[c].values
             if np.issubdtype(a.dtype, np.floating):
-                bad = ~(np.isclose(a, b, rtol=0, atol=0, equal_nan=True))
+                # driver hash-compares, so -0.0 != +0.0 there; mirror that
+                signed_zero = (a == 0) & (b == 0) & (np.signbit(a) != np.signbit(b))
+                bad = ~(np.isclose(a, b, rtol=0, atol=0, equal_nan=True)) | signed_zero
                 exact = bad.sum()
                 close_bad = (~np.isclose(a, b, rtol=1e-12, atol=1e-9, equal_nan=True)).sum()
                 if exact:

@@ -345,8 +345,8 @@ object RelationalQueries {
            CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS order_dow,
            CAST(DAYOFYEAR(o_orderdate) AS INT) AS order_doy,
            CAST(CEIL(DAYOFMONTH(o_orderdate) / 7.0) AS INT) AS order_wom,
-           ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) AS month_sin,
-           ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) AS month_cos
+           ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS month_sin,
+           ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS month_cos
          FROM orders"""
   )
 }

@@ -86,8 +86,8 @@ object WorkflowQueries {
            CASE WHEN o_orderpriority IS NOT NULL AND rank IS NULL THEN 1 ELSE 0 END AS prio_other,
            CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS prio_null,
            i AS prio_idx,
-           ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) AS omonth_sin,
-           ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) AS omonth_cos
+           ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS omonth_sin,
+           ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS omonth_cos
          FROM orders CROSS JOIN stats
            LEFT JOIN fitted ON o_orderpriority = fitted.value
            LEFT JOIN idx ON o_orderpriority = idx.value"""

@@ -36,6 +36,47 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._3 > 0.99)
   }
 
+  test("cosineNearDupPairs (blocked exact) equals naive all-pairs") {
+    val s = spark; import s.implicits._
+    // 40 deterministic pseudo-random vectors in 8 dims
+    val rows = (0L until 40L).map { id =>
+      val e = Array.tabulate(8)(i => math.sin(id * 31 + i * 7).toFloat)
+      (id, e)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairs(df, 0.3, numBlocks = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    // naive reference with identical fp order
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i).toDouble * b(i).toDouble; i += 1 }
+      s0
+    }
+    val want = (for {
+      (ia, ea) <- rows; (ib, eb) <- rows if ia < ib
+      c = dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb)))
+      if c >= 0.3
+    } yield (ia, ib, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("cosineNearDupPairsLSH finds strong near-dups") {
+    val s = spark; import s.implicits._
+    // pairs (2k, 2k+1) are slight perturbations => cosine ~0.99; the rest random-ish
+    val rows = (0L until 30L).map { id =>
+      val base = id / 2
+      val e = Array.tabulate(16)(i => (math.sin(base * 53 + i * 11) + (if (id % 2 == 1) 0.01 * math.cos(i) else 0.0)).toFloat)
+      (id, e)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairsLSH(df, 0.95, planesPerBand = 8, numBands = 8)
+      .as[(Long, Long, Double)].collect()
+    val duplicatePairs = got.filter { case (a, b, _) => b == a + 1 && a % 2 == 0 }
+    assert(duplicatePairs.length == 15) // every planted pair found
+    assert(got.forall(_._3 >= 0.95))
+  }
+
   test("srpBucket: same vector -> same bucket; opposite -> different") {
     val s = spark; import s.implicits._
     val b = vecs.select(col("vec_id"),
