@@ -7,6 +7,7 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir) = args
     val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
     def run(): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()

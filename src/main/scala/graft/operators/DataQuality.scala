@@ -116,10 +116,9 @@ object DataQuality {
     val withMargins = cells
       .withColumn("row_total", sum(col("o")).over(org.apache.spark.sql.expressions.Window.partitionBy(a)))
       .withColumn("col_total", sum(col("o")).over(org.apache.spark.sql.expressions.Window.partitionBy(b)))
-      .withColumn("n", sum(col("o")).over())
     val chi2 = withMargins.agg(
       (sum(col("o") * col("o") / (col("row_total") * col("col_total"))) - 1).as("chi2_over_n"),
-      first(col("n")).as("n"),
+      sum(col("o")).as("n"),
       countDistinct(col(a)).as("r"),
       countDistinct(col(b)).as("c"))
     chi2.select(
@@ -135,9 +134,14 @@ object DataQuality {
     val bucket = least(greatest(floor((c - lo) / w), lit(0)), lit(buckets - 1)).cast("int")
     val counts = df.where(c.isNotNull).groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
     val all = df.sparkSession.range(buckets).select(col("id").cast("int").as("bucket"))
-    all.join(counts, Seq("bucket"), "left")
+    val joined = all.join(counts, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .withColumn("frac", round(col("cnt") / sum(col("cnt")).over(), 6))
+    // grand total via a 1-row aggregate broadcast back, not an
+    // unpartitioned window (which would single-partition the frame)
+    val total = joined.agg(sum(col("cnt")).as("__total"))
+    joined.crossJoin(broadcast(total))
+      .withColumn("frac", round(col("cnt") / col("__total"), 6))
+      .drop("__total")
   }
 
   /** Jensen-Shannon divergence between two aligned discrete

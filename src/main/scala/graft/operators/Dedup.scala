@@ -15,8 +15,8 @@ import graft.functions.TextAnalysis.{tokens, hash60, contentHash}
   *   row-local signature → explode to (bucket, doc) → shuffle on bucket →
   *   within-bucket pair join → exact verify,
   * i.e. one wide shuffle keyed on content-derived buckets, never an
-  * all-pairs product. Hot buckets (stop-shingles) can be capped with a
-  * frequency filter before the join (maxBucketSize).
+  * all-pairs product. Hot shingle buckets are capped by document
+  * frequency before the candidate join (maxShingleDocFreq).
   */
 object Dedup {
 
@@ -38,28 +38,51 @@ object Dedup {
     df.groupBy(contentHash(text).as("content_md5"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_docs"))
 
-  /** Exact n-gram Jaccard near-dup pairs via shingle-share join.
-    * Guaranteed recall: any pair with J >= t > 0 shares at least one
-    * shingle, so generating candidates from co-occurring shingles loses
-    * nothing. The per-pair intersection size falls out of the join
-    * (count of shared shingles), so only ONE pass over the exploded
-    * shingles is needed; doc shingle counts are broadcast back. */
-  def jaccardPairs(df: DataFrame, id: Column, text: Column, k: Int, threshold: Double): DataFrame = {
-    // persist: the shingle table feeds three branches (sizes + both join
-    // sides); without it Catalyst inlines the shingle expression into
-    // each branch and recomputes it per reference
+  /** N-gram Jaccard near-dup pairs via shingle-share join with a
+    * stop-shingle frequency cap. Candidates: pairs of docs co-occurring
+    * in at least one shingle whose document frequency is <= `maxShingleDocFreq`;
+    * verification: exact Jaccard over the FULL (uncapped) shingle sets.
+    * Recall guarantee: any pair with J >= t sharing at least one non-hot
+    * shingle is found — the cap only loses pairs whose every common
+    * shingle occurs in more than `maxShingleDocFreq` docs (stop-phrase
+    * boilerplate, which is exactly what should not define near-dups).
+    * Scale: a shingle in m docs produces m^2 candidate rows; without the
+    * cap one boilerplate trigram at 100 TB is a job-killer. */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, k: Int, threshold: Double,
+                   maxShingleDocFreq: Int = 1000): DataFrame = {
+    // persist: the shingle table feeds three branches (frequency count +
+    // candidate join + verify joins); without it Catalyst inlines the
+    // shingle expression into each branch and recomputes it per reference
     val sh = df.select(id.as("doc"), wordShingles(text, k).as("shingles"))
       .where(size(col("shingles")) > 0)
       .persist()
-    val sizes = sh.select(col("doc"), size(col("shingles")).as("n"))
     val exploded = sh.select(col("doc"), explode(col("shingles")).as("s"))
-    val inter = exploded.as("a").join(exploded.as("b"),
+    // hot = shingles in more than maxShingleDocFreq docs. Bounded by
+    // (total shingle occurrences / cap), so the set is small — its
+    // per-doc projection below is a short array per row.
+    val hot = exploded.groupBy(col("s")).agg(count(lit(1)).as("df_s"))
+      .where(col("df_s") > maxShingleDocFreq)
+      .select(col("s"))
+    val ex = exploded.join(hot, Seq("s"), "left_anti")
+    // one-pass shared-shingle count over NON-hot shingles only; the
+    // within-candidate hot shares are added back from the small per-doc
+    // hot arrays, so the Jaccard stays exact while the join never
+    // explodes on a boilerplate shingle
+    val interKept = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .agg(count(lit(1)).as("n_inter_kept"))
+    val hotPerDoc = exploded.join(hot, "s")
+      .groupBy(col("doc")).agg(collect_list(col("s")).as("hot_sh"))
+    val aug = sh.select(col("doc"), size(col("shingles")).as("n"))
+      .join(hotPerDoc, Seq("doc"), "left")
+      .select(col("doc"), col("n"),
+        coalesce(col("hot_sh"), array().cast("array<string>")).as("hot_sh"))
+    interKept
+      .join(aug.select(col("doc").as("id_a"), col("n").as("n_a"), col("hot_sh").as("hot_a")), "id_a")
+      .join(aug.select(col("doc").as("id_b"), col("n").as("n_b"), col("hot_sh").as("hot_b")), "id_b")
+      .withColumn("n_inter",
+        col("n_inter_kept") + size(array_intersect(col("hot_a"), col("hot_b"))))
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))

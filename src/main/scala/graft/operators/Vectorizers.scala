@@ -21,15 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Vectorizers {
 
+  /** Total-order row numbers without a single-partition window:
+    * range-partitioned sort, then per-partition offsets (zipWithIndex).
+    * Scales to any cardinality — used to rank fitted distinct-value
+    * tables, where a global `row_number().over(Window.orderBy(...))`
+    * would collapse to one partition. 1-based like row_number. */
+  def withRowNumber(df: DataFrame, sort: Seq[Column], out: String): DataFrame = {
+    val sorted = df.orderBy(sort: _*)
+    val schema = sorted.schema.add(out, org.apache.spark.sql.types.IntegerType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Fit half of the one-hot pivot: values with support >= minSupport,
     * ranked 1..k by (count desc, value asc). */
-  def topKByCount(df: DataFrame, value: Column, k: Int, minSupport: Long): DataFrame =
-    df.groupBy(value.as("value")).agg(count(lit(1)).as("cnt"))
+  def topKByCount(df: DataFrame, value: Column, k: Int, minSupport: Long): DataFrame = {
+    val counts = df.groupBy(value.as("value")).agg(count(lit(1)).as("cnt"))
       .where(col("value").isNotNull && col("cnt") >= minSupport)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("value").asc)))
+    withRowNumber(counts, Seq(col("cnt").desc, col("value").asc), "rank")
       .where(col("rank") <= k)
       .select(col("value"), col("rank"))
+  }
 
   /** Transform half: indicator columns slot_1..slot_k plus slot_other
     * (non-null value outside top-K) and slot_null. */
@@ -72,18 +86,30 @@ object Vectorizers {
       case (acc, (Seq(lo, hi), i)) => when(value >= lo && value < hi, i).otherwise(acc)
     }
 
-  /** Percentile calibration to [0, 100]: floor(percent_rank * 100)
-    * (reference PercentileCalibrator via QuantileDiscretizer(100)). */
-  def percentile100(value: Column): Column =
-    floor(percent_rank().over(Window.orderBy(value)) * 100).cast("int")
+  /** Percentile calibration into [0, 99] (reference PercentileCalibrator
+    * via QuantileDiscretizer(100)): fit = ONE exact-percentile
+    * aggregation producing the 99 interior quantile splits — no global
+    * sort, no single-partition window; transform = row-local count of
+    * fitted splits <= x, folded in as literals. Spark's exact
+    * `percentile` interpolation is bit-identical to DuckDB's
+    * quantile_cont (verified empirically), so the oracle replays the
+    * fit. Null value → null percentile. */
+  def percentile100(df: DataFrame, id: Column, value: Column): DataFrame = {
+    val probs = (1 to 99).map(k => k / 100.0)
+    val src = df.select(id.as("id"), value.as("v"))
+    val splits = src.agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
+      .head.getSeq[Double](0)
+    src.select(col("id"),
+      when(col("v").isNotNull,
+        size(filter(lit(splits.toArray), s => col("v") >= s))).as("pctile"))
+  }
 
   /** StringIndexer: 0-based index by (count desc, value asc). */
   def stringIndex(df: DataFrame, id: Column, value: Column): DataFrame = {
-    val idx = df.where(value.isNotNull)
+    val counts = df.where(value.isNotNull)
       .groupBy(value.as("value")).agg(count(lit(1)).as("cnt"))
-      .withColumn("idx", row_number().over(
-        Window.orderBy(col("cnt").desc, col("value").asc)) - 1)
-      .select(col("value"), col("idx"))
+    val idx = withRowNumber(counts, Seq(col("cnt").desc, col("value").asc), "rn")
+      .select(col("value"), (col("rn") - 1).as("idx"))
     df.select(id.as("id"), value.as("value"))
       .join(broadcast(idx), Seq("value"), "left")
       .select(col("id"), col("value"), col("idx"))

@@ -20,7 +20,8 @@ object DedupQueries {
     }),
 
     "q23_dedup_ngram_jaccard" -> ((s, d) => {
-      Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 0.4)
+      Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 0.4,
+          maxShingleDocFreq = 1000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
@@ -51,18 +52,23 @@ object DedupQueries {
 
     "q23_dedup_ngram_jaccard" ->
       s"""WITH sh AS ($SHINGLES),
-          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
-          inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-          sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+          shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+          kept AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+          exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id)
           SELECT id_a, id_b,
-            ROUND(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
-          FROM inter
-            JOIN sz na ON na.doc_id = id_a
-            JOIN sz nb ON nb.doc_id = id_b
-          WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.4""",
+            ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                  (len(sa.shingles) + len(sb.shingles) -
+                   len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+          FROM cand
+            JOIN shf sa ON sa.doc_id = id_a
+            JOIN shf sb ON sb.doc_id = id_b
+          WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                (len(sa.shingles) + len(sb.shingles) -
+                 len(list_intersect(sa.shingles, sb.shingles))) >= 0.4""",
 
     "q24_dedup_minhash_lsh" ->
       s"""WITH sh AS ($SHINGLES),

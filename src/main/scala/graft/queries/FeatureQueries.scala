@@ -47,8 +47,8 @@ object FeatureQueries {
     }),
 
     "q33_percentile" -> ((s, d) => {
-      Tables.orders(s, d).select(col("o_orderkey"),
-        Vectorizers.percentile100(col("o_totalprice")).as("price_pctile"))
+      Vectorizers.percentile100(Tables.orders(s, d), col("o_orderkey"), col("o_totalprice"))
+        .select(col("id").as("o_orderkey"), col("pctile").as("price_pctile"))
     }),
 
     "q34_string_index" -> ((s, d) => {
@@ -109,10 +109,13 @@ object FeatureQueries {
                 ELSE NULL END AS qty_bucket
          FROM lineitem""",
 
-    "q33_percentile" ->
-      """SELECT o_orderkey,
-           CAST(FLOOR(PERCENT_RANK() OVER (ORDER BY o_totalprice) * 100) AS INT) AS price_pctile
-         FROM orders""",
+    "q33_percentile" -> {
+      val probs = (1 to 99).map(k => k / 100.0).mkString(", ")
+      s"""WITH sp AS (SELECT quantile_cont(o_totalprice, [$probs]) AS ss FROM orders)
+         SELECT o_orderkey,
+           CAST(len(list_filter(ss, s -> o_totalprice >= s)) AS INT) AS price_pctile
+         FROM orders CROSS JOIN sp"""
+    },
 
     "q34_string_index" ->
       """WITH idx AS (

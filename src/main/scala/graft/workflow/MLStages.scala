@@ -134,7 +134,12 @@ object MLTuning {
     else {
       val wantNeg = pos * (1 - targetPositiveFraction) / targetPositiveFraction
       val fracNeg = math.min(1.0, wantNeg / neg)
-      df.stat.sampleBy(labelCol, Map(0.0 -> fracNeg, 1.0 -> 1.0), seed)
+      // sampleBy matches stratum keys by value equality, so the column
+      // must be double-typed to meet the Double keys (an int label would
+      // silently match nothing and return an empty frame)
+      df.withColumn("__bal_l", col(labelCol).cast("double"))
+        .stat.sampleBy("__bal_l", Map(0.0 -> fracNeg, 1.0 -> 1.0), seed)
+        .drop("__bal_l")
     }
   }
 
@@ -145,9 +150,20 @@ object MLTuning {
     val rdd = df.select(col(probCol).cast("double"), col(labelCol).cast("double"))
       .rdd.map(r => (r.getDouble(0), r.getDouble(1)))
     val m = new BinaryClassificationMetrics(rdd)
-    val acc = df.where((col(probCol) > 0.5).cast("int") === col(labelCol).cast("int")).count().toDouble /
-      df.count()
-    val f1 = m.fMeasureByThreshold(0.5).collect().headOption.map(_._2).getOrElse(0.0)
+    // confusion counts at threshold 0.5 in ONE aggregation; F1 =
+    // 2TP/(2TP+FP+FN). (mllib's fMeasureByThreshold(x) takes beta, not
+    // a threshold — it cannot express "F1 at 0.5" directly.)
+    val pred = (col(probCol) > 0.5).cast("int")
+    val lab = col(labelCol).cast("int")
+    val r = df.agg(
+      sum(when(pred === 1 && lab === 1, 1).otherwise(0)).as("tp"),
+      sum(when(pred === 1 && lab === 0, 1).otherwise(0)).as("fp"),
+      sum(when(pred === 0 && lab === 1, 1).otherwise(0)).as("fn"),
+      sum(when(pred === lab, 1).otherwise(0)).as("correct"),
+      count(lit(1)).as("n")).head
+    val (tp, fp, fn) = (r.getLong(0).toDouble, r.getLong(1).toDouble, r.getLong(2).toDouble)
+    val acc = r.getLong(3).toDouble / r.getLong(4)
+    val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
     BinaryMetrics(m.areaUnderROC(), m.areaUnderPR(), acc, f1)
   }
 

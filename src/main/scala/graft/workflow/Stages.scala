@@ -1,6 +1,7 @@
 package graft.workflow
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.workflow.FeatureKind._
 
@@ -63,21 +64,32 @@ object Stages {
       override def outputKindOf(n: String): FeatureKind = IntegralK
     }
 
-  /** String index by (count desc, value asc), 0-based; unseen/null → null. */
-  def stringIndexer(in: Feature, out: String): ColumnEstimator =
-    new ColumnEstimator("stringIndexer", Seq(in)) {
-      def outputNames = Seq(out)
-      def fitExpressions(df: DataFrame): Seq[(String, Column)] = {
-        val ordered = df.where(col(in.name).isNotNull)
-          .groupBy(col(in.name).as("v")).agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("v").asc)
-          .select("v").collect().map(_.get(0))
-        val chain = ordered.zipWithIndex.foldLeft(lit(null).cast("int")) {
-          case (acc, (v, i)) => when(col(in.name) === lit(v), i).otherwise(acc)
+  /** String index by (count desc, value asc), 0-based; unseen/null → null.
+    * Fit yields a small (value, idx) frame that the fitted transformer
+    * broadcast-joins in — never collected to the driver, no
+    * O(cardinality) expression chain, so high-cardinality columns index
+    * without driver OOM or a Catalyst tree thousands deep. The window
+    * runs over the distinct-value count table, not the data. */
+  def stringIndexer(in: Feature, out: String): EstimatorStage =
+    new EstimatorStage { self =>
+      val name = "stringIndexer"
+      val inputs = Seq(in)
+      lazy val outputFeatures = Seq(
+        new Feature(out, IntegralK, in.isResponse, Some(this), inputs))
+      def fit(df: DataFrame): TransformerStage = {
+        val counts = df.where(col(in.name).isNotNull)
+          .groupBy(col(in.name).as("__si_v")).agg(count(lit(1)).as("__si_c"))
+        val fitted = graft.operators.Vectorizers
+          .withRowNumber(counts, Seq(col("__si_c").desc, col("__si_v").asc), "__si_rn")
+          .select(col("__si_v"), (col("__si_rn") - 1).cast("int").as(out))
+        new DataFrameStage("stringIndexer.fitted", Seq(in)) {
+          def outputs = Seq(out -> IntegralK)
+          override lazy val outputFeatures = self.outputFeatures
+          def transform(d: DataFrame): DataFrame =
+            d.join(broadcast(fitted), d.col(in.name) === fitted.col("__si_v"), "left")
+              .drop("__si_v")
         }
-        Seq(out -> chain)
       }
-      override def outputKindOf(n: String): FeatureKind = IntegralK
     }
 
   /** Fixed-split bucketizer (no fit needed). */

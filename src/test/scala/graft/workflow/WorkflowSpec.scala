@@ -54,6 +54,43 @@ class WorkflowSpec extends SparkSpec {
     assert(plan.split("Project").length <= 2, s"expected at most one Project:\n$plan")
   }
 
+  test("binaryMetrics F1/accuracy match hand-computed confusion values") {
+    val s = spark; import s.implicits._
+    // threshold 0.5 on prob: preds = 1,1,0,0,1,0 ; labels = 1,0,1,0,1,1
+    // TP=2 FP=1 FN=2 TN=1 -> acc=3/6, precision=2/3, recall=2/4
+    // F1 = 2*2/(2*2+1+2) = 4/7
+    val scored = Seq(
+      (0.9, 1), (0.8, 0), (0.4, 1), (0.2, 0), (0.7, 1), (0.3, 1)
+    ).toDF("p", "y")
+    val m = MLTuning.binaryMetrics(scored, "p", "y")
+    assert(math.abs(m.f1 - 4.0 / 7.0) < 1e-12)
+    assert(math.abs(m.accuracy - 0.5) < 1e-12)
+  }
+
+  test("balanceBinary works on an integer label column") {
+    val s = spark; import s.implicits._
+    val df0 = ((1 to 90).map(i => (i, 0)) ++ (1 to 10).map(i => (100 + i, 1))).toDF("id", "y")
+    val bal = MLTuning.balanceBinary(df0, "y", targetPositiveFraction = 0.4)
+    val counts = bal.groupBy("y").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(1) == 10) // positives all kept
+    assert(counts(0) > 0 && counts(0) < 90) // negatives down-sampled, not dropped
+  }
+
+  test("stringIndexer stage indexes via broadcast join, unseen -> null") {
+    val s = spark; import s.implicits._
+    val train = Seq((1L, "b"), (2L, "b"), (3L, "a"), (4L, "c"), (5L, "c"), (6L, "c")).toDF("id", "cat")
+    val Seq(_, cat) = Feature.fromSchema(train.schema)
+    val st = Stages.stringIndexer(cat, "cat_idx")
+    val model = new Workflow(st.outputFeatures).fit(train)
+    val out = model.score(train, keep = Seq("id")).orderBy("id").collect()
+    // freq order: c(3)=0, b(2)=1, a(1)=2
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 1, 2, 0, 0, 0))
+    val test2 = Seq((9L, "zz"), (10L, "b")).toDF("id", "cat")
+    val out2 = model.score(test2, keep = Seq("id")).orderBy("id").collect()
+    assert(out2(0).isNullAt(1)) // unseen value
+    assert(out2(1).getInt(1) == 1)
+  }
+
   test("lineage traversal annotates max distance") {
     val x = Feature.raw("x", RealK)
     val s1 = ColumnStage("a", Seq(x), "y", RealK)(_.head)
