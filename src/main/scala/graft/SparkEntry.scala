@@ -21,7 +21,8 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (FeatureQueries.queries, FeatureQueries.oracles),
       (WorkflowQueries.queries, WorkflowQueries.oracles),
-      (QualityQueries.queries, QualityQueries.oracles)
+      (QualityQueries.queries, QualityQueries.oracles),
+      (MapQueries.queries, MapQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Row-level map-feature transforms (reference dsl/RichMapFeature.scala):
+  * key filtering (FilterMap, RichMapFeature.scala:58), value transforms
+  * over map subtypes (EmailToPickListMapTransformer, TimePeriod map
+  * variants, RichMapFeature.scala:730-860). All are pure Column
+  * expressions over Spark's higher-order map functions — codegen'd,
+  * no UDFs. */
+object MapFunctions {
+
+  /** Keep only allow-listed keys (FilterMap allowList). */
+  def filterKeysAllow(m: Column, allow: Seq[String]): Column =
+    map_filter(m, (k, _) => k.isInCollection(allow))
+
+  /** Drop block-listed keys (FilterMap blockList). */
+  def filterKeysBlock(m: Column, block: Seq[String]): Column =
+    map_filter(m, (k, _) => !k.isInCollection(block))
+
+  /** Drop entries with null/empty values (TextMap cleaning convention:
+    * reference stores absent text as missing, not as ""). */
+  def dropEmptyValues(m: Column): Column =
+    map_filter(m, (_, v) => v.isNotNull && length(v) > 0)
+
+  /** Uppercase all values (PickListMap normalization example). */
+  def upperValues(m: Column): Column = transform_values(m, (_, v) => upper(v))
+
+  /** EmailMap → PickListMap of domains (EmailToPickListMapTransformer). */
+  def emailDomains(m: Column): Column =
+    transform_values(m, (_, v) => substring_index(v, "@", -1))
+
+  /** DateMap → IntegralMap of the month-of-year time period
+    * (TimePeriodMapTransformer, MonthOfYear). */
+  def monthOfYearValues(m: Column): Column =
+    transform_values(m, (_, v) => month(v))
+
+  /** Map value by key with null default (Prediction extract analog). */
+  def valueAt(m: Column, key: String): Column = element_at(m, key)
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.aggregators.MapAggregators
+import graft.functions.MapFunctions
+import graft.operators.MapVectorizers
+
+/** Oracle-gated map-typed feature queries (reference Maps.scala
+  * aggregators + RichMapFeature dsl + TextMapPivotVectorizer). The
+  * synthetic tables carry no physical map columns, so each query first
+  * CONSTRUCTS map columns from scalar columns (`map(...)`), exercises
+  * the real map machinery (typed map-monoid Aggregators, higher-order
+  * map functions, key-discovery pivot), and emits scalar/exploded rows
+  * that DuckDB replays from the original columns.
+  */
+object MapQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // UnionSumLongMap: per-order map(returnflag -> quantity) summed
+    "q49_map_union_sum" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          map(col("l_returnflag"), col("l_quantity").cast("long")).as("m"))
+        .groupBy(col("l_orderkey"))
+        .agg(MapAggregators.unionSumLongMap(col("m")).as("agg"))
+        .select(col("l_orderkey"), explode(col("agg")).as(Seq("flag", "qty_sum")))
+    }),
+
+    // UnionMean/Min/MaxMap over the same key space, joined by explode +
+    // element_at — three map monoids in ONE groupBy pass
+    "q50_map_union_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          map(col("l_returnflag"), col("l_quantity")).as("qm"),
+          map(col("l_returnflag"), col("l_extendedprice")).as("pm"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          MapAggregators.unionMeanMap(col("qm")).as("mmean"),
+          MapAggregators.unionMinMap(col("pm")).as("mmin"),
+          MapAggregators.unionMaxMap(col("pm")).as("mmax"))
+        .select(col("l_orderkey"), col("mmin"), col("mmax"),
+          explode(col("mmean")).as(Seq("flag", "mean_q")))
+        .select(col("l_orderkey"), col("flag"),
+          round(col("mean_q"), 6).as("qty_mean"),
+          element_at(col("mmin"), col("flag")).as("price_min"),
+          element_at(col("mmax"), col("flag")).as("price_max"))
+    }),
+
+    // FilterMap allow-list + PickListMap value normalization + DateMap
+    // month period — all row-local higher-order map functions
+    "q51_map_filter_transform" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          map(lit("prio"), col("o_orderpriority"),
+              lit("stat"), col("o_orderstatus")).as("tm"),
+          map(lit("od"), col("o_orderdate")).as("dm"))
+      o.select(col("o_orderkey"),
+        MapFunctions.valueAt(
+          MapFunctions.upperValues(MapFunctions.filterKeysAllow(col("tm"), Seq("prio"))),
+          "prio").as("prio_u"),
+        MapFunctions.valueAt(MapFunctions.filterKeysBlock(col("tm"), Seq("prio")), "stat").as("stat_v"),
+        MapFunctions.valueAt(MapFunctions.monthOfYearValues(col("dm")), "od").as("od_month"))
+    }),
+
+    // UnionSetMap + UnionOrMap per customer
+    "q52_map_union_set_or" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          map(lit("prio"), col("o_orderpriority")).as("sm"),
+          map(lit("big"), col("o_totalprice") > 100000).as("bm"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          MapAggregators.unionSetMap(col("sm")).as("sets"),
+          MapAggregators.unionOrMap(col("bm")).as("ors"))
+        .select(col("o_custkey"),
+          array_join(element_at(col("sets"), "prio"), ",").as("prios"),
+          element_at(col("ors"), "big").as("any_big"))
+    }),
+
+    // ConcatMapByTime: per user, per event-type, event ids concatenated
+    // in event-time order (UnionConcatMap made deterministic)
+    "q53_map_concat_bytime" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+          map(col("event_type"), col("event_id").cast("string")).as("m"))
+        .groupBy(col("user_id"))
+        .agg(MapAggregators.concatMapByTime(col("tsm"), col("m")).as("agg"))
+        .select(col("user_id"), explode(col("agg")).as(Seq("etype", "trail")))
+    }),
+
+    // TextMapPivotVectorizer: keys discovered from the map, top-2 pivot
+    // per key with Other + Null slots
+    "q54_map_pivot" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          map(lit("prio"), col("o_orderpriority"),
+              lit("stat"), col("o_orderstatus")).as("tm"))
+      MapVectorizers.textMapPivot(o, col("o_orderkey"), col("tm"), k = 2)
+        .withColumnRenamed("id", "o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q49_map_union_sum" ->
+      """SELECT l_orderkey, l_returnflag AS flag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+         FROM lineitem GROUP BY 1, 2""",
+
+    "q50_map_union_stats" ->
+      """SELECT l_orderkey, l_returnflag AS flag,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS qty_mean,
+           MIN(l_extendedprice) AS price_min,
+           MAX(l_extendedprice) AS price_max
+         FROM lineitem GROUP BY 1, 2""",
+
+    "q51_map_filter_transform" ->
+      """SELECT o_orderkey, UPPER(o_orderpriority) AS prio_u,
+           o_orderstatus AS stat_v,
+           CAST(MONTH(o_orderdate) AS INT) AS od_month
+         FROM orders""",
+
+    "q52_map_union_set_or" ->
+      """SELECT o_custkey,
+           STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+           BOOL_OR(o_totalprice > 100000) AS any_big
+         FROM orders GROUP BY 1""",
+
+    "q53_map_concat_bytime" ->
+      """SELECT user_id, event_type AS etype,
+           STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY ts, CAST(event_id AS VARCHAR)) AS trail
+         FROM events GROUP BY 1, 2""",
+
+    "q54_map_pivot" ->
+      """WITH kv AS (
+           SELECT 'prio' AS k, o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL
+           UNION ALL
+           SELECT 'stat' AS k, o_orderstatus AS v FROM orders WHERE o_orderstatus IS NOT NULL),
+         ranked AS (
+           SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY count(*) DESC, v ASC) AS r
+           FROM kv GROUP BY k, v),
+         p1 AS (SELECT v FROM ranked WHERE k = 'prio' AND r = 1),
+         p2 AS (SELECT v FROM ranked WHERE k = 'prio' AND r = 2),
+         s1 AS (SELECT v FROM ranked WHERE k = 'stat' AND r = 1),
+         s2 AS (SELECT v FROM ranked WHERE k = 'stat' AND r = 2)
+         SELECT o_orderkey,
+           CASE WHEN o_orderpriority = (SELECT v FROM p1) THEN 1 ELSE 0 END AS prio_1,
+           CASE WHEN o_orderpriority = (SELECT v FROM p2) THEN 1 ELSE 0 END AS prio_2,
+           CASE WHEN o_orderpriority IS NOT NULL
+                 AND o_orderpriority NOT IN ((SELECT v FROM p1), (SELECT v FROM p2))
+                THEN 1 ELSE 0 END AS prio_other,
+           CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS prio_null,
+           CASE WHEN o_orderstatus = (SELECT v FROM s1) THEN 1 ELSE 0 END AS stat_1,
+           CASE WHEN o_orderstatus = (SELECT v FROM s2) THEN 1 ELSE 0 END AS stat_2,
+           CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ((SELECT v FROM s1), (SELECT v FROM s2))
+                THEN 1 ELSE 0 END AS stat_other,
+           CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END AS stat_null
+         FROM orders"""
+  )
+}
