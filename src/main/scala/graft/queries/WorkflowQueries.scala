@@ -37,6 +37,32 @@ object WorkflowQueries {
         .withColumn("omonth_cos", round(col("omonth_cos"), 6))
     }),
 
+    // q36's pipeline, but scored through a ModelIO save + load round
+    // trip (reference OpWorkflowModelWriter/Reader): the fitted model is
+    // serialized to JSON manifest + stage payloads, reloaded, and the
+    // LOADED model produces the output — gated by the same oracle as q36
+    "q55_model_saveload" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val Seq(okey, price, prio, odate) =
+        Seq("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate").map { n =>
+          Feature.raw(n, FeatureKind.fromSpark(orders.schema(n).dataType))
+        }
+      val priceZ = Stages.standardScale(price, "price_z")
+      val prioHot = Stages.oneHotTopK(prio, "prio", k = 3, minSupport = 10)
+      val prioIdx = Stages.stringIndexer(prio, "prio_idx")
+      val monthCirc = Stages.monthUnitCircle(odate, "omonth")
+      val results = priceZ.outputFeatures ++ prioHot.outputFeatures ++
+        prioIdx.outputFeatures ++ monthCirc.outputFeatures
+      val model = new Workflow(results).fit(orders)
+      val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+      ModelIO.save(model, dir, s)
+      val loaded = ModelIO.load(s, dir)
+      val out = loaded.score(orders, keep = Seq("o_orderkey"))
+      out.withColumn("price_z", round(col("price_z"), 6))
+        .withColumn("omonth_sin", round(col("omonth_sin"), 6))
+        .withColumn("omonth_cos", round(col("omonth_cos"), 6))
+    }),
+
     // LR trained on embeddings to predict label<5, scored through the
     // DAG; deterministic given the seed-fixed data but not
     // SQL-expressible → rows-only check
@@ -65,8 +91,7 @@ object WorkflowQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "q36_workflow_pipeline" ->
+  private val pipelineSql =
       """WITH stats AS (
            SELECT AVG(o_totalprice) AS mu, STDDEV_SAMP(o_totalprice) AS sigma FROM orders),
          fitted AS (
@@ -91,5 +116,11 @@ object WorkflowQueries {
          FROM orders CROSS JOIN stats
            LEFT JOIN fitted ON o_orderpriority = fitted.value
            LEFT JOIN idx ON o_orderpriority = idx.value"""
+
+  val oracles: Map[String, String] = Map(
+    "q36_workflow_pipeline" -> pipelineSql,
+    // identical pipeline semantics — the save/load round trip must be
+    // invisible to the oracle
+    "q55_model_saveload" -> pipelineSql
   )
 }

@@ -38,20 +38,9 @@ object MLStages {
           .setMaxIter(maxIter).setRegParam(regParam)
           .setFeaturesCol("__features").setLabelCol("__label")
           .fit(prepared)
-        new DataFrameStage("logisticRegression.fitted", inputs) {
-          def outputs = Seq(s"${outPrefix}_prediction" -> RealK, s"${outPrefix}_prob_1" -> RealK)
-          override lazy val outputFeatures = self.outputFeatures
-          def transform(df: DataFrame): DataFrame = {
-            val scored = model
-              .setFeaturesCol("__f").setPredictionCol("__pred")
-              .setProbabilityCol("__prob").setRawPredictionCol("__raw")
-              .transform(df.withColumn("__f", toVec(features.name)))
-            scored
-              .withColumn(s"${outPrefix}_prediction", col("__pred"))
-              .withColumn(s"${outPrefix}_prob_1", vector_to_array(col("__prob")).getItem(1))
-              .drop("__f", "__pred", "__prob", "__raw")
-          }
-        }
+        new FittedPredictor("logisticRegression", model, features.name, outPrefix,
+          inputs, Seq(s"${outPrefix}_prediction" -> RealK, s"${outPrefix}_prob_1" -> RealK),
+          Some(self.outputFeatures))
       }
     }
 
@@ -72,16 +61,8 @@ object MLStages {
           .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
           .setFeaturesCol("__features").setLabelCol("__label")
           .fit(prepared)
-        new DataFrameStage("randomForest.fitted", inputs) {
-          def outputs = Seq(s"${outPrefix}_prediction" -> RealK)
-          override lazy val outputFeatures = self.outputFeatures
-          def transform(df: DataFrame): DataFrame = {
-            model.setFeaturesCol("__f").setPredictionCol(s"${outPrefix}_prediction")
-              .setProbabilityCol("__prob").setRawPredictionCol("__raw")
-              .transform(df.withColumn("__f", toVec(features.name)))
-              .drop("__f", "__prob", "__raw")
-          }
-        }
+        new FittedPredictor("randomForest", model, features.name, outPrefix,
+          inputs, Seq(s"${outPrefix}_prediction" -> RealK), Some(self.outputFeatures))
       }
     }
 
@@ -101,16 +82,52 @@ object MLStages {
           .setMaxIter(maxIter).setRegParam(regParam)
           .setFeaturesCol("__features").setLabelCol("__label")
           .fit(prepared)
-        new DataFrameStage("linearRegression.fitted", inputs) {
-          def outputs = Seq(s"${outPrefix}_prediction" -> RealK)
-          override lazy val outputFeatures = self.outputFeatures
-          def transform(df: DataFrame): DataFrame =
-            model.setFeaturesCol("__f").setPredictionCol(s"${outPrefix}_prediction")
-              .transform(df.withColumn("__f", toVec(features.name)))
-              .drop("__f")
-        }
+        new FittedPredictor("linearRegression", model, features.name, outPrefix,
+          inputs, Seq(s"${outPrefix}_prediction" -> RealK), Some(self.outputFeatures))
       }
     }
+}
+
+/** Fitted spark.ml predictor as a workflow stage. Named class so
+  * [[ModelIO]] can persist the wrapped MLWritable model and rebuild the
+  * stage on load (reference OpPredictionModel + SparkModelConverter).
+  * Probabilistic classifiers additionally emit `<prefix>_prob_1` when it
+  * is in `outsSpec`. */
+class FittedPredictor(
+    val mlKind: String,
+    val model: org.apache.spark.ml.Transformer,
+    val featuresName: String,
+    val outPrefix: String,
+    ins: Seq[Feature],
+    outsSpec: Seq[(String, FeatureKind)],
+    sharedOutputs: Option[Seq[Feature]] = None)
+  extends DataFrameStage(s"$mlKind.fitted", ins) {
+
+  def outputs: Seq[(String, FeatureKind)] = outsSpec
+  override lazy val outputFeatures: Seq[Feature] =
+    sharedOutputs.getOrElse(outsSpec.map { case (n, k) =>
+      new Feature(n, k, inputs.exists(_.isResponse), Some(this), inputs)
+    })
+  private def wantsProb = outsSpec.exists(_._1 == s"${outPrefix}_prob_1")
+
+  def transform(df: DataFrame): DataFrame = {
+    val base = df.withColumn("__f", array_to_vector(col(featuresName)))
+    model match {
+      case m: org.apache.spark.ml.classification.ProbabilisticClassificationModel[_, _] @unchecked =>
+        val scored = m.setFeaturesCol("__f").setPredictionCol("__pred")
+          .setProbabilityCol("__prob").setRawPredictionCol("__raw")
+          .transform(base)
+          .withColumn(s"${outPrefix}_prediction", col("__pred"))
+        val withProb =
+          if (wantsProb)
+            scored.withColumn(s"${outPrefix}_prob_1", vector_to_array(col("__prob")).getItem(1))
+          else scored
+        withProb.drop("__f", "__pred", "__prob", "__raw")
+      case m: org.apache.spark.ml.PredictionModel[_, _] @unchecked =>
+        m.setFeaturesCol("__f").setPredictionCol(s"${outPrefix}_prediction")
+          .transform(base).drop("__f")
+    }
+  }
 }
 
 /** Train/validation utilities (reference DataSplitter/DataBalancer,

@@ -82,13 +82,7 @@ object Stages {
         val fitted = graft.operators.Vectorizers
           .withRowNumber(counts, Seq(col("__si_c").desc, col("__si_v").asc), "__si_rn")
           .select(col("__si_v"), (col("__si_rn") - 1).cast("int").as(out))
-        new DataFrameStage("stringIndexer.fitted", Seq(in)) {
-          def outputs = Seq(out -> IntegralK)
-          override lazy val outputFeatures = self.outputFeatures
-          def transform(d: DataFrame): DataFrame =
-            d.join(broadcast(fitted), d.col(in.name) === fitted.col("__si_v"), "left")
-              .drop("__si_v")
-        }
+        new FittedStringIndexer(fitted, in.name, out, Seq(in), Some(self.outputFeatures))
       }
     }
 
@@ -115,4 +109,21 @@ object Stages {
         Seq(out -> array(ins.map(i => col(i.name).cast("double")): _*))
       override protected def outputKind(n: String): FeatureKind = VectorK
     }
+}
+
+/** Fitted string indexer: broadcast-joins the small (value, idx) frame.
+  * A named class (not an anonymous stage) so [[ModelIO]] can persist the
+  * fitted frame and rebuild the stage on load. */
+class FittedStringIndexer(
+    val fitted: DataFrame, val inName: String, val out: String,
+    ins: Seq[Feature], sharedOutputs: Option[Seq[Feature]] = None)
+  extends DataFrameStage("stringIndexer.fitted", ins) {
+  def outputs = Seq(out -> IntegralK)
+  override lazy val outputFeatures: Seq[Feature] =
+    sharedOutputs.getOrElse(outputs.map { case (n, k) =>
+      new Feature(n, k, inputs.exists(_.isResponse), Some(this), inputs)
+    })
+  def transform(d: DataFrame): DataFrame =
+    d.join(broadcast(fitted), d.col(inName) === fitted.col("__si_v"), "left")
+      .drop("__si_v")
 }

@@ -91,6 +91,35 @@ class WorkflowSpec extends SparkSpec {
     assert(out2(1).getInt(1) == 1)
   }
 
+  test("ModelIO round-trip: loaded model (column + indexer + LR stages) scores identically") {
+    val s = spark; import s.implicits._
+    val train = (1 to 60).map { i =>
+      val cat = Seq("a", "b", "c")(i % 3)
+      (i.toLong, Array(i % 7 * 1.0, i % 5 * 1.0), cat, if (i % 7 >= 3) 1.0 else 0.0)
+    }.toDF("id", "emb", "cat", "y")
+    val Seq(_, fEmb, fCat, fY) = Feature.fromSchema(train.schema, response = Some("y"))
+    val catIdx = Stages.stringIndexer(fCat, "cat_idx")
+    val lr = MLStages.logisticRegression(fEmb, fY, "lr", maxIter = 20)
+    val scaled = Stages.standardScale(
+      Feature.raw("id", FeatureKind.RealK), "id_z") // column estimator too
+    val model = new Workflow(catIdx.outputFeatures ++ lr.outputFeatures ++ scaled.outputFeatures)
+      .fit(train)
+    val orig = model.score(train, keep = Seq("id")).orderBy("id").collect()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_spec").toString
+    ModelIO.save(model, dir, s)
+    val loaded = ModelIO.load(s, dir)
+    val replay = loaded.score(train, keep = Seq("id")).orderBy("id").collect()
+    assert(orig.map(_.toSeq).toSeq == replay.map(_.toSeq).toSeq)
+    // saving an anonymous DataFrameStage must fail loudly
+    val anon = new DataFrameStage("opaque", Seq(fCat)) {
+      def outputs = Seq("z" -> FeatureKind.RealK)
+      def transform(d: org.apache.spark.sql.DataFrame) = d
+    }
+    val badModel = new WorkflowModel(Seq(Seq(anon)), anon.outputFeatures)
+    intercept[UnsupportedOperationException] { ModelIO.save(badModel, dir + "2", s) }
+  }
+
   test("lineage traversal annotates max distance") {
     val x = Feature.raw("x", RealK)
     val s1 = ColumnStage("a", Seq(x), "y", RealK)(_.head)
