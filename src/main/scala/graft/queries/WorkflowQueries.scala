@@ -63,8 +63,9 @@ object WorkflowQueries {
         .withColumn("omonth_cos", round(col("omonth_cos"), 6))
     }),
 
-    // LR trained on embeddings to predict label<5, scored through the
-    // DAG; deterministic given the seed-fixed data but not
+    // ModelSelector (LR grid + RF grid, train/validation split) trained
+    // on embeddings to predict label<5, best model refit + scored through
+    // the DAG; deterministic given the fixed seed but not
     // SQL-expressible → rows-only check
     "q37_ml_train_score" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -72,17 +73,19 @@ object WorkflowQueries {
         .withColumn("y", (col("label") < 5).cast("double"))
       val fVec = Feature.raw("emb_d", FeatureKind.VectorK)
       val fLab = Feature.raw("y", FeatureKind.RealK, isResponse = true)
-      val lr = MLStages.logisticRegression(fVec, fLab, "lr", maxIter = 30)
-      val model = new Workflow(lr.outputFeatures).fit(emb)
+      val sel = ModelSelector.binary(fVec, fLab, "sel",
+        ModelSelector.binaryDefaults(fVec, fLab, "sel"),
+        ModelSelector.TrainValidationSplit(0.75))
+      val model = new Workflow(sel.outputFeatures).fit(emb)
       model.score(emb, keep = Seq("vec_id", "y"))
         .select(col("vec_id"), col("y"),
-          col("lr_prediction"), round(col("lr_prob_1"), 4).as("lr_prob_1"))
+          col("sel_prediction"), round(col("sel_prob_1"), 4).as("sel_prob_1"))
     }),
 
     // evaluator aggregations over the scored frame (rows-only)
     "q38_ml_evaluate" -> ((s, d) => {
       val scored = queries("q37_ml_train_score")(s, d)
-      val m = MLTuning.binaryMetrics(scored, "lr_prob_1", "y")
+      val m = MLTuning.binaryMetrics(scored, "sel_prob_1", "y")
       val spark = s
       import spark.implicits._
       Seq((m.auroc, m.aupr, m.accuracy)).toDF("auroc", "aupr", "accuracy")

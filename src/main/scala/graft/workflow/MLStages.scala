@@ -51,7 +51,8 @@ object MLStages {
       val name = "randomForest"
       val inputs = Seq(features, label)
       lazy val outputFeatures = Seq(
-        new Feature(s"${outPrefix}_prediction", RealK, isResponse = false, Some(this), inputs))
+        new Feature(s"${outPrefix}_prediction", RealK, isResponse = false, Some(this), inputs),
+        new Feature(s"${outPrefix}_prob_1", RealK, isResponse = false, Some(this), inputs))
       private val self = this
 
       def fit(df: DataFrame): TransformerStage = {
@@ -62,7 +63,8 @@ object MLStages {
           .setFeaturesCol("__features").setLabelCol("__label")
           .fit(prepared)
         new FittedPredictor("randomForest", model, features.name, outPrefix,
-          inputs, Seq(s"${outPrefix}_prediction" -> RealK), Some(self.outputFeatures))
+          inputs, Seq(s"${outPrefix}_prediction" -> RealK, s"${outPrefix}_prob_1" -> RealK),
+          Some(self.outputFeatures))
       }
     }
 

@@ -120,6 +120,44 @@ class WorkflowSpec extends SparkSpec {
     intercept[UnsupportedOperationException] { ModelIO.save(badModel, dir + "2", s) }
   }
 
+  test("ModelSelector picks the best candidate deterministically and refits") {
+    val s = spark; import s.implicits._
+    // y is a noisy-free linear threshold of the features: LR should beat
+    // a depth-1 single-tree forest on held-out auROC
+    val train = (1 to 200).map { i =>
+      val a = (i % 13).toDouble; val b = (i % 7).toDouble
+      (i.toLong, Array(a, b), if (2 * a + 3 * b > 22) 1.0 else 0.0)
+    }.toDF("id", "emb", "y")
+    val Seq(_, fEmb, fY) = Feature.fromSchema(train.schema, response = Some("y"))
+    val cands = Seq(
+      "lr" -> MLStages.logisticRegression(fEmb, fY, "sel", maxIter = 30),
+      "rf_stump" -> MLStages.randomForest(fEmb, fY, "sel", numTrees = 1, maxDepth = 1))
+    val sel = ModelSelector.binary(fEmb, fY, "sel", cands,
+      ModelSelector.KFold(k = 3, seed = 7L))
+    val model = new Workflow(sel.outputFeatures).fit(train)
+    assert(sel.bestName == "lr")
+    assert(sel.results.length == 2)
+    val lrAuc = sel.results.find(_.name == "lr").get.metric
+    val rfAuc = sel.results.find(_.name == "rf_stump").get.metric
+    assert(lrAuc > rfAuc)
+    val scored = model.score(train, keep = Seq("id", "y"))
+    assert(scored.columns.toSet == Set("id", "y", "sel_prediction", "sel_prob_1"))
+    // winner was refit on the full frame: training accuracy near-perfect
+    val acc = MLTuning.binaryMetrics(scored, "sel_prob_1", "y").accuracy
+    assert(acc > 0.95)
+  }
+
+  test("cutMulticlass keeps only frequent labels") {
+    val s = spark; import s.implicits._
+    val df0 = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(15)("c") ++ Seq.fill(5)("d"))
+      .zipWithIndex.map(_.swap).toDF("id", "lab")
+    val cut2 = ModelSelector.cutMulticlass(df0, "lab", maxClasses = 2, minLabelFraction = 0.0)
+    assert(cut2.select("lab").distinct().as[String].collect().toSet == Set("a", "b"))
+    val cutFrac = ModelSelector.cutMulticlass(df0, "lab", maxClasses = 10, minLabelFraction = 0.10)
+    assert(cutFrac.select("lab").distinct().as[String].collect().toSet == Set("a", "b", "c"))
+    assert(cutFrac.count() == 95)
+  }
+
   test("lineage traversal annotates max distance") {
     val x = Feature.raw("x", RealK)
     val s1 = ColumnStage("a", Seq(x), "y", RealK)(_.head)
