@@ -22,7 +22,8 @@ object SparkEntry {
       (FeatureQueries.queries, FeatureQueries.oracles),
       (WorkflowQueries.queries, WorkflowQueries.oracles),
       (QualityQueries.queries, QualityQueries.oracles),
-      (MapQueries.queries, MapQueries.oracles)
+      (MapQueries.queries, MapQueries.oracles),
+      (TextVecQueries.queries, TextVecQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis.{hash60, tokens}
+
+/** Hashing + smart text vectorization (reference
+  * OPCollectionHashingVectorizer.scala:59-145, OpHashingTF.scala:50,
+  * RichVectorFeature.scala:57 (IDF), SmartTextVectorizer.scala:62-135).
+  *
+  * The hash family is md5-derived (hash60 % dims) instead of MurMur3 so
+  * the differential oracle replays buckets bit-identically; term
+  * frequencies are produced SPARSE — (id, bucket, cnt) rows — which is
+  * the scale-correct form (explode + one groupBy shuffle keyed on
+  * (id, bucket); no per-row O(dims) work, no dense arrays until a model
+  * actually needs them). `tfVector` assembles the dense form on demand.
+  *
+  * SmartText: fit computes per-column TextStats (distinct count, length
+  * moments) in ONE aggregation pass, then dispatches each column to
+  * pivot (low cardinality), hash (free text), or ignore — the decision
+  * table the reference's SmartTextVectorizer applies before vectorizing.
+  */
+object TextVectorizers {
+
+  /** Sparse hashed term frequency: one row per (id, bucket) with the
+    * term count; bucket = hash60(token) % dims. */
+  def hashedTf(df: DataFrame, id: Column, text: Column, dims: Int): DataFrame =
+    df.select(id.as("id"), explode(tokens(text)).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col("id"), pmod(hash60(col("tok")), lit(dims)).cast("int").as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** IDF table over a sparse tf frame: idf(bucket) = ln((m+1)/(df+1)),
+    * the spark.ml IDF formula (m = total docs). */
+  def idfTable(tf: DataFrame, numDocs: Long): DataFrame =
+    tf.groupBy(col("bucket")).agg(countDistinct(col("id")).as("df_b"))
+      .select(col("bucket"),
+        log(lit(numDocs + 1.0) / (col("df_b") + 1.0)).as("idf"))
+
+  /** Sparse tf-idf: tf joined with the broadcast idf table. */
+  def hashedTfIdf(df: DataFrame, id: Column, text: Column, dims: Int): DataFrame = {
+    val tf = hashedTf(df, id, text, dims).persist()
+    val idf = idfTable(tf, df.count())
+    tf.join(broadcast(idf), "bucket")
+      .select(col("id"), col("bucket"), (col("cnt") * col("idf")).as("tfidf"))
+  }
+
+  /** Dense array<double> tf vector per id (assembled from the sparse
+    * form — only materialize when a model needs the dense shape). */
+  def tfVector(tf: DataFrame, dims: Int): DataFrame =
+    tf.groupBy(col("id"))
+      .agg(map_from_arrays(collect_list(col("bucket")), collect_list(col("cnt"))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          b => coalesce(element_at(col("m"), b), lit(0L)).cast("double")).as("tf"))
+
+  /** Per-column TextStats + vectorization decision in one aggregation
+    * pass: pivot when distinct count <= maxCardinality, hash when the
+    * column looks like free text (length variance > 0), ignore
+    * otherwise. Exact countDistinct keeps the oracle replayable; swap in
+    * MonoidAggregators.hllDistinct for sketch-guarded fits at extreme
+    * scale (reference uses HLL the same way, OpOneHotVectorizer.scala:260). */
+  def smartDecide(df: DataFrame, cols: Seq[String], maxCardinality: Long): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"nd_$c"),
+      avg(length(col(c))).as(s"al_$c"),
+      var_samp(length(col(c)).cast("double")).as(s"lv_$c")))
+    val perCol = cols.map(c => struct(lit(c).as("col_name"),
+      col(s"nd_$c").as("n_distinct"), col(s"al_$c").as("avg_len"), col(s"lv_$c").as("len_var")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.col_name"), col("s.n_distinct"),
+        round(col("s.avg_len"), 6).as("avg_len"),
+        round(col("s.len_var"), 6).as("len_var"),
+        when(col("s.n_distinct") <= maxCardinality, "pivot")
+          .when(col("s.len_var") > 0, "hash")
+          .otherwise("ignore").as("decision"))
+  }
+
+  /** SmartTextVectorizer end-to-end: decide per column, then pivot
+    * (one-hot top-K) or hash (dense tf vector) accordingly; ignored
+    * columns contribute nothing. Returns (id, <col>_slot_* ... ,
+    * <col>_tf ...) wide frame. */
+  def smartTextVectorize(df: DataFrame, id: Column, cols: Seq[String],
+                         maxCardinality: Long, topK: Int, dims: Int): DataFrame = {
+    val decisions = smartDecide(df, cols, maxCardinality)
+      .select(col("col_name"), col("decision")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cols.foldLeft(df.select(id.as("id"))) { (acc, c) =>
+      decisions(c) match {
+        case "pivot" =>
+          val hot = Vectorizers.oneHotTopK(df, id, col(c), topK, minSupport = 1)
+            .select(col("id") +: (1 to topK).map(i => col(s"slot_$i").as(s"${c}_$i")) :+
+              col("slot_other").as(s"${c}_other") :+ col("slot_null").as(s"${c}_null"): _*)
+          acc.join(hot, "id")
+        case "hash" =>
+          val tf = tfVector(hashedTf(df, id, col(c), dims), dims)
+            .withColumnRenamed("tf", s"${c}_tf")
+          acc.join(tf, Seq("id"), "left")
+        case _ => acc
+      }
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.TextVectorizers
+
+/** Oracle-gated hashing / smart-text vectorization queries over
+  * `documents` (reference OPCollectionHashingVectorizer, OpHashingTF +
+  * IDF, SmartTextVectorizer TextStats dispatch). The md5-derived hash
+  * family replays bit-identically in DuckDB.
+  */
+object TextVecQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DIMS = 64
+
+  val queries: Map[String, Q] = Map(
+    "q56_text_hashed_tf" -> ((s, d) => {
+      TextVectorizers.hashedTf(Tables.documents(s, d), col("doc_id"), col("text"), DIMS)
+    }),
+
+    "q57_text_tfidf" -> ((s, d) => {
+      TextVectorizers.hashedTfIdf(Tables.documents(s, d), col("doc_id"), col("text"), DIMS)
+        .select(col("id"), col("bucket"), round(col("tfidf"), 6).as("tfidf"))
+    }),
+
+    "q58_smart_text_decide" -> ((s, d) => {
+      TextVectorizers.smartDecide(Tables.documents(s, d),
+        Seq("lang", "source", "text"), maxCardinality = 50)
+    })
+  )
+
+  private val H60 = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+  private val TF =
+    s"""SELECT doc_id AS id,
+          CAST(${H60("tok")} % $DIMS AS INT) AS bucket, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              FROM documents)
+        WHERE len(tok) > 0 GROUP BY 1, 2"""
+
+  val oracles: Map[String, String] = Map(
+    "q56_text_hashed_tf" -> TF,
+
+    "q57_text_tfidf" ->
+      s"""WITH tf AS ($TF),
+          dfb AS (SELECT bucket, count(DISTINCT id) AS df_b FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS m FROM documents)
+          SELECT id, bucket, ROUND(cnt * ln((m + 1.0) / (df_b + 1.0)), 6) AS tfidf
+          FROM tf JOIN dfb USING (bucket) CROSS JOIN n""",
+
+    "q58_smart_text_decide" ->
+      """WITH s AS (
+           SELECT 'lang' AS col_name, count(DISTINCT lang) AS n_distinct,
+             AVG(CAST(len(lang) AS DOUBLE)) AS avg_len,
+             VAR_SAMP(CAST(len(lang) AS DOUBLE)) AS len_var
+           FROM documents
+           UNION ALL
+           SELECT 'source', count(DISTINCT source),
+             AVG(CAST(len(source) AS DOUBLE)), VAR_SAMP(CAST(len(source) AS DOUBLE))
+           FROM documents
+           UNION ALL
+           SELECT 'text', count(DISTINCT text),
+             AVG(CAST(len(text) AS DOUBLE)), VAR_SAMP(CAST(len(text) AS DOUBLE))
+           FROM documents)
+         SELECT col_name, n_distinct,
+           ROUND(avg_len, 6) AS avg_len, ROUND(len_var, 6) AS len_var,
+           CASE WHEN n_distinct <= 50 THEN 'pivot'
+                WHEN len_var > 0 THEN 'hash'
+                ELSE 'ignore' END AS decision
+         FROM s"""
+  )
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextVectorizersSpec extends SparkSpec {
+
+  lazy val docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha alpha delta", "en"),
+      (3L, "omega beta", "fr"),
+      (4L, "zeta eta theta iota", "de")
+    ).toDF("id", "text", "lang")
+  }
+
+  test("hashedTf counts tokens per md5 bucket; tfVector densifies") {
+    val s = spark; import s.implicits._
+    val tf = TextVectorizers.hashedTf(docs, col("id"), col("text"), dims = 8)
+    val total = tf.agg(sum("cnt")).head.getLong(0)
+    assert(total == 12) // every token lands in exactly one bucket
+    // doc 2 has "alpha" twice -> some bucket with cnt 2
+    assert(tf.where(col("id") === 2 && col("cnt") === 2).count() == 1)
+    val dense = TextVectorizers.tfVector(tf, dims = 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(dense(2L).sum == 3.0 && dense(2L).length == 8)
+  }
+
+  test("tfidf downweights ubiquitous tokens") {
+    val s = spark; import s.implicits._
+    val out = TextVectorizers.hashedTfIdf(docs, col("id"), col("text"), dims = 64)
+    assert(out.count() > 0)
+    assert(out.select(min("tfidf")).head.getDouble(0) > 0)
+    // with dims=64 and 9 distinct tokens collisions are unlikely, so
+    // idf spread shows: a 2-doc token's tfidf < a 1-doc token's tfidf
+    val m = out.where(col("tfidf") > 0).agg(max("tfidf"), min("tfidf")).head
+    assert(m.getDouble(0) > m.getDouble(1))
+  }
+
+  test("smartTextVectorize dispatches pivot vs hash by TextStats") {
+    val s = spark; import s.implicits._
+    val decisions = TextVectorizers.smartDecide(docs, Seq("text", "lang"), maxCardinality = 3)
+      .select("col_name", "decision").as[(String, String)].collect().toMap
+    assert(decisions("lang") == "pivot") // 3 distinct <= 3
+    assert(decisions("text") == "hash") // 4 distinct, length variance > 0
+    val wide = TextVectorizers.smartTextVectorize(docs, col("id"), Seq("text", "lang"),
+      maxCardinality = 3, topK = 2, dims = 8)
+    assert(wide.columns.contains("lang_1") && wide.columns.contains("lang_null"))
+    assert(wide.columns.contains("text_tf"))
+    assert(wide.count() == 4)
+  }
+}
