@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis.hash60
+
+/** Record-level model explanation (reference insights/
+  * RecordInsightsLOCO.scala:100-117): leave-one-covariate-out score
+  * deltas over vector slots, top-K per record by |delta| with a
+  * deterministic slot tiebreak.
+  *
+  * For a linear scorer (logistic margin) LOCO is analytic —
+  * delta_i = sigmoid(m) - sigmoid(m - w_i*x_i) — so the whole insight
+  * is a row-local Column expression: no per-slot re-scoring pass, no
+  * shuffle, O(dims) work per row. For tree models fall back to actual
+  * re-scoring (not implemented — the reference also special-cases by
+  * model family).
+  */
+object Insights {
+
+  private def sigmoid(x: Column): Column = lit(1.0) / (lit(1.0) + exp(-x))
+
+  /** Deterministic md5-derived weight vector in [-1, 1), same family as
+    * the SRP hyperplanes — lets the differential oracle replay LOCO
+    * without training a model. */
+  def md5Weights(emb: Column, salt: String): Column =
+    transform(sequence(lit(0), size(emb) - 1),
+      i => hash60(concat_ws(":", lit(salt), i)).cast("double") / 1.152921504606846976e18 * 2.0 - 1.0)
+
+  /** LOCO top-K for a linear-logistic scorer given a per-row weights
+    * column (literal weights from a trained LR, or [[md5Weights]]).
+    * Output: (id, dim, loco, rank) — k rows per record, ranked by
+    * |loco| desc with dim-asc tiebreak. */
+  def locoLinearTopK(df: DataFrame, id: Column, emb: Column, weights: Column,
+                     intercept: Double, k: Int): DataFrame = {
+    val e = df.select(id.as("id"),
+        zip_with(emb, weights, (x, w) => x * w).as("contribs"))
+      .withColumn("margin",
+        aggregate(col("contribs"), lit(intercept), (acc, x) => acc + x))
+    e.select(col("id"), col("margin"),
+        posexplode(col("contribs")).as(Seq("dim", "c")))
+      .withColumn("loco", sigmoid(col("margin")) - sigmoid(col("margin") - col("c")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(abs(col("loco")).desc, col("dim").asc)))
+      .where(col("rank") <= k)
+      .select(col("id"), col("dim"), round(col("loco"), 6).as("loco"), col("rank"))
+  }
+
+  /** LOCO against a trained spark.ml LogisticRegressionModel: its
+    * coefficients fold in as a literal array (broadcast-safe). */
+  def locoForLR(df: DataFrame, id: Column, emb: Column,
+                model: org.apache.spark.ml.classification.LogisticRegressionModel,
+                k: Int): DataFrame =
+    locoLinearTopK(df, id, emb, lit(model.coefficients.toArray), model.intercept, k)
+}

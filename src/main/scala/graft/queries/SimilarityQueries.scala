@@ -30,6 +30,17 @@ object SimilarityQueries {
     "q28_sim_srp_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
+    }),
+
+    // RecordInsightsLOCO over a linear-logistic scorer with md5-derived
+    // weights (deterministic, so the oracle replays the exact insight)
+    "q60_loco_insights" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+      graft.operators.Insights.locoLinearTopK(
+        e, col("vec_id"), col("emb"),
+        graft.operators.Insights.md5Weights(col("emb"), "loco"),
+        intercept = 0.0, k = 3)
     })
   )
 
@@ -91,6 +102,27 @@ object SimilarityQueries {
                                       ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
-          FROM ranked WHERE rank <= $K"""
+          FROM ranked WHERE rank <= $K""",
+
+    "q60_loco_insights" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          c AS (SELECT vec_id,
+                  list_transform(range(0, len(emb)), i ->
+                    emb[CAST(i + 1 AS INT)] *
+                    (${H60("'loco:' || CAST(i AS VARCHAR)")} / 1152921504606846976.0 * 2.0 - 1.0)) AS contribs
+                FROM e),
+          m AS (SELECT vec_id, contribs, list_sum(contribs) AS margin FROM c),
+          ex AS (SELECT vec_id AS id, margin, CAST(i AS INT) AS dim,
+                   contribs[CAST(i + 1 AS INT)] AS cv
+                 FROM m CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t),
+          loco AS (SELECT id, dim,
+                     1.0/(1.0 + exp(-margin)) - 1.0/(1.0 + exp(-(margin - cv))) AS loco
+                   FROM ex),
+          ranked AS (SELECT id, dim, loco,
+                       ROW_NUMBER() OVER (PARTITION BY id ORDER BY abs(loco) DESC, dim ASC) AS rank
+                     FROM loco)
+          SELECT id, dim, ROUND(loco, 6) AS loco, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= 3"""
   )
 }

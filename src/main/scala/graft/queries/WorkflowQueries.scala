@@ -63,6 +63,22 @@ object WorkflowQueries {
         .withColumn("omonth_cos", round(col("omonth_cos"), 6))
     }),
 
+    // Transmogrifier auto-dispatch: date + text + real raw features each
+    // get their kind-default vectorizer, assembled into ONE vector
+    // feature; output = posexploded (key, slot, value) so the oracle
+    // replays the full slot layout
+    "q59_transmogrify" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val fs = Seq("o_orderdate", "o_orderpriority", "o_totalprice").map { n =>
+        Feature.raw(n, FeatureKind.fromSpark(orders.schema(n).dataType))
+      }
+      val plan = Transmogrifier.transmogrify(fs, "features", topK = 3, minSupport = 1)
+      val model = new Workflow(plan.resultFeatures).fit(orders)
+      model.score(orders, keep = Seq("o_orderkey"))
+        .select(col("o_orderkey"),
+          posexplode(transform(col("features"), v => round(v, 6))).as(Seq("slot", "value")))
+    }),
+
     // ModelSelector (LR grid + RF grid, train/validation split) trained
     // on embeddings to predict label<5, best model refit + scored through
     // the DAG; deterministic given the fixed seed but not
@@ -121,6 +137,26 @@ object WorkflowQueries {
            LEFT JOIN idx ON o_orderpriority = idx.value"""
 
   val oracles: Map[String, String] = Map(
+    "q59_transmogrify" ->
+      """WITH fitted AS (
+           SELECT value, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rank
+           FROM (SELECT o_orderpriority AS value, count(*) AS cnt FROM orders
+                 WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+           QUALIFY rank <= 3),
+         wide AS (
+           SELECT o_orderkey, [
+             ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0,
+             ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0,
+             CASE WHEN rank = 1 THEN 1 ELSE 0 END,
+             CASE WHEN rank = 2 THEN 1 ELSE 0 END,
+             CASE WHEN rank = 3 THEN 1 ELSE 0 END,
+             CASE WHEN o_orderpriority IS NOT NULL AND rank IS NULL THEN 1 ELSE 0 END,
+             CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END,
+             ROUND(o_totalprice, 6),
+             0] AS l
+           FROM orders LEFT JOIN fitted ON o_orderpriority = fitted.value)
+         SELECT o_orderkey, CAST(x.i AS INT) AS slot, l[CAST(x.i + 1 AS INT)] AS value
+         FROM wide CROSS JOIN (SELECT unnest(range(0, 9)) AS i) x""",
     "q36_workflow_pipeline" -> pipelineSql,
     // identical pipeline semantics — the save/load round trip must be
     // invisible to the oracle

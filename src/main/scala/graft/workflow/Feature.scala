@@ -31,7 +31,7 @@ object FeatureKind {
       case LongType | IntegerType | ShortType | ByteType => IntegralK
       case DoubleType | FloatType => RealK
       case StringType => TextK
-      case DateType | TimestampType => DateK
+      case DateType | TimestampType | TimestampNTZType => DateK
       case ArrayType(StringType, _) => TextListK
       case ArrayType(DoubleType | FloatType, _) => RealListK
       case MapType(StringType, StringType, _) => TextMapK

@@ -68,6 +68,121 @@ object MLStages {
       }
     }
 
+  /** Generic spark.ml Predictor wrapper (reference OpPredictorWrapper,
+    * sparkwrappers/specific/OpPredictorWrapper.scala:71-92): any
+    * Predictor becomes a workflow estimator stage; probabilistic
+    * classifiers also surface `<prefix>_prob_1`. */
+  def wrapPredictor(mlKind: String,
+                    est: org.apache.spark.ml.Predictor[org.apache.spark.ml.linalg.Vector, _, _],
+                    features: Feature, label: Feature, outPrefix: String,
+                    withProb: Boolean): EstimatorStage =
+    new EstimatorStage { self =>
+      val name = mlKind
+      val inputs = Seq(features, label)
+      private val outsSpec =
+        Seq(s"${outPrefix}_prediction" -> RealK) ++
+          (if (withProb) Seq(s"${outPrefix}_prob_1" -> RealK) else Nil)
+      lazy val outputFeatures = outsSpec.map { case (n, k) =>
+        new Feature(n, k, isResponse = false, Some(this), inputs)
+      }
+      def fit(df: DataFrame): TransformerStage = {
+        val prepared = df.select(toVec(features.name).as("__features"),
+          col(label.name).cast("double").as("__label"))
+        est.setFeaturesCol("__features")
+        est.setLabelCol("__label")
+        val model = est.fit(prepared).asInstanceOf[org.apache.spark.ml.Transformer]
+        new FittedPredictor(mlKind, model, features.name, outPrefix,
+          inputs, outsSpec, Some(self.outputFeatures))
+      }
+    }
+
+  import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LinearSVC, NaiveBayes}
+  import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, GeneralizedLinearRegression, RandomForestRegressor}
+
+  def gbtClassifier(features: Feature, label: Feature, outPrefix: String,
+                    maxIter: Int = 10, maxDepth: Int = 5, seed: Long = 42L): EstimatorStage =
+    wrapPredictor("gbtClassifier",
+      new GBTClassifier().setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed),
+      features, label, outPrefix, withProb = true)
+
+  def decisionTreeClassifier(features: Feature, label: Feature, outPrefix: String,
+                             maxDepth: Int = 5, seed: Long = 42L): EstimatorStage =
+    wrapPredictor("decisionTreeClassifier",
+      new DecisionTreeClassifier().setMaxDepth(maxDepth).setSeed(seed),
+      features, label, outPrefix, withProb = true)
+
+  def naiveBayes(features: Feature, label: Feature, outPrefix: String): EstimatorStage =
+    wrapPredictor("naiveBayes", new NaiveBayes(), features, label, outPrefix, withProb = true)
+
+  def linearSVC(features: Feature, label: Feature, outPrefix: String,
+                maxIter: Int = 30, regParam: Double = 0.0): EstimatorStage =
+    wrapPredictor("linearSVC",
+      new LinearSVC().setMaxIter(maxIter).setRegParam(regParam),
+      features, label, outPrefix, withProb = false)
+
+  def gbtRegressor(features: Feature, label: Feature, outPrefix: String,
+                   maxIter: Int = 10, maxDepth: Int = 5, seed: Long = 42L): EstimatorStage =
+    wrapPredictor("gbtRegressor",
+      new GBTRegressor().setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed),
+      features, label, outPrefix, withProb = false)
+
+  def randomForestRegressor(features: Feature, label: Feature, outPrefix: String,
+                            numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): EstimatorStage =
+    wrapPredictor("randomForestRegressor",
+      new RandomForestRegressor().setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed),
+      features, label, outPrefix, withProb = false)
+
+  def decisionTreeRegressor(features: Feature, label: Feature, outPrefix: String,
+                            maxDepth: Int = 5, seed: Long = 42L): EstimatorStage =
+    wrapPredictor("decisionTreeRegressor",
+      new DecisionTreeRegressor().setMaxDepth(maxDepth).setSeed(seed),
+      features, label, outPrefix, withProb = false)
+
+  def glmRegressor(features: Feature, label: Feature, outPrefix: String,
+                   family: String = "gaussian", link: String = "identity",
+                   maxIter: Int = 25, regParam: Double = 0.0): EstimatorStage =
+    wrapPredictor("glmRegression",
+      new GeneralizedLinearRegression().setFamily(family).setLink(link)
+        .setMaxIter(maxIter).setRegParam(regParam),
+      features, label, outPrefix, withProb = false)
+
+  /** Supervised bucketing thresholds (reference
+    * DecisionTreeNumericBucketizer.scala + dsl autoBucketize,
+    * RichNumericFeature.scala:288): fit a single-feature decision tree
+    * against the label and use its continuous split thresholds as
+    * bucket boundaries. */
+  def decisionTreeBuckets(df: DataFrame, value: org.apache.spark.sql.Column,
+                          label: org.apache.spark.sql.Column,
+                          maxDepth: Int = 2, minInfoGain: Double = 0.0,
+                          seed: Long = 42L): Seq[Double] = {
+    val prepared = df.select(value.cast("double").as("__v"), label.cast("double").as("__label"))
+      .where(col("__v").isNotNull && col("__label").isNotNull)
+      .select(toVec1(col("__v")).as("__features"), col("__label"))
+    val tree = new DecisionTreeClassifier()
+      .setMaxDepth(maxDepth).setMinInfoGain(minInfoGain).setSeed(seed)
+      .setFeaturesCol("__features").setLabelCol("__label")
+      .fit(prepared)
+    def thresholds(n: org.apache.spark.ml.tree.Node): Seq[Double] = n match {
+      case in: org.apache.spark.ml.tree.InternalNode =>
+        val t = in.split match {
+          case cs: org.apache.spark.ml.tree.ContinuousSplit => Seq(cs.threshold)
+          case _ => Nil
+        }
+        t ++ thresholds(in.leftChild) ++ thresholds(in.rightChild)
+      case _ => Nil
+    }
+    thresholds(tree.rootNode).distinct.sorted
+  }
+
+  private def toVec1(c: org.apache.spark.sql.Column) =
+    array_to_vector(array(c))
+
+  /** Bucket index by fitted thresholds: count of thresholds <= x
+    * (row-local literals; null → null). */
+  def bucketizeByThresholds(value: org.apache.spark.sql.Column, thresholds: Seq[Double]): org.apache.spark.sql.Column =
+    when(value.isNotNull,
+      size(filter(lit(thresholds.toArray), t => value > t))).otherwise(lit(null))
+
   /** Linear regression. */
   def linearRegression(features: Feature, label: Feature, outPrefix: String,
                        maxIter: Int = 50, regParam: Double = 0.0): EstimatorStage =
@@ -127,7 +242,9 @@ class FittedPredictor(
         withProb.drop("__f", "__pred", "__prob", "__raw")
       case m: org.apache.spark.ml.PredictionModel[_, _] @unchecked =>
         m.setFeaturesCol("__f").setPredictionCol(s"${outPrefix}_prediction")
-          .transform(base).drop("__f")
+          .transform(base)
+          .drop("__f")
+          .drop("rawPrediction") // non-probabilistic classifiers (SVC) add it
     }
   }
 }
@@ -184,6 +301,34 @@ object MLTuning {
     val acc = r.getLong(3).toDouble / r.getLong(4)
     val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
     BinaryMetrics(m.areaUnderROC(), m.areaUnderPR(), acc, f1)
+  }
+
+  /** Multiclass metrics over (prediction, label) — reference
+    * OpMultiClassificationEvaluator: accuracy plus label-frequency-
+    * weighted precision/recall/F1. One groupBy over the (label, pred)
+    * confusion cells (#classes^2 rows) then driver-side arithmetic. */
+  case class MulticlassMetrics(accuracy: Double, weightedPrecision: Double,
+                               weightedRecall: Double, weightedF1: Double)
+  def multiclassMetrics(df: DataFrame, predCol: String, labelCol: String): MulticlassMetrics = {
+    val cells = df.groupBy(col(labelCol).cast("double").as("l"), col(predCol).cast("double").as("p"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val classes = (cells.keys.map(_._1) ++ cells.keys.map(_._2)).toSeq.distinct.sorted
+    val total = cells.values.sum.toDouble
+    val byLabel = classes.map(c => c -> cells.collect { case ((l, _), n) if l == c => n }.sum).toMap
+    val acc = classes.map(c => cells.getOrElse((c, c), 0L)).sum / total
+    val perClass = classes.map { c =>
+      val tp = cells.getOrElse((c, c), 0L).toDouble
+      val predC = cells.collect { case ((_, p), n) if p == c => n }.sum.toDouble
+      val labC = byLabel(c).toDouble
+      val prec = if (predC == 0) 0.0 else tp / predC
+      val rec = if (labC == 0) 0.0 else tp / labC
+      val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+      (c, prec, rec, f1)
+    }
+    def weighted(get: ((Double, Double, Double, Double)) => Double): Double =
+      perClass.map(x => get(x) * byLabel(x._1) / total).sum
+    MulticlassMetrics(acc, weighted(_._2), weighted(_._3), weighted(_._4))
   }
 
   /** Regression metrics over (prediction, label). */

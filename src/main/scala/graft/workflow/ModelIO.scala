@@ -110,6 +110,22 @@ object ModelIO {
             org.apache.spark.ml.classification.RandomForestClassificationModel.load(dir)
           case "linearRegression" =>
             org.apache.spark.ml.regression.LinearRegressionModel.load(dir)
+          case "gbtClassifier" =>
+            org.apache.spark.ml.classification.GBTClassificationModel.load(dir)
+          case "decisionTreeClassifier" =>
+            org.apache.spark.ml.classification.DecisionTreeClassificationModel.load(dir)
+          case "naiveBayes" =>
+            org.apache.spark.ml.classification.NaiveBayesModel.load(dir)
+          case "linearSVC" =>
+            org.apache.spark.ml.classification.LinearSVCModel.load(dir)
+          case "gbtRegressor" =>
+            org.apache.spark.ml.regression.GBTRegressionModel.load(dir)
+          case "randomForestRegressor" =>
+            org.apache.spark.ml.regression.RandomForestRegressionModel.load(dir)
+          case "decisionTreeRegressor" =>
+            org.apache.spark.ml.regression.DecisionTreeRegressionModel.load(dir)
+          case "glmRegression" =>
+            org.apache.spark.ml.regression.GeneralizedLinearRegressionModel.load(dir)
           case other => throw new IllegalArgumentException(s"unknown predictor kind $other")
         }
         new FittedPredictor(mlKind, model, r.inNames.head, r.extra("outPrefix"),
