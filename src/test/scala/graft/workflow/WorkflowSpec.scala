@@ -158,6 +158,38 @@ class WorkflowSpec extends SparkSpec {
     assert(cutFrac.count() == 95)
   }
 
+  test("LocalScoring: row closures equal cluster scores (no Spark jobs per record)") {
+    val s = spark; import s.implicits._
+    val train = (1 to 60).map { i =>
+      val cat = Seq("a", "b", "c")(i % 3)
+      (i.toLong, Array(i % 7 * 1.0, i % 5 * 1.0), cat, if (i % 7 >= 3) 1.0 else 0.0)
+    }.toDF("id", "emb", "cat", "y")
+    val Seq(_, fEmb, fCat, fY) = Feature.fromSchema(train.schema, response = Some("y"))
+    val catIdx = Stages.stringIndexer(fCat, "cat_idx")
+    val lr = MLStages.logisticRegression(fEmb, fY, "lr", maxIter = 20)
+    val idZ = Stages.standardScale(Feature.raw("id", FeatureKind.RealK), "id_z")
+    val model = new Workflow(catIdx.outputFeatures ++ lr.outputFeatures ++ idZ.outputFeatures)
+      .fit(train)
+    val cluster = model.score(train, keep = Seq("id")).orderBy("id").collect()
+
+    val localFn = LocalScoring.scoreFunction(model, train.schema, s, keep = Seq("id"))
+    val rows = train.orderBy("id").collect()
+    val cols = model.score(train, keep = Seq("id")).columns
+    rows.zip(cluster).foreach { case (in, expected) =>
+      val rec = in.schema.fieldNames.zip(in.toSeq).toMap
+        .map { case (k, v: Seq[_]) => k -> v; case kv => kv } // arrays arrive as WrappedArray
+      val out = localFn(rec)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val e = expected.get(i)
+        val g = out(c)
+        (e, g) match {
+          case (a: Double, b: Double) => assert(math.abs(a - b) < 1e-9, s"$c: $a vs $b")
+          case (a, b) => assert(a == b, s"$c: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("lineage traversal annotates max distance") {
     val x = Feature.raw("x", RealK)
     val s1 = ColumnStage("a", Seq(x), "y", RealK)(_.head)
