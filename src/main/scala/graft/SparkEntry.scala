@@ -23,7 +23,8 @@ object SparkEntry {
       (WorkflowQueries.queries, WorkflowQueries.oracles),
       (QualityQueries.queries, QualityQueries.oracles),
       (MapQueries.queries, MapQueries.oracles),
-      (TextVecQueries.queries, TextVecQueries.oracles)
+      (TextVecQueries.queries, TextVecQueries.oracles),
+      (ReaderQueries.queries, ReaderQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -208,6 +208,40 @@ object Similarity {
              pow(lit(2.0), p).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
 
+  /** Multi-probe SRP ANN: a corpus row is a candidate when its bucket is
+    * within hamming distance 1 of the query's bucket — realized as an
+    * EQUI-join by exploding each query into numPlanes+1 probe buckets
+    * (exact + each single-bit flip), so the plan is a hash join keyed on
+    * bucket, never a theta join. Probing recovers the recall that more
+    * planes cost: numPlanes should grow ~log2(corpus/targetBucketSize)
+    * as the corpus grows; radius-1 probing then multiplies candidates by
+    * ~(numPlanes+1) while buckets shrink 2^planes-fold. Deterministic
+    * md5 hyperplanes — the oracle replays candidates via
+    * bit_count(xor(buckets)) <= 1. */
+  def srpTopKProbed(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("c_emb"))
+      .withColumn("bucket", srpBucket(col("c_emb"), numPlanes))
+      .withColumn("c_nrm", norm(col("c_emb")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("q_emb"))
+      .withColumn("bucket", srpBucket(col("q_emb"), numPlanes))
+      .withColumn("q_nrm", norm(col("q_emb")))
+      .withColumn("probe", explode(transform(sequence(lit(0), lit(numPlanes)), j =>
+        when(j === numPlanes, col("bucket"))
+          .otherwise(col("bucket").bitwiseXOR(pow(lit(2.0), j).cast("long"))))))
+    val scored = c.join(broadcast(q), c("bucket") === q("probe"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePreNormed(dotFast(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")).as("cos"))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's SRP bucket; exact
     * cosine re-rank within the bucket. Approximate (recall < 1) but
     * deterministic — the oracle replays the identical buckets. */

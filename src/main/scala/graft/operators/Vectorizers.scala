@@ -104,12 +104,26 @@ object Vectorizers {
         size(filter(lit(splits.toArray), s => col("v") >= s))).as("pctile"))
   }
 
-  /** StringIndexer: 0-based index by (count desc, value asc). */
-  def stringIndex(df: DataFrame, id: Column, value: Column): DataFrame = {
+  /** IndexToString inverse of [[stringIndex]] (reference OpIndexToString /
+    * PredictionDeIndexer): map indices back to their labels via the same
+    * fitted (value, idx) frame, broadcast-joined. Unknown index → null
+    * (the NoFilter variant's behavior). */
+  def deindex(df: DataFrame, id: Column, indexed: Column, fitted: DataFrame): DataFrame =
+    df.select(id.as("id"), indexed.as("idx"))
+      .join(broadcast(fitted), Seq("idx"), "left")
+      .select(col("id"), col("value").as("label"))
+
+  /** Fitted (value, idx) table: 0-based index by (count desc, value asc). */
+  def stringIndexTable(df: DataFrame, value: Column): DataFrame = {
     val counts = df.where(value.isNotNull)
       .groupBy(value.as("value")).agg(count(lit(1)).as("cnt"))
-    val idx = withRowNumber(counts, Seq(col("cnt").desc, col("value").asc), "rn")
+    withRowNumber(counts, Seq(col("cnt").desc, col("value").asc), "rn")
       .select(col("value"), (col("rn") - 1).as("idx"))
+  }
+
+  /** StringIndexer: 0-based index by (count desc, value asc). */
+  def stringIndex(df: DataFrame, id: Column, value: Column): DataFrame = {
+    val idx = stringIndexTable(df, value)
     df.select(id.as("id"), value.as("value"))
       .join(broadcast(idx), Seq("value"), "left")
       .select(col("id"), col("value"), col("idx"))

@@ -15,6 +15,19 @@ object CutOff {
   /** Fixed timestamp cutoff (micros/ISO string both fine). */
   case class At(ts: String) extends CutOff { def toColumn: Column = to_timestamp(lit(ts)) }
   case class AtColumn(c: Column) extends CutOff { def toColumn: Column = c }
+  /** N days before `now` (reference CutOffTime.DaysAgo — `now` is an
+    * explicit argument instead of wall-clock so runs are reproducible). */
+  case class DaysAgo(n: Int, now: String) extends CutOff {
+    def toColumn: Column = to_timestamp(lit(now)) - expr(s"INTERVAL $n DAYS")
+  }
+  /** N weeks before `now` (reference CutOffTime.WeeksAgo). */
+  case class WeeksAgo(n: Int, now: String) extends CutOff {
+    def toColumn: Column = to_timestamp(lit(now)) - expr(s"INTERVAL ${n * 7} DAYS")
+  }
+  /** ddMMyyyy-encoded date (reference CutOffTime.DDMMYYYY). */
+  case class DDMMYYYY(s: String) extends CutOff {
+    def toColumn: Column = to_timestamp(lit(s), "ddMMyyyy")
+  }
   case object None extends CutOff { def toColumn: Column = lit(null).cast("timestamp") }
 }
 
@@ -74,9 +87,12 @@ object AggregateReader {
 }
 
 /** Which qualifying event time becomes the per-key cutoff
-  * (reference TimeStampToKeep, DataReader.scala:303-384).
-  */
-object TimeStampToKeep extends Enumeration { val Min, Max = Value }
+  * (reference TimeStampToKeep, DataReader.scala:303-384). `Random` is
+  * md5-deterministic — the qualifying event with the smallest
+  * hash60(key|ts) wins, giving the reference's "random pick" semantics
+  * with reproducible (and oracle-replayable) output; the reference left
+  * seeding as a TODO (DataReader.scala:382). */
+object TimeStampToKeep extends Enumeration { val Min, Max, Random = Value }
 
 /** Conditional (as-of) aggregation: the cutoff is not a constant but a
   * per-key event time — the first/last time `targetCondition` held. The
@@ -103,10 +119,17 @@ object ConditionalReader {
       predictors: Seq[AggSpec],
       responses: Seq[AggSpec],
       dropIfConditionNotMet: Boolean = true): DataFrame = {
-    val pick: Column => Column =
-      if (keep == TimeStampToKeep.Min) min else max
+    val pickedTs = when(targetCondition, ts)
+    val picked: Column = keep match {
+      case TimeStampToKeep.Min => min(pickedTs)
+      case TimeStampToKeep.Max => max(pickedTs)
+      case TimeStampToKeep.Random =>
+        min_by(pickedTs, when(targetCondition,
+          graft.functions.TextAnalysis.hash60(
+            concat_ws("|", key, unix_micros(ts)))))
+    }
     val cutoffs = events.groupBy(key.as("__key"))
-      .agg(pick(when(targetCondition, ts)).as("__cutoff"))
+      .agg(picked.as("__cutoff"))
     val withCut = events.join(cutoffs, key === col("__key"),
       if (dropIfConditionNotMet) "inner" else "left")
       .where(if (dropIfConditionNotMet) col("__cutoff").isNotNull else lit(true))

@@ -146,6 +146,21 @@ object MLStages {
         .setMaxIter(maxIter).setRegParam(regParam),
       features, label, outPrefix, withProb = false)
 
+  /** Monotonic score calibration (reference IsotonicRegressionCalibrator,
+    * core/.../regression/IsotonicRegressionCalibrator.scala; dsl
+    * RichNumericFeature.scala:398): fit isotonic regression of the label
+    * on the raw score, return the fitted spark.ml model — its transform
+    * maps scores to calibrated probabilities. */
+  def isotonicCalibrator(df: DataFrame, scoreCol: String, labelCol: String)
+      : org.apache.spark.ml.regression.IsotonicRegressionModel = {
+    val prepared = df.select(
+      array_to_vector(array(col(scoreCol).cast("double"))).as("__features"),
+      col(labelCol).cast("double").as("__label"))
+    new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("__features").setLabelCol("__label")
+      .fit(prepared)
+  }
+
   /** Supervised bucketing thresholds (reference
     * DecisionTreeNumericBucketizer.scala + dsl autoBucketize,
     * RichNumericFeature.scala:288): fit a single-feature decision tree

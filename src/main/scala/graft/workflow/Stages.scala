@@ -102,13 +102,41 @@ object Stages {
     }
 
   /** Assemble features into an array<double> vector column (the engine's
-    * OPVector analog; VectorsCombiner). */
+    * OPVector analog; VectorsCombiner). The slot→parent-feature mapping
+    * is recorded in the column's Metadata under "slots" (reference
+    * OpVectorMetadata / OpVectorColumnMetadata — the lineage LOCO and
+    * slot-dropping read back via [[Stages.slotNames]]). */
   def assemble(ins: Seq[Feature], out: String): ColumnStage =
     new ColumnStage("assemble", ins) {
-      def expressions: Seq[(String, Column)] =
-        Seq(out -> array(ins.map(i => col(i.name).cast("double")): _*))
+      def expressions: Seq[(String, Column)] = {
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("slots", ins.map(_.name).toArray).build()
+        Seq(out -> array(ins.map(i => col(i.name).cast("double")): _*).as(out, meta))
+      }
       override protected def outputKind(n: String): FeatureKind = VectorK
     }
+
+  /** Slot names of an assembled vector column, from its Metadata. */
+  def slotNames(df: DataFrame, vectorCol: String): Seq[String] =
+    df.schema(vectorCol).metadata.getStringArray("slots").toSeq
+
+  /** Drop vector slots whose NAME matches the predicate (reference
+    * DropIndicesByTransformer + VectorSlicer): rebuilds the array with
+    * the surviving slots and rewrites the slot metadata. Row-local. */
+  def dropSlotsByName(df: DataFrame, vectorCol: String)(drop: String => Boolean): DataFrame = {
+    val names = slotNames(df, vectorCol)
+    val keep = names.zipWithIndex.filterNot { case (n, _) => drop(n) }
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putStringArray("slots", keep.map(_._1).toArray).build()
+    df.withColumn(vectorCol,
+      array(keep.map { case (_, i) => element_at(col(vectorCol), i + 1) }: _*)
+        .as(vectorCol, meta))
+  }
+
+  /** MultiLabelJoiner (reference MultiLabelJoiner.scala): combine the
+    * label with prediction columns into one struct column. */
+  def joinLabels(df: DataFrame, out: String, labelCol: String, predCols: String*): DataFrame =
+    df.withColumn(out, struct((labelCol +: predCols).map(col): _*))
 }
 
 /** Fitted string indexer: broadcast-joins the small (value, idx) frame.

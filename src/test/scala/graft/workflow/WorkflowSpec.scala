@@ -190,6 +190,40 @@ class WorkflowSpec extends SparkSpec {
     }
   }
 
+  test("assemble records slot metadata; dropSlotsByName slices by name") {
+    val s = spark; import s.implicits._
+    val df0 = Seq((1L, 2.0, 3.0)).toDF("id", "a", "b")
+    val Seq(_, fa, fb) = Feature.fromSchema(df0.schema)
+    val asm = Stages.assemble(Seq(fa, fb), "vec")
+    val out = new Workflow(asm.outputFeatures).fit(df0).score(df0, keep = Seq("id"))
+    assert(Stages.slotNames(out, "vec") == Seq("a", "b"))
+    val sliced = Stages.dropSlotsByName(out, "vec")(_ == "a")
+    assert(Stages.slotNames(sliced, "vec") == Seq("b"))
+    assert(sliced.select("vec").as[Seq[Double]].head() == Seq(3.0))
+  }
+
+  test("ModelInsights summarize emits stages, selection and sanity JSON") {
+    val s = spark; import s.implicits._
+    val train = (1 to 60).map { i =>
+      (i.toLong, Array((i % 7).toDouble, (i % 5).toDouble), if (i % 7 >= 3) 1.0 else 0.0)
+    }.toDF("id", "emb", "y")
+    val Seq(_, fEmb, fY) = Feature.fromSchema(train.schema, response = Some("y"))
+    val sel = ModelSelector.binary(fEmb, fY, "sel",
+      Seq("lr" -> MLStages.logisticRegression(fEmb, fY, "sel", maxIter = 10)),
+      ModelSelector.TrainValidationSplit(0.75))
+    val model = new Workflow(sel.outputFeatures).fit(train)
+    val stats = graft.operators.DataQuality.sanityCheckStats(
+      train.withColumn("x", col("id").cast("double")), "y", Seq("x"), 0.0, 1.0, 0.0)
+    val json = ModelInsights.summarize(model, Some(sel), Some(stats))
+    assert(json.contains("\"modelSelection\""))
+    assert(json.contains("\"best\": \"lr\""))
+    assert(json.contains("\"sanityCheck\""))
+    assert(json.contains("\"sel_prediction\""))
+    // well-formed JSON: Spark's own parser accepts it
+    val parsed = s.read.json(Seq(json).toDS)
+    assert(parsed.columns.contains("modelSelection"))
+  }
+
   test("lineage traversal annotates max distance") {
     val x = Feature.raw("x", RealK)
     val s1 = ColumnStage("a", Seq(x), "y", RealK)(_.head)
