@@ -195,9 +195,28 @@ object Similarity {
   private def planeWeight(p: Column, i: Column): Column =
     hash60(concat_ws(":", lit("srp"), p, i)).cast("double") / 1.152921504606846976e18 * 2.0 - 1.0
 
+  /** Scala-side twin of [[planeWeight]] — identical arithmetic, computed
+    * once at plan time instead of one md5 PER ROW per (plane, dim):
+    * with 64 dims and 6 planes the per-row expression form costs 384
+    * md5 calls per row, which dominated the ANN queries. */
+  private[graft] def planeWeightValue(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"srp:$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) / 1.152921504606846976e18 * 2.0 - 1.0
+  }
+
   /** Sign-random-projection LSH bucket: bit p of the bucket id is the
     * sign of the projection onto md5-derived hyperplane p. Rows landing
-    * in the same bucket are near-neighbor candidates. */
+    * in the same bucket are near-neighbor candidates. `dim` fixes the
+    * embedding width so the hyperplanes fold in as literal arrays. */
+  def srpBucket(emb: Column, numPlanes: Int, dim: Int): Column =
+    (0 until numPlanes).map { p =>
+      val w = Array.tabulate(dim)(i => planeWeightValue(p, i))
+      when(dotFast(emb, lit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Dynamic-width variant (one md5 per (plane, dim) per ROW — prefer
+    * the literal-weight overload when the width is known). */
   def srpBucket(emb: Column, numPlanes: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(numPlanes - 1)), p =>
@@ -218,14 +237,15 @@ object Similarity {
     * ~(numPlanes+1) while buckets shrink 2^planes-fold. Deterministic
     * md5 hyperplanes — the oracle replays candidates via
     * bit_count(xor(buckets)) <= 1. */
-  def srpTopKProbed(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int): DataFrame = {
+  def srpTopKProbed(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int,
+                    dim: Int = 64): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("c_emb"))
-      .withColumn("bucket", srpBucket(col("c_emb"), numPlanes))
+      .withColumn("bucket", srpBucket(col("c_emb"), numPlanes, dim))
       .withColumn("c_nrm", norm(col("c_emb")))
     val q = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("q_emb"))
-      .withColumn("bucket", srpBucket(col("q_emb"), numPlanes))
+      .withColumn("bucket", srpBucket(col("q_emb"), numPlanes, dim))
       .withColumn("q_nrm", norm(col("q_emb")))
       .withColumn("probe", explode(transform(sequence(lit(0), lit(numPlanes)), j =>
         when(j === numPlanes, col("bucket"))
@@ -245,14 +265,15 @@ object Similarity {
   /** LSH-bucketed ANN: candidates share the query's SRP bucket; exact
     * cosine re-rank within the bucket. Approximate (recall < 1) but
     * deterministic — the oracle replays the identical buckets. */
-  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int): DataFrame = {
+  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int,
+              dim: Int = 64): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("c_emb"))
-      .withColumn("bucket", srpBucket(col("c_emb"), numPlanes))
+      .withColumn("bucket", srpBucket(col("c_emb"), numPlanes, dim))
       .withColumn("c_nrm", norm(col("c_emb")))
     val q = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("q_emb"))
-      .withColumn("bucket", srpBucket(col("q_emb"), numPlanes))
+      .withColumn("bucket", srpBucket(col("q_emb"), numPlanes, dim))
       .withColumn("q_nrm", norm(col("q_emb")))
     val scored = c.join(broadcast(q), "bucket")
       .where(col("query_id") =!= col("neighbor_id"))

@@ -80,8 +80,14 @@ class SimilaritySpec extends SparkSpec {
   test("srpBucket: same vector -> same bucket; opposite -> different") {
     val s = spark; import s.implicits._
     val b = vecs.select(col("vec_id"),
-        Similarity.srpBucket(Similarity.toDouble(col("embedding")), 8).as("b"))
+        Similarity.srpBucket(Similarity.toDouble(col("embedding")), 8, 2).as("b"))
       .as[(Long, Long)].collect().toMap
     assert(b(0L) != b(3L)) // all 8 plane signs flip for the negation
+    // literal-weight fast path computes the same buckets as the
+    // dynamic md5-per-row form
+    val dyn = vecs.select(col("vec_id"),
+        Similarity.srpBucket(Similarity.toDouble(col("embedding")), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b == dyn)
   }
 }
