@@ -15,6 +15,20 @@ object ReaderQueries {
 
   private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Deterministic scored frame: p = sigmoid(md5-weight margin) over the
+    * embedding, y = (label < 5). */
+  private def mdScored(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"),
+        (col("label") < 5).cast("double").as("y"))
+    val margin = aggregate(
+      zip_with(col("emb"), graft.operators.Insights.md5Weights(col("emb"), "loco"),
+        (x, w) => x * w),
+      lit(0.0), (acc, x) => acc + x)
+    e.select(col("vec_id"), col("y"),
+      (lit(1.0) / (lit(1.0) + exp(-margin))).as("p"))
+  }
+
   val queries: Map[String, Q] = Map(
     // CutOffTime.DaysAgo relative cutoff (reference CutOffTime.scala:41-70)
     "q62_agg_cutoff_daysago" -> ((s, d) => {
@@ -49,6 +63,23 @@ object ReaderQueries {
       Similarity.srpTopKProbed(e, e.where(col("vec_id") < 5), k = 10, numPlanes = 6)
     }),
 
+    // log-loss + SMAPE evaluators over the md5-weight linear scorer
+    // (deterministic probabilities, so the single-row metrics are
+    // oracle-replayable — the evaluator math is the thing under test)
+    "q65_eval_logloss_smape" -> ((s, d) => {
+      val scored = mdScored(s, d)
+      val ll = graft.workflow.MLTuning.logLoss(scored, "p", "y")
+      val sm = graft.workflow.MLTuning.smape(scored, "p", "y")
+      val spark = s; import spark.implicits._
+      Seq((1, ll, sm)).toDF("row_id", "ll", "sm")
+        .select(col("row_id"), round(col("ll"), 6).as("logloss"), round(col("sm"), 6).as("smape"))
+    }),
+
+    // score-bin calibration table over the same scorer
+    "q66_eval_binscore" -> ((s, d) => {
+      graft.workflow.MLTuning.binScore(mdScored(s, d), "p", "y", bins = 10)
+    }),
+
     // OpIndexToString inverse: index then deindex round-trips the label
     "q64_deindex" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -70,6 +101,14 @@ object ReaderQueries {
           CASE WHEN list_sum(list_transform(range(0, len($e)), i ->
                  $e[CAST(i + 1 AS INT)] * $W6)) > 0
                THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+
+  /** DuckDB twin of [[mdScored]]. */
+  private val MD_SCORED =
+    s"""SELECT vec_id, CAST(label < 5 AS DOUBLE) AS y,
+          1.0 / (1.0 + exp(-list_sum(list_transform(range(0, 64), i ->
+            list_transform(embedding, x -> CAST(x AS DOUBLE))[CAST(i + 1 AS INT)] *
+            (${H60("'loco:' || CAST(i AS VARCHAR)")} / 1152921504606846976.0 * 2.0 - 1.0))))) AS p
+        FROM embeddings"""
 
   val oracles: Map[String, String] = Map(
     "q62_agg_cutoff_daysago" ->
@@ -114,6 +153,21 @@ object ReaderQueries {
           FROM ranked WHERE rank <= 10""",
 
     "q64_deindex" ->
-      """SELECT c_custkey, c_mktsegment AS segment FROM customer"""
+      """SELECT c_custkey, c_mktsegment AS segment FROM customer""",
+
+    "q65_eval_logloss_smape" ->
+      s"""WITH s AS ($MD_SCORED)
+          SELECT 1 AS row_id,
+            ROUND(-AVG(y * ln(least(greatest(p, 1e-15), 1 - 1e-15)) +
+                       (1 - y) * ln(1 - least(greatest(p, 1e-15), 1 - 1e-15))), 6) AS logloss,
+            ROUND(AVG(CASE WHEN abs(p) + abs(y) = 0 THEN 0
+                           ELSE 2 * abs(p - y) / (abs(p) + abs(y)) END), 6) AS smape
+          FROM s""",
+
+    "q66_eval_binscore" ->
+      s"""WITH s AS ($MD_SCORED)
+          SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+            count(*) AS n, ROUND(AVG(p), 6) AS avg_score, ROUND(AVG(y), 6) AS avg_label
+          FROM s GROUP BY 1"""
   )
 }

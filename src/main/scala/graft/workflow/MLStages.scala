@@ -346,6 +346,37 @@ object MLTuning {
     MulticlassMetrics(acc, weighted(_._2), weighted(_._3), weighted(_._4))
   }
 
+  /** Binary log-loss (reference stages/impl/evaluator/OPLogLoss.scala):
+    * -mean(y ln p + (1-y) ln(1-p)), probabilities clamped to
+    * [eps, 1-eps]. One aggregation. */
+  def logLoss(df: DataFrame, probCol: String, labelCol: String,
+              eps: Double = 1e-15): Double = {
+    val p = least(greatest(col(probCol), lit(eps)), lit(1 - eps))
+    val y = col(labelCol).cast("double")
+    df.agg(-avg(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).head.getDouble(0)
+  }
+
+  /** Symmetric mean absolute percentage error (reference
+    * OpForecastEvaluator.scala:59-89): mean(2|p-y| / (|p|+|y|)), terms
+    * with |p|+|y| = 0 contribute 0. */
+  def smape(df: DataFrame, predCol: String, labelCol: String): Double = {
+    val p = col(predCol).cast("double"); val y = col(labelCol).cast("double")
+    val denom = abs(p) + abs(y)
+    df.agg(avg(when(denom === 0, 0.0).otherwise(lit(2.0) * abs(p - y) / denom)))
+      .head.getDouble(0)
+  }
+
+  /** Score-bin calibration table (reference OpBinScoreEvaluator): rows
+    * (bin, n, avg_score, avg_label) over equal-width probability bins —
+    * a well-calibrated model has avg_score ≈ avg_label per bin. */
+  def binScore(df: DataFrame, probCol: String, labelCol: String, bins: Int): DataFrame = {
+    val b = least(floor(col(probCol) * bins), lit(bins - 1)).cast("int")
+    df.groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(probCol)), 6).as("avg_score"),
+        round(avg(col(labelCol).cast("double")), 6).as("avg_label"))
+  }
+
   /** Regression metrics over (prediction, label). */
   case class RegressionMetrics(rmse: Double, mae: Double, r2: Double)
   def regressionMetrics(df: DataFrame, predCol: String, labelCol: String): RegressionMetrics = {
