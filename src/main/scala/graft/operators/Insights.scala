@@ -53,4 +53,29 @@ object Insights {
                 model: org.apache.spark.ml.classification.LogisticRegressionModel,
                 k: Int): DataFrame =
     locoLinearTopK(df, id, emb, lit(model.coefficients.toArray), model.intercept, k)
+
+  /** Model-agnostic LOCO by re-scoring (the reference's general path):
+    * delta_i = score(x) - score(x with slot i zeroed), computed with the
+    * model's local `predictProbability` inside one UDF — dims+1 local
+    * predictions per row, no per-slot Spark pass. Use for tree
+    * ensembles, where the analytic linear form doesn't apply. */
+  def locoByRescoring(df: DataFrame, id: Column, emb: Column,
+                      model: org.apache.spark.ml.classification.ProbabilisticClassificationModel[org.apache.spark.ml.linalg.Vector, _],
+                      k: Int): DataFrame = {
+    val deltas = udf { (a: Seq[Double]) =>
+      val arr = a.toArray
+      val base = model.predictProbability(org.apache.spark.ml.linalg.Vectors.dense(arr))(1)
+      Array.tabulate(arr.length) { i =>
+        val saved = arr(i); arr(i) = 0.0
+        val d = base - model.predictProbability(org.apache.spark.ml.linalg.Vectors.dense(arr.clone()))(1)
+        arr(i) = saved
+        d
+      }
+    }
+    df.select(id.as("id"), posexplode(deltas(emb)).as(Seq("dim", "loco")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(abs(col("loco")).desc, col("dim").asc)))
+      .where(col("rank") <= k)
+      .select(col("id"), col("dim"), round(col("loco"), 6).as("loco"), col("rank"))
+  }
 }

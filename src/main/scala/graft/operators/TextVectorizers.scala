@@ -54,6 +54,51 @@ object TextVectorizers {
         transform(sequence(lit(0), lit(dims - 1)),
           b => coalesce(element_at(col("m"), b), lit(0L)).cast("double")).as("tf"))
 
+  /** CountVectorizer (reference OpCountVectorizer.scala:44): fit a
+    * vocabulary of the `vocabSize` most frequent tokens, transform each
+    * doc to per-vocab-slot counts as array<double>. */
+  def countVectorize(df: DataFrame, id: Column, text: Column, vocabSize: Int,
+                     minDf: Long = 1): DataFrame = {
+    val prepared = df.select(id.as("id"), tokens(text).as("toks"))
+    val cv = new org.apache.spark.ml.feature.CountVectorizer()
+      .setInputCol("toks").setOutputCol("__vec")
+      .setVocabSize(vocabSize).setMinDF(minDf.toDouble)
+      .fit(prepared)
+    cv.transform(prepared)
+      .select(col("id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__vec")).as("counts"))
+  }
+
+  /** Word2Vec doc embeddings (reference OpWord2Vec.scala:41): seeded,
+    * one partition for a deterministic fit. */
+  def word2vec(df: DataFrame, id: Column, text: Column, vectorSize: Int,
+               minCount: Int = 1, seed: Long = 42L): DataFrame = {
+    val prepared = df.select(id.as("id"), tokens(text).as("toks"))
+    val w2v = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol("toks").setOutputCol("__vec")
+      .setVectorSize(vectorSize).setMinCount(minCount)
+      .setSeed(seed).setNumPartitions(1)
+      .fit(prepared)
+    w2v.transform(prepared)
+      .select(col("id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__vec")).as("embedding"))
+  }
+
+  /** LDA topic mixture per doc (reference OpLDA.scala:41) over a term
+    * vector column (e.g. [[countVectorize]] output). */
+  def ldaTopics(df: DataFrame, id: Column, counts: Column, numTopics: Int,
+                maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+    val prepared = df.select(id.as("id"),
+      org.apache.spark.ml.functions.array_to_vector(counts).as("__features"))
+    val lda = new org.apache.spark.ml.clustering.LDA()
+      .setK(numTopics).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("__features").setTopicDistributionCol("__topics")
+      .fit(prepared)
+    lda.transform(prepared)
+      .select(col("id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__topics")).as("topics"))
+  }
+
   /** Per-column TextStats + vectorization decision in one aggregation
     * pass: pivot when distinct count <= maxCardinality, hash when the
     * column looks like free text (length variance > 0), ignore

@@ -29,4 +29,23 @@ object FormatReaders {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** CSVProductReader analog (reference CSVProductReaders.scala:49-75):
+    * typed `Dataset[T]` straight from CSV; schema derived from the
+    * case-class encoder so there is no inference scan. */
+  def readCsvAs[T: org.apache.spark.sql.Encoder](spark: SparkSession, path: String)
+      : org.apache.spark.sql.Dataset[T] = {
+    val enc = implicitly[org.apache.spark.sql.Encoder[T]]
+    spark.read.schema(enc.schema).option("header", "true").csv(path).as[T]
+  }
+
+  /** ParquetProductReader analog (ParquetProductReader.scala:47-66):
+    * typed `Dataset[T]` from parquet — columns pruned to the encoder's
+    * fields so the scan reads only what the type needs. */
+  def readParquetAs[T: org.apache.spark.sql.Encoder](spark: SparkSession, path: String)
+      : org.apache.spark.sql.Dataset[T] = {
+    val enc = implicitly[org.apache.spark.sql.Encoder[T]]
+    val cols = enc.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+    spark.read.parquet(path).select(cols: _*).as[T]
+  }
 }

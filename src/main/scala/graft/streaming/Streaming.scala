@@ -64,6 +64,32 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Per-key running state (beyond the reference, which has no stateful
+    * streaming): event count + decimal-exact value sum + last event time
+    * per user, maintained with mapGroupsWithState. State is partitioned
+    * by key across executors; with a timeout configured Spark reclaims
+    * idle keys, bounding state by active keys. */
+  case class UserState(userId: Long, n: Long, sumValueCents: Long, lastTsMicros: Long)
+  def runningUserState(spark: SparkSession, stream: DataFrame)
+      : org.apache.spark.sql.Dataset[UserState] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    stream.select(col("user_id").as[Long],
+        (col("value") * 100).cast("long").as[Long],
+        unix_micros(col("ts")).as[Long])
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(key, 0L, 0L, Long.MinValue))
+          val next = rows.foldLeft(prev) { case (s, (_, cents, ts)) =>
+            UserState(key, s.n + 1, s.sumValueCents + cents, math.max(s.lastTsMicros, ts))
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** Micro-batch model scoring (reference streamingScore,
     * OpWorkflowRunner.scala:232-263): score each micro-batch with a
     * fitted workflow model and hand it to a sink callback (parquet

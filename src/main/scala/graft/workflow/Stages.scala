@@ -137,6 +137,26 @@ object Stages {
     * label with prediction columns into one struct column. */
   def joinLabels(df: DataFrame, out: String, labelCol: String, predCols: String*): DataFrame =
     df.withColumn(out, struct((labelCol +: predCols).map(col): _*))
+
+  /** Linear scaler with metadata-recorded parameters (reference
+    * ScalerTransformer.scala:167): out = slope * in + intercept, with
+    * (slope, intercept) stored in the column Metadata so a downstream
+    * [[descale]] can invert predictions made in scaled space. */
+  def scale(df: DataFrame, in: String, out: String,
+            slope: Double, intercept: Double): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putDouble("slope", slope).putDouble("intercept", intercept).build()
+    df.withColumn(out, (col(in) * slope + intercept).as(out, meta))
+  }
+
+  /** DescalerTransformer: invert a [[scale]] using the scaling metadata
+    * recorded on `scaledCol` — applied to any column in scaled space
+    * (typically a prediction). */
+  def descale(df: DataFrame, valueCol: String, scaledCol: String, out: String): DataFrame = {
+    val m = df.schema(scaledCol).metadata
+    val (slope, intercept) = (m.getDouble("slope"), m.getDouble("intercept"))
+    df.withColumn(out, (col(valueCol) - intercept) / slope)
+  }
 }
 
 /** Fitted string indexer: broadcast-joins the small (value, idx) frame.
