@@ -28,7 +28,7 @@ object MapAggregators {
     def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
       y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
     def finish(b: Map[String, Long]): Map[String, Long] = b
-    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
     def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
   }
 
@@ -47,7 +47,7 @@ object MapAggregators {
       }
     def finish(b: Map[String, (Double, Long)]): Map[String, Double] =
       b.map { case (k, (s, n)) => k -> s / n }
-    def bufferEncoder: Encoder[Map[String, (Double, Long)]] = Encoders.kryo[Map[String, (Double, Long)]]
+    def bufferEncoder: Encoder[Map[String, (Double, Long)]] = ExpressionEncoder[Map[String, (Double, Long)]]()
     def outputEncoder: Encoder[Map[String, Double]] = ExpressionEncoder[Map[String, Double]]()
   }
 
@@ -65,7 +65,7 @@ object MapAggregators {
         m.updated(k, m.get(k).map(pick(_, v)).getOrElse(v))
       }
     def finish(b: Map[String, Double]): Map[String, Double] = b
-    def bufferEncoder: Encoder[Map[String, Double]] = Encoders.kryo[Map[String, Double]]
+    def bufferEncoder: Encoder[Map[String, Double]] = ExpressionEncoder[Map[String, Double]]()
     def outputEncoder: Encoder[Map[String, Double]] = ExpressionEncoder[Map[String, Double]]()
   }
   object UnionMinMap extends UnionExtremeMap(keepMax = false)
@@ -80,7 +80,7 @@ object MapAggregators {
     def merge(x: Map[String, Boolean], y: Map[String, Boolean]): Map[String, Boolean] =
       y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, false) || v) }
     def finish(b: Map[String, Boolean]): Map[String, Boolean] = b
-    def bufferEncoder: Encoder[Map[String, Boolean]] = Encoders.kryo[Map[String, Boolean]]
+    def bufferEncoder: Encoder[Map[String, Boolean]] = ExpressionEncoder[Map[String, Boolean]]()
     def outputEncoder: Encoder[Map[String, Boolean]] = ExpressionEncoder[Map[String, Boolean]]()
   }
 

@@ -113,6 +113,26 @@ object Vectorizers {
       .join(broadcast(fitted), Seq("idx"), "left")
       .select(col("id"), col("value").as("label"))
 
+  /** Geolocation vectorizer (reference GeolocationVectorizer.scala):
+    * fit the geodesic midpoint (3-D cartesian mean via GeoMidpoint),
+    * fill missing lat/lon/accuracy with it, emit a null indicator. */
+  def geolocationVectorize(df: DataFrame, id: Column,
+                           lat: Column, lon: Column, acc: Column): DataFrame = {
+    val midRow = df.where(lat.isNotNull && lon.isNotNull)
+      .agg(org.apache.spark.sql.functions.udaf(
+        graft.aggregators.MonoidAggregators.GeoMidpoint,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Double, Double)]()
+      ).apply(lat, lon, coalesce(acc, lit(0.0))).as("mid"))
+      .head.getSeq[Double](0)
+    val (mLat, mLon, mAcc) =
+      if (midRow.isEmpty) (0.0, 0.0, 0.0) else (midRow(0), midRow(1), midRow(2))
+    df.select(id.as("id"),
+      coalesce(lat, lit(mLat)).as("lat"),
+      coalesce(lon, lit(mLon)).as("lon"),
+      coalesce(acc, lit(mAcc)).as("accuracy"),
+      when(lat.isNull || lon.isNull, 1).otherwise(0).as("geo_isnull"))
+  }
+
   /** Fitted (value, idx) table: 0-based index by (count desc, value asc). */
   def stringIndexTable(df: DataFrame, value: Column): DataFrame = {
     val counts = df.where(value.isNotNull)

@@ -85,6 +85,21 @@ class CoverageSpec extends SparkSpec {
     assert(back.count() == 5)
   }
 
+  test("geolocationVectorize fills missing coords with the geo midpoint") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Some(10.0), Some(20.0), Some(1.0)),
+      (2L, Some(20.0), Some(40.0), Some(2.0)),
+      (3L, Option.empty[Double], Option.empty[Double], Option.empty[Double])
+    ).toDF("id", "lat", "lon", "acc")
+    val out = Vectorizers.geolocationVectorize(df, col("id"), col("lat"), col("lon"), col("acc"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(4) == 0 && out(2).getInt(4) == 1)
+    val (fLat, fLon) = (out(2).getDouble(1), out(2).getDouble(2))
+    assert(fLat > 10.0 && fLat < 20.0, s"midpoint lat $fLat")
+    assert(fLon > 20.0 && fLon < 40.0, s"midpoint lon $fLon")
+  }
+
   test("stateful streaming running state equals batch aggregation") {
     val s = spark
     val stream = graft.streaming.Streaming.eventStream(s, "/root/testdata/sf0.001")
