@@ -43,13 +43,15 @@ object Multimodal {
       .otherwise("text/plain")
   }
 
-  /** Output schema of the decode stage: fixed-width image features. */
+  /** Output schema of the decode stage: fixed-width image features.
+    * Feature fields are nullable — a null payload decodes to null
+    * features, preserving input cardinality. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("feat", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("feat", ArrayType(FloatType, containsNull = false), nullable = true)))
 
   /** STUB codec: deterministic fake "decode" from the payload MD5.
     * Replace with a real image/audio decoder in production. */
@@ -68,16 +70,21 @@ object Multimodal {
   /** Batched decode: (doc_id, payload) → decodedSchema rows. Batches of
     * `batchSize` per partition emulate the mapInPandas batch shape —
     * codec state is initialized once per partition, rows stream
-    * through without materializing the whole partition. */
+    * through without materializing the whole partition. Output
+    * cardinality equals input cardinality: null payloads yield null
+    * feature fields instead of silently dropping the row. */
   def decodeFeatures(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     val input = df.select(col(idCol).cast("long"), col("payload"))
     val rdd = input.rdd.mapPartitions { rows =>
       // per-partition codec init would go here (real codecs are costly)
       rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.collect { case r if !r.isNullAt(1) =>
-          val (w, h, f, feat) = FakeCodec.decode(r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), w, h, f, feat.toSeq)
+        batch.iterator.map { r =>
+          if (r.isNullAt(1)) Row(r.getLong(0), null, null, null, null)
+          else {
+            val (w, h, f, feat) = FakeCodec.decode(r.getAs[Array[Byte]](1))
+            Row(r.getLong(0), w, h, f, feat.toSeq)
+          }
         }
       }
     }
