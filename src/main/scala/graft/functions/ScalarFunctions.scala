@@ -51,6 +51,23 @@ object TextFunctions {
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, 1.0).otherwise(inter / uni)
   }
+  /** Phone validation/normalization (reference PhoneNumberParser.scala
+    * uses Google libphonenumber — not in this container, so this is the
+    * documented heuristic core: E.164-ish shape after separator
+    * stripping, 7-15 digits, optional leading +). */
+  def normalizePhone(c: Column): Column =
+    concat(when(c.startsWith("+"), "+").otherwise(""),
+      regexp_replace(c, "[^0-9]", ""))
+  def isValidPhone(c: Column): Column =
+    normalizePhone(c).rlike("^\\+?[0-9]{7,15}$") &&
+      !regexp_replace(c, "[0-9+\\-().\\s]", "").rlike(".")
+
+  /** Human-name detection heuristic (reference HumanNameDetector.scala +
+    * NameDetectUtils dictionaries — stand-in: 2-3 capitalized alphabetic
+    * tokens, each at least 2 chars, with an optional middle initial). */
+  def looksLikeHumanName(c: Column): Column =
+    c.rlike("^[A-Z][a-z]{1,20}( [A-Z]\\.?)?( [A-Z][a-z]{1,20}){1,2}$")
+
   /** Word n-grams (reference OpNGram.scala wraps ml.feature.NGram). */
   def ngrams(tokens: Column, n: Int): Column =
     filter(

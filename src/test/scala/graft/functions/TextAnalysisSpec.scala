@@ -4,6 +4,28 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
+
+  test("phone heuristic validates E.164-ish numbers and rejects junk") {
+    val s = spark; import s.implicits._
+    val rows = Seq("+1 (415) 555-0132", "415-555-0132", "12345", "call me", "+4930123456")
+      .toDF("p")
+      .select(col("p"), TextFunctions.isValidPhone(col("p")).as("ok"),
+        TextFunctions.normalizePhone(col("p")).as("norm"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(rows("+1 (415) 555-0132") == ((true, "+14155550132")))
+    assert(rows("415-555-0132")._1)
+    assert(!rows("12345")._1) // too short
+    assert(!rows("call me")._1) // letters
+  }
+
+  test("human-name heuristic accepts capitalized name shapes only") {
+    val s = spark; import s.implicits._
+    val got = Seq("Ada Lovelace", "Grace B. Hopper", "Jean Luc Picard", "lowercase name", "X", "THE TABLE")
+      .toDF("n").select(col("n"), TextFunctions.looksLikeHumanName(col("n")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("Ada Lovelace") && got("Grace B. Hopper") && got("Jean Luc Picard"))
+    assert(!got("lowercase name") && !got("X") && !got("THE TABLE"))
+  }
   import TextAnalysis._
 
   def one[T](c: org.apache.spark.sql.Column): T = {
