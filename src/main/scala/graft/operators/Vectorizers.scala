@@ -99,9 +99,11 @@ object Vectorizers {
     val src = df.select(id.as("id"), value.as("v"))
     val splits = src.agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
       .head.getSeq[Double](0)
-    src.select(col("id"),
-      when(col("v").isNotNull,
-        size(filter(lit(splits.toArray), s => col("v") >= s))).as("pctile"))
+    // 99 plain comparisons summed — whole-stage codegen fuses them; an
+    // array filter(lambda) here would run interpreted per row
+    val rank = splits.map(s => when(col("v") >= s, 1).otherwise(0))
+      .reduce(_ + _)
+    src.select(col("id"), when(col("v").isNotNull, rank).as("pctile"))
   }
 
   /** IndexToString inverse of [[stringIndex]] (reference OpIndexToString /

@@ -83,8 +83,10 @@ object ReaderQueries {
     // OpIndexToString inverse: index then deindex round-trips the label
     "q64_deindex" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val fitted = Vectorizers.stringIndexTable(c, col("c_mktsegment"))
-      val indexed = Vectorizers.stringIndex(c, col("c_custkey"), col("c_mktsegment"))
+      // fit once; both the index and deindex joins reuse the same table
+      val fitted = Vectorizers.stringIndexTable(c, col("c_mktsegment")).persist()
+      val indexed = c.select(col("c_custkey").as("id"), col("c_mktsegment").as("value"))
+        .join(broadcast(fitted), Seq("value"), "left")
       Vectorizers.deindex(indexed, col("id"), col("idx"), fitted)
         .select(col("id").as("c_custkey"), col("label").as("segment"))
     })

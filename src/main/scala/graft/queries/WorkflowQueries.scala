@@ -98,9 +98,11 @@ object WorkflowQueries {
           col("sel_prediction"), round(col("sel_prob_1"), 4).as("sel_prob_1"))
     }),
 
-    // evaluator aggregations over the scored frame (rows-only)
+    // evaluator aggregations over the scored frame (rows-only); persist
+    // the scored frame — the evaluator makes three passes over it and
+    // re-running the selector per pass would triple training cost
     "q38_ml_evaluate" -> ((s, d) => {
-      val scored = queries("q37_ml_train_score")(s, d)
+      val scored = queries("q37_ml_train_score")(s, d).persist()
       val m = MLTuning.binaryMetrics(scored, "sel_prob_1", "y")
       val spark = s
       import spark.implicits._
