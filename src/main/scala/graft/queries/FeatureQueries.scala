@@ -56,6 +56,16 @@ object FeatureQueries {
         .select(col("id").as("c_custkey"), col("idx").as("segment_idx"))
     }),
 
+    // remaining DateListVectorizer pivots: ModeMonth + ModeHour
+    // (reference DateListVectorizer.scala pivot enum)
+    "q67_datelist_modes" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          MonoidAggregators.modeString(month(col("ts")).cast("string")).cast("int").as("mode_month"),
+          MonoidAggregators.modeString(hour(col("ts")).cast("string")).cast("int").as("mode_hour"))
+    }),
+
     // DateListVectorizer pivots (reference DateListVectorizer.scala):
     // SinceFirst / SinceLast vs a reference date + ModeDay(-of-week)
     "q35_datelist_pivot" -> ((s, d) => {
@@ -70,6 +80,26 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // tiebreak is on the STRING form of the period (mode aggregator is
+    // string-typed), hence CAST(... AS VARCHAR) in the ORDER BY
+    "q67_datelist_modes" ->
+      """WITH mc AS (
+           SELECT user_id, CAST(MONTH(ts) AS VARCHAR) AS m, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         mr AS (
+           SELECT user_id, m,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, m ASC) AS rn
+           FROM mc),
+         hc AS (
+           SELECT user_id, CAST(HOUR(ts) AS VARCHAR) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         hr AS (
+           SELECT user_id, h,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, h ASC) AS rn
+           FROM hc)
+         SELECT mr.user_id, CAST(mr.m AS INT) AS mode_month, CAST(hr.h AS INT) AS mode_hour
+         FROM mr JOIN hr ON mr.user_id = hr.user_id AND mr.rn = 1 AND hr.rn = 1
+         WHERE mr.rn = 1""",
     "q29_onehot_topk" ->
       """WITH fitted AS (
            SELECT value, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rank

@@ -88,6 +88,13 @@ object Feature {
   def raw(name: String, kind: FeatureKind, isResponse: Boolean = false): Feature =
     new Feature(name, kind, isResponse)
 
+  /** Raw feature with a semantic subtype tag — the collapsed form of the
+    * reference's 45-class hierarchy (Email vs Text, ID vs Text, ...);
+    * dispatchers branch on the tag (Transmogrifier). */
+  def rawTagged(name: String, kind: FeatureKind, semantic: String,
+                isResponse: Boolean = false): Feature =
+    new Feature(name, kind, isResponse, None, Nil, Some(semantic))
+
   /** One raw feature per DataFrame column (reference
     * FeatureBuilder.fromDataFrame, FeatureBuilder.scala:193). */
   def fromSchema(schema: org.apache.spark.sql.types.StructType,

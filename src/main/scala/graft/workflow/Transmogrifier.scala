@@ -30,21 +30,37 @@ object Transmogrifier {
                    topK: Int = 3, minSupport: Long = 1): Plan = {
     val sorted = features.sortBy(_.name)
     val stages: Seq[Stage] = sorted.flatMap { f =>
-      f.kind match {
-        case RealK | IntegralK => Seq(Stages.imputeMean(f, s"${f.name}_f"))
-        case BinaryK => Seq(new ColumnStage("binaryVec", Seq(f)) {
+      (f.kind, f.semantic) match {
+        // semantic subtype dispatch (reference branches on the 45-class
+        // hierarchy; here on the collapsed tag):
+        // ids carry no signal — excluded from auto-vectorization
+        case (TextK, Some("id")) => Nil
+        // emails pivot on the DOMAIN, not the raw address
+        case (TextK, Some("email")) =>
+          val dom = new ColumnStage("emailDomain", Seq(f)) {
+            def expressions = Seq(s"${f.name}_domain" ->
+              graft.functions.TextFunctions.emailDomain(col(f.name)))
+            override protected def outputKind(n: String): FeatureKind = TextK
+          }
+          Seq(dom, Stages.oneHotTopK(dom.outputFeatures.head, s"${f.name}_dom", topK, minSupport))
+        case (RealK, _) | (IntegralK, _) => Seq(Stages.imputeMean(f, s"${f.name}_f"))
+        case (BinaryK, _) => Seq(new ColumnStage("binaryVec", Seq(f)) {
           def expressions = Seq(
             s"${f.name}_b" -> coalesce(col(f.name).cast("double"), lit(0.0)),
             s"${f.name}_isnull" -> when(col(f.name).isNull, 1).otherwise(0))
           override protected def outputKind(n: String): FeatureKind = RealK
         })
-        case TextK => Seq(Stages.oneHotTopK(f, f.name, topK, minSupport))
-        case DateK => Seq(Stages.monthUnitCircle(f, f.name))
-        case VectorK => Nil // assembled directly
+        case (TextK, _) => Seq(Stages.oneHotTopK(f, f.name, topK, minSupport))
+        case (DateK, _) => Seq(Stages.monthUnitCircle(f, f.name))
+        case (VectorK, _) => Nil // assembled directly
         case _ => Nil
       }
     }
-    val numericOuts = stages.flatMap(_.outputFeatures) ++ sorted.filter(_.kind == VectorK)
+    // only numeric stage outputs are assembled — intermediate text
+    // features (e.g. the email-domain column feeding its pivot) are not
+    val numericOuts = stages.flatMap(_.outputFeatures)
+      .filter(f => f.kind == RealK || f.kind == IntegralK || f.kind == BinaryK) ++
+      sorted.filter(_.kind == VectorK)
     val asm = Stages.assemble(numericOuts, out)
     Plan(stages :+ asm, asm.outputFeatures.head)
   }

@@ -224,6 +224,26 @@ class WorkflowSpec extends SparkSpec {
     assert(parsed.columns.contains("modelSelection"))
   }
 
+  test("Transmogrifier semantic dispatch: email pivots on domain, id excluded") {
+    val s = spark; import s.implicits._
+    val df0 = Seq(
+      (1L, "a@x.com", "u1", 10.0),
+      (2L, "b@x.com", "u2", 20.0),
+      (3L, "c@y.org", "u3", 30.0)
+    ).toDF("id", "mail", "uid", "x")
+    val fMail = Feature.rawTagged("mail", FeatureKind.TextK, "email")
+    val fUid = Feature.rawTagged("uid", FeatureKind.TextK, "id")
+    val fX = Feature.raw("x", FeatureKind.RealK)
+    val plan = Transmogrifier.transmogrify(Seq(fMail, fUid, fX), "vec", topK = 2)
+    val out = new Workflow(plan.resultFeatures).fit(df0).score(df0, keep = Seq("id"))
+      .orderBy("id")
+    val vecs = out.select("vec").as[Seq[Double]].collect()
+    // slots: mail domain one-hot (2 + other + null) then x impute (2); uid excluded
+    assert(vecs.head.length == 6, s"got ${vecs.head.length} slots")
+    // x.com is the top domain (2 docs): slot 0 fires for rows 1 and 2
+    assert(vecs(0)(0) == 1.0 && vecs(1)(0) == 1.0 && vecs(2)(0) == 0.0)
+  }
+
   test("lineage traversal annotates max distance") {
     val x = Feature.raw("x", RealK)
     val s1 = ColumnStage("a", Seq(x), "y", RealK)(_.head)
