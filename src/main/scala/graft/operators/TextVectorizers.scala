@@ -37,10 +37,18 @@ object TextVectorizers {
       .select(col("bucket"),
         log(lit(numDocs + 1.0) / (col("df_b") + 1.0)).as("idf"))
 
-  /** Sparse tf-idf: tf joined with the broadcast idf table. */
+  /** Sparse tf-idf: tf joined with the broadcast idf table. The idf fit
+    * is O(dims) rows, so it's collected into a local frame — the tf
+    * aggregation runs once for the fit and once when the result
+    * materializes (same cost as an uncached two-branch plan) and nothing
+    * stays persisted for the session lifetime. */
   def hashedTfIdf(df: DataFrame, id: Column, text: Column, dims: Int): DataFrame = {
-    val tf = hashedTf(df, id, text, dims).persist()
-    val idf = idfTable(tf, df.count())
+    val spark = df.sparkSession
+    val tf = hashedTf(df, id, text, dims)
+    val idfLocal = idfTable(tf, df.count()).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    import spark.implicits._
+    val idf = idfLocal.toDF("bucket", "idf")
     tf.join(broadcast(idf), "bucket")
       .select(col("id"), col("bucket"), (col("cnt") * col("idf")).as("tfidf"))
   }
@@ -141,7 +149,12 @@ object TextVectorizers {
         case "hash" =>
           val tf = tfVector(hashedTf(df, id, col(c), dims), dims)
             .withColumnRenamed("tf", s"${c}_tf")
+          // docs whose column tokenizes to nothing have no sparse tf rows;
+          // fill the left-join miss with a zero vector so downstream
+          // assemblers always see a fixed-width array
+          val zeros = array_repeat(lit(0.0), dims)
           acc.join(tf, Seq("id"), "left")
+            .withColumn(s"${c}_tf", coalesce(col(s"${c}_tf"), zeros))
         case _ => acc
       }
     }

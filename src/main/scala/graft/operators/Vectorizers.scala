@@ -25,12 +25,13 @@ object Vectorizers {
     * range-partitioned sort, then per-partition offsets (zipWithIndex).
     * Scales to any cardinality — used to rank fitted distinct-value
     * tables, where a global `row_number().over(Window.orderBy(...))`
-    * would collapse to one partition. 1-based like row_number. */
+    * would collapse to one partition. 1-based and LongType like
+    * row_number (an Int would silently wrap past 2^31 rows). */
   def withRowNumber(df: DataFrame, sort: Seq[Column], out: String): DataFrame = {
     val sorted = df.orderBy(sort: _*)
-    val schema = sorted.schema.add(out, org.apache.spark.sql.types.IntegerType, nullable = false)
+    val schema = sorted.schema.add(out, org.apache.spark.sql.types.LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }

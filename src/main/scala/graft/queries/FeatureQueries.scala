@@ -149,7 +149,7 @@ object FeatureQueries {
 
     "q34_string_index" ->
       """WITH idx AS (
-           SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INT) AS segment_idx
+           SELECT value, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS segment_idx
            FROM (SELECT c_mktsegment AS value, count(*) AS cnt FROM customer
                  WHERE c_mktsegment IS NOT NULL GROUP BY 1))
          SELECT c_custkey, segment_idx

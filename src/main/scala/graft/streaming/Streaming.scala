@@ -66,27 +66,39 @@ object Streaming {
 
   /** Per-key running state (beyond the reference, which has no stateful
     * streaming): event count + decimal-exact value sum + last event time
-    * per user, maintained with mapGroupsWithState. State is partitioned
-    * by key across executors; with a timeout configured Spark reclaims
-    * idle keys, bounding state by active keys. */
+    * per user, maintained with flatMapGroupsWithState. State is
+    * partitioned by key across executors. When `idleTimeout` is set
+    * (e.g. "30 minutes"), keys idle past it are dropped — state is then
+    * bounded by ACTIVE keys; with None it grows with total distinct keys
+    * (fine for bounded key domains, not for unbounded ones). */
   case class UserState(userId: Long, n: Long, sumValueCents: Long, lastTsMicros: Long)
-  def runningUserState(spark: SparkSession, stream: DataFrame)
+  def runningUserState(spark: SparkSession, stream: DataFrame,
+                       idleTimeout: Option[String] = None)
       : org.apache.spark.sql.Dataset[UserState] = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     stream.select(col("user_id").as[Long],
         (col("value") * 100).cast("long").as[Long],
         unix_micros(col("ts")).as[Long])
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[UserState, UserState](OutputMode.Update(), timeoutConf) {
         (key, rows, state) =>
-          val prev = state.getOption.getOrElse(UserState(key, 0L, 0L, Long.MinValue))
-          val next = rows.foldLeft(prev) { case (s, (_, cents, ts)) =>
-            UserState(key, s.n + 1, s.sumValueCents + cents, math.max(s.lastTsMicros, ts))
+          if (state.hasTimedOut) { // idle past the timeout: reclaim
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserState(key, 0L, 0L, Long.MinValue))
+            val next = rows.foldLeft(prev) { case (s, (_, cents, ts)) =>
+              UserState(key, s.n + 1, s.sumValueCents + cents, math.max(s.lastTsMicros, ts))
+            }
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
           }
-          state.update(next)
-          next
       }
   }
 

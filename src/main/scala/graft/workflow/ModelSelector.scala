@@ -36,14 +36,20 @@ object ModelSelector {
       validation: Validation,
       metric: (DataFrame, String, String) => Double,
       metricProbCol: String, // column passed to `metric` (prob or prediction)
-      maximize: Boolean) extends EstimatorStage { self =>
+      maximize: Boolean,
+      withProb: Boolean) extends EstimatorStage { self =>
 
     require(candidates.nonEmpty, "need at least one candidate")
     val name = "modelSelector"
     val inputs = Seq(features, label)
-    lazy val outputFeatures = Seq(
-      new Feature(s"${outPrefix}_prediction", FeatureKind.RealK, isResponse = false, Some(this), inputs),
-      new Feature(s"${outPrefix}_prob_1", FeatureKind.RealK, isResponse = false, Some(this), inputs))
+    // regression candidates emit no probability column, so the selector
+    // must not declare one (mirrors wrapPredictor's withProb output spec)
+    lazy val outputFeatures = {
+      val pred = new Feature(s"${outPrefix}_prediction", FeatureKind.RealK, isResponse = false, Some(this), inputs)
+      if (withProb)
+        Seq(pred, new Feature(s"${outPrefix}_prob_1", FeatureKind.RealK, isResponse = false, Some(this), inputs))
+      else Seq(pred)
+    }
 
     /** Populated by fit — the reference surfaces the same via
       * ModelSelectorSummary metadata. */
@@ -51,16 +57,17 @@ object ModelSelector {
     @volatile var bestName: String = _
 
     def fit(df: DataFrame): TransformerStage = {
-      val splits: Seq[(DataFrame, DataFrame)] = validation match {
-        case KFold(k, seed) =>
-          val withFold = df.withColumn("__fold", floor(rand(seed) * k).cast("int")).persist()
-          (0 until k).map(i => (
-            withFold.where(col("__fold") =!= i).drop("__fold"),
-            withFold.where(col("__fold") === i).drop("__fold")))
-        case TrainValidationSplit(f, seed) =>
-          val Array(tr, va) = df.randomSplit(Array(f, 1 - f), seed)
-          Seq((tr, va))
-      }
+      val (splits, foldFrame): (Seq[(DataFrame, DataFrame)], Option[DataFrame]) =
+        validation match {
+          case KFold(k, seed) =>
+            val withFold = df.withColumn("__fold", floor(rand(seed) * k).cast("int")).persist()
+            ((0 until k).map(i => (
+              withFold.where(col("__fold") =!= i).drop("__fold"),
+              withFold.where(col("__fold") === i).drop("__fold"))), Some(withFold))
+          case TrainValidationSplit(f, seed) =>
+            val Array(tr, va) = df.randomSplit(Array(f, 1 - f), seed)
+            (Seq((tr, va)), None)
+        }
       // candidate×fold fits run concurrently on a driver thread pool —
       // Spark's scheduler interleaves the jobs (reference
       // OpCrossValidation.scala:48 thread-pooled parallelism)
@@ -79,7 +86,13 @@ object ModelSelector {
       }
       results =
         try futures.map(f => Await.result(f, Duration.Inf))
-        finally pool.shutdown()
+        finally {
+          pool.shutdown()
+          // release the fold-annotated cache: the winner refit below runs
+          // on `df`, so keeping it would leak a full training-frame copy
+          // for the session lifetime
+          foldFrame.foreach(_.unpersist(blocking = false))
+        }
       val best = results.minBy(r => (if (maximize) -r.metric else r.metric, r.name))
       bestName = best.name
       val winner = candidates.find(_._1 == best.name).get._2
@@ -94,7 +107,7 @@ object ModelSelector {
              validation: Validation = KFold()): ModelSelectorStage =
     new ModelSelectorStage(features, label, outPrefix, candidates, validation,
       (df, probCol, labelCol) => MLTuning.binaryMetrics(df, probCol, labelCol).auroc,
-      s"${outPrefix}_prob_1", maximize = true)
+      s"${outPrefix}_prob_1", maximize = true, withProb = true)
 
   /** Default binary candidate pool: LR over a small regParam grid + RF
     * over a depth grid (reference DefaultSelectorParams.scala:71 has the
@@ -112,7 +125,7 @@ object ModelSelector {
                  validation: Validation = KFold()): ModelSelectorStage =
     new ModelSelectorStage(features, label, outPrefix, candidates, validation,
       (df, predCol, labelCol) => MLTuning.regressionMetrics(df, predCol, labelCol).rmse,
-      s"${outPrefix}_prediction", maximize = false)
+      s"${outPrefix}_prediction", maximize = false, withProb = false)
 
   /** DataCutter (reference tuning/DataCutter.scala:78,151): multiclass
     * label trim — keep the `maxClasses` most frequent labels whose

@@ -18,8 +18,8 @@ class VectorizersSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(3)("c") ++ Seq("d")).toDF("v")
     val top = Vectorizers.topKByCount(df, col("v"), k = 3, minSupport = 2)
-      .as[(String, Int)].collect().toMap
-    assert(top == Map("a" -> 1, "b" -> 2, "c" -> 3)) // a before b on tie
+      .as[(String, Long)].collect().toMap
+    assert(top == Map("a" -> 1L, "b" -> 2L, "c" -> 3L)) // a before b on tie
   }
 
   test("stringIndex is dense 0-based by frequency") {
@@ -28,8 +28,8 @@ class VectorizersSpec extends SparkSpec {
       .withColumn("id", monotonically_increasing_id())
     val idx = Vectorizers.stringIndex(df, col("id"), col("v"))
       .select("value", "idx").distinct()
-      .as[(String, Int)].collect().toMap
-    assert(idx == Map("x" -> 0, "y" -> 1, "z" -> 2))
+      .as[(String, Long)].collect().toMap
+    assert(idx == Map("x" -> 0L, "y" -> 1L, "z" -> 2L))
   }
 
   test("imputeMean fills nulls with the non-null mean + indicator") {
