@@ -23,8 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] runs driver AND all executor threads in one JVM: size the
+// heap for the machine (128 GiB), not for a cluster driver. 8g caused
+// constant G1 churn once the suite grew past ~50 queries (old-gen at
+// 90% through the whole bench, concurrent GC stealing executor cores).
+// Code cache likewise: 67 queries' generated classes overflow the
+// 240 MB default and flip hot paths back to the interpreter.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-Xms8g",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -38,4 +38,18 @@ object MapFunctions {
 
   /** Map value by key with null default (Prediction extract analog). */
   def valueAt(m: Column, key: String): Column = element_at(m, key)
+
+  /** UrlMap → PickListMap of domains (UrlMapToPickListMapTransformer):
+    * host part of each URL value. */
+  def urlDomains(m: Column): Column =
+    transform_values(m, (_, v) =>
+      regexp_extract(v, "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]+@)?([^/:?#]+)", 1))
+
+  /** DateMap → unit-circle sin/cos of month-of-year, as a map of
+    * 2-element arrays (DateMapToUnitCircleVectorizer.scala:134). */
+  def monthUnitCircleValues(m: Column): Column =
+    transform_values(m, (_, v) => {
+      val angle = (month(v) - 1) * lit(2 * math.Pi / 12)
+      array(sin(angle), cos(angle))
+    })
 }

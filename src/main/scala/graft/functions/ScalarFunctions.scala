@@ -68,6 +68,15 @@ object TextFunctions {
   def looksLikeHumanName(c: Column): Column =
     c.rlike("^[A-Z][a-z]{1,20}( [A-Z]\\.?)?( [A-Z][a-z]{1,20}){1,2}$")
 
+  /** Named-entity candidate extraction (reference NameEntityRecognizer /
+    * OpenNLPNameEntityTagger — OpenNLP model jars are not in this
+    * container, so this is the documented heuristic core: maximal runs
+    * of 2+ capitalized alphabetic tokens, the shape OpenNLP's
+    * person/organization finders score highest). Row-local regex;
+    * returns array<string> of candidate entity spans. */
+  def entityCandidates(c: Column): Column =
+    regexp_extract_all(c, lit("([A-Z][a-z]+(?: [A-Z][a-z]+)+)"), lit(1))
+
   /** Word n-grams (reference OpNGram.scala wraps ml.feature.NGram). */
   def ngrams(tokens: Column, n: Int): Column =
     filter(

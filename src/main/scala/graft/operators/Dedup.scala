@@ -89,11 +89,26 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: element j (1-based) = min over shingles of the
-    * md5-derived 60-bit hash of "j:shingle". */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      j => array_min(transform(shingles, s => hash60(concat_ws(":", j, s)))))
+  /** Mersenne prime modulus for the universal MinHash family; all
+    * intermediates stay below 2^62 so the arithmetic replays exactly in
+    * DuckDB BIGINTs (which error on overflow rather than wrap). */
+  val MinHashP = 2147483647L
+
+  /** MinHash signature via a universal hash family over ONE md5 per
+    * shingle: h = hash60(shingle) % p, slot j (1-based) =
+    * min over shingles of (a_j*h + b_j) mod p with
+    * a_j = j*2654435761 mod p, b_j = j*913841963 mod p, p = 2^31-1.
+    * The md5 is the dominant cost at corpus scale (it runs once per
+    * shingle instead of numHashes times); the per-slot mixing is plain
+    * codegen-able integer arithmetic, and the whole family replays
+    * bit-identically in the DuckDB oracle. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    val p = lit(MinHashP)
+    val hmod = transform(shingles, s => hash60(s) % p)
+    transform(sequence(lit(1), lit(numHashes)), j =>
+      array_min(transform(hmod,
+        h => pmod(pmod(j * lit(2654435761L), p) * h + pmod(j * lit(913841963L), p), p))))
+  }
 
   /** LSH band hashes of a minhash signature: bands of `rowsPerBand`
     * consecutive signature slots, each hashed to one bucket id. */

@@ -53,4 +53,113 @@ object MapVectorizers {
     }
     df.select(id.as("id") +: slotCols: _*)
   }
+
+  /** SmartTextMapVectorizer (reference SmartTextMapVectorizer.scala):
+    * discover keys, compute per-key TextStats (distinct count + length
+    * variance) in ONE explode + groupBy pass, then dispatch each key to
+    * pivot (low cardinality), hash (free text), or ignore — the same
+    * decision table as the scalar SmartTextVectorizer, applied per
+    * discovered key. */
+  def smartTextMapVectorize(df: DataFrame, id: Column, m: Column,
+                            maxCardinality: Long, topK: Int, dims: Int): DataFrame = {
+    val stats = df.select(explode(m).as(Seq("k", "v")))
+      .groupBy(col("k")).agg(
+        countDistinct(col("v")).as("nd"),
+        var_samp(length(col("v")).cast("double")).as("lv"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2))).sortBy(_._1)
+    val src = df.select(id.as("id"), m.as("__m"))
+    stats.foldLeft(src) { case (acc, (key, nd, lv)) =>
+      val cell = element_at(col("__m"), key)
+      if (nd <= maxCardinality) {
+        // pivot: this key's top-K values by (count desc, value asc)
+        val vals = df.select(explode(m).as(Seq("k", "v")))
+          .where(col("k") === key && col("v").isNotNull)
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("v").asc)
+          .limit(topK).collect().map(_.getString(0)).toSeq
+        val tops = vals.zipWithIndex.map { case (v, i) =>
+          when(cell === lit(v), 1).otherwise(0).as(s"${key}_${i + 1}")
+        }
+        val pad = (vals.length + 1 to topK).map(i => lit(0).as(s"${key}_$i"))
+        acc.select(col("*") +: (tops ++ pad ++ Seq(
+          when(cell.isNotNull && !cell.isin(vals: _*), 1).otherwise(0).as(s"${key}_other"),
+          when(cell.isNull, 1).otherwise(0).as(s"${key}_null"))): _*)
+      } else if (lv > 0) {
+        // hash: dense tf vector over the key's tokenized value; docs
+        // with no tokens get an explicit zero vector
+        val tf = TextVectorizers.tfVector(
+            TextVectorizers.hashedTf(df, id, element_at(m, key), dims), dims)
+          .withColumnRenamed("tf", s"${key}_tf")
+        val zeros = array_repeat(lit(0.0), dims)
+        acc.join(tf, Seq("id"), "left")
+          .withColumn(s"${key}_tf", coalesce(col(s"${key}_tf"), zeros))
+      } else acc
+    }.drop("__m")
+  }
+
+  /** RealMapVectorizer (reference OPMapVectorizer.scala RealMap branch):
+    * discover keys at fit time, mean-impute each key's value and emit a
+    * null indicator — columns `<key>_v`, `<key>_null`. Fit = one explode
+    * + groupBy(key) (O(#keys) rows, map keys are schema-like); the means
+    * fold into literals so the transform is a single codegen'd select. */
+  def realMapVectorize(df: DataFrame, id: Column, m: Column): DataFrame = {
+    val fitted = df.select(explode(m).as(Seq("k", "v")))
+      .where(col("v").isNotNull)
+      .groupBy(col("k")).agg(avg(col("v").cast("double")).as("mean"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+    val cols = fitted.flatMap { case (key, mean) =>
+      val cell = element_at(m, key)
+      Seq(coalesce(cell.cast("double"), lit(mean)).as(s"${key}_v"),
+        when(cell.isNull, 1).otherwise(0).as(s"${key}_null"))
+    }
+    df.select(id.as("id") +: cols.toSeq: _*)
+  }
+
+  /** BinaryMapVectorizer (reference OPMapVectorizer BinaryMap branch):
+    * each discovered key becomes a 0/1 column (null → 0) plus a null
+    * indicator, matching the reference's false-fill convention. */
+  def binaryMapVectorize(df: DataFrame, id: Column, m: Column): DataFrame = {
+    val keys = df.select(explode(map_keys(m)).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val cols = keys.flatMap { key =>
+      val cell = element_at(m, key)
+      Seq(coalesce(cell.cast("int"), lit(0)).as(s"${key}_b"),
+        when(cell.isNull, 1).otherwise(0).as(s"${key}_null"))
+    }
+    df.select(id.as("id") +: cols.toSeq: _*)
+  }
+
+  /** GeolocationMapVectorizer (reference GeolocationMapVectorizer.scala):
+    * map values are (lat, lon, accuracy) arrays; each discovered key is
+    * filled with that key's geodesic midpoint (3-D cartesian mean) and
+    * given a null indicator — the scalar geolocationVectorize treatment
+    * per key. Fit = explode + per-key midpoint agg (O(#keys) rows). */
+  def geoMapVectorize(df: DataFrame, id: Column, m: Column): DataFrame = {
+    val rad = math.Pi / 180.0
+    val ex = df.select(explode(m).as(Seq("k", "g")))
+      .where(col("g").isNotNull)
+      .select(col("k"),
+        col("g").getItem(0).as("lat"), col("g").getItem(1).as("lon"),
+        coalesce(col("g").getItem(2), lit(0.0)).as("acc"))
+    val mids = ex.groupBy(col("k")).agg(
+        avg(cos(col("lat") * rad) * cos(col("lon") * rad)).as("x"),
+        avg(cos(col("lat") * rad) * sin(col("lon") * rad)).as("y"),
+        avg(sin(col("lat") * rad)).as("z"),
+        avg(col("acc")).as("macc"))
+      .collect().map { r =>
+        val (x, y, z) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        val lat = math.atan2(z, math.sqrt(x * x + y * y)) / rad
+        val lon = math.atan2(y, x) / rad
+        r.getString(0) -> ((lat, lon, r.getDouble(4)))
+      }.sortBy(_._1)
+    val cols = mids.flatMap { case (key, (mLat, mLon, mAcc)) =>
+      val cell = element_at(m, key)
+      Seq(coalesce(cell.getItem(0), lit(mLat)).as(s"${key}_lat"),
+        coalesce(cell.getItem(1), lit(mLon)).as(s"${key}_lon"),
+        coalesce(cell.getItem(2), lit(mAcc)).as(s"${key}_acc"),
+        when(cell.isNull, 1).otherwise(0).as(s"${key}_geo_null"))
+    }
+    df.select(id.as("id") +: cols.toSeq: _*)
+  }
 }

@@ -74,8 +74,12 @@ object DedupQueries {
       s"""WITH sh AS ($SHINGLES),
           f AS (SELECT * FROM sh WHERE len(shingles) > 0),
           sig AS (
+            -- universal MinHash family over one md5 per shingle:
+            -- slot j = min((a_j*(h60(s)%p) + b_j) % p), p = 2^31-1
             SELECT doc_id, shingles,
-              [${"list_min(list_transform(shingles, s -> " + H60("CAST(j AS VARCHAR) || ':' || s") + "))"}
+              [list_min(list_transform(shingles, s ->
+                 (((j*2654435761) % 2147483647) * (${H60("s")} % 2147483647)
+                  + ((j*913841963) % 2147483647)) % 2147483647))
                for j in range(1, 13)] AS sig
             FROM f),
           band AS (

@@ -101,6 +101,20 @@ object MapQueries {
               lit("stat"), col("o_orderstatus")).as("tm"))
       MapVectorizers.textMapPivot(o, col("o_orderkey"), col("tm"), k = 2)
         .withColumnRenamed("id", "o_orderkey")
+    }),
+
+    // RealMapVectorizer: numeric map, keys discovered at fit, each key
+    // mean-imputed with a null indicator (zero discount treated as
+    // missing so the fill path is exercised on a table with no nulls)
+    "q68_map_real_vectorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
+          map(lit("qty"), col("l_quantity").cast("double"),
+              lit("disc"), nullif(col("l_discount"), lit(0.0)).cast("double")).as("nm"))
+      MapVectorizers.realMapVectorize(li, col("rid"), col("nm"))
+        .select(col("id").as("rid"),
+          round(col("qty_v"), 6).as("qty_v"), col("qty_null"),
+          round(col("disc_v"), 6).as("disc_v"), col("disc_null"))
     })
   )
 
@@ -159,6 +173,20 @@ object MapQueries {
                  AND o_orderstatus NOT IN ((SELECT v FROM s1), (SELECT v FROM s2))
                 THEN 1 ELSE 0 END AS stat_other,
            CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END AS stat_null
-         FROM orders"""
+         FROM orders""",
+
+    "q68_map_real_vectorize" ->
+      """WITH src AS (
+           SELECT l_orderkey || '-' || l_linenumber AS rid,
+                  CAST(l_quantity AS DOUBLE) AS qty,
+                  CAST(nullif(l_discount, 0.0) AS DOUBLE) AS disc
+           FROM lineitem),
+         stats AS (SELECT AVG(qty) AS mq, AVG(disc) AS md FROM src)
+         SELECT rid,
+           ROUND(COALESCE(qty, mq), 6) AS qty_v,
+           CASE WHEN qty IS NULL THEN 1 ELSE 0 END AS qty_null,
+           ROUND(COALESCE(disc, md), 6) AS disc_v,
+           CASE WHEN disc IS NULL THEN 1 ELSE 0 END AS disc_null
+         FROM src CROSS JOIN stats"""
   )
 }

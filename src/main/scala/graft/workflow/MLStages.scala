@@ -138,6 +138,16 @@ object MLStages {
       new DecisionTreeRegressor().setMaxDepth(maxDepth).setSeed(seed),
       features, label, outPrefix, withProb = false)
 
+  /** Multilayer perceptron classifier (reference OpMultilayerPerceptronClassifier,
+    * sparkwrappers/specific — layer sizes given explicitly: input dim,
+    * hidden sizes, #classes). Probabilistic → emits prob_1. */
+  def mlpClassifier(features: Feature, label: Feature, outPrefix: String,
+                    layers: Seq[Int], maxIter: Int = 50, seed: Long = 42L): EstimatorStage =
+    wrapPredictor("mlpClassifier",
+      new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+        .setLayers(layers.toArray).setMaxIter(maxIter).setSeed(seed),
+      features, label, outPrefix, withProb = true)
+
   def glmRegressor(features: Feature, label: Feature, outPrefix: String,
                    family: String = "gaussian", link: String = "identity",
                    maxIter: Int = 25, regParam: Double = 0.0): EstimatorStage =

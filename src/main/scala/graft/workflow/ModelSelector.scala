@@ -119,6 +119,26 @@ object ModelSelector {
       "rf_d3" -> MLStages.randomForest(features, label, outPrefix, numTrees = 20, maxDepth = 3),
       "rf_d5" -> MLStages.randomForest(features, label, outPrefix, numTrees = 20, maxDepth = 5))
 
+  /** Multiclass selector: weighted F1 on the prediction column,
+    * maximized (reference MultiClassificationModelSelector defaults use
+    * error-based metrics on the prediction; weighted F1 is its
+    * OpMultiClassificationEvaluator headline). No prob output — the
+    * positive-class probability is a binary-only concept. */
+  def multiclass(features: Feature, label: Feature, outPrefix: String,
+                 candidates: Seq[(String, EstimatorStage)],
+                 validation: Validation = KFold()): ModelSelectorStage =
+    new ModelSelectorStage(features, label, outPrefix, candidates, validation,
+      (df, predCol, labelCol) => MLTuning.multiclassMetrics(df, predCol, labelCol).weightedF1,
+      s"${outPrefix}_prediction", maximize = true, withProb = false)
+
+  /** Default multiclass candidate pool: multinomial LR + decision trees
+    * of two depths (reference DefaultSelectorParams families). */
+  def multiclassDefaults(features: Feature, label: Feature, outPrefix: String): Seq[(String, EstimatorStage)] =
+    Seq(
+      "lr_reg0" -> MLStages.logisticRegression(features, label, outPrefix, maxIter = 30, regParam = 0.0),
+      "dt_d3" -> MLStages.decisionTreeClassifier(features, label, outPrefix, maxDepth = 3),
+      "dt_d5" -> MLStages.decisionTreeClassifier(features, label, outPrefix, maxDepth = 5))
+
   /** Regression selector: RMSE on the prediction column, minimized. */
   def regression(features: Feature, label: Feature, outPrefix: String,
                  candidates: Seq[(String, EstimatorStage)],
