@@ -45,6 +45,17 @@ object MapFunctions {
     transform_values(m, (_, v) =>
       regexp_extract(v, "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]+@)?([^/:?#]+)", 1))
 
+  /** TextMapLenEstimator analog: per-key value lengths (absent/null
+    * value → 0, the reference's length-of-missing convention). */
+  def valueLengths(m: Column): Column =
+    transform_values(m, (_, v) => coalesce(length(v), lit(0)))
+
+  /** TextMapNullEstimator analog: per-key null indicator map (1 when
+    * the key's value is null or empty). */
+  def nullIndicators(m: Column): Column =
+    transform_values(m, (_, v) =>
+      when(v.isNull || length(v) === 0, 1).otherwise(0))
+
   /** DateMap → unit-circle sin/cos of month-of-year, as a map of
     * 2-element arrays (DateMapToUnitCircleVectorizer.scala:134). */
   def monthUnitCircleValues(m: Column): Column =

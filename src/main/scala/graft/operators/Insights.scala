@@ -78,4 +78,19 @@ object Insights {
       .where(col("rank") <= k)
       .select(col("id"), col("dim"), round(col("loco"), 6).as("loco"), col("rank"))
   }
+
+  /** Correlation-based record insights (reference insights/
+    * RecordInsightsCorr.scala): Pearson correlation of every vector slot
+    * against the model score, ranked by |corr| desc with dim-asc
+    * tiebreak. ONE aggregation pass: slots posexplode to (dim, x, score)
+    * and corr() runs per dim — a hash aggregation keyed on dim, never a
+    * per-slot job. */
+  def corrInsights(df: DataFrame, emb: Column, score: Column): DataFrame =
+    df.select(score.as("s"), posexplode(emb).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(corr(col("x"), col("s")).as("corr_raw"))
+      .withColumn("correlation", round(col("corr_raw"), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(coalesce(col("corr_raw"), lit(0.0))).desc, col("dim").asc)))
+      .select(col("dim"), col("correlation"), col("rank"))
 }

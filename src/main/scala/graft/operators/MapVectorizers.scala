@@ -68,16 +68,19 @@ object MapVectorizers {
         var_samp(length(col("v")).cast("double")).as("lv"))
       .collect().map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) 0.0 else r.getDouble(2))).sortBy(_._1)
+    // ONE fitted pivot table for every key (per-key window rank, no
+    // per-key jobs), consulted only for keys the stats route to pivot
+    val pivotVals: Map[String, Seq[String]] =
+      fitMapPivot(df, m, topK, minSupport = 1).collect()
+        .groupBy(_.getString(0))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq
+        }
     val src = df.select(id.as("id"), m.as("__m"))
     stats.foldLeft(src) { case (acc, (key, nd, lv)) =>
       val cell = element_at(col("__m"), key)
       if (nd <= maxCardinality) {
-        // pivot: this key's top-K values by (count desc, value asc)
-        val vals = df.select(explode(m).as(Seq("k", "v")))
-          .where(col("k") === key && col("v").isNotNull)
-          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("v").asc)
-          .limit(topK).collect().map(_.getString(0)).toSeq
+        val vals = pivotVals.getOrElse(key, Nil)
         val tops = vals.zipWithIndex.map { case (v, i) =>
           when(cell === lit(v), 1).otherwise(0).as(s"${key}_${i + 1}")
         }

@@ -136,6 +136,29 @@ object Vectorizers {
       when(lat.isNull || lon.isNull, 1).otherwise(0).as("geo_isnull"))
   }
 
+  /** OpSetVectorizer (reference OpOneHotVectorizer.scala:164): one-hot
+    * pivot of a SET-valued column — fit counts each value's document
+    * frequency (explode + groupBy, one shuffle), keep top-K >= minSupport
+    * with the (count desc, value asc) order; transform marks slot i when
+    * the set CONTAINS value i (sets can light several slots, unlike the
+    * scalar pivot), plus Other (any non-top element) and Null/empty. */
+  def setPivotVectorize(df: DataFrame, id: Column, set: Column,
+                        k: Int, minSupport: Long): DataFrame = {
+    val counts = df.select(explode(set).as("value"))
+      .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+      .where(col("value").isNotNull && col("cnt") >= minSupport)
+    val fitted = withRowNumber(counts, Seq(col("cnt").desc, col("value").asc), "rank")
+      .where(col("rank") <= k)
+      .collect().map(r => r.getString(0)).toSeq
+    val slots = fitted.zipWithIndex.map { case (v, i) =>
+      when(array_contains(set, v), 1).otherwise(0).as(s"slot_${i + 1}")
+    } ++ (fitted.length + 1 to k).map(i => lit(0).as(s"slot_$i"))
+    df.select(id.as("id") +: (slots ++ Seq(
+      when(set.isNotNull &&
+        size(array_except(set, lit(fitted.toArray))) > 0, 1).otherwise(0).as("slot_other"),
+      when(set.isNull || size(set) === 0, 1).otherwise(0).as("slot_null"))): _*)
+  }
+
   /** Fitted (value, idx) table: 0-based index by (count desc, value asc). */
   def stringIndexTable(df: DataFrame, value: Column): DataFrame = {
     val counts = df.where(value.isNotNull)

@@ -66,6 +66,17 @@ object FeatureQueries {
           MonoidAggregators.modeString(hour(col("ts")).cast("string")).cast("int").as("mode_hour"))
     }),
 
+    // OpSetVectorizer: multi-valued set pivot — per order the SET of
+    // return flags, top-2 one-hot where a row can light several slots
+    "q69_set_pivot" -> ((s, d) => {
+      val sets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_returnflag")).as("flags"))
+      Vectorizers.setPivotVectorize(sets, col("l_orderkey"), col("flags"),
+          k = 2, minSupport = 1)
+        .withColumnRenamed("id", "l_orderkey")
+    }),
+
     // DateListVectorizer pivots (reference DateListVectorizer.scala):
     // SinceFirst / SinceLast vs a reference date + ModeDay(-of-week)
     "q35_datelist_pivot" -> ((s, d) => {
@@ -154,6 +165,28 @@ object FeatureQueries {
                  WHERE c_mktsegment IS NOT NULL GROUP BY 1))
          SELECT c_custkey, segment_idx
          FROM customer LEFT JOIN idx ON c_mktsegment = idx.value""",
+
+    "q69_set_pivot" ->
+      """WITH sets AS (
+           SELECT l_orderkey, list_distinct(list(l_returnflag)) AS s
+           FROM lineitem GROUP BY 1),
+         ex AS (SELECT unnest(s) AS value FROM sets),
+         counts AS (
+           SELECT value, count(*) AS cnt FROM ex
+           WHERE value IS NOT NULL GROUP BY 1 HAVING count(*) >= 1),
+         ranked AS (
+           SELECT value, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rank
+           FROM counts QUALIFY rank <= 2),
+         tops AS (
+           SELECT (SELECT value FROM ranked WHERE rank = 1) AS a,
+                  (SELECT value FROM ranked WHERE rank = 2) AS b)
+         SELECT l_orderkey,
+           CASE WHEN list_contains(s, a) THEN 1 ELSE 0 END AS slot_1,
+           CASE WHEN list_contains(s, b) THEN 1 ELSE 0 END AS slot_2,
+           CASE WHEN len(list_filter(s, x -> x != a AND x != b)) > 0
+                THEN 1 ELSE 0 END AS slot_other,
+           CASE WHEN s IS NULL OR len(s) = 0 THEN 1 ELSE 0 END AS slot_null
+         FROM sets CROSS JOIN tops""",
 
     "q35_datelist_pivot" ->
       """WITH ref AS (SELECT TIMESTAMP '2024-06-30 00:00:00' AS r),

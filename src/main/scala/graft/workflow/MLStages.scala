@@ -356,6 +356,22 @@ object MLTuning {
     MulticlassMetrics(acc, weighted(_._2), weighted(_._3), weighted(_._4))
   }
 
+  /** Top-K accuracy family (reference OpMultiClassificationEvaluator
+    * topK metrics, OpMultiClassificationEvaluator.scala): fraction of
+    * rows whose true label is among the K highest-probability classes.
+    * Probabilities arrive as array<double> indexed by class; ties count
+    * as hits (strictly-better classes < K). One aggregation pass for
+    * every K. */
+  def topKAccuracy(df: DataFrame, probsCol: String, labelCol: String,
+                   ks: Seq[Int]): Map[Int, Double] = {
+    val lbl = col(labelCol).cast("int")
+    val pLabel = element_at(col(probsCol), lbl + 1)
+    val better = size(filter(col(probsCol), p => p > pLabel))
+    val aggs = ks.map(k => avg(when(better < k, 1.0).otherwise(0.0)).as(s"top$k"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    ks.zipWithIndex.map { case (k, i) => k -> row.getDouble(i) }.toMap
+  }
+
   /** Binary log-loss (reference stages/impl/evaluator/OPLogLoss.scala):
     * -mean(y ln p + (1-y) ln(1-p)), probabilities clamped to
     * [eps, 1-eps]. One aggregation. */
