@@ -46,6 +46,18 @@ object MonoidAggregators {
   def concatLists(value: Column, ts: Column): Column =
     flatten(transform(array_sort(collect_list(struct(ts.as("t"), value.as("v")))),
       x => x.getField("v")))
+  /** Max/MinDateList family (reference aggregators/Lists.scala:56-74):
+    * union the per-row date lists and keep the single extreme value, as
+    * a one-element list (the reference's DateList-of-one shape). Nulls
+    * and empty lists are transparent: array_max/min of an empty list is
+    * null and max/min skip nulls. */
+  def maxDateList(c: Column): Column = array(max(array_max(c)))
+  def minDateList(c: Column): Column = array(min(array_min(c)))
+  /** CombineVector (reference aggregators/OPVector.scala:43):
+    * concatenate vectors across rows. The reference's monoid is
+    * encounter-ordered (non-deterministic under shuffle); ours orders by
+    * an explicit sort key so results are stable under any partitioning. */
+  def combineVectors(v: Column, ord: Column): Column = concatLists(v, ord)
   /** HLL cardinality guard (reference OpOneHotVectorizer.scala:260-267):
     * error ≈ 1.04/sqrt(2^bits); rsd for bits=12 ≈ 0.0162. */
   def hllDistinct(c: Column, bits: Int = 12): Column =

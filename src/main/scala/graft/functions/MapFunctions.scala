@@ -36,6 +36,19 @@ object MapFunctions {
   def monthOfYearValues(m: Column): Column =
     transform_values(m, (_, v) => month(v))
 
+  /** Remaining TimePeriodMapTransformer periods (reference TimePeriod
+    * enum: DayOfMonth/DayOfWeek/DayOfYear/HourOfDay/WeekOfYear). */
+  def dayOfMonthValues(m: Column): Column =
+    transform_values(m, (_, v) => dayofmonth(v))
+  def dayOfWeekValues(m: Column): Column =
+    transform_values(m, (_, v) => dayofweek(v))
+  def dayOfYearValues(m: Column): Column =
+    transform_values(m, (_, v) => dayofyear(v))
+  def hourOfDayValues(m: Column): Column =
+    transform_values(m, (_, v) => hour(v))
+  def weekOfYearValues(m: Column): Column =
+    transform_values(m, (_, v) => weekofyear(v))
+
   /** Map value by key with null default (Prediction extract analog). */
   def valueAt(m: Column, key: String): Column = element_at(m, key)
 

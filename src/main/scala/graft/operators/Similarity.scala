@@ -262,6 +262,110 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) coarse quantization — the other classic ANN
+    * scale path next to LSH: partition the corpus into `nList` cells
+    * around centroid vectors; a query probes only the `nProbe` cells
+    * whose centroids score highest, then exact-re-ranks inside them, so
+    * query work drops from O(n) to ~O(n·nProbe/nList) while the
+    * assignment pass stays one corpus scan against a broadcast centroid
+    * table. Centroids are tiny (nList×dim doubles) so the fit collects
+    * them to the driver and broadcasts — the same per-iteration shape
+    * spark.ml KMeans uses; at 100 TB grow nList ~ sqrt(n) and the
+    * mechanics are unchanged.
+    *
+    * Centroid fit: deterministic seeds (the embeddings of the nList
+    * smallest ids — oracle-replayable), optionally refined with
+    * `lloydRounds` spherical k-means rounds (mean of assigned unit
+    * vectors; refined centroids are float-sum order-sensitive, so gate
+    * refined indexes with recall specs, not hash oracles). */
+  def ivfCentroids(corpus: DataFrame, nList: Int, lloydRounds: Int = 0): Array[Array[Double]] = {
+    val e = corpus.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    var cents: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(nList)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var round = 0
+    while (round < lloydRounds) {
+      val assign = ivfAssignUdf(cents)
+      // per-(cell, dim) mean via posexplode: partial+final avg, never a
+      // whole-cell vector list in one buffer — the 100 TB-safe form
+      val refined = e.withColumn("cell", assign(col("emb")))
+        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+      cents = Array.tabulate(cents.length)(i => refined.getOrElse(i, cents(i)))
+      round += 1
+    }
+    cents
+  }
+
+  /** Cell id = argmax over centroids of cosine(emb, centroid), ties to
+    * the smaller cell id — the exact ordering the oracle replays with
+    * ROW_NUMBER OVER (ORDER BY cos DESC, cid ASC). */
+  private def ivfAssignUdf(cents: Array[Array[Double]]) = {
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    udf((e: Seq[Double]) => {
+      val a = e.toArray
+      var en = 0.0; var i = 0
+      while (i < a.length) { en += a(i) * a(i); i += 1 }
+      en = math.sqrt(en)
+      var best = Double.NegativeInfinity; var bestC = 0; var c = 0
+      while (c < cents.length) {
+        val cc = cents(c); var s = 0.0; var j = 0
+        while (j < cc.length) { s += a(j) * cc(j); j += 1 }
+        val cos = s / (en * norms(c))
+        if (cos > best) { best = cos; bestC = c }
+        c += 1
+      }
+      bestC
+    })
+  }
+
+  /** The query-side probe list: the nProbe cells with the highest
+    * centroid cosine, in (cos desc, cid asc) order. */
+  private def ivfProbeUdf(cents: Array[Array[Double]], nProbe: Int) = {
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    udf((e: Seq[Double]) => {
+      val a = e.toArray
+      var en = 0.0; var i = 0
+      while (i < a.length) { en += a(i) * a(i); i += 1 }
+      en = math.sqrt(en)
+      val scored = Array.tabulate(cents.length) { c =>
+        val cc = cents(c); var s = 0.0; var j = 0
+        while (j < cc.length) { s += a(j) * cc(j); j += 1 }
+        (s / (en * norms(c)), c)
+      }
+      scored.sortBy { case (cos, c) => (-cos, c) }.take(nProbe).map(_._2)
+    })
+  }
+
+  /** IVF ANN top-k: assign the corpus once (broadcast centroids, one
+    * scan), explode each query into its nProbe probe cells, hash-join
+    * on the cell id, exact cosine re-rank — no all-pairs product, every
+    * shuffle keyed on a cell id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nList: Int,
+              nProbe: Int, lloydRounds: Int = 0): DataFrame = {
+    val cents = ivfCentroids(corpus, nList, lloydRounds)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+        toDouble(col("embedding")).as("c_emb"))
+      .withColumn("cell", ivfAssignUdf(cents)(col("c_emb")))
+      .withColumn("c_nrm", norm(col("c_emb")))
+    val q = queries.select(col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("q_emb"))
+      .withColumn("probe", explode(ivfProbeUdf(cents, nProbe)(col("q_emb"))))
+      .withColumn("q_nrm", norm(col("q_emb")))
+    val scored = c.join(broadcast(q), c("cell") === q("probe"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePreNormed(dotFast(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")).as("cos"))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's SRP bucket; exact
     * cosine re-rank within the bucket. Approximate (recall < 1) but
     * deterministic — the oracle replays the identical buckets. */

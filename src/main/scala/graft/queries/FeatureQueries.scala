@@ -77,6 +77,35 @@ object FeatureQueries {
         .withColumnRenamed("id", "l_orderkey")
     }),
 
+    // Max/MinDateList + ConcatList monoids (reference Lists.scala:41-74):
+    // per-row singleton date lists and (type, id) string lists, unioned
+    // per user — extremes as one-element lists, concat ordered by id
+    "q70_datelist_minmax_concat" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          array(unix_micros(col("ts"))).as("dl"),
+          array(col("event_type"), col("event_id").cast("string")).as("lst"))
+        .groupBy(col("user_id"))
+        .agg(
+          element_at(MonoidAggregators.maxDateList(col("dl")), 1).as("max_ts"),
+          element_at(MonoidAggregators.minDateList(col("dl")), 1).as("min_ts"),
+          array_join(MonoidAggregators.concatLists(col("lst"), col("event_id")), ",").as("trail"))
+    }),
+
+    // CombineVector monoid (reference OPVector.scala:43): concatenate
+    // embeddings per label in vec_id order; gate on shape + endpoints
+    // (exact float→double values, no float-sum order sensitivity)
+    "q73_combine_vectors" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).where(col("vec_id") < 40)
+        .select(col("label"), col("vec_id"),
+          graft.operators.Similarity.toDouble(col("embedding")).as("emb"))
+      e.groupBy(col("label"))
+        .agg(MonoidAggregators.combineVectors(col("emb"), col("vec_id")).as("combined"))
+        .select(col("label"), size(col("combined")).as("n_dims"),
+          round(element_at(col("combined"), 1), 6).as("first_v"),
+          round(element_at(col("combined"), size(col("combined"))), 6).as("last_v"))
+    }),
+
     // DateListVectorizer pivots (reference DateListVectorizer.scala):
     // SinceFirst / SinceLast vs a reference date + ModeDay(-of-week)
     "q35_datelist_pivot" -> ((s, d) => {
@@ -91,6 +120,26 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_datelist_minmax_concat" ->
+      """SELECT user_id,
+           epoch_us(MAX(ts)) AS max_ts, epoch_us(MIN(ts)) AS min_ts,
+           STRING_AGG(event_type || ',' || CAST(event_id AS VARCHAR), ','
+                      ORDER BY event_id) AS trail
+         FROM events GROUP BY 1""",
+
+    "q73_combine_vectors" ->
+      """WITH e AS (
+           SELECT label, vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE vec_id < 40),
+         g AS (
+           SELECT label, flatten(list(emb ORDER BY vec_id)) AS combined
+           FROM e GROUP BY label)
+         SELECT label, CAST(len(combined) AS INT) AS n_dims,
+           ROUND(combined[1], 6) AS first_v,
+           ROUND(combined[len(combined)], 6) AS last_v
+         FROM g""",
+
     // tiebreak is on the STRING form of the period (mode aggregator is
     // string-typed), hence CAST(... AS VARCHAR) in the ORDER BY
     "q67_datelist_modes" ->

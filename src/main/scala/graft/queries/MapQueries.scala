@@ -103,6 +103,44 @@ object MapQueries {
         .withColumnRenamed("id", "o_orderkey")
     }),
 
+    // EmailToPickListMap / UrlMapToPickListMap + TextMapLen/Null
+    // (reference EmailToPickListMapTransformer, UrlMapToPickListMap-
+    // Transformer, TextMapLenEstimator, TextMapNullEstimator): email and
+    // URL map values reduced to domains; per-key lengths and null
+    // indicators (BUILDING nulled so the indicator path fires)
+    "q71_map_text_transforms" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          map(lit("e"), concat(lower(col("c_name")), lit("@"),
+            lower(col("c_mktsegment")), lit(".com"))).as("em"),
+          map(lit("u"), concat(lit("https://www."),
+            lower(col("c_mktsegment")), lit(".com/a/b"))).as("um"),
+          map(lit("n"), col("c_name"),
+              lit("seg"), nullif(col("c_mktsegment"), lit("BUILDING"))).as("tm"))
+      c.select(col("c_custkey"),
+        MapFunctions.valueAt(MapFunctions.emailDomains(col("em")), "e").as("email_domain"),
+        MapFunctions.valueAt(MapFunctions.urlDomains(col("um")), "u").as("url_domain"),
+        MapFunctions.valueAt(MapFunctions.valueLengths(col("tm")), "n").as("name_len"),
+        MapFunctions.valueAt(MapFunctions.nullIndicators(col("tm")), "seg").as("seg_null"))
+    }),
+
+    // TimePeriodMapTransformer family (reference TimePeriodMapTransformer
+    // + DateMapToUnitCircleVectorizer): day-of-month/week/year, ISO week
+    // and the month unit-circle encoding over a DateMap
+    "q72_map_time_periods" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), map(lit("od"), col("o_orderdate")).as("dm"))
+      o.select(col("o_orderkey"),
+        MapFunctions.valueAt(MapFunctions.dayOfMonthValues(col("dm")), "od").as("dom"),
+        MapFunctions.valueAt(MapFunctions.dayOfWeekValues(col("dm")), "od").as("dow"),
+        MapFunctions.valueAt(MapFunctions.dayOfYearValues(col("dm")), "od").as("doy"),
+        MapFunctions.valueAt(MapFunctions.weekOfYearValues(col("dm")), "od").as("woy"),
+        round(element_at(
+          MapFunctions.valueAt(MapFunctions.monthUnitCircleValues(col("dm")), "od"), 1), 6).as("m_sin"),
+        round(element_at(
+          MapFunctions.valueAt(MapFunctions.monthUnitCircleValues(col("dm")), "od"), 2), 6).as("m_cos"))
+    }),
+
     // RealMapVectorizer: numeric map, keys discovered at fit, each key
     // mean-imputed with a null indicator (zero discount treated as
     // missing so the fill path is exercised on a table with no nulls)
@@ -173,6 +211,24 @@ object MapQueries {
                  AND o_orderstatus NOT IN ((SELECT v FROM s1), (SELECT v FROM s2))
                 THEN 1 ELSE 0 END AS stat_other,
            CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END AS stat_null
+         FROM orders""",
+
+    "q71_map_text_transforms" ->
+      """SELECT c_custkey,
+           lower(c_mktsegment) || '.com' AS email_domain,
+           'www.' || lower(c_mktsegment) || '.com' AS url_domain,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_null
+         FROM customer""",
+
+    "q72_map_time_periods" ->
+      """SELECT o_orderkey,
+           CAST(DAYOFMONTH(o_orderdate) AS INT) AS dom,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow,
+           CAST(DAYOFYEAR(o_orderdate) AS INT) AS doy,
+           CAST(WEEKOFYEAR(o_orderdate) AS INT) AS woy,
+           ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS m_sin,
+           ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS m_cos
          FROM orders""",
 
     "q68_map_real_vectorize" ->

@@ -32,6 +32,13 @@ object SimilarityQueries {
       Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
     }),
 
+    // IVF coarse-quantization ANN: 16 deterministic-seed cells, queries
+    // probe the 4 nearest cells, exact re-rank within them
+    "q74_sim_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.where(expr(QUERY_PRED)), K, nList = 16, nProbe = 4)
+    }),
+
     // RecordInsightsLOCO over a linear-logistic scorer with md5-derived
     // weights (deterministic, so the oracle replays the exact insight)
     "q60_loco_insights" -> ((s, d) => {
@@ -96,6 +103,42 @@ object SimilarityQueries {
             SELECT query_id, neighbor_id, ${cosSql("q_emb", "c_emb")} AS cos
             FROM c JOIN q USING (bucket)
             WHERE query_id <> neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= $K""",
+
+    "q74_sim_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, emb AS cemb
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          assigned AS (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT a.vec_id, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                   ORDER BY ${cosSql("a.emb", "c.cemb")} DESC, c.cid ASC) AS rn
+              FROM e a CROSS JOIN cents c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS query_id, cid AS probe FROM (
+              SELECT q.vec_id, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                   ORDER BY ${cosSql("q.emb", "c.cemb")} DESC, c.cid ASC) AS rn
+              FROM e q CROSS JOIN cents c WHERE $QUERY_PRED)
+            WHERE rn <= 4),
+          scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ${cosSql("qe.emb", "ce.emb")} AS cos
+            FROM probes p
+            JOIN assigned a ON a.cell = p.probe
+            JOIN e qe ON qe.vec_id = p.query_id
+            JOIN e ce ON ce.vec_id = a.vec_id
+            WHERE p.query_id <> a.vec_id),
           ranked AS (
             SELECT query_id, neighbor_id, cos,
                    ROW_NUMBER() OVER (PARTITION BY query_id

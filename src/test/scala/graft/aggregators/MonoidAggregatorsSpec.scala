@@ -56,6 +56,26 @@ class MonoidAggregatorsSpec extends SparkSpec {
     assert(out == Map("a" -> 1.0, "b" -> 5.0))
   }
 
+  test("max/minDateList keep the extreme across per-row lists as a singleton list") {
+    val s = spark; import s.implicits._
+    val df = Seq(("k", Seq(5L, 9L)), ("k", Seq(1L)), ("k", Seq.empty[Long]))
+      .toDF("k", "dl")
+    val out = df.groupBy("k")
+      .agg(maxDateList(col("dl")).as("mx"), minDateList(col("dl")).as("mn"))
+      .as[(String, Seq[Long], Seq[Long])].collect().head
+    assert(out._2 == Seq(9L))
+    assert(out._3 == Seq(1L))
+  }
+
+  test("combineVectors concatenates in sort-key order") {
+    val s = spark; import s.implicits._
+    val df = Seq(("k", 2L, Seq(3.0, 4.0)), ("k", 1L, Seq(1.0, 2.0)))
+      .toDF("k", "ord", "v")
+    val out = df.groupBy("k").agg(combineVectors(col("v"), col("ord")).as("c"))
+      .as[(String, Seq[Double])].collect().head._2
+    assert(out == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("GeoMidpoint averages on the sphere and keeps best accuracy") {
     val s = spark; import s.implicits._
     val ds = Seq((0.0, 0.0, 1.0), (0.0, 90.0, 5.0)).toDS()

@@ -77,6 +77,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.95))
   }
 
+  test("ivfTopK probes enough cells to match brute force on a clustered corpus") {
+    val s = spark; import s.implicits._
+    // 3 well-separated clusters of 10 vectors each in 8 dims
+    val rows = (0L until 30L).map { id =>
+      val c = (id % 3).toInt
+      val base = Array.tabulate(8)(i => if (i % 3 == c) 1.0 else 0.05)
+      val e = base.zipWithIndex.map { case (x, i) => (x + 0.01 * math.sin(id * 13 + i)).toFloat }
+      (id, e)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // probing every cell makes IVF exhaustive -> identical answers
+    val ivfAll = Similarity.ivfTopK(df, queries, k = 5, nList = 6, nProbe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfAll == exact)
+    // probing 2 of 6 cells keeps high recall on clustered data
+    val ivf2 = Similarity.ivfTopK(df, queries, k = 5, nList = 6, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((ivf2 & exact).size >= (exact.size * 4) / 5)
+  }
+
+  test("ivfCentroids Lloyd refinement pulls centroids to cluster means") {
+    val s = spark; import s.implicits._
+    val rows = (0L until 30L).map { id =>
+      val c = (id % 3).toInt
+      val e = Array.tabulate(6)(i => if (i % 3 == c) 1.0f else 0.0f)
+      (id, e)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val refined = Similarity.ivfCentroids(df, nList = 3, lloydRounds = 2)
+    // seeds are ids 0,1,2 = one per cluster; after refinement each
+    // centroid is its cluster's exact mean (all members identical)
+    refined.zipWithIndex.foreach { case (cent, c) =>
+      val want = Array.tabulate(6)(i => if (i % 3 == c) 1.0 else 0.0)
+      assert(cent.zip(want).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    }
+  }
+
   test("srpBucket: same vector -> same bucket; opposite -> different") {
     val s = spark; import s.implicits._
     val b = vecs.select(col("vec_id"),
