@@ -102,6 +102,102 @@ object DataQuality {
           col("s.variance") >= minVariance).as("keep"))
   }
 
+  /** SanityChecker feature-feature correlation matrix (reference
+    * SanityChecker.scala maxFeatureCorrelation:102): every pairwise
+    * Pearson corr plus label corr and variance, ONE aggregation pass
+    * (n + n + n(n-1)/2 agg expressions — the buffer is O(#features²),
+    * schema-sized, never row-scaled). Output: one row per feature with
+    * its max |corr| against any other feature. */
+  def featureCorrStats(
+      df: DataFrame, label: String, features: Seq[String],
+      maxFeatureCorrelation: Double): DataFrame = {
+    val pairs = for {
+      i <- features.indices; j <- features.indices if i < j
+    } yield (features(i), features(j))
+    val aggs =
+      features.map(f => corr(col(label), col(f)).as(s"lc_$f")) ++
+      features.map(f => var_samp(col(f)).as(s"v_$f")) ++
+      pairs.map { case (a, b) => corr(col(a), col(b)).as(s"ff_${a}__$b") }
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = features.map { f =>
+      val others = pairs.collect {
+        case (a, b) if a == f => abs(col(s"ff_${a}__$b"))
+        case (a, b) if b == f => abs(col(s"ff_${a}__$b"))
+      }
+      val maxOther = others.length match {
+        case 0 => lit(null).cast("double") // greatest() needs 2+ args
+        case 1 => others.head
+        case _ => greatest(others: _*)
+      }
+      struct(lit(f).as("feature"), col(s"lc_$f").as("label_corr"),
+        col(s"v_$f").as("variance"), maxOther.as("max_other_corr"))
+    }
+    agg.select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.feature"),
+        round(col("s.label_corr"), 6).as("label_corr"),
+        round(col("s.variance"), 6).as("variance"),
+        round(col("s.max_other_corr"), 6).as("max_other_corr"),
+        (col("s.max_other_corr") > maxFeatureCorrelation).as("flag_feature_corr"))
+  }
+
+  /** SanityChecker removal wiring (reference SanityChecker fitFn:367 —
+    * compute stats, then SLICE the failing features out): label-corr /
+    * variance gates drop outright; of each too-correlated feature PAIR
+    * only one is dropped — features are ranked by (|label_corr| desc,
+    * name) and greedily kept unless they correlate > maxFeatureCorr
+    * with an already-kept feature (the reference's keep-the-stronger
+    * convention, made deterministic). Stats collect is O(#features²) —
+    * a driver-side plan decision, not row-scaled data movement.
+    * Returns (df minus dropped columns, dropped names sorted). */
+  def sanityCheckApply(
+      df: DataFrame, label: String, features: Seq[String],
+      minCorrelation: Double, maxCorrelation: Double, minVariance: Double,
+      maxFeatureCorrelation: Double): (DataFrame, Seq[String]) = {
+    val pairs = for {
+      i <- features.indices; j <- features.indices if i < j
+    } yield (features(i), features(j))
+    val aggs =
+      features.map(f => corr(col(label), col(f)).as(s"lc_$f")) ++
+      features.map(f => var_samp(col(f)).as(s"v_$f")) ++
+      pairs.map { case (a, b) => corr(col(a), col(b)).as(s"ff_${a}__$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    def d(name: String): Double = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+    }
+    val labelCorr = features.map(f => f -> d(s"lc_$f")).toMap
+    val variance = features.map(f => f -> d(s"v_$f")).toMap
+    val ffCorr = pairs.map { case (a, b) => (a, b) -> d(s"ff_${a}__$b") }.toMap
+    def pairCorr(a: String, b: String): Double =
+      ffCorr.getOrElse((a, b), ffCorr.getOrElse((b, a), Double.NaN))
+    val gatePassed = features.filter { f =>
+      val lc = math.abs(labelCorr(f))
+      !lc.isNaN && lc <= maxCorrelation && lc >= minCorrelation &&
+        variance(f) >= minVariance
+    }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    gatePassed.sortBy(f => (-math.abs(labelCorr(f)), f)).foreach { f =>
+      if (!kept.exists(k => math.abs(pairCorr(k, f)) > maxFeatureCorrelation))
+        kept += f
+    }
+    val dropped = (features.toSet -- kept).toSeq.sorted
+    (df.drop(dropped: _*), dropped)
+  }
+
+  /** RawFeatureFilter removal wiring (reference
+    * RawFeatureFilter.generateFilteredRaw:486 + OpWorkflow
+    * generateRawData:235-261): evaluate the fill/drift gate and DROP the
+    * failing raw columns from the training frame. The stats collect is
+    * one O(#columns) row. Returns (cleaned train, dropped names). */
+  def rawFeatureFilterApply(
+      train: DataFrame, score: DataFrame, cols: Seq[String],
+      minFill: Double, maxFillDifference: Double): (DataFrame, Seq[String]) = {
+    val dropped = rawFeatureFilterStats(train, score, cols, minFill, maxFillDifference)
+      .where(!col("keep")).select(col("column"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    (train.drop(dropped: _*), dropped)
+  }
+
   /** Cramér's V between two categorical columns (SanityChecker
     * categorical association, reference SanityCheckerMetadata):
     * V = sqrt((chi2/n) / (min(r,c) - 1)) over the contingency table.

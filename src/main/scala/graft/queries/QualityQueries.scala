@@ -47,6 +47,16 @@ object QualityQueries {
         minCorrelation = 0.01, maxCorrelation = 0.95, minVariance = 0.0001)
     }),
 
+    // §2.7 SanityChecker feature-feature correlation matrix (the
+    // maxFeatureCorrelation gate): per feature, max |corr| against the
+    // other features, one aggregation pass
+    "q75_sanity_feature_corr" -> ((s, d) => {
+      DataQuality.featureCorrStats(
+        Tables.lineitem(s, d), label = "l_extendedprice",
+        features = Seq("l_quantity", "l_discount", "l_tax"),
+        maxFeatureCorrelation = 0.5)
+    }),
+
     // §2.7 SanityChecker categorical association (Cramér's V)
     "q42_cramers_v" -> ((s, d) => {
       DataQuality.cramersV(Tables.orders(s, d), "o_orderpriority", "o_orderstatus")
@@ -172,6 +182,24 @@ object QualityQueries {
            ROUND(variance, 6) AS variance,
            (ABS(label_corr) <= 0.95 AND ABS(label_corr) >= 0.01
              AND variance >= 0.0001) AS keep
+         FROM v""",
+
+    "q75_sanity_feature_corr" ->
+      """WITH a AS (SELECT
+             CORR(l_extendedprice, l_quantity) lc1, CORR(l_extendedprice, l_discount) lc2,
+             CORR(l_extendedprice, l_tax) lc3,
+             VAR_SAMP(l_quantity) v1, VAR_SAMP(l_discount) v2, VAR_SAMP(l_tax) v3,
+             CORR(l_quantity, l_discount) qd, CORR(l_quantity, l_tax) qt,
+             CORR(l_discount, l_tax) dt
+           FROM lineitem),
+         v AS (
+           SELECT 'l_quantity' AS feature, lc1 AS label_corr, v1 AS variance,
+                  GREATEST(ABS(qd), ABS(qt)) AS mo FROM a
+           UNION ALL SELECT 'l_discount', lc2, v2, GREATEST(ABS(qd), ABS(dt)) FROM a
+           UNION ALL SELECT 'l_tax', lc3, v3, GREATEST(ABS(qt), ABS(dt)) FROM a)
+         SELECT feature, ROUND(label_corr, 6) AS label_corr,
+           ROUND(variance, 6) AS variance, ROUND(mo, 6) AS max_other_corr,
+           mo > 0.5 AS flag_feature_corr
          FROM v""",
 
     "q42_cramers_v" ->

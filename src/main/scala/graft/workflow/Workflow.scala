@@ -53,6 +53,31 @@ class Workflow(val resultFeatures: Seq[Feature], persistEveryKLayers: Int = 5) {
 }
 
 object Workflow {
+  /** Names of the raw columns in a feature's lineage. */
+  def rawAncestors(f: Feature): Set[String] =
+    if (f.isRaw) Set(f.name) else f.parents.flatMap(rawAncestors).toSet
+
+  /** Fit behind the RawFeatureFilter gate (reference
+    * OpWorkflow.withRawFeatureFilter:544 applied in
+    * generateRawData:235-261 + setBlocklist purge:118-168): raw columns
+    * failing the fill/drift gate against the scoring frame are dropped
+    * from the training data, and every result feature whose lineage
+    * touches a dropped raw is purged from the plan before fitting.
+    * Returns the fitted model over the surviving features plus the
+    * dropped raw names. */
+  def fitWithRawFeatureFilter(
+      resultFeatures: Seq[Feature], train: DataFrame, score: DataFrame,
+      minFill: Double, maxFillDifference: Double,
+      persistEveryKLayers: Int = 5): (WorkflowModel, Seq[String]) = {
+    val raws = resultFeatures.flatMap(rawAncestors).distinct
+    val (cleaned, dropped) = graft.operators.DataQuality.rawFeatureFilterApply(
+      train, score, raws, minFill, maxFillDifference)
+    val surviving = resultFeatures.filter(
+      f => rawAncestors(f).intersect(dropped.toSet).isEmpty)
+    require(surviving.nonEmpty, "raw feature filter dropped every result feature")
+    (new Workflow(surviving, persistEveryKLayers).fit(cleaned), dropped)
+  }
+
   /** Apply one layer: all ColumnStages in a single select (fused by
     * CollapseProject/WholeStageCodegen), DataFrame stages sequentially. */
   private[workflow] def applyLayer(df: DataFrame, layer: Seq[TransformerStage]): DataFrame = {

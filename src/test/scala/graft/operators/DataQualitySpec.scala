@@ -36,6 +36,48 @@ class DataQualitySpec extends SparkSpec {
     assert(out.find(_.getString(0) == "y").get.getBoolean(2) == true)
   }
 
+  lazy val corrDf = {
+    val s = spark; import s.implicits._
+    // f1 ≈ label (strong), f2 = -f1 + noise (strong, redundant with f1),
+    // f3 independent-ish, f4 constant (zero variance)
+    val rows = (0 until 40).map { i =>
+      val x = i.toDouble
+      (x, x + math.sin(i * 7) * 0.1, -x + math.cos(i * 5) * 0.1,
+        math.sin(i * 13) * 3, 5.0)
+    }
+    rows.toDF("label", "f1", "f2", "f3", "f4")
+  }
+
+  test("featureCorrStats reports max pairwise |corr| per feature") {
+    val out = DataQuality.featureCorrStats(
+        corrDf, "label", Seq("f1", "f2", "f3"), maxFeatureCorrelation = 0.9)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out("f1")._1 > 0.99 && out("f1")._2) // f1-f2 nearly collinear
+    assert(out("f2")._1 > 0.99 && out("f2")._2)
+    assert(out("f3")._1 < 0.5 && !out("f3")._2)
+  }
+
+  test("sanityCheckApply drops the weaker of a correlated pair and zero-variance columns") {
+    val (cleaned, dropped) = DataQuality.sanityCheckApply(
+      corrDf, "label", Seq("f1", "f2", "f3", "f4"),
+      minCorrelation = 0.0, maxCorrelation = 1.0, minVariance = 0.001,
+      maxFeatureCorrelation = 0.9)
+    // f4: zero variance -> gated out; f1/f2 pair: keep exactly one
+    assert(dropped.contains("f4"))
+    assert(dropped.count(Set("f1", "f2")) == 1)
+    assert(!dropped.contains("f3"))
+    assert(cleaned.columns.toSet ==
+      corrDf.columns.toSet -- dropped)
+  }
+
+  test("rawFeatureFilterApply drops failing columns from the frame") {
+    val (cleaned, dropped) = DataQuality.rawFeatureFilterApply(
+      df, df, Seq("x", "s"), minFill = 0.6, maxFillDifference = 0.1)
+    assert(dropped == Seq("s"))
+    assert(cleaned.columns.toSet == Set("x", "y"))
+  }
+
   test("cramersV is 1 for perfectly associated columns, ~0 for independent") {
     val s = spark; import s.implicits._
     val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))

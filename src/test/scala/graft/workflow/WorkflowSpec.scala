@@ -54,6 +54,25 @@ class WorkflowSpec extends SparkSpec {
     assert(plan.split("Project").length <= 2, s"expected at most one Project:\n$plan")
   }
 
+  test("fitWithRawFeatureFilter purges features built on dropped raws") {
+    val s = spark; import s.implicits._
+    // "bad" is mostly null in train (fails minFill); "x" is healthy
+    val train = Seq[(Long, Option[Double], Option[Double])](
+      (1L, Some(1.0), None), (2L, Some(2.0), None),
+      (3L, Some(3.0), Some(9.0)), (4L, Some(4.0), None)
+    ).toDF("id", "x", "bad")
+    val Seq(_, x, bad) = Feature.fromSchema(train.schema)
+    val goodStage = Stages.imputeMean(x, "x_f")
+    val badStage = Stages.imputeMean(bad, "bad_f")
+    val (model, dropped) = Workflow.fitWithRawFeatureFilter(
+      goodStage.outputFeatures ++ badStage.outputFeatures,
+      train, train, minFill = 0.5, maxFillDifference = 1.0)
+    assert(dropped == Seq("bad"))
+    val out = model.score(train, keep = Seq("id"))
+    assert(out.columns.contains("x_f"))
+    assert(!out.columns.exists(_.startsWith("bad")))
+  }
+
   test("binaryMetrics F1/accuracy match hand-computed confusion values") {
     val s = spark; import s.implicits._
     // threshold 0.5 on prob: preds = 1,1,0,0,1,0 ; labels = 1,0,1,0,1,1
