@@ -69,6 +69,21 @@ object MapFunctions {
     transform_values(m, (_, v) =>
       when(v.isNull || length(v) === 0, 1).otherwise(0))
 
+  /** Prediction map (reference types/Maps.scala:339 — a NonNullable
+    * RealMap with reserved keys `prediction` / `probability_*`): pack
+    * flat predictor outputs into the reference's map shape. Kept
+    * optional — the engine scores into flat columns for column pruning,
+    * and lifts to the map form only where Prediction-typed parity is
+    * wanted. */
+  def predictionMap(prediction: Column, probabilities: Column*): Column =
+    map(Seq(lit("prediction"), prediction.cast("double")) ++
+      probabilities.zipWithIndex.flatMap { case (p, i) =>
+        Seq(lit(s"probability_$i"), p.cast("double")) }: _*)
+
+  /** Prediction extract (reference RichMapFeature.scala:1118-1152). */
+  def predictionValue(m: Column): Column = element_at(m, "prediction")
+  def probabilityValue(m: Column, i: Int): Column = element_at(m, s"probability_$i")
+
   /** DateMap → unit-circle sin/cos of month-of-year, as a map of
     * 2-element arrays (DateMapToUnitCircleVectorizer.scala:134). */
   def monthUnitCircleValues(m: Column): Column =
