@@ -83,6 +83,15 @@ object QualityQueries {
       Streaming.runToCompletion(s, agg, "q44_stream")
     }),
 
+    // §2.9 streaming exact dedup: first row per (user, type) with state
+    // bounded by the watermark horizon; keys projected for determinism
+    "q76_stream_dedup" -> ((s, d) => {
+      val dd = Streaming.dedupStream(Streaming.eventStream(s, d),
+          Seq("user_id", "event_type"), "ts", "1 day")
+        .select(col("user_id"), col("event_type"))
+      Streaming.runToCompletion(s, dd, "q76_stream", outputMode = "append")
+    }),
+
     // multimodal: binary payload envelope + metadata (octet length, magic
     // MIME sniff, content digest) — decode stays behind these cheap cols
     "q45_multimodal_meta" -> ((s, d) => {
@@ -235,6 +244,9 @@ object QualityQueries {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q76_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
 
     "q45_multimodal_meta" ->
       """SELECT doc_id, STRLEN(text) AS payload_bytes,

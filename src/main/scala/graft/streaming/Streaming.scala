@@ -54,15 +54,29 @@ object Streaming {
     * source and return the result as a batch DataFrame — Trigger
     * .AvailableNow processes everything then stops, giving batch
     * semantics through the streaming engine. */
-  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String,
+                      outputMode: String = "complete"): DataFrame = {
     val q = agg.writeStream
       .format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming exact dedup — the streaming face of the batch dedup
+    * pipeline (operators/Dedup.exact): emit the first row per dedup key,
+    * with per-key state reclaimed once the watermark passes
+    * (dropDuplicatesWithinWatermark), so state is bounded by the keys
+    * seen inside the lateness horizon, not by stream length. Project
+    * the dedup keys afterwards for a deterministic result (WHICH
+    * duplicate arrives first is ingestion-order-dependent; the key set
+    * is not). */
+  def dedupStream(stream: DataFrame, keys: Seq[String], tsCol: String,
+                  lateness: String): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Per-key running state (beyond the reference, which has no stateful
     * streaming): event count + decimal-exact value sum + last event time
