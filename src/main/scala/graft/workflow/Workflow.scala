@@ -103,4 +103,15 @@ class WorkflowModel(val layers: Seq[Seq[TransformerStage]], val resultFeatures: 
   }
 
   def score(df: DataFrame, keep: Seq[String] = Nil): DataFrame = transform(df, keep)
+
+  /** Materialize the DAG prefix up to (and including) the layer that
+    * produces `featureName` — partial-pipeline debugging (reference
+    * computeDataUpTo, OpWorkflowCore.scala:300 /
+    * OpWorkflowModel.scala:109). Returns every column computed so far,
+    * raw and intermediate. */
+  def computeDataUpTo(df: DataFrame, featureName: String): DataFrame = {
+    val idx = layers.indexWhere(_.exists(_.outputFeatures.exists(_.name == featureName)))
+    require(idx >= 0, s"no stage in this model produces '$featureName'")
+    layers.take(idx + 1).foldLeft(df)(Workflow.applyLayer)
+  }
 }
