@@ -67,6 +67,29 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for video-ish payloads (the UDTF-shaped stage a
+    * video pipeline needs): one output row per every-K-th frame of each
+    * decoded payload, as a pure Column-level explode — the row
+    * expansion, partitioning and downstream-join shape are the real
+    * thing; only the per-frame pixel work stays behind the codec stub.
+    * Null decodes (null n_frames) produce no frames. */
+  def sampleFrames(decoded: DataFrame, everyK: Int): DataFrame =
+    decoded.where(col("n_frames").isNotNull)
+      .select(col("doc_id"), col("width"), col("height"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+      .withColumn("frame_idx", col("frame_idx").cast("int"))
+
+  /** Resize plumbing: records the target geometry and the scale factors
+    * a real kernel would apply, passing the stub features through
+    * untouched (and nulls through as nulls). Swapping in a real
+    * resampling kernel changes only the feat expression. */
+  def resizeFeatures(decoded: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    decoded.select(col("doc_id"),
+      lit(targetW).as("resized_w"), lit(targetH).as("resized_h"),
+      (col("width").cast("double") / targetW).as("scale_x"),
+      (col("height").cast("double") / targetH).as("scale_y"),
+      col("feat"))
+
   /** Batched decode: (doc_id, payload) → decodedSchema rows. Batches of
     * `batchSize` per partition emulate the mapInPandas batch shape —
     * codec state is initialized once per partition, rows stream

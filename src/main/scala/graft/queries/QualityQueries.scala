@@ -111,6 +111,14 @@ object QualityQueries {
           round(aggregate(col("feat"), lit(0.0d), (a, x) => a + x.cast("double")), 4).as("feat_sum"))
     }),
 
+    // multimodal frame sampling: every 2nd frame of each decoded
+    // payload — the md5-deterministic stub codec makes even the frame
+    // explosion oracle-replayable
+    "q77_multimodal_frames" -> ((s, d) => {
+      val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
+      Multimodal.sampleFrames(Multimodal.decodeFeatures(docs, "doc_id"), everyK = 2)
+    }),
+
     // §2.1 CSV source round-trip: parquet → CSV sink → explicit-schema
     // CSV scan → aggregate; matches the oracle's parquet-direct answer
     "q47_csv_roundtrip" -> ((s, d) => {
@@ -247,6 +255,25 @@ object QualityQueries {
 
     "q76_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+
+    "q77_multimodal_frames" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS u0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS u1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS u2,
+             CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS u3,
+             CAST(('0x' || substr(md5(text), 9, 2)) AS INT) AS u4
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             64 + ((u0 * 16) + (u1 // 16)) AS width,
+             64 + ((u2 * 16) + (u3 // 16)) AS height,
+             1 + (u4 % 16) AS n_frames
+           FROM u)
+         SELECT doc_id, width, height,
+           CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+         FROM m""",
 
     "q45_multimodal_meta" ->
       """SELECT doc_id, STRLEN(text) AS payload_bytes,

@@ -28,6 +28,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq("image/png", "image/jpeg", "text/plain"))
   }
 
+  test("sampleFrames explodes every-Kth frame; null decodes emit none") {
+    val s = spark; import s.implicits._
+    val d = Multimodal.withPayload(docs, "text")
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+        .withColumn("payload", lit(null).cast("binary"))
+        .withColumn("payload_bytes", lit(null).cast("long")))
+    val decoded = Multimodal.decodeFeatures(d, "doc_id")
+    val frames = Multimodal.sampleFrames(decoded, everyK = 2)
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nf = decoded.where(col("doc_id") === 1).collect().head.getInt(3)
+    assert(byDoc(1L) == (nf + 1) / 2) // ceil(n_frames / 2) sampled
+    assert(!byDoc.contains(4L)) // null decode -> no frames
+    val idx = frames.where(col("doc_id") === 1)
+      .orderBy("frame_idx").collect().map(_.getInt(3)).toSeq
+    assert(idx == (0 until nf by 2))
+  }
+
+  test("resizeFeatures records geometry + scale, passes nulls through") {
+    val s = spark; import s.implicits._
+    val d = Multimodal.withPayload(docs, "text")
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+        .withColumn("payload", lit(null).cast("binary"))
+        .withColumn("payload_bytes", lit(null).cast("long")))
+    val out = Multimodal.resizeFeatures(
+      Multimodal.decodeFeatures(d, "doc_id"), 224, 224).orderBy("doc_id").collect()
+    assert(out.length == 4) // cardinality preserved
+    assert(out(0).getInt(1) == 224 && out(0).getInt(2) == 224)
+    assert(out(0).getDouble(3) > 0) // scale_x = width / 224
+    assert(out(3).isNullAt(3) && out(3).isNullAt(5)) // null decode stays null
+  }
+
   test("decodeFeatures is deterministic, schema-stable, and content-addressed") {
     val d = Multimodal.withPayload(docs, "text")
     val f = Multimodal.decodeFeatures(d, "doc_id", batchSize = 2)
