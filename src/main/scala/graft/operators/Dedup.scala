@@ -17,6 +17,14 @@ import graft.functions.TextAnalysis.{tokens, hash60, contentHash}
   * i.e. one wide shuffle keyed on content-derived buckets, never an
   * all-pairs product. Hot shingle buckets are capped by document
   * frequency before the candidate join (maxShingleDocFreq).
+  *
+  * Cache lifecycle: the signature/shingle tables feeding multiple plan
+  * branches are persist()ed (recomputing them would inline one md5 pass
+  * per branch) and stay in executor storage until the caller releases
+  * them — materialize the result, then `spark.catalog.clearCache()` (as
+  * Bench/Verify do between queries) or `unpersist` the inputs. A
+  * resident service should treat one dedup pass as
+  * materialize-then-release.
   */
 object Dedup {
 

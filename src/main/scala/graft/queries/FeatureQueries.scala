@@ -106,6 +106,24 @@ object FeatureQueries {
           round(element_at(col("combined"), size(col("combined"))), 6).as("last_v"))
     }),
 
+    // GeolocationMidpoint monoid (reference aggregators/Geolocation.scala:43):
+    // 3-D cartesian mean + best accuracy over synthetic per-customer
+    // coordinates, grouped by segment
+    "q78_geo_midpoint" -> ((s, d) => {
+      val pts = Tables.customer(s, d).select(
+        col("c_mktsegment").as("segment"),
+        (col("c_acctbal") % 90).as("lat"),
+        ((col("c_custkey") % 360) - 180).cast("double").as("lon"),
+        col("c_nationkey").cast("double").as("acc"))
+      pts.groupBy(col("segment"))
+        .agg(udaf(MonoidAggregators.GeoMidpoint)
+          .apply(col("lat"), col("lon"), col("acc")).as("mid"))
+        .select(col("segment"),
+          round(element_at(col("mid"), 1), 6).as("mid_lat"),
+          round(element_at(col("mid"), 2), 6).as("mid_lon"),
+          element_at(col("mid"), 3).as("best_acc"))
+    }),
+
     // DateListVectorizer pivots (reference DateListVectorizer.scala):
     // SinceFirst / SinceLast vs a reference date + ModeDay(-of-week)
     "q35_datelist_pivot" -> ((s, d) => {
@@ -126,6 +144,24 @@ object FeatureQueries {
            STRING_AGG(event_type || ',' || CAST(event_id AS VARCHAR), ','
                       ORDER BY event_id) AS trail
          FROM events GROUP BY 1""",
+
+    "q78_geo_midpoint" ->
+      """WITH pts AS (
+           SELECT c_mktsegment AS segment,
+             radians(c_acctbal % 90) AS la,
+             radians(CAST((c_custkey % 360) - 180 AS DOUBLE)) AS lo,
+             CAST(c_nationkey AS DOUBLE) AS acc
+           FROM customer),
+         agg AS (
+           SELECT segment,
+             AVG(cos(la) * cos(lo)) AS x, AVG(cos(la) * sin(lo)) AS y,
+             AVG(sin(la)) AS z, MAX(acc) AS best_acc
+           FROM pts GROUP BY 1)
+         SELECT segment,
+           ROUND(degrees(atan2(z, sqrt(x*x + y*y))), 6) + 0 AS mid_lat,
+           ROUND(degrees(atan2(y, x)), 6) + 0 AS mid_lon,
+           best_acc
+         FROM agg""",
 
     "q73_combine_vectors" ->
       """WITH e AS (

@@ -57,6 +57,46 @@ object TextQueries {
         contentHash(col("text")).as("content_md5"),
         hash60(col("text")).as("content_h60"),
         minShingleHash(col("text"), 8).as("min_shingle_h60"))
+    }),
+
+    // OPCollectionTransformer lift + TextListNullTransformer
+    // (reference OPCollectionTransformer.scala, TextListNullTransformer):
+    // scalar fns lifted over list/map values, null-list normalization
+    "q79_collection_lift" -> ((s, d) => {
+      import graft.functions.{CollectionFunctions => CF, MapFunctions => MF}
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "N", lit(null).cast("array<string>"))
+          .otherwise(array(col("l_returnflag"), col("l_linestatus"))).as("lst"),
+        map(lit("f"), col("l_returnflag")).as("m"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        array_join(CF.liftList(CF.nullToEmptyList(col("lst")))(lower), ",").as("flags_l"),
+        CF.listIsNull(col("lst")).as("lst_null"),
+        size(CF.nullToEmptyList(col("lst"))).as("lst_len"),
+        MF.valueAt(CF.liftMap(col("m"))(lower), "f").as("f_lower"))
+    }),
+
+    // Email/URL scalar validators (reference RichTextFeature.scala:
+    // 589-603 email, 642-654 url): synthesized addresses with planted
+    // invalid shapes so both branches of every validator fire
+    "q80_text_validators" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0,
+            concat(lower(col("c_name")), lit("@@bad")))
+          .otherwise(concat(lower(col("c_name")), lit("@"),
+            lower(col("c_mktsegment")), lit(".com"))).as("email"),
+        when(col("c_custkey") % 7 === 0,
+            concat(lit("notaurl/"), col("c_name")))
+          .otherwise(concat(lit("https://"),
+            lower(col("c_mktsegment")), lit(".com/x"))).as("url"))
+      c.select(col("c_custkey"),
+        TextFunctions.isValidEmail(col("email")).as("email_ok"),
+        TextFunctions.emailPrefix(col("email")).as("email_prefix"),
+        TextFunctions.emailDomain(col("email")).as("email_domain"),
+        TextFunctions.urlProtocol(col("url")).as("url_proto"),
+        TextFunctions.isValidUrl(col("url")).as("url_ok"),
+        TextFunctions.isSubstring(lit("Customer"), col("url")).as("has_customer"))
     })
   )
 
@@ -116,6 +156,30 @@ object TextQueries {
              range(1, greatest(length(text) - 7, 1) + 1),
              i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
            )) AS min_shingle_h60
-         FROM documents"""
+         FROM documents""",
+
+    "q79_collection_lift" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'N' THEN ''
+                ELSE lower(l_returnflag) || ',' || lower(l_linestatus) END AS flags_l,
+           CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS lst_null,
+           CASE WHEN l_returnflag = 'N' THEN 0 ELSE 2 END AS lst_len,
+           lower(l_returnflag) AS f_lower
+         FROM lineitem""",
+
+    "q80_text_validators" ->
+      """WITH c AS (
+           SELECT c_custkey, c_name, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN 'notaurl/' || c_name
+                  ELSE 'https://' || lower(c_mktsegment) || '.com/x' END AS url
+           FROM customer)
+         SELECT c_custkey,
+           c_custkey % 5 <> 0 AS email_ok,
+           CASE WHEN c_custkey % 5 <> 0 THEN lower(c_name) END AS email_prefix,
+           CASE WHEN c_custkey % 5 <> 0 THEN lower(c_mktsegment) || '.com' END AS email_domain,
+           CASE WHEN c_custkey % 7 <> 0 THEN 'https' END AS url_proto,
+           c_custkey % 7 <> 0 AS url_ok,
+           contains(url, 'Customer') AS has_customer
+         FROM c"""
   )
 }
