@@ -43,6 +43,18 @@ object ReaderQueries {
         .withColumn("pred_sum_value", col("pred_sum_value").cast("double"))
     }),
 
+    // Combined-key join shape (reference JoinedDataReader.scala:135):
+    // full-outer customer x orders, key = coalesce(left, right)
+    "q81_join_combined_key" -> ((s, d) => {
+      import graft.sources.JoinedReader
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+      JoinedReader.join(c, o, col("c_custkey"), col("o_custkey"), "full_outer")
+        .select(
+          JoinedReader.combinedKey(col("c_custkey"), col("o_custkey")).as("cust"),
+          col("o_orderkey"), col("c_acctbal"))
+    }),
+
     // TimeStampToKeep.Random as-of cutoff — md5-deterministic pick
     "q63_asof_random" -> ((s, d) => {
       ConditionalReader.aggregateAsOf(
@@ -113,6 +125,10 @@ object ReaderQueries {
         FROM embeddings"""
 
   val oracles: Map[String, String] = Map(
+    "q81_join_combined_key" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS cust, o_orderkey, c_acctbal
+         FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""",
+
     "q62_agg_cutoff_daysago" ->
       """SELECT user_id,
            CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-06-30 00:00:00' - INTERVAL 60 DAY

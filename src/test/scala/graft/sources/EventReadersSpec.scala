@@ -41,6 +41,15 @@ class EventReadersSpec extends SparkSpec {
     assert(out(0) == (("u1", Some(2.0), None)))
   }
 
+  test("CutOff WeeksAgo and DDMMYYYY resolve to the documented timestamps") {
+    val s = spark; import s.implicits._
+    val got = Seq(1).toDF("x").select(
+      CutOff.WeeksAgo(2, "2024-06-30 00:00:00").toColumn.cast("string"),
+      CutOff.DDMMYYYY("15062024").toColumn.cast("string")).collect().head
+    assert(got.getString(0) == "2024-06-16 00:00:00")
+    assert(got.getString(1) == "2024-06-15 00:00:00")
+  }
+
   test("aggregateAsOf: per-key cutoff at first qualifying event") {
     val s = spark; import s.implicits._
     val out = ConditionalReader.aggregateAsOf(
