@@ -87,6 +87,19 @@ object ReaderQueries {
         .select(col("row_id"), round(col("ll"), 6).as("logloss"), round(col("sm"), 6).as("smape"))
     }),
 
+    // per-series forecast evaluation: daily value series per event type,
+    // lag-1 naive forecast, SMAPE + seasonal (lag-7) MASE
+    "q82_forecast_seasonal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(money(col("value"))).cast("double").as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val withPred = daily.withColumn("p", lag(col("y"), 1).over(w))
+      graft.workflow.MLTuning.forecastBySeries(
+        withPred, col("event_type"), col("p"), col("y"), col("day"), season = 7)
+    }),
+
     // score-bin calibration table over the same scorer
     "q66_eval_binscore" -> ((s, d) => {
       graft.workflow.MLTuning.binScore(mdScored(s, d), "p", "y", bins = 10)
@@ -125,6 +138,24 @@ object ReaderQueries {
         FROM embeddings"""
 
   val oracles: Map[String, String] = Map(
+    "q82_forecast_seasonal" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         wp AS (
+           SELECT event_type, y,
+             lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS p,
+             lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS sn
+           FROM daily)
+         SELECT event_type AS series,
+           ROUND(AVG(CASE WHEN abs(p) + abs(y) = 0 THEN 0.0
+                          ELSE 2.0 * abs(p - y) / (abs(p) + abs(y)) END)
+                 FILTER (WHERE p IS NOT NULL), 6) AS smape,
+           ROUND((AVG(abs(p - y)) FILTER (WHERE p IS NOT NULL)) /
+                 (AVG(abs(y - sn)) FILTER (WHERE sn IS NOT NULL)), 6) AS mase
+         FROM wp GROUP BY 1""",
+
     "q81_join_combined_key" ->
       """SELECT COALESCE(c_custkey, o_custkey) AS cust, o_orderkey, c_acctbal
          FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""",

@@ -392,6 +392,34 @@ object MLTuning {
       .head.getDouble(0)
   }
 
+  /** Per-series forecast metrics (reference OpForecastEvaluator.scala:
+    * 59-89 — SMAPE + the seasonal error component): SMAPE of the
+    * prediction, and MASE = mean|p-y| scaled by the seasonal-naive
+    * error |y_t - y_(t-season)|, per series. The lag windows partition
+    * by the series key, so many series spread across executors; one
+    * series' history sorts within its partition (inherently sequential
+    * per series, parallel across series — the scale-sane shape). */
+  def forecastBySeries(df: DataFrame, series: org.apache.spark.sql.Column,
+                       predCol: org.apache.spark.sql.Column,
+                       labelCol: org.apache.spark.sql.Column,
+                       tsCol: org.apache.spark.sql.Column, season: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(series).orderBy(tsCol)
+    val p = predCol.cast("double"); val y = labelCol.cast("double")
+    val sn = lag(y, season).over(w)
+    val denom = abs(p) + abs(y)
+    df.select(series.as("series"), p.as("p"), y.as("y"), sn.as("sn"))
+      .groupBy(col("series"))
+      .agg(
+        avg(when(col("p").isNotNull,
+          when(abs(col("p")) + abs(col("y")) === 0, 0.0)
+            .otherwise(lit(2.0) * abs(col("p") - col("y")) /
+              (abs(col("p")) + abs(col("y")))))).as("smape_raw"),
+        avg(when(col("p").isNotNull, abs(col("p") - col("y")))).as("mae"),
+        avg(when(col("sn").isNotNull, abs(col("y") - col("sn")))).as("snaive_mae"))
+      .select(col("series"), round(col("smape_raw"), 6).as("smape"),
+        round(col("mae") / col("snaive_mae"), 6).as("mase"))
+  }
+
   /** Score-bin calibration table (reference OpBinScoreEvaluator): rows
     * (bin, n, avg_score, avg_label) over equal-width probability bins —
     * a well-calibrated model has avg_score ≈ avg_label per bin. */
