@@ -105,6 +105,20 @@ object ReaderQueries {
       graft.workflow.MLTuning.binScore(mdScored(s, d), "p", "y", bins = 10)
     }),
 
+    // Scaler/Descaler with metadata round-trip (reference
+    // ScalerTransformer.scala:167): price into scaled space, a "model
+    // output" computed there, then descaled via the recorded metadata
+    "q83_scale_descale" -> ((s, d) => {
+      import graft.workflow.Stages
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val scaled = Stages.scale(o, "o_totalprice", "price_s",
+        slope = 0.001, intercept = -5.0)
+        .withColumn("pred_s", col("price_s") * 2)
+      Stages.descale(scaled, "pred_s", "price_s", "pred")
+        .select(col("o_orderkey"),
+          round(col("price_s"), 6).as("price_s"), round(col("pred"), 6).as("pred"))
+    }),
+
     // OpIndexToString inverse: index then deindex round-trips the label
     "q64_deindex" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -138,6 +152,12 @@ object ReaderQueries {
         FROM embeddings"""
 
   val oracles: Map[String, String] = Map(
+    "q83_scale_descale" ->
+      """SELECT o_orderkey,
+           ROUND(o_totalprice * 0.001 + -5.0, 6) AS price_s,
+           ROUND((((o_totalprice * 0.001 + -5.0) * 2) - -5.0) / 0.001, 6) AS pred
+         FROM orders""",
+
     "q82_forecast_seasonal" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS d,
