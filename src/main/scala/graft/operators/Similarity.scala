@@ -366,6 +366,84 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Product quantization (PQ) — the memory-compression scale path for
+    * ANN: each embedding is split into `m` subvectors and every
+    * subvector replaced by the id of its nearest per-subspace centroid,
+    * so a 64-float (256 B) embedding becomes m small codes (m bytes at
+    * nCodes<=256). A query scans codes with an ADC lookup table
+    * (per-subspace distance to every centroid, computed once per
+    * query), never touching raw vectors — at 100 TB the corpus fits in
+    * a fraction of the memory and the scan is table lookups + adds.
+    * Codebooks here are deterministic seeds (the subvectors of the
+    * nCodes smallest ids) so the whole pipeline replays in the oracle;
+    * production codebooks come from per-subspace k-means (swap the
+    * seeding, nothing else changes). */
+  def pqCodebooks(corpus: DataFrame, m: Int, nCodes: Int): Array[Array[Array[Double]]] = {
+    val seeds = corpus.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .orderBy(col("vec_id")).limit(nCodes)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val dsub = seeds(0).length / m
+    Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** Per-subspace L2 argmin encode, ties to the smaller code id. */
+  private def pqEncodeUdf(books: Array[Array[Array[Double]]]) = {
+    val dsub = books(0)(0).length
+    udf((e: Seq[Double]) => {
+      val a = e.toArray
+      books.indices.map { j =>
+        var best = Double.PositiveInfinity; var bestC = 0; var c = 0
+        while (c < books(j).length) {
+          val cent = books(j)(c); var s = 0.0; var i = 0
+          while (i < dsub) { val d = a(j * dsub + i) - cent(i); s += d * d; i += 1 }
+          if (s < best) { best = s; bestC = c }
+          c += 1
+        }
+        bestC
+      }
+    })
+  }
+
+  /** ADC lookup tables for a query: lut(j)(c) = ||q_j - centroid_jc||². */
+  private def pqLutUdf(books: Array[Array[Array[Double]]]) = {
+    val dsub = books(0)(0).length
+    udf((e: Seq[Double]) => {
+      val a = e.toArray
+      books.indices.map(j => books(j).indices.map { c =>
+        val cent = books(j)(c); var s = 0.0; var i = 0
+        while (i < dsub) { val d = a(j * dsub + i) - cent(i); s += d * d; i += 1 }
+        s
+      })
+    })
+  }
+
+  private val pqAdcUdf = udf((codes: Seq[Int], luts: Seq[Seq[Double]]) => {
+    var s = 0.0; var j = 0
+    while (j < codes.length) { s += luts(j)(codes(j)); j += 1 }
+    s
+  })
+
+  /** PQ ANN top-k by ascending ADC distance: corpus encoded once
+    * (broadcast codebooks, one scan), queries carry their lookup
+    * tables, candidates scored with m table lookups per pair. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int, nCodes: Int): DataFrame = {
+    val books = pqCodebooks(corpus, m, nCodes)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+        pqEncodeUdf(books)(toDouble(col("embedding"))).as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        pqLutUdf(books)(toDouble(col("embedding"))).as("luts"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcUdf(col("codes"), col("luts")).as("d"))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("d").asc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("d"), 6).as("approx_dist"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's SRP bucket; exact
     * cosine re-rank within the bucket. Approximate (recall < 1) but
     * deterministic — the oracle replays the identical buckets. */

@@ -39,6 +39,12 @@ object SimilarityQueries {
       Similarity.ivfTopK(e, e.where(expr(QUERY_PRED)), K, nList = 16, nProbe = 4)
     }),
 
+    // PQ ANN: 8 subspaces x 16 deterministic-seed centroids, ADC scan
+    "q84_sim_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(e, e.where(expr(QUERY_PRED)), K, m = 8, nCodes = 16)
+    }),
+
     // RecordInsightsLOCO over a linear-logistic scorer with md5-derived
     // weights (deterministic, so the oracle replays the exact insight)
     "q60_loco_insights" -> ((s, d) => {
@@ -109,6 +115,47 @@ object SimilarityQueries {
                                       ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= $K""",
+
+    "q84_sim_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          seeds AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, emb
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS j),
+          books AS (
+            SELECT j, cid,
+              list_transform(range(1, 9), i -> emb[CAST(j * 8 + i AS INT)]) AS cent
+            FROM seeds CROSS JOIN subs),
+          enc AS (
+            SELECT vec_id, j, cid FROM (
+              SELECT a.vec_id, b.j, b.cid,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id, b.j ORDER BY
+                  list_sum(list_transform(range(1, 9), i ->
+                    (a.emb[CAST(b.j * 8 + i AS INT)] - b.cent[CAST(i AS INT)]) *
+                    (a.emb[CAST(b.j * 8 + i AS INT)] - b.cent[CAST(i AS INT)]))) ASC,
+                  b.cid ASC) AS rn
+              FROM e a CROSS JOIN books b)
+            WHERE rn = 1),
+          dist AS (
+            SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+              list_sum(list(
+                list_sum(list_transform(range(1, 9), i ->
+                  (q.emb[CAST(enc.j * 8 + i AS INT)] - b.cent[CAST(i AS INT)]) *
+                  (q.emb[CAST(enc.j * 8 + i AS INT)] - b.cent[CAST(i AS INT)])))
+                ORDER BY enc.j)) AS d
+            FROM e q
+            JOIN enc ON q.vec_id <> enc.vec_id
+            JOIN books b ON b.j = enc.j AND b.cid = enc.cid
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT query_id, neighbor_id, d,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY d ASC, neighbor_id) AS rank
+            FROM dist)
+          SELECT query_id, neighbor_id, ROUND(d, 6) AS approx_dist, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K""",
 
     "q74_sim_ivf_topk" ->

@@ -100,6 +100,29 @@ class SimilaritySpec extends SparkSpec {
     assert((ivf2 & exact).size >= (exact.size * 4) / 5)
   }
 
+  test("pqTopK: ADC ranking finds same-cluster neighbors on clustered data") {
+    val s = spark; import s.implicits._
+    val rows = (0L until 32L).map { id =>
+      val c = (id % 4).toInt
+      val e = Array.tabulate(16)(i =>
+        (if (i % 4 == c) 1.0 else 0.02) + 0.01 * math.sin(id * 17 + i)).map(_.toFloat)
+      (id, e)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 4) // one query per cluster
+    val top = Similarity.pqTopK(df, queries, k = 5, m = 4, nCodes = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(top.length == 4 * 5)
+    // a query's PQ neighbors should overwhelmingly share its cluster
+    val sameCluster = top.count { case (q, n, _, _) => q % 4 == n % 4 }
+    assert(sameCluster >= 16, s"only $sameCluster/20 same-cluster")
+    // distances ascend with rank per query
+    top.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+  }
+
   test("ivfCentroids Lloyd refinement pulls centroids to cluster means") {
     val s = spark; import s.implicits._
     val rows = (0L until 30L).map { id =>
