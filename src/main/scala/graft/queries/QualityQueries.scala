@@ -111,6 +111,13 @@ object QualityQueries {
           round(aggregate(col("feat"), lit(0.0d), (a, x) => a + x.cast("double")), 4).as("feat_sum"))
     }),
 
+    // §2.9 stream-stream interval join: views matched to same-user
+    // purchases within 1 day, watermark-bounded state on both sides
+    "q85_stream_interval_join" -> ((s, d) => {
+      val j = Streaming.viewPurchaseJoin(s, d, window = "1 DAY", lateness = "1 DAY")
+      Streaming.runToCompletion(s, j, "q85_stream", outputMode = "append")
+    }),
+
     // multimodal frame sampling: every 2nd frame of each decoded
     // payload — the md5-deterministic stub codec makes even the frame
     // explosion oracle-replayable
@@ -255,6 +262,13 @@ object QualityQueries {
 
     "q76_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+
+    "q85_stream_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS p_id
+         FROM events v JOIN events p
+           ON v.event_type = 'view' AND p.event_type = 'purchase'
+          AND v.user_id = p.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY""",
 
     "q77_multimodal_frames" ->
       """WITH u AS (

@@ -116,6 +116,27 @@ object Streaming {
       }
   }
 
+  /** Stream-stream event-time interval join (beyond the reference —
+    * stateless DStream scoring was its ceiling): views matched to the
+    * same user's purchases within `window` after the view. Both sides
+    * carry watermarks, so join state on each side is bounded by the
+    * watermark horizon + window, not by stream length; the join itself
+    * is hash-partitioned on user_id across executors. */
+  def viewPurchaseJoin(spark: SparkSession, dir: String,
+                       window: String, lateness: String): DataFrame = {
+    val views = eventStream(spark, dir).where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", lateness)
+    val purchases = eventStream(spark, dir).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", lateness)
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("view_id"), col("p_id"))
+  }
+
   /** Micro-batch model scoring (reference streamingScore,
     * OpWorkflowRunner.scala:232-263): score each micro-batch with a
     * fitted workflow model and hand it to a sink callback (parquet
