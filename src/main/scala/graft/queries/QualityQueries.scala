@@ -80,7 +80,7 @@ object QualityQueries {
     "q44_stream_windowed_agg" -> ((s, d) => {
       val agg = Streaming.windowedAgg(
         Streaming.eventStream(s, d), windowLen = "1 day", lateness = "1 day")
-      Streaming.runToCompletion(s, agg, "q44_stream")
+      Streaming.runToCompletion(s, agg, "q44_stream", shufflePartitions = Some(8))
     }),
 
     // §2.9 streaming exact dedup: first row per (user, type) with state
@@ -89,7 +89,8 @@ object QualityQueries {
       val dd = Streaming.dedupStream(Streaming.eventStream(s, d),
           Seq("user_id", "event_type"), "ts", "1 day")
         .select(col("user_id"), col("event_type"))
-      Streaming.runToCompletion(s, dd, "q76_stream", outputMode = "append")
+      Streaming.runToCompletion(s, dd, "q76_stream", outputMode = "append",
+        shufflePartitions = Some(8))
     }),
 
     // multimodal: binary payload envelope + metadata (octet length, magic
@@ -115,7 +116,8 @@ object QualityQueries {
     // purchases within 1 day, watermark-bounded state on both sides
     "q85_stream_interval_join" -> ((s, d) => {
       val j = Streaming.viewPurchaseJoin(s, d, window = "1 DAY", lateness = "1 DAY")
-      Streaming.runToCompletion(s, j, "q85_stream", outputMode = "append")
+      Streaming.runToCompletion(s, j, "q85_stream", outputMode = "append",
+        shufflePartitions = Some(8))
     }),
 
     // multimodal frame sampling: every 2nd frame of each decoded

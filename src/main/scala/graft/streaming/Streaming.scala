@@ -54,15 +54,33 @@ object Streaming {
     * source and return the result as a batch DataFrame — Trigger
     * .AvailableNow processes everything then stops, giving batch
     * semantics through the streaming engine. */
+  /** `shufflePartitions`: stateful streaming cost is dominated by state
+    * stores — one per shuffle partition per stateful operator, each
+    * paying checkpoint/commit I/O every batch. A stream-stream join at
+    * the session default (= cores) opens 4x that many stores; capping
+    * the stream's partitions (restored after the run) cuts the constant
+    * cost without touching results. On a real cluster size this to the
+    * stream's key cardinality, not the batch default. */
+  private val confLock = new Object
   def runToCompletion(spark: SparkSession, agg: DataFrame, name: String,
-                      outputMode: String = "complete"): DataFrame = {
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+                      outputMode: String = "complete",
+                      shufflePartitions: Option[Int] = None): DataFrame = {
+    // serialized: concurrent runs would interleave the set/restore of the
+    // session-wide shuffle-partition conf and leak the override
+    confLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
+      try {
+        val q = agg.writeStream
+          .format("memory").queryName(name)
+          .outputMode(outputMode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set(key, prev)
+      spark.table(name)
+    }
   }
 
   /** Streaming exact dedup — the streaming face of the batch dedup
