@@ -108,9 +108,12 @@ object DataQuality {
     * (n + n + n(n-1)/2 agg expressions — the buffer is O(#features²),
     * schema-sized, never row-scaled). Output: one row per feature with
     * its max |corr| against any other feature. */
-  def featureCorrStats(
-      df: DataFrame, label: String, features: Seq[String],
-      maxFeatureCorrelation: Double): DataFrame = {
+  /** Shared agg-expression builder for the SanityChecker correlation
+    * passes: label corr + variance per feature, plus every pairwise
+    * feature-feature corr, under the lc_/v_/ff_ naming scheme both the
+    * stats view and the removal wiring read back. */
+  private def corrAggs(label: String, features: Seq[String])
+      : (Seq[(String, String)], Seq[Column]) = {
     val pairs = for {
       i <- features.indices; j <- features.indices if i < j
     } yield (features(i), features(j))
@@ -118,6 +121,13 @@ object DataQuality {
       features.map(f => corr(col(label), col(f)).as(s"lc_$f")) ++
       features.map(f => var_samp(col(f)).as(s"v_$f")) ++
       pairs.map { case (a, b) => corr(col(a), col(b)).as(s"ff_${a}__$b") }
+    (pairs, aggs)
+  }
+
+  def featureCorrStats(
+      df: DataFrame, label: String, features: Seq[String],
+      maxFeatureCorrelation: Double): DataFrame = {
+    val (pairs, aggs) = corrAggs(label, features)
     val agg = df.agg(aggs.head, aggs.tail: _*)
     val perCol = features.map { f =>
       val others = pairs.collect {
@@ -153,13 +163,7 @@ object DataQuality {
       df: DataFrame, label: String, features: Seq[String],
       minCorrelation: Double, maxCorrelation: Double, minVariance: Double,
       maxFeatureCorrelation: Double): (DataFrame, Seq[String]) = {
-    val pairs = for {
-      i <- features.indices; j <- features.indices if i < j
-    } yield (features(i), features(j))
-    val aggs =
-      features.map(f => corr(col(label), col(f)).as(s"lc_$f")) ++
-      features.map(f => var_samp(col(f)).as(s"v_$f")) ++
-      pairs.map { case (a, b) => corr(col(a), col(b)).as(s"ff_${a}__$b") }
+    val (pairs, aggs) = corrAggs(label, features)
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     def d(name: String): Double = {
       val i = row.fieldIndex(name)

@@ -30,15 +30,34 @@ object Dedup {
 
   /** Distinct word k-gram shingles of lowercased whitespace tokens.
     * Guarded so fewer than k tokens yields an empty array (Spark's
-    * `sequence(1, n)` with n < 1 would count DOWN, not empty). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+    * `sequence(1, n)` with n < 1 would count DOWN, not empty).
+    *
+    * PERF HAZARD: the slice inside the transform lambda re-evaluates
+    * `toks` PER SHINGLE POSITION (Catalyst does no CSE across lambda
+    * boundaries), so calling this with an inline `tokens(text)`
+    * expression is O(tokens²) per doc — measured 50x slower than the
+    * attribute form at sf0.1. Pass a MATERIALIZED token-array column
+    * (see [[shingleFrame]]), or accept the inline cost only for tiny
+    * frames/tests. */
+  def wordShingles(text: Column, k: Int): Column = wordShinglesOf(tokens(text), k)
+
+  /** Shingles over an (ideally materialized) token-array column. */
+  def wordShinglesOf(toks: Column, k: Int): Column =
     array_distinct(
       when(size(toks) >= k,
         transform(sequence(lit(1), size(toks) - (k - 1)),
           i => array_join(slice(toks, i, lit(k)), " ")))
         .otherwise(array().cast("array<string>")))
-  }
+
+  /** (doc, shingles) frame with the token array materialized in its own
+    * projection. The middle select references `__toks` three times, so
+    * CollapseProject cannot re-inline the split into the lambda body —
+    * shingling stays O(tokens) per doc. */
+  def shingleFrame(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    df.select(id.as("doc"), tokens(text).as("__toks"))
+      .select(col("doc"), col("__toks"), wordShinglesOf(col("__toks"), k).as("shingles"))
+      .drop("__toks")
+      .where(size(col("shingles")) > 0)
 
   /** Exact dedup: group identical content by md5, keep the smallest id
     * as the canonical representative. One shuffle on the digest. */
@@ -58,12 +77,10 @@ object Dedup {
     * cap one boilerplate trigram at 100 TB is a job-killer. */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, k: Int, threshold: Double,
                    maxShingleDocFreq: Int = 1000): DataFrame = {
-    // persist: the shingle table feeds three branches (frequency count +
-    // candidate join + verify joins); without it Catalyst inlines the
-    // shingle expression into each branch and recomputes it per reference
-    val sh = df.select(id.as("doc"), wordShingles(text, k).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .persist()
+    // persist: the shingle table feeds four independent branches
+    // (frequency count, anti-join, self-join, per-doc arrays); without
+    // it each branch would recompute the shingling per reference
+    val sh = shingleFrame(df, id, text, k).persist()
     val exploded = sh.select(col("doc"), explode(col("shingles")).as("s"))
     // hot = shingles in more than maxShingleDocFreq docs. Bounded by
     // (total shingle occurrences / cap), so the set is small — its
@@ -110,9 +127,16 @@ object Dedup {
     * shingle instead of numHashes times); the per-slot mixing is plain
     * codegen-able integer arithmetic, and the whole family replays
     * bit-identically in the DuckDB oracle. */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    minHashSignatureFromHashes(transform(shingles, s => hash60(s) % lit(MinHashP)), numHashes)
+
+  /** Signature from PRE-HASHED shingles (hash60 % p). Callers that can
+    * materialize the hash array in a persisted frame should — a lambda
+    * like `transform(shingles, md5...)` embedded in the per-slot loop is
+    * re-evaluated once per slot (Catalyst does no CSE across lambda
+    * boundaries), which silently multiplies the md5 cost numHashes-fold. */
+  def minHashSignatureFromHashes(hmod: Column, numHashes: Int): Column = {
     val p = lit(MinHashP)
-    val hmod = transform(shingles, s => hash60(s) % p)
     transform(sequence(lit(1), lit(numHashes)), j =>
       array_min(transform(hmod,
         h => pmod(pmod(j * lit(2654435761L), p) * h + pmod(j * lit(913841963L), p), p))))
@@ -138,11 +162,16 @@ object Dedup {
     // the self-join): persist the shingle table and the tiny
     // (doc, bucket) table, generate candidates from buckets only, and
     // join the shingle sets back for exact verification.
-    val sh = df.select(id.as("doc"), wordShingles(text, k).as("shingles"))
-      .where(size(col("shingles")) > 0)
+    // hash60 materialized HERE (persisted, with the shingles column
+    // passed through so the projection cannot collapse) — the md5 runs
+    // once per shingle and the signature reads a plain column
+    val sh = shingleFrame(df, id, text, k)
+      .select(col("doc"), col("shingles"),
+        transform(col("shingles"), s => hash60(s) % lit(MinHashP)).as("hmod"))
       .persist()
     val banded = sh.select(col("doc"),
-      explode(bandHashes(minHashSignature(col("shingles"), numHashes), numBands, rowsPerBand)).as("bucket"))
+      explode(bandHashes(minHashSignatureFromHashes(col("hmod"), numHashes),
+        numBands, rowsPerBand)).as("bucket"))
       .persist()
     val candIds = banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
@@ -183,11 +212,14 @@ object Dedup {
     * the standard Charikar blocking), join per chunk, verify by true
     * hamming distance. */
   def simHashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
-    // persist the tiny (doc, simhash) table: both join sides and the
-    // hamming output read materialized signatures instead of inlining
-    // the 60-bit-sum md5 expression into the join
-    val sigs = df.select(id.as("doc"), tokenHashes(text).as("_th"))
-      .withColumn("simhash", simHashOf("_th")).drop("_th")
+    // `_th` MUST be persisted before simHashOf reads it: the per-bit
+    // lambda references the column 60 times, and CollapseProject inlines
+    // a merely-projected alias straight into the lambda body, re-hashing
+    // every token 60x per row (measured 59s -> 1s at sf0.1). The persist
+    // is a hard materialization boundary the optimizer cannot cross;
+    // both tables release on the caller's clearCache (see object doc).
+    val th = df.select(id.as("doc"), tokenHashes(text).as("_th")).persist()
+    val sigs = th.select(col("doc"), simHashOf("_th").as("simhash"))
       .persist()
     val posed = sigs.select(col("doc"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 15) % 32768)")))

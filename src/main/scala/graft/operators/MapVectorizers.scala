@@ -85,8 +85,11 @@ object MapVectorizers {
           when(cell === lit(v), 1).otherwise(0).as(s"${key}_${i + 1}")
         }
         val pad = (vals.length + 1 to topK).map(i => lit(0).as(s"${key}_$i"))
+        // guard the empty-vals case: isin() with zero args is undefined
+        // behavior; with no fitted values every non-null cell is "other"
+        val notTop = if (vals.isEmpty) lit(true) else !cell.isin(vals: _*)
         acc.select(col("*") +: (tops ++ pad ++ Seq(
-          when(cell.isNotNull && !cell.isin(vals: _*), 1).otherwise(0).as(s"${key}_other"),
+          when(cell.isNotNull && notTop, 1).otherwise(0).as(s"${key}_other"),
           when(cell.isNull, 1).otherwise(0).as(s"${key}_null"))): _*)
       } else if (lv > 0) {
         // hash: dense tf vector over the key's tokenized value; docs
@@ -107,13 +110,18 @@ object MapVectorizers {
     * + groupBy(key) (O(#keys) rows, map keys are schema-like); the means
     * fold into literals so the transform is a single codegen'd select. */
   def realMapVectorize(df: DataFrame, id: Column, m: Column): DataFrame = {
-    val fitted = df.select(explode(m).as(Seq("k", "v")))
+    // discover keys from map_keys (matching binaryMapVectorize) so a key
+    // whose values are ALL null still gets its columns — its mean is
+    // undefined, so it fills 0.0 with the null indicator lit for every row
+    val keys = df.select(explode(map_keys(m)).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val means = df.select(explode(m).as(Seq("k", "v")))
       .where(col("v").isNotNull)
       .groupBy(col("k")).agg(avg(col("v").cast("double")).as("mean"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
-    val cols = fitted.flatMap { case (key, mean) =>
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cols = keys.flatMap { key =>
       val cell = element_at(m, key)
-      Seq(coalesce(cell.cast("double"), lit(mean)).as(s"${key}_v"),
+      Seq(coalesce(cell.cast("double"), lit(means.getOrElse(key, 0.0))).as(s"${key}_v"),
         when(cell.isNull, 1).otherwise(0).as(s"${key}_null"))
     }
     df.select(id.as("id") +: cols.toSeq: _*)

@@ -36,6 +36,11 @@ object Skew {
     * side is replicated saltBuckets-fold — size dim×n accordingly. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // only fact-preserving joins: the dim side is replicated n-fold, so a
+    // right/full outer join would emit every unmatched dim row n times
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins only (got $joinType): " +
+        "the replicated dim side would duplicate unmatched rows under outer semantics")
     val saltedFact = fact.withColumn("__salt", salt(saltBuckets))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

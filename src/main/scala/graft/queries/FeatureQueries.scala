@@ -268,7 +268,8 @@ object FeatureQueries {
          SELECT l_orderkey,
            CASE WHEN list_contains(s, a) THEN 1 ELSE 0 END AS slot_1,
            CASE WHEN list_contains(s, b) THEN 1 ELSE 0 END AS slot_2,
-           CASE WHEN len(list_filter(s, x -> x != a AND x != b)) > 0
+           CASE WHEN len(list_filter(s, x ->
+                  x IS DISTINCT FROM a AND x IS DISTINCT FROM b)) > 0
                 THEN 1 ELSE 0 END AS slot_other,
            CASE WHEN s IS NULL OR len(s) = 0 THEN 1 ELSE 0 END AS slot_null
          FROM sets CROSS JOIN tops""",

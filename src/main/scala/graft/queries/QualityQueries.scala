@@ -84,7 +84,11 @@ object QualityQueries {
     }),
 
     // §2.9 streaming exact dedup: first row per (user, type) with state
-    // bounded by the watermark horizon; keys projected for determinism
+    // bounded by the watermark horizon; keys projected for determinism.
+    // Batch-DISTINCT oracle equivalence holds because the finite source
+    // is one file = one AvailableNow batch; a multi-batch split could
+    // legitimately re-emit keys whose state the watermark already
+    // reclaimed (same caveat for q85's late-row drops)
     "q76_stream_dedup" -> ((s, d) => {
       val dd = Streaming.dedupStream(Streaming.eventStream(s, d),
           Seq("user_id", "event_type"), "ts", "1 day")

@@ -148,7 +148,7 @@ object SimilarityQueries {
             FROM e q
             JOIN enc ON q.vec_id <> enc.vec_id
             JOIN books b ON b.j = enc.j AND b.cid = enc.cid
-            WHERE q.vec_id < 5
+            WHERE q.$QUERY_PRED
             GROUP BY 1, 2),
           ranked AS (
             SELECT query_id, neighbor_id, d,

@@ -367,7 +367,12 @@ object MLTuning {
     val lbl = col(labelCol).cast("int")
     val pLabel = element_at(col(probsCol), lbl + 1)
     val better = size(filter(col(probsCol), p => p > pLabel))
-    val aggs = ks.map(k => avg(when(better < k, 1.0).otherwise(0.0)).as(s"top$k"))
+    // rows with a null or out-of-range label are EXCLUDED (avg skips the
+    // null branch) — otherwise `p > null` filters to empty and an
+    // invalid-label row would silently count as a hit for every K
+    val valid = lbl.isNotNull && lbl >= 0 && lbl < size(col(probsCol))
+    val aggs = ks.map(k =>
+      avg(when(valid, when(better < k, 1.0).otherwise(0.0))).as(s"top$k"))
     val row = df.agg(aggs.head, aggs.tail: _*).head
     ks.zipWithIndex.map { case (k, i) => k -> row.getDouble(i) }.toMap
   }
@@ -406,7 +411,6 @@ object MLTuning {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(series).orderBy(tsCol)
     val p = predCol.cast("double"); val y = labelCol.cast("double")
     val sn = lag(y, season).over(w)
-    val denom = abs(p) + abs(y)
     df.select(series.as("series"), p.as("p"), y.as("y"), sn.as("sn"))
       .groupBy(col("series"))
       .agg(

@@ -20,6 +20,47 @@ class MapVectorizersSpec extends SparkSpec {
     assert(out(2) == ((3L, 15.0, 1, 3.0, 0))) // a mean = (10+20)/2
   }
 
+  test("realMapVectorize keeps all-null keys with a 0.0 fill") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Some(10.0), Option.empty[Double]),
+      (2L, Some(20.0), Option.empty[Double])).toDF("id", "a", "dead")
+      .select(col("id"), map(lit("a"), col("a"), lit("dead"), col("dead")).as("m"))
+    val out = MapVectorizers.realMapVectorize(df, col("id"), col("m"))
+      .orderBy("id").collect()
+    // key discovery comes from map_keys, so 'dead' still gets columns
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("id", "a_v", "a_null", "dead_v", "dead_null"))
+    assert(out.forall(r => r.getDouble(3) == 0.0 && r.getInt(4) == 1))
+  }
+
+  test("smartTextMapVectorize dispatches per key: pivot low-card, hash free text, pad short fits") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "red", "the quick brown fox jumps"),
+      (2L, "red", "entirely different words here now"),
+      (3L, "blue", "the quick brown fox jumps again and again"),
+      (4L, "red", "short")).toDF("id", "color", "bio")
+      .select(col("id"),
+        map(lit("color"), col("color"), lit("bio"), col("bio")).as("m"))
+    val out = MapVectorizers.smartTextMapVectorize(df, col("id"), col("m"),
+      maxCardinality = 3, topK = 3, dims = 16)
+    // color (2 distinct) -> pivot: slots 1..3 (padded), other, null
+    assert(out.columns.contains("color_1") && out.columns.contains("color_3"))
+    assert(out.columns.contains("color_other") && out.columns.contains("color_null"))
+    // bio (4 distinct, length variance > 0) -> hashed tf vector
+    assert(out.columns.contains("bio_tf"))
+    val rows = out.orderBy("id").collect()
+    val c1 = out.columns.indexOf("color_1")
+    // 'red' (count 3) is the rank-1 pivot value
+    assert(rows(0).getInt(c1) == 1 && rows(2).getInt(c1) == 0)
+    // padded slot 3 is always 0
+    assert(rows.forall(_.getInt(out.columns.indexOf("color_3")) == 0))
+    // every bio_tf is a fixed-width non-null vector
+    val ti = out.columns.indexOf("bio_tf")
+    assert(rows.forall(_.getSeq[Double](ti).length == 16))
+  }
+
   test("binaryMapVectorize fills false and tracks nulls per key") {
     val s = spark; import s.implicits._
     val df = Seq(
