@@ -77,7 +77,11 @@ object TextFunctions {
   def entityCandidates(c: Column): Column =
     regexp_extract_all(c, lit("([A-Z][a-z]+(?: [A-Z][a-z]+)+)"), lit(1))
 
-  /** Word n-grams (reference OpNGram.scala wraps ml.feature.NGram). */
+  /** Word n-grams (reference OpNGram.scala wraps ml.feature.NGram).
+    * PERF: the slice in the lambda body re-reads `tokens` per position
+    * (no CSE across lambda boundaries) — pass a materialized token
+    * ARRAY COLUMN, not an inline split expression, on big frames (see
+    * Dedup.shingleFrame for the pattern). */
   def ngrams(tokens: Column, n: Int): Column =
     filter(
       transform(tokens, (_, i) =>
