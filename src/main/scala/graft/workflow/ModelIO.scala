@@ -118,6 +118,8 @@ object ModelIO {
             org.apache.spark.ml.classification.NaiveBayesModel.load(dir)
           case "linearSVC" =>
             org.apache.spark.ml.classification.LinearSVCModel.load(dir)
+          case "mlpClassifier" =>
+            org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel.load(dir)
           case "gbtRegressor" =>
             org.apache.spark.ml.regression.GBTRegressionModel.load(dir)
           case "randomForestRegressor" =>

@@ -89,4 +89,16 @@ class MLStagesSpec extends SparkSpec {
     val replay = ModelIO.load(spark, dir).score(binTrain, keep = Seq("id")).orderBy("id").collect()
     assert(orig.map(_.toSeq).toSeq == replay.map(_.toSeq).toSeq)
   }
+
+  test("mlpClassifier round-trips through ModelIO") {
+    val Seq(_, fEmb, fY) = Feature.fromSchema(binTrain.schema, response = Some("y"))
+    val mlp = MLStages.mlpClassifier(fEmb, fY, "m",
+      layers = Seq(2, 4, 2), maxIter = 10)
+    val model = new Workflow(mlp.outputFeatures).fit(binTrain)
+    val orig = model.score(binTrain, keep = Seq("id")).orderBy("id").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlp").toString
+    ModelIO.save(model, dir, spark)
+    val replay = ModelIO.load(spark, dir).score(binTrain, keep = Seq("id")).orderBy("id").collect()
+    assert(orig.map(_.toSeq).toSeq == replay.map(_.toSeq).toSeq)
+  }
 }
