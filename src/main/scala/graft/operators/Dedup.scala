@@ -114,6 +114,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair list — the step that
+    * turns pairwise matches into dedup CLUSTERS with one canonical
+    * keeper (min id) per component, so "drop all but the keeper" is
+    * well-defined even for transitive chains (a~b, b~c but not a~c).
+    *
+    * Algorithm: min-label propagation — every node starts labeled with
+    * itself; each round every node takes the min label among itself and
+    * its neighbors; converges in O(component diameter) rounds. Each
+    * round is one join + one groupBy keyed on node ids, checkpointed by
+    * persist, so the shape is scale-safe; for graphs with huge diameters
+    * at extreme scale swap in large-star/small-star (Kiveris et al.),
+    * which keeps the same join-per-round shape with O(log n) rounds.
+    * Near-dup clusters are shallow (dup groups, not social graphs), so
+    * propagation converges in a handful of rounds in practice.
+    *
+    * Returns (doc_id, component) for every node that appears in a pair;
+    * unpaired docs are their own trivial component by definition. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val newLabels = edges.join(labels, edges("dst") === labels("node"))
+        .select(col("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist()
+      newLabels.count() // materialize before releasing the parent cache
+      changed = newLabels.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = newLabels
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   /** Mersenne prime modulus for the universal MinHash family; all
     * intermediates stay below 2^62 so the arithmetic replays exactly in
     * DuckDB BIGINTs (which error on overflow rather than wrap). */

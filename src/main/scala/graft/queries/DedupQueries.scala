@@ -33,6 +33,15 @@ object DedupQueries {
 
     "q25_dedup_simhash" -> ((s, d) => {
       Dedup.simHashPairs(Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 2)
+    }),
+
+    // connected components over the MinHash near-dup pairs: transitive
+    // dedup clusters with min-id canonical keeper per component
+    "q86_dedup_components" -> ((s, d) => {
+      val pairs = Dedup.minHashLshPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3, numHashes = 12, numBands = 6,
+        threshold = 0.35)
+      Dedup.connectedComponents(pairs)
     })
   )
 
@@ -44,6 +53,36 @@ object DedupQueries {
           list_distinct([array_to_string(toks[i:i+2], ' ')
                          for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
         FROM (SELECT doc_id, $TOKS AS toks FROM documents)"""
+
+  /** CTE chain producing the MinHash+LSH candidate table `cand`
+    * (id_a, id_b, sh_a, sh_b) — shared by q24 (pair list) and q86
+    * (connected components over the pairs). */
+  private val MINHASH_PAIR_CTES =
+    s"""sh AS ($SHINGLES),
+        f AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        sig AS (
+          -- universal MinHash family over one md5 per shingle:
+          -- slot j = min((a_j*(h60(s)%p) + b_j) % p), p = 2^31-1
+          SELECT doc_id, shingles,
+            [list_min(list_transform(shingles, s ->
+               (((j*2654435761) % 2147483647) * (${H60("s")} % 2147483647)
+                + ((j*913841963) % 2147483647)) % 2147483647))
+             for j in range(1, 13)] AS sig
+          FROM f),
+        band AS (
+          SELECT doc_id, shingles,
+            unnest([md5(CAST(b AS VARCHAR) || '|' ||
+                        array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], ','))
+                    for b in range(0, 6)]) AS bucket
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.shingles AS sh_a, b.shingles AS sh_b
+          FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+  private val PAIR_JACCARD =
+    """CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+       (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"""
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -71,33 +110,22 @@ object DedupQueries {
                  len(list_intersect(sa.shingles, sb.shingles))) >= 0.4""",
 
     "q24_dedup_minhash_lsh" ->
-      s"""WITH sh AS ($SHINGLES),
-          f AS (SELECT * FROM sh WHERE len(shingles) > 0),
-          sig AS (
-            -- universal MinHash family over one md5 per shingle:
-            -- slot j = min((a_j*(h60(s)%p) + b_j) % p), p = 2^31-1
-            SELECT doc_id, shingles,
-              [list_min(list_transform(shingles, s ->
-                 (((j*2654435761) % 2147483647) * (${H60("s")} % 2147483647)
-                  + ((j*913841963) % 2147483647)) % 2147483647))
-               for j in range(1, 13)] AS sig
-            FROM f),
-          band AS (
-            SELECT doc_id, shingles,
-              unnest([md5(CAST(b AS VARCHAR) || '|' ||
-                          array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], ','))
-                      for b in range(0, 6)]) AS bucket
-            FROM sig),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-              a.shingles AS sh_a, b.shingles AS sh_b
-            FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-          SELECT id_a, id_b,
-            ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-                  (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+      s"""WITH $MINHASH_PAIR_CTES
+          SELECT id_a, id_b, ROUND($PAIR_JACCARD, 6) AS jaccard
           FROM cand
-          WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-                (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.35""",
+          WHERE $PAIR_JACCARD >= 0.35""",
+
+    "q86_dedup_components" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+          pairs AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
+          SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n""",
 
     "q25_dedup_simhash" ->
       s"""WITH th AS (

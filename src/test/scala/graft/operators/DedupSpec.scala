@@ -25,6 +25,15 @@ class DedupSpec extends SparkSpec {
     assert(short.head.isEmpty)
   }
 
+  test("connectedComponents resolves transitive chains to min-id keepers") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3) + isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("exactGroups groups identical content") {
     val s = spark; import s.implicits._
     val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
