@@ -145,7 +145,8 @@ object Dedup {
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .persist()
-      newLabels.count() // materialize before releasing the parent cache
+      // the changed-count materializes newLabels (while the parent
+      // labels cache is still alive) — one job does both
       changed = newLabels.join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).count()
       labels.unpersist()
