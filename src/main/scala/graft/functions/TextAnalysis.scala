@@ -37,12 +37,17 @@ object TextAnalysis {
   }
 
   // Small fixed stopword profiles per language for the n-gram/word
-  // heuristic language ID. Deterministic by construction.
+  // heuristic language ID. Deterministic by construction. Kept
+  // lexicographically ordered — the argmax tiebreak is first-profile
+  // wins, so profile order is part of the operator's contract.
   val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "es" -> Seq("el", "los", "y", "que", "en", "una", "por", "con"),
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+    "it" -> Seq("il", "di", "che", "non", "per", "sono", "una", "con"),
+    "nl" -> Seq("de", "het", "een", "van", "niet", "dat", "zijn", "op"),
+    "pt" -> Seq("o", "de", "que", "não", "uma", "para", "com", "os"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
   val englishStopwords: Seq[String] = stopwordProfiles.toMap.apply("en")

@@ -37,18 +37,17 @@ object TextQueries {
     }),
 
     "q20_text_langid" -> ((s, d) => {
+      val langs = stopwordProfiles.map(_._1)
       val scored = Tables.documents(s, d).select(
         col("doc_id") +: col("lang").as("lang_label") +:
         languageScores(col("text")).map { case (l, c) => c.as(s"s_$l") }: _*)
-      scored.select(col("doc_id"), col("lang_label"),
-        col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"),
-        {
-          val m = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
-          when(m === 0, "und")
-            .when(col("s_de") === m, "de").when(col("s_en") === m, "en")
-            .when(col("s_es") === m, "es").when(col("s_fr") === m, "fr")
-            .when(col("s_zh") === m, "zh")
-        }.as("lang_pred"))
+      val scoreCols = langs.map(l => col(s"s_$l"))
+      val m = greatest(scoreCols: _*)
+      val pred = langs.foldLeft(when(m === 0, "und")) {
+        case (acc, l) => acc.when(col(s"s_$l") === m, l)
+      }
+      scored.select(col("doc_id") +: col("lang_label") +:
+        scoreCols :+ pred.as("lang_pred"): _*)
     }),
 
     "q21_text_fingerprint" -> ((s, d) => {
@@ -133,21 +132,21 @@ object TextQueries {
                  + 0.2 * (1.0 - least(1.0, pr * 4.0)), 6) AS quality
          FROM t""",
 
-    "q20_text_langid" ->
+    "q20_text_langid" -> {
+      val langs = graft.functions.TextAnalysis.stopwordProfiles.map(_._1)
+      val scoreDefs = langs.map(l => s"${scoreSql(l)} AS s_$l").mkString(",\n             ")
+      val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val chain = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n                ")
       s"""WITH t AS (
            SELECT doc_id, lang AS lang_label,
-             ${scoreSql("de")} AS s_de, ${scoreSql("en")} AS s_en,
-             ${scoreSql("es")} AS s_es, ${scoreSql("fr")} AS s_fr,
-             ${scoreSql("zh")} AS s_zh
+             $scoreDefs
            FROM documents)
-         SELECT doc_id, lang_label, s_de, s_en, s_es, s_fr, s_zh,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-                ELSE 'zh' END AS lang_pred
-         FROM t""",
+         SELECT doc_id, lang_label, ${langs.map(l => s"s_$l").mkString(", ")},
+           CASE WHEN $g = 0 THEN 'und'
+                $chain
+                END AS lang_pred
+         FROM t"""
+    },
 
     "q21_text_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,
