@@ -45,9 +45,12 @@ object TextAnalysis {
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "es" -> Seq("el", "los", "y", "que", "en", "una", "por", "con"),
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
-    "it" -> Seq("il", "di", "che", "non", "per", "sono", "una", "con"),
-    "nl" -> Seq("de", "het", "een", "van", "niet", "dat", "zijn", "op"),
-    "pt" -> Seq("o", "de", "que", "não", "uma", "para", "com", "os"),
+    // profiles avoid words that are top-frequency in SIBLING languages
+    // (e.g. "de"/"que" are the most common words of fr/es/pt alike —
+    // including them in one profile would siphon other languages' text)
+    "it" -> Seq("di", "che", "non", "per", "sono", "gli", "più", "della"),
+    "nl" -> Seq("het", "een", "van", "niet", "dat", "zijn", "ik", "ook"),
+    "pt" -> Seq("não", "uma", "isso", "ele", "são", "mais", "você", "muito"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
   val englishStopwords: Seq[String] = stopwordProfiles.toMap.apply("en")
@@ -63,15 +66,16 @@ object TextAnalysis {
   /** Argmax language with deterministic tiebreak: first language in
     * lexicographic profile order reaching the max score; all-zero → "und"
     * (undetermined, BCP-47). The CASE chain form mirrors 1:1 into the
-    * DuckDB oracle. */
-  def languageId(text: Column): Column = {
-    val scores = languageScores(text)
+    * DuckDB oracle. Shared by [[languageId]] and the oracle-gated query
+    * so the tiebreak contract lives in exactly one place. */
+  def languageIdFrom(scores: Seq[(String, Column)]): Column = {
     val m = greatest(scores.map(_._2): _*)
-    val chain = scores.foldLeft(when(m === 0, "und")) {
+    scores.foldLeft(when(m === 0, "und")) {
       case (acc, (lang, s)) => acc.when(s === m, lang)
     }
-    chain
   }
+
+  def languageId(text: Column): Column = languageIdFrom(languageScores(text))
 
   /** Punctuation character ratio (over all characters). */
   def punctRatio(text: Column): Column =

@@ -131,7 +131,7 @@ object Dedup {
     *
     * Returns (doc_id, component) for every node that appears in a pair;
     * unpaired docs are their own trivial component by definition. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
@@ -154,6 +154,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // an unconverged result would silently split true clusters — fail
+    // loudly instead (diameter > maxIter means the caller must raise it
+    // or switch to large-star/small-star)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter)")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 

@@ -42,10 +42,7 @@ object TextQueries {
         col("doc_id") +: col("lang").as("lang_label") +:
         languageScores(col("text")).map { case (l, c) => c.as(s"s_$l") }: _*)
       val scoreCols = langs.map(l => col(s"s_$l"))
-      val m = greatest(scoreCols: _*)
-      val pred = langs.foldLeft(when(m === 0, "und")) {
-        case (acc, l) => acc.when(col(s"s_$l") === m, l)
-      }
+      val pred = languageIdFrom(langs.map(l => l -> col(s"s_$l")))
       scored.select(col("doc_id") +: col("lang_label") +:
         scoreCols :+ pred.as("lang_pred"): _*)
     }),
