@@ -146,6 +146,19 @@ object QualityQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
 
+    // §2.1 CSVAutoReader: header-driven schema inference round-trip —
+    // the inferred scan must reproduce the typed aggregate exactly
+    "q87_csv_auto_infer" -> ((s, d) => {
+      val cols = Seq("s_suppkey", "s_name", "s_acctbal")
+      val out = "/root/repo/target/roundtrip/supplier_csv"
+      FormatReaders.writeCsv(Tables.supplier(s, d).select(cols.map(col): _*), out)
+      FormatReaders.readCsvInferred(s, out)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+          max(col("s_suppkey")).cast("long").as("max_key"))
+    }),
+
     // §2.1 JSON source round-trip
     "q48_json_roundtrip" -> ((s, d) => {
       val cols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
@@ -308,6 +321,12 @@ object QualityQueries {
     "q48_json_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-         FROM customer GROUP BY c_mktsegment"""
+         FROM customer GROUP BY c_mktsegment""",
+
+    "q87_csv_auto_infer" ->
+      """SELECT s_name, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+         FROM supplier GROUP BY s_name"""
   )
 }

@@ -74,6 +74,10 @@ class StageContractSpec extends SparkSpec {
     fs => Stages.monthUnitCircle(fs(3), "m"))
   checkContract("lambda ColumnStage",
     fs => ColumnStage("double", Seq(fs(1)), "x2", FeatureKind.RealK)(c => c.head * 2))
+  checkContract("bucketize (pure ColumnStage over splits)",
+    fs => Stages.bucketize(fs(1), "x_b", Seq(0, 15, 30, 50)))
+  checkContract("assemble (vector with slot metadata)",
+    fs => Stages.assemble(Seq(fs(0), fs(1)), "fv"))
   checkContract("logisticRegression (predictor over a derived DAG)",
     fs => {
       val xf = Stages.imputeMean(fs(1), "x_f")
