@@ -444,6 +444,39 @@ object Similarity {
         round(col("d"), 6).as("approx_dist"), col("rank"))
   }
 
+  /** IVF-PQ — the composition FAISS made canonical for billion-scale
+    * ANN: IVF coarse cells prune the search to nProbe cells' candidates,
+    * PQ codes replace raw vectors inside the cells, and queries rank the
+    * surviving candidates by ADC lookup. Memory per corpus row = one
+    * cell id + m codes; query cost = nProbe/nList of the corpus at m
+    * lookups per candidate. Both component fits are the deterministic
+    * seed variants, so the composition replays in the oracle end-to-end. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nList: Int, nProbe: Int, m: Int, nCodes: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, nList)
+    val books = pqCodebooks(corpus, m, nCodes)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+        toDouble(col("embedding")).as("c_emb"))
+      .withColumn("cell", ivfAssignUdf(cents)(col("c_emb")))
+      .withColumn("codes", pqEncodeUdf(books)(col("c_emb")))
+      .drop("c_emb") // raw vectors are NOT carried into the scan
+    val q = queries.select(col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("q_emb"))
+      .withColumn("probe", explode(ivfProbeUdf(cents, nProbe)(col("q_emb"))))
+      .withColumn("luts", pqLutUdf(books)(col("q_emb")))
+      .drop("q_emb")
+    val scored = c.join(broadcast(q), c("cell") === q("probe"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcUdf(col("codes"), col("luts")).as("d"))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("d").asc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("d"), 6).as("approx_dist"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's SRP bucket; exact
     * cosine re-rank within the bucket. Approximate (recall < 1) but
     * deterministic — the oracle replays the identical buckets. */

@@ -39,6 +39,14 @@ object SimilarityQueries {
       Similarity.ivfTopK(e, e.where(expr(QUERY_PRED)), K, nList = 16, nProbe = 4)
     }),
 
+    // IVF-PQ: coarse cells prune to nProbe candidates, PQ codes + ADC
+    // rank them — the canonical billion-scale ANN composition
+    "q88_sim_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(e, e.where(expr(QUERY_PRED)), K,
+        nList = 16, nProbe = 4, m = 8, nCodes = 16)
+    }),
+
     // PQ ANN: 8 subspaces x 16 deterministic-seed centroids, ADC scan
     "q84_sim_pq_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -115,6 +123,66 @@ object SimilarityQueries {
                                       ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= $K""",
+
+    "q88_sim_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, emb AS cemb
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          assigned AS (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT a.vec_id, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                   ORDER BY ${cosSql("a.emb", "c.cemb")} DESC, c.cid ASC) AS rn
+              FROM e a CROSS JOIN cents c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS query_id, cid AS probe FROM (
+              SELECT q.vec_id, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                   ORDER BY ${cosSql("q.emb", "c.cemb")} DESC, c.cid ASC) AS rn
+              FROM e q CROSS JOIN cents c WHERE $QUERY_PRED)
+            WHERE rn <= 4),
+          seeds AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS scid, emb AS semb
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS j),
+          books AS (
+            SELECT j, scid AS cid,
+              list_transform(range(1, 9), i -> semb[CAST(j * 8 + i AS INT)]) AS cent
+            FROM seeds CROSS JOIN subs),
+          enc AS (
+            SELECT vec_id, j, cid FROM (
+              SELECT a.vec_id, b.j, b.cid,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id, b.j ORDER BY
+                  list_sum(list_transform(range(1, 9), i ->
+                    (a.emb[CAST(b.j * 8 + i AS INT)] - b.cent[CAST(i AS INT)]) *
+                    (a.emb[CAST(b.j * 8 + i AS INT)] - b.cent[CAST(i AS INT)]))) ASC,
+                  b.cid ASC) AS rn
+              FROM e a CROSS JOIN books b)
+            WHERE rn = 1),
+          dist AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+              list_sum(list(
+                list_sum(list_transform(range(1, 9), i ->
+                  (qe.emb[CAST(enc.j * 8 + i AS INT)] - b.cent[CAST(i AS INT)]) *
+                  (qe.emb[CAST(enc.j * 8 + i AS INT)] - b.cent[CAST(i AS INT)])))
+                ORDER BY enc.j)) AS d
+            FROM probes p
+            JOIN assigned a ON a.cell = p.probe
+            JOIN enc ON enc.vec_id = a.vec_id
+            JOIN books b ON b.j = enc.j AND b.cid = enc.cid
+            JOIN e qe ON qe.vec_id = p.query_id
+            WHERE p.query_id <> a.vec_id
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT query_id, neighbor_id, d,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY d ASC, neighbor_id) AS rank
+            FROM dist)
+          SELECT query_id, neighbor_id, ROUND(d, 6) AS approx_dist, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K""",
 
     "q84_sim_pq_topk" ->
