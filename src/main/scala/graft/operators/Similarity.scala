@@ -30,15 +30,17 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Same sum, compiled: a while-loop UDF is ~20x the interpreted
-    * higher-order aggregate on the all-pairs hot path, and the
-    * left-to-right order keeps doubles bit-identical to `dot`. */
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    var s = 0.0; var i = 0; val n = a.length
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
-  def dotFast(a: Column, b: Column): Column = dotUdf(a, b)
+  /** Same sum as a native Catalyst expression (graft.expressions
+    * .DotProduct): codegen'd primitive loop reading Tungsten arrays
+    * directly — fuses into WholeStageCodegen with the surrounding
+    * projection, no UDF serialization, no per-element interpretation.
+    * Left-to-right order keeps doubles bit-identical to `dot` and to
+    * the DuckDB oracle. */
+  def dotFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnSql
+    ColumnSql.columnOf(graft.expressions.DotProduct(
+      ColumnSql.expressionOf(a), ColumnSql.expressionOf(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dotFast(a, a))
 

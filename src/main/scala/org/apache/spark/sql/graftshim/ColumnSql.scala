@@ -10,4 +10,14 @@ import org.apache.spark.sql.classic.ColumnNodeToExpressionConverter
   * to render fitted ColumnStage expressions as self-contained SQL text. */
 object ColumnSql {
   def sqlOf(c: Column): String = ColumnNodeToExpressionConverter(c.node).sql
+
+  /** Wrap a raw Catalyst Expression as a user-facing Column (the
+    * reverse bridge — Spark 4 hides the Expression constructor behind
+    * the classic adapter). Used for graft's native expressions. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Column → Catalyst Expression (both bridges are private[sql]). */
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -28,6 +28,33 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(pairs((0L, 3L)) + 1.0) < 1e-12)
   }
 
+  test("native DotProduct expression: equals interpreted dot, codegen, null contract") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2), Seq(0.3, 0.7))).toDF("a", "b")
+    val both = df.select(
+      Similarity.dotFast(col("a"), col("b")).as("fast"),
+      Similarity.dot(col("a"), col("b")).as("interp"))
+    // bit-identical to the sequential interpreted form
+    assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
+    // plan shape over NON-foldable input (literals constant-fold away):
+    // a native expression, no ScalaUDF anywhere
+    val live = spark.range(4).select(
+      transform(sequence(lit(0), lit(3)), i => (col("id") + i).cast("double")).as("a"),
+      transform(sequence(lit(0), lit(3)), i => (col("id") * 2 + i).cast("double")).as("b"))
+      .select(Similarity.dotFast(col("a"), col("b")).as("d"))
+    val plan = live.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("graft_dot"), plan)
+    assert(live.collect().map(_.getDouble(0)).sum > 0)
+    // null in either side -> null out
+    val withNull = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(Similarity.dotFast(col("a"), col("b")).as("d")).collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
   test("bruteForceTopK ranks by cosine desc") {
     val s = spark; import s.implicits._
     val top = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0), k = 3)
