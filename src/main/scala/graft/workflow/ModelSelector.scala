@@ -56,7 +56,19 @@ object ModelSelector {
     @volatile var results: Seq[ValidationResult] = Nil
     @volatile var bestName: String = _
 
-    def fit(df: DataFrame): TransformerStage = {
+    def fit(df: DataFrame): TransformerStage = fitCut(df, Nil)._2
+
+    /** Fit with a label-dependent upstream section REFIT PER SPLIT —
+      * the reference's cutDAG leakage control (FitStagesUtil.cutDAG:302,
+      * used at OpWorkflow.scala:407-456): estimators whose fit reads the
+      * label must never see a fold's validation rows, so they refit on
+      * each training split before the candidates do, and once more on
+      * the full frame for the final model. Upstream refits are
+      * per-SPLIT, not per-candidate (hoisted out of the candidate loop,
+      * like the reference). Returns (fitted upstream layers on the full
+      * frame, fitted winner). */
+    private[workflow] def fitCut(df: DataFrame, upstream: Seq[Seq[Stage]])
+        : (Seq[Seq[TransformerStage]], TransformerStage) = {
       val (splits, foldFrame): (Seq[(DataFrame, DataFrame)], Option[DataFrame]) =
         validation match {
           case KFold(k, seed) =>
@@ -68,7 +80,24 @@ object ModelSelector {
             val Array(tr, va) = df.randomSplit(Array(f, 1 - f), seed)
             (Seq((tr, va)), None)
         }
-      // candidate×fold fits run concurrently on a driver thread pool —
+      def fitUpstream(tr: DataFrame): (Seq[Seq[TransformerStage]], DataFrame) = {
+        var data = tr
+        val fitted = upstream.map { layer =>
+          val fl: Seq[TransformerStage] = layer.map {
+            case e: EstimatorStage => e.fit(data)
+            case t: TransformerStage => t
+          }
+          data = Workflow.applyLayer(data, fl)
+          fl
+        }
+        (fitted, data)
+      }
+      // per-split upstream refit (candidate-independent)
+      val prepared = splits.map { case (tr, va) =>
+        val (fittedUp, trP) = fitUpstream(tr)
+        (trP, fittedUp.foldLeft(va)(Workflow.applyLayer))
+      }
+      // candidate×split fits run concurrently on a driver thread pool —
       // Spark's scheduler interleaves the jobs (reference
       // OpCrossValidation.scala:48 thread-pooled parallelism)
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -77,7 +106,7 @@ object ModelSelector {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val futures = candidates.map { case (cname, est) =>
         Future {
-          val ms = splits.map { case (tr, va) =>
+          val ms = prepared.map { case (tr, va) =>
             val fitted = est.fit(tr)
             metric(Workflow.applyLayer(va, Seq(fitted)), metricProbCol, label.name)
           }
@@ -96,7 +125,9 @@ object ModelSelector {
       val best = results.minBy(r => (if (maximize) -r.metric else r.metric, r.name))
       bestName = best.name
       val winner = candidates.find(_._1 == best.name).get._2
-      winner.fit(df) // refit on the full frame, reference ModelSelector.scala:145
+      // refit upstream + winner on the full frame (reference ModelSelector.scala:145)
+      val (fittedUpFull, dfP) = fitUpstream(df)
+      (fittedUpFull, winner.fit(dfP))
     }
   }
 

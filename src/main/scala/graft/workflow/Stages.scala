@@ -92,6 +92,23 @@ object Stages {
       graft.operators.Vectorizers.bucketize(cols.head, splits)
     }
 
+  /** Supervised bucketizer as a workflow stage (reference
+    * DecisionTreeNumericBucketizer + dsl autoBucketize): fit a
+    * single-feature decision tree against the LABEL, bucket by its
+    * split thresholds. Label-dependent — under [[Workflow.fitWithCvCut]]
+    * it refits per validation split so the buckets never see a fold's
+    * validation labels. */
+  def decisionTreeBucketize(in: Feature, label: Feature, out: String,
+                            maxDepth: Int = 2): ColumnEstimator =
+    new ColumnEstimator("decisionTreeBucketize", Seq(in, label)) {
+      def outputNames = Seq(out)
+      def fitExpressions(df: DataFrame): Seq[(String, Column)] = {
+        val th = MLStages.decisionTreeBuckets(df, col(in.name), col(label.name), maxDepth)
+        Seq(out -> MLStages.bucketizeByThresholds(col(in.name), th))
+      }
+      override def outputKindOf(n: String): FeatureKind = IntegralK
+    }
+
   /** Month-of-year unit-circle encoding (DateToUnitCircleTransformer). */
   def monthUnitCircle(in: Feature, outPrefix: String): ColumnStage =
     new ColumnStage("monthUnitCircle", Seq(in)) {

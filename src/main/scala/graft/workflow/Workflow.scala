@@ -78,6 +78,63 @@ object Workflow {
     (new Workflow(surviving, persistEveryKLayers).fit(cleaned), dropped)
   }
 
+  /** Fit a plan containing ONE ModelSelector with the reference's
+    * cutDAG semantics (FitStagesUtil.cutDAG:302-366, applied at
+    * OpWorkflow.scala:407-456): layers are split into
+    * before / during / after the selector. "During" starts at the first
+    * layer holding a LABEL-DEPENDENT estimator (one whose input lineage
+    * touches a response feature) and is refit on every validation split
+    * inside the selector — so label-derived statistics never leak
+    * validation rows into model selection — while label-free layers fit
+    * exactly once. Post-selector layers fit after the winner stands in. */
+  def fitWithCvCut(resultFeatures: Seq[Feature], df: DataFrame,
+                   persistEveryKLayers: Int = 5): WorkflowModel = {
+    val layers = new Workflow(resultFeatures, persistEveryKLayers).plan()
+    val selIdx = layers.indexWhere(_.exists(_.isInstanceOf[ModelSelector.ModelSelectorStage]))
+    require(selIdx >= 0, "fitWithCvCut needs a ModelSelector stage in the plan")
+    def touchesResponse(f: Feature): Boolean =
+      f.isResponse || f.parents.exists(touchesResponse)
+    def labelDependent(s: Stage): Boolean = s match {
+      case _: ModelSelector.ModelSelectorStage => false // the cut point itself
+      case _: EstimatorStage => s.inputs.exists(touchesResponse)
+      case _ => false
+    }
+    val firstCut = layers.take(selIdx).indexWhere(_.exists(labelDependent))
+    val cutStart = if (firstCut < 0) selIdx else firstCut
+    val (sels, selPeers) = layers(selIdx)
+      .partition(_.isInstanceOf[ModelSelector.ModelSelectorStage])
+    require(sels.length == 1, "fitWithCvCut supports exactly one ModelSelector")
+    val sel = sels.head.asInstanceOf[ModelSelector.ModelSelectorStage]
+    // selector-layer peers join the refit section (they cannot depend on
+    // the selector; per-split refitting them is correct and keeps the
+    // final model identical — the full-frame refit decides it)
+    val cutSection = layers.slice(cutStart, selIdx) ++
+      (if (selPeers.nonEmpty) Seq(selPeers) else Nil)
+
+    var data = df
+    val preFitted = layers.take(cutStart).map { layer =>
+      val fitted: Seq[TransformerStage] = layer.map {
+        case e: EstimatorStage => e.fit(data)
+        case t: TransformerStage => t
+      }
+      data = applyLayer(data, fitted)
+      fitted
+    }
+    val (cutFitted, winner) = sel.fitCut(data, cutSection)
+    data = cutFitted.foldLeft(data)(applyLayer)
+    data = applyLayer(data, Seq(winner))
+    val postFitted = layers.drop(selIdx + 1).map { layer =>
+      val fitted: Seq[TransformerStage] = layer.map {
+        case e: EstimatorStage => e.fit(data)
+        case t: TransformerStage => t
+      }
+      data = applyLayer(data, fitted)
+      fitted
+    }
+    new WorkflowModel(
+      preFitted ++ cutFitted ++ Seq(Seq(winner)) ++ postFitted, resultFeatures)
+  }
+
   /** Apply one layer: all ColumnStages in a single select (fused by
     * CollapseProject/WholeStageCodegen), DataFrame stages sequentially. */
   private[workflow] def applyLayer(df: DataFrame, layer: Seq[TransformerStage]): DataFrame = {
