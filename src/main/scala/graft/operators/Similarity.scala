@@ -167,6 +167,17 @@ object Similarity {
                pow(lit(2.0), p).cast("long")).otherwise(lit(0L))),
         lit(0L), (acc, x) => acc + x))
 
+  /** [[srpBandBuckets]] with the hyperplanes folded in as literal weight
+    * arrays (plan-time md5, codegen'd dot products per band) — use when
+    * the embedding width is known; the dynamic variant pays one md5 per
+    * (plane, dim) per ROW. */
+  def srpBandBucketsLit(emb: Column, planesPerBand: Int, numBands: Int, dim: Int): Column =
+    array((0 until numBands).map(b =>
+      (0 until planesPerBand).map { p =>
+        val w = Array.tabulate(dim)(i => planeWeightValue(b * planesPerBand + p, i))
+        when(dotFast(emb, lit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)): _*)
+
   /** Approximate near-dup pairs for high thresholds: SRP banded LSH
     * candidates (pair is a candidate when any band's bucket matches —
     * same band shape as the MinHash dedup pipeline) then exact cosine
@@ -175,10 +186,10 @@ object Similarity {
     * fully hash-partitioned, no broadcast; use for corpora where exact
     * [[cosineNearDupPairs]] is infeasible. */
   def cosineNearDupPairsLSH(df: DataFrame, threshold: Double,
-      planesPerBand: Int = 8, numBands: Int = 8): DataFrame = {
+      planesPerBand: Int = 8, numBands: Int = 8, dim: Int = 64): DataFrame = {
     val e = df.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
-      .withColumn("bands", srpBandBuckets(col("emb"), planesPerBand, numBands))
+      .withColumn("bands", srpBandBucketsLit(col("emb"), planesPerBand, numBands, dim))
       .select(col("vec_id"), col("emb"), col("nrm"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
     e.as("a").join(e.as("b"),

@@ -39,6 +39,13 @@ object SimilarityQueries {
       Similarity.ivfTopK(e, e.where(expr(QUERY_PRED)), K, nList = 16, nProbe = 4)
     }),
 
+    // SRP banded-LSH near-dup pairs + exact verify (the scale path for
+    // cosine near-dup when the exact block-matrix is infeasible)
+    "q89_sim_lsh_neardup" -> ((s, d) => {
+      Similarity.cosineNearDupPairsLSH(Tables.embeddings(s, d), 0.45,
+        planesPerBand = 4, numBands = 4)
+    }),
+
     // IVF-PQ: coarse cells prune to nProbe candidates, PQ codes + ADC
     // rank them — the canonical billion-scale ANN composition
     "q88_sim_ivfpq_topk" -> ((s, d) => {
@@ -124,6 +131,29 @@ object SimilarityQueries {
             FROM scored)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K""",
+
+    "q89_sim_lsh_neardup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          bandidx AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS b),
+          bands AS (
+            SELECT vec_id, b,
+              CAST(list_sum(list_transform(range(0, 4), p ->
+                CASE WHEN list_sum(list_transform(range(0, len(emb)), i ->
+                       emb[CAST(i + 1 AS INT)] *
+                       (${H60("'srp:' || CAST(b*4 + p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+                        / 1152921504606846976.0 * 2.0 - 1.0))) > 0
+                     THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+            FROM e CROSS JOIN bandidx),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+            FROM bands a JOIN bands c
+              ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+          SELECT id_a, id_b, ROUND(${cosSql("ea.emb", "eb.emb")}, 6) AS cosine
+          FROM cand
+            JOIN e ea ON ea.vec_id = id_a
+            JOIN e eb ON eb.vec_id = id_b
+          WHERE ${cosSql("ea.emb", "eb.emb")} >= 0.45""",
 
     "q88_sim_ivfpq_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

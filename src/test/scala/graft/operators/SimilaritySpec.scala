@@ -97,11 +97,17 @@ class SimilaritySpec extends SparkSpec {
       (id, e)
     }
     val df = rows.toDF("vec_id", "embedding")
-    val got = Similarity.cosineNearDupPairsLSH(df, 0.95, planesPerBand = 8, numBands = 8)
+    val got = Similarity.cosineNearDupPairsLSH(df, 0.95, planesPerBand = 8, numBands = 8, dim = 16)
       .as[(Long, Long, Double)].collect()
     val duplicatePairs = got.filter { case (a, b, _) => b == a + 1 && a % 2 == 0 }
     assert(duplicatePairs.length == 15) // every planted pair found
     assert(got.forall(_._3 >= 0.95))
+    // literal-weight band buckets equal the dynamic md5-per-row form
+    val emb = Similarity.toDouble(col("embedding"))
+    val cmp = df.select(
+      Similarity.srpBandBucketsLit(emb, 4, 3, 16).as("lit"),
+      Similarity.srpBandBuckets(emb, 4, 3).as("dyn")).collect()
+    assert(cmp.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
   test("ivfTopK probes enough cells to match brute force on a clustered corpus") {
