@@ -106,6 +106,24 @@ object FeatureQueries {
           round(element_at(col("combined"), size(col("combined"))), 6).as("last_v"))
     }),
 
+    // GeolocationVectorizer (reference GeolocationVectorizer.scala):
+    // fill-with-midpoint + null indicator over synthetic coordinates
+    // with planted nulls on both the coords and the accuracy
+    "q90_geo_vectorize" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal") % 90).as("glat"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(((col("c_custkey") % 360) - 180).cast("double")).as("glon"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("c_nationkey").cast("double")).as("gacc"))
+      Vectorizers.geolocationVectorize(c, col("c_custkey"),
+          col("glat"), col("glon"), col("gacc"))
+        .select(col("id").as("c_custkey"),
+          round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
+          round(col("accuracy"), 6).as("accuracy"), col("geo_isnull"))
+    }),
+
     // GeolocationMidpoint monoid (reference aggregators/Geolocation.scala:43):
     // 3-D cartesian mean + best accuracy over synthetic per-customer
     // coordinates, grouped by segment
@@ -144,6 +162,28 @@ object FeatureQueries {
            STRING_AGG(event_type || ',' || CAST(event_id AS VARCHAR), ','
                       ORDER BY event_id) AS trail
          FROM events GROUP BY 1""",
+
+    "q90_geo_vectorize" ->
+      """WITH src AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal % 90 END AS glat,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE CAST((c_custkey % 360) - 180 AS DOUBLE) END AS glon,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL
+                  ELSE CAST(c_nationkey AS DOUBLE) END AS gacc
+           FROM customer),
+         m AS (
+           SELECT AVG(cos(radians(glat)) * cos(radians(glon))) AS x,
+                  AVG(cos(radians(glat)) * sin(radians(glon))) AS y,
+                  AVG(sin(radians(glat))) AS z,
+                  MAX(COALESCE(gacc, 0.0)) AS macc
+           FROM src WHERE glat IS NOT NULL AND glon IS NOT NULL)
+         SELECT c_custkey,
+           ROUND(COALESCE(glat, degrees(atan2(z, sqrt(x*x + y*y)))), 6) + 0 AS lat,
+           ROUND(COALESCE(glon, degrees(atan2(y, x))), 6) + 0 AS lon,
+           ROUND(COALESCE(gacc, macc), 6) AS accuracy,
+           CASE WHEN glat IS NULL OR glon IS NULL THEN 1 ELSE 0 END AS geo_isnull
+         FROM src CROSS JOIN m""",
 
     "q78_geo_midpoint" ->
       """WITH pts AS (

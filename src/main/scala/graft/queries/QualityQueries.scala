@@ -116,6 +116,18 @@ object QualityQueries {
           round(aggregate(col("feat"), lit(0.0d), (a, x) => a + x.cast("double")), 4).as("feat_sum"))
     }),
 
+    // §2.9 stateful per-key running state (flatMapGroupsWithState):
+    // the finite source runs as one batch, so the emitted update rows
+    // are each user's final state — replayable as a batch aggregate
+    "q91_stream_state" -> ((s, d) => {
+      val ds = Streaming.runningUserState(s, Streaming.eventStream(s, d))
+      Streaming.runToCompletion(s, ds.toDF(), "q91_stream",
+          outputMode = "update", shufflePartitions = Some(8))
+        .select(col("userId").as("user_id"), col("n"),
+          col("sumValueCents").as("sum_cents"),
+          col("lastTsMicros").as("last_ts"))
+    }),
+
     // §2.9 stream-stream interval join: views matched to same-user
     // purchases within 1 day, watermark-bounded state on both sides
     "q85_stream_interval_join" -> ((s, d) => {
@@ -281,6 +293,12 @@ object QualityQueries {
 
     "q76_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+
+    "q91_stream_state" ->
+      """SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(TRUNC(value * 100)) AS BIGINT) AS sum_cents,
+           MAX(epoch_us(ts)) AS last_ts
+         FROM events GROUP BY 1""",
 
     "q85_stream_interval_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS p_id
