@@ -77,6 +77,27 @@ object TextAnalysis {
 
   def languageId(text: Column): Column = languageIdFrom(languageScores(text))
 
+  /** Default stop-word list: spark.ml StopWordsRemover's English list —
+    * the same default the reference wraps (OpStopWordsRemover.scala:48,
+    * `StopWordsRemover.loadDefaultStopWords()`). */
+  lazy val defaultStopWords: Seq[String] =
+    org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english").toSeq
+
+  /** Remove stop words from a token array (reference
+    * OpStopWordsRemover.scala:48 wrapping ml.feature.StopWordsRemover):
+    * case-insensitive by default; null elements are PRESERVED unless the
+    * stop list names them — the transformer's documented contract.
+    * Row-local single-pass filter; the stop set compiles to an InSet
+    * hash lookup so it stays inside WholeStageCodegen. */
+  def removeStopWords(toks: Column, stopWords: Seq[String] = defaultStopWords,
+                      caseSensitive: Boolean = false): Column = {
+    val words = if (caseSensitive) stopWords else stopWords.map(_.toLowerCase)
+    filter(toks, t => {
+      val cmp = if (caseSensitive) t else lower(t)
+      t.isNull || !cmp.isin(words.map(lit): _*)
+    })
+  }
+
   /** Punctuation character ratio (over all characters). */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /

@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
   * single codegen'd projection. */
 object MapVectorizers {
 
+  /** Default bound on discovered map keys per vectorizer fit. Map keys
+    * are schema-like, so real data sits far below this; the cap exists
+    * so an adversarial column (ids-as-keys) cannot OOM the driver. */
+  val DefaultMaxKeys: Int = 1024
+
+  /** Discover map keys, BOUNDED: the top `maxKeys` keys by document
+    * frequency (ties broken alphabetically), returned sorted. The fit
+    * collect is O(maxKeys) no matter the data's key domain — an
+    * unbounded `.distinct().collect()` here is a driver OOM at 100 TB.
+    * Truncation is loud (stderr) because dropping keys changes the
+    * output schema. */
+  def discoverKeys(df: DataFrame, m: Column, maxKeys: Int = DefaultMaxKeys): Seq[String] = {
+    require(maxKeys >= 1, s"maxKeys must be >= 1, got $maxKeys")
+    val byFreq = df.select(explode(map_keys(m)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k").asc)
+      .limit(maxKeys + 1)
+      .collect().map(_.getString(0))
+    if (byFreq.length > maxKeys)
+      System.err.println(
+        s"[graft] map-key discovery hit the $maxKeys-key cap; keeping the " +
+          s"$maxKeys most frequent keys and dropping the rest of the domain")
+    byFreq.take(maxKeys).sorted
+  }
+
   /** Fitted pivot table: (key, value, rank) with rank 1..k per key by
     * (count desc, value asc), support >= minSupport. The window
     * partitions by map key — never a single-partition global sort. */
@@ -34,8 +59,11 @@ object MapVectorizers {
     * collected (O(#keys * K) rows — map keys are schema-like) and folded
     * into literal when-expressions. */
   def textMapPivot(df: DataFrame, id: Column, m: Column, k: Int,
-                   minSupport: Long = 1): DataFrame = {
+                   minSupport: Long = 1,
+                   maxKeys: Int = DefaultMaxKeys): DataFrame = {
+    val kept = discoverKeys(df, m, maxKeys)
     val fitted: Map[String, Seq[String]] = fitMapPivot(df, m, k, minSupport)
+      .where(col("k").isin(kept: _*))
       .collect()
       .groupBy(_.getString(0))
       .map { case (key, rows) =>
@@ -54,6 +82,60 @@ object MapVectorizers {
     df.select(id.as("id") +: slotCols: _*)
   }
 
+  /** MultiPickListMapVectorizer (reference
+    * MultiPickListMapVectorizer.scala:64): pivot a SET-VALUED map
+    * (`map<string, array<string>>`). Fit discovers keys (bounded) and,
+    * per key, the top-K set values by document frequency — each row's
+    * set counts a value once — ranked (count desc, value asc), support
+    * >= minSupport, mirroring the reference's getTopValues tiebreak
+    * (Transmogrifier.scala:654). Transform per key: indicator `<key>_i`
+    * when the set contains top value i (a set can light several slots),
+    * `<key>_other` COUNTS the set's non-top values (the reference emits
+    * the count, not an indicator — MultiPickListMapVectorizer.scala:111),
+    * `<key>_null` marks rows where the key is absent. Keys unseen at fit
+    * are ignored, like the reference.
+    *
+    * Scale: fit = one explode+explode+groupBy((key, value)) shuffle;
+    * the fitted table is O(#keys * K) and folds into row-local literal
+    * expressions, so the transform is a single codegen'd projection. */
+  def multiPickListMapVectorize(df: DataFrame, id: Column, m: Column, k: Int,
+                                minSupport: Long = 1,
+                                maxKeys: Int = DefaultMaxKeys): DataFrame = {
+    val kept = discoverKeys(df, m, maxKeys)
+    val fitted: Map[String, Seq[String]] = df
+      .select(explode(m).as(Seq("k", "vs")))
+      .where(col("k").isin(kept: _*))
+      .select(col("k"), explode(array_distinct(col("vs"))).as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minSupport)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("cnt").desc, col("v").asc)))
+      .where(col("rank") <= k)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (key, rows) =>
+        key -> rows.sortBy(_.getInt(3)).map(_.getString(1)).toSeq
+      }
+    val slotCols = kept.flatMap { key =>
+      val cell = array_distinct(element_at(m, key))
+      val vals = fitted.getOrElse(key, Nil)
+      val tops = (1 to k).map { i =>
+        val c = if (i <= vals.length)
+          when(cell.isNotNull && array_contains(cell, vals(i - 1)), 1).otherwise(0)
+        else lit(0)
+        c.as(s"${key}_$i")
+      }
+      val other =
+        if (vals.isEmpty) when(cell.isNotNull, size(cell)).otherwise(0)
+        else when(cell.isNotNull,
+          size(array_except(cell, lit(vals.toArray)))).otherwise(0)
+      tops ++ Seq(other.as(s"${key}_other"),
+        when(cell.isNull, 1).otherwise(0).as(s"${key}_null"))
+    }
+    df.select(id.as("id") +: slotCols: _*)
+  }
+
   /** SmartTextMapVectorizer (reference SmartTextMapVectorizer.scala):
     * discover keys, compute per-key TextStats (distinct count + length
     * variance) in ONE explode + groupBy pass, then dispatch each key to
@@ -61,8 +143,11 @@ object MapVectorizers {
     * decision table as the scalar SmartTextVectorizer, applied per
     * discovered key. */
   def smartTextMapVectorize(df: DataFrame, id: Column, m: Column,
-                            maxCardinality: Long, topK: Int, dims: Int): DataFrame = {
+                            maxCardinality: Long, topK: Int, dims: Int,
+                            maxKeys: Int = DefaultMaxKeys): DataFrame = {
+    val kept = discoverKeys(df, m, maxKeys)
     val stats = df.select(explode(m).as(Seq("k", "v")))
+      .where(col("k").isin(kept: _*))
       .groupBy(col("k")).agg(
         countDistinct(col("v")).as("nd"),
         var_samp(length(col("v")).cast("double")).as("lv"))
@@ -109,14 +194,14 @@ object MapVectorizers {
     * null indicator — columns `<key>_v`, `<key>_null`. Fit = one explode
     * + groupBy(key) (O(#keys) rows, map keys are schema-like); the means
     * fold into literals so the transform is a single codegen'd select. */
-  def realMapVectorize(df: DataFrame, id: Column, m: Column): DataFrame = {
+  def realMapVectorize(df: DataFrame, id: Column, m: Column,
+                       maxKeys: Int = DefaultMaxKeys): DataFrame = {
     // discover keys from map_keys (matching binaryMapVectorize) so a key
     // whose values are ALL null still gets its columns — its mean is
     // undefined, so it fills 0.0 with the null indicator lit for every row
-    val keys = df.select(explode(map_keys(m)).as("k"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val keys = discoverKeys(df, m, maxKeys)
     val means = df.select(explode(m).as(Seq("k", "v")))
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull && col("k").isin(keys: _*))
       .groupBy(col("k")).agg(avg(col("v").cast("double")).as("mean"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val cols = keys.flatMap { key =>
@@ -130,9 +215,9 @@ object MapVectorizers {
   /** BinaryMapVectorizer (reference OPMapVectorizer BinaryMap branch):
     * each discovered key becomes a 0/1 column (null → 0) plus a null
     * indicator, matching the reference's false-fill convention. */
-  def binaryMapVectorize(df: DataFrame, id: Column, m: Column): DataFrame = {
-    val keys = df.select(explode(map_keys(m)).as("k"))
-      .distinct().collect().map(_.getString(0)).sorted
+  def binaryMapVectorize(df: DataFrame, id: Column, m: Column,
+                         maxKeys: Int = DefaultMaxKeys): DataFrame = {
+    val keys = discoverKeys(df, m, maxKeys)
     val cols = keys.flatMap { key =>
       val cell = element_at(m, key)
       Seq(coalesce(cell.cast("int"), lit(0)).as(s"${key}_b"),
@@ -146,10 +231,12 @@ object MapVectorizers {
     * filled with that key's geodesic midpoint (3-D cartesian mean) and
     * given a null indicator — the scalar geolocationVectorize treatment
     * per key. Fit = explode + per-key midpoint agg (O(#keys) rows). */
-  def geoMapVectorize(df: DataFrame, id: Column, m: Column): DataFrame = {
+  def geoMapVectorize(df: DataFrame, id: Column, m: Column,
+                      maxKeys: Int = DefaultMaxKeys): DataFrame = {
     val rad = math.Pi / 180.0
+    val kept = discoverKeys(df, m, maxKeys)
     val ex = df.select(explode(m).as(Seq("k", "g")))
-      .where(col("g").isNotNull)
+      .where(col("g").isNotNull && col("k").isin(kept: _*))
       .select(col("k"),
         col("g").getItem(0).as("lat"), col("g").getItem(1).as("lon"),
         coalesce(col("g").getItem(2), lit(0.0)).as("acc"))

@@ -37,14 +37,19 @@ object TextVectorizers {
       .select(col("bucket"),
         log(lit(numDocs + 1.0) / (col("df_b") + 1.0)).as("idf"))
 
-  /** Sparse tf-idf: tf joined with the broadcast idf table. The idf fit
-    * is O(dims) rows, so it's collected into a local frame — the tf
-    * aggregation runs once for the fit and once when the result
-    * materializes (same cost as an uncached two-branch plan) and nothing
-    * stays persisted for the session lifetime. */
+  /** Sparse tf-idf: tf joined with the broadcast idf table. The tf frame
+    * feeds two plan branches (the collected idf fit and the returned
+    * join), so it is persist()ed — recomputing it would run the
+    * explode+groupBy corpus pass twice. The fit's collect materializes
+    * the cache; the result plan scans it. Lifecycle is the
+    * materialize-then-release contract documented on [[Dedup]]: the
+    * caller releases with `spark.catalog.clearCache()` (as Bench does
+    * per query) or by unpersisting — nothing is meant to outlive the
+    * query. */
   def hashedTfIdf(df: DataFrame, id: Column, text: Column, dims: Int): DataFrame = {
     val spark = df.sparkSession
     val tf = hashedTf(df, id, text, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idfLocal = idfTable(tf, df.count()).collect()
       .map(r => (r.getInt(0), r.getDouble(1))).toSeq
     import spark.implicits._
@@ -77,15 +82,26 @@ object TextVectorizers {
         org.apache.spark.ml.functions.vector_to_array(col("__vec")).as("counts"))
   }
 
-  /** Word2Vec doc embeddings (reference OpWord2Vec.scala:41): seeded,
-    * one partition for a deterministic fit. */
+  /** Word2Vec doc embeddings (reference OpWord2Vec.scala:41): seeded.
+    *
+    * `numPartitions <= 0` (the default) distributes the fit across the
+    * cluster's default parallelism — the scale-correct choice; a 100 TB
+    * corpus cannot fit one partition. Distributed skip-gram updates race
+    * benignly (Hogwild-style), so embeddings are only run-reproducible
+    * per partitioning — pass `numPartitions = 1` when bit-exact
+    * determinism matters more than fit throughput (tiny corpora,
+    * differential tests). */
   def word2vec(df: DataFrame, id: Column, text: Column, vectorSize: Int,
-               minCount: Int = 1, seed: Long = 42L): DataFrame = {
+               minCount: Int = 1, seed: Long = 42L,
+               numPartitions: Int = 0): DataFrame = {
     val prepared = df.select(id.as("id"), tokens(text).as("toks"))
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
     val w2v = new org.apache.spark.ml.feature.Word2Vec()
       .setInputCol("toks").setOutputCol("__vec")
       .setVectorSize(vectorSize).setMinCount(minCount)
-      .setSeed(seed).setNumPartitions(1)
+      .setSeed(seed).setNumPartitions(parts)
       .fit(prepared)
     w2v.transform(prepared)
       .select(col("id"),

@@ -71,6 +71,24 @@ object Vectorizers {
         when(col("value").isNull, 1).otherwise(0).as("is_null"))
   }
 
+  /** Mode-impute for INTEGRAL features (reference
+    * IntegralVectorizer.scala:77 setFillWithMode backed by
+    * SequenceAggregators.ModeSeqNullInt:100): nulls filled with the most
+    * frequent non-null value, ties broken by the SMALLEST value,
+    * all-null column → 0 — plus the trackNulls indicator. Fit = one
+    * groupBy + top-1 (O(1) rows to the driver); transform folds the
+    * mode in as a literal. */
+  def imputeMode(df: DataFrame, id: Column, value: Column): DataFrame = {
+    val top = df.where(value.isNotNull)
+      .groupBy(value.cast("long").as("v")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("v").asc).limit(1)
+      .collect()
+    val fill = if (top.isEmpty) 0L else top(0).getLong(0)
+    df.select(id.as("id"),
+      coalesce(value.cast("long"), lit(fill)).as("imputed"),
+      when(value.isNull, 1).otherwise(0).as("is_null"))
+  }
+
   /** Z-normalize: (x - mean) / stddev_samp (OpScalarStandardScaler). */
   def standardScale(df: DataFrame, id: Column, value: Column): DataFrame = {
     val stats = df.agg(avg(value).as("mu"), stddev_samp(value).as("sigma"))

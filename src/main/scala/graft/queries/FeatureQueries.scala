@@ -23,6 +23,42 @@ object FeatureQueries {
         .withColumnRenamed("id", "o_orderkey")
     }),
 
+    // IntegralVectorizer setFillWithMode (reference
+    // IntegralVectorizer.scala:77 / SequenceAggregators.ModeSeqNullInt):
+    // most-frequent value fills nulls, ties to the smallest value;
+    // quantity 1 treated as missing so the fill path fires
+    "q94_impute_mode" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
+          nullif(col("l_quantity").cast("long"), lit(1L)).as("qty"))
+      Vectorizers.imputeMode(li, col("rid"), col("qty"))
+        .select(col("id").as("rid"), col("imputed"), col("is_null"))
+    }),
+
+    // DecisionTreeNumericMapBucketizer (reference
+    // DecisionTreeNumericMapBucketizer.scala): per-key supervised splits
+    // on a numeric map against a binary label; fitted tree thresholds
+    // are not SQL-replayable → rows-only check (spec-gated in
+    // CvCutSpec like the scalar decisionTreeBucketize)
+    "q95_dt_map_bucketize" -> ((s, d) => {
+      import graft.workflow._
+      // the synthetic columns are mutually independent, so the label is
+      // derived from the qty key (quantity > 25): that key fits
+      // informative splits while disc takes the reference's
+      // shouldSplit=false path in the same query
+      val li = Tables.lineitem(s, d)
+        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
+          map(lit("qty"), col("l_quantity").cast("double"),
+              lit("disc"), col("l_discount").cast("double")).as("nm"),
+          (col("l_quantity") > 25).cast("double").as("y"))
+      val fMap = Feature.raw("nm", FeatureKind.RealMapK)
+      val fLab = Feature.raw("y", FeatureKind.RealK, isResponse = true)
+      val st = Stages.decisionTreeMapBucketize(fMap, fLab, "nm_b")
+      val model = new Workflow(st.outputFeatures).fit(li)
+      model.score(li, keep = Seq("rid"))
+        .select(col("rid"), posexplode(col("nm_b")).as(Seq("slot", "value")))
+    }),
+
     "q30_impute_indicator" -> ((s, d) => {
       // treat zero discount as missing: exercises fill + indicator on a
       // table with no physical nulls
@@ -249,6 +285,17 @@ object FeatureQueries {
            CASE WHEN o_orderpriority IS NOT NULL AND rank IS NULL THEN 1 ELSE 0 END AS slot_other,
            CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS slot_null
          FROM orders LEFT JOIN fitted ON o_orderpriority = fitted.value""",
+
+    "q94_impute_mode" ->
+      """WITH src AS (
+           SELECT l_orderkey || '-' || l_linenumber AS rid,
+                  nullif(CAST(l_quantity AS BIGINT), 1) AS qty
+           FROM lineitem),
+         m AS (SELECT qty AS fill FROM src WHERE qty IS NOT NULL
+               GROUP BY qty ORDER BY count(*) DESC, qty ASC LIMIT 1)
+         SELECT rid, COALESCE(qty, fill) AS imputed,
+                CASE WHEN qty IS NULL THEN 1 ELSE 0 END AS is_null
+         FROM src CROSS JOIN m""",
 
     "q30_impute_indicator" ->
       """WITH src AS (

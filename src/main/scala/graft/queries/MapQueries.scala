@@ -141,6 +141,24 @@ object MapQueries {
           MapFunctions.valueAt(MapFunctions.monthUnitCircleValues(col("dm")), "od"), 2), 6).as("m_cos"))
     }),
 
+    // MultiPickListMapVectorizer (reference
+    // MultiPickListMapVectorizer.scala:64): per-customer SETS of order
+    // priorities/statuses as a set-valued map; top-3 pivot per key with
+    // a counting Other slot and a Null slot (customers with no orders
+    // have a null map, so the null path fires)
+    "q93_multipicklist_map" -> ((s, d) => {
+      val sets = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(collect_set(col("o_orderpriority")).as("prios"),
+          collect_set(col("o_orderstatus")).as("stats"))
+      val src = Tables.customer(s, d)
+        .join(sets, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          when(col("prios").isNotNull,
+            map(lit("prio"), col("prios"), lit("stat"), col("stats"))).as("mm"))
+      MapVectorizers.multiPickListMapVectorize(src, col("c_custkey"), col("mm"), k = 3)
+        .withColumnRenamed("id", "c_custkey")
+    }),
+
     // RealMapVectorizer: numeric map, keys discovered at fit, each key
     // mean-imputed with a null indicator (zero discount treated as
     // missing so the fill path is exercised on a table with no nulls)
@@ -230,6 +248,37 @@ object MapQueries {
            ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS m_sin,
            ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS m_cos
          FROM orders""",
+
+    // fit = per-value count of DISTINCT customers whose set contains it
+    // (set semantics: one count per row), rank (count desc, value asc);
+    // other = |set| minus the number of top values it contains
+    "q93_multipicklist_map" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey, o_orderpriority AS v FROM orders),
+           cs AS (SELECT DISTINCT o_custkey, o_orderstatus AS v FROM orders),
+           rp AS (SELECT v, ROW_NUMBER() OVER (ORDER BY count(*) DESC, v ASC) AS r
+                  FROM cp GROUP BY v),
+           rs AS (SELECT v, ROW_NUMBER() OVER (ORDER BY count(*) DESC, v ASC) AS r
+                  FROM cs GROUP BY v),
+           pl AS (SELECT o_custkey, list(DISTINCT o_orderpriority) AS vs FROM orders GROUP BY 1),
+           sl AS (SELECT o_custkey, list(DISTINCT o_orderstatus) AS vs FROM orders GROUP BY 1),
+           ind AS (
+             SELECT c_custkey, pl.vs AS pvs, sl.vs AS svs,
+               CASE WHEN list_contains(pl.vs, (SELECT v FROM rp WHERE r = 1)) THEN 1 ELSE 0 END AS p1,
+               CASE WHEN list_contains(pl.vs, (SELECT v FROM rp WHERE r = 2)) THEN 1 ELSE 0 END AS p2,
+               CASE WHEN list_contains(pl.vs, (SELECT v FROM rp WHERE r = 3)) THEN 1 ELSE 0 END AS p3,
+               CASE WHEN list_contains(sl.vs, (SELECT v FROM rs WHERE r = 1)) THEN 1 ELSE 0 END AS s1,
+               CASE WHEN list_contains(sl.vs, (SELECT v FROM rs WHERE r = 2)) THEN 1 ELSE 0 END AS s2,
+               CASE WHEN list_contains(sl.vs, (SELECT v FROM rs WHERE r = 3)) THEN 1 ELSE 0 END AS s3
+             FROM customer
+               LEFT JOIN pl ON c_custkey = pl.o_custkey
+               LEFT JOIN sl ON c_custkey = sl.o_custkey)
+         SELECT c_custkey, p1 AS prio_1, p2 AS prio_2, p3 AS prio_3,
+           CASE WHEN pvs IS NULL THEN 0 ELSE len(pvs) - (p1 + p2 + p3) END AS prio_other,
+           CASE WHEN pvs IS NULL THEN 1 ELSE 0 END AS prio_null,
+           s1 AS stat_1, s2 AS stat_2, s3 AS stat_3,
+           CASE WHEN svs IS NULL THEN 0 ELSE len(svs) - (s1 + s2 + s3) END AS stat_other,
+           CASE WHEN svs IS NULL THEN 1 ELSE 0 END AS stat_null
+         FROM ind""",
 
     "q68_map_real_vectorize" ->
       """WITH src AS (

@@ -72,6 +72,20 @@ object TextQueries {
         MF.valueAt(CF.liftMap(col("m"))(lower), "f").as("f_lower"))
     }),
 
+    // OpStopWordsRemover (reference OpStopWordsRemover.scala:48 wrapping
+    // ml.feature.StopWordsRemover): tokenize, drop the default English
+    // stop words (case-insensitive), keep order — gated on kept-token
+    // count and the re-joined kept text
+    "q92_remove_stopwords" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val kept = removeStopWords(toks)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(kept).as("n_kept"),
+        array_join(kept, " ").as("kept_text"))
+    }),
+
     // Email/URL scalar validators (reference RichTextFeature.scala:
     // 589-603 email, 642-654 url): synthesized addresses with planted
     // invalid shapes so both branches of every validator fire
@@ -162,6 +176,24 @@ object TextQueries {
            CASE WHEN l_returnflag = 'N' THEN 0 ELSE 2 END AS lst_len,
            lower(l_returnflag) AS f_lower
          FROM lineitem""",
+
+    "q92_remove_stopwords" -> {
+      // same list as the Spark side (spark.ml English stop words),
+      // SQL-escaped; the filter replays token-for-token in DuckDB
+      val stopList = graft.functions.TextAnalysis.defaultStopWords
+        .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+      s"""WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+         k AS (
+           SELECT doc_id, toks,
+             list_filter(toks, x -> x NOT IN ($stopList)) AS kept
+           FROM t)
+         SELECT doc_id, len(toks) AS n_tokens, len(kept) AS n_kept,
+           array_to_string(kept, ' ') AS kept_text
+         FROM k"""
+    },
 
     "q80_text_validators" ->
       """WITH c AS (

@@ -98,17 +98,29 @@ object WorkflowQueries {
           col("sel_prediction"), round(col("sel_prob_1"), 4).as("sel_prob_1"))
     }),
 
-    // evaluator aggregations over the scored frame (rows-only); persist
-    // the scored frame — the evaluator makes three passes over it and
-    // re-running the selector per pass would triple training cost
+    // the binary EVALUATOR fully hash-gated: confusion counts at 0.5,
+    // accuracy, F1, and mllib-curve-semantics trapezoid auROC/auPR, all
+    // replayed in SQL. The score column is a deterministic transform of
+    // vec_id rather than a model's output — model scores aren't
+    // SQL-replayable (they stay rows-only in q37); what this gate pins
+    // down is the metric machinery itself
     "q38_ml_evaluate" -> ((s, d) => {
-      val scored = queries("q37_ml_train_score")(s, d).persist()
-      val m = MLTuning.binaryMetrics(scored, "sel_prob_1", "y")
+      val scored = Tables.embeddings(s, d).select(
+        (pmod(col("vec_id"), lit(97)).cast("double") / 96.0).as("score"),
+        (col("label") < 5).cast("double").as("y"))
+      val m = MLTuning.binaryMetrics(scored, "score", "y")
+      val conf = scored.agg(
+        sum(when(col("score") > 0.5 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("score") > 0.5 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("score") <= 0.5 && col("y") === 1.0, 1L).otherwise(0L)).as("fn")).head
       val spark = s
       import spark.implicits._
-      Seq((m.auroc, m.aupr, m.accuracy)).toDF("auroc", "aupr", "accuracy")
-        .select(round(col("auroc"), 4).as("auroc"), round(col("aupr"), 4).as("aupr"),
-          round(col("accuracy"), 4).as("accuracy"))
+      Seq((m.auroc, m.aupr, m.accuracy, m.f1,
+          conf.getLong(0), conf.getLong(1), conf.getLong(2)))
+        .toDF("auroc", "aupr", "accuracy", "f1", "tp", "fp", "fn")
+        .select(round(col("auroc"), 6).as("auroc"), round(col("aupr"), 6).as("aupr"),
+          round(col("accuracy"), 6).as("accuracy"), round(col("f1"), 6).as("f1"),
+          col("tp"), col("fp"), col("fn"))
     })
   )
 
@@ -139,6 +151,52 @@ object WorkflowQueries {
            LEFT JOIN idx ON o_orderpriority = idx.value"""
 
   val oracles: Map[String, String] = Map(
+    // mllib BinaryClassificationMetrics curve semantics, replayed:
+    // confusions grouped per DISTINCT score ordered descending; ROC =
+    // (0,0) prepended to cumulative (fpr, tpr), trapezoid; PR = (0,
+    // precision-of-top-group) prepended to (recall, precision). Ties in
+    // the trapezoid sort follow cumulative order ((x asc, y asc) for
+    // ROC; (recall asc, precision DESC) for PR).
+    "q38_ml_evaluate" ->
+      """WITH scored AS (
+           SELECT CAST(vec_id % 97 AS DOUBLE) / 96.0 AS s,
+                  CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+           FROM embeddings),
+         conf AS (
+           SELECT SUM(CASE WHEN s > 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS tp,
+                  SUM(CASE WHEN s > 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS fp,
+                  SUM(CASE WHEN s <= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS fn,
+                  SUM(CASE WHEN (s > 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS correct,
+                  COUNT(*) AS n_all
+           FROM scored),
+         g AS (SELECT s, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg FROM scored GROUP BY s),
+         c AS (SELECT s, SUM(pos) OVER (ORDER BY s DESC) AS ctp,
+                      SUM(neg) OVER (ORDER BY s DESC) AS cfp FROM g),
+         t AS (SELECT SUM(pos) AS p, SUM(neg) AS nn FROM g),
+         rocp AS (SELECT cfp / nn AS x, ctp / p AS yy FROM c CROSS JOIN t
+                  UNION ALL SELECT 0.0, 0.0),
+         auroc_t AS (
+           SELECT SUM((x - px) * (yy + py) / 2) AS auroc FROM (
+             SELECT x, yy,
+               LAG(x) OVER (ORDER BY x ASC, yy ASC) AS px,
+               LAG(yy) OVER (ORDER BY x ASC, yy ASC) AS py
+             FROM rocp) WHERE px IS NOT NULL),
+         prp AS (SELECT ctp / p AS r, ctp / (ctp + cfp) AS prec FROM c CROSS JOIN t
+                 UNION ALL
+                 SELECT 0.0, (SELECT ctp / (ctp + cfp) FROM c ORDER BY s DESC LIMIT 1)),
+         aupr_t AS (
+           SELECT SUM((r - pr2) * (prec + pp2) / 2) AS aupr FROM (
+             SELECT r, prec,
+               LAG(r) OVER (ORDER BY r ASC, prec DESC) AS pr2,
+               LAG(prec) OVER (ORDER BY r ASC, prec DESC) AS pp2
+             FROM prp) WHERE pr2 IS NOT NULL)
+         SELECT ROUND(auroc, 6) AS auroc, ROUND(aupr, 6) AS aupr,
+           ROUND(CAST(correct AS DOUBLE) / n_all, 6) AS accuracy,
+           ROUND(CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+                      ELSE 2.0*tp / (2*tp + fp + fn) END, 6) AS f1,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn
+         FROM conf CROSS JOIN auroc_t CROSS JOIN aupr_t""",
+
     "q59_transmogrify" ->
       """WITH fitted AS (
            SELECT value, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rank

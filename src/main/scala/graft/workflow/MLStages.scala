@@ -199,6 +199,29 @@ object MLStages {
     thresholds(tree.rootNode).distinct.sorted
   }
 
+  /** Per-key supervised bucketing splits for a numeric MAP column
+    * (reference DecisionTreeNumericMapBucketizer.scala:71-99): discover
+    * the key domain (bounded — the reference's unbounded distinct-key
+    * reduce is the driver-OOM shape [[graft.operators.MapVectorizers
+    * .discoverKeys]] guards), then fit [[decisionTreeBuckets]] per key
+    * over the rows where the key is present. Key fits run concurrently
+    * (`.par`, mirroring the reference's `uniqueKeys.par` at :92) — each
+    * fit is itself a distributed spark.ml job, so the pool only overlaps
+    * scheduling latency. Returns (key → sorted thresholds), sorted by
+    * key; a key whose tree finds no informative split maps to Nil
+    * (`shouldSplit = false` in the reference). */
+  def decisionTreeMapBuckets(df: DataFrame, m: org.apache.spark.sql.Column,
+                             label: org.apache.spark.sql.Column,
+                             maxDepth: Int = 2, minInfoGain: Double = 0.0,
+                             maxKeys: Int = graft.operators.MapVectorizers.DefaultMaxKeys)
+      : Seq[(String, Seq[Double])] = {
+    import scala.collection.parallel.CollectionConverters._
+    val keys = graft.operators.MapVectorizers.discoverKeys(df, m, maxKeys)
+    keys.par.map { k =>
+      k -> decisionTreeBuckets(df, element_at(m, k), label, maxDepth, minInfoGain)
+    }.toList.sortBy(_._1)
+  }
+
   private def toVec1(c: org.apache.spark.sql.Column) =
     array_to_vector(array(c))
 

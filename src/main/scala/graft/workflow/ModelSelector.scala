@@ -37,7 +37,10 @@ object ModelSelector {
       metric: (DataFrame, String, String) => Double,
       metricProbCol: String, // column passed to `metric` (prob or prediction)
       maximize: Boolean,
-      withProb: Boolean) extends EstimatorStage { self =>
+      withProb: Boolean,
+      parallelism: Int = 4) extends EstimatorStage { self =>
+
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
 
     require(candidates.nonEmpty, "need at least one candidate")
     val name = "modelSelector"
@@ -99,10 +102,12 @@ object ModelSelector {
       }
       // candidate×split fits run concurrently on a driver thread pool —
       // Spark's scheduler interleaves the jobs (reference
-      // OpCrossValidation.scala:48 thread-pooled parallelism)
+      // OpCrossValidation.scala:48 thread-pooled `parallelism`, same
+      // default of 4; raise it when candidates outnumber the pool and
+      // the cluster has headroom)
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val futures = candidates.map { case (cname, est) =>
         Future {
@@ -135,10 +140,11 @@ object ModelSelector {
     * (reference BinaryClassificationModelSelector defaults). */
   def binary(features: Feature, label: Feature, outPrefix: String,
              candidates: Seq[(String, EstimatorStage)],
-             validation: Validation = KFold()): ModelSelectorStage =
+             validation: Validation = KFold(),
+             parallelism: Int = 4): ModelSelectorStage =
     new ModelSelectorStage(features, label, outPrefix, candidates, validation,
       (df, probCol, labelCol) => MLTuning.binaryMetrics(df, probCol, labelCol).auroc,
-      s"${outPrefix}_prob_1", maximize = true, withProb = true)
+      s"${outPrefix}_prob_1", maximize = true, withProb = true, parallelism = parallelism)
 
   /** Default binary candidate pool: LR over a small regParam grid + RF
     * over a depth grid (reference DefaultSelectorParams.scala:71 has the
@@ -157,10 +163,11 @@ object ModelSelector {
     * positive-class probability is a binary-only concept. */
   def multiclass(features: Feature, label: Feature, outPrefix: String,
                  candidates: Seq[(String, EstimatorStage)],
-                 validation: Validation = KFold()): ModelSelectorStage =
+                 validation: Validation = KFold(),
+                 parallelism: Int = 4): ModelSelectorStage =
     new ModelSelectorStage(features, label, outPrefix, candidates, validation,
       (df, predCol, labelCol) => MLTuning.multiclassMetrics(df, predCol, labelCol).weightedF1,
-      s"${outPrefix}_prediction", maximize = true, withProb = false)
+      s"${outPrefix}_prediction", maximize = true, withProb = false, parallelism = parallelism)
 
   /** Default multiclass candidate pool: multinomial LR + decision trees
     * of two depths (reference DefaultSelectorParams families). */
@@ -173,10 +180,11 @@ object ModelSelector {
   /** Regression selector: RMSE on the prediction column, minimized. */
   def regression(features: Feature, label: Feature, outPrefix: String,
                  candidates: Seq[(String, EstimatorStage)],
-                 validation: Validation = KFold()): ModelSelectorStage =
+                 validation: Validation = KFold(),
+                 parallelism: Int = 4): ModelSelectorStage =
     new ModelSelectorStage(features, label, outPrefix, candidates, validation,
       (df, predCol, labelCol) => MLTuning.regressionMetrics(df, predCol, labelCol).rmse,
-      s"${outPrefix}_prediction", maximize = false, withProb = false)
+      s"${outPrefix}_prediction", maximize = false, withProb = false, parallelism = parallelism)
 
   /** DataCutter (reference tuning/DataCutter.scala:78,151): multiclass
     * label trim — keep the `maxClasses` most frequent labels whose

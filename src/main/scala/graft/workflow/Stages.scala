@@ -28,6 +28,26 @@ object Stages {
         if (n.endsWith("_isnull")) IntegralK else RealK
     }
 
+  /** Mode-impute + null indicator for integral features (reference
+    * IntegralVectorizer.scala:77 fits the MODE for integral/date kinds,
+    * mean is the Real-kind convention; ties break to the smallest value,
+    * all-null → 0, per SequenceAggregators.ModeSeqNullInt:122-127). */
+  def imputeMode(in: Feature, out: String): ColumnEstimator =
+    new ColumnEstimator("imputeMode", Seq(in)) {
+      def outputNames = Seq(out, s"${out}_isnull")
+      def fitExpressions(df: DataFrame): Seq[(String, Column)] = {
+        val top = df.where(col(in.name).isNotNull)
+          .groupBy(col(in.name).cast("long").as("v")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("v").asc).limit(1)
+          .collect()
+        val fill = if (top.isEmpty) 0L else top(0).getLong(0)
+        Seq(
+          out -> coalesce(col(in.name).cast("long"), lit(fill)),
+          s"${out}_isnull" -> when(col(in.name).isNull, 1).otherwise(0))
+      }
+      override def outputKindOf(n: String): FeatureKind = IntegralK
+    }
+
   /** Z-normalization (OpScalarStandardScaler). */
   def standardScale(in: Feature, out: String): ColumnEstimator =
     new ColumnEstimator("standardScale", Seq(in)) {
@@ -107,6 +127,36 @@ object Stages {
         Seq(out -> MLStages.bucketizeByThresholds(col(in.name), th))
       }
       override def outputKindOf(n: String): FeatureKind = IntegralK
+    }
+
+  /** Per-key supervised map bucketizer (reference
+    * DecisionTreeNumericMapBucketizer.scala): one decision-tree split
+    * fit per discovered map key, output assembled as ONE array<double>
+    * vector — per key (sorted): a one-hot over that key's fitted
+    * buckets (only when the tree found informative splits, the
+    * reference's `shouldSplit`) followed by a key-absent indicator
+    * (trackNulls). Label-dependent: under [[Workflow.fitWithCvCut]] it
+    * refits per validation split exactly like the scalar
+    * [[decisionTreeBucketize]]. */
+  def decisionTreeMapBucketize(in: Feature, label: Feature, out: String,
+                               maxDepth: Int = 2): ColumnEstimator =
+    new ColumnEstimator("decisionTreeMapBucketize", Seq(in, label)) {
+      def outputNames = Seq(out)
+      def fitExpressions(df: DataFrame): Seq[(String, Column)] = {
+        val fitted = MLStages.decisionTreeMapBuckets(
+          df, col(in.name), col(label.name), maxDepth)
+        val slots: Seq[Column] = fitted.flatMap { case (k, th) =>
+          val cell = element_at(col(in.name), k)
+          val bucket = MLStages.bucketizeByThresholds(cell, th)
+          val hot =
+            if (th.nonEmpty)
+              (0 to th.length).map(i => when(bucket === i, 1.0).otherwise(0.0))
+            else Nil
+          hot :+ when(cell.isNull, 1.0).otherwise(0.0)
+        }
+        Seq(out -> array(slots: _*))
+      }
+      override def outputKindOf(n: String): FeatureKind = VectorK
     }
 
   /** Month-of-year unit-circle encoding (DateToUnitCircleTransformer). */

@@ -9,7 +9,8 @@ import graft.workflow.FeatureKind._
   * default vectorizer, and assemble everything into one vector feature.
   *
   * Kind → default stages (TransmogrifierDefaults analog):
-  *  - RealK / IntegralK: mean-impute + null indicator
+  *  - RealK:             mean-impute + null indicator
+  *  - IntegralK:         MODE-impute + null indicator
   *  - BinaryK:           0/1 cast + null indicator
   *  - TextK:             one-hot top-K pivot with Other + Null slots
   *  - DateK:             month-of-year unit-circle (sin, cos)
@@ -43,7 +44,11 @@ object Transmogrifier {
             override protected def outputKind(n: String): FeatureKind = TextK
           }
           Seq(dom, Stages.oneHotTopK(dom.outputFeatures.head, s"${f.name}_dom", topK, minSupport))
-        case (RealK, _) | (IntegralK, _) => Seq(Stages.imputeMean(f, s"${f.name}_f"))
+        case (RealK, _) => Seq(Stages.imputeMean(f, s"${f.name}_f"))
+        // integral kinds impute the MODE, not the mean (reference
+        // IntegralVectorizer.scala:77 — a mean is not a value the
+        // integral column can hold)
+        case (IntegralK, _) => Seq(Stages.imputeMode(f, s"${f.name}_f"))
         case (BinaryK, _) => Seq(new ColumnStage("binaryVec", Seq(f)) {
           def expressions = Seq(
             s"${f.name}_b" -> coalesce(col(f.name).cast("double"), lit(0.0)),

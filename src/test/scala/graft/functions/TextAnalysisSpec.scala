@@ -64,4 +64,22 @@ class TextAnalysisSpec extends SparkSpec {
     val b = one[Long](hash60(lit("abcdefgh")))
     assert(a == b) // single shingle == its own hash
   }
+
+  test("removeStopWords drops list words, preserves nulls and order") {
+    val s = spark; import s.implicits._
+    import TextAnalysis.removeStopWords
+    val df = Seq(1).toDF("i").select(
+      removeStopWords(split(lit("the quick fox is a fox"), " ")).as("dflt"),
+      removeStopWords(array(lit("keep"), lit(null), lit("DROP"), lit("drop")),
+        stopWords = Seq("drop")).as("nulls"),
+      removeStopWords(array(lit("The"), lit("the"), lit("x")),
+        stopWords = Seq("the"), caseSensitive = true).as("cs"))
+    val r = df.head
+    // default English list removes the/is/a, keeps content words in order
+    assert(r.getSeq[String](0) == Seq("quick", "fox", "fox"))
+    // null elements preserved; case-insensitive match drops DROP too
+    assert(r.getSeq[String](1) == Seq("keep", null))
+    // case-sensitive: "The" survives, "the" is dropped
+    assert(r.getSeq[String](2) == Seq("The", "x"))
+  }
 }

@@ -41,6 +41,38 @@ class CoverageSpec extends SparkSpec {
     assert(topics.size == 4 && topics.values.forall(t => t.length == 2 && math.abs(t.sum - 1.0) < 1e-9))
   }
 
+  test("word2vec distributed fit: same-vocabulary docs embed closer than disjoint ones") {
+    val s = spark; import s.implicits._
+    // two disjoint vocabularies; doc embedding = mean of word vectors,
+    // so same-vocab docs share word vectors and must be closer on
+    // average than cross-vocab docs regardless of training noise
+    val vocabA = Seq("apple", "banana", "cherry", "date")
+    val vocabB = Seq("wrench", "hammer", "pliers", "drill")
+    val docs = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) vocabA else vocabB
+      (i.toLong, (0 until 6).map(j => v((i + j) % v.length)).mkString(" "))
+    }.toDF("id", "text")
+    // numPartitions defaults to the session parallelism: the distributed
+    // fit path (no setNumPartitions(1) determinism crutch)
+    val emb = TextVectorizers.word2vec(docs, col("id"), col("text"), vectorSize = 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val (groupA, groupB) = emb.partition(_._1 % 2 == 0)
+    def avgWithin(g: Map[Long, Seq[Double]]) = {
+      val vs = g.values.toSeq
+      val ps = for (i <- vs.indices; j <- i + 1 until vs.length) yield cos(vs(i), vs(j))
+      ps.sum / ps.length
+    }
+    val cross = (for (a <- groupA.values; b <- groupB.values) yield cos(a, b))
+    val crossAvg = cross.sum / cross.size
+    assert(avgWithin(groupA) > crossAvg + 0.2, s"within-A ${avgWithin(groupA)} vs cross $crossAvg")
+    assert(avgWithin(groupB) > crossAvg + 0.2, s"within-B ${avgWithin(groupB)} vs cross $crossAvg")
+  }
+
   test("locoByRescoring equals analytic LOCO for a linear model") {
     val s = spark; import s.implicits._
     val train = (1 to 100).map { i =>

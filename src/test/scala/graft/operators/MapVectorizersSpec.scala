@@ -74,6 +74,47 @@ class MapVectorizersSpec extends SparkSpec {
     assert(out(1) == ((2L, 0, 1, 1, 0)))
   }
 
+  test("multiPickListMapVectorize: set containment slots, counting other, null slot") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Some(Seq("a", "b"))),        // a,b both top -> slots 1,2; other 0
+      (2L, Some(Seq("a", "z", "w"))),   // a top; z,w not -> other 2
+      (3L, Some(Seq("b"))),
+      (4L, Option.empty[Seq[String]]),  // key absent -> null slot
+      (5L, Some(Seq("a", "a", "b")))    // duplicate collapses (set semantics)
+    ).toDF("id", "vs")
+      .select(col("id"),
+        when(col("vs").isNotNull, map(lit("tags"), col("vs"))).as("m"))
+    val out = MapVectorizers.multiPickListMapVectorize(df, col("id"), col("m"), k = 2)
+      .orderBy("id").collect()
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("id", "tags_1", "tags_2", "tags_other", "tags_null"))
+    // fit: a freq 3, b freq 3 -> tie broken by value: a=slot1, b=slot2
+    def row(i: Int) = (out(i).getInt(1), out(i).getInt(2), out(i).getInt(3), out(i).getInt(4))
+    assert(row(0) == ((1, 1, 0, 0)))
+    assert(row(1) == ((1, 0, 2, 0))) // z,w counted in other
+    assert(row(2) == ((0, 1, 0, 0)))
+    assert(row(3) == ((0, 0, 0, 1))) // absent key: only the null slot
+    assert(row(4) == ((1, 1, 0, 0))) // duplicates don't double-count
+  }
+
+  test("discoverKeys caps at the top maxKeys by frequency, sorted") {
+    val s = spark; import s.implicits._
+    // key frequencies: common=4, mid=3, rare2=2, rare1=1
+    val df = Seq(
+      Seq("common", "mid", "rare2"),
+      Seq("common", "mid", "rare2"),
+      Seq("common", "mid", "rare1"),
+      Seq("common")
+    ).toDF("ks")
+      .select(map_from_arrays(col("ks"),
+        transform(col("ks"), k => lit(1.0))).as("m"))
+    assert(MapVectorizers.discoverKeys(df, col("m"), maxKeys = 2) == Seq("common", "mid"))
+    // under the cap: every key, alphabetical
+    assert(MapVectorizers.discoverKeys(df, col("m"), maxKeys = 10) ==
+      Seq("common", "mid", "rare1", "rare2"))
+  }
+
   test("geoMapVectorize fills missing entries with the key midpoint") {
     val s = spark; import s.implicits._
     val df = Seq(

@@ -39,4 +39,24 @@ class VectorizersSpec extends SparkSpec {
       .orderBy("id").as[(Long, Double, Int)].collect()
     assert(out.toSeq == Seq((1L, 2.0, 0), (2L, 3.0, 1), (3L, 4.0, 0)))
   }
+
+  test("imputeMode fills nulls with the mode; ties break to the smallest value") {
+    val s = spark; import s.implicits._
+    // 7 and 9 both occur twice -> mode is 7 (smallest wins, reference
+    // ModeSeqNullInt finish semantics)
+    val df = Seq((1L, Some(7L)), (2L, Some(9L)), (3L, None),
+      (4L, Some(7L)), (5L, Some(9L))).toDF("id", "x")
+    val out = Vectorizers.imputeMode(df, col("id"), col("x"))
+      .orderBy("id").as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 7L, 0), (2L, 9L, 0), (3L, 7L, 1),
+      (4L, 7L, 0), (5L, 9L, 0)))
+  }
+
+  test("imputeMode of an all-null column fills 0 (reference empty-map fallback)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("id", "x")
+    val out = Vectorizers.imputeMode(df, col("id"), col("x"))
+      .orderBy("id").as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 0L, 1), (2L, 0L, 1)))
+  }
 }

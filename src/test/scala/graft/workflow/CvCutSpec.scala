@@ -58,6 +58,46 @@ class CvCutSpec extends SparkSpec {
     assert(out.count() == 60)
   }
 
+  test("decisionTreeMapBucketize: per-key splits match the scalar fit; no-split keys emit only the null slot") {
+    val s = spark; import s.implicits._
+    // label is a pure function of key "a" (x > 11); key "flat" is the
+    // constant 1.0 -> no informative split (reference shouldSplit=false)
+    val mdf = (1 to 60).map { i =>
+      val x = (i % 23).toDouble
+      (i.toLong, x, 1.0, if (x > 11) 1.0 else 0.0)
+    }.toDF("id", "a", "flat", "y")
+      .select(col("id"),
+        map(lit("a"), col("a"), lit("flat"), col("flat")).as("nm"), col("y"))
+    val fMap = Feature.raw("nm", FeatureKind.RealMapK)
+    val fLab = Feature.raw("y", FeatureKind.RealK, isResponse = true)
+    val st = Stages.decisionTreeMapBucketize(fMap, fLab, "nm_b")
+    assert(st.inputs.exists(_.isResponse)) // label-dependent under cutDAG
+    val out = new Workflow(st.outputFeatures).fit(mdf)
+      .score(mdf, keep = Seq("id", "y")).orderBy("id")
+      .select(col("id"), col("y"), col("nm_b")).as[(Long, Double, Seq[Double])].collect()
+
+    // per-key fit equality with the scalar path
+    val scalarA = MLStages.decisionTreeBuckets(
+      mdf.select(element_at(col("nm"), "a").as("a"), col("y")), col("a"), col("y"))
+    val fitted = MLStages.decisionTreeMapBuckets(mdf, col("nm"), col("y"))
+    assert(fitted.map(_._1) == Seq("a", "flat"))
+    assert(fitted.toMap.apply("a") == scalarA && scalarA.nonEmpty)
+    assert(fitted.toMap.apply("flat").isEmpty)
+
+    // vector layout: a's one-hot buckets + a-null, then flat-null only
+    val aSlots = scalarA.length + 1
+    assert(out.head._3.length == aSlots + 1 + 1)
+    // the label classes never share a bucket slot (the tree split at the
+    // label boundary), and exactly one bucket fires per row
+    val byClass = out.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.map(_._3.take(aSlots).indexOf(1.0)).toSet
+    }
+    assert(byClass(0.0).intersect(byClass(1.0)).isEmpty)
+    assert(out.forall(_._3.take(aSlots).count(_ == 1.0) == 1))
+    // no nulls anywhere -> both null slots stay 0
+    assert(out.forall(r => r._3(aSlots) == 0.0 && r._3(aSlots + 1) == 0.0))
+  }
+
   test("decisionTreeBucketize is a label-dependent stage and buckets by fitted thresholds") {
     val s = spark
     val Seq(_, x, y) = Feature.fromSchema(df.schema, response = Some("y"))
