@@ -37,25 +37,25 @@ object TextVectorizers {
       .select(col("bucket"),
         log(lit(numDocs + 1.0) / (col("df_b") + 1.0)).as("idf"))
 
-  /** Sparse tf-idf: tf joined with the broadcast idf table. The tf frame
-    * feeds two plan branches (the collected idf fit and the returned
-    * join), so it is persist()ed — recomputing it would run the
-    * explode+groupBy corpus pass twice. The fit's collect materializes
-    * the cache; the result plan scans it. Lifecycle is the
-    * materialize-then-release contract documented on [[Dedup]]: the
-    * caller releases with `spark.catalog.clearCache()` (as Bench does
-    * per query) or by unpersisting — nothing is meant to outlive the
-    * query. */
+  /** Sparse tf-idf as ONE declarative plan — no driver collect, no
+    * separate fit jobs: the per-bucket document frequencies (O(dims)
+    * rows) and the corpus size (1 row) are broadcast-joined plan
+    * branches, so the whole query is a single action. The tf frame
+    * feeds two branches (the df_b aggregation and the probe side), so
+    * it is persist()ed — the broadcast branch materializes the cache,
+    * the probe side scans it, and the corpus aggregation runs exactly
+    * once. Lifecycle is the materialize-then-release contract
+    * documented on [[Dedup]]: the caller releases with
+    * `spark.catalog.clearCache()` (as Bench does per query) or by
+    * unpersisting — nothing is meant to outlive the query. */
   def hashedTfIdf(df: DataFrame, id: Column, text: Column, dims: Int): DataFrame = {
-    val spark = df.sparkSession
     val tf = hashedTf(df, id, text, dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idfLocal = idfTable(tf, df.count()).collect()
-      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
-    import spark.implicits._
-    val idf = idfLocal.toDF("bucket", "idf")
-    tf.join(broadcast(idf), "bucket")
-      .select(col("id"), col("bucket"), (col("cnt") * col("idf")).as("tfidf"))
+    val dfb = tf.groupBy(col("bucket")).agg(countDistinct(col("id")).as("df_b"))
+    val m = df.agg(count(lit(1)).as("m"))
+    tf.join(broadcast(dfb), "bucket").crossJoin(broadcast(m))
+      .select(col("id"), col("bucket"),
+        (col("cnt") * log((col("m") + 1.0) / (col("df_b") + 1.0))).as("tfidf"))
   }
 
   /** Dense array<double> tf vector per id (assembled from the sparse
