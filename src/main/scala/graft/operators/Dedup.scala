@@ -135,8 +135,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
+    // per-round eager localCheckpoint (not persist): each round's plan
+    // references the previous labels twice, so composing rounds doubles
+    // the Catalyst tree per iteration — lineage must be CUT, not just
+    // cached, or the driver chokes on plan traversal past ~20 rounds
+    // (same trap documented on connectedComponentsStarWithRounds).
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+      .withColumn("label", col("node")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -144,12 +149,9 @@ object Dedup {
         .select(col("src").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist()
-      // the changed-count materializes newLabels (while the parent
-      // labels cache is still alive) — one job does both
+        .localCheckpoint(true)
       changed = newLabels.join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = newLabels
       i += 1
     }
@@ -161,6 +163,88 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter)")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14) — the high-diameter upgrade [[connectedComponents]]
+    * documents: O(log n) rounds regardless of component diameter, vs
+    * O(diameter) for min-label propagation. Same output contract:
+    * (doc_id, component = min id in the component).
+    *
+    * Each round is two neighborhood aggregations over the canonical
+    * (hi, lo) edge set:
+    *  - large-star: every node links its LARGER neighbors to the min of
+    *    its closed neighborhood;
+    *  - small-star: every node links its smaller neighbors (and itself)
+    *    to the min of the smaller ones.
+    * Both are groupBy-node + join shapes — the same scale contract as
+    * one propagation round — and the edge set only shrinks toward the
+    * star forest, so per-round cost decreases. Converged when a
+    * large-star + small-star pass leaves the edge set unchanged; the
+    * result is then a star forest whose roots are component minima. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsStarWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the round count (exposed so specs
+    * can assert the O(log n) bound on high-diameter graphs). */
+  def connectedComponentsStarWithRounds(pairs: DataFrame, maxIter: Int = 50)
+      : (DataFrame, Int) = {
+    val allNodes = pairs.select(col("id_a").as("node"))
+      .union(pairs.select(col("id_b").as("node"))).distinct()
+    def bothDirs(e: DataFrame) =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star over closed neighborhoods: m(u) = min(N(u) + {u});
+    // emit (v, m) for larger neighbors v — (v, m) is already (hi, lo)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = bothDirs(e)
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.where(col("v") > col("u")).join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // small-star over smaller neighborhoods: m(u) = min of the smaller
+    // neighbors; relink them (and u) to m, dropping self-loops
+    def smallStar(e: DataFrame): DataFrame = {
+      val sm = bothDirs(e).where(col("v") < col("u"))
+      val mins = sm.groupBy(col("u")).agg(min(col("v")).as("m"))
+      sm.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // each round MUST cut the logical lineage, not just cache execution:
+    // largeStar/smallStar reference their input several times, so
+    // composing rounds grows the Catalyst tree ~16x per round and the
+    // driver chokes on plan traversal long before execution. An eager
+    // localCheckpoint replaces the round's plan with a LogicalRDD —
+    // O(1)-size plans every round (the standard fix for iterative
+    // DataFrame algorithms).
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star forest: non-roots carry exactly one (node, root) edge; roots
+    // and isolated nodes label themselves. min() guards the (never
+    // observed) multi-edge case rather than silently duplicating rows.
+    val labels = allNodes
+      .join(edges.groupBy(col("u")).agg(min(col("v")).as("component")),
+        allNodes("node") === col("u"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("component"), col("node")).as("component"))
+    (labels, rounds)
   }
 
   /** Mersenne prime modulus for the universal MinHash family; all

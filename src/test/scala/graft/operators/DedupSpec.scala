@@ -34,6 +34,29 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponentsStar equals label propagation on a mixed graph") {
+    val s = spark; import s.implicits._
+    // chain + triangle + pair + star, with shuffled id order
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 12L), (12L, 11L), (11L, 10L),
+      (7L, 9L), (20L, 25L), (20L, 23L), (20L, 21L)).toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    assert(star(3L) == 1L && star(12L) == 10L && star(9L) == 7L && star(25L) == 20L)
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on a path graph") {
+    val s = spark; import s.implicits._
+    // a 200-node path has diameter 199: min-label propagation needs ~199
+    // rounds; the alternating algorithm must stay logarithmic
+    val n = 200
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(pairs, maxIter = 25)
+    val comp = labels.as[(Long, Long)].collect()
+    assert(comp.length == n && comp.forall(_._2 == 0L))
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
+  }
+
   test("exactGroups groups identical content") {
     val s = spark; import s.implicits._
     val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
