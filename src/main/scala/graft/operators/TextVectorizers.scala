@@ -30,6 +30,56 @@ object TextVectorizers {
       .select(col("id"), pmod(hash60(col("tok")), lit(dims)).cast("int").as("bucket"))
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** Hash-space strategy for multi-column hashing (reference
+    * OPCollectionHashingVectorizer.scala:101-145 HashSpaceStrategy):
+    * one bucket space shared by every input vs a private sub-space per
+    * input. Auto picks Shared once the concatenated width would exceed
+    * `maxDims` (the reference's numHashes*numInputs > maxNumOfFeatures
+    * rule). */
+  sealed trait HashSpace
+  object HashSpace {
+    case object Shared extends HashSpace
+    case object Separate extends HashSpace
+    case class Auto(maxDims: Int = 1024) extends HashSpace
+  }
+
+  /** Multi-column sparse hashed tf with the shared-vs-separate switch
+    * (reference OPCollectionHashingVectorizer.scala:185-265):
+    *
+    *  - Shared: every column's tokens land in ONE `dims`-wide space;
+    *    tokens are prefixed with their column name (the reference's
+    *    prependFeatureName) so equal tokens from different columns stay
+    *    distinguishable. Output buckets span [0, dims).
+    *  - Separate: column i owns buckets [i*dims, (i+1)*dims) — the
+    *    sparse equivalent of concatenating per-column vectors.
+    *
+    * Either way the plan is one union of row-local projections feeding
+    * ONE groupBy((id, bucket)) shuffle — cost identical to single-column
+    * [[hashedTf]] at any scale. */
+  def hashedTfMulti(df: DataFrame, id: Column, cols: Seq[String], dims: Int,
+                    strategy: HashSpace = HashSpace.Auto()): DataFrame = {
+    require(cols.nonEmpty, "need at least one input column")
+    val shared = strategy match {
+      case HashSpace.Shared => true
+      case HashSpace.Separate => false
+      case HashSpace.Auto(maxDims) => dims.toLong * cols.length > maxDims
+    }
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
+      val toks = df.select(id.as("id"), explode(tokens(col(c))).as("tok"))
+        .where(length(col("tok")) > 0)
+      if (shared)
+        toks.select(col("id"),
+          pmod(hash60(concat(lit(c), lit(":"), col("tok"))), lit(dims))
+            .cast("int").as("bucket"))
+      else
+        toks.select(col("id"),
+          (lit(i * dims) + pmod(hash60(col("tok")), lit(dims)))
+            .cast("int").as("bucket"))
+    }
+    perCol.reduce(_ unionByName _)
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** IDF table over a sparse tf frame: idf(bucket) = ln((m+1)/(df+1)),
     * the spark.ml IDF formula (m = total docs). */
   def idfTable(tf: DataFrame, numDocs: Long): DataFrame =

@@ -29,6 +29,22 @@ object TextVecQueries {
     "q58_smart_text_decide" -> ((s, d) => {
       TextVectorizers.smartDecide(Tables.documents(s, d),
         Seq("lang", "source", "text"), maxCardinality = 50)
+    }),
+
+    // OPCollectionHashingVectorizer hash-space strategies (reference
+    // OPCollectionHashingVectorizer.scala:101-145): the SAME two input
+    // columns hashed into one shared name-prefixed space and into
+    // per-column sub-spaces, both gated
+    "q96_hash_space_strategy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cols = Seq("text", "source")
+      val sep = TextVectorizers.hashedTfMulti(docs, col("doc_id"), cols, 32,
+          TextVectorizers.HashSpace.Separate)
+        .select(lit("separate").as("mode"), col("id"), col("bucket"), col("cnt"))
+      val sh = TextVectorizers.hashedTfMulti(docs, col("doc_id"), cols, 32,
+          TextVectorizers.HashSpace.Shared)
+        .select(lit("shared").as("mode"), col("id"), col("bucket"), col("cnt"))
+      sep.unionByName(sh)
     })
   )
 
@@ -49,6 +65,30 @@ object TextVecQueries {
           n AS (SELECT count(*) AS m FROM documents)
           SELECT id, bucket, ROUND(cnt * ln((m + 1.0) / (df_b + 1.0)), 6) AS tfidf
           FROM tf JOIN dfb USING (bucket) CROSS JOIN n""",
+
+    "q96_hash_space_strategy" ->
+      s"""WITH tokt AS (
+            SELECT doc_id AS id,
+              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents),
+          toks AS (
+            SELECT doc_id AS id,
+              unnest(regexp_split_to_array(lower(trim(source)), '\\s+')) AS tok
+            FROM documents),
+          pts AS (
+            SELECT 'separate' AS mode, id,
+              CAST(${H60("tok")} % 32 AS INT) AS bucket
+            FROM tokt WHERE len(tok) > 0
+            UNION ALL
+            SELECT 'separate', id, CAST(32 + ${H60("tok")} % 32 AS INT)
+            FROM toks WHERE len(tok) > 0
+            UNION ALL
+            SELECT 'shared', id, CAST(${H60("'text:' || tok")} % 32 AS INT)
+            FROM tokt WHERE len(tok) > 0
+            UNION ALL
+            SELECT 'shared', id, CAST(${H60("'source:' || tok")} % 32 AS INT)
+            FROM toks WHERE len(tok) > 0)
+          SELECT mode, id, bucket, count(*) AS cnt FROM pts GROUP BY 1, 2, 3""",
 
     "q58_smart_text_decide" ->
       """WITH s AS (

@@ -38,6 +38,45 @@ class TextVectorizersSpec extends SparkSpec {
     assert(m.getDouble(0) > m.getDouble(1))
   }
 
+  test("hashedTfMulti: separate spaces offset per column, shared space prefixes tokens") {
+    val s = spark; import s.implicits._
+    import TextVectorizers.{HashSpace, hashedTf, hashedTfMulti}
+    val dims = 8
+    val sep = hashedTfMulti(docs, col("id"), Seq("text", "lang"), dims, HashSpace.Separate)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // separate == per-column hashedTf with column i shifted by i*dims
+    val manual = (
+      hashedTf(docs, col("id"), col("text"), dims)
+        .as[(Long, Int, Long)].collect().map(r => (r._1, r._2) -> r._3) ++
+      hashedTf(docs, col("id"), col("lang"), dims)
+        .as[(Long, Int, Long)].collect().map(r => (r._1, r._2 + dims) -> r._3)).toMap
+    assert(sep == manual)
+    assert(sep.keys.exists(_._2 >= dims) && sep.keys.exists(_._2 < dims))
+
+    val sh = hashedTfMulti(docs, col("id"), Seq("text", "lang"), dims, HashSpace.Shared)
+    // shared: all buckets inside one dims-wide space
+    assert(sh.agg(max("bucket")).head.getInt(0) < dims)
+    // token totals preserved in both modes (every token lands somewhere)
+    val totalTokens = sep.values.sum
+    assert(sh.agg(sum("cnt")).head.getLong(0) == totalTokens)
+    // the name prefix keeps identical tokens from different columns
+    // distinguishable: "en" in lang must hash differently than an
+    // unprefixed "en" would
+    val enShared = graft.functions.TextAnalysis.hash60(lit("lang:en"))
+    val expected = docs.select((pmod(enShared, lit(dims))).cast("int")).head.getInt(0)
+    assert(sh.where(col("id") === 1 && col("bucket") === expected).count() == 1)
+  }
+
+  test("hashedTfMulti Auto picks shared only past the width budget") {
+    import TextVectorizers.{HashSpace, hashedTfMulti}
+    // 2 cols x 8 dims = 16 buckets: under a 16 budget -> separate
+    val under = hashedTfMulti(docs, col("id"), Seq("text", "lang"), 8, HashSpace.Auto(16))
+    assert(under.agg(max("bucket")).head.getInt(0) >= 8)
+    // over a 15 budget -> shared
+    val over = hashedTfMulti(docs, col("id"), Seq("text", "lang"), 8, HashSpace.Auto(15))
+    assert(over.agg(max("bucket")).head.getInt(0) < 8)
+  }
+
   test("smartTextVectorize dispatches pivot vs hash by TextStats") {
     val s = spark; import s.implicits._
     val decisions = TextVectorizers.smartDecide(docs, Seq("text", "lang"), maxCardinality = 3)
