@@ -135,13 +135,16 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
-    // per-round eager localCheckpoint (not persist): each round's plan
+    // per-round LAZY localCheckpoint (not persist): each round's plan
     // references the previous labels twice, so composing rounds doubles
     // the Catalyst tree per iteration — lineage must be CUT, not just
     // cached, or the driver chokes on plan traversal past ~20 rounds
     // (same trap documented on connectedComponentsStarWithRounds).
+    // Lazy (eager = false) so the changed-count job both materializes
+    // the round and checkpoints it — one job per round, like the
+    // original persist discipline, with O(1)-size plans.
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+      .withColumn("label", col("node")).localCheckpoint(false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -149,7 +152,7 @@ object Dedup {
         .select(col("src").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = newLabels.join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).count()
       labels = newLabels
@@ -217,18 +220,19 @@ object Dedup {
     // each round MUST cut the logical lineage, not just cache execution:
     // largeStar/smallStar reference their input several times, so
     // composing rounds grows the Catalyst tree ~16x per round and the
-    // driver chokes on plan traversal long before execution. An eager
+    // driver chokes on plan traversal long before execution. A LAZY
     // localCheckpoint replaces the round's plan with a LogicalRDD —
-    // O(1)-size plans every round (the standard fix for iterative
+    // O(1)-size plans every round — and the convergence count doubles
+    // as the materializing action (the standard fix for iterative
     // DataFrame algorithms).
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
     var converged = edges.isEmpty
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
       edges = next

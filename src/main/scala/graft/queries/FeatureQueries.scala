@@ -43,14 +43,14 @@ object FeatureQueries {
     "q95_dt_map_bucketize" -> ((s, d) => {
       import graft.workflow._
       // the synthetic columns are mutually independent, so the label is
-      // derived from the qty key (quantity > 25): that key fits
-      // informative splits while disc takes the reference's
-      // shouldSplit=false path in the same query
-      val li = Tables.lineitem(s, d)
-        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
-          map(lit("qty"), col("l_quantity").cast("double"),
-              lit("disc"), col("l_discount").cast("double")).as("nm"),
-          (col("l_quantity") > 25).cast("double").as("y"))
+      // derived from the price key (totalprice > ~median): that key
+      // fits informative splits while the constant key takes the
+      // reference's shouldSplit=false path in the same query
+      val li = Tables.orders(s, d)
+        .select(col("o_orderkey").as("rid"),
+          map(lit("price"), col("o_totalprice").cast("double"),
+              lit("flat"), lit(1.0)).as("nm"),
+          (col("o_totalprice") > 250000).cast("double").as("y"))
       val fMap = Feature.raw("nm", FeatureKind.RealMapK)
       val fLab = Feature.raw("y", FeatureKind.RealK, isResponse = true)
       val st = Stages.decisionTreeMapBucketize(fMap, fLab, "nm_b")

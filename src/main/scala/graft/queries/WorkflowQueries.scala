@@ -7,9 +7,10 @@ import graft.workflow._
 
 /** End-to-end workflow-DAG queries. q36 drives the full plan/fit/score
   * engine (feature graph → layered DAG → fused fit/transform) and is
-  * oracle-gated: the fitted pipeline's output is replayed in SQL. The
-  * ML queries exercise spark.ml training inside the DAG (rows-only
-  * checks — a trained model isn't SQL-expressible).
+  * oracle-gated: the fitted pipeline's output is replayed in SQL.
+  * q37 exercises spark.ml training inside the DAG (rows-only — a
+  * trained model isn't SQL-expressible); q38 hash-gates the binary
+  * evaluator itself over a deterministic score column.
   */
 object WorkflowQueries {
 

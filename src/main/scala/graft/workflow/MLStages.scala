@@ -216,10 +216,18 @@ object MLStages {
                              maxKeys: Int = graft.operators.MapVectorizers.DefaultMaxKeys)
       : Seq[(String, Seq[Double])] = {
     import scala.collection.parallel.CollectionConverters._
-    val keys = graft.operators.MapVectorizers.discoverKeys(df, m, maxKeys)
-    keys.par.map { k =>
-      k -> decisionTreeBuckets(df, element_at(m, k), label, maxDepth, minInfoGain)
-    }.toList.sortBy(_._1)
+    // one materialization of the (map, label) projection feeds every
+    // per-key fit — without it each of the K tree fits re-scans the
+    // source (the reference persists the same way, :79)
+    val src = df.select(m.as("__m"), label.as("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keys = graft.operators.MapVectorizers.discoverKeys(src, col("__m"), maxKeys)
+      keys.par.map { k =>
+        k -> decisionTreeBuckets(src, element_at(col("__m"), k), col("__l"),
+          maxDepth, minInfoGain)
+      }.toList.sortBy(_._1)
+    } finally src.unpersist(blocking = false)
   }
 
   private def toVec1(c: org.apache.spark.sql.Column) =
