@@ -233,11 +233,17 @@ object MLStages {
   private def toVec1(c: org.apache.spark.sql.Column) =
     array_to_vector(array(c))
 
-  /** Bucket index by fitted thresholds: count of thresholds <= x
-    * (row-local literals; null → null). */
-  def bucketizeByThresholds(value: org.apache.spark.sql.Column, thresholds: Seq[Double]): org.apache.spark.sql.Column =
-    when(value.isNotNull,
-      size(filter(lit(thresholds.toArray), t => value > t))).otherwise(lit(null))
+  /** Bucket index by fitted thresholds: count of thresholds < x
+    * (row-local literals; null → null). Plain summed comparisons, not an
+    * array filter(lambda): whole-stage codegen fuses them AND the
+    * expression SQL-renders for the ModelIO manifest (lambdafunction
+    * does neither) — same pattern as Vectorizers.percentile100. */
+  def bucketizeByThresholds(value: org.apache.spark.sql.Column, thresholds: Seq[Double]): org.apache.spark.sql.Column = {
+    val rank =
+      if (thresholds.isEmpty) lit(0)
+      else thresholds.map(t => when(value > t, 1).otherwise(0)).reduce(_ + _)
+    when(value.isNotNull, rank).otherwise(lit(null))
+  }
 
   /** Linear regression. */
   def linearRegression(features: Feature, label: Feature, outPrefix: String,

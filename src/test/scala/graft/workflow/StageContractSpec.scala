@@ -78,6 +78,20 @@ class StageContractSpec extends SparkSpec {
     fs => Stages.bucketize(fs(1), "x_b", Seq(0, 15, 30, 50)))
   checkContract("assemble (vector with slot metadata)",
     fs => Stages.assemble(Seq(fs(0), fs(1)), "fv"))
+  checkContract("imputeMode (integral ColumnEstimator)",
+    fs => Stages.imputeMode(fs(1), "x_m"))
+  checkContract("decisionTreeMapBucketize (label-dependent map estimator)",
+    fs => {
+      val mkMap = new ColumnStage("mkmap", Seq(fs(1))) {
+        def expressions = Seq("nm" ->
+          map(lit("a"), coalesce(col(fs(1).name), lit(0.0)), lit("b"), lit(1.0)))
+        override protected def outputKind(n: String): FeatureKind = FeatureKind.RealMapK
+      }
+      val label = ColumnStage("mklabel", Seq(fs(0)), "y", FeatureKind.RealK)(
+        c => when(c.head % 2 === 0, 1.0).otherwise(0.0))
+      Stages.decisionTreeMapBucketize(mkMap.outputFeatures.head,
+        label.outputFeatures.head, "nm_b")
+    })
   checkContract("logisticRegression (predictor over a derived DAG)",
     fs => {
       val xf = Stages.imputeMean(fs(1), "x_f")
