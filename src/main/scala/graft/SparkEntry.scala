@@ -24,7 +24,8 @@ object SparkEntry {
       (QualityQueries.queries, QualityQueries.oracles),
       (MapQueries.queries, MapQueries.oracles),
       (TextVecQueries.queries, TextVecQueries.oracles),
-      (ReaderQueries.queries, ReaderQueries.oracles)
+      (ReaderQueries.queries, ReaderQueries.oracles),
+      (CurationQueries.queries, CurationQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

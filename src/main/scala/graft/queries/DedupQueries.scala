@@ -42,6 +42,16 @@ object DedupQueries {
         col("doc_id"), col("text"), k = 3, numHashes = 12, numBands = 6,
         threshold = 0.35)
       Dedup.connectedComponents(pairs)
+    }),
+
+    // END-TO-END near-dup removal: candidate pairs → components → drop
+    // every non-keeper; documents in no pair survive untouched
+    "q99_dedup_drop_neardups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
+      graft.operators.Curation.dropNearDups(docs, col("doc_id"), pairs)
+        .select(col("doc_id"), col("source"))
     })
   )
 
@@ -126,6 +136,21 @@ object DedupQueries {
             UNION
             SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
           SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n""",
+
+    "q99_dedup_drop_neardups" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+          pairs AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+          losers AS (
+            SELECT n AS doc_id FROM reach GROUP BY n HAVING n <> MIN(m))
+          SELECT d.doc_id, d.source FROM documents d
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""",
 
     "q25_dedup_simhash" ->
       s"""WITH th AS (

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  lazy val ids = {
+    val s = spark; import s.implicits._
+    (1L to 2000L).toDF("id")
+  }
+
+  test("deterministicSample is reproducible, disjoint across salts, near-fraction") {
+    val a1 = Curation.deterministicSample(ids, col("id"), 0.3, "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val a2 = Curation.deterministicSample(ids.repartition(7), col("id"), 0.3, "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a1 == a2) // identical draw regardless of partitioning
+    assert(math.abs(a1.size - 600) < 80, s"got ${a1.size} of expected ~600")
+    val b = Curation.deterministicSample(ids, col("id"), 0.3, "b")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a1 != b) // independent draws per salt
+    // nested property: a 0.1 sample with the same salt is a subset
+    val a01 = Curation.deterministicSample(ids, col("id"), 0.1, "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a01.subsetOf(a1))
+  }
+
+  test("hashSplit covers every row with bands near the weights") {
+    val out = Curation.hashSplit(ids, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 2000)
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out("train") > 1450 && out("val") > 100 && out("test") > 100,
+      s"band sizes off: $out")
+  }
+
+  test("tokenBudgetPerGroup keeps best-first within the budget, per group") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      // group g1: quality order c > b > a; budget 10 fits c(6)+b(4), not a
+      (1L, "g1", 1.0, 5L), (2L, "g1", 2.0, 4L), (3L, "g1", 3.0, 6L),
+      // group g2: single doc larger than budget -> dropped
+      (4L, "g2", 9.0, 11L),
+      // group g3: exactly at budget -> kept
+      (5L, "g3", 1.0, 10L)
+    ).toDF("id", "g", "q", "ntok")
+    val kept = Curation.tokenBudgetPerGroup(docs, col("id"), col("g"),
+        col("q"), col("ntok"), budget = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L), s"kept $kept")
+  }
+
+  test("dropNearDups keeps exactly one keeper per component plus unpaired docs") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val kept = Curation.dropNearDups(docs, col("doc_id"), pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // components {1,2,3} -> keeper 1; {7,9} -> keeper 7; rest untouched
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L))
+  }
+}
