@@ -71,6 +71,46 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Intra-document repetition ratio (Gopher-style rep filter): the
+    * fraction of word k-gram POSITIONS whose shingle already occurred —
+    * 1 - distinct/total, 0 for docs with fewer than k tokens. Pass a
+    * MATERIALIZED token-array column (see the [[Dedup.wordShingles]]
+    * CSE hazard — an inline `tokens(text)` here is O(tokens²) per
+    * row). Row-local; pipelines at scan speed. */
+  def duplicateShingleRatioOf(toks: Column, k: Int): Column = {
+    val total = greatest(size(toks) - (k - 1), lit(0))
+    val distinctN = size(Dedup.wordShinglesOf(toks, k))
+    when(total > 0,
+      lit(1.0) - distinctN.cast("double") / total).otherwise(lit(0.0))
+  }
+
+  /** Benchmark decontamination (test-set leakage detection): for every
+    * (corpus doc, probe doc) pair sharing word k-gram shingles, the
+    * CONTAINMENT |shingles(corpus) ∩ shingles(probe)| / |shingles(probe)|
+    * — asymmetric on purpose: a benchmark item fully quoted inside a
+    * long document scores 1.0 where Jaccard would vanish.
+    *
+    * Scale: the probe side (benchmark suites) is small by nature, so
+    * its exploded shingles BROADCAST — the corpus is scanned once,
+    * shingled row-locally, hash-joined with no shuffle of corpus data
+    * and no hot-shingle blowup (candidate fan-out is bounded by the
+    * probe set). */
+  def containmentPairs(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                       probes: DataFrame, probeId: Column, probeText: Column,
+                       k: Int, threshold: Double): DataFrame = {
+    val cs = Dedup.shingleFrame(corpus, corpusId, corpusText, k)
+      .select(col("doc").as("corpus_id"), explode(col("shingles")).as("s"))
+    val ps = Dedup.shingleFrame(probes, probeId, probeText, k)
+    val pSizes = ps.select(col("doc").as("probe_id"), size(col("shingles")).as("n_p"))
+    val pex = ps.select(col("doc").as("probe_id"), explode(col("shingles")).as("s"))
+    cs.join(broadcast(pex), "s")
+      .groupBy(col("corpus_id"), col("probe_id")).agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(pSizes), "probe_id")
+      .select(col("corpus_id"), col("probe_id"),
+        (col("n_inter").cast("double") / col("n_p")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** End-to-end near-dup removal: given the corpus and a near-dup pair
     * list, drop every document that is NOT its component's keeper
     * (min id). One anti-join against the (small) non-keeper side —

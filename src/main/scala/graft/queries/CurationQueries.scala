@@ -37,6 +37,28 @@ object CurationQueries {
       Curation.tokenBudgetPerGroup(docs, col("doc_id"), col("source"),
           col("n_chars"), col("ntok"), budget = 5000L)
         .select(col("source"), col("doc_id"), col("ntok"))
+    }),
+
+    // benchmark decontamination: a held-out probe slice of the corpus
+    // checked for shingle CONTAINMENT inside the remaining documents
+    // (probe side broadcast — benchmark suites are small by nature)
+    "q100_curation_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs.where(col("doc_id") % 13 === 0)
+      val corpus = docs.where(col("doc_id") % 13 =!= 0)
+      Curation.containmentPairs(corpus, col("doc_id"), col("text"),
+          probes, col("doc_id"), col("text"), k = 3, threshold = 0.2)
+        .select(col("corpus_id"), col("probe_id"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
+    // Gopher-style repetition filter signal: fraction of word 3-gram
+    // positions whose shingle already occurred in the document
+    "q101_curation_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          round(Curation.duplicateShingleRatioOf(col("__toks"), 3), 6).as("rep3"))
     })
   )
 
@@ -52,6 +74,37 @@ object CurationQueries {
                  ELSE 'test' END AS split
           FROM documents
           WHERE ${bucket("s1")} < 500000""",
+
+    "q100_curation_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS s
+           FROM t WHERE greatest(len(toks) - 2, 0) > 0),
+         p AS (SELECT * FROM sh WHERE doc_id % 13 = 0),
+         c AS (SELECT * FROM sh WHERE doc_id % 13 <> 0)
+         SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+           ROUND(CAST(len(list_intersect(c.s, p.s)) AS DOUBLE) / len(p.s), 6) AS containment
+         FROM c, p
+         WHERE CAST(len(list_intersect(c.s, p.s)) AS DOUBLE) / len(p.s) >= 0.2""",
+
+    "q101_curation_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+           ROUND(CASE WHEN greatest(len(toks) - 2, 0) > 0
+             THEN 1.0 - CAST(len(list_distinct(
+                    [array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, greatest(len(toks) - 2, 0) + 1)])) AS DOUBLE)
+                  / greatest(len(toks) - 2, 0)
+             ELSE 0.0 END, 6) + 0 AS rep3
+         FROM t""",
 
     "q98_curation_token_budget" ->
       """WITH t AS (

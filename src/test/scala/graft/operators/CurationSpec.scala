@@ -53,6 +53,37 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 5L), s"kept $kept")
   }
 
+  test("containmentPairs scores asymmetric probe containment") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated content about databases and engines")
+    ).toDF("id", "text")
+    val probes = Seq(
+      (100L, "quick brown fox jumps"), // fully inside doc 1 -> containment 1.0
+      (200L, "nothing matches here at all")
+    ).toDF("id", "text")
+    val out = Curation.containmentPairs(corpus, col("id"), col("text"),
+        probes, col("id"), col("text"), k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 100L)))
+    assert(math.abs(out((1L, 100L)) - 1.0) < 1e-9)
+  }
+
+  test("duplicateShingleRatioOf measures intra-doc repetition") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),  // 7 positions, 3 distinct -> 4/7
+      (2L, "all words fully distinct here"), // 0 repetition
+      (3L, "xy")                  // fewer than k tokens -> 0
+    ).toDF("id", "text")
+      .select(col("id"), graft.functions.TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("id"), Curation.duplicateShingleRatioOf(col("t"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(df(1L) - 4.0 / 7.0) < 1e-9)
+    assert(df(2L) == 0.0 && df(3L) == 0.0)
+  }
+
   test("dropNearDups keeps exactly one keeper per component plus unpaired docs") {
     val s = spark; import s.implicits._
     val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
