@@ -20,6 +20,15 @@ object GraftSession {
       // driver testdata events.parquet uses TIMESTAMP(NANOS); Spark 4 only
       // reads it as Long under this flag (converted in Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate re-derives `size(arr) > 0` under every
+      // explode; predicate pushdown then re-inlines the array-producing
+      // expression into the scan filter, and for lambda-built arrays
+      // (shingles) that filter is O(n²) PER ROW and interpreted —
+      // measured 5x on shingle-explode pipelines. Our generate inputs
+      // pre-filter emptiness explicitly, and explode(outer=false) drops
+      // empty arrays anyway, so the rule only costs here.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -100,12 +100,14 @@ object Curation {
                        k: Int, threshold: Double): DataFrame = {
     val cs = Dedup.shingleFrame(corpus, corpusId, corpusText, k)
       .select(col("doc").as("corpus_id"), explode(col("shingles")).as("s"))
-    val ps = Dedup.shingleFrame(probes, probeId, probeText, k)
-    val pSizes = ps.select(col("doc").as("probe_id"), size(col("shingles")).as("n_p"))
-    val pex = ps.select(col("doc").as("probe_id"), explode(col("shingles")).as("s"))
+    // probe shingle count rides along the exploded rows: one broadcast,
+    // one shuffle (the groupBy), no second probe-side join
+    val pex = Dedup.shingleFrame(probes, probeId, probeText, k)
+      .select(col("doc").as("probe_id"), size(col("shingles")).as("n_p"),
+        explode(col("shingles")).as("s"))
     cs.join(broadcast(pex), "s")
-      .groupBy(col("corpus_id"), col("probe_id")).agg(count(lit(1)).as("n_inter"))
-      .join(broadcast(pSizes), "probe_id")
+      .groupBy(col("corpus_id"), col("probe_id"), col("n_p"))
+      .agg(count(lit(1)).as("n_inter"))
       .select(col("corpus_id"), col("probe_id"),
         (col("n_inter").cast("double") / col("n_p")).as("containment"))
       .where(col("containment") >= threshold)

@@ -52,12 +52,19 @@ object Dedup {
   /** (doc, shingles) frame with the token array materialized in its own
     * projection. The middle select references `__toks` three times, so
     * CollapseProject cannot re-inline the split into the lambda body —
-    * shingling stays O(tokens) per doc. */
+    * shingling stays O(tokens) per doc.
+    *
+    * The non-empty filter is `size(tokens) >= k` (equivalent to
+    * `size(shingles) > 0` by construction) and sits BEFORE the shingle
+    * projection: a filter on `shingles` would be pushed down past the
+    * projection, re-inlining the whole O(tokens²) shingle lambda into
+    * the scan's filter predicate — the same CSE trap, resurfacing
+    * through predicate pushdown. */
   def shingleFrame(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
     df.select(id.as("doc"), tokens(text).as("__toks"))
+      .where(size(col("__toks")) >= k)
       .select(col("doc"), col("__toks"), wordShinglesOf(col("__toks"), k).as("shingles"))
       .drop("__toks")
-      .where(size(col("shingles")) > 0)
 
   /** Exact dedup: group identical content by md5, keep the smallest id
     * as the canonical representative. One shuffle on the digest. */
