@@ -123,4 +123,118 @@ object Curation {
       .select(col("doc_id").as("__loser"))
     df.join(losers, id === col("__loser"), "left_anti")
   }
+
+  // ---- PII scrubbing --------------------------------------------------
+
+  /** RE2-safe patterns (no lookaround), so the same strings run under
+    * Spark's java.util.regex AND the differential oracle's RE2. Redaction
+    * order matters: emails first (an address contains digit runs a naive
+    * phone pattern could bite), then IPv4, then phone shapes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3,4}-\\d{4}"
+
+  /** Per-document PII hit counts (email, ipv4, phone) — row-local
+    * `regexp_count`, pipelines at scan speed. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(EmailRe)),
+    "n_ip" -> regexp_count(text, lit(Ipv4Re)),
+    "n_phone" -> regexp_count(text, lit(PhoneRe)))
+
+  /** Redact PII in place with typed placeholders. Row-local; at 100 TB
+    * this is a pure map stage fused into whatever scan feeds it. */
+  def redactPII(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // ---- Sequence packing ----------------------------------------------
+
+  /** Deterministic corpus shuffle order: hash60 of "salt:id". Sorting by
+    * it is the reproducible analog of the random document shuffle every
+    * pretraining run does before packing; (order, id) is a total order
+    * so ties can't reorder across runs. */
+  def shuffleOrder(id: Column, salt: String = "shuffle"): Column =
+    hash60(concat_ws(":", lit(salt), id))
+
+  /** Concat-then-chunk sequence packing (the standard LLM pretraining
+    * layout): documents are laid end-to-end in deterministic shuffled
+    * order within a shard, and the resulting token stream is cut into
+    * fixed `seqLen` windows. Emits (shard, seq, offset) per document —
+    * `offset` is the doc's start position within its sequence; docs
+    * straddling a cut simply span two seqs, as trainers expect.
+    *
+    * Scale: the only sequential semantics is the running token sum
+    * WITHIN a shard, expressed as a window over (shard) ordered by the
+    * shuffle hash — parallelism = numShards (thousands at 100 TB), and
+    * assignment is reproducible across partitionings and cluster sizes
+    * because nothing depends on physical row order. */
+  def packSequences(df: DataFrame, id: Column, tokens: Column,
+                    seqLen: Long, numShards: Int,
+                    salt: String = "pack"): DataFrame = {
+    require(seqLen > 0 && numShards > 0, "seqLen and numShards must be positive")
+    val ord = shuffleOrder(id, salt)
+    val shard = pmod(hash60(concat_ws(":", lit(salt + ":shard"), id)), lit(numShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__ord").asc, id.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__ord", ord).withColumn("__shard", shard)
+      .withColumn("__cum", sum(tokens).over(w))
+      .withColumn("__start", col("__cum") - tokens)
+      .select(id.as("doc_id"), col("__shard").as("shard"),
+        (col("__start") / seqLen).cast("bigint").as("seq"),
+        pmod(col("__start"), lit(seqLen)).as("offset"))
+  }
+
+  // ---- Corpus-wide duplicate-span removal ----------------------------
+
+  /** Remove boilerplate spans shared across many documents (the
+    * paragraph-dedup step of C4/Dolma-style pipelines, re-expressed over
+    * fixed k-token spans since this corpus has no paragraph breaks):
+    * chunk each document's tokens into consecutive k-token spans, count
+    * how many DISTINCT documents each span string occurs in corpus-wide,
+    * drop every span occurring in more than `maxDocs` documents, and
+    * reassemble the surviving spans in order.
+    *
+    * Returns (doc_id, clean_text, n_dropped). Documents reduced to
+    * nothing survive with an empty string — dropping them is a separate
+    * policy decision ([[deterministicSample]]-style filters compose).
+    *
+    * Scale shape: one explode + groupBy on the span string (the only
+    * full shuffle), a broadcast anti-join against the hot-span set
+    * (bounded: spans exceeding `maxDocs` distinct docs are by
+    * definition few relative to the corpus), and one groupBy doc to
+    * reassemble. The span count aggregation is partial+final — no
+    * hot-key skew reaches a single task's memory beyond its count. */
+  def dropBoilerplateSpans(df: DataFrame, id: Column, text: Column,
+                           k: Int, maxDocs: Long): DataFrame = {
+    import graft.functions.TextAnalysis.tokens
+    require(k > 0, s"span length must be positive: $k")
+    // materialize toks in its own projection (CSE hazard — see Dedup)
+    val spans = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0), floor((size(col("__toks")) - 1) / k).cast("int")),
+          i => array_join(slice(col("__toks"), i * k + 1, lit(k)), " ")
+        ).as("__spans"))
+      .select(col("doc_id"), posexplode(col("__spans")).as(Seq("pos", "span")))
+    val hot = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") > maxDocs)
+      .select(col("span"))
+    spans.join(broadcast(hot), Seq("span"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), " ").as("kept_text"),
+        count(lit(1)).as("__kept"))
+      .join(df.select(id.as("doc_id"),
+        (floor((size(tokens(text)) - 1) / k) + 1).cast("bigint").as("__total")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("clean_text"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -59,6 +59,47 @@ object CurationQueries {
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
           round(Curation.duplicateShingleRatioOf(col("__toks"), 3), 6).as("rep3"))
+    }),
+
+    // PII scrubbing: the corpus has no natural PII, so each doc gets a
+    // deterministic doc_id-derived email/phone/IP suffix (replayed
+    // exactly by the oracle) and the detection + redaction regexes run
+    // over the result — counts plus the redacted text are both gated
+    "q102_curation_pii_redact" -> ((s, d) => {
+      val pii = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"),
+        lit(".com via +1-555-234-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(" backup b@ex.org")).otherwise(lit("")))
+      val counted = Curation.piiCounts(pii)
+        .foldLeft(Tables.documents(s, d).withColumn("__pii", pii)) {
+          case (df, (name, c0)) => df.withColumn(name, c0.cast("int"))
+        }
+      counted.select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        Curation.redactPII(col("__pii")).as("red"))
+    }),
+
+    // concat-then-chunk sequence packing: deterministic shuffle order,
+    // 8 shards, 2048-token sequences; every (shard, seq, offset)
+    // assignment is replayed by the oracle's window sum
+    "q103_curation_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("ntok", TextAnalysis.tokenCount(col("text")).cast("bigint"))
+      Curation.packSequences(docs, col("doc_id"), col("ntok"),
+        seqLen = 2048L, numShards = 8)
+    }),
+
+    // corpus-wide duplicate-span removal (paragraph dedup over fixed
+    // 3-token spans): spans present in more than 8 distinct docs are
+    // boilerplate and get cut; cleaned text reassembles in order
+    "q104_curation_drop_spans" -> ((s, d) => {
+      val out = Curation.dropBoilerplateSpans(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3, maxDocs = 8L)
+      out.select(col("doc_id"), col("clean_text"),
+        col("n_dropped").cast("bigint").as("n_dropped"))
     })
   )
 
@@ -118,6 +159,65 @@ object CurationQueries {
                              ROWS UNBOUNDED PRECEDING) AS cum
            FROM t)
          SELECT source, doc_id, CAST(ntok AS INT) AS ntok
-         FROM c WHERE cum <= 5000"""
+         FROM c WHERE cum <= 5000""",
+
+    "q102_curation_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text || ' contact u' || doc_id || '@ex' || (doc_id % 7) ||
+             '.com via +1-555-234-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ||
+             CASE WHEN doc_id % 3 = 0 THEN ' backup b@ex.org' ELSE '' END AS pii
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(pii, '\+\d{1,2}-\d{3}-\d{3,4}-\d{4}')) AS INT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,2}-\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g') AS red
+         FROM p""",
+
+    "q103_curation_pack_sequences" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS ntok,
+             ${H60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ord,
+             ${H60("'pack:shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, ntok,
+             SUM(ntok) OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) - ntok AS start
+           FROM t)
+         SELECT doc_id, shard, start // 2048 AS seq, start % 2048 AS offset
+         FROM c""",
+
+    "q104_curation_drop_spans" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sp AS (
+           SELECT doc_id,
+             unnest(range(0, (len(toks) - 1) // 3 + 1)) AS pos,
+             unnest([array_to_string(toks[i*3+1 : i*3+3], ' ')
+                     for i in range(0, (len(toks) - 1) // 3 + 1)]) AS span
+           FROM t),
+         hot AS (
+           SELECT span FROM sp GROUP BY span
+           HAVING count(DISTINCT doc_id) > 8),
+         kept AS (
+           SELECT doc_id, pos, span FROM sp
+           WHERE span NOT IN (SELECT span FROM hot)),
+         res AS (
+           SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS kept_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+           coalesce(res.kept_text, '') AS clean_text,
+           ((len(t.toks) - 1) // 3 + 1) - coalesce(res.n_kept, 0) AS n_dropped
+         FROM t LEFT JOIN res USING (doc_id)"""
   )
 }

@@ -93,4 +93,72 @@ class CurationSpec extends SparkSpec {
     // components {1,2,3} -> keeper 1; {7,9} -> keeper 7; rest untouched
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L))
   }
+
+  test("redactPII replaces emails, IPs, and phone shapes; counts agree") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.com and 192.168.0.1 or +1-555-234-0042 end"),
+      (2L, "no pii here, just words and numbers 123 4.5"),
+      (3L, "two mails x@y.io z@w.co plus 999.999.999.999")).toDF("id", "t")
+    val out = Curation.piiCounts(col("t"))
+      .foldLeft(df)((d, nc) => d.withColumn(nc._1, nc._2))
+      .withColumn("red", Curation.redactPII(col("t")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toMap
+    assert(out(1L) == ((1, 1, 1, "mail <EMAIL> and <IP> or <PHONE> end")))
+    assert(out(2L) == ((0, 0, 0, "no pii here, just words and numbers 123 4.5")))
+    // the naive IPv4 shape intentionally matches out-of-range octets —
+    // same policy both engines, so the oracle replays it
+    assert(out(3L) == ((2, 1, 0, "two mails <EMAIL> <EMAIL> plus <IP>")))
+  }
+
+  test("packSequences lays docs end-to-end: offsets chain within a shard") {
+    val s = spark; import s.implicits._
+    val df = (1L to 300L).map(i => (i, 1L + i % 40)).toDF("id", "ntok")
+    val out = Curation.packSequences(df, col("id"), col("ntok"), 100L, 4)
+      .join(df.withColumnRenamed("id", "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(0), r.getLong(4)))
+    assert(out.map(_._1).distinct.sorted.sameElements(0L until 4L))
+    // within each shard, sorted by (seq, offset): global positions
+    // seq*100+offset must be the running sum of preceding ntoks
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3, r._4))
+      var cum = 0L
+      ordered.foreach { case (_, seq, off, _, ntok) =>
+        assert(seq * 100 + off == cum, s"gap at seq=$seq off=$off cum=$cum")
+        cum += ntok
+      }
+    }
+    // repartitioning must not change any assignment
+    val again = Curation.packSequences(df.repartition(13), col("id"), col("ntok"), 100L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == out.map(r => (r._4, r._1, r._2, r._3)).toSet)
+  }
+
+  test("dropBoilerplateSpans cuts only corpus-hot spans and reassembles in order") {
+    val s = spark; import s.implicits._
+    // span "a b c" appears in docs 1..4 (hot at maxDocs=3); "x y z" in 1..2
+    val df = Seq(
+      (1L, "a b c x y z one two three"),
+      (2L, "x y z a b c"),
+      (3L, "a b c unique words here"),
+      (4L, "four five six a b c"),
+      (5L, "nothing shared at all")).toDF("id", "t")
+    val out = Curation.dropBoilerplateSpans(df, col("id"), col("t"), 3, 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("x y z one two three", 1L)))
+    assert(out(2L) == (("x y z", 1L)))
+    assert(out(3L) == (("unique words here", 1L)))
+    assert(out(4L) == (("four five six", 1L)))
+    assert(out(5L) == (("nothing shared at all", 0L)))
+  }
+
+  test("dropBoilerplateSpans keeps fully-boilerplate docs as empty strings") {
+    val s = spark; import s.implicits._
+    val df = (1L to 5L).map(i => (i, "same same same")).toDF("id", "t")
+    val out = Curation.dropBoilerplateSpans(df, col("id"), col("t"), 3, 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.size == 5 && out.values.forall(_ == (("", 1L))))
+  }
 }

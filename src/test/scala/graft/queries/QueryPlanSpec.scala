@@ -49,4 +49,37 @@ class QueryPlanSpec extends SparkSpec {
     assert(scans.length == 4, s"expected 4 scans, got ${scans.length}")
     assert(scans.forall(!_.contains("lang")))
   }
+
+  test("q102 PII scrub is a pure map stage: no exchange at all") {
+    val plan = planOf("q102_curation_pii_redact")
+    assert(!plan.contains("Exchange"), "row-local scrub must not shuffle")
+    assert(readSchemas(plan).forall(!_.contains("lang")))
+  }
+
+  test("q103 sequence packing shuffles once, on the shard hash") {
+    val plan = planOf("q103_curation_pack_sequences")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(plan.contains("hashpartitioning"), "window must partition by shard")
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("q104 span removal anti-joins a BROADCAST hot-span set") {
+    val plan = planOf("q104_curation_drop_spans")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "hot spans must broadcast to the anti-join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("shingle queries keep the emptiness filter off the generated array") {
+    // InferFiltersFromGenerate would re-derive size(shingles)>0 under the
+    // explode and pushdown re-inlines the O(tokens^2) lambda into the
+    // scan filter; the session excludes the rule — a Generate node must
+    // never sit directly above a Filter mentioning the shingle lambda
+    for (q <- Seq("q100_curation_decontaminate", "q23_dedup_ngram_jaccard")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Filter (size(transform("),
+        s"$q re-inlined the shingle lambda into a filter")
+    }
+  }
 }
