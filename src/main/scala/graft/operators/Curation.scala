@@ -188,6 +188,40 @@ object Curation {
         pmod(col("__start"), lit(seqLen)).as("offset"))
   }
 
+  // ---- Source-mix resampling -----------------------------------------
+
+  /** Deterministic source-mix resampling: replicate each document
+    * `weight(source)` times, where fractional weights round
+    * probabilistically-but-deterministically per document (weight 2.3 →
+    * every doc appears twice, and the 30% of docs whose md5 bucket
+    * falls below .3 appear a third time). This is how a pretraining mix
+    * upsamples high-quality sources ("epochs per source") without an
+    * RNG — the same doc gets the same copy count on every run, and the
+    * copy index is emitted so downstream packing can shuffle copies
+    * apart via [[shuffleOrder]] on (id, copy).
+    *
+    * Row-local explode (no shuffle); unlisted sources default to
+    * weight 1.0. Weights must be < ~100 — replication is for mixing
+    * epochs, not amplification. */
+  def resampleByWeight(df: DataFrame, id: Column, source: Column,
+                       weights: Map[String, Double],
+                       salt: String = "mix"): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 100),
+      s"weights out of range: $weights")
+    val wcol = weights.foldLeft(lit(1.0)) { case (acc, (s, w)) =>
+      when(source === s, lit(w)).otherwise(acc)
+    }
+    val base = floor(wcol).cast("int")
+    val extra = when(
+      sampleBucket(id, salt) < (pmod(wcol * 1e6, lit(1e6))).cast("long"), 1)
+      .otherwise(0)
+    df.withColumn("__copies", base + extra)
+      .where(col("__copies") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1), col("__copies"))).as("copy"): _*)
+      .drop("__copies")
+  }
+
   // ---- Corpus-wide duplicate-span removal ----------------------------
 
   /** Remove boilerplate spans shared across many documents (the

@@ -514,4 +514,40 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public arXiv
+    * 2303.09540): cluster embeddings into IVF cells, call two documents
+    * semantic duplicates when their cosine inside a shared cell clears
+    * `threshold`, connect the pairs into components, and keep one
+    * representative (min id) per component. Emits every vector with its
+    * cell, component label, and the keep decision — the caller filters.
+    *
+    * Scale shape: cell assignment is one scan against broadcast
+    * centroids (same as [[ivfTopK]]); the pair search is an EQUI-join
+    * on the cell id — within-cell quadratic, which is the published
+    * algorithm's own design point (choose nList so cells average
+    * n/nList docs; at 100 TB grow nList ~ sqrt(n) and hot cells stay
+    * bounded). Deterministic-seed centroids keep the whole decision
+    * replayable by the differential oracle; production would swap in
+    * k-means centroids and gate with recall specs instead. */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nList: Int): DataFrame = {
+    val assign = ivfAssignUdf(ivfCentroids(corpus, nList))
+    // persisted: feeds both sides of the pair join and the final output
+    val e = corpus.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("cell", assign(col("emb")))
+      .withColumn("nrm", norm(col("emb")))
+      .persist()
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(cosinePreNormed(dotFast(col("a.emb"), col("b.emb")),
+        col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("component"))
+    e.select(col("vec_id"), col("cell"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("component"), col("vec_id")).as("component"),
+        (col("component").isNull || col("component") === col("vec_id")).as("keep"))
+  }
 }

@@ -116,13 +116,18 @@ object Vectorizers {
   def percentile100(df: DataFrame, id: Column, value: Column): DataFrame = {
     val probs = (1 to 99).map(k => k / 100.0)
     val src = df.select(id.as("id"), value.as("v"))
-    val splits = src.agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
-      .head.getSeq[Double](0)
-    // 99 plain comparisons summed — whole-stage codegen fuses them; an
-    // array filter(lambda) here would run interpreted per row
-    val rank = splits.map(s => when(col("v") >= s, 1).otherwise(0))
+    // ONE action: the exact-percentile fit stays a plan branch that
+    // broadcasts a single row carrying the 99 splits — no driver
+    // collect, no second job. The rank is still 99 plain comparisons
+    // summed (element_at on the broadcast array is codegen'd), not an
+    // array-lambda filter, which would run interpreted per row.
+    val splits = src.agg(expr(
+      s"percentile(v, array(${probs.mkString(",")}))").as("ss"))
+    val rank = (1 to 99)
+      .map(i => when(col("v") >= element_at(col("ss"), i), 1).otherwise(0))
       .reduce(_ + _)
-    src.select(col("id"), when(col("v").isNotNull, rank).as("pctile"))
+    src.crossJoin(broadcast(splits))
+      .select(col("id"), when(col("v").isNotNull, rank).as("pctile"))
   }
 
   /** IndexToString inverse of [[stringIndex]] (reference OpIndexToString /

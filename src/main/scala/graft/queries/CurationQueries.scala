@@ -92,6 +92,16 @@ object CurationQueries {
         seqLen = 2048L, numShards = 8)
     }),
 
+    // pretraining source-mix resampling: src0 upsampled 2.5x, src1
+    // downsampled to 0.25x, everything else kept at 1x — fractional
+    // parts round deterministically per doc, copies are enumerated
+    "q106_curation_source_mix" -> ((s, d) => {
+      Curation.resampleByWeight(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"),
+        Map("src0" -> 2.5, "src1" -> 0.25))
+    }),
+
     // corpus-wide duplicate-span removal (paragraph dedup over fixed
     // 3-token spans): spans present in more than 8 distinct docs are
     // boilerplate and get cut; cleaned text reassembles in order
@@ -194,6 +204,21 @@ object CurationQueries {
            FROM t)
          SELECT doc_id, shard, start // 2048 AS seq, start % 2048 AS offset
          FROM c""",
+
+    "q106_curation_source_mix" ->
+      s"""WITH t AS (
+           SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                         ELSE 1.0 END AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+             CAST(floor(w) AS INT) +
+             CASE WHEN ${bucket("mix")} < CAST((w * 1e6) % 1e6 AS BIGINT)
+                  THEN 1 ELSE 0 END AS copies
+           FROM t)
+         SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS INT) AS copy
+         FROM c WHERE copies > 0""",
 
     "q104_curation_drop_spans" ->
       """WITH t AS (

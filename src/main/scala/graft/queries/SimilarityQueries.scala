@@ -60,6 +60,12 @@ object SimilarityQueries {
       Similarity.pqTopK(e, e.where(expr(QUERY_PRED)), K, m = 8, nCodes = 16)
     }),
 
+    // SemDeDup-style semantic dedup: IVF cells -> within-cell cosine
+    // pairs -> connected components -> min-id keeper per component
+    "q105_sim_semantic_dedup" -> ((s, d) => {
+      Similarity.semanticDedup(Tables.embeddings(s, d), threshold = 0.45, nList = 16)
+    }),
+
     // RecordInsightsLOCO over a linear-logistic scorer with md5-derived
     // weights (deterministic, so the oracle replays the exact insight)
     "q60_loco_insights" -> ((s, d) => {
@@ -291,6 +297,40 @@ object SimilarityQueries {
             FROM scored)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K""",
+
+    "q105_sim_semantic_dedup" ->
+      s"""WITH RECURSIVE
+          e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings),
+          cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, emb AS cemb
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          assigned AS (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT a.vec_id, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                   ORDER BY ${cosSql("a.emb", "c.cemb")} DESC, c.cid ASC) AS rn
+              FROM e a CROSS JOIN cents c)
+            WHERE rn = 1),
+          pairs AS (
+            SELECT aa.vec_id AS id_a, bb.vec_id AS id_b
+            FROM assigned aa
+            JOIN assigned bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+            JOIN e a ON a.vec_id = aa.vec_id
+            JOIN e b ON b.vec_id = bb.vec_id
+            WHERE ${cosSql("a.emb", "b.emb")} >= 0.45),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e2.b FROM reach r JOIN edges e2 ON e2.a = r.m),
+          comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+          SELECT ass.vec_id, ass.cell,
+            coalesce(c.component, ass.vec_id) AS component,
+            (c.component IS NULL OR c.component = ass.vec_id) AS keep
+          FROM assigned ass LEFT JOIN comp c ON c.n = ass.vec_id""",
 
     "q60_loco_insights" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

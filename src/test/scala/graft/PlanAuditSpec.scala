@@ -35,4 +35,35 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q56_text_hashed_tf")
     assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
   }
+
+  // Queries whose plan legitimately funnels through a single partition:
+  // a global statistics fit (mean/variance/percentile/idf/drift) ends in
+  // a two-phase aggregate whose FINAL step is one partition holding one
+  // row per upstream partition — bounded by partition count, not data.
+  private val singlePartitionOk = Set(
+    "q30_impute_indicator", "q31_standard_scale", "q39_raw_feature_filter",
+    "q40_min_variance_filter", "q41_sanity_check", "q42_cramers_v",
+    "q43_histogram_drift", "q57_text_tfidf", "q58_smart_text_decide",
+    "q75_sanity_feature_corr")
+
+  // Queries that intentionally use a broadcast nested-loop join: a
+  // provably tiny broadcast side (single-row stats frame, query set,
+  // codebook) joined without an equi-key. Bounded by the broadcast
+  // threshold; never a shuffle of the big side.
+  private val bnljOk = singlePartitionOk ++ Set(
+    "q26_sim_bruteforce_topk", "q84_sim_pq_topk")
+
+  test("global sweep: no cartesian products; single-partition exchanges " +
+    "and nested-loop joins only in allowlisted stats fits") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      Seq(
+        if (p.contains("CartesianProduct")) Some(s"$n: CartesianProduct") else None,
+        if (p.contains("Exchange SinglePartition") && !singlePartitionOk(n))
+          Some(s"$n: unexpected SinglePartition exchange") else None,
+        if (p.contains("BroadcastNestedLoopJoin") && !bnljOk(n))
+          Some(s"$n: unexpected BroadcastNestedLoopJoin") else None).flatten
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

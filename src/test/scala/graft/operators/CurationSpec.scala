@@ -154,6 +154,34 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == (("nothing shared at all", 0L)))
   }
 
+  test("resampleByWeight replicates by integer part plus deterministic fraction") {
+    val s = spark; import s.implicits._
+    val df = (1L to 3000L).map(i =>
+      (i, if (i <= 1000) "hi" else if (i <= 2000) "lo" else "rest"))
+      .toDF("id", "src")
+    val out = Curation.resampleByWeight(df, col("id"), col("src"),
+      Map("hi" -> 2.5, "lo" -> 0.25))
+    val counts = out.groupBy("src", "id").count()
+      .groupBy("src").agg(min("count").as("mn"), max("count").as("mx"),
+        sum("count").as("total"), countDistinct("id").as("docs"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // hi: every doc 2 or 3 copies, ~2500 total rows
+    assert(counts("hi")._1 == 2 && counts("hi")._2 == 3)
+    assert(math.abs(counts("hi")._3 - 2500) < 150, counts("hi").toString)
+    // lo: survivors have exactly 1 copy, ~250 of 1000 docs survive
+    assert(counts("lo")._1 == 1 && counts("lo")._2 == 1)
+    assert(math.abs(counts("lo")._4 - 250) < 60, counts("lo").toString)
+    // rest: untouched at weight 1
+    assert(counts("rest") == ((1L, 1L, 1000L, 1000L)))
+    // deterministic under repartitioning
+    val again = Curation.resampleByWeight(df.repartition(11), col("id"), col("src"),
+      Map("hi" -> 2.5, "lo" -> 0.25))
+      .select("id", "copy").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == out.select("id", "copy").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
   test("dropBoilerplateSpans keeps fully-boilerplate docs as empty strings") {
     val s = spark; import s.implicits._
     val df = (1L to 5L).map(i => (i, "same same same")).toDF("id", "t")

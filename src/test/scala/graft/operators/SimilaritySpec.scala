@@ -186,4 +186,20 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(b == dyn)
   }
+
+  test("semanticDedup keeps one min-id representative per duplicate group") {
+    val s = spark; import s.implicits._
+    // two exact-duplicate groups + two singletons, orthogonal across groups
+    val df = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(1f, 0f, 0f, 0f), 3L -> Seq(1f, 0f, 0f, 0f),
+      10L -> Seq(0f, 1f, 0f, 0f), 11L -> Seq(0f, 1f, 0f, 0f),
+      20L -> Seq(0f, 0f, 1f, 0f), 21L -> Seq(0f, 0f, 0f, 1f))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, threshold = 0.9, nList = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L, 20L, 21L))
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)) && out(3L) == ((1L, false)))
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+    assert(out(20L) == ((20L, true)) && out(21L) == ((21L, true)))
+  }
 }
