@@ -188,6 +188,53 @@ object Curation {
         pmod(col("__start"), lit(seqLen)).as("offset"))
   }
 
+  // ---- Stratified sampling -------------------------------------------
+
+  /** Per-group deterministic sampling (language/source-balanced corpus
+    * carving): each row keeps iff its bucket falls under ITS group's
+    * fraction. Row-local like [[deterministicSample]] — the group only
+    * selects which literal threshold applies, so the filter still
+    * pushes to the scan and nothing shuffles. */
+  def deterministicSamplePerGroup(df: DataFrame, id: Column, group: Column,
+                                  fractions: Map[String, Double],
+                                  defaultFraction: Double = 1.0,
+                                  salt: String = "sample"): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0 && f <= 1), s"fractions out of range: $fractions")
+    val cut = fractions.foldLeft(lit((defaultFraction * 1e6).toLong)) {
+      case (acc, (g, f)) => when(group === g, lit((f * 1e6).toLong)).otherwise(acc)
+    }
+    df.where(sampleBucket(id, salt) < cut)
+  }
+
+  // ---- Corpus-fitted LM quality signal -------------------------------
+
+  /** CCNet-style language-model quality signal, self-fitted: per-doc
+    * mean unigram surprisal -ln p(token) under the CORPUS's own MLE
+    * unigram distribution. Low surprisal ≈ common fluent tokens; high ≈
+    * rare/garbage tokens — the cheap stand-in for the KenLM perplexity
+    * filter of public pretraining pipelines (no LM jar in this
+    * container, and the fit is the corpus itself, so the differential
+    * oracle replays it exactly).
+    *
+    * Scale shape: one explode + one count aggregation keyed on token
+    * (vocab-sized result, stays distributed), one equi-join of the
+    * exploded tokens back to their counts (token-keyed shuffle join —
+    * NOT a broadcast: a 100 TB corpus's vocabulary is not
+    * driver-sized), a broadcast single-row total, and one final groupBy
+    * doc. Hot tokens skew the join; AQE skew-split handles it since
+    * both sides are plain shuffles. */
+  def unigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import graft.functions.TextAnalysis.tokens
+    val ex = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val counts = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    ex.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(avg(-log(col("cnt").cast("double") / col("tot"))).as("surprisal"))
+  }
+
   // ---- Source-mix resampling -----------------------------------------
 
   /** Deterministic source-mix resampling: replicate each document

@@ -92,6 +92,22 @@ object CurationQueries {
         seqLen = 2048L, numShards = 8)
     }),
 
+    // language-balanced carving: heavy languages sampled down, long
+    // tail kept whole — per-group thresholds, still a row-local filter
+    "q107_curation_stratified_sample" -> ((s, d) => {
+      Curation.deterministicSamplePerGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.2, "zh" -> 0.5), defaultFraction = 1.0, salt = "bal")
+    }),
+
+    // corpus-fitted unigram surprisal (KenLM-perplexity stand-in):
+    // mean -ln p(token) per doc under the corpus MLE distribution
+    "q108_curation_lm_surprisal" -> ((s, d) => {
+      Curation.unigramSurprisal(Tables.documents(s, d), col("doc_id"), col("text"))
+        .select(col("doc_id"), round(col("surprisal"), 6).as("surprisal"))
+    }),
+
     // pretraining source-mix resampling: src0 upsampled 2.5x, src1
     // downsampled to 0.25x, everything else kept at 1x — fractional
     // parts round deterministically per doc, copies are enumerated
@@ -204,6 +220,24 @@ object CurationQueries {
            FROM t)
          SELECT doc_id, shard, start // 2048 AS seq, start % 2048 AS offset
          FROM c""",
+
+    "q107_curation_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ${bucket("bal")} <
+            CASE lang WHEN 'en' THEN 200000 WHEN 'zh' THEN 500000
+                      ELSE 1000000 END""",
+
+    "q108_curation_lm_surprisal" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         tot AS (SELECT sum(cnt) AS tot FROM c)
+         SELECT doc_id,
+           ROUND(avg(-ln(CAST(cnt AS DOUBLE) / tot)), 6) AS surprisal
+         FROM t JOIN c USING (tok) CROSS JOIN tot
+         GROUP BY doc_id""",
 
     "q106_curation_source_mix" ->
       s"""WITH t AS (

@@ -41,10 +41,11 @@ class PlanAuditSpec extends SparkSpec {
   // a two-phase aggregate whose FINAL step is one partition holding one
   // row per upstream partition — bounded by partition count, not data.
   private val singlePartitionOk = Set(
-    "q30_impute_indicator", "q31_standard_scale", "q39_raw_feature_filter",
-    "q40_min_variance_filter", "q41_sanity_check", "q42_cramers_v",
-    "q43_histogram_drift", "q57_text_tfidf", "q58_smart_text_decide",
-    "q75_sanity_feature_corr")
+    "q30_impute_indicator", "q31_standard_scale", "q33_percentile",
+    "q39_raw_feature_filter", "q40_min_variance_filter", "q41_sanity_check",
+    "q42_cramers_v", "q43_histogram_drift", "q57_text_tfidf",
+    "q58_smart_text_decide", "q75_sanity_feature_corr",
+    "q108_curation_lm_surprisal")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,

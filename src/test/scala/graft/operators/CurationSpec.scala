@@ -154,6 +154,37 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == (("nothing shared at all", 0L)))
   }
 
+  test("deterministicSamplePerGroup applies each group its own fraction") {
+    val s = spark; import s.implicits._
+    val df = (1L to 3000L).map(i =>
+      (i, if (i <= 1000) "en" else if (i <= 2000) "zh" else "fi"))
+      .toDF("id", "lang")
+    val kept = Curation.deterministicSamplePerGroup(df, col("id"), col("lang"),
+        Map("en" -> 0.2, "zh" -> 0.5), defaultFraction = 1.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("en") - 200) < 60, kept.toString)
+    assert(math.abs(kept("zh") - 500) < 80, kept.toString)
+    assert(kept("fi") == 1000) // default 1.0 keeps the tail whole
+    // same salt + same id => same draw as the ungrouped sampler
+    val flat = Curation.deterministicSample(df.where($"lang" === "en"),
+      col("id"), 0.2).count()
+    assert(flat == kept("en"))
+  }
+
+  test("unigramSurprisal scores docs by corpus-MLE token rarity") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a b c")).toDF("id", "t")
+    val out = Curation.unigramSurprisal(df, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // counts: a=3 b=2 c=1 of 6
+    def nl(p: Double) = -math.log(p)
+    val d1 = (nl(3 / 6.0) + nl(3 / 6.0) + nl(2 / 6.0)) / 3
+    val d2 = (nl(3 / 6.0) + nl(2 / 6.0) + nl(1 / 6.0)) / 3
+    assert(math.abs(out(1L) - d1) < 1e-12 && math.abs(out(2L) - d2) < 1e-12)
+    assert(out(2L) > out(1L)) // the rare-token doc is more surprising
+  }
+
   test("resampleByWeight replicates by integer part plus deterministic fraction") {
     val s = spark; import s.implicits._
     val df = (1L to 3000L).map(i =>
