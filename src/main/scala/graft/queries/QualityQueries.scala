@@ -83,6 +83,13 @@ object QualityQueries {
       Streaming.runToCompletion(s, agg, "q44_stream", shufflePartitions = Some(8))
     }),
 
+    // event-time sessionization: per-user session_window with an 8-hour
+    // inactivity gap (median per-user gap ~7h, so sessions really merge
+    // AND really split); end = last event + gap per Spark's contract
+    "q109_session_window" -> ((s, d) => {
+      Streaming.sessionize(Tables.events(s, d), gap = "8 hours")
+    }),
+
     // §2.9 streaming exact dedup: first row per (user, type) with state
     // bounded by the watermark horizon; keys projected for determinism.
     // Batch-DISTINCT oracle equivalence holds because the finite source
@@ -290,6 +297,25 @@ object QualityQueries {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q109_session_window" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 8 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 8 HOUR AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, sid""",
 
     "q76_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",

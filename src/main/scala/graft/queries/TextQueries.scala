@@ -55,6 +55,21 @@ object TextQueries {
         minShingleHash(col("text"), 8).as("min_shingle_h60"))
     }),
 
+    // boilerplate mining: top-5 word bigrams per language by document
+    // frequency (per-doc distinct shingles, so count = doc frequency) —
+    // the corpus-statistics pass that seeds stop-phrase lists
+    "q110_text_top_ngrams" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("lang"), tokens(col("text")).as("__toks"))
+        .select(col("lang"),
+          explode(graft.operators.Dedup.wordShinglesOf(col("__toks"), 2)).as("ngram"))
+      sh.groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("doc_freq"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("doc_freq").desc, col("ngram").asc)))
+        .where(col("rank") <= 5)
+    }),
+
     // OPCollectionTransformer lift + TextListNullTransformer
     // (reference OPCollectionTransformer.scala, TextListNullTransformer):
     // scalar fns lifted over list/map values, null-list normalization
@@ -158,6 +173,23 @@ object TextQueries {
                 END AS lang_pred
          FROM t"""
     },
+
+    "q110_text_top_ngrams" ->
+      """WITH t AS (
+           SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT lang,
+             unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
+               for i in range(1, greatest(len(toks) - 1, 0) + 1)])) AS ngram
+           FROM t),
+         c AS (SELECT lang, ngram, count(*) AS doc_freq FROM sh GROUP BY 1, 2),
+         r AS (SELECT lang, ngram, doc_freq,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY doc_freq DESC, ngram ASC) AS rank
+               FROM c)
+         SELECT lang, ngram, doc_freq, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 5""",
 
     "q21_text_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,

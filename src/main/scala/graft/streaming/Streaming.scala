@@ -50,6 +50,22 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Event-time sessionization: per-user sessions closed by `gap` of
+    * inactivity, via `session_window` — the same expression works over
+    * a watermarked stream (merging windows as events arrive) and a
+    * batch frame; the oracle replays the batch form with
+    * gaps-and-islands SQL. Session end = last event + gap (Spark's
+    * session_window contract). One shuffle keyed on user_id; decimal
+    * sum for an order-independent value total. */
+  def sessionize(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Run a streaming aggregation to completion over the (finite) file
     * source and return the result as a batch DataFrame — Trigger
     * .AvailableNow processes everything then stops, giving batch

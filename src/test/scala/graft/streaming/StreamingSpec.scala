@@ -36,4 +36,21 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(scored.get() == events.count())
   }
+
+  test("sessionize merges events within the gap and splits across it") {
+    val s = spark; import s.implicits._
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // user 1: events at 0, 20, 70 min (gap 30m splits 20->70);
+    // user 2: one event — singleton session
+    val events = Seq(
+      (1L, t(0), 1.0), (1L, t(20), 2.0), (1L, t(70), 4.0),
+      (2L, t(5), 8.0)).toDF("user_id", "ts", "value")
+    val out = graft.streaming.Streaming.sessionize(events, "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(out == Set(
+      (1L, t(0), t(50), 2L, 3.0),   // [0, 20] closes at 20+30
+      (1L, t(70), t(100), 1L, 4.0),
+      (2L, t(5), t(35), 1L, 8.0)))
+  }
 }
