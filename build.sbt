@@ -28,11 +28,13 @@ val jdk17AddOpens = Seq(
 // constant G1 churn once the suite grew past ~50 queries (old-gen at
 // 90% through the whole bench, concurrent GC stealing executor cores).
 // Code cache likewise: 67 queries' generated classes overflow the
-// 240 MB default and flip hot paths back to the interpreter.
+// 240 MB default and flip hot paths back to the interpreter; at 110
+// queries x 3 runs even 512 MB showed end-of-suite flushing (the last
+// query benched 3.5x its standalone time), hence 1 GiB.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-Xms8g",
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
 )
