@@ -44,6 +44,16 @@ object DedupQueries {
       Dedup.connectedComponents(pairs)
     }),
 
+    // same clusters via large-star/small-star (the O(log n)-round CC
+    // for high-diameter graphs) — hash-gated against the identical
+    // recursive-CTE oracle as q86's label propagation
+    "q111_dedup_components_star" -> ((s, d) => {
+      val pairs = Dedup.minHashLshPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3, numHashes = 12, numBands = 6,
+        threshold = 0.35)
+      Dedup.connectedComponentsStar(pairs)
+    }),
+
     // END-TO-END near-dup removal: candidate pairs → components → drop
     // every non-keeper; documents in no pair survive untouched
     "q99_dedup_drop_neardups" -> ((s, d) => {
@@ -126,6 +136,20 @@ object DedupQueries {
           WHERE $PAIR_JACCARD >= 0.35""",
 
     "q86_dedup_components" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+          pairs AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
+          SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n""",
+
+    // identical ground truth to q86 — the star algorithm must produce
+    // byte-identical clusters to label propagation
+    "q111_dedup_components_star" ->
       s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
           pairs AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
           edges AS (SELECT id_a AS a, id_b AS b FROM pairs

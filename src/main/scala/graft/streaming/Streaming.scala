@@ -54,9 +54,10 @@ object Streaming {
     * inactivity, via `session_window` — the same expression works over
     * a watermarked stream (merging windows as events arrive) and a
     * batch frame; the oracle replays the batch form with
-    * gaps-and-islands SQL. Session end = last event + gap (Spark's
-    * session_window contract). One shuffle keyed on user_id; decimal
-    * sum for an order-independent value total. */
+    * gaps-and-islands SQL. Session end = last event + gap, and an event
+    * landing EXACTLY at last + gap still merges (verified empirically —
+    * so the oracle splits only on strictly-greater gaps). One shuffle
+    * keyed on user_id; decimal sum for an order-independent total. */
   def sessionize(events: DataFrame, gap: String): DataFrame =
     events.groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),

@@ -37,6 +37,18 @@ class StreamingSpec extends SparkSpec {
     assert(scored.get() == events.count())
   }
 
+  test("sessionize over a watermarked stream equals the batch answer") {
+    val streamed = Streaming.runToCompletion(
+      spark,
+      Streaming.sessionize(
+        Streaming.eventStream(spark, sfDir).withWatermark("ts", "1 day"), "8 hours"),
+      "stream_spec_sessions", shufflePartitions = Some(8))
+    val batch = Streaming.sessionize(
+      graft.sources.Tables.events(spark, sfDir), "8 hours")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     val s = spark; import s.implicits._
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
