@@ -113,6 +113,44 @@ object Streaming {
     stream.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming near-duplicate suppression — the streaming face of the
+    * batch MinHash pipeline: a document whose full MinHash SIGNATURE
+    * matches an earlier document's inside the watermark horizon is
+    * dropped. Signature equality is the high-precision corner of
+    * near-dup (identical signature ≈ very high Jaccard); band-level OR
+    * matching would need a second stateful operator (explode bands →
+    * dedup → re-aggregate survival) and stays with the batch pipeline.
+    * State: one row per distinct signature seen within the lateness
+    * horizon, reclaimed by the watermark.
+    *
+    * The signature builds across three projections so each intermediate
+    * (shingles, then their md5 hashes) is referenced twice in its
+    * consumer — CollapseProject then cannot re-inline the md5 pass into
+    * the per-slot lambda (the documented no-CSE-across-lambdas trap,
+    * which would multiply the md5 cost numHashes-fold). */
+  def nearDupSuppressStream(stream: DataFrame, textCol: String, tsCol: String,
+                            k: Int, numHashes: Int, lateness: String): DataFrame = {
+    import graft.operators.Dedup
+    val keep = stream.columns.map(col)
+    val p = lit(Dedup.MinHashP)
+    stream
+      .withColumn("__sh", Dedup.wordShinglesOf(
+        graft.functions.TextAnalysis.tokens(col(textCol)), k))
+      .select(keep :+ when(size(col("__sh")) >= 0,
+        transform(col("__sh"), s => graft.functions.TextAnalysis.hash60(s) % p))
+        .as("__hmod"): _*)
+      // docs with fewer than k tokens have no shingles and thus no
+      // signal — fall back to exact-text identity instead of letting
+      // them all collapse onto the empty signature
+      .select(keep :+ when(size(col("__hmod")) > 0,
+        concat_ws(",", Dedup.minHashSignatureFromHashes(col("__hmod"), numHashes)))
+        .otherwise(concat(lit("raw:"), col(textCol)))
+        .as("__sig"): _*)
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
+  }
+
   /** Per-key running state (beyond the reference, which has no stateful
     * streaming): event count + decimal-exact value sum + last event time
     * per user, maintained with flatMapGroupsWithState. State is

@@ -49,6 +49,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("nearDupSuppressStream drops later docs with identical minhash signature") {
+    val s = spark; import s.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // doc 2 has the same shingle SET as doc 1 (same word 3-grams in a
+    // cycle); doc 3 is different; doc 4 is a tiny doc (< k tokens)
+    mem.addData(
+      (1L, t(0), "alpha beta gamma delta"),
+      (2L, t(1), "alpha beta gamma delta"),
+      (3L, t(2), "one two three four"),
+      (4L, t(3), "tiny"), (5L, t(4), "tiny"), (6L, t(5), "other"))
+    val deduped = Streaming.nearDupSuppressStream(
+      mem.toDF.toDF("doc_id", "ts", "text"), "text", "ts",
+      k = 3, numHashes = 8, lateness = "1 hour")
+    val out = Streaming.runToCompletion(s, deduped.select("doc_id"),
+      "stream_spec_neardup", outputMode = "append", shufflePartitions = Some(4))
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 6L))
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     val s = spark; import s.implicits._
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
