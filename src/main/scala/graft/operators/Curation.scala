@@ -235,6 +235,32 @@ object Curation {
       .agg(avg(-log(col("cnt").cast("double") / col("tot"))).as("surprisal"))
   }
 
+  /** Bigram conditional-LM surprisal, self-fitted like
+    * [[unigramSurprisal]] but over transition probabilities: per-doc
+    * mean of -ln p(w_i | w_{i-1}) with MLE p(b|a) = c(a,b) / c(a·)
+    * where c(a·) counts `a` in bigram-context position. Docs with
+    * fewer than two tokens score 0. Two vocabulary-keyed shuffles
+    * (bigram counts, context counts) and two joins back — the same
+    * distributed shape as the unigram fit, one order higher. */
+  def bigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import graft.functions.TextAnalysis.tokens
+    val t = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+    val bi = t.select(col("doc_id"),
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => struct(element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cab = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val ca = bi.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
+    val scored = bi.join(cab, Seq("w1", "w2")).join(ca, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(avg(-log(col("cab").cast("double") / col("ca"))).as("surprisal2"))
+    t.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("surprisal2"), lit(0.0)).as("surprisal2"))
+  }
+
   // ---- Source-mix resampling -----------------------------------------
 
   /** Deterministic source-mix resampling: replicate each document

@@ -108,6 +108,13 @@ object CurationQueries {
         .select(col("doc_id"), round(col("surprisal"), 6).as("surprisal"))
     }),
 
+    // bigram transition surprisal: mean -ln p(w_i | w_{i-1}) under the
+    // corpus's own MLE bigram model — one order above q108
+    "q112_curation_bigram_surprisal" -> ((s, d) => {
+      Curation.bigramSurprisal(Tables.documents(s, d), col("doc_id"), col("text"))
+        .select(col("doc_id"), round(col("surprisal2"), 6).as("surprisal2"))
+    }),
+
     // pretraining source-mix resampling: src0 upsampled 2.5x, src1
     // downsampled to 0.25x, everything else kept at 1x — fractional
     // parts round deterministically per doc, copies are enumerated
@@ -238,6 +245,24 @@ object CurationQueries {
            ROUND(avg(-ln(CAST(cnt AS DOUBLE) / tot)), 6) AS surprisal
          FROM t JOIN c USING (tok) CROSS JOIN tot
          GROUP BY doc_id""",
+
+    "q112_curation_bigram_surprisal" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         bi AS (
+           SELECT doc_id,
+             unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+             unnest([toks[i + 1] for i in range(1, len(toks))]) AS w2
+           FROM t),
+         cab AS (SELECT w1, w2, count(*) AS cab FROM bi GROUP BY 1, 2),
+         ca AS (SELECT w1, count(*) AS ca FROM bi GROUP BY 1),
+         s AS (
+           SELECT doc_id, avg(-ln(CAST(cab AS DOUBLE) / ca)) AS sp
+           FROM bi JOIN cab USING (w1, w2) JOIN ca USING (w1)
+           GROUP BY doc_id)
+         SELECT t.doc_id, ROUND(coalesce(s.sp, 0.0), 6) + 0 AS surprisal2
+         FROM t LEFT JOIN s USING (doc_id)""",
 
     "q106_curation_source_mix" ->
       s"""WITH t AS (

@@ -185,6 +185,19 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) > out(1L)) // the rare-token doc is more surprising
   }
 
+  test("bigramSurprisal scores transitions under the corpus bigram MLE") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b a c"), (3L, "x")).toDF("id", "t")
+    val out = Curation.bigramSurprisal(df, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bigrams: (a,b)x2, (b,a)x1, (a,c)x1; contexts: a:3, b:1
+    val d1 = -math.log(2 / 3.0)
+    val d2 = (-math.log(2 / 3.0) + -math.log(1 / 1.0) + -math.log(1 / 3.0)) / 3
+    assert(math.abs(out(1L) - d1) < 1e-12)
+    assert(math.abs(out(2L) - d2) < 1e-12)
+    assert(out(3L) == 0.0) // sub-bigram doc scores zero, not null
+  }
+
   test("resampleByWeight replicates by integer part plus deterministic fraction") {
     val s = spark; import s.implicits._
     val df = (1L to 3000L).map(i =>

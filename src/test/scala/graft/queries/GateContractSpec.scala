@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Meta-gate: the driver's correctness harness only checks queries that
+  * declare an oracle; a query silently missing its `oracleSql` entry
+  * would degrade to a rows-only check without anyone deciding that. This
+  * spec forces the decision to be explicit — every query either has an
+  * oracle or is on the documented rows-only list (with the reason). */
+class GateContractSpec extends AnyFunSuite {
+
+  // rows-only by design: outputs that are not SQL-replayable
+  private val rowsOnlyByDesign = Map(
+    "q37_ml_train_score" -> "trained-model scores (12 spark.ml fits) aren't SQL-replayable",
+    "q46_multimodal_decode" -> "binary stub-codec output has no SQL equivalent",
+    "q95_dt_map_bucketize" -> "fitted per-key decision-tree splits aren't SQL-replayable")
+
+  test("every query has an oracle or a documented rows-only justification") {
+    val queries = graft.SparkEntry.queries.keySet
+    val oracles = graft.SparkEntry.oracleSql.keySet
+    val missing = queries -- oracles -- rowsOnlyByDesign.keySet
+    assert(missing.isEmpty,
+      s"queries with no oracle and no rows-only justification: $missing")
+    val stale = (oracles -- queries) ++ (rowsOnlyByDesign.keySet -- queries)
+    assert(stale.isEmpty, s"oracle/rows-only entries for nonexistent queries: $stale")
+    val both = oracles.intersect(rowsOnlyByDesign.keySet)
+    assert(both.isEmpty, s"queries marked rows-only but carrying an oracle: $both")
+  }
+
+  test("query names are unique across modules and follow the qNN_ scheme") {
+    val names = graft.SparkEntry.queries.keys.toSeq
+    assert(names.distinct.size == names.size)
+    assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")), names.filterNot(_.matches("q\\d+_[a-z0-9_]+")))
+  }
+}
