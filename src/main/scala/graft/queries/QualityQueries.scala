@@ -83,6 +83,19 @@ object QualityQueries {
       Streaming.runToCompletion(s, agg, "q44_stream", shufflePartitions = Some(8))
     }),
 
+    // sliding (overlapping) event-time windows: 1-day windows every 12
+    // hours, so each event lands in exactly two — the oracle enumerates
+    // both epoch-aligned starts per event; starts emitted as epoch
+    // seconds to sidestep timestamp-vs-timestamptz comparison
+    "q113_sliding_window_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").cast("bigint").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
     // event-time sessionization: per-user session_window with an 8-hour
     // inactivity gap (median per-user gap ~7h, so sessions really merge
     // AND really split); end = last event + gap per Spark's contract
@@ -297,6 +310,17 @@ object QualityQueries {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q113_sliding_window_agg" ->
+      """WITH w AS (
+           SELECT event_type, value,
+             unnest([(CAST(epoch(ts) AS BIGINT) // 43200) * 43200,
+                     (CAST(epoch(ts) AS BIGINT) // 43200) * 43200 - 43200])
+               AS window_start
+           FROM events)
+         SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2""",
 
     "q109_session_window" ->
       """WITH o AS (
