@@ -331,6 +331,41 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Incremental-ingest near-dup filter: drop each INCOMING document
+    * that is a near-duplicate (shared LSH band bucket + exact Jaccard >=
+    * threshold) of ANY standing-corpus document; survivors pass through
+    * untouched. This is the nightly-ingest shape — at 100 TB the corpus
+    * side's signatures/buckets would be precomputed and stored, and the
+    * join cost scales with the (small) incoming batch, not the corpus.
+    * Exact-duplicate ingestion is the degenerate case: identical text ⇒
+    * identical signature ⇒ same buckets ⇒ Jaccard 1. Incoming docs with
+    * fewer than k tokens carry no signal and always survive. */
+  def dedupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                         id: Column, text: Column, k: Int, numHashes: Int,
+                         numBands: Int, threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    def prep(df: DataFrame) = shingleFrame(df, id, text, k)
+      .select(col("doc"), col("shingles"),
+        transform(col("shingles"), s => hash60(s) % lit(MinHashP)).as("hmod"))
+      .persist()
+    def banded(sh: DataFrame) = sh.select(col("doc"),
+      explode(bandHashes(minHashSignatureFromHashes(col("hmod"), numHashes),
+        numBands, rowsPerBand)).as("bucket"))
+    val co = prep(corpus)
+    val inc = prep(incoming)
+    val candIds = banded(inc).as("a").join(banded(co).as("b"),
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("id_new"), col("b.doc").as("id_old"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val dupNew = candIds
+      .join(inc.select(col("doc").as("id_new"), col("shingles").as("sh_a")), "id_new")
+      .join(co.select(col("doc").as("id_old"), col("shingles").as("sh_b")), "id_old")
+      .where(inter / (size(col("sh_a")) + size(col("sh_b")) - inter) >= threshold)
+      .select(col("id_new")).distinct()
+    incoming.join(dupNew, id === col("id_new"), "left_anti")
+  }
+
   /** Per-token 60-bit hashes (one md5 per distinct token) — the input to
     * simHashOf. Materialize once; the 60 bit-sums then fold over plain
     * longs with no further hashing. */

@@ -54,6 +54,18 @@ object DedupQueries {
       Dedup.connectedComponentsStar(pairs)
     }),
 
+    // incremental-ingest dedup: a new batch (doc_id % 5 == 0) filtered
+    // against the standing corpus — any incoming doc near-duplicating an
+    // existing one is dropped before ingestion
+    "q114_dedup_against_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainstCorpus(
+        docs.where(col("doc_id") % 5 =!= 0), docs.where(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), k = 3, numHashes = 12, numBands = 6,
+        threshold = 0.35)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // END-TO-END near-dup removal: candidate pairs → components → drop
     // every non-keeper; documents in no pair survive untouched
     "q99_dedup_drop_neardups" -> ((s, d) => {
@@ -74,10 +86,9 @@ object DedupQueries {
                          for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
         FROM (SELECT doc_id, $TOKS AS toks FROM documents)"""
 
-  /** CTE chain producing the MinHash+LSH candidate table `cand`
-    * (id_a, id_b, sh_a, sh_b) — shared by q24 (pair list) and q86
-    * (connected components over the pairs). */
-  private val MINHASH_PAIR_CTES =
+  /** CTE chain producing the per-doc LSH band table `band`
+    * (doc_id, shingles, bucket). */
+  private val MINHASH_BAND_CTES =
     s"""sh AS ($SHINGLES),
         f AS (SELECT * FROM sh WHERE len(shingles) > 0),
         sig AS (
@@ -94,7 +105,13 @@ object DedupQueries {
             unnest([md5(CAST(b AS VARCHAR) || '|' ||
                         array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], ','))
                     for b in range(0, 6)]) AS bucket
-          FROM sig),
+          FROM sig)"""
+
+  /** [[MINHASH_BAND_CTES]] + the self-join candidate table `cand`
+    * (id_a, id_b, sh_a, sh_b) — shared by q24 (pair list) and q86/q111
+    * (connected components over the pairs). */
+  private val MINHASH_PAIR_CTES =
+    s"""$MINHASH_BAND_CTES,
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
             a.shingles AS sh_a, b.shingles AS sh_b
@@ -146,6 +163,20 @@ object DedupQueries {
             UNION
             SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
           SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n""",
+
+    "q114_dedup_against_corpus" ->
+      s"""WITH $MINHASH_BAND_CTES,
+          cn AS (SELECT * FROM band WHERE doc_id % 5 = 0),
+          co AS (SELECT * FROM band WHERE doc_id % 5 <> 0),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_new, a.shingles AS sh_a,
+              b.doc_id AS id_old, b.shingles AS sh_b
+            FROM cn a JOIN co b ON a.bucket = b.bucket),
+          dup AS (SELECT DISTINCT id_new FROM cand
+                  WHERE $PAIR_JACCARD >= 0.35)
+          SELECT doc_id, source FROM documents
+          WHERE doc_id % 5 = 0
+            AND doc_id NOT IN (SELECT id_new FROM dup)""",
 
     // identical ground truth to q86 — the star algorithm must produce
     // byte-identical clusters to label propagation

@@ -90,4 +90,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 4L)) == 0)
     assert(pairs.get((1L, 2L)).forall(_ <= 30))
   }
+
+  test("dedupAgainstCorpus drops incoming near-dups of standing docs only") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different standing content about engines")).toDF("id", "t")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+      (11L, "fresh unseen material that matches nothing at all here"),
+      (12L, "xy")) // < k tokens: no signal, must survive
+      .toDF("id", "t")
+    val kept = Dedup.dedupAgainstCorpus(corpus, incoming, col("id"), col("t"),
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+  }
 }
