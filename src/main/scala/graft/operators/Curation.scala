@@ -315,6 +315,96 @@ object Curation {
     * definition few relative to the corpus), and one groupBy doc to
     * reassemble. The span count aggregation is partial+final — no
     * hot-key skew reaches a single task's memory beyond its count. */
+  // ---- Gopher-style document-quality rules ---------------------------
+
+  /** The closed-class words Gopher's "stop word" rule checks for
+    * (Rae et al. 2021, table A1: a document must contain at least two
+    * of these to look like running English prose). */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style per-document quality signals + keep verdict
+    * (Rae et al. 2021 §A1.1; the rule family Dolma/RefinedWeb reuse):
+    * word count in [minWords, maxWords], mean word length in
+    * [minMeanLen, maxMeanLen], at least `minStopWords` stop-word hits,
+    * and at least `minAlphaRatio` of words containing an alphabetic
+    * character. Pass a MATERIALIZED token-array column (the
+    * [[Dedup.wordShingles]] CSE hazard). Entirely row-local — the whole
+    * rule battery pipelines at scan speed with no shuffle, which is
+    * what makes it the FIRST pass of a 100 TB pipeline (cut cheap,
+    * before any shuffling op sees the data).
+    *
+    * Returns named signal columns so downstream audits can see WHY a
+    * document was cut, not just that it was. */
+  def gopherQualityOf(toks: Column,
+                      minWords: Int, maxWords: Int,
+                      minMeanLen: Double, maxMeanLen: Double,
+                      minStopWords: Int, minAlphaRatio: Double,
+                      stopWords: Seq[String] = gopherStopWords): Seq[(String, Column)] = {
+    val n = size(toks)
+    val meanLen = when(n > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / n)
+      .otherwise(lit(0.0))
+    val stopArr = array(stopWords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val alphaRatio = when(n > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n)
+      .otherwise(lit(0.0))
+    val keep = n.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      nStop >= minStopWords && alphaRatio >= minAlphaRatio
+    Seq("n_words" -> n, "mean_word_len" -> meanLen,
+      "n_stop" -> nStop, "alpha_ratio" -> alphaRatio, "keep" -> keep)
+  }
+
+  // ---- DSIR importance weights ---------------------------------------
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET distribution (e.g. a curated/high-quality slice)
+    * than under the raw corpus. Weight = Σ_positions ln(p̂_t(b)/p̂_r(b))
+    * with add-one-smoothed bucket probabilities over `dims` buckets;
+    * features are unigrams plus space-joined bigrams, bucketed by
+    * [[graft.functions.TextAnalysis.hash60]] so the differential oracle
+    * replays every bucket assignment bit-identically.
+    *
+    * Single-action plan, [[graft.operators.TextVectorizers.hashedTfIdf]]
+    * discipline: the exploded feature frame feeds both the fitted
+    * bucket-stats branch and the per-doc scoring branch, so it is
+    * persisted for the query's lifetime (caller releases via
+    * `clearCache`/unpersist). Both model tables are tiny by
+    * construction — `dims` rows of counts and a 1-row total — and
+    * broadcast; the only full shuffles are the bucket-count aggregation
+    * (map-side partials make it O(dims) per task) and the final per-doc
+    * sum. Nothing here grows with corpus size except the scan. */
+  def dsirWeights(df: DataFrame, id: Column, text: Column,
+                  isTarget: Column, dims: Int): DataFrame = {
+    import graft.functions.TextAnalysis.tokens
+    require(dims > 0, s"dims must be positive: $dims")
+    val t = df.select(id.as("doc_id"), isTarget.as("__tgt"), tokens(text).as("__toks"))
+    val uni = t.select(col("doc_id"), col("__tgt"), explode(col("__toks")).as("f"))
+    val bi = t.select(col("doc_id"), col("__tgt"),
+      explode(when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(" ", element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1))))).as("f"))
+    val feats = uni.unionByName(bi)
+      .select(col("doc_id"), col("__tgt"),
+        pmod(hash60(col("f")), lit(dims.toLong)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = feats.groupBy(col("bucket")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val tots = stats.agg(sum(col("c_raw")).as("tot_raw"), sum(col("c_tgt")).as("tot_tgt"))
+    feats.join(broadcast(stats), "bucket").crossJoin(broadcast(tots))
+      .select(col("doc_id"),
+        log(((col("c_tgt") + 1.0) / (col("tot_tgt") + dims)) /
+            ((col("c_raw") + 1.0) / (col("tot_raw") + dims))).as("__lr"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__lr")).as("dsir_weight"))
+  }
+
   def dropBoilerplateSpans(df: DataFrame, id: Column, text: Column,
                            k: Int, maxDocs: Long): DataFrame = {
     import graft.functions.TextAnalysis.tokens

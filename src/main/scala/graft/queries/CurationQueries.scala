@@ -125,6 +125,30 @@ object CurationQueries {
         Map("src0" -> 2.5, "src1" -> 0.25))
     }),
 
+    // Gopher quality-rule battery: per-doc signal columns + keep
+    // verdict; thresholds chosen to make every rule discriminate on
+    // this corpus (word counts span 10..99, mean lengths 3.7..5.3,
+    // stop hits 0..8)
+    "q115_curation_gopher_quality" -> ((s, d) => {
+      val sig = Curation.gopherQualityOf(col("__toks"),
+        minWords = 25, maxWords = 80, minMeanLen = 4.0, maxMeanLen = 10.0,
+        minStopWords = 1, minAlphaRatio = 0.8)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id") +: sig.map { case (n, c) =>
+          (if (n == "mean_word_len" || n == "alpha_ratio") round(c, 6) else c).as(n)
+        }: _*)
+    }),
+
+    // DSIR importance weights: src0 documents are the "target"
+    // distribution; every doc scored by its hashed-ngram likelihood
+    // ratio against the raw corpus
+    "q116_curation_dsir_weights" -> ((s, d) => {
+      Curation.dsirWeights(Tables.documents(s, d), col("doc_id"),
+          col("text"), col("source") === "src0", dims = 256)
+        .select(col("doc_id"), round(col("dsir_weight"), 6).as("dsir_weight"))
+    }),
+
     // corpus-wide duplicate-span removal (paragraph dedup over fixed
     // 3-token spans): spans present in more than 8 distinct docs are
     // boilerplate and get cut; cleaned text reassembles in order
@@ -278,6 +302,54 @@ object CurationQueries {
            FROM t)
          SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS INT) AS copy
          FROM c WHERE copies > 0""",
+
+    "q115_curation_gopher_quality" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(toks) AS n,
+             CASE WHEN len(toks) > 0
+               THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS ml,
+             len(list_filter(toks, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'], x))) AS ns,
+             CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS ar
+           FROM t)
+         SELECT doc_id, CAST(n AS INT) AS n_words,
+           ROUND(ml, 6) + 0 AS mean_word_len,
+           CAST(ns AS INT) AS n_stop,
+           ROUND(ar, 6) + 0 AS alpha_ratio,
+           (n BETWEEN 25 AND 80 AND ml BETWEEN 4.0 AND 10.0
+            AND ns >= 1 AND ar >= 0.8) AS keep
+         FROM m""",
+
+    "q116_curation_dsir_weights" ->
+      """WITH t AS (
+           SELECT doc_id, source = 'src0' AS tgt,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         uni AS (SELECT doc_id, tgt, unnest(toks) AS f FROM t),
+         bi AS (
+           SELECT doc_id, tgt,
+             unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS f
+           FROM t),
+         feats AS (
+           SELECT doc_id, tgt,
+             CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 256 AS bucket
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         stats AS (
+           SELECT bucket, count(*) AS c_raw,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+           FROM feats GROUP BY bucket),
+         tots AS (SELECT sum(c_raw) AS tot_raw, sum(c_tgt) AS tot_tgt FROM stats)
+         SELECT doc_id,
+           ROUND(sum(ln(((c_tgt + 1.0) / (tot_tgt + 256)) /
+                        ((c_raw + 1.0) / (tot_raw + 256)))), 6) + 0 AS dsir_weight
+         FROM feats JOIN stats USING (bucket) CROSS JOIN tots
+         GROUP BY doc_id""",
 
     "q104_curation_drop_spans" ->
       """WITH t AS (

@@ -226,6 +226,44 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
 
+  test("gopherQualityOf computes each rule signal and the combined verdict") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over that"), // passes all at loose bounds
+      (2L, "no stopword tokens present here"),     // fails stop-word rule
+      (3L, "a b"),                                 // fails word count + mean len
+      (4L, "1 2 3 4 5 the")                        // fails alpha ratio
+    ).toDF("id", "t")
+      .select(col("id"), graft.functions.TextAnalysis.tokens(col("t")).as("toks"))
+    val sig = Curation.gopherQualityOf(col("toks"),
+      minWords = 3, maxWords = 50, minMeanLen = 3.0, maxMeanLen = 10.0,
+      minStopWords = 1, minAlphaRatio = 0.8)
+    val out = df.select(col("id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(1L)._1 == 7 && out(1L)._3 == 2 && out(1L)._5)
+    assert(math.abs(out(1L)._2 - 29.0 / 7) < 1e-9)
+    assert(out(2L)._3 == 0 && !out(2L)._5)
+    assert(out(3L)._1 == 2 && !out(3L)._5)
+    assert(math.abs(out(4L)._4 - 1.0 / 6) < 1e-9 && !out(4L)._5)
+  }
+
+  test("dsirWeights scores target-typical docs above raw-typical docs") {
+    val s = spark; import s.implicits._
+    // target slice speaks "alpha beta"; raw background speaks "noise"
+    val df = ((1L to 20L).map(i => (i, "alpha beta alpha beta", true)) ++
+      (21L to 60L).map(i => (i, "noise chatter noise chatter", false)) ++
+      Seq((100L, "alpha beta alpha", false), (101L, "noise chatter noise", false)))
+      .toDF("id", "t", "tgt")
+    val out = Curation.dsirWeights(df, col("id"), col("t"), col("tgt"), dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 62)
+    assert(out(100L) > 0, s"target-like doc should score positive: ${out(100L)}")
+    assert(out(101L) < 0, s"raw-like doc should score negative: ${out(101L)}")
+    assert(out(100L) > out(101L))
+    spark.catalog.clearCache()
+  }
+
   test("dropBoilerplateSpans keeps fully-boilerplate docs as empty strings") {
     val s = spark; import s.implicits._
     val df = (1L to 5L).map(i => (i, "same same same")).toDF("id", "t")
