@@ -122,6 +122,32 @@ object TextQueries {
         TextFunctions.urlProtocol(col("url")).as("url_proto"),
         TextFunctions.isValidUrl(col("url")).as("url_ok"),
         TextFunctions.isSubstring(lit("Customer"), col("url")).as("has_customer"))
+    }),
+
+    // BPE tokenizer training, iteration-0 statistics: the weighted
+    // adjacent-symbol pair counts the first merge maximizes (top-20,
+    // deterministic tiebreak) — the distributed statistic the whole
+    // fit loop reuses
+    "q117_bpe_pair_counts" -> ((s, d) => {
+      import graft.operators.Tokenizer
+      Tokenizer.pairCounts(
+          Tokenizer.wordFrequencies(Tables.documents(s, d), col("text")))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
+    // end-to-end BPE: fit 12 merges on the corpus's distinct-word
+    // table, then tokenize every document with the fitted rules
+    // (rows-only: the data-dependent merge list isn't SQL-replayable)
+    "q118_bpe_tokenize" -> ((s, d) => {
+      import graft.operators.Tokenizer
+      val docs = Tables.documents(s, d)
+      val merges = Tokenizer.fitBpeMerges(docs, col("text"), numMerges = 12)
+      docs.select(col("doc_id"),
+          Tokenizer.bpeTokenize(col("text"), merges).as("__bpe"))
+        .select(col("doc_id"),
+          size(col("__bpe")).as("n_bpe"),
+          array_join(slice(col("__bpe"), 1, 8), " ").as("head_toks"))
     })
   )
 
@@ -240,6 +266,24 @@ object TextQueries {
            CASE WHEN c_custkey % 7 <> 0 THEN 'https' END AS url_proto,
            c_custkey % 7 <> 0 AS url_ok,
            contains(url, 'Customer') AS has_customer
-         FROM c"""
+         FROM c""",
+
+    "q117_bpe_pair_counts" ->
+      """WITH w AS (
+           SELECT w, count(*) AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+             FROM documents)
+           WHERE len(w) > 0 GROUP BY w),
+         syms AS (
+           SELECT list_append([w[i] for i in range(1, len(w) + 1)], '</w>') AS s, cnt
+           FROM w),
+         p AS (
+           SELECT unnest([s[i] for i in range(1, len(s))]) AS a,
+                  unnest([s[i + 1] for i in range(1, len(s))]) AS b,
+                  cnt
+           FROM syms)
+         SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n
+         FROM p GROUP BY a, b
+         ORDER BY n DESC, a, b LIMIT 20"""
   )
 }
