@@ -1,0 +1,61 @@
+package graft.aggregators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded top-k-per-group as a typed [[Aggregator]] — the scale-correct
+  * replacement for `row_number().over(Window.partitionBy(key))` when only
+  * the first k rows per group survive.
+  *
+  * The window form shuffles EVERY scored row to its group's reducer and
+  * sorts the whole group before discarding all but k rows; at ANN scale
+  * (|corpus| x |queries| scored pairs) that makes the shuffle the
+  * dominant cost. This aggregator runs under ObjectHashAggregate with a
+  * map-side partial pass, so each mapper forwards at most ~2k candidates
+  * per group it saw: shuffle volume drops from O(rows) to
+  * O(mappers x groups x k), independent of corpus size — the property
+  * that keeps a 100 TB brute-force/bucketed ANN scan viable.
+  *
+  * Determinism: the comparator is the total order (score desc|asc, id
+  * asc) — identical to the `ROW_NUMBER() OVER (ORDER BY score, id)`
+  * ordering the DuckDB oracle replays, so swapping the window for the
+  * aggregator is hash-invisible.
+  */
+object TopK {
+
+  /** One scored candidate. */
+  case class Hit(id: Long, score: Double)
+
+  /** Keeps at most 2k hits between compactions (amortized O(log k) per
+    * row); `finish` emits exactly the k best in rank order. */
+  class TopKAggregator(k: Int, descending: Boolean)
+      extends Aggregator[Hit, Seq[Hit], Seq[Hit]] {
+    require(k >= 1, s"k must be >= 1: $k")
+    @transient private lazy val ord: Ordering[Hit] =
+      if (descending) Ordering.by(h => (-h.score, h.id))
+      else Ordering.by(h => (h.score, h.id))
+    private def cap(b: Seq[Hit]): Seq[Hit] =
+      if (b.length <= 2 * k) b else b.sorted(ord).take(k)
+    def zero: Seq[Hit] = Vector.empty
+    def reduce(b: Seq[Hit], a: Hit): Seq[Hit] = cap(b :+ a)
+    def merge(x: Seq[Hit], y: Seq[Hit]): Seq[Hit] = cap(x ++ y)
+    def finish(b: Seq[Hit]): Seq[Hit] = b.sorted(ord).take(k)
+    def bufferEncoder: Encoder[Seq[Hit]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Hit]] = ExpressionEncoder()
+  }
+
+  /** Top-k rows of `scored` per `key`, ranked by `score` (desc by
+    * default, ties to the smaller `id`), with a 1-based `rank` column —
+    * drop-in for the window-rank idiom, same rows, same order. */
+  def topKPerKey(scored: DataFrame, key: String, id: String, score: String,
+                 k: Int, descending: Boolean = true): DataFrame = {
+    val agg = udaf(new TopKAggregator(k, descending), ExpressionEncoder[Hit]())
+    scored.groupBy(col(key))
+      .agg(agg(col(id), col(score)).as("__top"))
+      .select(col(key), posexplode(col("__top")).as(Seq("__i", "__h")))
+      .select(col(key), col("__h.id").as(id), col("__h.score").as(score),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis.hash60
 
@@ -13,8 +12,8 @@ import graft.functions.TextAnalysis.hash60
   * oracle-replayable.
   *
   * Scale design (100 TB): brute-force top-k is the per-query baseline
-  * (one broadcast of the query set, one pass over the corpus, per-
-  * partition top-k via window); the SRP variant turns near-dup search
+  * (one broadcast of the query set, one pass over the corpus, bounded
+  * top-k aggregation — see [[graft.aggregators.TopK]]); the SRP variant turns near-dup search
   * into a bucket-keyed shuffle like the MinHash pipeline — no all-pairs
   * product anywhere.
   */
@@ -67,12 +66,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosinePreNormed(dotFast(col("q_emb"), col("c_emb")),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    scored.withColumn("rank",
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+    rankCosTopK(scored, k)
   }
+
+  /** Per-query top-k by (cos desc, id asc) through the bounded
+    * [[graft.aggregators.TopK]] aggregator: map-side partials forward at
+    * most ~2k candidates per (mapper, query) instead of shuffling and
+    * sorting every scored pair under a window. */
+  private def rankCosTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.aggregators.TopK.topKPerKey(scored, "query_id", "neighbor_id", "cos", k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+
+  /** Per-query top-k by ascending ADC distance, same aggregator. */
+  private def rankDistTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.aggregators.TopK.topKPerKey(scored, "query_id", "neighbor_id", "d", k,
+        descending = false)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("d"), 6).as("approx_dist"), col("rank"))
 
   /** All pairs with cosine >= threshold (near-duplicate detection),
     * exact, computed as a distributed block-matrix join.
@@ -268,11 +279,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosinePreNormed(dotFast(col("q_emb"), col("c_emb")),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    scored.withColumn("rank",
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+    rankCosTopK(scored, k)
   }
 
   /** IVF (inverted-file) coarse quantization — the other classic ANN
@@ -372,11 +379,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosinePreNormed(dotFast(col("q_emb"), col("c_emb")),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    scored.withColumn("rank",
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+    rankCosTopK(scored, k)
   }
 
   /** Product quantization (PQ) — the memory-compression scale path for
@@ -449,12 +452,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         pqAdcUdf(col("codes"), col("luts")).as("d"))
-    scored.withColumn("rank",
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("d").asc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("d"), 6).as("approx_dist"), col("rank"))
+    rankDistTopK(scored, k)
   }
 
   /** IVF-PQ — the composition FAISS made canonical for billion-scale
@@ -482,12 +480,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         pqAdcUdf(col("codes"), col("luts")).as("d"))
-    scored.withColumn("rank",
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("d").asc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("d"), 6).as("approx_dist"), col("rank"))
+    rankDistTopK(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates share the query's SRP bucket; exact
@@ -508,11 +501,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosinePreNormed(dotFast(col("q_emb"), col("c_emb")),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    scored.withColumn("rank",
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+    rankCosTopK(scored, k)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, public arXiv
