@@ -71,6 +71,20 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Per-group document cap (the Common-Crawl-style per-domain cap: no
+    * single domain/source may contribute more than `k` documents):
+    * keeps each group's `k` best rows by (quality desc, id asc) and
+    * tags them with their within-group rank. Runs on the bounded
+    * [[graft.aggregators.TopK]] aggregator, NOT a window — each mapper
+    * forwards at most ~2k candidates per group it saw, so a hot domain
+    * with millions of pages costs the shuffle k rows, not its full
+    * page count. Emits (group, id, quality, rank). */
+  def capPerGroup(df: DataFrame, group: Column, id: Column, quality: Column,
+                  k: Int): DataFrame =
+    graft.aggregators.TopK.topKPerKey(
+      df.select(group.as("group"), id.as("id"), quality.cast("double").as("quality")),
+      "group", "id", "quality", k)
+
   /** Intra-document repetition ratio (Gopher-style rep filter): the
     * fraction of word k-gram POSITIONS whose shingle already occurred —
     * 1 - distinct/total, 0 for docs with fewer than k tokens. Pass a

@@ -149,6 +149,16 @@ object CurationQueries {
         .select(col("doc_id"), round(col("dsir_weight"), 6).as("dsir_weight"))
     }),
 
+    // per-domain cap: no source contributes more than its 10 best docs
+    // (quality = n_chars here; ties to the smaller doc_id) — runs on
+    // the bounded TopK aggregator, not a window
+    "q119_curation_domain_cap" -> ((s, d) => {
+      Curation.capPerGroup(Tables.documents(s, d), col("source"),
+          col("doc_id"), col("n_chars"), k = 10)
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("quality").cast("long").as("n_chars"), col("rank"))
+    }),
+
     // corpus-wide duplicate-span removal (paragraph dedup over fixed
     // 3-token spans): spans present in more than 8 distinct docs are
     // boilerplate and get cut; cleaned text reassembles in order
@@ -165,6 +175,14 @@ object CurationQueries {
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q119_curation_domain_cap" ->
+      """WITH r AS (
+           SELECT source, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+           FROM documents)
+         SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 10""",
+
     "q97_curation_sample_split" ->
       s"""SELECT doc_id, ${bucket("split")} AS bucket,
             CASE WHEN ${bucket("split")} < 800000 THEN 'train'

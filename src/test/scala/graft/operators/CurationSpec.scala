@@ -264,6 +264,17 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("capPerGroup keeps the k best per group with (quality desc, id asc) ties") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)).toDF("src", "id", "q")
+    val out = Curation.capPerGroup(df, col("src"), col("id"), col("q"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    // group a: ties at 9.0 -> ids 2 then 3; group b: its single row
+    assert(out == Set(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+  }
+
   test("dropBoilerplateSpans keeps fully-boilerplate docs as empty strings") {
     val s = spark; import s.implicits._
     val df = (1L to 5L).map(i => (i, "same same same")).toDF("id", "t")
