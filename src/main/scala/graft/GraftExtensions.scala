@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.ColumnSql.{columnOf, eagerExpressionOf}
+
+/** `SparkSessionExtensions` entry point: exposes graft's native and
+  * composed expressions to plain-SQL users, so a `spark.sql(...)` /
+  * Thrift / notebook client gets the same hot-path functions the
+  * DataFrame API uses — activate with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (applied by
+  * [[GraftSession]] automatically) or retrofit a live session with
+  * [[GraftExtensions.install]].
+  *
+  * Functions: `graft_dot(a, b)` (the codegen'd Catalyst
+  * [[graft.expressions.DotProduct]]), `graft_cosine(a, b)` (dot over
+  * hoisted norms, accepts float or double arrays), and
+  * `graft_hash60(s)` (the md5-derived 60-bit hash every deterministic
+  * sampling/LSH decision in the engine keys on — exposed so external
+  * audits can replay those decisions from SQL).
+  *
+  * This is deliberately the whole extension surface: the engine's
+  * semantics are expressed through built-in operators that Catalyst
+  * already optimizes, so there is no custom LogicalPlan/Strategy to
+  * inject — a native scalar `Expression` on the similarity hot path is
+  * the one place built-ins genuinely couldn't deliver (UDF
+  * serialization / interpreted higher-order functions), and function
+  * injection is its canonical delivery vehicle.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def checkArity(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.length}")
+
+  /** (identifier, info, builder) triples in Spark's FunctionRegistry
+    * shape — shared by the extension path and [[install]]. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[graft.expressions.DotProduct].getName, "graft_dot"),
+        args => {
+          checkArity("graft_dot", 2, args)
+          graft.expressions.DotProduct(args(0), args(1))
+        }),
+      (FunctionIdentifier("graft_cosine"),
+        new ExpressionInfo("graft.operators.Similarity", "graft_cosine"),
+        args => {
+          checkArity("graft_cosine", 2, args)
+          import graft.operators.Similarity.{cosine, toDouble}
+          eagerExpressionOf(cosine(toDouble(columnOf(args(0))), toDouble(columnOf(args(1)))))
+        }),
+      (FunctionIdentifier("graft_hash60"),
+        new ExpressionInfo("graft.functions.TextAnalysis", "graft_hash60"),
+        args => {
+          checkArity("graft_hash60", 1, args)
+          eagerExpressionOf(graft.functions.TextAnalysis.hash60(columnOf(args.head)))
+        }))
+
+  /** Register on an already-built session (the `spark.sql.extensions`
+    * path only applies while a session is being constructed). */
+  def install(spark: SparkSession): Unit =
+    registrations.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

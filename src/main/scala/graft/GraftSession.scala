@@ -15,6 +15,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // expose graft's native/composed expressions to plain SQL
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // align null-on-error arithmetic with the DuckDB oracle (x/0 -> NULL)
       .config("spark.sql.ansi.enabled", "false")
       // driver testdata events.parquet uses TIMESTAMP(NANOS); Spark 4 only

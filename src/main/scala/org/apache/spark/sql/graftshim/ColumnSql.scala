@@ -20,4 +20,10 @@ object ColumnSql {
   /** Column → Catalyst Expression (both bridges are private[sql]). */
   def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Column → Catalyst Expression, converted EAGERLY (the lazy wrapper
+    * above defers conversion to the analyzer; FunctionRegistry builders
+    * need a concrete expression tree at registration-call time). */
+  def eagerExpressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnNodeToExpressionConverter(c.node)
 }
