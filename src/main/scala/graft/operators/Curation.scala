@@ -392,20 +392,32 @@ object Curation {
     * broadcast; the only full shuffles are the bucket-count aggregation
     * (map-side partials make it O(dims) per task) and the final per-doc
     * sum. Nothing here grows with corpus size except the scan. */
-  def dsirWeights(df: DataFrame, id: Column, text: Column,
-                  isTarget: Column, dims: Int): DataFrame = {
+  /** Hashed unigram+bigram feature positions per doc: one row per
+    * (doc, n-gram occurrence) with the n-gram's md5 bucket in
+    * [0, dims) — the shared feature extraction under [[dsirWeights]]
+    * and [[qualityClassifierScores]]. `extra` columns pass through
+    * row-locally (e.g. a label). */
+  private def hashedNgramBuckets(df: DataFrame, id: Column, text: Column,
+                                 dims: Int, extra: Seq[(String, Column)]): DataFrame = {
     import graft.functions.TextAnalysis.tokens
     require(dims > 0, s"dims must be positive: $dims")
-    val t = df.select(id.as("doc_id"), isTarget.as("__tgt"), tokens(text).as("__toks"))
-    val uni = t.select(col("doc_id"), col("__tgt"), explode(col("__toks")).as("f"))
-    val bi = t.select(col("doc_id"), col("__tgt"),
+    val passNames = extra.map(e => col(e._1))
+    val t = df.select(id.as("doc_id") +: extra.map { case (n, c) => c.as(n) } :+
+      tokens(text).as("__toks"): _*)
+    val uni = t.select(col("doc_id") +: passNames :+ explode(col("__toks")).as("f"): _*)
+    val bi = t.select(col("doc_id") +: passNames :+
       explode(when(size(col("__toks")) >= 2,
         transform(sequence(lit(1), size(col("__toks")) - 1),
           i => concat_ws(" ", element_at(col("__toks"), i),
-            element_at(col("__toks"), i + 1))))).as("f"))
-    val feats = uni.unionByName(bi)
-      .select(col("doc_id"), col("__tgt"),
-        pmod(hash60(col("f")), lit(dims.toLong)).as("bucket"))
+            element_at(col("__toks"), i + 1))))).as("f"): _*)
+    uni.unionByName(bi)
+      .select(col("doc_id") +: passNames :+
+        pmod(hash60(col("f")), lit(dims.toLong)).as("bucket"): _*)
+  }
+
+  def dsirWeights(df: DataFrame, id: Column, text: Column,
+                  isTarget: Column, dims: Int): DataFrame = {
+    val feats = hashedNgramBuckets(df, id, text, dims, Seq("__tgt" -> isTarget))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = feats.groupBy(col("bucket")).agg(
       count(lit(1)).as("c_raw"),
@@ -417,6 +429,50 @@ object Curation {
             ((col("c_raw") + 1.0) / (col("tot_raw") + dims))).as("__lr"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__lr")).as("dsir_weight"))
+  }
+
+  /** Model-based quality filtering (the fasttext-style classifier step
+    * of the GPT-3/LLaMA data pipelines, Brown et al. 2020 §A /
+    * Touvron et al. 2023): fit a logistic regression on hashed
+    * unigram+bigram counts with a "looks like the curated slice" label,
+    * then score every document with the positive-class probability.
+    * DSIR ([[dsirWeights]]) is the closed-form importance-weight cousin;
+    * this is the discriminative variant production pipelines train.
+    *
+    * Scale: features are a bounded `dims`-wide hashed space (no vocab
+    * fit, no driver state), assembled sparse then densified per doc —
+    * O(dims) per row; the LR fit is spark.ml's distributed L-BFGS.
+    * The feature frame feeds the fit's iterations and the final scoring
+    * pass, so it is persisted — caller releases via unpersist/
+    * `clearCache` after the scores materialize (house contract, see
+    * [[graft.operators.Dedup]]). Model-based output: gate with specs /
+    * rows-only, not a SQL oracle. */
+  def qualityClassifierScores(df: DataFrame, id: Column, text: Column,
+                              isTarget: Column, dims: Int = 512,
+                              regParam: Double = 0.01, maxIter: Int = 50): DataFrame = {
+    val tf = hashedNgramBuckets(df, id, text, dims, Nil)
+      .select(col("doc_id"), col("bucket").cast("int").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val dense = tf.groupBy(col("doc_id"))
+      .agg(map_from_arrays(collect_list(col("bucket")), collect_list(col("cnt"))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          b => coalesce(element_at(col("m"), b), lit(0L)).cast("double")).as("f"))
+    val prepared = df.select(id.as("doc_id"), isTarget.cast("double").as("__label"))
+      .join(dense, Seq("doc_id"), "left")
+      // docs tokenizing to nothing get the zero vector, not a dropped row
+      .withColumn("f", coalesce(col("f"), array_repeat(lit(0.0), dims)))
+      .select(col("doc_id"), col("__label"),
+        org.apache.spark.ml.functions.array_to_vector(col("f")).as("__feat"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("__feat").setLabelCol("__label")
+      .setRegParam(regParam).setMaxIter(maxIter)
+      .fit(prepared)
+    model.transform(prepared)
+      .select(col("doc_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1).as("quality_prob"))
   }
 
   def dropBoilerplateSpans(df: DataFrame, id: Column, text: Column,

@@ -149,6 +149,15 @@ object CurationQueries {
         .select(col("doc_id"), round(col("dsir_weight"), 6).as("dsir_weight"))
     }),
 
+    // model-based quality filter: LR over hashed n-grams, trained with
+    // "is src0" as the curated-slice label; rows-only (trained-model
+    // probabilities aren't SQL-replayable)
+    "q120_curation_quality_classifier" -> ((s, d) => {
+      Curation.qualityClassifierScores(Tables.documents(s, d), col("doc_id"),
+          col("text"), col("source") === "src0", dims = 256)
+        .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
+    }),
+
     // per-domain cap: no source contributes more than its 10 best docs
     // (quality = n_chars here; ties to the smaller doc_id) — runs on
     // the bounded TopK aggregator, not a window

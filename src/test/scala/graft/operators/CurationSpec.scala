@@ -264,6 +264,24 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("qualityClassifierScores separates target-like from raw-like docs") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 30L).map(i => (i, "alpha beta gamma delta", true)) ++
+      (31L to 90L).map(i => (i, "noise chatter static hum", false)) ++
+      Seq((100L, "alpha beta gamma delta", false),   // target-like holdout
+          (101L, "noise chatter static hum", false), // raw-like holdout
+          (102L, "", false)))                  // tokenizes to nothing
+      .toDF("id", "t", "tgt")
+    val out = Curation.qualityClassifierScores(df, col("id"), col("t"),
+        col("tgt"), dims = 64, maxIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 93)
+    assert(out(100L) > 0.8, s"target-like doc should score high: ${out(100L)}")
+    assert(out(101L) < 0.2, s"raw-like doc should score low: ${out(101L)}")
+    assert(out(102L) >= 0.0 && out(102L) <= 1.0) // zero vector scores, not drops
+    spark.catalog.clearCache()
+  }
+
   test("capPerGroup keeps the k best per group with (quality desc, id asc) ties") {
     val s = spark; import s.implicits._
     val df = Seq(
