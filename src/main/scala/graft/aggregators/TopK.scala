@@ -58,4 +58,35 @@ object TopK {
       .select(col(key), col("__h.id").as(id), col("__h.score").as(score),
         (col("__i") + 1).cast("int").as("rank"))
   }
+
+  /** String-id variant (n-grams, tokens, domains): same contract with
+    * ties broken by the id's binary order — matching Spark's and
+    * DuckDB's ORDER BY on ASCII strings. */
+  case class SHit(id: String, score: Double)
+
+  class TopKStrAggregator(k: Int, descending: Boolean)
+      extends Aggregator[SHit, Seq[SHit], Seq[SHit]] {
+    require(k >= 1, s"k must be >= 1: $k")
+    @transient private lazy val ord: Ordering[SHit] =
+      if (descending) Ordering.by((h: SHit) => (-h.score, h.id))
+      else Ordering.by((h: SHit) => (h.score, h.id))
+    private def cap(b: Seq[SHit]): Seq[SHit] =
+      if (b.length <= 2 * k) b else b.sorted(ord).take(k)
+    def zero: Seq[SHit] = Vector.empty
+    def reduce(b: Seq[SHit], a: SHit): Seq[SHit] = cap(b :+ a)
+    def merge(x: Seq[SHit], y: Seq[SHit]): Seq[SHit] = cap(x ++ y)
+    def finish(b: Seq[SHit]): Seq[SHit] = b.sorted(ord).take(k)
+    def bufferEncoder: Encoder[Seq[SHit]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[SHit]] = ExpressionEncoder()
+  }
+
+  def topKPerKeyStr(scored: DataFrame, key: String, id: String, score: String,
+                    k: Int, descending: Boolean = true): DataFrame = {
+    val agg = udaf(new TopKStrAggregator(k, descending), ExpressionEncoder[SHit]())
+    scored.groupBy(col(key))
+      .agg(agg(col(id), col(score)).as("__top"))
+      .select(col(key), posexplode(col("__top")).as(Seq("__i", "__h")))
+      .select(col(key), col("__h.id").as(id), col("__h.score").as(score),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
 }

@@ -57,17 +57,23 @@ object TextQueries {
 
     // boilerplate mining: top-5 word bigrams per language by document
     // frequency (per-doc distinct shingles, so count = doc frequency) —
-    // the corpus-statistics pass that seeds stop-phrase lists
+    // the corpus-statistics pass that seeds stop-phrase lists. The final
+    // per-language rank runs on the bounded TopK aggregator, NOT a
+    // window: a window here partitions by language (|langs| tasks, each
+    // full-sorting every distinct ngram of its language — millions at
+    // corpus scale); the aggregator forwards ~2k candidates per mapper
     "q110_text_top_ngrams" -> ((s, d) => {
       val sh = Tables.documents(s, d)
         .select(col("lang"), tokens(col("text")).as("__toks"))
         .select(col("lang"),
           explode(graft.operators.Dedup.wordShinglesOf(col("__toks"), 2)).as("ngram"))
-      sh.groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("doc_freq"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-            .orderBy(col("doc_freq").desc, col("ngram").asc)))
-        .where(col("rank") <= 5)
+      val counts = sh.groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("doc_freq"))
+      graft.aggregators.TopK.topKPerKeyStr(
+          counts.select(col("lang"), col("ngram"),
+            col("doc_freq").cast("double").as("__score")),
+          "lang", "ngram", "__score", k = 5)
+        .select(col("lang"), col("ngram"),
+          col("__score").cast("bigint").as("doc_freq"), col("rank"))
     }),
 
     // OPCollectionTransformer lift + TextListNullTransformer

@@ -44,6 +44,18 @@ class TopKSpec extends SparkSpec {
     assert(ranks == (1 to 5))
   }
 
+  test("topKPerKeyStr equals window row_number with string-id tie-break") {
+    val strScored = scored.select(col("query_id"),
+      concat(lit("t"), lpad(col("neighbor_id") % 100, 3, "0")).as("tok"), col("cos"))
+    val agg = TopK.topKPerKeyStr(strScored, "query_id", "tok", "cos", 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    val win = strScored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("tok"))))
+      .where(col("rank") <= 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(agg == win)
+  }
+
   test("plan: partial+final ObjectHashAggregate, no Window, no full sort before rank") {
     val p = TopK.topKPerKey(scored, "query_id", "neighbor_id", "cos", 10)
       .queryExecution.executedPlan.toString
