@@ -83,6 +83,22 @@ object QualityQueries {
       Streaming.runToCompletion(s, agg, "q44_stream", shufflePartitions = Some(8))
     }),
 
+    // stream-static enrichment: events stream broadcast-joined to the
+    // customer dim, then watermark + tumbling window per market segment
+    "q121_stream_static_enrich" -> ((s, d) => {
+      val enriched = Streaming.enrichStream(
+        Streaming.eventStream(s, d),
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      val agg = enriched.withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("c_mktsegment"),
+          col("n_events"), col("sum_value"))
+      Streaming.runToCompletion(s, agg, "q121_stream", shufflePartitions = Some(8))
+    }),
+
     // sliding (overlapping) event-time windows: 1-day windows every 12
     // hours, so each event lands in exactly two — the oracle enumerates
     // both epoch-aligned starts per event; starts emitted as epoch
@@ -310,6 +326,13 @@ object QualityQueries {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q121_stream_static_enrich" ->
+      """SELECT date_trunc('day', e.ts) AS window_start, c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2""",
 
     "q113_sliding_window_agg" ->
       """WITH w AS (

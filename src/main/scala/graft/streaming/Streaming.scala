@@ -67,6 +67,17 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream before aggregating. Stateless (the static side is re-read
+    * per micro-batch, no state store involved) and broadcast by
+    * construction — at 100 TB/day of events the per-batch cost is the
+    * dim broadcast, never a stream shuffle; for dims too big to
+    * broadcast, pre-bucket the dim on the join key instead
+    * (sources/Bucketing) so the stream side alone shuffles. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   joinExpr: org.apache.spark.sql.Column): DataFrame =
+    stream.join(broadcast(dim), joinExpr)
+
   /** Run a streaming aggregation to completion over the (finite) file
     * source and return the result as a batch DataFrame — Trigger
     * .AvailableNow processes everything then stops, giving batch
