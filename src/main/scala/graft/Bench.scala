@@ -23,18 +23,33 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // warm-up pass (not reported); cache cleared per query so leaked
-    // persist() blocks from 64 queries don't build GC pressure
+    // Between-query cleanup. clearCache alone is not enough on a
+    // 121-query run: localCheckpoint blocks (BPE fit), ML broadcast
+    // variables, and streaming state-store maps are reclaimed by the
+    // ContextCleaner only when a GC actually notices the dropped
+    // references — and a 48g heap goes many queries between GCs, so
+    // dozens of queries' worth of dead blocks pile onto storage memory
+    // and later queries pay their GC bill (measured: q37 8.1 s inside
+    // the full run vs 2.5 s standalone). Explicit System.gc() drives
+    // reference processing the way a resident driver's
+    // spark.cleaner.periodicGC.interval does; it runs OUTSIDE the
+    // timed region.
+    def deepClean(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    // warm-up pass (not reported)
     names.foreach { n => runOne(n); spark.catalog.clearCache() }
+    deepClean()
     // best-of-2 steady-state: single-JVM local mode timing is noisy
     // (GC, VM scheduling); min is the least-biased steady-state proxy.
-    // Cache clears BETWEEN query groups (bounded memory) but not within
+    // Deep clean BETWEEN query groups (bounded memory) but not within
     // a pair — identical-plan persist() reuse across the two runs is the
     // steady-state behavior a resident pipeline would see.
     val results = names.map { n =>
-      spark.catalog.clearCache()
       val a = runOne(n); val b = runOne(n)
-      spark.catalog.clearCache()
+      deepClean()
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

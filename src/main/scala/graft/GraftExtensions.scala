@@ -62,6 +62,12 @@ object GraftExtensions {
         args => {
           checkArity("graft_hash60", 1, args)
           eagerExpressionOf(graft.functions.TextAnalysis.hash60(columnOf(args.head)))
+        }),
+      (FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[graft.expressions.UnicodeNormalize].getName, "graft_nfc"),
+        args => {
+          checkArity("graft_nfc", 1, args)
+          graft.expressions.UnicodeNormalize(args.head, "NFC")
         }))
 
   /** Register on an already-built session (the `spark.sql.extensions`

@@ -21,6 +21,42 @@ object TextAnalysis {
   /** Whitespace tokens of lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** Unicode-normalize (default NFC) via the native
+    * [[graft.expressions.UnicodeNormalize]] expression — mixed
+    * composed/decomposed forms are the silent killer of exact and
+    * shingle dedup, so the cleaning pass runs this first. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftshim.ColumnSql.columnOf(
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.graftshim.ColumnSql.expressionOf(text), form))
+
+  /** Drop HTML/XML tags. Character-class pattern (`<[^>]*>`) behaves
+    * identically in Java regex and RE2, so the DuckDB oracle replays it
+    * verbatim. */
+  def stripHtmlTags(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", "")
+
+  /** Drop C0 control characters except tab/newline, plus DEL. Keeps
+    * \t and \n so the whitespace-collapse step sees them; \r, \f and
+    * vertical tab are stripped here, which keeps Java's `\s` and
+    * RE2's `\s` (which disagree on \x0B) observationally identical
+    * downstream. */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Full cleaning pass for raw scraped text: NFC normalize, strip
+    * tags, strip control chars, collapse whitespace. Order matters and
+    * is part of the contract (tags may span newlines; control strip
+    * precedes collapse so engine `\s` differences can't surface) —
+    * the q122 oracle replays exactly this composition. Row-local,
+    * fuses into one codegen'd projection at scan speed. */
+  def cleanText(text: Column): Column =
+    collapseWhitespace(stripControlChars(stripHtmlTags(normalizeUnicode(text))))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

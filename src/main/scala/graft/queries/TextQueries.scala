@@ -154,6 +154,25 @@ object TextQueries {
         .select(col("doc_id"),
           size(col("__bpe")).as("n_bpe"),
           array_join(slice(col("__bpe"), 1, 8), " ").as("head_toks"))
+    }),
+
+    // raw-scrape cleaning pass: NFC normalize (native Catalyst
+    // expression) → strip tags → strip control chars → collapse
+    // whitespace. The corpus is clean ASCII, so the gate synthesizes
+    // the mess deterministically — tags, C0 controls, a combining
+    // accent (cafe+U+0301) and a precomposed é — identically in both
+    // engines; the differential check then proves Java Normalizer NFC
+    // == DuckDB nfc_normalize and that the regex steps agree
+    // byte-for-byte on non-trivial input
+    "q122_text_clean" -> ((s, d) => {
+      val messy = concat(
+        lit("<p id=\"x\"> "), col("text"),
+        lit(" </p>\n\u0007\tcafe\u0301  <b>caf\u00e9</b>\u000B end"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        cleanText(messy).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          length(col("clean")).as("n_chars_clean"))
     })
   )
 
@@ -290,6 +309,19 @@ object TextQueries {
            FROM syms)
          SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n
          FROM p GROUP BY a, b
-         ORDER BY n DESC, a, b LIMIT 20"""
+         ORDER BY n DESC, a, b LIMIT 20""",
+
+    // same mess, same cleaning order: NFC -> tags -> control -> collapse
+    "q122_text_clean" ->
+      """SELECT doc_id, clean, length(clean) AS n_chars_clean FROM (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               nfc_normalize('<p id="x"> ' || text || ' </p>' || chr(10) ||
+                 chr(7) || chr(9) || 'cafe' || chr(769) || '  <b>caf' ||
+                 chr(233) || '</b>' || chr(11) || ' end'),
+               '<[^>]*>', '', 'g'),
+               '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g')) AS clean
+           FROM documents)"""
   )
 }
