@@ -210,6 +210,24 @@ object RelationalQueries {
         D.timePeriod(col("o_orderdate"), "WeekOfMonth").as("order_wom"),
         round(msin, 6).as("month_sin"),
         round(mcos, 6).as("month_cos"))
+    }),
+
+    // bloom-prefiltered fact-dim join: fit BloomFilterAggregate on the
+    // dim keys, probe with codegen'd might_contain BEFORE the fact's
+    // shuffle, exact join removes the false positives — result is
+    // byte-identical to the plain join the oracle runs. The pattern a
+    // 100 TB fact joins a selective 100M-key dim with: shuffle bytes
+    // scale with dim selectivity, not fact size
+    "q123_join_bloom_prefilter" -> ((s, d) => {
+      val dim = Tables.customer(s, d).where(col("c_nationkey") < 5)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val pre = JoinedReader.bloomPrefilteredFact(
+        Tables.orders(s, d), col("o_custkey"), dim, col("c_custkey"),
+        expectedKeys = 200000L)
+      JoinedReader.join(pre, dim, col("o_custkey"), col("c_custkey"), "inner")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(money(col("o_totalprice"))).cast("double").as("nation_revenue"))
     })
   )
 
@@ -347,6 +365,14 @@ object RelationalQueries {
            CAST(CEIL(DAYOFMONTH(o_orderdate) / 7.0) AS INT) AS order_wom,
            ROUND(SIN((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS month_sin,
            ROUND(COS((MONTH(o_orderdate) - 1) * 2 * PI() / 12), 6) + 0 AS month_cos
-         FROM orders"""
+         FROM orders""",
+
+    // the bloom prefilter is invisible to semantics: plain join oracle
+    "q123_join_bloom_prefilter" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS nation_revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_nationkey < 5
+         GROUP BY c_nationkey"""
   )
 }

@@ -56,4 +56,48 @@ object JoinedReader {
       manySide.map(s => s.agg(when(inWindow, s.value)).as(s.name))
     joined.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Bloom-prefiltered fact-dim join (beyond the reference): build a
+    * Bloom filter over the dim side's join keys, then map-side filter
+    * the fact BEFORE its shuffle with a `might_contain` probe. The
+    * bloom admits false positives and the subsequent exact join removes
+    * them, so the result is byte-identical to a plain join — the q123
+    * oracle is exactly that plain join.
+    *
+    * Scale rationale: at 100 TB the fact's shuffle write dominates a
+    * fact-dim join whose dim is too big to broadcast-hash-join outright
+    * (100M keys ≈ several GB of hashed relation) but whose KEY SET fits
+    * a bloom (100M keys @ 3% fpp ≈ 90 MB of bits). With a selective
+    * dim, the prefilter cuts the fact's shuffle bytes by the dim's
+    * selectivity. Spark's own runtime row-level filters
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled) inject this very
+    * shape below a creation-side size threshold; this is the explicit,
+    * threshold-free form for when the planner's heuristics decline.
+    *
+    * No UDF anywhere: the build side is Spark's native
+    * `BloomFilterAggregate` (one distributed agg over `xxhash64(key)`),
+    * the probe is the codegen'd `BloomFilterMightContain` over a binary
+    * literal of the fitted bits — both the exact expressions the
+    * runtime-filter optimizer rule uses, so the probe fuses into the
+    * fact's scan projection. Driver memory is bounded by `numBits/8`
+    * regardless of dim cardinality.
+    */
+  def bloomPrefilteredFact(fact: DataFrame, factKey: Column,
+                           dim: DataFrame, dimKey: Column,
+                           expectedKeys: Long,
+                           numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnSql.{columnOf, eagerExpressionOf}
+    import org.apache.spark.sql.types.BinaryType
+    val aggExpr = new BloomFilterAggregate(
+        new XxHash64(Seq(eagerExpressionOf(dimKey))),
+        Literal(expectedKeys), Literal(numBits))
+      .toAggregateExpression()
+    val bits = dim.select(columnOf(aggExpr).as("bf")).head.getAs[Array[Byte]](0)
+    if (bits == null) fact.where(lit(false)) // empty dim: no key can match
+    else fact.where(columnOf(BloomFilterMightContain(
+      Literal(bits, BinaryType),
+      new XxHash64(Seq(eagerExpressionOf(factKey))))))
+  }
 }
