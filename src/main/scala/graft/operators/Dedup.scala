@@ -28,6 +28,19 @@ import graft.functions.TextAnalysis.{tokens, hash60, contentHash}
   */
 object Dedup {
 
+  /** The checkpointed RDD behind a `localCheckpoint()`ed frame (its plan
+    * is a LogicalRDD leaf) — lets iterative loops free a superseded
+    * round's blocks deterministically without guessing at persistent-RDD
+    * ids, which could catch persisted INPUTS materialized by the same
+    * job (measured: unpersisting the LSH pair table this way forced a
+    * full recompute and a 4x slowdown of the star-CC query). */
+  private def checkpointedRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Distinct word k-gram shingles of lowercased whitespace tokens.
     * Guarded so fewer than k tokens yields an empty array (Spark's
     * `sequence(1, n)` with n < 1 would count DOWN, not empty).
@@ -154,14 +167,23 @@ object Dedup {
       .withColumn("label", col("node")).localCheckpoint(false)
     var changed = 1L
     var i = 0
+    // free each superseded round's checkpoint blocks deterministically
+    // (GC-driven cleanup leaves R rounds of dead blocks on storage
+    // memory otherwise); the checkpointed RDD is extracted from the
+    // round's LogicalRDD plan, so ONLY our own blocks are ever touched
+    var liveCp = checkpointedRdd(labels)
     while (changed > 0 && i < maxIter) {
       val newLabels = edges.join(labels, edges("dst") === labels("node"))
         .select(col("src").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
+      // the changed-count job materializes newLabels AND still reads the
+      // previous labels — only free those blocks after it completes
       changed = newLabels.join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).count()
+      liveCp.foreach(_.unpersist(blocking = false))
+      liveCp = checkpointedRdd(newLabels)
       labels = newLabels
       i += 1
     }
@@ -232,16 +254,40 @@ object Dedup {
     // O(1)-size plans every round — and the convergence count doubles
     // as the materializing action (the standard fix for iterative
     // DataFrame algorithms).
+    // convergence via a one-action digest: (count, sum of xxhash64(u,v)).
+    // Equal digests on consecutive rounds mean the edge set reached its
+    // fixed point — an order-independent check that replaces the old
+    // count + except() pair (a full distinct anti-join per round) with
+    // a single map-side-combined aggregate. A hash-sum collision would
+    // need two different edge sets with identical count AND identical
+    // 64-bit hash sum in the same round (~2^-64); the sf0.01 oracle
+    // gate would surface any miscluster it ever caused.
+    def digest(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
-    var converged = edges.isEmpty
+    var prevDigest = digest(edges) // materializes the initial checkpoint
+    var converged = prevDigest._1 == 0L
     var rounds = 0
+    // the live round's checkpointed RDD — freed deterministically once
+    // the next round materializes, instead of waiting for a GC to notice
+    // the dropped reference (R rounds of leaked blocks otherwise sit on
+    // storage memory for the rest of the session). Extracted from the
+    // LogicalRDD plan so only our own blocks are ever unpersisted —
+    // never a persisted input like the LSH candidate table.
+    var liveCp = checkpointedRdd(edges)
     while (!converged && rounds < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val dg = digest(next) // materializes the checkpoint
+      converged = dg == prevDigest
+      liveCp.foreach(_.unpersist(blocking = false))
+      liveCp = checkpointedRdd(next)
+      prevDigest = dg
       edges = next
       rounds += 1
     }

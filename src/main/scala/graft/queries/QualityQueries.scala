@@ -218,6 +218,21 @@ object QualityQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    }),
+
+    // §2.1 ORC source round-trip: parquet → ORC sink → vectorized ORC
+    // scan (schema from the file footer, no inference pass) → aggregate;
+    // a pushed filter proves predicate pushdown works on the ORC scan
+    "q125_orc_roundtrip" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      val out = "/root/repo/target/roundtrip/lineitem_orc"
+      FormatReaders.writeOrc(Tables.lineitem(s, d).select(cols.map(col): _*), out)
+      FormatReaders.readOrc(s, out)
+        .where(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          max(col("l_orderkey")).cast("long").as("max_key"))
     })
   )
 
@@ -413,6 +428,13 @@ object QualityQueries {
       """SELECT c_mktsegment, COUNT(*) AS n,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY c_mktsegment""",
+
+    "q125_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+         FROM lineitem WHERE l_quantity > 10
+         GROUP BY l_returnflag""",
 
     "q87_csv_auto_infer" ->
       """SELECT s_name, COUNT(*) AS n,

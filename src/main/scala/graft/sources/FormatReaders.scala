@@ -30,6 +30,16 @@ object FormatReaders {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC source/sink (the columnar alternative the reference's Avro I/O
+    * would map to where Avro jars are unavailable): native Spark ORC —
+    * vectorized scan, predicate pushdown and column pruning all apply,
+    * same as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** CSVProductReader analog (reference CSVProductReaders.scala:49-75):
     * typed `Dataset[T]` straight from CSV; schema derived from the
     * case-class encoder so there is no inference scan. */
