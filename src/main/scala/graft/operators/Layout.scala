@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators (beyond the reference): Z-order (Morton-curve)
+  * clustering for multi-dimensional scan pruning.
+  *
+  * Why it matters at 100 TB: parquet scan pruning works off per-file /
+  * per-row-group min-max statistics. A table range-partitioned on ONE
+  * key prunes on that key only — a filter on a second dimension reads
+  * everything. Interleaving the bits of two (or more) dimensions into
+  * one Morton key and range-partitioning + sorting on it gives every
+  * file a tight bounding BOX in (x, y) space, so min-max pruning works
+  * on BOTH dimensions at once — the standard layout trick for
+  * fact tables queried by (customer, day), (region, time), etc.
+  *
+  * The interleave is a pure Column expression — a fixed sum of
+  * `((x >> i) & 1) * 4^i` terms, non-overlapping bits, so it stays in
+  * WholeStageCodegen and replays verbatim in the DuckDB oracle (q124).
+  */
+object Layout {
+
+  /** Morton z-value of two non-negative dimensions, `bits` bits each
+    * (result uses 2*bits low bits of a long; bits <= 31). Inputs are
+    * range-checked with a loud failure rather than silently aliasing:
+    * a value >= 2^bits would interleave into a key that sorts WRONG,
+    * which corrupts the layout invisibly. Scale the dims down first
+    * (quantile-bucket them) rather than raising bits past what the
+    * query's literal replay can carry. */
+  def zValue(x: Column, y: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val bound = 1L << bits
+    val xc = x.cast("long"); val yc = y.cast("long")
+    val guarded = when(xc >= 0 && xc < bound && yc >= 0 && yc < bound, lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"zValue: dimension out of [0, $bound): x="), xc, lit(" y="), yc)))
+    val terms = (0 until bits).flatMap { i =>
+      Seq(shiftright(xc, i).bitwiseAND(1) * lit(1L << (2 * i)),
+          shiftright(yc, i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
+    }
+    when(guarded, terms.reduce(_ + _))
+  }
+
+  /** Reference (driver-side) interleave for specs. */
+  def zValueLocal(x: Long, y: Long, bits: Int = 21): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** The DuckDB-replayable SQL text of [[zValue]] — the oracle must
+    * apply the identical arithmetic. */
+  def zValueSql(x: String, y: String, bits: Int = 21): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((CAST($x AS BIGINT) >> $i) & 1) * ${1L << (2 * i)}",
+          s"((CAST($y AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString("(", " + ", ")")
+
+  /** Re-layout a frame along the z-curve of two dimensions: range
+    * partition on the z-value (one shuffle, sampled range bounds), sort
+    * within partitions, drop the helper column. Writing the result
+    * gives files whose (x, y) bounding boxes are tight — min-max
+    * pruning then works for filters on either or both dims. */
+  def zOrderLayout(df: DataFrame, x: Column, y: Column,
+                   numPartitions: Int, bits: Int = 21): DataFrame = {
+    val z = zValue(x, y, bits).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

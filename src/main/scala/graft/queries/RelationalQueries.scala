@@ -228,6 +228,22 @@ object RelationalQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_orders"),
              sum(money(col("o_totalprice"))).cast("double").as("nation_revenue"))
+    }),
+
+    // z-order (Morton) key over (customer, order-day): the multi-dim
+    // layout key — gate aggregates per coarse z-cell so the differential
+    // check covers every interleaved bit of every row; the physical
+    // relayout itself (repartitionByRange + sort) is plan-asserted in
+    // LayoutSpec since sampled range bounds aren't SQL-replayable
+    "q124_zorder_key" -> ((s, d) => {
+      val day = datediff(col("o_orderdate"), lit("1992-01-01"))
+      val z = graft.operators.Layout.zValue(col("o_custkey"), day)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), z.as("zval"))
+        .groupBy(shiftright(col("zval"), 18).as("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zval")).as("min_z"), max(col("zval")).as("max_z"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
     })
   )
 
@@ -373,6 +389,16 @@ object RelationalQueries {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS nation_revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_nationkey < 5
-         GROUP BY c_nationkey"""
+         GROUP BY c_nationkey""",
+
+    "q124_zorder_key" -> {
+      val zsql = graft.operators.Layout.zValueSql(
+        "o_custkey", "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))")
+      s"""WITH z AS (SELECT o_orderkey, $zsql AS zval FROM orders)
+         SELECT zval >> 18 AS zcell, COUNT(*) AS n,
+           MIN(zval) AS min_z, MAX(zval) AS max_z,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+         FROM z GROUP BY 1"""
+    }
   )
 }
