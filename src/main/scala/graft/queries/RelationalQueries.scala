@@ -244,6 +244,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           min(col("zval")).as("min_z"), max(col("zval")).as("max_z"),
           max(col("o_orderkey")).cast("long").as("max_key"))
+    }),
+
+    // batch interval join WITHOUT an equi-key, as a bucket-expansion
+    // equi-join (Spark's planner would pick BroadcastNestedLoopJoin for
+    // the bare BETWEEN): every ~97th order opens a 5-day audit window;
+    // count the orders landing in each window
+    "q126_join_interval_bucketed" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val day = datediff(col("o_orderdate"), lit("1970-01-01"))
+      val points = o.select(col("o_orderkey").as("p_key"),
+        col("o_totalprice").as("p_price"), day.as("p_day"))
+      val windows = o.where(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("window_id"),
+          day.as("w_lo"), (day + 5).as("w_hi"))
+      JoinedReader.bucketedIntervalJoin(
+          points, col("p_day"), windows, col("w_lo"), col("w_hi"),
+          bucketWidth = 7)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_in_window"),
+          sum(money(col("p_price"))).cast("double").as("window_revenue"))
     })
   )
 
@@ -399,6 +419,17 @@ object RelationalQueries {
            MIN(zval) AS min_z, MAX(zval) AS max_z,
            CAST(MAX(o_orderkey) AS BIGINT) AS max_key
          FROM z GROUP BY 1"""
-    }
+    },
+
+    // the bucketing is invisible to semantics: plain BETWEEN-join oracle
+    "q126_join_interval_bucketed" ->
+      """SELECT w.o_orderkey AS window_id, COUNT(*) AS n_in_window,
+           CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS window_revenue
+         FROM orders w JOIN orders o2
+           ON date_diff('day', DATE '1970-01-01', CAST(o2.o_orderdate AS DATE))
+              BETWEEN date_diff('day', DATE '1970-01-01', CAST(w.o_orderdate AS DATE))
+                  AND date_diff('day', DATE '1970-01-01', CAST(w.o_orderdate AS DATE)) + 5
+         WHERE w.o_orderkey % 97 = 0
+         GROUP BY 1"""
   )
 }

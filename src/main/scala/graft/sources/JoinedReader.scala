@@ -82,6 +82,45 @@ object JoinedReader {
     * fact's scan projection. Driver memory is bounded by `numBits/8`
     * regardless of dim cardinality.
     */
+  /** Batch interval join via bucket expansion (beyond the reference —
+    * the batch sibling of the streaming interval join): match points
+    * `p` to intervals `[lo, hi]` WITHOUT an equi-key. Spark plans a
+    * bare range predicate as BroadcastNestedLoopJoin — O(|points| x
+    * |intervals|) work and a broadcast of a whole side, a job-killer
+    * at scale. Discretizing positions into `bucketWidth` cells turns
+    * it into an equi-join: each interval is exploded to the cells it
+    * covers, each point probes its single cell, and the residual
+    * `BETWEEN` predicate filters within the cell. One equi-shuffle
+    * keyed on cells; no duplicates by construction (a point lives in
+    * exactly one cell).
+    *
+    * Cost model: interval expansion is |intervals| x (span/bucketWidth
+    * + 1) rows — pick bucketWidth near the TYPICAL interval span so
+    * expansion stays O(|intervals|) while cells stay selective. A
+    * pathological giant interval expands to span/width cells; cap or
+    * split those upstream (same discipline as the hot-shingle cap).
+    *
+    * Positions are integer (caller quantizes: epoch days/seconds).
+    * Columns of both frames pass through; `pointPos`/`lo`/`hi` must be
+    * column REFERENCES on the respective frames. */
+  def bucketedIntervalJoin(points: DataFrame, pointPos: Column,
+                           intervals: DataFrame, lo: Column, hi: Column,
+                           bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val p = points.withColumn("__cell", floor(pointPos.cast("long") / bucketWidth))
+    val iv = intervals.withColumn("__cells",
+        sequence(floor(lo.cast("long") / bucketWidth),
+                 floor(hi.cast("long") / bucketWidth)))
+      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+    // inner only: an exploded interval appears once per covered cell, so
+    // interval-side outer-ness would need a post-hoc anti-join on an
+    // interval id — compose that at the call site when empty intervals
+    // must survive
+    p.join(iv, Seq("__cell"))
+      .where(pointPos >= lo && pointPos <= hi)
+      .drop("__cell")
+  }
+
   def bloomPrefilteredFact(fact: DataFrame, factKey: Column,
                            dim: DataFrame, dimKey: Column,
                            expectedKeys: Long,
