@@ -46,6 +46,27 @@ object DataQuality {
     * trainFill < minFill or |trainFill - scoreFill| > maxFillDifference.
     * Returns one row per column: (column, train_fill, score_fill,
     * fill_diff, keep). */
+  /** Zero-extra-pass instrumentation: attach fill-rate / row-count
+    * observers to a frame with `Dataset.observe`. The metrics are
+    * computed by the SAME job that materializes the frame (an
+    * accumulator-style side aggregate inside the existing scan), so at
+    * 100 TB quality monitoring costs zero additional passes — versus
+    * [[fillRates]], which is a separate aggregation job over the data.
+    * Read the counters from the returned Observation AFTER an action:
+    * `obs.get("n_rows")`, `obs.get("fill_<col>")`.
+    *
+    * The reference computes its FeatureDistributions during the fit
+    * pass for the same reason (RawFeatureFilter's
+    * computeFeatureStats); `observe` is the Spark-native carrier. */
+  def observedFillRates(df: DataFrame, cols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(cols.nonEmpty, "observedFillRates needs at least one column")
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = count(lit(1)).as("n_rows") +:
+      cols.map(c => avg(col(c).isNotNull.cast("double")).as(s"fill_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   def rawFeatureFilterStats(
       train: DataFrame, score: DataFrame, cols: Seq[String],
       minFill: Double, maxFillDifference: Double): DataFrame = {
