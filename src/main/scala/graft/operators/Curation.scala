@@ -475,6 +475,71 @@ object Curation {
           .getItem(1).as("quality_prob"))
   }
 
+  /** Exact duplicated-span detection over OVERLAPPING k-token windows
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — the ExactSubstr criterion, re-expressed
+    * relationally): a window is duplicated iff its k-token string
+    * occurs in at least `minDocs` distinct documents; a document's
+    * duplication coverage is the fraction of its token positions lying
+    * under at least one duplicated window. Overlapping windows merge
+    * into maximal intervals first (gaps-and-islands over window starts),
+    * so coverage counts positions, not windows.
+    *
+    * Emits (doc_id, n_tokens, n_dup_windows, covered_tokens,
+    * dup_coverage) — the signal the paper thresholds to cut documents,
+    * kept as a score here so the cut composes with the other filters.
+    *
+    * Scale shape: the window explode is linear in corpus tokens; the
+    * only corpus-wide shuffles are the span-keyed count aggregation
+    * (partial+final, so hot boilerplate spans cost their count, not
+    * their row list) and the span-keyed join back — both AQE-splittable.
+    * The interval merge windows over (doc, start) where only DUPLICATED
+    * windows remain — per-doc work bounded by the doc's own dup count.
+    * Suffix automata do this with cross-doc positional state; the
+    * relational shape trades a constant factor for shuffles that
+    * partition freely at 100 TB. */
+  def duplicatedSpanCoverage(df: DataFrame, id: Column, text: Column,
+                             k: Int, minDocs: Int = 2): DataFrame = {
+    import graft.functions.TextAnalysis.tokens
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"span length must be positive: $k")
+    require(minDocs >= 2, s"minDocs below 2 marks everything duplicated: $minDocs")
+    val t = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+    // guard: sequence(0, n-k) DESCENDS when n < k — gate on size first
+    val wins = t.select(col("doc_id"),
+        posexplode(when(size(col("__toks")) >= k,
+          transform(sequence(lit(0), size(col("__toks")) - k),
+            i => array_join(slice(col("__toks"), i + 1, lit(k)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("start", "span")))
+    val dup = wins.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= minDocs).select(col("span"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val islands = wins.join(dup, Seq("span"))
+      .withColumn("__end", col("start") + k)
+      .withColumn("__prev_max",
+        max(col("__end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__prev_max").isNull || col("start") >= col("__prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("start")).as("__s"), max(col("__end")).as("__e"),
+        count(lit(1)).as("__nw"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(sum(col("__e") - col("__s")).as("covered_tokens"),
+        sum(col("__nw")).as("n_dup_windows"))
+    t.select(col("doc_id"), size(col("__toks")).cast("bigint").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_coverage"))
+  }
+
   def dropBoilerplateSpans(df: DataFrame, id: Column, text: Column,
                            k: Int, maxDocs: Long): DataFrame = {
     import graft.functions.TextAnalysis.tokens

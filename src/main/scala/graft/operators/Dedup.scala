@@ -222,8 +222,6 @@ object Dedup {
     * can assert the O(log n) bound on high-diameter graphs). */
   def connectedComponentsStarWithRounds(pairs: DataFrame, maxIter: Int = 50)
       : (DataFrame, Int) = {
-    val allNodes = pairs.select(col("id_a").as("node"))
-      .union(pairs.select(col("id_b").as("node"))).distinct()
     def bothDirs(e: DataFrame) =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     // large-star over closed neighborhoods: m(u) = min(N(u) + {u});
@@ -272,6 +270,17 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
     var prevDigest = digest(edges) // materializes the initial checkpoint
+    // The node set for the final label join comes from the CHECKPOINTED
+    // initial edges, eagerly checkpointed itself (node-sized) before the
+    // round loop frees those edge blocks. Deriving it from `pairs`
+    // instead re-executes the whole upstream pair pipeline when the
+    // result materializes — on the LSH near-dup graph that recompute
+    // was 5x the cost of the rounds themselves (q111: 11 s → ~2 s).
+    // Degenerate self-pairs (id_a == id_b) carry no edge and no longer
+    // surface as singleton rows; near-dup pair lists never contain them.
+    val allNodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
     var converged = prevDigest._1 == 0L
     var rounds = 0
     // the live round's checkpointed RDD — freed deterministically once

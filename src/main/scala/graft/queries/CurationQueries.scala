@@ -171,6 +171,14 @@ object CurationQueries {
     // corpus-wide duplicate-span removal (paragraph dedup over fixed
     // 3-token spans): spans present in more than 8 distinct docs are
     // boilerplate and get cut; cleaned text reassembles in order
+    // exact duplicated-span coverage over overlapping 5-token windows
+    // (Lee et al. ExactSubstr criterion): fraction of each document's
+    // token positions under a window shared with another document
+    "q127_curation_dup_spans" -> ((s, d) => {
+      Curation.duplicatedSpanCoverage(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 5, minDocs = 2)
+    }),
+
     "q104_curation_drop_spans" -> ((s, d) => {
       val out = Curation.dropBoilerplateSpans(Tables.documents(s, d),
         col("doc_id"), col("text"), k = 3, maxDocs = 8L)
@@ -377,6 +385,50 @@ object CurationQueries {
                         ((c_raw + 1.0) / (tot_raw + 256)))), 6) + 0 AS dsir_weight
          FROM feats JOIN stats USING (bucket) CROSS JOIN tots
          GROUP BY doc_id""",
+
+    "q127_curation_dup_spans" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             unnest(range(0, greatest(len(toks) - 4, 0))) AS start,
+             unnest([array_to_string(toks[i+1 : i+5], ' ')
+                     for i in range(0, greatest(len(toks) - 4, 0))]) AS span
+           FROM t),
+         dup AS (
+           SELECT span FROM w GROUP BY span
+           HAVING count(DISTINCT doc_id) >= 2),
+         dw AS (
+           SELECT doc_id, start, start + 5 AS e FROM w
+           WHERE span IN (SELECT span FROM dup)),
+         isl AS (
+           SELECT doc_id, start, e,
+             CASE WHEN coalesce(start >= max(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)
+               THEN 1 ELSE 0 END AS ni
+           FROM dw),
+         isl2 AS (
+           SELECT doc_id, start, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl),
+         g AS (
+           SELECT doc_id, island, min(start) AS s, max(e) AS ee,
+             count(*) AS nw
+           FROM isl2 GROUP BY doc_id, island),
+         pd AS (
+           SELECT doc_id, sum(ee - s) AS covered_tokens,
+             sum(nw) AS n_dup_windows
+           FROM g GROUP BY doc_id)
+         SELECT t.doc_id, len(t.toks) AS n_tokens,
+           coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(pd.covered_tokens, 0) AS covered_tokens,
+           CASE WHEN len(t.toks) > 0
+             THEN CAST(coalesce(pd.covered_tokens, 0) AS DOUBLE) / len(t.toks)
+             ELSE 0.0 END AS dup_coverage
+         FROM t LEFT JOIN pd USING (doc_id)""",
 
     "q104_curation_drop_spans" ->
       """WITH t AS (

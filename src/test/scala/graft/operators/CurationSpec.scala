@@ -154,6 +154,26 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == (("nothing shared at all", 0L)))
   }
 
+  test("duplicatedSpanCoverage merges overlapping dup windows into intervals") {
+    val s = spark; import s.implicits._
+    // docs 1 and 2 share the 4-token run "a b c d" → two overlapping
+    // 3-token dup windows ("a b c" at 0, "b c d" at 1) merging into one
+    // interval covering 4 positions; doc 3 shares nothing; doc 4 is
+    // shorter than k and must survive with zero coverage
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z a b c d"),
+      (3L, "entirely different words here"),
+      (4L, "tiny one")).toDF("id", "t")
+    val out = Curation.duplicatedSpanCoverage(df, col("id"), col("t"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((6L, 2L, 4L, 4.0 / 6)))
+    assert(out(2L) == ((5L, 2L, 4L, 4.0 / 5)))
+    assert(out(3L) == ((4L, 0L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 0L, 0L, 0.0)))
+  }
+
   test("deterministicSamplePerGroup applies each group its own fraction") {
     val s = spark; import s.implicits._
     val df = (1L to 3000L).map(i =>
