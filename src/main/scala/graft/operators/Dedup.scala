@@ -403,9 +403,14 @@ object Dedup {
       .select(col("doc"), col("shingles"),
         transform(col("shingles"), s => hash60(s) % lit(MinHashP)).as("hmod"))
       .persist()
+    // band tables persisted like minHashLshPairs's: the signature is a
+    // higher-order-function expression (outside whole-stage codegen), so
+    // recomputing it per run is the dominant steady-state cost; a
+    // resident ingest pipeline keeps the corpus-side buckets stored
     def banded(sh: DataFrame) = sh.select(col("doc"),
       explode(bandHashes(minHashSignatureFromHashes(col("hmod"), numHashes),
         numBands, rowsPerBand)).as("bucket"))
+      .persist()
     val co = prep(corpus)
     val inc = prep(incoming)
     val candIds = banded(inc).as("a").join(banded(co).as("b"),
