@@ -221,6 +221,28 @@ object Curation {
     df.where(sampleBucket(id, salt) < cut)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row draws u in (0,1] from its md5 bucket and
+    * gets key = ln(u)/w; the n largest keys are the sample. Inclusion
+    * probability is proportional to weight, the draw is reproducible
+    * (same id+salt → same key on every run and every cluster size), and
+    * the oracle replays the selection exactly. Weights must be > 0.
+    *
+    * Scale: the key is row-local; the global top-n is a TakeOrdered
+    * (per-partition heap + driver merge of n-row heads), so nothing
+    * shuffles — the right shape for "sample 1M docs from 100 TB".
+    * Emits the sampled rows with their `sample_key`. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, n: Int,
+                     salt: String = "wsample"): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    // u in (0,1]: (hash60+1) / 2^60 — hash60 is uniform on [0, 2^60)
+    val u = (hash60(concat_ws(":", lit(salt), id)) + 1L).cast("double") /
+      lit(1152921504606846976.0)
+    df.withColumn("sample_key", log(u) / weight.cast("double"))
+      .orderBy(col("sample_key").desc, id.asc)
+      .limit(n)
+  }
+
   // ---- Corpus-fitted LM quality signal -------------------------------
 
   /** CCNet-style language-model quality signal, self-fitted: per-doc

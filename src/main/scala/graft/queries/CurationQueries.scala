@@ -171,6 +171,27 @@ object CurationQueries {
     // corpus-wide duplicate-span removal (paragraph dedup over fixed
     // 3-token spans): spans present in more than 8 distinct docs are
     // boilerplate and get cut; cleaned text reassembles in order
+    // exact corpus-vocabulary heavy hitters (freq >= 0.2% of tokens):
+    // bounded Misra-Gries candidate pass + exact recount of candidates
+    // only — no full groupBy-token result ever materializes
+    "q128_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.aggregators.Sketches.heavyHittersExact(toks, col("tok"), phi = 0.002)
+    }),
+
+    // deterministic weighted sample (Efraimidis-Spirakis keys over md5
+    // draws): 100 docs, inclusion probability proportional to length
+    "q129_curation_weighted_sample" -> ((s, d) => {
+      Curation.weightedSample(Tables.documents(s, d), col("doc_id"),
+          col("n_chars"), n = 100)
+        // report the key rounded: ln() differs in the last ulp between
+        // JVM and libm; the SELECTION is identical (boundary gaps are
+        // astronomically wider than an ulp on md5-derived draws)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("sample_key"), 6).as("sample_key"))
+    }),
+
     // exact duplicated-span coverage over overlapping 5-token windows
     // (Lee et al. ExactSubstr criterion): fraction of each document's
     // token positions under a window shared with another document
@@ -385,6 +406,23 @@ object CurationQueries {
                         ((c_raw + 1.0) / (tot_raw + 256)))), 6) + 0 AS dsir_weight
          FROM feats JOIN stats USING (bucket) CROSS JOIN tots
          GROUP BY doc_id""",
+
+    "q128_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+           FROM documents),
+         n AS (SELECT count(*) AS n FROM tok)
+         SELECT item, count(*) AS n_occurrences
+         FROM tok, n GROUP BY item, n.n
+         HAVING count(*) >= 0.002 * n.n""",
+
+    "q129_curation_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+            round(ln((${H60("'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)
+               / 1152921504606846976.0) / n_chars, 6) AS sample_key
+          FROM documents
+          ORDER BY ln((${H60("'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)
+               / 1152921504606846976.0) / n_chars DESC, doc_id LIMIT 100""",
 
     "q127_curation_dup_spans" ->
       """WITH t AS (

@@ -154,6 +154,21 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == (("nothing shared at all", 0L)))
   }
 
+  test("weightedSample is reproducible, size-n, and weight-dominated") {
+    val s = spark; import s.implicits._
+    val df = (1L to 500L).map(i => (i, if (i == 42L) 1e9 else 1e-3)).toDF("id", "w")
+    val a = Curation.weightedSample(df, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    val b = Curation.weightedSample(df.repartition(13), col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(a.size == 50 && a == b) // deterministic under repartitioning
+    assert(a.contains(42L)) // overwhelming weight is always included
+    // a different salt draws a genuinely different sample
+    val c = Curation.weightedSample(df, col("id"), col("w"), 50, salt = "other")
+      .select("id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
   test("duplicatedSpanCoverage merges overlapping dup windows into intervals") {
     val s = spark; import s.implicits._
     // docs 1 and 2 share the 4-token run "a b c d" → two overlapping
