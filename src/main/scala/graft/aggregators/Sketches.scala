@@ -70,6 +70,77 @@ object Sketches {
       .select(explode(col("__mg")).as(Seq("item", "lower_bound")))
   }
 
+  /** KMV (k minimum values) distinct-count sketch (Bar-Yossef et al.
+    * 2002; Beyer et al. 2007 unbiased estimator): hash every value to
+    * [0, 2^60), keep the k smallest DISTINCT hashes; with U_k the k-th
+    * smallest normalized to (0,1], the estimate is (k-1)/U_k. Mergeable
+    * (union, keep k smallest) and — because the hash is md5-derived —
+    * fully deterministic: the same estimate on every run, partitioning,
+    * and cluster size, and the differential oracle replays it exactly,
+    * which an HLL register array never allows.
+    *
+    * Shape: one partial+final TopK-style aggregation over value hashes;
+    * the buffer is bounded at ~2k longs. Emits ONE row:
+    * (est_distinct, k_used). For exact-oracle gating pair it with an
+    * exact countDistinct (cheap at test SF; the sketch is the 100 TB
+    * path). */
+  def kmvDistinct(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2: $k")
+    import graft.functions.TextAnalysis.hash60
+    val agg = udaf(new BottomKLongs(k), ExpressionEncoder[Long]())
+    df.select(hash60(value.cast("string")).as("__h"))
+      .agg(agg(col("__h")).as("__mins"))
+      .select(
+        // fewer than k distinct hashes -> the sketch holds everything;
+        // the count is then exact
+        when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("__mins"), k).cast("double") /
+              lit(1152921504606846976.0)))
+          .as("est_distinct"),
+        size(col("__mins")).as("k_used"))
+  }
+
+  /** Bounded buffer of the k smallest DISTINCT longs — the KMV /
+    * bottom-k primitive. Compaction at 2k keeps reduce amortized. */
+  class BottomKLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def cap(b: Seq[Long]): Seq[Long] =
+      if (b.length <= 2 * k) b else b.distinct.sorted.take(k)
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b: Seq[Long], h: Long): Seq[Long] = cap(b :+ h)
+    def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = cap(x ++ y)
+    def finish(b: Seq[Long]): Seq[Long] = b.distinct.sorted.take(k)
+    def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** Deterministic uniform sample of EXACTLY k rows via min-k md5
+    * priorities over `id` (a bottom-k sketch on row identity):
+    * mergeable, stable under any partitioning, and the oracle replays
+    * the exact member set (`ORDER BY priority LIMIT k`). The scale path
+    * for "estimate a quantile / histogram of a 100 TB column" — unlike
+    * [[graft.operators.Curation.deterministicSample]]'s fraction
+    * filter, the sample SIZE is exact, which estimators need.
+    *
+    * Two scan-only passes, no full-column shuffle: a TopK aggregation
+    * forwards at most ~2k candidates per mapper to pick the winning
+    * ids, then a broadcast semi-join re-attaches the original columns.
+    * (Priorities compare as doubles — same IEEE rounding both engines;
+    * ties impossible at any realistic k since ids are distinct.)
+    * Emits the sampled rows with a 1-based `sample_rank`. */
+  def minKSample(df: DataFrame, id: Column, k: Int,
+                 salt: String = "minks"): DataFrame = {
+    val pri = graft.functions.TextAnalysis.hash60(
+      concat_ws(":", lit(salt), id.cast("string")))
+    val picked = TopK.topKPerKey(
+      df.select(lit(1).as("__g"), id.cast("long").as("__id"),
+        pri.cast("double").as("__pri")),
+      "__g", "__id", "__pri", k, descending = false)
+      .select(col("__id"), col("rank").as("sample_rank"))
+    df.join(broadcast(picked), id.cast("long") === col("__id"))
+      .drop("__id")
+  }
+
   /** EXACT heavy hitters (frequency >= phi * n) via the standard two
     * passes: sketch pass for a bounded candidate set, then an exact
     * recount of ONLY the candidates (broadcast semi-join — the recount

@@ -487,10 +487,13 @@ object Curation {
       .select(col("doc_id"), col("__label"),
         org.apache.spark.ml.functions.array_to_vector(col("f")).as("__feat"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = new org.apache.spark.ml.classification.LogisticRegression()
-      .setFeaturesCol("__feat").setLabelCol("__label")
-      .setRegParam(regParam).setMaxIter(maxIter)
-      .fit(prepared)
+    // score with a summary-free copy: the training summary drags the
+    // SparkSession into the scoring closure (see MLStages.stripTrainingSummary)
+    val model = graft.workflow.MLStages.stripTrainingSummary(
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setFeaturesCol("__feat").setLabelCol("__label")
+        .setRegParam(regParam).setMaxIter(maxIter)
+        .fit(prepared))
     model.transform(prepared)
       .select(col("doc_id"),
         org.apache.spark.ml.functions.vector_to_array(col("probability"))

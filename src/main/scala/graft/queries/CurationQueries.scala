@@ -171,6 +171,27 @@ object CurationQueries {
     // corpus-wide duplicate-span removal (paragraph dedup over fixed
     // 3-token spans): spans present in more than 8 distinct docs are
     // boilerplate and get cut; cleaned text reassembles in order
+    // KMV distinct-count sketch over corpus vocabulary, estimate +
+    // exact side by side — the estimate itself hash-matches the oracle
+    // because the k-minimum-values set is md5-deterministic
+    "q130_kmv_distinct" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.aggregators.Sketches.kmvDistinct(toks, col("tok"), k = 256)
+        .crossJoin(broadcast(
+          toks.agg(countDistinct(col("tok")).as("exact_distinct"))))
+        .select(round(col("est_distinct"), 6).as("est_distinct"),
+          col("k_used").cast("bigint").as("k_used"), col("exact_distinct"))
+    }),
+
+    // deterministic exact-size uniform sample via min-k md5 priorities
+    // (the bounded-memory path to column statistics at 100 TB)
+    "q131_minks_sample" -> ((s, d) => {
+      graft.aggregators.Sketches.minKSample(Tables.documents(s, d),
+          col("doc_id"), k = 256)
+        .select(col("doc_id"), col("n_chars"), col("sample_rank"))
+    }),
+
     // exact corpus-vocabulary heavy hitters (freq >= 0.2% of tokens):
     // bounded Misra-Gries candidate pass + exact recount of candidates
     // only — no full groupBy-token result ever materializes
@@ -406,6 +427,31 @@ object CurationQueries {
                         ((c_raw + 1.0) / (tot_raw + 256)))), 6) + 0 AS dsir_weight
          FROM feats JOIN stats USING (bucket) CROSS JOIN tots
          GROUP BY doc_id""",
+
+    "q130_kmv_distinct" ->
+      s"""WITH tok AS (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+           FROM documents),
+         h AS (SELECT DISTINCT ${H60("tok")} AS h FROM tok),
+         mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
+         kth AS (SELECT max(h) AS hk, count(*) AS k_used FROM mins),
+         ex AS (SELECT count(DISTINCT tok) AS exact_distinct FROM tok)
+         SELECT
+           CASE WHEN k_used < 256 THEN round(CAST(k_used AS DOUBLE), 6)
+                ELSE round(255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0), 6)
+           END AS est_distinct,
+           k_used, exact_distinct
+         FROM kth, ex""",
+
+    "q131_minks_sample" ->
+      s"""SELECT doc_id, n_chars,
+            CAST(row_number() OVER (
+              ORDER BY CAST(${H60("'minks:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE),
+                doc_id) AS INT) AS sample_rank
+          FROM documents
+          ORDER BY CAST(${H60("'minks:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE),
+            doc_id
+          LIMIT 256""",
 
     "q128_heavy_hitters" ->
       """WITH tok AS (

@@ -18,6 +18,32 @@ import graft.workflow.FeatureKind._
   */
 object MLStages {
 
+  /** A score-only copy of a fitted model: same params/coefficients, no
+    * training summary. spark.ml's transform captures the MODEL in its
+    * scoring closure, and a summary drags the whole training object
+    * graph — including a SparkSession reference — into every task:
+    * closure bloat at best, and an outright serialization failure once
+    * anything non-serializable (e.g. the session's ObservationManager,
+    * created by the first `Dataset.observe`) hangs off the session.
+    * `copy` alone does NOT shed it (Spark's model copies re-attach the
+    * summary), so the copy's summary field is cleared reflectively; the
+    * caller's original keeps its summary for driver-side inspection. */
+  private[graft] def stripTrainingSummary(
+      t: org.apache.spark.ml.Transformer): org.apache.spark.ml.Transformer =
+    t match {
+      case m: org.apache.spark.ml.Model[_] =>
+        val c = m.copy(org.apache.spark.ml.param.ParamMap.empty)
+          .asInstanceOf[org.apache.spark.ml.Transformer]
+        var cls: Class[_] = c.getClass
+        while (cls != null) {
+          cls.getDeclaredFields.filter(_.getName.endsWith("trainingSummary"))
+            .foreach { f => f.setAccessible(true); f.set(c, None) }
+          cls = cls.getSuperclass
+        }
+        c
+      case other => other
+    }
+
   private def toVec(featuresCol: String) = array_to_vector(col(featuresCol))
 
   /** Binary/multinomial logistic regression. */
@@ -274,13 +300,19 @@ object MLStages {
   * is in `outsSpec`. */
 class FittedPredictor(
     val mlKind: String,
-    val model: org.apache.spark.ml.Transformer,
+    rawModel: org.apache.spark.ml.Transformer,
     val featuresName: String,
     val outPrefix: String,
     ins: Seq[Feature],
     outsSpec: Seq[(String, FeatureKind)],
     sharedOutputs: Option[Seq[Feature]] = None)
   extends DataFrameStage(s"$mlKind.fitted", ins) {
+
+  /** The wrapped model with its training summary stripped — score-time
+    * state must be the coefficients, nothing else (see
+    * [[MLStages.stripTrainingSummary]]). */
+  val model: org.apache.spark.ml.Transformer =
+    MLStages.stripTrainingSummary(rawModel)
 
   def outputs: Seq[(String, FeatureKind)] = outsSpec
   override lazy val outputFeatures: Seq[Feature] =

@@ -41,4 +41,34 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("KMV estimates distinct count within the k-bound error, exactly below k") {
+    val many = (0 until 20000).map(i => s"v${i % 5000}").toDF("v")
+    val Array(est, used) = Sketches.kmvDistinct(many, col("v"), 256)
+      .collect().head.toSeq.toArray.map(_.toString.toDouble)
+    assert(used == 256)
+    assert(math.abs(est - 5000) / 5000 < 3.0 / math.sqrt(256), s"est=$est")
+    // deterministic across partitionings
+    val est2 = Sketches.kmvDistinct(many.repartition(17), col("v"), 256)
+      .collect().head.getDouble(0)
+    assert(est == est2)
+    // below k the sketch holds every distinct hash -> exact
+    val few = (0 until 100).map(i => s"v${i % 40}").toDF("v")
+    assert(Sketches.kmvDistinct(few, col("v"), 256).collect().head.getDouble(0) == 40.0)
+  }
+
+  test("minKSample draws an exact-size, partition-stable, unbiased sample") {
+    val df = (1L to 5000L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val a = Sketches.minKSample(df, col("id"), 200)
+    val rows = a.collect()
+    assert(rows.length == 200)
+    assert(rows.map(_.getAs[Int]("sample_rank")).sorted.toSeq == (1 to 200))
+    val b = Sketches.minKSample(df.repartition(23), col("id"), 200)
+      .select("id").as[Long].collect().toSet
+    assert(a.select("id").as[Long].collect().toSet == b)
+    // quantile estimated from the sample lands near the true quantile
+    // (x is uniform on 1..5000; median ~2500, tolerance ~3/sqrt(k))
+    val med = a.agg(expr("percentile(x, 0.5)")).head.getDouble(0)
+    assert(math.abs(med - 2500) / 2500 < 3.0 / math.sqrt(200), s"median=$med")
+  }
 }
