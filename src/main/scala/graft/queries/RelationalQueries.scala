@@ -152,9 +152,12 @@ object RelationalQueries {
       val c = Tables.customer(s, d); val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d); val su = Tables.supplier(s, d)
       val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      // two key-partitioned shuffles (c⋈o on custkey, ⋈l on orderkey);
+      // supplier/nation/region are true dimensions — broadcast, so the
+      // fact side never reshuffles on suppkey
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
-        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))

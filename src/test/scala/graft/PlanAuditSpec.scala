@@ -46,10 +46,11 @@ class PlanAuditSpec extends SparkSpec {
     "q42_cramers_v", "q43_histogram_drift", "q57_text_tfidf",
     "q58_smart_text_decide", "q75_sanity_feature_corr",
     "q108_curation_lm_surprisal", "q116_curation_dsir_weights",
-    // q128: the Misra-Gries global sketch reduces to ONE bounded buffer
-    // (<= ceil(1/phi) counters) — a single-partition final merge of
-    // per-partition sketches plus a broadcast of the 1-row total
-    "q128_heavy_hitters")
+    // q128/q130: global sketch aggregations reduce to ONE bounded
+    // buffer (<= ceil(1/phi) counters / k hashes) — a single-partition
+    // final merge of per-partition sketches plus a broadcast of the
+    // 1-row total / exact-count frame
+    "q128_heavy_hitters", "q130_kmv_distinct")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
