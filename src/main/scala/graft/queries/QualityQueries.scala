@@ -83,6 +83,29 @@ object QualityQueries {
       Streaming.runToCompletion(s, agg, "q44_stream", shufflePartitions = Some(8))
     }),
 
+    // streaming heavy hitters, sketch-then-verify: a bounded Misra-
+    // Gries sketch per watermarked day-window surfaces candidates on
+    // the stream; a batch exact recount of ONLY the candidates makes
+    // the answer deterministic (users with >= 2% of their window's
+    // events) — the lambda shape a 100 TB/day pipeline runs
+    "q132_stream_heavy_hitters" -> ((s, d) => {
+      val cands = Streaming.runToCompletion(s,
+        Streaming.windowedHeavyHitters(Streaming.eventStream(s, d),
+          col("user_id"), windowLen = "1 day", lateness = "1 day", k = 50),
+        "q132_stream", shufflePartitions = Some(8))
+        .select(col("window_start"), col("item"))
+      val ev = Tables.events(s, d).select(
+        date_trunc("day", col("ts")).as("window_start"),
+        col("user_id").cast("string").as("item"))
+      val tot = ev.groupBy(col("window_start")).agg(count(lit(1)).as("__n"))
+      ev.join(broadcast(cands), Seq("window_start", "item"))
+        .groupBy(col("window_start"), col("item"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .join(broadcast(tot), "window_start")
+        .where(col("n_occurrences").cast("double") >= lit(0.02) * col("__n"))
+        .select(col("window_start"), col("item"), col("n_occurrences"))
+    }),
+
     // stream-static enrichment: events stream broadcast-joined to the
     // customer dim, then watermark + tumbling window per market segment
     "q121_stream_static_enrich" -> ((s, d) => {
@@ -341,6 +364,17 @@ object QualityQueries {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q132_stream_heavy_hitters" ->
+      """WITH e AS (
+           SELECT date_trunc('day', ts) AS window_start,
+             CAST(user_id AS VARCHAR) AS item
+           FROM events),
+         t AS (SELECT window_start, count(*) AS n FROM e GROUP BY 1)
+         SELECT e.window_start, e.item, count(*) AS n_occurrences
+         FROM e JOIN t USING (window_start)
+         GROUP BY e.window_start, e.item, t.n
+         HAVING count(*) >= 0.02 * t.n""",
 
     "q121_stream_static_enrich" ->
       """SELECT date_trunc('day', e.ts) AS window_start, c.c_mktsegment,

@@ -67,6 +67,28 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming heavy-hitter CANDIDATES per tumbling window: the same
+    * Misra-Gries aggregator the batch path uses
+    * ([[graft.aggregators.Sketches]]) dropped into a watermarked window
+    * aggregation — a mergeable sketch is streaming-compatible by
+    * construction: per-window state is ONE bounded buffer (<= k
+    * counters) regardless of stream length, merge order never breaks
+    * the superset guarantee, and the watermark reclaims each window's
+    * sketch. Emits (window_start, item, lower_bound); any item with
+    * in-window frequency >= 1/(k+1) is guaranteed present. Candidate
+    * counts are merge-order-dependent — pair with an exact recount for
+    * a deterministic final answer (the q132 sketch-then-verify shape). */
+  def windowedHeavyHitters(stream: DataFrame, item: org.apache.spark.sql.Column,
+                           windowLen: String, lateness: String, k: Int): DataFrame = {
+    val agg = udaf(new graft.aggregators.Sketches.MisraGriesAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    stream.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(agg(item.cast("string")).as("__mg"))
+      .select(col("window.start").as("window_start"),
+        explode(col("__mg")).as(Seq("item", "lower_bound")))
+  }
+
   /** Stream-static enrichment join: attach dimension attributes to a
     * stream before aggregating. Stateless (the static side is re-read
     * per micro-batch, no state store involved) and broadcast by

@@ -8,6 +8,26 @@ class StreamingSpec extends SparkSpec {
 
   val sfDir = "/root/testdata/sf0.001"
 
+  test("streaming Misra-Gries candidates cover every true in-window heavy hitter") {
+    val k = 50
+    val cands = Streaming.runToCompletion(
+      spark,
+      Streaming.windowedHeavyHitters(Streaming.eventStream(spark, sfDir),
+        col("user_id"), "1 day", "1 day", k),
+      "stream_spec_hh")
+      .select(col("window_start"), col("item"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    // truth: items with frequency > n/(k+1) within their window
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("w"), col("user_id").cast("string").as("item"))
+    val truth = ev.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .join(ev.groupBy(col("w"), col("item")).agg(count(lit(1)).as("c")), "w")
+      .where(col("c") > col("n") / (k + 1))
+      .select(col("w"), col("item"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    assert(truth.nonEmpty && truth.subsetOf(cands))
+  }
+
   test("windowed aggregation over a file stream equals the batch answer") {
     val streamed = Streaming.runToCompletion(
       spark,
