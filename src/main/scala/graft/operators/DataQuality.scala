@@ -265,6 +265,63 @@ object DataQuality {
       .drop("__total")
   }
 
+  /** Population stability index between a train and a score frame over
+    * the shared fixed-width binning of [[histogram]]:
+    * PSI = Σ_b (p_s - p_t) · ln(p_s / p_t), with add-eps smoothing
+    * (p = (cnt + eps) / (n + eps·bins)) so empty bins contribute a
+    * finite, deterministic term. The industry drift gate alongside the
+    * reference's JS-divergence check (RawFeatureFilter's
+    * maxJSDivergence): PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
+    * shifted. Two distributed histogram passes; everything after is
+    * O(bins). Emits one row (psi, n_train, n_score). */
+  def psiDrift(train: DataFrame, score: DataFrame, c: Column,
+               lo: Double, hi: Double, buckets: Int,
+               eps: Double = 0.5): DataFrame = {
+    val ht = histogram(train, c, lo, hi, buckets)
+      .select(col("bucket"), col("cnt").as("cnt_t"))
+    val hs = histogram(score, c, lo, hi, buckets)
+      .select(col("bucket"), col("cnt").as("cnt_s"))
+    val joined = ht.join(hs, Seq("bucket"))
+    val tot = joined.agg(sum(col("cnt_t")).as("n_t"), sum(col("cnt_s")).as("n_s"))
+    val pT = (col("cnt_t") + eps) / (col("n_t") + eps * buckets)
+    val pS = (col("cnt_s") + eps) / (col("n_s") + eps * buckets)
+    joined.crossJoin(broadcast(tot))
+      .agg(round(sum((pS - pT) * log(pS / pT)), 6).as("psi"),
+        first(col("n_t")).as("n_train"), first(col("n_s")).as("n_score"))
+  }
+
+  /** One-pass numeric column profiler: per column — row count, null
+    * count, EXACT distinct count, min, max, and an order-independent
+    * mean (decimal-summed). One aggregation job; the exact distincts
+    * expand the scan once per profiled column (Spark's multi-DISTINCT
+    * Expand), which is the differential-testable choice at fit SF — at
+    * 100 TB swap `approx_count_distinct` per column and the pass is a
+    * single scan. Emits one row per column, exploded from the single
+    * aggregated row (no per-column rescans). */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c"),
+      sum(col(c).cast("decimal(28,4)")).as(s"__sum_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    row.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"__cnt_$c")).as("n_null"),
+          col(s"__nd_$c").as("n_distinct"),
+          col(s"__min_$c").as("min"),
+          col(s"__max_$c").as("max"),
+          // double-divide the EXACT decimal sum: decimal/decimal division
+          // scale rules differ across engines, IEEE double division no
+          (col(s"__sum_$c").cast("double") / col(s"__cnt_$c")).as("mean"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Jensen-Shannon divergence between two aligned discrete
     * distributions (RawFeatureFilter's maxJSDivergence gate). Driver-side
     * over the O(buckets) histogram — the heavy lifting happened in the

@@ -83,6 +83,22 @@ object QualityQueries {
       Streaming.runToCompletion(s, agg, "q44_stream", shufflePartitions = Some(8))
     }),
 
+    // one-pass numeric column profiler over the fact table
+    "q133_column_profile" -> ((s, d) => {
+      DataQuality.profileNumeric(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
+    // PSI drift gate over the same early/late order split as q43's
+    // histogram drift — one row: the scalar a monitoring system pages on
+    "q134_psi_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      DataQuality.psiDrift(
+        o.where(col("o_orderdate") < "1998-01-01"),
+        o.where(col("o_orderdate") >= "1998-01-01"),
+        col("o_totalprice"), 0, 500000, 20)
+    }),
+
     // streaming heavy hitters, sketch-then-verify: a bounded Misra-
     // Gries sketch per watermarked day-window surfaces candidates on
     // the stream; a batch exact recount of ONLY the candidates makes
@@ -364,6 +380,31 @@ object QualityQueries {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q133_column_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+              count(*) - count($c) AS n_null,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+              CAST(sum(CAST($c AS DECIMAL(28,4))) AS DOUBLE) / count($c) AS mean
+            FROM lineitem""").mkString(" UNION ALL "),
+
+    "q134_psi_drift" ->
+      """WITH buckets AS (SELECT unnest(range(0, 20)) AS bucket),
+         e AS (SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19) b,
+                 COUNT(*) cnt FROM orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+         l AS (SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19) b,
+                 COUNT(*) cnt FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+         j AS (SELECT bucket, coalesce(e.cnt, 0) AS cnt_t, coalesce(l.cnt, 0) AS cnt_s
+               FROM buckets LEFT JOIN e ON bucket = e.b LEFT JOIN l ON bucket = l.b),
+         t AS (SELECT sum(cnt_t) AS n_t, sum(cnt_s) AS n_s FROM j)
+         SELECT round(sum(((cnt_s + 0.5) / (n_s + 10.0) - (cnt_t + 0.5) / (n_t + 10.0))
+                  * ln(((cnt_s + 0.5) / (n_s + 10.0)) / ((cnt_t + 0.5) / (n_t + 10.0)))), 6) AS psi,
+           n_t AS n_train, n_s AS n_score
+         FROM j, t GROUP BY n_t, n_s""",
 
     "q132_stream_heavy_hitters" ->
       """WITH e AS (

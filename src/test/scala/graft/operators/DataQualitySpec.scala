@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 
 class DataQualitySpec extends SparkSpec {
 
+  test("profileNumeric: one row per column with exact null/distinct/mean") {
+    val s = spark; import s.implicits._
+    val d = Seq[(Option[Double], Option[Double])](
+      (Some(1.0), Some(5.0)), (Some(2.0), None), (Some(1.0), Some(7.0)))
+      .toDF("a", "b")
+    val p = DataQuality.profileNumeric(d, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("a").getLong(1) == 3 && p("a").getLong(2) == 0 &&
+      p("a").getLong(3) == 2 && p("a").getDouble(4) == 1.0 &&
+      p("a").getDouble(5) == 2.0 && math.abs(p("a").getDouble(6) - 4.0 / 3) < 1e-12)
+    assert(p("b").getLong(2) == 1 && p("b").getLong(3) == 2 &&
+      p("b").getDouble(6) == 6.0)
+  }
+
+  test("psiDrift: ~0 on identical frames, positive and large under shift") {
+    val s = spark; import s.implicits._
+    val base = (1 to 1000).map(_.toDouble).toDF("v")
+    val same = DataQuality.psiDrift(base, base, col("v"), 0, 1000, 10)
+      .collect().head
+    assert(math.abs(same.getDouble(0)) < 1e-9)
+    assert(same.getLong(1) == 1000 && same.getLong(2) == 1000)
+    val shifted = (1 to 1000).map(i => i / 2.0).toDF("v")
+    val psi = DataQuality.psiDrift(base, shifted, col("v"), 0, 1000, 10)
+      .collect().head.getDouble(0)
+    assert(psi > 0.25, s"expected a large PSI under a halving shift, got $psi")
+  }
+
   lazy val df = {
     val s = spark; import s.implicits._
     Seq[(Option[Double], Option[String], Double)](
