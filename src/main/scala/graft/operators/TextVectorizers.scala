@@ -108,6 +108,61 @@ object TextVectorizers {
         (col("cnt") * log((col("m") + 1.0) / (col("df_b") + 1.0))).as("tfidf"))
   }
 
+  /** BM25 relevance weights per (doc, bucket) over the hashed term
+    * space (Robertson-Sparck-Jones idf with Lucene's +1 floor, the
+    * formula spark.ml does not ship):
+    *
+    *   idf(b)    = ln((m - df_b + 0.5) / (df_b + 0.5) + 1)
+    *   score     = idf(b) * cnt*(k1+1) / (cnt + k1*(1 - b + b*dl/avgdl))
+    *
+    * with dl = the doc's token count and avgdl = total tokens / m
+    * (empty docs count in m — a deterministic convention the oracle
+    * replays). ONE plan: tf is persisted and feeds three branches —
+    * per-doc length via a window over the SAME (id, bucket) rows (no
+    * second join), the O(dims) document-frequency table
+    * (broadcast), and the two global scalars (broadcast). Lifecycle is
+    * the materialize-then-release contract documented on [[Dedup]]. */
+  def bm25(df: DataFrame, id: Column, text: Column, dims: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = hashedTf(df, id, text, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfb = tf.groupBy(col("bucket")).agg(countDistinct(col("id")).as("df_b"))
+    val totals = df.agg(count(lit(1)).as("m"))
+      .crossJoin(tf.agg(sum(col("cnt")).as("toks")))
+    val dl = sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("id")))
+    tf.withColumn("dl", dl)
+      .join(broadcast(dfb), "bucket").crossJoin(broadcast(totals))
+      .select(col("id"), col("bucket"),
+        (log((col("m") - col("df_b") + 0.5) / (col("df_b") + 0.5) + 1.0) *
+          (col("cnt") * (k1 + 1.0)) /
+          (col("cnt") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("toks") / col("m"))))
+        ).as("bm25"))
+  }
+
+  /** BM25 top-k retrieval: score every doc against a literal query
+    * string and keep the `k` best (score desc, id asc — deterministic).
+    * The query tokenizes driver-side (it is a literal), its buckets
+    * become an isin filter ON TOP of the sparse scores — Catalyst
+    * pushes it below the scoring join, so only matching (id, bucket)
+    * rows flow — and the global top-k is a TakeOrdered, never a
+    * single-partition sort. */
+  def bm25TopK(df: DataFrame, id: Column, text: Column, query: String,
+               dims: Int, k: Int, k1: Double = 1.2, bp: Double = 0.75): DataFrame = {
+    val qBuckets = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      .map { tok =>
+        val h = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(tok).take(15), 16)
+        (h % dims + dims) % dims
+      }.distinct.toSeq
+    require(qBuckets.nonEmpty, "query tokenizes to nothing")
+    bm25(df, id, text, dims, k1, bp)
+      .where(col("bucket").isin(qBuckets: _*))
+      .groupBy(col("id")).agg(round(sum(col("bm25")), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Dense array<double> tf vector per id (assembled from the sparse
     * form — only materialize when a model needs the dense shape). */
   def tfVector(tf: DataFrame, dims: Int): DataFrame =

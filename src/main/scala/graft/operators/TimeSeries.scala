@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time sessionization and rolling-window features — the
+  * per-entity temporal feature family a training-data pipeline derives
+  * from raw event logs (the reference builds these by hand from its
+  * aggregated readers; here they are first-class window operators).
+  *
+  * Scale: both operators are ONE shuffle on the entity key followed by
+  * window functions over that partitioning — no self-joins, no
+  * per-entity driver work. Entities are assumed numerous (user-grained),
+  * so the hash partitioning spreads; a single pathological entity is a
+  * skew problem to salt upstream ([[Skew]]), not a reason to change the
+  * plan shape.
+  */
+object TimeSeries {
+
+  /** Gap-based sessionization: within an entity's timeline (ordered by
+    * event time, tiebroken by `order` for determinism) a new session
+    * starts whenever the gap to the previous event exceeds
+    * `gapSeconds`. Emits the input plus `session_idx` — the entity's
+    * 1-based running session number; (entity, session_idx) is the
+    * session key.
+    *
+    * Both windows (the lag and the running sum) share one partitioning
+    * and sort, so Catalyst plans a single Exchange + Sort. */
+  def sessionize(df: DataFrame, entity: Column, ts: Column, order: Column,
+                 gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy(entity).orderBy(unix_micros(ts), order)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(unix_micros(ts), 1).over(w)
+    val isNew = when(
+      prev.isNull || unix_micros(ts) - prev > gapSeconds * 1000000L, 1).otherwise(0)
+    df.withColumn("session_idx", sum(isNew).over(run))
+  }
+
+  /** Per-session summary: event count, first/last event time, duration
+    * seconds, and the value sum — one groupBy over the session key. */
+  def sessionSummary(df: DataFrame, entity: Column, ts: Column, order: Column,
+                     value: Column, gapSeconds: Long): DataFrame =
+    sessionize(df, entity, ts, order, gapSeconds)
+      .groupBy(entity.as("entity"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(ts).as("t_start"), max(ts).as("t_end"),
+        ((unix_micros(max(ts)) - unix_micros(min(ts))) / 1e6).as("duration_sec"),
+        round(sum(value), 6).as("sum_value"))
+
+  /** Rolling event-time features per entity: over the trailing
+    * `windowSeconds` (RANGE frame on event-time micros, inclusive of
+    * the current event) — event count, value sum and mean; plus the
+    * previous event's value and the seconds elapsed since it (lag
+    * features). One Exchange; the range and row windows share the
+    * entity partitioning and time sort. */
+  def rollingStats(df: DataFrame, entity: Column, ts: Column, order: Column,
+                   value: Column, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    val byTime = Window.partitionBy(entity).orderBy(unix_micros(ts))
+    val trailing = byTime.rangeBetween(-windowSeconds * 1000000L, 0)
+    val byRow = Window.partitionBy(entity).orderBy(unix_micros(ts), order)
+    df.select(order.as("id"), entity.as("entity"), ts.as("ts"),
+        count(lit(1)).over(trailing).as("n_trail"),
+        round(sum(value).over(trailing), 6).as("sum_trail"),
+        round(avg(value).over(trailing), 6).as("avg_trail"),
+        lag(value, 1).over(byRow).as("prev_value"),
+        round((unix_micros(ts) - lag(unix_micros(ts), 1).over(byRow)) / 1e6, 6)
+          .as("secs_since_prev"))
+  }
+}

@@ -197,4 +197,27 @@ object Vectorizers {
       .join(broadcast(idx), Seq("value"), "left")
       .select(col("id"), col("value"), col("idx"))
   }
+
+  /** Smoothed mean target encoding: each category maps to
+    * `(sum_label + alpha * prior) / (n + alpha)` with prior = the global
+    * label mean — the shrinkage form that keeps rare categories near the
+    * prior instead of memorizing their few labels. Fit is one groupBy
+    * producing an O(#categories) table, broadcast back over the rows
+    * (null-safe, so a null category is its own level); the 1-row prior
+    * frame rides the same broadcast. No leave-one-out split here — at
+    * fit/score separation the caller encodes the scoring frame with a
+    * table fitted on train only. */
+  def targetEncode(df: DataFrame, id: Column, cat: Column, label: Column,
+                   alpha: Double = 10.0): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val table = df.groupBy(cat.as("cat"))
+      .agg(count(lit(1)).as("n"), sum(label.cast("double")).as("s"))
+    val prior = df.agg(avg(label.cast("double")).as("prior"))
+    df.select(id.as("id"), cat.as("__cat"))
+      .join(broadcast(table), col("__cat") <=> col("cat"))
+      .crossJoin(broadcast(prior))
+      .select(col("id"), col("__cat").as("cat"),
+        round((col("s") + lit(alpha) * col("prior")) / (col("n") + lit(alpha)), 6)
+          .as("enc"))
+  }
 }

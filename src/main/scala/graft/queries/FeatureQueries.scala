@@ -17,6 +17,14 @@ object FeatureQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // smoothed mean target encoding: order priority vs total price,
+    // shrunk toward the global mean (alpha = 25)
+    "q139_target_encode" -> ((s, d) => {
+      Vectorizers.targetEncode(Tables.orders(s, d), col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"), alpha = 25.0)
+        .select(col("id").as("o_orderkey"), col("cat").as("priority"), col("enc"))
+    }),
+
     "q29_onehot_topk" -> ((s, d) => {
       Vectorizers.oneHotTopK(Tables.orders(s, d),
           col("o_orderkey"), col("o_orderpriority"), k = 3, minSupport = 10)
@@ -192,6 +200,16 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_target_encode" ->
+      """WITH t AS (SELECT o_orderpriority AS cat, count(*) AS n,
+                      sum(o_totalprice) AS s
+                    FROM orders GROUP BY 1),
+          p AS (SELECT avg(o_totalprice) AS prior FROM orders)
+          SELECT o_orderkey, o_orderpriority AS priority,
+            ROUND((s + 25.0 * prior) / (n + 25.0), 6) AS enc
+          FROM orders JOIN t ON o_orderpriority IS NOT DISTINCT FROM cat
+          CROSS JOIN p""",
+
     "q70_datelist_minmax_concat" ->
       """SELECT user_id,
            epoch_us(MAX(ts)) AS max_ts, epoch_us(MIN(ts)) AS min_ts,

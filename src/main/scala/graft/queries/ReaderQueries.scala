@@ -30,6 +30,28 @@ object ReaderQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // gap-based sessionization: per-user 6h-gap sessions summarized —
+    // one shuffle on user_id, stacked windows share the Exchange
+    "q137_sessionize" -> ((s, d) => {
+      graft.operators.TimeSeries.sessionSummary(
+          Tables.events(s, d), entity = col("user_id"), ts = col("ts"),
+          order = col("event_id"), value = col("value"), gapSeconds = 21600L)
+        .select(col("entity").as("user_id"), col("session_idx"), col("n_events"),
+          unix_micros(col("t_start")).as("t_start_us"),
+          unix_micros(col("t_end")).as("t_end_us"),
+          round(col("duration_sec"), 6).as("duration_sec"), col("sum_value"))
+    }),
+
+    // trailing 24h rolling features + lag features per user
+    "q138_rolling_features" -> ((s, d) => {
+      graft.operators.TimeSeries.rollingStats(
+          Tables.events(s, d), entity = col("user_id"), ts = col("ts"),
+          order = col("event_id"), value = col("value"), windowSeconds = 86400L)
+        .select(col("id").as("event_id"), col("entity").as("user_id"),
+          col("n_trail"), col("sum_trail"), col("avg_trail"),
+          col("prev_value"), col("secs_since_prev"))
+    }),
+
     // CutOffTime.DaysAgo relative cutoff (reference CutOffTime.scala:41-70)
     "q62_agg_cutoff_daysago" -> ((s, d) => {
       AggregateReader.aggregateWithCutoff(
@@ -152,6 +174,36 @@ object ReaderQueries {
         FROM embeddings"""
 
   val oracles: Map[String, String] = Map(
+    "q137_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS tus
+                    FROM events),
+          f AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                                 OR tus - lag(tus) OVER w > 21600000000 THEN 1
+                               ELSE 0 END AS is_new
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+          g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM f)
+          SELECT user_id, session_idx, count(*) AS n_events,
+            min(tus) AS t_start_us, max(tus) AS t_end_us,
+            ROUND((max(tus) - min(tus)) / 1e6, 6) AS duration_sec,
+            ROUND(sum(value), 6) AS sum_value
+          FROM g GROUP BY 1, 2""",
+
+    "q138_rolling_features" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus
+                    FROM events)
+          SELECT event_id, user_id,
+            count(*) OVER tr AS n_trail,
+            ROUND(sum(value) OVER tr, 6) AS sum_trail,
+            ROUND(avg(value) OVER tr, 6) AS avg_trail,
+            lag(value) OVER rw AS prev_value,
+            ROUND((tus - lag(tus) OVER rw) / 1e6, 6) AS secs_since_prev
+          FROM e
+          WINDOW tr AS (PARTITION BY user_id ORDER BY tus
+                        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+                 rw AS (PARTITION BY user_id ORDER BY tus, event_id)""",
+
     "q83_scale_descale" ->
       """SELECT o_orderkey,
            ROUND(o_totalprice * 0.001 + -5.0, 6) AS price_s,

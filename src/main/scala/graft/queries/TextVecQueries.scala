@@ -45,6 +45,19 @@ object TextVecQueries {
           TextVectorizers.HashSpace.Shared)
         .select(lit("shared").as("mode"), col("id"), col("bucket"), col("cnt"))
       sep.unionByName(sh)
+    }),
+
+    // BM25 relevance over the hashed term space (RSJ idf + length
+    // normalization — the retrieval weighting spark.ml lacks), and
+    // top-k retrieval for a literal query
+    "q135_text_bm25" -> ((s, d) => {
+      TextVectorizers.bm25(Tables.documents(s, d), col("doc_id"), col("text"), DIMS)
+        .select(col("id"), col("bucket"), round(col("bm25"), 6).as("bm25"))
+    }),
+
+    "q136_bm25_topk" -> ((s, d) => {
+      TextVectorizers.bm25TopK(Tables.documents(s, d), col("doc_id"), col("text"),
+        query = "spark window join", dims = DIMS, k = 20)
     })
   )
 
@@ -109,6 +122,38 @@ object TextVecQueries {
            CASE WHEN n_distinct <= 50 THEN 'pivot'
                 WHEN len_var > 0 THEN 'hash'
                 ELSE 'ignore' END AS decision
-         FROM s"""
+         FROM s""",
+
+    "q135_text_bm25" ->
+      s"""WITH tf AS ($TF),
+          dl AS (SELECT id, sum(cnt) AS dl FROM tf GROUP BY 1),
+          dfb AS (SELECT bucket, count(DISTINCT id) AS df_b FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS m FROM documents),
+          t AS (SELECT sum(cnt) AS toks FROM tf)
+          SELECT tf.id, tf.bucket,
+            ROUND(ln((m - df_b + 0.5) / (df_b + 0.5) + 1.0)
+                  * (cnt * 2.2)
+                  / (cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl / (toks / m))), 6) AS bm25
+          FROM tf JOIN dl USING (id) JOIN dfb USING (bucket)
+          CROSS JOIN n CROSS JOIN t""",
+
+    "q136_bm25_topk" ->
+      s"""WITH tf AS ($TF),
+          dl AS (SELECT id, sum(cnt) AS dl FROM tf GROUP BY 1),
+          dfb AS (SELECT bucket, count(DISTINCT id) AS df_b FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS m FROM documents),
+          t AS (SELECT sum(cnt) AS toks FROM tf),
+          qb AS (SELECT DISTINCT CAST(${H60("tok")} % $DIMS AS INT) AS bucket
+                 FROM (SELECT unnest(['spark', 'window', 'join']) AS tok)),
+          scores AS (
+            SELECT tf.id,
+              ROUND(sum(ln((m - df_b + 0.5) / (df_b + 0.5) + 1.0)
+                    * (cnt * 2.2)
+                    / (cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl / (toks / m)))), 6) AS score
+            FROM tf JOIN dl USING (id) JOIN dfb USING (bucket)
+            CROSS JOIN n CROSS JOIN t
+            WHERE tf.bucket IN (SELECT bucket FROM qb)
+            GROUP BY 1)
+          SELECT id, score FROM scores ORDER BY score DESC, id ASC LIMIT 20"""
   )
 }

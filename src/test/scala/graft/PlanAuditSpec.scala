@@ -50,7 +50,18 @@ class PlanAuditSpec extends SparkSpec {
     // buffer (<= ceil(1/phi) counters / k hashes) — a single-partition
     // final merge of per-partition sketches plus a broadcast of the
     // 1-row total / exact-count frame
-    "q128_heavy_hitters", "q130_kmv_distinct")
+    "q128_heavy_hitters", "q130_kmv_distinct",
+    // q133/q134: global profile/drift fits — the final aggregate is one
+    // row (per profiled column / one PSI scalar); q134's BNLJ broadcasts
+    // the 1-row bucket-total frame against a <= `buckets`-row join
+    "q133_column_profile", "q134_psi_drift",
+    // q135/q136: BM25 — same shape as q57's idf fit: the corpus size /
+    // total-token scalars are 1-row frames crossJoin-broadcast into the
+    // scoring join
+    "q135_text_bm25", "q136_bm25_topk",
+    // q139: target-encoding fit — the global-prior scalar is a 1-row
+    // frame crossJoin-broadcast over the encoded rows
+    "q139_target_encode")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,

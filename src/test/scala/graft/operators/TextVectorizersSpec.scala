@@ -89,4 +89,47 @@ class TextVectorizersSpec extends SparkSpec {
     assert(wide.columns.contains("text_tf"))
     assert(wide.count() == 4)
   }
+
+  /** The spec's own md5 bucket — same family as TextAnalysis.hash60. */
+  private def bucketOf(tok: String, dims: Int): Int = {
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(tok).take(15), 16)
+    ((h % dims + dims) % dims).toInt
+  }
+
+  test("bm25 matches an independent driver-side computation exactly") {
+    val dims = 64
+    val out = TextVectorizers.bm25(docs, col("id"), col("text"), dims)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // independent computation: tokenize + bucket + the BM25 formula
+    val corpus = Seq(1L -> "alpha beta gamma", 2L -> "alpha alpha delta",
+      3L -> "omega beta", 4L -> "zeta eta theta iota")
+    val tf = corpus.flatMap { case (id, t) =>
+      t.split("\\s+").map(tok => (id, bucketOf(tok, dims))) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val m = corpus.size.toDouble
+    val toks = tf.values.sum.toDouble
+    val dl = tf.groupBy(_._1._1).view.mapValues(_.values.sum.toDouble).toMap
+    val dfb = tf.keys.groupBy(_._2).view.mapValues(_.map(_._1).toSet.size.toDouble).toMap
+    val (k1, b) = (1.2, 0.75)
+    assert(out.size == tf.size)
+    tf.foreach { case ((id, bk), cnt) =>
+      val expected = math.log((m - dfb(bk) + 0.5) / (dfb(bk) + 0.5) + 1.0) *
+        (cnt * (k1 + 1.0)) /
+        (cnt + k1 * (1.0 - b + b * dl(id) / (toks / m)))
+      assert(math.abs(out((id, bk)) - expected) < 1e-12,
+        s"doc $id bucket $bk: got ${out((id, bk))}, want $expected")
+    }
+  }
+
+  test("bm25TopK ranks higher term count first; respects k and tiebreak") {
+    val s = spark; import s.implicits._
+    // dims = 256: every spec token owns its bucket (alpha/gamma collide
+    // below that), so the ranking reflects term counts, not collisions
+    val top = TextVectorizers.bm25TopK(docs, col("id"), col("text"),
+      query = "alpha", dims = 256, k = 2).as[(Long, Double)].collect()
+    // doc 2 has alpha twice (same dl as doc 1) -> strictly higher score
+    assert(top.map(_._1).toSeq == Seq(2L, 1L), top.mkString(","))
+    assert(top(0)._2 > top(1)._2)
+  }
 }

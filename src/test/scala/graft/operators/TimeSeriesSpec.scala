@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+
+  /** Two users; u1 has a 100 s gap after two close events, u2 one event. */
+  lazy val events = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 1.0),
+      (2L, 1L, "2024-01-01 00:00:30", 2.0),
+      (3L, 1L, "2024-01-01 00:02:10", 4.0), // 100 s after e2 -> new session
+      (4L, 2L, "2024-01-01 00:00:00", 8.0)
+    ).toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+  }
+
+  test("sessionize splits on gaps > threshold; summary aggregates per session") {
+    val s = spark; import s.implicits._
+    val out = TimeSeries.sessionize(events, col("user_id"), col("ts"),
+        col("event_id"), gapSeconds = 60L)
+      .select(col("event_id"), col("session_idx")).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+
+    val sum = TimeSeries.sessionSummary(events, col("user_id"), col("ts"),
+        col("event_id"), col("value"), gapSeconds = 60L)
+      .select(col("entity"), col("session_idx"), col("n_events"),
+        col("duration_sec"), col("sum_value"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(sum == Set((1L, 1L, 2L, 30.0, 3.0), (1L, 2L, 1L, 0.0, 4.0),
+      (2L, 1L, 1L, 0.0, 8.0)))
+  }
+
+  test("sessionize: a gap exactly at the threshold stays in-session") {
+    val s = spark; import s.implicits._
+    val out = TimeSeries.sessionize(events, col("user_id"), col("ts"),
+        col("event_id"), gapSeconds = 100L)
+      .select(col("event_id"), col("session_idx")).as[(Long, Long)].collect().toMap
+    assert(out.values.forall(_ == 1L)) // 100 s gap == threshold -> no split
+  }
+
+  test("rollingStats: trailing range counts and lag features are exact") {
+    val s = spark; import s.implicits._
+    val out = TimeSeries.rollingStats(events, col("user_id"), col("ts"),
+        col("event_id"), col("value"), windowSeconds = 60L)
+      .select(col("id"), col("n_trail"), col("sum_trail"),
+        col("prev_value"), col("secs_since_prev"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out(1L) == ((1L, 1.0, None, None)))
+    assert(out(2L) == ((2L, 3.0, Some(1.0), Some(30.0)))) // e1 within 60 s
+    assert(out(3L) == ((1L, 4.0, Some(2.0), Some(100.0)))) // e1,e2 aged out
+    assert(out(4L) == ((1L, 8.0, None, None)))
+  }
+
+  test("sessionize plans ONE exchange for the stacked windows") {
+    val p = TimeSeries.sessionize(events, col("user_id"), col("ts"),
+      col("event_id"), 60L).queryExecution.executedPlan.toString
+    // localrelation input: any Exchange present must be the single
+    // hashpartitioning(user_id); no second shuffle between the windows
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
+  }
+}

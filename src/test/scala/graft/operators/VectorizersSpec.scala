@@ -59,4 +59,20 @@ class VectorizersSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long, Int)].collect()
     assert(out.toSeq == Seq((1L, 0L, 1), (2L, 0L, 1)))
   }
+
+  test("targetEncode shrinks rare categories toward the prior; null is a level") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some("a"), 10.0), (2L, Some("a"), 20.0),
+      (3L, Some("b"), 100.0), (4L, None, 40.0)).toDF("id", "cat", "y")
+    val out = Vectorizers.targetEncode(df, col("id"), col("cat"), col("y"), alpha = 2.0)
+      .select(col("id"), col("enc")).as[(Long, Double)].collect().toMap
+    val prior = (10.0 + 20.0 + 100.0 + 40.0) / 4 // 42.5
+    def enc(sum: Double, n: Int) =
+      math.rint((sum + 2.0 * prior) / (n + 2.0) * 1e6) / 1e6
+    assert(out(1L) == enc(30.0, 2) && out(2L) == out(1L))
+    assert(out(3L) == enc(100.0, 1))
+    assert(out(4L) == enc(40.0, 1)) // null category kept via null-safe join
+    // one-observation "b" sits closer to the prior than its raw mean
+    assert(math.abs(out(3L) - prior) < math.abs(100.0 - prior))
+  }
 }
