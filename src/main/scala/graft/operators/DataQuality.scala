@@ -322,6 +322,47 @@ object DataQuality {
       .select(col("p.*"))
   }
 
+  /** Per-group exact quantiles: one groupBy over the group key, one
+    * `percentile(value, probs)` (linear interpolation — bit-identical to
+    * DuckDB's quantile_cont, the property q33's calibrator already
+    * gates), exploded to (group, prob, q) rows. Exact percentile sorts
+    * within each group buffer, so at extreme per-group cardinality swap
+    * in approx_percentile — the call site documents that trade like the
+    * profiler's countDistinct. */
+  def groupedQuantiles(df: DataFrame, group: Column, value: Column,
+                       probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0,1], got $probs")
+    val qs = df.where(value.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(percentile(value, typedLit(probs)).as("qs"))
+    qs.select(col("grp"),
+        explode(arrays_zip(typedLit(probs).as("prob"), col("qs").as("q"))).as("z"))
+      .select(col("grp"), col("z.prob"), round(col("z.q"), 6).as("q"))
+  }
+
+  /** IQR outlier flags per group (the Tukey fence): a row is an outlier
+    * when its value leaves [q1 - k·iqr, q3 + k·iqr] with q1/q3 the
+    * group's exact quartiles. Fit = one groupBy producing an O(#groups)
+    * fence table broadcast back over the rows; flagging is a codegen'd
+    * projection. */
+  def iqrOutliers(df: DataFrame, id: Column, group: Column, value: Column,
+                  k: Double = 1.5): DataFrame = {
+    val fences = df.where(value.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(percentile(value, lit(0.25)).as("q1"),
+        percentile(value, lit(0.75)).as("q3"))
+      .select(col("grp"),
+        (col("q1") - lit(k) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(k) * (col("q3") - col("q1"))).as("hi"))
+    df.select(id.as("id"), group.as("__grp"), value.as("value"))
+      .join(broadcast(fences), col("__grp") <=> col("grp"))
+      .select(col("id"), col("__grp").as("grp"), col("value"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+        when(col("value") < col("lo") || col("value") > col("hi"), 1)
+          .otherwise(0).as("is_outlier"))
+  }
+
   /** Jensen-Shannon divergence between two aligned discrete
     * distributions (RawFeatureFilter's maxJSDivergence gate). Driver-side
     * over the O(buckets) histogram — the heavy lifting happened in the

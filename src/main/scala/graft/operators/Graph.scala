@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph scoring over an edge frame — PageRank with a fixed
+  * iteration count (the deterministic form: no convergence race, so the
+  * result is exactly replayable by an unrolled-CTE oracle).
+  *
+  * Scale: each iteration is ONE join (ranks to out-edges, both sides
+  * hash-partitioned on the source key) plus ONE groupBy on the
+  * destination — the canonical distributed PageRank shuffle pattern.
+  * The degree-annotated edge set is computed once and persisted across
+  * iterations; per-round rank frames are lazily localCheckpoint-ed
+  * (lineage CUT, not just cached — stacked self-joins double the
+  * Catalyst tree per round otherwise, the trap documented on
+  * [[Dedup.connectedComponents]]) and superseded rounds' blocks are
+  * freed deterministically.
+  */
+object Graph {
+
+  private def checkpointedRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  /** PageRank: pr'(v) = (1-d)/N + d · Σ_{u→v} pr(u)/outdeg(u), run for
+    * exactly `iters` rounds from the uniform start. Conventions (both
+    * replayed by the oracle): N = |distinct src ∪ dst|; parallel edges
+    * collapse (distinct); dangling nodes (no out-edges) keep receiving
+    * rank but their mass is NOT redistributed — at web-graph scale add
+    * the dangling-sum broadcast term; the hook is the 1-row aggregate
+    * this plan already shapes for totals elsewhere. */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+    val withDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // bounded scalar action: materializes both caches
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(false)
+    var liveCp = checkpointedRdd(pr)
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(pr, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(false)
+      next.count() // materialize while the previous round's blocks live
+      liveCp.foreach(_.unpersist(blocking = false))
+      liveCp = checkpointedRdd(next)
+      pr = next
+    }
+    withDeg.unpersist()
+    nodes.unpersist()
+    pr
+  }
+}

@@ -15,6 +15,26 @@ object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // fixed-iteration PageRank over the customer<->supplier trade graph
+    // (suppliers offset into their own key space; both directions so
+    // mass flows through the bipartite structure)
+    "q142_pagerank" -> ((s, d) => {
+      val trade = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000L).as("p"))
+      val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+      val pr = graft.operators.Graph.pageRank(edges, col("src"), col("dst"),
+        iters = 3, damping = 0.85)
+      // emit size-normalized rank (pr * N, ~1.0 scale): rounding the raw
+      // ~1/N ranks would sit too close to the 1e-6 grid for a stable gate
+      val n = pr.agg(count(lit(1)).as("n"))
+      pr.crossJoin(broadcast(n))
+        .select(col("node"), round(col("pr") * col("n"), 6).as("pr_scaled"))
+    }),
+
     "q22_dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
     }),
@@ -122,6 +142,32 @@ object DedupQueries {
        (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"""
 
   val oracles: Map[String, String] = Map(
+    "q142_pagerank" ->
+      """WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, p AS dst FROM t
+                UNION SELECT p AS src, c AS dst FROM t),
+          deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+          c1 AS (SELECT dst AS node, sum(pr / outdeg) AS m
+                 FROM e JOIN deg USING (src) JOIN p0 ON e.src = p0.node
+                 GROUP BY 1),
+          p1 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(m, 0) AS pr
+                 FROM nodes CROSS JOIN nn LEFT JOIN c1 USING (node)),
+          c2 AS (SELECT dst AS node, sum(pr / outdeg) AS m
+                 FROM e JOIN deg USING (src) JOIN p1 ON e.src = p1.node
+                 GROUP BY 1),
+          p2 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(m, 0) AS pr
+                 FROM nodes CROSS JOIN nn LEFT JOIN c2 USING (node)),
+          c3 AS (SELECT dst AS node, sum(pr / outdeg) AS m
+                 FROM e JOIN deg USING (src) JOIN p2 ON e.src = p2.node
+                 GROUP BY 1),
+          p3 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(m, 0) AS pr
+                 FROM nodes CROSS JOIN nn LEFT JOIN c3 USING (node))
+          SELECT node, ROUND(pr * n, 6) AS pr_scaled FROM p3 CROSS JOIN nn""",
+
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
          FROM documents GROUP BY 1""",

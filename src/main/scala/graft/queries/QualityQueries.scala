@@ -17,6 +17,18 @@ object QualityQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // per-group exact quantiles of event value by type
+    "q140_grouped_quantiles" -> ((s, d) => {
+      DataQuality.groupedQuantiles(Tables.events(s, d),
+        col("event_type"), col("value"), Seq(0.25, 0.5, 0.75, 0.95))
+    }),
+
+    // Tukey-fence outlier flags per order priority
+    "q141_iqr_outliers" -> ((s, d) => {
+      DataQuality.iqrOutliers(Tables.orders(s, d), col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+    }),
+
     // §2.7 RawFeatureFilter: train/score fill rates + drift gate
     "q39_raw_feature_filter" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
@@ -276,6 +288,28 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_grouped_quantiles" ->
+      """SELECT event_type AS grp,
+           unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS prob,
+           unnest(list_transform(
+             quantile_cont(value, [0.25, 0.5, 0.75, 0.95]),
+             x -> ROUND(x, 6))) AS q
+         FROM events WHERE value IS NOT NULL GROUP BY 1""",
+
+    "q141_iqr_outliers" ->
+      """WITH f AS (SELECT o_orderpriority AS fgrp,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1)
+         SELECT o_orderkey AS id, o_orderpriority AS grp,
+           o_totalprice AS value,
+           ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo,
+           ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi,
+           CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                  OR o_totalprice > q3 + 1.5 * (q3 - q1) THEN 1
+                ELSE 0 END AS is_outlier
+         FROM orders JOIN f ON o_orderpriority IS NOT DISTINCT FROM fgrp""",
+
     "q39_raw_feature_filter" ->
       """WITH li AS (
            SELECT l_shipdate,

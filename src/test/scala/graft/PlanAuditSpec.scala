@@ -61,7 +61,10 @@ class PlanAuditSpec extends SparkSpec {
     "q135_text_bm25", "q136_bm25_topk",
     // q139: target-encoding fit — the global-prior scalar is a 1-row
     // frame crossJoin-broadcast over the encoded rows
-    "q139_target_encode")
+    "q139_target_encode",
+    // q142: the node-count scalar (rank normalization) is a 1-row frame
+    // crossJoin-broadcast over the rank rows
+    "q142_pagerank")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,

@@ -125,6 +125,30 @@ class DataQualitySpec extends SparkSpec {
     assert(h.map(_.getLong(1)).toSeq == Seq(4L, 0L, 0L, 2L))
   }
 
+  test("groupedQuantiles: linear interpolation per group, nulls dropped") {
+    val s = spark; import s.implicits._
+    val d = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", None), ("b", Some(10.0)))
+      .toDF("g", "v")
+    val out = DataQuality.groupedQuantiles(d, col("g"), col("v"), Seq(0.25, 0.5))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    assert(out(("a", 0.25)) == 1.75) // 1 + 0.75*(2-1)
+    assert(out(("a", 0.5)) == 2.5)
+    assert(out(("b", 0.25)) == 10.0 && out(("b", 0.5)) == 10.0)
+  }
+
+  test("iqrOutliers flags values outside the Tukey fences per group") {
+    val s = spark; import s.implicits._
+    val d = (Seq.tabulate(11)(i => ("a", 1L + i, i + 1.0)) :+ (("a", 99L, 100.0)))
+      .toDF("g", "id", "v")
+    val out = DataQuality.iqrOutliers(d, col("id"), col("g"), col("v"))
+      .select(col("id"), col("is_outlier")).as[(Long, Int)].collect().toMap
+    // values 1..11 + one 100: q1/q3 of the 12 values fence out only 100
+    assert(out(99L) == 1)
+    assert(out.filter(_._1 != 99L).values.forall(_ == 0))
+  }
+
   test("jsDivergence: 0 for identical, 1 for disjoint, symmetric") {
     val p = Seq(1.0, 2.0, 3.0)
     assert(DataQuality.jsDivergence(p, p) == 0.0)

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  test("pageRank matches the hand-iterated formula (dangling node keeps rank)") {
+    val s = spark; import s.implicits._
+    // 1 -> 2, 2 -> 1, 1 -> 3; node 3 dangles (its mass is dropped, the
+    // documented convention)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, col("src"), col("dst"), iters = 2, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    // pr0 = 1/3 each; base = 0.15/3 = 0.05
+    // iter1: p(1) = .05 + .85*(1/3); p(2) = p(3) = .05 + .85*(1/6)
+    // iter2: p(1) = .05 + .85*p1(2); p(2) = p(3) = .05 + .85*p1(1)/2
+    val p11 = 0.05 + 0.85 / 3.0
+    val p12 = 0.05 + 0.85 / 6.0
+    assert(math.abs(pr(1L) - (0.05 + 0.85 * p12)) < 1e-12)
+    assert(math.abs(pr(2L) - (0.05 + 0.85 * p11 / 2)) < 1e-12)
+    assert(math.abs(pr(3L) - (0.05 + 0.85 * p11 / 2)) < 1e-12)
+    assert(pr.values.sum < 1.0) // dangling mass not redistributed
+  }
+
+  test("pageRank on a symmetric cycle stays uniform at any iteration count") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, col("src"), col("dst"), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("pageRank collapses parallel edges before computing degrees") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, col("src"), col("dst"), iters = 8)
+      .as[(Long, Double)].collect().toMap
+    // dedup makes this the symmetric 2-cycle: uniform 1/2
+    pr.values.foreach(v => assert(math.abs(v - 0.5) < 1e-12))
+  }
+}
