@@ -158,4 +158,41 @@ object Sketches {
       .where(col("n_occurrences").cast("double") >= lit(phi) * col("__n"))
       .select(col("item"), col("n_occurrences"))
   }
+
+  /** Count-Min sketch matrix (Cormode & Muthukrishnan 2005): `depth`
+    * hash rows × `width` buckets, h_i(x) = md5("i|x") % width. Counters
+    * are purely ADDITIVE, so unlike Misra-Gries the materialized matrix
+    * is identical under every merge order and partitioning — the
+    * differential oracle replays it cell-for-cell. The plan is an
+    * O(depth) row expansion + ONE groupBy((row, bucket)) shuffle into at
+    * most depth·width cells — bounded output no matter the item domain.
+    * Zero cells are omitted (sparse form). */
+  def cmsSketch(df: DataFrame, item: Column, depth: Int, width: Int): DataFrame = {
+    import graft.functions.TextAnalysis.hash60
+    require(depth >= 1 && width >= 1, s"bad CMS shape: $depth x $width")
+    df.select(item.cast("string").as("__item"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"), col("__item"))
+      .select(col("row"),
+        pmod(hash60(concat(col("row").cast("string"), lit("|"), col("__item"))),
+          lit(width)).cast("int").as("bucket"))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the CMS: estimate(x) = min_i matrix[i][h_i(x)] — an
+    * overcount-only estimate (never below the true frequency; within
+    * e·n of it with probability 1 - delta for width = ceil(e/eps),
+    * depth = ceil(ln 1/delta)). `queries` is one item per row; the
+    * matrix side is broadcast (≤ depth·width cells). */
+  def cmsEstimate(matrix: DataFrame, queries: DataFrame, item: Column,
+                  depth: Int, width: Int): DataFrame = {
+    import graft.functions.TextAnalysis.hash60
+    queries.select(item.cast("string").as("item")).distinct()
+      .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("item"), col("row"),
+        pmod(hash60(concat(col("row").cast("string"), lit("|"), col("item"))),
+          lit(width)).cast("int").as("bucket"))
+      .join(broadcast(matrix), Seq("row", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

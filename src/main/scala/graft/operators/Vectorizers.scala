@@ -220,4 +220,37 @@ object Vectorizers {
         round((col("s") + lit(alpha) * col("prior")) / (col("n") + lit(alpha)), 6)
           .as("enc"))
   }
+
+  /** Out-of-fold target encoding: the leakage-safe form — each row's
+    * encoding is fitted on every fold EXCEPT its own, so a row's label
+    * never contributes to its own feature. Folds are md5-assigned from
+    * the row id (deterministic: the same row lands in the same fold on
+    * any cluster, and the oracle replays the assignment). Fit is one
+    * groupBy((cat, fold)) producing an O(#categories · folds) table;
+    * per-row encoding subtracts the own-fold slice from the category
+    * totals — all fit frames broadcast, the row side never reshuffles.
+    * A category entirely inside one fold falls back to the prior. */
+  def targetEncodeOOF(df: DataFrame, id: Column, cat: Column, label: Column,
+                      folds: Int = 5, alpha: Double = 10.0,
+                      salt: String = "oof"): DataFrame = {
+    import graft.functions.TextAnalysis.hash60
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    val fold = pmod(hash60(concat(lit(salt), lit("|"), id.cast("string"))),
+      lit(folds)).cast("int")
+    val perFold = df.groupBy(cat.as("cat"), fold.as("fold"))
+      .agg(count(lit(1)).as("n_cf"), sum(label.cast("double")).as("s_cf"))
+    val totals = perFold.groupBy(col("cat"))
+      .agg(sum(col("n_cf")).as("n_c"), sum(col("s_cf")).as("s_c"))
+    val prior = df.agg(avg(label.cast("double")).as("prior"))
+    df.select(id.as("id"), cat.as("__cat"), fold.as("__fold"))
+      .join(broadcast(perFold),
+        col("__cat") <=> perFold("cat") && col("__fold") === perFold("fold"))
+      .drop("cat", "fold")
+      .join(broadcast(totals), col("__cat") <=> totals("cat"))
+      .drop("cat")
+      .crossJoin(broadcast(prior))
+      .select(col("id"), col("__cat").as("cat"), col("__fold").as("fold"),
+        round((col("s_c") - col("s_cf") + lit(alpha) * col("prior")) /
+          (col("n_c") - col("n_cf") + lit(alpha)), 6).as("enc"))
+  }
 }

@@ -174,6 +174,17 @@ object CurationQueries {
     // KMV distinct-count sketch over corpus vocabulary, estimate +
     // exact side by side — the estimate itself hash-matches the oracle
     // because the k-minimum-values set is md5-deterministic
+    // Count-Min frequency estimates for every user over the event log:
+    // the matrix is purely additive, so even the sketch itself is
+    // merge-order-deterministic and the oracle replays it cell-for-cell
+    "q143_cms_freq" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val m = graft.aggregators.Sketches.cmsSketch(ev, col("user_id"),
+        depth = 3, width = 64)
+      graft.aggregators.Sketches.cmsEstimate(m, ev, col("user_id"),
+        depth = 3, width = 64)
+    }),
+
     "q130_kmv_distinct" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -427,6 +438,25 @@ object CurationQueries {
                         ((c_raw + 1.0) / (tot_raw + 256)))), 6) + 0 AS dsir_weight
          FROM feats JOIN stats USING (bucket) CROSS JOIN tots
          GROUP BY doc_id""",
+
+    "q143_cms_freq" ->
+      s"""WITH src AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+          ex AS (SELECT unnest([0, 1, 2]) AS row, item FROM src),
+          cells AS (
+            SELECT row,
+              CAST(${H60("CAST(row AS VARCHAR) || '|' || item")} % 64 AS INT)
+                AS bucket,
+              count(*) AS cnt
+            FROM ex GROUP BY 1, 2),
+          q AS (SELECT DISTINCT item FROM src),
+          qb AS (
+            SELECT item, row,
+              CAST(${H60("CAST(row AS VARCHAR) || '|' || item")} % 64 AS INT)
+                AS bucket
+            FROM (SELECT item, unnest([0, 1, 2]) AS row FROM q) t)
+          SELECT item, min(coalesce(cnt, 0)) AS est
+          FROM qb LEFT JOIN cells USING (row, bucket)
+          GROUP BY 1""",
 
     "q130_kmv_distinct" ->
       s"""WITH tok AS (

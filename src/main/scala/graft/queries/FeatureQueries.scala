@@ -25,6 +25,15 @@ object FeatureQueries {
         .select(col("id").as("o_orderkey"), col("cat").as("priority"), col("enc"))
     }),
 
+    // leakage-safe variant: each order's encoding is fitted on the four
+    // folds that exclude it (md5 fold assignment from the order key)
+    "q144_target_encode_oof" -> ((s, d) => {
+      Vectorizers.targetEncodeOOF(Tables.orders(s, d), col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"), folds = 5, alpha = 25.0)
+        .select(col("id").as("o_orderkey"), col("cat").as("priority"),
+          col("fold"), col("enc"))
+    }),
+
     "q29_onehot_topk" -> ((s, d) => {
       Vectorizers.oneHotTopK(Tables.orders(s, d),
           col("o_orderkey"), col("o_orderpriority"), k = 3, minSupport = 10)
@@ -200,6 +209,23 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_target_encode_oof" ->
+      """WITH r AS (SELECT o_orderkey AS id, o_orderpriority AS cat,
+             o_totalprice AS y,
+             CAST(CAST(('0x' || substr(md5('oof|' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS INT) AS fold
+           FROM orders),
+          pf AS (SELECT cat, fold, count(*) AS n_cf, sum(y) AS s_cf
+                 FROM r GROUP BY 1, 2),
+          tot AS (SELECT cat, sum(n_cf) AS n_c, sum(s_cf) AS s_c
+                  FROM pf GROUP BY 1),
+          p AS (SELECT avg(o_totalprice) AS prior FROM orders)
+          SELECT id AS o_orderkey, r.cat AS priority, r.fold,
+            ROUND((s_c - s_cf + 25.0 * prior) / (n_c - n_cf + 25.0), 6) AS enc
+          FROM r JOIN pf ON r.cat IS NOT DISTINCT FROM pf.cat
+                        AND r.fold = pf.fold
+          JOIN tot ON r.cat IS NOT DISTINCT FROM tot.cat
+          CROSS JOIN p""",
+
     "q139_target_encode" ->
       """WITH t AS (SELECT o_orderpriority AS cat, count(*) AS n,
                       sum(o_totalprice) AS s

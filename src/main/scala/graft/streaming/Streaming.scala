@@ -128,7 +128,17 @@ object Streaming {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally spark.conf.set(key, prev)
+      } finally {
+        spark.conf.set(key, prev)
+        // the run is complete: unload every loaded state-store provider
+        // and stop the 60 s maintenance pool. Left alive, each completed
+        // query's providers keep running periodic maintenance (against
+        // an already-deleted temp checkpoint) for the JVM's lifetime —
+        // in a resident multi-query driver that background churn taxes
+        // whatever runs next. The pool restarts lazily on the next
+        // stateful stream.
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
       spark.table(name)
     }
   }

@@ -64,7 +64,10 @@ class PlanAuditSpec extends SparkSpec {
     "q139_target_encode",
     // q142: the node-count scalar (rank normalization) is a 1-row frame
     // crossJoin-broadcast over the rank rows
-    "q142_pagerank")
+    "q142_pagerank",
+    // q144: OOF target encoding — the global-prior scalar is a 1-row
+    // frame crossJoin-broadcast, like q139
+    "q144_target_encode_oof")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,

@@ -71,4 +71,22 @@ class SketchesSpec extends SparkSpec {
     val med = a.agg(expr("percentile(x, 0.5)")).head.getDouble(0)
     assert(math.abs(med - 2500) / 2500 < 3.0 / math.sqrt(200), s"median=$med")
   }
+
+  test("CMS estimates never undercount; wide sketch is exact; partition-invariant") {
+    val s = spark; import s.implicits._
+    val items = (Seq.fill(50)("a") ++ Seq.fill(20)("b") ++
+      (1 to 30).map(i => s"x$i")).toDF("v")
+    val exact = items.groupBy("v").count().as[(String, Long)].collect().toMap
+    def run(depth: Int, width: Int, parts: Int) = {
+      val src = items.repartition(parts)
+      val m = Sketches.cmsSketch(src, col("v"), depth, width)
+      Sketches.cmsEstimate(m, src, col("v"), depth, width)
+        .as[(String, Long)].collect().toMap
+    }
+    val tight = run(3, 8, 4) // 32 distinct items into 8 buckets: collisions
+    exact.foreach { case (k, n) => assert(tight(k) >= n, s"undercount at $k") }
+    val wide = run(4, 4096, 4) // collision-free whp at 32 items
+    assert(wide == exact)
+    assert(run(3, 8, 17) == tight) // additive counters: order-invariant
+  }
 }

@@ -75,4 +75,26 @@ class VectorizersSpec extends SparkSpec {
     // one-observation "b" sits closer to the prior than its raw mean
     assert(math.abs(out(3L) - prior) < math.abs(100.0 - prior))
   }
+
+  test("targetEncodeOOF excludes the row's own fold from its encoding") {
+    val s = spark; import s.implicits._
+    val df = (1L to 40L).map(i => (i, "a", if (i % 2 == 0) 1.0 else 0.0))
+      .toDF("id", "cat", "y")
+    val out = Vectorizers.targetEncodeOOF(df, col("id"), col("cat"), col("y"),
+      folds = 4, alpha = 0.0)
+    val rows = out.select(col("id"), col("fold"), col("enc"))
+      .as[(Long, Int, Double)].collect()
+    assert(rows.length == 40)
+    // recompute each row's leave-fold-out mean independently
+    val folds = rows.map(r => r._1 -> r._2).toMap
+    val data = (1L to 40L).map(i => i -> (if (i % 2 == 0) 1.0 else 0.0)).toMap
+    rows.foreach { case (id, f, enc) =>
+      val rest = data.filter { case (j, _) => folds(j) != f }
+      val want = math.rint(rest.values.sum / rest.size * 1e6) / 1e6
+      assert(enc == want, s"row $id fold $f: got $enc want $want")
+    }
+    // rows in different folds get different encodings (leakage-safe
+    // encodings vary by fold, unlike plain targetEncode)
+    assert(rows.map(_._3).distinct.length > 1)
+  }
 }
