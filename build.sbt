@@ -30,11 +30,14 @@ val jdk17AddOpens = Seq(
 // Code cache likewise: 67 queries' generated classes overflow the
 // 240 MB default and flip hot paths back to the interpreter; at 110
 // queries x 3 runs even 512 MB showed end-of-suite flushing (the last
-// query benched 3.5x its standalone time), hence 1 GiB.
+// query benched 3.5x its standalone time), hence 1 GiB — and at 144
+// queries the same tail signature returned (q99, last in sort order,
+// 23.8 s in-suite vs 2.5 s standalone, with 30 s compile-churn stalls),
+// hence the 2 GiB ceiling.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-Xms8g",
-  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -363,6 +363,65 @@ object DataQuality {
           .otherwise(0).as("is_outlier"))
   }
 
+  /** Scalable exact cumulative sums over a value-keyed count frame —
+    * the two-level prefix-sum idiom that replaces the unpartitioned
+    * `Window.orderBy(value)` (a single-partition sort, the exact trap
+    * the plan audit hunts): range-repartition on the value, run the
+    * running-sum window within each range partition, and add the
+    * preceding partitions' totals as
+    * a broadcast offset. The offsets collect is O(#partitions) — bounded
+    * by cluster layout, never by data. Output is independent of the
+    * (sampled) range boundaries: a global cumulative sum does not care
+    * where the splits fall. */
+  private def cumulativeByValue(counts: DataFrame, aggCols: Seq[String]): DataFrame = {
+    val s = counts.sparkSession
+    val parts = counts
+      .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perPart = parts.groupBy(col("__pid"))
+      .agg(aggCols.map(c => sum(col(c)).as(c)).head,
+        aggCols.map(c => sum(col(c)).as(c)).tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        aggCols.map(c => r.getAs[Long](c)).toArray).sortBy(_._1)
+    // exclusive prefix totals per partition, shipped back as a tiny
+    // broadcast frame keyed on the partition id
+    val offsets = perPart.scanLeft(-1 -> Array.fill(aggCols.length)(0L)) {
+      case ((_, acc), (pid, tot)) => pid -> acc.zip(tot).map { case (a, t) => a + t }
+    }.sliding(2).map(pair => (pair(1)._1, pair(0)._2)).toSeq
+    import s.implicits._
+    val offDf = offsets.map { case (pid, acc) => (pid, acc.toSeq) }
+      .toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    parts.join(broadcast(offDf), Seq("__pid"))
+      .select(col("v") +: aggCols.zipWithIndex.map { case (c, i) =>
+        (sum(col(c)).over(w) + element_at(col("__off"), i + 1)).as(s"cum_$c")
+      }: _*)
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov drift statistic:
+    * D = sup_x |F_train(x) - F_score(x)| over the merged value domain —
+    * the distribution-free companion to the binned [[psiDrift]] gate
+    * (no lo/hi/bucket choices to tune). Exact at scale: value-level
+    * counts (one groupBy each side), a full outer merge, and the
+    * two-level cumulative sum above — no global sort anywhere. Emits one
+    * row (ks, n_train, n_score). */
+  def ksDrift(train: DataFrame, score: DataFrame, c: Column): DataFrame = {
+    val ct = train.where(c.isNotNull).groupBy(c.as("v")).agg(count(lit(1)).as("ct"))
+    val cs = score.where(c.isNotNull).groupBy(c.as("v")).agg(count(lit(1)).as("cs"))
+    val merged = ct.join(cs, Seq("v"), "full")
+      .na.fill(0L, Seq("ct", "cs"))
+    val cum = cumulativeByValue(merged, Seq("ct", "cs"))
+    val totals = merged.agg(sum(col("ct")).as("n_t"), sum(col("cs")).as("n_s"))
+    cum.crossJoin(broadcast(totals))
+      .agg(round(max(abs(col("cum_ct") / col("n_t") - col("cum_cs") / col("n_s"))), 6)
+          .as("ks"),
+        first(col("n_t")).as("n_train"), first(col("n_s")).as("n_score"))
+  }
+
   /** Jensen-Shannon divergence between two aligned discrete
     * distributions (RawFeatureFilter's maxJSDivergence gate). Driver-side
     * over the O(buckets) histogram — the heavy lifting happened in the

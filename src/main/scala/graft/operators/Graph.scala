@@ -33,10 +33,21 @@ object Graph {
     * collapse (distinct); dangling nodes (no out-edges) keep receiving
     * rank but their mass is NOT redistributed — at web-graph scale add
     * the dangling-sum broadcast term; the hook is the 1-row aggregate
-    * this plan already shapes for totals elsewhere. */
+    * this plan already shapes for totals elsewhere.
+    *
+    * Unlike label-propagation CC, a round references the previous ranks
+    * ONCE, so the composed plan grows linearly — rounds are left LAZY
+    * and fuse into a single job. The lineage cut (localCheckpoint +
+    * materialize + free superseded blocks) runs only every
+    * `checkpointEvery` rounds, the cadence deep iteration needs to keep
+    * Catalyst analysis and failure-recovery cost O(1) per round. The
+    * result is always checkpointed: self-contained, so the internal
+    * caches can be released before returning. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
     val e = edges.select(src.as("src"), dst.as("dst")).distinct()
     val withDeg = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
@@ -45,20 +56,22 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // bounded scalar action: materializes both caches
-    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(false)
-    var liveCp = checkpointedRdd(pr)
-    for (_ <- 1 to iters) {
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    var liveCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (i <- 1 to iters) {
       val contrib = withDeg.join(pr, col("src") === col("node"))
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      var next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
-        .localCheckpoint(false)
-      next.count() // materialize while the previous round's blocks live
-      liveCp.foreach(_.unpersist(blocking = false))
-      liveCp = checkpointedRdd(next)
+      if (i % checkpointEvery == 0 || i == iters) {
+        next = next.localCheckpoint(false)
+        next.count() // materialize while the previous cut's blocks live
+        liveCp.foreach(_.unpersist(blocking = false))
+        liveCp = checkpointedRdd(next)
+      }
       pr = next
     }
     withDeg.unpersist()

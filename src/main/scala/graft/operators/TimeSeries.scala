@@ -49,6 +49,37 @@ object TimeSeries {
         ((unix_micros(max(ts)) - unix_micros(min(ts))) / 1e6).as("duration_sec"),
         round(sum(value), 6).as("sum_value"))
 
+  /** Ordered funnel per entity: the earliest time each stage is reached
+    * STRICTLY AFTER the previous stage (first `stages.head`, then the
+    * first `stages(1)` after it, and so on). Emits one row per entity
+    * that entered the funnel: `t_1..t_k` (event-time micros, null once
+    * the chain breaks) and `reached` = deepest stage index.
+    *
+    * The whole cascade is k stacked whole-partition window minima over
+    * ONE entity partitioning — a single Exchange, no joins; stage i+1's
+    * condition reads stage i's window result inside the same frame. */
+  def funnel(df: DataFrame, entity: Column, ts: Column, stage: Column,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col("entity"))
+    val tus = unix_micros(ts)
+    val staged = stages.zipWithIndex.foldLeft(
+      df.select(entity.as("entity"), tus.as("__t"), stage.as("__s"))) {
+      case (acc, (st, i)) =>
+        val cond =
+          if (i == 0) col("__s") === st
+          else col("__s") === st && col("__t") > col(s"t_$i")
+        acc.withColumn(s"t_${i + 1}", min(when(cond, col("__t"))).over(w))
+    }
+    val aggs = stages.indices.map(i => first(col(s"t_${i + 1}")).as(s"t_${i + 1}"))
+    staged.groupBy(col("entity"))
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("t_1").isNotNull)
+      .withColumn("reached",
+        stages.indices.map(i => when(col(s"t_${i + 1}").isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+  }
+
   /** Rolling event-time features per entity: over the trailing
     * `windowSeconds` (RANGE frame on event-time micros, inclusive of
     * the current event) — event count, value sum and mean; plus the

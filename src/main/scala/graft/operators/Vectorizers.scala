@@ -221,6 +221,26 @@ object Vectorizers {
           .as("enc"))
   }
 
+  /** Robust scaling: (v - median) / IQR — the outlier-resistant
+    * alternative to [[standardScale]] (a handful of extreme values move
+    * mean/stddev arbitrarily but barely touch the quartiles). Fit is one
+    * exact-percentile aggregate (1 row) broadcast back; a degenerate
+    * IQR of 0 falls back to divisor 1 so constant-ish columns pass
+    * through centered. */
+  def robustScale(df: DataFrame, id: Column, value: Column): DataFrame = {
+    val fit = df.where(value.isNotNull)
+      .agg(percentile(value, lit(0.5)).as("med"),
+        percentile(value, lit(0.25)).as("q1"),
+        percentile(value, lit(0.75)).as("q3"))
+      .select(col("med"),
+        when(col("q3") - col("q1") === 0, 1.0)
+          .otherwise(col("q3") - col("q1")).as("iqr"))
+    df.select(id.as("id"), value.as("value"))
+      .crossJoin(broadcast(fit))
+      .select(col("id"), col("value"),
+        round((col("value") - col("med")) / col("iqr"), 6).as("scaled"))
+  }
+
   /** Out-of-fold target encoding: the leakage-safe form — each row's
     * encoding is fitted on every fold EXCEPT its own, so a row's label
     * never contributes to its own feature. Folds are md5-assigned from

@@ -34,6 +34,13 @@ object FeatureQueries {
           col("fold"), col("enc"))
     }),
 
+    // outlier-resistant scaling: (v - median) / IQR
+    "q147_robust_scale" -> ((s, d) => {
+      Vectorizers.robustScale(Tables.orders(s, d), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumnRenamed("id", "o_orderkey")
+    }),
+
     "q29_onehot_topk" -> ((s, d) => {
       Vectorizers.oneHotTopK(Tables.orders(s, d),
           col("o_orderkey"), col("o_orderpriority"), k = 3, minSupport = 10)
@@ -209,6 +216,16 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_robust_scale" ->
+      """WITH f AS (SELECT quantile_cont(o_totalprice, 0.5) AS med,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+           FROM orders WHERE o_totalprice IS NOT NULL)
+         SELECT o_orderkey, o_totalprice AS value,
+           ROUND((o_totalprice - med) /
+             (CASE WHEN q3 - q1 = 0 THEN 1 ELSE q3 - q1 END), 6) AS scaled
+         FROM orders CROSS JOIN f""",
+
     "q144_target_encode_oof" ->
       """WITH r AS (SELECT o_orderkey AS id, o_orderpriority AS cat,
              o_totalprice AS y,

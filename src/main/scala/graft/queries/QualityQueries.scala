@@ -29,6 +29,17 @@ object QualityQueries {
         col("o_orderpriority"), col("o_totalprice"))
     }),
 
+    // exact two-sample KS drift over the same early/late order split as
+    // q134's PSI — value-level counts + two-level prefix sum, no global
+    // sort
+    "q145_ks_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      DataQuality.ksDrift(
+        o.where(col("o_orderdate") < "1998-01-01"),
+        o.where(col("o_orderdate") >= "1998-01-01"),
+        col("o_totalprice"))
+    }),
+
     // §2.7 RawFeatureFilter: train/score fill rates + drift gate
     "q39_raw_feature_filter" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
@@ -288,6 +299,26 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_ks_drift" ->
+      """WITH tr AS (SELECT o_totalprice AS v FROM orders
+                     WHERE o_orderdate < '1998-01-01' AND o_totalprice IS NOT NULL),
+          sc AS (SELECT o_totalprice AS v FROM orders
+                 WHERE o_orderdate >= '1998-01-01' AND o_totalprice IS NOT NULL),
+          m AS (SELECT v, CAST(sum(ct) AS BIGINT) AS ct, CAST(sum(cs) AS BIGINT) AS cs
+                FROM (SELECT v, 1 AS ct, 0 AS cs FROM tr
+                      UNION ALL SELECT v, 0, 1 FROM sc) u
+                GROUP BY 1),
+          c AS (SELECT v,
+                  sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_ct,
+                  sum(cs) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_cs
+                FROM m),
+          n AS (SELECT CAST(sum(ct) AS BIGINT) AS n_t,
+                       CAST(sum(cs) AS BIGINT) AS n_s FROM m)
+          SELECT ROUND(max(abs(CAST(cum_ct AS DOUBLE) / n_t
+                             - CAST(cum_cs AS DOUBLE) / n_s)), 6) AS ks,
+            n_t AS n_train, n_s AS n_score
+          FROM c CROSS JOIN n GROUP BY n_t, n_s""",
+
     "q140_grouped_quantiles" ->
       """SELECT event_type AS grp,
            unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS prob,

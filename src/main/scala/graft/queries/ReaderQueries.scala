@@ -52,6 +52,14 @@ object ReaderQueries {
           col("prev_value"), col("secs_since_prev"))
     }),
 
+    // ordered view -> click -> purchase funnel per user: k stacked
+    // whole-partition window minima, one Exchange, no joins
+    "q146_funnel" -> ((s, d) => {
+      graft.operators.TimeSeries.funnel(Tables.events(s, d),
+        entity = col("user_id"), ts = col("ts"), stage = col("event_type"),
+        stages = Seq("view", "click", "purchase"))
+    }),
+
     // CutOffTime.DaysAgo relative cutoff (reference CutOffTime.scala:41-70)
     "q62_agg_cutoff_daysago" -> ((s, d) => {
       AggregateReader.aggregateWithCutoff(
@@ -174,6 +182,23 @@ object ReaderQueries {
         FROM embeddings"""
 
   val oracles: Map[String, String] = Map(
+    "q146_funnel" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_type AS s
+                    FROM events),
+          w1 AS (SELECT user_id, min(CASE WHEN s = 'view' THEN t END) AS t_1
+                 FROM b GROUP BY 1),
+          w2 AS (SELECT b.user_id, t_1,
+                   min(CASE WHEN s = 'click' AND t > t_1 THEN t END) AS t_2
+                 FROM b JOIN w1 USING (user_id) GROUP BY 1, 2),
+          w3 AS (SELECT b.user_id, t_1, t_2,
+                   min(CASE WHEN s = 'purchase' AND t > t_2 THEN t END) AS t_3
+                 FROM b JOIN w2 USING (user_id) GROUP BY 1, 2, 3)
+          SELECT user_id AS entity, t_1, t_2, t_3,
+            (CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END) AS reached
+          FROM w3 WHERE t_1 IS NOT NULL""",
+
     "q137_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS tus
                     FROM events),

@@ -67,7 +67,10 @@ class PlanAuditSpec extends SparkSpec {
     "q142_pagerank",
     // q144: OOF target encoding — the global-prior scalar is a 1-row
     // frame crossJoin-broadcast, like q139
-    "q144_target_encode_oof")
+    "q144_target_encode_oof",
+    // q145/q147: global stats fits — the KS totals / robust-scale
+    // percentile frames are 1 row, crossJoin-broadcast (q31/q33 shape)
+    "q145_ks_drift", "q147_robust_scale")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,

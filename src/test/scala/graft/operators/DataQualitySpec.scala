@@ -149,6 +149,31 @@ class DataQualitySpec extends SparkSpec {
     assert(out.filter(_._1 != 99L).values.forall(_ == 0))
   }
 
+  test("ksDrift: 0 on identical frames, 1 on disjoint supports, exact on a hand case") {
+    val s = spark; import s.implicits._
+    val a = (1 to 100).map(_.toDouble).toDF("v").repartition(7)
+    assert(DataQuality.ksDrift(a, a, col("v")).head.getDouble(0) == 0.0)
+    val b = (101 to 200).map(_.toDouble).toDF("v").repartition(3)
+    assert(DataQuality.ksDrift(a, b, col("v")).head.getDouble(0) == 1.0)
+    // hand case: train {1,2,3,4}, score {3,4,5,6} -> sup gap at v=2:
+    // |2/4 - 0/4| = 0.5
+    val t = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val sc = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = DataQuality.ksDrift(t, sc, col("v")).head
+    assert(r.getDouble(0) == 0.5 && r.getLong(1) == 4L && r.getLong(2) == 4L)
+  }
+
+  test("ksDrift prefix sums are partition-invariant") {
+    val s = spark; import s.implicits._
+    // skewed multiset across many partitions: the two-level cumulative
+    // sum must agree with itself under any repartitioning
+    val x = (1 to 500).map(i => (i % 37).toDouble).toDF("v")
+    val y = (1 to 400).map(i => (i % 23).toDouble).toDF("v")
+    val r1 = DataQuality.ksDrift(x.repartition(2), y.repartition(13), col("v")).head
+    val r2 = DataQuality.ksDrift(x.repartition(31), y.repartition(1), col("v")).head
+    assert(r1.getDouble(0) == r2.getDouble(0))
+  }
+
   test("jsDivergence: 0 for identical, 1 for disjoint, symmetric") {
     val p = Seq(1.0, 2.0, 3.0)
     assert(DataQuality.jsDivergence(p, p) == 0.0)

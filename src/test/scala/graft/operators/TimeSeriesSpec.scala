@@ -57,6 +57,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(4L) == ((1L, 8.0, None, None)))
   }
 
+  test("funnel: strict ordering, broken chains stay null, non-entrants dropped") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      // u1 completes in order
+      (1L, "view", "2024-01-01 00:00:00"), (1L, "click", "2024-01-01 00:01:00"),
+      (1L, "buy", "2024-01-01 00:02:00"),
+      // u2 skips click: buy must NOT count
+      (2L, "view", "2024-01-01 00:00:00"), (2L, "buy", "2024-01-01 00:01:00"),
+      // u3 never views -> not in output
+      (3L, "click", "2024-01-01 00:00:00"),
+      // u4 clicks BEFORE viewing -> click doesn't count
+      (4L, "click", "2024-01-01 00:00:00"), (4L, "view", "2024-01-01 00:01:00")
+    ).toDF("user_id", "et", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = TimeSeries.funnel(ev, col("user_id"), col("ts"), col("et"),
+        Seq("view", "click", "buy"))
+      .select(col("entity"), col("reached")).as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 4L -> 1))
+  }
+
   test("sessionize plans ONE exchange for the stacked windows") {
     val p = TimeSeries.sessionize(events, col("user_id"), col("ts"),
       col("event_id"), 60L).queryExecution.executedPlan.toString

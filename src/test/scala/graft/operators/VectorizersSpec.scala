@@ -76,6 +76,20 @@ class VectorizersSpec extends SparkSpec {
     assert(math.abs(out(3L) - prior) < math.abs(100.0 - prior))
   }
 
+  test("robustScale centers on the median and divides by IQR; constant falls back") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 100.0))
+      .toDF("id", "x")
+    // med = 3, q1 = 2, q3 = 4 -> iqr = 2; the outlier barely moves them
+    val out = Vectorizers.robustScale(df, col("id"), col("x"))
+      .select(col("id"), col("scaled")).as[(Long, Double)].collect().toMap
+    assert(out(3L) == 0.0 && out(1L) == -1.0 && out(5L) == 48.5)
+    val const = Seq((1L, 7.0), (2L, 7.0)).toDF("id", "x")
+    val cOut = Vectorizers.robustScale(const, col("id"), col("x"))
+      .select(col("scaled")).as[Double].collect()
+    assert(cOut.forall(_ == 0.0)) // iqr 0 -> divisor 1, centered
+  }
+
   test("targetEncodeOOF excludes the row's own fold from its encoding") {
     val s = spark; import s.implicits._
     val df = (1L to 40L).map(i => (i, "a", if (i % 2 == 0) 1.0 else 0.0))
