@@ -159,6 +159,33 @@ object Sketches {
       .select(col("item"), col("n_occurrences"))
   }
 
+  /** Per-group KMV distinct-count sketches: [[kmvDistinct]] run for
+    * every group in ONE pass — distinct (group, hash) pairs, then the
+    * k smallest hashes per group via a group-partitioned window (never
+    * a global sort). State per group is O(k) no matter the group's
+    * cardinality — the bounded answer to "distinct users per segment"
+    * that an exact per-group countDistinct can't give at 100 TB.
+    * Deterministic (md5 hash), so the estimate itself is oracle-gated,
+    * exactly like the global sketch. */
+  def kmvDistinctByGroup(df: DataFrame, group: Column, value: Column,
+                         k: Int): DataFrame = {
+    import graft.functions.TextAnalysis.hash60
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashes = df.select(group.as("grp"),
+      hash60(value.cast("string")).as("h")).distinct()
+    val kept = hashes.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("h"))))
+      .where(col("rn") <= k)
+    kept.groupBy(col("grp"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("hk"))
+      .select(col("grp"), col("k_used"),
+        round(when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("hk").cast("double") / math.pow(2.0, 60))), 6)
+          .as("est_distinct"))
+  }
+
   /** Count-Min sketch matrix (Cormode & Muthukrishnan 2005): `depth`
     * hash rows × `width` buckets, h_i(x) = md5("i|x") % width. Counters
     * are purely ADDITIVE, so unlike Misra-Gries the materialized matrix

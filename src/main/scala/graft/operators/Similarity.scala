@@ -539,4 +539,33 @@ object Similarity {
         coalesce(col("component"), col("vec_id")).as("component"),
         (col("component").isNull || col("component") === col("vec_id")).as("keep"))
   }
+
+  /** NDCG@k of an approximate retrieval against an exact ranking: both
+    * inputs are (query_id, neighbor_id, rank) frames (the shape every
+    * top-k operator here emits). Binary relevance — an approx hit is
+    * relevant iff it appears in the truth's top k — discounted by
+    * 1/log2(rank+1); IDCG assumes the ideal ordering of the truth set,
+    * so ndcg = 1.0 iff the approx list contains exactly the truth set in
+    * rank order. Join keyed on (query, neighbor); per-query frames are
+    * O(k) rows, so every aggregate is bounded. Queries the approx side
+    * missed entirely score 0 (right outer join on the truth's query
+    * set). */
+  def ndcgAtK(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .where(col("rank") <= k)
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+      .where(col("rank") <= k).withColumn("rel", lit(1))
+    val dcg = a.join(t, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("rel"), lit(0)) / log2(col("rank") + 1)).as("dcg"))
+    val idcg = truth.where(col("rank") <= k)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .select(col("query_id"),
+        aggregate(sequence(lit(1), col("n_truth").cast("int")), lit(0.0),
+          (acc, i) => acc + lit(1.0) / log2(i + 1)).as("idcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+  }
 }

@@ -174,6 +174,13 @@ object CurationQueries {
     // KMV distinct-count sketch over corpus vocabulary, estimate +
     // exact side by side — the estimate itself hash-matches the oracle
     // because the k-minimum-values set is md5-deterministic
+    // per-group KMV: distinct-user sketches per event type in one pass,
+    // O(k) state per group
+    "q148_kmv_by_group" -> ((s, d) => {
+      graft.aggregators.Sketches.kmvDistinctByGroup(Tables.events(s, d),
+        col("event_type"), col("user_id"), k = 64)
+    }),
+
     // Count-Min frequency estimates for every user over the event log:
     // the matrix is purely additive, so even the sketch itself is
     // merge-order-deterministic and the oracle replays it cell-for-cell
@@ -438,6 +445,21 @@ object CurationQueries {
                         ((c_raw + 1.0) / (tot_raw + 256)))), 6) + 0 AS dsir_weight
          FROM feats JOIN stats USING (bucket) CROSS JOIN tots
          GROUP BY doc_id""",
+
+    "q148_kmv_by_group" ->
+      s"""WITH h AS (SELECT DISTINCT event_type AS grp,
+             ${H60("CAST(user_id AS VARCHAR)")} AS h
+           FROM events),
+          r AS (SELECT grp, h,
+                  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                FROM h),
+          t AS (SELECT grp, CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk
+                FROM r WHERE rn <= 64 GROUP BY 1)
+          SELECT grp, k_used,
+            ROUND(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                       ELSE 63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+                  END, 6) AS est_distinct
+          FROM t""",
 
     "q143_cms_freq" ->
       s"""WITH src AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),

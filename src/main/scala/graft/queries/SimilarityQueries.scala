@@ -32,6 +32,15 @@ object SimilarityQueries {
       Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
     }),
 
+    // retrieval-quality evaluation: NDCG@10 of the SRP-LSH top-k
+    // against the exact brute-force ranking, per query
+    "q149_ann_ndcg" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(e, e.where(expr(QUERY_PRED)), K)
+      val approx = Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
+      Similarity.ndcgAtK(approx, truth, K)
+    }),
+
     // IVF coarse-quantization ANN: 16 deterministic-seed cells, queries
     // probe the 4 nearest cells, exact re-rank within them
     "q74_sim_ivf_topk" -> ((s, d) => {
@@ -137,6 +146,49 @@ object SimilarityQueries {
             FROM scored)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K""",
+
+    "q149_ann_ndcg" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          qr AS (SELECT * FROM e WHERE $QUERY_PRED),
+          tscored AS (
+            SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosSql("qr.emb", "c.emb")} AS cos
+            FROM e c CROSS JOIN qr
+            WHERE qr.vec_id <> c.vec_id),
+          truth AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM tscored QUALIFY rank <= $K),
+          cb AS (SELECT vec_id AS neighbor_id, emb AS c_emb,
+                   ${bucketSql("emb")} AS bucket FROM e),
+          qb AS (SELECT vec_id AS query_id, emb AS q_emb,
+                   ${bucketSql("emb")} AS bucket FROM e WHERE $QUERY_PRED),
+          ascored AS (
+            SELECT query_id, neighbor_id, ${cosSql("q_emb", "c_emb")} AS cos
+            FROM cb JOIN qb USING (bucket)
+            WHERE query_id <> neighbor_id),
+          approx AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ascored QUALIFY rank <= $K),
+          dcg AS (
+            SELECT a.query_id,
+              sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1.0 ELSE 0.0 END
+                  / log2(a.rank + 1)) AS dcg
+            FROM approx a LEFT JOIN truth t
+              ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+            GROUP BY 1),
+          idcg AS (
+            SELECT query_id,
+              list_sum(list_transform(range(1, CAST(count(*) AS INT) + 1),
+                i -> 1.0 / log2(i + 1))) AS idcg
+            FROM truth GROUP BY 1)
+          SELECT idcg.query_id,
+            ROUND(coalesce(dcg, 0.0) / idcg, 6) AS ndcg
+          FROM idcg LEFT JOIN dcg ON idcg.query_id = dcg.query_id""",
 
     "q89_sim_lsh_neardup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

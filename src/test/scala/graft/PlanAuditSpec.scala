@@ -77,7 +77,10 @@ class PlanAuditSpec extends SparkSpec {
   // codebook) joined without an equi-key. Bounded by the broadcast
   // threshold; never a shuffle of the big side.
   private val bnljOk = singlePartitionOk ++ Set(
-    "q26_sim_bruteforce_topk", "q84_sim_pq_topk")
+    "q26_sim_bruteforce_topk", "q84_sim_pq_topk",
+    // q149 evaluates the SRP list against the brute-force truth, so it
+    // inherits q26's broadcast-query-set scan
+    "q149_ann_ndcg")
 
   test("global sweep: no cartesian products; single-partition exchanges " +
     "and nested-loop joins only in allowlisted stats fits") {

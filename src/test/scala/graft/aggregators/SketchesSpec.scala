@@ -72,6 +72,20 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(med - 2500) / 2500 < 3.0 / math.sqrt(200), s"median=$med")
   }
 
+  test("kmvDistinctByGroup: exact below k, estimate within bound above") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 30).map(i => ("small", s"v$i")) ++
+      (1 to 4000).map(i => ("big", s"w${i % 2000}"))).toDF("g", "v")
+    val out = Sketches.kmvDistinctByGroup(df, col("g"), col("v"), k = 64)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("small") == ((30L, 30.0))) // below k: exact count
+    val (kUsed, est) = out("big")
+    assert(kUsed == 64L)
+    // KMV relative error ~1/sqrt(k-2); allow 4 sigma
+    assert(math.abs(est - 2000) / 2000 < 4.0 / math.sqrt(62), s"est=$est")
+  }
+
   test("CMS estimates never undercount; wide sketch is exact; partition-invariant") {
     val s = spark; import s.implicits._
     val items = (Seq.fill(50)("a") ++ Seq.fill(20)("b") ++

@@ -202,4 +202,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
     assert(out(20L) == ((20L, true)) && out(21L) == ((21L, true)))
   }
+
+  test("ndcgAtK: 1.0 on a perfect list, 0.0 on disjoint, hand value when degraded") {
+    val s = spark; import s.implicits._
+    def frame(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("query_id", "neighbor_id", "rank")
+    val truth = frame((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    assert(Similarity.ndcgAtK(truth, truth, 3)
+      .head.getDouble(1) == 1.0)
+    val disjoint = frame((1L, 90L, 1), (1L, 91L, 2), (1L, 92L, 3))
+    assert(Similarity.ndcgAtK(disjoint, truth, 3).head.getDouble(1) == 0.0)
+    // hits at ranks 1 and 3 only:
+    // dcg = 1/log2(2) + 1/log2(4) = 1.5; idcg = 1 + 1/log2(3) + 0.5
+    val partial = frame((1L, 10L, 1), (1L, 90L, 2), (1L, 12L, 3))
+    val want = math.rint(1.5 / (1.5 + 1.0 / (math.log(3) / math.log(2))) * 1e6) / 1e6
+    assert(Similarity.ndcgAtK(partial, truth, 3).head.getDouble(1) == want)
+    // a query the approx side never answered scores 0 via the truth join
+    val truth2 = truth.union(frame((2L, 30L, 1)))
+    val byQ = Similarity.ndcgAtK(partial, truth2, 3)
+      .as[(Long, Double)].collect().toMap
+    assert(byQ(2L) == 0.0 && byQ.size == 2)
+  }
 }
