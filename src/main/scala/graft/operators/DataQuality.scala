@@ -363,6 +363,63 @@ object DataQuality {
           .otherwise(0).as("is_outlier"))
   }
 
+  /** Shannon entropy (nats) of each categorical column, all columns in
+    * ONE pass: every column's values fold into (col_name, value) rows
+    * via an exploded struct array, then one groupBy((col, value)) +
+    * one O(#columns × #levels) entropy aggregation. Null is a level
+    * (encoded, not dropped) — a column that is 99% null should score
+    * low entropy, not the entropy of its 1% tail. */
+  def categoricalEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "categoricalEntropy needs at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          coalesce(col(c).cast("string"), lit(" null")).as("value"))): _*))
+      .as("p")).select(col("p.*"))
+    val counts = pairs.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("col_name")).agg(sum(col("cnt")).as("n"))
+    counts.join(broadcast(totals), "col_name")
+      .groupBy(col("col_name"))
+      .agg(round(-sum((col("cnt") / col("n")) * log(col("cnt") / col("n"))), 6)
+          .as("entropy"),
+        count(lit(1)).as("n_levels"))
+  }
+
+  /** Mutual information between two categorical columns (nats), plus
+    * the normalized form nmi = mi / sqrt(H(a)·H(b)): one contingency
+    * groupBy((a, b)), marginals re-aggregated from the contingency
+    * table (O(levels²) rows, broadcast) — the independence screen that
+    * catches associations Cramér's V misses when tables are unbalanced.
+    * Emits one row (mi, nmi, h_a, h_b). */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cont = df.groupBy(
+        coalesce(a.cast("string"), lit(" null")).as("va"),
+        coalesce(b.cast("string"), lit(" null")).as("vb"))
+      .agg(count(lit(1)).as("cnt"))
+    val ma = cont.groupBy(col("va")).agg(sum(col("cnt")).as("ca"))
+    val mb = cont.groupBy(col("vb")).agg(sum(col("cnt")).as("cb"))
+    val n = cont.agg(sum(col("cnt")).as("n"))
+    miAssembled(cont, ma, mb, n)
+  }
+
+  private def miAssembled(cont: DataFrame, ma: DataFrame, mb: DataFrame,
+                          n: DataFrame): DataFrame = {
+    val joined = cont.join(broadcast(ma), "va").join(broadcast(mb), "vb")
+      .crossJoin(broadcast(n))
+    val pxy = col("cnt") / col("n")
+    val mi = joined
+      .agg(sum(pxy * log(pxy / ((col("ca") / col("n")) * (col("cb") / col("n")))))
+        .as("mi"))
+    val ha = ma.crossJoin(broadcast(n))
+      .agg((-sum((col("ca") / col("n")) * log(col("ca") / col("n")))).as("h_a"))
+    val hb = mb.crossJoin(broadcast(n))
+      .agg((-sum((col("cb") / col("n")) * log(col("cb") / col("n")))).as("h_b"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(round(col("mi"), 6).as("mi"),
+        round(col("mi") / sqrt(col("h_a") * col("h_b")), 6).as("nmi"),
+        round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"))
+  }
+
   /** Scalable exact cumulative sums over a value-keyed count frame —
     * the two-level prefix-sum idiom that replaces the unpartitioned
     * `Window.orderBy(value)` (a single-partition sort, the exact trap

@@ -29,6 +29,18 @@ object QualityQueries {
         col("o_orderpriority"), col("o_totalprice"))
     }),
 
+    // one-pass Shannon entropy of three categorical columns
+    "q150_entropy" -> ((s, d) => {
+      DataQuality.categoricalEntropy(Tables.lineitem(s, d),
+        Seq("l_returnflag", "l_linestatus", "l_quantity"))
+    }),
+
+    // mutual information + NMI between priority and status
+    "q151_mutual_info" -> ((s, d) => {
+      DataQuality.mutualInformation(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_orderstatus"))
+    }),
+
     // exact two-sample KS drift over the same early/late order split as
     // q134's PSI — value-level counts + two-level prefix sum, no global
     // sort
@@ -299,6 +311,46 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_entropy" ->
+      """WITH p AS (
+           SELECT 'l_returnflag' AS col_name,
+             coalesce(CAST(l_returnflag AS VARCHAR), ' null') AS value
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus',
+             coalesce(CAST(l_linestatus AS VARCHAR), ' null') FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity',
+             coalesce(CAST(l_quantity AS VARCHAR), ' null') FROM lineitem),
+          c AS (SELECT col_name, value, count(*) AS cnt FROM p GROUP BY 1, 2),
+          t AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n
+                FROM c GROUP BY 1)
+          SELECT col_name,
+            ROUND(-sum((cnt * 1.0 / n) * ln(cnt * 1.0 / n)), 6) AS entropy,
+            CAST(count(*) AS BIGINT) AS n_levels
+          FROM c JOIN t USING (col_name) GROUP BY 1""",
+
+    "q151_mutual_info" ->
+      """WITH cont AS (
+           SELECT coalesce(CAST(o_orderpriority AS VARCHAR), ' null') AS va,
+             coalesce(CAST(o_orderstatus AS VARCHAR), ' null') AS vb,
+             count(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+          ma AS (SELECT va, CAST(sum(cnt) AS BIGINT) AS ca FROM cont GROUP BY 1),
+          mb AS (SELECT vb, CAST(sum(cnt) AS BIGINT) AS cb FROM cont GROUP BY 1),
+          nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cont),
+          mi AS (SELECT sum((cnt * 1.0 / n) *
+                   ln((cnt * 1.0 / n) / ((ca * 1.0 / n) * (cb * 1.0 / n)))) AS mi
+                 FROM cont JOIN ma USING (va) JOIN mb USING (vb) CROSS JOIN nn),
+          ha AS (SELECT -sum((ca * 1.0 / n) * ln(ca * 1.0 / n)) AS h_a
+                 FROM ma CROSS JOIN nn),
+          hb AS (SELECT -sum((cb * 1.0 / n) * ln(cb * 1.0 / n)) AS h_b
+                 FROM mb CROSS JOIN nn)
+          SELECT ROUND(mi, 6) AS mi,
+            ROUND(mi / sqrt(h_a * h_b), 6) AS nmi,
+            ROUND(h_a, 6) AS h_a, ROUND(h_b, 6) AS h_b
+          FROM mi CROSS JOIN ha CROSS JOIN hb""",
+
     "q145_ks_drift" ->
       """WITH tr AS (SELECT o_totalprice AS v FROM orders
                      WHERE o_orderdate < '1998-01-01' AND o_totalprice IS NOT NULL),

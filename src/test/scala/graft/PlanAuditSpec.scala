@@ -70,7 +70,10 @@ class PlanAuditSpec extends SparkSpec {
     "q144_target_encode_oof",
     // q145/q147: global stats fits — the KS totals / robust-scale
     // percentile frames are 1 row, crossJoin-broadcast (q31/q33 shape)
-    "q145_ks_drift", "q147_robust_scale")
+    "q145_ks_drift", "q147_robust_scale",
+    // q151: MI — contingency total / marginal-entropy frames are 1 row,
+    // crossJoin-broadcast
+    "q151_mutual_info")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,

@@ -149,6 +149,33 @@ class DataQualitySpec extends SparkSpec {
     assert(out.filter(_._1 != 99L).values.forall(_ == 0))
   }
 
+  test("categoricalEntropy: uniform = ln(levels), constant = 0, null is a level") {
+    val s = spark; import s.implicits._
+    val d = Seq(("a", "x", Some("p")), ("b", "x", Some("q")),
+      ("c", "x", None), ("d", "x", Some("p")))
+      .toDF("u", "k", "m")
+    val out = DataQuality.categoricalEntropy(d, Seq("u", "k", "m"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("u") == ((math.rint(math.log(4) * 1e6) / 1e6, 4L)))
+    assert(out("k") == ((0.0, 1L)))
+    // m: p,q,null,p -> levels 3; H = -(1/2 ln 1/2 + 1/4 ln 1/4 * 2)
+    val hm = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert(out("m") == ((math.rint(hm * 1e6) / 1e6, 3L)))
+  }
+
+  test("mutualInformation: H(a) when b determines a, ~0 when independent") {
+    val s = spark; import s.implicits._
+    // b = f(a): MI = H(a) = H(b), NMI = 1
+    val dep = Seq(("x", "1"), ("y", "2"), ("x", "1"), ("z", "3"))
+      .toDF("a", "b")
+    val r = DataQuality.mutualInformation(dep, col("a"), col("b")).head
+    assert(r.getDouble(0) == r.getDouble(2) && r.getDouble(1) == 1.0)
+    // independent 2x2 with equal counts: MI = 0
+    val ind = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")).toDF("a", "b")
+    val r2 = DataQuality.mutualInformation(ind, col("a"), col("b")).head
+    assert(math.abs(r2.getDouble(0)) < 1e-9)
+  }
+
   test("ksDrift: 0 on identical frames, 1 on disjoint supports, exact on a hand case") {
     val s = spark; import s.implicits._
     val a = (1 to 100).map(_.toDouble).toDF("v").repartition(7)
