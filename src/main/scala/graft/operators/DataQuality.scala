@@ -363,6 +363,35 @@ object DataQuality {
           .otherwise(0).as("is_outlier"))
   }
 
+  /** Two-proportion A/B comparison: conversion p in a control vs a
+    * treatment group, relative lift, the pooled two-proportion z
+    * statistic, and the 95% CI on the difference (unpooled SE) — the
+    * standard experiment readout. One groupBy to two rows; everything
+    * after is scalar arithmetic on a 1-row frame. */
+  def abLift(df: DataFrame, group: Column, control: String, treatment: String,
+             success: Column): DataFrame = {
+    val agg = df.groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n"), sum(success.cast("int")).as("s"))
+    val c = agg.where(col("g") === control)
+      .select(col("n").as("n_c"), col("s").as("s_c"))
+    val t = agg.where(col("g") === treatment)
+      .select(col("n").as("n_t"), col("s").as("s_t"))
+    val pC = col("s_c") / col("n_c")
+    val pT = col("s_t") / col("n_t")
+    val pPool = (col("s_c") + col("s_t")) / (col("n_c") + col("n_t"))
+    val sePool = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))
+    val seU = sqrt(pC * (lit(1.0) - pC) / col("n_c") +
+      pT * (lit(1.0) - pT) / col("n_t"))
+    c.crossJoin(broadcast(t)).select(
+      col("n_c"), col("n_t"),
+      round(pC, 6).as("p_c"), round(pT, 6).as("p_t"),
+      round(pT / pC - 1.0, 6).as("lift"),
+      round((pT - pC) / sePool, 6).as("z"),
+      round(pT - pC - lit(1.959963984540054) * seU, 6).as("ci_lo"),
+      round(pT - pC + lit(1.959963984540054) * seU, 6).as("ci_hi"))
+  }
+
   /** Shannon entropy (nats) of each categorical column, all columns in
     * ONE pass: every column's values fold into (col_name, value) rows
     * via an exploded struct array, then one groupBy((col, value)) +

@@ -221,6 +221,26 @@ object Vectorizers {
           .as("enc"))
   }
 
+  /** Hashed interaction (cross) features: the hashing-trick encoding of
+    * a categorical CONJUNCTION — bucket = md5(colA + sep + a + sep +
+    * colB + sep + b) % dims, emitted sparse as (id, bucket) rows. The
+    * cross space (|A|·|B| levels) never materializes a vocabulary: fit
+    * is nothing, transform is a codegen'd projection, and downstream
+    * models consume the sparse rows exactly like hashed tf. Null levels
+    * encode as their own token, so null×x interactions stay
+    * distinguishable. */
+  def hashedInteraction(df: DataFrame, id: Column,
+                        a: (String, Column), b: (String, Column),
+                        dims: Int): DataFrame = {
+    import graft.functions.TextAnalysis.hash60
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    val key = concat_ws("|", lit(a._1),
+      coalesce(a._2.cast("string"), lit(" null")), lit(b._1),
+      coalesce(b._2.cast("string"), lit(" null")))
+    df.select(id.as("id"),
+      pmod(hash60(key), lit(dims)).cast("int").as("bucket"))
+  }
+
   /** Robust scaling: (v - median) / IQR — the outlier-resistant
     * alternative to [[standardScale]] (a handful of extreme values move
     * mean/stddev arbitrarily but barely touch the quartiles). Fit is one

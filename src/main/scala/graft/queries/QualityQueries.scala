@@ -29,6 +29,25 @@ object QualityQueries {
         col("o_orderpriority"), col("o_totalprice"))
     }),
 
+    // hashed interaction (cross) features of priority x status — sparse
+    // (id, bucket) rows; the cross vocabulary never materializes
+    "q152_hashed_interaction" -> ((s, d) => {
+      graft.operators.Vectorizers.hashedInteraction(Tables.orders(s, d),
+        col("o_orderkey"), ("pri", col("o_orderpriority")),
+        ("st", col("o_orderstatus")), dims = 32)
+    }),
+
+    // A/B experiment readout: md5-split users, success = any purchase
+    "q153_ab_lift" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+        .withColumn("arm", when(pmod(col("user_id"), lit(2)) === 0, "control")
+          .otherwise("treatment"))
+      DataQuality.abLift(perUser, col("arm"), "control", "treatment",
+        col("converted"))
+    }),
+
     // one-pass Shannon entropy of three categorical columns
     "q150_entropy" -> ((s, d) => {
       DataQuality.categoricalEntropy(Tables.lineitem(s, d),
@@ -311,6 +330,40 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q152_hashed_interaction" ->
+      """SELECT o_orderkey AS id,
+           CAST(CAST(('0x' || substr(md5(
+             'pri|' || coalesce(CAST(o_orderpriority AS VARCHAR), ' null') ||
+             '|st|' || coalesce(CAST(o_orderstatus AS VARCHAR), ' null')
+           ), 1, 15)) AS BIGINT) % 32 AS INT) AS bucket
+         FROM orders""",
+
+    "q153_ab_lift" ->
+      """WITH u AS (SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+          a AS (SELECT
+             CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_c,
+             CAST(sum(conv) FILTER (user_id % 2 = 0) AS BIGINT) AS s_c,
+             CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_t,
+             CAST(sum(conv) FILTER (user_id % 2 = 1) AS BIGINT) AS s_t
+           FROM u)
+          SELECT n_c, n_t,
+            ROUND(s_c * 1.0 / n_c, 6) AS p_c,
+            ROUND(s_t * 1.0 / n_t, 6) AS p_t,
+            ROUND((s_t * 1.0 / n_t) / (s_c * 1.0 / n_c) - 1.0, 6) AS lift,
+            ROUND(((s_t * 1.0 / n_t) - (s_c * 1.0 / n_c)) /
+              sqrt(((s_c + s_t) * 1.0 / (n_c + n_t))
+                   * (1.0 - (s_c + s_t) * 1.0 / (n_c + n_t))
+                   * (1.0 / n_c + 1.0 / n_t)), 6) AS z,
+            ROUND((s_t * 1.0 / n_t) - (s_c * 1.0 / n_c) - 1.959963984540054 *
+              sqrt((s_c * 1.0 / n_c) * (1.0 - s_c * 1.0 / n_c) / n_c
+                 + (s_t * 1.0 / n_t) * (1.0 - s_t * 1.0 / n_t) / n_t), 6) AS ci_lo,
+            ROUND((s_t * 1.0 / n_t) - (s_c * 1.0 / n_c) + 1.959963984540054 *
+              sqrt((s_c * 1.0 / n_c) * (1.0 - s_c * 1.0 / n_c) / n_c
+                 + (s_t * 1.0 / n_t) * (1.0 - s_t * 1.0 / n_t) / n_t), 6) AS ci_hi
+          FROM a""",
+
     "q150_entropy" ->
       """WITH p AS (
            SELECT 'l_returnflag' AS col_name,

@@ -73,7 +73,10 @@ class PlanAuditSpec extends SparkSpec {
     "q145_ks_drift", "q147_robust_scale",
     // q151: MI — contingency total / marginal-entropy frames are 1 row,
     // crossJoin-broadcast
-    "q151_mutual_info")
+    "q151_mutual_info",
+    // q153: the control and treatment aggregates are 1-row frames
+    // crossJoin-broadcast into the readout row
+    "q153_ab_lift")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,

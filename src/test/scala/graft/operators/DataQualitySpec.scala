@@ -149,6 +149,22 @@ class DataQualitySpec extends SparkSpec {
     assert(out.filter(_._1 != 99L).values.forall(_ == 0))
   }
 
+  test("abLift reproduces the hand-computed two-proportion readout") {
+    val s = spark; import s.implicits._
+    // control: 2/4 convert; treatment: 3/4 convert
+    val d = Seq(("c", 1), ("c", 1), ("c", 0), ("c", 0),
+      ("t", 1), ("t", 1), ("t", 1), ("t", 0)).toDF("arm", "conv")
+    val r = DataQuality.abLift(d, col("arm"), "c", "t", col("conv")).head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.75)
+    assert(r.getDouble(4) == 0.5) // lift = 0.75/0.5 - 1
+    val pPool = 5.0 / 8
+    val z = 0.25 / math.sqrt(pPool * (1 - pPool) * 0.5)
+    assert(r.getDouble(5) == math.rint(z * 1e6) / 1e6)
+    val seU = math.sqrt(0.25 / 4 + 0.1875 / 4)
+    assert(r.getDouble(6) == math.rint((0.25 - 1.959963984540054 * seU) * 1e6) / 1e6)
+  }
+
   test("categoricalEntropy: uniform = ln(levels), constant = 0, null is a level") {
     val s = spark; import s.implicits._
     val d = Seq(("a", "x", Some("p")), ("b", "x", Some("q")),

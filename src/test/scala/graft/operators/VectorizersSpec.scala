@@ -76,6 +76,19 @@ class VectorizersSpec extends SparkSpec {
     assert(math.abs(out(3L) - prior) < math.abs(100.0 - prior))
   }
 
+  test("hashedInteraction: same cross level -> same bucket, null is its own level") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some("a"), "x"), (2L, Some("a"), "x"),
+      (3L, Some("b"), "x"), (4L, None, "x")).toDF("id", "p", "q")
+    val out = Vectorizers.hashedInteraction(df, col("id"),
+        ("p", col("p")), ("q", col("q")), dims = 1024)
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) == out(2L)) // identical conjunction
+    assert(out(1L) != out(3L)) // differing level (whp at 1024 dims)
+    assert(out(4L) != out(1L)) // null level distinct
+    assert(out.values.forall(b => b >= 0 && b < 1024))
+  }
+
   test("robustScale centers on the median and divides by IQR; constant falls back") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 100.0))
