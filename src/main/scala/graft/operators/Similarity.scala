@@ -550,6 +550,23 @@ object Similarity {
     * O(k) rows, so every aggregate is bounded. Queries the approx side
     * missed entirely score 0 (right outer join on the truth's query
     * set). */
+  /** Recall@k: fraction of the exact top-k each query's approximate
+    * list recovered — the blunt companion to [[ndcgAtK]] (rank-blind).
+    * Same (query_id, neighbor_id, rank) contract and join shape. */
+  def recallAtK(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .where(col("rank") <= k)
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+      .where(col("rank") <= k)
+    val hits = a.join(t, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    t.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_truth"), 6).as("recall"))
+  }
+
   def ndcgAtK(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val a = approx.select(col("query_id"), col("neighbor_id"), col("rank"))

@@ -49,6 +49,54 @@ object TimeSeries {
         ((unix_micros(max(ts)) - unix_micros(min(ts))) / 1e6).as("duration_sec"),
         round(sum(value), 6).as("sum_value"))
 
+  /** Pairwise co-occurrence lift between item types across entities
+    * (market-basket association): for each unordered type pair,
+    * support = P(both in one entity's set), lift = support /
+    * (P(a)·P(b)). Entities' distinct item sets self-join on the entity
+    * key (each entity contributes O(|set|²) pairs — bounded by the type
+    * domain, not the event count), marginals broadcast. */
+  def cooccurrenceLift(df: DataFrame, entity: Column, item: Column): DataFrame = {
+    val sets = df.select(entity.as("e"), item.as("i")).distinct()
+    val nEnt = sets.select(col("e")).distinct().agg(count(lit(1)).as("n_entities"))
+    val marg = sets.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+    val pairs = sets.as("x").join(sets.as("y"), "e")
+      .where(col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("i").as("item_a"), col("cnt").as("n_a"))), "item_a")
+      .join(broadcast(marg.select(col("i").as("item_b"), col("cnt").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nEnt))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        round(col("n_both") / col("n_entities"), 6).as("support"),
+        round((col("n_both") * col("n_entities")).cast("double") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
+  /** Rolling z-score anomaly flags per entity: an event is anomalous
+    * when its value leaves mean ± k·stddev of the TRAILING window
+    * (current event excluded — an outlier must not mask itself).
+    * Same single entity-partitioned Exchange as [[rollingStats]];
+    * windows with fewer than `minPoints` priors never flag (a z-score
+    * against two points is noise). */
+  def rollingAnomalies(df: DataFrame, entity: Column, ts: Column, order: Column,
+                       value: Column, windowSeconds: Long, k: Double = 3.0,
+                       minPoints: Int = 5): DataFrame = {
+    val byTime = Window.partitionBy(col("entity")).orderBy(col("__tus"))
+      .rangeBetween(-windowSeconds * 1000000L, -1)
+    val src = df.select(order.as("id"), entity.as("entity"),
+      unix_micros(ts).as("__tus"), value.as("value"))
+    src.select(col("id"), col("entity"), col("value"),
+        count(col("value")).over(byTime).as("n_prior"),
+        avg(col("value")).over(byTime).as("mu"),
+        stddev_samp(col("value")).over(byTime).as("sigma"))
+      .select(col("id"), col("entity"), col("value"), col("n_prior"),
+        round(col("mu"), 6).as("mu"),
+        when(col("n_prior") >= minPoints && col("sigma") > 0,
+          when(abs(col("value") - col("mu")) > lit(k) * col("sigma"), 1).otherwise(0))
+          .otherwise(0).as("is_anomaly"))
+  }
+
   /** Ordered funnel per entity: the earliest time each stage is reached
     * STRICTLY AFTER the previous stage (first `stages.head`, then the
     * first `stages(1)` after it, and so on). Emits one row per entity

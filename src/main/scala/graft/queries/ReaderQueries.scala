@@ -52,6 +52,21 @@ object ReaderQueries {
           col("prev_value"), col("secs_since_prev"))
     }),
 
+    // market-basket association: which event types co-occur in the same
+    // user's history beyond chance
+    "q154_cooccurrence_lift" -> ((s, d) => {
+      graft.operators.TimeSeries.cooccurrenceLift(Tables.events(s, d),
+        col("user_id"), col("event_type"))
+    }),
+
+    // trailing-window z-score anomaly flags (7-day window, prior-only)
+    "q156_rolling_anomaly" -> ((s, d) => {
+      graft.operators.TimeSeries.rollingAnomalies(Tables.events(s, d),
+        entity = col("user_id"), ts = col("ts"), order = col("event_id"),
+        value = col("value"), windowSeconds = 604800L, k = 2.5, minPoints = 5)
+        .withColumnRenamed("id", "event_id")
+    }),
+
     // ordered view -> click -> purchase funnel per user: k stacked
     // whole-partition window minima, one Exchange, no joins
     "q146_funnel" -> ((s, d) => {
@@ -182,6 +197,39 @@ object ReaderQueries {
         FROM embeddings"""
 
   val oracles: Map[String, String] = Map(
+    "q154_cooccurrence_lift" ->
+      """WITH s AS (SELECT DISTINCT user_id AS e, event_type AS i FROM events),
+          n AS (SELECT CAST(count(DISTINCT e) AS BIGINT) AS n_entities FROM s),
+          m AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1),
+          p AS (SELECT x.i AS item_a, y.i AS item_b,
+                  CAST(count(*) AS BIGINT) AS n_both
+                FROM s x JOIN s y ON x.e = y.e AND x.i < y.i
+                GROUP BY 1, 2)
+          SELECT item_a, item_b, n_both,
+            ROUND(n_both * 1.0 / n_entities, 6) AS support,
+            ROUND(CAST(n_both * n_entities AS DOUBLE) / (ma.cnt * mb.cnt), 6)
+              AS lift
+          FROM p JOIN m ma ON ma.i = item_a
+                 JOIN m mb ON mb.i = item_b
+          CROSS JOIN n""",
+
+    "q156_rolling_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id AS entity, epoch_us(ts) AS tus,
+                      value
+                    FROM events)
+          SELECT event_id, entity, value,
+            count(value) OVER w AS n_prior,
+            ROUND(avg(value) OVER w, 6) AS mu,
+            CASE WHEN count(value) OVER w >= 5
+                   AND stddev_samp(value) OVER w > 0
+                   AND abs(value - avg(value) OVER w)
+                       > 2.5 * stddev_samp(value) OVER w THEN 1
+                 ELSE 0 END AS is_anomaly
+          FROM e
+          WINDOW w AS (PARTITION BY entity ORDER BY tus
+                       RANGE BETWEEN 604800000000 PRECEDING
+                             AND 1 PRECEDING)""",
+
     "q146_funnel" ->
       """WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_type AS s
                     FROM events),

@@ -32,6 +32,14 @@ object SimilarityQueries {
       Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
     }),
 
+    // recall@10 of the SRP-LSH list vs the brute-force truth
+    "q155_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(e, e.where(expr(QUERY_PRED)), K)
+      val approx = Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
+      Similarity.recallAtK(approx, truth, K)
+    }),
+
     // retrieval-quality evaluation: NDCG@10 of the SRP-LSH top-k
     // against the exact brute-force ranking, per query
     "q149_ann_ndcg" -> ((s, d) => {
@@ -146,6 +154,44 @@ object SimilarityQueries {
             FROM scored)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K""",
+
+    "q155_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          qr AS (SELECT * FROM e WHERE $QUERY_PRED),
+          tscored AS (
+            SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosSql("qr.emb", "c.emb")} AS cos
+            FROM e c CROSS JOIN qr
+            WHERE qr.vec_id <> c.vec_id),
+          truth AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM tscored QUALIFY rank <= $K),
+          cb AS (SELECT vec_id AS neighbor_id, emb AS c_emb,
+                   ${bucketSql("emb")} AS bucket FROM e),
+          qb AS (SELECT vec_id AS query_id, emb AS q_emb,
+                   ${bucketSql("emb")} AS bucket FROM e WHERE $QUERY_PRED),
+          ascored AS (
+            SELECT query_id, neighbor_id, ${cosSql("q_emb", "c_emb")} AS cos
+            FROM cb JOIN qb USING (bucket)
+            WHERE query_id <> neighbor_id),
+          approx AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ascored QUALIFY rank <= $K),
+          hits AS (
+            SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM approx a JOIN truth t
+              ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+            GROUP BY 1),
+          tc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+                 FROM truth GROUP BY 1)
+          SELECT tc.query_id,
+            ROUND(coalesce(n_hit, 0) * 1.0 / n_truth, 6) AS recall
+          FROM tc LEFT JOIN hits ON tc.query_id = hits.query_id""",
 
     "q149_ann_ndcg" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

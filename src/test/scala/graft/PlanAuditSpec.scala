@@ -76,7 +76,10 @@ class PlanAuditSpec extends SparkSpec {
     "q151_mutual_info",
     // q153: the control and treatment aggregates are 1-row frames
     // crossJoin-broadcast into the readout row
-    "q153_ab_lift")
+    "q153_ab_lift",
+    // q154: the entity-count scalar is a 1-row frame crossJoin-broadcast
+    // over the O(types^2) pair rows
+    "q154_cooccurrence_lift")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
@@ -84,9 +87,9 @@ class PlanAuditSpec extends SparkSpec {
   // threshold; never a shuffle of the big side.
   private val bnljOk = singlePartitionOk ++ Set(
     "q26_sim_bruteforce_topk", "q84_sim_pq_topk",
-    // q149 evaluates the SRP list against the brute-force truth, so it
-    // inherits q26's broadcast-query-set scan
-    "q149_ann_ndcg")
+    // q149/q155 evaluate the SRP list against the brute-force truth, so
+    // they inherit q26's broadcast-query-set scan
+    "q149_ann_ndcg", "q155_ann_recall")
 
   test("global sweep: no cartesian products; single-partition exchanges " +
     "and nested-loop joins only in allowlisted stats fits") {

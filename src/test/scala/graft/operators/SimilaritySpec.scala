@@ -203,6 +203,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out(20L) == ((20L, true)) && out(21L) == ((21L, true)))
   }
 
+  test("recallAtK counts truth coverage; missing queries score 0") {
+    val s = spark; import s.implicits._
+    def frame(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("query_id", "neighbor_id", "rank")
+    val truth = frame((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 20L, 1))
+    val approx = frame((1L, 10L, 1), (1L, 90L, 2), (1L, 12L, 3))
+    val out = Similarity.recallAtK(approx, truth, 3)
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(out(2L) == 0.0)
+  }
+
   test("ndcgAtK: 1.0 on a perfect list, 0.0 on disjoint, hand value when degraded") {
     val s = spark; import s.implicits._
     def frame(rows: (Long, Long, Int)*) =

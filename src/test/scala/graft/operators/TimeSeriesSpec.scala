@@ -76,6 +76,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Map(1L -> 3, 2L -> 1, 4L -> 1))
   }
 
+  test("cooccurrenceLift: support and lift from hand-counted baskets") {
+    val s = spark; import s.implicits._
+    // baskets: u1 {a,b}, u2 {a,b}, u3 {a}, u4 {b,c}
+    val d = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c")).toDF("u", "i")
+    val out = TimeSeries.cooccurrenceLift(d, col("u"), col("i"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // (a,b): both in 2 of 4 baskets; n_a=3, n_b=3 -> lift = 2*4/9
+    assert(out(("a", "b")) == ((2L, 0.5, math.rint(8.0 / 9 * 1e6) / 1e6)))
+    // (b,c): 1 basket; n_b=3, n_c=1 -> lift = 1*4/3
+    assert(out(("b", "c")) == ((1L, 0.25, math.rint(4.0 / 3 * 1e6) / 1e6)))
+    assert(!out.contains(("a", "c"))) // never co-occur -> absent
+  }
+
+  test("rollingAnomalies: prior-only window, min-points guard, exact flag") {
+    val s = spark; import s.implicits._
+    // 6 calm points then a spike; spike's window excludes itself
+    val base = (0 to 5).map(i => (i.toLong, 1L, s"2024-01-01 0$i:00:00",
+      Seq(10.0, 12.0, 11.0, 13.0, 12.0, 11.0)(i)))
+    val ev = (base :+ ((6L, 1L, "2024-01-01 06:00:00", 99.0)))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = TimeSeries.rollingAnomalies(ev, col("user_id"), col("ts"),
+        col("event_id"), col("value"), windowSeconds = 86400L, k = 3.0,
+        minPoints = 5)
+      .select(col("id"), col("n_prior"), col("is_anomaly"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((0L, 0))) // no priors
+    assert(out(4L) == ((4L, 0))) // below minPoints, even though calm
+    assert(out(6L) == ((6L, 1))) // 99 vs mean ~11.5, sd ~1.05 -> flagged
+    assert(out(5L)._2 == 0)
+  }
+
   test("sessionize plans ONE exchange for the stacked windows") {
     val p = TimeSeries.sessionize(events, col("user_id"), col("ts"),
       col("event_id"), 60L).queryExecution.executedPlan.toString
