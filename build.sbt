@@ -40,4 +40,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-Xms8g",
   "-XX:ReservedCodeCacheSize=2g",
+  // one ~30 s silent driver stall lands on whichever iterative query is
+  // running when G1 hits an evacuation failure (observed migrating
+  // between the label-propagation CC queries across bench runs; full GC
+  // on a 48 g heap is tens of seconds). Spark's big broadcast/array
+  // allocations are humongous at the 4-16 MB default region size —
+  // 32 m regions push them back to normal allocation paths, and a
+  // larger reserve absorbs promotion bursts instead of failing the
+  // evacuation. GC log kept for diagnosis (per-pid, overwritten).
+  "-XX:G1HeapRegionSize=32m",
+  "-XX:G1ReservePercent=15",
+  "-Xlog:gc:/tmp/graft_gc_%p.log",
 )

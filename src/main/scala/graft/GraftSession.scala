@@ -32,6 +32,16 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
+      // the SQL status store tracks every execution even with the UI off;
+      // a 150-query suite at 3 runs each (iterative queries emit ~15
+      // executions per run) drives the in-memory store permanently past
+      // its retention cap, and then EVERY job completion pays an O(live)
+      // prune on the driver — the tail queries of a long resident session
+      // bill for the whole history. Keep only a small working set.
+      .config("spark.sql.ui.retainedExecutions", "32")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
 
   def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(cores).getOrCreate()
