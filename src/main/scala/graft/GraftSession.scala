@@ -19,9 +19,15 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // align null-on-error arithmetic with the DuckDB oracle (x/0 -> NULL)
       .config("spark.sql.ansi.enabled", "false")
-      // driver testdata events.parquet uses TIMESTAMP(NANOS); Spark 4 only
-      // reads it as Long under this flag (converted in Tables.events)
+      // driver testdata events.parquet has carried TIMESTAMP(NANOS); Spark 4
+      // only reads that as Long under this flag (converted in Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ... and currently carries TIMESTAMP(MICROS, isAdjustedToUTC=false),
+      // which Spark 4 would infer as TIMESTAMP_NTZ. Read it as a plain
+      // session-tz timestamp instead: the session tz is UTC, so the wall
+      // values equal DuckDB's naive reading of the same file, and window
+      // arithmetic / unix-epoch casts behave like a normal TIMESTAMP.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // InferFiltersFromGenerate re-derives `size(arr) > 0` under every
       // explode; predicate pushdown then re-inlines the array-producing
       // expression into the scan filter, and for lambda-built arrays

@@ -22,21 +22,28 @@ import graft.workflow.WorkflowModel
   */
 object Streaming {
 
-  /** events.parquet schema for the file-source stream (ts is
-    * TIMESTAMP(NANOS) which arrives as Long under
-    * spark.sql.legacy.parquet.nanosAsLong — converted below). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Open events as a file-source stream with a proper event-time column.
     * File streams require a directory: point at the sf dir and glob the
-    * one table (new matching files would be picked up incrementally). */
-  def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
+    * one table (new matching files would be picked up incrementally).
+    *
+    * File streams need an explicit schema; we take it from the batch
+    * footer (one bounded driver-side metadata read) so the stream stays
+    * in lockstep with whatever timestamp encoding the data carries —
+    * TIMESTAMP(NANOS) arrives as Long under
+    * spark.sql.legacy.parquet.nanosAsLong and is converted to a micros
+    * timestamp exactly like [[graft.sources.Tables.events]]; a plain
+    * TIMESTAMP column passes through. A schema drifting between the
+    * batch and stream paths silently shifts every watermark/window, so
+    * deriving one from the other is a correctness contract, not a
+    * convenience. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val s = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (schema("ts").dataType == LongType)
+      s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else s
+  }
 
   /** Watermarked tumbling-window aggregation over an event stream:
     * per (window, event_type) count + sum. Late data beyond `lateness`
