@@ -71,6 +71,35 @@ object Curation {
       .drop("__cum")
   }
 
+  /** RAG-style document chunking: split each document's token stream
+    * into chunks of `chunkSize` tokens advancing by
+    * `chunkSize - overlap`, so consecutive chunks share `overlap`
+    * tokens — the retrieval-index preparation step between curation
+    * and embedding. Chunk identity is (doc, chunk_idx), the join key an
+    * embedding/ANN stage uses to map hits back to source documents.
+    *
+    * Pure row-local column work — tokenize, explode the chunk starts,
+    * slice — no shuffle anywhere; output cardinality is
+    * Σ ceil(n_tok / stride) rows, each independent, so the stage
+    * pipelines at scan speed at any corpus size. An empty document is
+    * one empty chunk (`split("") = [""]`, the same convention the
+    * token-count ops replay in the oracle). */
+  def chunkByTokens(df: DataFrame, id: Column, text: Column,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap")
+    val stride = chunkSize - overlap
+    df.select(id.as("doc"), graft.functions.TextAnalysis.tokens(text).as("__toks"))
+      .select(col("doc"), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc"), col("chunk_idx"), col("start_tok"),
+        least(lit(chunkSize), size(col("__toks")) - col("start_tok")).as("n_tokens"),
+        array_join(slice(col("__toks"), col("start_tok") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Per-group document cap (the Common-Crawl-style per-domain cap: no
     * single domain/source may contribute more than `k` documents):
     * keeps each group's `k` best rows by (quality desc, id asc) and

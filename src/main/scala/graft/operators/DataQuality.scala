@@ -459,7 +459,7 @@ object DataQuality {
     * by cluster layout, never by data. Output is independent of the
     * (sampled) range boundaries: a global cumulative sum does not care
     * where the splits fall. */
-  private def cumulativeByValue(counts: DataFrame, aggCols: Seq[String]): DataFrame = {
+  private[graft] def cumulativeByValue(counts: DataFrame, aggCols: Seq[String]): DataFrame = {
     val s = counts.sparkSession
     val parts = counts
       .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt, col("v"))

@@ -426,6 +426,50 @@ object Dedup {
     incoming.join(dupNew, id === col("id_new"), "left_anti")
   }
 
+  /** Record-linkage fuzzy join (entity matching): each probe row's
+    * top-`k` canonical matches by whole-token-set Jaccard — the "match
+    * a dirty feed against a canonical dimension" step, cross-table
+    * where [[jaccardPairs]] is within-corpus.
+    *
+    * Blocking: a candidate pair must share at least one token whose
+    * canon-side document frequency is <= `maxTokenDocFreq` (a token in
+    * m canon rows fans each probe occurrence out m ways; boilerplate
+    * tokens don't define identity, the [[jaccardPairs]] recall trade).
+    * Verify: EXACT Jaccard over the full token sets via array_intersect
+    * on candidate pairs only. Rank: the bounded [[graft.aggregators.TopK]]
+    * aggregator per probe — mappers forward ~2k candidates per probe,
+    * never a window sort over every scored pair. Ties go to the smaller
+    * canon id. Emits (probe_id, canon_id, jaccard, rank). */
+  def fuzzyJoinTopK(canon: DataFrame, canonId: Column, canonText: Column,
+                    probes: DataFrame, probeId: Column, probeText: Column,
+                    k: Int, minJaccard: Double,
+                    maxTokenDocFreq: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // persisted: each side feeds its token explode AND the verify
+    // join-back; lifecycle is the object's materialize-then-release
+    val c = canon.select(canonId.as("canon_id"),
+        array_distinct(tokens(canonText)).as("ct"))
+      .where(size(col("ct")) > 0).persist()
+    val p = probes.select(probeId.as("probe_id"),
+        array_distinct(tokens(probeText)).as("pt"))
+      .where(size(col("pt")) > 0).persist()
+    val cTok = c.select(col("canon_id"), explode(col("ct")).as("tok"))
+    val hot = cTok.groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
+      .where(col("df_t") > maxTokenDocFreq).select(col("tok"))
+    val cands = p.select(col("probe_id"), explode(col("pt")).as("tok"))
+      .join(hot, Seq("tok"), "left_anti")
+      .join(cTok, "tok")
+      .select(col("probe_id"), col("canon_id")).distinct()
+    val scored = cands.join(p, "probe_id").join(c, "canon_id")
+      .select(col("probe_id"), col("canon_id"),
+        size(array_intersect(col("pt"), col("ct"))).cast("double").as("n_inter"),
+        size(col("pt")).as("n_p"), size(col("ct")).as("n_c"))
+      .select(col("probe_id"), col("canon_id"),
+        (col("n_inter") / (col("n_p") + col("n_c") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+    graft.aggregators.TopK.topKPerKey(scored, "probe_id", "canon_id", "jaccard", k)
+  }
+
   /** Per-token 60-bit hashes (one md5 per distinct token) — the input to
     * simHashOf. Materialize once; the 60 bit-sums then fold over plain
     * longs with no further hashing. */

@@ -90,6 +90,55 @@ object Multimodal {
       (col("height").cast("double") / targetH).as("scale_y"),
       col("feat"))
 
+  /** 56-bit perceptual difference hash (dHash) over the stub decode.
+    * The fake luma grid has 7 rows of 9 pixels, where row r's pixels
+    * are the first 9 bytes of md5(payload ‖ ":" ‖ r), and bit
+    * (r*8 + c) of the hash is set when pixel (r, c+1) > pixel (r, c) —
+    * the gradient-direction encoding of the real dHash. 56 bits rather
+    * than the canonical 64 keeps the value strictly positive in
+    * signed-64 engines, so the differential oracle replays it
+    * bit-exactly (the same reason [[Dedup.simHashOf]] is 60-bit); a
+    * real codec swaps the md5 rows for a 9×7 downsampled luma grid and
+    * nothing else — blocking, verify, clustering — changes. Pure
+    * codegen'd column work: 7 md5 calls + 56 byte compares per row,
+    * common subexpressions eliminated by whole-stage codegen. */
+  def dHash56(payload: Column): Column = {
+    def pix(r: Int, c: Int): Column =
+      conv(substring(md5(concat(payload, to_binary(lit(":" + r), lit("utf-8")))),
+        2 * c + 1, 2), 16, 10).cast("long")
+    (for { r <- 0 until 7; c <- 0 until 8 } yield
+      when(pix(r, c + 1) > pix(r, c), lit(1L << (r * 8 + c))).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Image near-duplicate pairs by dHash hamming distance — the
+    * multimodal analog of [[Dedup.simHashPairs]] and the same
+    * block-verify shape: the 56-bit hash splits into 4 disjoint 14-bit
+    * chunks; two images within hamming distance 3 must agree on at
+    * least one chunk (pigeonhole), so a chunk-keyed equi-join generates
+    * every qualifying candidate — never a theta-join over all pairs —
+    * and an exact popcount verifies. With the stub codec only
+    * byte-identical payloads land within the radius (md5 rows have no
+    * perceptual proximity); a real decoder makes near-crops/re-encodes
+    * cluster, with this exact plan shape. */
+  def dHashNearDupPairs(df: DataFrame, id: Column, payload: Column,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"chunk blocking covers hamming <= 3, got $maxHamming")
+    // persisted: the signature table self-joins (two scans below)
+    val sigs = df.select(id.as("doc"), dHash56(payload).as("dhash")).persist()
+    val posed = sigs.select(col("doc"), col("dhash"),
+      posexplode(expr("transform(sequence(0, 3), c -> shiftright(dhash, c * 14) % 16384)")))
+      .withColumnRenamed("pos", "c").withColumnRenamed("col", "chunk")
+    posed.as("a").join(posed.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Batched decode: (doc_id, payload) → decodedSchema rows. Batches of
     * `batchSize` per partition emulate the mapInPandas batch shape —
     * codec state is initialized once per partition, rows stream

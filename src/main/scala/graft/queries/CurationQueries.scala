@@ -239,6 +239,14 @@ object CurationQueries {
         col("doc_id"), col("text"), k = 5, minDocs = 2)
     }),
 
+    // RAG chunking: 32-token chunks advancing by 24 (8-token overlap);
+    // chunk identity (doc, chunk_idx) is the key an embedding/ANN index
+    // joins back on
+    "q157_chunk_overlap" -> ((s, d) => {
+      Curation.chunkByTokens(Tables.documents(s, d), col("doc_id"), col("text"),
+        chunkSize = 32, overlap = 8)
+    }),
+
     "q104_curation_drop_spans" -> ((s, d) => {
       val out = Curation.dropBoilerplateSpans(Tables.documents(s, d),
         col("doc_id"), col("text"), k = 3, maxDocs = 8L)
@@ -252,6 +260,18 @@ object CurationQueries {
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q157_chunk_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         u AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start_tok FROM t)
+         SELECT doc_id AS doc,
+           CAST(start_tok // 24 AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(least(32, len(toks) - start_tok) AS INT) AS n_tokens,
+           array_to_string(toks[CAST(start_tok + 1 AS INT):CAST(start_tok + 32 AS INT)], ' ') AS chunk_text
+         FROM u""",
+
     "q119_curation_domain_cap" ->
       """WITH r AS (
            SELECT source, doc_id, n_chars,

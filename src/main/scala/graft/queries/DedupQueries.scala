@@ -35,6 +35,28 @@ object DedupQueries {
         .select(col("node"), round(col("pr") * col("n"), 6).as("pr_scaled"))
     }),
 
+    // image near-dup via perceptual dHash over the stub codec: 4x14-bit
+    // chunk blocking + exact popcount verify (with the fake md5 "pixels"
+    // only byte-identical payloads land inside the radius — the blocking
+    // and verify machinery are what the gate exercises)
+    "q158_image_dhash_neardup" -> ((s, d) => {
+      val docs = graft.operators.Multimodal.withPayload(Tables.documents(s, d), "text")
+      graft.operators.Multimodal.dHashNearDupPairs(docs, col("doc_id"),
+        col("payload"), maxHamming = 3)
+    }),
+
+    // record linkage: match odd-key part names to their top-3 even-key
+    // canonical parts by whole-token Jaccard (shared-token blocking,
+    // exact verify, bounded top-k)
+    "q159_fuzzy_match" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      Dedup.fuzzyJoinTopK(
+          part.where(col("p_partkey") % 2 === 0), col("p_partkey"), col("p_name"),
+          part.where(col("p_partkey") % 2 === 1), col("p_partkey"), col("p_name"),
+          k = 3, minJaccard = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
     "q22_dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
     }),
@@ -141,7 +163,53 @@ object DedupQueries {
     """CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
        (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"""
 
+  /** dHash bit terms: pixel (r, c) = hex byte c of md5(text || ':' || r);
+    * bit (r*8+c) set when pixel (r, c+1) > pixel (r, c). Mirrors
+    * Multimodal.dHash56 bit-exactly. */
+  private val DHASH: String = {
+    def pix(r: Int, c: Int) =
+      s"CAST(('0x' || substr(md5(text || ':$r'), ${2 * c + 1}, 2)) AS BIGINT)"
+    (for { r <- 0 until 7; c <- 0 until 8 } yield
+      s"CASE WHEN ${pix(r, c + 1)} > ${pix(r, c)} THEN ${1L << (r * 8 + c)} ELSE 0 END")
+      .mkString("\n             + ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q158_image_dhash_neardup" ->
+      s"""WITH h AS (
+            SELECT doc_id,
+              $DHASH AS dhash
+            FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""",
+
+    "q159_fuzzy_match" ->
+      """WITH c AS (
+            SELECT p_partkey AS canon_id,
+              list_distinct(regexp_split_to_array(lower(trim(p_name)), '\s+')) AS ct
+            FROM part WHERE p_partkey % 2 = 0),
+          p AS (
+            SELECT p_partkey AS probe_id,
+              list_distinct(regexp_split_to_array(lower(trim(p_name)), '\s+')) AS pt
+            FROM part WHERE p_partkey % 2 = 1),
+          cand AS (
+            SELECT DISTINCT probe_id, canon_id
+            FROM (SELECT probe_id, unnest(pt) AS tok FROM p) pp
+            JOIN (SELECT canon_id, unnest(ct) AS tok FROM c) cc USING (tok)),
+          scored AS (
+            SELECT probe_id, canon_id,
+              CAST(len(list_intersect(pt, ct)) AS DOUBLE) /
+                (len(pt) + len(ct) - len(list_intersect(pt, ct))) AS j
+            FROM cand JOIN p USING (probe_id) JOIN c USING (canon_id))
+          SELECT probe_id, canon_id, ROUND(j, 6) AS jaccard,
+            CAST(row_number() OVER (
+              PARTITION BY probe_id ORDER BY j DESC, canon_id) AS INT) AS rank
+          FROM scored
+          WHERE j >= 0.5
+          QUALIFY rank <= 3""",
+
     "q142_pagerank" ->
       """WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

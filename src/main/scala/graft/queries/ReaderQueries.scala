@@ -123,6 +123,38 @@ object ReaderQueries {
     // log-loss + SMAPE evaluators over the md5-weight linear scorer
     // (deterministic probabilities, so the single-row metrics are
     // oracle-replayable — the evaluator math is the thing under test)
+    // split-conformal regression intervals: a closed-form OLS fit of
+    // extendedprice ~ quantity on the md5-carved calibration half
+    // (exact decimal sums cast to double, so the oracle replays the
+    // coefficients bit-identically), then the conformal residual
+    // quantile widens every test prediction into [pred-qhat, pred+qhat]
+    "q160_conformal_interval" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
+        col("l_quantity").cast("decimal(15,2)").as("xd"),
+        col("l_extendedprice").cast("decimal(15,2)").as("yd"))
+      val bkt = graft.operators.Curation.sampleBucket(col("rid"), "conf")
+      val cal = li.where(bkt < 500000)
+      val test = li.where(bkt >= 500000)
+      val ab = cal.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("xd")).cast("double").as("sx"),
+          sum(col("yd")).cast("double").as("sy"),
+          sum(col("xd") * col("yd")).cast("double").as("sxy"),
+          sum(col("xd") * col("xd")).cast("double").as("sxx"))
+        .select(col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"))
+        .select(((col("sy") - col("beta") * col("sx")) / col("n")).as("alpha"),
+          col("beta"))
+      def scoreSide(side: DataFrame) = side.crossJoin(broadcast(ab))
+        .select(col("rid"), col("yd").cast("double").as("y"),
+          (col("alpha") + col("beta") * col("xd").cast("double")).as("pred"))
+      graft.workflow.MLTuning.conformalIntervals(
+        scoreSide(cal), scoreSide(test), col("rid"), col("y"), col("pred"),
+        alpha = 0.1)
+    }),
+
     "q65_eval_logloss_smape" -> ((s, d) => {
       val scored = mdScored(s, d)
       val ll = graft.workflow.MLTuning.logLoss(scored, "p", "y")
@@ -348,6 +380,45 @@ object ReaderQueries {
 
     "q64_deindex" ->
       """SELECT c_custkey, c_mktsegment AS segment FROM customer""",
+
+    "q160_conformal_interval" ->
+      s"""WITH li AS (
+            SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS rid,
+              CAST(l_quantity AS DECIMAL(15,2)) AS xd,
+              CAST(l_extendedprice AS DECIMAL(15,2)) AS yd
+            FROM lineitem),
+          cal AS (SELECT * FROM li
+                  WHERE ${H60("'conf:' || rid")} % 1000000 < 500000),
+          test AS (SELECT * FROM li
+                   WHERE ${H60("'conf:' || rid")} % 1000000 >= 500000),
+          sums AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+              CAST(sum(xd * yd) AS DOUBLE) AS sxy,
+              CAST(sum(xd * xd) AS DOUBLE) AS sxx
+            FROM cal),
+          ab0 AS (SELECT n, sx, sy,
+                    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta FROM sums),
+          ab AS (SELECT (sy - beta * sx) / n AS alpha, beta FROM ab0),
+          calr AS (
+            SELECT abs(CAST(yd AS DOUBLE) - (alpha + beta * CAST(xd AS DOUBLE))) AS r
+            FROM cal CROSS JOIN ab),
+          nres AS (SELECT CAST(count(*) AS BIGINT) AS n FROM calr),
+          cum AS (
+            SELECT r, sum(c) OVER (ORDER BY r) AS cum_c
+            FROM (SELECT r, count(*) AS c FROM calr GROUP BY r)),
+          q AS (
+            SELECT min(r) AS qhat FROM cum CROSS JOIN nres
+            WHERE cum_c >= ceil((n + 1) * 0.9))
+          SELECT rid AS id,
+            ROUND(alpha + beta * CAST(xd AS DOUBLE), 6) AS pred,
+            ROUND(alpha + beta * CAST(xd AS DOUBLE) - qhat, 6) AS lo,
+            ROUND(alpha + beta * CAST(xd AS DOUBLE) + qhat, 6) AS hi,
+            CASE WHEN CAST(yd AS DOUBLE)
+                   BETWEEN alpha + beta * CAST(xd AS DOUBLE) - qhat
+                       AND alpha + beta * CAST(xd AS DOUBLE) + qhat
+                 THEN 1 ELSE 0 END AS covered
+          FROM test CROSS JOIN ab CROSS JOIN q""",
 
     "q65_eval_logloss_smape" ->
       s"""WITH s AS ($MD_SCORED)

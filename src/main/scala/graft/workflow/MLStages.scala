@@ -3,7 +3,7 @@ package graft.workflow
 import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.workflow.FeatureKind._
 
@@ -464,6 +464,44 @@ object MLTuning {
     val denom = abs(p) + abs(y)
     df.agg(avg(when(denom === 0, 0.0).otherwise(lit(2.0) * abs(p - y) / denom)))
       .head.getDouble(0)
+  }
+
+  /** Split-conformal regression intervals (the distribution-free
+    * calibration wrapper a production regression pipeline ships with
+    * its point model): qhat is the ceil((n_cal + 1) * (1 - alpha))-th
+    * smallest absolute calibration residual, and every test prediction
+    * becomes [pred - qhat, pred + qhat] — finite-sample marginal
+    * coverage >= 1 - alpha with no distributional assumptions.
+    *
+    * The rank statistic is found EXACTLY with no global sort and no
+    * driver materialization: distinct-residual counts feed the
+    * two-level cumulative sum ([[graft.operators.DataQuality.cumulativeByValue]]
+    * — range-partitioned running sums plus broadcast offsets), and qhat
+    * is the first value whose cumulative count reaches the conformal
+    * rank. Everything downstream is a broadcast of the single-row qhat
+    * frame over the test side — one wide shuffle on distinct residual
+    * values total, independent of test size. When alpha < 1/(n_cal+1)
+    * the conformal interval is unbounded and qhat is null: lo/hi come
+    * back null rather than silently clamping, `covered` = 0.
+    * Emits (id, pred, lo, hi, covered). */
+  def conformalIntervals(cal: DataFrame, test: DataFrame, id: Column,
+                         label: Column, pred: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val res = cal.select(abs(label - pred).as("v")).where(col("v").isNotNull)
+    val counts = res.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = graft.operators.DataQuality.cumulativeByValue(counts, Seq("c"))
+    val n = res.agg(count(lit(1)).as("n"))
+    val qhat = cum.crossJoin(broadcast(n))
+      .where(col("cum_c") >= ceil((col("n") + lit(1)) * lit(1.0 - alpha)))
+      .agg(min(col("v")).as("qhat"))
+    test.select(id.as("id"), label.as("__y"), pred.as("__pred"))
+      .crossJoin(broadcast(qhat))
+      .select(col("id"), round(col("__pred"), 6).as("pred"),
+        round(col("__pred") - col("qhat"), 6).as("lo"),
+        round(col("__pred") + col("qhat"), 6).as("hi"),
+        when(col("__y").between(col("__pred") - col("qhat"),
+          col("__pred") + col("qhat")), 1).otherwise(0).as("covered"))
   }
 
   /** Per-series forecast metrics (reference OpForecastEvaluator.scala:

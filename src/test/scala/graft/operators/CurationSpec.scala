@@ -335,4 +335,36 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out.size == 5 && out.values.forall(_ == (("", 1L))))
   }
+
+  test("chunkByTokens chunks with overlap and covers every token position") {
+    val s = spark; import s.implicits._
+    // 10 tokens, chunk 4, overlap 1 -> stride 3: starts 0,3,6,9
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x"), (3L, "")).toDF("id", "t")
+    val out = Curation.chunkByTokens(df, col("id"), col("t"), chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3, c._4, c._5)).toSeq == Seq(
+      (0, 0, 4, "a b c d"), (1, 3, 4, "d e f g"), (2, 6, 4, "g h i j"), (3, 9, 1, "j")))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1.sliding(2).forall { case Array(a, b) => b._3 == a._3 + 3; case _ => true })
+    // single-token and empty docs produce exactly one chunk
+    assert(out.count(_._1 == 2L) == 1 && out.count(_._1 == 3L) == 1)
+    assert(out.find(_._1 == 3L).get._5 == "")
+  }
+
+  test("chunkByTokens is shuffle-free (row-local plan, no Exchange)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b c d e f")).toDF("id", "t")
+    val plan = Curation.chunkByTokens(df, col("id"), col("t"), 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("chunkByTokens rejects overlap >= chunkSize") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(df, col("id"), col("t"), chunkSize = 4, overlap = 4)
+    }
+  }
 }

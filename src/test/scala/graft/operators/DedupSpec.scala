@@ -106,4 +106,34 @@ class DedupSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(11L, 12L))
   }
+
+  test("fuzzyJoinTopK matches probes to canon rows by token Jaccard, bounded top-k") {
+    val s = spark; import s.implicits._
+    val canon = Seq(
+      (2L, "red green blue"), (4L, "red green yellow"), (6L, "cyan magenta")).toDF("id", "t")
+    val probes = Seq(
+      (1L, "red green blue"),      // exact (J=1 vs 2), J=0.5 vs 4
+      (3L, "totally different words"), // no shared tokens -> no rows
+      (5L, "cyan magenta")).toDF("id", "t")
+    val out = Dedup.fuzzyJoinTopK(canon, col("id"), col("t"),
+        probes, col("id"), col("t"), k = 2, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val p1 = out.filter(_._1 == 1L).sortBy(_._4)
+    assert(p1.map(x => (x._2, x._4)).toSeq == Seq((2L, 1), (4L, 2)))
+    assert(p1.head._3 == 1.0 && math.abs(p1(1)._3 - 0.5) < 1e-12)
+    assert(out.count(_._1 == 3L) == 0)
+    assert(out.filter(_._1 == 5L).map(x => (x._2, x._3, x._4)).toSeq == Seq((6L, 1.0, 1)))
+    spark.catalog.clearCache()
+  }
+
+  test("fuzzyJoinTopK hot-token cap drops candidates blocked only by hot tokens") {
+    val s = spark; import s.implicits._
+    // "common" appears in every canon row; with the cap at 2 it cannot block
+    val canon = Seq((2L, "common a"), (4L, "common b"), (6L, "common c")).toDF("id", "t")
+    val probes = Seq((1L, "common z")).toDF("id", "t")
+    val out = Dedup.fuzzyJoinTopK(canon, col("id"), col("t"),
+      probes, col("id"), col("t"), k = 3, minJaccard = 0.1, maxTokenDocFreq = 2)
+    assert(out.count() == 0)
+    spark.catalog.clearCache()
+  }
 }

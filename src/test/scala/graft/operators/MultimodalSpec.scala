@@ -73,4 +73,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getSeq[Float](4).length == 8))
     assert(rows.forall(r => r.getInt(1) >= 64 && r.getInt(3) >= 1))
   }
+
+  test("dHash56 is deterministic, 56-bit, and sensitive to payload bytes") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "hello worlc"))
+      .toDF("id", "t")
+    val h = Multimodal.withPayload(df, "t")
+      .select(col("id"), Multimodal.dHash56(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))                       // same bytes -> same hash
+    assert(h(1L) != h(3L))                       // md5 avalanche on 1-byte change
+    assert(h.values.forall(v => v >= 0L && v < (1L << 56)))
+  }
+
+  test("dHashNearDupPairs finds exactly the identical payloads via chunk blocking") {
+    val s = spark; import s.implicits._
+    val df = (Seq((1L, "dup text one"), (2L, "dup text one"), (3L, "dup text one")) ++
+      (4L to 40L).map(i => (i, s"unique text $i"))).toDF("id", "t")
+    val pairs = Multimodal.dHashNearDupPairs(
+        Multimodal.withPayload(df, "t"), col("id"), col("payload"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.forall(_._3 == 0))
+    spark.catalog.clearCache()
+  }
 }

@@ -101,4 +101,27 @@ class MLStagesSpec extends SparkSpec {
     val replay = ModelIO.load(spark, dir).score(binTrain, keep = Seq("id")).orderBy("id").collect()
     assert(orig.map(_.toSeq).toSeq == replay.map(_.toSeq).toSeq)
   }
+
+  test("conformalIntervals picks the exact conformal rank residual as qhat") {
+    val s = spark; import s.implicits._
+    // calibration residuals |y - pred| = 1..10 (pred = 0); n = 10,
+    // alpha = 0.2 -> rank ceil(11 * 0.8) = 9 -> qhat = 9.0
+    val cal = (1 to 10).map(i => (i.toLong, i.toDouble, 0.0)).toDF("id", "y", "p")
+    val test = Seq((100L, 5.0, 3.0), (101L, 20.0, 3.0)).toDF("id", "y", "p")
+    val out = MLTuning.conformalIntervals(cal, test, col("id"), col("y"), col("p"), 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(out(100L) == ((3.0, -6.0, 12.0, 1)))  // |5-3|=2 <= 9 -> covered
+    assert(out(101L) == ((3.0, -6.0, 12.0, 0)))  // |20-3|=17 > 9
+  }
+
+  test("conformalIntervals yields null bounds when alpha is too small for n_cal") {
+    val s = spark; import s.implicits._
+    val cal = (1 to 3).map(i => (i.toLong, i.toDouble, 0.0)).toDF("id", "y", "p")
+    val test = Seq((9L, 1.0, 0.0)).toDF("id", "y", "p")
+    // alpha = 0.1 < 1/(n+1) = 0.25 -> conformal interval unbounded -> null lo/hi
+    val r = MLTuning.conformalIntervals(cal, test, col("id"), col("y"), col("p"), 0.1)
+      .collect().head
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.getInt(4) == 0)
+  }
 }
