@@ -71,6 +71,42 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * draw `k` pseudo-random corpus documents per anchor, excluding the
+    * anchor itself and its known positives. Draw j for an anchor is
+    * hash60(salt:anchor:j) mod N mapped to a corpus id through a dense
+    * rank table — built WITHOUT a global sort via the two-level
+    * cumulative count ([[DataQuality.cumulativeByValue]]), the same
+    * no-single-partition-window discipline as the KS machinery. The
+    * anti-join against positives (and the self-check) can leave an
+    * anchor with fewer than k negatives; collisions are dropped, not
+    * re-drawn — the deterministic convention the oracle replays (callers
+    * wanting exactly-k draw with a larger k and truncate). One rank
+    * equi-join + one anti-join; nothing driver-side. Emits
+    * (anchor_id, j, neg_id). */
+  def negativeSample(corpus: DataFrame, id: Column,
+                     anchors: DataFrame, anchorId: Column,
+                     positives: DataFrame, posAnchor: Column, posId: Column,
+                     k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val counts = corpus.select(id.as("v")).distinct()
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val idx = DataQuality.cumulativeByValue(counts, Seq("c"))
+      .select(col("v").as("neg_id"), col("cum_c").as("rank"))
+    val nDf = counts.agg(sum(col("c")).cast("long").as("n"))
+    val draws = anchors.select(anchorId.as("anchor_id"))
+      .crossJoin(broadcast(nDf))
+      .select(col("anchor_id"), explode(sequence(lit(1), lit(k))).as("j"), col("n"))
+      .select(col("anchor_id"), col("j"),
+        (pmod(hash60(concat_ws(":", lit(salt), col("anchor_id"), col("j"))),
+          col("n")) + 1).as("rank"))
+    draws.join(idx, "rank")
+      .join(positives.select(posAnchor.as("anchor_id"), posId.as("neg_id")),
+        Seq("anchor_id", "neg_id"), "left_anti")
+      .where(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("j"), col("neg_id"))
+  }
+
   /** RAG-style document chunking: split each document's token stream
     * into chunks of `chunkSize` tokens advancing by
     * `chunkSize - overlap`, so consecutive chunks share `overlap`

@@ -18,6 +18,99 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Point-in-time (as-of) join — the feature-store correctness
+    * primitive: each left row (id, key, ts) picks up the value of the
+    * LATEST right row with the same key and right-ts <= ts (inclusive,
+    * so a feature stamped at the query instant is visible). Implemented
+    * as the union-and-window plan, not an inequality join: both sides
+    * are tagged, unioned, and scanned once under a single (key)-keyed
+    * window ordered by (ts, side, value) — right rows sort before left
+    * rows at equal ts, and `last(value, ignoreNulls)` carries the most
+    * recent right value forward. ONE shuffle on the key, O(1) state per
+    * row, no theta-join explosion — at 100 TB an inequality range join
+    * on (key, ts) is the classic plan-killer this shape replaces.
+    * Among right duplicates at the same (key, ts) the greatest value
+    * wins (value is the final sort column) — deterministic, and the
+    * oracle replays it. Left rows with no prior right row get null.
+    * Emits (id, key, ts, asof). */
+  def asOfJoin(left: DataFrame, lId: Column, lKey: Column, lTs: Column,
+               right: DataFrame, rKey: Column, rTs: Column,
+               rVal: Column): DataFrame = {
+    val idType = left.select(lId.as("id")).schema("id").dataType
+    val vType = right.select(rVal.as("v")).schema("v").dataType
+    val r = right.select(lit(null).cast(idType).as("id"), rKey.as("k"),
+      rTs.as("ts"), lit(0).as("side"), rVal.as("v"))
+    val l = left.select(lId.as("id"), lKey.as("k"), lTs.as("ts"),
+      lit(1).as("side"), lit(null).cast(vType).as("v"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts"), col("side"), col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof", last(col("v"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("id"), col("k"), col("ts"), col("asof"))
+  }
+
+  /** SCD type-2 snapshot build from a keyed changelog: per key, rows
+    * ordered by (ts, `order`) collapse into validity intervals — a row
+    * opens an interval iff its tracked value differs from the previous
+    * row's (or it is the key's first), `valid_to` is the next OPENING
+    * row's ts (null while current). The dimension-table construction
+    * every warehouse derives from a change stream. One shuffle on the
+    * key; two window passes (change detection, then lead) share the
+    * same partitioning and sort, so Catalyst plans a single Exchange.
+    * Emits (key, value, valid_from, valid_to, is_current). */
+  def scd2(changes: DataFrame, key: Column, ts: Column, order: Column,
+           value: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("ord"))
+    val opened = changes
+      .select(key.as("k"), ts.as("ts"), order.as("ord"), value.as("value"))
+      .withColumn("__prev", lag(col("value"), 1).over(w))
+      .where(col("__prev").isNull || !(col("__prev") <=> col("value")))
+    val w2 = Window.partitionBy(col("k")).orderBy(col("ts"), col("ord"))
+    opened
+      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .select(col("k"), col("value"), col("ts").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  /** Ordered per-key sequence assembly (conversation/session building
+    * for SFT-style training data): the FIRST `maxLen` items of each
+    * key's timeline, ordered by (epoch-micros, event id), assembled
+    * into one delimited string per key plus the key's total event
+    * count.
+    *
+    * Scale: the cap is enforced BEFORE any per-key buffer exists — the
+    * bounded [[graft.aggregators.TopK]] aggregator (ascending, keyed on
+    * epoch-micros with the event id as tiebreak) forwards at most ~2k
+    * candidates per mapper, so a key with millions of events costs the
+    * shuffle maxLen rows, not its history; only then does the final
+    * collect build the (<= maxLen)-element array. A plain
+    * `collect_list` + sort would buffer unbounded timelines, and a
+    * window row_number would sort them — both are the traps this shape
+    * avoids. Epoch-micros (< 2^53) are exact as the TopK double score.
+    * Emits (key, n_total, n_kept, seq). */
+  def assembleSequences(df: DataFrame, key: Column, ts: Column,
+                        eventId: Column, item: Column, maxLen: Int,
+                        sep: String = "|"): DataFrame = {
+    val base = df.select(key.as("k"), unix_micros(ts).cast("double").as("score"),
+      eventId.as("eid"), item.as("item"))
+    val kept = graft.aggregators.TopK.topKPerKey(
+      base.select(col("k"), col("eid"), col("score")),
+      "k", "eid", "score", maxLen, descending = false)
+    val totals = base.groupBy(col("k")).agg(count(lit(1)).as("n_total"))
+    kept
+      .join(base.select(col("k"), col("eid"), col("item")), Seq("k", "eid"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("rank"), col("item")))),
+            x => x.getField("item")), sep).as("seq"))
+      .join(totals, "k")
+      .select(col("k"), col("n_total"), col("n_kept"), col("seq"))
+  }
+
   /** Gap-based sessionization: within an entity's timeline (ordered by
     * event time, tiebroken by `order` for determinism) a new session
     * starts whenever the gap to the previous event exceeds

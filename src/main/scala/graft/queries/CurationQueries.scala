@@ -239,6 +239,19 @@ object CurationQueries {
         col("doc_id"), col("text"), k = 5, minDocs = 2)
     }),
 
+    // contrastive negative sampling: 5 deterministic draws per anchor
+    // doc (every 17th), excluding the anchor and its exact duplicates
+    "q164_negative_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val pos = keyed.as("a").join(keyed.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("pa"), col("b.doc_id").as("pb"))
+      Curation.negativeSample(docs, col("doc_id"),
+        docs.where(col("doc_id") % 17 === 0), col("doc_id"),
+        pos, col("pa"), col("pb"), k = 5, salt = "neg")
+    }),
+
     // RAG chunking: 32-token chunks advancing by 24 (8-token overlap);
     // chunk identity (doc, chunk_idx) is the key an embedding/ANN index
     // joins back on
@@ -260,6 +273,30 @@ object CurationQueries {
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q164_negative_sample" ->
+      s"""WITH idx AS (
+            SELECT doc_id AS neg_id,
+              row_number() OVER (ORDER BY doc_id) AS rank
+            FROM documents),
+          nn AS (SELECT count(*) AS n FROM documents),
+          a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 17 = 0),
+          js AS (SELECT unnest(range(1, 6)) AS j),
+          draws AS (
+            SELECT anchor_id, j,
+              ${H60("'neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+                % n + 1 AS rank
+            FROM a CROSS JOIN js CROSS JOIN nn),
+          dup AS (
+            SELECT a.doc_id AS pa, b.doc_id AS pb
+            FROM (SELECT doc_id, md5(text) AS h FROM documents) a
+            JOIN (SELECT doc_id, md5(text) AS h FROM documents) b
+              ON a.h = b.h AND a.doc_id <> b.doc_id)
+          SELECT anchor_id, CAST(j AS INT) AS j, neg_id
+          FROM draws JOIN idx USING (rank)
+          WHERE neg_id <> anchor_id
+            AND NOT EXISTS (SELECT 1 FROM dup
+                            WHERE dup.pa = draws.anchor_id AND dup.pb = idx.neg_id)""",
+
     "q157_chunk_overlap" ->
       """WITH t AS (
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks

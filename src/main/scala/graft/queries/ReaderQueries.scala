@@ -42,6 +42,39 @@ object ReaderQueries {
           round(col("duration_sec"), 6).as("duration_sec"), col("sum_value"))
     }),
 
+    // point-in-time join: each view event picks up the user's latest
+    // purchase value at or before the view (feature-store correctness)
+    "q161_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.TimeSeries.asOfJoin(
+          ev.where(col("event_type") === "view"),
+          col("event_id"), col("user_id"), col("ts"),
+          ev.where(col("event_type") === "purchase"),
+          col("user_id"), col("ts"), col("value"))
+        .select(col("id").as("event_id"), col("k").as("user_id"),
+          col("ts"), col("asof").as("asof_value"))
+    }),
+
+    // SCD type-2 dimension build from the event changelog: per-user
+    // validity intervals of the current event_type
+    "q162_scd2_intervals" -> ((s, d) => {
+      graft.operators.TimeSeries.scd2(Tables.events(s, d),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("k").as("user_id"), col("value").as("event_type"),
+          col("valid_from"),
+          coalesce(col("valid_to"), lit("2200-01-01 00:00:00").cast("timestamp"))
+            .as("valid_to"), col("is_current"))
+    }),
+
+    // ordered sequence assembly: each user's first 20 events as one
+    // delimited string (bounded TopK enforces the cap pre-shuffle)
+    "q163_assemble_sequences" -> ((s, d) => {
+      graft.operators.TimeSeries.assembleSequences(Tables.events(s, d),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          maxLen = 20)
+        .select(col("k").as("user_id"), col("n_total"), col("n_kept"), col("seq"))
+    }),
+
     // trailing 24h rolling features + lag features per user
     "q138_rolling_features" -> ((s, d) => {
       graft.operators.TimeSeries.rollingStats(
@@ -278,6 +311,45 @@ object ReaderQueries {
              + CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END
              + CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END) AS reached
           FROM w3 WHERE t_1 IS NOT NULL""",
+
+    "q161_asof_join" ->
+      """WITH r AS (SELECT user_id AS k, ts, 0 AS side, value AS v,
+                      CAST(NULL AS BIGINT) AS id
+                    FROM events WHERE event_type = 'purchase'),
+          l AS (SELECT user_id AS k, ts, 1 AS side, CAST(NULL AS DOUBLE) AS v,
+                  event_id AS id
+                FROM events WHERE event_type = 'view'),
+          u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+          w AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY ts, side, v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof
+                FROM u)
+          SELECT id AS event_id, k AS user_id, ts, w.asof AS asof_value
+          FROM w WHERE side = 1""",
+
+    "q162_scd2_intervals" ->
+      """WITH e AS (SELECT user_id AS k, ts, event_id AS ord, event_type AS value
+                    FROM events),
+          f AS (SELECT *, lag(value) OVER (PARTITION BY k ORDER BY ts, ord) AS prev
+                FROM e),
+          o AS (SELECT * FROM f WHERE prev IS NULL OR prev <> value)
+          SELECT k AS user_id, value AS event_type, ts AS valid_from,
+            coalesce(lead(ts) OVER (PARTITION BY k ORDER BY ts, ord),
+                     TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+            CASE WHEN lead(ts) OVER (PARTITION BY k ORDER BY ts, ord) IS NULL
+                 THEN 1 ELSE 0 END AS is_current
+          FROM o""",
+
+    "q163_assemble_sequences" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS tus, event_id, event_type
+                    FROM events),
+          r AS (SELECT *, row_number() OVER (
+                  PARTITION BY k ORDER BY tus, event_id) AS rn FROM e),
+          t AS (SELECT k, count(*) AS n_total FROM e GROUP BY 1)
+          SELECT k AS user_id, n_total, count(*) AS n_kept,
+            string_agg(event_type, '|' ORDER BY tus, event_id) AS seq
+          FROM r JOIN t USING (k) WHERE rn <= 20
+          GROUP BY k, n_total""",
 
     "q137_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS tus

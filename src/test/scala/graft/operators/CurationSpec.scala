@@ -367,4 +367,22 @@ class CurationSpec extends SparkSpec {
       Curation.chunkByTokens(df, col("id"), col("t"), chunkSize = 4, overlap = 4)
     }
   }
+
+  test("negativeSample draws are deterministic, in-corpus, and exclude positives/self") {
+    val s = spark; import s.implicits._
+    val corpus = (1L to 50L).toDF("id")
+    val anchors = Seq(1L, 2L).toDF("id")
+    val pos = Seq((1L, 7L), (1L, 13L), (2L, 1L)).toDF("pa", "pb")
+    def run() = Curation.negativeSample(corpus, col("id"), anchors, col("id"),
+        pos, col("pa"), col("pb"), k = 8, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val out = run()
+    assert(out == run())                                  // deterministic
+    assert(out.forall(x => x._3 >= 1L && x._3 <= 50L))    // maps into the corpus
+    assert(out.forall(x => x._1 != x._3))                 // never the anchor
+    assert(!out.exists(x => x._1 == 1L && (x._3 == 7L || x._3 == 13L)))
+    assert(!out.exists(x => x._1 == 2L && x._3 == 1L))
+    val perAnchor = out.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(n => n >= 1 && n <= 8)) // k minus collisions
+  }
 }

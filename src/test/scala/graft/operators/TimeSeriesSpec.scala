@@ -117,4 +117,55 @@ class TimeSeriesSpec extends SparkSpec {
     // hashpartitioning(user_id); no second shuffle between the windows
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
   }
+
+  test("asOfJoin attaches the latest right value at-or-before each left ts") {
+    val s = spark; import s.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val right = Seq((1L, t(10), 100.0), (1L, t(20), 200.0), (2L, t(5), 50.0))
+      .toDF("k", "ts", "v")
+    val left = Seq(
+      (11L, 1L, t(9)),   // before any right row -> null
+      (12L, 1L, t(10)),  // inclusive: sees the ts=10 row
+      (13L, 1L, t(25)),  // latest is ts=20
+      (14L, 3L, t(30))   // key with no right rows -> null
+    ).toDF("id", "k", "ts")
+    val out = TimeSeries.asOfJoin(left, col("id"), col("k"), col("ts"),
+        right, col("k"), col("ts"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out == Map(11L -> None, 12L -> Some(100.0), 13L -> Some(200.0),
+      14L -> None))
+  }
+
+  test("scd2 collapses unchanged runs into validity intervals") {
+    val s = spark; import s.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ch = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(5), 2L, "a"),   // unchanged -> no new interval
+      (1L, t(10), 3L, "b"), (1L, t(20), 4L, "a"), // back to a -> third interval
+      (2L, t(1), 5L, "x")).toDF("k", "ts", "ord", "v")
+    val out = TimeSeries.scd2(ch, col("k"), col("ts"), col("ord"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getInt(4))).toSet
+    assert(out == Set(
+      (1L, "a", t(0), Some(t(10)), 0),
+      (1L, "b", t(10), Some(t(20)), 0),
+      (1L, "a", t(20), None, 1),
+      (2L, "x", t(1), None, 1)))
+  }
+
+  test("assembleSequences keeps the first maxLen items in event-time order") {
+    val s = spark; import s.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, t(3), 30L, "c"), (1L, t(1), 10L, "a"), (1L, t(2), 20L, "b"),
+      (1L, t(4), 40L, "d"),
+      // same ts: event id breaks the tie
+      (2L, t(1), 2L, "late"), (2L, t(1), 1L, "early")).toDF("k", "ts", "eid", "item")
+    val out = TimeSeries.assembleSequences(ev, col("k"), col("ts"), col("eid"),
+        col("item"), maxLen = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((4L, 3L, "a|b|c")))   // capped at 3 of 4, time order
+    assert(out(2L) == ((2L, 2L, "early|late")))
+  }
 }
