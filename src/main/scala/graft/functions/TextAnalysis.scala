@@ -60,6 +60,17 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Rule-based sentence split: break on runs of terminal punctuation
+    * ([.!?]+), trim fragments, drop empties. Terminal punctuation is
+    * consumed by the split (the convention the oracle replays) — the
+    * downstream uses (per-sentence dedup, quality scoring, RAG
+    * chunk boundaries) need the text, not the delimiter. The
+    * character-class pattern is identical under Java regex and RE2, so
+    * DuckDB replays it verbatim; no lookaround (RE2 has none). */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+
   /** BPE-ish subword count: letter runs, digit runs, and single
     * non-space symbols each count as one token — the pre-tokenization
     * regex most BPE vocabularies (GPT-2 style) apply before merges. */

@@ -78,4 +78,54 @@ object Graph {
     nodes.unpersist()
     pr
   }
+
+  /** Synchronous label propagation (community detection), run for
+    * exactly `iters` rounds so the differential oracle replays it:
+    * every node starts labeled with itself; each round every node
+    * adopts the most frequent label among its NEIGHBORS (both
+    * directions), ties to the smallest label; isolated rounds keep the
+    * current label. Deterministic by construction — the async/randomized
+    * variants converge faster but are irreproducible, the wrong trade
+    * for an auditable pipeline. Per round: one join (edges × labels) +
+    * one two-level groupBy — the same join-per-round shape as
+    * [[pageRank]], lineage cut on the same cadence. A fixed small
+    * `iters` is the documented operating point (communities of
+    * near-dup/interaction graphs are shallow); convergence detection
+    * would add a digest action per round like Dedup's CC loop. */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+                       iters: Int = 2,
+                       checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(src.as("u"), dst.as("v")).where(col("u") =!= col("v"))
+      .distinct()
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count() // materialize both caches
+    var labels = nodes.withColumn("label", col("node"))
+    var liveCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (i <- 1 to iters) {
+      val votes = e.join(labels, col("v") === col("node"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+      // most frequent neighbor label, ties to the smallest label:
+      // min over the (-cnt, label) lexicographic order
+      val winner = votes.groupBy(col("u").as("node"))
+        .agg(min_by(col("label"), struct((-col("cnt")).as("nc"), col("label")))
+          .as("vote"))
+      var next = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("vote"), col("label")).as("label"))
+      if (i % checkpointEvery == 0 || i == iters) {
+        next = next.localCheckpoint(false)
+        next.count()
+        liveCp.foreach(_.unpersist(blocking = false))
+        liveCp = checkpointedRdd(next)
+      }
+      labels = next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    labels
+  }
 }

@@ -241,6 +241,32 @@ object Vectorizers {
       pmod(hash60(key), lit(dims)).cast("int").as("bucket"))
   }
 
+  /** Exact quantile-rank (percent-rank) normalization: each row's value
+    * maps to (#values strictly below) / (n - 1) in [0, 1] — the
+    * rank/quantile transform GBDT and calibration pipelines use when a
+    * feature's scale is meaningless but its order matters. Exact and
+    * global with NO global sort: distinct-value counts feed the
+    * two-level cumulative sum ([[graft.operators.DataQuality.cumulativeByValue]]),
+    * strictly-below counts come from cum - own, and rows join back on
+    * the value. Ties share a rank, matching SQL percent_rank. The
+    * value-keyed join back means a single dominant constant is a skew
+    * key — salt via [[Skew]] if one value dominates a 100 TB column.
+    * Null values pass through with null rank. Emits (id, value, q). */
+  def quantileRank(df: DataFrame, id: Column, value: Column): DataFrame = {
+    val rows = df.select(id.as("id"), value.cast("double").as("v"))
+    val counts = rows.where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val below = graft.operators.DataQuality.cumulativeByValue(counts, Seq("c"))
+      .join(counts, "v")
+      .select(col("v"), (col("cum_c") - col("c")).as("below"))
+    val n = counts.agg(sum(col("c")).cast("double").as("n"))
+    rows.join(below, Seq("v"), "left").crossJoin(broadcast(n))
+      .select(col("id"), col("v").as("value"),
+        when(col("v").isNull, lit(null).cast("double"))
+          .when(col("n") <= 1, 0.0)
+          .otherwise(round(col("below") / (col("n") - 1), 6)).as("q"))
+  }
+
   /** Robust scaling: (v - median) / IQR — the outlier-resistant
     * alternative to [[standardScale]] (a handful of extreme values move
     * mean/stddev arbitrarily but barely touch the quartiles). Fit is one

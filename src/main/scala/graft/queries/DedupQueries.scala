@@ -46,15 +46,28 @@ object DedupQueries {
     }),
 
     // record linkage: match odd-key part names to their top-3 even-key
-    // canonical parts by whole-token Jaccard (shared-token blocking,
-    // exact verify, bounded top-k)
+    // canonical parts. p_name draws 5 words from a ~16-word vocabulary,
+    // so token blocking degenerates (25% of all pairs share a token);
+    // delete-one signature blocking stays selective, and at t = 0.65
+    // (>= (n-1)/(n+1) for 5-token names) it is exact — the oracle
+    // verifies plain all-pairs Jaccard
     "q159_fuzzy_match" -> ((s, d) => {
       val part = Tables.part(s, d)
-      Dedup.fuzzyJoinTopK(
+      Dedup.nearExactMatchTopK(
           part.where(col("p_partkey") % 2 === 0), col("p_partkey"), col("p_name"),
           part.where(col("p_partkey") % 2 === 1), col("p_partkey"), col("p_name"),
-          k = 3, minJaccard = 0.5)
+          k = 3, minJaccard = 0.65)
         .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    // synchronous label propagation (2 fixed rounds) over the bipartite
+    // customer<->supplier trade graph: neighbor-majority labels with
+    // min tiebreak — communities, not components
+    "q167_label_propagation" -> ((s, d) => {
+      val trade = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      graft.operators.Graph.labelPropagation(trade, col("c"), col("p"), iters = 2)
     }),
 
     "q22_dedup_exact" -> ((s, d) => {
@@ -207,7 +220,7 @@ object DedupQueries {
             CAST(row_number() OVER (
               PARTITION BY probe_id ORDER BY j DESC, canon_id) AS INT) AS rank
           FROM scored
-          WHERE j >= 0.5
+          WHERE j >= 0.65
           QUALIFY rank <= 3""",
 
     "q142_pagerank" ->
@@ -235,6 +248,29 @@ object DedupQueries {
           p3 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(m, 0) AS pr
                  FROM nodes CROSS JOIN nn LEFT JOIN c3 USING (node))
           SELECT node, ROUND(pr * n, 6) AS pr_scaled FROM p3 CROSS JOIN nn""",
+
+    "q167_label_propagation" ->
+      """WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS u, p AS v FROM t UNION SELECT p, c FROM t),
+          nodes AS (SELECT DISTINCT u AS node FROM e),
+          l0 AS (SELECT node, node AS label FROM nodes),
+          v1 AS (SELECT e.u, l0.label, count(*) AS cnt
+                 FROM e JOIN l0 ON e.v = l0.node GROUP BY 1, 2),
+          w1 AS (SELECT u AS node, label FROM (
+                   SELECT u, label, row_number() OVER (
+                     PARTITION BY u ORDER BY cnt DESC, label) AS rn FROM v1)
+                 WHERE rn = 1),
+          l1 AS (SELECT nodes.node, coalesce(w1.label, nodes.node) AS label
+                 FROM nodes LEFT JOIN w1 USING (node)),
+          v2 AS (SELECT e.u, l1.label, count(*) AS cnt
+                 FROM e JOIN l1 ON e.v = l1.node GROUP BY 1, 2),
+          w2 AS (SELECT u AS node, label FROM (
+                   SELECT u, label, row_number() OVER (
+                     PARTITION BY u ORDER BY cnt DESC, label) AS rn FROM v2)
+                 WHERE rn = 1)
+          SELECT nodes.node, coalesce(w2.label, nodes.node) AS label
+          FROM nodes LEFT JOIN w2 USING (node)""",
 
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id, count(*) AS n_docs

@@ -34,6 +34,13 @@ object FeatureQueries {
           col("fold"), col("enc"))
     }),
 
+    // exact percent-rank normalization, no global sort
+    "q166_quantile_rank" -> ((s, d) => {
+      Vectorizers.quantileRank(Tables.orders(s, d), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumnRenamed("id", "o_orderkey")
+    }),
+
     // outlier-resistant scaling: (v - median) / IQR
     "q147_robust_scale" -> ((s, d) => {
       Vectorizers.robustScale(Tables.orders(s, d), col("o_orderkey"),
@@ -216,6 +223,11 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_quantile_rank" ->
+      """SELECT o_orderkey, o_totalprice AS value,
+           ROUND(percent_rank() OVER (ORDER BY o_totalprice), 6) AS q
+         FROM orders""",
+
     "q147_robust_scale" ->
       """WITH f AS (SELECT quantile_cont(o_totalprice, 0.5) AS med,
              quantile_cont(o_totalprice, 0.25) AS q1,

@@ -18,6 +18,13 @@ object TextQueries {
   private val sw = englishStopwords.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, Q] = Map(
+    // rule-based sentence split, exploded with per-doc sentence index
+    "q165_sentence_split" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        posexplode(graft.functions.TextAnalysis.sentences(col("text")))
+          .as(Seq("sent_idx", "sentence")))
+    }),
+
     "q18_text_token_counts" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -182,6 +189,17 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q165_sentence_split" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                        s -> trim(s)), s -> len(s) > 0) AS l
+           FROM documents),
+         u AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM t)
+         SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx,
+           l[CAST(i AS INT)] AS sentence
+         FROM u""",
+
     "q18_text_token_counts" ->
       """SELECT doc_id,
            len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,

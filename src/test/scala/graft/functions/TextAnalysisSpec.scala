@@ -82,4 +82,18 @@ class TextAnalysisSpec extends SparkSpec {
     // case-sensitive: "The" survives, "the" is dropped
     assert(r.getSeq[String](2) == Seq("The", "x"))
   }
+
+  test("sentences splits on terminal punctuation runs, trims, drops empties") {
+    val s = spark; import s.implicits._
+    val out = Seq(
+      (1L, "One. Two sentences!  Third?! "),
+      (2L, "no punctuation at all"),
+      (3L, "..."),
+      (4L, "")).toDF("id", "t")
+      .select(col("id"), TextAnalysis.sentences(col("t")).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("One", "Two sentences", "Third"))
+    assert(out(2L) == Seq("no punctuation at all"))
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
 }

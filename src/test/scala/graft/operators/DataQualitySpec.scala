@@ -225,4 +225,20 @@ class DataQualitySpec extends SparkSpec {
     val q = Seq(3.0, 2.0, 1.0)
     assert(DataQuality.jsDivergence(p, q) == DataQuality.jsDivergence(q, p))
   }
+
+  test("quantileRank matches percent_rank semantics, ties share a rank") {
+    val s = spark; import s.implicits._
+    // values 10,20,20,30,null over 4 non-null rows: pct = below/(n-1)
+    val df = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(20.0)),
+      (4L, Some(30.0)), (5L, None: Option[Double])).toDF("id", "v")
+    val out = graft.operators.Vectorizers.quantileRank(df, col("id"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(1L) == Some(0.0))
+    assert(out(2L) == Some(round6(1.0 / 3)) && out(3L) == out(2L))
+    assert(out(4L) == Some(1.0))
+    assert(out(5L) == None)
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }

@@ -136,4 +136,36 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
     spark.catalog.clearCache()
   }
+
+  test("nearExactMatchTopK matches sets differing by at most one token per side") {
+    val s = spark; import s.implicits._
+    val canon = Seq(
+      (2L, "red green blue"), (4L, "red green yellow"), (6L, "one two three four"))
+      .toDF("id", "t")
+    val probes = Seq(
+      (1L, "red green blue"),        // identical to 2; one-off from 4
+      (3L, "one two three five"),    // one token swapped vs 6
+      (5L, "totally different set")).toDF("id", "t")
+    val out = Dedup.nearExactMatchTopK(canon, col("id"), col("t"),
+        probes, col("id"), col("t"), k = 2, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val p1 = out.filter(_._1 == 1L).sortBy(_._4)
+    assert(p1.map(x => (x._2, x._4)).toSeq == Seq((2L, 1), (4L, 2)))
+    assert(p1.head._3 == 1.0 && math.abs(p1(1)._3 - 0.5) < 1e-12)
+    // 3 vs 6: intersection 3 of union 5 -> J = 0.6, found via delete-one sig
+    assert(out.filter(_._1 == 3L).map(x => (x._2, x._3)).toSeq == Seq((6L, 0.6)))
+    assert(out.count(_._1 == 5L) == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("nearExactMatchTopK hot-signature cap drops blocking on corpus-hot signatures") {
+    val s = spark; import s.implicits._
+    // every canon row is the same name: its full signature is hot at cap 2
+    val canon = (1L to 4L).map(i => (i * 2, "same name")).toDF("id", "t")
+    val probes = Seq((1L, "same name")).toDF("id", "t")
+    val out = Dedup.nearExactMatchTopK(canon, col("id"), col("t"),
+      probes, col("id"), col("t"), k = 3, minJaccard = 0.9, maxSigDocFreq = 2)
+    assert(out.count() == 0)
+    spark.catalog.clearCache()
+  }
 }

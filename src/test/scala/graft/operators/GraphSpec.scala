@@ -39,4 +39,16 @@ class GraphSpec extends SparkSpec {
     // dedup makes this the symmetric 2-cycle: uniform 1/2
     pr.values.foreach(v => assert(math.abs(v - 0.5) < 1e-12))
   }
+
+  test("labelPropagation adopts the majority neighbor label, min tiebreak") {
+    val s = spark; import s.implicits._
+    // star: hub 1 with leaves 2..4 + detached pair (10, 11)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)).toDF("u", "v")
+    val out = graft.operators.Graph.labelPropagation(e, col("u"), col("v"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: leaves -> 1, hub -> 2 (min of leaf labels); pair swaps labels
+    // round 2: leaves adopt hub's 2; hub adopts leaves' 1; pair swaps back
+    assert(out(2L) == 2L && out(3L) == 2L && out(4L) == 2L && out(1L) == 1L)
+    assert(out(10L) == 10L && out(11L) == 11L)
+  }
 }
