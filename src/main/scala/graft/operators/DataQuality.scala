@@ -522,4 +522,65 @@ object DataQuality {
     val m = pn.zip(qn).map { case (x, y) => (x + y) / 2 }
     (kl(pn, m) + kl(qn, m)) / (2 * math.log(2)) // normalized to [0,1]
   }
+
+  /** Partition-key skew report — the pre-flight check before keying a
+    * 100 TB shuffle: per-key row counts summarized as total keys/rows,
+    * max and p99 key size, the max/avg ratio (the straggler factor a
+    * skewed join inherits), and the Gini coefficient of the key-size
+    * distribution (0 = uniform, ~1 = one key owns everything). One
+    * groupBy(key) then one aggregate over the O(#keys) count frame; the
+    * Gini's size-weighted cumulative sum runs through the two-level
+    * [[cumulativeByValue]] — never a single-partition window. */
+  def skewReport(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+    // Gini over key sizes: 1 - 2 * sum_i (cum_mass_i - mass_i/2) / n_keys
+    // with keys ordered by size; computed from per-size-value groups so
+    // the cumulative sum runs over distinct sizes, not every key
+    val bySize = counts.groupBy(col("c").as("v"))
+      .agg(count(lit(1)).as("n_keys_at"), sum(col("c")).as("rows_at"))
+    val cum = cumulativeByValue(bySize, Seq("n_keys_at", "rows_at"))
+      .join(bySize, "v")
+    val totals = counts.agg(
+      count(lit(1)).cast("double").as("n_keys"),
+      sum(col("c")).cast("double").as("n_rows"),
+      max(col("c")).cast("double").as("max_key"),
+      percentile(col("c"), lit(0.99)).as("p99_key"))
+    // per size-group trapezoid area of the Lorenz curve, summed
+    val gini = cum.crossJoin(broadcast(totals))
+      .agg(sum(
+        (col("n_keys_at") / col("n_keys")) *
+          ((col("cum_rows_at") - col("rows_at") / 2.0) / col("n_rows"))
+      ).as("lorenz_area"))
+      .select((lit(1.0) - lit(2.0) * col("lorenz_area")).as("gini"))
+    totals.crossJoin(broadcast(gini))
+      .select(col("n_keys").cast("long").as("n_keys"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("max_key").cast("long").as("max_key_rows"),
+        round(col("p99_key"), 6).as("p99_key_rows"),
+        round(col("max_key") / (col("n_rows") / col("n_keys")), 6)
+          .as("straggler_factor"),
+        round(col("gini"), 6).as("gini"))
+  }
+
+  /** Referential-integrity gate between a fact and a dimension: orphan
+    * fact rows (FK with no dim match), null-FK rows, and dim coverage.
+    * One left-anti-shaped aggregation: the fact side left-joins the
+    * dim's DISTINCT keys (a join on the dim's key cardinality, not its
+    * row count) and counts misses. The classic pre-join data-quality
+    * check a warehouse runs before trusting a 100 TB join's output. */
+  def referentialIntegrity(fact: DataFrame, fk: Column,
+                           dim: DataFrame, pk: Column): DataFrame = {
+    val dimKeys = dim.select(pk.as("__pk")).distinct()
+    val joined = fact.select(fk.as("__fk"))
+      .join(dimKeys, col("__fk") === col("__pk"), "left")
+    joined.agg(
+      count(lit(1)).as("n_fact"),
+      sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+      sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L).otherwise(0L))
+        .as("n_orphan"))
+      .crossJoin(broadcast(dimKeys.agg(count(lit(1)).as("n_dim_keys"))))
+      .select(col("n_fact"), col("n_null_fk"), col("n_orphan"), col("n_dim_keys"),
+        round(lit(1.0) - col("n_orphan").cast("double") /
+          greatest(col("n_fact") - col("n_null_fk"), lit(1L)), 6).as("fk_valid_ratio"))
+  }
 }

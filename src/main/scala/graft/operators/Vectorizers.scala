@@ -241,6 +241,27 @@ object Vectorizers {
       pmod(hash60(key), lit(dims)).cast("int").as("bucket"))
   }
 
+  /** Winsorization (percentile clipping): values below the `lo` or above
+    * the `hi` percentile clamp to those fences — the standard taming of
+    * heavy-tailed features before scaling. Fit is one exact-percentile
+    * aggregate (a 1-row frame broadcast back over the rows); transform
+    * is a codegen'd projection; emits the clip flags so downstream
+    * audits can count affected rows. */
+  def winsorize(df: DataFrame, id: Column, value: Column,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo, $hi")
+    val fit = df.where(value.isNotNull)
+      .agg(percentile(value, lit(lo)).as("p_lo"),
+        percentile(value, lit(hi)).as("p_hi"))
+    df.select(id.as("id"), value.as("value"))
+      .crossJoin(broadcast(fit))
+      .select(col("id"), col("value"),
+        round(least(greatest(col("value"), col("p_lo")), col("p_hi")), 6)
+          .as("clipped"),
+        when(col("value") < col("p_lo"), 1).otherwise(0).as("clipped_lo"),
+        when(col("value") > col("p_hi"), 1).otherwise(0).as("clipped_hi"))
+  }
+
   /** Exact quantile-rank (percent-rank) normalization: each row's value
     * maps to (#values strictly below) / (n - 1) in [0, 1] — the
     * rank/quantile transform GBDT and calibration pipelines use when a

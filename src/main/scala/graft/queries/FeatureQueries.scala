@@ -34,6 +34,15 @@ object FeatureQueries {
           col("fold"), col("enc"))
     }),
 
+    // percentile clipping (winsorization) of the heavy-tailed price
+    "q170_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).withColumn("rid",
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      Vectorizers.winsorize(li, col("rid"), col("l_extendedprice"),
+          lo = 0.05, hi = 0.95)
+        .withColumnRenamed("id", "rid")
+    }),
+
     // exact percent-rank normalization, no global sort
     "q166_quantile_rank" -> ((s, d) => {
       Vectorizers.quantileRank(Tables.orders(s, d), col("o_orderkey"),
@@ -223,6 +232,17 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_winsorize" ->
+      """WITH f AS (SELECT quantile_cont(l_extendedprice, 0.05) AS p_lo,
+                      quantile_cont(l_extendedprice, 0.95) AS p_hi
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL)
+         SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS rid,
+           l_extendedprice AS value,
+           ROUND(least(greatest(l_extendedprice, p_lo), p_hi), 6) AS clipped,
+           CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END AS clipped_lo,
+           CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END AS clipped_hi
+         FROM lineitem CROSS JOIN f""",
+
     "q166_quantile_rank" ->
       """SELECT o_orderkey, o_totalprice AS value,
            ROUND(percent_rank() OVER (ORDER BY o_totalprice), 6) AS q

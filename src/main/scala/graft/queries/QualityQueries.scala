@@ -17,6 +17,18 @@ object QualityQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // partition-key skew report over the lineitem->supplier key
+    "q168_skew_report" -> ((s, d) => {
+      DataQuality.skewReport(Tables.lineitem(s, d), col("l_suppkey"))
+    }),
+
+    // referential integrity: event user ids against the customer
+    // dimension (user id 0 exists in events but not in customer)
+    "q169_referential_integrity" -> ((s, d) => {
+      DataQuality.referentialIntegrity(Tables.events(s, d), col("user_id"),
+        Tables.customer(s, d), col("c_custkey"))
+    }),
+
     // per-group exact quantiles of event value by type
     "q140_grouped_quantiles" -> ((s, d) => {
       DataQuality.groupedQuantiles(Tables.events(s, d),
@@ -330,6 +342,43 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_skew_report" ->
+      """WITH counts AS (SELECT l_suppkey AS k, count(*) AS c
+                         FROM lineitem GROUP BY 1),
+          bysize AS (SELECT c AS v, count(*) AS n_keys_at, sum(c) AS rows_at
+                     FROM counts GROUP BY 1),
+          cum AS (SELECT *, sum(rows_at) OVER (ORDER BY v) AS cum_rows_at
+                  FROM bysize),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_keys,
+                    CAST(sum(c) AS DOUBLE) AS n_rows,
+                    CAST(max(c) AS DOUBLE) AS max_key,
+                    quantile_cont(c, 0.99) AS p99 FROM counts),
+          g AS (SELECT sum((n_keys_at / n_keys) *
+                           ((cum_rows_at - rows_at / 2.0) / n_rows)) AS la
+                FROM cum CROSS JOIN tot)
+          SELECT CAST(n_keys AS BIGINT) AS n_keys,
+            CAST(n_rows AS BIGINT) AS n_rows,
+            CAST(max_key AS BIGINT) AS max_key_rows,
+            ROUND(p99, 6) AS p99_key_rows,
+            ROUND(max_key / (n_rows / n_keys), 6) AS straggler_factor,
+            ROUND(1.0 - 2.0 * la, 6) AS gini
+          FROM tot CROSS JOIN g""",
+
+    "q169_referential_integrity" ->
+      """WITH dk AS (SELECT DISTINCT c_custkey AS pk FROM customer),
+          j AS (SELECT user_id AS fk, pk FROM events
+                LEFT JOIN dk ON user_id = pk),
+          agg AS (SELECT count(*) AS n_fact,
+                    sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS n_null_fk,
+                    sum(CASE WHEN fk IS NOT NULL AND pk IS NULL THEN 1 ELSE 0 END)
+                      AS n_orphan
+                  FROM j),
+          nd AS (SELECT count(*) AS n_dim_keys FROM dk)
+          SELECT n_fact, n_null_fk, n_orphan, n_dim_keys,
+            ROUND(1.0 - CAST(n_orphan AS DOUBLE) /
+              greatest(n_fact - n_null_fk, 1), 6) AS fk_valid_ratio
+          FROM agg CROSS JOIN nd""",
+
     "q152_hashed_interaction" ->
       """SELECT o_orderkey AS id,
            CAST(CAST(('0x' || substr(md5(

@@ -241,4 +241,39 @@ class DataQualitySpec extends SparkSpec {
   }
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  test("winsorize clamps to the percentile fences and flags clipped rows") {
+    val s = spark; import s.implicits._
+    val df = (1 to 99).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = graft.operators.Vectorizers.winsorize(df, col("id"), col("v"),
+        lo = 0.1, hi = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3), r.getInt(4))).toMap
+    // exact percentiles of 1..99 at 0.1/0.9 are 10.8 and 89.2
+    assert(out(1L) == ((10.8, 1, 0)) && out(99L) == ((89.2, 0, 1)))
+    assert(out(50L) == ((50.0, 0, 0)))
+  }
+
+  test("skewReport computes straggler factor and Gini (uniform -> 0)") {
+    val s = spark; import s.implicits._
+    val uniform = (1 to 100).flatMap(k => Seq.fill(5)(k.toLong)).toDF("k")
+    val r1 = graft.operators.DataQuality.skewReport(uniform, col("k")).head
+    assert(r1.getLong(0) == 100 && r1.getLong(1) == 500 && r1.getLong(2) == 5)
+    assert(r1.getDouble(4) == 1.0)            // straggler factor: max/avg
+    assert(math.abs(r1.getDouble(5)) < 1e-9)  // uniform keys -> Gini 0
+    val skewed = (Seq.fill(96)(1L) ++ (2L to 5L)).toDF("k")
+    val r2 = graft.operators.DataQuality.skewReport(skewed, col("k")).head
+    assert(r2.getLong(2) == 96 && r2.getDouble(4) == 4.8)
+    assert(r2.getDouble(5) > 0.7, s"expected high Gini, got ${r2.getDouble(5)}")
+  }
+
+  test("referentialIntegrity counts orphans, null FKs, and coverage") {
+    val s = spark; import s.implicits._
+    val fact = Seq(Some(1L), Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.operators.DataQuality.referentialIntegrity(
+      fact, col("fk"), dim, col("pk")).head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    assert(r.getLong(3) == 3 && r.getDouble(4) == 0.75)
+  }
 }
