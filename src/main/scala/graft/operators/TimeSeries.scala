@@ -18,6 +18,60 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Retention cohort grid — the product-analytics staple: entities
+    * cohort by their FIRST active period (day or week), and each
+    * (cohort, period-offset) cell counts how many of the cohort were
+    * active then, plus the retention ratio. Three hash aggregations on
+    * entity/cohort keys (distinct activity, cohort assignment, cell
+    * counts) and one broadcast-sized join of cohort sizes — no windows,
+    * no self-join of the raw events. Emits (cohort, period_idx,
+    * n_active, n_cohort, retention); period_idx 0 is the cohort period
+    * itself (retention 1.0 by construction). */
+  def retentionCohorts(df: DataFrame, entity: Column, ts: Column,
+                       granularity: String = "week"): DataFrame = {
+    val periodDays = granularity match {
+      case "day" => 1
+      case "week" => 7
+      case other => throw new IllegalArgumentException(
+        s"granularity must be day|week, got $other")
+    }
+    val act = df.select(entity.as("e"), date_trunc(granularity, ts).as("p"))
+      .distinct()
+    val coh = act.groupBy(col("e")).agg(min(col("p")).as("cohort"))
+    val sizes = coh.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    act.join(coh, "e")
+      .groupBy(col("cohort"),
+        (datediff(col("p"), col("cohort")) / periodDays).cast("int").as("period_idx"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("period_idx"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+  }
+
+  /** Top user journeys: gap-sessionize, assemble each session's first
+    * `maxLen` items in event order (the cap enforced pre-shuffle by
+    * [[assembleSequences]]'s bounded TopK), then count identical paths
+    * and keep the `k` most frequent (ties to the lexicographically
+    * smaller path). The global top-k also runs through the bounded
+    * aggregator — path cardinality can approach session cardinality,
+    * and a single-partition ORDER BY over it is the trap. Emits
+    * (path, n_sessions, rank). */
+  def topPaths(df: DataFrame, entity: Column, ts: Column, order: Column,
+               item: Column, gapSeconds: Long, maxLen: Int, k: Int): DataFrame = {
+    val sess = sessionize(df.select(entity.as("e"), ts.as("ts"),
+      order.as("ord"), item.as("item")), col("e"), col("ts"), col("ord"), gapSeconds)
+    val seqs = assembleSequences(sess,
+      concat_ws(":", col("e"), col("session_idx")), col("ts"), col("ord"),
+      col("item"), maxLen, sep = ">")
+    val counts = seqs.groupBy(col("seq"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("__g", lit(1))
+    graft.aggregators.TopK.topKPerKeyStr(counts, "__g", "seq", "n", k,
+        descending = true)
+      .select(col("seq").as("path"), col("n").cast("long").as("n_sessions"),
+        col("rank"))
+  }
+
   /** Point-in-time (as-of) join — the feature-store correctness
     * primitive: each left row (id, key, ts) picks up the value of the
     * LATEST right row with the same key and right-ts <= ts (inclusive,

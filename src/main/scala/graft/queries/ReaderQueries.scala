@@ -75,6 +75,20 @@ object ReaderQueries {
         .select(col("k").as("user_id"), col("n_total"), col("n_kept"), col("seq"))
     }),
 
+    // weekly retention cohort grid over event activity
+    "q171_retention_cohorts" -> ((s, d) => {
+      graft.operators.TimeSeries.retentionCohorts(Tables.events(s, d),
+        col("user_id"), col("ts"), granularity = "week")
+    }),
+
+    // top user journeys: 6h-gap sessions, first 10 events each, 15 most
+    // frequent paths
+    "q172_top_paths" -> ((s, d) => {
+      graft.operators.TimeSeries.topPaths(Tables.events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        gapSeconds = 21600L, maxLen = 10, k = 15)
+    }),
+
     // trailing 24h rolling features + lag features per user
     "q138_rolling_features" -> ((s, d) => {
       graft.operators.TimeSeries.rollingStats(
@@ -350,6 +364,39 @@ object ReaderQueries {
             string_agg(event_type, '|' ORDER BY tus, event_id) AS seq
           FROM r JOIN t USING (k) WHERE rn <= 20
           GROUP BY k, n_total""",
+
+    "q171_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id AS e, date_trunc('week', ts) AS p
+                      FROM events),
+          coh AS (SELECT e, min(p) AS cohort FROM act GROUP BY 1),
+          sizes AS (SELECT cohort, count(*) AS n_cohort FROM coh GROUP BY 1),
+          cells AS (SELECT cohort,
+                      CAST(date_diff('day', cohort, p) // 7 AS INT) AS period_idx,
+                      count(*) AS n_active
+                    FROM act JOIN coh USING (e) GROUP BY 1, 2)
+          SELECT cohort, period_idx, n_active, n_cohort,
+            ROUND(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+          FROM cells JOIN sizes USING (cohort)""",
+
+    "q172_top_paths" ->
+      """WITH e AS (SELECT user_id AS ent, event_id, event_type, ts,
+                      epoch_us(ts) AS tus FROM events),
+          f AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                                 OR tus - lag(tus) OVER w > 21600000000 THEN 1
+                               ELSE 0 END AS is_new
+                FROM e WINDOW w AS (PARTITION BY ent ORDER BY tus, event_id)),
+          g AS (SELECT *, sum(is_new) OVER (PARTITION BY ent
+                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f),
+          r AS (SELECT *, row_number() OVER (
+                  PARTITION BY ent, sid ORDER BY tus, event_id) AS rn FROM g),
+          paths AS (SELECT ent, sid,
+                      string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+                    FROM r WHERE rn <= 10 GROUP BY 1, 2),
+          counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1)
+          SELECT path, n_sessions,
+            CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rank
+          FROM counts QUALIFY rank <= 15""",
 
     "q137_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS tus

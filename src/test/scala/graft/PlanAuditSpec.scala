@@ -79,7 +79,22 @@ class PlanAuditSpec extends SparkSpec {
     "q153_ab_lift",
     // q154: the entity-count scalar is a 1-row frame crossJoin-broadcast
     // over the O(types^2) pair rows
-    "q154_cooccurrence_lift")
+    "q154_cooccurrence_lift",
+    // q160: the OLS sums, calibration count, and conformal qhat are
+    // 1-row frames crossJoin-broadcast; the prefix-sum offsets collect
+    // is O(#partitions) (cumulativeByValue contract)
+    "q160_conformal_interval",
+    // q164: the corpus-size scalar (draw modulus) is a 1-row frame
+    // crossJoin-broadcast over the anchors
+    "q164_negative_sample",
+    // q166/q168: percent-rank / skew-report totals are 1-row frames
+    // crossJoin-broadcast; both ride cumulativeByValue like q145
+    "q166_quantile_rank", "q168_skew_report",
+    // q169: the integrity readout is one final row + the 1-row
+    // dim-key-count frame
+    "q169_referential_integrity",
+    // q170: the percentile-fence fit is a 1-row frame, q147's shape
+    "q170_winsorize")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,

@@ -168,4 +168,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1L) == ((4L, 3L, "a|b|c")))   // capped at 3 of 4, time order
     assert(out(2L) == ((2L, 2L, "early|late")))
   }
+
+  test("retentionCohorts builds the cohort grid with period-0 retention 1.0") {
+    val s = spark; import s.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // cohort Mon Jan 1 week: users 1, 2; week+1 only user 1 returns;
+    // cohort Jan 8 week: user 3
+    val ev = Seq((1L, d(2)), (2L, d(3)), (1L, d(9)), (3L, d(10)))
+      .toDF("u", "ts")
+    val out = TimeSeries.retentionCohorts(ev, col("u"), col("ts"), "week")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(out == Set(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-08", 0, 1L, 1L, 1.0)))
+  }
+
+  test("topPaths counts identical session paths and ranks by frequency") {
+    val s = spark; import s.implicits._
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // users 1 and 2 both do a->b in one session; user 3 does c alone
+    val ev = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(5), 2L, "b"),
+      (2L, t(0), 3L, "a"), (2L, t(5), 4L, "b"),
+      (3L, t(0), 5L, "c")).toDF("u", "ts", "eid", "it")
+    val out = TimeSeries.topPaths(ev, col("u"), col("ts"), col("eid"), col("it"),
+        gapSeconds = 3600L, maxLen = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set(("a>b", 2L, 1), ("c", 1L, 2)))
+  }
 }
