@@ -107,6 +107,36 @@ object Curation {
       .select(col("anchor_id"), col("j"), col("neg_id"))
   }
 
+  /** Code-quality signal battery (The Stack / StarCoder-style filters
+    * for source-code corpora): per-document line statistics — average
+    * and maximum line length, the fraction of overlong lines, the
+    * alphanumeric character fraction, and the duplicate-line ratio
+    * (1 - distinct/total over non-blank lines). All row-local column
+    * expressions over a split-once line array; RE2-safe so the oracle
+    * replays each signal. Returned as (name, Column) pairs to select
+    * onto a frame, like [[gopherQualityOf]]. */
+  def codeQualitySignals(text: Column, longLine: Int = 100): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val nonBlank = filter(lines, l => length(trim(l)) > 0)
+    val lens = transform(lines, l => length(l))
+    val total = aggregate(lens, lit(0L), (a, x) => a + x)
+    Seq(
+      "n_lines" -> nLines.cast("long"),
+      "avg_line_len" -> round(total.cast("double") / greatest(nLines, lit(1)), 6),
+      "max_line_len" -> coalesce(array_max(lens), lit(0)).cast("long"),
+      "frac_long_lines" -> round(
+        size(filter(lens, l => l > longLine)).cast("double") /
+          greatest(nLines, lit(1)), 6),
+      "alnum_frac" -> round(
+        (length(text) - length(regexp_replace(text, "[A-Za-z0-9]", "")))
+          .cast("double") / greatest(length(text), lit(1)), 6),
+      "dup_line_ratio" -> round(
+        when(size(nonBlank) > 0,
+          lit(1.0) - size(array_distinct(nonBlank)).cast("double") / size(nonBlank))
+          .otherwise(0.0), 6))
+  }
+
   /** RAG-style document chunking: split each document's token stream
     * into chunks of `chunkSize` tokens advancing by
     * `chunkSize - overlap`, so consecutive chunks share `overlap`

@@ -239,6 +239,20 @@ object CurationQueries {
         col("doc_id"), col("text"), k = 5, minDocs = 2)
     }),
 
+    // code-quality battery: the corpus has no newlines, so sentence
+    // breaks become line breaks deterministically (oracle replays the
+    // same rewrite), then the per-line signals run
+    "q174_code_quality" -> ((s, d) => {
+      // materialize the line-broken text ONCE (own projection) so the
+      // six signals don't each re-run the regex (the wordShingles CSE
+      // hazard, same fix)
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "\\. ", "\n").as("__t"))
+      Curation.codeQualitySignals(col("__t"), longLine = 80)
+        .foldLeft(base)((acc, nc) => acc.withColumn(nc._1, nc._2))
+        .drop("__t")
+    }),
+
     // contrastive negative sampling: 5 deterministic draws per anchor
     // doc (every 17th), excluding the anchor and its exact duplicates
     "q164_negative_sample" -> ((s, d) => {
@@ -273,6 +287,28 @@ object CurationQueries {
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q174_code_quality" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(text, '\. ', chr(10), 'g') AS tt
+                    FROM documents),
+          l AS (SELECT doc_id, tt, str_split(tt, chr(10)) AS lines FROM t),
+          m AS (SELECT doc_id, tt, lines,
+                  list_transform(lines, x -> length(x)) AS lens,
+                  list_filter(lines, x -> length(trim(x)) > 0) AS nonblank
+                FROM l)
+          SELECT doc_id,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            ROUND(CAST(list_sum(lens) AS DOUBLE) / greatest(len(lines), 1), 6)
+              AS avg_line_len,
+            CAST(coalesce(list_max(lens), 0) AS BIGINT) AS max_line_len,
+            ROUND(CAST(len(list_filter(lens, x -> x > 80)) AS DOUBLE)
+              / greatest(len(lines), 1), 6) AS frac_long_lines,
+            ROUND(CAST(length(tt) - length(regexp_replace(tt, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+              / greatest(length(tt), 1), 6) AS alnum_frac,
+            ROUND(CASE WHEN len(nonblank) > 0
+                       THEN 1.0 - CAST(len(list_distinct(nonblank)) AS DOUBLE) / len(nonblank)
+                       ELSE 0 END, 6) AS dup_line_ratio
+          FROM m""",
+
     "q164_negative_sample" ->
       s"""WITH idx AS (
             SELECT doc_id AS neg_id,

@@ -75,6 +75,15 @@ object ReaderQueries {
         .select(col("k").as("user_id"), col("n_total"), col("n_kept"), col("seq"))
     }),
 
+    // semi-structured props: typed JSON path extraction + relational agg
+    "q173_json_extract" -> ((s, d) => {
+      graft.sources.SemiStructured.withJsonFields(Tables.events(s, d),
+          col("props"), Seq(("k", "$.k", "int")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
+    }),
+
     // weekly retention cohort grid over event activity
     "q171_retention_cohorts" -> ((s, d) => {
       graft.operators.TimeSeries.retentionCohorts(Tables.events(s, d),
@@ -364,6 +373,13 @@ object ReaderQueries {
             string_agg(event_type, '|' ORDER BY tus, event_id) AS seq
           FROM r JOIN t USING (k) WHERE rn <= 20
           GROUP BY k, n_total""",
+
+    "q173_json_extract" ->
+      """SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           ROUND(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+         FROM events GROUP BY 1""",
 
     "q171_retention_cohorts" ->
       """WITH act AS (SELECT DISTINCT user_id AS e, date_trunc('week', ts) AS p

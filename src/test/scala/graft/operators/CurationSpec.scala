@@ -385,4 +385,23 @@ class CurationSpec extends SparkSpec {
     val perAnchor = out.groupBy(_._1).view.mapValues(_.size)
     assert(perAnchor.values.forall(n => n >= 1 && n <= 8)) // k minus collisions
   }
+
+  test("codeQualitySignals computes line stats, alnum fraction, dup-line ratio") {
+    val s = spark; import s.implicits._
+    val code = "short\n" + ("x" * 120) + "\nshort\n\nshort"
+    val df = Seq((1L, code), (2L, "")).toDF("id", "t")
+    val out = Curation.codeQualitySignals(col("t"), longLine = 100)
+      .foldLeft(df)((acc, nc) => acc.withColumn(nc._1, nc._2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(7))).toMap
+    // (n_lines at idx2? careful) -- assert via named columns instead
+    val row = Curation.codeQualitySignals(col("t"), longLine = 100)
+      .foldLeft(df.where(col("id") === 1L))((acc, nc) => acc.withColumn(nc._1, nc._2))
+      .select("n_lines", "max_line_len", "frac_long_lines", "dup_line_ratio")
+      .head
+    assert(row.getLong(0) == 5 && row.getLong(1) == 120)
+    assert(row.getDouble(2) == 0.2)
+    // non-blank lines: short x3 + long -> 4 lines, 2 distinct -> ratio 0.5
+    assert(row.getDouble(3) == 0.5)
+  }
 }
