@@ -55,6 +55,19 @@ object TextVecQueries {
         .select(col("id"), col("bucket"), round(col("bm25"), 6).as("bm25"))
     }),
 
+    // end-to-end RAG retrieval: chunk the corpus with overlap, index the
+    // CHUNKS with BM25, retrieve the top 20 chunks for a literal query —
+    // the chunk id (doc#idx) maps hits back to source documents
+    "q175_rag_retrieve" -> ((s, d) => {
+      val chunks = graft.operators.Curation.chunkByTokens(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          chunkSize = 32, overlap = 8)
+        .select(concat_ws("#", col("doc"), col("chunk_idx")).as("cid"),
+          col("chunk_text"))
+      TextVectorizers.bm25TopK(chunks, col("cid"), col("chunk_text"),
+        query = "spark window join", dims = DIMS, k = 20)
+    }),
+
     "q136_bm25_topk" -> ((s, d) => {
       TextVectorizers.bm25TopK(Tables.documents(s, d), col("doc_id"), col("text"),
         query = "spark window join", dims = DIMS, k = 20)
@@ -136,6 +149,37 @@ object TextVecQueries {
                   / (cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl / (toks / m))), 6) AS bm25
           FROM tf JOIN dl USING (id) JOIN dfb USING (bucket)
           CROSS JOIN n CROSS JOIN t""",
+
+    "q175_rag_retrieve" ->
+      s"""WITH t0 AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents),
+          u AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM t0),
+          chunks AS (
+            SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(st // 24 AS VARCHAR) AS id,
+              array_to_string(toks[CAST(st + 1 AS INT):CAST(st + 32 AS INT)], ' ') AS ctext
+            FROM u),
+          tf AS (
+            SELECT id, CAST(${H60("tok")} % $DIMS AS INT) AS bucket, count(*) AS cnt
+            FROM (SELECT id, unnest(regexp_split_to_array(lower(trim(ctext)), '\\s+')) AS tok
+                  FROM chunks)
+            WHERE len(tok) > 0 GROUP BY 1, 2),
+          dl AS (SELECT id, sum(cnt) AS dl FROM tf GROUP BY 1),
+          dfb AS (SELECT bucket, count(DISTINCT id) AS df_b FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS m FROM chunks),
+          t AS (SELECT sum(cnt) AS toks FROM tf),
+          qb AS (SELECT DISTINCT CAST(${H60("tok")} % $DIMS AS INT) AS bucket
+                 FROM (SELECT unnest(['spark', 'window', 'join']) AS tok)),
+          scores AS (
+            SELECT tf.id,
+              ROUND(sum(ln((m - df_b + 0.5) / (df_b + 0.5) + 1.0)
+                    * (cnt * 2.2)
+                    / (cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl / (toks / m)))), 6) AS score
+            FROM tf JOIN dl USING (id) JOIN dfb USING (bucket)
+            CROSS JOIN n CROSS JOIN t
+            WHERE tf.bucket IN (SELECT bucket FROM qb)
+            GROUP BY 1)
+          SELECT id, score FROM scores ORDER BY score DESC, id ASC LIMIT 20""",
 
     "q136_bm25_topk" ->
       s"""WITH tf AS ($TF),

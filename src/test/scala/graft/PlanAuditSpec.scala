@@ -94,7 +94,10 @@ class PlanAuditSpec extends SparkSpec {
     // dim-key-count frame
     "q169_referential_integrity",
     // q170: the percentile-fence fit is a 1-row frame, q147's shape
-    "q170_winsorize")
+    "q170_winsorize",
+    // q175: chunk-level BM25 retrieval — inherits q135/q136's 1-row
+    // corpus-scalar crossJoin-broadcast shape
+    "q175_rag_retrieve")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
