@@ -149,6 +149,21 @@ object QualityQueries {
       Streaming.runToCompletion(s, agg, "q44_stream", shufflePartitions = Some(8))
     }),
 
+    // streaming + semi-structured: typed JSON extraction applied to the
+    // event stream, then a watermarked per-type daily sum of the JSON
+    // field — the oracle replays the batch semantics
+    "q176_stream_json_agg" -> ((s, d) => {
+      val enriched = graft.sources.SemiStructured.withJsonFields(
+        Streaming.eventStream(s, d), col("props"), Seq(("k", "$.k", "int")))
+      val agg = enriched
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_k"))
+      Streaming.runToCompletion(s, agg, "q176_stream", shufflePartitions = Some(8))
+    }),
+
     // one-pass numeric column profiler over the fact table
     "q133_column_profile" -> ((s, d) => {
       DataQuality.profileNumeric(Tables.lineitem(s, d),
@@ -593,6 +608,12 @@ object QualityQueries {
            COALESCE(l.cnt, 0) AS cnt_late,
            ROUND(COALESCE(l.cnt, 0) / (SELECT SUM(cnt) FROM l), 6) AS frac_late
          FROM buckets LEFT JOIN e ON bucket = e.b LEFT JOIN l ON bucket = l.b""",
+
+    "q176_stream_json_agg" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+         FROM events GROUP BY 1, 2""",
 
     "q44_stream_windowed_agg" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type,
