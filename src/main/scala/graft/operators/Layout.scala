@@ -75,4 +75,41 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Hive-partitioned parquet write with per-partition file sizing: the
+    * frame is shuffled on the partition columns (plus a bounded salt
+    * when one partition value needs more than one file) so each output
+    * directory receives exactly its rows from `filesPerPartition`
+    * writer tasks — never the one-file-per-input-task explosion that
+    * turns a 1000-task write into #tasks × #partitions small files, the
+    * classic small-files failure at warehouse scale. Readers filtering
+    * on the partition columns prune directories at PLANNING time
+    * (PartitionFilters in the scan, verified by spec). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       filesPerPartition: Int = 1): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(filesPerPartition >= 1, s"filesPerPartition must be >= 1")
+    val keys = partitionCols.map(col)
+    val salted =
+      if (filesPerPartition == 1) df.repartition(keys: _*)
+      else df.repartition(
+        (keys :+ pmod(spark_partition_id(), lit(filesPerPartition)).cast("int")): _*)
+    salted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet location into
+    * ceil(rows / targetRowsPerFile) files. The repartition count comes
+    * from a bounded count action; content is unchanged (spec-gated).
+    * Run this on the landing zone a streaming sink dribbles 1000-row
+    * files into — scan planning cost is per-file, and a 100 TB table of
+    * kilobyte files spends longer listing than reading. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     inPath: String, outPath: String,
+                     targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files).write.mode("overwrite").parquet(outPath)
+  }
 }

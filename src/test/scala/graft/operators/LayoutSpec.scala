@@ -63,4 +63,36 @@ class LayoutSpec extends SparkSpec {
     assert(xHit === 16, s"x-sort should hit all 16, hit $xHit")
     assert(zHit <= 8, s"z-order should hit ~4 of 16, hit $zHit")
   }
+
+  test("writePartitioned prunes partitions at planning time and bounds file counts") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"g${i % 4}", i * 1.5)).toDF("id", "grp", "v")
+    Layout.writePartitioned(df, dir, Seq("grp"))
+    val read = s.read.parquet(dir)
+    assert(read.count() == 1000)
+    // partition filter reaches the scan: directory pruning, not a row filter
+    val plan = read.where(col("grp") === "g1").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("grp"), plan.take(1500))
+    assert(read.where(col("grp") === "g1").count() == 250)
+    // one data file per partition directory
+    for (g <- 0 until 4) {
+      val files = new java.io.File(s"$dir/grp=g$g").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"grp=g$g has ${files.length} files")
+    }
+  }
+
+  test("compactParquet rewrites to the target file count with identical content") {
+    val s = spark; import s.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 900).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    df.repartition(30).write.mode("overwrite").parquet(in)   // 30 small files
+    Layout.compactParquet(s, in, out, targetRowsPerFile = 300)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 3, s"expected 3 files, got ${files.length}")
+    val a = s.read.parquet(in); val b = s.read.parquet(out)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
