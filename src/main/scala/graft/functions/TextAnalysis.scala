@@ -60,6 +60,22 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Flesch reading-ease score with the vowel-group syllable heuristic
+    * (runs of [aeiouy] approximate syllable nuclei — the standard
+    * dictionary-free stand-in): 206.835 - 1.015*(words/sentences)
+    * - 84.6*(syllables/words). Sentence and word counts floor at 1 so
+    * degenerate inputs score deterministically instead of dividing by
+    * zero. All three counts are single regex passes, row-local,
+    * RE2-identical so the oracle replays the score bit-for-bit. */
+  def fleschReadingEase(text: Column): Column = {
+    val words = greatest(tokenCount(text), lit(1)).cast("double")
+    val sents = greatest(size(sentences(text)), lit(1)).cast("double")
+    val syllables = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    round(lit(206.835) - lit(1.015) * (words / sents)
+      - lit(84.6) * (syllables / words), 6)
+  }
+
   /** Rule-based sentence split: break on runs of terminal punctuation
     * ([.!?]+), trim fragments, drop empties. Terminal punctuation is
     * consumed by the split (the convention the oracle replays) — the

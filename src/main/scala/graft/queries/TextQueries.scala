@@ -18,6 +18,12 @@ object TextQueries {
   private val sw = englishStopwords.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, Q] = Map(
+    // Flesch reading ease per document (vowel-group syllable heuristic)
+    "q177_readability" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextAnalysis.fleschReadingEase(col("text")).as("flesch"))
+    }),
+
     // rule-based sentence split, exploded with per-doc sentence index
     "q165_sentence_split" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -189,6 +195,18 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q177_readability" ->
+      """SELECT doc_id,
+           ROUND(206.835
+             - 1.015 * (CAST(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS DOUBLE)
+               / greatest(len(list_filter(list_transform(
+                   regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                   x -> len(x) > 0)), 1))
+             - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+               / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1)), 6)
+             AS flesch
+         FROM documents""",
+
     "q165_sentence_split" ->
       """WITH t AS (
            SELECT doc_id,

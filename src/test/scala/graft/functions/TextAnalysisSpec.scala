@@ -96,4 +96,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == Seq("no punctuation at all"))
     assert(out(3L).isEmpty && out(4L).isEmpty)
   }
+
+  test("fleschReadingEase scores easy text above dense text, handles degenerate input") {
+    val s = spark; import s.implicits._
+    val out = Seq(
+      (1L, "The cat sat. The dog ran. It was fun."),
+      (2L, "Extraordinarily complicated methodological considerations necessitate interdisciplinary collaboration."),
+      (3L, "")).toDF("id", "t")
+      .select(col("id"), TextAnalysis.fleschReadingEase(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > 80, s"easy text should score high: ${out(1L)}")
+    assert(out(2L) < 0, s"dense text should score very low: ${out(2L)}")
+    assert(!out(3L).isNaN)  // degenerate input still deterministic
+  }
 }
