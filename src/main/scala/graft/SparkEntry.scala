@@ -25,7 +25,8 @@ object SparkEntry {
       (MapQueries.queries, MapQueries.oracles),
       (TextVecQueries.queries, TextVecQueries.oracles),
       (ReaderQueries.queries, ReaderQueries.oracles),
-      (CurationQueries.queries, CurationQueries.oracles)
+      (CurationQueries.queries, CurationQueries.oracles),
+      (OlapQueries.queries, OlapQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -606,4 +606,41 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Edit-distance record linkage: all pairs within the same block
+    * whose names are within `maxDist` Levenshtein edits. The blocking
+    * columns ARE the scale contract — the join is a plain equi-join on
+    * the block key (hash-partitioned both sides, no theta join), and
+    * `levenshtein` runs only inside blocks, so work is
+    * O(Σ block_size²), not O(n²). Pick blocks the way the reference's
+    * fuzzy stages do (exact attributes that near-duplicates must
+    * share); the hot-block guard mirrors [[jaccardPairs]]'
+    * `maxShingleDocFreq`: blocks bigger than `maxBlockSize` rows are
+    * dropped loudly rather than silently quadrupling the stage.
+    *
+    * Spark's codegen'd `levenshtein` (same dynamic-program as DuckDB's)
+    * keeps the verify step inside whole-stage codegen — no UDF. */
+  def editDistancePairs(df: DataFrame, id: Column, name: Column,
+                        blockKeys: Seq[Column], maxDist: Int,
+                        maxBlockSize: Int = 100000): DataFrame = {
+    require(blockKeys.nonEmpty, "editDistancePairs needs >= 1 blocking column")
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val keyed = df.select(
+      (blockKeys.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
+        id.as("pk") :+ name.as("nm")): _*)
+    val bks = blockKeys.indices.map(i => col(s"bk$i"))
+    val oversized = keyed.groupBy(bks: _*)
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") > maxBlockSize)
+    val bigBlocks = oversized.limit(1).collect() // bounded: 1 row
+    require(bigBlocks.isEmpty,
+      s"editDistancePairs: block over maxBlockSize=$maxBlockSize rows " +
+        s"(${bigBlocks.mkString}); refine the blocking key")
+    val a = keyed.select((bks :+ col("pk").as("id_a") :+ col("nm").as("nm_a")): _*)
+    val b = keyed.select((bks :+ col("pk").as("id_b") :+ col("nm").as("nm_b")): _*)
+    a.join(b, blockKeys.indices.map(i => s"bk$i"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("nm_a"), col("nm_b")).as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
 }

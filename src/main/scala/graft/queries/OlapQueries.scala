@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Projection}
+
+/** Oracle-gated OLAP-core queries: multi-level aggregation
+  * (rollup / cube / grouping sets), reshaping (pivot / unpivot), set
+  * operations (intersect / except, bag variants), the analytic window
+  * function battery, semi/anti joins as user-facing filters,
+  * edit-distance record linkage, and deterministic random-projection
+  * dimensionality reduction.
+  *
+  * All of these are declarative Spark relational operators — Catalyst
+  * plans rollup/cube as a single Expand + hash-aggregate pass (one
+  * shuffle regardless of how many grouping levels), pivot as one
+  * hash-aggregate over (key, pivot-value) with the pivot columns
+  * resolved at plan time (values are given explicitly — no extra
+  * distinct job), and semi/anti joins without materializing the right
+  * side's payload.
+  */
+object OlapQueries {
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- multi-level aggregation ---------------------------------------
+    // ROLLUP (flag, status): per-pair, per-flag subtotal, grand total in
+    // ONE pass (Expand × 3 grouping ids → single hash aggregate). NULL
+    // grouping slots are labelled 'ALL' (the source columns are non-null)
+    // so the three levels stay distinguishable under the hash compare.
+    "q178_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+    }),
+
+    // CUBE (status, priority) over orders: all four grouping levels in
+    // one Expand pass; money sums over DECIMAL so order-independent.
+    "q179_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(money(col("o_totalprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("sum_price"), col("n"))
+    }),
+
+    // explicit GROUPING SETS ((flag), (status), ()): the sparse subset
+    // a cube would over-compute — still one Expand + one aggregate.
+    "q180_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_price"), col("n"))
+    }),
+
+    // ---- reshaping ------------------------------------------------------
+    // long->wide: per-user spend by event type. Pivot values are given
+    // explicitly, so the plan is a single hash aggregate — no
+    // pre-distinct job, and the output schema is fixed at plan time
+    // (the only form that scales: a data-driven column set would both
+    // scan twice and make downstream schemas nondeterministic).
+    "q181_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(sum(money(col("value"))).cast("double"))
+    }),
+
+    // wide->long: unpivot/melt is a zero-shuffle Expand (each input row
+    // emits one row per measure) — the lakehouse "melt" primitive.
+    "q182_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+    }),
+
+    // ---- set operations -------------------------------------------------
+    // DISTINCT set algebra over customer key sets: one hash
+    // aggregate per side + one shuffle join each (Spark plans
+    // INTERSECT/EXCEPT as left-semi/left-anti over distinct inputs).
+    "q183_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val big = o.where(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey"))
+      urgent.intersect(big).withColumn("tag", lit("urgent_and_big"))
+        .unionByName(urgent.except(big).withColumn("tag", lit("urgent_only")))
+    }),
+
+    // bag (ALL) variants — multiplicity-preserving difference and
+    // intersection of the quantity multisets of two return flags;
+    // duplicates survive, which the sorted-rows hash compare verifies.
+    "q184_bag_ops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.where(col("l_returnflag") === "A").select(col("l_quantity"))
+      val r = li.where(col("l_returnflag") === "R").select(col("l_quantity"))
+      a.exceptAll(r).withColumn("tag", lit("a_minus_r_all"))
+        .unionByName(a.intersectAll(r).withColumn("tag", lit("a_and_r_all")))
+    }),
+
+    // ---- analytic window battery ---------------------------------------
+    // lag/lead/ntile/cume_dist/rank over each customer's order history.
+    // One shuffle on the partition key; the sort key
+    // (o_orderdate, o_orderkey) is unique per partition, so every rank
+    // and distribution value is deterministic.
+    "q185_window_battery" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        rank().over(w).as("rnk"))
+    }),
+
+    // ---- semi / anti joins ----------------------------------------------
+    // EXISTS / NOT EXISTS as left-semi / left-anti: the right side's
+    // payload is never materialized into the output, and the urgent
+    // key set is small enough to broadcast — no shuffle of customer.
+    "q188_semi_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("tag", lit("has_urgent"))
+        .unionByName(
+          c.join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_anti")
+            .withColumn("tag", lit("no_urgent")))
+    }),
+
+    // ---- edit-distance record linkage -----------------------------------
+    // Levenshtein pairs inside (brand, size) blocks: equi-join blocking
+    // + codegen'd edit distance, the classic linkage shape.
+    "q186_levenshtein_pairs" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      Dedup.editDistancePairs(p, col("p_partkey"), col("p_name"),
+        Seq(col("p_brand"), col("p_size")), maxDist = 5)
+    }),
+
+    // ---- random-projection dimensionality reduction ----------------------
+    // 64-dim embeddings -> 8 sign-projection coordinates; the md5 sign
+    // family is replayed verbatim by the oracle.
+    "q187_random_projection" -> ((s, d) => {
+      Projection.signProjection(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), inDim = 64, outDim = 8)
+    }),
+
+    // PCA to the top-4 components (rows-only: eigenvector signs are an
+    // SVD convention; the variance contract is spec-gated)
+    "q189_pca" -> ((s, d) => {
+      Projection.pca(Tables.embeddings(s, d), col("vec_id"), col("embedding"), k = 4)
+    })
+  )
+
+  // DuckDB oracles ---------------------------------------------------------
+
+  private val RP_SIGN = // sign(i,j): parity of the 60-bit md5 prefix
+    "CASE WHEN CAST(('0x' || substr(md5('rp|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+
+  val oracles: Map[String, String] = Map(
+    "q178_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q179_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
+    "q180_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "q181_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+                CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+                CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
+         FROM events GROUP BY user_id""",
+
+    "q182_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+
+    "q183_set_ops" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+              big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+         SELECT o_custkey, 'urgent_and_big' AS tag
+         FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM big)
+         UNION ALL
+         SELECT o_custkey, 'urgent_only'
+         FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM big)""",
+
+    "q184_bag_ops" ->
+      """WITH a AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'),
+              r AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R')
+         SELECT l_quantity, 'a_minus_r_all' AS tag
+         FROM (SELECT l_quantity FROM a EXCEPT ALL SELECT l_quantity FROM r)
+         UNION ALL
+         SELECT l_quantity, 'a_and_r_all'
+         FROM (SELECT l_quantity FROM a INTERSECT ALL SELECT l_quantity FROM r)""",
+
+    "q185_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+                ROUND(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+                ROUND(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+                ntile(4) OVER w AS quartile,
+                ROUND(cume_dist() OVER w, 6) AS cdist,
+                rank() OVER w AS rnk
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q188_semi_anti_join" ->
+      """SELECT c_custkey, 'has_urgent' AS tag FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT c_custkey, 'no_urgent' FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""",
+
+    "q186_levenshtein_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                levenshtein(a.p_name, b.p_name) AS edit_dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 5""",
+
+    "q187_random_projection" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings)
+          SELECT vec_id AS id, j AS dim,
+                 ROUND(list_sum(list_transform(range(0, len(emb)),
+                   i -> emb[CAST(i AS INT) + 1] * ($RP_SIGN))) / sqrt(8), 6) AS value
+          FROM e, range(0, 8) t(j)"""
+  )
+}

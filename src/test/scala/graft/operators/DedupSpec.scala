@@ -168,4 +168,26 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
     spark.catalog.clearCache()
   }
+
+  test("editDistancePairs: pairs within blocks under the distance bound, cross-block never compared") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "kitten", "b1"), (2L, "sitting", "b1"), (3L, "kitten!", "b1"),
+      (4L, "kitten", "b2") // same name, different block: must not pair with 1
+    ).toDF("id", "nm", "blk")
+    val out = Dedup.editDistancePairs(df, col("id"), col("nm"),
+        Seq(col("blk")), maxDist = 3)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map((1L, 2L) -> 3, (1L, 3L) -> 1, (2L, 3L) -> 3))
+  }
+
+  test("editDistancePairs refuses oversized blocks loudly") {
+    val s = spark; import s.implicits._
+    val df = (1L to 5L).map(i => (i, s"n$i", "hot")).toDF("id", "nm", "blk")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, col("id"), col("nm"),
+        Seq(col("blk")), maxDist = 2, maxBlockSize = 3)
+    }
+    assert(e.getMessage.contains("maxBlockSize"))
+  }
 }
