@@ -488,20 +488,32 @@ object MLTuning {
                          label: Column, pred: Column,
                          alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    // the scored calibration frame feeds two aggregates (residual
+    // histogram + count): persist it, resolve the ONE-ROW conformal
+    // quantile eagerly (bounded fit artifact, same policy as topK
+    // tables/centroids), release, and widen the test side with a plan
+    // literal — the test plan is then a single narrow scan
     val res = cal.select(abs(label - pred).as("v")).where(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = res.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val cum = graft.operators.DataQuality.cumulativeByValue(counts, Seq("c"))
     val n = res.agg(count(lit(1)).as("n"))
-    val qhat = cum.crossJoin(broadcast(n))
+    val qhatRow = cum.crossJoin(broadcast(n))
       .where(col("cum_c") >= ceil((col("n") + lit(1)) * lit(1.0 - alpha)))
       .agg(min(col("v")).as("qhat"))
+      .collect() // 1 row by construction
+    res.unpersist(blocking = false)
+    // min over an empty candidate set is NULL (alpha too small for
+    // n_cal): keep the null so the bounds come out null, not 0
+    val qhat =
+      if (qhatRow.head.isNullAt(0)) lit(null).cast("double")
+      else lit(qhatRow.head.getDouble(0))
     test.select(id.as("id"), label.as("__y"), pred.as("__pred"))
-      .crossJoin(broadcast(qhat))
       .select(col("id"), round(col("__pred"), 6).as("pred"),
-        round(col("__pred") - col("qhat"), 6).as("lo"),
-        round(col("__pred") + col("qhat"), 6).as("hi"),
-        when(col("__y").between(col("__pred") - col("qhat"),
-          col("__pred") + col("qhat")), 1).otherwise(0).as("covered"))
+        round(col("__pred") - qhat, 6).as("lo"),
+        round(col("__pred") + qhat, 6).as("hi"),
+        when(col("__y").between(col("__pred") - qhat,
+          col("__pred") + qhat), 1).otherwise(0).as("covered"))
   }
 
   /** Per-series forecast metrics (reference OpForecastEvaluator.scala:
