@@ -70,6 +70,19 @@ object DedupQueries {
       graft.operators.Graph.labelPropagation(trade, col("c"), col("p"), iters = 2)
     }),
 
+    // exact triangle count over the part-affinity graph (parts bought
+    // together in large-quantity lineitems of the same order), via
+    // degree-ordered orientation — the O(m^1.5), hub-safe algorithm
+    "q190_triangle_count" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      graft.operators.Graph.triangleCount(e, col("pa"), col("pb"))
+    }),
+
     "q22_dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
     }),
@@ -222,6 +235,18 @@ object DedupQueries {
           FROM scored
           WHERE j >= 0.65
           QUALIFY rank <= 3""",
+
+    "q190_triangle_count" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40),
+          e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                 FROM li a JOIN li b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+          SELECT (SELECT count(DISTINCT n)
+                  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)) AS n_nodes,
+                 (SELECT count(*) FROM e0) AS n_edges,
+                 (SELECT count(*) FROM e0 x
+                    JOIN e0 y ON y.a = x.a AND y.b > x.b
+                    JOIN e0 z ON z.a = x.b AND z.b = y.b) AS n_triangles""",
 
     "q142_pagerank" ->
       """WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p

@@ -51,4 +51,25 @@ class GraphSpec extends SparkSpec {
     assert(out(2L) == 2L && out(3L) == 2L && out(4L) == 2L && out(1L) == 1L)
     assert(out(10L) == 10L && out(11L) == 11L)
   }
+
+  test("triangleCount: K4 has 4 triangles; orientation dedups parallel/reversed edges") {
+    val s = spark; import s.implicits._
+    // K4 on 1..4 (4 triangles) + a pendant edge (4,5) + noise:
+    // duplicate and reversed listings of the same edges, one self-loop
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 ++ k4.map(_.swap) ++ Seq((4L, 5L), (2L, 1L), (3L, 3L)))
+      .toDF("x", "y")
+    val row = Graph.triangleCount(edges, col("x"), col("y")).collect().head
+    assert(row.getAs[Long]("n_nodes") == 5)
+    assert(row.getAs[Long]("n_edges") == 7) // 6 K4 edges + pendant
+    assert(row.getAs[Long]("n_triangles") == 4)
+  }
+
+  test("triangleCount: triangle-free bipartite graph counts zero") {
+    val s = spark; import s.implicits._
+    val edges = (for (a <- 1L to 3L; b <- 10L to 12L) yield (a, b)).toDF("x", "y")
+    val row = Graph.triangleCount(edges, col("x"), col("y")).collect().head
+    assert(row.getAs[Long]("n_triangles") == 0L)
+    assert(row.getAs[Long]("n_edges") == 9L)
+  }
 }
