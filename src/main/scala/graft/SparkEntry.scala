@@ -26,7 +26,8 @@ object SparkEntry {
       (TextVecQueries.queries, TextVecQueries.oracles),
       (ReaderQueries.queries, ReaderQueries.oracles),
       (CurationQueries.queries, CurationQueries.oracles),
-      (OlapQueries.queries, OlapQueries.oracles)
+      (OlapQueries.queries, OlapQueries.oracles),
+      (MiningQueries.queries, MiningQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -295,4 +295,64 @@ object TimeSeries {
         round((unix_micros(ts) - lag(unix_micros(ts), 1).over(byRow)) / 1e6, 6)
           .as("secs_since_prev"))
   }
+
+  /** Exponential smoothing: the current EWMA level per series,
+    * `l_t = (1-alpha)·l_{t-1} + alpha·x_t` folded left-to-right over the
+    * series history (init `l_1 = x_1`). Inherently sequential per
+    * series, embarrassingly parallel across series — each key's history
+    * is assembled with ONE grouped sort (collect + array_sort inside
+    * the aggregate, no window shuffle on top) and folded by a
+    * sequential `aggregate`, so double rounding is order-stable and the
+    * DuckDB oracle (`list_reduce` over the same ordered list) replays
+    * it exactly. State per task = one series in memory; series length
+    * is bounded by the key's history (cap upstream for unbounded keys
+    * the way [[assembleSequences]] does). */
+  def ewmaLevel(df: DataFrame, key: Column, ts: Column, order: Column,
+                value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val seq = df.groupBy(key.as("key"))
+      .agg(array_sort(collect_list(struct(ts.as("t"), order.as("o"),
+        value.cast("double").as("x")))).as("arr"))
+    seq.select(col("key"), size(col("arr")).as("n"),
+      round(aggregate(
+        expr("slice(arr, 2, size(arr) - 1)"),
+        element_at(col("arr"), 1).getField("x"),
+        (acc, e) => acc * lit(1.0 - alpha) + e.getField("x") * lit(alpha)), 6)
+        .as("ewma"))
+  }
+
+  /** Additive seasonal decomposition (STL-lite) of per-period series
+    * totals: value = trend + seasonal + residual, where trend is the
+    * centered length-`period` moving average (null at the edges where
+    * the window is short) and seasonal is the per-phase mean of the
+    * detrended values. All three passes are windows/aggregates over the
+    * (series, bucket) frame — at scale the heavy input is reduced to
+    * one row per (series, period bucket) by the caller's aggregation
+    * BEFORE any window runs, so window partitions are tiny regardless
+    * of raw row count. Determinism: the window sum folds rows in sort
+    * order (both engines ascending by bucket); the per-phase mean runs
+    * over DECIMAL so the groupBy order can't perturb the double. */
+  def decompose(series: DataFrame, key: Column, bucket: Column,
+                value: Column, period: Int, phase: Column): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (centered window): $period")
+    val half = period / 2
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(-half, half)
+    val trended = series.select(key.as("key"), bucket.as("bucket"),
+        value.cast("double").as("value"), phase.as("phase"))
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === period,
+          sum(col("value").cast("decimal(28,6)")).over(w).cast("double") / period))
+    val seasonal = trended.where(col("trend").isNotNull)
+      .groupBy(col("key").as("skey"), col("phase").as("sphase"))
+      .agg((sum((col("value") - col("trend")).cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("seasonal"))
+    trended.join(seasonal,
+        col("key") === col("skey") && col("phase") === col("sphase"), "left")
+      .select(col("key"), col("bucket"), round(col("value"), 6).as("value"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("value") - col("trend") - col("seasonal"), 6).as("residual"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Itemsets, TimeSeries}
+
+/** Oracle-gated pattern-mining and time-series-modeling queries:
+  * FP-growth frequent itemsets (replayed exactly by a self-join
+  * oracle), EWMA smoothing (list_reduce oracle), additive seasonal
+  * decomposition (window-function oracle), and the ALS recommender
+  * (rows-only; structural spec).
+  */
+object MiningQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Map[String, Q] = Map(
+    // per-user EWMA level of event values (alpha=0.3), folded in
+    // (ts, event_id) order — sequential per series, parallel across
+    "q191_ewma_level" -> ((s, d) => {
+      TimeSeries.ewmaLevel(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("value"), alpha = 0.3)
+    }),
+
+    // STL-lite weekly decomposition of daily spend per event type:
+    // trend = centered 7-day MA, seasonal = day-of-week mean of the
+    // detrended series, residual = the rest
+    "q192_seasonal_decompose" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(money(col("value"))).cast("double").as("spend"))
+      TimeSeries.decompose(daily, col("event_type"), col("day"),
+          col("spend"), period = 7, phase = dayofweek(col("day")))
+        .withColumn("day", col("bucket").cast("string")).drop("bucket")
+    }),
+
+    // frequent brand itemsets (size <= 2) across order baskets at 2%
+    // support — PFP mines them, the oracle recounts singles + pairs
+    "q193_frequent_itemsets" -> ((s, d) => {
+      val basket = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("bid"), col("p_brand").as("item"))
+      Itemsets.frequentItemsets(basket, col("bid"), col("item"),
+        minSupport = 0.02, maxSize = 2)
+    }),
+
+    // ALS top-3 brand recommendations per customer from purchase
+    // quantities (rows-only: factor values carry float jitter)
+    "q194_als_recommend" -> ((s, d) => {
+      val ratings = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_custkey").as("user"),
+          regexp_extract(col("p_brand"), "\\d+", 0).cast("int").as("item"))
+        .agg(sum(col("l_quantity")).as("rating"))
+      graft.workflow.MLTuning.alsRecommend(ratings, col("user"), col("item"),
+        col("rating"), rank = 6, topK = 3)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q191_ewma_level" ->
+      """SELECT user_id AS key, count(*) AS n,
+                ROUND(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                  (acc, x) -> acc * (1.0 - 0.3) + x * 0.3), 6) AS ewma
+         FROM events GROUP BY user_id""",
+
+    "q192_seasonal_decompose" ->
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+                    FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type, day, spend,
+                       CASE WHEN count(*) OVER w = 7
+                            THEN CAST(sum(CAST(spend AS DECIMAL(28,6))) OVER w AS DOUBLE) / 7
+                       END AS trend,
+                       dayofweek(day) AS phase
+                FROM s
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          se AS (SELECT event_type, phase,
+                        CAST(sum(CAST(spend - trend AS DECIMAL(28,12))) AS DOUBLE)
+                          / count(*) AS seasonal
+                 FROM t WHERE trend IS NOT NULL GROUP BY 1, 2)
+          SELECT t.event_type AS key, CAST(t.day AS VARCHAR) AS day,
+                 ROUND(t.spend, 6) AS value, ROUND(t.trend, 6) AS trend,
+                 ROUND(se.seasonal, 6) AS seasonal,
+                 ROUND(t.spend - t.trend - se.seasonal, 6) AS residual
+          FROM t LEFT JOIN se
+            ON t.event_type = se.event_type AND t.phase = se.phase""",
+
+    "q193_frequent_itemsets" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+          tot AS (SELECT CAST(ceil(0.02 * count(DISTINCT bid)) AS BIGINT) AS minc FROM b),
+          singles AS (SELECT item AS itemset, 1 AS k, count(*) AS n_baskets
+                      FROM b GROUP BY item),
+          pairs AS (SELECT x.item || '|' || y.item AS itemset, 2 AS k,
+                           count(*) AS n_baskets
+                    FROM b x JOIN b y ON x.bid = y.bid AND x.item < y.item
+                    GROUP BY 1)
+          SELECT itemset, k, n_baskets
+          FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs), tot
+          WHERE n_baskets >= minc"""
+  )
+}

@@ -565,4 +565,32 @@ object MLTuning {
         sum(pow(col(labelCol) - lit(mean), 2))).as("r2")).head
     RegressionMetrics(row.getDouble(0), row.getDouble(1), row.getDouble(2))
   }
+
+  /** Collaborative-filtering top-K recommendations via spark.ml ALS.
+    *
+    * ALS is the canonical distributed factorization: each iteration
+    * solves per-user then per-item least squares with only the
+    * counterpart factor blocks shuffled (block-to-block routing tables,
+    * not an all-to-all of ratings), so it scales by rating count, not
+    * user×item. Seeded init + drop cold-start keeps output shape
+    * deterministic; factor VALUES carry float-sum jitter, so the gate
+    * is rows-only plus a structural spec (block-preference recovery) —
+    * same policy as the other iterative fits. Emits
+    * (user, rec_rank, item) — rank from the model's own score order. */
+  def alsRecommend(ratings: DataFrame, user: Column, item: Column,
+                   rating: Column, rank: Int, topK: Int,
+                   maxIter: Int = 8, seed: Long = 7L): DataFrame = {
+    val r = ratings.select(user.cast("int").as("user"),
+      item.cast("int").as("item"), rating.cast("float").as("rating"))
+    val model = new org.apache.spark.ml.recommendation.ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(rank).setMaxIter(maxIter).setRegParam(0.1)
+      .setSeed(seed).setColdStartStrategy("drop")
+      .fit(r)
+    model.setItemCol("item").setUserCol("user")
+    model.recommendForAllUsers(topK)
+      .select(col("user"), posexplode(col("recommendations")))
+      .select(col("user"), (col("pos") + 1).as("rec_rank"),
+        col("col.item").as("item"))
+  }
 }

@@ -16,7 +16,8 @@ class GateContractSpec extends AnyFunSuite {
     "q95_dt_map_bucketize" -> "fitted per-key decision-tree splits aren't SQL-replayable",
     "q118_bpe_tokenize" -> "data-dependent BPE merge list isn't SQL-replayable (iteration-0 stats gated by q117)",
     "q120_curation_quality_classifier" -> "trained LR probabilities aren't SQL-replayable (feature extraction shares q116's gated path)",
-    "q189_pca" -> "eigenvector signs are an SVD convention, not SQL-replayable; variance contract spec-gated in ProjectionSpec")
+    "q189_pca" -> "eigenvector signs are an SVD convention, not SQL-replayable; variance contract spec-gated in ProjectionSpec",
+    "q194_als_recommend" -> "iterative ALS factor values are not SQL-replayable; block-preference recovery spec-gated in MLStagesSpec")
 
   test("every query has an oracle or a documented rows-only justification") {
     val queries = graft.SparkEntry.queries.keySet

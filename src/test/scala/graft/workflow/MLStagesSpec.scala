@@ -124,4 +124,25 @@ class MLStagesSpec extends SparkSpec {
       .collect().head
     assert(r.isNullAt(2) && r.isNullAt(3) && r.getInt(4) == 0)
   }
+
+  test("alsRecommend recovers block preference structure") {
+    val s = spark; import s.implicits._
+    // users 0-7 rate items 0-3 high and 4-7 low; users 8-15 the reverse
+    val ratings = for {
+      u <- 0 until 16; i <- 0 until 8
+      inBlockA = u < 8; itemA = i < 4
+    } yield (u, i, if (inBlockA == itemA) 5.0 else 1.0)
+    val df = ratings.toDF("u", "i", "r")
+    val recs = MLTuning.alsRecommend(df, col("u"), col("i"), col("r"),
+        rank = 4, topK = 2, maxIter = 15)
+      .as[(Int, Int, Int)].collect()
+    assert(recs.length == 32) // 16 users x top-2
+    // the TOP recommendation must come from the user's preferred block;
+    // deeper ranks may leak across under regularization
+    recs.filter(_._2 == 1).foreach { case (u, _, item) =>
+      assert((u < 8) == (item < 4), s"user $u top-rec is cross-block item $item")
+    }
+    val inBlock = recs.count { case (u, _, item) => (u < 8) == (item < 4) }
+    assert(inBlock >= 28, s"only $inBlock/32 recommendations in-block")
+  }
 }
