@@ -47,6 +47,14 @@ object MiningQueries {
         minSupport = 0.02, maxSize = 2)
     }),
 
+    // k-means cluster assignments over the embedding corpus
+    // (rows-only: cluster geometry is an iterative fit; canonicalized
+    // labels + blob-recovery spec make the shape deterministic)
+    "q195_kmeans_assign" -> ((s, d) => {
+      graft.operators.Clustering.kmeansAssign(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), k = 8)
+    }),
+
     // ALS top-3 brand recommendations per customer from purchase
     // quantities (rows-only: factor values carry float jitter)
     "q194_als_recommend" -> ((s, d) => {

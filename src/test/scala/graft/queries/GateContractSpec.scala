@@ -17,7 +17,8 @@ class GateContractSpec extends AnyFunSuite {
     "q118_bpe_tokenize" -> "data-dependent BPE merge list isn't SQL-replayable (iteration-0 stats gated by q117)",
     "q120_curation_quality_classifier" -> "trained LR probabilities aren't SQL-replayable (feature extraction shares q116's gated path)",
     "q189_pca" -> "eigenvector signs are an SVD convention, not SQL-replayable; variance contract spec-gated in ProjectionSpec",
-    "q194_als_recommend" -> "iterative ALS factor values are not SQL-replayable; block-preference recovery spec-gated in MLStagesSpec")
+    "q194_als_recommend" -> "iterative ALS factor values are not SQL-replayable; block-preference recovery spec-gated in MLStagesSpec",
+    "q195_kmeans_assign" -> "iterative Lloyd centroids are not SQL-replayable; blob-recovery spec-gated in ClusteringSpec")
 
   test("every query has an oracle or a documented rows-only justification") {
     val queries = graft.SparkEntry.queries.keySet
