@@ -27,7 +27,8 @@ object SparkEntry {
       (ReaderQueries.queries, ReaderQueries.oracles),
       (CurationQueries.queries, CurationQueries.oracles),
       (OlapQueries.queries, OlapQueries.oracles),
-      (MiningQueries.queries, MiningQueries.oracles)
+      (MiningQueries.queries, MiningQueries.oracles),
+      (StatsQueries.queries, StatsQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -583,4 +583,66 @@ object DataQuality {
         round(lit(1.0) - col("n_orphan").cast("double") /
           greatest(col("n_fact") - col("n_null_fk"), lit(1L)), 6).as("fk_valid_ratio"))
   }
+
+  /** Pearson chi-square test of independence between two categoricals,
+    * via the empty-cell-free identity chi2 = N * (sum over OBSERVED
+    * cells of o^2/(rowTot*colTot) - 1) — no enumeration of the full
+    * R x C cross product, so sparse contingency tables (the 100 TB
+    * case: high-cardinality categoricals where most cells are 0) cost
+    * one groupBy over observed pairs plus two broadcast-joined
+    * marginals. Emits the statistic, degrees of freedom, and N; the
+    * p-value lookup is a driver-side table the caller owns (same
+    * boundary as [[cramersV]]). */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("a"), b.as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"),
+      count(lit(1)).as("rcells"))
+    val colTot = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"))
+    cells.join(broadcast(rowTot.drop("rcells")), Seq("a"))
+      .join(broadcast(colTot), Seq("b"))
+      .agg(sum(col("o").cast("double") * col("o").cast("double") /
+        (col("rt").cast("double") * col("ct").cast("double"))).as("s"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(rowTot.agg(count(lit(1)).as("r")).select(col("r"))))
+      .crossJoin(broadcast(colTot.agg(count(lit(1)).as("c")).select(col("c"))))
+      .select(
+        round(col("n").cast("double") * (col("s") - lit(1.0)), 6).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("n"))
+  }
+
+  /** Welch's unequal-variance t-test between two groups of a numeric
+    * column: means and sample variances from ONE aggregation of exact
+    * decimal sufficient statistics (sum, sum of squares), then the t
+    * statistic and Welch-Satterthwaite degrees of freedom in closed
+    * form on the driver-free single-row frame. The doubles derive from
+    * exact sums, so a replaying engine reproduces them bit-for-bit. */
+  def welchTTest(df: DataFrame, group: Column, value: Column,
+                 g1: String, g2: String): DataFrame = {
+    val v = value.cast("decimal(18,6)")
+    def side(g: String, tag: String) = df.where(group === g).agg(
+      count(lit(1)).as(s"n$tag"),
+      sum(v).cast("double").as(s"s$tag"),
+      sum(v * v).cast("double").as(s"ss$tag"))
+    def m(tag: String) = col(s"s$tag") / col(s"n$tag").cast("double")
+    def va(tag: String) =
+      (col(s"ss$tag") - col(s"s$tag") * col(s"s$tag") / col(s"n$tag").cast("double")) /
+        (col(s"n$tag").cast("double") - lit(1.0))
+    def se2(tag: String) = va(tag) / col(s"n$tag").cast("double")
+    val t = (m("1") - m("2")) / sqrt(se2("1") + se2("2"))
+    // x*x, not pow(x,2): squaring by multiply is exact in every engine,
+    // libm pow is only 1-ulp-accurate and varies across platforms
+    val seSum = se2("1") + se2("2")
+    val dfw = seSum * seSum /
+      (se2("1") * se2("1") / (col("n1").cast("double") - lit(1.0)) +
+        se2("2") * se2("2") / (col("n2").cast("double") - lit(1.0)))
+    side(g1, "1").crossJoin(broadcast(side(g2, "2")))
+      .select(col("n1"), col("n2"),
+        round(m("1"), 6).as("mean1"), round(m("2"), 6).as("mean2"),
+        round(m("1") - m("2"), 6).as("mean_diff"),
+        round(t, 6).as("t_stat"), round(dfw, 6).as("welch_df"))
+  }
 }

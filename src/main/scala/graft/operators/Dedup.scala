@@ -643,4 +643,36 @@ object Dedup {
         levenshtein(col("nm_a"), col("nm_b")).as("edit_dist"))
       .where(col("edit_dist") <= maxDist)
   }
+
+  /** Jaro-Winkler record linkage within equi-join blocks — the same
+    * blocked self-join shape as [[editDistancePairs]] (equi-keyed
+    * shuffle, loud hot-block guard), scored by the native
+    * [[graft.expressions.JaroWinkler]] expression inside the join's
+    * codegen stage. Emits (id_a, id_b, jw) for pairs at or above
+    * `minSim`. */
+  def jaroWinklerPairs(df: DataFrame, id: Column, name: Column,
+                       blockKeys: Seq[Column], minSim: Double,
+                       maxBlockSize: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnSql
+    require(blockKeys.nonEmpty, "jaroWinklerPairs needs >= 1 blocking column")
+    require(minSim >= 0.0 && minSim <= 1.0, s"minSim out of [0,1]: $minSim")
+    val keyed = df.select(
+      (blockKeys.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
+        id.as("pk") :+ name.as("nm")): _*)
+    val bks = blockKeys.indices.map(i => col(s"bk$i"))
+    val oversized = keyed.groupBy(bks: _*)
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") > maxBlockSize)
+    val bigBlocks = oversized.limit(1).collect() // bounded: 1 row
+    require(bigBlocks.isEmpty,
+      s"jaroWinklerPairs: block over maxBlockSize=$maxBlockSize rows " +
+        s"(${bigBlocks.mkString}); refine the blocking key")
+    val a = keyed.select((bks :+ col("pk").as("id_a") :+ col("nm").as("nm_a")): _*)
+    val b = keyed.select((bks :+ col("pk").as("id_b") :+ col("nm").as("nm_b")): _*)
+    val jw = ColumnSql.columnOf(graft.expressions.JaroWinkler(
+      ColumnSql.expressionOf(col("nm_a")), ColumnSql.expressionOf(col("nm_b"))))
+    a.join(b, blockKeys.indices.map(i => s"bk$i"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jw.as("jw"))
+      .where(col("jw") >= minSim)
+  }
 }

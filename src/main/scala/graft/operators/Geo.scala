@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spatial self-join within a radius, without a cross join (extends the
+  * reference's Geolocation feature family — midpoint/vectorize live in
+  * `Vectorizers` — with the pairwise operation a dedup/linkage pipeline
+  * needs over point columns; cf. reference
+  * features/src/main/scala/com/salesforce/op/features/types/Geolocation.scala).
+  *
+  * Scale design: each point lands in one square grid cell sized so the
+  * search radius never spans more than the 3x3 neighborhood; the LEFT
+  * side replicates into its 9 neighbor cells (a bounded 9x explode),
+  * the RIGHT side keeps its home cell, and candidates come from a plain
+  * equi-join on the cell key — shuffle-partitioned, broadcastable,
+  * AQE-skew-splittable, never a theta join. Each qualifying pair is
+  * produced exactly once (the right row's home cell is unique) so no
+  * dedup pass is needed. Exact haversine verification runs inside the
+  * join's codegen stage. At 100 TB the cell key bounds per-task work by
+  * cell occupancy, not corpus size; pathological hot cells (everyone in
+  * one city) are the documented caveat — salt the cell key or shrink
+  * the cell size toward the radius to split them.
+  */
+object Geo {
+
+  private val EarthRadiusKm = 6371.0
+  private val KmPerDegLat = 111.32
+
+  /** Great-circle distance in km between (lat1,lon1) and (lat2,lon2). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    // sin(x)*sin(x), not pow(sin(x),2): exact squaring keeps the value
+    // reproducible across engines (libm pow is platform-1-ulp)
+    val sLat = sin(radians(lat2 - lat1) / 2)
+    val sLon = sin(radians(lon2 - lon1) / 2)
+    val h = sLat * sLat +
+      cos(radians(lat1)) * cos(radians(lat2)) * (sLon * sLon)
+    lit(2 * EarthRadiusKm) * asin(sqrt(h))
+  }
+
+  /** All pairs (idA < idB) within `radiusKm`, with their distance.
+    *
+    * `maxAbsLat` bounds the longitude shrink factor: cells are sized by
+    * the worst-case (highest-latitude) degree-per-km so the 3x3
+    * neighborhood is guaranteed to cover the radius everywhere in the
+    * data's latitude band.
+    */
+  def radiusJoinPairs(points: DataFrame, id: Column, lat: Column, lon: Column,
+      radiusKm: Double, maxAbsLat: Double = 60.0): DataFrame = {
+    require(maxAbsLat < 89.0, s"degenerate longitude cells at |lat|=$maxAbsLat")
+    val cellLatDeg = radiusKm / KmPerDegLat
+    val cellLonDeg = radiusKm / (KmPerDegLat * math.cos(math.toRadians(maxAbsLat)))
+    val base = points.select(id.as("id"), lat.as("lat"), lon.as("lon"))
+      .withColumn("cx", floor(col("lat") / cellLatDeg))
+      .withColumn("cy", floor(col("lon") / cellLonDeg))
+    val offsets = Seq(-1L, 0L, 1L)
+    val expanded = base.withColumn("dx", explode(array(offsets.map(lit): _*)))
+      .withColumn("dy", explode(array(offsets.map(lit): _*)))
+      .select(col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+        (col("cx") + col("dx")).as("jx"), (col("cy") + col("dy")).as("jy"))
+    val home = base.select(col("id").as("id_b"), col("lat").as("lat_b"),
+      col("lon").as("lon_b"), col("cx").as("jx"), col("cy").as("jy"))
+    expanded.join(home, Seq("jx", "jy"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist_km",
+        haversineKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")))
+      .where(col("dist_km") <= radiusKm)
+      .select(col("id_a"), col("id_b"), col("dist_km"))
+  }
+}

@@ -355,4 +355,98 @@ object TimeSeries {
         round(col("seasonal"), 6).as("seasonal"),
         round(col("value") - col("trend") - col("seasonal"), 6).as("residual"))
   }
+
+  /** Per-series ordinary-least-squares trend: slope / intercept / r2 of
+    * y against an integer x (e.g. epoch day) for every key, closed-form
+    * from ONE hash aggregation of the five sufficient statistics — no
+    * window, no per-series fit loop, scale-free in series count.
+    * Determinism: sums run over exact integers/decimals; the closed
+    * form is evaluated on the (identical) doubles those exact sums cast
+    * to, so any engine replaying the same formula reproduces the bits. */
+  def trendPerSeries(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val xd = x.cast("long")
+    val yd = y.cast("decimal(18,6)")
+    val agg = df.groupBy(key.as("key")).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"), sum(xd * xd).as("sxx"),
+      sum(yd).cast("double").as("sy"),
+      sum(xd * yd).cast("double").as("sxy"),
+      sum(yd * yd).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val num = col("sxy") - sx * col("sy") / n
+    val denX = sxx - sx * sx / n
+    val denY = col("syy") - col("sy") * col("sy") / n
+    val slope = num / denX
+    agg.select(col("key"), col("n"),
+      round(slope, 6).as("slope"),
+      round(col("sy") / n - slope * (sx / n), 6).as("intercept"),
+      round(num * num / (denX * denY), 6).as("r2"))
+  }
+
+  /** Per-series autocorrelation at lags 1..maxLag (full-series mean and
+    * variance in the denominator — the standard ACF estimator). One
+    * window pass computes all lags, one aggregation reduces them:
+    * per-row state is `maxLag` lagged values, never the series. The
+    * expanded-form sufficient statistics (sum x·x_lag, head/tail sums)
+    * accumulate over exact decimals so the cross-partition fold order
+    * cannot perturb the doubles the closed form runs on. */
+  def acf(df: DataFrame, key: Column, bucket: Column, y: Column,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 20, s"maxLag out of range: $maxLag")
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val base = df.select(key.as("key"), bucket.as("bucket"),
+      y.cast("decimal(18,6)").as("x"))
+    val lagged = base.select(
+      col("key") +: col("x") +:
+        (1 to maxLag).map(k => lag(col("x"), k).over(w).as(s"x_$k")): _*)
+    val perLag = lagged.select(col("key"), col("x"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col(s"x_$k").as("xl"))): _*)).as("e"))
+      .select(col("key"), col("x"), col("e.lag").as("lag"), col("e.xl").as("xl"))
+    val stats = perLag.groupBy(col("key"), col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      count(col("xl")).as("np"),
+      sum(when(col("xl").isNotNull, col("x") * col("xl"))).cast("double").as("sxy"),
+      sum(when(col("xl").isNotNull, col("x"))).cast("double").as("sh"),
+      sum(col("xl")).cast("double").as("st"))
+    val m = col("sx") / col("n").cast("double")
+    val den = col("sxx") - col("sx") * col("sx") / col("n").cast("double")
+    val num = col("sxy") - m * (col("sh") + col("st")) +
+      col("np").cast("double") * m * m
+    stats.select(col("key"), col("lag"), col("np").as("n_pairs"),
+      round(num / den, 6).as("acf"))
+  }
+
+  /** CUSUM changepoint scan per series: S_t = cumulative sum of
+    * (x - series mean); reports the maximum |S_t| and the earliest
+    * bucket attaining it (the level-shift location candidate). One
+    * shuffle on the key; the cumulative sum folds exact decimals in
+    * bucket order, the mean divides an exact total — every row's S_t is
+    * the same double in any engine that replays the formula, so the
+    * max/argmax comparisons are reproducible. */
+  def cusum(df: DataFrame, key: Column, bucket: Column, y: Column): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("key"))
+    val scored = df.select(key.as("key"), bucket.as("bucket"),
+        y.cast("decimal(18,6)").as("x"))
+      .withColumn("cum", sum(col("x")).over(w).cast("double"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("bucket"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("mean", sum(col("x")).over(wAll).cast("double") /
+        col("n").cast("double"))
+      .withColumn("s_abs", abs(col("cum") - col("idx").cast("double") * col("mean")))
+    val top = scored.groupBy(col("key")).agg(max(col("s_abs")).as("max_dev"))
+    scored.join(top, Seq("key"))
+      .where(col("s_abs") === col("max_dev"))
+      .groupBy(col("key"))
+      .agg(max(col("n")).as("n"), round(max(col("max_dev")), 6).as("max_dev"),
+        min(col("bucket")).as("at_bucket"),
+        round(max(col("mean")), 6).as("mean"))
+  }
 }
