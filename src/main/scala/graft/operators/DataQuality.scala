@@ -645,4 +645,75 @@ object DataQuality {
         round(m("1") - m("2"), 6).as("mean_diff"),
         round(t, 6).as("t_stat"), round(dfw, 6).as("welch_df"))
   }
+
+  /** Mann-Whitney U test (Wilcoxon rank-sum) between two groups —
+    * the nonparametric companion to [[welchTTest]]. Average ranks with
+    * exact tie handling, computed WITHOUT a global sort: value-level
+    * counts (one groupBy) + the two-level [[cumulativeByValue]] prefix
+    * sum, then the rank sum folds 2x-scaled ranks in pure integers
+    * (avg ranks are half-integers, so doubling keeps every intermediate
+    * exact). Emits U for group 1, the normal z statistic with the tie
+    * correction, no continuity correction. */
+  def mannWhitneyU(df: DataFrame, group: Column, value: Column,
+                   g1: String, g2: String): DataFrame = {
+    val lab = df.where((group === g1 || group === g2) && value.isNotNull)
+      .select(value.cast("decimal(18,6)").as("v"),
+        when(group === g1, 1L).otherwise(0L).as("is1"))
+    val counts = lab.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("is1")).as("t1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = cumulativeByValue(counts, Seq("t"))
+    val stats = counts.join(cum, Seq("v"))
+      // 2*rank_avg(v) = 2*(cum_before + (t+1)/2) = 2*cum_t - t + 1
+      .agg(sum((col("t1") * (lit(2) * col("cum_t") - col("t") + 1))
+          .cast("decimal(38,0)")).as("r2x"),
+        sum(col("t1")).as("n1"), sum(col("t")).as("n"),
+        sum((col("t") * col("t") * col("t") - col("t"))
+          .cast("decimal(38,0)")).as("ties"))
+    val n1 = col("n1").cast("double")
+    val n2 = (col("n") - col("n1")).cast("double")
+    val nd = col("n").cast("double")
+    val u1 = col("r2x").cast("double") / 2.0 - n1 * (n1 + lit(1.0)) / 2.0
+    val mu = n1 * n2 / 2.0
+    val sigma2 = n1 * n2 / 12.0 *
+      ((nd + lit(1.0)) - col("ties").cast("double") / (nd * (nd - lit(1.0))))
+    val out = stats.select(col("n1"), (col("n") - col("n1")).as("n2"),
+      round(u1, 6).as("u1"), round((u1 - mu) / sqrt(sigma2), 6).as("z"))
+    val res = out.localCheckpoint(true)
+    counts.unpersist(blocking = false)
+    res
+  }
+
+  /** Spearman rank correlation between two numeric columns: average
+    * ranks per column (exact ties, 2x-scaled to stay integral), then
+    * Pearson on the ranks from exact sums. Two value-level count
+    * aggregations + two rank joins + one sufficient-stats aggregation —
+    * no global sort; rank products accumulate in DECIMAL(38,0) so even
+    * petabyte-row counts cannot overflow the fold. */
+  def spearmanCorr(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val base = df.where(a.isNotNull && b.isNotNull)
+      .select(a.cast("decimal(18,6)").as("va"), b.cast("decimal(18,6)").as("vb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rankTable(c: String): DataFrame = {
+      val counts = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+      cumulativeByValue(counts, Seq("t")).join(counts, Seq("v"))
+        .select(col("v").as(c),
+          (lit(2) * col("cum_t") - col("t") + 1).as(s"r_$c"))
+    }
+    val ranked = base.join(rankTable("va"), Seq("va")).join(rankTable("vb"), Seq("vb"))
+    val ra = col("r_va").cast("decimal(38,0)")
+    val rb = col("r_vb").cast("decimal(38,0)")
+    val stats = ranked.agg(count(lit(1)).as("n"),
+      sum(ra).cast("double").as("sa"), sum(rb).cast("double").as("sb"),
+      sum(ra * ra).cast("double").as("saa"), sum(rb * rb).cast("double").as("sbb"),
+      sum(ra * rb).cast("double").as("sab"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sab") - col("sa") * col("sb")
+    val den = sqrt((nd * col("saa") - col("sa") * col("sa")) *
+      (nd * col("sbb") - col("sb") * col("sb")))
+    val out = stats.select(col("n"), round(num / den, 6).as("spearman_rho"))
+    val res = out.localCheckpoint(true)
+    base.unpersist(blocking = false)
+    res
+  }
 }

@@ -190,4 +190,92 @@ object Graph {
     oriented.unpersist(blocking = false)
     triangles
   }
+
+  /** Neighborhood-overlap link prediction over an undirected graph:
+    * for every non-adjacent pair sharing >= `minCommon` neighbors, the
+    * common-neighbor count and the Adamic-Adar score
+    * (sum over shared neighbors of 1/ln(deg)).
+    *
+    * Scale: wedges enumerate through the SHARED node — per-node work is
+    * deg^2, so hubs dominate. `maxDegree` excludes hub CENTERS from
+    * wedge generation (the standard truncation: a node adjacent to
+    * everything predicts nothing); the cut is part of the operator's
+    * declared semantics so an oracle can replay it. One wedge self-join
+    * keyed on the center + one groupBy on the (u,w) pair + one
+    * broadcast-free anti-join against the edge set. Determinism: each
+    * 1/ln(deg) term is rounded to DECIMAL(18,12) BEFORE the pair sum,
+    * so the fold order can't perturb the double the oracle compares. */
+  def linkPrediction(edges: DataFrame, src: Column, dst: Column,
+                     minCommon: Int = 1, maxDegree: Int = 10000): DataFrame = {
+    val und = edges.select(
+        least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbr = und.select(col("a").as("n"), col("b").as("c"))
+      .union(und.select(col("b").as("n"), col("a").as("c")))
+    val deg = nbr.groupBy(col("c").as("node")).agg(count(lit(1)).as("deg"))
+    // aa term carried on the wedge center; decimal-rounded once per node
+    val centers = deg.where(col("deg") >= 2 && col("deg") <= maxDegree)
+      .select(col("node").as("c"),
+        (lit(1.0) / log(col("deg").cast("double"))).cast("decimal(18,12)").as("aa"))
+    val half = nbr.join(centers, Seq("c"))
+    val pairs = half.as("e1").join(half.as("e2"),
+        col("e1.c") === col("e2.c") && col("e1.n") < col("e2.n"))
+      .groupBy(col("e1.n").as("u"), col("e2.n").as("w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("e1.aa")).cast("double").as("adamic_adar"))
+      .where(col("common_neighbors") >= minCommon)
+    val out = pairs.join(und,
+        pairs("u") === und("a") && pairs("w") === und("b"), "left_anti")
+      .select(col("u"), col("w"), col("common_neighbors"),
+        round(col("adamic_adar"), 6).as("adamic_adar"))
+    val chk = out.localCheckpoint(true) // self-contained: caches can go
+    und.unpersist(blocking = false)
+    chk
+  }
+
+  /** Per-node local clustering coefficient: 2*T(v) / (deg(v)*(deg(v)-1))
+    * with T(v) the triangles through v. Same degree-ordered orientation
+    * as [[triangleCount]] (hub-safe O(m^1.5) wedge enumeration); each
+    * closed wedge credits its three corners via a 3-row explode, then
+    * one groupBy(node) joins back to degrees. Degree-1 nodes emit 0. */
+  def clusteringCoefficient(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = edges.select(
+        least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    und.count()
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+      .select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            struct(col("degb").as("d"), col("b").as("n")).as("rkv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            struct(col("dega").as("d"), col("a").as("n")).as("rkv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rkv").as("rkv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.rkv") < col("e2.rkv"))
+      .select(col("e1.u").as("c"), col("e1.v").as("u"), col("e2.v").as("v"))
+    val perNode = wedges.join(oriented.select(col("u"), col("v")), Seq("u", "v"))
+      .select(explode(array(col("c"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("node"), col("deg"), col("n_triangles"),
+        round(when(col("deg") < 2, lit(0.0)).otherwise(
+          lit(2.0) * col("n_triangles").cast("double") /
+            (col("deg").cast("double") * (col("deg").cast("double") - lit(1.0)))),
+          6).as("clustering_coeff"))
+    val chk = out.localCheckpoint(true) // self-contained: caches can go
+    und.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    chk
+  }
 }

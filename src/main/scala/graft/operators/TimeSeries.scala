@@ -449,4 +449,36 @@ object TimeSeries {
         min(col("bucket")).as("at_bucket"),
         round(max(col("mean")), 6).as("mean"))
   }
+
+  /** Theil-Sen robust trend per series: the median of all pairwise
+    * slopes (y_j - y_i)/(x_j - x_i), i < j — the estimator that shrugs
+    * off outliers OLS ([[trendPerSeries]]) chases. Pairwise is O(n^2)
+    * PER SERIES by definition, so the operator guards series length
+    * loudly (`maxSeriesLength`) — the scale contract is many short
+    * series (aggregate to coarser buckets to shorten a series, or
+    * sample pairs for the approximate variant). One within-key
+    * self-join + one exact interpolated median per key. */
+  def theilSenSlope(df: DataFrame, key: Column, x: Column, y: Column,
+                    maxSeriesLength: Int = 2000): DataFrame = {
+    val base = df.select(key.as("key"), x.cast("long").as("x"),
+        y.cast("decimal(18,6)").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oversized = base.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxSeriesLength).limit(1).collect() // bounded: 1 row
+    require(oversized.isEmpty,
+      s"theilSenSlope: series over maxSeriesLength=$maxSeriesLength " +
+        s"(${oversized.mkString}); aggregate to coarser buckets first")
+    val a = base.select(col("key"), col("x").as("xi"), col("y").as("yi"))
+    val b = base.select(col("key"), col("x").as("xj"), col("y").as("yj"))
+    val out = a.join(b, Seq("key")).where(col("xi") < col("xj"))
+      .select(col("key"),
+        ((col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double")).as("slope"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(percentile(col("slope"), lit(0.5)), 6).as("ts_slope"))
+    val res = out.localCheckpoint(true)
+    base.unpersist(blocking = false)
+    res
+  }
 }

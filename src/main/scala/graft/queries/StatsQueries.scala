@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{DataQuality, Dedup, Geo, TimeSeries}
+import graft.operators.{DataQuality, Dedup, Geo, Graph, TimeSeries}
 import graft.functions.TextAnalysis.hash60
 
 /** Oracle-gated statistical-testing, trend, and spatial/string linkage
@@ -81,8 +81,91 @@ object StatsQueries {
       Dedup.jaroWinklerPairs(Tables.part(s, d), col("p_partkey"), col("p_name"),
           Seq(split(col("p_name"), " ").getItem(0)), minSim = 0.88)
         .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
+    }),
+
+    // Mann-Whitney U (rank-sum) test: purchase vs view event values
+    "q203_mann_whitney" -> ((s, d) => {
+      DataQuality.mannWhitneyU(Tables.events(s, d), col("event_type"),
+        col("value"), "purchase", "view")
+    }),
+
+    // Spearman rank correlation between quantity and extended price
+    "q204_spearman" -> ((s, d) => {
+      DataQuality.spearmanCorr(Tables.lineitem(s, d),
+        col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // Theil-Sen robust slope of each series' daily spend
+    "q205_theil_sen" -> ((s, d) => {
+      val daily = dailySpend(s, d)
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).as("x"), col("spend"))
+      TimeSeries.theilSenSlope(daily, col("event_type"), col("x"), col("spend"))
+    }),
+
+    // link prediction on the part-affinity graph: common neighbors +
+    // Adamic-Adar for non-adjacent pairs sharing >= 2 neighbors
+    "q206_link_prediction" -> ((s, d) => {
+      Graph.linkPrediction(affinityEdges(s, d), col("pa"), col("pb"),
+        minCommon = 2, maxDegree = 10000)
+    }),
+
+    // per-node local clustering coefficient on the same graph
+    "q207_clustering_coeff" -> ((s, d) => {
+      Graph.clusteringCoefficient(affinityEdges(s, d), col("pa"), col("pb"))
+    }),
+
+    // tf-idf keyword extraction: top-3 terms per document (raw terms,
+    // bounded TopK per doc — no global sort, no hashing)
+    "q208_keyword_extract" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+      val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"),
+          (col("tf") * log(col("n").cast("double") / col("df").cast("double"))
+            .cast("decimal(18,12)")).cast("double").as("score"))
+      graft.aggregators.TopK.topKPerKeyStr(scored, "doc_id", "term", "score", k = 3)
+        .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
+          col("rank"))
+    }),
+
+    // golden-record entity resolution over part names: match on the
+    // DISTINCT name domain (64 values — the scale trick: never pair raw
+    // rows), JW >= 0.9 within first-token blocks, connected components,
+    // then one aggregation rolls every part up to its canonical record
+    "q209_entity_golden" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      val pairs = Dedup.jaroWinklerPairs(names, col("p_name"), col("p_name"),
+        Seq(split(col("p_name"), " ").getItem(0)), minSim = 0.9)
+      val comp = Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("p_name"), col("component"))
+      Tables.part(s, d).join(comp, Seq("p_name"), "left")
+        .withColumn("canonical", coalesce(col("component"), col("p_name")))
+        .groupBy(col("canonical"))
+        .agg(countDistinct(col("p_name")).as("n_names"),
+          count(lit(1)).as("n_parts"),
+          min(col("p_retailprice")).cast("decimal(18,2)").as("min_price"),
+          max(col("p_retailprice")).cast("decimal(18,2)").as("max_price"))
+        .select(col("canonical"), col("n_names"), col("n_parts"),
+          col("min_price").cast("double").as("min_price"),
+          col("max_price").cast("double").as("max_price"))
     })
   )
+
+  /** Part-affinity edges: parts bought together in large-quantity
+    * lineitems of the same order (the q190 graph). */
+  private def affinityEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+  }
 
   // y as DECIMAL(25,6): same values as Spark's (18,6) cast, but wide
   // enough that DuckDB promotes y*y to an int128-backed DECIMAL(38,12)
@@ -220,6 +303,143 @@ object StatsQueries {
           SELECT a.id AS id_a, b.id AS id_b,
                  ROUND(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
           FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
-          WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.88"""
+          WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.88""",
+
+    "q203_mann_whitney" ->
+      """WITH lab AS (SELECT CAST(value AS DECIMAL(18,6)) AS v,
+                             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is1
+                      FROM events
+                      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+          c AS (SELECT v, count(*) AS t, sum(is1) AS t1 FROM lab GROUP BY v),
+          cc AS (SELECT v, t, t1, sum(t) OVER (ORDER BY v) AS cum_t FROM c),
+          s AS (SELECT CAST(sum(t1 * (2 * cum_t - t + 1)) AS DOUBLE) AS r2x,
+                       CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t) AS BIGINT) AS n,
+                       CAST(sum(t * t * t - t) AS DOUBLE) AS ties
+                FROM cc),
+          f AS (SELECT n1, n - n1 AS n2,
+                       r2x / 2.0 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1,
+                       CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0 AS mu,
+                       CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+                         * ((CAST(n AS DOUBLE) + 1.0)
+                            - ties / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS s2
+                FROM s)
+          SELECT n1, n2, ROUND(u1, 6) AS u1, ROUND((u1 - mu) / sqrt(s2), 6) AS z
+          FROM f""",
+
+    "q204_spearman" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DECIMAL(18,6)) AS va,
+                              CAST(l_extendedprice AS DECIMAL(18,6)) AS vb
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+          ca AS (SELECT va AS v, count(*) AS t FROM base GROUP BY va),
+          ra AS (SELECT v, 2 * sum(t) OVER (ORDER BY v) - t + 1 AS r FROM ca),
+          cb AS (SELECT vb AS v, count(*) AS t FROM base GROUP BY vb),
+          rb AS (SELECT v, 2 * sum(t) OVER (ORDER BY v) - t + 1 AS r FROM cb),
+          j AS (SELECT ra.r AS x, rb.r AS y FROM base
+                JOIN ra ON base.va = ra.v JOIN rb ON base.vb = rb.v),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sa, CAST(sum(y) AS DOUBLE) AS sb,
+                       CAST(sum(x * x) AS DOUBLE) AS saa,
+                       CAST(sum(y * y) AS DOUBLE) AS sbb,
+                       CAST(sum(x * y) AS DOUBLE) AS sab
+                FROM j)
+          SELECT n, ROUND((CAST(n AS DOUBLE) * sab - sa * sb)
+                   / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                          * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6) AS spearman_rho
+          FROM s""",
+
+    "q205_theil_sen" ->
+      s"""WITH s AS (SELECT key, date_diff('day', DATE '1970-01-01', day) AS x, y
+                     FROM ($dailySql)),
+          p AS (SELECT a.key,
+                       CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+                FROM s a JOIN s b ON a.key = b.key AND a.x < b.x)
+          SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+                 ROUND(median(slope), 6) AS ts_slope
+          FROM p GROUP BY key""",
+
+    "q206_link_prediction" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40),
+          e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                 FROM li a JOIN li b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          nbr AS (SELECT a AS n, b AS c FROM e0 UNION ALL SELECT b, a FROM e0),
+          deg AS (SELECT c AS node, count(*) AS deg FROM nbr GROUP BY 1),
+          centers AS (SELECT node AS c,
+                             CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(18,12)) AS aa
+                      FROM deg WHERE deg >= 2 AND deg <= 10000),
+          half AS (SELECT n, nbr.c, aa FROM nbr JOIN centers ON nbr.c = centers.c),
+          pairs AS (SELECT e1.n AS u, e2.n AS w,
+                           CAST(count(*) AS BIGINT) AS common_neighbors,
+                           CAST(sum(e1.aa) AS DOUBLE) AS adamic_adar
+                    FROM half e1 JOIN half e2 ON e1.c = e2.c AND e1.n < e2.n
+                    GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT u, w, common_neighbors, ROUND(adamic_adar, 6) AS adamic_adar
+          FROM pairs
+          WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = pairs.u AND e0.b = pairs.w)""",
+
+    "q207_clustering_coeff" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40),
+          e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                 FROM li a JOIN li b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+                  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+          pern AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                   FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+                         UNION ALL SELECT z FROM tri)
+                   GROUP BY 1),
+          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+                  GROUP BY 1)
+          SELECT d.node, d.deg, COALESCE(p.n_triangles, 0) AS n_triangles,
+                 ROUND(CASE WHEN d.deg < 2 THEN 0.0
+                       ELSE 2.0 * CAST(COALESCE(p.n_triangles, 0) AS DOUBLE)
+                            / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+                       END, 6) AS clustering_coeff
+          FROM deg d LEFT JOIN pern p ON d.node = p.node""",
+
+    "q208_keyword_extract" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                    FROM documents),
+          tfc AS (SELECT doc_id, term, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+                  GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+          n AS (SELECT count(*) AS n FROM documents),
+          sc AS (SELECT doc_id, tfc.term,
+                        CAST(tf * CAST(ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE))
+                                       AS DECIMAL(18,12)) AS DOUBLE) AS score
+                 FROM tfc JOIN dfreq ON tfc.term = dfreq.term, n),
+          r AS (SELECT doc_id, term, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rank
+                FROM sc)
+          SELECT doc_id, term, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+          FROM r WHERE rank <= 3""",
+
+    "q209_entity_golden" ->
+      """WITH RECURSIVE nm AS (SELECT DISTINCT p_name AS id,
+                                      str_split(p_name, ' ')[1] AS blk
+                               FROM part),
+          pr AS (SELECT a.id AS id_a, b.id AS id_b
+                 FROM nm a JOIN nm b ON a.blk = b.blk AND a.id < b.id
+                 WHERE jaro_winkler_similarity(a.id, b.id) >= 0.9),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                    UNION SELECT id_b, id_a FROM pr),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+          comp AS (SELECT n AS p_name, MIN(m) AS component FROM reach GROUP BY n)
+          SELECT COALESCE(component, p.p_name) AS canonical,
+                 CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_names,
+                 CAST(count(*) AS BIGINT) AS n_parts,
+                 CAST(CAST(min(p_retailprice) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+                 CAST(CAST(max(p_retailprice) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
+          FROM part p LEFT JOIN comp ON p.p_name = comp.p_name
+          GROUP BY 1"""
   )
 }
