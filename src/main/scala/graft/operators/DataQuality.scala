@@ -716,4 +716,52 @@ object DataQuality {
     base.unpersist(blocking = false)
     res
   }
+
+  /** Per-group weighted lower median: the smallest value whose
+    * cumulative weight reaches half the group's total. Exact and
+    * sort-free at the ROW level: rows collapse to (group, value) weight
+    * sums first (the value domain, not the row count, bounds all later
+    * work), then one window per group over that bounded count frame.
+    * The lower-median convention (no interpolation) keeps the result a
+    * member of the data — and exactly replayable. */
+  def weightedMedian(df: DataFrame, group: Column, value: Column,
+                     weight: Column): DataFrame = {
+    val counts = df.where(value.isNotNull)
+      .groupBy(group.as("g"), value.cast("decimal(18,6)").as("v"))
+      .agg(sum(weight.cast("decimal(18,6)")).as("w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    counts
+      .withColumn("cumw", sum(col("w")).over(w))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .where(col("cumw").cast("double") >= col("totw").cast("double") / 2.0)
+      .groupBy(col("g"))
+      .agg(min(col("v")).cast("double").as("weighted_median"),
+        max(col("totw")).cast("double").as("total_weight"))
+  }
+
+  /** Benford first-significant-digit profile of a positive numeric
+    * column: per-digit observed share vs the Benford expectation
+    * log10(1 + 1/d), plus each digit's chi-square contribution. One
+    * groupBy over 9 digit values — nothing else. The classic fraud /
+    * data-entry anomaly screen for financial columns. */
+  def benfordProfile(df: DataFrame, value: Column): DataFrame = {
+    // first significant digit via string form of abs value: strip sign,
+    // zeros, and the decimal point, then take the first char
+    val digits = df.where(value.isNotNull && value =!= 0)
+      .select(substring(regexp_replace(abs(value).cast("string"),
+        "[0.]*", ""), 1, 1).cast("int").as("digit"))
+      .where(col("digit").between(1, 9))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("observed"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("expected"))
+  }
 }

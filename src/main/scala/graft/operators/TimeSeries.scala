@@ -481,4 +481,47 @@ object TimeSeries {
     base.unpersist(blocking = false)
     res
   }
+
+  /** Upsert/merge to a latest-row snapshot: one row per key, the row
+    * with the greatest (ts, order) — the CDC compaction every
+    * changelog-backed table needs before serving. ONE hash aggregation
+    * (max_by over the full row struct), no window, no sort: at 100 TB
+    * this is a single shuffle on the key with map-side combine, the
+    * cheapest possible dedup-to-latest plan. `order` breaks same-ts
+    * ties deterministically. */
+  def upsertLatest(changes: DataFrame, key: Column, ts: Column,
+                   order: Column, values: Seq[Column]): DataFrame = {
+    val payload = struct(ts.as("ts") +: values: _*)
+    changes.groupBy(key.as("k"))
+      .agg(max_by(payload, struct(ts, order)).as("__p"))
+      .select(col("k") +: col("__p.ts").as("ts") +:
+        values.indices.map(i => col(s"__p.${values(i).toString()}")): _*)
+  }
+
+  /** Rolling Pearson correlation between two aligned per-bucket series
+    * over a trailing window of `windowLen` buckets (drift/co-movement
+    * monitoring between two metrics). Input: one row per bucket with
+    * both values. One window pass accumulates the five sufficient sums
+    * over exact decimals; the closed form runs on the per-row doubles.
+    * Emits null until the window is full — a partial-window correlation
+    * is statistically meaningless and the oracle replays the rule. */
+  def rollingCorr(df: DataFrame, bucket: Column, x: Column, y: Column,
+                  windowLen: Int): DataFrame = {
+    require(windowLen >= 3, s"windowLen must be >= 3: $windowLen")
+    val w = Window.orderBy(col("bucket")).rowsBetween(-(windowLen - 1), 0)
+    val base = df.select(bucket.as("bucket"),
+      x.cast("decimal(25,6)").as("x"), y.cast("decimal(25,6)").as("y"))
+    val nd = lit(windowLen.toDouble)
+    val sx = sum(col("x")).over(w).cast("double")
+    val sy = sum(col("y")).over(w).cast("double")
+    val sxx = sum(col("x") * col("x")).over(w).cast("double")
+    val syy = sum(col("y") * col("y")).over(w).cast("double")
+    val sxy = sum(col("x") * col("y")).over(w).cast("double")
+    base.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("corr", when(col("__n") === windowLen,
+        round((nd * sxy - sx * sy) /
+          sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)))
+      .select(col("bucket"), col("x").cast("double").as("x"),
+        col("y").cast("double").as("y"), col("corr"))
+  }
 }

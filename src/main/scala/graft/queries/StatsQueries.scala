@@ -19,6 +19,14 @@ object StatsQueries {
 
   private def money(c: Column): Column = c.cast("decimal(18,2)")
 
+  // y as DECIMAL(25,6): same values as Spark's (18,6) cast, but wide
+  // enough that DuckDB promotes y*y to an int128-backed DECIMAL(38,12)
+  // instead of overflowing the int64 DECIMAL(18) multiply path
+  private val dailySql =
+    """SELECT event_type AS key, CAST(ts AS DATE) AS day,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(25,6)) AS y
+       FROM events GROUP BY 1, 2"""
+
   /** Daily spend per event type: the shared per-series input frame. */
   private def dailySpend(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -34,7 +42,7 @@ object StatsQueries {
       (pmod(hash60(concat_ws(":", lit("glon"), col("c_custkey"))), lit(1000000L))
         .cast("double") / lit(1000000.0) * lit(5.0)).as("lon"))
 
-  val queries: Map[String, Q] = Map(
+  private val queries1: Map[String, Q] = Map(
     // per-series OLS trend of daily spend against epoch day
     "q196_trend_ols" -> ((s, d) => {
       val daily = dailySpend(s, d)
@@ -156,6 +164,104 @@ object StatsQueries {
     })
   )
 
+  private val queries2: Map[String, Q] = Map(
+    // CDC compaction: latest order-status row per customer from the
+    // orders changelog (one max_by aggregation, no window)
+    "q210_upsert_latest" -> ((s, d) => {
+      TimeSeries.upsertLatest(Tables.orders(s, d), col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"),
+          Seq(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+        .select(col("k").as("o_custkey"), col("ts").as("o_orderdate"),
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"))
+    }),
+
+    // per-returnflag weighted (by quantity) lower median of extended price
+    "q211_weighted_median" -> ((s, d) => {
+      DataQuality.weightedMedian(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"))
+    }),
+
+    // 7-day rolling correlation between purchase and view daily spend
+    "q212_rolling_corr" -> ((s, d) => {
+      val daily = dailySpend(s, d)
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "purchase", col("spend"))).as("px"),
+          sum(when(col("event_type") === "view", col("spend"))).as("vy"))
+      TimeSeries.rollingCorr(daily, col("day"), col("px"), col("vy"), windowLen = 7)
+        .withColumn("bucket", col("bucket").cast("string"))
+    }),
+
+    // Benford first-digit profile of order totals
+    "q213_benford" -> ((s, d) => {
+      DataQuality.benfordProfile(Tables.orders(s, d), col("o_totalprice"))
+    })
+  )
+
+  private val oracles2: Map[String, String] = Map(
+    "q210_upsert_latest" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+                           o_totalprice,
+                           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                    FROM orders)
+          SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+          FROM r WHERE rn = 1""",
+
+    "q211_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+                           CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+                           sum(CAST(l_quantity AS DECIMAL(18,6))) AS w
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL
+                    GROUP BY 1, 2),
+          cw AS (SELECT g, v, w,
+                        sum(w) OVER (PARTITION BY g ORDER BY v) AS cumw,
+                        sum(w) OVER (PARTITION BY g) AS totw
+                 FROM c)
+          SELECT g, CAST(min(v) AS DOUBLE) AS weighted_median,
+                 CAST(max(totw) AS DOUBLE) AS total_weight
+          FROM cw WHERE CAST(cumw AS DOUBLE) >= CAST(totw AS DOUBLE) / 2.0
+          GROUP BY g""",
+
+    "q212_rolling_corr" ->
+      s"""WITH d AS (SELECT day,
+                            CAST(sum(CASE WHEN key = 'purchase' THEN y END)
+                                 AS DECIMAL(25,6)) AS x,
+                            CAST(sum(CASE WHEN key = 'view' THEN y END)
+                                 AS DECIMAL(25,6)) AS y2
+                     FROM ($dailySql) GROUP BY day),
+          wf AS (SELECT day, x, y2,
+                        count(*) OVER w AS n,
+                        CAST(sum(x) OVER w AS DOUBLE) AS sx,
+                        CAST(sum(y2) OVER w AS DOUBLE) AS sy,
+                        CAST(sum(x * x) OVER w AS DOUBLE) AS sxx,
+                        CAST(sum(y2 * y2) OVER w AS DOUBLE) AS syy,
+                        CAST(sum(x * y2) OVER w AS DOUBLE) AS sxy
+                 FROM d
+                 WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+          SELECT CAST(day AS VARCHAR) AS bucket,
+                 CAST(x AS DOUBLE) AS x, CAST(y2 AS DOUBLE) AS y,
+                 CASE WHEN n = 7 THEN
+                   ROUND((7.0 * sxy - sx * sy)
+                     / sqrt((7.0 * sxx - sx * sx) * (7.0 * syy - sy * sy)), 6)
+                 END AS corr
+          FROM wf""",
+
+    "q213_benford" ->
+      """WITH d AS (SELECT CAST(substr(regexp_replace(
+                       CAST(abs(o_totalprice) AS VARCHAR), '[0.]*', '', 'g'),
+                       1, 1) AS INT) AS digit
+                    FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0),
+          c AS (SELECT digit, count(*) AS n FROM d
+                WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+          SELECT digit, n, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed,
+                 ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected
+          FROM c, t"""
+  )
+
   /** Part-affinity edges: parts bought together in large-quantity
     * lineitems of the same order (the q190 graph). */
   private def affinityEdges(s: SparkSession, d: String): DataFrame = {
@@ -167,15 +273,8 @@ object StatsQueries {
       .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
   }
 
-  // y as DECIMAL(25,6): same values as Spark's (18,6) cast, but wide
-  // enough that DuckDB promotes y*y to an int128-backed DECIMAL(38,12)
-  // instead of overflowing the int64 DECIMAL(18) multiply path
-  private val dailySql =
-    """SELECT event_type AS key, CAST(ts AS DATE) AS day,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(25,6)) AS y
-       FROM events GROUP BY 1, 2"""
 
-  val oracles: Map[String, String] = Map(
+  private val oracles1: Map[String, String] = Map(
     "q196_trend_ols" ->
       s"""WITH s AS (SELECT key, date_diff('day', DATE '1970-01-01', day) AS x, y
                      FROM ($dailySql)),
@@ -442,4 +541,8 @@ object StatsQueries {
           FROM part p LEFT JOIN comp ON p.p_name = comp.p_name
           GROUP BY 1"""
   )
+
+  // exports last: object vals initialize in declaration order
+  val queries: Map[String, Q] = queries1 ++ queries2
+  val oracles: Map[String, String] = oracles1 ++ oracles2
 }

@@ -97,7 +97,18 @@ class PlanAuditSpec extends SparkSpec {
     "q170_winsorize",
     // q175: chunk-level BM25 retrieval — inherits q135/q136's 1-row
     // corpus-scalar crossJoin-broadcast shape
-    "q175_rag_retrieve")
+    "q175_rag_retrieve",
+    // q197/q198/q213: test statistics assemble 1-row sufficient-stat
+    // frames (marginal counts, per-group moments, digit totals) via
+    // crossJoin-broadcast — the single partition holds O(1) rows
+    "q197_chi_square", "q198_welch_ttest", "q213_benford",
+    // q208: the corpus doc-count scalar is a 1-row frame
+    // crossJoin-broadcast into the tf-idf scoring
+    "q208_keyword_extract",
+    // q212: rolling correlation of ONE pre-aggregated bucket series —
+    // the global window runs over O(#buckets) rows (the raw rows were
+    // reduced by the daily aggregation before any window)
+    "q212_rolling_corr")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
