@@ -449,6 +449,35 @@ object DataQuality {
         round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"))
   }
 
+  /** Theil's uncertainty coefficient between two categoricals, both
+    * directions: U(a|b) = MI / H(a) tells how much of a's entropy b
+    * explains (the ASYMMETRIC complement to [[cramersV]] / nmi). Same
+    * contingency + broadcast-marginal shape as [[mutualInformation]];
+    * the ratios divide the unrounded aggregates. */
+  def theilsU(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cont = df.groupBy(
+        coalesce(a.cast("string"), lit(" null")).as("va"),
+        coalesce(b.cast("string"), lit(" null")).as("vb"))
+      .agg(count(lit(1)).as("cnt"))
+    val ma = cont.groupBy(col("va")).agg(sum(col("cnt")).as("ca"))
+    val mb = cont.groupBy(col("vb")).agg(sum(col("cnt")).as("cb"))
+    val n = cont.agg(sum(col("cnt")).as("n"))
+    val joined = cont.join(broadcast(ma), "va").join(broadcast(mb), "vb")
+      .crossJoin(broadcast(n))
+    val pxy = col("cnt") / col("n")
+    val mi = joined
+      .agg(sum(pxy * log(pxy / ((col("ca") / col("n")) * (col("cb") / col("n")))))
+        .as("mi"))
+    val ha = ma.crossJoin(broadcast(n))
+      .agg((-sum((col("ca") / col("n")) * log(col("ca") / col("n")))).as("h_a"))
+    val hb = mb.crossJoin(broadcast(n))
+      .agg((-sum((col("cb") / col("n")) * log(col("cb") / col("n")))).as("h_b"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(round(col("mi"), 6).as("mi"),
+        round(col("mi") / col("h_a"), 6).as("u_a_given_b"),
+        round(col("mi") / col("h_b"), 6).as("u_b_given_a"))
+  }
+
   /** Scalable exact cumulative sums over a value-keyed count frame —
     * the two-level prefix-sum idiom that replaces the unpartitioned
     * `Window.orderBy(value)` (a single-partition sort, the exact trap

@@ -54,8 +54,14 @@ object Graph {
     // iteration starts (measured 9.7 s -> 4.9 s on the sf0.1 trade graph)
     val e = edges.select(src.as("src"), dst.as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // hash-partition the cached edge frame on the per-round join key:
+    // each iteration joins ranks to out-edges on src, and without the
+    // explicit repartition the 2|E|-row side re-exchanges every round
+    // (the rank side is |V| rows — the small side by far). Same cached
+    // co-partitioning labelPropagation uses for its edges-to-labels join.
     val withDeg = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -189,6 +195,62 @@ object Graph {
     und.unpersist(blocking = false)
     oriented.unpersist(blocking = false)
     triangles
+  }
+
+  /** Personalized PageRank: identical recurrence to [[pageRank]] but
+    * the teleport mass returns to a SEED distribution instead of the
+    * uniform vector — pr'(v) = (1-d)*s(v) + d * sum pr(u)/outdeg(u),
+    * s uniform over the seed set. The recommendation/affinity variant:
+    * ranks every node by proximity to the seeds. Same plan shape as
+    * pageRank (one join + one groupBy per round, bounded lineage); the
+    * seed vector rides as a column on the persisted node frame, so no
+    * extra join per iteration. */
+  def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
+                           seeds: DataFrame, iters: Int = 2,
+                           damping: Double = 0.85,
+                           checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src")) // co-partition for the per-round join
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(seeds.columns.head).distinct()
+      .select(col(seeds.columns.head).as("node"), lit(1).as("__seed"))
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seedSet), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0))
+          .as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    withDeg.count()
+    e.unpersist(blocking = false)
+    var pr = nodes.withColumn("pr", col("s"))
+    var liveCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (i <- 1 to iters) {
+      val contrib = withDeg.join(pr, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      var next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("s"),
+          (lit(1.0 - damping) * col("s") +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+      if (i % checkpointEvery == 0 || i == iters) {
+        next = next.localCheckpoint(false)
+        next.count()
+        liveCp.foreach(_.unpersist(blocking = false))
+        liveCp = checkpointedRdd(next)
+      }
+      pr = next
+    }
+    withDeg.unpersist()
+    nodes.unpersist()
+    pr.select(col("node"), col("pr"))
   }
 
   /** Neighborhood-overlap link prediction over an undirected graph:

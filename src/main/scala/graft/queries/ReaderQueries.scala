@@ -185,30 +185,41 @@ object ReaderQueries {
     // coefficients bit-identically), then the conformal residual
     // quantile widens every test prediction into [pred-qhat, pred+qhat]
     "q160_conformal_interval" -> ((s, d) => {
+      // the md5 bucket + decimal projections feed the OLS fit, the
+      // residual histogram, AND the test widening: compute them once
+      // into a cache instead of three raw re-scans (+ the fit sums are
+      // a bounded 1-row artifact — resolve them eagerly and score both
+      // sides with plan literals, the qhat policy one level down)
       val li = Tables.lineitem(s, d).select(
-        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
-        col("l_quantity").cast("decimal(15,2)").as("xd"),
-        col("l_extendedprice").cast("decimal(15,2)").as("yd"))
-      val bkt = graft.operators.Curation.sampleBucket(col("rid"), "conf")
-      val cal = li.where(bkt < 500000)
-      val test = li.where(bkt >= 500000)
-      val ab = cal.agg(
-          count(lit(1)).cast("double").as("n"),
-          sum(col("xd")).cast("double").as("sx"),
-          sum(col("yd")).cast("double").as("sy"),
-          sum(col("xd") * col("yd")).cast("double").as("sxy"),
-          sum(col("xd") * col("xd")).cast("double").as("sxx"))
-        .select(col("n"), col("sx"), col("sy"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"))
-        .select(((col("sy") - col("beta") * col("sx")) / col("n")).as("alpha"),
-          col("beta"))
-      def scoreSide(side: DataFrame) = side.crossJoin(broadcast(ab))
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
+          col("l_quantity").cast("decimal(15,2)").as("xd"),
+          col("l_extendedprice").cast("decimal(15,2)").as("yd"))
+        .withColumn("bkt", graft.operators.Curation.sampleBucket(col("rid"), "conf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cal = li.where(col("bkt") < 500000)
+      val test = li.where(col("bkt") >= 500000)
+      val st = cal.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("xd")).cast("double").as("sx"),
+        sum(col("yd")).cast("double").as("sy"),
+        sum(col("xd") * col("yd")).cast("double").as("sxy"),
+        sum(col("xd") * col("xd")).cast("double").as("sxx")).head
+      val (n, sx, sy, sxy, sxx) = (st.getDouble(0), st.getDouble(1),
+        st.getDouble(2), st.getDouble(3), st.getDouble(4))
+      val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val alpha0 = (sy - beta * sx) / n
+      def scoreSide(side: DataFrame) = side
         .select(col("rid"), col("yd").cast("double").as("y"),
-          (col("alpha") + col("beta") * col("xd").cast("double")).as("pred"))
-      graft.workflow.MLTuning.conformalIntervals(
+          (lit(alpha0) + lit(beta) * col("xd").cast("double")).as("pred"))
+      val out = graft.workflow.MLTuning.conformalIntervals(
         scoreSide(cal), scoreSide(test), col("rid"), col("y"), col("pred"),
         alpha = 0.1)
+      // conformalIntervals resolved qhat eagerly (every cache read is
+      // done), so release now — the returned plan's one remaining pass
+      // over the test slice is a narrow scan, cheaper than keeping the
+      // cache alive past the query
+      li.unpersist(blocking = false)
+      out
     }),
 
     "q65_eval_logloss_smape" -> ((s, d) => {

@@ -84,10 +84,11 @@ object StatsQueries {
         .select(col("id_a"), col("id_b"), round(col("dist_km"), 6).as("dist_km"))
     }),
 
-    // Jaro-Winkler linkage of part names blocked by their first token
+    // Jaro-Winkler linkage of part names blocked by their first token,
+    // scored once per DISTINCT name pair and expanded to id pairs
     "q202_jw_linkage" -> ((s, d) => {
-      Dedup.jaroWinklerPairs(Tables.part(s, d), col("p_partkey"), col("p_name"),
-          Seq(split(col("p_name"), " ").getItem(0)), minSim = 0.88)
+      Dedup.jaroWinklerPairsByName(Tables.part(s, d), col("p_partkey"),
+          col("p_name"), nm => split(nm, " ").getItem(0), minSim = 0.88)
         .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
     }),
 
@@ -196,6 +197,47 @@ object StatsQueries {
     // Benford first-digit profile of order totals
     "q213_benford" -> ((s, d) => {
       DataQuality.benfordProfile(Tables.orders(s, d), col("o_totalprice"))
+    }),
+
+    // incremental view maintenance: fold the late half of the events
+    // into the standing early-half state and read the merged rollup —
+    // hash-gated against a full recompute in the oracle
+    "q214_incremental_agg" -> ((s, d) => {
+      import graft.operators.Incremental
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val metrics = Seq("value" -> col("value"))
+      val base = Incremental.aggState(
+        ev.where(col("ts") < cut), Seq(col("event_type")), metrics)
+      val delta = Incremental.aggState(
+        ev.where(col("ts") >= cut), Seq(col("event_type")), metrics)
+      Incremental.readout(
+        Incremental.mergeStates(Seq("event_type"), Seq("value"), base, delta),
+        Seq("event_type"), Seq("value"))
+    }),
+
+    // Theil's uncertainty coefficient (asymmetric association):
+    // how much of order priority does order status explain, and back
+    "q215_theils_u" -> ((s, d) => {
+      DataQuality.theilsU(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_orderstatus"))
+    }),
+
+    // personalized PageRank on the trade graph, teleporting to the
+    // BUILDING-segment customers (seed-proximity affinity ranking)
+    "q216_personalized_pagerank" -> ((s, d) => {
+      val trade = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val pr = Graph.personalizedPageRank(edges, col("src"), col("dst"),
+        seeds, iters = 2, damping = 0.85)
+      val ns = pr.agg(count(lit(1)).as("n"))
+      pr.crossJoin(broadcast(ns))
+        .select(col("node"), round(col("pr") * col("n"), 6).as("ppr_scaled"))
     })
   )
 
@@ -259,7 +301,64 @@ object StatsQueries {
           t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
           SELECT digit, n, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed,
                  ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected
-          FROM c, t"""
+          FROM c, t""",
+
+    // full recompute over all events — must equal base-state + delta
+    "q214_incremental_agg" ->
+      """WITH s AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+                    FROM events)
+          SELECT event_type,
+                 CAST(count(v) AS BIGINT) AS value_cnt,
+                 CAST(CAST(sum(v) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum,
+                 ROUND(CAST(CAST(sum(v) AS DECIMAL(38,6)) AS DOUBLE)
+                   / CAST(count(v) AS DOUBLE), 6) AS value_mean,
+                 CAST(min(v) AS DOUBLE) AS value_min,
+                 CAST(max(v) AS DOUBLE) AS value_max
+          FROM s GROUP BY event_type""",
+
+    "q215_theils_u" ->
+      """WITH cont AS (SELECT coalesce(CAST(o_orderpriority AS VARCHAR), ' null') AS va,
+                              coalesce(CAST(o_orderstatus AS VARCHAR), ' null') AS vb,
+                              count(*) AS cnt
+                       FROM orders GROUP BY 1, 2),
+          ma AS (SELECT va, sum(cnt) AS ca FROM cont GROUP BY va),
+          mb AS (SELECT vb, sum(cnt) AS cb FROM cont GROUP BY vb),
+          n AS (SELECT sum(cnt) AS n FROM cont),
+          mi AS (SELECT sum((cnt / n) * ln((cnt / n)
+                     / ((ca / n) * (cb / n)))) AS mi
+                 FROM cont JOIN ma USING (va) JOIN mb USING (vb), n),
+          ha AS (SELECT -sum((ca / n) * ln(ca / n)) AS h_a FROM ma, n),
+          hb AS (SELECT -sum((cb / n) * ln(cb / n)) AS h_b FROM mb, n)
+          SELECT ROUND(mi, 6) AS mi, ROUND(mi / h_a, 6) AS u_a_given_b,
+                 ROUND(mi / h_b, 6) AS u_b_given_a
+          FROM mi, ha, hb""",
+
+    "q216_personalized_pagerank" ->
+      """WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, p AS dst FROM t
+                UNION SELECT p AS src, c AS dst FROM t),
+          deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          sd AS (SELECT c_custkey AS node FROM customer
+                 WHERE c_mktsegment = 'BUILDING'),
+          ns AS (SELECT count(*) AS k FROM sd),
+          sv AS (SELECT nodes.node,
+                        CASE WHEN sd.node IS NOT NULL THEN 1.0 / k ELSE 0.0 END AS s
+                 FROM nodes LEFT JOIN sd ON nodes.node = sd.node, ns),
+          p0 AS (SELECT node, s, s AS pr FROM sv),
+          c1 AS (SELECT dst AS node, sum(pr / outdeg) AS m
+                 FROM e JOIN deg USING (src) JOIN p0 ON e.src = p0.node
+                 GROUP BY 1),
+          p1 AS (SELECT sv.node, sv.s, 0.15 * sv.s + 0.85 * coalesce(m, 0) AS pr
+                 FROM sv LEFT JOIN c1 ON sv.node = c1.node),
+          c2 AS (SELECT dst AS node, sum(pr / outdeg) AS m
+                 FROM e JOIN deg USING (src) JOIN p1 ON e.src = p1.node
+                 GROUP BY 1),
+          p2 AS (SELECT sv.node, 0.15 * sv.s + 0.85 * coalesce(m, 0) AS pr
+                 FROM sv LEFT JOIN c2 ON sv.node = c2.node),
+          nn AS (SELECT count(*) AS n FROM nodes)
+          SELECT node, ROUND(pr * n, 6) AS ppr_scaled FROM p2, nn"""
   )
 
   /** Part-affinity edges: parts bought together in large-quantity
