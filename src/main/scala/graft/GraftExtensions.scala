@@ -68,6 +68,13 @@ object GraftExtensions {
         args => {
           checkArity("graft_nfc", 1, args)
           graft.expressions.UnicodeNormalize(args.head, "NFC")
+        }),
+      (FunctionIdentifier("graft_jaro_winkler"),
+        new ExpressionInfo(classOf[graft.expressions.JaroWinkler].getName,
+          "graft_jaro_winkler"),
+        args => {
+          checkArity("graft_jaro_winkler", 2, args)
+          graft.expressions.JaroWinkler(args(0), args(1))
         }))
 
   /** Register on an already-built session (the `spark.sql.extensions`

@@ -449,6 +449,64 @@ object DataQuality {
         round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"))
   }
 
+  /** Deterministic Poisson bootstrap of a column mean — the
+    * DISTRIBUTED bootstrap: instead of resampling n rows with
+    * replacement (which needs global coordination), every (row,
+    * replica) pair draws an independent Poisson(1) weight, which the
+    * multinomial converges to at scale. Weights come from the md5
+    * hash60 stream, so the whole procedure — all `replicas` resampled
+    * means, the percentile CI, the bootstrap SE — is bit-reproducible
+    * and oracle-replayable. One explode (x replicas) + one hash
+    * aggregation; no shuffle keyed on anything finer than the replica
+    * id. Emits one row: n, point_mean, ci_lo, ci_hi (percentile CI),
+    * se (sd of replica means). */
+  def bootstrapMeanCI(df: DataFrame, id: Column, value: Column,
+                      replicas: Int = 40, level: Double = 0.90,
+                      salt: String = "boot"): DataFrame = {
+    require(replicas >= 10 && replicas <= 1000,
+      s"replicas out of range: $replicas")
+    require(level > 0 && level < 1, s"level out of (0,1): $level")
+    val base = df.where(value.isNotNull)
+      .select(id.as("rid"), value.cast("decimal(18,6)").as("x"))
+    val qLo = (1.0 - level) / 2.0
+    val qHi = 1.0 - qLo
+    // Poisson(1) inverse CDF thresholds; the literal STRINGS are shared
+    // with the oracle so both engines parse identical doubles
+    val rep = base.withColumn("b",
+      explode(sequence(lit(0), lit(replicas - 1))))
+    val u = (graft.functions.TextAnalysis.hash60(concat_ws(":", lit(salt),
+      col("b"), col("rid"))) + 1L).cast("double") / lit(1152921504606846976.0)
+    val w = PoissonThresholds.zipWithIndex.foldRight(
+      lit(PoissonThresholds.length): Column) { case ((t, k), acc) =>
+      when(col("u") < lit(t.toDouble), lit(k)).otherwise(acc)
+    }
+    val means = rep.withColumn("u", u).withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("x")).cast("double").as("swx"),
+        sum(col("w")).as("sw"))
+      .select((col("swx") / col("sw").cast("double")).as("m"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"))
+    val bd = lit(replicas.toDouble)
+    means.agg(
+        percentile(col("m"), lit(qLo)).as("lo"),
+        percentile(col("m"), lit(qHi)).as("hi"),
+        sum(col("m")).as("sm"), sum(col("m") * col("m")).as("smm"))
+      .crossJoin(broadcast(stats))
+      .select(col("n"),
+        round(col("sx") / col("n").cast("double"), 6).as("point_mean"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"),
+        round(sqrt((col("smm") - col("sm") * col("sm") / bd) / (bd - lit(1.0))), 6)
+          .as("se"))
+  }
+
+  /** Poisson(1) CDF at k = 0..8 — shared literal strings between the
+    * Column builder and the SQL oracles. */
+  val PoissonThresholds: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402")
+
   /** Theil's uncertainty coefficient between two categoricals, both
     * directions: U(a|b) = MI / H(a) tells how much of a's entropy b
     * explains (the ASYMMETRIC complement to [[cramersV]] / nmi). Same

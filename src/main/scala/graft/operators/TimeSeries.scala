@@ -482,6 +482,26 @@ object TimeSeries {
     res
   }
 
+  /** First-order Markov transition matrix of a per-entity event-state
+    * sequence: counts and MLE probabilities P(next | current) over
+    * consecutive (ts, order)-ordered states. One shuffle on the entity
+    * + one window lead + one pair aggregation; the row-marginal join is
+    * broadcast (state-domain sized). The behavioral-model summary
+    * (and anomaly baseline) for event streams. */
+  def markovTransitions(df: DataFrame, entity: Column, ts: Column,
+                        order: Column, state: Column): DataFrame = {
+    val w = Window.partitionBy(col("e")).orderBy(col("ts"), col("ord"))
+    val pairs = df.select(entity.as("e"), ts.as("ts"), order.as("ord"),
+        state.as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val marginals = pairs.groupBy(col("cur")).agg(sum(col("n")).as("rt"))
+    pairs.join(broadcast(marginals), Seq("cur"))
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n").cast("double") / col("rt").cast("double"), 6).as("p"))
+  }
+
   /** Upsert/merge to a latest-row snapshot: one row per key, the row
     * with the greatest (ts, order) — the CDC compaction every
     * changelog-backed table needs before serving. ONE hash aggregation

@@ -223,6 +223,20 @@ object StatsQueries {
         col("o_orderpriority"), col("o_orderstatus"))
     }),
 
+    // deterministic Poisson bootstrap CI for the mean order total
+    // (every resampled weight md5-derived; the oracle replays all 40
+    // replica means and the percentile CI bit-for-bit)
+    "q217_bootstrap_ci" -> ((s, d) => {
+      DataQuality.bootstrapMeanCI(Tables.orders(s, d), col("o_orderkey"),
+        col("o_totalprice"), replicas = 40, level = 0.90)
+    }),
+
+    // first-order Markov transition matrix of per-user event types
+    "q218_markov_transitions" -> ((s, d) => {
+      TimeSeries.markovTransitions(Tables.events(s, d), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))
+    }),
+
     // personalized PageRank on the trade graph, teleporting to the
     // BUILDING-segment customers (seed-proximity affinity ranking)
     "q216_personalized_pagerank" -> ((s, d) => {
@@ -358,7 +372,48 @@ object StatsQueries {
           p2 AS (SELECT sv.node, 0.15 * sv.s + 0.85 * coalesce(m, 0) AS pr
                  FROM sv LEFT JOIN c2 ON sv.node = c2.node),
           nn AS (SELECT count(*) AS n FROM nodes)
-          SELECT node, ROUND(pr * n, 6) AS ppr_scaled FROM p2, nn"""
+          SELECT node, ROUND(pr * n, 6) AS ppr_scaled FROM p2, nn""",
+
+    "q217_bootstrap_ci" -> {
+      val caseW = graft.operators.DataQuality.PoissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${graft.operators.DataQuality.PoissonThresholds.length} END")
+      s"""WITH base AS (SELECT o_orderkey AS rid,
+                               CAST(o_totalprice AS DECIMAL(18,6)) AS x
+                        FROM orders WHERE o_totalprice IS NOT NULL),
+          rep AS (SELECT rid, x, b.b FROM base,
+                  (SELECT unnest(range(0, 40)) AS b) b),
+          du AS (SELECT x, b,
+                        CAST(CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR)
+                          || ':' || CAST(rid AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+                          AS DOUBLE) / 1152921504606846976.0 AS u
+                 FROM rep),
+          dw AS (SELECT x, b, $caseW AS w FROM du),
+          means AS (SELECT b, CAST(sum(w * x) AS DOUBLE)
+                              / CAST(sum(w) AS DOUBLE) AS m
+                    FROM dw GROUP BY b),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS DOUBLE) AS sx FROM base),
+          agg AS (SELECT quantile_cont(m, 0.05) AS lo,
+                         quantile_cont(m, 0.95) AS hi,
+                         sum(m) AS sm, sum(m * m) AS smm FROM means)
+          SELECT n, ROUND(sx / CAST(n AS DOUBLE), 6) AS point_mean,
+                 ROUND(lo, 6) AS ci_lo, ROUND(hi, 6) AS ci_hi,
+                 ROUND(sqrt((smm - sm * sm / 40.0) / (40.0 - 1.0)), 6) AS se
+          FROM agg, stats"""
+    },
+
+    "q218_markov_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type AS cur,
+                             lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+                      FROM events),
+          p AS (SELECT cur, nxt, count(*) AS n FROM seq
+                WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          m AS (SELECT cur, CAST(sum(n) AS BIGINT) AS rt FROM p GROUP BY cur)
+          SELECT p.cur, p.nxt, p.n,
+                 ROUND(CAST(p.n AS DOUBLE) / CAST(m.rt AS DOUBLE), 6) AS p
+          FROM p JOIN m ON p.cur = m.cur"""
   )
 
   /** Part-affinity edges: parts bought together in large-quantity

@@ -14,6 +14,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("graft_jaro_winkler in SQL equals the static scorer and stays native") {
+    val df = spark.sql(
+      "SELECT graft_jaro_winkler('DWAYNE', 'DUANE') AS jw")
+    assert(math.abs(df.head().getDouble(0) - 0.84) < 1e-12)
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
+
   test("graft_hash60 in SQL equals the Column-side hash60") {
     val s = spark; import s.implicits._
     val fromSql = spark.sql("SELECT graft_hash60('abc')").head().getLong(0)

@@ -73,4 +73,37 @@ class Stats4Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     (1L to 6L).foreach(n => assert(math.abs(ppr(n) - classic(n)) < 1e-12))
   }
+
+  test("bootstrapMeanCI: CI brackets the true mean of a well-behaved " +
+    "sample, se is positive and small, weights average ~1") {
+    val df = (1L to 2000L).map(i => (i, 50.0 + (i % 21) - 10)).toDF("id", "v")
+    val r = DataQuality.bootstrapMeanCI(df, col("id"), col("v"),
+      replicas = 40).head
+    val mean = r.getAs[Double]("point_mean")
+    assert(math.abs(mean - 50.0) < 0.5)
+    assert(r.getAs[Double]("ci_lo") < mean && mean < r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Double]("se") > 0 && r.getAs[Double]("se") < 1.0)
+    assert(r.getAs[Long]("n") === 2000L)
+  }
+
+  test("bootstrapMeanCI is deterministic across invocations (md5 draws)") {
+    val df = (1L to 500L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val a = DataQuality.bootstrapMeanCI(df, col("id"), col("v")).head
+    val b = DataQuality.bootstrapMeanCI(df, col("id"), col("v")).head
+    assert(a === b)
+  }
+
+  test("markovTransitions: deterministic cycle gives probability-1 " +
+    "transitions; probabilities per row sum to 1") {
+    // user cycles a -> b -> c -> a ...
+    val df = (0 until 30).map(i => (1L, i.toLong, i.toLong,
+      Seq("a", "b", "c")(i % 3))).toDF("u", "t", "o", "s")
+    val got = TimeSeries.markovTransitions(df, col("u"), col("t"), col("o"),
+      col("s")).collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "b"))._2 === 1.0)
+    assert(got(("b", "c"))._2 === 1.0)
+    assert(got(("c", "a"))._2 === 1.0)
+    assert(got.size === 3) // no cross-user or self transitions invented
+  }
 }
