@@ -482,6 +482,46 @@ object TimeSeries {
     res
   }
 
+  /** Kaplan-Meier survival estimator over (duration, event-observed)
+    * pairs: S(t) = prod over event times t_i <= t of (1 - d_i / n_i),
+    * with d_i deaths at t_i and n_i the at-risk count (standard
+    * right-censoring: censored subjects leave the risk set but
+    * contribute no factor). Rows collapse to the DURATION domain first
+    * (one groupBy), so the ordered pass runs over distinct durations —
+    * bounded by the time resolution, not the population. The product is
+    * folded as a running sum of per-step log factors, each rounded to
+    * DECIMAL(18,12) before the cumulative sum so the fold is exact and
+    * engine-independent; the final exp is one libm call absorbed by the
+    * 6-decimal gate. Emits (duration, n_at_risk, d_events, n_censored,
+    * survival). */
+  def kaplanMeier(df: DataFrame, duration: Column, observed: Column): DataFrame = {
+    val counts = df.where(duration.isNotNull)
+      .groupBy(duration.cast("long").as("t"))
+      .agg(sum(when(observed, 1L).otherwise(0L)).as("d"),
+        sum(when(observed, 0L).otherwise(1L)).as("c"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("left_before",
+        sum(col("d") + col("c")).over(w) - (col("d") + col("c")))
+      .withColumn("total", sum(col("d") + col("c")).over(wAll))
+      .withColumn("n_at_risk", col("total") - col("left_before"))
+      .withColumn("lnf",
+        when(col("d") === 0, lit(0.0).cast("decimal(18,12)"))
+          // everyone at risk dies: ln(0) would be -inf (null after the
+          // decimal cast, which a sum would silently SKIP) — a -999
+          // floor keeps the fold total, and exp underflows it to an
+          // exact 0.0 in every engine
+          .when(col("d") === col("n_at_risk"), lit(-999.0).cast("decimal(18,12)"))
+          .otherwise(log(lit(1.0) - col("d").cast("double") /
+            col("n_at_risk").cast("double")).cast("decimal(18,12)")))
+      .withColumn("survival",
+        round(exp(sum(col("lnf")).over(w).cast("double")), 6))
+      .select(col("t").as("duration"), col("n_at_risk"),
+        col("d").as("d_events"), col("c").as("n_censored"), col("survival"))
+  }
+
   /** First-order Markov transition matrix of a per-entity event-state
     * sequence: counts and MLE probabilities P(next | current) over
     * consecutive (ts, order)-ordered states. One shuffle on the entity

@@ -17,7 +17,7 @@ object ReaderQueries {
 
   /** Deterministic scored frame: p = sigmoid(md5-weight margin) over the
     * embedding, y = (label < 5). */
-  private def mdScored(s: SparkSession, d: String): DataFrame = {
+  private[queries] def mdScored(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"),
         (col("label") < 5).cast("double").as("y"))
@@ -288,7 +288,7 @@ object ReaderQueries {
                THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
 
   /** DuckDB twin of [[mdScored]]. */
-  private val MD_SCORED =
+  private[queries] val MD_SCORED =
     s"""SELECT vec_id, CAST(label < 5 AS DOUBLE) AS y,
           1.0 / (1.0 + exp(-list_sum(list_transform(range(0, 64), i ->
             list_transform(embedding, x -> CAST(x AS DOUBLE))[CAST(i + 1 AS INT)] *

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{DataQuality, Dedup, Geo, Graph, TimeSeries}
@@ -237,6 +238,96 @@ object StatsQueries {
         col("ts"), col("event_id"), col("event_type"))
     }),
 
+    // expected calibration error of the deterministic md5-LR scores
+    // (one-number summary of q66's reliability table)
+    "q219_calibration_ece" -> ((s, d) => {
+      graft.workflow.MLTuning.expectedCalibrationError(
+        ReaderQueries.mdScored(s, d), "p", "y", bins = 10)
+    }),
+
+    // Kaplan-Meier survival of user activity spans (right-censored if
+    // the user was still active in the last 3 days of the window)
+    "q220_kaplan_meier" -> ((s, d) => {
+      val spans = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      val cutoff = Tables.events(s, d)
+        .agg(date_sub(to_date(max(col("ts"))), 3).as("cut"))
+      val subjects = spans.crossJoin(broadcast(cutoff))
+        .select(datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+            .as("dur"),
+          (to_date(col("last_ts")) < col("cut")).as("obs"))
+      TimeSeries.kaplanMeier(subjects, col("dur"), col("obs"))
+    }),
+
+    // decile gains table for the md5-LR score: response rate and
+    // cumulative lift per score decile (exact percent-rank deciles)
+    "q221_gains_table" -> ((s, d) => {
+      val scored = ReaderQueries.mdScored(s, d)
+      val ranked = graft.operators.Vectorizers.quantileRank(
+          scored, col("vec_id"), col("p"))
+        .select(col("id").as("vec_id"),
+          least(floor((lit(1.0) - col("q")) * 10), lit(9.0)).cast("int")
+            .as("decile"))
+      val perDec = scored.join(ranked, Seq("vec_id"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("responders"))
+      val tot = perDec.agg(sum(col("n")).as("tn"), sum(col("responders")).as("tr"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDec.crossJoin(broadcast(tot))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .withColumn("cum_r", sum(col("responders")).over(w))
+        .select(col("decile"), col("n"), col("responders"),
+          round(col("responders").cast("double") / col("n").cast("double"), 6)
+            .as("resp_rate"),
+          round((col("cum_r").cast("double") / col("cum_n").cast("double")) /
+            (col("tr").cast("double") / col("tn").cast("double")), 6)
+            .as("cum_lift"))
+    }),
+
+    // Zipf fit of the corpus token-frequency distribution: OLS of
+    // ln(freq) on ln(rank) over the vocabulary (slope ~ -1 is Zipf)
+    "q222_zipf_fit" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      val w = Window.orderBy(col("f").desc, col("term"))
+      val ranked = toks.withColumn("r", row_number().over(w))
+        .select(log(col("r").cast("double")).cast("decimal(18,12)").as("x"),
+          log(col("f").cast("double")).cast("decimal(18,12)").as("y"))
+      val agg = ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      val n = col("n").cast("double")
+      val num = col("sxy") - col("sx") * col("sy") / n
+      val denX = col("sxx") - col("sx") * col("sx") / n
+      val denY = col("syy") - col("sy") * col("sy") / n
+      agg.select(col("n").as("vocab"),
+        round(num / denX, 6).as("zipf_slope"),
+        round(num * num / (denX * denY), 6).as("r2"))
+    }),
+
+    // corpus diversity indices: per language, Shannon entropy, Simpson
+    // concentration, and effective source count of the source mix
+    "q223_diversity" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      counts.join(broadcast(tot), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(first(col("n")).as("n_docs"), count(lit(1)).as("n_sources"),
+          (-sum(p * log(p))).as("h"), sum(p * p).as("simpson"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          round(col("h"), 6).as("shannon"),
+          round(col("simpson"), 6).as("simpson"),
+          round(exp(col("h")), 6).as("eff_sources"))
+    }),
+
     // personalized PageRank on the trade graph, teleporting to the
     // BUILDING-segment customers (seed-proximity affinity ranking)
     "q216_personalized_pagerank" -> ((s, d) => {
@@ -413,7 +504,104 @@ object StatsQueries {
           m AS (SELECT cur, CAST(sum(n) AS BIGINT) AS rt FROM p GROUP BY cur)
           SELECT p.cur, p.nxt, p.n,
                  ROUND(CAST(p.n AS DOUBLE) / CAST(m.rt AS DOUBLE), 6) AS p
-          FROM p JOIN m ON p.cur = m.cur"""
+          FROM p JOIN m ON p.cur = m.cur""",
+
+    "q219_calibration_ece" ->
+      s"""WITH s AS (${ReaderQueries.MD_SCORED}),
+          pb AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+                        count(*) AS n_b, avg(p) AS sc, avg(y) AS lb
+                 FROM s GROUP BY 1),
+          t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n FROM pb)
+          SELECT n, 10 AS bins,
+                 ROUND(sum(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)
+                   * abs(sc - lb)), 6) AS ece,
+                 ROUND(max(abs(sc - lb)), 6) AS max_gap
+          FROM pb, t GROUP BY n""",
+
+    "q220_kaplan_meier" ->
+      """WITH span AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                              CAST(max(ts) AS DATE) AS l
+                       FROM events GROUP BY user_id),
+          cut AS (SELECT CAST(max(ts) AS DATE) - 3 AS cut FROM events),
+          subj AS (SELECT date_diff('day', f, l) AS t,
+                          CASE WHEN l < cut THEN 1 ELSE 0 END AS obs
+                   FROM span, cut),
+          c AS (SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+                       CAST(sum(1 - obs) AS BIGINT) AS cens
+                FROM subj GROUP BY t),
+          k AS (SELECT t, d, cens,
+                       sum(d + cens) OVER (ORDER BY t) - (d + cens) AS left_before,
+                       sum(d + cens) OVER () AS total
+                FROM c),
+          f AS (SELECT t, d, cens, total - left_before AS n_at_risk,
+                       CASE WHEN d = 0 THEN CAST(0.0 AS DECIMAL(18,12))
+                            WHEN d = total - left_before THEN CAST(-999.0 AS DECIMAL(18,12))
+                            ELSE CAST(ln(1.0 - CAST(d AS DOUBLE)
+                              / CAST(total - left_before AS DOUBLE)) AS DECIMAL(18,12))
+                       END AS lnf
+                FROM k)
+          SELECT t AS duration, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                 d AS d_events, cens AS n_censored,
+                 ROUND(exp(CAST(sum(lnf) OVER (ORDER BY t) AS DOUBLE)), 6) AS survival
+          FROM f""",
+
+    "q221_gains_table" ->
+      s"""WITH s AS (${ReaderQueries.MD_SCORED}),
+          r AS (SELECT vec_id, y,
+                       CAST(least(floor((1.0 - ROUND(percent_rank()
+                         OVER (ORDER BY p), 6)) * 10), 9) AS INT) AS decile
+                FROM s),
+          pd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS responders
+                 FROM r GROUP BY decile),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                       CAST(sum(responders) AS BIGINT) AS tr FROM pd),
+          cw AS (SELECT decile, n, responders,
+                        sum(n) OVER (ORDER BY decile) AS cum_n,
+                        sum(responders) OVER (ORDER BY decile) AS cum_r
+                 FROM pd)
+          SELECT decile, n, responders,
+                 ROUND(CAST(responders AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resp_rate,
+                 ROUND((CAST(cum_r AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                   / (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS cum_lift
+          FROM cw, t""",
+
+    "q222_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                      FROM documents),
+          c AS (SELECT term, count(*) AS f FROM tok GROUP BY term),
+          r AS (SELECT CAST(ln(CAST(row_number() OVER (ORDER BY f DESC, term) AS DOUBLE))
+                         AS DECIMAL(18,12)) AS x,
+                       CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(18,12)) AS y
+                FROM c),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(x * y) AS DOUBLE) AS sxy,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx,
+                       CAST(sum(y * y) AS DOUBLE) AS syy
+                FROM r)
+          SELECT n AS vocab,
+                 ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+                   / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS zipf_slope,
+                 ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+                   * (sxy - sx * sy / CAST(n AS DOUBLE))
+                   / ((sxx - sx * sx / CAST(n AS DOUBLE))
+                      * (syy - sy * sy / CAST(n AS DOUBLE))), 6) AS r2
+          FROM a""",
+
+    "q223_diversity" ->
+      """WITH c AS (SELECT lang, source, count(*) AS c
+                    FROM documents GROUP BY 1, 2),
+          t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY lang),
+          j AS (SELECT c.lang, CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p, t.n
+                FROM c JOIN t ON c.lang = t.lang),
+          a AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+                       CAST(count(*) AS BIGINT) AS n_sources,
+                       -sum(p * ln(p)) AS h, sum(p * p) AS simpson
+                FROM j GROUP BY lang)
+          SELECT lang, n_docs, n_sources, ROUND(h, 6) AS shannon,
+                 ROUND(simpson, 6) AS simpson, ROUND(exp(h), 6) AS eff_sources
+          FROM a"""
   )
 
   /** Part-affinity edges: parts bought together in large-quantity

@@ -554,6 +554,26 @@ object MLTuning {
         round(avg(col(labelCol).cast("double")), 6).as("avg_label"))
   }
 
+  /** Expected calibration error over equal-width probability bins:
+    * ECE = sum_b (n_b / N) * |avg_score_b - avg_label_b| — the one-number
+    * summary of the [[binScore]] reliability table. Same single
+    * aggregation; bins with no rows contribute nothing (standard ECE).
+    * Emits one row (n, bins, ece, max_gap). */
+  def expectedCalibrationError(df: DataFrame, probCol: String,
+                               labelCol: String, bins: Int): DataFrame = {
+    val b = least(floor(col(probCol) * bins), lit(bins - 1)).cast("int")
+    val perBin = df.groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n_b"), avg(col(probCol)).as("s"),
+        avg(col(labelCol).cast("double")).as("l"))
+    val tot = perBin.agg(sum(col("n_b")).as("n"))
+    perBin.crossJoin(broadcast(tot))
+      .agg(first(col("n")).as("n"),
+        round(sum(col("n_b").cast("double") / col("n").cast("double") *
+          abs(col("s") - col("l"))), 6).as("ece"),
+        round(max(abs(col("s") - col("l"))), 6).as("max_gap"))
+      .select(col("n"), lit(bins).as("bins"), col("ece"), col("max_gap"))
+  }
+
   /** Regression metrics over (prediction, label). */
   case class RegressionMetrics(rmse: Double, mae: Double, r2: Double)
   def regressionMetrics(df: DataFrame, predCol: String, labelCol: String): RegressionMetrics = {

@@ -108,7 +108,22 @@ class PlanAuditSpec extends SparkSpec {
     // q212: rolling correlation of ONE pre-aggregated bucket series —
     // the global window runs over O(#buckets) rows (the raw rows were
     // reduced by the daily aggregation before any window)
-    "q212_rolling_corr")
+    "q212_rolling_corr",
+    // q219: the bin total is a 1-row frame crossJoin-broadcast
+    "q219_calibration_ece",
+    // q220/q221/q222: ordered passes over DOMAIN-bounded frames — the
+    // Kaplan-Meier curve over distinct durations (time resolution),
+    // the gains window over 10 deciles, the Zipf rank over the
+    // vocabulary — each reduced by an aggregation before the window
+    "q220_kaplan_meier", "q221_gains_table", "q222_zipf_fit",
+    // q215: MI / marginal-entropy frames are 1 row, q151's exact shape
+    "q215_theils_u",
+    // q216: the node-count scalar (rank normalization) + the broadcast
+    // seed-set membership join, q142's shape
+    "q216_personalized_pagerank",
+    // q217: the replica means reduce to `replicas` rows; the point-mean
+    // and CI aggregates are 1-row frames crossJoin-broadcast
+    "q217_bootstrap_ci")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
