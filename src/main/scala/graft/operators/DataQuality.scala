@@ -507,6 +507,74 @@ object DataQuality {
     "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
     "0.999916758850712", "0.9999897508033253", "0.999998874797402")
 
+  /** Bivariate Mahalanobis outlier distances: d2 = (r - mu)' S^-1
+    * (r - mu) over two numeric columns, with mean vector and covariance
+    * from ONE aggregation of exact decimal sufficient statistics and
+    * the 2x2 inverse in closed form inside the plan (no driver math,
+    * no ml.linalg). The multivariate complement to the univariate
+    * z-score/IQR screens: catches points that are unremarkable per
+    * coordinate but off the correlation ridge. Emits (id, d2, is_outlier)
+    * with the flag at `threshold` (chi-square(2df) quantile, e.g. 9.21
+    * for 0.99). */
+  def mahalanobis2d(df: DataFrame, id: Column, x: Column, y: Column,
+                    threshold: Double): DataFrame = {
+    val xd = x.cast("decimal(18,6)")
+    val yd = y.cast("decimal(18,6)")
+    val base = df.where(x.isNotNull && y.isNotNull)
+      .select(id.as("id"), xd.as("x"), yd.as("y"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    val n = col("n").cast("double")
+    val joined = base.crossJoin(broadcast(stats))
+      .withColumn("mx", col("sx") / n).withColumn("my", col("sy") / n)
+      .withColumn("vx", (col("sxx") - col("sx") * col("sx") / n) / (n - lit(1.0)))
+      .withColumn("vy", (col("syy") - col("sy") * col("sy") / n) / (n - lit(1.0)))
+      .withColumn("cxy", (col("sxy") - col("sx") * col("sy") / n) / (n - lit(1.0)))
+      .withColumn("det", col("vx") * col("vy") - col("cxy") * col("cxy"))
+      .withColumn("dx", col("x").cast("double") - col("mx"))
+      .withColumn("dy", col("y").cast("double") - col("my"))
+      .withColumn("d2",
+        (col("dx") * (col("vy") * col("dx") - col("cxy") * col("dy")) +
+          col("dy") * (col("vx") * col("dy") - col("cxy") * col("dx"))) / col("det"))
+    joined.select(col("id"), round(col("d2"), 6).as("d2"),
+      (col("d2") > threshold).cast("int").as("is_outlier"))
+  }
+
+  /** Exact distributed trimmed mean per group: drop the lowest and
+    * highest `trim` fraction BY RANK (with fractional boundary values
+    * weighted by how much of their tie-mass falls inside the kept
+    * band), then average the kept mass. Rows collapse to the (group,
+    * value) domain first; the kept-mass weights come from a per-group
+    * running count — so the whole computation is exact integer/decimal
+    * arithmetic until the final division. */
+  def trimmedMean(df: DataFrame, group: Column, value: Column,
+                  trim: Double): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim out of [0, 0.5): $trim")
+    val counts = df.where(value.isNotNull)
+      .groupBy(group.as("g"), value.cast("decimal(18,6)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("k_lo", floor(col("n").cast("double") * trim))
+      .withColumn("k_hi", col("n") - col("k_lo"))
+      .withColumn("kept", greatest(
+        least(col("cum"), col("k_hi")) -
+          greatest(col("cum") - col("c"), col("k_lo")), lit(0L)))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), sum(col("kept")).as("n_kept"),
+        round(sum(col("kept") * col("v")).cast("double") /
+          sum(col("kept")).cast("double"), 6).as("trimmed_mean"))
+  }
+
   /** Theil's uncertainty coefficient between two categoricals, both
     * directions: U(a|b) = MI / H(a) tells how much of a's entropy b
     * explains (the ASYMMETRIC complement to [[cramersV]] / nmi). Same

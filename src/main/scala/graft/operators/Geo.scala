@@ -67,4 +67,29 @@ object Geo {
       .where(col("dist_km") <= radiusKm)
       .select(col("id_a"), col("id_b"), col("dist_km"))
   }
+
+  /** k nearest neighbors within `radiusKm` for every point, from the
+    * same grid-blocked candidate join — but the per-point top-k runs
+    * through the bounded [[graft.aggregators.TopK]] aggregator
+    * (ascending by distance, id tiebreak), so a dense cell forwards at
+    * most ~2k candidates per mapper instead of ranking every candidate
+    * row under a window. Emits (id, neighbor, dist_km, rank); points
+    * with no neighbor inside the radius emit nothing. Directional: both
+    * (a,b) and (b,a) are scored. */
+  def nearestNeighbors(points: DataFrame, id: Column, lat: Column, lon: Column,
+                       k: Int, radiusKm: Double,
+                       maxAbsLat: Double = 60.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val pairs = radiusJoinPairs(points, id, lat, lon, radiusKm, maxAbsLat)
+    val directed = pairs.select(col("id_a").as("p"), col("id_b").as("nb"),
+        col("dist_km"))
+      .unionByName(pairs.select(col("id_b").as("p"), col("id_a").as("nb"),
+        col("dist_km")))
+    graft.aggregators.TopK.topKPerKey(
+        directed.select(col("p"), col("nb").cast("long").as("nb"),
+          col("dist_km").as("score")),
+        "p", "nb", "score", k, descending = false)
+      .select(col("p").as("id"), col("nb").as("neighbor"),
+        col("score").as("dist_km"), col("rank"))
+  }
 }

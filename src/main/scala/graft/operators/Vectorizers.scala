@@ -273,6 +273,28 @@ object Vectorizers {
     * value-keyed join back means a single dominant constant is a skew
     * key — salt via [[Skew]] if one value dominates a 100 TB column.
     * Null values pass through with null rank. Emits (id, value, q). */
+  /** Per-group median imputation: nulls fill with their group's exact
+    * interpolated median; groups with no observed values fall back to
+    * the global median. One per-group percentile aggregate (broadcast
+    * back) + one 1-row global fallback — the grouped upgrade of
+    * [[imputeMean]]'s fit/transform split, for data-repair pipelines
+    * where subpopulations differ too much for one global fill. Emits
+    * the input with `out` (imputed value) and `out_isnull` indicator. */
+  def imputeGroupMedian(df: DataFrame, group: Column, value: Column,
+                        out: String): DataFrame = {
+    val gm = df.where(value.isNotNull)
+      .groupBy(group.as("__g"))
+      .agg(percentile(value.cast("double"), lit(0.5)).as("__gmed"))
+    val glob = df.where(value.isNotNull)
+      .agg(percentile(value.cast("double"), lit(0.5)).as("__allmed"))
+    df.join(broadcast(gm), group === col("__g"), "left")
+      .crossJoin(broadcast(glob))
+      .withColumn(out, coalesce(value.cast("double"), col("__gmed"),
+        col("__allmed")))
+      .withColumn(s"${out}_isnull", value.isNull.cast("int"))
+      .drop("__g", "__gmed", "__allmed")
+  }
+
   def quantileRank(df: DataFrame, id: Column, value: Column): DataFrame = {
     val rows = df.select(id.as("id"), value.cast("double").as("v"))
     val counts = rows.where(col("v").isNotNull)

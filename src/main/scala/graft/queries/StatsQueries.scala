@@ -311,6 +311,47 @@ object StatsQueries {
         round(num * num / (denX * denY), 6).as("r2"))
     }),
 
+    // geo k-nearest-neighbors: 3 closest customers within 25 km, per
+    // customer, via grid blocking + bounded per-point TopK
+    "q224_geo_knn" -> ((s, d) => {
+      Geo.nearestNeighbors(customerPoints(s, d), col("c_custkey"),
+          col("lat"), col("lon"), k = 3, radiusKm = 25.0, maxAbsLat = 45.0)
+        .select(col("id"), col("neighbor"),
+          round(col("dist_km"), 6).as("dist_km"), col("rank"))
+    }),
+
+    // data repair: per-returnflag median imputation of a deterministic
+    // 10% null-out of quantities
+    "q225_group_impute" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        when(pmod(hash60(concat_ws(":", lit("imp"), col("l_orderkey"),
+          col("l_linenumber"))), lit(10L)) === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity")).as("qty"))
+      graft.operators.Vectorizers.imputeGroupMedian(li,
+          col("l_returnflag"), col("qty"), "qty_filled")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("qty_filled"), 6).as("qty_filled"),
+          col("qty_filled_isnull"))
+    }),
+
+    // multivariate outliers: Mahalanobis distance over (quantity,
+    // extended price) with the chi-square(2, 0.99) flag
+    "q226_mahalanobis" -> ((s, d) => {
+      DataQuality.mahalanobis2d(
+        Tables.lineitem(s, d).withColumn("rid",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+        col("rid"), col("l_quantity"), col("l_extendedprice"),
+        threshold = 9.21)
+    }),
+
+    // exact trimmed mean (10% each tail, fractional tie-mass) of
+    // extended price per return flag
+    "q227_trimmed_mean" -> ((s, d) => {
+      DataQuality.trimmedMean(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_extendedprice"), trim = 0.1)
+    }),
+
     // corpus diversity indices: per language, Shannon entropy, Simpson
     // concentration, and effective source count of the source mix
     "q223_diversity" -> ((s, d) => {
@@ -601,7 +642,99 @@ object StatsQueries {
                 FROM j GROUP BY lang)
           SELECT lang, n_docs, n_sources, ROUND(h, 6) AS shannon,
                  ROUND(simpson, 6) AS simpson, ROUND(exp(h), 6) AS eff_sources
-          FROM a"""
+          FROM a""",
+
+    "q224_geo_knn" ->
+      """WITH pts AS (
+            SELECT c_custkey AS id,
+                   CAST(CAST(('0x' || substr(md5('glat:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000000 AS DOUBLE) / 1000000.0 * 5.0 + 40.0 AS lat,
+                   CAST(CAST(('0x' || substr(md5('glon:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000000 AS DOUBLE) / 1000000.0 * 5.0 AS lon
+            FROM customer),
+          pairs AS (
+            SELECT a.id AS p, b.id AS nb,
+                   2 * 6371 * asin(sqrt(
+                     sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+                     + cos(radians(a.lat)) * cos(radians(b.lat))
+                       * (sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2))
+                   )) AS dist_km
+            FROM pts a JOIN pts b ON a.id <> b.id),
+          nearby AS (SELECT p, nb, dist_km,
+                            ROW_NUMBER() OVER (PARTITION BY p
+                              ORDER BY dist_km, nb) AS rank
+                     FROM pairs WHERE dist_km <= 25.0)
+          SELECT p AS id, nb AS neighbor, ROUND(dist_km, 6) AS dist_km,
+                 CAST(rank AS INT) AS rank
+          FROM nearby WHERE rank <= 3""",
+
+    "q225_group_impute" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                            CASE WHEN CAST(('0x' || substr(md5('imp:'
+                                   || CAST(l_orderkey AS VARCHAR) || ':'
+                                   || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+                                 % 10 = 0
+                                 THEN NULL ELSE l_quantity END AS qty
+                     FROM lineitem),
+          gm AS (SELECT l_returnflag, quantile_cont(qty, 0.5) AS gmed
+                 FROM li WHERE qty IS NOT NULL GROUP BY 1),
+          am AS (SELECT quantile_cont(qty, 0.5) AS allmed
+                 FROM li WHERE qty IS NOT NULL)
+          SELECT l_orderkey, l_linenumber,
+                 ROUND(coalesce(qty, gmed, allmed), 6) AS qty_filled,
+                 CAST(qty IS NULL AS INT) AS qty_filled_isnull
+          FROM li LEFT JOIN gm USING (l_returnflag), am""",
+
+    "q226_mahalanobis" ->
+      """WITH base AS (SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                              || CAST(l_linenumber AS VARCHAR) AS id,
+                              CAST(l_quantity AS DECIMAL(25,6)) AS x,
+                              CAST(l_extendedprice AS DECIMAL(25,6)) AS y
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                        CAST(sum(x * x) AS DOUBLE) AS sxx,
+                        CAST(sum(y * y) AS DOUBLE) AS syy,
+                        CAST(sum(x * y) AS DOUBLE) AS sxy
+                 FROM base),
+          f AS (SELECT id, CAST(x AS DOUBLE) - sx / n AS dx,
+                       CAST(y AS DOUBLE) - sy / n AS dy,
+                       (sxx - sx * sx / n) / (n - 1.0) AS vx,
+                       (syy - sy * sy / n) / (n - 1.0) AS vy,
+                       (sxy - sx * sy / n) / (n - 1.0) AS cxy
+                FROM base, st),
+          g AS (SELECT id,
+                       (dx * (vy * dx - cxy * dy) + dy * (vx * dy - cxy * dx))
+                         / (vx * vy - cxy * cxy) AS d2
+                FROM f)
+          SELECT id, ROUND(d2, 6) AS d2,
+                 CAST(d2 > 9.21 AS INT) AS is_outlier
+          FROM g""",
+
+    "q227_trimmed_mean" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+                           CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+                           count(*) AS c
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL
+                    GROUP BY 1, 2),
+          k AS (SELECT g, v, c,
+                       sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+                       sum(c) OVER (PARTITION BY g) AS n
+                FROM c),
+          m AS (SELECT g, v, c, cum, n,
+                       CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS k_lo,
+                       n - CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS k_hi
+                FROM k),
+          kept AS (SELECT g, v, n,
+                          greatest(least(cum, k_hi) - greatest(cum - c, k_lo),
+                            0) AS kept
+                   FROM m)
+          SELECT g, CAST(max(n) AS BIGINT) AS n,
+                 CAST(sum(kept) AS BIGINT) AS n_kept,
+                 ROUND(CAST(sum(kept * v) AS DOUBLE)
+                   / CAST(sum(kept) AS DOUBLE), 6) AS trimmed_mean
+          FROM kept GROUP BY g"""
   )
 
   /** Part-affinity edges: parts bought together in large-quantity

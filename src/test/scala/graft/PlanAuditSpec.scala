@@ -123,7 +123,11 @@ class PlanAuditSpec extends SparkSpec {
     "q216_personalized_pagerank",
     // q217: the replica means reduce to `replicas` rows; the point-mean
     // and CI aggregates are 1-row frames crossJoin-broadcast
-    "q217_bootstrap_ci")
+    "q217_bootstrap_ci",
+    // q225/q226: impute/outlier fits — the global-median fallback and
+    // the sufficient-stat moment frames are 1 row, crossJoin-broadcast
+    // (q30/q31's fit shape)
+    "q225_group_impute", "q226_mahalanobis")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
