@@ -28,7 +28,8 @@ object SparkEntry {
       (CurationQueries.queries, CurationQueries.oracles),
       (OlapQueries.queries, OlapQueries.oracles),
       (MiningQueries.queries, MiningQueries.oracles),
-      (StatsQueries.queries, StatsQueries.oracles)
+      (StatsQueries.queries, StatsQueries.oracles),
+      (AnalyticsQueries.queries, AnalyticsQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

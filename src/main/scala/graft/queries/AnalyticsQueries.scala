@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.TimeSeries
+
+/** Product-analytics battery composed from the engine's primitives:
+  * cohort LTV curves, RFM segmentation, seasonally-adjusted anomaly
+  * flags, funnel conversion timing, and Pareto concentration — each an
+  * oracle-gated composition (no new physical machinery; the point is
+  * that the primitives compose into the reports a warehouse actually
+  * ships).
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Map[String, Q] = Map(
+    // cohort LTV curve: per signup-week cohort, cumulative spend per
+    // cohort member through each week offset — three hash aggs + one
+    // domain-bounded cumulative window (cohorts x offsets)
+    "q228_ltv_curve" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val coh = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val sizes = coh.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+      val spend = ev.join(coh, Seq("user_id"))
+        .groupBy(col("cohort"),
+          floor(datediff(to_date(col("ts")), to_date(col("cohort"))) / 7)
+            .cast("int").as("week_idx"))
+        .agg(sum(money(col("value"))).as("rev"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("week_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spend.join(broadcast(sizes), Seq("cohort"))
+        .withColumn("cum_rev", sum(col("rev")).over(w))
+        .select(col("cohort").cast("date").cast("string").as("cohort"),
+          col("week_idx"), col("n_cohort"),
+          col("rev").cast("double").as("week_rev"),
+          round(col("cum_rev").cast("double") / col("n_cohort").cast("double"), 6)
+            .as("ltv_per_user"))
+    }),
+
+    // RFM segmentation: recency/frequency/monetary quintiles per
+    // customer from order history, exact percent-rank quintiles
+    "q229_rfm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val maxD = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
+      val rfm = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("f"), sum(money(col("o_totalprice"))).as("m"))
+        .crossJoin(broadcast(maxD))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last_d")).as("recency_days"),
+          col("f"), col("m"))
+      def quintile(c: String, asc: Boolean) = {
+        val q = graft.operators.Vectorizers.quantileRank(
+          rfm, col("o_custkey"), col(c))
+        val score =
+          if (asc) (lit(5.0) - least(floor(col("q") * 5), lit(4.0))).cast("int")
+          else (least(floor(col("q") * 5), lit(4.0)) + 1).cast("int")
+        q.select(col("id").as("o_custkey"), score.as(s"${c}_q"))
+      }
+      // recency: LOW days = best (5); frequency/monetary: HIGH = 5
+      rfm.join(quintile("recency_days", asc = true), Seq("o_custkey"))
+        .join(quintile("f", asc = false), Seq("o_custkey"))
+        .join(quintile("m", asc = false), Seq("o_custkey"))
+        .select(col("o_custkey"), col("recency_days"), col("f"),
+          col("m").cast("double").as("m"),
+          col("recency_days_q").as("r_score"), col("f_q").as("f_score"),
+          col("m_q").as("m_score"),
+          concat(col("recency_days_q"), col("f_q"), col("m_q")).as("segment"))
+    }),
+
+    // seasonally-adjusted anomalies: flag days whose decomposition
+    // residual exceeds 2.5 robust z (residual / per-series residual IQR)
+    "q230_seasonal_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(money(col("value"))).cast("double").as("spend"))
+      val dec = TimeSeries.decompose(daily, col("event_type"), col("day"),
+        col("spend"), period = 7, phase = dayofweek(col("day")))
+      val iqr = dec.where(col("residual").isNotNull)
+        .groupBy(col("key").as("k2"))
+        .agg((percentile(col("residual"), lit(0.75)) -
+          percentile(col("residual"), lit(0.25))).as("riqr"))
+      dec.join(broadcast(iqr), col("key") === col("k2"))
+        .where(col("residual").isNotNull)
+        .select(col("key"), col("bucket").cast("string").as("day"),
+          col("value"), col("residual"),
+          round(col("residual") / col("riqr"), 6).as("robust_z"),
+          (abs(col("residual") / col("riqr")) > 2.5).cast("int").as("is_anomaly"))
+    }),
+
+    // funnel conversion timing: distribution of view -> purchase delay
+    // per converting user (median/p90 over the per-user first-pair)
+    "q231_conversion_time" -> ((s, d) => {
+      val f = TimeSeries.funnel(Tables.events(s, d), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "purchase"))
+      val conv = f.where(col("t_2").isNotNull)
+        .select((col("t_2") - col("t_1")).cast("double").as("delay_us"))
+      conv.agg(count(lit(1)).as("n_converted"),
+        round(percentile(col("delay_us"), lit(0.5)) / 1000000.0, 6)
+          .as("median_sec"),
+        round(percentile(col("delay_us"), lit(0.9)) / 1000000.0, 6)
+          .as("p90_sec"))
+    }),
+
+    // Pareto concentration: smallest customer count covering >= 80% of
+    // revenue, plus the top-decile revenue share — descending cumulative
+    // share over the (customer-total) domain via the two-level prefix sum
+    "q233_pareto" -> ((s, d) => {
+      val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(money(col("o_totalprice"))).as("rev"))
+      // descending revenue order = ascending on the negated value;
+      // revenue folds as exact integer cents so BOTH cumulative columns
+      // ride the two-level prefix sum (no single-partition sort)
+      val counts = per.groupBy((-col("rev")).as("v"))
+        .agg(count(lit(1)).as("c"),
+          (sum(col("rev")) * 100).cast("long").as("cents"))
+      val cum = graft.operators.DataQuality.cumulativeByValue(
+        counts, Seq("c", "cents"))
+      val tot = per.agg((sum(col("rev")) * 100).cast("long").as("tcents"),
+        count(lit(1)).as("tn"))
+      cum.crossJoin(broadcast(tot)).agg(
+        min(when(col("cum_cents").cast("double") >=
+          col("tcents").cast("double") * 0.8, col("cum_c"))).as("n_for_80pct"),
+        max(col("tn")).as("n_customers"),
+        round(max(when(col("cum_c") <= (col("tn").cast("double") / 10.0)
+            .cast("long"),
+          col("cum_cents").cast("double") / col("tcents").cast("double"))), 6)
+          .as("top_decile_share"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q228_ltv_curve" ->
+      """WITH coh AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                      FROM events GROUP BY user_id),
+          sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+                 FROM coh GROUP BY cohort),
+          sp AS (SELECT cohort,
+                        CAST(floor(date_diff('day', CAST(cohort AS DATE),
+                          CAST(ts AS DATE)) / 7) AS INT) AS week_idx,
+                        sum(CAST(value AS DECIMAL(18,2))) AS rev
+                 FROM events JOIN coh USING (user_id)
+                 GROUP BY 1, 2),
+          cw AS (SELECT cohort, week_idx, rev,
+                        sum(rev) OVER (PARTITION BY cohort ORDER BY week_idx)
+                          AS cum_rev
+                 FROM sp)
+          SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort, week_idx,
+                 n_cohort, CAST(rev AS DOUBLE) AS week_rev,
+                 ROUND(CAST(cum_rev AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+                   AS ltv_per_user
+          FROM cw JOIN sz USING (cohort)""",
+
+    "q229_rfm" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+          rfm AS (SELECT o_custkey,
+                         date_diff('day', max(CAST(o_orderdate AS DATE)), mx)
+                           AS recency_days,
+                         CAST(count(*) AS BIGINT) AS f,
+                         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+                  FROM orders, mx GROUP BY o_custkey, mx),
+          q AS (SELECT o_custkey, recency_days, f, m,
+                       ROUND(percent_rank() OVER (ORDER BY recency_days), 6) AS qr,
+                       ROUND(percent_rank() OVER (ORDER BY f), 6) AS qf,
+                       ROUND(percent_rank() OVER (ORDER BY m), 6) AS qm
+                FROM rfm),
+          sc AS (SELECT o_custkey, recency_days, f, CAST(m AS DOUBLE) AS m,
+                        CAST(5 - least(floor(qr * 5), 4) AS INT) AS r_score,
+                        CAST(least(floor(qf * 5), 4) + 1 AS INT) AS f_score,
+                        CAST(least(floor(qm * 5), 4) + 1 AS INT) AS m_score
+                 FROM q)
+          SELECT o_custkey, recency_days, f, m, r_score, f_score, m_score,
+                 CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS segment
+          FROM sc""",
+
+    "q230_seasonal_anomaly" ->
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+                    FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type, day, spend,
+                       CASE WHEN count(*) OVER w = 7
+                            THEN CAST(sum(CAST(spend AS DECIMAL(28,6))) OVER w AS DOUBLE) / 7
+                       END AS trend,
+                       dayofweek(day) AS phase
+                FROM s
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          se AS (SELECT event_type, phase,
+                        CAST(sum(CAST(spend - trend AS DECIMAL(28,12))) AS DOUBLE)
+                          / count(*) AS seasonal
+                 FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+          d AS (SELECT t.event_type AS key, t.day, ROUND(t.spend, 6) AS value,
+                       ROUND(t.spend - t.trend - se.seasonal, 6) AS residual
+                FROM t LEFT JOIN se
+                  ON t.event_type = se.event_type AND t.phase = se.phase),
+          iqr AS (SELECT key, quantile_cont(residual, 0.75)
+                         - quantile_cont(residual, 0.25) AS riqr
+                  FROM d WHERE residual IS NOT NULL GROUP BY key)
+          SELECT d.key, CAST(d.day AS VARCHAR) AS day, d.value, d.residual,
+                 ROUND(d.residual / iqr.riqr, 6) AS robust_z,
+                 CAST(abs(d.residual / iqr.riqr) > 2.5 AS INT) AS is_anomaly
+          FROM d JOIN iqr ON d.key = iqr.key
+          WHERE d.residual IS NOT NULL""",
+
+    "q231_conversion_time" ->
+      """WITH f AS (SELECT user_id,
+                           min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+                    FROM events GROUP BY user_id),
+          p AS (SELECT f.user_id, tv,
+                       min(CASE WHEN e.event_type = 'purchase'
+                                AND epoch_us(e.ts) > epoch_us(tv)
+                           THEN epoch_us(e.ts) END) AS tp
+                FROM f JOIN events e ON f.user_id = e.user_id
+                WHERE tv IS NOT NULL
+                GROUP BY f.user_id, tv),
+          c AS (SELECT CAST(tp - epoch_us(tv) AS DOUBLE) AS delay_us
+                FROM p WHERE tp IS NOT NULL)
+          SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                 ROUND(quantile_cont(delay_us, 0.5) / 1000000.0, 6) AS median_sec,
+                 ROUND(quantile_cont(delay_us, 0.9) / 1000000.0, 6) AS p90_sec
+          FROM c""",
+
+    "q233_pareto" ->
+      """WITH per AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                      FROM orders GROUP BY o_custkey),
+          c AS (SELECT -rev AS v, count(*) AS c,
+                       CAST(sum(rev) * 100 AS BIGINT) AS cents
+                FROM per GROUP BY 1),
+          cw AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum_c,
+                        sum(cents) OVER (ORDER BY v) AS cum_cents
+                 FROM c),
+          t AS (SELECT CAST(sum(rev) * 100 AS BIGINT) AS tcents,
+                       CAST(count(*) AS BIGINT) AS tn FROM per)
+          SELECT CAST(min(CASE WHEN CAST(cum_cents AS DOUBLE)
+                                    >= CAST(tcents AS DOUBLE) * 0.8
+                          THEN cum_c END) AS BIGINT) AS n_for_80pct,
+                 max(tn) AS n_customers,
+                 ROUND(max(CASE WHEN cum_c <= CAST(CAST(tn AS DOUBLE) / 10.0 AS BIGINT)
+                           THEN CAST(cum_cents AS DOUBLE) / CAST(tcents AS DOUBLE)
+                           END), 6) AS top_decile_share
+          FROM cw, t"""
+  )
+}

@@ -127,7 +127,14 @@ class PlanAuditSpec extends SparkSpec {
     // q225/q226: impute/outlier fits — the global-median fallback and
     // the sufficient-stat moment frames are 1 row, crossJoin-broadcast
     // (q30/q31's fit shape)
-    "q225_group_impute", "q226_mahalanobis")
+    "q225_group_impute", "q226_mahalanobis",
+    // q229: three percent-rank fits (max-date scalar + the
+    // cumulativeByValue offsets), q166's shape per dimension
+    "q229_rfm",
+    // q231: the conversion-timing readout is one final row
+    "q231_conversion_time",
+    // q233: cumulativeByValue offsets + the 1-row revenue-total frame
+    "q233_pareto")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
