@@ -109,6 +109,32 @@ object AnalyticsQueries {
           .as("p90_sec"))
     }),
 
+    // video scene-cut detection over the stub codec: per sampled frame
+    // a perceptual dHash, consecutive-frame hamming distance, cuts
+    // where the distance clears the threshold — the shot-segmentation
+    // plumbing (explode, per-doc ordered window, bit ops) is real;
+    // only the pixel source is the deterministic fake
+    "q234_scene_cuts" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
+      val frames = Multimodal.sampleFrames(
+        Multimodal.decodeFeatures(docs, "doc_id"), everyK = 2)
+      val withPay = frames.join(docs.select(col("doc_id"), col("payload")),
+        Seq("doc_id"))
+      val framePayload = concat(col("payload"),
+        to_binary(concat(lit(":f"), col("frame_idx")), lit("utf-8")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      withPay
+        .select(col("doc_id"), col("frame_idx"),
+          Multimodal.dHash56(framePayload).as("fh"))
+        .withColumn("ham", when(lag(col("fh"), 1).over(w).isNotNull,
+          bit_count(col("fh").bitwiseXOR(lag(col("fh"), 1).over(w)))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(when(col("ham") > 32, 1L).otherwise(0L)).as("n_cuts"),
+          round(avg(col("ham")), 6).as("mean_hamming"))
+    }),
+
     // Pareto concentration: smallest customer count covering >= 80% of
     // revenue, plus the top-decile revenue share — descending cumulative
     // share over the (customer-total) domain via the two-level prefix sum
@@ -135,6 +161,17 @@ object AnalyticsQueries {
           .as("top_decile_share"))
     })
   )
+
+  /** dHash-of-frame SQL macro: pixel (r, c) = hex byte c of
+    * md5(<textExpr> || ':r'); mirrors Multimodal.dHash56 over the
+    * frame-augmented payload bit-exactly. */
+  private def dhashSql(textExpr: String): String = {
+    def pix(r: Int, c: Int) =
+      s"CAST(('0x' || substr(md5($textExpr || ':$r'), ${2 * c + 1}, 2)) AS BIGINT)"
+    (for { r <- 0 until 7; c <- 0 until 8 } yield
+      s"CASE WHEN ${pix(r, c + 1)} > ${pix(r, c)} THEN ${1L << (r * 8 + c)} ELSE 0 END")
+      .mkString("\n             + ")
+  }
 
   val oracles: Map[String, String] = Map(
     "q228_ltv_curve" ->
@@ -227,6 +264,32 @@ object AnalyticsQueries {
                  ROUND(quantile_cont(delay_us, 0.5) / 1000000.0, 6) AS median_sec,
                  ROUND(quantile_cont(delay_us, 0.9) / 1000000.0, 6) AS p90_sec
           FROM c""",
+
+    "q234_scene_cuts" ->
+      s"""WITH m AS (SELECT doc_id, text,
+                            1 + CAST(('0x' || substr(md5(text), 9, 2)) AS INT) % 16
+                              AS n_frames
+                     FROM documents),
+          fr AS (SELECT doc_id, text, CAST(unnest(range(0, n_frames, 2)) AS INT)
+                          AS frame_idx
+                 FROM m),
+          h AS (SELECT doc_id, frame_idx,
+                       ${dhashSql("text || ':f' || CAST(frame_idx AS VARCHAR)")}
+                         AS fh
+                FROM fr),
+          l AS (SELECT doc_id, fh,
+                       lag(fh) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                         AS prev
+                FROM h),
+          d AS (SELECT doc_id,
+                       CASE WHEN prev IS NOT NULL
+                            THEN bit_count(xor(fh, prev)) END AS ham
+                FROM l)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(CASE WHEN ham > 32 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cuts,
+                 ROUND(avg(ham), 6) AS mean_hamming
+          FROM d GROUP BY doc_id""",
 
     "q233_pareto" ->
       """WITH per AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

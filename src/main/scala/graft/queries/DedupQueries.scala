@@ -45,6 +45,25 @@ object DedupQueries {
         col("payload"), maxHamming = 3)
     }),
 
+    // dedup diagnostics: per-source share of documents with at least
+    // one MinHash-LSH near-duplicate (the curation report that decides
+    // which ingest feeds need scrubbing)
+    "q238_dup_rate_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
+      val dup = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .distinct().withColumn("isdup", lit(1))
+      docs.join(dup, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("isdup"), lit(0))).as("n_with_dup"))
+        .select(col("source"), col("n_docs"), col("n_with_dup"),
+          round(col("n_with_dup").cast("double") / col("n_docs").cast("double"), 6)
+            .as("dup_rate"))
+    }),
+
     // record linkage: match odd-key part names to their top-3 even-key
     // canonical parts. p_name draws 5 words from a ~16-word vocabulary,
     // so token blocking degenerates (25% of all pairs share a token);
@@ -178,14 +197,14 @@ object DedupQueries {
   /** [[MINHASH_BAND_CTES]] + the self-join candidate table `cand`
     * (id_a, id_b, sh_a, sh_b) — shared by q24 (pair list) and q86/q111
     * (connected components over the pairs). */
-  private val MINHASH_PAIR_CTES =
+  private[queries] val MINHASH_PAIR_CTES =
     s"""$MINHASH_BAND_CTES,
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
             a.shingles AS sh_a, b.shingles AS sh_b
           FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
 
-  private val PAIR_JACCARD =
+  private[queries] val PAIR_JACCARD =
     """CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
        (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"""
 
@@ -201,6 +220,20 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q238_dup_rate_by_source" ->
+      s"""WITH $MINHASH_PAIR_CTES,
+          pr AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
+          dup AS (SELECT DISTINCT doc_id FROM
+                  (SELECT id_a AS doc_id FROM pr
+                   UNION ALL SELECT id_b FROM pr))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_with_dup,
+                 ROUND(CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+          FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+          GROUP BY source""",
+
     "q158_image_dhash_neardup" ->
       s"""WITH h AS (
             SELECT doc_id,

@@ -27,6 +27,33 @@ object SimilarityQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)
     }),
 
+    // embedding-space isotropy probe: mean (and mean absolute) cosine
+    // over a deterministic md5 sample of vector pairs — anisotropic
+    // (cone-shaped) embedding spaces show mean cosine >> 0, which
+    // degrades cosine-based dedup/ANN; this is the health check run
+    // before trusting them. Pair draws are md5-derived, cosines fold
+    // through DECIMAL(18,12), so the oracle replays the exact numbers
+    "q237_embedding_isotropy" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+      val n = e.count() // bounded fit scalar (corpus size), q26's policy
+      val pairs = s.range(2000).select(
+          pmod(graft.functions.TextAnalysis.hash60(
+            concat(lit("isoA:"), col("id"))), lit(n)).as("ia"),
+          pmod(graft.functions.TextAnalysis.hash60(
+            concat(lit("isoB:"), col("id"))), lit(n)).as("ib"))
+        .where(col("ia") =!= col("ib"))
+      val cos = Similarity.cosine(col("ea"), col("eb"))
+      pairs
+        .join(e.select(col("vec_id").as("ia"), col("emb").as("ea")), Seq("ia"))
+        .join(e.select(col("vec_id").as("ib"), col("emb").as("eb")), Seq("ib"))
+        .select(cos.cast("decimal(18,12)").as("c"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("c")).cast("double"), 6).as("mean_cos"),
+          round(avg(abs(col("c"))).cast("double"), 6).as("mean_abs_cos"),
+          round(max(abs(col("c"))).cast("double"), 6).as("max_abs_cos"))
+    }),
+
     "q28_sim_srp_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
@@ -128,6 +155,23 @@ object SimilarityQueries {
             FROM scored)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K""",
+
+    "q237_embedding_isotropy" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          nn AS (SELECT count(*) AS n FROM e),
+          pr AS (SELECT ${H60("'isoA:' || CAST(j AS VARCHAR)")} % n AS ia,
+                        ${H60("'isoB:' || CAST(j AS VARCHAR)")} % n AS ib
+                 FROM (SELECT unnest(range(0, 2000)) AS j), nn),
+          c AS (SELECT CAST(${cosSql("a.emb", "b.emb")} AS DECIMAL(18,12)) AS c
+                FROM pr JOIN e a ON pr.ia = a.vec_id
+                        JOIN e b ON pr.ib = b.vec_id
+                WHERE pr.ia <> pr.ib)
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 ROUND(CAST(avg(c) AS DOUBLE), 6) AS mean_cos,
+                 ROUND(CAST(avg(abs(c)) AS DOUBLE), 6) AS mean_abs_cos,
+                 ROUND(CAST(max(abs(c)) AS DOUBLE), 6) AS max_abs_cos
+          FROM c""",
 
     "q27_sim_cosine_neardup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

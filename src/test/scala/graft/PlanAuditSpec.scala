@@ -134,7 +134,9 @@ class PlanAuditSpec extends SparkSpec {
     // q231: the conversion-timing readout is one final row
     "q231_conversion_time",
     // q233: cumulativeByValue offsets + the 1-row revenue-total frame
-    "q233_pareto")
+    "q233_pareto",
+    // q237: the isotropy readout is one final row over 2000 pair scores
+    "q237_embedding_isotropy")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
