@@ -507,6 +507,35 @@ object DataQuality {
     "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
     "0.999916758850712", "0.9999897508033253", "0.999998874797402")
 
+  /** Join-cardinality pre-flight: before running a 100 TB join, the
+    * exact output size it would produce and the keys that dominate it —
+    * per-key counts on both sides (two hash aggs on the key domain),
+    * contribution = ca*cb per joint key, the total, and the top-k
+    * contributors through the bounded TopK aggregator. The 30-second
+    * check that catches the quadratic hot key BEFORE it wedges a
+    * cluster; pairs naturally with [[skewReport]]. */
+  def joinCardinality(left: DataFrame, lk: Column, right: DataFrame,
+                      rk: Column, topK: Int = 5): DataFrame = {
+    val ca = left.where(lk.isNotNull).groupBy(lk.as("k")).agg(count(lit(1)).as("ca"))
+    val cb = right.where(rk.isNotNull).groupBy(rk.as("k")).agg(count(lit(1)).as("cb"))
+    val joint = ca.join(cb, Seq("k"))
+      .withColumn("contrib", col("ca") * col("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = joint.agg(sum(col("contrib").cast("decimal(38,0)"))
+      .cast("double").as("est_rows"), count(lit(1)).as("n_joint_keys"))
+    val top = graft.aggregators.TopK.topKPerKey(
+      joint.select(lit(1).as("__g"), col("k").cast("long").as("k"),
+        col("contrib").cast("double").as("score")),
+      "__g", "k", "score", topK)
+    val out = top.crossJoin(broadcast(tot))
+      .select(col("k").as("key"), col("score").cast("long").as("contrib"),
+        col("rank"), round(col("score") / col("est_rows"), 6).as("share"),
+        col("est_rows").cast("long").as("est_rows"), col("n_joint_keys"))
+    val res = out.localCheckpoint(true)
+    joint.unpersist(blocking = false)
+    res
+  }
+
   /** Bivariate Mahalanobis outlier distances: d2 = (r - mu)' S^-1
     * (r - mu) over two numeric columns, with mean vector and covariance
     * from ONE aggregation of exact decimal sufficient statistics and

@@ -482,6 +482,26 @@ object TimeSeries {
     res
   }
 
+  /** Exact distinct-entity counts over SLIDING day windows (the
+    * "7-day active users" series): distinct counts do not merge across
+    * window panes, so instead of per-pane sketches each (entity, day)
+    * activity row is re-keyed to every window END it belongs to — a
+    * bounded windowDays-fold expand — and one hash aggregation counts
+    * distinct entities per end. Flat cost, no ordered state, no sketch
+    * error; window ends are restricted to days that actually occur. */
+  def slidingDistinct(df: DataFrame, entity: Column, ts: Column,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"windowDays out of range: $windowDays")
+    val ud = df.select(entity.as("e"), to_date(ts).as("day")).distinct()
+    val ends = ud.select(col("day").as("window_end")).distinct()
+    ud.withColumn("window_end",
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))))
+      .join(ends, Seq("window_end"))
+      .groupBy(col("window_end"))
+      .agg(countDistinct(col("e")).as("n_active"))
+  }
+
   /** Kaplan-Meier survival estimator over (duration, event-observed)
     * pairs: S(t) = prod over event times t_i <= t of (1 - d_i / n_i),
     * with d_i deaths at t_i and n_i the at-risk count (standard

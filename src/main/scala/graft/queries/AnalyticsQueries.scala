@@ -135,6 +135,39 @@ object AnalyticsQueries {
           round(avg(col("ham")), 6).as("mean_hamming"))
     }),
 
+    // streaming Markov-transition extraction: per-user consecutive
+    // event pairs via one-tuple-per-key state, aggregated to the same
+    // transition matrix the batch q218 produces (same oracle)
+    "q239_stream_markov" -> ((s, d) => {
+      import graft.streaming.Streaming
+      val t = Streaming.transitionStream(s, Streaming.eventStream(s, d))
+      val rows = Streaming.runToCompletion(s, t.toDF(), "q239_markov",
+        outputMode = "append", shufflePartitions = Some(8))
+      val p = rows.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      // derived-from-self join: rename the marginal's key to avoid
+      // conflicting attribute references
+      val m = p.select(col("cur").as("cur2"), col("n"))
+        .groupBy(col("cur2")).agg(sum(col("n")).as("rt"))
+      p.join(broadcast(m), col("cur") === col("cur2"))
+        .select(col("cur"), col("nxt"), col("n"),
+          round(col("n").cast("double") / col("rt").cast("double"), 6).as("p"))
+    }),
+
+    // exact 7-day sliding distinct actives (re-keyed expand, no sketch)
+    "q240_sliding_distinct" -> ((s, d) => {
+      TimeSeries.slidingDistinct(Tables.events(s, d), col("user_id"),
+          col("ts"), windowDays = 7)
+        .withColumn("window_end", col("window_end").cast("string"))
+    }),
+
+    // join-cardinality pre-flight for the lineitem self-join on
+    // partkey: exact output size + dominating keys
+    "q241_join_cardinality" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.operators.DataQuality.joinCardinality(li, col("l_partkey"),
+        li, col("l_partkey"), topK = 5)
+    }),
+
     // Pareto concentration: smallest customer count covering >= 80% of
     // revenue, plus the top-decile revenue share — descending cumulative
     // share over the (customer-total) domain via the two-level prefix sum
@@ -264,6 +297,43 @@ object AnalyticsQueries {
                  ROUND(quantile_cont(delay_us, 0.5) / 1000000.0, 6) AS median_sec,
                  ROUND(quantile_cont(delay_us, 0.9) / 1000000.0, 6) AS p90_sec
           FROM c""",
+
+    "q239_stream_markov" ->
+      """WITH seq AS (SELECT user_id, event_type AS cur,
+                             lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+                      FROM events),
+          p AS (SELECT cur, nxt, count(*) AS n FROM seq
+                WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          m AS (SELECT cur, CAST(sum(n) AS BIGINT) AS rt FROM p GROUP BY cur)
+          SELECT p.cur, p.nxt, p.n,
+                 ROUND(CAST(p.n AS DOUBLE) / CAST(m.rt AS DOUBLE), 6) AS p
+          FROM p JOIN m ON p.cur = m.cur""",
+
+    "q240_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS e, CAST(ts AS DATE) AS day
+                     FROM events),
+          ends AS (SELECT DISTINCT day AS window_end FROM ud)
+          SELECT CAST(window_end AS VARCHAR) AS window_end,
+                 CAST(count(DISTINCT e) AS BIGINT) AS n_active
+          FROM ends JOIN ud
+            ON ud.day <= ends.window_end AND ud.day >= ends.window_end - 6
+          GROUP BY ends.window_end""",
+
+    "q241_join_cardinality" ->
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+                    WHERE l_partkey IS NOT NULL GROUP BY 1),
+          j AS (SELECT k, c * c AS contrib FROM c),
+          t AS (SELECT CAST(sum(contrib) AS DOUBLE) AS est_rows,
+                       CAST(count(*) AS BIGINT) AS n_joint_keys FROM j),
+          r AS (SELECT k, contrib,
+                       ROW_NUMBER() OVER (ORDER BY contrib DESC, k) AS rank
+                FROM j)
+          SELECT k AS key, CAST(contrib AS BIGINT) AS contrib,
+                 CAST(rank AS INT) AS rank,
+                 ROUND(CAST(contrib AS DOUBLE) / est_rows, 6) AS share,
+                 CAST(est_rows AS BIGINT) AS est_rows, n_joint_keys
+          FROM r, t WHERE rank <= 5""",
 
     "q234_scene_cuts" ->
       s"""WITH m AS (SELECT doc_id, text,

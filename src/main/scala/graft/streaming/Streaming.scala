@@ -239,6 +239,42 @@ object Streaming {
       }
   }
 
+  /** Per-key event-TRANSITION extraction over a stream (the streaming
+    * feed for a Markov/behavior model): every consecutive
+    * (current -> next) state pair per user, in (ts, event_id) order.
+    * State per key is ONE tuple — the key's last-seen event — so memory
+    * is bounded by active keys; each micro-batch's rows for a key are
+    * sorted in memory before folding (per-key-per-batch bounded, the
+    * same contract as the batch sequence assembly), and the saved last
+    * event stitches transitions across batch boundaries. Late events
+    * that sort before the saved state are a stream-ordering reality;
+    * bound them upstream with a watermark + sorted replay if exactness
+    * across disordered batches matters. */
+  case class LastEvent(userId: Long, tsMicros: Long, eventId: Long, etype: String)
+  case class Transition(userId: Long, cur: String, nxt: String)
+  def transitionStream(spark: SparkSession, stream: DataFrame)
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream.select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        val initial = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+        var last = initial
+        sorted.foreach { case (_, ts, eid, et) =>
+          last.foreach(prev => out += Transition(key, prev.etype, et))
+          last = Some(LastEvent(key, ts, eid, et))
+        }
+        last.foreach(state.update)
+        out.iterator
+      }
+  }
+
   /** Stream-stream event-time interval join (beyond the reference —
     * stateless DStream scoring was its ceiling): views matched to the
     * same user's purchases within `window` after the view. Both sides
