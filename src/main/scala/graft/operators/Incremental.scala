@@ -47,6 +47,31 @@ object Incremental {
     unioned.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Keyed snapshot reconciliation: classify every key across two
+    * table versions as added / removed / changed / unchanged by
+    * comparing an md5 digest of the tracked payload columns. ONE full
+    * outer join on the key — the nightly diff that validates a
+    * migration or an incremental load against its source, emitting the
+    * per-key status frame (aggregate downstream for the scoreboard).
+    * Digest comparison keeps the shuffle payload at two hashes per key
+    * regardless of row width. */
+  def snapshotDiff(old: DataFrame, oldKey: Column, newDf: DataFrame,
+                   newKey: Column, payload: Seq[Column]): DataFrame = {
+    require(payload.nonEmpty, "snapshotDiff needs payload columns")
+    def digested(df: DataFrame, k: Column, tag: String) =
+      df.select(k.as(s"k_$tag"),
+        md5(concat_ws("\u0001", payload.map(_.cast("string")): _*))
+          .as(s"h_$tag"))
+    digested(old, oldKey, "old")
+      .join(digested(newDf, newKey, "new"),
+        col("k_old") === col("k_new"), "full_outer")
+      .select(coalesce(col("k_old"), col("k_new")).as("key"),
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Read-time derivation over a state: per metric, count / sum / mean
     * (sum over count, double) / min / max. */
   def readout(state: DataFrame, keys: Seq[String],

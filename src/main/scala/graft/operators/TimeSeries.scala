@@ -482,6 +482,27 @@ object TimeSeries {
     res
   }
 
+  /** Exponential-decay engagement score per entity:
+    * sum over events of value * 2^(-(T - t) / halflife), T the global
+    * reference instant — the recency-weighted activity feature that
+    * replaces "count of events in the last N days" with a smooth decay.
+    * Each per-event term is rounded to DECIMAL(18,12) BEFORE the
+    * per-entity sum, so the hash aggregation's fold order cannot
+    * perturb the score and a replaying engine matches it exactly. One
+    * hash aggregation; the reference instant is a plan literal the
+    * caller fixes (never now()). */
+  def decayScore(df: DataFrame, entity: Column, ts: Column, value: Column,
+                 refInstant: String, halflifeDays: Double): DataFrame = {
+    require(halflifeDays > 0, s"halflife must be positive: $halflifeDays")
+    val ageDays = (unix_micros(lit(refInstant).cast("timestamp")) -
+      unix_micros(ts)).cast("double") / lit(86400000000.0)
+    val term = (value.cast("double") *
+      pow(lit(2.0), -ageDays / lit(halflifeDays))).cast("decimal(18,12)")
+    df.groupBy(entity.as("entity"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(term).cast("double"), 6).as("decay_score"))
+  }
+
   /** Exact distinct-entity counts over SLIDING day windows (the
     * "7-day active users" series): distinct counts do not merge across
     * window panes, so instead of per-pane sketches each (entity, day)

@@ -135,6 +135,51 @@ object AnalyticsQueries {
           round(avg(col("ham")), 6).as("mean_hamming"))
     }),
 
+    // keyed snapshot diff: orders with totalprice > 200k "masked" in
+    // the old version simulate a changed load; the reconciliation
+    // scoreboard counts added/changed/unchanged per order priority
+    "q242_snapshot_diff" -> ((s, d) => {
+      import graft.operators.Incremental
+      val cur = Tables.orders(s, d)
+      val old = cur.where(pmod(col("o_orderkey"), lit(13L)) =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_totalprice") > 200000, 0.0).otherwise(col("o_totalprice")))
+      val diff = Incremental.snapshotDiff(old, col("o_orderkey"),
+        cur, col("o_orderkey"),
+        Seq(col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)")))
+      diff.join(cur.select(col("o_orderkey").as("key"), col("o_orderpriority")),
+          Seq("key"), "left")
+        .groupBy(col("o_orderpriority"), col("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // recency-weighted engagement: half-life-decayed event value per
+    // user (terms decimal-rounded so the fold is order-exact)
+    "q243_decay_score" -> ((s, d) => {
+      TimeSeries.decayScore(Tables.events(s, d), col("user_id"), col("ts"),
+        col("value"), refInstant = "2024-02-01 00:00:00", halflifeDays = 7.0)
+    }),
+
+    // data-contract validation: per-rule violation counts over lineitem
+    // (range, enum, positivity, temporal-window expectations)
+    "q244_data_contract" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val rules = Seq(
+        ("qty_in_range", col("l_quantity").between(0, 60)),
+        ("price_positive", col("l_extendedprice") > 0),
+        ("discount_unit_interval", col("l_discount").between(0, 1)),
+        ("returnflag_enum", col("l_returnflag").isin("A", "N", "R")),
+        ("shipdate_window",
+          col("l_shipdate").between("1992-01-01", "2000-01-01")))
+      li.select(explode(array(rules.map { case (name, ok) =>
+          struct(lit(name).as("rule"),
+            when(ok, 0L).otherwise(1L).as("viol")) }: _*)).as("r"))
+        .groupBy(col("r.rule").as("rule"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("r.viol")).as("n_violations"),
+          round(lit(1.0) - sum(col("r.viol")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("pass_rate"))
+    }),
+
     // streaming Markov-transition extraction: per-user consecutive
     // event pairs via one-tuple-per-key state, aggregated to the same
     // transition matrix the batch q218 produces (same oracle)
@@ -297,6 +342,62 @@ object AnalyticsQueries {
                  ROUND(quantile_cont(delay_us, 0.5) / 1000000.0, 6) AS median_sec,
                  ROUND(quantile_cont(delay_us, 0.9) / 1000000.0, 6) AS p90_sec
           FROM c""",
+
+    "q242_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey,
+                             md5(o_orderstatus || chr(1) ||
+                                 CAST(CAST(CASE WHEN o_totalprice > 200000 THEN 0.0
+                                      ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR))
+                               AS h_old
+                      FROM orders WHERE o_orderkey % 13 <> 0),
+          nw AS (SELECT o_orderkey,
+                        md5(o_orderstatus || chr(1) ||
+                            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h_new
+                 FROM orders),
+          diff AS (SELECT coalesce(old.o_orderkey, nw.o_orderkey) AS key,
+                          CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                               WHEN nw.o_orderkey IS NULL THEN 'removed'
+                               WHEN h_old = h_new THEN 'unchanged'
+                               ELSE 'changed' END AS status
+                   FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey)
+          SELECT o_orderpriority, status, CAST(count(*) AS BIGINT) AS n
+          FROM diff LEFT JOIN orders ON diff.key = orders.o_orderkey
+          GROUP BY 1, 2""",
+
+    "q243_decay_score" ->
+      """SELECT user_id AS entity, CAST(count(*) AS BIGINT) AS n_events,
+                ROUND(CAST(sum(CAST(value * pow(2.0,
+                    -(CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                       - epoch_us(ts) AS DOUBLE) / 86400000000.0) / 7.0)
+                  AS DECIMAL(18,12))) AS DOUBLE), 6) AS decay_score
+         FROM events GROUP BY user_id""",
+
+    "q244_data_contract" ->
+      """WITH v AS (
+           SELECT 'qty_in_range' AS rule,
+                  CASE WHEN l_quantity BETWEEN 0 AND 60 THEN 0 ELSE 1 END AS viol
+           FROM lineitem
+           UNION ALL
+           SELECT 'price_positive', CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END
+           FROM lineitem
+           UNION ALL
+           SELECT 'discount_unit_interval',
+                  CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END
+           FROM lineitem
+           UNION ALL
+           SELECT 'returnflag_enum',
+                  CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END
+           FROM lineitem
+           UNION ALL
+           SELECT 'shipdate_window',
+                  CASE WHEN l_shipdate BETWEEN TIMESTAMP '1992-01-01 00:00:00'
+                       AND TIMESTAMP '2000-01-01 00:00:00' THEN 0 ELSE 1 END
+           FROM lineitem)
+          SELECT rule, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(viol) AS BIGINT) AS n_violations,
+                 ROUND(1.0 - CAST(sum(viol) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS pass_rate
+          FROM v GROUP BY rule""",
 
     "q239_stream_markov" ->
       """WITH seq AS (SELECT user_id, event_type AS cur,
