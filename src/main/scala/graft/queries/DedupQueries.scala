@@ -19,7 +19,8 @@ object DedupQueries {
     // (suppliers offset into their own key space; both directions so
     // mass flows through the bipartite structure)
     "q142_pagerank" -> ((s, d) => {
-      val trade = Tables.orders(s, d)
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
         .join(Tables.lineitem(s, d),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"),
@@ -83,7 +84,11 @@ object DedupQueries {
     // customer<->supplier trade graph: neighbor-majority labels with
     // min tiebreak — communities, not components
     "q167_label_propagation" -> ((s, d) => {
-      val trade = Tables.orders(s, d)
+      // the orders projection is a 2-column ~MB dimension against the
+      // lineitem fact: broadcast it so the edge build never shuffles
+      // the fact side
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
       graft.operators.Graph.labelPropagation(trade, col("c"), col("p"), iters = 2)

@@ -372,7 +372,11 @@ object StatsQueries {
     // personalized PageRank on the trade graph, teleporting to the
     // BUILDING-segment customers (seed-proximity affinity ranking)
     "q216_personalized_pagerank" -> ((s, d) => {
-      val trade = Tables.orders(s, d)
+      // the orders projection is a 2-column ~MB dimension against the
+      // lineitem fact: broadcast it so the edge build never shuffles
+      // the fact side
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
       val edges = trade.select(col("c").as("src"), col("p").as("dst"))
