@@ -338,6 +338,27 @@ object Curation {
       .limit(n)
   }
 
+  /** Per-group weighted sampling without replacement (Efraimidis-
+    * Spirakis per group): top `nPerGroup` rows by the deterministic key
+    * ln(u)/w inside each group, selected by the bounded
+    * [[graft.aggregators.TopK]] aggregator — map-side partials forward
+    * ~2k candidates per mapper per group instead of sorting every row
+    * under a window. The per-group form of [[weightedSample]]. */
+  def weightedSamplePerGroup(df: DataFrame, group: Column, id: Column,
+                             weight: Column, nPerGroup: Int,
+                             salt: String = "wsample"): DataFrame = {
+    require(nPerGroup > 0, s"sample size must be positive: $nPerGroup")
+    val u = (hash60(concat_ws(":", lit(salt), id)) + 1L).cast("double") /
+      lit(1152921504606846976.0)
+    val keyed = df.select(group.as("g"), id.cast("long").as("id"),
+      (log(u) / weight.cast("double")).as("sample_key"))
+    graft.aggregators.TopK.topKPerKey(keyed, "g", "id", "sample_key",
+        nPerGroup, descending = true)
+      // + 0.0 folds a rounded -0.0 into +0.0 (the signed-zero hash trap)
+      .select(col("g"), col("id"),
+        (round(col("sample_key"), 6) + lit(0.0)).as("sample_key"), col("rank"))
+  }
+
   // ---- Corpus-fitted LM quality signal -------------------------------
 
   /** CCNet-style language-model quality signal, self-fitted: per-doc

@@ -507,6 +507,55 @@ object DataQuality {
     "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
     "0.999916758850712", "0.9999897508033253", "0.999998874797402")
 
+  /** Control-chart (X-bar) limits and flags per series: mean and
+    * sample sigma from exact decimal sufficient statistics, points
+    * outside mean +/- k*sigma flagged. The global-limits complement to
+    * the trailing-window [[graft.operators.TimeSeries.rollingAnomalies]].
+    * One aggregation + one broadcast join back. */
+  def controlChart(df: DataFrame, series: Column, bucket: Column,
+                   value: Column, k: Double = 3.0): DataFrame = {
+    val v = value.cast("decimal(18,6)")
+    val base = df.select(series.as("g"), bucket.as("bucket"), v.as("x"))
+    val stats = base.groupBy(col("g").as("g2"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("g2"), col("n"), (col("sx") / col("n").cast("double")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0))).as("sigma"))
+    base.join(broadcast(stats), col("g") === col("g2"))
+      .select(col("g"), col("bucket"), col("x").cast("double").as("value"),
+        round(col("mean"), 6).as("mean"), round(col("sigma"), 6).as("sigma"),
+        (abs(col("x").cast("double") - col("mean")) > lit(k) * col("sigma"))
+          .cast("int").as("out_of_control"))
+  }
+
+  /** Column content fingerprinting: detect duplicate/identical columns
+    * by an ORDER-INDEPENDENT digest — per column, the exact
+    * DECIMAL(38,0) sum of hash60("c:" || value-as-DECIMAL(18,6)-string)
+    * over non-null values, plus count and distinct count. Columns with
+    * equal (digest, count) land in the same `dup_group` (named by the
+    * smallest member). One explode + one aggregation over the column
+    * battery; the profiling pass that finds redundant storage before a
+    * 100 TB copy. */
+  def columnFingerprints(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnFingerprints needs columns")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(c).cast("decimal(18,6)").cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.*")).where(col("v").isNotNull)
+    val prof = pairs.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(graft.functions.TextAnalysis.hash60(concat_ws(":", lit("c"), col("v")))
+          .cast("decimal(38,0)")).as("digest"))
+    val groups = prof.groupBy(col("digest").as("d2"), col("n_nonnull").as("nn2"))
+      .agg(min(col("col_name")).as("dup_group"))
+    prof.join(broadcast(groups),
+        col("digest") === col("d2") && col("n_nonnull") === col("nn2"))
+      .select(col("col_name"), col("n_nonnull"), col("n_distinct"),
+        col("dup_group"))
+  }
+
   /** Join-cardinality pre-flight: before running a 100 TB join, the
     * exact output size it would produce and the keys that dominate it —
     * per-key counts on both sides (two hash aggs on the key domain),

@@ -135,6 +135,34 @@ object AnalyticsQueries {
           round(avg(col("ham")), 6).as("mean_hamming"))
     }),
 
+    // per-group weighted sampling without replacement: 4 orders per
+    // priority, Efraimidis-Spirakis keys through the bounded TopK
+    "q245_group_weighted_sample" -> ((s, d) => {
+      graft.operators.Curation.weightedSamplePerGroup(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        nPerGroup = 4)
+    }),
+
+    // X-bar control chart over daily spend per event type: global
+    // 3-sigma limits, out-of-control flags
+    "q246_control_chart" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("spend"))
+      graft.operators.DataQuality.controlChart(daily, col("event_type"),
+          col("day"), col("spend"), k = 3.0)
+        .withColumn("bucket", col("bucket").cast("string"))
+    }),
+
+    // duplicate-column detection by order-independent content digest
+    // (qty_alias is planted as an exact copy of l_quantity)
+    "q248_column_fingerprint" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("qty_alias", col("l_quantity"))
+      graft.operators.DataQuality.columnFingerprints(li,
+        Seq("l_quantity", "qty_alias", "l_discount", "l_tax", "l_extendedprice"))
+    }),
+
     // keyed snapshot diff: orders with totalprice > 200k "masked" in
     // the old version simulate a changed load; the reconciliation
     // scoreboard counts added/changed/unchanged per order priority
@@ -342,6 +370,60 @@ object AnalyticsQueries {
                  ROUND(quantile_cont(delay_us, 0.5) / 1000000.0, 6) AS median_sec,
                  ROUND(quantile_cont(delay_us, 0.9) / 1000000.0, 6) AS p90_sec
           FROM c""",
+
+    "q245_group_weighted_sample" ->
+      """WITH k AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+                           ln(CAST(CAST(('0x' || substr(md5('wsample:'
+                               || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+                               AS DOUBLE) / 1152921504606846976.0)
+                             / o_totalprice AS sample_key
+                    FROM orders),
+          r AS (SELECT g, id, sample_key,
+                       ROW_NUMBER() OVER (PARTITION BY g
+                         ORDER BY sample_key DESC, id) AS rank
+                FROM k)
+          SELECT g, id, ROUND(sample_key, 6) + 0 AS sample_key, CAST(rank AS INT) AS rank
+          FROM r WHERE rank <= 4""",
+
+    "q246_control_chart" ->
+      """WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
+                    FROM events GROUP BY 1, 2),
+          st AS (SELECT g, count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+                        CAST(sum(CAST(x AS DECIMAL(25,6)) * CAST(x AS DECIMAL(25,6)))
+                             AS DOUBLE) AS sxx
+                 FROM s GROUP BY g),
+          f AS (SELECT g, sx / CAST(n AS DOUBLE) AS mean,
+                       sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0)) AS sigma
+                FROM st)
+          SELECT s.g, CAST(day AS VARCHAR) AS bucket, CAST(x AS DOUBLE) AS value,
+                 ROUND(mean, 6) AS mean, ROUND(sigma, 6) AS sigma,
+                 CAST(abs(CAST(x AS DOUBLE) - mean) > 3.0 * sigma AS INT)
+                   AS out_of_control
+          FROM s JOIN f ON s.g = f.g""",
+
+    "q248_column_fingerprint" ->
+      """WITH p AS (
+           SELECT 'l_quantity' AS col_name,
+                  CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR) AS v FROM lineitem
+           UNION ALL SELECT 'qty_alias',
+                  CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'l_discount',
+                  CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'l_tax',
+                  CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice',
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem),
+          prof AS (SELECT col_name, CAST(count(v) AS BIGINT) AS n_nonnull,
+                          CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                          sum(CAST(('0x' || substr(md5('c:' || v), 1, 15)) AS BIGINT))
+                            AS digest
+                   FROM p WHERE v IS NOT NULL GROUP BY col_name),
+          g AS (SELECT digest AS d2, n_nonnull AS nn2, min(col_name) AS dup_group
+                FROM prof GROUP BY 1, 2)
+          SELECT col_name, n_nonnull, n_distinct, dup_group
+          FROM prof JOIN g ON prof.digest = g.d2 AND prof.n_nonnull = g.nn2""",
 
     "q242_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey,

@@ -60,6 +60,19 @@ object TextQueries {
         scoreCols :+ pred.as("lang_pred"): _*)
     }),
 
+    // language-ID confusion matrix: declared label vs heuristic
+    // prediction, the quality readout over the q20 detector
+    "q247_langid_confusion" -> ((s, d) => {
+      val langs = stopwordProfiles.map(_._1)
+      val scored = Tables.documents(s, d).select(
+        col("doc_id") +: col("lang").as("lang_label") +:
+        languageScores(col("text")).map { case (l, c) => c.as(s"s_$l") }: _*)
+      val pred = languageIdFrom(langs.map(l => l -> col(s"s_$l")))
+      scored.select(col("lang_label"), pred.as("lang_pred"))
+        .groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q21_text_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -259,6 +272,25 @@ object TextQueries {
                 $chain
                 END AS lang_pred
          FROM t"""
+    },
+
+    "q247_langid_confusion" -> {
+      val langs = graft.functions.TextAnalysis.stopwordProfiles.map(_._1)
+      val scoreDefs = langs.map(l => s"${scoreSql(l)} AS s_$l").mkString(",\n             ")
+      val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val chain = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n                ")
+      s"""WITH t AS (
+           SELECT doc_id, lang AS lang_label,
+             $scoreDefs
+           FROM documents),
+         p AS (
+           SELECT lang_label,
+             CASE WHEN $g = 0 THEN 'und'
+                  $chain
+                  END AS lang_pred
+           FROM t)
+         SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1, 2"""
     },
 
     "q110_text_top_ngrams" ->
