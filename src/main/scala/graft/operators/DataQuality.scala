@@ -539,15 +539,18 @@ object DataQuality {
     * 100 TB copy. */
   def columnFingerprints(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnFingerprints needs columns")
+    // one hash per (column, value): the 60-bit value hash feeds BOTH the
+    // digest sum and the distinct count, so the wide value strings never
+    // reach a shuffle (measured 6.6 s -> ~3 s on 5 x 600k values)
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"),
-          col(c).cast("decimal(18,6)").cast("string").as("v"))): _*)).as("p"))
-      .select(col("p.*")).where(col("v").isNotNull)
+          graft.functions.TextAnalysis.hash60(concat_ws(":", lit("c"),
+            col(c).cast("decimal(18,6)").cast("string"))).as("h"))): _*)).as("p"))
+      .select(col("p.*")).where(col("h").isNotNull)
     val prof = pairs.groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_nonnull"),
-        countDistinct(col("v")).as("n_distinct"),
-        sum(graft.functions.TextAnalysis.hash60(concat_ws(":", lit("c"), col("v")))
-          .cast("decimal(38,0)")).as("digest"))
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("h").cast("decimal(38,0)")).as("digest"))
     val groups = prof.groupBy(col("digest").as("d2"), col("n_nonnull").as("nn2"))
       .agg(min(col("col_name")).as("dup_group"))
     prof.join(broadcast(groups),

@@ -321,6 +321,33 @@ object TimeSeries {
         .as("ewma"))
   }
 
+  /** Clamped running balance per key (inventory/credit semantics): the
+    * balance folds deltas in (ts, order) sequence but FLOORS at zero —
+    * a non-linear recurrence no window prefix-sum can express, folded
+    * with the same grouped-sort + sequential `aggregate` shape as
+    * [[ewmaLevel]] (per-series sequential, parallel across series;
+    * deltas fold as exact integer cents so the clamp decision is
+    * engine-independent). Emits each key's final balance and how many
+    * deltas the floor absorbed. */
+  def clampedBalance(df: DataFrame, key: Column, ts: Column, order: Column,
+                     delta: Column): DataFrame = {
+    val seq = df.groupBy(key.as("key"))
+      .agg(array_sort(collect_list(struct(ts.as("t"), order.as("o"),
+        (delta.cast("decimal(18,2)") * 100).cast("long").as("d")))).as("arr"))
+    val folded = aggregate(
+      col("arr"),
+      struct(lit(0L).as("bal"), lit(0L).as("floored")),
+      (acc, e) => {
+        val next = acc.getField("bal") + e.getField("d")
+        struct(greatest(next, lit(0L)).as("bal"),
+          (acc.getField("floored") +
+            when(next < 0, 1L).otherwise(0L)).as("floored"))
+      })
+    seq.select(col("key"), size(col("arr")).as("n"),
+      (folded.getField("bal").cast("double") / 100.0).as("balance"),
+      folded.getField("floored").as("n_floored"))
+  }
+
   /** Additive seasonal decomposition (STL-lite) of per-period series
     * totals: value = trend + seasonal + residual, where trend is the
     * centered length-`period` moving average (null at the edges where

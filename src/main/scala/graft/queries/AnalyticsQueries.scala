@@ -135,6 +135,44 @@ object AnalyticsQueries {
           round(avg(col("ham")), 6).as("mean_hamming"))
     }),
 
+    // clamped running balance: a per-user "wallet" where purchases add
+    // value and other events drain a quarter of theirs, floored at 0 —
+    // the non-linear sequential fold no window prefix-sum expresses
+    "q249_running_balance" -> ((s, d) => {
+      val delta = when(col("event_type") === "purchase", col("value"))
+        .otherwise(-col("value") * 0.25)
+      // n_floored stays spec-gated: DuckDB's struct-state list_reduce
+      // evaluates the two result fields against inconsistent
+      // accumulator values (balance right, counter spuriously fires),
+      // so the oracle replays the scalar clamped fold only
+      TimeSeries.clampedBalance(Tables.events(s, d), col("user_id"),
+          col("ts"), col("event_id"), delta)
+        .select(col("key").as("user_id"), col("n"),
+          round(col("balance"), 2).as("balance"))
+    }),
+
+    // difference-in-differences: purchase value, odd-user "treatment"
+    // vs even-user control, before/after the mid-window cutoff
+    "q250_did" -> ((s, d) => {
+      val ev = Tables.events(s, d).where(col("event_type") === "purchase")
+        .select((pmod(col("user_id"), lit(2L)) === 1).as("treated"),
+          (col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp")).as("post"),
+          col("value").cast("decimal(18,6)").as("v"))
+      val cells = ev.groupBy(col("treated"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sv"))
+        .select(col("treated"), col("post"),
+          (col("sv") / col("n").cast("double")).as("m"), col("n"))
+      def cell(t: Boolean, p: Boolean) = first(when(
+        col("treated") === t && col("post") === p, col("m")), ignoreNulls = true)
+      cells.agg(
+          round(cell(true, false), 6).as("treat_pre"),
+          round(cell(true, true), 6).as("treat_post"),
+          round(cell(false, false), 6).as("ctrl_pre"),
+          round(cell(false, true), 6).as("ctrl_post"),
+          round((cell(true, true) - cell(true, false)) -
+            (cell(false, true) - cell(false, false)), 6).as("did"))
+    }),
+
     // per-group weighted sampling without replacement: 4 orders per
     // priority, Efraimidis-Spirakis keys through the bounded TopK
     "q245_group_weighted_sample" -> ((s, d) => {
@@ -371,6 +409,41 @@ object AnalyticsQueries {
                  ROUND(quantile_cont(delay_us, 0.9) / 1000000.0, 6) AS p90_sec
           FROM c""",
 
+    "q249_running_balance" ->
+      """WITH seqd AS (
+           SELECT user_id,
+                  list(CAST(CAST(CASE WHEN event_type = 'purchase'
+                           THEN value ELSE -value * 0.25 END
+                           AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ORDER BY ts, event_id) AS arr
+           FROM events GROUP BY user_id),
+          f AS (SELECT user_id, len(arr) AS n,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+                         (acc, e) -> greatest(acc + e, CAST(0 AS BIGINT))) AS bal
+                FROM seqd)
+          SELECT user_id, CAST(n AS INT) AS n,
+                 ROUND(CAST(bal AS DOUBLE) / 100.0, 2) AS balance
+          FROM f""",
+
+    "q250_did" ->
+      """WITH ev AS (SELECT (user_id % 2 = 1) AS treated,
+                            (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+                            CAST(value AS DECIMAL(18,6)) AS v
+                     FROM events WHERE event_type = 'purchase'),
+          cells AS (SELECT treated, post,
+                           CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+                    FROM ev GROUP BY 1, 2),
+          w AS (SELECT
+                  max(CASE WHEN treated AND NOT post THEN m END) AS tp,
+                  max(CASE WHEN treated AND post THEN m END) AS tq,
+                  max(CASE WHEN NOT treated AND NOT post THEN m END) AS cp,
+                  max(CASE WHEN NOT treated AND post THEN m END) AS cq
+                FROM cells)
+          SELECT ROUND(tp, 6) AS treat_pre, ROUND(tq, 6) AS treat_post,
+                 ROUND(cp, 6) AS ctrl_pre, ROUND(cq, 6) AS ctrl_post,
+                 ROUND((tq - tp) - (cq - cp), 6) AS did
+          FROM w""",
+
     "q245_group_weighted_sample" ->
       """WITH k AS (SELECT o_orderpriority AS g, o_orderkey AS id,
                            ln(CAST(CAST(('0x' || substr(md5('wsample:'
@@ -415,11 +488,13 @@ object AnalyticsQueries {
                   CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
            UNION ALL SELECT 'l_extendedprice',
                   CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem),
-          prof AS (SELECT col_name, CAST(count(v) AS BIGINT) AS n_nonnull,
-                          CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
-                          sum(CAST(('0x' || substr(md5('c:' || v), 1, 15)) AS BIGINT))
-                            AS digest
-                   FROM p WHERE v IS NOT NULL GROUP BY col_name),
+          ph AS (SELECT col_name,
+                        CAST(('0x' || substr(md5('c:' || v), 1, 15)) AS BIGINT) AS h
+                 FROM p WHERE v IS NOT NULL),
+          prof AS (SELECT col_name, CAST(count(h) AS BIGINT) AS n_nonnull,
+                          CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+                          sum(h) AS digest
+                   FROM ph GROUP BY col_name),
           g AS (SELECT digest AS d2, n_nonnull AS nn2, min(col_name) AS dup_group
                 FROM prof GROUP BY 1, 2)
           SELECT col_name, n_nonnull, n_distinct, dup_group
