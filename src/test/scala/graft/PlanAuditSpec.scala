@@ -136,7 +136,9 @@ class PlanAuditSpec extends SparkSpec {
     // q233: cumulativeByValue offsets + the 1-row revenue-total frame
     "q233_pareto",
     // q237: the isotropy readout is one final row over 2000 pair scores
-    "q237_embedding_isotropy")
+    "q237_embedding_isotropy",
+    // q250: the DiD readout reduces 4 cell means to one row
+    "q250_did")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
