@@ -135,6 +135,32 @@ object AnalyticsQueries {
           round(avg(col("ham")), 6).as("mean_hamming"))
     }),
 
+    // per-group exact percentile bands (p10/p50/p90) of order totals
+    "q251_percentile_bands" -> ((s, d) => {
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("o_totalprice"), lit(0.1)), 6).as("p10"),
+          round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 6).as("p90"))
+    }),
+
+    // order-to-ship cycle time per priority: exact mean (decimal sums)
+    // and interpolated median days from order date to first ship date
+    "q252_cycle_time" -> ((s, d) => {
+      val firstShip = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("ship"))
+      Tables.orders(s, d)
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("ship")), to_date(col("o_orderdate")))
+            .cast("long").as("days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("days")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_days"),
+          round(percentile(col("days"), lit(0.5)), 6).as("median_days"))
+    }),
+
     // clamped running balance: a per-user "wallet" where purchases add
     // value and other events drain a quarter of theirs, floored at 0 —
     // the non-linear sequential fold no window prefix-sum expresses
@@ -408,6 +434,26 @@ object AnalyticsQueries {
                  ROUND(quantile_cont(delay_us, 0.5) / 1000000.0, 6) AS median_sec,
                  ROUND(quantile_cont(delay_us, 0.9) / 1000000.0, 6) AS p90_sec
           FROM c""",
+
+    "q251_percentile_bands" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                ROUND(quantile_cont(o_totalprice, 0.1), 6) AS p10,
+                ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q252_cycle_time" ->
+      """WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS ship
+                     FROM lineitem GROUP BY l_orderkey),
+          j AS (SELECT o_orderpriority,
+                       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(ship AS DATE)) AS BIGINT) AS days
+                FROM orders JOIN fs ON o_orderkey = l_orderkey)
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                 ROUND(CAST(sum(days) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS mean_days,
+                 ROUND(quantile_cont(days, 0.5), 6) AS median_days
+          FROM j GROUP BY o_orderpriority""",
 
     "q249_running_balance" ->
       """WITH seqd AS (
