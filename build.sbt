@@ -51,4 +51,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:G1HeapRegionSize=32m",
   "-XX:G1ReservePercent=15",
   "-Xlog:gc:/tmp/graft_gc_%p.log",
+  // deep task-closure deserialization (iterative fits under suite load)
+  // overflowed the default 1 MB thread stack once; 8 MB is cheap belt
+  "-Xss8m",
 )
+// Isolate the iterative-ML suites in their own forked JVM: a fatal error
+// there (e.g. a StackOverflow inside a task deserializer beginning JVM
+// shutdown) must not cascade into the other ~40 suites sharing the fork.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val heavyNames = Set(
+    "graft.workflow.MLStagesSpec",
+    "graft.workflow.CvCutSpec",
+    "graft.workflow.MulticlassSelectorSpec",
+    "graft.workflow.WorkflowSpec",
+    "graft.operators.ClusteringSpec",
+    "graft.operators.TextVectorizersSpec",
+  )
+  val (heavy, light) = tests.partition(t => heavyNames.contains(t.name))
+  Seq(
+    Tests.Group("ml-heavy", heavy, Tests.SubProcess(opts)),
+    Tests.Group("main", light, Tests.SubProcess(opts)),
+  )
+}

@@ -17,21 +17,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # The driver hashes RAW dtypes (no canonicalization): a DuckDB HUGEINT
+    # coming back as object/float64 vs Spark's int64 is a hash FAIL there,
+    # so it must be a fail here too. Only sort columns and rows.
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes: ints -> int64, floats -> float64, rest -> str
-    out = {}
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_float_dtype(s):
-            out[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            out[c] = s.astype("int64")
-        elif pd.api.types.is_datetime64_any_dtype(s):
-            out[c] = pd.to_datetime(s).astype("datetime64[us]")
-        else:
-            out[c] = s.astype(str)
-    df = pd.DataFrame(out)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    key = {c: (df[c].astype(str) if df[c].dtype == object else df[c])
+           for c in df.columns}
+    order = pd.DataFrame(key).sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+def dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_float_dtype(s): return "float"
+    if pd.api.types.is_integer_dtype(s): return "int"
+    if pd.api.types.is_bool_dtype(s): return "bool"
+    # the driver's hash is precision-tolerant for timestamps (q44's
+    # ns-vs-us window_start passes there), so treat all datetime64 alike
+    if pd.api.types.is_datetime64_any_dtype(s): return "datetime"
+    return str(s.dtype)
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
@@ -63,6 +65,12 @@ def main():
             continue
         if len(got) != len(want):
             results[name] = f"ROWCOUNT spark={len(got)} oracle={len(want)}"
+            continue
+        dt_bad = [f"{c}: spark={dtype_kind(got[c])} oracle={dtype_kind(want[c])}"
+                  for c in got.columns
+                  if dtype_kind(got[c]) != dtype_kind(want[c])]
+        if dt_bad:
+            results[name] = "DTYPE_MISMATCH " + "; ".join(dt_bad[:4])
             continue
         diffs = []
         for c in got.columns:

@@ -515,7 +515,9 @@ object DataQuality {
   def controlChart(df: DataFrame, series: Column, bucket: Column,
                    value: Column, k: Double = 3.0): DataFrame = {
     val v = value.cast("decimal(18,6)")
-    val base = df.select(series.as("g"), bucket.as("bucket"), v.as("x"))
+    // null values carry no signal and would skew n vs the null-skipping sums
+    val base = df.where(value.isNotNull)
+      .select(series.as("g"), bucket.as("bucket"), v.as("x"))
     val stats = base.groupBy(col("g").as("g2"))
       .agg(count(lit(1)).as("n"), sum(col("x")).cast("double").as("sx"),
         sum(col("x") * col("x")).cast("double").as("sxx"))
@@ -839,8 +841,9 @@ object DataQuality {
     val n = cells.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"))
     cells.join(broadcast(rowTot.drop("rcells")), Seq("a"))
       .join(broadcast(colTot), Seq("b"))
-      .agg(sum(col("o").cast("double") * col("o").cast("double") /
-        (col("rt").cast("double") * col("ct").cast("double"))).as("s"))
+      .agg(sum((col("o").cast("double") * col("o").cast("double") /
+        (col("rt").cast("double") * col("ct").cast("double")))
+        .cast("decimal(38,18)")).cast("double").as("s"))
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(rowTot.agg(count(lit(1)).as("r")).select(col("r"))))
       .crossJoin(broadcast(colTot.agg(count(lit(1)).as("c")).select(col("c"))))
@@ -859,7 +862,9 @@ object DataQuality {
   def welchTTest(df: DataFrame, group: Column, value: Column,
                  g1: String, g2: String): DataFrame = {
     val v = value.cast("decimal(18,6)")
-    def side(g: String, tag: String) = df.where(group === g).agg(
+    // filter nulls BEFORE counting: sum() skips nulls, so counting raw
+    // rows would bias the means/variances when the value column has nulls
+    def side(g: String, tag: String) = df.where(group === g && value.isNotNull).agg(
       count(lit(1)).as(s"n$tag"),
       sum(v).cast("double").as(s"s$tag"),
       sum(v * v).cast("double").as(s"ss$tag"))

@@ -50,14 +50,30 @@ object Geo {
     require(maxAbsLat < 89.0, s"degenerate longitude cells at |lat|=$maxAbsLat")
     val cellLatDeg = radiusKm / KmPerDegLat
     val cellLonDeg = radiusKm / (KmPerDegLat * math.cos(math.toRadians(maxAbsLat)))
-    val base = points.select(id.as("id"), lat.as("lat"), lon.as("lon"))
+    // longitude cells wrap modulo the globe so antimeridian-straddling
+    // pairs still share a neighborhood; need >=3 cells for 3x3 coverage
+    val nLonCells = math.max(math.ceil(360.0 / cellLonDeg).toLong, 1L)
+    require(nLonCells >= 3,
+      s"radius $radiusKm km spans >1/3 of the globe in longitude at |lat|=$maxAbsLat")
+    // LOUD per-row guard (runs inside the scan stage, no extra job): a
+    // point outside the declared latitude band gets longitude cells too
+    // wide for the 3x3 neighborhood and would silently DROP qualifying
+    // pairs — fail the query instead (same policy as Dedup's hot-block
+    // guards).
+    val checkedLat = when(abs(lat) > maxAbsLat,
+      raise_error(concat(
+        lit(s"radiusJoinPairs: |lat| > maxAbsLat=$maxAbsLat for point "),
+        lat.cast("string")))).otherwise(lat)
+    val base = points.select(id.as("id"), checkedLat.as("lat"), lon.as("lon"))
       .withColumn("cx", floor(col("lat") / cellLatDeg))
-      .withColumn("cy", floor(col("lon") / cellLonDeg))
+      .withColumn("cy",
+        pmod(floor((col("lon") + lit(180.0)) / cellLonDeg), lit(nLonCells)))
     val offsets = Seq(-1L, 0L, 1L)
     val expanded = base.withColumn("dx", explode(array(offsets.map(lit): _*)))
       .withColumn("dy", explode(array(offsets.map(lit): _*)))
       .select(col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
-        (col("cx") + col("dx")).as("jx"), (col("cy") + col("dy")).as("jy"))
+        (col("cx") + col("dx")).as("jx"),
+        pmod(col("cy") + col("dy"), lit(nLonCells)).as("jy"))
     val home = base.select(col("id").as("id_b"), col("lat").as("lat_b"),
       col("lon").as("lon_b"), col("cx").as("jx"), col("cy").as("jy"))
     expanded.join(home, Seq("jx", "jy"))

@@ -58,9 +58,18 @@ object Incremental {
   def snapshotDiff(old: DataFrame, oldKey: Column, newDf: DataFrame,
                    newKey: Column, payload: Seq[Column]): DataFrame = {
     require(payload.nonEmpty, "snapshotDiff needs payload columns")
+    // concat_ws silently DROPS null arguments, which would collide rows
+    // differing only in null placement -- (null,"x") vs ("x",null), null
+    // vs "" -- and misclassify them "unchanged". Encode each column as an
+    // explicit null bit + coalesced value so the digest is injective
+    // over null placement; every concat_ws argument is then non-null,
+    // with the same chr(1) separator between all pieces.
     def digested(df: DataFrame, k: Column, tag: String) =
       df.select(k.as(s"k_$tag"),
-        md5(concat_ws("\u0001", payload.map(_.cast("string")): _*))
+        md5(concat_ws("\u0001",
+          payload.flatMap(c => Seq(
+            when(c.isNull, lit("0")).otherwise(lit("1")),
+            coalesce(c.cast("string"), lit("")))): _*))
           .as(s"h_$tag"))
     digested(old, oldKey, "old")
       .join(digested(newDf, newKey, "new"),

@@ -391,7 +391,10 @@ object TimeSeries {
     * form is evaluated on the (identical) doubles those exact sums cast
     * to, so any engine replaying the same formula reproduces the bits. */
   def trendPerSeries(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
-    val xd = x.cast("long")
+    // x*x at epoch-second/milli scale (~3e18+) would wrap a silent
+    // LongType sum in non-ANSI mode: fold the x moments in DECIMAL(38,0)
+    // (exact, order-invariant) and only cast the totals to double.
+    val xd = x.cast("long").cast("decimal(38,0)")
     val yd = y.cast("decimal(18,6)")
     val agg = df.groupBy(key.as("key")).agg(
       count(lit(1)).as("n"),

@@ -505,9 +505,10 @@ object AnalyticsQueries {
           FROM r WHERE rank <= 4""",
 
     "q246_control_chart" ->
-      """WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      """WITH s0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
                            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
                     FROM events GROUP BY 1, 2),
+          s AS (SELECT * FROM s0 WHERE x IS NOT NULL),
           st AS (SELECT g, count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx,
                         CAST(sum(CAST(x AS DECIMAL(25,6)) * CAST(x AS DECIMAL(25,6)))
                              AS DOUBLE) AS sxx
@@ -548,13 +549,15 @@ object AnalyticsQueries {
 
     "q242_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey,
-                             md5(o_orderstatus || chr(1) ||
+                             md5('1' || chr(1) || o_orderstatus || chr(1) ||
+                                 '1' || chr(1) ||
                                  CAST(CAST(CASE WHEN o_totalprice > 200000 THEN 0.0
                                       ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR))
                                AS h_old
                       FROM orders WHERE o_orderkey % 13 <> 0),
           nw AS (SELECT o_orderkey,
-                        md5(o_orderstatus || chr(1) ||
+                        md5('1' || chr(1) || o_orderstatus || chr(1) ||
+                            '1' || chr(1) ||
                             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h_new
                  FROM orders),
           diff AS (SELECT coalesce(old.o_orderkey, nw.o_orderkey) AS key,

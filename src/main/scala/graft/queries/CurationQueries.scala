@@ -437,7 +437,9 @@ object CurationQueries {
              SUM(ntok) OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC
                              ROWS UNBOUNDED PRECEDING) - ntok AS start
            FROM t)
-         SELECT doc_id, shard, start // 2048 AS seq, start % 2048 AS offset
+         SELECT doc_id, shard,
+           CAST(start // 2048 AS BIGINT) AS seq,
+           CAST(start % 2048 AS BIGINT) AS offset
          FROM c""",
 
     "q107_curation_stratified_sample" ->
@@ -652,8 +654,8 @@ object CurationQueries {
              sum(nw) AS n_dup_windows
            FROM g GROUP BY doc_id)
          SELECT t.doc_id, len(t.toks) AS n_tokens,
-           coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
-           coalesce(pd.covered_tokens, 0) AS covered_tokens,
+           CAST(coalesce(pd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(pd.covered_tokens, 0) AS BIGINT) AS covered_tokens,
            CASE WHEN len(t.toks) > 0
              THEN CAST(coalesce(pd.covered_tokens, 0) AS DOUBLE) / len(t.toks)
              ELSE 0.0 END AS dup_coverage

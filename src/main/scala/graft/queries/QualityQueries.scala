@@ -389,7 +389,10 @@ object QualityQueries {
                       AS n_orphan
                   FROM j),
           nd AS (SELECT count(*) AS n_dim_keys FROM dk)
-          SELECT n_fact, n_null_fk, n_orphan, n_dim_keys,
+          SELECT n_fact,
+            CAST(n_null_fk AS BIGINT) AS n_null_fk,
+            CAST(n_orphan AS BIGINT) AS n_orphan,
+            n_dim_keys,
             ROUND(1.0 - CAST(n_orphan AS DOUBLE) /
               greatest(n_fact - n_null_fk, 1), 6) AS fk_valid_ratio
           FROM agg CROSS JOIN nd""",
@@ -612,7 +615,7 @@ object QualityQueries {
     "q176_stream_json_agg" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1, 2""",
 
     "q44_stream_windowed_agg" ->
@@ -643,7 +646,7 @@ object QualityQueries {
          t AS (SELECT sum(cnt_t) AS n_t, sum(cnt_s) AS n_s FROM j)
          SELECT round(sum(((cnt_s + 0.5) / (n_s + 10.0) - (cnt_t + 0.5) / (n_t + 10.0))
                   * ln(((cnt_s + 0.5) / (n_s + 10.0)) / ((cnt_t + 0.5) / (n_t + 10.0)))), 6) AS psi,
-           n_t AS n_train, n_s AS n_score
+           CAST(n_t AS BIGINT) AS n_train, CAST(n_s AS BIGINT) AS n_score
          FROM j, t GROUP BY n_t, n_s""",
 
     "q132_stream_heavy_hitters" ->

@@ -388,7 +388,7 @@ object ReaderQueries {
     "q173_json_extract" ->
       """SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            ROUND(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
          FROM events GROUP BY 1""",
 
@@ -435,7 +435,8 @@ object ReaderQueries {
           g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
                   ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
                 FROM f)
-          SELECT user_id, session_idx, count(*) AS n_events,
+          SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+            count(*) AS n_events,
             min(tus) AS t_start_us, max(tus) AS t_end_us,
             ROUND((max(tus) - min(tus)) / 1e6, 6) AS duration_sec,
             ROUND(sum(value), 6) AS sum_value

@@ -781,23 +781,24 @@ object StatsQueries {
           rt AS (SELECT a, sum(o) AS rt FROM cells GROUP BY a),
           ct AS (SELECT b, sum(o) AS ct FROM cells GROUP BY b),
           tot AS (SELECT sum(o) AS n FROM cells),
-          s AS (SELECT sum(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
-                         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) AS s
+          s AS (SELECT CAST(sum(CAST(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                         AS DECIMAL(38,18))) AS DOUBLE) AS s
                 FROM cells JOIN rt USING (a) JOIN ct USING (b))
           SELECT ROUND(CAST(tot.n AS DOUBLE) * (s.s - 1.0), 6) AS chi2,
                  (SELECT count(*) - 1 FROM rt) * (SELECT count(*) - 1 FROM ct) AS dof,
-                 tot.n AS n
+                 CAST(tot.n AS BIGINT) AS n
           FROM s, tot""",
 
     "q198_welch_ttest" ->
       """WITH g1 AS (SELECT count(*) AS n1, CAST(sum(v) AS DOUBLE) AS s1,
                             CAST(sum(v * v) AS DOUBLE) AS ss1
                      FROM (SELECT CAST(value AS DECIMAL(18,6)) AS v FROM events
-                           WHERE event_type = 'purchase')),
+                           WHERE event_type = 'purchase' AND value IS NOT NULL)),
           g2 AS (SELECT count(*) AS n2, CAST(sum(v) AS DOUBLE) AS s2,
                         CAST(sum(v * v) AS DOUBLE) AS ss2
                  FROM (SELECT CAST(value AS DECIMAL(18,6)) AS v FROM events
-                       WHERE event_type = 'click')),
+                       WHERE event_type = 'click' AND value IS NOT NULL)),
           c AS (SELECT n1, n2, s1 / CAST(n1 AS DOUBLE) AS m1, s2 / CAST(n2 AS DOUBLE) AS m2,
                        (ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
                          / CAST(n1 AS DOUBLE) AS se1,

@@ -602,10 +602,20 @@ object MLTuning {
                    maxIter: Int = 8, seed: Long = 7L): DataFrame = {
     val r = ratings.select(user.cast("int").as("user"),
       item.cast("int").as("item"), rating.cast("float").as("rating"))
+    // ALS lineage grows per solve round; without checkpoint cuts a
+    // 15-iteration fit carries a task closure deep enough to overflow
+    // the deserializer's stack under suite load (observed), and at
+    // cluster scale the same uncut lineage is a recovery/serialization
+    // hazard. Checkpoint every 2 iterations to reliable local storage.
+    val sc = ratings.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${sc.applicationId}")
     val model = new org.apache.spark.ml.recommendation.ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setRank(rank).setMaxIter(maxIter).setRegParam(0.1)
       .setSeed(seed).setColdStartStrategy("drop")
+      .setCheckpointInterval(2)
       .fit(r)
     model.setItemCol("item").setUserCol("user")
     model.recommendForAllUsers(topK)
