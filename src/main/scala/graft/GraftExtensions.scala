@@ -75,6 +75,22 @@ object GraftExtensions {
         args => {
           checkArity("graft_jaro_winkler", 2, args)
           graft.expressions.JaroWinkler(args(0), args(1))
+        }),
+      // ICU segmentation: 1-arg form defaults the locale to "en"
+      // (locale only tunes dictionary choice; UAX#29 rules are shared)
+      (FunctionIdentifier("graft_icu_tokens"),
+        new ExpressionInfo(classOf[graft.expressions.IcuWordTokens].getName,
+          "graft_icu_tokens"),
+        args => {
+          checkArity("graft_icu_tokens", 1, args)
+          graft.expressions.IcuWordTokens(args.head, "en")
+        }),
+      (FunctionIdentifier("graft_icu_sentences"),
+        new ExpressionInfo(classOf[graft.expressions.IcuSentences].getName,
+          "graft_icu_sentences"),
+        args => {
+          checkArity("graft_icu_sentences", 1, args)
+          graft.expressions.IcuSentences(args.head, "en")
         }))
 
   /** Register on an already-built session (the `spark.sql.extensions`

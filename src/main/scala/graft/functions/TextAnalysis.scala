@@ -18,8 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of lowercased text. */
+  /** Whitespace tokens of lowercased text — the "simple" analyzer mode
+    * (the reference's own fallback, TextTokenizer.scala:125) and the
+    * default for oracle-gated paths, since `\s+` replays in any SQL
+    * engine. For CJK/Thai and analyzer-grade breaking use [[icuTokens]]. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** ICU `BreakIterator` word tokens (dictionary-based segmentation for
+    * CJK/Thai — scripts where whitespace splitting yields one token per
+    * paragraph). Native codegen'd expression; lowercased, punctuation
+    * and whitespace spans dropped. */
+  def icuTokens(text: Column, locale: String = "en"): Column =
+    org.apache.spark.sql.graftshim.ColumnSql.columnOf(
+      graft.expressions.IcuWordTokens(
+        org.apache.spark.sql.graftshim.ColumnSql.expressionOf(text), locale))
+
+  /** ICU UAX#29 sentence segmentation — handles abbreviations and
+    * closing quotes the regex [[sentences]] split cannot. */
+  def icuSentences(text: Column, locale: String = "en"): Column =
+    org.apache.spark.sql.graftshim.ColumnSql.columnOf(
+      graft.expressions.IcuSentences(
+        org.apache.spark.sql.graftshim.ColumnSql.expressionOf(text), locale))
 
   /** Unicode-normalize (default NFC) via the native
     * [[graft.expressions.UnicodeNormalize]] expression — mixed

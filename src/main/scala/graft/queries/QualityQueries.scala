@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{Tables, FormatReaders}
+import graft.sources.{Tables, FormatReaders, AvroIO}
 import graft.operators.{DataQuality, Multimodal}
 import graft.streaming.Streaming
 
@@ -338,6 +338,45 @@ object QualityQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    }),
+
+    // §2.1 Avro source round-trip (the reference's default interchange
+    // format, AvroReaders.scala:55-76): parquet → GenericRecord sink →
+    // AvroKeyInputFormat scan under the writer schema → aggregate. The
+    // o_orderdate timestamp exercises the timestamp-micros logical type
+    // through both converter directions.
+    "q253_avro_roundtrip" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val out = "/root/repo/target/roundtrip/orders_avro"
+      AvroIO.writeAvro(Tables.orders(s, d).select(cols.map(col): _*), out)
+      AvroIO.readAvro(s, out)
+        .where(col("o_totalprice") > 1000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          max(col("o_orderkey")).cast("long").as("max_key"),
+          max(col("o_orderdate")).as("max_date"))
+    }),
+
+    // §2.9 streaming Avro file-watch source (FileStreamingAvroReader,
+    // AvroReaders.scala:110-128): container files in a watched dir →
+    // whole-file decode on discovery → watermarked daily aggregation —
+    // same shape as q44 but fed through the Avro stream.
+    "q254_avro_stream" -> ((s, d) => {
+      val dir = "/root/repo/target/roundtrip/events_avro_stream"
+      AvroIO.writeAvro(
+        Tables.events(s, d).select("event_id", "ts", "event_type", "value"), dir)
+      val schema = AvroIO.firstFileSchema(s, dir)
+      val stream = AvroIO.readAvroStream(s, dir, schema)
+      val agg = stream
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      Streaming.runToCompletion(s, agg, "q254_avro_stream", shufflePartitions = Some(8))
     }),
 
     // §2.1 ORC source round-trip: parquet → ORC sink → vectorized ORC
@@ -746,6 +785,20 @@ object QualityQueries {
       """SELECT c_mktsegment, COUNT(*) AS n,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY c_mktsegment""",
+
+    "q253_avro_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           MAX(o_orderdate) AS max_date
+         FROM orders WHERE o_totalprice > 1000
+         GROUP BY o_orderpriority""",
+
+    "q254_avro_stream" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
 
     "q125_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,

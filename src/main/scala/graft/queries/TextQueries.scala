@@ -18,6 +18,29 @@ object TextQueries {
   private val sw = englishStopwords.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, Q] = Map(
+    // ICU BreakIterator segmentation over a fixed multilingual corpus:
+    // CJK/Thai/Korean get dictionary-based word breaks (whitespace
+    // splitting would yield one token per clause) and UAX#29 sentence
+    // breaks. ICU is not SQL-replayable, so the oracle pins the
+    // EXPECTED counts as literals — a frozen fixture differential,
+    // independent of the engine that produced it.
+    "q255_icu_segmentation" -> ((s, d) => {
+      import s.implicits._
+      val corpus = Seq(
+        (1L, "我爱北京天安门，天安门上太阳升。"),
+        (2L, "東京都に住んでいます。日本語のテキストです。"),
+        (3L, "สวัสดีครับ ผมชื่อสมชาย"),
+        (4L, "Dr. Smith went to Washington. He arrived at 3 p.m. yesterday! \"Really?\" she asked."),
+        (5L, "L'état, c'est moi — dit-il. Voilà!"),
+        (6L, "모든 인간은 태어날 때부터 자유로우며"),
+        (7L, "Hello,  world!  123 foo-bar baz_qux."))
+      corpus.toDF("sid", "text").select(col("sid"),
+        size(icuTokens(col("text"))).as("n_tokens"),
+        aggregate(icuTokens(col("text")), lit(0L),
+          (a, x) => a + length(x)).as("n_token_chars"),
+        size(icuSentences(col("text"))).as("n_sentences"))
+    }),
+
     // Flesch reading ease per document (vowel-group syllable heuristic)
     "q177_readability" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -208,6 +231,18 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // frozen expected segmentation counts for the fixed 7-text corpus
+    // (derived from the UAX#29 + CJK-dictionary spec of the texts;
+    // unicode stays out of the SQL — counts pin the behavior)
+    "q255_icu_segmentation" ->
+      """SELECT CAST(sid AS BIGINT) AS sid, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_token_chars AS BIGINT) AS n_token_chars,
+           CAST(n_sentences AS INT) AS n_sentences
+         FROM (VALUES (1, 8, 14, 1), (2, 11, 20, 2), (3, 5, 21, 1),
+                      (4, 14, 61, 5), (5, 6, 24, 2), (6, 5, 16, 1),
+                      (7, 6, 26, 2))
+           AS t(sid, n_tokens, n_token_chars, n_sentences)""",
+
     "q177_readability" ->
       """SELECT doc_id,
            ROUND(206.835

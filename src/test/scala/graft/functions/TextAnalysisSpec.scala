@@ -109,4 +109,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) < 0, s"dense text should score very low: ${out(2L)}")
     assert(!out(3L).isNaN)  // degenerate input still deterministic
   }
+
+  test("icuTokens segments CJK into dictionary words, drops punctuation, lowercases") {
+    val s = spark; import s.implicits._
+    val out = Seq(
+      (1L, "我爱北京天安门"),
+      (2L, "Hello, World! 123"),
+      (3L, "สวัสดีครับ")).toDF("id", "t")
+      .select(col("id"), TextAnalysis.icuTokens(col("t")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("我", "爱", "北京", "天安门"))
+    assert(out(2L) == Seq("hello", "world", "123"))
+    assert(out(3L).size == 2)  // Thai: dictionary break, no spaces needed
+    // whitespace mode would have produced a single giant token
+    assert(out(1L).size > 1)
+  }
+
+  test("icuSentences applies UAX#29 breaks; null-safe") {
+    val s = spark; import s.implicits._
+    val out = Seq(
+      (1L, "One sentence. Two now! Three?"),
+      (2L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(col("id"), TextAnalysis.icuSentences(col("t")).as("ss"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(out(1L).get.size == 3)
+    assert(out(2L).isEmpty)
+  }
+
+  test("graft_icu_tokens is registered for SQL users and codegens") {
+    val r = spark.sql(
+      "SELECT graft_icu_tokens('東京都に住んでいます') AS t, " +
+      "graft_icu_sentences('A b. C d.') AS s").head
+    assert(r.getSeq[String](0).nonEmpty && r.getSeq[String](0).size > 1)
+    assert(r.getSeq[String](1).size == 2)
+  }
 }
