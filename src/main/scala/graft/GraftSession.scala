@@ -48,6 +48,14 @@ object GraftSession {
       .config("spark.ui.retainedJobs", "200")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "2000")
+      // the generated-class cache holds 100 entries by default; a
+      // ~250-query resident suite compiles ~3 codegen units per query,
+      // so by the time a query re-runs its classes are long evicted and
+      // Janino recompiles from scratch — the measured mid-suite 1.5-2.7x
+      // tail inflation. Size the cache to the suite (entries are
+      // class references; the code they point at lives in the JVM code
+      // cache we already reserve 2 GiB for).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
 
   def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(cores).getOrCreate()

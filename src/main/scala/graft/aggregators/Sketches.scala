@@ -222,4 +222,25 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Re-aggregatable distinct-count STATES via Spark's built-in
+    * DataSketches HLL: per-key binary sketches you can store, ship,
+    * and union later — the warehouse pattern where daily partitions
+    * keep a sketch column and any date range's distinct count is a
+    * union of states, never a re-scan. Register maxing is commutative
+    * and associative, so estimates are independent of Spark's
+    * partial-merge order (unlike a float sum). lgK=12 ≈ ±1.6% rel.
+    * error at 4 KB per state. */
+  def hllStates(df: DataFrame, keys: Seq[Column], value: Column,
+                lgK: Int = 12): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(hll_sketch_agg(value.cast("string"), lit(lgK)).as("hll_state"))
+
+  /** Union previously-built states down to estimates — `by` is the
+    * (coarser) grouping of the rollup, e.g. states per (day, country)
+    * rolled up to per-country. */
+  def hllRollup(states: DataFrame, by: Seq[Column]): DataFrame =
+    states.groupBy(by: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll_state"), lit(true)))
+        .as("n_distinct_est"))
 }

@@ -300,6 +300,12 @@ object Similarity {
     * refined indexes with recall specs, not hash oracles). */
   def ivfCentroids(corpus: DataFrame, nList: Int, lloydRounds: Int = 0): Array[Array[Double]] = {
     val e = corpus.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    // each round is an INDEPENDENT shallow job (centroids live in a
+    // driver array captured by the next round's udf — lineage depth is
+    // constant by construction); persist the projected frame so rounds
+    // re-read cached vectors instead of re-scanning the corpus
+    if (lloydRounds > 0)
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(nList)
       .collect().map(_.getSeq[Double](1).toArray)
     var round = 0
@@ -316,6 +322,7 @@ object Similarity {
       cents = Array.tabulate(cents.length)(i => refined.getOrElse(i, cents(i)))
       round += 1
     }
+    if (lloydRounds > 0) e.unpersist(blocking = false)
     cents
   }
 

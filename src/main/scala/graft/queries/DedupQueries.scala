@@ -80,6 +80,20 @@ object DedupQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
+    // Bayardo prefix-filtered fuzzy join (the loose record-linkage
+    // tier): probe names matched to canon names at Jaccard >= 0.5,
+    // top-3 per probe. Prefix filtering is EXACT vs share-a-token
+    // blocking (no token exceeds the hot cap at this scale), so the
+    // oracle verifies with plain all-candidates semantics.
+    "q256_fuzzy_join_topk" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      Dedup.fuzzyJoinTopK(
+          part.where(col("p_partkey") % 2 === 0), col("p_partkey"), col("p_name"),
+          part.where(col("p_partkey") % 2 === 1), col("p_partkey"), col("p_name"),
+          k = 3, minJaccard = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
     // synchronous label propagation (2 fixed rounds) over the bipartite
     // customer<->supplier trade graph: neighbor-majority labels with
     // min tiebreak — communities, not components
@@ -272,6 +286,31 @@ object DedupQueries {
               PARTITION BY probe_id ORDER BY j DESC, canon_id) AS INT) AS rank
           FROM scored
           WHERE j >= 0.65
+          QUALIFY rank <= 3""",
+
+    "q256_fuzzy_join_topk" ->
+      """WITH c AS (
+            SELECT p_partkey AS canon_id,
+              list_distinct(regexp_split_to_array(lower(trim(p_name)), '\s+')) AS ct
+            FROM part WHERE p_partkey % 2 = 0),
+          p AS (
+            SELECT p_partkey AS probe_id,
+              list_distinct(regexp_split_to_array(lower(trim(p_name)), '\s+')) AS pt
+            FROM part WHERE p_partkey % 2 = 1),
+          cand AS (
+            SELECT DISTINCT probe_id, canon_id
+            FROM (SELECT probe_id, unnest(pt) AS tok FROM p) pp
+            JOIN (SELECT canon_id, unnest(ct) AS tok FROM c) cc USING (tok)),
+          scored AS (
+            SELECT probe_id, canon_id,
+              CAST(len(list_intersect(pt, ct)) AS DOUBLE) /
+                (len(pt) + len(ct) - len(list_intersect(pt, ct))) AS j
+            FROM cand JOIN p USING (probe_id) JOIN c USING (canon_id))
+          SELECT probe_id, canon_id, ROUND(j, 6) AS jaccard,
+            CAST(row_number() OVER (
+              PARTITION BY probe_id ORDER BY j DESC, canon_id) AS INT) AS rank
+          FROM scored
+          WHERE j >= 0.5
           QUALIFY rank <= 3""",
 
     "q190_triangle_count" ->

@@ -264,7 +264,8 @@ object QualityQueries {
 
     // multimodal: batched per-partition decode (STUB codec — schema,
     // batch shape, partitioning real; byte decode deterministic-fake).
-    // Not SQL-expressible → rows-only check.
+    // The stub's md5 arithmetic IS SQL-replayable, so the oracle
+    // recomputes width/height/frames and the float feature sum exactly.
     "q46_multimodal_decode" -> ((s, d) => {
       val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
       Multimodal.decodeFeatures(docs, "doc_id")
@@ -338,6 +339,27 @@ object QualityQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    }),
+
+    // §2.1 schema-evolution read: two parquet generations (the newer
+    // one gained a column) union into ONE frame via footer-merge, the
+    // missing column null-filled — the no-backfill way a long-lived
+    // 100 TB table reads after schema changes. Gate aggregates across
+    // the generation boundary.
+    "q257_schema_evolution" -> ((s, d) => {
+      val v1 = "/root/repo/target/roundtrip/orders_evo_v1"
+      val v2 = "/root/repo/target/roundtrip/orders_evo_v2"
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(v1)
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(v2)
+      FormatReaders.readParquetMerged(s, v1, v2)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
 
     // §2.1 Avro source round-trip (the reference's default interchange
@@ -776,6 +798,29 @@ object QualityQueries {
            'text/plain' AS mime, MD5(text) AS payload_md5
          FROM documents""",
 
+    // replays FakeCodec.decode: u(i) = byte i of md5(payload); feats are
+    // float32 quotients widened to double and summed in declared order,
+    // so the fold reproduces Spark's aggregate() bit-for-bit
+    "q46_multimodal_decode" ->
+      """WITH u AS (
+           SELECT doc_id,
+             [CAST(('0x' || substr(md5(text), 2*i + 1, 2)) AS INT)
+              for i in range(0, 16)] AS b
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             64 + ((b[1] * 16) + (b[2] // 16)) AS width,
+             64 + ((b[3] * 16) + (b[4] // 16)) AS height,
+             1 + (b[5] % 16) AS n_frames,
+             [CAST(CAST(b[2*i + 1] * 256 + b[2*i + 2] AS FLOAT)
+                   / CAST(65535 AS FLOAT) AS DOUBLE)
+              for i in range(0, 8)] AS f
+           FROM u)
+         SELECT doc_id, width, height, n_frames,
+           ROUND((((((((0.0 + f[1]) + f[2]) + f[3]) + f[4]) + f[5]) + f[6]) + f[7]) + f[8],
+             4) AS feat_sum
+         FROM m""",
+
     "q47_csv_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -785,6 +830,13 @@ object QualityQueries {
       """SELECT c_mktsegment, COUNT(*) AS n,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY c_mktsegment""",
+
+    "q257_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                     ELSE o_orderpriority END AS prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1""",
 
     "q253_avro_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -58,4 +58,12 @@ object FormatReaders {
     val cols = enc.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
     spark.read.parquet(path).select(cols: _*).as[T]
   }
+
+  /** Schema-evolution read: union the schemas of every footer under
+    * `paths` (columns missing from older files come back null). The
+    * per-file footer merge is a driver-side metadata pass; the data
+    * scan is unchanged — this is how a 100 TB table that gained
+    * columns over months reads as ONE frame without a backfill. */
+  def readParquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

@@ -103,4 +103,28 @@ class SketchesSpec extends SparkSpec {
     assert(wide == exact)
     assert(run(3, 8, 17) == tight) // additive counters: order-invariant
   }
+
+  test("HLL states roll up: union of partial states equals the one-shot estimate") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 20000).map(i => (s"d${i % 4}", s"u${i % 3000}")).toDF("day", "user")
+    // one-shot per-day states rolled up to a single estimate...
+    val states = Sketches.hllStates(rows, Seq(col("day")), col("user"))
+    assert(states.count() == 4)
+    val rolled = Sketches.hllRollup(states, Seq(lit(1).as("g")))
+      .select(col("n_distinct_est")).as[Long].head()
+    // ...equals the estimate from sketching everything directly
+    // (register maxing is merge-order-invariant)
+    val direct = Sketches.hllRollup(
+        Sketches.hllStates(rows, Seq(lit(1).as("g")), col("user")), Seq(col("g")))
+      .select(col("n_distinct_est")).as[Long].head()
+    assert(rolled == direct)
+    // and sits within the lgK=12 error envelope of the exact count
+    assert(math.abs(rolled - 3000.0) / 3000.0 < 0.05, s"est=$rolled")
+    // partition-count invariance (the property a float-sum would lose)
+    val reparts = Sketches.hllRollup(
+        Sketches.hllStates(rows.repartition(17), Seq(lit(1).as("g")), col("user")),
+        Seq(col("g")))
+      .select(col("n_distinct_est")).as[Long].head()
+    assert(reparts == direct)
+  }
 }

@@ -171,6 +171,13 @@ class SimilaritySpec extends SparkSpec {
       val want = Array.tabulate(6)(i => if (i % 3 == c) 1.0 else 0.0)
       assert(cent.zip(want).forall { case (a, b) => math.abs(a - b) < 1e-9 })
     }
+    // deep refinement stays bounded: 10 rounds are 10 independent
+    // shallow jobs over the persisted projection (constant lineage —
+    // centroids ride a driver array, not a growing plan), and the
+    // fixed point equals the 2-round answer on separable clusters
+    val deep = Similarity.ivfCentroids(df, nList = 3, lloydRounds = 10)
+    assert(deep.zip(refined).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 } })
   }
 
   test("srpBucket: same vector -> same bucket; opposite -> different") {

@@ -12,7 +12,6 @@ class GateContractSpec extends AnyFunSuite {
   // rows-only by design: outputs that are not SQL-replayable
   private val rowsOnlyByDesign = Map(
     "q37_ml_train_score" -> "trained-model scores (12 spark.ml fits) aren't SQL-replayable",
-    "q46_multimodal_decode" -> "binary stub-codec output has no SQL equivalent",
     "q95_dt_map_bucketize" -> "fitted per-key decision-tree splits aren't SQL-replayable",
     "q118_bpe_tokenize" -> "data-dependent BPE merge list isn't SQL-replayable (iteration-0 stats gated by q117)",
     "q120_curation_quality_classifier" -> "trained LR probabilities aren't SQL-replayable (feature extraction shares q116's gated path)",
