@@ -392,6 +392,82 @@ object DataQuality {
       round(pT - pC + lit(1.959963984540054) * seU, 6).as("ci_hi"))
   }
 
+  /** Jensen-Shannon divergence between two samples' histograms over a
+    * shared fixed binning — the SYMMETRIC, bounded ([0, ln 2]) drift
+    * score to [[psiDrift]]'s unbounded one. Same smoothing; per-bucket
+    * terms fold in DECIMAL so the 2·buckets-term sum is shuffle-order
+    * exact (the chi-square discipline). x·ln(x/m) with x>0 after
+    * smoothing, so no 0·ln 0 edge. */
+  def jsDivergence(train: DataFrame, score: DataFrame, c: Column,
+                   lo: Double, hi: Double, buckets: Int,
+                   eps: Double = 0.5): DataFrame = {
+    val ht = histogram(train, c, lo, hi, buckets)
+      .select(col("bucket"), col("cnt").as("cnt_t"))
+    val hs = histogram(score, c, lo, hi, buckets)
+      .select(col("bucket"), col("cnt").as("cnt_s"))
+    val joined = ht.join(hs, Seq("bucket"))
+    val tot = joined.agg(sum(col("cnt_t")).as("n_t"), sum(col("cnt_s")).as("n_s"))
+    val pT = (col("cnt_t") + eps) / (col("n_t") + eps * buckets)
+    val pS = (col("cnt_s") + eps) / (col("n_s") + eps * buckets)
+    val m = (pT + pS) / 2.0
+    val term = (pT * log(pT / m) + pS * log(pS / m)) * 0.5
+    joined.crossJoin(broadcast(tot))
+      .agg(round(sum(term.cast("decimal(38,18)")).cast("double"), 6).as("js"),
+        first(col("n_t")).as("n_train"), first(col("n_s")).as("n_score"))
+  }
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    * al. 2013): variance-reduced A/B readout. theta = cov(X,Y)/var(X)
+    * over the pooled sample (X = pre-period covariate, Y = experiment
+    * metric); each arm's adjusted mean is mean(Y_g) − theta·(mean(X_g)
+    * − mean(X)), and the pooled variance-reduction ratio is
+    * 1 − var(Y−θX)/var(Y) = ρ². ONE aggregation of exact decimal
+    * sufficient statistics (n, Σx, Σy, Σxx, Σxy, Σyy — total and
+    * per-arm), closed form on the single-row frame — the same
+    * determinism-by-exact-sums contract as [[welchTTest]], so a
+    * replaying engine reproduces every double bit-for-bit. */
+  def cuped(df: DataFrame, group: Column, control: String, treatment: String,
+            metric: Column, covariate: Column): DataFrame = {
+    val y = metric.cast("decimal(18,6)")
+    val x = covariate.cast("decimal(18,6)")
+    val base = df.where(group.isin(control, treatment) &&
+        metric.isNotNull && covariate.isNotNull)
+      .select(group.as("g"), y.as("y"), x.as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    def arm(g: String, tag: String) = base.where(col("g") === g).agg(
+      count(lit(1)).as(s"n$tag"),
+      sum(col("x")).cast("double").as(s"sx$tag"),
+      sum(col("y")).cast("double").as(s"sy$tag"))
+    val nD = col("n").cast("double")
+    val theta = (col("sxy") - col("sx") * col("sy") / nD) /
+      (col("sxx") - col("sx") * col("sx") / nD)
+    val meanX = col("sx") / nD
+    def adjMean(tag: String) =
+      col(s"sy$tag") / col(s"n$tag").cast("double") -
+        theta * (col(s"sx$tag") / col(s"n$tag").cast("double") - meanX)
+    def rawMean(tag: String) = col(s"sy$tag") / col(s"n$tag").cast("double")
+    val varY = col("syy") - col("sy") * col("sy") / nD
+    val varAdj = varY - theta * (col("sxy") - col("sx") * col("sy") / nD)
+    val out = tot
+      .crossJoin(broadcast(arm(control, "_c")))
+      .crossJoin(broadcast(arm(treatment, "_t")))
+      .select(col("n_c"), col("n_t"),
+        round(theta, 6).as("theta"),
+        round(rawMean("_t") - rawMean("_c"), 6).as("diff_raw"),
+        round(adjMean("_t") - adjMean("_c"), 6).as("diff_cuped"),
+        round(lit(1.0) - varAdj / varY, 6).as("var_reduction"))
+    val res = out.localCheckpoint(true)
+    base.unpersist(blocking = false)
+    res
+  }
+
   /** Shannon entropy (nats) of each categorical column, all columns in
     * ONE pass: every column's values fold into (col_name, value) rows
     * via an exploded struct array, then one groupBy((col, value)) +

@@ -180,6 +180,44 @@ object QualityQueries {
         col("o_totalprice"), 0, 500000, 20)
     }),
 
+    // symmetric bounded drift score over the same early/late histogram
+    // split as q134 (JS divergence; decimal-folded term sum)
+    "q258_js_divergence" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      DataQuality.jsDivergence(
+        o.where(col("o_orderdate") < "1998-01-01"),
+        o.where(col("o_orderdate") >= "1998-01-01"),
+        col("o_totalprice"), 0, 500000, 20)
+    }),
+
+    // CUPED variance-reduced A/B readout: pre-period spend as the
+    // covariate, post-period spend as the metric, md5-free even/odd
+    // user split for the arms
+    "q259_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val perUser = ev.groupBy(col("user_id")).agg(
+          sum(when(col("ts") < lit("2024-01-16").cast("timestamp"), col("value"))
+            .otherwise(lit(0.0)).cast("decimal(18,2)")).cast("double").as("x_pre"),
+          sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"), col("value"))
+            .otherwise(lit(0.0)).cast("decimal(18,2)")).cast("double").as("y_post"))
+        .withColumn("arm", when(pmod(col("user_id"), lit(2)) === 0, "control")
+          .otherwise("treatment"))
+      DataQuality.cuped(perUser, col("arm"), "control", "treatment",
+        col("y_post"), col("x_pre"))
+    }),
+
+    // §2.9 CDC apply: the event stream replayed as a keyed changelog
+    // ("view" = delete tombstone, others upsert) through bounded
+    // per-key state; surviving keys = last-op-wins upserts
+    "q260_cdc_apply" -> ((s, d) => {
+      val ds = Streaming.cdcApply(s, Streaming.eventStream(s, d))
+      Streaming.runToCompletion(s, ds.toDF(), "q260_cdc",
+          outputMode = "update", shufflePartitions = Some(8))
+        .where(!col("deleted"))
+        .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // streaming heavy hitters, sketch-then-verify: a bounded Misra-
     // Gries sketch per watermarked day-window surfaces candidates on
     // the stream; a batch exact recount of ONLY the candidates makes
@@ -709,6 +747,71 @@ object QualityQueries {
                   * ln(((cnt_s + 0.5) / (n_s + 10.0)) / ((cnt_t + 0.5) / (n_t + 10.0)))), 6) AS psi,
            CAST(n_t AS BIGINT) AS n_train, CAST(n_s AS BIGINT) AS n_score
          FROM j, t GROUP BY n_t, n_s""",
+
+    "q258_js_divergence" ->
+      """WITH buckets AS (SELECT unnest(range(0, 20)) AS bucket),
+         e AS (SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19) b,
+                 COUNT(*) cnt FROM orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+         l AS (SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19) b,
+                 COUNT(*) cnt FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+         j AS (SELECT bucket, coalesce(e.cnt, 0) AS cnt_t, coalesce(l.cnt, 0) AS cnt_s
+               FROM buckets LEFT JOIN e ON bucket = e.b LEFT JOIN l ON bucket = l.b),
+         t AS (SELECT sum(cnt_t) AS n_t, sum(cnt_s) AS n_s FROM j),
+         p AS (SELECT (cnt_t + 0.5) / (n_t + 10.0) AS pt,
+                      (cnt_s + 0.5) / (n_s + 10.0) AS ps, n_t, n_s
+               FROM j, t)
+         SELECT round(CAST(sum(CAST(
+                  (pt * ln(pt / ((pt + ps) / 2.0))
+                   + ps * ln(ps / ((pt + ps) / 2.0))) * 0.5
+                  AS DECIMAL(38,18))) AS DOUBLE), 6) AS js,
+           CAST(n_t AS BIGINT) AS n_train, CAST(n_s AS BIGINT) AS n_score
+         FROM p GROUP BY n_t, n_s""",
+
+    "q259_cuped" ->
+      """WITH pu AS (SELECT user_id,
+              CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS x_pre,
+              CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                   THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS y_post
+            FROM events GROUP BY user_id),
+          b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                            ELSE 'treatment' END AS g,
+                  CAST(x_pre AS DECIMAL(19,6)) AS x,
+                  CAST(y_post AS DECIMAL(19,6)) AS y
+                FROM pu),
+          tot AS (SELECT count(*) AS n,
+                    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                    CAST(sum(x * x) AS DOUBLE) AS sxx,
+                    CAST(sum(x * y) AS DOUBLE) AS sxy,
+                    CAST(sum(y * y) AS DOUBLE) AS syy
+                  FROM b),
+          c AS (SELECT count(*) AS n_c, CAST(sum(x) AS DOUBLE) AS sx_c,
+                  CAST(sum(y) AS DOUBLE) AS sy_c FROM b WHERE g = 'control'),
+          t AS (SELECT count(*) AS n_t, CAST(sum(x) AS DOUBLE) AS sx_t,
+                  CAST(sum(y) AS DOUBLE) AS sy_t FROM b WHERE g = 'treatment'),
+          f AS (SELECT *,
+                  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+                  sx / n AS mean_x,
+                  syy - sy * sy / n AS vary
+                FROM tot, c, t)
+          SELECT n_c, n_t,
+            ROUND(theta, 6) AS theta,
+            ROUND(sy_t / n_t - sy_c / n_c, 6) AS diff_raw,
+            ROUND((sy_t / n_t - theta * (sx_t / n_t - mean_x))
+                  - (sy_c / n_c - theta * (sx_c / n_c - mean_x)), 6) AS diff_cuped,
+            ROUND(1.0 - (vary - theta * (sxy - sx * sy / n)) / vary, 6)
+              AS var_reduction
+          FROM f""",
+
+    "q260_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events)
+          SELECT user_id, event_id, ROUND(value, 6) AS value
+          FROM r WHERE rn = 1 AND event_type <> 'view'""",
 
     "q132_stream_heavy_hitters" ->
       """WITH e AS (

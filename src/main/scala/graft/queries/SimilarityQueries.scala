@@ -18,6 +18,13 @@ object SimilarityQueries {
   private val QUERY_PRED = "vec_id < 5"
 
   val queries: Map[String, Q] = Map(
+    // symmetric int8 quantization of the embedding store: per-vector
+    // scale + exact code-summary fingerprint (sum/min/max/max-error)
+    "q261_embedding_quantize" -> ((s, d) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"))
+    }),
+
     "q26_sim_bruteforce_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e, e.where(expr(QUERY_PRED)), K)
@@ -139,6 +146,29 @@ object SimilarityQueries {
                THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
 
   val oracles: Map[String, String] = Map(
+    "q261_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id,
+              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+            FROM embeddings),
+          s AS (SELECT vec_id, emb,
+              greatest(list_aggregate(list_transform(emb, v -> abs(v)), 'max'),
+                1e-30) / 127.0 AS scale
+            FROM e),
+          q AS (SELECT vec_id, emb, scale,
+              list_transform(emb, v ->
+                CAST(least(greatest(round(v / scale), -127.0), 127.0) AS INT)) AS qs
+            FROM s)
+          SELECT vec_id,
+            CAST(len(qs) AS INT) AS n_dims,
+            ROUND(scale, 9) AS scale,
+            CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+            CAST(list_aggregate(qs, 'min') AS INT) AS q_min,
+            CAST(list_aggregate(qs, 'max') AS INT) AS q_max,
+            ROUND(list_aggregate(
+              list_transform(emb, (v, i) -> abs(v - qs[i] * scale)), 'max'),
+              9) AS max_abs_err
+          FROM q""",
+
     "q26_sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                      FROM embeddings),

@@ -239,6 +239,46 @@ object Streaming {
       }
   }
 
+  /** CDC (change-data-capture) APPLY over a keyed changelog stream:
+    * each event is an upsert or a delete for its key (here: event_type
+    * "view" = delete, anything else upserts the event's value), applied
+    * in (ts, event_id) order; the emitted update rows converge to
+    * last-op-wins per key — exactly the MERGE a warehouse applies when
+    * replaying a Debezium/binlog feed, expressed as bounded per-key
+    * state (ONE tuple: the latest op seen). Batch equivalence: key
+    * present iff its latest op is an upsert, value = that op's value —
+    * the SQL the oracle replays. Deletes must keep a TOMBSTONE (not
+    * state.remove()): dropping state would resurrect the key if a
+    * LATER batch carries an out-of-order earlier upsert. */
+  case class CdcState(userId: Long, tsMicros: Long, eventId: Long,
+                      deleted: Boolean, value: Double)
+  def cdcApply(spark: SparkSession, stream: DataFrame)
+      : org.apache.spark.sql.Dataset[CdcState] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream.select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("event_id").as[Long], (col("event_type") === "view").as[Boolean],
+        col("value").as[Double])
+      .as[(Long, Long, Long, Boolean, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CdcState, CdcState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val prev = state.getOption
+        // apply this batch's ops for the key in changelog order; keep
+        // the op with the max (ts, event_id) — last-op-wins
+        val next = rows.foldLeft(prev) { case (acc, (_, ts, eid, isDel, v)) =>
+          val cand = CdcState(key, ts, eid, isDel, if (isDel) 0.0 else v)
+          acc match {
+            case Some(s) if s.tsMicros > ts ||
+              (s.tsMicros == ts && s.eventId >= eid) => acc
+            case _ => Some(cand)
+          }
+        }
+        next.foreach(state.update)
+        next.iterator
+      }
+  }
+
   /** Per-key event-TRANSITION extraction over a stream (the streaming
     * feed for a Markov/behavior model): every consecutive
     * (current -> next) state pair per user, in (ts, event_id) order.

@@ -104,4 +104,36 @@ class StreamingSpec extends SparkSpec {
       (1L, t(70), t(100), 1L, 4.0),
       (2L, t(5), t(35), 1L, 8.0)))
   }
+
+  test("cdcApply: last-op-wins, tombstones survive out-of-order upserts across batches") {
+    val s = spark; import s.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // batch 1: key 1 upsert then DELETE (ts 10); key 2 upsert
+    mem.addData(
+      (1L, t(0), 100L, "purchase", 5.0),
+      (1L, t(10), 101L, "view", 0.0),
+      (2L, t(0), 102L, "purchase", 7.0))
+    // batch 2: a LATE upsert for key 1 (ts 5 < the delete at ts 10) must
+    // NOT resurrect the key; key 2 gets a newer upsert that wins
+    mem.addData(
+      (1L, t(5), 103L, "purchase", 9.0),
+      (2L, t(20), 104L, "purchase", 11.0))
+    val ds = Streaming.cdcApply(s,
+      mem.toDF.toDF("user_id", "ts", "event_id", "event_type", "value"))
+    val q = ds.toDF().writeStream.format("memory").queryName("cdc_spec")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update sink appends one row per key per batch that touched it;
+    // the LAST row per key is the converged state
+    val finalState = s.table("cdc_spec")
+      .collect().zipWithIndex
+      .groupBy(_._1.getLong(0))
+      .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+    assert(finalState(1L).getBoolean(3), "late upsert resurrected a tombstoned key")
+    assert(!finalState(2L).getBoolean(3) && finalState(2L).getDouble(4) == 11.0)
+    assert(finalState(2L).getLong(2) == 104L)
+  }
 }
