@@ -386,6 +386,67 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Blocking-quality scorecard for the MinHash-LSH blocking scheme —
+    * the observability a production dedup pipeline reports before
+    * anyone trusts its recall: REDUCTION RATIO (what fraction of the
+    * n·(n−1)/2 pair space the blocking avoided scoring) and PAIR
+    * COMPLETENESS (what fraction of the TRUE near-dup pairs the blocks
+    * still cover). Ground truth comes from share-a-shingle blocked
+    * exact Jaccard — exact for any threshold > 0, and the scalable way
+    * to get truth without an all-pairs scan (the same shape as
+    * [[jaccardPairs]], uncapped). One row out; every count is a
+    * broadcast-sized aggregate crossed together, no driver loops. */
+  def blockingQuality(df: DataFrame, id: Column, text: Column, k: Int,
+                      numHashes: Int, numBands: Int,
+                      threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sh = shingleFrame(df, id, text, k)
+      .select(col("doc"), col("shingles"),
+        transform(col("shingles"), s => hash60(s) % lit(MinHashP)).as("hmod"))
+      .persist()
+    val banded = sh.select(col("doc"),
+      explode(bandHashes(minHashSignatureFromHashes(col("hmod"), numHashes),
+        numBands, rowsPerBand)).as("bucket"))
+    val candIds = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+      .persist()
+    def jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) -
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+    val withSets = candIds
+      .join(sh.select(col("doc").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    // ground truth: share-a-shingle candidates (exact for J > 0)
+    val ex = sh.select(col("doc"), col("shingles"),
+      explode(col("shingles")).as("s"))
+    val trueCands = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .distinct()
+    val out = sh.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(candIds.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(withSets.where(jac >= threshold)
+        .agg(count(lit(1)).as("n_found"))))
+      .crossJoin(broadcast(trueCands.where(jac >= threshold)
+        .agg(count(lit(1)).as("n_true"))))
+      // `div`, not `/`: Spark's Divide on longs produces a double
+      .withColumn("n_total_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .select(col("n_docs"), col("n_total_pairs"),
+        col("n_candidates"), col("n_true"), col("n_found"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          greatest(col("n_total_pairs"), lit(1L)).cast("double"), 6)
+          .as("reduction_ratio"),
+        round(col("n_found").cast("double") /
+          greatest(col("n_true"), lit(1L)).cast("double"), 6).as("pair_completeness"))
+    val res = out.localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    candIds.unpersist(blocking = false)
+    res
+  }
+
   /** Incremental-ingest near-dup filter: drop each INCOMING document
     * that is a near-duplicate (shared LSH band bucket + exact Jaccard >=
     * threshold) of ANY standing-corpus document; survivors pass through

@@ -137,6 +137,14 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // blocking-quality scorecard for the q24 LSH scheme: reduction
+    // ratio vs the full pair space + pair completeness vs exact
+    // share-a-shingle ground truth
+    "q262_blocking_quality" -> ((s, d) => {
+      Dedup.blockingQuality(Tables.documents(s, d), col("doc_id"), col("text"),
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
+    }),
+
     "q25_dedup_simhash" -> ((s, d) => {
       Dedup.simHashPairs(Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 2)
     }),
@@ -403,6 +411,28 @@ object DedupQueries {
           SELECT id_a, id_b, ROUND($PAIR_JACCARD, 6) AS jaccard
           FROM cand
           WHERE $PAIR_JACCARD >= 0.35""",
+
+    "q262_blocking_quality" ->
+      s"""WITH $MINHASH_PAIR_CTES,
+          nd AS (SELECT count(*) AS n_docs FROM f),
+          nc AS (SELECT count(*) AS n_candidates FROM cand),
+          nf AS (SELECT count(*) AS n_found FROM cand
+                 WHERE $PAIR_JACCARD >= 0.35),
+          exp AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM f),
+          tcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.shingles AS sh_a, b.shingles AS sh_b
+                    FROM exp a JOIN exp b
+                      ON a.s = b.s AND a.doc_id < b.doc_id),
+          nt AS (SELECT count(*) AS n_true FROM tcand
+                 WHERE $PAIR_JACCARD >= 0.35)
+          SELECT n_docs, CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_total_pairs,
+            n_candidates, n_true, n_found,
+            ROUND(1.0 - CAST(n_candidates AS DOUBLE)
+              / CAST(greatest(n_docs * (n_docs - 1) // 2, 1) AS DOUBLE), 6)
+              AS reduction_ratio,
+            ROUND(CAST(n_found AS DOUBLE)
+              / CAST(greatest(n_true, 1) AS DOUBLE), 6) AS pair_completeness
+          FROM nd, nc, nf, nt""",
 
     "q86_dedup_components" ->
       s"""WITH RECURSIVE $MINHASH_PAIR_CTES,

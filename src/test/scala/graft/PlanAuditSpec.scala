@@ -55,6 +55,11 @@ class PlanAuditSpec extends SparkSpec {
     // row (per profiled column / one PSI scalar); q134's BNLJ broadcasts
     // the 1-row bucket-total frame against a <= `buckets`-row join
     "q133_column_profile", "q134_psi_drift",
+    // q258: JS divergence — q134's exact shape (1-row bucket-total
+    // frame broadcast against the <= `buckets`-row histogram join);
+    // q259: CUPED crosses three 1-row sufficient-stat frames;
+    // q262: the blocking scorecard crosses four 1-row count frames
+    "q258_js_divergence", "q259_cuped", "q262_blocking_quality",
     // q135/q136: BM25 — same shape as q57's idf fit: the corpus size /
     // total-token scalars are 1-row frames crossJoin-broadcast into the
     // scoring join
