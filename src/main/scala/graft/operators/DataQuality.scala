@@ -341,6 +341,28 @@ object DataQuality {
       .select(col("grp"), col("z.prob"), round(col("z.q"), 6).as("q"))
   }
 
+  /** Median absolute deviation per group — the robust scale that
+    * survives 50% contamination where IQR survives 25%. Two exact
+    * quantile fits (group median, then median of |x − med|), the
+    * O(#groups) median table broadcast between them. Same exact
+    * interpolated percentile as [[groupedQuantiles]], so the oracle
+    * replays with quantile_cont. */
+  def madPerGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.where(value.isNotNull)
+      .select(group.as("grp"), value.cast("double").as("v"))
+    val med = base.groupBy(col("grp"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    base.join(broadcast(med), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
+      .select(col("grp"), col("n"), round(col("med"), 6).as("median"),
+        round(col("mad"), 6).as("mad"),
+        // 1.4826·MAD ≈ sigma under normality — the consistency constant
+        round(col("mad") * 1.4826, 6).as("sigma_robust"))
+  }
+
   /** IQR outlier flags per group (the Tukey fence): a row is an outlier
     * when its value leaves [q1 - k·iqr, q3 + k·iqr] with q1/q3 the
     * group's exact quartiles. Fit = one groupBy producing an O(#groups)

@@ -275,6 +275,43 @@ object TimeSeries {
           .reduce(_ + _))
   }
 
+  /** Window funnel (the ClickHouse `windowFunnel` shape): deepest
+    * stage level reached where the whole chain fits inside
+    * `windowMicros` of the entity's FIRST stage-1 event, each stage
+    * strictly after the previous one. Deterministic by construction
+    * (chained per-entity minima anchored at t₁ — no greedy re-anchor),
+    * which is what makes it exactly SQL-replayable, unlike the
+    * re-anchoring variants. Same single-Exchange chained-window shape
+    * as [[funnel]]; emits (entity, level, t_first_us, duration_sec of
+    * the deepest reached stage). Entities that never hit stage 1 are
+    * absent (level-0 rows carry no information at 100 TB). */
+  def windowFunnel(df: DataFrame, entity: Column, ts: Column, stage: Column,
+                   stages: Seq[String], windowMicros: Long): DataFrame = {
+    require(stages.size >= 2, "windowFunnel needs at least two stages")
+    require(windowMicros > 0, s"window must be positive: $windowMicros")
+    val w = Window.partitionBy(col("entity"))
+    val tus = unix_micros(ts)
+    val staged = stages.zipWithIndex.foldLeft(
+      df.select(entity.as("entity"), tus.as("__t"), stage.as("__s"))) {
+      case (acc, (st, i)) =>
+        val cond =
+          if (i == 0) col("__s") === st
+          else col("__s") === st && col("__t") > col(s"t_$i") &&
+            col("__t") <= col("t_1") + windowMicros
+        acc.withColumn(s"t_${i + 1}", min(when(cond, col("__t"))).over(w))
+    }
+    val aggs = stages.indices.map(i => first(col(s"t_${i + 1}")).as(s"t_${i + 1}"))
+    staged.groupBy(col("entity"))
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("t_1").isNotNull)
+      .withColumn("level",
+        stages.indices.map(i => when(col(s"t_${i + 1}").isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+      .select(col("entity"), col("level"), col("t_1").as("t_first_us"),
+        round((coalesce(stages.indices.reverse.map(i => col(s"t_${i + 1}")): _*)
+          - col("t_1")).cast("double") / 1e6, 6).as("duration_sec"))
+  }
+
   /** Rolling event-time features per entity: over the trailing
     * `windowSeconds` (RANGE frame on event-time micros, inclusive of
     * the current event) — event count, value sum and mean; plus the

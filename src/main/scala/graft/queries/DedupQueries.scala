@@ -81,15 +81,20 @@ object DedupQueries {
     }),
 
     // Bayardo prefix-filtered fuzzy join (the loose record-linkage
-    // tier): probe names matched to canon names at Jaccard >= 0.5,
-    // top-3 per probe. Prefix filtering is EXACT vs share-a-token
-    // blocking (no token exceeds the hot cap at this scale), so the
-    // oracle verifies with plain all-candidates semantics.
+    // tier): a small probe batch (5% of parts) matched against the
+    // even-key canon half at Jaccard >= 0.5, top-3 per probe — the
+    // lookup-shaped workload the operator exists for (cost scales with
+    // the probe batch, not canon²; part names are a DENSE 92-word
+    // vocabulary, the prefix filter's worst case, so an all-vs-all gate
+    // would be quadratic by construction — see nearExactMatchTopK for
+    // that regime). Prefix filtering is EXACT vs share-a-token blocking
+    // (no token exceeds the hot cap at this scale), so the oracle
+    // verifies with plain all-candidates semantics.
     "q256_fuzzy_join_topk" -> ((s, d) => {
       val part = Tables.part(s, d)
       Dedup.fuzzyJoinTopK(
           part.where(col("p_partkey") % 2 === 0), col("p_partkey"), col("p_name"),
-          part.where(col("p_partkey") % 2 === 1), col("p_partkey"), col("p_name"),
+          part.where(col("p_partkey") % 20 === 1), col("p_partkey"), col("p_name"),
           k = 3, minJaccard = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
@@ -142,7 +147,8 @@ object DedupQueries {
     // share-a-shingle ground truth
     "q262_blocking_quality" -> ((s, d) => {
       Dedup.blockingQuality(Tables.documents(s, d), col("doc_id"), col("text"),
-        k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.35,
+        truthSampleMod = 2L, maxShingleDocFreq = 1000L)
     }),
 
     "q25_dedup_simhash" -> ((s, d) => {
@@ -304,7 +310,7 @@ object DedupQueries {
           p AS (
             SELECT p_partkey AS probe_id,
               list_distinct(regexp_split_to_array(lower(trim(p_name)), '\s+')) AS pt
-            FROM part WHERE p_partkey % 2 = 1),
+            FROM part WHERE p_partkey % 20 = 1),
           cand AS (
             SELECT DISTINCT probe_id, canon_id
             FROM (SELECT probe_id, unnest(pt) AS tok FROM p) pp
@@ -417,11 +423,15 @@ object DedupQueries {
           nd AS (SELECT count(*) AS n_docs FROM f),
           nc AS (SELECT count(*) AS n_candidates FROM cand),
           nf AS (SELECT count(*) AS n_found FROM cand
-                 WHERE $PAIR_JACCARD >= 0.35),
-          exp AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM f),
+                 WHERE id_a % 2 = 0 AND id_b % 2 = 0
+                   AND $PAIR_JACCARD >= 0.35),
+          exp AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM f
+                  WHERE doc_id % 2 = 0),
+          cold AS (SELECT s FROM exp GROUP BY s HAVING count(*) <= 1000),
+          expc AS (SELECT exp.* FROM exp JOIN cold USING (s)),
           tcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                       a.shingles AS sh_a, b.shingles AS sh_b
-                    FROM exp a JOIN exp b
+                    FROM expc a JOIN expc b
                       ON a.s = b.s AND a.doc_id < b.doc_id),
           nt AS (SELECT count(*) AS n_true FROM tcand
                  WHERE $PAIR_JACCARD >= 0.35)

@@ -29,6 +29,12 @@ object QualityQueries {
         Tables.customer(s, d), col("c_custkey"))
     }),
 
+    // robust scale per group: exact median absolute deviation
+    "q264_mad" -> ((s, d) => {
+      DataQuality.madPerGroup(Tables.events(s, d),
+        col("event_type"), col("value"))
+    }),
+
     // per-group exact quantiles of event value by type
     "q140_grouped_quantiles" -> ((s, d) => {
       DataQuality.groupedQuantiles(Tables.events(s, d),
@@ -747,6 +753,20 @@ object QualityQueries {
                   * ln(((cnt_s + 0.5) / (n_s + 10.0)) / ((cnt_t + 0.5) / (n_t + 10.0)))), 6) AS psi,
            CAST(n_t AS BIGINT) AS n_train, CAST(n_s AS BIGINT) AS n_score
          FROM j, t GROUP BY n_t, n_s""",
+
+    "q264_mad" ->
+      """WITH m AS (SELECT event_type AS grp,
+                      quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+                    FROM events WHERE value IS NOT NULL GROUP BY 1),
+          a AS (SELECT e.event_type AS grp, count(*) AS n,
+                  any_value(med) AS med,
+                  quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) AS mad
+                FROM events e JOIN m ON e.event_type = m.grp
+                WHERE value IS NOT NULL
+                GROUP BY 1)
+          SELECT grp, n, ROUND(med, 6) AS median, ROUND(mad, 6) AS mad,
+            ROUND(mad * 1.4826, 6) AS sigma_robust
+          FROM a""",
 
     "q258_js_divergence" ->
       """WITH buckets AS (SELECT unnest(range(0, 20)) AS bucket),

@@ -131,6 +131,16 @@ object ReaderQueries {
         stages = Seq("view", "click", "purchase"))
     }),
 
+    // anchored window funnel (ClickHouse windowFunnel shape): deepest
+    // view -> click -> purchase chain completed within 2 days of the
+    // user's first view
+    "q263_window_funnel" -> ((s, d) => {
+      graft.operators.TimeSeries.windowFunnel(Tables.events(s, d),
+        entity = col("user_id"), ts = col("ts"), stage = col("event_type"),
+        stages = Seq("view", "click", "purchase"),
+        windowMicros = 2L * 86400000000L)
+    }),
+
     // CutOffTime.DaysAgo relative cutoff (reference CutOffTime.scala:41-70)
     "q62_agg_cutoff_daysago" -> ((s, d) => {
       AggregateReader.aggregateWithCutoff(
@@ -384,6 +394,26 @@ object ReaderQueries {
             string_agg(event_type, '|' ORDER BY tus, event_id) AS seq
           FROM r JOIN t USING (k) WHERE rn <= 20
           GROUP BY k, n_total""",
+
+    "q263_window_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS s
+                    FROM events),
+          s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                 WHERE s = 'view' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+                 WHERE s = 'click' AND t > t1 AND t <= t1 + 172800000000
+                 GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, min(t) AS t3
+                 FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                 WHERE s = 'purchase' AND t > t2 AND t <= t1 + 172800000000
+                 GROUP BY e.user_id)
+          SELECT s1.user_id AS entity,
+            1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS level,
+            t1 AS t_first_us,
+            ROUND(CAST(coalesce(t3, t2, t1) - t1 AS DOUBLE) / 1e6, 6)
+              AS duration_sec
+          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
 
     "q173_json_extract" ->
       """SELECT event_type,
