@@ -129,6 +129,76 @@ object TimeSeries {
         when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
   }
 
+  /** Point-in-time (PIT) lookup against a stored SCD2 dimension: each
+    * fact row picks the dimension interval covering its timestamp
+    * (valid_from <= ts < valid_to, open-ended current rows match
+    * everything after valid_from). The feature-store join that
+    * prevents label leakage — a fact must see the dim state AS OF its
+    * own time, never the current one. Plan shape: ONE equi-join on the
+    * key with the interval predicate as a residual condition (never a
+    * range/theta join) — per-key interval lists are small (bounded by
+    * that key's change count), so the residual scan is per-key-local;
+    * intervals partition time, so cardinality is preserved (<= 1 match
+    * per fact; facts before the first interval keep a null state). */
+  def scd2Lookup(facts: DataFrame, factId: Column, factKey: Column,
+                 factTs: Column, dim: DataFrame): DataFrame = {
+    val f = facts.select(factId.as("id"), factKey.as("k"), factTs.as("ts"))
+    val d = dim.select(col("k").as("__dk"), col("value").as("state"),
+      col("valid_from"), col("valid_to"))
+    f.join(d,
+        col("k") === col("__dk") && col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .select(col("id"), col("k"), col("ts"), col("state"),
+        col("valid_from").as("state_since"))
+  }
+
+  /** Per-key two-regressor ordinary least squares with intercept
+    * (y ~ b0 + b1·x1 + b2·x2): the multivariate extension of
+    * [[trendPerSeries]]. One hash aggregation of the nine exact
+    * DECIMAL sufficient statistics, then the 3x3 normal equations
+    * solved in closed form (Cramer) on the aggregate row — no per-key
+    * fit loop, no matrix library, scale-free in series count, and
+    * bit-replayable since every double derives from an exact sum. */
+  def trend2PerSeries(df: DataFrame, key: Column, x1: Column, x2: Column,
+                      y: Column): DataFrame = {
+    // INTEGER regressors (epoch day / flags — the trendPerSeries
+    // contract) at scale 0 and y at scale 6 keep every product at
+    // scale <= 6, so the exact decimal sums stay under 2^53 unscaled
+    // and BOTH engines' decimal->double casts are exact (a scale-12
+    // product sum tripped a double-rounding in the replaying engine);
+    // 19+19 = 38 also keeps the products inside the 38-digit cap.
+    val x1d = x1.cast("long").cast("decimal(19,0)")
+    val x2d = x2.cast("long").cast("decimal(19,0)")
+    val yd = y.cast("decimal(19,6)")
+    val agg = df.where(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .groupBy(key.as("key")).agg(
+        count(lit(1)).as("n"),
+        sum(x1d).cast("double").as("s1"),
+        sum(x2d).cast("double").as("s2"),
+        sum(yd).cast("double").as("sy"),
+        sum(x1d * x1d).cast("double").as("s11"),
+        sum(x2d * x2d).cast("double").as("s22"),
+        sum(x1d * x2d).cast("double").as("s12"),
+        sum(x1d * yd).cast("double").as("s1y"),
+        sum(x2d * yd).cast("double").as("s2y"))
+    // centered normal equations: [[a11 a12][a12 a22]]·[b1 b2] = [c1 c2]
+    val n = col("n").cast("double")
+    val a11 = col("s11") - col("s1") * col("s1") / n
+    val a22 = col("s22") - col("s2") * col("s2") / n
+    val a12 = col("s12") - col("s1") * col("s2") / n
+    val c1 = col("s1y") - col("s1") * col("sy") / n
+    val c2 = col("s2y") - col("s2") * col("sy") / n
+    val det = a11 * a22 - a12 * a12
+    val b1 = (c1 * a22 - c2 * a12) / det
+    val b2 = (c2 * a11 - c1 * a12) / det
+    val b0 = col("sy") / n - b1 * (col("s1") / n) - b2 * (col("s2") / n)
+    agg.select(col("key"), col("n"),
+      round(b0, 6).as("intercept"),
+      round(b1, 6).as("beta1"),
+      round(b2, 6).as("beta2"))
+  }
+
   /** Ordered per-key sequence assembly (conversation/session building
     * for SFT-style training data): the FIRST `maxLen` items of each
     * key's timeline, ordered by (epoch-micros, event id), assembled

@@ -131,6 +131,20 @@ object ReaderQueries {
         stages = Seq("view", "click", "purchase"))
     }),
 
+    // point-in-time SCD2 lookup: click facts joined to the dimension
+    // state (event-type intervals) in effect AT the click's own time —
+    // the leakage-proof feature-store join
+    "q265_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = graft.operators.TimeSeries.scd2(ev,
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      graft.operators.TimeSeries.scd2Lookup(
+          ev.where(col("event_type") === "click"),
+          col("event_id"), col("user_id"), col("ts"), dim)
+        .select(col("id").as("event_id"), col("k").as("user_id"),
+          col("ts"), col("state"), col("state_since"))
+    }),
+
     // anchored window funnel (ClickHouse windowFunnel shape): deepest
     // view -> click -> purchase chain completed within 2 days of the
     // user's first view
@@ -394,6 +408,24 @@ object ReaderQueries {
             string_agg(event_type, '|' ORDER BY tus, event_id) AS seq
           FROM r JOIN t USING (k) WHERE rn <= 20
           GROUP BY k, n_total""",
+
+    "q265_scd2_lookup" ->
+      """WITH e AS (SELECT user_id AS k, ts, event_id AS ord,
+                      event_type AS value FROM events),
+          w AS (SELECT *, lag(value) OVER (PARTITION BY k ORDER BY ts, ord)
+                  AS prev FROM e),
+          ch AS (SELECT k, ts, ord, value FROM w
+                 WHERE prev IS NULL OR prev <> value),
+          iv AS (SELECT k, value, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY k ORDER BY ts, ord) AS valid_to
+                 FROM ch),
+          f AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click')
+          SELECT f.event_id, f.user_id, f.ts, iv.value AS state,
+            iv.valid_from AS state_since
+          FROM f LEFT JOIN iv ON iv.k = f.user_id
+            AND iv.valid_from <= f.ts
+            AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)""",
 
     "q263_window_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS s

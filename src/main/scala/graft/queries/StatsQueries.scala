@@ -52,6 +52,18 @@ object StatsQueries {
       TimeSeries.trendPerSeries(daily, col("event_type"), col("x"), col("spend"))
     }),
 
+    // two-regressor per-series OLS: daily spend on (day index, weekend
+    // flag) — trend plus weekly level shift in one closed-form fit
+    "q266_trend2_ols" -> ((s, d) => {
+      val daily = dailySpend(s, d)
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).as("x1"),
+          when(dayofweek(col("day")).isin(1, 7), 1.0).otherwise(0.0).as("x2"),
+          col("spend"))
+      TimeSeries.trend2PerSeries(daily, col("event_type"),
+        col("x1"), col("x2"), col("spend"))
+    }),
+
     // chi-square independence: event type x day-of-week
     "q197_chi_square" -> ((s, d) => {
       DataQuality.chiSquare(Tables.events(s, d),
@@ -773,6 +785,40 @@ object StatsQueries {
                    - (num / denx) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept,
                  ROUND(num * num / (denx * deny), 6) AS r2
           FROM f""",
+
+    "q266_trend2_ols" ->
+      s"""WITH s AS ($dailySql),
+          b AS (SELECT key,
+                  CAST(day - DATE '1970-01-01' AS DECIMAL(19,0)) AS x1,
+                  CAST(CASE WHEN dayofweek(day) IN (0, 6) THEN 1
+                       ELSE 0 END AS DECIMAL(19,0)) AS x2,
+                  CAST(y AS DECIMAL(19,6)) AS yy
+                FROM s),
+          a AS (SELECT key, count(*) AS n,
+                  CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+                  CAST(sum(yy) AS DOUBLE) AS sy,
+                  CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+                  CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+                  CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+                  CAST(sum(x1 * yy) AS DOUBLE) AS s1y,
+                  CAST(sum(x2 * yy) AS DOUBLE) AS s2y
+                FROM b GROUP BY key),
+          f AS (SELECT key, n, s1, s2, sy,
+                  s11 - s1 * s1 / n AS a11,
+                  s22 - s2 * s2 / n AS a22,
+                  s12 - s1 * s2 / n AS a12,
+                  s1y - s1 * sy / n AS c1,
+                  s2y - s2 * sy / n AS c2
+                FROM a),
+          g AS (SELECT key, n, s1, s2, sy,
+                  (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1,
+                  (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2
+                FROM f)
+          SELECT key, n,
+            ROUND(sy / n - b1 * (s1 / n) - b2 * (s2 / n), 6) AS intercept,
+            ROUND(b1, 6) AS beta1,
+            ROUND(b2, 6) AS beta2
+          FROM g""",
 
     "q197_chi_square" ->
       """WITH cells AS (SELECT event_type AS a, dayofweek(CAST(ts AS DATE)) AS b,
