@@ -414,6 +414,35 @@ object DataQuality {
       round(pT - pC + lit(1.959963984540054) * seU, 6).as("ci_hi"))
   }
 
+  /** Functional-dependency check over column pairs: does a → b hold
+    * (every a-value maps to exactly one b-value)? Emits, per directed
+    * pair, the LHS cardinality, how many LHS values violate (map to
+    * >1 distinct b, nulls a distinct level), the violating row count,
+    * and the FD confidence (rows under single-valued LHS / rows). The
+    * schema-discovery pass that finds denormalization keys and broken
+    * lookup tables before a migration trusts them. One groupBy per
+    * pair over the (a, b) projection — never the raw row width. */
+  def functionalDependencies(df: DataFrame,
+                             pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDependencies needs column pairs")
+    val perPair = pairs.map { case (a, b) =>
+      df.select(coalesce(col(a).cast("string"), lit(" null")).as("lhs"),
+          coalesce(col(b).cast("string"), lit(" null")).as("rhs"))
+        .groupBy(col("lhs"))
+        .agg(countDistinct(col("rhs")).as("n_rhs"), count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_lhs_values"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating_values"),
+          sum(when(col("n_rhs") > 1, col("n_rows")).otherwise(0L))
+            .as("n_violating_rows"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit(s"$a->$b").as("fd"), col("n_lhs_values"),
+          col("n_violating_values"), col("n_violating_rows"),
+          round(lit(1.0) - col("n_violating_rows").cast("double") /
+            col("n_rows").cast("double"), 6).as("confidence"))
+    }
+    perPair.reduce(_ unionByName _)
+  }
+
   /** Jensen-Shannon divergence between two samples' histograms over a
     * shared fixed binning — the SYMMETRIC, bounded ([0, ln 2]) drift
     * score to [[psiDrift]]'s unbounded one. Same smoothing; per-bucket

@@ -29,6 +29,16 @@ object QualityQueries {
         Tables.customer(s, d), col("c_custkey"))
     }),
 
+    // functional-dependency discovery over candidate column pairs:
+    // which lookup relationships actually hold, and how broken are the
+    // ones that don't
+    "q267_fd_check" -> ((s, d) => {
+      DataQuality.functionalDependencies(Tables.orders(s, d), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderstatus", "o_orderpriority")))
+    }),
+
     // robust scale per group: exact median absolute deviation
     "q264_mad" -> ((s, d) => {
       DataQuality.madPerGroup(Tables.events(s, d),
@@ -753,6 +763,25 @@ object QualityQueries {
                   * ln(((cnt_s + 0.5) / (n_s + 10.0)) / ((cnt_t + 0.5) / (n_t + 10.0)))), 6) AS psi,
            CAST(n_t AS BIGINT) AS n_train, CAST(n_s AS BIGINT) AS n_score
          FROM j, t GROUP BY n_t, n_s""",
+
+    "q267_fd_check" -> Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderstatus", "o_orderpriority"))
+      .map { case (a, b) =>
+        s"""SELECT '$a->$b' AS fd, count(*) AS n_lhs_values,
+              CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violating_values,
+              CAST(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+                AS n_violating_rows,
+              ROUND(1.0 - CAST(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(n_rows) AS DOUBLE), 6) AS confidence
+            FROM (SELECT coalesce(CAST($a AS VARCHAR), ' null') AS lhs,
+                    count(DISTINCT coalesce(CAST($b AS VARCHAR), ' null'))
+                      AS n_rhs,
+                    count(*) AS n_rows
+                  FROM orders GROUP BY 1)"""
+      }.mkString(" UNION ALL "),
 
     "q264_mad" ->
       """WITH m AS (SELECT event_type AS grp,
