@@ -55,7 +55,10 @@ def main():
             results[name] = "MISSING_SPARK_OUTPUT"
             continue
         try:
-            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            # ignore_index: duplicate RangeIndex labels across part files
+            # would make canon's .loc[order] duplicate and interleave rows
+            got = canon(pd.concat([pd.read_parquet(f) for f in files],
+                                  ignore_index=True))
             want = canon(con.execute(sql).fetchdf())
         except Exception as e:
             results[name] = f"ERROR: {e}"

@@ -274,9 +274,13 @@ object DataQuality {
     * maxJSDivergence): PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
     * shifted. Two distributed histogram passes; everything after is
     * O(bins). Emits one row (psi, n_train, n_score). */
-  def psiDrift(train: DataFrame, score: DataFrame, c: Column,
-               lo: Double, hi: Double, buckets: Int,
-               eps: Double = 0.5): DataFrame = {
+  /** Shared two-sample drift scaffolding: per-bucket train/score counts
+    * joined with their totals, plus the smoothed probability columns —
+    * the binning and smoothing CONTRACT both drift scores share, so it
+    * lives in exactly one place. */
+  private def driftFrame(train: DataFrame, score: DataFrame, c: Column,
+                         lo: Double, hi: Double, buckets: Int,
+                         eps: Double): (DataFrame, Column, Column) = {
     val ht = histogram(train, c, lo, hi, buckets)
       .select(col("bucket"), col("cnt").as("cnt_t"))
     val hs = histogram(score, c, lo, hi, buckets)
@@ -285,9 +289,15 @@ object DataQuality {
     val tot = joined.agg(sum(col("cnt_t")).as("n_t"), sum(col("cnt_s")).as("n_s"))
     val pT = (col("cnt_t") + eps) / (col("n_t") + eps * buckets)
     val pS = (col("cnt_s") + eps) / (col("n_s") + eps * buckets)
-    joined.crossJoin(broadcast(tot))
-      .agg(round(sum((pS - pT) * log(pS / pT)), 6).as("psi"),
-        first(col("n_t")).as("n_train"), first(col("n_s")).as("n_score"))
+    (joined.crossJoin(broadcast(tot)), pT, pS)
+  }
+
+  def psiDrift(train: DataFrame, score: DataFrame, c: Column,
+               lo: Double, hi: Double, buckets: Int,
+               eps: Double = 0.5): DataFrame = {
+    val (frame, pT, pS) = driftFrame(train, score, c, lo, hi, buckets, eps)
+    frame.agg(round(sum((pS - pT) * log(pS / pT)), 6).as("psi"),
+      first(col("n_t")).as("n_train"), first(col("n_s")).as("n_score"))
   }
 
   /** One-pass numeric column profiler: per column — row count, null
@@ -452,19 +462,11 @@ object DataQuality {
   def jsDivergence(train: DataFrame, score: DataFrame, c: Column,
                    lo: Double, hi: Double, buckets: Int,
                    eps: Double = 0.5): DataFrame = {
-    val ht = histogram(train, c, lo, hi, buckets)
-      .select(col("bucket"), col("cnt").as("cnt_t"))
-    val hs = histogram(score, c, lo, hi, buckets)
-      .select(col("bucket"), col("cnt").as("cnt_s"))
-    val joined = ht.join(hs, Seq("bucket"))
-    val tot = joined.agg(sum(col("cnt_t")).as("n_t"), sum(col("cnt_s")).as("n_s"))
-    val pT = (col("cnt_t") + eps) / (col("n_t") + eps * buckets)
-    val pS = (col("cnt_s") + eps) / (col("n_s") + eps * buckets)
+    val (frame, pT, pS) = driftFrame(train, score, c, lo, hi, buckets, eps)
     val m = (pT + pS) / 2.0
     val term = (pT * log(pT / m) + pS * log(pS / m)) * 0.5
-    joined.crossJoin(broadcast(tot))
-      .agg(round(sum(term.cast("decimal(38,18)")).cast("double"), 6).as("js"),
-        first(col("n_t")).as("n_train"), first(col("n_s")).as("n_score"))
+    frame.agg(round(sum(term.cast("decimal(38,18)")).cast("double"), 6).as("js"),
+      first(col("n_t")).as("n_train"), first(col("n_s")).as("n_score"))
   }
 
   /** CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
@@ -485,6 +487,10 @@ object DataQuality {
         metric.isNotNull && covariate.isNotNull)
       .select(group.as("g"), y.as("y"), x.as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fill the cache BEFORE the final action: its broadcast arm
+    // subtrees materialize concurrently and would otherwise race the
+    // empty cache, each re-running the upstream projection
+    base.count()
     val tot = base.agg(
       count(lit(1)).as("n"),
       sum(col("x")).cast("double").as("sx"),

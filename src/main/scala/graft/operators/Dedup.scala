@@ -353,17 +353,17 @@ object Dedup {
     * candidates. Deterministic end-to-end (md5 hash family), so the
     * oracle replays candidate generation exactly: the output is "pairs
     * the LSH surfaces AND whose true Jaccard >= threshold". */
-  def minHashLshPairs(df: DataFrame, id: Column, text: Column, k: Int,
-                      numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+  /** Shared LSH candidate generation — the banding scheme q24 ships
+    * and the scorecard measures MUST be one piece of code. Returns
+    * (shingle+signature table, banded bucket table, candidate id
+    * pairs); sh and banded are PERSISTED (materialization discipline:
+    * the md5 signature is an interpreted higher-order expression and
+    * must be computed exactly once per doc, never inlined into both
+    * sides of the self-join), candIds is left lazy — the caller
+    * decides its lifecycle and owns all releases. */
+  private[operators] def lshCandidates(df: DataFrame, id: Column, text: Column,
+      k: Int, numHashes: Int, numBands: Int): (DataFrame, DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / numBands
-    // Materialization discipline (the expensive md5 signature must be
-    // computed exactly once per doc, never inlined into both sides of
-    // the self-join): persist the shingle table and the tiny
-    // (doc, bucket) table, generate candidates from buckets only, and
-    // join the shingle sets back for exact verification.
-    // hash60 materialized HERE (persisted, with the shingles column
-    // passed through so the projection cannot collapse) — the md5 runs
-    // once per shingle and the signature reads a plain column
     val sh = shingleFrame(df, id, text, k)
       .select(col("doc"), col("shingles"),
         transform(col("shingles"), s => hash60(s) % lit(MinHashP)).as("hmod"))
@@ -376,6 +376,12 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
+    (sh, banded, candIds)
+  }
+
+  def minHashLshPairs(df: DataFrame, id: Column, text: Column, k: Int,
+                      numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+    val (sh, _, candIds) = lshCandidates(df, id, text, k, numHashes, numBands)
     val cands = candIds
       .join(sh.select(col("doc").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("doc").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -401,24 +407,11 @@ object Dedup {
                       truthSampleMod: Long = 1L,
                       maxShingleDocFreq: Long = 10000L): DataFrame = {
     require(truthSampleMod >= 1, s"truthSampleMod must be >= 1: $truthSampleMod")
-    val rowsPerBand = numHashes / numBands
-    val sh = shingleFrame(df, id, text, k)
-      .select(col("doc"), col("shingles"),
-        transform(col("shingles"), s => hash60(s) % lit(MinHashP)).as("hmod"))
-      .persist()
-    // banded PERSISTED before the self-join (the minHashLshPairs
-    // discipline): the signature is an interpreted higher-order
-    // expression, and an unpersisted frame would evaluate it once per
-    // join SIDE (measured 4.9 s vs ~1 s on this fit)
-    val banded = sh.select(col("doc"),
-      explode(bandHashes(minHashSignatureFromHashes(col("hmod"), numHashes),
-        numBands, rowsPerBand)).as("bucket"))
-      .persist()
-    val candIds = banded.as("a").join(banded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
-      .persist()
+    // the EXACT candidate pipeline q24 ships — shared code, so the
+    // scorecard can never measure a different scheme than production
+    val (sh, banded, candIdsLazy) =
+      lshCandidates(df, id, text, k, numHashes, numBands)
+    val candIds = candIdsLazy.persist()
     // Ground truth: [[jaccardPairs]] (count-based exact verify, no
     // per-pair array intersections) over a DETERMINISTIC doc sample
     // (doc % truthSampleMod == 0). Completeness is a ratio, so an

@@ -51,8 +51,13 @@ object Geo {
     val cellLatDeg = radiusKm / KmPerDegLat
     val cellLonDeg = radiusKm / (KmPerDegLat * math.cos(math.toRadians(maxAbsLat)))
     // longitude cells wrap modulo the globe so antimeridian-straddling
-    // pairs still share a neighborhood; need >=3 cells for 3x3 coverage
-    val nLonCells = math.max(math.ceil(360.0 / cellLonDeg).toLong, 1L)
+    // pairs still share a neighborhood. floor + uniform width 360/n:
+    // ceil would leave a final SEAM cell narrower than cellLonDeg, and
+    // a pair straddling it could sit 2 cell indices apart while still
+    // inside the radius — silently outside the 3x3. Uniform cells are
+    // >= cellLonDeg by construction, so coverage holds everywhere.
+    val nLonCells = math.max(math.floor(360.0 / cellLonDeg).toLong, 1L)
+    val lonCellDegUniform = 360.0 / nLonCells
     require(nLonCells >= 3,
       s"radius $radiusKm km spans >1/3 of the globe in longitude at |lat|=$maxAbsLat")
     // LOUD per-row guard (runs inside the scan stage, no extra job): a
@@ -67,7 +72,7 @@ object Geo {
     val base = points.select(id.as("id"), checkedLat.as("lat"), lon.as("lon"))
       .withColumn("cx", floor(col("lat") / cellLatDeg))
       .withColumn("cy",
-        pmod(floor((col("lon") + lit(180.0)) / cellLonDeg), lit(nLonCells)))
+        pmod(floor((col("lon") + lit(180.0)) / lonCellDegUniform), lit(nLonCells)))
     val offsets = Seq(-1L, 0L, 1L)
     val expanded = base.withColumn("dx", explode(array(offsets.map(lit): _*)))
       .withColumn("dy", explode(array(offsets.map(lit): _*)))

@@ -422,9 +422,6 @@ object DedupQueries {
       s"""WITH $MINHASH_PAIR_CTES,
           nd AS (SELECT count(*) AS n_docs FROM f),
           nc AS (SELECT count(*) AS n_candidates FROM cand),
-          nf AS (SELECT count(*) AS n_found FROM cand
-                 WHERE id_a % 2 = 0 AND id_b % 2 = 0
-                   AND $PAIR_JACCARD >= 0.35),
           exp AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM f
                   WHERE doc_id % 2 = 0),
           cold AS (SELECT s FROM exp GROUP BY s HAVING count(*) <= 1000),
@@ -433,8 +430,14 @@ object DedupQueries {
                       a.shingles AS sh_a, b.shingles AS sh_b
                     FROM expc a JOIN expc b
                       ON a.s = b.s AND a.doc_id < b.doc_id),
-          nt AS (SELECT count(*) AS n_true FROM tcand
-                 WHERE $PAIR_JACCARD >= 0.35)
+          truth AS (SELECT id_a, id_b FROM tcand
+                    WHERE $PAIR_JACCARD >= 0.35),
+          nt AS (SELECT count(*) AS n_true FROM truth),
+          -- found = TRUTH pairs the banding proposed (mirror of the
+          -- Spark semi-join; never re-scored from the cand side)
+          nf AS (SELECT count(*) AS n_found
+                 FROM truth JOIN (SELECT DISTINCT id_a, id_b FROM cand) c
+                 USING (id_a, id_b))
           SELECT n_docs, CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_total_pairs,
             n_candidates, n_true, n_found,
             ROUND(1.0 - CAST(n_candidates AS DOUBLE)

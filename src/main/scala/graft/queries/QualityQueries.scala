@@ -227,11 +227,19 @@ object QualityQueries {
     // per-key state; surviving keys = last-op-wins upserts
     "q260_cdc_apply" -> ((s, d) => {
       val ds = Streaming.cdcApply(s, Streaming.eventStream(s, d))
+      // update-mode memory sink keeps one row per key per batch that
+      // touched it; per-key state only advances in (ts, event_id), so
+      // max_by that pair is the converged state even if the source ever
+      // splits into multiple micro-batches
       Streaming.runToCompletion(s, ds.toDF(), "q260_cdc",
           outputMode = "update", shufflePartitions = Some(8))
-        .where(!col("deleted"))
-        .select(col("userId").as("user_id"), col("eventId").as("event_id"),
-          round(col("value"), 6).as("value"))
+        .groupBy(col("userId").as("user_id"))
+        .agg(max_by(
+          struct(col("deleted"), col("eventId"), col("value")),
+          struct(col("tsMicros"), col("eventId"))).as("s"))
+        .where(!col("s.deleted"))
+        .select(col("user_id"), col("s.eventId").as("event_id"),
+          round(col("s.value"), 6).as("value"))
     }),
 
     // streaming heavy hitters, sketch-then-verify: a bounded Misra-
@@ -859,7 +867,7 @@ object QualityQueries {
               row_number() OVER (PARTITION BY user_id
                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
             FROM events)
-          SELECT user_id, event_id, ROUND(value, 6) AS value
+          SELECT user_id, event_id, ROUND(coalesce(value, 0.0), 6) AS value
           FROM r WHERE rn = 1 AND event_type <> 'view'""",
 
     "q132_stream_heavy_hitters" ->

@@ -156,17 +156,21 @@ object AvroIO {
 
   // ------------------------------------------------------ schema mapping
 
-  /** Writer schema of the first `*.avro` file under `path`. */
+  /** Writer schema of the first `*.avro` file matching `path` (plain
+    * file, directory, or glob — globStatus resolves all three). */
   def firstFileSchema(spark: SparkSession, path: String): Schema = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = FileSystem.get(p.toUri, conf)
-    val stat =
-      if (fs.getFileStatus(p).isFile) fs.getFileStatus(p)
-      else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-        .sortBy(_.getPath.getName)
-        .headOption
-        .getOrElse(throw new IllegalArgumentException(s"no .avro files under $path"))
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val stat = matched
+      .flatMap(st =>
+        if (st.isFile) Seq(st)
+        else fs.listStatus(st.getPath)
+          .filter(x => x.isFile && x.getPath.getName.endsWith(".avro")).toSeq)
+      .sortBy(_.getPath.toString)
+      .headOption
+      .getOrElse(throw new IllegalArgumentException(s"no .avro files under $path"))
     val in = new FsInput(stat.getPath, conf)
     val reader = new DataFileReader[GenericRecord](in,
       new GenericDatumReader[GenericRecord]())

@@ -256,9 +256,11 @@ object Streaming {
       : org.apache.spark.sql.Dataset[CdcState] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // coalesce: the value column is nullable, and a primitive-Double
+    // decode would throw on the first null-valued changelog row
     stream.select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
         col("event_id").as[Long], (col("event_type") === "view").as[Boolean],
-        col("value").as[Double])
+        coalesce(col("value"), lit(0.0)).as[Double])
       .as[(Long, Long, Long, Boolean, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[CdcState, CdcState](

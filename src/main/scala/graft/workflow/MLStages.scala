@@ -606,9 +606,13 @@ object MLTuning {
     // 15-iteration fit carries a task closure deep enough to overflow
     // the deserializer's stack under suite load (observed), and at
     // cluster scale the same uncut lineage is a recovery/serialization
-    // hazard. Checkpoint every 2 iterations to reliable local storage.
+    // hazard. In local mode default the checkpoint dir to tmp; on a
+    // cluster a driver-local path is NOT a valid reliable-checkpoint
+    // target (executors can't read it back), so there the caller's
+    // configured shared dir is required — ALS itself skips
+    // checkpointing when none is set, which is the safe fallback.
     val sc = ratings.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
+    if (sc.getCheckpointDir.isEmpty && sc.isLocal)
       sc.setCheckpointDir(
         s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${sc.applicationId}")
     val model = new org.apache.spark.ml.recommendation.ALS()
