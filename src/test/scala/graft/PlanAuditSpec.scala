@@ -60,6 +60,9 @@ class PlanAuditSpec extends SparkSpec {
     // q259: CUPED crosses three 1-row sufficient-stat frames;
     // q262: the blocking scorecard crosses four 1-row count frames
     "q258_js_divergence", "q259_cuped", "q262_blocking_quality",
+    // q267: each FD pair reduces its (already aggregated, LHS-sized)
+    // violation counts to ONE row — a per-pair readout, like q134
+    "q267_fd_check",
     // q135/q136: BM25 — same shape as q57's idf fit: the corpus size /
     // total-token scalars are 1-row frames crossJoin-broadcast into the
     // scoring join
