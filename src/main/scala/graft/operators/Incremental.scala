@@ -81,6 +81,34 @@ object Incremental {
           .otherwise("changed").as("status"))
   }
 
+  /** Column-level drill-down for keys [[snapshotDiff]] classifies as
+    * "changed": per tracked column, how many changed keys differ in
+    * THAT column — the scoreboard that turns "12k rows changed" into
+    * "the price column moved on 11k of them". One inner join of the
+    * two versions on the changed keys' ids, then a single aggregation
+    * of per-column null-safe inequality flags. Null-safe (<=>): a
+    * null→value or value→null transition counts as a change. */
+  def snapshotColumnDiff(old: DataFrame, oldKey: Column, newDf: DataFrame,
+                         newKey: Column, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "snapshotColumnDiff needs payload columns")
+    val joined = old.select(oldKey.as("__k") +: payload.map(c =>
+        col(c).as(s"__old_$c")): _*)
+      .join(newDf.select(newKey.as("__k") +: payload.map(c =>
+        col(c).as(s"__new_$c")): _*), "__k")
+    val flags = payload.map(c =>
+      sum(when(!(col(s"__old_$c") <=> col(s"__new_$c")), 1L).otherwise(0L))
+        .as(s"__n_$c"))
+    val agg = joined.agg(count(lit(1)).as("__n_common"), flags: _*)
+    agg.select(explode(array(payload.map(c =>
+        struct(lit(c).as("column"), col("__n_common").as("n_common_keys"),
+          col(s"__n_$c").as("n_changed"),
+          round(col(s"__n_$c").cast("double") /
+            greatest(col("__n_common"), lit(1L)).cast("double"), 6)
+            .as("changed_ratio"))): _*)).as("r"))
+      .select(col("r.column"), col("r.n_common_keys"), col("r.n_changed"),
+        col("r.changed_ratio"))
+  }
+
   /** Read-time derivation over a state: per metric, count / sum / mean
     * (sum over count, double) / min / max. */
   def readout(state: DataFrame, keys: Seq[String],

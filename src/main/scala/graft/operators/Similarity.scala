@@ -593,6 +593,25 @@ object Similarity {
         round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
   }
 
+  /** Mean-reciprocal-rank@k per query: 1/rank of the FIRST relevant
+    * neighbor inside the approximate top-k (relevance = membership in
+    * the truth top-k), 0 when none lands — the metric that rewards
+    * putting A relevant answer early, where recall@k only counts
+    * coverage. Same join shape as [[recallAtK]]. */
+  def mrrAtK(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .where(col("rank") <= k)
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+      .where(col("rank") <= k)
+    val firstHit = a.join(t, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_hit"))
+    truth.select(col("query_id")).distinct()
+      .join(firstHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("rr"))
+  }
+
   /** Symmetric per-vector int8 quantization — the 4x storage/bandwidth
     * cut every 100 TB embedding store takes before ANN: scale =
     * max|x| / 127 (degenerate all-zero vectors pin scale via an eps

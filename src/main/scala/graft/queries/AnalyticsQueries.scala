@@ -245,6 +245,23 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // column-level drill-down of the snapshot diff: WHICH columns moved
+    // on the changed keys (nulls injected to exercise the null-safe
+    // comparison)
+    "q269_snapshot_column_diff" -> ((s, d) => {
+      import graft.operators.Incremental
+      val cur = Tables.orders(s, d)
+      val old = cur.where(pmod(col("o_orderkey"), lit(13L)) =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_totalprice") > 200000, 0.0).otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+      Incremental.snapshotColumnDiff(old, col("o_orderkey"),
+        cur, col("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+    }),
+
     // recency-weighted engagement: half-life-decayed event value per
     // user (terms decimal-rounded so the fold is order-exact)
     "q243_decay_score" -> ((s, d) => {
@@ -569,6 +586,40 @@ object AnalyticsQueries {
           SELECT o_orderpriority, status, CAST(count(*) AS BIGINT) AS n
           FROM diff LEFT JOIN orders ON diff.key = orders.o_orderkey
           GROUP BY 1, 2""",
+
+    "q269_snapshot_column_diff" ->
+      """WITH old AS (
+            SELECT o_orderkey,
+              CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                   ELSE o_orderstatus END AS o_st,
+              CASE WHEN o_totalprice > 200000 THEN 0.0
+                   ELSE o_totalprice END AS o_tp,
+              o_orderpriority AS o_pr
+            FROM orders WHERE o_orderkey % 13 <> 0),
+          j AS (SELECT old.o_st, old.o_tp, old.o_pr,
+                  n.o_orderstatus AS n_st, n.o_totalprice AS n_tp,
+                  n.o_orderpriority AS n_pr
+                FROM old JOIN orders n USING (o_orderkey)),
+          a AS (SELECT count(*) AS n_common,
+                  CAST(sum(CASE WHEN o_st IS DISTINCT FROM n_st
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_st,
+                  CAST(sum(CASE WHEN o_tp IS DISTINCT FROM n_tp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_tp,
+                  CAST(sum(CASE WHEN o_pr IS DISTINCT FROM n_pr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_pr
+                FROM j)
+          SELECT 'o_orderstatus' AS "column", n_common AS n_common_keys,
+            c_st AS n_changed,
+            ROUND(CAST(c_st AS DOUBLE) / CAST(greatest(n_common, 1) AS DOUBLE), 6)
+              AS changed_ratio FROM a
+          UNION ALL
+          SELECT 'o_totalprice', n_common, c_tp,
+            ROUND(CAST(c_tp AS DOUBLE) / CAST(greatest(n_common, 1) AS DOUBLE), 6)
+            FROM a
+          UNION ALL
+          SELECT 'o_orderpriority', n_common, c_pr,
+            ROUND(CAST(c_pr AS DOUBLE) / CAST(greatest(n_common, 1) AS DOUBLE), 6)
+            FROM a""",
 
     "q243_decay_score" ->
       """SELECT user_id AS entity, CAST(count(*) AS BIGINT) AS n_events,

@@ -74,6 +74,15 @@ object SimilarityQueries {
       Similarity.recallAtK(approx, truth, K)
     }),
 
+    // retrieval-quality evaluation: MRR@10 — how early the SRP list
+    // surfaces its first exact-top-k neighbor, per query
+    "q268_ann_mrr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(e, e.where(expr(QUERY_PRED)), K)
+      val approx = Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
+      Similarity.mrrAtK(approx, truth, K)
+    }),
+
     // retrieval-quality evaluation: NDCG@10 of the SRP-LSH top-k
     // against the exact brute-force ranking, per query
     "q149_ann_ndcg" -> ((s, d) => {
@@ -266,6 +275,42 @@ object SimilarityQueries {
           SELECT tc.query_id,
             ROUND(coalesce(n_hit, 0) * 1.0 / n_truth, 6) AS recall
           FROM tc LEFT JOIN hits ON tc.query_id = hits.query_id""",
+
+    "q268_ann_mrr" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          qr AS (SELECT * FROM e WHERE $QUERY_PRED),
+          tscored AS (
+            SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosSql("qr.emb", "c.emb")} AS cos
+            FROM e c CROSS JOIN qr
+            WHERE qr.vec_id <> c.vec_id),
+          truth AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM tscored QUALIFY rank <= $K),
+          cb AS (SELECT vec_id AS neighbor_id, emb AS c_emb,
+                   ${bucketSql("emb")} AS bucket FROM e),
+          qb AS (SELECT vec_id AS query_id, emb AS q_emb,
+                   ${bucketSql("emb")} AS bucket FROM e WHERE $QUERY_PRED),
+          ascored AS (
+            SELECT query_id, neighbor_id, ${cosSql("q_emb", "c_emb")} AS cos
+            FROM cb JOIN qb USING (bucket)
+            WHERE query_id <> neighbor_id),
+          approx AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ascored QUALIFY rank <= $K),
+          mr AS (SELECT a.query_id, min(a.rank) AS first_hit
+                 FROM approx a JOIN truth t
+                   ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+                 GROUP BY 1),
+          qs AS (SELECT DISTINCT query_id FROM truth)
+          SELECT qs.query_id,
+            ROUND(coalesce(1.0 / first_hit, 0.0), 6) AS rr
+          FROM qs LEFT JOIN mr USING (query_id)""",
 
     "q149_ann_ndcg" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

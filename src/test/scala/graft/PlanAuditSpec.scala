@@ -63,6 +63,9 @@ class PlanAuditSpec extends SparkSpec {
     // q267: each FD pair reduces its (already aggregated, LHS-sized)
     // violation counts to ONE row — a per-pair readout, like q134
     "q267_fd_check",
+    // q269: the column scoreboard is ONE aggregated row exploded back
+    // to a row per tracked column
+    "q269_snapshot_column_diff",
     // q135/q136: BM25 — same shape as q57's idf fit: the corpus size /
     // total-token scalars are 1-row frames crossJoin-broadcast into the
     // scoring join
@@ -156,7 +159,8 @@ class PlanAuditSpec extends SparkSpec {
     "q26_sim_bruteforce_topk", "q84_sim_pq_topk",
     // q149/q155 evaluate the SRP list against the brute-force truth, so
     // they inherit q26's broadcast-query-set scan
-    "q149_ann_ndcg", "q155_ann_recall")
+    // q268 inherits the same broadcast-query-set scan as q149/q155
+    "q149_ann_ndcg", "q155_ann_recall", "q268_ann_mrr")
 
   // Queries where a CartesianProduct is the algorithm, not an accident:
   // ALS recommendForAllUsers scores ALL user x item pairs by design —
