@@ -129,6 +129,78 @@ object TimeSeries {
         when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
   }
 
+  /** Engagement scorecard over gap-sessionized traffic: per entity
+    * segment (or globally with a constant segment), session count,
+    * bounce rate (1-event sessions), exact mean/median session dwell
+    * seconds, and events per session — the product-analytics rollup a
+    * warehouse derives nightly. One sessionize pass (single Exchange on
+    * the entity), one session-grain aggregation, one segment-grain
+    * aggregation; medians via the same exact interpolated percentile
+    * the oracle replays with quantile_cont. */
+  def sessionEngagement(df: DataFrame, entity: Column, ts: Column,
+                        order: Column, segment: Column,
+                        gapSeconds: Long): DataFrame = {
+    val sess = sessionize(
+      df.select(entity.as("e"), ts.as("ts"), order.as("ord"), segment.as("seg")),
+      col("e"), col("ts"), col("ord"), gapSeconds)
+    val perSession = sess.groupBy(col("seg"), col("e"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("dwell_us"))
+    perSession.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("dwell_us")).as("dwell_us_total"),
+        percentile(col("dwell_us"), lit(0.5)).as("dwell_us_median"))
+      .select(col("seg"), col("n_sessions"),
+        round(col("n_bounces").cast("double") / col("n_sessions"), 6)
+          .as("bounce_rate"),
+        round(col("n_events").cast("double") / col("n_sessions"), 6)
+          .as("events_per_session"),
+        round(col("dwell_us_total").cast("double") /
+          col("n_sessions").cast("double") / 1e6, 6).as("mean_dwell_sec"),
+        round(col("dwell_us_median") / 1e6, 6).as("median_dwell_sec"))
+  }
+
+  /** Inter-arrival burstiness per series: rate (events/sec over the
+    * observed span), mean/CV of inter-event gaps, and the
+    * Goh-Barabási burstiness score B = (σ−μ)/(σ+μ) ∈ [−1, 1]
+    * (−1 periodic, 0 Poisson, → 1 bursty). Gaps from one lag pass;
+    * moments from exact integer-microsecond sums in DECIMAL, so the
+    * doubles the closed forms run on replay exactly. */
+  def interEventStats(df: DataFrame, key: Column, ts: Column,
+                      order: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("tus"), col("ord"))
+    val gaps = df.select(key.as("k"), unix_micros(ts).as("tus"), order.as("ord"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .where(col("gap").isNotNull)
+    gaps.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast("decimal(38,0)")).cast("double").as("sg"),
+        sum((col("gap").cast("decimal(19,0)") * col("gap").cast("decimal(19,0)")))
+          .cast("double").as("sgg"))
+      .select(col("k"), col("n_gaps"),
+        round(col("n_gaps").cast("double") / (col("sg") / 1e6), 6)
+          .as("rate_per_sec"),
+        round(col("sg") / col("n_gaps").cast("double") / 1e6, 6)
+          .as("mean_gap_sec"),
+        round(
+          sqrt(col("sgg") / col("n_gaps").cast("double") -
+            (col("sg") / col("n_gaps").cast("double")) *
+            (col("sg") / col("n_gaps").cast("double"))) /
+          (col("sg") / col("n_gaps").cast("double")), 6).as("cv"),
+        round(
+          (sqrt(col("sgg") / col("n_gaps").cast("double") -
+            (col("sg") / col("n_gaps").cast("double")) *
+            (col("sg") / col("n_gaps").cast("double"))) -
+            col("sg") / col("n_gaps").cast("double")) /
+          (sqrt(col("sgg") / col("n_gaps").cast("double") -
+            (col("sg") / col("n_gaps").cast("double")) *
+            (col("sg") / col("n_gaps").cast("double"))) +
+            col("sg") / col("n_gaps").cast("double")), 6).as("burstiness"))
+  }
+
   /** Point-in-time (PIT) lookup against a stored SCD2 dimension: each
     * fact row picks the dimension interval covering its timestamp
     * (valid_from <= ts < valid_to, open-ended current rows match

@@ -131,6 +131,22 @@ object ReaderQueries {
         stages = Seq("view", "click", "purchase"))
     }),
 
+    // engagement scorecard over 30-min gap sessions, segmented by a
+    // stable user cohort: bounce rate, events/session, mean+median dwell
+    "q270_session_engagement" -> ((s, d) => {
+      graft.operators.TimeSeries.sessionEngagement(Tables.events(s, d),
+        entity = col("user_id"), ts = col("ts"), order = col("event_id"),
+        segment = pmod(col("user_id"), lit(4L)), gapSeconds = 1800L)
+    }),
+
+    // inter-arrival burstiness per event type: rate, gap mean/CV, and
+    // the Goh-Barabási burstiness score
+    "q271_burstiness" -> ((s, d) => {
+      graft.operators.TimeSeries.interEventStats(Tables.events(s, d),
+          col("event_type"), col("ts"), col("event_id"))
+        .withColumnRenamed("k", "event_type")
+    }),
+
     // point-in-time SCD2 lookup: click facts joined to the dimension
     // state (event-type intervals) in effect AT the click's own time —
     // the leakage-proof feature-store join
@@ -408,6 +424,58 @@ object ReaderQueries {
             string_agg(event_type, '|' ORDER BY tus, event_id) AS seq
           FROM r JOIN t USING (k) WHERE rn <= 20
           GROUP BY k, n_total""",
+
+    "q270_session_engagement" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+          f AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                                 OR tus - lag(tus) OVER w > 1800000000 THEN 1
+                               ELSE 0 END AS is_new
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+          g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sidx
+                FROM f),
+          ps AS (SELECT user_id % 4 AS seg, user_id, sidx,
+                   count(*) AS n_events, max(tus) - min(tus) AS dwell_us
+                 FROM g GROUP BY 1, 2, 3),
+          o AS (SELECT seg, count(*) AS n_sessions,
+                  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS nb,
+                  sum(n_events) AS ne, sum(dwell_us) AS dw,
+                  quantile_cont(dwell_us, 0.5) AS med
+                FROM ps GROUP BY 1)
+          SELECT CAST(seg AS BIGINT) AS seg, n_sessions,
+            ROUND(CAST(nb AS DOUBLE) / n_sessions, 6) AS bounce_rate,
+            ROUND(CAST(ne AS DOUBLE) / n_sessions, 6) AS events_per_session,
+            ROUND(CAST(dw AS DOUBLE) / CAST(n_sessions AS DOUBLE) / 1e6, 6)
+              AS mean_dwell_sec,
+            ROUND(med / 1e6, 6) AS median_dwell_sec
+          FROM o""",
+
+    "q271_burstiness" ->
+      """WITH e AS (SELECT event_type AS k, epoch_us(ts) AS tus,
+                      event_id AS ord FROM events),
+          g AS (SELECT k, tus - lag(tus) OVER (
+                  PARTITION BY k ORDER BY tus, ord) AS gap FROM e),
+          f AS (SELECT k, count(*) AS n_gaps,
+                  CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS sg,
+                  CAST(sum(CAST(gap AS DECIMAL(19,0))
+                           * CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS sgg
+                FROM g WHERE gap IS NOT NULL GROUP BY k)
+          SELECT k AS event_type, n_gaps,
+            ROUND(CAST(n_gaps AS DOUBLE) / (sg / 1e6), 6) AS rate_per_sec,
+            ROUND(sg / CAST(n_gaps AS DOUBLE) / 1e6, 6) AS mean_gap_sec,
+            ROUND(sqrt(sgg / CAST(n_gaps AS DOUBLE)
+                       - (sg / CAST(n_gaps AS DOUBLE))
+                         * (sg / CAST(n_gaps AS DOUBLE)))
+                  / (sg / CAST(n_gaps AS DOUBLE)), 6) AS cv,
+            ROUND((sqrt(sgg / CAST(n_gaps AS DOUBLE)
+                        - (sg / CAST(n_gaps AS DOUBLE))
+                          * (sg / CAST(n_gaps AS DOUBLE)))
+                   - sg / CAST(n_gaps AS DOUBLE))
+                  / (sqrt(sgg / CAST(n_gaps AS DOUBLE)
+                          - (sg / CAST(n_gaps AS DOUBLE))
+                            * (sg / CAST(n_gaps AS DOUBLE)))
+                     + sg / CAST(n_gaps AS DOUBLE)), 6) AS burstiness
+          FROM f""",
 
     "q265_scd2_lookup" ->
       """WITH e AS (SELECT user_id AS k, ts, event_id AS ord,
