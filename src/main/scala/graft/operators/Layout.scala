@@ -97,6 +97,32 @@ object Layout {
     salted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Global 1-based row numbers in (sortCols) order WITHOUT the
+    * single-partition window — the classic distributed id-assignment
+    * primitive. Range-repartition on the sort key, sort within
+    * partitions, then `zipWithIndex` (whose internal count pass is the
+    * only extra job, O(#partitions) driver state) — every partition
+    * numbers independently off its offset, so the plan scales with
+    * partition count where `row_number() OVER (ORDER BY ...)` funnels
+    * 100 TB through one task. Output is deterministic whenever the
+    * sort key is a total order (make it unique — append the row's id
+    * column); range boundaries may vary, numbers cannot. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      rnCol: String = "rn"): DataFrame = {
+    require(sortCols.nonEmpty, "globalRowNumber needs sort columns")
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      parted.schema.fields :+
+        org.apache.spark.sql.types.StructField(rnCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = parted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Small-file compaction: rewrite a parquet location into
     * ceil(rows / targetRowsPerFile) files. The repartition count comes
     * from a bounded count action; content is unchanged (spec-gated).

@@ -249,6 +249,18 @@ object RelationalQueries {
           max(col("o_orderkey")).cast("long").as("max_key"))
     }),
 
+    // distributed global row numbers by (orderdate, orderkey) — the
+    // range-partition + zipWithIndex shape that replaces the
+    // single-partition ORDER BY window at scale; gate checks a sample
+    // slice of the full numbering
+    "q272_global_row_number" -> ((s, d) => {
+      graft.operators.Layout.globalRowNumber(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .where(pmod(col("o_orderkey"), lit(97L)) === 0)
+        .select(col("o_orderkey"), col("rn"))
+    }),
+
     // batch interval join WITHOUT an equi-key, as a bucket-expansion
     // equi-join (Spark's planner would pick BroadcastNestedLoopJoin for
     // the bare BETWEEN): every ~97th order opens a 5-day audit window;
@@ -413,6 +425,12 @@ object RelationalQueries {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_nationkey < 5
          GROUP BY c_nationkey""",
+
+    "q272_global_row_number" ->
+      """WITH r AS (SELECT o_orderkey,
+              row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders)
+          SELECT o_orderkey, rn FROM r WHERE o_orderkey % 97 = 0""",
 
     "q124_zorder_key" -> {
       val zsql = graft.operators.Layout.zValueSql(
