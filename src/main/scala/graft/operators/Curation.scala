@@ -316,6 +316,33 @@ object Curation {
     df.where(sampleBucket(id, salt) < cut)
   }
 
+  /** Deterministic k-fold assignment + stratification report: fold =
+    * md5-hash(id) mod k — row-local (no shuffle for the assignment
+    * itself, reproducible on any cluster size), near-balanced within
+    * every stratum by hash uniformity. Emits the per-(stratum, fold)
+    * cell counts and each cell's deviation from the stratum's ideal
+    * 1/k share — the audit that catches a broken split before a model
+    * trains on it. Exact-balanced per-stratum ranks would need a
+    * per-stratum sort (the hot-stratum single-task trap at 100 TB);
+    * hash folds are the scale-correct choice and the report PROVES the
+    * balance instead of assuming it. */
+  def stratifiedFoldReport(df: DataFrame, id: Column, stratum: Column,
+                           k: Int, salt: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val fold = pmod(graft.functions.TextAnalysis.hash60(
+      concat_ws(":", lit(salt), id.cast("string"))), lit(k.toLong))
+    val cells = df.select(stratum.as("stratum"), fold.as("fold"))
+      .groupBy(col("stratum"), col("fold")).agg(count(lit(1)).as("n"))
+    val strata = cells.groupBy(col("stratum"))
+      .agg(sum(col("n")).as("n_stratum"))
+    cells.join(strata, "stratum")
+      .select(col("stratum"), col("fold"), col("n"),
+        round(col("n").cast("double") / col("n_stratum").cast("double"), 6)
+          .as("frac"),
+        round(abs(col("n").cast("double") / col("n_stratum").cast("double")
+          - lit(1.0 / k)), 6).as("abs_dev_from_ideal"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006): each row draws u in (0,1] from its md5 bucket and
     * gets key = ln(u)/w; the n largest keys are the sample. Inclusion

@@ -129,6 +129,47 @@ object TimeSeries {
         when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
   }
 
+  /** Expanding-window backtest folds — the time-series cross-validation
+    * harness (never shuffle-split a time series): the last
+    * nFolds·horizon days tile into consecutive test windows; fold f
+    * trains on everything up to its window and tests on the window.
+    * Emits per (key, fold) the boundary, train/test row counts, and
+    * exact train/test means — the frame a forecast evaluator joins
+    * predictions against. One small per-key boundary frame exploded
+    * nFolds ways and joined back; never a per-fold pass over the data. */
+  def backtestFolds(daily: DataFrame, key: Column, day: Column, y: Column,
+                    nFolds: Int, horizonDays: Int): DataFrame = {
+    require(nFolds >= 1 && horizonDays >= 1,
+      s"bad backtest shape: $nFolds folds x $horizonDays days")
+    val base = daily.select(key.as("k"), day.as("d"),
+      y.cast("decimal(18,6)").as("y"))
+    val bounds = base.groupBy(col("k")).agg(max(col("d")).as("maxd"))
+      .select(col("k"), col("maxd"),
+        explode(sequence(lit(1), lit(nFolds))).as("fold"))
+      .select(col("k"), col("fold"),
+        date_sub(col("maxd"),
+          (lit(nFolds) - col("fold") + 1) * horizonDays).as("train_end"),
+        date_sub(col("maxd"),
+          (lit(nFolds) - col("fold")) * horizonDays).as("test_end"))
+    base.join(broadcast(bounds), "k")
+      .groupBy(col("k"), col("fold"), col("train_end"))
+      .agg(
+        sum(when(col("d") <= col("train_end"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("d") > col("train_end") && col("d") <= col("test_end"), 1L)
+          .otherwise(0L)).as("n_test"),
+        (sum(when(col("d") <= col("train_end"), col("y"))).cast("double") /
+          sum(when(col("d") <= col("train_end"), 1L).otherwise(0L))
+            .cast("double")).as("train_mean"),
+        (sum(when(col("d") > col("train_end") && col("d") <= col("test_end"),
+          col("y"))).cast("double") /
+          sum(when(col("d") > col("train_end") && col("d") <= col("test_end"), 1L)
+            .otherwise(0L)).cast("double")).as("test_mean"))
+      .select(col("k"), col("fold"), col("train_end"),
+        col("n_train"), col("n_test"),
+        round(col("train_mean"), 6).as("train_mean"),
+        round(col("test_mean"), 6).as("test_mean"))
+  }
+
   /** Engagement scorecard over gap-sessionized traffic: per entity
     * segment (or globally with a constant segment), session count,
     * bounce rate (1-event sessions), exact mean/median session dwell

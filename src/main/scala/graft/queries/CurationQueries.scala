@@ -94,6 +94,13 @@ object CurationQueries {
 
     // language-balanced carving: heavy languages sampled down, long
     // tail kept whole — per-group thresholds, still a row-local filter
+    // deterministic k-fold split audit: per (language, fold) cell
+    // counts and deviation from the ideal 1/k share
+    "q273_stratified_folds" -> ((s, d) => {
+      Curation.stratifiedFoldReport(Tables.documents(s, d),
+        col("doc_id"), col("lang"), k = 5)
+    }),
+
     "q107_curation_stratified_sample" -> ((s, d) => {
       Curation.deterministicSamplePerGroup(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
@@ -441,6 +448,20 @@ object CurationQueries {
            CAST(start // 2048 AS BIGINT) AS seq,
            CAST(start % 2048 AS BIGINT) AS offset
          FROM c""",
+
+    "q273_stratified_folds" ->
+      s"""WITH c AS (
+            SELECT lang AS stratum,
+              ${H60("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold,
+              count(*) AS n
+            FROM documents GROUP BY 1, 2),
+          st AS (SELECT stratum, sum(n) AS n_stratum FROM c GROUP BY 1)
+          SELECT c.stratum, CAST(fold AS BIGINT) AS fold,
+            CAST(n AS BIGINT) AS n,
+            ROUND(CAST(n AS DOUBLE) / CAST(n_stratum AS DOUBLE), 6) AS frac,
+            ROUND(abs(CAST(n AS DOUBLE) / CAST(n_stratum AS DOUBLE) - 0.2), 6)
+              AS abs_dev_from_ideal
+          FROM c JOIN st USING (stratum)""",
 
     "q107_curation_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents

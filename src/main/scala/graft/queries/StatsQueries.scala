@@ -52,6 +52,15 @@ object StatsQueries {
       TimeSeries.trendPerSeries(daily, col("event_type"), col("x"), col("spend"))
     }),
 
+    // expanding-window backtest folds over daily spend: 3 folds x 5-day
+    // test horizons per event type
+    "q274_backtest_folds" -> ((s, d) => {
+      TimeSeries.backtestFolds(dailySpend(s, d), col("event_type"),
+          col("day"), col("spend"), nFolds = 3, horizonDays = 5)
+        .withColumnRenamed("k", "event_type")
+        .withColumn("train_end", col("train_end").cast("string"))
+    }),
+
     // two-regressor per-series OLS: daily spend on (day index, weekend
     // flag) — trend plus weekly level shift in one closed-form fit
     "q266_trend2_ols" -> ((s, d) => {
@@ -785,6 +794,32 @@ object StatsQueries {
                    - (num / denx) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept,
                  ROUND(num * num / (denx * deny), 6) AS r2
           FROM f""",
+
+    "q274_backtest_folds" ->
+      s"""WITH s AS ($dailySql),
+          b AS (SELECT key, CAST(day AS DATE) AS d,
+                  CAST(y AS DECIMAL(18,6)) AS yy FROM s),
+          mx AS (SELECT key, max(d) AS maxd FROM b GROUP BY 1),
+          folds AS (SELECT key, maxd, unnest(range(1, 4)) AS fold FROM mx),
+          bd AS (SELECT key, CAST(fold AS INT) AS fold,
+                   maxd - CAST((3 - fold + 1) * 5 AS INT) AS train_end,
+                   maxd - CAST((3 - fold) * 5 AS INT) AS test_end
+                 FROM folds)
+          SELECT b.key AS event_type, fold,
+            CAST(train_end AS VARCHAR) AS train_end,
+            CAST(sum(CASE WHEN d <= train_end THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_train,
+            CAST(sum(CASE WHEN d > train_end AND d <= test_end
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+            ROUND(CAST(sum(CASE WHEN d <= train_end THEN yy END) AS DOUBLE)
+              / CAST(sum(CASE WHEN d <= train_end THEN 1 ELSE 0 END)
+                AS DOUBLE), 6) AS train_mean,
+            ROUND(CAST(sum(CASE WHEN d > train_end AND d <= test_end
+                 THEN yy END) AS DOUBLE)
+              / CAST(sum(CASE WHEN d > train_end AND d <= test_end
+                 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS test_mean
+          FROM b JOIN bd USING (key)
+          GROUP BY b.key, fold, train_end""",
 
     "q266_trend2_ols" ->
       s"""WITH s AS ($dailySql),
