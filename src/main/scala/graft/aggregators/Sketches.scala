@@ -243,4 +243,37 @@ object Sketches {
     states.groupBy(by: _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("hll_state"), lit(true)))
         .as("n_distinct_est"))
+
+  /** KMV set-overlap estimate between two value sets (Beyer et al.
+    * 2007): take the k minimum md5 hashes of the UNION's distinct
+    * values; the fraction of those present in both sides estimates the
+    * Jaccard similarity, and resemblance x union-distinct estimates
+    * the intersection size. md5-deterministic (no RNG), so every
+    * number replays exactly in SQL — unlike probabilistic sketches,
+    * this one is bit-reproducible across engines. Cost: one distinct
+    * per side + a TakeOrdered of k rows; the drift check that says
+    * "did this column's VALUE SET shift" when histograms can't (high
+    * cardinality, no order). */
+  def kmvJaccard(a: DataFrame, aCol: Column, b: DataFrame, bCol: Column,
+                 k: Int, salt: String = "kmv"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import graft.functions.TextAnalysis.hash60
+    def side(df: DataFrame, c: Column, tag: Int) = df
+      .select(c.cast("string").as("v")).where(col("v").isNotNull).distinct()
+      .select(hash60(concat_ws(":", lit(salt), col("v"))).as("h"),
+        lit(tag).as("side"))
+    val u = side(a, aCol, 1)
+      .unionByName(side(b, bCol, 2))
+      .groupBy(col("h"))
+      .agg(max(when(col("side") === 1, 1).otherwise(0)).as("in_a"),
+        max(when(col("side") === 2, 1).otherwise(0)).as("in_b"))
+      .orderBy(col("h")).limit(k)
+    u.agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col("k_used"), col("n_both"),
+        round(col("n_both").cast("double") /
+          greatest(col("k_used"), lit(1L)).cast("double"), 6)
+          .as("jaccard_est"))
+  }
 }

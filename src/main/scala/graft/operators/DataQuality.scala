@@ -424,6 +424,30 @@ object DataQuality {
       round(pT - pC + lit(1.959963984540054) * seU, 6).as("ci_hi"))
   }
 
+  /** Exact duplicate-row profile over a column subset: rows, distinct
+    * rows, duplicate surplus, and dup ratio — the double-load /
+    * double-ingest detector a warehouse runs per partition before
+    * appending. Grouping key is an md5 digest with the null-bit
+    * encoding (injective over null placement, see
+    * [[graft.operators.Incremental.snapshotDiff]]), so wide rows
+    * shuffle 16 bytes; the oracle groups by the raw columns — same
+    * counts, since md5 collisions are not a thing at these scales. */
+  def duplicateRowProfile(df: DataFrame, cols: Seq[String],
+                          label: String): DataFrame = {
+    require(cols.nonEmpty, "duplicateRowProfile needs columns")
+    val digest = md5(concat_ws("", cols.flatMap(c => Seq(
+      when(col(c).isNull, lit("0")).otherwise(lit("1")),
+      coalesce(col(c).cast("string"), lit("")))): _*))
+    df.select(digest.as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_distinct_rows"),
+        sum(col("n") - 1).as("n_dup_rows"))
+      .select(lit(label).as("table"), col("n_rows"), col("n_distinct_rows"),
+        col("n_dup_rows"),
+        round(col("n_dup_rows").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double"), 6).as("dup_ratio"))
+  }
+
   /** Functional-dependency check over column pairs: does a → b hold
     * (every a-value maps to exactly one b-value)? Emits, per directed
     * pair, the LHS cardinality, how many LHS values violate (map to

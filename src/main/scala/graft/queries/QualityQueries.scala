@@ -29,6 +29,25 @@ object QualityQueries {
         Tables.customer(s, d), col("c_custkey"))
     }),
 
+    // exact duplicate-row profiles (ingestion double-load detector)
+    // over two dup-heavy projections
+    "q275_dup_row_profile" -> ((s, d) => {
+      DataQuality.duplicateRowProfile(Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus", "l_quantity"), "li_rf_ls_qty")
+        .unionByName(DataQuality.duplicateRowProfile(Tables.orders(s, d),
+          Seq("o_orderstatus", "o_orderpriority"), "ord_st_pri"))
+    }),
+
+    // KMV set-overlap drift: do early and late orders draw from the
+    // same CUSTOMER population? md5-deterministic bottom-k resemblance
+    "q276_kmv_overlap" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      graft.aggregators.Sketches.kmvJaccard(
+        o.where(col("o_orderdate") < "1998-01-01"), col("o_custkey"),
+        o.where(col("o_orderdate") >= "1998-01-01"), col("o_custkey"),
+        k = 256)
+    }),
+
     // functional-dependency discovery over candidate column pairs:
     // which lookup relationships actually hold, and how broken are the
     // ones that don't
@@ -771,6 +790,50 @@ object QualityQueries {
                   * ln(((cnt_s + 0.5) / (n_s + 10.0)) / ((cnt_t + 0.5) / (n_t + 10.0)))), 6) AS psi,
            CAST(n_t AS BIGINT) AS n_train, CAST(n_s AS BIGINT) AS n_score
          FROM j, t GROUP BY n_t, n_s""",
+
+    "q275_dup_row_profile" ->
+      """WITH g1 AS (SELECT count(*) AS n FROM lineitem
+                     GROUP BY l_returnflag, l_linestatus, l_quantity),
+          p1 AS (SELECT 'li_rf_ls_qty' AS "table",
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   count(*) AS n_distinct_rows,
+                   CAST(sum(n - 1) AS BIGINT) AS n_dup_rows,
+                   ROUND(CAST(sum(n - 1) AS DOUBLE)
+                     / CAST(greatest(sum(n), 1) AS DOUBLE), 6) AS dup_ratio
+                 FROM g1),
+          g2 AS (SELECT count(*) AS n FROM orders
+                 GROUP BY o_orderstatus, o_orderpriority),
+          p2 AS (SELECT 'ord_st_pri',
+                   CAST(sum(n) AS BIGINT), count(*),
+                   CAST(sum(n - 1) AS BIGINT),
+                   ROUND(CAST(sum(n - 1) AS DOUBLE)
+                     / CAST(greatest(sum(n), 1) AS DOUBLE), 6)
+                 FROM g2)
+          SELECT * FROM p1 UNION ALL SELECT * FROM p2""",
+
+    "q276_kmv_overlap" -> {
+      val h60 = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+      s"""WITH a AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+                     WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                       AND o_custkey IS NOT NULL),
+          b AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o_custkey IS NOT NULL),
+          u AS (SELECT ${h60("'kmv:' || v")} AS h, 1 AS side FROM a
+                UNION ALL
+                SELECT ${h60("'kmv:' || v")} AS h, 2 FROM b),
+          g AS (SELECT h, max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_a,
+                  max(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS in_b
+                FROM u GROUP BY h
+                ORDER BY h LIMIT 256)
+          SELECT count(*) AS k_used,
+            CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both,
+            ROUND(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(greatest(count(*), 1) AS DOUBLE), 6)
+              AS jaccard_est
+          FROM g"""
+    },
 
     "q267_fd_check" -> Seq(
         ("o_orderkey", "o_custkey"),

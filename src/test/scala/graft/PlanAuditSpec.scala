@@ -66,6 +66,8 @@ class PlanAuditSpec extends SparkSpec {
     // q269: the column scoreboard is ONE aggregated row exploded back
     // to a row per tracked column
     "q269_snapshot_column_diff",
+    // q275: each dup profile reduces its digest-group counts to one row
+    "q275_dup_row_profile",
     // q135/q136: BM25 — same shape as q57's idf fit: the corpus size /
     // total-token scalars are 1-row frames crossJoin-broadcast into the
     // scoring join
