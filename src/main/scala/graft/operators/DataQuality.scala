@@ -424,6 +424,72 @@ object DataQuality {
       round(pT - pC + lit(1.959963984540054) * seU, 6).as("ci_hi"))
   }
 
+  /** Ratio-metric A/B lift with delta-method standard errors — the
+    * readout [[abLift]] cannot give: when the metric is a RATIO of two
+    * per-unit quantities (revenue per event, clicks per session), unit
+    * randomization makes the naive per-event variance wrong; the
+    * delta method linearizes R = X̄/Ȳ with
+    * var(R) ≈ (1/(n·Ȳ²))·(Sxx − 2R·Sxy + R²·Syy)/n (centered moments).
+    * One aggregation per arm of exact decimal sufficient statistics
+    * (Σx, Σy, Σxx, Σxy, Σyy over units), closed form on the 1-row
+    * frame — every double derives from an exact sum, same
+    * replayability contract as [[welchTTest]]. */
+  def ratioMetricLift(df: DataFrame, group: Column, control: String,
+                      treatment: String, numerator: Column,
+                      denominator: Column): DataFrame = {
+    val x = numerator.cast("decimal(19,6)")
+    val y = denominator.cast("decimal(19,6)")
+    def arm(g: String, t: String) = df
+      .where(group === g && numerator.isNotNull && denominator.isNotNull)
+      .agg(count(lit(1)).as(s"n$t"),
+        sum(x).cast("double").as(s"sx$t"),
+        sum(y).cast("double").as(s"sy$t"),
+        sum(x * x).cast("double").as(s"sxx$t"),
+        sum(x * y).cast("double").as(s"sxy$t"),
+        sum(y * y).cast("double").as(s"syy$t"))
+    def ratio(t: String) = col(s"sx$t") / col(s"sy$t")
+    def varR(t: String) = {
+      val n = col(s"n$t").cast("double")
+      val my = col(s"sy$t") / n
+      val cxx = col(s"sxx$t") - col(s"sx$t") * col(s"sx$t") / n
+      val cxy = col(s"sxy$t") - col(s"sx$t") * col(s"sy$t") / n
+      val cyy = col(s"syy$t") - col(s"sy$t") * col(s"sy$t") / n
+      (cxx - lit(2.0) * ratio(t) * cxy + ratio(t) * ratio(t) * cyy) /
+        (n - 1.0) / n / (my * my)
+    }
+    val z = (ratio("_t") - ratio("_c")) / sqrt(varR("_t") + varR("_c"))
+    arm(control, "_c").crossJoin(broadcast(arm(treatment, "_t")))
+      .select(col("n_c"), col("n_t"),
+        round(ratio("_c"), 6).as("ratio_c"),
+        round(ratio("_t"), 6).as("ratio_t"),
+        round(ratio("_t") / ratio("_c") - 1.0, 6).as("lift"),
+        round(z, 6).as("z"))
+  }
+
+  /** Weighted-mean readout with effective sample size per group: for
+    * weighted data (importance weights, survey weights, DSIR-style
+    * resampling weights), the variance behaves as if you had
+    * ESS = (Σw)²/Σw² units, not n — and the design effect n/ESS says
+    * how much the weighting costs. One aggregation of exact decimal
+    * sums. The sanity gate every weighted-training run should print
+    * before trusting its loss. */
+  def weightedEffectiveSampleSize(df: DataFrame, group: Column,
+                                  weight: Column, value: Column): DataFrame = {
+    val w = weight.cast("decimal(19,6)")
+    val v = value.cast("decimal(19,6)")
+    df.where(weight.isNotNull && value.isNotNull && weight > 0)
+      .groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(w).cast("double").as("sw"),
+        sum(w * w).cast("double").as("sww"),
+        sum(w * v).cast("double").as("swv"))
+      .select(col("grp"), col("n"),
+        round(col("swv") / col("sw"), 6).as("weighted_mean"),
+        round(col("sw") * col("sw") / col("sww"), 6).as("ess"),
+        round(col("n").cast("double") /
+          (col("sw") * col("sw") / col("sww")), 6).as("design_effect"))
+  }
+
   /** Exact duplicate-row profile over a column subset: rows, distinct
     * rows, duplicate surplus, and dup ratio — the double-load /
     * double-ingest detector a warehouse runs per partition before

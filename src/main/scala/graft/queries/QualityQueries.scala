@@ -29,6 +29,29 @@ object QualityQueries {
         Tables.customer(s, d), col("c_custkey"))
     }),
 
+    // ratio-metric A/B lift (revenue per event) with delta-method SEs —
+    // unit randomization makes naive per-event variance wrong
+    "q277_ratio_lift" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"),
+          count(lit(1)).as("y"))
+        .withColumn("arm", when(pmod(col("user_id"), lit(2)) === 0, "control")
+          .otherwise("treatment"))
+      DataQuality.ratioMetricLift(perUser, col("arm"), "control", "treatment",
+        col("x"), col("y"))
+    }),
+
+    // weighted-mean + effective-sample-size audit under deterministic
+    // importance weights
+    "q278_weighted_ess" -> ((s, d) => {
+      import graft.functions.TextAnalysis.hash60
+      val ev = Tables.events(s, d).withColumn("w",
+        (pmod(hash60(concat_ws(":", lit("w"), col("event_id"))), lit(1000000L))
+          + 1).cast("double") / 1000000.0)
+      DataQuality.weightedEffectiveSampleSize(ev, col("event_type"),
+        col("w"), col("value"))
+    }),
+
     // exact duplicate-row profiles (ingestion double-load detector)
     // over two dup-heavy projections
     "q275_dup_row_profile" -> ((s, d) => {
@@ -790,6 +813,66 @@ object QualityQueries {
                   * ln(((cnt_s + 0.5) / (n_s + 10.0)) / ((cnt_t + 0.5) / (n_t + 10.0)))), 6) AS psi,
            CAST(n_t AS BIGINT) AS n_train, CAST(n_s AS BIGINT) AS n_score
          FROM j, t GROUP BY n_t, n_s""",
+
+    "q277_ratio_lift" ->
+      """WITH pu AS (SELECT user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x,
+              count(*) AS y
+            FROM events GROUP BY user_id),
+          b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                            ELSE 'treatment' END AS g,
+                  CAST(x AS DECIMAL(19,6)) AS xd,
+                  CAST(y AS DECIMAL(19,6)) AS yd
+                FROM pu),
+          c AS (SELECT count(*) AS n_c,
+                  CAST(sum(xd) AS DOUBLE) AS sx_c, CAST(sum(yd) AS DOUBLE) AS sy_c,
+                  CAST(sum(xd * xd) AS DOUBLE) AS sxx_c,
+                  CAST(sum(xd * yd) AS DOUBLE) AS sxy_c,
+                  CAST(sum(yd * yd) AS DOUBLE) AS syy_c
+                FROM b WHERE g = 'control'),
+          t AS (SELECT count(*) AS n_t,
+                  CAST(sum(xd) AS DOUBLE) AS sx_t, CAST(sum(yd) AS DOUBLE) AS sy_t,
+                  CAST(sum(xd * xd) AS DOUBLE) AS sxx_t,
+                  CAST(sum(xd * yd) AS DOUBLE) AS sxy_t,
+                  CAST(sum(yd * yd) AS DOUBLE) AS syy_t
+                FROM b WHERE g = 'treatment'),
+          f AS (SELECT *,
+                  sx_c / sy_c AS r_c, sx_t / sy_t AS r_t,
+                  (sxx_c - sx_c * sx_c / n_c
+                    - 2.0 * (sx_c / sy_c) * (sxy_c - sx_c * sy_c / n_c)
+                    + (sx_c / sy_c) * (sx_c / sy_c) * (syy_c - sy_c * sy_c / n_c))
+                    / (n_c - 1.0) / n_c / ((sy_c / n_c) * (sy_c / n_c)) AS v_c,
+                  (sxx_t - sx_t * sx_t / n_t
+                    - 2.0 * (sx_t / sy_t) * (sxy_t - sx_t * sy_t / n_t)
+                    + (sx_t / sy_t) * (sx_t / sy_t) * (syy_t - sy_t * sy_t / n_t))
+                    / (n_t - 1.0) / n_t / ((sy_t / n_t) * (sy_t / n_t)) AS v_t
+                FROM c, t)
+          SELECT n_c, n_t,
+            ROUND(r_c, 6) AS ratio_c, ROUND(r_t, 6) AS ratio_t,
+            ROUND(r_t / r_c - 1.0, 6) AS lift,
+            ROUND((r_t - r_c) / sqrt(v_t + v_c), 6) AS z
+          FROM f""",
+
+    "q278_weighted_ess" -> {
+      val h60 = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+      s"""WITH e AS (SELECT event_type, value,
+              CAST(${h60("'w:' || CAST(event_id AS VARCHAR)")} % 1000000 + 1
+                AS DOUBLE) / 1000000.0 AS w
+            FROM events),
+          b AS (SELECT event_type AS grp,
+                  CAST(w AS DECIMAL(19,6)) AS wd,
+                  CAST(value AS DECIMAL(19,6)) AS vd
+                FROM e WHERE w IS NOT NULL AND value IS NOT NULL AND w > 0)
+          SELECT grp, count(*) AS n,
+            ROUND(CAST(sum(wd * vd) AS DOUBLE) / CAST(sum(wd) AS DOUBLE), 6)
+              AS weighted_mean,
+            ROUND(CAST(sum(wd) AS DOUBLE) * CAST(sum(wd) AS DOUBLE)
+              / CAST(sum(wd * wd) AS DOUBLE), 6) AS ess,
+            ROUND(CAST(count(*) AS DOUBLE)
+              / (CAST(sum(wd) AS DOUBLE) * CAST(sum(wd) AS DOUBLE)
+                 / CAST(sum(wd * wd) AS DOUBLE)), 6) AS design_effect
+          FROM b GROUP BY grp"""
+    },
 
     "q275_dup_row_profile" ->
       """WITH g1 AS (SELECT count(*) AS n FROM lineitem

@@ -68,6 +68,9 @@ class PlanAuditSpec extends SparkSpec {
     "q269_snapshot_column_diff",
     // q275: each dup profile reduces its digest-group counts to one row
     "q275_dup_row_profile",
+    // q277: delta-method lift crosses two 1-row arm sufficient-stat
+    // frames, the q198/q259 shape
+    "q277_ratio_lift",
     // q135/q136: BM25 — same shape as q57's idf fit: the corpus size /
     // total-token scalars are 1-row frames crossJoin-broadcast into the
     // scoring join
