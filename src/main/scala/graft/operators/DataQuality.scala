@@ -424,6 +424,29 @@ object DataQuality {
       round(pT - pC + lit(1.959963984540054) * seU, 6).as("ci_hi"))
   }
 
+  /** Wilson score interval per group — the proportion CI that behaves
+    * at the boundaries where [[abLift]]'s Wald interval collapses
+    * (p near 0 or 1, small n): never escapes [0, 1], and its center
+    * shrinks toward 1/2 with the right 1/n weight. One aggregation per
+    * the whole battery; closed form on counts, so the replay is exact.
+    * z defaults to the two-sided 95% quantile. */
+  def wilsonIntervals(df: DataFrame, group: Column, success: Column,
+                      z: Double = 1.959963984540054): DataFrame = {
+    val agg = df.where(success.isNotNull).groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"), sum(success.cast("int")).as("s"))
+    val n = col("n").cast("double")
+    val p = col("s").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))
+    agg.select(col("grp"), col("n"), col("s"),
+      round(p, 6).as("p_hat"),
+      round((center - spread) / denom, 6).as("wilson_lo"),
+      round((center + spread) / denom, 6).as("wilson_hi"))
+  }
+
   /** Ratio-metric A/B lift with delta-method standard errors — the
     * readout [[abLift]] cannot give: when the metric is a RATIO of two
     * per-unit quantities (revenue per event, clicks per session), unit

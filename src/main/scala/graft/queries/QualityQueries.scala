@@ -29,6 +29,16 @@ object QualityQueries {
         Tables.customer(s, d), col("c_custkey"))
     }),
 
+    // Wilson score intervals for per-type purchase-conversion rates —
+    // boundary-safe where the Wald interval collapses
+    "q279_wilson_intervals" -> ((s, d) => {
+      val perUserType = Tables.events(s, d)
+        .groupBy(col("user_id"), pmod(col("user_id"), lit(5L)).as("cohort"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+      DataQuality.wilsonIntervals(perUserType, col("cohort"), col("converted"))
+    }),
+
     // ratio-metric A/B lift (revenue per event) with delta-method SEs —
     // unit randomization makes naive per-event variance wrong
     "q277_ratio_lift" -> ((s, d) => {
@@ -813,6 +823,31 @@ object QualityQueries {
                   * ln(((cnt_s + 0.5) / (n_s + 10.0)) / ((cnt_t + 0.5) / (n_t + 10.0)))), 6) AS psi,
            CAST(n_t AS BIGINT) AS n_train, CAST(n_s AS BIGINT) AS n_score
          FROM j, t GROUP BY n_t, n_s""",
+
+    "q279_wilson_intervals" ->
+      """WITH pu AS (SELECT user_id, user_id % 5 AS cohort,
+              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS converted
+            FROM events GROUP BY 1, 2),
+          a AS (SELECT cohort AS grp, count(*) AS n,
+                  CAST(sum(converted) AS BIGINT) AS s
+                FROM pu GROUP BY 1),
+          f AS (SELECT grp, n, s,
+                  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                  CAST(n AS DOUBLE) AS nd,
+                  1.959963984540054 * 1.959963984540054 AS z2
+                FROM a)
+          SELECT CAST(grp AS BIGINT) AS grp, n, s,
+            ROUND(p, 6) AS p_hat,
+            ROUND(((p + z2 / (2.0 * nd))
+                   - 1.959963984540054 * sqrt(p * (1.0 - p) / nd
+                       + z2 / (4.0 * nd * nd)))
+                  / (1.0 + z2 / nd), 6) AS wilson_lo,
+            ROUND(((p + z2 / (2.0 * nd))
+                   + 1.959963984540054 * sqrt(p * (1.0 - p) / nd
+                       + z2 / (4.0 * nd * nd)))
+                  / (1.0 + z2 / nd), 6) AS wilson_hi
+          FROM f""",
 
     "q277_ratio_lift" ->
       """WITH pu AS (SELECT user_id,
