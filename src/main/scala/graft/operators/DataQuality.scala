@@ -424,6 +424,38 @@ object DataQuality {
       round(pT - pC + lit(1.959963984540054) * seU, 6).as("ci_hi"))
   }
 
+  /** Period-over-period change decomposition (the FP&A "bridge"): per
+    * segment, the metric change between a base and a current period
+    * splits exactly into a VOLUME effect ((n_cur − n_base)·rate_base)
+    * and a RATE effect (n_cur·(rate_cur − rate_base)) — the two sum to
+    * the segment's delta by identity, so the bridge reconciles to the
+    * total with zero residual. Two aggregations (one per period) full-
+    * outer-joined on segment; absent segments contribute pure
+    * volume/rate effects via zero-fill. Exact decimal value sums. */
+  def changeDecomposition(base: DataFrame, current: DataFrame,
+                          segment: Column, value: Column): DataFrame = {
+    def side(df: DataFrame, tag: String) = df.where(value.isNotNull)
+      .groupBy(segment.as("seg"))
+      .agg(count(lit(1)).as(s"n$tag"),
+        sum(value.cast("decimal(18,2)")).cast("double").as(s"v$tag"))
+    val joined = side(base, "_b")
+      .join(side(current, "_c"), Seq("seg"), "full_outer")
+      .select(col("seg"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("v_b"), lit(0.0)).as("v_b"),
+        coalesce(col("n_c"), lit(0L)).as("n_c"),
+        coalesce(col("v_c"), lit(0.0)).as("v_c"))
+    val rb = when(col("n_b") > 0, col("v_b") / col("n_b").cast("double"))
+      .otherwise(lit(0.0))
+    val rc = when(col("n_c") > 0, col("v_c") / col("n_c").cast("double"))
+      .otherwise(lit(0.0))
+    joined.select(col("seg"), col("n_b"), col("n_c"),
+      round(col("v_c") - col("v_b"), 6).as("delta"),
+      round((col("n_c") - col("n_b")).cast("double") * rb, 6)
+        .as("volume_effect"),
+      round(col("n_c").cast("double") * (rc - rb), 6).as("rate_effect"))
+  }
+
   /** Wilson score interval per group — the proportion CI that behaves
     * at the boundaries where [[abLift]]'s Wald interval collapses
     * (p near 0 or 1, small n): never escapes [0, 1], and its center

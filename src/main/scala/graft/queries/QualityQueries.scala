@@ -29,6 +29,16 @@ object QualityQueries {
         Tables.customer(s, d), col("c_custkey"))
     }),
 
+    // revenue bridge: early->late order revenue change per priority,
+    // decomposed exactly into volume and rate effects
+    "q280_change_decomposition" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      DataQuality.changeDecomposition(
+        o.where(col("o_orderdate") < "1998-01-01"),
+        o.where(col("o_orderdate") >= "1998-01-01"),
+        col("o_orderpriority"), col("o_totalprice"))
+    }),
+
     // Wilson score intervals for per-type purchase-conversion rates —
     // boundary-safe where the Wald interval collapses
     "q279_wilson_intervals" -> ((s, d) => {
@@ -823,6 +833,33 @@ object QualityQueries {
                   * ln(((cnt_s + 0.5) / (n_s + 10.0)) / ((cnt_t + 0.5) / (n_t + 10.0)))), 6) AS psi,
            CAST(n_t AS BIGINT) AS n_train, CAST(n_s AS BIGINT) AS n_score
          FROM j, t GROUP BY n_t, n_s""",
+
+    "q280_change_decomposition" ->
+      """WITH b AS (SELECT o_orderpriority AS seg, count(*) AS n_b,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v_b
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'
+              AND o_totalprice IS NOT NULL GROUP BY 1),
+          c AS (SELECT o_orderpriority AS seg, count(*) AS n_c,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v_c
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_totalprice IS NOT NULL GROUP BY 1),
+          j AS (SELECT coalesce(b.seg, c.seg) AS seg,
+                  coalesce(n_b, 0) AS n_b, coalesce(v_b, 0.0) AS v_b,
+                  coalesce(n_c, 0) AS n_c, coalesce(v_c, 0.0) AS v_c
+                FROM b FULL OUTER JOIN c ON b.seg = c.seg),
+          f AS (SELECT *,
+                  CASE WHEN n_b > 0 THEN v_b / CAST(n_b AS DOUBLE)
+                       ELSE 0.0 END AS rb,
+                  CASE WHEN n_c > 0 THEN v_c / CAST(n_c AS DOUBLE)
+                       ELSE 0.0 END AS rc
+                FROM j)
+          SELECT seg, n_b, n_c,
+            ROUND(v_c - v_b, 6) AS delta,
+            ROUND(CAST(n_c - n_b AS DOUBLE) * rb, 6) AS volume_effect,
+            ROUND(CAST(n_c AS DOUBLE) * (rc - rb), 6) AS rate_effect
+          FROM f""",
 
     "q279_wilson_intervals" ->
       """WITH pu AS (SELECT user_id, user_id % 5 AS cohort,
