@@ -340,4 +340,101 @@ object Graph {
     oriented.unpersist(blocking = false)
     chk
   }
+
+  /** Flatten a parent-pointer hierarchy (org chart, bill-of-materials,
+    * category tree) to (key, root_key, depth) — the engine's recursive
+    * query answer (analog of the reference DAG walks and of SQL's
+    * WITH RECURSIVE, which Spark lacks natively).
+    *
+    * Pointer doubling, not per-level descent: each round every node's
+    * ancestor pointer jumps to its ancestor's ancestor, so a depth-d
+    * hierarchy settles in ceil(log2 d) rounds instead of d. Each round
+    * is ONE hash equi-join of the state frame with itself on the
+    * ancestor key; lineage is cut per round (localCheckpoint) so the
+    * Catalyst tree stays O(1) like [[pageRank]]'s cadence. Roots are
+    * rows whose `parent == key` (self-loop), which contributes depth 0
+    * to the jump, so settled rows are fixpoints of the join.
+    *
+    * Scale: at 100 TB a billion-node forest of depth 30 is 5 rounds of
+    * co-partitioned joins — no driver state beyond the one-row settled
+    * probe per round; a cycle (corrupt parent pointers) never settles,
+    * so `maxRounds` bounds the loop and fails loudly rather than
+    * spinning. */
+  def flattenHierarchy(parents: DataFrame, key: Column, parent: Column,
+                       maxRounds: Int = 40): DataFrame = {
+    var st = parents.select(key.as("key"), parent.as("anc"),
+        when(parent === key, lit(0L)).otherwise(lit(1L)).as("depth"))
+      .localCheckpoint(false)
+    st.count()
+    val roots = st.where(col("depth") === 0).select(col("key").as("rk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def unsettled(): Long =
+      st.join(roots, col("anc") === col("rk"), "left_anti").limit(1).count()
+    var liveCp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(st)
+    var round = 0
+    while (unsettled() > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"hierarchy did not settle in $maxRounds pointer-doubling rounds " +
+          "(cycle in parent pointers?)")
+      val p = st.select(col("key").as("k2"), col("anc").as("anc2"),
+        col("depth").as("d2"))
+      val next = st.join(p, col("anc") === col("k2"))
+        .select(col("key"), col("anc2").as("anc"),
+          (col("depth") + col("d2")).as("depth"))
+        .localCheckpoint(false)
+      next.count() // materialize while the previous cut's blocks live
+      liveCp.foreach(_.unpersist(blocking = false))
+      liveCp = checkpointedRdd(next)
+      st = next
+    }
+    roots.unpersist(blocking = false)
+    st.select(col("key"), col("anc").as("root_key"), col("depth"))
+  }
+
+  /** Multi-source BFS: minimum hop distance from any seed node, out to
+    * `maxHops`. Classic frontier expansion — round h joins the (shrinking)
+    * frontier to the out-edges, anti-joins already-visited nodes, and
+    * stamps the survivors with distance h. Unreached nodes are absent
+    * from the result (distance infinity).
+    *
+    * Scale: the per-round join is frontier-sized against the cached,
+    * src-partitioned edge frame — each edge is traversed at most once
+    * over the whole run (its source joins a frontier exactly once), so
+    * total work is O(|E| + |V| log) like the single-machine BFS, spread
+    * over `maxHops` co-partitioned shuffles. The visited set rides
+    * lineage-cut checkpoints; no driver-side state beyond the per-round
+    * frontier count (already needed as the emptiness test). */
+  def bfsDistances(edges: DataFrame, src: Column, dst: Column,
+                   seeds: DataFrame, seedKey: Column,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var known = seeds.select(seedKey.as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    var frontierN = known.count() // materializes both the seeds and e
+    var knownCp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(known)
+    var frontier = known
+    var h = 1
+    while (h <= maxHops && frontierN > 0) {
+      val nxt = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(known, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("dist"))
+        .localCheckpoint(false)
+      frontierN = nxt.count()
+      val merged = known.unionByName(nxt).localCheckpoint(false)
+      merged.count()
+      knownCp.foreach(_.unpersist(blocking = false))
+      knownCp = checkpointedRdd(merged)
+      known = merged
+      frontier = nxt
+      h += 1
+    }
+    e.unpersist(blocking = false)
+    known
+  }
 }

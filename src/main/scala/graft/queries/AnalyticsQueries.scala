@@ -346,6 +346,112 @@ object AnalyticsQueries {
             .cast("long"),
           col("cum_cents").cast("double") / col("tcents").cast("double"))), 6)
           .as("top_decile_share"))
+    }),
+
+    // multi-touch attribution: each converting user's pre-conversion
+    // view/click touches share the conversion credit under four models
+    // at once (first / last / linear / halving time-decay). Credits are
+    // integer parts-per-million — 10^6 div n and div 2^(p-1) are exact
+    // integer folds in both engines, so the per-channel sums hash-match
+    // regardless of shuffle order (no double credit splitting).
+    // One user-partitioned window pass + one hash agg; at 100 TB the
+    // journey windows stay per-user (no global sort anywhere).
+    "q283_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val conv = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+      val touches = ev.join(conv, Seq("user_id"))
+        .where(col("ts") < col("cts") &&
+          col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ts"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id"))
+      val asc = byUser.orderBy(col("ts"), col("event_id"))
+      val desc = byUser.orderBy(col("ts").desc, col("event_id").desc)
+      touches
+        .withColumn("n", count(lit(1)).over(byUser))
+        .withColumn("ra", row_number().over(asc))
+        .withColumn("rd", row_number().over(desc))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when(col("ra") === 1, 1000000L).otherwise(0L))
+            .as("first_touch_ppm"),
+          sum(when(col("rd") === 1, 1000000L).otherwise(0L))
+            .as("last_touch_ppm"),
+          sum(expr("1000000 div n")).as("linear_ppm"),
+          sum(when(col("rd") >= 21, 0L)
+            .otherwise(expr("1000000 div (shiftleft(1, rd - 1))")))
+            .as("decay_ppm"))
+    }),
+
+    // VWAP / TWAP per brand-month: volume-weighted vs unweighted average
+    // price. price*qty folds as DECIMAL(37,4) (exact; scale <= 6 keeps
+    // the DuckDB HUGEINT->DOUBLE cast lossless), divided as double at
+    // readout. One broadcast dim join + one hash agg.
+    "q284_vwap" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_trunc("month", col("l_shipdate")).cast("date").cast("string")
+            .as("month"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(money(col("l_extendedprice")) * money(col("l_quantity")))
+            .cast("double").as("pq"),
+          sum(money(col("l_quantity"))).cast("double").as("q"),
+          sum(money(col("l_extendedprice"))).cast("double").as("p"))
+        .select(col("p_brand"), col("month"), col("n_lines"),
+          round(col("pq") / col("q"), 6).as("vwap"),
+          round(col("p") / col("n_lines"), 6).as("twap"))
+    }),
+
+    // per-nation Gini coefficient of customer revenue concentration:
+    // G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x ascending
+    // (ties broken by custkey). Revenue folds as exact integer cents, so
+    // the rank-weighted sums are bigint-exact; the only window is
+    // partitioned by nation — no single-partition pass.
+    "q285_gini" -> ((s, d) => {
+      val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("cents"), col("o_custkey"))
+      per.withColumn("i", row_number().over(w))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("cents")).as("s"),
+          sum(col("i") * col("cents")).as("ws"))
+        .select(col("nationkey"), col("n_cust"),
+          round((lit(2.0) * col("ws").cast("double") -
+            (col("n_cust") + 1).cast("double") * col("s").cast("double")) /
+            (col("n_cust").cast("double") * col("s").cast("double")), 6)
+            .as("gini"))
+    }),
+
+    // MATCH_RECOGNIZE-style event-sequence pattern matching: per user,
+    // the time-ordered journey string of event-type initials is scanned
+    // for non-overlapping funnel motifs view->(signup|click|error)*->
+    // purchase plus the direct view->purchase bigram. The journey builds
+    // as ONE ordered-concat aggregation (sort_array over (ts, event_id)
+    // structs — the q07 concatByTime shape); the regex scan is row-local.
+    // Alternation-free patterns make Java (Spark) and RE2 (DuckDB)
+    // agree on leftmost non-overlapping matches.
+    "q286_event_pattern" -> ((s, d) => {
+      val j = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")).as("st"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", transform(sort_array(collect_list(col("st"))),
+          x => x.getField("ch"))).as("journey"))
+      j.select(col("user_id"), length(col("journey")).as("journey_len"),
+        size(expr("regexp_extract_all(journey, 'v[sce]*p', 0)"))
+          .cast("long").as("n_funnels"),
+        size(expr("regexp_extract_all(journey, 'vp', 0)"))
+          .cast("long").as("n_direct"))
     })
   )
 
@@ -361,6 +467,69 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q283_attribution" ->
+      """WITH conv AS (SELECT user_id, min(ts) AS cts FROM events
+                       WHERE event_type = 'purchase' GROUP BY user_id),
+          t AS (SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+                FROM events e JOIN conv ON e.user_id = conv.user_id
+                WHERE e.ts < conv.cts AND e.event_type IN ('view', 'click')),
+          r AS (SELECT channel,
+                  count(*) OVER (PARTITION BY user_id) AS n,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS ra,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rd
+                FROM t)
+         SELECT channel, count(*) AS n_touches,
+           CAST(sum(CASE WHEN ra = 1 THEN 1000000 ELSE 0 END) AS BIGINT)
+             AS first_touch_ppm,
+           CAST(sum(CASE WHEN rd = 1 THEN 1000000 ELSE 0 END) AS BIGINT)
+             AS last_touch_ppm,
+           CAST(sum(1000000 // n) AS BIGINT) AS linear_ppm,
+           CAST(sum(CASE WHEN rd >= 21 THEN 0
+                         ELSE 1000000 // (1 << (rd - 1)) END) AS BIGINT)
+             AS decay_ppm
+         FROM r GROUP BY channel""",
+
+    "q284_vwap" ->
+      """SELECT p_brand,
+                CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR)
+                  AS month,
+                count(*) AS n_lines,
+                ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+                  AS vwap,
+                ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*), 6) AS twap
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2""",
+
+    "q285_gini" ->
+      """WITH per AS (SELECT o_custkey,
+                             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                               AS BIGINT) AS cents
+                      FROM orders GROUP BY o_custkey),
+          r AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, cents,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY cents, o_custkey) AS i
+                FROM per JOIN customer ON o_custkey = c_custkey)
+         SELECT nationkey, count(*) AS n_cust,
+                ROUND((2.0 * CAST(sum(i * cents) AS DOUBLE) -
+                       (count(*) + 1) * CAST(sum(cents) AS DOUBLE)) /
+                      (count(*) * CAST(sum(cents) AS DOUBLE)), 6) AS gini
+         FROM r GROUP BY nationkey""",
+
+    "q286_event_pattern" ->
+      """WITH j AS (SELECT user_id,
+                           string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY ts, event_id) AS journey
+                    FROM events GROUP BY user_id)
+         SELECT user_id, CAST(length(journey) AS INT) AS journey_len,
+                len(regexp_extract_all(journey, 'v[sce]*p')) AS n_funnels,
+                len(regexp_extract_all(journey, 'vp')) AS n_direct
+         FROM j""",
+
     "q228_ltv_curve" ->
       """WITH coh AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
                       FROM events GROUP BY user_id),

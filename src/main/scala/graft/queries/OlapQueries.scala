@@ -175,6 +175,37 @@ object OlapQueries {
     // SVD convention; the variance contract is spec-gated)
     "q189_pca" -> ((s, d) => {
       Projection.pca(Tables.embeddings(s, d), col("vec_id"), col("embedding"), k = 4)
+    }),
+
+    // ---- recursive queries (WITH RECURSIVE analog) -----------------------
+    // hierarchy flatten: parent(p) = p div 7 over the part keys builds a
+    // depth-4 tree; pointer doubling settles it in ceil(log2 4) = 2
+    // co-partitioned self-joins (vs 4 per-level descents) — the oracle
+    // replays it with DuckDB's native WITH RECURSIVE
+    "q281_hierarchy_flatten" -> ((s, d) => {
+      val parents = Tables.part(s, d).select(col("p_partkey").as("k"),
+        floor(col("p_partkey") / 7).cast("long").as("par"))
+      graft.operators.Graph.flattenHierarchy(parents, col("k"), col("par"))
+        .select(col("key"), col("root_key"), col("depth"))
+    }),
+
+    // multi-source BFS: min hop distance (<= 4) from the seed customers
+    // (custkey % 50 = 0) over the bipartite customer<->supplier trade
+    // graph — frontier expansion, each edge traversed once; the oracle
+    // replays it as a WITH RECURSIVE over (node, dist) states, dedup'd
+    // by UNION so cycles can't blow up the recursion
+    "q282_bfs_khop" -> ((s, d) => {
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = Tables.customer(s, d)
+        .where(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey").cast("long").as("node"))
+      graft.operators.Graph.bfsDistances(edges, col("src"), col("dst"),
+        seeds, col("node"), maxHops = 4)
     })
   )
 
@@ -273,6 +304,32 @@ object OlapQueries {
           SELECT vec_id AS id, j AS dim,
                  ROUND(list_sum(list_transform(range(0, len(emb)),
                    i -> emb[CAST(i AS INT) + 1] * ($RP_SIGN))) / sqrt(8), 6) AS value
-          FROM e, range(0, 8) t(j)"""
+          FROM e, range(0, 8) t(j)""",
+
+    "q281_hierarchy_flatten" ->
+      """WITH RECURSIVE r AS (
+           SELECT p_partkey AS key, p_partkey AS root_key, CAST(0 AS BIGINT) AS depth
+           FROM part WHERE p_partkey // 7 = p_partkey
+           UNION ALL
+           SELECT p.p_partkey, r.root_key, r.depth + 1
+           FROM part p JOIN r ON p.p_partkey // 7 = r.key
+           WHERE p.p_partkey // 7 <> p.p_partkey
+         )
+         SELECT key, root_key, depth FROM r""",
+
+    "q282_bfs_khop" ->
+      """WITH RECURSIVE
+          t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, p AS dst FROM t
+                UNION SELECT p AS src, c AS dst FROM t),
+          d AS (
+            SELECT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+            FROM customer WHERE c_custkey % 50 = 0
+            UNION
+            SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node
+            WHERE d.dist < 4
+          )
+          SELECT node, min(dist) AS dist FROM d GROUP BY node"""
   )
 }
