@@ -1165,6 +1165,37 @@ object DataQuality {
         round(t, 6).as("t_stat"), round(dfw, 6).as("welch_df"))
   }
 
+  /** One-way ANOVA F statistic across ALL groups of a numeric column —
+    * [[welchTTest]]'s k-group generalization. Per-group sufficient
+    * statistics (n, Σx, Σx²) fold as exact decimals; the per-group
+    * between-term Σx²/n is a double derived from exact sums (bit-stable)
+    * and is re-foldable across groups only after rounding to the 1e-6
+    * grid and re-casting to decimal — cross-group double sums would be
+    * shuffle-order-dependent otherwise. One hash agg + one k-row
+    * readout; k is the group-domain size, so the final single-partition
+    * reduce is domain-bounded. */
+  def anovaOneWay(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = value.cast("decimal(18,2)")
+    val g = df.where(value.isNotNull).groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"), sum(v * v).as("ss_g"))
+    // x*x not pow (libm 1-ulp variance); round->decimal so the k-row sum
+    // of between-terms is exact and order-invariant
+    val t = g.select(col("n_g"), col("s_g"), col("ss_g"),
+      round((col("s_g").cast("double") * col("s_g").cast("double")) /
+        col("n_g").cast("double"), 6).cast("decimal(38,6)").as("t6"))
+    val a = t.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("s_g")).cast("double").as("s_tot"),
+      sum(col("ss_g")).cast("double").as("ss_tot"),
+      sum(col("t6")).cast("double").as("sum_t"))
+    val ssb = col("sum_t") - col("s_tot") * col("s_tot") / col("n").cast("double")
+    val ssw = col("ss_tot") - col("sum_t")
+    a.select(col("k"), col("n"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      round((ssb / (col("k").cast("double") - lit(1.0))) /
+        (ssw / (col("n").cast("double") - col("k").cast("double"))), 6)
+        .as("f_stat"))
+  }
+
   /** Mann-Whitney U test (Wilcoxon rank-sum) between two groups —
     * the nonparametric companion to [[welchTTest]]. Average ranks with
     * exact tie handling, computed WITHOUT a global sort: value-level

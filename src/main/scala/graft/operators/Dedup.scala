@@ -96,7 +96,36 @@ object Dedup {
     * Scale: a shingle in m docs produces m^2 candidate rows; without the
     * cap one boilerplate trigram at 100 TB is a job-killer. */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, k: Int, threshold: Double,
-                   maxShingleDocFreq: Int = 1000): DataFrame = {
+                   maxShingleDocFreq: Int = 1000): DataFrame =
+    sharedShingleCounts(df, id, text, k, maxShingleDocFreq)
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+
+  /** Directed shingle CONTAINMENT per candidate pair: |A∩B|/|A| and
+    * |A∩B|/|B| — the asymmetric companion to Jaccard that catches a
+    * short doc wholly embedded in a long one (quote farms, wrapper
+    * pages, prompt-in-completion contamination), which Jaccard misses
+    * because the union is dominated by the long side. Same candidate
+    * generation + hot-shingle cap as [[jaccardPairs]] (shared core), so
+    * the same scale guarantees hold. Keeps pairs where EITHER direction
+    * clears `threshold`. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column, k: Int,
+                       threshold: Double,
+                       maxShingleDocFreq: Int = 1000): DataFrame =
+    sharedShingleCounts(df, id, text, k, maxShingleDocFreq)
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") / col("n_a"), 6).as("cont_a"),
+        round(col("n_inter").cast("double") / col("n_b"), 6).as("cont_b"))
+      .where(col("cont_a") >= threshold || col("cont_b") >= threshold)
+
+  /** Shared pair core for [[jaccardPairs]] / [[containmentPairs]]:
+    * (id_a, id_b, n_inter, n_a, n_b) over every candidate pair sharing
+    * at least one non-hot shingle, with the exact intersection size
+    * (hot shares added back from bounded per-doc hot arrays). */
+  private def sharedShingleCounts(df: DataFrame, id: Column, text: Column,
+                                  k: Int, maxShingleDocFreq: Int): DataFrame = {
     // persist: the shingle table feeds four independent branches
     // (frequency count, anti-join, self-join, per-doc arrays); without
     // it each branch would recompute the shingling per reference
@@ -128,10 +157,7 @@ object Dedup {
       .join(aug.select(col("doc").as("id_b"), col("n").as("n_b"), col("hot_sh").as("hot_b")), "id_b")
       .withColumn("n_inter",
         col("n_inter_kept") + size(array_intersect(col("hot_a"), col("hot_b"))))
-      .select(col("id_a"), col("id_b"),
-        (col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"))
   }
 
   /** Connected components over a near-dup pair list — the step that

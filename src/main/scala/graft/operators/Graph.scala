@@ -392,6 +392,48 @@ object Graph {
     st.select(col("key"), col("anc").as("root_key"), col("depth"))
   }
 
+  /** Ancestor transitive closure of a parent-pointer hierarchy:
+    * (key, anc, hops) for every ancestor of every node, INCLUDING the
+    * reflexive (key, key, 0) row — the join shape hierarchical rollups
+    * need (each node's measure contributes to every enclosing subtree).
+    *
+    * Level-by-level ascent (depth rounds, each one co-partitioned join
+    * of the shrinking frontier against the parent table) — the closure
+    * output is Θ(n·depth) rows no matter how it's built, so doubling
+    * tricks only save rounds, not volume; for depth ≤ a few dozen
+    * (real BOM/org/category trees) the simple ascent is the cheaper
+    * plan. `maxDepth` bounds corrupt-pointer cycles with a loud
+    * failure. */
+  def ancestorClosure(parents: DataFrame, key: Column, parent: Column,
+                      maxDepth: Int = 40): DataFrame = {
+    val par = parents.select(key.as("k2"), parent.as("p2"))
+      .repartition(col("k2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = par.select(col("k2").as("key"), col("p2").as("anc"),
+        lit(1L).as("hops"))
+      .where(col("key") =!= col("anc"))
+      .localCheckpoint(false)
+    var frontierN = frontier.count()
+    val levels = scala.collection.mutable.ArrayBuffer(
+      par.select(col("k2").as("key"), col("k2").as("anc"), lit(0L).as("hops")))
+    var depth = 1
+    while (frontierN > 0) {
+      require(depth <= maxDepth,
+        s"hierarchy deeper than $maxDepth (cycle in parent pointers?)")
+      levels += frontier
+      val nxt = frontier.join(par, col("anc") === col("k2"))
+        .where(col("p2") =!= col("anc")) // ancestor was not yet a root
+        .select(col("key"), col("p2").as("anc"), (col("hops") + 1).as("hops"))
+        .localCheckpoint(false)
+      frontierN = nxt.count()
+      frontier = nxt
+      depth += 1
+    }
+    val out = levels.reduce(_ unionByName _)
+    par.unpersist(blocking = false)
+    out
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed node, out to
     * `maxHops`. Classic frontier expansion — round h joins the (shrinking)
     * frontier to the out-edges, anti-joins already-visited nodes, and

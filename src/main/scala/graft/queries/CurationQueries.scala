@@ -286,6 +286,26 @@ object CurationQueries {
         col("doc_id"), col("text"), k = 3, maxDocs = 8L)
       out.select(col("doc_id"), col("clean_text"),
         col("n_dropped").cast("bigint").as("n_dropped"))
+    }),
+
+    // n-gram novelty audit: per doc, the fraction of its distinct word
+    // trigrams that FIRST appear in it (global min doc_id per shingle =
+    // one groupBy) — low novelty marks template spam / memorized
+    // boilerplate entering the corpus; the corpus-order framing makes
+    // it an incremental-ingest metric. Two shuffles total (first-seen
+    // agg + per-doc agg); the shingle explode never self-joins.
+    "q291_ngram_novelty" -> ((s, d) => {
+      val sh = graft.operators.Dedup.shingleFrame(
+        Tables.documents(s, d), col("doc_id"), col("text"), 3)
+      val ex = sh.select(col("doc"), explode(col("shingles")).as("s"))
+      val first = ex.groupBy(col("s")).agg(min(col("doc")).as("fdoc"))
+      ex.join(first, Seq("s"))
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("fdoc") === col("doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
     })
   )
 
@@ -294,6 +314,25 @@ object CurationQueries {
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q291_ngram_novelty" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)])
+               AS shingles
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents)),
+          shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+          first AS (SELECT s, min(doc_id) AS fdoc FROM ex GROUP BY s)
+         SELECT doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_novel,
+                ROUND(CAST(sum(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS novelty
+         FROM ex JOIN first USING (s) GROUP BY doc_id""",
+
     "q174_code_quality" ->
       """WITH t AS (SELECT doc_id, regexp_replace(text, '\. ', chr(10), 'g') AS tt
                     FROM documents),

@@ -136,6 +136,15 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // directed shingle containment (|A∩B|/|A|, /|B|): catches a short
+    // doc embedded in a long one, which Jaccard's union denominator
+    // hides — the contamination-detection geometry. Shares q23's
+    // candidate core (hot-shingle-capped share join).
+    "q290_dedup_containment" -> ((s, d) => {
+      Dedup.containmentPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        k = 3, threshold = 0.5, maxShingleDocFreq = 1000)
+    }),
+
     "q24_dedup_minhash_lsh" -> ((s, d) => {
       Dedup.minHashLshPairs(Tables.documents(s, d), col("doc_id"), col("text"),
           k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
@@ -411,6 +420,29 @@ object DedupQueries {
           WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                 (len(sa.shingles) + len(sb.shingles) -
                  len(list_intersect(sa.shingles, sb.shingles))) >= 0.4""",
+
+    "q290_dedup_containment" ->
+      s"""WITH sh AS ($SHINGLES),
+          shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+          kept AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+          exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id),
+          sc AS (
+            SELECT id_a, id_b,
+              len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+              len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+            FROM cand
+              JOIN shf sa ON sa.doc_id = id_a
+              JOIN shf sb ON sb.doc_id = id_b)
+          SELECT id_a, id_b,
+            ROUND(CAST(n_inter AS DOUBLE) / n_a, 6) AS cont_a,
+            ROUND(CAST(n_inter AS DOUBLE) / n_b, 6) AS cont_b
+          FROM sc
+          WHERE ROUND(CAST(n_inter AS DOUBLE) / n_a, 6) >= 0.5
+             OR ROUND(CAST(n_inter AS DOUBLE) / n_b, 6) >= 0.5""",
 
     "q24_dedup_minhash_lsh" ->
       s"""WITH $MINHASH_PAIR_CTES

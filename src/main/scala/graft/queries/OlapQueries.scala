@@ -206,6 +206,72 @@ object OlapQueries {
         .select(col("c_custkey").cast("long").as("node"))
       graft.operators.Graph.bfsDistances(edges, col("src"), col("dst"),
         seeds, col("node"), maxHops = 4)
+    }),
+
+    // ---- time-RANGE window frames ----------------------------------------
+    // trailing 7-DAY (not 7-row) per-user event count/sum: RANGE frame
+    // over epoch seconds — the frame a warehouse "rolling 7d actives"
+    // report actually means. Per-user windows only; values fold as
+    // decimal so tie-order inside the frame can't perturb the sum.
+    "q287_time_range_rolling" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec"), money(col("value")).as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-7L * 86400L, 0L)
+      ev.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("v")).over(w).cast("double").as("sum_7d"))
+    }),
+
+    // ---- Lorenz curve without a global sort ------------------------------
+    // decile-level Lorenz curve of customer revenue: exact per-row ranks
+    // ride the two-level prefix sum (cumulativeByValue) + a per-VALUE
+    // row_number for ties — never a single-partition sort of the
+    // customers; only the final 10-row decile frame uses an ordered
+    // window (domain-bounded, q221's shape).
+    "q288_lorenz_curve" -> ((s, d) => {
+      val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      val counts = per.groupBy(col("cents").as("v")).agg(count(lit(1)).as("c"))
+      val cum = graft.operators.DataQuality.cumulativeByValue(counts, Seq("c"))
+        .join(counts, Seq("v"))
+      val ranked = per.join(cum, col("cents") === col("v"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cents")).orderBy(col("o_custkey"))))
+        .withColumn("rank", col("cum_c") - col("c") + col("rn"))
+      val tot = per.agg(count(lit(1)).as("n"), sum(col("cents")).as("totc"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((rank - 1) * 10) div n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("dcents"))
+      val w10 = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cumc", sum(col("dcents")).over(w10))
+        .select(col("decile"), col("n_cust"),
+          round(col("dcents").cast("double") / col("totc").cast("double"), 6)
+            .as("share"),
+          round(col("cumc").cast("double") / col("totc").cast("double"), 6)
+            .as("cum_share"))
+    }),
+
+    // ---- hierarchical (BOM) rollup ---------------------------------------
+    // subtree totals at EVERY node of the part hierarchy via the
+    // ancestor transitive closure: closure join (Θ(n·depth) rows) + one
+    // hash agg — the distributed answer to "roll this measure up a
+    // category tree"; oracle replays the closure with WITH RECURSIVE
+    "q289_bom_rollup" -> ((s, d) => {
+      val parents = Tables.part(s, d).select(col("p_partkey").as("k"),
+        floor(col("p_partkey") / 7).cast("long").as("par"))
+      val cl = graft.operators.Graph.ancestorClosure(
+        parents, col("k"), col("par"))
+      val vals = Tables.part(s, d).select(col("p_partkey").as("key"),
+        (money(col("p_retailprice")) * 100).cast("long").as("cents"))
+      cl.join(vals, Seq("key"))
+        .groupBy(col("anc").as("p_partkey"))
+        .agg(count(lit(1)).as("subtree_n"),
+          sum(col("cents")).as("subtree_cents"),
+          max(col("hops")).as("subtree_height"))
     })
   )
 
@@ -330,6 +396,56 @@ object OlapQueries {
             SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node
             WHERE d.dist < 4
           )
-          SELECT node, min(dist) AS dist FROM d GROUP BY node"""
+          SELECT node, min(dist) AS dist FROM d GROUP BY node""",
+
+    "q287_time_range_rolling" ->
+      """SELECT user_id, event_id,
+                count(*) OVER w AS n_7d,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                  AS sum_7d
+         FROM (SELECT user_id, event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""",
+
+    "q288_lorenz_curve" ->
+      """WITH per AS (SELECT o_custkey,
+                             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                               AS BIGINT) AS cents
+                      FROM orders GROUP BY o_custkey),
+          r AS (SELECT cents,
+                  row_number() OVER (ORDER BY cents, o_custkey) AS rank,
+                  count(*) OVER () AS n,
+                  sum(cents) OVER () AS totc
+                FROM per),
+          d AS (SELECT ((rank - 1) * 10) // n AS decile, cents, totc FROM r),
+          g AS (SELECT decile, count(*) AS n_cust,
+                       CAST(sum(cents) AS BIGINT) AS dcents,
+                       CAST(max(totc) AS BIGINT) AS totc
+                FROM d GROUP BY decile)
+         SELECT decile, n_cust,
+                ROUND(CAST(dcents AS DOUBLE) / totc, 6) AS share,
+                ROUND(CAST(sum(dcents) OVER (ORDER BY decile) AS DOUBLE)
+                      / totc, 6) AS cum_share
+         FROM g""",
+
+    "q289_bom_rollup" ->
+      """WITH RECURSIVE cl AS (
+           SELECT p_partkey AS key, p_partkey AS anc, CAST(0 AS BIGINT) AS hops
+           FROM part
+           UNION ALL
+           SELECT cl.key, a.p_partkey // 7, cl.hops + 1
+           FROM cl JOIN part a ON a.p_partkey = cl.anc
+           WHERE a.p_partkey // 7 <> a.p_partkey
+         ),
+         v AS (SELECT p_partkey AS key,
+                      CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS cents
+               FROM part)
+         SELECT anc AS p_partkey, count(*) AS subtree_n,
+                CAST(sum(cents) AS BIGINT) AS subtree_cents,
+                max(hops) AS subtree_height
+         FROM cl JOIN v USING (key) GROUP BY anc"""
   )
 }

@@ -85,6 +85,12 @@ object StatsQueries {
         col("value"), "purchase", "click")
     }),
 
+    // one-way ANOVA across ALL market segments on account balance
+    "q292_anova" -> ((s, d) => {
+      DataQuality.anovaOneWay(Tables.customer(s, d), col("c_mktsegment"),
+        col("c_acctbal"))
+    }),
+
     // per-series autocorrelation of daily spend at lags 1..3
     "q199_acf" -> ((s, d) => {
       TimeSeries.acf(dailySpend(s, d), col("event_type"), col("day"),
@@ -413,6 +419,28 @@ object StatsQueries {
   )
 
   private val oracles2: Map[String, String] = Map(
+    "q292_anova" ->
+      """WITH g AS (SELECT c_mktsegment AS g, count(*) AS n_g,
+                           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_g,
+                           sum(CAST(c_acctbal AS DECIMAL(18,2)) *
+                               CAST(c_acctbal AS DECIMAL(18,2))) AS ss_g
+                    FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+          t AS (SELECT n_g, s_g, ss_g,
+                  CAST(ROUND(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6)
+                    AS DECIMAL(38,6)) AS t6
+                FROM g),
+          a AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+                       CAST(sum(s_g) AS DOUBLE) AS s_tot,
+                       CAST(sum(ss_g) AS DOUBLE) AS ss_tot,
+                       CAST(sum(t6) AS DOUBLE) AS sum_t
+                FROM t)
+         SELECT k, n,
+                ROUND(sum_t - s_tot * s_tot / n, 6) AS ss_between,
+                ROUND(ss_tot - sum_t, 6) AS ss_within,
+                ROUND(((sum_t - s_tot * s_tot / n) / (k - 1)) /
+                      ((ss_tot - sum_t) / (n - k)), 6) AS f_stat
+         FROM a""",
+
     "q210_upsert_latest" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
                            o_totalprice,

@@ -154,7 +154,12 @@ class PlanAuditSpec extends SparkSpec {
     // q237: the isotropy readout is one final row over 2000 pair scores
     "q237_embedding_isotropy",
     // q250: the DiD readout reduces 4 cell means to one row
-    "q250_did")
+    "q250_did",
+    // q288: cumulativeByValue offsets + the 1-row total frame + the
+    // 10-row decile window (domain-bounded, q221's gains-table shape)
+    "q288_lorenz_curve",
+    // q292: the ANOVA readout reduces k group-stat rows to one row
+    "q292_anova")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
