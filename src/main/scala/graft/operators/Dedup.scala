@@ -418,6 +418,38 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** MinHash ESTIMATOR audit over the LSH candidate pairs: the
+    * signature-agreement Jaccard estimate (matching slots / numHashes)
+    * side-by-side with the exact shingle Jaccard — the cheap check that
+    * the sketch a pipeline trusts for billions of pairs is actually
+    * unbiased on THIS corpus (estimator drift = wrong hash family size,
+    * shingle pathology, or banding bugs). Same persisted-signature
+    * discipline as [[minHashLshPairs]]; the estimate is an O(numHashes)
+    * row-local fold, no extra shuffle over the verify join. */
+  def minHashEstimatePairs(df: DataFrame, id: Column, text: Column, k: Int,
+                           numHashes: Int, numBands: Int): DataFrame = {
+    val (sh, _, candIds) = lshCandidates(df, id, text, k, numHashes, numBands)
+    // materialize the signature ONCE: it is an interpreted higher-order
+    // expression and the candidate join reads it from both sides
+    val sigs = sh.select(col("doc"), col("shingles"),
+        minHashSignatureFromHashes(col("hmod"), numHashes).as("sig"))
+      .persist()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    candIds
+      .join(sigs.select(col("doc").as("id_a"), col("shingles").as("sh_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc").as("id_b"), col("shingles").as("sh_b"),
+        col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes, 6)
+          .as("est_jaccard"),
+        round(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter), 6).as("jaccard"))
+  }
+
   /** Blocking-quality scorecard for the MinHash-LSH blocking scheme —
     * the observability a production dedup pipeline reports before
     * anyone trusts its recall: REDUCTION RATIO (what fraction of the

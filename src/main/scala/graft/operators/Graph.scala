@@ -392,6 +392,45 @@ object Graph {
     st.select(col("key"), col("anc").as("root_key"), col("depth"))
   }
 
+  /** Bounded Bellman-Ford: minimum path COST from any seed within
+    * `maxHops` relaxation rounds, over non-negative edge weights —
+    * [[bfsDistances]]'s weighted generalization. Each round is one
+    * min-plus step: join the current best-cost frame to the out-edges,
+    * add the weight, union with the standing bests, and keep the min
+    * per node (one co-partitioned join + one hash agg — the classic
+    * distributed SSSP shape). Lineage cut per round. Unlike BFS, a
+    * node can improve after it is first reached, so the whole best
+    * frame (not a frontier) joins each round; at planetary scale swap
+    * in delta-stepping, which keeps this exact join shape per bucket.
+    * Emits (node, cost) for nodes reachable within `maxHops`. */
+  def shortestPaths(edges: DataFrame, src: Column, dst: Column, weight: Column,
+                    seeds: DataFrame, seedKey: Column,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(src.as("src"), dst.as("dst"), weight.as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var best = seeds.select(seedKey.as("node")).distinct()
+      .select(col("node"), lit(0L).as("cost"))
+      .localCheckpoint(false)
+    best.count()
+    var bestCp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(best)
+    for (_ <- 1 to maxHops) {
+      val relaxed = best.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      val merged = best.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(false)
+      merged.count()
+      bestCp.foreach(_.unpersist(blocking = false))
+      bestCp = checkpointedRdd(merged)
+      best = merged
+    }
+    e.unpersist(blocking = false)
+    best
+  }
+
   /** Ancestor transitive closure of a parent-pointer hierarchy:
     * (key, anc, hops) for every ancestor of every node, INCLUDING the
     * reflexive (key, key, 0) row — the join shape hierarchical rollups

@@ -105,6 +105,47 @@ object TimeSeries {
       .select(col("id"), col("k"), col("ts"), col("asof"))
   }
 
+  /** [[asOfJoin]] with a DIRECTION and a staleness TOLERANCE — the full
+    * pandas-merge_asof surface (sensor alignment wants "next reading
+    * within 5 min", feature stores want "latest feature, but never
+    * older than a day"). Same union-and-window plan (one shuffle, O(1)
+    * state per row, no inequality-join explosion): the right row's
+    * (ts, value) rides a struct through `last(_, ignoreNulls)`, and the
+    * tolerance is a post-filter on the carried timestamp. Forward = the
+    * backward scan under (ts DESC) ordering; at equal ts the right row
+    * is still visible to the left row (inclusive), and among right
+    * duplicates at one (key, ts) the greatest value wins — backward's
+    * exact conventions, mirrored. Emits (id, k, ts, asof, asof_lag_sec)
+    * with both null when no right row lands inside the tolerance. */
+  def asOfJoinDirected(left: DataFrame, lId: Column, lKey: Column, lTs: Column,
+                       right: DataFrame, rKey: Column, rTs: Column,
+                       rVal: Column, forward: Boolean,
+                       toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 0, s"toleranceSec must be >= 0: $toleranceSec")
+    val idType = left.select(lId.as("id")).schema("id").dataType
+    val vType = right.select(rVal.as("v")).schema("v").dataType
+    val r = right.select(lit(null).cast(idType).as("id"), rKey.as("k"),
+      rTs.as("ts"), lit(0).as("side"), rVal.as("v"))
+    val l = left.select(lId.as("id"), lKey.as("k"), lTs.as("ts"),
+      lit(1).as("side"), lit(null).cast(vType).as("v"))
+    val ord =
+      if (forward) Seq(col("ts").desc, col("side").asc, col("v").asc)
+      else Seq(col("ts").asc, col("side").asc, col("v").asc)
+    val w = Window.partitionBy(col("k")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = when(col("side") === 0,
+      struct(col("ts").as("rts"), col("v").as("rv")))
+    val lag = abs(col("ts").cast("long") - col("c.rts").cast("long"))
+    r.unionByName(l)
+      .withColumn("c", last(carried, ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("id"), col("k"), col("ts"),
+        when(col("c").isNotNull && lag <= toleranceSec, col("c.rv"))
+          .as("asof"),
+        when(col("c").isNotNull && lag <= toleranceSec, lag)
+          .as("asof_lag_sec"))
+  }
+
   /** SCD type-2 snapshot build from a keyed changelog: per key, rows
     * ordered by (ts, `order`) collapse into validity intervals — a row
     * opens an interval iff its tracked value differs from the previous

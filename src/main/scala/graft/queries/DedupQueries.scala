@@ -136,6 +136,63 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // bounded Bellman-Ford over the trade graph with deterministic
+    // (src+dst)%3-derived weights: min path cost within 4 min-plus
+    // relaxation rounds from the seed customers — BFS's weighted
+    // generalization; oracle replays states via WITH RECURSIVE (cost
+    // domain is bounded, so the state CTE stays small)
+    "q294_bellman_ford" -> ((s, d) => {
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(3L)))
+      val seeds = Tables.customer(s, d).where(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").cast("long").as("node"))
+      graft.operators.Graph.shortestPaths(edges, col("src"), col("dst"),
+        col("w"), seeds, col("node"), maxHops = 4)
+    }),
+
+    // MinHash estimator audit: signature-agreement Jaccard estimate vs
+    // the exact shingle Jaccard on every LSH candidate pair — the
+    // sketch-trust check a pipeline runs before letting the estimate
+    // gate billions of pairs
+    "q295_minhash_estimate" -> ((s, d) => {
+      Dedup.minHashEstimatePairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), k = 3, numHashes = 12, numBands = 6)
+    }),
+
+    // corpus-level source-pair overlap matrix: distinct trigram sets
+    // per source, pairwise shared counts via ONE equi-join on the
+    // shingle (fan bounded by sources² per shingle, never by corpus
+    // size) — the cross-source contamination readout
+    "q296_source_overlap" -> ((s, d) => {
+      val sh = Dedup.shingleFrame(Tables.documents(s, d), col("source"),
+        col("text"), 3)
+      val ss = sh.select(col("doc").as("src"), explode(col("shingles")).as("s"))
+        .distinct()
+        .persist()
+      val sizes = ss.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      val shared = ss.as("a").join(ss.as("b"),
+          col("a.s") === col("b.s") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(sizes.select(col("src").as("src_a"),
+          col("n").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("src").as("src_b"),
+          col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          col("n_b"),
+          round(col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"),
+          round(col("n_shared").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double"), 6)
+            .as("containment"))
+    }),
+
     // directed shingle containment (|A∩B|/|A|, /|B|): catches a short
     // doc embedded in a long one, which Jaccard's union denominator
     // hides — the contamination-detection geometry. Shares q23's
@@ -420,6 +477,63 @@ object DedupQueries {
           WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                 (len(sa.shingles) + len(sb.shingles) -
                  len(list_intersect(sa.shingles, sb.shingles))) >= 0.4""",
+
+    "q294_bellman_ford" ->
+      """WITH RECURSIVE
+          t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, p AS dst FROM t
+                UNION SELECT p AS src, c AS dst FROM t),
+          ew AS (SELECT src, dst, CAST(1 + (src + dst) % 3 AS BIGINT) AS w
+                 FROM e),
+          sp AS (
+            SELECT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost,
+                   0 AS hop
+            FROM customer WHERE c_custkey % 100 = 0
+            UNION
+            SELECT ew.dst, sp.cost + ew.w, sp.hop + 1
+            FROM sp JOIN ew ON ew.src = sp.node WHERE sp.hop < 4
+          )
+          SELECT node, min(cost) AS cost FROM sp GROUP BY node""",
+
+    "q295_minhash_estimate" ->
+      s"""WITH $MINHASH_BAND_CTES,
+          candp AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b,
+            ROUND(CAST(len(list_filter(range(1, 13), i ->
+                sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]))
+              AS DOUBLE) / 12, 6) AS est_jaccard,
+            ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                  (len(sa.shingles) + len(sb.shingles) -
+                   len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+          FROM candp
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b""",
+
+    "q296_source_overlap" ->
+      """WITH ss AS (
+           SELECT DISTINCT source AS src, s FROM (
+             SELECT source,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, greatest(len(toks) - 2, 0) + 1)])) AS s
+             FROM (SELECT source,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                   FROM documents))),
+          sizes AS (SELECT src, count(*) AS n FROM ss GROUP BY src),
+          shared AS (SELECT a.src AS src_a, b.src AS src_b,
+                            count(*) AS n_shared
+                     FROM ss a JOIN ss b ON a.s = b.s AND a.src < b.src
+                     GROUP BY 1, 2)
+         SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6)
+             AS jaccard,
+           ROUND(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 6)
+             AS containment
+         FROM shared
+           JOIN sizes sa ON sa.src = src_a
+           JOIN sizes sb ON sb.src = src_b""",
 
     "q290_dedup_containment" ->
       s"""WITH sh AS ($SHINGLES),

@@ -55,6 +55,23 @@ object ReaderQueries {
           col("ts"), col("asof").as("asof_value"))
     }),
 
+    // as-of with DIRECTION + TOLERANCE: each view picks up the NEXT
+    // purchase value of the same user within 3 days (forward scan,
+    // null past the tolerance) — q161's union-and-window plan mirrored
+    // under (ts DESC); still one shuffle, no inequality join
+    "q293_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.TimeSeries.asOfJoinDirected(
+          ev.where(col("event_type") === "view"),
+          col("event_id"), col("user_id"), col("ts"),
+          ev.where(col("event_type") === "purchase"),
+          col("user_id"), col("ts"), col("value"),
+          forward = true, toleranceSec = 3L * 86400L)
+        .select(col("id").as("event_id"), col("k").as("user_id"),
+          col("ts"), col("asof").as("next_value"),
+          col("asof_lag_sec").as("lag_sec"))
+    }),
+
     // SCD type-2 dimension build from the event changelog: per-user
     // validity intervals of the current event_type
     "q162_scd2_intervals" -> ((s, d) => {
@@ -400,6 +417,30 @@ object ReaderQueries {
                 FROM u)
           SELECT id AS event_id, k AS user_id, ts, w.asof AS asof_value
           FROM w WHERE side = 1""",
+
+    "q293_asof_forward" ->
+      """WITH r AS (SELECT user_id AS k, ts, 0 AS side, value AS v,
+                      CAST(NULL AS BIGINT) AS id
+                    FROM events WHERE event_type = 'purchase'),
+          l AS (SELECT user_id AS k, ts, 1 AS side, CAST(NULL AS DOUBLE) AS v,
+                  event_id AS id
+                FROM events WHERE event_type = 'view'),
+          u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+          w AS (SELECT *, last_value(CASE WHEN side = 0 THEN
+                    struct_pack(rts := ts, rv := v) END IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY ts DESC, side ASC, v ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+                FROM u),
+          o AS (SELECT id, k, ts, c,
+                  abs(CAST(floor(epoch(ts)) AS BIGINT) -
+                      CAST(floor(epoch(c.rts)) AS BIGINT)) AS lag
+                FROM w WHERE side = 1)
+          SELECT id AS event_id, k AS user_id, ts,
+            CASE WHEN c IS NOT NULL AND lag <= 259200 THEN c.rv END
+              AS next_value,
+            CASE WHEN c IS NOT NULL AND lag <= 259200 THEN lag END
+              AS lag_sec
+          FROM o""",
 
     "q162_scd2_intervals" ->
       """WITH e AS (SELECT user_id AS k, ts, event_id AS ord, event_type AS value
