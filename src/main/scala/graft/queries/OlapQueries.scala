@@ -272,6 +272,43 @@ object OlapQueries {
         .agg(count(lit(1)).as("subtree_n"),
           sum(col("cents")).as("subtree_cents"),
           max(col("hops")).as("subtree_height"))
+    }),
+
+    // ---- bounded top-k per group -----------------------------------------
+    // top-3 orders per customer via the bounded TopK aggregator (O(k)
+    // state per group, partial+final merge) — the scale-right
+    // replacement for the window-rank idiom, which sorts EVERY group's
+    // full row set; ties to the smaller orderkey, replayed by the
+    // oracle's row_number
+    "q297_topk_per_group" -> ((s, d) => {
+      val scored = Tables.orders(s, d).select(col("o_custkey").as("key"),
+        col("o_orderkey").as("id"), col("o_totalprice").cast("double").as("score"))
+      graft.aggregators.TopK.topKPerKey(scored, "key", "id", "score", k = 3)
+        .select(col("key").as("o_custkey"), col("id").as("o_orderkey"),
+          round(col("score"), 2).as("price"), col("rank"))
+    }),
+
+    // trending top-k: daily brand revenue -> trailing 7-day revenue per
+    // brand (per-brand RANGE frame over day epochs, integer cents) ->
+    // top-3 brands per day via the bounded string-keyed TopK aggregator.
+    // Composition stays two shuffles (daily agg, per-day top-k); the
+    // per-brand window rides the daily-agg partitioning.
+    "q298_trending_topk" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
+        .agg((sum(money(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+        .withColumn("sec", col("day").cast("timestamp").cast("long"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("sec"))
+        .rangeBetween(-6L * 86400L, 0L)
+      val scored = daily.withColumn("rev7", sum(col("cents")).over(w))
+        .select(col("day").cast("string").as("day"), col("p_brand").as("id"),
+          col("rev7").cast("double").as("score"))
+      graft.aggregators.TopK.topKPerKeyStr(scored, "day", "id", "score", k = 3)
+        .select(col("day"), col("id").as("p_brand"),
+          round(col("score") / 100, 2).as("rev7"), col("rank"))
     })
   )
 
@@ -446,6 +483,38 @@ object OlapQueries {
          SELECT anc AS p_partkey, count(*) AS subtree_n,
                 CAST(sum(cents) AS BIGINT) AS subtree_cents,
                 max(hops) AS subtree_height
-         FROM cl JOIN v USING (key) GROUP BY anc"""
+         FROM cl JOIN v USING (key) GROUP BY anc""",
+
+    "q297_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+                CAST(rn AS INT) AS rank
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3""",
+
+    "q298_trending_topk" ->
+      """WITH daily AS (
+           SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+          tr AS (
+           SELECT day, p_brand,
+                  sum(cents) OVER (PARTITION BY p_brand
+                    ORDER BY CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT)
+                    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS rev7
+           FROM daily),
+          rk AS (
+           SELECT CAST(day AS VARCHAR) AS day, p_brand,
+                  CAST(rev7 AS DOUBLE) AS rev7d,
+                  row_number() OVER (PARTITION BY day
+                    ORDER BY rev7 DESC, p_brand) AS rn
+           FROM tr)
+         SELECT day, p_brand, ROUND(rev7d / 100, 2) AS rev7,
+                CAST(rn AS INT) AS rank
+         FROM rk WHERE rn <= 3"""
   )
 }

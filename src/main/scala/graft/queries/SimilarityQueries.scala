@@ -18,6 +18,41 @@ object SimilarityQueries {
   private val QUERY_PRED = "vec_id < 5"
 
   val queries: Map[String, Q] = Map(
+    // per-label centroid drift matrix: label centroids via
+    // order-invariant integer folds (components quantized to 1e-9 with
+    // round-half-away — identical in both engines even on exact ties,
+    // unlike a raw double->bigint cast, which rounds half-even in
+    // DuckDB), then pairwise cosine + euclidean between the k=10
+    // centroids with 1e-12-quantized products. The embedding-space
+    // audit for "did this label's cluster move between snapshots";
+    // everything after the per-(label, dim) agg is k²·dim-bounded.
+    "q299_centroid_drift" -> ((s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          round(col("x").cast("double") * 1e9, 0).cast("long").as("xq"))
+      val cent = ex.groupBy(col("label"), col("dim"))
+        .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          (col("sq").cast("double") / col("n").cast("double") / 1e9).as("m"))
+      val a = cent.select(col("label").as("la"), col("dim"), col("m").as("ma"))
+      val b = cent.select(col("label").as("lb"), col("dim"), col("m").as("mb"))
+      a.join(b, Seq("dim")).where(col("la") < col("lb"))
+        .groupBy(col("la").cast("int").as("label_a"),
+          col("lb").cast("int").as("label_b"))
+        .agg(
+          sum(round(col("ma") * col("mb") * 1e12, 0).cast("long")).as("pq"),
+          sum(round(col("ma") * col("ma") * 1e12, 0).cast("long")).as("pp"),
+          sum(round(col("mb") * col("mb") * 1e12, 0).cast("long")).as("qq"),
+          sum(round((col("ma") - col("mb")) * (col("ma") - col("mb")) * 1e12, 0)
+            .cast("long")).as("dd"))
+        .select(col("label_a"), col("label_b"),
+          round(col("pq").cast("double") /
+            sqrt(col("pp").cast("double") * col("qq").cast("double")), 6)
+            .as("cosine"),
+          round(sqrt(col("dd").cast("double") / 1e12), 6).as("euclidean"))
+    }),
+
     // symmetric int8 quantization of the embedding store: per-vector
     // scale + exact code-summary fingerprint (sum/min/max/max-error)
     "q261_embedding_quantize" -> ((s, d) => {
@@ -155,6 +190,34 @@ object SimilarityQueries {
                THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
 
   val oracles: Map[String, String] = Map(
+    "q299_centroid_drift" ->
+      """WITH ex AS (
+           SELECT label, CAST(j AS INT) AS dim,
+                  CAST(round(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)
+                    * 1e9) AS BIGINT) AS xq
+           FROM embeddings, range(0, 64) t(j)),
+          cent AS (
+           SELECT label, dim,
+                  CAST(sum(xq) AS DOUBLE) / count(*) / 1e9 AS m
+           FROM ex GROUP BY label, dim),
+          p AS (
+           SELECT a.label AS la, b.label AS lb,
+                  CAST(sum(CAST(round(a.m * b.m * 1e12) AS BIGINT)) AS BIGINT)
+                    AS pq,
+                  CAST(sum(CAST(round(a.m * a.m * 1e12) AS BIGINT)) AS BIGINT)
+                    AS pp,
+                  CAST(sum(CAST(round(b.m * b.m * 1e12) AS BIGINT)) AS BIGINT)
+                    AS qq,
+                  CAST(sum(CAST(round((a.m - b.m) * (a.m - b.m) * 1e12)
+                    AS BIGINT)) AS BIGINT) AS dd
+           FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+           GROUP BY 1, 2)
+         SELECT CAST(la AS INT) AS label_a, CAST(lb AS INT) AS label_b,
+                ROUND(CAST(pq AS DOUBLE) /
+                      sqrt(CAST(pp AS DOUBLE) * CAST(qq AS DOUBLE)), 6)
+                  AS cosine,
+                ROUND(sqrt(CAST(dd AS DOUBLE) / 1e12), 6) AS euclidean
+         FROM p""",
     "q261_embedding_quantize" ->
       """WITH e AS (SELECT vec_id,
               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
