@@ -1174,8 +1174,9 @@ object DataQuality {
     * shuffle-order-dependent otherwise. One hash agg + one k-row
     * readout; k is the group-domain size, so the final single-partition
     * reduce is domain-bounded. */
-  def anovaOneWay(df: DataFrame, group: Column, value: Column): DataFrame = {
-    val v = value.cast("decimal(18,2)")
+  def anovaOneWay(df: DataFrame, group: Column, value: Column,
+                  scale: Int = 2): DataFrame = {
+    val v = value.cast(s"decimal(18,$scale)")
     val g = df.where(value.isNotNull).groupBy(group.as("g"))
       .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"), sum(v * v).as("ss_g"))
     // x*x not pow (libm 1-ulp variance); round->decimal so the k-row sum
@@ -1194,6 +1195,25 @@ object DataQuality {
       round((ssb / (col("k").cast("double") - lit(1.0))) /
         (ssw / (col("n").cast("double") - col("k").cast("double"))), 6)
         .as("f_stat"))
+  }
+
+  /** Brown-Forsythe test (Levene with the median center): ANOVA on the
+    * absolute deviations from each group's MEDIAN — the
+    * variance-homogeneity check that validates [[anovaOneWay]]'s
+    * pooled-variance assumption, robust to non-normal groups. Group
+    * medians come from the exact interpolated percentile (bit-identical
+    * to quantile_cont, the q33/q140 property) broadcast back over the
+    * rows; the deviations carry at most scale+1 decimals (median = avg
+    * of two scale-decimal values), so the decimal(18,6) fold in
+    * [[anovaOneWay]] is exact. */
+  def brownForsythe(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.where(value.isNotNull)
+      .select(group.as("g"), value.cast("double").as("v"))
+    val med = base.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val z = base.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("z"))
+    anovaOneWay(z, col("g"), col("z"), scale = 6)
   }
 
   /** Mann-Whitney U test (Wilcoxon rank-sum) between two groups —

@@ -72,6 +72,35 @@ object TimeSeries {
         col("rank"))
   }
 
+  /** Mann-Kendall trend test per series: S = Σ_{i<j} sign(y_j − y_i)
+    * over the time-ordered values and Kendall's tau = S / (n(n−1)/2) —
+    * the nonparametric "is this metric trending" answer that needs no
+    * linearity or normality (the robust companion to the OLS trend).
+    *
+    * Per-series values collect into ONE row-local array (bounded by the
+    * TIME DOMAIN — a daily series is ~365·years long regardless of row
+    * count, the same bound the ACF/backtest operators document) and the
+    * O(n²) pair scan runs inside a codegen'd nested fold — integer S,
+    * no cross-row float folds, so the gate hashes. */
+  def mannKendall(df: DataFrame, key: Column, order: Column,
+                  value: Column): DataFrame = {
+    val arr = df
+      .select(key.as("k"),
+        struct(order.as("o"), value.cast("double").as("y")).as("st"))
+      .groupBy(col("k"))
+      .agg(transform(sort_array(collect_list(col("st"))),
+        x => x.getField("y")).as("ys"))
+    arr.select(col("k"), size(col("ys")).as("n"),
+        // guard n < 2: sequence(0, -1) would count DOWN, not empty
+        when(size(col("ys")) >= 2, expr(
+          """aggregate(sequence(0, size(ys) - 2), 0L, (acc, i) ->
+               acc + aggregate(sequence(i + 1, size(ys) - 1), 0L, (a, j) ->
+                 a + cast(signum(ys[j] - ys[i]) as long)))"""))
+          .otherwise(0L).as("s"))
+      .withColumn("tau", round(col("s").cast("double") /
+        (col("n").cast("double") * (col("n").cast("double") - 1) / 2.0), 6))
+  }
+
   /** Point-in-time (as-of) join — the feature-store correctness
     * primitive: each left row (id, key, ts) picks up the value of the
     * LATEST right row with the same key and right-ts <= ts (inclusive,

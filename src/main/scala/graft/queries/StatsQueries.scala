@@ -91,6 +91,30 @@ object StatsQueries {
         col("c_acctbal"))
     }),
 
+    // Brown-Forsythe variance-homogeneity test (Levene, median center)
+    // across event types on value — validates q292's pooled-variance
+    // assumption
+    "q300_brown_forsythe" -> ((s, d) => {
+      DataQuality.brownForsythe(Tables.events(s, d), col("event_type"),
+        col("value"))
+    }),
+
+    // Getis-Ord Gi* hotspot grid over the synthetic customer points:
+    // 0.5-degree cells, 3x3 neighborhood sums via bounded 9x replication
+    "q301_geo_hotspot" -> ((s, d) => {
+      Geo.hotspotGiStar(customerPoints(s, d), col("lat"), col("lon"),
+        cellDeg = 0.5)
+    }),
+
+    // Mann-Kendall trend + Kendall tau per event-type daily-spend series
+    "q302_mann_kendall" -> ((s, d) => {
+      TimeSeries.mannKendall(
+          dailySpend(s, d).select(col("event_type"), col("day"),
+            col("spend").cast("double").as("y")),
+          col("event_type"), col("day"), col("y"))
+        .select(col("k").as("event_type"), col("n"), col("s"), col("tau"))
+    }),
+
     // per-series autocorrelation of daily spend at lags 1..3
     "q199_acf" -> ((s, d) => {
       TimeSeries.acf(dailySpend(s, d), col("event_type"), col("day"),
@@ -419,6 +443,83 @@ object StatsQueries {
   )
 
   private val oracles2: Map[String, String] = Map(
+    "q300_brown_forsythe" ->
+      """WITH base AS (SELECT event_type AS gk, CAST(value AS DOUBLE) AS v
+                       FROM events WHERE value IS NOT NULL),
+          med AS (SELECT gk, quantile_cont(v, 0.5) AS med
+                  FROM base GROUP BY gk),
+          z AS (SELECT base.gk, abs(v - med) AS z
+                FROM base JOIN med USING (gk)),
+          g AS (SELECT gk, count(*) AS n_g,
+                       sum(CAST(z AS DECIMAL(18,6))) AS s_g,
+                       sum(CAST(z AS DECIMAL(18,6)) *
+                           CAST(z AS DECIMAL(18,6))) AS ss_g
+                FROM z GROUP BY gk),
+          t AS (SELECT n_g, s_g, ss_g,
+                  CAST(ROUND(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6)
+                    AS DECIMAL(38,6)) AS t6
+                FROM g),
+          a AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+                       CAST(sum(s_g) AS DOUBLE) AS s_tot,
+                       CAST(sum(ss_g) AS DOUBLE) AS ss_tot,
+                       CAST(sum(t6) AS DOUBLE) AS sum_t
+                FROM t)
+         SELECT k, n,
+                ROUND(sum_t - s_tot * s_tot / n, 6) AS ss_between,
+                ROUND(ss_tot - sum_t, 6) AS ss_within,
+                ROUND(((sum_t - s_tot * s_tot / n) / (k - 1)) /
+                      ((ss_tot - sum_t) / (n - k)), 6) AS f_stat
+         FROM a""",
+
+    "q301_geo_hotspot" ->
+      """WITH pts AS (
+            SELECT CAST(CAST(('0x' || substr(md5('glat:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000000 AS DOUBLE) / 1000000.0 * 5.0 + 40.0 AS lat,
+                   CAST(CAST(('0x' || substr(md5('glon:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000000 AS DOUBLE) / 1000000.0 * 5.0 AS lon
+            FROM customer),
+          cells AS (SELECT CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                           CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                           count(*) AS c
+                    FROM pts GROUP BY 1, 2),
+          g AS (SELECT count(*) AS nn, CAST(sum(c) AS BIGINT) AS sc,
+                       CAST(sum(c * c) AS BIGINT) AS scc
+                FROM cells),
+          contrib AS (
+            SELECT cy + dy AS ty, cx + dx AS tx,
+                   CAST(sum(c) AS BIGINT) AS s_i, count(*) AS k_i
+            FROM cells,
+                 (VALUES (-1), (0), (1)) o1(dy),
+                 (VALUES (-1), (0), (1)) o2(dx)
+            GROUP BY 1, 2)
+         SELECT cy, cx, c, s_i, k_i,
+                ROUND((CAST(s_i AS DOUBLE) - sc * 1.0 / nn * k_i) /
+                      (sqrt(CAST(scc AS DOUBLE) / nn -
+                            (sc * 1.0 / nn) * (sc * 1.0 / nn)) *
+                       sqrt((CAST(nn AS DOUBLE) * k_i - CAST(k_i AS DOUBLE) * k_i)
+                            / (nn - 1.0))), 6) AS gi_z
+         FROM cells JOIN contrib ON cy = ty AND cx = tx
+         CROSS JOIN g""",
+
+    "q302_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                 AS y
+                        FROM events GROUP BY 1, 2),
+          arr AS (SELECT event_type, list(y ORDER BY day) AS ys
+                  FROM daily GROUP BY event_type)
+         SELECT event_type, CAST(len(ys) AS INT) AS n,
+                CAST(coalesce(list_sum(list_transform(range(1, len(ys)), i ->
+                  coalesce(list_sum(list_transform(range(i + 1, len(ys) + 1),
+                    j -> CAST(sign(ys[CAST(j AS INT)] - ys[CAST(i AS INT)])
+                           AS BIGINT))), 0))), 0) AS BIGINT) AS s,
+                ROUND(CAST(coalesce(list_sum(list_transform(range(1, len(ys)), i ->
+                  coalesce(list_sum(list_transform(range(i + 1, len(ys) + 1),
+                    j -> CAST(sign(ys[CAST(j AS INT)] - ys[CAST(i AS INT)])
+                           AS BIGINT))), 0))), 0) AS DOUBLE) /
+                  (len(ys) * (len(ys) - 1) / 2.0), 6) AS tau
+         FROM arr""",
+
     "q292_anova" ->
       """WITH g AS (SELECT c_mktsegment AS g, count(*) AS n_g,
                            sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_g,

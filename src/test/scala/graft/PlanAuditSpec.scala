@@ -159,7 +159,12 @@ class PlanAuditSpec extends SparkSpec {
     // 10-row decile window (domain-bounded, q221's gains-table shape)
     "q288_lorenz_curve",
     // q292: the ANOVA readout reduces k group-stat rows to one row
-    "q292_anova")
+    "q292_anova",
+    // q300: ANOVA tail on the |x - median| deviations, q292's shape
+    "q300_brown_forsythe",
+    // q301: the global cell-count mean/std is a 1-row sufficient-stat
+    // frame crossed over the cell-domain-sized hotspot rows
+    "q301_geo_hotspot")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
