@@ -139,6 +139,52 @@ object Geo {
             (col("nn").cast("double") - lit(1.0)))), 6).as("gi_z"))
   }
 
+  /** Grid-DBSCAN: density clustering that IS hash-gateable (k-means'
+    * iterative float centroids are not). A cell of side `cellDeg` is
+    * CORE when it holds >= `minPts` points; adjacent (8-neighborhood)
+    * core cells merge into one cluster labeled by the min cell id;
+    * non-core cells are noise (null cluster). This is DBSCAN on the
+    * grid quantization: deterministic, two data-sized passes (cell
+    * count, then everything is cell-domain-sized), and the merge is
+    * [[graft.operators.Dedup.connectedComponents]] over the bounded
+    * core-cell adjacency — the exact shape at 100 TB, where the cell
+    * table is millions of rows against billions of points. Emits
+    * (cy, cx, n_points, cluster). */
+  def gridDbscan(points: DataFrame, lat: Column, lon: Column,
+                 cellDeg: Double, minPts: Long): DataFrame = {
+    require(cellDeg > 0 && minPts >= 1, s"bad params: $cellDeg, $minPts")
+    val cells = points
+      .select(floor(lat / cellDeg).cast("long").as("cy"),
+        floor(lon / cellDeg).cast("long").as("cx"))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("n_points"))
+      .withColumn("cell", col("cy") * 100000L + col("cx"))
+      .persist()
+    val core = cells.where(col("n_points") >= minPts)
+      .select(col("cell"), col("cy"), col("cx"))
+    val offsets =
+      for { dy <- -1L to 1L; dx <- -1L to 1L if dy != 0 || dx != 0 }
+        yield (dy, dx)
+    val nbr = core
+      .select(col("cell").as("id_a"), col("cy"), col("cx"),
+        explode(typedLit(offsets)).as("o"))
+      .select(col("id_a"), (col("cy") + col("o._1")).as("ny"),
+        (col("cx") + col("o._2")).as("nx"))
+      .join(core.select(col("cell").as("id_b"), col("cy").as("ny"),
+        col("cx").as("nx")), Seq("ny", "nx"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponents(nbr)
+    val out = cells
+      .join(comp.select(col("doc_id").as("cell"), col("component")),
+        Seq("cell"), "left")
+      .select(col("cy"), col("cx"), col("n_points"),
+        when(col("n_points") >= minPts,
+          coalesce(col("component"), col("cell"))).as("cluster"))
+    val chk = out.localCheckpoint(true)
+    cells.unpersist(blocking = false)
+    chk
+  }
+
   def nearestNeighbors(points: DataFrame, id: Column, lat: Column, lon: Column,
                        k: Int, radiusKm: Double,
                        maxAbsLat: Double = 60.0): DataFrame = {

@@ -72,6 +72,50 @@ object TimeSeries {
         col("rank"))
   }
 
+  /** Gaps-and-islands: collapse each key's distinct active DAYS into
+    * maximal consecutive-day STREAK intervals (the retention/habit
+    * metric "longest run of daily activity"). The classic anchor trick,
+    * distributed: day − row_number(day) is constant exactly within a
+    * consecutive run, so one per-key window + one hash agg on (key,
+    * anchor) emits every island — no self-joins, no iteration. Emits
+    * (key, streak_start, streak_end, streak_len, streak_idx) with
+    * islands numbered in time order per key. */
+  def streaks(df: DataFrame, key: Column, day: Column): DataFrame = {
+    val days = df.select(key.as("k"), day.cast("date").as("d")).distinct()
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+    val isl = days
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("k"), col("anchor"))
+      .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+        count(lit(1)).as("streak_len"))
+    val wi = Window.partitionBy(col("k")).orderBy(col("streak_start"))
+    isl.withColumn("streak_idx", row_number().over(wi))
+      .drop("anchor")
+  }
+
+  /** Date-spine gap filling: densify each key's daily series over its
+    * own [min, max] day range, zero-filling missing days (the
+    * sparse-to-dense step every rolling/seasonal operator upstream
+    * assumes). The spine generates ROW-LOCALLY per key
+    * (sequence + explode — no join against a global calendar table) and
+    * left-joins the actuals back on (key, day); spine size is bounded
+    * by keys × time domain, not row count. Emits (key, day, value,
+    * is_filled). */
+  def fillDailyGaps(df: DataFrame, key: Column, day: Column,
+                    value: Column): DataFrame = {
+    val actual = df.select(key.as("k"), day.cast("date").as("d"),
+      value.as("v"))
+    val spine = actual.groupBy(col("k"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("k"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+    spine.join(actual, Seq("k", "d"), "left")
+      .select(col("k"), col("d"),
+        coalesce(col("v"), lit(0.0)).as("value"),
+        when(col("v").isNull, 1).otherwise(0).as("is_filled"))
+  }
+
   /** Mann-Kendall trend test per series: S = Σ_{i<j} sign(y_j − y_i)
     * over the time-ordered values and Kendall's tau = S / (n(n−1)/2) —
     * the nonparametric "is this metric trending" answer that needs no

@@ -106,6 +106,36 @@ object StatsQueries {
         cellDeg = 0.5)
     }),
 
+    // gaps-and-islands: per-user consecutive-day activity streaks via
+    // the day-minus-row_number anchor (one window + one agg, no joins)
+    "q303_streaks" -> ((s, d) => {
+      TimeSeries.streaks(Tables.events(s, d), col("user_id"), to_date(col("ts")))
+        .select(col("k").as("user_id"),
+          col("streak_start").cast("string").as("streak_start"),
+          col("streak_end").cast("string").as("streak_end"),
+          col("streak_len"), col("streak_idx"))
+    }),
+
+    // date-spine densification: zero-fill each event type's daily-spend
+    // series over its own [min, max] day range (row-local sequence
+    // explode, no calendar-table join)
+    "q304_date_spine_fill" -> ((s, d) => {
+      TimeSeries.fillDailyGaps(
+          dailySpend(s, d).select(col("event_type"), col("day"),
+            col("spend").cast("double").as("v")),
+          col("event_type"), col("day"), col("v"))
+        .select(col("k").as("event_type"), col("d").cast("string").as("day"),
+          col("value"), col("is_filled"))
+    }),
+
+    // grid-DBSCAN over the synthetic customer points: core cells
+    // (>= 12 pts) merge across the 8-neighborhood into min-cell-id
+    // clusters; non-core cells are noise
+    "q305_grid_dbscan" -> ((s, d) => {
+      Geo.gridDbscan(customerPoints(s, d), col("lat"), col("lon"),
+        cellDeg = 0.5, minPts = 12L)
+    }),
+
     // Mann-Kendall trend + Kendall tau per event-type daily-spend series
     "q302_mann_kendall" -> ((s, d) => {
       TimeSeries.mannKendall(
@@ -443,6 +473,61 @@ object StatsQueries {
   )
 
   private val oracles2: Map[String, String] = Map(
+    "q303_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+                       FROM events),
+          r AS (SELECT k, d,
+                  d - CAST(row_number() OVER (PARTITION BY k ORDER BY d)
+                    AS INT) AS anchor
+                FROM days),
+          isl AS (SELECT k, anchor, min(d) AS s, max(d) AS e,
+                         count(*) AS len
+                  FROM r GROUP BY k, anchor)
+         SELECT k AS user_id, CAST(s AS VARCHAR) AS streak_start,
+                CAST(e AS VARCHAR) AS streak_end, len AS streak_len,
+                CAST(row_number() OVER (PARTITION BY k ORDER BY s) AS INT)
+                  AS streak_idx
+         FROM isl""",
+
+    "q304_date_spine_fill" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+                               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                 AS v
+                        FROM events GROUP BY 1, 2),
+          b AS (SELECT k, min(d) AS lo, max(d) AS hi FROM daily GROUP BY k),
+          spine AS (SELECT k, CAST(gs AS DATE) AS d
+                    FROM b, unnest(generate_series(CAST(lo AS TIMESTAMP),
+                      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) t(gs))
+         SELECT spine.k AS event_type, CAST(spine.d AS VARCHAR) AS day,
+                coalesce(daily.v, 0.0) AS value,
+                CASE WHEN daily.v IS NULL THEN 1 ELSE 0 END AS is_filled
+         FROM spine LEFT JOIN daily ON spine.k = daily.k AND spine.d = daily.d""",
+
+    "q305_grid_dbscan" ->
+      """WITH RECURSIVE
+          pts AS (
+            SELECT CAST(CAST(('0x' || substr(md5('glat:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000000 AS DOUBLE) / 1000000.0 * 5.0 + 40.0 AS lat,
+                   CAST(CAST(('0x' || substr(md5('glon:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000000 AS DOUBLE) / 1000000.0 * 5.0 AS lon
+            FROM customer),
+          cells AS (SELECT CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                           CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                           count(*) AS n_points
+                    FROM pts GROUP BY 1, 2),
+          cc AS (SELECT cy, cx, n_points, cy * 100000 + cx AS cell FROM cells),
+          core AS (SELECT * FROM cc WHERE n_points >= 12),
+          e AS (SELECT a.cell AS src, b.cell AS dst
+                FROM core a JOIN core b
+                  ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+                 AND a.cell <> b.cell),
+          reach AS (SELECT cell AS n, cell AS m FROM core
+                    UNION
+                    SELECT r.n, e.dst FROM reach r JOIN e ON e.src = r.m),
+          comp AS (SELECT n AS cell, min(m) AS cluster FROM reach GROUP BY n)
+         SELECT cc.cy, cc.cx, cc.n_points, comp.cluster
+         FROM cc LEFT JOIN comp ON cc.cell = comp.cell""",
+
     "q300_brown_forsythe" ->
       """WITH base AS (SELECT event_type AS gk, CAST(value AS DOUBLE) AS v
                        FROM events WHERE value IS NOT NULL),
