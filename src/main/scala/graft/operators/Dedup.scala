@@ -418,6 +418,69 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Fellegi-Sunter probabilistic record linkage over an
+    * agreement-pattern count table: 2 unrolled EM iterations estimate
+    * the match proportion p and the per-field m = P(agree|match) /
+    * u = P(agree|non-match) probabilities, then every pattern gets its
+    * posterior match probability w and the classic log2 match weight
+    * log2(P(γ|M)/P(γ|U)) — the score a linkage pipeline thresholds.
+    *
+    * Scale split is the whole point: the DATA-sized work is counting
+    * agreement patterns over blocked candidate pairs (one groupBy the
+    * caller provides); EM itself runs on the 2^#fields-row pattern
+    * table — here as dataframe algebra (1-row param frames crossed over
+    * the 8-row pattern frame per iteration) so the oracle replays every
+    * arithmetic step. Cross-pattern sums quantize to the 1e-9 grid and
+    * fold in exact decimal, making them order-invariant; fixed init
+    * p=0.1, m=0.9, u=0.1 and a fixed iteration count keep the whole
+    * fit deterministic (no convergence race).
+    * Input: (g1, g2, g3 ∈ {0,1}, n); output: per-pattern
+    * (g1, g2, g3, n, w, match_weight). */
+  def fellegiSunterEM(pat: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val s = pat.sparkSession
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    var params = s.range(1).select(
+      lit(0.1).as("p"),
+      lit(0.9).as("m1"), lit(0.9).as("m2"), lit(0.9).as("m3"),
+      lit(0.1).as("u1"), lit(0.1).as("u2"), lit(0.1).as("u3"))
+    def lik(tag: String) = (i: Int) =>
+      when(col(s"g$i") === 1, col(s"$tag$i"))
+        .otherwise(lit(1.0) - col(s"$tag$i"))
+    def wExpr: Column = {
+      val pm = col("p") * lik("m")(1) * lik("m")(2) * lik("m")(3)
+      val pu = (lit(1.0) - col("p")) * lik("u")(1) * lik("u")(2) * lik("u")(3)
+      pm / (pm + pu)
+    }
+    for (_ <- 1 to iters) {
+      val j = pat.crossJoin(broadcast(params)).withColumn("w", wExpr)
+      params = j.agg(
+          sum(col("n")).as("nn"),
+          sum(dec9(col("n") * col("w"))).as("nw"),
+          sum(dec9(col("n") * (lit(1.0) - col("w")))).as("nv"),
+          sum(dec9(col("n") * col("w") * col("g1"))).as("nwg1"),
+          sum(dec9(col("n") * col("w") * col("g2"))).as("nwg2"),
+          sum(dec9(col("n") * col("w") * col("g3"))).as("nwg3"),
+          sum(dec9(col("n") * (lit(1.0) - col("w")) * col("g1"))).as("nvg1"),
+          sum(dec9(col("n") * (lit(1.0) - col("w")) * col("g2"))).as("nvg2"),
+          sum(dec9(col("n") * (lit(1.0) - col("w")) * col("g3"))).as("nvg3"))
+        .select(
+          (col("nw").cast("double") / col("nn").cast("double")).as("p"),
+          (col("nwg1").cast("double") / col("nw").cast("double")).as("m1"),
+          (col("nwg2").cast("double") / col("nw").cast("double")).as("m2"),
+          (col("nwg3").cast("double") / col("nw").cast("double")).as("m3"),
+          (col("nvg1").cast("double") / col("nv").cast("double")).as("u1"),
+          (col("nvg2").cast("double") / col("nv").cast("double")).as("u2"),
+          (col("nvg3").cast("double") / col("nv").cast("double")).as("u3"))
+    }
+    val mProd = lik("m")(1) * lik("m")(2) * lik("m")(3)
+    val uProd = lik("u")(1) * lik("u")(2) * lik("u")(3)
+    pat.crossJoin(broadcast(params))
+      .select(col("g1"), col("g2"), col("g3"), col("n"),
+        round(wExpr, 6).as("w"),
+        round(log2(mProd / uProd), 6).as("match_weight"))
+  }
+
   /** MinHash ESTIMATOR audit over the LSH candidate pairs: the
     * signature-agreement Jaccard estimate (matching slots / numHashes)
     * side-by-side with the exact shingle Jaccard — the cheap check that

@@ -136,6 +136,36 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Fellegi-Sunter probabilistic linkage: agreement patterns over
+    // (segment, nation)-blocked customer pairs on three order-profile
+    // fields (spend bucket, order-count proximity, max priority), then
+    // 2 unrolled EM iterations -> per-pattern posterior w + log2 match
+    // weight. The data-sized work is ONE blocked pair count; EM runs on
+    // the 8-row pattern table.
+    "q306_fs_linkage_em" -> ((s, d) => {
+      val prof = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+            .as("cents"),
+          max(col("o_orderpriority")).as("maxprio"))
+        .withColumn("b1", expr("cents div 5000000"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nat"))
+        .join(prof, col("c_custkey") === col("o_custkey"))
+      def side(t: String) = c.select(col("c_custkey").as(s"k$t"),
+        col("seg"), col("nat"), col("b1").as(s"b1$t"),
+        col("n_orders").as(s"no$t"), col("maxprio").as(s"mp$t"))
+      val pat = side("a").join(side("b"), Seq("seg", "nat"))
+        .where(col("ka") < col("kb"))
+        .select(
+          when(col("b1a") === col("b1b"), 1).otherwise(0).as("g1"),
+          when(abs(col("noa") - col("nob")) <= 1, 1).otherwise(0).as("g2"),
+          when(col("mpa") === col("mpb"), 1).otherwise(0).as("g3"))
+        .groupBy(col("g1"), col("g2"), col("g3")).agg(count(lit(1)).as("n"))
+      Dedup.fellegiSunterEM(pat, iters = 2)
+    }),
+
     // bounded Bellman-Ford over the trade graph with deterministic
     // (src+dst)%3-derived weights: min path cost within 4 min-plus
     // relaxation rounds from the seed customers — BFS's weighted
@@ -477,6 +507,65 @@ object DedupQueries {
           WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                 (len(sa.shingles) + len(sb.shingles) -
                  len(list_intersect(sa.shingles, sb.shingles))) >= 0.4""",
+
+    "q306_fs_linkage_em" -> {
+      def lm(i: Int) = s"(CASE WHEN g$i = 1 THEN m$i ELSE 1.0 - m$i END)"
+      def lu(i: Int) = s"(CASE WHEN g$i = 1 THEN u$i ELSE 1.0 - u$i END)"
+      def pm = s"p * ${lm(1)} * ${lm(2)} * ${lm(3)}"
+      def pu = s"(1.0 - p) * ${lu(1)} * ${lu(2)} * ${lu(3)}"
+      def dec9(x: String) = s"CAST(round($x, 9) AS DECIMAL(38,9))"
+      def iter(e: String, st: String, prev: String, next: String) =
+        s"""$e AS (SELECT pat.*, ($pm) / (($pm) + ($pu)) AS w
+                   FROM pat CROSS JOIN $prev),
+            $st AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                      sum(${dec9("n * w")}) AS nw,
+                      sum(${dec9("n * (1.0 - w)")}) AS nv,
+                      sum(${dec9("n * w * g1")}) AS nwg1,
+                      sum(${dec9("n * w * g2")}) AS nwg2,
+                      sum(${dec9("n * w * g3")}) AS nwg3,
+                      sum(${dec9("n * (1.0 - w) * g1")}) AS nvg1,
+                      sum(${dec9("n * (1.0 - w) * g2")}) AS nvg2,
+                      sum(${dec9("n * (1.0 - w) * g3")}) AS nvg3
+                    FROM $e),
+            $next AS (SELECT
+                CAST(nw AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+                CAST(nwg1 AS DOUBLE) / CAST(nw AS DOUBLE) AS m1,
+                CAST(nwg2 AS DOUBLE) / CAST(nw AS DOUBLE) AS m2,
+                CAST(nwg3 AS DOUBLE) / CAST(nw AS DOUBLE) AS m3,
+                CAST(nvg1 AS DOUBLE) / CAST(nv AS DOUBLE) AS u1,
+                CAST(nvg2 AS DOUBLE) / CAST(nv AS DOUBLE) AS u2,
+                CAST(nvg3 AS DOUBLE) / CAST(nv AS DOUBLE) AS u3
+              FROM $st)"""
+      s"""WITH prof AS (SELECT o_custkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                     AS BIGINT) AS cents,
+                   max(o_orderpriority) AS maxprio
+                 FROM orders GROUP BY 1),
+          c AS (SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+                       cents // 5000000 AS b1, n_orders, maxprio
+                FROM customer JOIN prof ON c_custkey = o_custkey),
+          pat AS (SELECT
+                    CASE WHEN a.b1 = b.b1 THEN 1 ELSE 0 END AS g1,
+                    CASE WHEN abs(a.n_orders - b.n_orders) <= 1 THEN 1 ELSE 0
+                      END AS g2,
+                    CASE WHEN a.maxprio = b.maxprio THEN 1 ELSE 0 END AS g3,
+                    count(*) AS n
+                  FROM c a JOIN c b ON a.seg = b.seg AND a.nat = b.nat
+                                   AND a.c_custkey < b.c_custkey
+                  GROUP BY 1, 2, 3),
+          p0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+                        CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+                        CAST(0.9 AS DOUBLE) AS m3,
+                        CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+                        CAST(0.1 AS DOUBLE) AS u3),
+          ${iter("e1", "s1", "p0", "p1")},
+          ${iter("e2", "s2", "p1", "p2")}
+          SELECT g1, g2, g3, n,
+            ROUND(($pm) / (($pm) + ($pu)), 6) AS w,
+            ROUND(log2((${lm(1)} * ${lm(2)} * ${lm(3)}) /
+                       (${lu(1)} * ${lu(2)} * ${lu(3)})), 6) AS match_weight
+          FROM pat CROSS JOIN p2"""
+    },
 
     "q294_bellman_ford" ->
       """WITH RECURSIVE

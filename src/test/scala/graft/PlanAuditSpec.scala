@@ -164,7 +164,10 @@ class PlanAuditSpec extends SparkSpec {
     "q300_brown_forsythe",
     // q301: the global cell-count mean/std is a 1-row sufficient-stat
     // frame crossed over the cell-domain-sized hotspot rows
-    "q301_geo_hotspot")
+    "q301_geo_hotspot",
+    // q306: the EM param frames are 1-row aggregates crossed over the
+    // 8-row agreement-pattern table each iteration
+    "q306_fs_linkage_em")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
