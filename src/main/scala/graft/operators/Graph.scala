@@ -392,6 +392,41 @@ object Graph {
     st.select(col("key"), col("anc").as("root_key"), col("depth"))
   }
 
+  /** k-core peeling: iteratively delete nodes of degree < k (with their
+    * edges) for a FIXED number of rounds — the subgraph-density
+    * decomposition that separates a graph's cohesive core from its
+    * tendrils (spam rings and bot farms peel away; organic communities
+    * survive). Input edges must be symmetrized (both directions), so
+    * per-src counts are full degrees. Each round is one hash agg + two
+    * semi-join-shaped filters on the shrinking edge frame, lineage-cut;
+    * a fixed round count keeps the result oracle-replayable (true cores
+    * converge in a handful of peels on real graphs — convergence
+    * detection would add a digest action per round, the
+    * [[labelPropagation]] trade). Emits (node, deg) of the survivors'
+    * residual degrees. */
+  def kCorePeel(edges: DataFrame, src: Column, dst: Column, k: Int,
+                rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad params: k=$k rounds=$rounds")
+    var e = edges.select(src.as("src"), dst.as("dst")).distinct()
+      .localCheckpoint(false)
+    e.count()
+    var cp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(e)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("node"))
+      val e2 = e
+        .join(keep.select(col("node").as("src")), Seq("src"))
+        .join(keep.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(false)
+      e2.count()
+      cp.foreach(_.unpersist(blocking = false))
+      cp = checkpointedRdd(e2)
+      e = e2
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Bounded Bellman-Ford: minimum path COST from any seed within
     * `maxHops` relaxation rounds, over non-negative edge weights —
     * [[bfsDistances]]'s weighted generalization. Each round is one

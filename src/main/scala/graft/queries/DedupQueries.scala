@@ -136,6 +136,19 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // k-core peeling (k=3, 4 fixed rounds) over the trade graph:
+    // survivors and their residual degrees after tendrils peel away
+    "q309_kcore_peel" -> ((s, d) => {
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+      graft.operators.Graph.kCorePeel(edges, col("src"), col("dst"),
+        k = 3, rounds = 4)
+    }),
+
     // Fellegi-Sunter probabilistic linkage: agreement patterns over
     // (segment, nation)-blocked customer pairs on three order-profile
     // fields (spend bucket, order-count proximity, max priority), then
@@ -507,6 +520,21 @@ object DedupQueries {
           WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                 (len(sa.shingles) + len(sb.shingles) -
                  len(list_intersect(sa.shingles, sb.shingles))) >= 0.4""",
+
+    "q309_kcore_peel" -> {
+      def round(i: Int) =
+        s"""k$i AS (SELECT src AS node FROM e${i - 1}
+                    GROUP BY src HAVING count(*) >= 3),
+            e$i AS (SELECT e${i - 1}.src, e${i - 1}.dst FROM e${i - 1}
+                    JOIN k$i a ON e${i - 1}.src = a.node
+                    JOIN k$i b ON e${i - 1}.dst = b.node)"""
+      s"""WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e0 AS (SELECT c AS src, p AS dst FROM t
+                 UNION SELECT p AS src, c AS dst FROM t),
+          ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+          SELECT src AS node, count(*) AS deg FROM e4 GROUP BY src"""
+    },
 
     "q306_fs_linkage_em" -> {
       def lm(i: Int) = s"(CASE WHEN g$i = 1 THEN m$i ELSE 1.0 - m$i END)"

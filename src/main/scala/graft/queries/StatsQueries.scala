@@ -106,6 +106,20 @@ object StatsQueries {
         cellDeg = 0.5)
     }),
 
+    // rolling 7-row MEDIAN per series (robust rolling level — the
+    // outlier-immune companion to q138's rolling mean); exact
+    // interpolated percentile as a window aggregate, bit-identical to
+    // quantile_cont over the same frame
+    "q307_rolling_median" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type"), col("day"),
+        col("spend").cast("double").as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily.select(col("event_type"), col("day").cast("string").as("day"),
+        round(percentile(col("y"), lit(0.5)).over(w), 6).as("med7"),
+        count(lit(1)).over(w).as("n7"))
+    }),
+
     // gaps-and-islands: per-user consecutive-day activity streaks via
     // the day-minus-row_number anchor (one window + one agg, no joins)
     "q303_streaks" -> ((s, d) => {
@@ -473,6 +487,18 @@ object StatsQueries {
   )
 
   private val oracles2: Map[String, String] = Map(
+    "q307_rolling_median" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                 AS y
+                        FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(day AS VARCHAR) AS day,
+                ROUND(quantile_cont(y, 0.5) OVER w, 6) AS med7,
+                count(*) OVER w AS n7
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
     "q303_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
                        FROM events),

@@ -62,6 +62,32 @@ object TextQueries {
         round(meanTokenLength(col("text")), 6).as("mean_token_len"))
     }),
 
+    // vocabulary coverage / OOV-rate audit: the top-1000 corpus words
+    // (bounded TopK aggregator, ties to the alphabetically smaller
+    // word) become the "vocab"; per doc, the fraction of token
+    // OCCURRENCES the vocab covers — the tokenizer-eval metric that
+    // decides whether a fixed vocab fits a new corpus. Vocab is
+    // broadcast (1000 rows) into the per-doc join; two shuffles total.
+    "q308_vocab_coverage" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val vocab = graft.aggregators.TopK.topKPerKeyStr(
+          freq.select(lit(1).as("__g"), col("w").as("id"),
+            col("n").cast("double").as("score")),
+          "__g", "id", "score", k = 1000)
+        .select(col("id").as("w"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_vocab"), lit(0))).cast("long").as("n_covered"))
+        .withColumn("coverage",
+          round(col("n_covered").cast("double") / col("n_tokens"), 6))
+        .withColumn("oov_rate",
+          round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6))
+    }),
+
     "q19_text_quality" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -231,6 +257,25 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q308_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(
+                        regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+                      FROM documents),
+          tf AS (SELECT * FROM tok WHERE w <> ''),
+          freq AS (SELECT w, count(*) AS n FROM tf GROUP BY w),
+          vocab AS (SELECT w FROM (
+                      SELECT w, row_number() OVER (ORDER BY n DESC, w) AS rn
+                      FROM freq) WHERE rn <= 1000)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN vocab.w IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered,
+                ROUND(CAST(sum(CASE WHEN vocab.w IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS coverage,
+                ROUND(1.0 - CAST(sum(CASE WHEN vocab.w IS NOT NULL THEN 1
+                  ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate
+         FROM tf LEFT JOIN vocab ON tf.w = vocab.w
+         GROUP BY doc_id""",
+
     // frozen expected segmentation counts for the fixed 7-text corpus
     // (derived from the UAX#29 + CJK-dictionary spec of the texts;
     // unicode stays out of the SQL — counts pin the behavior)
