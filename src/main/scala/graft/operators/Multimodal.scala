@@ -90,6 +90,36 @@ object Multimodal {
       (col("height").cast("double") / targetH).as("scale_y"),
       col("feat"))
 
+  /** Audio silence-trim plumbing over the stub codec: the payload
+    * "decodes" to `nWindows` energy values (window w's energy = first
+    * byte of md5(payload ‖ ":aw" ‖ w), 0–255 — a real codec swaps in
+    * per-window RMS over PCM samples and NOTHING else changes), and the
+    * trim is the first/last window at or above `threshold` — the
+    * leading/trailing-silence removal every audio ingest runs before
+    * feature extraction. Entirely row-local array work inside codegen:
+    * no explode, no shuffle; emits (doc_id, trim_start, trim_end,
+    * n_active, mean_active) with nulls when the whole clip is silence. */
+  def audioEnergyTrim(df: DataFrame, id: Column, payload: Column,
+                      nWindows: Int = 16, threshold: Int = 64): DataFrame = {
+    def energy(w: Int): Column =
+      conv(substring(md5(concat(payload,
+        to_binary(lit(s":aw$w"), lit("utf-8")))), 1, 2), 16, 10).cast("long")
+    val es = array((0 until nWindows).map(energy): _*)
+    df.select(id.as("doc_id"), es.as("es"))
+      .select(col("doc_id"),
+        filter(sequence(lit(0L), lit(nWindows - 1L)),
+          w => element_at(col("es"), (w + 1).cast("int")) >= threshold)
+          .as("aw"), col("es"))
+      .select(col("doc_id"),
+        when(size(col("aw")) > 0, element_at(col("aw"), 1)).as("trim_start"),
+        when(size(col("aw")) > 0, element_at(col("aw"), -1)).as("trim_end"),
+        size(col("aw")).as("n_active"),
+        round(aggregate(col("aw"), lit(0L),
+          (acc, w) => acc + element_at(col("es"), (w + 1).cast("int")))
+          .cast("double") / size(col("aw")).cast("double"), 6)
+          .as("mean_active"))
+  }
+
   /** 56-bit perceptual difference hash (dHash) over the stub decode.
     * The fake luma grid has 7 rows of 9 pixels, where row r's pixels
     * are the first 9 bytes of md5(payload ‖ ":" ‖ r), and bit

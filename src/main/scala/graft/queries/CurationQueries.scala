@@ -288,6 +288,27 @@ object CurationQueries {
         col("n_dropped").cast("bigint").as("n_dropped"))
     }),
 
+    // k-anonymized noisy release: (event_type, week) counts with groups
+    // under k=25 SUPPRESSED and deterministic Laplace(b=1) noise added
+    // to the survivors (md5-seeded inverse-CDF draw — the privacy-
+    // release shape: suppression bounds re-identification, noise bounds
+    // differencing; swap the md5 draw for a real DP RNG and nothing
+    // else changes). One hash agg; noise is row-local.
+    "q310_kanon_release" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").cast("string").as("week"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 25)
+      val u = (pmod(TextAnalysis.hash60(concat_ws(":", lit("kanon"),
+        col("event_type"), col("week"))), lit(1000000L)).cast("double") +
+        lit(0.5)) / lit(1000000.0)
+      val lap = -signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      g.select(col("event_type"), col("week"),
+        (col("n") + round(lap, 0).cast("long")).as("n_noisy"))
+    }),
+
     // n-gram novelty audit: per doc, the fraction of its distinct word
     // trigrams that FIRST appear in it (global min doc_id per shingle =
     // one groupBy) — low novelty marks template spam / memorized
@@ -314,6 +335,22 @@ object CurationQueries {
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q310_kanon_release" ->
+      s"""WITH g AS (SELECT event_type,
+                       CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR)
+                         AS week,
+                       count(*) AS n
+                     FROM events GROUP BY 1, 2),
+          kept AS (SELECT * FROM g WHERE n >= 25),
+          u AS (SELECT *,
+                  (CAST(${H60("'kanon:' || event_type || ':' || week")}
+                     % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS uu
+                FROM kept)
+         SELECT event_type, week,
+           n + CAST(round(-sign(uu - 0.5) *
+             ln(1.0 - 2.0 * abs(uu - 0.5)), 0) AS BIGINT) AS n_noisy
+         FROM u""",
+
     "q291_ngram_novelty" ->
       """WITH sh AS (
            SELECT doc_id,

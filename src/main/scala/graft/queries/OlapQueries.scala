@@ -309,6 +309,21 @@ object OlapQueries {
       graft.aggregators.TopK.topKPerKeyStr(scored, "day", "id", "score", k = 3)
         .select(col("day"), col("id").as("p_brand"),
           round(col("score") / 100, 2).as("rev7"), col("rank"))
+    }),
+
+    // 2-D histogram (heatmap binning) of quantity x discount with the
+    // joint share — one hash agg over the bin keys, 1-row total crossed
+    // back; the binned scatter a dashboard renders over billions of rows
+    "q312_hist2d" -> ((s, d) => {
+      val g = Tables.lineitem(s, d)
+        .select(floor(col("l_quantity") / 5).cast("long").as("qty_bin"),
+          floor(col("l_discount") / 0.02).cast("long").as("disc_bin"))
+        .groupBy(col("qty_bin"), col("disc_bin")).agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum(col("n")).as("tot"))
+      g.crossJoin(broadcast(tot))
+        .select(col("qty_bin"), col("disc_bin"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("share"))
     })
   )
 
@@ -515,6 +530,16 @@ object OlapQueries {
            FROM tr)
          SELECT day, p_brand, ROUND(rev7d / 100, 2) AS rev7,
                 CAST(rn AS INT) AS rank
-         FROM rk WHERE rn <= 3"""
+         FROM rk WHERE rn <= 3""",
+
+    "q312_hist2d" ->
+      """WITH g AS (SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS qty_bin,
+                           CAST(floor(l_discount / 0.02) AS BIGINT) AS disc_bin,
+                           count(*) AS n
+                    FROM lineitem GROUP BY 1, 2),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+         SELECT qty_bin, disc_bin, n,
+                ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+         FROM g CROSS JOIN t"""
   )
 }

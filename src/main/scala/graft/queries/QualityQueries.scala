@@ -417,6 +417,14 @@ object QualityQueries {
         shufflePartitions = Some(8))
     }),
 
+    // audio silence trim over the stub codec: per-payload window
+    // energies (md5-derived; a real codec swaps in PCM RMS) -> first/
+    // last active window + active stats, all row-local array work
+    "q311_audio_trim" -> ((s, d) => {
+      val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
+      Multimodal.audioEnergyTrim(docs, col("doc_id"), col("payload"))
+    }),
+
     // multimodal frame sampling: every 2nd frame of each decoded
     // payload — the md5-deterministic stub codec makes even the frame
     // explosion oracle-replayable
@@ -542,6 +550,25 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q311_audio_trim" ->
+      """WITH e AS (SELECT doc_id,
+                      [CAST(('0x' || substr(md5(text || ':aw' ||
+                         CAST(w AS VARCHAR)), 1, 2)) AS BIGINT)
+                       for w in range(0, 16)] AS es
+                    FROM documents),
+          a AS (SELECT doc_id, es,
+                  list_filter(range(0, 16),
+                    w -> es[CAST(w AS INT) + 1] >= 64) AS aw
+                FROM e)
+         SELECT doc_id,
+           CASE WHEN len(aw) > 0 THEN aw[1] END AS trim_start,
+           CASE WHEN len(aw) > 0 THEN aw[-1] END AS trim_end,
+           CAST(len(aw) AS INT) AS n_active,
+           ROUND(CAST(list_sum(list_transform(aw,
+             w -> es[CAST(w AS INT) + 1])) AS DOUBLE) / len(aw), 6)
+             AS mean_active
+         FROM a""",
+
     "q168_skew_report" ->
       """WITH counts AS (SELECT l_suppkey AS k, count(*) AS c
                          FROM lineitem GROUP BY 1),

@@ -167,7 +167,10 @@ class PlanAuditSpec extends SparkSpec {
     "q301_geo_hotspot",
     // q306: the EM param frames are 1-row aggregates crossed over the
     // 8-row agreement-pattern table each iteration
-    "q306_fs_linkage_em")
+    "q306_fs_linkage_em",
+    // q312: the histogram total is a 1-row frame crossed over the
+    // bin-domain-sized grid
+    "q312_hist2d")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
