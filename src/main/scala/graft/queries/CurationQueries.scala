@@ -288,6 +288,29 @@ object CurationQueries {
         col("n_dropped").cast("bigint").as("n_dropped"))
     }),
 
+    // per-source quality-percentile filter: each source keeps docs at or
+    // above its OWN 25th-percentile mean-word-length — the quota-style
+    // curation cut that survives heterogeneous sources (a global
+    // threshold would gut the weakest source entirely)
+    "q316_quality_percentile_filter" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("source"),
+          when(size(col("__toks")) > 0,
+            aggregate(col("__toks"), lit(0L), (a, t) => a + length(t))
+              .cast("double") / size(col("__toks")))
+            .otherwise(lit(0.0)).as("score"))
+      val thr = base.groupBy(col("source"))
+        .agg(percentile(col("score"), lit(0.25)).as("p25"))
+      base.join(broadcast(thr), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("p25"), 1L).otherwise(0L))
+            .as("n_kept"),
+          round(first(col("p25")), 6).as("p25"))
+    }),
+
     // k-anonymized noisy release: (event_type, week) counts with groups
     // under k=25 SUPPRESSED and deterministic Laplace(b=1) noise added
     // to the survivors (md5-seeded inverse-CDF draw — the privacy-
@@ -335,6 +358,25 @@ object CurationQueries {
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q316_quality_percentile_filter" ->
+      """WITH base AS (
+           SELECT doc_id, source,
+             CASE WHEN len(toks) > 0
+               THEN CAST(list_sum(list_transform(toks, t -> length(t)))
+                      AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS score
+           FROM (SELECT doc_id, source,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents)),
+          thr AS (SELECT source, quantile_cont(score, 0.25) AS p25
+                  FROM base GROUP BY source)
+         SELECT base.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN score >= p25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(max(p25), 6) AS p25
+         FROM base JOIN thr ON base.source = thr.source
+         GROUP BY base.source""",
+
     "q310_kanon_release" ->
       s"""WITH g AS (SELECT event_type,
                        CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR)

@@ -136,6 +136,26 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // near-dup cluster canonicalization: per cluster, elect the keeper
+    // (longest doc, ties to the smaller id) + membership stats — the
+    // decision step between "found near-dups" and "rewrote the corpus"
+    "q315_dedup_canonicalize" -> ((s, d) => {
+      val pairs = Dedup.minHashLshPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3, numHashes = 12, numBands = 6,
+        threshold = 0.35)
+      val comp = Dedup.connectedComponents(pairs)
+      val meta = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      // scalar sort key (DuckDB min_by has no struct comparator):
+      // longest doc first, ties to the smaller id — ids stay < 1e9
+      comp.join(meta, Seq("doc_id"))
+        .groupBy(col("component"))
+        .agg(min_by(col("doc_id"),
+          (-col("n_chars")) * lit(1000000000L) + col("doc_id"))
+          .as("canonical_id"),
+          count(lit(1)).as("n_members"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
     // k-core peeling (k=3, 4 fixed rounds) over the trade graph:
     // survivors and their residual degrees after tendrils peel away
     "q309_kcore_peel" -> ((s, d) => {
@@ -520,6 +540,26 @@ object DedupQueries {
           WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                 (len(sa.shingles) + len(sb.shingles) -
                  len(list_intersect(sa.shingles, sb.shingles))) >= 0.4""",
+
+    "q315_dedup_canonicalize" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+          pairs AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+          comp AS (SELECT n AS doc_id, MIN(m) AS component
+                   FROM reach GROUP BY n)
+          SELECT component,
+            min_by(comp.doc_id,
+              -n_chars * 1000000000 + comp.doc_id) AS canonical_id,
+            count(*) AS n_members,
+            CAST(max(n_chars) AS BIGINT) AS max_chars
+          FROM comp JOIN documents ON comp.doc_id = documents.doc_id
+          GROUP BY component""",
 
     "q309_kcore_peel" -> {
       def round(i: Int) =

@@ -274,6 +274,42 @@ object OlapQueries {
           max(col("hops")).as("subtree_height"))
     }),
 
+    // materialized hierarchy paths: every node's root-to-self "/" path
+    // from the ancestor closure (one ordered-concat agg over the
+    // Θ(n·depth) closure rows) — the adjacency-list -> materialized-path
+    // conversion a warehouse runs once so later queries are prefix scans
+    "q313_hierarchy_paths" -> ((s, d) => {
+      val parents = Tables.part(s, d).select(col("p_partkey").as("k"),
+        floor(col("p_partkey") / 7).cast("long").as("par"))
+      val cl = graft.operators.Graph.ancestorClosure(
+        parents, col("k"), col("par"))
+      cl.groupBy(col("key"))
+        .agg(concat_ws("/", transform(sort_array(collect_list(
+          struct((-col("hops")).as("nh"), col("anc")))),
+          x => x.getField("anc"))).as("path"),
+          max(col("hops")).as("depth"))
+    }),
+
+    // interval concurrency without a day explode: +1/-1 boundary deltas
+    // per interval endpoint, per-day delta agg, then the two-level
+    // prefix sum -> active-interval count at every boundary day. The
+    // "how many orders were open on day X" curve computed in two
+    // shuffles regardless of interval lengths.
+    "q314_interval_concurrency" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        to_date(col("o_orderdate")).as("start"),
+        (col("o_orderkey") % 14 + 1).cast("int").as("dur"))
+      val deltas = o.select(explode(array(
+          struct(col("start").as("v"), lit(1L).as("delta")),
+          struct(date_add(col("start"), col("dur") + 1).as("v"),
+            lit(-1L).as("delta")))).as("b"))
+        .select(col("b.v"), col("b.delta"))
+        .groupBy(col("v")).agg(sum(col("delta")).as("delta"))
+      graft.operators.DataQuality.cumulativeByValue(deltas, Seq("delta"))
+        .select(col("v").cast("string").as("day"),
+          col("cum_delta").as("active"))
+    }),
+
     // ---- bounded top-k per group -----------------------------------------
     // top-3 orders per customer via the bounded TopK aggregator (O(k)
     // state per group, partial+final merge) — the scale-right
@@ -499,6 +535,31 @@ object OlapQueries {
                 CAST(sum(cents) AS BIGINT) AS subtree_cents,
                 max(hops) AS subtree_height
          FROM cl JOIN v USING (key) GROUP BY anc""",
+
+    "q313_hierarchy_paths" ->
+      """WITH RECURSIVE r AS (
+           SELECT p_partkey AS key, CAST(p_partkey AS VARCHAR) AS path,
+                  CAST(0 AS BIGINT) AS depth
+           FROM part WHERE p_partkey // 7 = p_partkey
+           UNION ALL
+           SELECT p.p_partkey,
+                  r.path || '/' || CAST(p.p_partkey AS VARCHAR), r.depth + 1
+           FROM part p JOIN r ON p.p_partkey // 7 = r.key
+           WHERE p.p_partkey // 7 <> p.p_partkey
+         )
+         SELECT key, path, depth FROM r""",
+
+    "q314_interval_concurrency" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS s,
+                           CAST(o_orderkey % 14 + 1 AS INT) AS dur
+                    FROM orders),
+          b AS (SELECT s AS v, 1 AS delta FROM o
+                UNION ALL SELECT s + (dur + 1), -1 FROM o),
+          g AS (SELECT v, CAST(sum(delta) AS BIGINT) AS delta
+                FROM b GROUP BY v)
+         SELECT CAST(v AS VARCHAR) AS day,
+                CAST(sum(delta) OVER (ORDER BY v) AS BIGINT) AS active
+         FROM g""",
 
     "q297_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
