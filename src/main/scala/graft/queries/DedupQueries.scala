@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.operators.Dedup
 
@@ -134,6 +135,42 @@ object DedupQueries {
       Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 0.4,
           maxShingleDocFreq = 1000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // the SQL-first surface end-to-end: a pure spark.sql query over a
+    // temp view using the natively-registered graft_* functions
+    // (SparkSessionExtensions) — proves the engine's SQL entry point
+    // under the same differential gate as the DataFrame API
+    "q317_sql_surface" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""
+        WITH p AS (SELECT p_partkey AS id, p_name AS nm,
+                          split(p_name, ' ')[0] AS blk
+                   FROM part_v
+                   WHERE graft_hash60(p_name) % 4 = 0)
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(graft_jaro_winkler(a.nm, b.nm), 6) AS jw
+        FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        WHERE graft_jaro_winkler(a.nm, b.nm) >= 0.85
+      """)
+    }),
+
+    // dedup threshold-tuning curve: how many candidate pairs survive at
+    // each Jaccard cutoff — the sweep a pipeline runs ONCE (over the
+    // already-computed candidate scores, 11-bucket domain) before
+    // committing to a threshold
+    "q320_dedup_threshold_curve" -> ((s, d) => {
+      val pairs = Dedup.minHashLshPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3, numHashes = 12, numBands = 6,
+        threshold = 0.0)
+      val buckets = pairs
+        .select(floor(col("jaccard") * 10).cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets.select(col("bucket"),
+        round(col("bucket").cast("double") / 10, 1).as("threshold"),
+        col("n"), sum(col("n")).over(w).as("n_pairs_ge"))
     }),
 
     // near-dup cluster canonicalization: per cluster, elect the keeper
@@ -540,6 +577,28 @@ object DedupQueries {
           WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                 (len(sa.shingles) + len(sb.shingles) -
                  len(list_intersect(sa.shingles, sb.shingles))) >= 0.4""",
+
+    "q317_sql_surface" ->
+      s"""WITH p AS (SELECT p_partkey AS id, p_name AS nm,
+                            str_split(p_name, ' ')[1] AS blk
+                     FROM part
+                     WHERE ${"CAST(('0x' || substr(md5(p_name), 1, 15)) AS BIGINT)"} % 4 = 0)
+          SELECT a.id AS id_a, b.id AS id_b,
+                 ROUND(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+          FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+          WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.85""",
+
+    "q320_dedup_threshold_curve" ->
+      s"""WITH $MINHASH_PAIR_CTES,
+          sc AS (SELECT CAST(floor(($PAIR_JACCARD) * 10) AS INT) AS bucket
+                 FROM cand),
+          g AS (SELECT bucket, count(*) AS n FROM sc GROUP BY bucket)
+          SELECT bucket, ROUND(CAST(bucket AS DOUBLE) / 10, 1) AS threshold,
+                 n,
+                 CAST(sum(n) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_pairs_ge
+          FROM g""",
 
     "q315_dedup_canonicalize" ->
       s"""WITH RECURSIVE $MINHASH_PAIR_CTES,

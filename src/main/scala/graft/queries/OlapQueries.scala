@@ -347,6 +347,19 @@ object OlapQueries {
           round(col("score") / 100, 2).as("rev7"), col("rank"))
     }),
 
+    // nested JSON export: per customer, the time-stable JSON array of
+    // (orderkey, status) structs — the denormalized document shape an
+    // API/search index consumes; one hash agg, ordered inside the array
+    // so the string is deterministic
+    "q318_nested_export" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_custkey"), struct(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("s")).as("st"))
+        .groupBy(col("o_custkey"))
+        .agg(to_json(sort_array(collect_list(col("st")))).as("orders_json"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // 2-D histogram (heatmap binning) of quantity x discount with the
     // joint share — one hash agg over the bin keys, 1-row total crossed
     // back; the binned scatter a dashboard renders over billions of rows
@@ -592,6 +605,14 @@ object OlapQueries {
          SELECT day, p_brand, ROUND(rev7d / 100, 2) AS rev7,
                 CAST(rn AS INT) AS rank
          FROM rk WHERE rn <= 3""",
+
+    "q318_nested_export" ->
+      """SELECT o_custkey,
+                '[' || string_agg(CAST(json_object('k', o_orderkey,
+                  's', o_orderstatus) AS VARCHAR), ',' ORDER BY o_orderkey)
+                || ']' AS orders_json,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_custkey""",
 
     "q312_hist2d" ->
       """WITH g AS (SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS qty_bin,

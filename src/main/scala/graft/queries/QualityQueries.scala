@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.{Tables, FormatReaders, AvroIO}
 import graft.operators.{DataQuality, Multimodal}
 import graft.streaming.Streaming
@@ -417,6 +418,23 @@ object QualityQueries {
         shufflePartitions = Some(8))
     }),
 
+    // rolling MODE over the last 5 events per user (most-frequent
+    // event type, ties alphabetical): per-row 5-element window list +
+    // a row-local argmin over (−count, type) structs — the categorical
+    // companion to the rolling mean/median
+    "q319_rolling_mode" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          collect_list(col("event_type")).over(w).as("arr"))
+        .select(col("user_id"), col("event_id"),
+          expr("""array_min(transform(array_distinct(arr),
+            t -> struct(-size(filter(arr, x -> x = t)) AS c, t AS t))).t""")
+            .as("mode5"),
+          size(col("arr")).as("n_win"))
+    }),
+
     // audio silence trim over the stub codec: per-payload window
     // energies (md5-derived; a real codec swaps in PCM RMS) -> first/
     // last active window + active stats, all row-local array work
@@ -550,6 +568,19 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q319_rolling_mode" ->
+      """WITH r AS (SELECT user_id, event_id,
+                      array_agg(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS arr
+                    FROM events)
+         SELECT user_id, event_id,
+                (list_sort(list_transform(list_distinct(arr),
+                  t -> {'c': -len(list_filter(arr, x -> x = t)),
+                        't': t}))[1]).t AS mode5,
+                CAST(len(arr) AS INT) AS n_win
+         FROM r""",
+
     "q311_audio_trim" ->
       """WITH e AS (SELECT doc_id,
                       [CAST(('0x' || substr(md5(text || ':aw' ||

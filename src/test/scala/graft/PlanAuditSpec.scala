@@ -170,7 +170,10 @@ class PlanAuditSpec extends SparkSpec {
     "q306_fs_linkage_em",
     // q312: the histogram total is a 1-row frame crossed over the
     // bin-domain-sized grid
-    "q312_hist2d")
+    "q312_hist2d",
+    // q320: the cumulative sweep window runs over the 11-bucket
+    // threshold domain (q221's gains-table shape)
+    "q320_dedup_threshold_curve")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
