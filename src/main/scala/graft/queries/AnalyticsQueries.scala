@@ -348,6 +348,19 @@ object AnalyticsQueries {
           .as("top_decile_share"))
     }),
 
+    // cumulative reach curve: EXACT distinct-users-ever per week via
+    // first-seen-week (one agg) + a weeks-domain cumulative window — no
+    // sketch, no week-over-week distinct recount
+    "q322_cumulative_reach" -> ((s, d) => {
+      val firstW = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("wk"))
+      val weekly = firstW.groupBy(col("wk")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("wk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly.select(col("wk").cast("date").cast("string").as("week"),
+        col("n_new"), sum(col("n_new")).over(w).as("cum_reach"))
+    }),
+
     // multi-touch attribution: each converting user's pre-conversion
     // view/click touches share the conversion credit under four models
     // at once (first / last / linear / halving time-decay). Credits are
@@ -467,6 +480,14 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q322_cumulative_reach" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS wk
+                    FROM events GROUP BY user_id),
+          g AS (SELECT wk, count(*) AS n_new FROM f GROUP BY wk)
+         SELECT CAST(CAST(wk AS DATE) AS VARCHAR) AS week, n_new,
+                CAST(sum(n_new) OVER (ORDER BY wk) AS BIGINT) AS cum_reach
+         FROM g""",
+
     "q283_attribution" ->
       """WITH conv AS (SELECT user_id, min(ts) AS cts FROM events
                        WHERE event_type = 'purchase' GROUP BY user_id),

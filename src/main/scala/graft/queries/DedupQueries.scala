@@ -193,6 +193,73 @@ object DedupQueries {
           max(col("n_chars")).as("max_chars"))
     }),
 
+    // end-to-end entity resolution: blocked pairs -> FS-EM pattern
+    // weights -> threshold (match_weight >= 2) -> connected components
+    // -> cluster roster. The full ER pipeline as ONE gated query: the
+    // probabilistic scorer (q306) and the cluster machinery (q86)
+    // composing, which is what an MDM deployment actually runs.
+    "q321_er_pipeline" -> ((s, d) => {
+      val prof = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+            .as("cents"),
+          max(col("o_orderpriority")).as("maxprio"))
+        .withColumn("b1", expr("cents div 5000000"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nat"))
+        .join(prof, col("c_custkey") === col("o_custkey"))
+      def side(t: String) = c.select(col("c_custkey").as(s"k$t"),
+        col("seg"), col("nat"), col("b1").as(s"b1$t"),
+        col("n_orders").as(s"no$t"), col("maxprio").as(s"mp$t"))
+      val pairs = side("a").join(side("b"), Seq("seg", "nat"))
+        .where(col("ka") < col("kb"))
+        .select(col("ka"), col("kb"),
+          when(col("b1a") === col("b1b"), 1).otherwise(0).as("g1"),
+          when(abs(col("noa") - col("nob")) <= 1, 1).otherwise(0).as("g2"),
+          when(col("mpa") === col("mpb"), 1).otherwise(0).as("g3"))
+        .persist()
+      val pat = pairs.groupBy(col("g1"), col("g2"), col("g3"))
+        .agg(count(lit(1)).as("n"))
+      val weights = Dedup.fellegiSunterEM(pat, iters = 2)
+        .select(col("g1"), col("g2"), col("g3"), col("match_weight"))
+      val edges = pairs
+        .join(broadcast(weights), Seq("g1", "g2", "g3"))
+        .where(col("match_weight") >= 2.0)
+        .select(col("ka").as("id_a"), col("kb").as("id_b"))
+      Dedup.connectedComponents(edges)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("min_key"), max(col("doc_id")).as("max_key"))
+    }),
+
+    // train/test near-dup leakage audit: hash-split the corpus 80/20,
+    // then count test docs with an LSH near-duplicate in train — the
+    // eval-hygiene number every benchmark split should report
+    "q323_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sp = graft.operators.Curation.hashSplit(docs, col("doc_id"),
+          Seq("train" -> 0.8, "test" -> 0.2))
+        .select(col("doc_id"), col("split"))
+      val pairs = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
+      val cross = pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sp_a")),
+          "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sp_b")),
+          "id_b")
+        .where(col("sp_a") =!= col("sp_b"))
+      val leaked = cross.select(when(col("sp_a") === "test", col("id_a"))
+        .otherwise(col("id_b")).as("doc_id")).distinct()
+      val nTest = sp.where(col("split") === "test")
+        .agg(count(lit(1)).as("n_test"))
+      val nLeak = leaked.agg(count(lit(1)).as("n_leaked"))
+      nTest.crossJoin(broadcast(nLeak))
+        .select(col("n_test"), col("n_leaked"),
+          round(col("n_leaked").cast("double") / col("n_test"), 6)
+            .as("leak_rate"))
+    }),
+
     // k-core peeling (k=3, 4 fixed rounds) over the trade graph:
     // survivors and their residual degrees after tendrils peel away
     "q309_kcore_peel" -> ((s, d) => {
@@ -402,6 +469,63 @@ object DedupQueries {
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
             a.shingles AS sh_a, b.shingles AS sh_b
           FROM band a JOIN band b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+  // Fellegi-Sunter oracle building blocks (q306 + the q321 ER pipeline):
+  // blocked customer pairs -> 8-row agreement-pattern table -> unrolled
+  // EM iterations, every arithmetic step mirroring the Spark op order.
+  private def fsLm(i: Int) = s"(CASE WHEN g$i = 1 THEN m$i ELSE 1.0 - m$i END)"
+  private def fsLu(i: Int) = s"(CASE WHEN g$i = 1 THEN u$i ELSE 1.0 - u$i END)"
+  private val FS_PM = s"p * ${fsLm(1)} * ${fsLm(2)} * ${fsLm(3)}"
+  private val FS_PU = s"(1.0 - p) * ${fsLu(1)} * ${fsLu(2)} * ${fsLu(3)}"
+  private def fsDec9(x: String) = s"CAST(round($x, 9) AS DECIMAL(38,9))"
+  private def fsIter(e: String, st: String, prev: String, next: String) =
+    s"""$e AS (SELECT pat.*, ($FS_PM) / (($FS_PM) + ($FS_PU)) AS w
+               FROM pat CROSS JOIN $prev),
+        $st AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                  sum(${fsDec9("n * w")}) AS nw,
+                  sum(${fsDec9("n * (1.0 - w)")}) AS nv,
+                  sum(${fsDec9("n * w * g1")}) AS nwg1,
+                  sum(${fsDec9("n * w * g2")}) AS nwg2,
+                  sum(${fsDec9("n * w * g3")}) AS nwg3,
+                  sum(${fsDec9("n * (1.0 - w) * g1")}) AS nvg1,
+                  sum(${fsDec9("n * (1.0 - w) * g2")}) AS nvg2,
+                  sum(${fsDec9("n * (1.0 - w) * g3")}) AS nvg3
+                FROM $e),
+        $next AS (SELECT
+            CAST(nw AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+            CAST(nwg1 AS DOUBLE) / CAST(nw AS DOUBLE) AS m1,
+            CAST(nwg2 AS DOUBLE) / CAST(nw AS DOUBLE) AS m2,
+            CAST(nwg3 AS DOUBLE) / CAST(nw AS DOUBLE) AS m3,
+            CAST(nvg1 AS DOUBLE) / CAST(nv AS DOUBLE) AS u1,
+            CAST(nvg2 AS DOUBLE) / CAST(nv AS DOUBLE) AS u2,
+            CAST(nvg3 AS DOUBLE) / CAST(nv AS DOUBLE) AS u3
+          FROM $st)"""
+  /** prof/c/cpairs/pat/p0: the blocked pair + pattern-count CTE chain.
+    * `cpairs` keeps the per-pair keys and agreement bits so the ER
+    * pipeline can join pattern weights back to pairs. */
+  private val FS_BASE_CTES =
+    """prof AS (SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS cents,
+               max(o_orderpriority) AS maxprio
+             FROM orders GROUP BY 1),
+      c AS (SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+                   cents // 5000000 AS b1, n_orders, maxprio
+            FROM customer JOIN prof ON c_custkey = o_custkey),
+      cpairs AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+                   CASE WHEN a.b1 = b.b1 THEN 1 ELSE 0 END AS g1,
+                   CASE WHEN abs(a.n_orders - b.n_orders) <= 1 THEN 1 ELSE 0
+                     END AS g2,
+                   CASE WHEN a.maxprio = b.maxprio THEN 1 ELSE 0 END AS g3
+                 FROM c a JOIN c b ON a.seg = b.seg AND a.nat = b.nat
+                                  AND a.c_custkey < b.c_custkey),
+      pat AS (SELECT g1, g2, g3, count(*) AS n
+              FROM cpairs GROUP BY 1, 2, 3),
+      p0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+                    CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+                    CAST(0.9 AS DOUBLE) AS m3,
+                    CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+                    CAST(0.1 AS DOUBLE) AS u3)"""
 
   private[queries] val PAIR_JACCARD =
     """CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
@@ -635,64 +759,62 @@ object DedupQueries {
           SELECT src AS node, count(*) AS deg FROM e4 GROUP BY src"""
     },
 
-    "q306_fs_linkage_em" -> {
-      def lm(i: Int) = s"(CASE WHEN g$i = 1 THEN m$i ELSE 1.0 - m$i END)"
-      def lu(i: Int) = s"(CASE WHEN g$i = 1 THEN u$i ELSE 1.0 - u$i END)"
-      def pm = s"p * ${lm(1)} * ${lm(2)} * ${lm(3)}"
-      def pu = s"(1.0 - p) * ${lu(1)} * ${lu(2)} * ${lu(3)}"
-      def dec9(x: String) = s"CAST(round($x, 9) AS DECIMAL(38,9))"
-      def iter(e: String, st: String, prev: String, next: String) =
-        s"""$e AS (SELECT pat.*, ($pm) / (($pm) + ($pu)) AS w
-                   FROM pat CROSS JOIN $prev),
-            $st AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
-                      sum(${dec9("n * w")}) AS nw,
-                      sum(${dec9("n * (1.0 - w)")}) AS nv,
-                      sum(${dec9("n * w * g1")}) AS nwg1,
-                      sum(${dec9("n * w * g2")}) AS nwg2,
-                      sum(${dec9("n * w * g3")}) AS nwg3,
-                      sum(${dec9("n * (1.0 - w) * g1")}) AS nvg1,
-                      sum(${dec9("n * (1.0 - w) * g2")}) AS nvg2,
-                      sum(${dec9("n * (1.0 - w) * g3")}) AS nvg3
-                    FROM $e),
-            $next AS (SELECT
-                CAST(nw AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
-                CAST(nwg1 AS DOUBLE) / CAST(nw AS DOUBLE) AS m1,
-                CAST(nwg2 AS DOUBLE) / CAST(nw AS DOUBLE) AS m2,
-                CAST(nwg3 AS DOUBLE) / CAST(nw AS DOUBLE) AS m3,
-                CAST(nvg1 AS DOUBLE) / CAST(nv AS DOUBLE) AS u1,
-                CAST(nvg2 AS DOUBLE) / CAST(nv AS DOUBLE) AS u2,
-                CAST(nvg3 AS DOUBLE) / CAST(nv AS DOUBLE) AS u3
-              FROM $st)"""
-      s"""WITH prof AS (SELECT o_custkey, count(*) AS n_orders,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
-                     AS BIGINT) AS cents,
-                   max(o_orderpriority) AS maxprio
-                 FROM orders GROUP BY 1),
-          c AS (SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
-                       cents // 5000000 AS b1, n_orders, maxprio
-                FROM customer JOIN prof ON c_custkey = o_custkey),
-          pat AS (SELECT
-                    CASE WHEN a.b1 = b.b1 THEN 1 ELSE 0 END AS g1,
-                    CASE WHEN abs(a.n_orders - b.n_orders) <= 1 THEN 1 ELSE 0
-                      END AS g2,
-                    CASE WHEN a.maxprio = b.maxprio THEN 1 ELSE 0 END AS g3,
-                    count(*) AS n
-                  FROM c a JOIN c b ON a.seg = b.seg AND a.nat = b.nat
-                                   AND a.c_custkey < b.c_custkey
-                  GROUP BY 1, 2, 3),
-          p0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
-                        CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
-                        CAST(0.9 AS DOUBLE) AS m3,
-                        CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
-                        CAST(0.1 AS DOUBLE) AS u3),
-          ${iter("e1", "s1", "p0", "p1")},
-          ${iter("e2", "s2", "p1", "p2")}
+    "q321_er_pipeline" ->
+      s"""WITH RECURSIVE $FS_BASE_CTES,
+          ${fsIter("e1", "s1", "p0", "p1")},
+          ${fsIter("e2", "s2", "p1", "p2")},
+          wts AS (SELECT g1, g2, g3,
+                    ROUND(log2((${fsLm(1)} * ${fsLm(2)} * ${fsLm(3)}) /
+                               (${fsLu(1)} * ${fsLu(2)} * ${fsLu(3)})), 6)
+                      AS match_weight
+                  FROM pat CROSS JOIN p2),
+          edges0 AS (SELECT ka, kb FROM cpairs
+                     JOIN wts USING (g1, g2, g3)
+                     WHERE match_weight >= 2.0),
+          edges AS (SELECT ka AS a, kb AS b FROM edges0
+                    UNION SELECT kb, ka FROM edges0),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+          comp AS (SELECT n AS k, MIN(m) AS component FROM reach GROUP BY n)
+          SELECT component, count(*) AS n_members,
+                 min(k) AS min_key, max(k) AS max_key
+          FROM comp GROUP BY component""",
+
+    "q323_split_leakage" ->
+      s"""WITH $MINHASH_PAIR_CTES,
+          pairs AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
+          sp AS (SELECT doc_id,
+                   CASE WHEN ${"CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"}
+                          % 1000000 < 800000
+                        THEN 'train' ELSE 'test' END AS split
+                 FROM documents),
+          cr AS (SELECT id_a, id_b, sa.split AS sp_a, sb.split AS sp_b
+                 FROM pairs
+                   JOIN sp sa ON sa.doc_id = id_a
+                   JOIN sp sb ON sb.doc_id = id_b
+                 WHERE sa.split <> sb.split),
+          leaked AS (SELECT DISTINCT CASE WHEN sp_a = 'test' THEN id_a
+                                          ELSE id_b END AS doc_id
+                     FROM cr),
+          t AS (SELECT count(*) AS n_test FROM sp WHERE split = 'test'),
+          l AS (SELECT count(*) AS n_leaked FROM leaked)
+          SELECT n_test, n_leaked,
+                 ROUND(CAST(n_leaked AS DOUBLE) / n_test, 6) AS leak_rate
+          FROM t CROSS JOIN l""",
+
+    "q306_fs_linkage_em" ->
+      s"""WITH $FS_BASE_CTES,
+          ${fsIter("e1", "s1", "p0", "p1")},
+          ${fsIter("e2", "s2", "p1", "p2")}
           SELECT g1, g2, g3, n,
-            ROUND(($pm) / (($pm) + ($pu)), 6) AS w,
-            ROUND(log2((${lm(1)} * ${lm(2)} * ${lm(3)}) /
-                       (${lu(1)} * ${lu(2)} * ${lu(3)})), 6) AS match_weight
-          FROM pat CROSS JOIN p2"""
-    },
+            ROUND(($FS_PM) / (($FS_PM) + ($FS_PU)), 6) AS w,
+            ROUND(log2((${fsLm(1)} * ${fsLm(2)} * ${fsLm(3)}) /
+                       (${fsLu(1)} * ${fsLu(2)} * ${fsLu(3)})), 6)
+              AS match_weight
+          FROM pat CROSS JOIN p2""",
 
     "q294_bellman_ford" ->
       """WITH RECURSIVE

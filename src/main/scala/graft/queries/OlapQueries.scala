@@ -347,6 +347,33 @@ object OlapQueries {
           round(col("score") / 100, 2).as("rev7"), col("rank"))
     }),
 
+    // interval union (merge overlapping intervals): per customer, the
+    // classic running-max island detection collapses overlapping order
+    // intervals into disjoint coverage islands — total covered days
+    // without exploding days. Two window passes over ONE per-key
+    // partitioning + two hash aggs.
+    "q324_interval_merge" -> ((s, d) => {
+      val iv = Tables.orders(s, d).select(col("o_custkey").as("k"),
+        to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 14 + 1).cast("int")).as("e"))
+      val wOrd = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+      val runPrev = max(col("e")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      val marked = iv.withColumn("newisl",
+        when(runPrev.isNull || col("s") > runPrev, 1L).otherwise(0L))
+      val isl = marked
+        .withColumn("isl", sum(col("newisl")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("k"), col("isl"))
+        .agg(count(lit(1)).as("n_iv"), min(col("s")).as("ms"),
+          max(col("e")).as("me"))
+      isl.groupBy(col("k").as("o_custkey"))
+        .agg(sum(col("n_iv")).as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(datediff(col("me"), col("ms")) + 1).as("covered_days"))
+    }),
+
     // nested JSON export: per customer, the time-stable JSON array of
     // (orderkey, status) structs — the denormalized document shape an
     // API/search index consumes; one hash agg, ordered inside the array
@@ -605,6 +632,31 @@ object OlapQueries {
          SELECT day, p_brand, ROUND(rev7d / 100, 2) AS rev7,
                 CAST(rn AS INT) AS rank
          FROM rk WHERE rn <= 3""",
+
+    "q324_interval_merge" ->
+      """WITH iv AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
+                            CAST(o_orderdate AS DATE) +
+                              CAST(o_orderkey % 14 + 1 AS INT) AS e
+                     FROM orders),
+          m AS (SELECT k, s, e,
+                  CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS newisl
+                FROM iv),
+          isl AS (SELECT k, s, e,
+                    sum(newisl) OVER (PARTITION BY k ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS isl
+                  FROM m),
+          g AS (SELECT k, isl, count(*) AS n_iv, min(s) AS ms, max(e) AS me
+                FROM isl GROUP BY k, isl)
+         SELECT k AS o_custkey, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+                count(*) AS n_islands,
+                CAST(sum(me - ms + 1) AS BIGINT) AS covered_days
+         FROM g GROUP BY k""",
 
     "q318_nested_export" ->
       """SELECT o_custkey,

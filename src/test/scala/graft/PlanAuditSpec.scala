@@ -173,7 +173,13 @@ class PlanAuditSpec extends SparkSpec {
     "q312_hist2d",
     // q320: the cumulative sweep window runs over the 11-bucket
     // threshold domain (q221's gains-table shape)
-    "q320_dedup_threshold_curve")
+    "q320_dedup_threshold_curve",
+    // q321: the EM param frames (q306's shape) feed the edge threshold
+    "q321_er_pipeline",
+    // q322: the reach window runs over the weeks domain
+    "q322_cumulative_reach",
+    // q323: the leakage readout crosses two 1-row count frames
+    "q323_split_leakage")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
