@@ -392,6 +392,58 @@ object Graph {
     st.select(col("key"), col("anc").as("root_key"), col("depth"))
   }
 
+  /** HITS (hubs & authorities), fixed iterations: auth(v) = Σ_{u→v}
+    * hub(u), hub(u) = Σ_{u→v} auth(v), each L2-normalized per round —
+    * the bipartite-natural ranking PageRank isn't (who aggregates
+    * supply vs who supplies the aggregators). Per round: two
+    * co-partitioned joins + two hash aggs + two 1-row norm frames
+    * crossed back — [[pageRank]]'s shuffle shape, doubled. Every
+    * cross-node sum folds 1e-9-quantized terms in exact decimal
+    * (order-invariant), so a fixed iteration count makes the scores
+    * oracle-replayable. Emits (node, hub, auth) rounded to 1e-6. */
+  def hits(edges: DataFrame, src: Column, dst: Column,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    nodes.count()
+    var hub = nodes.withColumn("h", lit(1.0))
+    var auth = nodes.withColumn("a", lit(1.0))
+    for (_ <- 1 to iters) {
+      val a1 = e.join(hub, col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(dec9(col("h"))).cast("double").as("a"))
+      val an = nodes.join(a1, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
+      val na = an.agg(
+        sqrt(sum(dec9(col("a") * col("a"))).cast("double")).as("na"))
+      auth = an.crossJoin(broadcast(na))
+        .select(col("node"), (col("a") / col("na")).as("a"))
+        .localCheckpoint(false)
+      auth.count()
+      val h1 = e.join(auth, col("dst") === col("node"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(dec9(col("a"))).cast("double").as("h"))
+      val hn = nodes.join(h1, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
+      val nh = hn.agg(
+        sqrt(sum(dec9(col("h") * col("h"))).cast("double")).as("nh"))
+      hub = hn.crossJoin(broadcast(nh))
+        .select(col("node"), (col("h") / col("nh")).as("h"))
+        .localCheckpoint(false)
+      hub.count()
+    }
+    val out = hub.join(auth, Seq("node"))
+      .select(col("node"), round(col("h"), 6).as("hub"),
+        round(col("a"), 6).as("auth"))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** k-core peeling: iteratively delete nodes of degree < k (with their
     * edges) for a FIXED number of rounds — the subgraph-density
     * decomposition that separates a graph's cohesive core from its

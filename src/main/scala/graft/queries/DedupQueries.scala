@@ -193,6 +193,19 @@ object DedupQueries {
           max(col("n_chars")).as("max_chars"))
     }),
 
+    // HITS hubs & authorities (2 fixed iterations) over the DIRECTED
+    // customer->supplier trade graph: who aggregates supply (hubs) vs
+    // who supplies the aggregators (authorities) — the bipartite
+    // ranking PageRank's single score conflates
+    "q325_hits" -> ((s, d) => {
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graph.hits(trade, col("src"), col("dst"), iters = 2)
+    }),
+
     // end-to-end entity resolution: blocked pairs -> FS-EM pattern
     // weights -> threshold (match_weight >= 2) -> connected components
     // -> cluster roster. The full ER pipeline as ONE gated query: the
@@ -757,6 +770,36 @@ object DedupQueries {
                  UNION SELECT p AS src, c AS dst FROM t),
           ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
           SELECT src AS node, count(*) AS deg FROM e4 GROUP BY src"""
+    },
+
+    "q325_hits" -> {
+      def d9(x: String) = s"CAST(round($x, 9) AS DECIMAL(38,9))"
+      def iter(i: Int, prevHub: String) =
+        s"""a$i AS (SELECT dst AS node,
+                      CAST(sum(${d9("h")}) AS DOUBLE) AS a
+                    FROM e JOIN $prevHub ph ON e.src = ph.node GROUP BY dst),
+            an$i AS (SELECT nodes.node, coalesce(a, 0.0) AS a
+                     FROM nodes LEFT JOIN a$i USING (node)),
+            na$i AS (SELECT sqrt(CAST(sum(${d9("a * a")}) AS DOUBLE)) AS na
+                     FROM an$i),
+            auth$i AS (SELECT node, a / na AS a FROM an$i CROSS JOIN na$i),
+            h$i AS (SELECT src AS node,
+                      CAST(sum(${d9("a")}) AS DOUBLE) AS h
+                    FROM e JOIN auth$i au ON e.dst = au.node GROUP BY src),
+            hn$i AS (SELECT nodes.node, coalesce(h, 0.0) AS h
+                     FROM nodes LEFT JOIN h$i USING (node)),
+            nh$i AS (SELECT sqrt(CAST(sum(${d9("h * h")}) AS DOUBLE)) AS nh
+                     FROM hn$i),
+            hub$i AS (SELECT node, h / nh AS h FROM hn$i CROSS JOIN nh$i)"""
+      s"""WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, p AS dst FROM t),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          hub0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+          ${iter(1, "hub0")},
+          ${iter(2, "hub1")}
+          SELECT hub2.node, ROUND(hub2.h, 6) AS hub, ROUND(auth2.a, 6) AS auth
+          FROM hub2 JOIN auth2 ON hub2.node = auth2.node"""
     },
 
     "q321_er_pipeline" ->

@@ -37,6 +37,33 @@ object MiningQueries {
         .withColumn("day", col("bucket").cast("string")).drop("bucket")
     }),
 
+    // seasonal-strength readout per series: 1 − var(residual) /
+    // var(seasonal+residual) over the decomposition — "how much of the
+    // non-trend variation the weekly cycle explains". The rounded
+    // decompose outputs are exact 6-decimal values, so the decimal
+    // sufficient-stat folds are order-invariant.
+    "q326_seasonal_strength" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(money(col("value"))).cast("double").as("spend"))
+      val dec = TimeSeries.decompose(daily, col("event_type"), col("day"),
+        col("spend"), period = 7, phase = dayofweek(col("day")))
+      val r = dec.where(col("residual").isNotNull)
+        .select(col("key"), col("residual").cast("decimal(18,6)").as("r"),
+          (col("seasonal") + col("residual")).cast("decimal(18,6)").as("sr"))
+      r.groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).as("s1"), sum(col("r") * col("r")).as("s2"),
+          sum(col("sr")).as("t1"), sum(col("sr") * col("sr")).as("t2"))
+        .select(col("key"), col("n"),
+          round(greatest(lit(0.0), lit(1.0) -
+            ((col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+             (col("t2").cast("double") -
+              col("t1").cast("double") * col("t1").cast("double") / col("n")))),
+            6).as("seasonal_strength"))
+    }),
+
     // frequent brand itemsets (size <= 2) across order baskets at 2%
     // support — PFP mines them, the oracle recounts singles + pairs
     "q193_frequent_itemsets" -> ((s, d) => {
@@ -69,6 +96,32 @@ object MiningQueries {
     })
   )
 
+  /** Shared decompose CTE chain (q192 + the q326 strength readout):
+    * daily series -> centered 7-day trend -> per-phase seasonal ->
+    * rounded output table `o`. */
+  private val DECOMP_CTES =
+    """s AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             FROM events GROUP BY 1, 2),
+       t AS (SELECT event_type, day, spend,
+                    CASE WHEN count(*) OVER w = 7
+                         THEN CAST(sum(CAST(spend AS DECIMAL(28,6))) OVER w AS DOUBLE) / 7
+                    END AS trend,
+                    dayofweek(day) AS phase
+             FROM s
+             WINDOW w AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       se AS (SELECT event_type, phase,
+                     CAST(sum(CAST(spend - trend AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*) AS seasonal
+              FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+       o AS (SELECT t.event_type AS key, CAST(t.day AS VARCHAR) AS day,
+                    ROUND(t.spend, 6) AS value, ROUND(t.trend, 6) AS trend,
+                    ROUND(se.seasonal, 6) AS seasonal,
+                    ROUND(t.spend - t.trend - se.seasonal, 6) AS residual
+             FROM t LEFT JOIN se
+               ON t.event_type = se.event_type AND t.phase = se.phase)"""
+
   val oracles: Map[String, String] = Map(
     "q191_ewma_level" ->
       """SELECT user_id AS key, count(*) AS n,
@@ -77,27 +130,22 @@ object MiningQueries {
          FROM events GROUP BY user_id""",
 
     "q192_seasonal_decompose" ->
-      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS day,
-                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
-                    FROM events GROUP BY 1, 2),
-          t AS (SELECT event_type, day, spend,
-                       CASE WHEN count(*) OVER w = 7
-                            THEN CAST(sum(CAST(spend AS DECIMAL(28,6))) OVER w AS DOUBLE) / 7
-                       END AS trend,
-                       dayofweek(day) AS phase
-                FROM s
-                WINDOW w AS (PARTITION BY event_type ORDER BY day
-                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-          se AS (SELECT event_type, phase,
-                        CAST(sum(CAST(spend - trend AS DECIMAL(28,12))) AS DOUBLE)
-                          / count(*) AS seasonal
-                 FROM t WHERE trend IS NOT NULL GROUP BY 1, 2)
-          SELECT t.event_type AS key, CAST(t.day AS VARCHAR) AS day,
-                 ROUND(t.spend, 6) AS value, ROUND(t.trend, 6) AS trend,
-                 ROUND(se.seasonal, 6) AS seasonal,
-                 ROUND(t.spend - t.trend - se.seasonal, 6) AS residual
-          FROM t LEFT JOIN se
-            ON t.event_type = se.event_type AND t.phase = se.phase""",
+      s"""WITH $DECOMP_CTES
+          SELECT key, day, value, trend, seasonal, residual FROM o""",
+
+    "q326_seasonal_strength" ->
+      s"""WITH $DECOMP_CTES,
+          r AS (SELECT key, CAST(residual AS DECIMAL(25,6)) AS r,
+                       CAST(seasonal + residual AS DECIMAL(25,6)) AS sr
+                FROM o WHERE residual IS NOT NULL)
+          SELECT key, count(*) AS n,
+            ROUND(greatest(0.0, 1.0 -
+              ((CAST(sum(r * r) AS DOUBLE) -
+                CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE) / count(*)) /
+               (CAST(sum(sr * sr) AS DOUBLE) -
+                CAST(sum(sr) AS DOUBLE) * CAST(sum(sr) AS DOUBLE) / count(*)))),
+              6) AS seasonal_strength
+          FROM r GROUP BY key""",
 
     "q193_frequent_itemsets" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bid, p_brand AS item
