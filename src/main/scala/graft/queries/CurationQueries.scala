@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.operators.Curation
 import graft.functions.TextAnalysis
@@ -288,6 +289,59 @@ object CurationQueries {
         col("n_dropped").cast("bigint").as("n_dropped"))
     }),
 
+    // multinomial Naive Bayes SOURCE classifier fully inside the hash
+    // gate: train per-(class, token) add-one-smoothed counts on the
+    // 80% hash split, score every test doc as prior + Σ log p(tok|c)
+    // with 1e-9-quantized terms folded in exact decimal (order-
+    // invariant), argmax by (score desc, class asc). A trained model
+    // whose inference is SQL-replayable end-to-end — counts in, logs
+    // out, no iterative fit. Token-less docs produce no score rows
+    // (both engines drop them identically).
+    "q328_nb_classify" -> ((s, d) => {
+      val sp = Curation.hashSplit(Tables.documents(s, d), col("doc_id"),
+        Seq("train" -> 0.8, "test" -> 0.2))
+      val tok = sp.select(col("doc_id"), col("source"), col("split"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+      val counts = tok.where(col("split") === "train")
+        .groupBy(col("source").as("cls"), col("w"))
+        .agg(count(lit(1)).as("n_ct"))
+        .persist()
+      val classTot = counts.groupBy(col("cls")).agg(sum(col("n_ct")).as("t_c"))
+      val vocabN = counts.select(col("w")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val docsTrain = sp.where(col("split") === "train")
+        .groupBy(col("source").as("cls")).agg(count(lit(1)).as("d_c"))
+      val dTot = docsTrain.agg(sum(col("d_c")).as("d_all"))
+      val classes = classTot.join(docsTrain, Seq("cls"))
+        .crossJoin(broadcast(vocabN)).crossJoin(broadcast(dTot))
+      val testTok = tok.where(col("split") === "test")
+        .select(col("doc_id"), col("w"))
+      val terms = testTok.crossJoin(broadcast(classes))
+        .join(counts, Seq("cls", "w"), "left")
+        .select(col("doc_id"), col("cls"),
+          round(log((coalesce(col("n_ct"), lit(0L)) + 1).cast("double") /
+            (col("t_c") + col("v")).cast("double")), 9)
+            .cast("decimal(38,9)").as("term"))
+      val scores = terms.groupBy(col("doc_id"), col("cls"))
+        .agg(sum(col("term")).as("tsum"))
+        .join(broadcast(classes.select(col("cls"),
+          log(col("d_c").cast("double") / col("d_all").cast("double"))
+            .as("prior"))), Seq("cls"))
+        .select(col("doc_id"), col("cls"),
+          (col("prior") + col("tsum").cast("double")).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cls"))
+      scores.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), col("source").as("true_source")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("cls").as("pred_source"),
+          col("true_source"), round(col("score"), 6).as("log_score"),
+          when(col("cls") === col("true_source"), 1).otherwise(0)
+            .as("correct"))
+    }),
+
     // per-source quality-percentile filter: each source keeps docs at or
     // above its OWN 25th-percentile mean-word-length — the quota-style
     // curation cut that survives heterogeneous sources (a global
@@ -358,6 +412,51 @@ object CurationQueries {
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q328_nb_classify" ->
+      s"""WITH sp AS (SELECT doc_id, source, text,
+                   CASE WHEN ${H60("'split:' || CAST(doc_id AS VARCHAR)")}
+                          % 1000000 < 800000
+                        THEN 'train' ELSE 'test' END AS split
+                 FROM documents),
+          tok AS (SELECT doc_id, source, split, w FROM (
+                    SELECT doc_id, source, split,
+                      unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                        AS w
+                    FROM sp) WHERE w <> ''),
+          counts AS (SELECT source AS cls, w, count(*) AS n_ct
+                     FROM tok WHERE split = 'train' GROUP BY 1, 2),
+          ct AS (SELECT cls, CAST(sum(n_ct) AS BIGINT) AS t_c
+                 FROM counts GROUP BY cls),
+          vn AS (SELECT count(DISTINCT w) AS v FROM counts),
+          dc AS (SELECT source AS cls, count(*) AS d_c
+                 FROM sp WHERE split = 'train' GROUP BY 1),
+          da AS (SELECT CAST(sum(d_c) AS BIGINT) AS d_all FROM dc),
+          cls AS (SELECT ct.cls, t_c, d_c, v, d_all
+                  FROM ct JOIN dc USING (cls) CROSS JOIN vn CROSS JOIN da),
+          tt AS (SELECT doc_id, w FROM tok WHERE split = 'test'),
+          st AS (SELECT doc_id, cls.cls,
+                   CAST(round(ln(CAST(coalesce(n_ct, 0) + 1 AS DOUBLE) /
+                     CAST(t_c + v AS DOUBLE)), 9) AS DECIMAL(38,9)) AS term
+                 FROM tt CROSS JOIN cls
+                   LEFT JOIN counts ON counts.cls = cls.cls
+                                   AND counts.w = tt.w),
+          ds AS (SELECT doc_id, st.cls, sum(term) AS tsum
+                 FROM st GROUP BY 1, 2),
+          pri AS (SELECT cls, ln(CAST(d_c AS DOUBLE) / CAST(d_all AS DOUBLE))
+                    AS prior
+                  FROM cls),
+          sc AS (SELECT doc_id, ds.cls,
+                   prior + CAST(tsum AS DOUBLE) AS score
+                 FROM ds JOIN pri ON pri.cls = ds.cls),
+          pk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cls) AS rk
+                 FROM sc)
+          SELECT pk.doc_id, pk.cls AS pred_source, d.source AS true_source,
+                 ROUND(score, 6) AS log_score,
+                 CASE WHEN pk.cls = d.source THEN 1 ELSE 0 END AS correct
+          FROM pk JOIN documents d ON d.doc_id = pk.doc_id
+          WHERE rk = 1""",
+
     "q316_quality_percentile_filter" ->
       """WITH base AS (
            SELECT doc_id, source,

@@ -53,6 +53,30 @@ object SimilarityQueries {
           round(sqrt(col("dd").cast("double") / 1e12), 6).as("euclidean"))
     }),
 
+    // k-NN CLASSIFIER under the hash gate: 10-nearest-by-cosine
+    // majority label (ties to the smaller label) for every 29th vector
+    // — a whole trained-model inference that IS SQL-replayable, unlike
+    // the iterative fits on the rows-only list
+    "q327_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val topk = Similarity.bruteForceTopK(e,
+        e.where(col("vec_id") % 29 === 0), K)
+      val lab = e.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("int").as("nl"))
+      val votes = topk.join(broadcast(lab), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("votes"))
+      val pred = votes.groupBy(col("query_id"))
+        .agg(min_by(col("nl"), (-col("votes")) * 100 + col("nl"))
+          .as("pred_label"),
+          max(col("votes")).as("top_votes"))
+      pred.join(broadcast(e.select(col("vec_id").as("query_id"),
+          col("label").cast("int").as("true_label"))), Seq("query_id"))
+        .select(col("query_id"), col("pred_label"), col("true_label"),
+          col("top_votes"),
+          when(col("pred_label") === col("true_label"), 1).otherwise(0)
+            .as("correct"))
+    }),
+
     // symmetric int8 quantization of the embedding store: per-vector
     // scale + exact code-summary fingerprint (sum/min/max/max-error)
     "q261_embedding_quantize" -> ((s, d) => {
@@ -240,6 +264,35 @@ object SimilarityQueries {
               list_transform(emb, (v, i) -> abs(v - qs[i] * scale)), 'max'),
               9) AS max_abs_err
           FROM q""",
+
+    "q327_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          q AS (SELECT * FROM e WHERE vec_id % 29 = 0),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosSql("q.emb", "c.emb")} AS cos
+            FROM e c CROSS JOIN q
+            WHERE q.vec_id <> c.vec_id),
+          ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored),
+          tk AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $K),
+          votes AS (SELECT query_id, CAST(l.label AS INT) AS nl,
+                           count(*) AS votes
+                    FROM tk JOIN embeddings l ON l.vec_id = tk.neighbor_id
+                    GROUP BY 1, 2),
+          pred AS (SELECT query_id,
+                     min_by(nl, -votes * 100 + nl) AS pred_label,
+                     CAST(max(votes) AS BIGINT) AS top_votes
+                   FROM votes GROUP BY query_id)
+          SELECT p.query_id, p.pred_label, CAST(t.label AS INT) AS true_label,
+                 p.top_votes,
+                 CASE WHEN p.pred_label = CAST(t.label AS INT) THEN 1 ELSE 0
+                   END AS correct
+          FROM pred p JOIN embeddings t ON t.vec_id = p.query_id""",
 
     "q26_sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

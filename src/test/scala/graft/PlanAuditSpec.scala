@@ -179,7 +179,11 @@ class PlanAuditSpec extends SparkSpec {
     // q322: the reach window runs over the weeks domain
     "q322_cumulative_reach",
     // q323: the leakage readout crosses two 1-row count frames
-    "q323_split_leakage")
+    "q323_split_leakage",
+    // q328: the vocab-size / doc-total scalars are 1-row frames crossed
+    // into the 5-row class-stats table, which broadcasts over the
+    // per-token scoring join
+    "q328_nb_classify")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
