@@ -194,7 +194,9 @@ class PlanAuditSpec extends SparkSpec {
     // q149/q155 evaluate the SRP list against the brute-force truth, so
     // they inherit q26's broadcast-query-set scan
     // q268 inherits the same broadcast-query-set scan as q149/q155
-    "q149_ann_ndcg", "q155_ann_recall", "q268_ann_mrr")
+    "q149_ann_ndcg", "q155_ann_recall", "q268_ann_mrr",
+    // q327 inherits q26's broadcast-query-set brute scan
+    "q327_knn_classify")
 
   // Queries where a CartesianProduct is the algorithm, not an accident:
   // ALS recommendForAllUsers scores ALL user x item pairs by design —
