@@ -120,6 +120,78 @@ object StatsQueries {
         count(lit(1)).over(w).as("n7"))
     }),
 
+    // process-conformance check (process-mining style): per user, the
+    // time-ordered transition stream is validated against the allowed
+    // transition set (broadcast); emits conforming/violating transition
+    // counts — one per-user window pass + a 25-row broadcast lookup
+    "q329_process_conformance" -> ((s, d) => {
+      // allowed process: signup starts things; view->click->purchase
+      // funnels; error only follows click/purchase; self-loops allowed
+      val allowed = Seq(
+        "signup" -> "view", "signup" -> "signup",
+        "view" -> "view", "view" -> "click",
+        "click" -> "click", "click" -> "purchase", "click" -> "error",
+        "purchase" -> "purchase", "purchase" -> "error",
+        "purchase" -> "view", "error" -> "view")
+      val s2 = s; import s2.implicits._
+      val allowedDf = allowed.toDF("prev", "curr").withColumn("ok", lit(1))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("curr"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+        .join(broadcast(allowedDf), Seq("prev", "curr"), "left")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(coalesce(col("ok"), lit(0))).cast("long").as("n_conforming"))
+        .withColumn("n_violations",
+          col("n_transitions") - col("n_conforming"))
+        .withColumn("conformance",
+          round(col("n_conforming").cast("double") / col("n_transitions"), 6))
+    }),
+
+    // event study: each converting user's mean event value in the 7
+    // days BEFORE vs AFTER their first purchase — the per-entity
+    // pre/post readout behind any promo/treatment-effect analysis;
+    // decimal folds keep the per-user means exact
+    "q330_event_study" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val conv = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+      val sec = col("ts").cast("long") - col("cts").cast("long")
+      ev.join(conv, Seq("user_id"))
+        .select(col("user_id"), money(col("value")).as("v"), sec.as("dt"))
+        .where(col("dt") >= -7L * 86400L && col("dt") <= 7L * 86400L &&
+          col("dt") =!= 0L)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("dt") < 0, col("v"))).as("pre_sum"),
+          count(when(col("dt") < 0, lit(1))).as("n_pre"),
+          sum(when(col("dt") > 0, col("v"))).as("post_sum"),
+          count(when(col("dt") > 0, lit(1))).as("n_post"))
+        .select(col("user_id"), col("n_pre"), col("n_post"),
+          round(col("pre_sum").cast("double") / col("n_pre"), 6)
+            .as("pre_mean"),
+          round(col("post_sum").cast("double") / col("n_post"), 6)
+            .as("post_mean"))
+    }),
+
+    // per-cluster summarization of the q305 grid-DBSCAN output:
+    // point-weighted cell centroid + extent per cluster
+    "q331_cluster_summarize" -> ((s, d) => {
+      Geo.gridDbscan(customerPoints(s, d), col("lat"), col("lon"),
+          cellDeg = 0.5, minPts = 12L)
+        .where(col("cluster").isNotNull)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n_points")).as("n_points"),
+          round(sum(col("cy") * col("n_points")).cast("double") /
+            sum(col("n_points")).cast("double"), 6).as("centroid_cy"),
+          round(sum(col("cx") * col("n_points")).cast("double") /
+            sum(col("n_points")).cast("double"), 6).as("centroid_cx"),
+          (max(col("cy")) - min(col("cy")) + 1).as("extent_y"),
+          (max(col("cx")) - min(col("cx")) + 1).as("extent_x"))
+    }),
+
     // gaps-and-islands: per-user consecutive-day activity streaks via
     // the day-minus-row_number anchor (one window + one agg, no joins)
     "q303_streaks" -> ((s, d) => {
@@ -486,6 +558,31 @@ object StatsQueries {
     })
   )
 
+  /** Shared grid-DBSCAN CTE chain (q305 + the q331 summarizer):
+    * synthetic points -> cell counts -> core cells -> 8-neighborhood
+    * reachability -> min-cell-id cluster labels. */
+  private val DBSCAN_CTES =
+    """pts AS (
+        SELECT CAST(CAST(('0x' || substr(md5('glat:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000000 AS DOUBLE) / 1000000.0 * 5.0 + 40.0 AS lat,
+               CAST(CAST(('0x' || substr(md5('glon:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000000 AS DOUBLE) / 1000000.0 * 5.0 AS lon
+        FROM customer),
+      cells AS (SELECT CAST(floor(lat / 0.5) AS BIGINT) AS cy,
+                       CAST(floor(lon / 0.5) AS BIGINT) AS cx,
+                       count(*) AS n_points
+                FROM pts GROUP BY 1, 2),
+      cc AS (SELECT cy, cx, n_points, cy * 100000 + cx AS cell FROM cells),
+      core AS (SELECT * FROM cc WHERE n_points >= 12),
+      e AS (SELECT a.cell AS src, b.cell AS dst
+            FROM core a JOIN core b
+              ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+             AND a.cell <> b.cell),
+      reach AS (SELECT cell AS n, cell AS m FROM core
+                UNION
+                SELECT r.n, e.dst FROM reach r JOIN e ON e.src = r.m),
+      comp AS (SELECT n AS cell, min(m) AS cluster FROM reach GROUP BY n)"""
+
   private val oracles2: Map[String, String] = Map(
     "q307_rolling_median" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -530,29 +627,63 @@ object StatsQueries {
          FROM spine LEFT JOIN daily ON spine.k = daily.k AND spine.d = daily.d""",
 
     "q305_grid_dbscan" ->
-      """WITH RECURSIVE
-          pts AS (
-            SELECT CAST(CAST(('0x' || substr(md5('glat:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
-                        % 1000000 AS DOUBLE) / 1000000.0 * 5.0 + 40.0 AS lat,
-                   CAST(CAST(('0x' || substr(md5('glon:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
-                        % 1000000 AS DOUBLE) / 1000000.0 * 5.0 AS lon
-            FROM customer),
-          cells AS (SELECT CAST(floor(lat / 0.5) AS BIGINT) AS cy,
-                           CAST(floor(lon / 0.5) AS BIGINT) AS cx,
-                           count(*) AS n_points
-                    FROM pts GROUP BY 1, 2),
-          cc AS (SELECT cy, cx, n_points, cy * 100000 + cx AS cell FROM cells),
-          core AS (SELECT * FROM cc WHERE n_points >= 12),
-          e AS (SELECT a.cell AS src, b.cell AS dst
-                FROM core a JOIN core b
-                  ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
-                 AND a.cell <> b.cell),
-          reach AS (SELECT cell AS n, cell AS m FROM core
-                    UNION
-                    SELECT r.n, e.dst FROM reach r JOIN e ON e.src = r.m),
-          comp AS (SELECT n AS cell, min(m) AS cluster FROM reach GROUP BY n)
+      s"""WITH RECURSIVE $DBSCAN_CTES
          SELECT cc.cy, cc.cx, cc.n_points, comp.cluster
          FROM cc LEFT JOIN comp ON cc.cell = comp.cell""",
+
+    "q331_cluster_summarize" ->
+      s"""WITH RECURSIVE $DBSCAN_CTES,
+          lab AS (SELECT cc.cy, cc.cx, cc.n_points, comp.cluster
+                  FROM cc JOIN comp ON cc.cell = comp.cell)
+         SELECT cluster, count(*) AS n_cells,
+                CAST(sum(n_points) AS BIGINT) AS n_points,
+                ROUND(CAST(sum(cy * n_points) AS DOUBLE) /
+                      CAST(sum(n_points) AS DOUBLE), 6) AS centroid_cy,
+                ROUND(CAST(sum(cx * n_points) AS DOUBLE) /
+                      CAST(sum(n_points) AS DOUBLE), 6) AS centroid_cx,
+                max(cy) - min(cy) + 1 AS extent_y,
+                max(cx) - min(cx) + 1 AS extent_x
+         FROM lab GROUP BY cluster""",
+
+    "q329_process_conformance" ->
+      """WITH t AS (SELECT user_id, event_type AS curr,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev
+                    FROM events),
+          f AS (SELECT * FROM t WHERE prev IS NOT NULL),
+          al AS (SELECT prev, curr, 1 AS ok FROM (VALUES
+                   ('signup', 'view'), ('signup', 'signup'),
+                   ('view', 'view'), ('view', 'click'),
+                   ('click', 'click'), ('click', 'purchase'),
+                   ('click', 'error'),
+                   ('purchase', 'purchase'), ('purchase', 'error'),
+                   ('purchase', 'view'), ('error', 'view')) v(prev, curr))
+         SELECT user_id, count(*) AS n_transitions,
+                CAST(sum(coalesce(ok, 0)) AS BIGINT) AS n_conforming,
+                count(*) - CAST(sum(coalesce(ok, 0)) AS BIGINT)
+                  AS n_violations,
+                ROUND(CAST(sum(coalesce(ok, 0)) AS DOUBLE) / count(*), 6)
+                  AS conformance
+         FROM f LEFT JOIN al USING (prev, curr)
+         GROUP BY user_id""",
+
+    "q330_event_study" ->
+      """WITH conv AS (SELECT user_id, min(ts) AS cts FROM events
+                       WHERE event_type = 'purchase' GROUP BY user_id),
+          j AS (SELECT e.user_id, CAST(e.value AS DECIMAL(18,2)) AS v,
+                  CAST(floor(epoch(e.ts)) AS BIGINT) -
+                    CAST(floor(epoch(cts)) AS BIGINT) AS dt
+                FROM events e JOIN conv ON e.user_id = conv.user_id),
+          f AS (SELECT * FROM j
+                WHERE dt >= -604800 AND dt <= 604800 AND dt <> 0)
+         SELECT user_id,
+           count(CASE WHEN dt < 0 THEN 1 END) AS n_pre,
+           count(CASE WHEN dt > 0 THEN 1 END) AS n_post,
+           ROUND(CAST(sum(CASE WHEN dt < 0 THEN v END) AS DOUBLE) /
+                 count(CASE WHEN dt < 0 THEN 1 END), 6) AS pre_mean,
+           ROUND(CAST(sum(CASE WHEN dt > 0 THEN v END) AS DOUBLE) /
+                 count(CASE WHEN dt > 0 THEN 1 END), 6) AS post_mean
+         FROM f GROUP BY user_id""",
 
     "q300_brown_forsythe" ->
       """WITH base AS (SELECT event_type AS gk, CAST(value AS DOUBLE) AS v
