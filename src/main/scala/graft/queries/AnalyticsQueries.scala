@@ -292,6 +292,35 @@ object AnalyticsQueries {
     // streaming Markov-transition extraction: per-user consecutive
     // event pairs via one-tuple-per-key state, aggregated to the same
     // transition matrix the batch q218 produces (same oracle)
+    // STREAMING process conformance: transitions extracted by the
+    // stateful per-key stream (q239's flatMapGroupsWithState extractor,
+    // cross-batch stitching included), validated against the broadcast
+    // allowed-transition set — the live variant of q329's audit; the
+    // oracle replays it batch-side because the finite source stitches
+    // to the identical transition multiset
+    "q332_stream_conformance" -> ((s, d) => {
+      import graft.streaming.Streaming
+      val t = Streaming.transitionStream(s, Streaming.eventStream(s, d))
+      val rows = Streaming.runToCompletion(s, t.toDF(), "q332_conf",
+        outputMode = "append", shufflePartitions = Some(8))
+      val allowed = Seq(
+        "signup" -> "view", "signup" -> "signup",
+        "view" -> "view", "view" -> "click",
+        "click" -> "click", "click" -> "purchase", "click" -> "error",
+        "purchase" -> "purchase", "purchase" -> "error",
+        "purchase" -> "view", "error" -> "view")
+      val s2 = s; import s2.implicits._
+      val allowedDf = allowed.toDF("cur", "nxt").withColumn("ok", lit(1))
+      rows.join(broadcast(allowedDf), Seq("cur", "nxt"), "left")
+        .groupBy(col("userId").as("user_id"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(coalesce(col("ok"), lit(0))).cast("long").as("n_conforming"))
+        .withColumn("n_violations",
+          col("n_transitions") - col("n_conforming"))
+        .withColumn("conformance",
+          round(col("n_conforming").cast("double") / col("n_transitions"), 6))
+    }),
+
     "q239_stream_markov" -> ((s, d) => {
       import graft.streaming.Streaming
       val t = Streaming.transitionStream(s, Streaming.eventStream(s, d))
@@ -480,6 +509,30 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical to q329's batch replay: the finite stream stitches to
+    // the same per-user transition multiset as a batch lag
+    "q332_stream_conformance" ->
+      """WITH t AS (SELECT user_id, event_type AS curr,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev
+                    FROM events),
+          f AS (SELECT * FROM t WHERE prev IS NOT NULL),
+          al AS (SELECT prev, curr, 1 AS ok FROM (VALUES
+                   ('signup', 'view'), ('signup', 'signup'),
+                   ('view', 'view'), ('view', 'click'),
+                   ('click', 'click'), ('click', 'purchase'),
+                   ('click', 'error'),
+                   ('purchase', 'purchase'), ('purchase', 'error'),
+                   ('purchase', 'view'), ('error', 'view')) v(prev, curr))
+         SELECT user_id, count(*) AS n_transitions,
+                CAST(sum(coalesce(ok, 0)) AS BIGINT) AS n_conforming,
+                count(*) - CAST(sum(coalesce(ok, 0)) AS BIGINT)
+                  AS n_violations,
+                ROUND(CAST(sum(coalesce(ok, 0)) AS DOUBLE) / count(*), 6)
+                  AS conformance
+         FROM f LEFT JOIN al USING (prev, curr)
+         GROUP BY user_id""",
+
     "q322_cumulative_reach" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS wk
                     FROM events GROUP BY user_id),
