@@ -605,4 +605,65 @@ object Graph {
     e.unpersist(blocking = false)
     known
   }
+
+  /** Time-respecting reachability with min-date dominance: starting from
+    * `seeds` (node, date), a dated edge (src, dst, d) propagates exposure
+    * to dst with new exposure date d whenever d is strictly AFTER the
+    * current exposure date of src. Returns each reached node's minimum
+    * achievable exposure date over all time-increasing paths of at most
+    * `maxHops` edges — the contagion / provenance-tracking primitive
+    * (which records could this upstream record have influenced, and
+    * when at the earliest?).
+    *
+    * Correctness of the min-date state: an earlier exposure date strictly
+    * enlarges the set of usable outgoing edges and the propagated date is
+    * the edge's own date (independent of the incoming date), so the
+    * minimal date per node DOMINATES all other states at that node — a
+    * label-correcting frontier over (node, minDate) explores every
+    * optimal path the full (node, date) state graph has. The oracle
+    * enumerates the full state space in a recursive CTE and takes the
+    * same min, giving a differential check of the dominance argument.
+    *
+    * Scale: per hop ONE equi-join frontier⋈edges (edges persisted and
+    * pre-partitioned on src) + ONE min-groupBy + an anti-style improve
+    * check against the known set; frontier carries only improved nodes,
+    * so rounds shrink. Lineage is cut per round via localCheckpoint.
+    */
+  def temporalReachMinDate(edges: DataFrame, src: Column, dst: Column,
+                           date: Column, seeds: DataFrame, seedKey: Column,
+                           seedDate: Column, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(src.as("src"), dst.as("dst"), date.as("d")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var known = seeds
+      .groupBy(seedKey.as("node")).agg(min(seedDate).as("exp_d"))
+      .localCheckpoint(false)
+    var frontierN = known.count()
+    var knownCp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(known)
+    var frontier = known
+    var h = 1
+    while (h <= maxHops && frontierN > 0) {
+      val cand = frontier.join(e, col("node") === col("src") &&
+          col("d") > col("exp_d"))
+        .groupBy(col("dst").as("node")).agg(min(col("d")).as("new_d"))
+      val improved = cand.join(known, Seq("node"), "left")
+        .where(col("exp_d").isNull || col("new_d") < col("exp_d"))
+        .select(col("node"), col("new_d").as("exp_d"))
+        .localCheckpoint(false)
+      frontierN = improved.count()
+      val merged = known.join(improved.select(col("node"),
+            col("exp_d").as("imp_d")), Seq("node"), "full")
+        .select(col("node"), least(col("exp_d"), col("imp_d")).as("exp_d"))
+        .localCheckpoint(false)
+      merged.count()
+      knownCp.foreach(_.unpersist(blocking = false))
+      knownCp = checkpointedRdd(merged)
+      known = merged
+      frontier = improved
+      h += 1
+    }
+    e.unpersist(blocking = false)
+    known
+  }
 }

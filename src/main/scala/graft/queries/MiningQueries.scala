@@ -18,6 +18,30 @@ object MiningQueries {
   private def money(c: Column): Column = c.cast("decimal(18,2)")
 
   val queries: Map[String, Q] = Map(
+    // sequential pattern mining (PrefixSpan, ml.fpm): frequent event-type
+    // subsequences of length <= 3 over per-(user, week) event sequences,
+    // minSupport 0.5. The distributed fit is Spark's parallel PrefixSpan
+    // (prefix-projected databases sharded across executors — the
+    // sequence-dimension sibling of q193's parallel FP-growth). The
+    // oracle replays support counts exactly via the min/max-position
+    // dominance identities: t1<t2 in a sequence iff min_pos(t1) <
+    // max_pos(t2), and t1<t2<t3 iff some occurrence p of t2 has
+    // min_pos(t1) < p < max_pos(t3) — no positional self-join blowup.
+    "q336_prefixspan" -> ((s, d) => {
+      val seqs = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => array(x.getField("event_type"))).as("sequence"))
+      new org.apache.spark.ml.fpm.PrefixSpan()
+        .setMinSupport(0.5).setMaxPatternLength(3)
+        .setSequenceCol("sequence")
+        .findFrequentSequentialPatterns(seqs.select(col("sequence")))
+        .select(array_join(flatten(col("sequence")), ">").as("pattern"),
+          col("freq"))
+    }),
+
     // per-user EWMA level of event values (alpha=0.3), folded in
     // (ts, event_id) order — sequential per series, parallel across
     "q191_ewma_level" -> ((s, d) => {
@@ -123,6 +147,36 @@ object MiningQueries {
                ON t.event_type = se.event_type AND t.phase = se.phase)"""
 
   val oracles: Map[String, String] = Map(
+    "q336_prefixspan" ->
+      """WITH pos AS (
+           SELECT user_id, date_trunc('week', ts) AS wk, event_type AS t,
+                  row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                                     ORDER BY ts, event_id) AS p
+           FROM events),
+          nu AS (SELECT count(*) AS n
+                 FROM (SELECT DISTINCT user_id, wk FROM pos)),
+          mm AS (SELECT user_id, wk, t, min(p) AS mn, max(p) AS mx
+                 FROM pos GROUP BY 1, 2, 3),
+          p1 AS (SELECT t AS pattern, count(*) AS freq FROM mm GROUP BY t),
+          p2 AS (SELECT a.t || '>' || b.t AS pattern, count(*) AS freq
+                 FROM mm a JOIN mm b
+                   ON a.user_id = b.user_id AND a.wk = b.wk AND a.mn < b.mx
+                 GROUP BY 1),
+          trip AS (SELECT DISTINCT c.user_id, c.wk, m1.t AS t1, c.t AS t2,
+                          m3.t AS t3
+                   FROM pos c
+                   JOIN mm m1 ON m1.user_id = c.user_id AND m1.wk = c.wk
+                             AND m1.mn < c.p
+                   JOIN mm m3 ON m3.user_id = c.user_id AND m3.wk = c.wk
+                             AND m3.mx > c.p),
+          p3 AS (SELECT t1 || '>' || t2 || '>' || t3 AS pattern,
+                        count(*) AS freq
+                 FROM trip GROUP BY 1),
+          u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                UNION ALL SELECT * FROM p3)
+         SELECT pattern, CAST(freq AS BIGINT) AS freq
+         FROM u, nu WHERE freq >= CAST(ceil(0.5 * n) AS BIGINT)""",
+
     "q191_ewma_level" ->
       """SELECT user_id AS key, count(*) AS n,
                 ROUND(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),

@@ -194,6 +194,31 @@ object OlapQueries {
     // graph — frontier expansion, each edge traversed once; the oracle
     // replays it as a WITH RECURSIVE over (node, dist) states, dedup'd
     // by UNION so cycles can't blow up the recursion
+    // time-respecting reachability (contagion/provenance tracking):
+    // suppliers seeded as "exposed" on 1996-01-01; a dated trade edge
+    // (shipdate) propagates exposure only when it occurs strictly AFTER
+    // the current exposure date, over at most 3 hops. The operator keeps
+    // one (node -> min exposure date) state per node — min-date
+    // dominance, see Graph.temporalReachMinDate — while the oracle
+    // enumerates the FULL (node, date, hop) state space in a recursive
+    // CTE and takes the same min: a differential proof of the dominance.
+    "q334_temporal_reach" -> ((s, d) => {
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey") + 1000000L).cast("long").as("p"),
+          col("l_shipdate").cast("date").as("dt"))
+      val edges = trade.select(col("c").as("src"), col("p").as("dst"), col("dt"))
+        .unionByName(trade.select(col("p").as("src"), col("c").as("dst"), col("dt")))
+      val seeds = Tables.supplier(s, d).where(col("s_suppkey") % 37 === 0)
+        .select((col("s_suppkey") + 1000000L).cast("long").as("node"),
+          lit("1996-01-01").cast("date").as("d0"))
+      graft.operators.Graph.temporalReachMinDate(edges, col("src"), col("dst"),
+          col("dt"), seeds, col("node"), col("d0"), maxHops = 3)
+        .select(col("node"), col("exp_d").cast("string").as("exposed_on"))
+    }),
+
     "q282_bfs_khop" -> ((s, d) => {
       val trade = broadcast(Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey")))
@@ -510,6 +535,25 @@ object OlapQueries {
            WHERE p.p_partkey // 7 <> p.p_partkey
          )
          SELECT key, root_key, depth FROM r""",
+
+    "q334_temporal_reach" ->
+      """WITH RECURSIVE
+          t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p,
+                       CAST(l_shipdate AS DATE) AS dt
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, p AS dst, dt FROM t
+                UNION SELECT p AS src, c AS dst, dt FROM t),
+          st AS (
+            SELECT CAST(s_suppkey + 1000000 AS BIGINT) AS node,
+                   DATE '1996-01-01' AS d, 0 AS hop
+            FROM supplier WHERE s_suppkey % 37 = 0
+            UNION
+            SELECT e.dst, e.dt, st.hop + 1
+            FROM st JOIN e ON e.src = st.node
+            WHERE e.dt > st.d AND st.hop < 3
+          )
+         SELECT node, CAST(min(d) AS VARCHAR) AS exposed_on
+         FROM st GROUP BY node""",
 
     "q282_bfs_khop" ->
       """WITH RECURSIVE

@@ -22,6 +22,37 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // revenue recognition proration: each line's net revenue is spread
+    // across the calendar months between order and ship month with
+    // largest-remainder integer apportionment (base = cents div n,
+    // the first cents%n months get +1) — allocations are exact longs,
+    // sum(alloc) == cents per line by construction, so the fold is
+    // shuffle-order-proof with no decimal division anywhere. The month
+    // spine is a per-row sequence() explode (bounded by the order->ship
+    // span, ~months), never a calendar cross join.
+    "q335_revenue_proration" -> ((s, d) => {
+      val li = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("cents"),
+          trunc(least(col("o_orderdate"), col("l_shipdate")).cast("date"),
+            "month").as("m0"),
+          trunc(greatest(col("o_orderdate"), col("l_shipdate")).cast("date"),
+            "month").as("m1"))
+        .withColumn("n", months_between(col("m1"), col("m0")).cast("long") + 1L)
+      li.select(col("cents"), col("n"),
+          posexplode(sequence(col("m0"), col("m1"), expr("interval 1 month"))))
+        .select(col("cents"), col("n"), col("pos").as("idx"),
+          col("col").cast("string").as("month"))
+        .groupBy(col("month"))
+        .agg(sum(expr("cents div n") +
+            when(col("idx") < col("cents") % col("n"), 1L).otherwise(0L))
+          .as("recognized_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // ---- §2.1/§2.2 scan + projection + row filter -----------------------
     "q01_scan_filter_project" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -285,6 +316,28 @@ object RelationalQueries {
   private val MONEY_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracles: Map[String, String] = Map(
+    "q335_revenue_proration" ->
+      """WITH li AS (
+           SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS cents,
+                  CAST(date_trunc('month', least(o_orderdate, l_shipdate))
+                    AS DATE) AS m0,
+                  CAST(date_trunc('month', greatest(o_orderdate, l_shipdate))
+                    AS DATE) AS m1
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          x AS (
+           SELECT cents, datediff('month', m0, m1) + 1 AS n,
+                  CAST(gs AS DATE) AS month,
+                  datediff('month', m0, CAST(gs AS DATE)) AS idx
+           FROM li, unnest(generate_series(CAST(m0 AS TIMESTAMP),
+                  CAST(m1 AS TIMESTAMP), INTERVAL 1 MONTH)) t(gs))
+         SELECT CAST(month AS VARCHAR) AS month,
+                CAST(sum(cents // n +
+                  CASE WHEN idx < cents % n THEN 1 ELSE 0 END) AS BIGINT)
+                  AS recognized_cents,
+                count(*) AS n_lines
+         FROM x GROUP BY month""",
+
     "q01_scan_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, CAST($MONEY_REV AS DOUBLE) AS revenue
          FROM lineitem WHERE l_quantity > 45""",

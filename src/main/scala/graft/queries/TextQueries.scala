@@ -18,6 +18,28 @@ object TextQueries {
   private val sw = englishStopwords.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, Q] = Map(
+    // inverted-index build: the IR-side dual of q135's BM25 scoring —
+    // token -> (document frequency, collection frequency, head of the
+    // sorted posting list). One explode + one two-level agg; the
+    // common-token cutoff (df >= 20% of the corpus) rides a 1-row
+    // broadcast count frame so no collect touches the driver. At 100 TB
+    // the posting HEAD (first 20 ids) is the point: full posting lists
+    // per token are unbounded, a bounded prefix + df/cf is what a
+    // query planner or stop-list builder actually consumes.
+    "q333_inverted_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nd = docs.agg(count(lit(1)).as("__nd"))
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count_distinct(col("doc_id")).as("df"),
+          count(lit(1)).as("cf"),
+          array_join(
+            transform(slice(sort_array(collect_set(col("doc_id"))), 1, 20),
+              x => x.cast("string")), ",").as("posting_head"))
+        .join(broadcast(nd), col("df") * 5 >= col("__nd"))
+        .drop("__nd")
+    }),
+
     // ICU BreakIterator segmentation over a fixed multilingual corpus:
     // CJK/Thai/Korean get dictionary-based word breaks (whitespace
     // splitting would yield one token per clause) and UAX#29 sentence
@@ -257,6 +279,20 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q333_inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(
+                      regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+                    FROM documents),
+          nd AS (SELECT count(*) AS n FROM documents),
+          a AS (SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf,
+                       array_to_string(list_transform(
+                         list_sort(list(DISTINCT doc_id))[:20],
+                         x -> CAST(x AS VARCHAR)), ',') AS posting_head
+                FROM t GROUP BY token)
+         SELECT token, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+                posting_head
+         FROM a, nd WHERE df * 5 >= n""",
+
     "q308_vocab_coverage" ->
       """WITH tok AS (SELECT doc_id, unnest(
                         regexp_split_to_array(lower(trim(text)), '\s+')) AS w

@@ -75,6 +75,10 @@ class PlanAuditSpec extends SparkSpec {
     // total-token scalars are 1-row frames crossJoin-broadcast into the
     // scoring join
     "q135_text_bm25", "q136_bm25_topk",
+    // q333: the df-cutoff corpus-size scalar is a 1-row frame
+    // broadcast-joined (non-equi, so BNLJ) over the token aggregates —
+    // q135's corpus-scalar shape
+    "q333_inverted_index",
     // q139: target-encoding fit — the global-prior scalar is a 1-row
     // frame crossJoin-broadcast over the encoded rows
     "q139_target_encode",
