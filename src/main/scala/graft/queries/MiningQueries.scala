@@ -42,6 +42,78 @@ object MiningQueries {
           col("freq"))
     }),
 
+    // SAX-style symbolic series discretization: each event type's daily
+    // spend series is PAA-compressed into 8 segments (seg = i*8 div n
+    // over the day index) and each segment mean is classified against
+    // the series mean into symbols a/b/c (<0.8x, ~, >1.2x). All
+    // threshold decisions are integer CROSS-MULTIPLICATIONS on exact
+    // cent sums (seg_sum*n_tot*5 vs tot_sum*n_seg*4|6) — no float
+    // division anywhere, so the symbol string is engine- and
+    // shuffle-order-exact. Windows partition per series only.
+    "q337_sax_symbols" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val seg = daily.select(col("event_type"), col("cents"),
+          (row_number().over(w) - 1).as("i"),
+          count(lit(1)).over(Window.partitionBy(col("event_type"))).as("n"))
+        .withColumn("seg", expr("(i * 8) div n"))
+      val segs = seg.groupBy(col("event_type"), col("seg"))
+        .agg(sum(col("cents")).as("seg_cents"), count(lit(1)).as("seg_n"))
+      val tot = seg.groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("tot_cents"), count(lit(1)).as("tot_n"))
+      segs.join(tot, Seq("event_type"))
+        .withColumn("sym",
+          when(col("seg_cents") * col("tot_n") * 5 <
+               col("tot_cents") * col("seg_n") * 4, lit("a"))
+          .when(col("seg_cents") * col("tot_n") * 5 >
+                col("tot_cents") * col("seg_n") * 6, lit("c"))
+          .otherwise(lit("b")))
+        .groupBy(col("event_type"))
+        .agg(max(col("tot_n")).as("n_days"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg"), col("sym")))),
+            x => x.getField("sym")), "").as("sax"))
+    }),
+
+    // Holt linear-trend smoothing (double exponential, alpha=0.3
+    // beta=0.2) of each event type's daily spend: level and trend fold
+    // sequentially per series via the grouped-sort + aggregate() shape
+    // of ewmaLevel, with a STRUCT accumulator (l, b); the oracle unrolls
+    // the same recurrence op-for-op in a recursive CTE over the day
+    // index, so every double operation happens in the same order in
+    // both engines. Emits the final level/trend and a 3-step-ahead
+    // forecast. Sequential per series, parallel across series.
+    "q338_holt_linear" -> ((s, d) => {
+      val a = 0.3; val be = 0.2
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(money(col("value"))).cast("double").as("y"))
+      val seqd = daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day").as("t"),
+          col("y").as("x")))).as("arr"))
+      val folded = aggregate(
+        expr("slice(arr, 2, size(arr) - 1)"),
+        struct(element_at(col("arr"), 1).getField("x").as("l"),
+          lit(0.0).as("b")),
+        (acc, e) => {
+          val lp = lit(a) * e.getField("x") +
+            lit(1.0 - a) * (acc.getField("l") + acc.getField("b"))
+          struct(lp.as("l"),
+            (lit(be) * (lp - acc.getField("l")) +
+             lit(1.0 - be) * acc.getField("b")).as("b"))
+        })
+      seqd.select(col("event_type"), size(col("arr")).as("n"),
+          folded.as("st"))
+        .select(col("event_type"), col("n"),
+          round(col("st").getField("l"), 6).as("level"),
+          round(col("st").getField("b"), 6).as("trend"),
+          round(col("st").getField("l") + lit(3.0) * col("st").getField("b"), 6)
+            .as("forecast3"))
+    }),
+
     // per-user EWMA level of event values (alpha=0.3), folded in
     // (ts, event_id) order — sequential per series, parallel across
     "q191_ewma_level" -> ((s, d) => {
@@ -176,6 +248,61 @@ object MiningQueries {
                 UNION ALL SELECT * FROM p3)
          SELECT pattern, CAST(freq AS BIGINT) AS freq
          FROM u, nu WHERE freq >= CAST(ceil(0.5 * n) AS BIGINT)""",
+
+    "q337_sax_symbols" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1, 2),
+          idx AS (SELECT k, cents,
+                         row_number() OVER (PARTITION BY k ORDER BY day) - 1
+                           AS i,
+                         count(*) OVER (PARTITION BY k) AS n
+                  FROM daily),
+          seg AS (SELECT k, cents, (i * 8) // n AS seg FROM idx),
+          segs AS (SELECT k, seg, sum(cents) AS seg_cents,
+                          count(*) AS seg_n
+                   FROM seg GROUP BY 1, 2),
+          tot AS (SELECT k, sum(cents) AS tot_cents, count(*) AS tot_n
+                  FROM seg GROUP BY 1),
+          sym AS (SELECT s.k, s.seg, t.tot_n,
+                         CASE WHEN s.seg_cents * t.tot_n * 5 <
+                                   t.tot_cents * s.seg_n * 4 THEN 'a'
+                              WHEN s.seg_cents * t.tot_n * 5 >
+                                   t.tot_cents * s.seg_n * 6 THEN 'c'
+                              ELSE 'b' END AS sym
+                  FROM segs s JOIN tot t ON s.k = t.k)
+         SELECT k AS event_type, max(tot_n) AS n_days,
+                string_agg(sym, '' ORDER BY seg) AS sax
+         FROM sym GROUP BY k""",
+
+    "q338_holt_linear" ->
+      """WITH RECURSIVE
+          p AS (SELECT CAST(0.3 AS DOUBLE) AS a, CAST(0.2 AS DOUBLE) AS be),
+          daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                             AS y
+                    FROM events GROUP BY 1, 2),
+          seqd AS (SELECT k, y,
+                          row_number() OVER (PARTITION BY k ORDER BY day)
+                            AS i,
+                          count(*) OVER (PARTITION BY k) AS n
+                   FROM daily),
+          st AS (
+            SELECT k, i, n, y AS l, CAST(0 AS DOUBLE) AS b
+            FROM seqd WHERE i = 1
+            UNION ALL
+            SELECT s.k, s.i, s.n,
+                   p.a * s.y + (1 - p.a) * (st.l + st.b),
+                   p.be * ((p.a * s.y + (1 - p.a) * (st.l + st.b)) - st.l)
+                     + (1 - p.be) * st.b
+            FROM st JOIN seqd s ON s.k = st.k AND s.i = st.i + 1, p
+          )
+         SELECT k AS event_type, CAST(n AS INT) AS n,
+                ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+                ROUND(l + 3.0 * b, 6) AS forecast3
+         FROM st WHERE i = n""",
 
     "q191_ewma_level" ->
       """SELECT user_id AS key, count(*) AS n,

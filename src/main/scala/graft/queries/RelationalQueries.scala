@@ -53,6 +53,48 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // correlated scalar-subquery decorrelation (TPC-H Q17 shape): lines
+    // whose quantity is below half their PART's average quantity, with
+    // per-part small-order revenue. Spark-first the correlation is a
+    // keyed aggregate joined back on the part key — two shuffles on the
+    // same key, no per-row subquery; at 100 TB both sides stay keyed on
+    // l_partkey so AQE can pick sort-merge vs broadcast by stats.
+    "q339_small_order_revenue" -> ((s, d) => {
+      val avgq = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      Tables.lineitem(s, d).join(avgq, Seq("l_partkey"))
+        .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(money(col("l_extendedprice"))).cast("double")
+            .as("small_revenue"))
+    }),
+
+    // EXISTS / NOT-EXISTS chain (TPC-H Q21 shape): per supplier, the
+    // number of multi-supplier orders where THEY were the only late
+    // shipper (>90 days after the order date). Spark-first the
+    // correlated exists-pair collapses into ONE per-order aggregate
+    // (distinct suppliers, distinct late suppliers, the sole late key)
+    // — a single shuffle on the order key instead of two correlated
+    // semi/anti probes; the oracle keeps the classic EXISTS/NOT EXISTS
+    // formulation as the differential.
+    "q340_sole_late_supplier" -> ((s, d) => {
+      val li = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (col("l_shipdate").cast("date") >
+           date_add(col("o_orderdate").cast("date"), 90)).as("late"))
+      li.groupBy(col("ok"))
+        .agg(count_distinct(col("sk")).as("n_supp"),
+          count_distinct(when(col("late"), col("sk"))).as("n_late_supp"),
+          min(when(col("late"), col("sk"))).as("late_supp"))
+        .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .groupBy(col("late_supp").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     // ---- §2.1/§2.2 scan + projection + row filter -----------------------
     "q01_scan_filter_project" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -341,6 +383,35 @@ object RelationalQueries {
     "q01_scan_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, CAST($MONEY_REV AS DOUBLE) AS revenue
          FROM lineitem WHERE l_quantity > 45""",
+
+    "q339_small_order_revenue" ->
+      """WITH avgq AS (
+           SELECT l_partkey,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*) AS avg_qty
+           FROM lineitem GROUP BY l_partkey)
+         SELECT l.l_partkey, count(*) AS n_small,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS small_revenue
+         FROM lineitem l JOIN avgq a ON l.l_partkey = a.l_partkey
+         WHERE l.l_quantity < CAST(0.5 AS DOUBLE) * a.avg_qty
+         GROUP BY l.l_partkey""",
+
+    "q340_sole_late_supplier" ->
+      """WITH l AS (
+           SELECT o_orderkey AS ok, l_suppkey AS sk,
+                  CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+                    AS late
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          cand AS (SELECT DISTINCT ok, sk FROM l WHERE late),
+          w AS (SELECT c.ok, c.sk FROM cand c
+                WHERE EXISTS (SELECT 1 FROM l o
+                              WHERE o.ok = c.ok AND o.sk <> c.sk)
+                  AND NOT EXISTS (SELECT 1 FROM l o
+                                  WHERE o.ok = c.ok AND o.sk <> c.sk
+                                    AND o.late))
+         SELECT sk AS s_suppkey, count(*) AS numwait
+         FROM w GROUP BY sk""",
 
     "q02_row_transforms" ->
       """SELECT l_orderkey, l_linenumber,
