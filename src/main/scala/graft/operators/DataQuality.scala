@@ -1004,6 +1004,44 @@ object DataQuality {
       }: _*)
   }
 
+  /** Exclusive prefix MIN over the value domain — the two-level scheme
+    * of [[cumulativeByValue]] with MIN as the fold: range-partition the
+    * per-value table on `v`, collect the O(#partitions) per-partition
+    * mins, scanLeft the EXCLUSIVE prefix mins (Long.MaxValue sentinel =
+    * "no predecessor"), broadcast them back, and finish with a
+    * per-partition window whose frame STOPS one row short of the
+    * current row. Emits (v, excl_min_<c>…) where excl_min_c =
+    * min{c(v') : v' < v} or Long.MaxValue when none — the primitive
+    * behind skyline/Pareto-frontier pruning without a global sort.
+    * Caller contract: one row per distinct `v`. */
+  private[graft] def cumulativeMinByValue(values: DataFrame,
+                                          aggCols: Seq[String]): DataFrame = {
+    val s = values.sparkSession
+    val parts = values
+      .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perPart = parts.groupBy(col("__pid"))
+      .agg(aggCols.map(c => min(col(c)).as(c)).head,
+        aggCols.map(c => min(col(c)).as(c)).tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        aggCols.map(c => r.getAs[Long](c)).toArray).sortBy(_._1)
+    val offsets = perPart.scanLeft(-1 -> Array.fill(aggCols.length)(Long.MaxValue)) {
+      case ((_, acc), (pid, tot)) => pid -> acc.zip(tot).map { case (a, t) => math.min(a, t) }
+    }.sliding(2).map(pair => (pair(1)._1, pair(0)._2)).toSeq
+    import s.implicits._
+    val offDf = offsets.map { case (pid, acc) => (pid, acc.toSeq) }
+      .toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    parts.join(broadcast(offDf), Seq("__pid"))
+      .select(col("v") +: aggCols.zipWithIndex.map { case (c, i) =>
+        least(coalesce(min(col(c)).over(w), lit(Long.MaxValue)),
+          element_at(col("__off"), i + 1)).as(s"excl_min_$c")
+      }: _*)
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov drift statistic:
     * D = sup_x |F_train(x) - F_score(x)| over the merged value domain —
     * the distribution-free companion to the binned [[psiDrift]] gate

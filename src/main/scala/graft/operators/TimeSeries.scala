@@ -899,6 +899,36 @@ object TimeSeries {
     * engine-independent; the final exp is one libm call absorbed by the
     * 6-decimal gate. Emits (duration, n_at_risk, d_events, n_censored,
     * survival). */
+  /** Nelson-Aalen cumulative hazard H(t) = Σ_{t_i <= t} d_i / n_i — the
+    * additive companion to [[kaplanMeier]]'s product-limit estimator
+    * (H is what hazard-regression diagnostics plot; exp(-H) is the
+    * Breslow survival alternative). Same event-table reduction: one
+    * groupBy to distinct durations, the at-risk counts from one ordered
+    * pass over the bounded duration domain. Each increment d/n is cast
+    * to DECIMAL(18,12) before the cumulative sum so the fold is exact
+    * and engine-independent. Emits (duration, n_at_risk, d_events,
+    * cum_hazard). */
+  def nelsonAalen(df: DataFrame, duration: Column, observed: Column): DataFrame = {
+    val counts = df.where(duration.isNotNull)
+      .groupBy(duration.cast("long").as("t"))
+      .agg(sum(when(observed, 1L).otherwise(0L)).as("d"),
+        sum(when(observed, 0L).otherwise(1L)).as("c"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("left_before",
+        sum(col("d") + col("c")).over(w) - (col("d") + col("c")))
+      .withColumn("total", sum(col("d") + col("c")).over(wAll))
+      .withColumn("n_at_risk", col("total") - col("left_before"))
+      .withColumn("inc", (col("d").cast("double") /
+        col("n_at_risk").cast("double")).cast("decimal(18,12)"))
+      .withColumn("cum_hazard",
+        round(sum(col("inc")).over(w).cast("double"), 6))
+      .select(col("t").as("duration"), col("n_at_risk"),
+        col("d").as("d_events"), col("cum_hazard"))
+  }
+
   def kaplanMeier(df: DataFrame, duration: Column, observed: Column): DataFrame = {
     val counts = df.where(duration.isNotNull)
       .groupBy(duration.cast("long").as("t"))

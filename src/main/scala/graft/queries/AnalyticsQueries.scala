@@ -20,6 +20,41 @@ object AnalyticsQueries {
   private def money(c: Column): Column = c.cast("decimal(18,2)")
 
   val queries: Map[String, Q] = Map(
+    // storage-layout audit: zigzag+varint encoded size of each series'
+    // delta-encoded daily cents — the compression-estimate pass a
+    // columnar layout optimizer (sort-key / encoding chooser) runs
+    // before rewriting files. Per-series lag + exact integer byte-size
+    // CASE chain; one window per series, one agg. raw_bytes assumes
+    // 8-byte plain int64 storage.
+    "q344_varint_size" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val delta = daily
+        .withColumn("delta", col("cents") -
+          coalesce(lag(col("cents"), 1).over(wOrd), lit(0L)))
+        .withColumn("z", when(col("delta") >= 0, col("delta") * 2)
+          .otherwise(-col("delta") * 2 - 1))
+        .withColumn("vb",
+          when(col("z") < 128L, 1L)
+            .when(col("z") < 16384L, 2L)
+            .when(col("z") < 2097152L, 3L)
+            .when(col("z") < 268435456L, 4L)
+            .when(col("z") < 34359738368L, 5L)
+            .when(col("z") < 4398046511104L, 6L)
+            .when(col("z") < 562949953421312L, 7L)
+            .when(col("z") < 72057594037927936L, 8L)
+            .otherwise(9L))
+      delta.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          (count(lit(1)) * 8).as("raw_bytes"),
+          sum(col("vb")).as("varint_bytes"))
+        .withColumn("ratio", round(col("varint_bytes").cast("double") /
+          col("raw_bytes"), 6))
+    }),
+
     // cohort LTV curve: per signup-week cohort, cumulative spend per
     // cohort member through each week offset — three hash aggs + one
     // domain-bounded cumulative window (cohorts x offsets)
@@ -509,6 +544,36 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q344_varint_size" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1, 2),
+          dl AS (SELECT et,
+                        cents - coalesce(lag(cents, 1) OVER
+                          (PARTITION BY et ORDER BY day), 0) AS delta
+                 FROM daily),
+          zz AS (SELECT et, CASE WHEN delta >= 0 THEN delta * 2
+                                 ELSE -delta * 2 - 1 END AS z
+                 FROM dl),
+          vb AS (SELECT et,
+                        CASE WHEN z < 128 THEN 1
+                             WHEN z < 16384 THEN 2
+                             WHEN z < 2097152 THEN 3
+                             WHEN z < 268435456 THEN 4
+                             WHEN z < 34359738368 THEN 5
+                             WHEN z < 4398046511104 THEN 6
+                             WHEN z < 562949953421312 THEN 7
+                             WHEN z < 72057594037927936 THEN 8
+                             ELSE 9 END AS b
+                 FROM zz)
+         SELECT et AS event_type, count(*) AS n_days,
+                CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+                CAST(sum(b) AS BIGINT) AS varint_bytes,
+                ROUND(CAST(sum(b) AS DOUBLE) / (count(*) * 8), 6) AS ratio
+         FROM vb GROUP BY et""",
+
     // identical to q329's batch replay: the finite stream stitches to
     // the same per-user transition multiset as a batch lag
     "q332_stream_conformance" ->

@@ -42,6 +42,39 @@ object MiningQueries {
           col("freq"))
     }),
 
+    // single change-point detection per series (binary-segmentation
+    // step): the split k maximizing the CUSUM deviation |S_k|, computed
+    // as the INTEGER |n*cum_k - k*tot| on exact cent sums (the same
+    // argmax as the float k/n-normalized statistic, cross-multiplied to
+    // dodge float ties), deterministic tiebreak on the earliest k. Two
+    // windows over ONE per-series partitioning; no global sort.
+    "q342_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      daily.select(col("event_type"), col("day"),
+          row_number().over(wOrd).as("k"),
+          sum(col("cents")).over(wOrd.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).as("cum"),
+          count(lit(1)).over(wAll).as("n"),
+          sum(col("cents")).over(wAll).as("tot"))
+        .where(col("k") < col("n"))
+        .withColumn("s", abs(col("n") * col("cum") - col("k") * col("tot")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("s").desc, col("k"))))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("k").as("split_idx"),
+          col("day").cast("string").as("split_day"), col("s").as("stat"),
+          round(col("cum").cast("double") / (col("k") * 100), 6)
+            .as("pre_mean"),
+          round((col("tot") - col("cum")).cast("double") /
+            ((col("n") - col("k")) * 100), 6).as("post_mean"))
+    }),
+
     // SAX-style symbolic series discretization: each event type's daily
     // spend series is PAA-compressed into 8 segments (seg = i*8 div n
     // over the day index) and each segment mean is classified against
@@ -248,6 +281,34 @@ object MiningQueries {
                 UNION ALL SELECT * FROM p3)
          SELECT pattern, CAST(freq AS BIGINT) AS freq
          FROM u, nu WHERE freq >= CAST(ceil(0.5 * n) AS BIGINT)""",
+
+    "q342_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1, 2),
+          st AS (SELECT et, day,
+                        row_number() OVER w AS k,
+                        sum(cents) OVER (PARTITION BY et ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS cum,
+                        count(*) OVER (PARTITION BY et) AS n,
+                        sum(cents) OVER (PARTITION BY et) AS tot
+                 FROM daily
+                 WINDOW w AS (PARTITION BY et ORDER BY day)),
+          sc AS (SELECT *, abs(n * cum - k * tot) AS s
+                 FROM st WHERE k < n),
+          r AS (SELECT *, row_number() OVER (PARTITION BY et
+                            ORDER BY s DESC, k) AS rn
+                FROM sc)
+         SELECT et AS event_type, CAST(n AS BIGINT) AS n_days,
+                CAST(k AS INT) AS split_idx, CAST(day AS VARCHAR) AS split_day,
+                CAST(s AS BIGINT) AS stat,
+                ROUND(CAST(cum AS DOUBLE) / (k * 100), 6) AS pre_mean,
+                ROUND(CAST(tot - cum AS DOUBLE) / ((n - k) * 100), 6)
+                  AS post_mean
+         FROM r WHERE rn = 1""",
 
     "q337_sax_symbols" ->
       """WITH daily AS (

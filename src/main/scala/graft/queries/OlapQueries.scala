@@ -194,6 +194,28 @@ object OlapQueries {
     // graph — frontier expansion, each edge traversed once; the oracle
     // replays it as a WITH RECURSIVE over (node, dist) states, dedup'd
     // by UNION so cycles can't blow up the recursion
+    // 2-D skyline / Pareto frontier (parts minimizing price AND size):
+    // a part survives iff no other part is <= on both axes with one
+    // strict. Distributed shape: reduce to the per-price min-size table
+    // (one groupBy), then an EXCLUSIVE prefix min over the price domain
+    // via the two-level cumulativeMinByValue scheme — per-partition
+    // mins + an O(#partitions) offsets collect — never a global sort;
+    // the dominance test is then a keyed join back to the parts.
+    "q343_skyline" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("long").as("sz"))
+      val pm = parts.groupBy(col("p_retailprice").as("v"))
+        .agg(min(col("sz")).as("m"))
+      val excl = graft.operators.DataQuality.cumulativeMinByValue(pm, Seq("m"))
+      parts
+        .join(pm, col("p_retailprice") === pm("v")).drop("v")
+        .join(excl, col("p_retailprice") === excl("v")).drop("v")
+        .where(col("sz") === col("m") && col("sz") < col("excl_min_m"))
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("sz").cast("int").as("p_size"))
+    }),
+
     // time-respecting reachability (contagion/provenance tracking):
     // suppliers seeded as "exposed" on 1996-01-01; a dated trade edge
     // (shipdate) propagates exposure only when it occurs strictly AFTER
@@ -535,6 +557,19 @@ object OlapQueries {
            WHERE p.p_partkey // 7 <> p.p_partkey
          )
          SELECT key, root_key, depth FROM r""",
+
+    "q343_skyline" ->
+      """WITH pm AS (SELECT p_retailprice AS v, min(CAST(p_size AS BIGINT))
+                            AS m
+                     FROM part GROUP BY 1),
+          cm AS (SELECT v, m,
+                        min(m) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING) AS excl
+                 FROM pm)
+         SELECT p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p JOIN cm ON p.p_retailprice = cm.v
+         WHERE CAST(p.p_size AS BIGINT) = cm.m
+           AND (cm.excl IS NULL OR CAST(p.p_size AS BIGINT) < cm.excl)""",
 
     "q334_temporal_reach" ->
       """WITH RECURSIVE

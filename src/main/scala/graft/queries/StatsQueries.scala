@@ -426,6 +426,22 @@ object StatsQueries {
       TimeSeries.kaplanMeier(subjects, col("dur"), col("obs"))
     }),
 
+    // Nelson-Aalen cumulative hazard over the same right-censored
+    // activity spans as q220 — the additive estimator H(t) = sum d/n,
+    // each increment folded as DECIMAL(18,12) so the ordered cumulative
+    // sum is exact in both engines
+    "q341_nelson_aalen" -> ((s, d) => {
+      val spans = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      val cutoff = Tables.events(s, d)
+        .agg(date_sub(to_date(max(col("ts"))), 3).as("cut"))
+      val subjects = spans.crossJoin(broadcast(cutoff))
+        .select(datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+            .as("dur"),
+          (to_date(col("last_ts")) < col("cut")).as("obs"))
+      TimeSeries.nelsonAalen(subjects, col("dur"), col("obs"))
+    }),
+
     // decile gains table for the md5-LR score: response rate and
     // cumulative lift per score decile (exact percent-rank deciles)
     "q221_gains_table" -> ((s, d) => {
@@ -954,6 +970,32 @@ object StatsQueries {
                    * abs(sc - lb)), 6) AS ece,
                  ROUND(max(abs(sc - lb)), 6) AS max_gap
           FROM pb, t GROUP BY n""",
+
+    "q341_nelson_aalen" ->
+      """WITH span AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                              CAST(max(ts) AS DATE) AS l
+                       FROM events GROUP BY user_id),
+          cut AS (SELECT CAST(max(ts) AS DATE) - 3 AS cut FROM events),
+          subj AS (SELECT date_diff('day', f, l) AS t,
+                          CASE WHEN l < cut THEN 1 ELSE 0 END AS obs
+                   FROM span, cut),
+          c AS (SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+                       CAST(sum(1 - obs) AS BIGINT) AS cens
+                FROM subj GROUP BY t),
+          k AS (SELECT t, d, cens,
+                       sum(d + cens) OVER (ORDER BY t) - (d + cens) AS left_before,
+                       sum(d + cens) OVER () AS total
+                FROM c),
+          f AS (SELECT t, d, total - left_before AS n_at_risk,
+                       CAST(CAST(d AS DOUBLE)
+                         / CAST(total - left_before AS DOUBLE)
+                         AS DECIMAL(18,12)) AS inc
+                FROM k)
+          SELECT t AS duration, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                 d AS d_events,
+                 ROUND(CAST(sum(inc) OVER (ORDER BY t) AS DOUBLE), 6)
+                   AS cum_hazard
+          FROM f""",
 
     "q220_kaplan_meier" ->
       """WITH span AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,

@@ -136,6 +136,9 @@ class PlanAuditSpec extends SparkSpec {
     // the gains window over 10 deciles, the Zipf rank over the
     // vocabulary — each reduced by an aggregation before the window
     "q220_kaplan_meier", "q221_gains_table", "q222_zipf_fit",
+    // q341: Nelson-Aalen — q220's exact shape (1-row cutoff frame +
+    // ordered pass over the bounded duration domain)
+    "q341_nelson_aalen",
     // q215: MI / marginal-entropy frames are 1 row, q151's exact shape
     "q215_theils_u",
     // q216: the node-count scalar (rank normalization) + the broadcast
