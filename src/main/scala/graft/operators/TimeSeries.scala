@@ -116,6 +116,30 @@ object TimeSeries {
         when(col("v").isNull, 1).otherwise(0).as("is_filled"))
   }
 
+  /** LOCF (last-observation-carried-forward) densification: the same
+    * per-key [min, max] date spine as [[fillDailyGaps]], but gaps carry
+    * the latest preceding observation instead of zero — the stateful
+    * imputation a point-in-time feature store needs (yesterday's price
+    * stands until a new tick). One per-key ordered window with an
+    * ignore-nulls last(); the spine starts at each key's first
+    * observation, so the carried value is never null. */
+  def fillForward(df: DataFrame, key: Column, day: Column,
+                  value: Column): DataFrame = {
+    val actual = df.select(key.as("k"), day.cast("date").as("d"),
+      value.as("v"))
+    val spine = actual.groupBy(col("k"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("k"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(actual, Seq("k", "d"), "left")
+      .select(col("k"), col("d"),
+        last(col("v"), ignoreNulls = true).over(w).as("value"),
+        when(col("v").isNull, 1).otherwise(0).as("is_filled"))
+  }
+
   /** Mann-Kendall trend test per series: S = Σ_{i<j} sign(y_j − y_i)
     * over the time-ordered values and Kendall's tau = S / (n(n−1)/2) —
     * the nonparametric "is this metric trending" answer that needs no

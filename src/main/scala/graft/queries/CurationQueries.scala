@@ -18,6 +18,64 @@ object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // greedy set-cover source selection (data-mixture curation): pick 4
+    // sources one at a time, each maximizing the count of NOT-yet-
+    // covered distinct tokens (ties broken by source name) — the
+    // classical ln(n)-approximate corpus-selection step. Each round is
+    // one anti-join + one 20-group agg whose 1-row argmax is collected
+    // (bounded by the SOURCE count, never the corpus); the covered set
+    // stays distributed. The oracle unrolls the same 4 rounds.
+    "q347_set_cover_greedy" -> ((s, d) => {
+      val s2 = s; import s2.implicits._
+      val ts = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.operators.Dedup.wordShinglesOf(
+            TextAnalysis.tokens(col("text")), 2)).as("w"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ts.count()
+      var covered = Seq.empty[String].toDF("w")
+      var picked = Vector.empty[String]
+      var rows = Vector.empty[(Int, String, Long, Long)]
+      var done = false
+      for (step <- 1 to 4 if !done) {
+        val notPicked =
+          if (picked.isEmpty) lit(true) else !col("source").isin(picked: _*)
+        // argmax over <= |sources| rows — bounded collect
+        val best = ts.join(covered, Seq("w"), "left_anti").where(notPicked)
+          .groupBy(col("source")).agg(count(lit(1)).as("m"))
+          .orderBy(col("m").desc, col("source")).limit(1).collect()
+        if (best.isEmpty) done = true // coverage saturated: stop, like the
+        else {                       // oracle's empty p_k branches
+          picked = picked :+ best.head.getString(0)
+          covered = ts.where(col("source").isin(picked: _*))
+            .select(col("w")).distinct().localCheckpoint(false)
+          rows = rows :+ ((step, best.head.getString(0), best.head.getLong(1),
+            covered.count()))
+        }
+      }
+      ts.unpersist(blocking = false)
+      rows.toDF("step", "source", "marginal_new_tokens", "cum_tokens")
+    }),
+
+    // sequential Poisson sampling (Ohlsson): a size-weighted sample of
+    // 3 docs per source with priority xi = u/w folded as the EXACT
+    // integer (u29 << 33) div n_chars — no float division, so the
+    // selected sample and its ranks replay bit-for-bit. The md5 draw
+    // makes the "random" order deterministic and auditable.
+    "q348_sps_sample" -> ((s, d) => {
+      val u29 = pmod(TextAnalysis.hash60(concat_ws(":", lit("sps"),
+        col("doc_id"))), lit(536870912L))
+      val ranked = Tables.documents(s, d).where(col("n_chars") > 0)
+        .select(col("source"), col("doc_id"), col("n_chars"), u29.as("u29"))
+        .withColumn("q", expr("(u29 * 8589934592L) div n_chars"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))))
+      ranked.where(col("rank") <= 3)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("q"),
+          col("rank"))
+    }),
+
     // deterministic 50% sample, then 80/10/10 split assignment over the
     // kept rows — both md5-derived, both replayed exactly
     "q97_curation_sample_split" -> ((s, d) => {
@@ -412,6 +470,71 @@ object CurationQueries {
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q347_set_cover_greedy" ->
+      """WITH ts AS (SELECT DISTINCT source, w FROM (
+             SELECT source,
+                    unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
+                      for i in range(1, greatest(len(toks) - 1, 0) + 1)]))
+                      AS w
+             FROM (SELECT source,
+                          regexp_split_to_array(lower(trim(text)), '\s+')
+                            AS toks
+                   FROM documents))),
+          r1 AS (SELECT source, count(*) AS m FROM ts GROUP BY 1),
+          p1 AS (SELECT source, m FROM r1 ORDER BY m DESC, source LIMIT 1),
+          c1 AS (SELECT DISTINCT w FROM ts
+                 WHERE source IN (SELECT source FROM p1)),
+          r2 AS (SELECT source, count(*) AS m FROM ts
+                 WHERE source NOT IN (SELECT source FROM p1)
+                   AND w NOT IN (SELECT w FROM c1) GROUP BY 1),
+          p2 AS (SELECT source, m FROM r2 ORDER BY m DESC, source LIMIT 1),
+          c2 AS (SELECT DISTINCT w FROM ts
+                 WHERE source IN (SELECT source FROM p1
+                                  UNION SELECT source FROM p2)),
+          r3 AS (SELECT source, count(*) AS m FROM ts
+                 WHERE source NOT IN (SELECT source FROM p1
+                                      UNION SELECT source FROM p2)
+                   AND w NOT IN (SELECT w FROM c2) GROUP BY 1),
+          p3 AS (SELECT source, m FROM r3 ORDER BY m DESC, source LIMIT 1),
+          c3 AS (SELECT DISTINCT w FROM ts
+                 WHERE source IN (SELECT source FROM p1
+                                  UNION SELECT source FROM p2
+                                  UNION SELECT source FROM p3)),
+          r4 AS (SELECT source, count(*) AS m FROM ts
+                 WHERE source NOT IN (SELECT source FROM p1
+                                      UNION SELECT source FROM p2
+                                      UNION SELECT source FROM p3)
+                   AND w NOT IN (SELECT w FROM c3) GROUP BY 1),
+          p4 AS (SELECT source, m FROM r4 ORDER BY m DESC, source LIMIT 1),
+          c4 AS (SELECT DISTINCT w FROM ts
+                 WHERE source IN (SELECT source FROM p1
+                                  UNION SELECT source FROM p2
+                                  UNION SELECT source FROM p3
+                                  UNION SELECT source FROM p4))
+         SELECT 1 AS step, source, CAST(m AS BIGINT) AS marginal_new_tokens,
+                (SELECT count(*) FROM c1) AS cum_tokens FROM p1
+         UNION ALL SELECT 2, source, CAST(m AS BIGINT),
+                (SELECT count(*) FROM c2) FROM p2
+         UNION ALL SELECT 3, source, CAST(m AS BIGINT),
+                (SELECT count(*) FROM c3) FROM p3
+         UNION ALL SELECT 4, source, CAST(m AS BIGINT),
+                (SELECT count(*) FROM c4) FROM p4""",
+
+    "q348_sps_sample" ->
+      """WITH u AS (SELECT source, doc_id, n_chars,
+                  CAST(('0x' || substr(md5('sps:' || CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 536870912 AS u29
+           FROM documents WHERE n_chars > 0),
+          q AS (SELECT source, doc_id, n_chars, u29,
+                       (u29 * 8589934592) // n_chars AS q,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY (u29 * 8589934592) // n_chars, doc_id)
+                         AS rank
+                FROM u)
+         SELECT source, doc_id, n_chars, CAST(q AS BIGINT) AS q,
+                CAST(rank AS INT) AS rank
+         FROM q WHERE rank <= 3""",
+
     "q328_nb_classify" ->
       s"""WITH sp AS (SELECT doc_id, source, text,
                    CASE WHEN ${H60("'split:' || CAST(doc_id AS VARCHAR)")}

@@ -194,6 +194,42 @@ object OlapQueries {
     // graph — frontier expansion, each edge traversed once; the oracle
     // replays it as a WITH RECURSIVE over (node, dist) states, dedup'd
     // by UNION so cycles can't blow up the recursion
+    // degree assortativity of the trade graph: Pearson correlation of
+    // endpoint degrees over the (symmetrized) edge list — do high-degree
+    // nodes attach to high-degree nodes? Sufficient statistics are
+    // EXACT integer sums (degrees are counts), assembled into the
+    // correlation with DECIMAL(38) cross-products so the 2.4M-edge
+    // moments can't overflow a long; only the final formula touches
+    // doubles. Two keyed joins (edge->deg) + one agg.
+    "q346_degree_assortativity" -> ((s, d) => {
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey") + 1000000L).cast("long").as("p"))
+        .distinct()
+      val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val pairs = edges
+        .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      pairs.agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+          sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("m").as("m_pairs"),
+          round((dec(col("m")) * dec(col("sxy")) -
+              dec(col("sx")) * dec(col("sy"))).cast("double") /
+            (sqrt((dec(col("m")) * dec(col("sxx")) -
+              dec(col("sx")) * dec(col("sx"))).cast("double")) *
+             sqrt((dec(col("m")) * dec(col("syy")) -
+              dec(col("sy")) * dec(col("sy"))).cast("double"))), 6)
+            .as("assortativity"))
+    }),
+
     // 2-D skyline / Pareto frontier (parts minimizing price AND size):
     // a part survives iff no other part is <= on both axes with one
     // strict. Distributed shape: reduce to the per-price min-size table
@@ -557,6 +593,26 @@ object OlapQueries {
            WHERE p.p_partkey // 7 <> p.p_partkey
          )
          SELECT key, root_key, depth FROM r""",
+
+    "q346_degree_assortativity" ->
+      """WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, p AS dst FROM t
+                UNION ALL SELECT p AS src, c AS dst FROM t),
+          deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+          pairs AS (SELECT dx.deg AS dx, dy.deg AS dy
+                    FROM e JOIN deg dx ON e.src = dx.node
+                           JOIN deg dy ON e.dst = dy.node),
+          st AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+                        sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                        sum(dy * dy) AS syy
+                 FROM pairs)
+         SELECT CAST(m AS BIGINT) AS m_pairs,
+                ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+                      (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+                       sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+                  AS assortativity
+         FROM st""",
 
     "q343_skyline" ->
       """WITH pm AS (SELECT p_retailprice AS v, min(CAST(p_size AS BIGINT))

@@ -214,6 +214,18 @@ object StatsQueries {
           col("value"), col("is_filled"))
     }),
 
+    // LOCF forward-fill over the same spine as q304 — gaps carry the
+    // last observed daily spend instead of zero; the oracle replays the
+    // carry with an ASOF LEFT JOIN (latest observation <= spine day)
+    "q345_locf_fill" -> ((s, d) => {
+      TimeSeries.fillForward(
+          dailySpend(s, d).select(col("event_type"), col("day"),
+            col("spend").cast("double").as("v")),
+          col("event_type"), col("day"), col("v"))
+        .select(col("k").as("event_type"), col("d").cast("string").as("day"),
+          col("value"), col("is_filled"))
+    }),
+
     // grid-DBSCAN over the synthetic customer points: core cells
     // (>= 12 pts) merge across the 8-neighborhood into min-cell-id
     // clusters; non-core cells are noise
@@ -627,6 +639,21 @@ object StatsQueries {
                 CAST(row_number() OVER (PARTITION BY k ORDER BY s) AS INT)
                   AS streak_idx
          FROM isl""",
+
+    "q345_locf_fill" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+                               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                 AS v
+                        FROM events GROUP BY 1, 2),
+          b AS (SELECT k, min(d) AS lo, max(d) AS hi FROM daily GROUP BY k),
+          spine AS (SELECT k, CAST(gs AS DATE) AS d
+                    FROM b, unnest(generate_series(CAST(lo AS TIMESTAMP),
+                      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) t(gs))
+         SELECT s.k AS event_type, CAST(s.d AS VARCHAR) AS day,
+                dd.v AS value,
+                CASE WHEN dd.d = s.d THEN 0 ELSE 1 END AS is_filled
+         FROM spine s ASOF LEFT JOIN daily dd
+           ON s.k = dd.k AND s.d >= dd.d""",
 
     "q304_date_spine_fill" ->
       """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,

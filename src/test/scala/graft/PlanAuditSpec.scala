@@ -122,6 +122,9 @@ class PlanAuditSpec extends SparkSpec {
     // frames (marginal counts, per-group moments, digit totals) via
     // crossJoin-broadcast — the single partition holds O(1) rows
     "q197_chi_square", "q198_welch_ttest", "q213_benford",
+    // q346: assortativity reduces the edge-endpoint moments to ONE
+    // sufficient-stats row — q198's shape
+    "q346_degree_assortativity",
     // q208: the corpus doc-count scalar is a 1-row frame
     // crossJoin-broadcast into the tf-idf scoring
     "q208_keyword_extract",
