@@ -55,6 +55,63 @@ object AnalyticsQueries {
           col("raw_bytes"), 6))
     }),
 
+    // tumbling-window OHLC bars per (event_type, day): open/close are
+    // the first/last event values in (ts, event_id) order — argmin/
+    // argmax via two row_numbers over ONE partitioning (no min_by
+    // struct-comparator dependence, which DuckDB lacks) — plus exact
+    // high/low/volume and a decimal-folded amount.
+    "q349_ohlc_bars" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAsc = Window.partitionBy(col("event_type"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("event_type"), to_date(col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value"), row_number().over(wAsc).as("ra"),
+          row_number().over(wDesc).as("rd"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("volume"),
+          sum(money(col("value"))).cast("double").as("amount"))
+        .withColumn("day", col("day").cast("string"))
+    }),
+
+    // growth accounting (user lifecycle state machine): per active
+    // (user, week), classify new / retained (active the week before) /
+    // resurrected (gap >= 2 weeks); a churn event posts to week+7 when
+    // the next active week is not consecutive. One per-user ordered
+    // window + one week-level agg; churn rows for the week after the
+    // observed horizon are the PROJECTED churn of the last active week
+    // (documented semantic — no global-max scalar join needed).
+    "q351_growth_accounting" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val st = uw.select(col("user_id"), col("wk"),
+        lag(col("wk"), 1).over(w).as("prev"), lead(col("wk"), 1).over(w).as("nxt"))
+      val status = st.select(col("wk"),
+        when(col("prev").isNull, lit("new"))
+          .when(datediff(col("wk"), col("prev")) === 7, lit("retained"))
+          .otherwise(lit("resurrected")).as("status"))
+        .groupBy(col("wk"), col("status")).agg(count(lit(1)).as("n"))
+      val churn = st.where(col("nxt").isNull ||
+          datediff(col("nxt"), col("wk")) > 7)
+        .select(date_add(col("wk"), 7).as("wk"), lit("churned").as("status"))
+        .groupBy(col("wk"), col("status")).agg(count(lit(1)).as("n"))
+      status.unionByName(churn)
+        .groupBy(col("wk"))
+        .agg(sum(when(col("status") === "new", col("n")).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "retained", col("n")).otherwise(0L)).as("n_retained"),
+          sum(when(col("status") === "resurrected", col("n")).otherwise(0L)).as("n_resurrected"),
+          sum(when(col("status") === "churned", col("n")).otherwise(0L)).as("n_churned"))
+        .withColumn("wk", col("wk").cast("string"))
+    }),
+
     // cohort LTV curve: per signup-week cohort, cumulative spend per
     // cohort member through each week offset — three hash aggs + one
     // domain-bounded cumulative window (cohorts x offsets)
@@ -544,6 +601,52 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q349_ohlc_bars" ->
+      """WITH r AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, value,
+                  row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                     ORDER BY ts, event_id) AS ra,
+                  row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                     ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events)
+         SELECT event_type, CAST(day AS VARCHAR) AS day,
+                max(CASE WHEN ra = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rd = 1 THEN value END) AS close,
+                count(*) AS volume,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+         FROM r GROUP BY event_type, day""",
+
+    "q351_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                            CAST(date_trunc('week', ts) AS DATE) AS wk
+                     FROM events),
+          st AS (SELECT user_id, wk,
+                        lag(wk) OVER w AS prev, lead(wk) OVER w AS nxt
+                 FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+          status AS (SELECT wk,
+                            CASE WHEN prev IS NULL THEN 'new'
+                                 WHEN date_diff('day', prev, wk) = 7
+                                   THEN 'retained'
+                                 ELSE 'resurrected' END AS status,
+                            count(*) AS n
+                     FROM st GROUP BY 1, 2),
+          churn AS (SELECT wk + 7 AS wk, 'churned' AS status, count(*) AS n
+                    FROM st
+                    WHERE nxt IS NULL OR date_diff('day', wk, nxt) > 7
+                    GROUP BY 1, 2),
+          u AS (SELECT * FROM status UNION ALL SELECT * FROM churn)
+         SELECT CAST(wk AS VARCHAR) AS wk,
+                CAST(sum(CASE WHEN status = 'new' THEN n ELSE 0 END)
+                  AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN status = 'retained' THEN n ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+                CAST(sum(CASE WHEN status = 'resurrected' THEN n ELSE 0 END)
+                  AS BIGINT) AS n_resurrected,
+                CAST(sum(CASE WHEN status = 'churned' THEN n ELSE 0 END)
+                  AS BIGINT) AS n_churned
+         FROM u GROUP BY wk""",
+
     "q344_varint_size" ->
       """WITH daily AS (
            SELECT event_type AS et, CAST(ts AS DATE) AS day,

@@ -32,6 +32,29 @@ object OlapQueries {
     // ONE pass (Expand × 3 grouping ids → single hash aggregate). NULL
     // grouping slots are labelled 'ALL' (the source columns are non-null)
     // so the three levels stay distinguishable under the hash compare.
+    // COUNT(DISTINCT) under ROLLUP — the hard grouping-sets case: the
+    // Expand pass multiplies rows per grouping level and the distinct
+    // dedup shuffles each level on its own keys (Spark's expand +
+    // partial-dedup plan). Exact here; at 100 TB the re-aggregatable
+    // alternative is the HLL-sketch rollup the q-gate suite covers
+    // separately. Dims ride broadcast joins.
+    "q352_distinct_rollup" -> ((s, d) => {
+      val geo = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(geo, col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count_distinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_customers"), col("n_orders"))
+    }),
+
     "q178_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -593,6 +616,17 @@ object OlapQueries {
            WHERE p.p_partkey // 7 <> p.p_partkey
          )
          SELECT key, root_key, depth FROM r""",
+
+    "q352_distinct_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+                coalesce(n_name, 'ALL') AS nation,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
 
     "q346_degree_assortativity" ->
       """WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p

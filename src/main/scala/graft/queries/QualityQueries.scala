@@ -18,6 +18,28 @@ object QualityQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // quantile normalization across sources (the microarray/feature-
+    // alignment classic): rank docs by n_chars within each source
+    // (deterministic doc_id tiebreak), replace each value with the
+    // cross-source mean at its rank — after which every source has an
+    // identical value distribution. Exact: the per-rank mean folds
+    // n_chars as DECIMAL before ONE double division. One per-source
+    // window + one rank-level agg + one keyed join back.
+    "q350_quantile_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          row_number().over(w).as("rnk"))
+      val perRank = ranked.groupBy(col("rnk"))
+        .agg((sum(col("n_chars").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("qn_raw"))
+      ranked.join(perRank, Seq("rnk"))
+        .select(col("doc_id"), col("source"), col("rnk"),
+          round(col("qn_raw"), 6).as("qn_value"))
+    }),
+
     // partition-key skew report over the lineitem->supplier key
     "q168_skew_report" -> ((s, d) => {
       DataQuality.skewReport(Tables.lineitem(s, d), col("l_suppkey"))
@@ -568,6 +590,20 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q350_quantile_normalize" ->
+      """WITH ranked AS (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS rnk
+           FROM documents),
+          pr AS (SELECT rnk,
+                        CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*) AS qn_raw
+                 FROM ranked GROUP BY rnk)
+         SELECT r.doc_id, r.source, CAST(r.rnk AS INT) AS rnk,
+                ROUND(pr.qn_raw, 6) AS qn_value
+         FROM ranked r JOIN pr ON r.rnk = pr.rnk""",
+
     "q319_rolling_mode" ->
       """WITH r AS (SELECT user_id, event_id,
                       array_agg(event_type) OVER (PARTITION BY user_id
