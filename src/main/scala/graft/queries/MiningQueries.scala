@@ -42,6 +42,33 @@ object MiningQueries {
           col("freq"))
     }),
 
+    // forecast-difficulty audit (MASE denominators): per-series mean
+    // absolute error of the naive lag-1 and seasonal-naive lag-7
+    // forecasts over daily cents — the scale factors every forecast
+    // metric normalizes by. Diffs are exact integer cents; one window
+    // per series, one agg.
+    "q355_mase_baseline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("d1", abs(col("cents") - lag(col("cents"), 1).over(w)))
+        .withColumn("d7", abs(col("cents") - lag(col("cents"), 7).over(w)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("d1")).as("s1"), count(col("d1")).as("n1"),
+          sum(col("d7")).as("s7"), count(col("d7")).as("n7"))
+        .select(col("event_type"), col("n_days"),
+          round(col("s1").cast("double") / col("n1") / 100.0, 6)
+            .as("mae_lag1"),
+          round(col("s7").cast("double") / col("n7") / 100.0, 6)
+            .as("mae_lag7"),
+          round((col("s7").cast("double") / col("n7")) /
+            (col("s1").cast("double") / col("n1")), 6).as("ratio"))
+    }),
+
     // single change-point detection per series (binary-segmentation
     // step): the split k maximizing the CUSUM deviation |S_k|, computed
     // as the INTEGER |n*cum_k - k*tot| on exact cent sums (the same
@@ -281,6 +308,27 @@ object MiningQueries {
                 UNION ALL SELECT * FROM p3)
          SELECT pattern, CAST(freq AS BIGINT) AS freq
          FROM u, nu WHERE freq >= CAST(ceil(0.5 * n) AS BIGINT)""",
+
+    "q355_mase_baseline" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1, 2),
+          dd AS (SELECT et,
+                        abs(cents - lag(cents, 1) OVER w) AS d1,
+                        abs(cents - lag(cents, 7) OVER w) AS d7
+                 FROM daily WINDOW w AS (PARTITION BY et ORDER BY day)),
+          ag AS (SELECT et, count(*) AS n_days,
+                        sum(d1) AS s1, count(d1) AS n1,
+                        sum(d7) AS s7, count(d7) AS n7
+                 FROM dd GROUP BY et)
+         SELECT et AS event_type, n_days,
+                ROUND(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) AS mae_lag1,
+                ROUND(CAST(s7 AS DOUBLE) / n7 / 100.0, 6) AS mae_lag7,
+                ROUND((CAST(s7 AS DOUBLE) / n7) /
+                      (CAST(s1 AS DOUBLE) / n1), 6) AS ratio
+         FROM ag""",
 
     "q342_changepoint" ->
       """WITH daily AS (

@@ -32,6 +32,33 @@ object OlapQueries {
     // ONE pass (Expand × 3 grouping ids → single hash aggregate). NULL
     // grouping slots are labelled 'ALL' (the source columns are non-null)
     // so the three levels stay distinguishable under the hash compare.
+    // percent-of-parent hierarchy readout: nation sales as a share of
+    // its region and of the grand total — two window sums over the
+    // ALREADY-AGGREGATED 25-row nation frame (domain-bounded, like the
+    // q178 readouts), sales folded in decimal, shares mirrored as one
+    // double division each.
+    "q353_pct_of_parent" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(money(col("o_totalprice"))).as("sales"))
+      val wR = Window.partitionBy(col("r_name"))
+      val wT = Window.partitionBy()
+      rev.select(col("r_name"), col("n_name"),
+        col("sales").cast("double").as("sales"),
+        round(col("sales").cast("double") /
+          sum(col("sales")).over(wR).cast("double"), 6).as("pct_of_region"),
+        round(col("sales").cast("double") /
+          sum(col("sales")).over(wT).cast("double"), 6).as("pct_of_total"))
+    }),
+
     // COUNT(DISTINCT) under ROLLUP — the hard grouping-sets case: the
     // Expand pass multiplies rows per grouping level and the distinct
     // dedup shuffles each level on its own keys (Spark's expand +
@@ -616,6 +643,23 @@ object OlapQueries {
            WHERE p.p_partkey // 7 <> p.p_partkey
          )
          SELECT key, root_key, depth FROM r""",
+
+    "q353_pct_of_parent" ->
+      """WITH rev AS (
+           SELECT r_name, n_name,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sales
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name)
+         SELECT r_name, n_name, CAST(sales AS DOUBLE) AS sales,
+                ROUND(CAST(sales AS DOUBLE) /
+                  CAST(sum(sales) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+                  AS pct_of_region,
+                ROUND(CAST(sales AS DOUBLE) /
+                  CAST(sum(sales) OVER () AS DOUBLE), 6) AS pct_of_total
+         FROM rev""",
 
     "q352_distinct_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region,

@@ -438,6 +438,77 @@ object StatsQueries {
       TimeSeries.kaplanMeier(subjects, col("dur"), col("obs"))
     }),
 
+    // Simpson's-paradox detector: Pearson corr(quantity, revenue) per
+    // return-flag group AND pooled, from ONE rollup pass of exact
+    // integer sufficient statistics (cents; squares accumulate in
+    // DECIMAL(38) so the sf-scaled y² sums can't overflow a long);
+    // each group row carries the pooled corr and a sign-flip flag —
+    // the aggregation-reversal audit. The pooled scalar rides a 1-row
+    // broadcast frame.
+    "q354_simpsons_paradox" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val base = Tables.lineitem(s, d).select(col("l_returnflag"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("x"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("y"))
+      val stats = base.rollup(col("l_returnflag"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(dec(col("x") * col("y"))).as("sxy"),
+          sum(dec(col("x") * col("x"))).as("sxx"),
+          sum(dec(col("y") * col("y"))).as("syy"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("grp"),
+          col("m"),
+          round((dec(col("m")) * col("sxy") -
+              dec(col("sx")) * dec(col("sy"))).cast("double") /
+            (sqrt((dec(col("m")) * col("sxx") -
+              dec(col("sx")) * dec(col("sx"))).cast("double")) *
+             sqrt((dec(col("m")) * col("syy") -
+              dec(col("sy")) * dec(col("sy"))).cast("double"))), 6).as("corr"))
+      val pooled = stats.where(col("grp") === "ALL")
+        .select(col("corr").as("pooled_corr"))
+      stats.crossJoin(broadcast(pooled))
+        .withColumn("sign_flip",
+          (col("corr") > 0) =!= (col("pooled_corr") > 0))
+    }),
+
+    // point-in-polygon classification with EXACT integer ray casting:
+    // the md5-derived customer coordinates stay on the integer
+    // micro-degree grid (u*5, never through a float), each point tests
+    // the 5 pentagon edges via a row-local explode of a LITERAL edge
+    // array (no join, no BNLJ) with cross-product sign tests — zero
+    // floating point in the inside/outside decision. Readout: inside
+    // counts per nation over a broadcast dim join.
+    "q356_point_in_polygon" -> ((s, d) => {
+      val verts = Seq((2500000L, 44000000L), (4500000L, 42500000L),
+        (3800000L, 40500000L), (1200000L, 40800000L), (500000L, 42800000L))
+      val edgeCol = array(verts.zip(verts.tail :+ verts.head).map {
+        case ((x1, y1), (x2, y2)) =>
+          struct(lit(x1).as("x1"), lit(y1).as("y1"),
+            lit(x2).as("x2"), lit(y2).as("y2")) }: _*)
+      val pts = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"),
+        (pmod(hash60(concat_ws(":", lit("glon"), col("c_custkey"))),
+          lit(1000000L)) * 5).as("ix"),
+        (pmod(hash60(concat_ws(":", lit("glat"), col("c_custkey"))),
+          lit(1000000L)) * 5 + 40000000L).as("iy"))
+      val crossed = pts.withColumn("e", explode(edgeCol))
+        .withColumn("t",
+          (col("e.x2") - col("e.x1")) * (col("iy") - col("e.y1")) -
+          (col("ix") - col("e.x1")) * (col("e.y2") - col("e.y1")))
+        .withColumn("crossed",
+          ((col("e.y1") > col("iy")) =!= (col("e.y2") > col("iy"))) &&
+          when(col("e.y2") > col("e.y1"), col("t") > 0)
+            .otherwise(col("t") < 0))
+      crossed.groupBy(col("c_custkey"), col("c_nationkey"))
+        .agg((sum(when(col("crossed"), 1L).otherwise(0L)) % 2).as("inside"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("inside")).as("n_inside"))
+    }),
+
     // Nelson-Aalen cumulative hazard over the same right-censored
     // activity spans as q220 — the additive estimator H(t) = sum d/n,
     // each increment folded as DECIMAL(18,12) so the ordered cumulative
@@ -997,6 +1068,62 @@ object StatsQueries {
                    * abs(sc - lb)), 6) AS ece,
                  ROUND(max(abs(sc - lb)), 6) AS max_gap
           FROM pb, t GROUP BY n""",
+
+    "q354_simpsons_paradox" ->
+      """WITH base AS (
+           SELECT l_returnflag,
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS x,
+                  CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS y
+           FROM lineitem),
+          st AS (SELECT coalesce(l_returnflag, 'ALL') AS grp,
+                        count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                        sum(x * y) AS sxy, sum(x * x) AS sxx,
+                        sum(y * y) AS syy
+                 FROM base GROUP BY ROLLUP (l_returnflag)),
+          co AS (SELECT grp, CAST(m AS BIGINT) AS m,
+                        ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+                              (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+                               sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+                          AS corr
+                 FROM st),
+          p AS (SELECT corr AS pooled_corr FROM co WHERE grp = 'ALL')
+         SELECT co.grp, co.m, co.corr, p.pooled_corr,
+                (co.corr > 0) <> (p.pooled_corr > 0) AS sign_flip
+         FROM co, p""",
+
+    "q356_point_in_polygon" ->
+      """WITH v(i, x, y) AS (VALUES
+             (0, 2500000, 44000000), (1, 4500000, 42500000),
+             (2, 3800000, 40500000), (3, 1200000, 40800000),
+             (4, 500000, 42800000)),
+          e AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+                FROM v a JOIN v b ON b.i = (a.i + 1) % 5),
+          pts AS (SELECT c_custkey, c_nationkey,
+                    (CAST(('0x' || substr(md5('glon:' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000000) * 5 AS ix,
+                    (CAST(('0x' || substr(md5('glat:' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000000) * 5 + 40000000 AS iy
+                  FROM customer),
+          cr AS (SELECT p.c_custkey, p.c_nationkey,
+                        CASE WHEN ((e.y1 > p.iy) <> (e.y2 > p.iy)) AND
+                             CASE WHEN e.y2 > e.y1
+                               THEN (e.x2 - e.x1) * (p.iy - e.y1)
+                                    - (p.ix - e.x1) * (e.y2 - e.y1) > 0
+                               ELSE (e.x2 - e.x1) * (p.iy - e.y1)
+                                    - (p.ix - e.x1) * (e.y2 - e.y1) < 0 END
+                             THEN 1 ELSE 0 END AS crossed
+                 FROM pts p CROSS JOIN e),
+          fl AS (SELECT c_custkey, c_nationkey,
+                        sum(crossed) % 2 AS inside
+                 FROM cr GROUP BY 1, 2)
+         SELECT n_name, count(*) AS n_customers,
+                CAST(sum(inside) AS BIGINT) AS n_inside
+         FROM fl JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
 
     "q341_nelson_aalen" ->
       """WITH span AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,

@@ -134,6 +134,12 @@ class PlanAuditSpec extends SparkSpec {
     "q212_rolling_corr",
     // q219: the bin total is a 1-row frame crossJoin-broadcast
     "q219_calibration_ece",
+    // q353: the grand-total window runs over the 25-row nation frame
+    // (reduced by the groupBy before any window) — q178's readout scale
+    "q353_pct_of_parent",
+    // q354: the pooled-corr scalar is a 1-row frame crossJoin-broadcast
+    // over the 5 rollup rows — q198's sufficient-stats shape
+    "q354_simpsons_paradox",
     // q220/q221/q222: ordered passes over DOMAIN-bounded frames — the
     // Kaplan-Meier curve over distinct durations (time resolution),
     // the gains window over 10 deciles, the Zipf rank over the
