@@ -45,6 +45,32 @@ object QualityQueries {
       DataQuality.skewReport(Tables.lineitem(s, d), col("l_suppkey"))
     }),
 
+    // skew-spread equi-join under the hash gate: the fact side salts
+    // each (possibly hot) supplier key across 8 buckets and the dim
+    // side replicates 8-fold, so no single task owns a hot key — the
+    // 100 TB skew mitigation — while the post-join aggregate is
+    // bit-identical to the unsalted plan the oracle replays.
+    "q357_salted_join_agg" -> ((s, d) => {
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, d).select(col("l_suppkey").as("s_suppkey"),
+            col("l_extendedprice").cast("decimal(18,2)").as("rev")),
+          dim, "s_suppkey", saltBuckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("rev")).cast("double").as("revenue"))
+    }),
+
+    // exact per-key distinct count with the hot key split 16 ways
+    // (salted two-phase dedup) — same counts as a plain
+    // COUNT(DISTINCT), which is exactly what the oracle runs
+    "q358_salted_distinct" -> ((s, d) => {
+      graft.operators.Skew.saltedDistinct(Tables.lineitem(s, d),
+          col("l_suppkey"), col("l_partkey"), saltBuckets = 16)
+        .select(col("key").as("l_suppkey"), col("n_distinct"))
+    }),
+
     // referential integrity: event user ids against the customer
     // dimension (user id 0 exists in events but not in customer)
     "q169_referential_integrity" -> ((s, d) => {
@@ -590,6 +616,18 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q357_salted_join_agg" ->
+      """SELECT s_nationkey, count(*) AS n_lines,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey""",
+
+    "q358_salted_distinct" ->
+      """SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT)
+                  AS n_distinct
+         FROM lineitem GROUP BY l_suppkey""",
+
     "q350_quantile_normalize" ->
       """WITH ranked AS (
            SELECT doc_id, source, n_chars,

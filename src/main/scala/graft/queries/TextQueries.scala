@@ -40,6 +40,59 @@ object TextQueries {
         .drop("__nd")
     }),
 
+    // Chao1 species-richness estimate of the corpus vocabulary: from
+    // the frequency-of-frequencies (f1 singletons, f2 doubletons),
+    // chao1 = D + f1(f1-1)/(2(f2+1)) (bias-corrected) and Good-Turing
+    // coverage 1 - f1/N — "how much vocabulary haven't we seen yet",
+    // the corpus-growth planning readout. Two cascaded count aggs +
+    // one 1-row readout; all inputs exact integers.
+    "q359_chao1_richness" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      counts.agg(count(lit(1)).as("d_observed"),
+          sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("d_observed"), col("n_tokens"), col("f1"), col("f2"),
+          round(col("d_observed") + (col("f1") * (col("f1") - 1)).cast("double") /
+            ((col("f2") + 1) * 2).cast("double"), 6).as("chao1"),
+          round(lit(1.0) - col("f1").cast("double") /
+            col("n_tokens").cast("double"), 6).as("coverage"))
+    }),
+
+    // adjacent-bigram PMI top-20 (collocation mining): PMI ranks ride
+    // the EXACT rational surrogate n_xy*N^2 / (M*n_x*n_y) — a single
+    // IEEE division of exact integer products (correctly rounded, so
+    // cross-engine identical), never a log in the sort key; the log
+    // only shapes the rounded output column. TakeOrdered top-20, no
+    // global sort.
+    "q360_word_pmi_topk" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      val uni = toks.select(explode(col("__toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("nx"))
+      val bi = toks.select(explode(
+          graft.operators.Dedup.wordShinglesOf(col("__toks"), 2)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("nxy"))
+        .where(col("nxy") >= 5)
+      val tot = uni.agg(sum(col("nx")).as("n_uni"),
+        count(lit(1)).as("__v")).select(col("n_uni"))
+      val m = bi.agg(sum(col("nxy")).as("m_bi"))
+      val sp = split(col("b"), " ")
+      bi.select(col("b"), col("nxy"),
+          element_at(sp, 1).as("w1"), element_at(sp, 2).as("w2"))
+        .join(uni.select(col("w").as("w1"), col("nx").as("n1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("nx").as("n2")), Seq("w2"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(m))
+        .withColumn("ratio",
+          (col("nxy") * col("n_uni") * col("n_uni")).cast("double") /
+          (col("m_bi") * col("n1") * col("n2")))
+        .orderBy(col("ratio").desc, col("b")).limit(20)
+        .select(col("b").as("bigram"), col("nxy"),
+          round(log(col("ratio")), 6).as("pmi"))
+    }),
+
     // ICU BreakIterator segmentation over a fixed multilingual corpus:
     // CJK/Thai/Korean get dictionary-based word breaks (whitespace
     // splitting would yield one token per clause) and UAX#29 sentence
@@ -279,6 +332,53 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q359_chao1_richness" ->
+      """WITH c AS (SELECT w, count(*) AS c FROM (
+             SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS w
+             FROM documents) GROUP BY w),
+          st AS (SELECT count(*) AS d_observed,
+                        CAST(sum(c) AS BIGINT) AS n_tokens,
+                        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f1,
+                        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f2
+                 FROM c)
+         SELECT d_observed, n_tokens, f1, f2,
+                ROUND(d_observed + CAST(f1 * (f1 - 1) AS DOUBLE)
+                  / CAST(2 * (f2 + 1) AS DOUBLE), 6) AS chao1,
+                ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                  AS coverage
+         FROM st""",
+
+    "q360_word_pmi_topk" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\s+')
+                             AS toks
+                    FROM documents),
+          uni AS (SELECT w, count(*) AS nx FROM (
+                    SELECT unnest(toks) AS w FROM t) GROUP BY w),
+          bi AS (SELECT b, count(*) AS nxy FROM (
+                   SELECT unnest(list_distinct(
+                     [array_to_string(toks[i:i+1], ' ')
+                      for i in range(1, greatest(len(toks) - 1, 0) + 1)]))
+                     AS b
+                   FROM t)
+                 GROUP BY b HAVING count(*) >= 5),
+          tot AS (SELECT CAST(sum(nx) AS BIGINT) AS n_uni FROM uni),
+          m AS (SELECT CAST(sum(nxy) AS BIGINT) AS m_bi FROM bi),
+          j AS (SELECT b, nxy, string_split(b, ' ')[1] AS w1,
+                       string_split(b, ' ')[2] AS w2
+                FROM bi),
+          r AS (SELECT j.b, j.nxy,
+                       CAST(j.nxy * tot.n_uni * tot.n_uni AS DOUBLE) /
+                       (m.m_bi * u1.nx * u2.nx) AS ratio
+                FROM j JOIN uni u1 ON j.w1 = u1.w
+                       JOIN uni u2 ON j.w2 = u2.w, tot, m)
+         SELECT b AS bigram, CAST(nxy AS BIGINT) AS nxy,
+                ROUND(ln(ratio), 6) AS pmi
+         FROM r ORDER BY ratio DESC, b LIMIT 20""",
+
     "q333_inverted_index" ->
       """WITH t AS (SELECT doc_id, unnest(
                       regexp_split_to_array(lower(trim(text)), '\s+')) AS token

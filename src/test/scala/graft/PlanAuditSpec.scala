@@ -79,6 +79,12 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-joined (non-equi, so BNLJ) over the token aggregates —
     // q135's corpus-scalar shape
     "q333_inverted_index",
+    // q359: the richness readout reduces the frequency-of-frequencies
+    // to ONE sufficient-stats row — q198's shape
+    "q359_chao1_richness",
+    // q360: the corpus totals (N, M) are 1-row frames crossJoin-
+    // broadcast into the PMI scoring join — q135's corpus-scalar shape
+    "q360_word_pmi_topk",
     // q139: target-encoding fit — the global-prior scalar is a 1-row
     // frame crossJoin-broadcast over the encoded rows
     "q139_target_encode",
