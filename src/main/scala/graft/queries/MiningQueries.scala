@@ -42,6 +42,60 @@ object MiningQueries {
           col("freq"))
     }),
 
+    // additive Holt-Winters (triple exponential smoothing, period 7,
+    // alpha=0.3 beta=0.1 gamma=0.2): level+trend+7 seasonal slots fold
+    // sequentially per series as ONE struct accumulator over the
+    // ordinal-indexed day array; the oracle carries the same 9 doubles
+    // through a recursive CTE, every arithmetic op written in the same
+    // order — the strongest differential in the time-series family.
+    // Emits final level/trend, the 1-step forecast, and the seasonal
+    // amplitude. Sequential per series, parallel across series.
+    "q361_holt_winters" -> ((s, d) => {
+      val a = 0.3; val be = 0.1; val g = 0.2
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(money(col("value"))).cast("double").as("y"))
+      val seqd = daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day").as("t"),
+          col("y").as("x")))).as("arr"))
+        .withColumn("arr2", transform(col("arr"),
+          (e, i) => struct(i.as("i"), e.getField("x").as("x"))))
+      def sfield(acc: Column, j: Int): Column = acc.getField(s"s$j")
+      val folded = aggregate(
+        expr("slice(arr2, 2, size(arr2) - 1)"),
+        struct(
+          (element_at(col("arr"), 1).getField("x").as("l") +:
+           lit(0.0).as("b") +:
+           (0 to 6).map(j => lit(0.0).as(s"s$j"))): _*),
+        (acc, e) => {
+          val p = e.getField("i") % 7
+          val sp = (1 to 6).foldLeft(sfield(acc, 0))((c, j) =>
+            when(p === j, sfield(acc, j)).otherwise(c))
+          val lp = lit(a) * (e.getField("x") - sp) +
+            lit(1.0 - a) * (acc.getField("l") + acc.getField("b"))
+          val bp = lit(be) * (lp - acc.getField("l")) +
+            lit(1.0 - be) * acc.getField("b")
+          val snew = lit(g) * (e.getField("x") - lp) + lit(1.0 - g) * sp
+          struct(
+            (lp.as("l") +: bp.as("b") +:
+             (0 to 6).map(j =>
+               when(p === j, snew).otherwise(sfield(acc, j)).as(s"s$j"))): _*)
+        })
+      val withSt = seqd.select(col("event_type"),
+        size(col("arr")).as("n"), folded.as("st"))
+      val nextP = col("n") % 7
+      val sNext = (1 to 6).foldLeft(sfield(col("st"), 0))((c, j) =>
+        when(nextP === j, sfield(col("st"), j)).otherwise(c))
+      withSt.select(col("event_type"), col("n"),
+        round(col("st").getField("l"), 6).as("level"),
+        round(col("st").getField("b"), 6).as("trend"),
+        round(col("st").getField("l") + col("st").getField("b") + sNext, 6)
+          .as("forecast1"),
+        round(greatest((0 to 6).map(j => sfield(col("st"), j)): _*) -
+          least((0 to 6).map(j => sfield(col("st"), j)): _*), 6)
+          .as("seas_amplitude"))
+    }),
+
     // forecast-difficulty audit (MASE denominators): per-series mean
     // absolute error of the naive lag-1 and seasonal-naive lag-7
     // forecasts over daily cents — the scale factors every forecast
@@ -308,6 +362,68 @@ object MiningQueries {
                 UNION ALL SELECT * FROM p3)
          SELECT pattern, CAST(freq AS BIGINT) AS freq
          FROM u, nu WHERE freq >= CAST(ceil(0.5 * n) AS BIGINT)""",
+
+    "q361_holt_winters" ->
+      """WITH RECURSIVE
+          p2 AS (SELECT CAST(0.3 AS DOUBLE) AS a, CAST(0.1 AS DOUBLE) AS be,
+                        CAST(0.2 AS DOUBLE) AS g),
+          daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                             AS y
+                    FROM events GROUP BY 1, 2),
+          seqd AS (SELECT k, y,
+                          row_number() OVER (PARTITION BY k ORDER BY day) - 1
+                            AS i,
+                          count(*) OVER (PARTITION BY k) AS n
+                   FROM daily),
+          st AS (
+            SELECT k, i, n, y AS l, CAST(0 AS DOUBLE) AS b,
+                   CAST(0 AS DOUBLE) AS s0, CAST(0 AS DOUBLE) AS s1,
+                   CAST(0 AS DOUBLE) AS s2, CAST(0 AS DOUBLE) AS s3,
+                   CAST(0 AS DOUBLE) AS s4, CAST(0 AS DOUBLE) AS s5,
+                   CAST(0 AS DOUBLE) AS s6
+            FROM seqd WHERE i = 0
+            UNION ALL
+            SELECT k, i, n, lp AS l,
+                   be * (lp - pl) + (1 - be) * pb AS b,
+                   CASE WHEN p = 0 THEN g * (y - lp) + (1 - g) * sp
+                        ELSE s0 END AS s0,
+                   CASE WHEN p = 1 THEN g * (y - lp) + (1 - g) * sp
+                        ELSE s1 END AS s1,
+                   CASE WHEN p = 2 THEN g * (y - lp) + (1 - g) * sp
+                        ELSE s2 END AS s2,
+                   CASE WHEN p = 3 THEN g * (y - lp) + (1 - g) * sp
+                        ELSE s3 END AS s3,
+                   CASE WHEN p = 4 THEN g * (y - lp) + (1 - g) * sp
+                        ELSE s4 END AS s4,
+                   CASE WHEN p = 5 THEN g * (y - lp) + (1 - g) * sp
+                        ELSE s5 END AS s5,
+                   CASE WHEN p = 6 THEN g * (y - lp) + (1 - g) * sp
+                        ELSE s6 END AS s6
+            FROM (
+              SELECT x.*, a * (y - sp) + (1 - a) * (pl + pb) AS lp
+              FROM (
+                SELECT st.k, s.i, s.n, s.y, st.l AS pl, st.b AS pb,
+                       st.s0, st.s1, st.s2, st.s3, st.s4, st.s5, st.s6,
+                       s.i % 7 AS p,
+                       CASE s.i % 7 WHEN 1 THEN st.s1 WHEN 2 THEN st.s2
+                            WHEN 3 THEN st.s3 WHEN 4 THEN st.s4
+                            WHEN 5 THEN st.s5 WHEN 6 THEN st.s6
+                            ELSE st.s0 END AS sp,
+                       p2.a, p2.be, p2.g
+                FROM st JOIN seqd s ON s.k = st.k AND s.i = st.i + 1, p2
+              ) x
+            ) y2
+          )
+         SELECT k AS event_type, CAST(n AS INT) AS n,
+                ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+                ROUND(l + b + CASE n % 7 WHEN 1 THEN s1 WHEN 2 THEN s2
+                      WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5
+                      WHEN 6 THEN s6 ELSE s0 END, 6) AS forecast1,
+                ROUND(greatest(s0, s1, s2, s3, s4, s5, s6) -
+                      least(s0, s1, s2, s3, s4, s5, s6), 6)
+                  AS seas_amplitude
+         FROM st WHERE i = n - 1""",
 
     "q355_mase_baseline" ->
       """WITH daily AS (

@@ -249,6 +249,28 @@ object StatsQueries {
         col("spend"), maxLag = 3)
     }),
 
+    // partial autocorrelation (Durbin-Levinson to lag 3) per series,
+    // assembled from the ROUNDED q199 ACF values so both engines feed
+    // the recursion bit-identical r1..r3 — the AR-order diagnostic the
+    // ACF alone can't give
+    "q362_pacf" -> ((s, d) => {
+      val rr = TimeSeries.acf(dailySpend(s, d), col("event_type"),
+          col("day"), col("spend"), maxLag = 3)
+        .groupBy(col("key"))
+        .agg(max(when(col("lag") === 1, col("acf"))).as("r1"),
+          max(when(col("lag") === 2, col("acf"))).as("r2"),
+          max(when(col("lag") === 3, col("acf"))).as("r3"))
+      val p22 = (col("r2") - col("r1") * col("r1")) /
+        (lit(1.0) - col("r1") * col("r1"))
+      val p21 = col("r1") - p22 * col("r1")
+      val p33 = (col("r3") - p21 * col("r2") - p22 * col("r1")) /
+        (lit(1.0) - p21 * col("r1") - p22 * col("r2"))
+      rr.select(col("key").as("event_type"),
+        round(col("r1"), 6).as("pacf1"),
+        round(p22, 6).as("pacf2"),
+        round(p33, 6).as("pacf3"))
+    }),
+
     // CUSUM changepoint scan over each series' daily spend
     "q200_cusum" -> ((s, d) => {
       TimeSeries.cusum(dailySpend(s, d), col("event_type"), col("day"),
@@ -1460,6 +1482,46 @@ object StatsQueries {
                    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
                       + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS welch_df
           FROM c""",
+
+    "q362_pacf" ->
+      s"""WITH s AS ($dailySql),
+          l AS (SELECT key, y AS x,
+                       lag(y, 1) OVER w AS x1, lag(y, 2) OVER w AS x2,
+                       lag(y, 3) OVER w AS x3
+                FROM s WINDOW w AS (PARTITION BY key ORDER BY day)),
+          e AS (SELECT key, 1 AS lag, x, x1 AS xl FROM l
+                UNION ALL SELECT key, 2, x, x2 FROM l
+                UNION ALL SELECT key, 3, x, x3 FROM l),
+          a AS (SELECT key, lag, count(*) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx,
+                       count(xl) AS np,
+                       CAST(sum(CASE WHEN xl IS NOT NULL THEN x * xl END) AS DOUBLE) AS sxy,
+                       CAST(sum(CASE WHEN xl IS NOT NULL THEN x END) AS DOUBLE) AS sh,
+                       CAST(sum(xl) AS DOUBLE) AS st
+                FROM e GROUP BY 1, 2),
+          ac AS (SELECT key, lag,
+                        ROUND((sxy - (sx / CAST(n AS DOUBLE)) * (sh + st)
+                               + CAST(np AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+                                 * (sx / CAST(n AS DOUBLE)))
+                          / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS acf
+                 FROM a),
+          rr AS (SELECT key,
+                        max(CASE WHEN lag = 1 THEN acf END) AS r1,
+                        max(CASE WHEN lag = 2 THEN acf END) AS r2,
+                        max(CASE WHEN lag = 3 THEN acf END) AS r3
+                 FROM ac GROUP BY key),
+          d2 AS (SELECT key, r1, r2, r3,
+                        (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+                 FROM rr),
+          d3 AS (SELECT key, r1, r2, r3, p22,
+                        r1 - p22 * r1 AS p21
+                 FROM d2)
+         SELECT key AS event_type, ROUND(r1, 6) AS pacf1,
+                ROUND(p22, 6) AS pacf2,
+                ROUND((r3 - p21 * r2 - p22 * r1)
+                  / (1.0 - p21 * r1 - p22 * r2), 6) AS pacf3
+         FROM d3""",
 
     "q199_acf" ->
       s"""WITH s AS ($dailySql),
