@@ -114,6 +114,43 @@ object DedupQueries {
       graft.operators.Graph.labelPropagation(trade, col("c"), col("p"), iters = 2)
     }),
 
+    // modularity of the q167 label-propagation communities: Q = sum_c
+    // [w_c/E - (d_c/E)^2] in the directed-double edge representation —
+    // the community-quality readout that tells you whether the
+    // propagation found real structure. w_c/d_c are exact integer
+    // counts; per-community terms quantize to DECIMAL(18,12) before
+    // the final fold so the cross-community sum is order-independent.
+    "q365_modularity" -> ((s, d) => {
+      val trade = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      val labels = graft.operators.Graph.labelPropagation(
+        trade, col("c"), col("p"), iters = 2)
+      val t = trade.select(col("c"), col("p")).distinct()
+      val e = t.select(col("c").as("u"), col("p").as("v"))
+        .unionByName(t.select(col("p").as("u"), col("c").as("v")))
+      val lab = labels.select(col("node"), col("label"))
+      val eL = e.join(lab.select(col("node").as("u"), col("label").as("lu")),
+          Seq("u"))
+        .join(lab.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      val within = eL.where(col("lu") === col("lv"))
+        .groupBy(col("lu").as("label")).agg(count(lit(1)).as("w"))
+      val degs = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+        .join(lab, Seq("node"))
+        .groupBy(col("label")).agg(sum(col("deg")).as("dc"))
+      val tot = e.agg(count(lit(1)).as("E"))
+      degs.join(within, Seq("label"), "left")
+        .select(col("label"), coalesce(col("w"), lit(0L)).as("w"), col("dc"))
+        .crossJoin(broadcast(tot))
+        .select((col("w").cast("double") / col("E") -
+            (col("dc").cast("double") / col("E")) *
+            (col("dc").cast("double") / col("E")))
+          .cast("decimal(18,12)").as("term"))
+        .agg(count(lit(1)).as("n_communities"),
+          round(sum(col("term")).cast("double"), 6).as("modularity"))
+    }),
+
     // exact triangle count over the part-affinity graph (parts bought
     // together in large-quantity lineitems of the same order), via
     // degree-ordered orientation — the O(m^1.5), hub-safe algorithm
@@ -555,6 +592,29 @@ object DedupQueries {
       .mkString("\n             + ")
   }
 
+  /** Shared 2-iteration label-propagation CTE chain (q167 + the q365
+    * modularity readout): neighbor-majority labels with min tiebreak. */
+  private val LP_CTES =
+    """t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT c AS u, p AS v FROM t UNION SELECT p, c FROM t),
+       nodes AS (SELECT DISTINCT u AS node FROM e),
+       l0 AS (SELECT node, node AS label FROM nodes),
+       v1 AS (SELECT e.u, l0.label, count(*) AS cnt
+              FROM e JOIN l0 ON e.v = l0.node GROUP BY 1, 2),
+       w1 AS (SELECT u AS node, label FROM (
+                SELECT u, label, row_number() OVER (
+                  PARTITION BY u ORDER BY cnt DESC, label) AS rn FROM v1)
+              WHERE rn = 1),
+       l1 AS (SELECT nodes.node, coalesce(w1.label, nodes.node) AS label
+              FROM nodes LEFT JOIN w1 USING (node)),
+       v2 AS (SELECT e.u, l1.label, count(*) AS cnt
+              FROM e JOIN l1 ON e.v = l1.node GROUP BY 1, 2),
+       w2 AS (SELECT u AS node, label FROM (
+                SELECT u, label, row_number() OVER (
+                  PARTITION BY u ORDER BY cnt DESC, label) AS rn FROM v2)
+              WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
     "q238_dup_rate_by_source" ->
       s"""WITH $MINHASH_PAIR_CTES,
@@ -669,27 +729,32 @@ object DedupQueries {
           SELECT node, ROUND(pr * n, 6) AS pr_scaled FROM p3 CROSS JOIN nn""",
 
     "q167_label_propagation" ->
-      """WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
-                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          e AS (SELECT c AS u, p AS v FROM t UNION SELECT p, c FROM t),
-          nodes AS (SELECT DISTINCT u AS node FROM e),
-          l0 AS (SELECT node, node AS label FROM nodes),
-          v1 AS (SELECT e.u, l0.label, count(*) AS cnt
-                 FROM e JOIN l0 ON e.v = l0.node GROUP BY 1, 2),
-          w1 AS (SELECT u AS node, label FROM (
-                   SELECT u, label, row_number() OVER (
-                     PARTITION BY u ORDER BY cnt DESC, label) AS rn FROM v1)
-                 WHERE rn = 1),
-          l1 AS (SELECT nodes.node, coalesce(w1.label, nodes.node) AS label
-                 FROM nodes LEFT JOIN w1 USING (node)),
-          v2 AS (SELECT e.u, l1.label, count(*) AS cnt
-                 FROM e JOIN l1 ON e.v = l1.node GROUP BY 1, 2),
-          w2 AS (SELECT u AS node, label FROM (
-                   SELECT u, label, row_number() OVER (
-                     PARTITION BY u ORDER BY cnt DESC, label) AS rn FROM v2)
-                 WHERE rn = 1)
+      s"""WITH $LP_CTES
           SELECT nodes.node, coalesce(w2.label, nodes.node) AS label
           FROM nodes LEFT JOIN w2 USING (node)""",
+
+    "q365_modularity" ->
+      s"""WITH $LP_CTES,
+          lab AS (SELECT nodes.node, coalesce(w2.label, nodes.node) AS label
+                  FROM nodes LEFT JOIN w2 USING (node)),
+          el AS (SELECT e.u, e.v, a.label AS lu, b.label AS lv
+                 FROM e JOIN lab a ON e.u = a.node
+                        JOIN lab b ON e.v = b.node),
+          wi AS (SELECT lu AS label, count(*) AS w FROM el
+                 WHERE lu = lv GROUP BY 1),
+          degs AS (SELECT lab.label, CAST(sum(cnt) AS BIGINT) AS dc
+                   FROM (SELECT u AS node, count(*) AS cnt FROM e GROUP BY u)
+                        dd JOIN lab ON dd.node = lab.node
+                   GROUP BY lab.label),
+          tot AS (SELECT count(*) AS E FROM e),
+          terms AS (SELECT CAST(CAST(coalesce(wi.w, 0) AS DOUBLE) / tot.E
+                      - (CAST(degs.dc AS DOUBLE) / tot.E)
+                        * (CAST(degs.dc AS DOUBLE) / tot.E)
+                      AS DECIMAL(18,12)) AS term
+                    FROM degs LEFT JOIN wi USING (label), tot)
+         SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                ROUND(CAST(sum(term) AS DOUBLE), 6) AS modularity
+         FROM terms""",
 
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id, count(*) AS n_docs

@@ -271,6 +271,61 @@ object StatsQueries {
         round(p33, 6).as("pacf3"))
     }),
 
+    // 2-D summed-area table (integral image) over the 10x10 customer
+    // density grid: sat(x,y) = points in cells <= (x,y), via a row
+    // prefix then a column prefix — two windows, each partitioned on
+    // the other axis (10 partitions of 10, never a global sort). The
+    // grid is densified from a literal spine so sparse cells can't
+    // break the second prefix pass; cell coords come off the md5
+    // integers directly (no float floor).
+    "q363_summed_area_table" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val s2 = s; import s2.implicits._
+      val cells = Tables.customer(s, d).select(
+          ((pmod(hash60(concat_ws(":", lit("glon"), col("c_custkey"))),
+            lit(1000000L)) * 10).divide(lit(1000000)).cast("int")).as("gx"),
+          ((pmod(hash60(concat_ws(":", lit("glat"), col("c_custkey"))),
+            lit(1000000L)) * 10).divide(lit(1000000)).cast("int")).as("gy"))
+        .groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("n"))
+      val spine = (for (x <- 0 to 9; y <- 0 to 9) yield (x, y))
+        .toDF("gx", "gy")
+      val dense = spine.join(cells, Seq("gx", "gy"), "left")
+        .select(col("gx"), col("gy"), coalesce(col("n"), lit(0L)).as("n"))
+      val rowSum = dense.withColumn("rs", sum(col("n")).over(
+        Window.partitionBy(col("gy")).orderBy(col("gx"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      rowSum.withColumn("sat", sum(col("rs")).over(
+          Window.partitionBy(col("gx")).orderBy(col("gy"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("gx"), col("gy"), col("n"), col("sat"))
+    }),
+
+    // rolling 14-day OLS slope of daily spend per series (the rolling
+    // beta / local trend feature): all five sufficient sums ride ONE
+    // frame-bounded window as exact integers (x = day ordinal, y =
+    // cents), slope assembled with a single mirrored double division;
+    // only full 14-row windows emit (no zero denominators to disagree
+    // on).
+    "q364_rolling_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("y"))
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val f = wo.rowsBetween(-13, Window.currentRow)
+      daily.withColumn("x", row_number().over(wo).cast("long"))
+        .select(col("event_type"), col("day"), col("x"), col("y"),
+          count(lit(1)).over(f).as("n"),
+          sum(col("x")).over(f).as("sx"), sum(col("y")).over(f).as("sy"),
+          sum(col("x") * col("y")).over(f).as("sxy"),
+          sum(col("x") * col("x")).over(f).as("sxx"))
+        .where(col("n") === 14)
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            100.0, 6).as("slope14"))
+    }),
+
     // CUSUM changepoint scan over each series' daily spend
     "q200_cusum" -> ((s, d) => {
       TimeSeries.cusum(dailySpend(s, d), col("event_type"), col("day"),
@@ -1482,6 +1537,56 @@ object StatsQueries {
                    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
                       + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS welch_df
           FROM c""",
+
+    "q363_summed_area_table" ->
+      """WITH cells AS (
+           SELECT ((CAST(('0x' || substr(md5('glon:' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000000) * 10) // 1000000 AS gx,
+                  ((CAST(('0x' || substr(md5('glat:' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000000) * 10) // 1000000 AS gy,
+                  count(*) AS n
+           FROM customer GROUP BY 1, 2),
+          spine AS (SELECT x.range AS gx, y.range AS gy
+                    FROM range(0, 10) x, range(0, 10) y),
+          dense AS (SELECT s.gx, s.gy, coalesce(c.n, 0) AS n
+                    FROM spine s LEFT JOIN cells c
+                      ON s.gx = c.gx AND s.gy = c.gy),
+          rs AS (SELECT gx, gy, n,
+                        sum(n) OVER (PARTITION BY gy ORDER BY gx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS rs
+                 FROM dense)
+         SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+                CAST(n AS BIGINT) AS n,
+                CAST(sum(rs) OVER (PARTITION BY gx ORDER BY gy
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sat
+         FROM rs""",
+
+    "q364_rolling_slope" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                    AS y
+           FROM events GROUP BY 1, 2),
+          xi AS (SELECT event_type, day, y,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS x
+                 FROM daily),
+          f AS (SELECT event_type, day,
+                       count(*) OVER w AS n,
+                       sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                       sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+                FROM xi
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, CAST(day AS VARCHAR) AS day,
+                ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                      CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+                  AS slope14
+         FROM f WHERE n = 14""",
 
     "q362_pacf" ->
       s"""WITH s AS ($dailySql),

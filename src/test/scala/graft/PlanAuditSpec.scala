@@ -82,6 +82,10 @@ class PlanAuditSpec extends SparkSpec {
     // q359: the richness readout reduces the frequency-of-frequencies
     // to ONE sufficient-stats row — q198's shape
     "q359_chao1_richness",
+    // q365: the edge-total scalar is a 1-row frame crossJoin-broadcast
+    // over the per-community terms, and the modularity readout is ONE
+    // sufficient-stats row — q198's shape
+    "q365_modularity",
     // q360: the corpus totals (N, M) are 1-row frames crossJoin-
     // broadcast into the PMI scoring join — q135's corpus-scalar shape
     "q360_word_pmi_topk",
