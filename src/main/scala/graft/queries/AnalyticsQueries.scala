@@ -55,6 +55,80 @@ object AnalyticsQueries {
           col("raw_bytes"), 6))
     }),
 
+    // ABC/XYZ inventory segmentation: parts classed by cumulative
+    // revenue concentration (A <= 80%, B <= 95%, C) and weekly demand
+    // variability (CV via the EXACT integer test 4(n*Sqq - Sq^2) < Sq^2
+    // — no float std anywhere). The revenue ranking rides the two-level
+    // cumulativeByValue prefix sum + a per-value row_number, never a
+    // single-partition sort over the parts; ALL class decisions are
+    // integer cross-multiplications.
+    "q367_abc_xyz" -> ((s, d) => {
+      val lines = Tables.lineitem(s, d).select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q"),
+        date_trunc("week", col("l_shipdate")).as("wk"))
+      val rev = lines.groupBy(col("l_partkey"))
+        .agg(sum(col("cents")).as("cents"))
+      val xyz = lines.groupBy(col("l_partkey"), col("wk"))
+        .agg(sum(col("q")).as("wq"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("nw"), sum(col("wq")).as("sq"),
+          sum(col("wq") * col("wq")).as("sqq"))
+        .select(col("l_partkey"),
+          when((col("nw") * col("sqq") - col("sq") * col("sq")) * 4 <
+               col("sq") * col("sq"), "X")
+            .when(col("nw") * col("sqq") - col("sq") * col("sq") <
+               col("sq") * col("sq"), "Y")
+            .otherwise("Z").as("class_xyz"))
+      val counts = rev.groupBy((-col("cents")).as("v"))
+        .agg(count(lit(1)).as("c"), sum(col("cents")).as("s"))
+      val cum = graft.operators.DataQuality
+        .cumulativeByValue(counts, Seq("c", "s")).join(counts, Seq("v"))
+      val tot = rev.agg(sum(col("cents")).as("tot"))
+      val abc = rev.withColumn("v", -col("cents"))
+        .join(cum, Seq("v"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("v")).orderBy(col("l_partkey"))))
+        .withColumn("row_cum",
+          col("cum_s") - (col("c") - col("rn")) * col("cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("cents"), col("tot"),
+          when(col("row_cum") * 100 <= col("tot") * 80, "A")
+            .when(col("row_cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C").as("class_abc"))
+      abc.join(xyz, Seq("l_partkey"))
+        .groupBy(col("class_abc"), col("class_xyz"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("cents")).cast("double") / max(col("tot")), 6)
+            .as("revenue_share"))
+    }),
+
+    // audience-overlap matrix: Jaccard of the user sets behind every
+    // event-type pair — distinct (user, type) once, one self-join on
+    // the user key (5 types -> 10 pairs), set sizes joined back;
+    // exact integer intersection counts, one mirrored double division
+    "q366_audience_overlap" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = ut.as("a")
+        .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+    }),
+
     // tumbling-window OHLC bars per (event_type, day): open/close are
     // the first/last event values in (ts, event_id) order — argmin/
     // argmax via two row_numbers over ONE partitioning (no min_by
@@ -601,6 +675,62 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q367_abc_xyz" ->
+      """WITH lines AS (
+           SELECT l_partkey,
+                  CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS cents,
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS q,
+                  date_trunc('week', l_shipdate) AS wk
+           FROM lineitem),
+          rev AS (SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM lines GROUP BY 1),
+          wq AS (SELECT l_partkey, wk, CAST(sum(q) AS BIGINT) AS wq
+                 FROM lines GROUP BY 1, 2),
+          xyz AS (SELECT l_partkey, count(*) AS nw,
+                         CAST(sum(wq) AS BIGINT) AS sq,
+                         CAST(sum(wq * wq) AS BIGINT) AS sqq
+                  FROM wq GROUP BY 1),
+          xc AS (SELECT l_partkey,
+                        CASE WHEN (nw * sqq - sq * sq) * 4 < sq * sq
+                               THEN 'X'
+                             WHEN nw * sqq - sq * sq < sq * sq THEN 'Y'
+                             ELSE 'Z' END AS class_xyz
+                 FROM xyz),
+          ranked AS (SELECT l_partkey, cents,
+                            sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND
+                              CURRENT ROW) AS row_cum,
+                            sum(cents) OVER () AS tot
+                     FROM rev),
+          ac AS (SELECT l_partkey, cents, CAST(tot AS BIGINT) AS tot,
+                        CASE WHEN row_cum * 100 <= tot * 80 THEN 'A'
+                             WHEN row_cum * 100 <= tot * 95 THEN 'B'
+                             ELSE 'C' END AS class_abc
+                 FROM ranked)
+         SELECT class_abc, class_xyz, count(*) AS n_parts,
+                ROUND(CAST(sum(cents) AS DOUBLE) / max(tot), 6)
+                  AS revenue_share
+         FROM ac JOIN xc USING (l_partkey)
+         GROUP BY 1, 2""",
+
+    "q366_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+          inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                           count(*) AS n_both
+                    FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                       AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+         SELECT type_a, type_b,
+                sa.n AS n_a, sb.n AS n_b, n_both,
+                ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+                  AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.event_type = type_a
+         JOIN sizes sb ON sb.event_type = type_b""",
+
     "q349_ohlc_bars" ->
       """WITH r AS (
            SELECT event_type, CAST(ts AS DATE) AS day, value,

@@ -82,6 +82,10 @@ class PlanAuditSpec extends SparkSpec {
     // q359: the richness readout reduces the frequency-of-frequencies
     // to ONE sufficient-stats row — q198's shape
     "q359_chao1_richness",
+    // q367: the revenue-total scalar is a 1-row frame crossJoin-
+    // broadcast over the part classes; the prefix-sum offsets collect
+    // is O(#partitions) (cumulativeByValue contract, q160's shape)
+    "q367_abc_xyz",
     // q365: the edge-total scalar is a 1-row frame crossJoin-broadcast
     // over the per-community terms, and the modularity readout is ONE
     // sufficient-stats row — q198's shape
