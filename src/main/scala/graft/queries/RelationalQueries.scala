@@ -53,6 +53,56 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // popularity-backfill recommender (the cold-start baseline next to
+    // q194's ALS): each customer gets the top-3 parts popular in their
+    // NATION that they have not bought. Nation top-10 candidate lists
+    // come from per-nation windows (25 bounded partitions), the
+    // already-bought exclusion is one composite-key anti-join, and the
+    // final per-customer rank re-ranks at most 10 candidate rows each.
+    "q368_popularity_recs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val custNation = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val bought = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c_custkey"), col("l_partkey")).distinct()
+      val pop = bought.join(broadcast(custNation), Seq("c_custkey"))
+        .groupBy(col("c_nationkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val cand = pop.withColumn("r", row_number().over(
+          Window.partitionBy(col("c_nationkey"))
+            .orderBy(col("cnt").desc, col("l_partkey"))))
+        .where(col("r") <= 10)
+      custNation.join(cand, Seq("c_nationkey"))
+        .join(bought, Seq("c_custkey", "l_partkey"), "left_anti")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("c_custkey"))
+            .orderBy(col("cnt").desc, col("l_partkey"))))
+        .where(col("rank") <= 3)
+        .select(col("c_custkey"), col("rank"),
+          col("l_partkey").as("rec_part"), col("cnt").as("popularity"))
+    }),
+
+    // global-customer audit (TPC-H Q22 shape): customers with an
+    // above-positive-average balance and NO orders, per nation — the
+    // correlated-average scalar rides a 1-row broadcast frame, the
+    // "no orders" NOT EXISTS is one anti-join
+    "q369_idle_rich_customers" -> ((s, d) => {
+      val avgPos = Tables.customer(s, d).where(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgPos))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_bal"))
+    }),
+
     // correlated scalar-subquery decorrelation (TPC-H Q17 shape): lines
     // whose quantity is below half their PART's average quantity, with
     // per-part small-order revenue. Spark-first the correlation is a
@@ -383,6 +433,41 @@ object RelationalQueries {
     "q01_scan_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, CAST($MONEY_REV AS DOUBLE) AS revenue
          FROM lineitem WHERE l_quantity > 45""",
+
+    "q368_popularity_recs" ->
+      """WITH cn AS (SELECT c_custkey, c_nationkey FROM customer),
+          bought AS (SELECT DISTINCT o_custkey AS c_custkey, l_partkey
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          pop AS (SELECT c_nationkey, l_partkey, count(*) AS cnt
+                  FROM bought JOIN cn USING (c_custkey) GROUP BY 1, 2),
+          cand AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                     ORDER BY cnt DESC, l_partkey) AS r
+                   FROM pop),
+          c10 AS (SELECT * FROM cand WHERE r <= 10),
+          ex AS (SELECT cn.c_custkey, c10.l_partkey, c10.cnt
+                 FROM cn JOIN c10 USING (c_nationkey)
+                 WHERE NOT EXISTS (SELECT 1 FROM bought b
+                                   WHERE b.c_custkey = cn.c_custkey
+                                     AND b.l_partkey = c10.l_partkey)),
+          rk AS (SELECT c_custkey, l_partkey, cnt,
+                        row_number() OVER (PARTITION BY c_custkey
+                          ORDER BY cnt DESC, l_partkey) AS rank
+                 FROM ex)
+         SELECT c_custkey, CAST(rank AS INT) AS rank,
+                l_partkey AS rec_part, CAST(cnt AS BIGINT) AS popularity
+         FROM rk WHERE rank <= 3""",
+
+    "q369_idle_rich_customers" ->
+      """WITH ap AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                       AS DOUBLE) / count(*) AS avg_bal
+                     FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_bal
+         FROM customer, ap
+         WHERE c_acctbal > ap.avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_nationkey""",
 
     "q339_small_order_revenue" ->
       """WITH avgq AS (

@@ -96,6 +96,9 @@ class PlanAuditSpec extends SparkSpec {
     // q139: target-encoding fit — the global-prior scalar is a 1-row
     // frame crossJoin-broadcast over the encoded rows
     "q139_target_encode",
+    // q369: the positive-average-balance scalar is a 1-row frame
+    // crossJoin-broadcast over the customers — q139's shape
+    "q369_idle_rich_customers",
     // q142: the node-count scalar (rank normalization) is a 1-row frame
     // crossJoin-broadcast over the rank rows
     "q142_pagerank",
