@@ -31,8 +31,8 @@ object RelationalQueries {
     // spine is a per-row sequence() explode (bounded by the order->ship
     // span, ~months), never a calendar cross join.
     "q335_revenue_proration" -> ((s, d) => {
-      val li = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate")))
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select(
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
@@ -42,15 +42,23 @@ object RelationalQueries {
           trunc(greatest(col("o_orderdate"), col("l_shipdate")).cast("date"),
             "month").as("m1"))
         .withColumn("n", months_between(col("m1"), col("m0")).cast("long") + 1L)
-      li.select(col("cents"), col("n"),
-          posexplode(sequence(col("m0"), col("m1"), expr("interval 1 month"))))
-        .select(col("cents"), col("n"), col("pos").as("idx"),
-          col("col").cast("string").as("month"))
+      // regroup BEFORE the explode: lines sharing (start month, span,
+      // cents mod n) prorate identically up to their base sums, so the
+      // month fan-out runs over the |months|^2-bounded group table —
+      // never cents-per-line rows x span months (a 20M-row explode at
+      // sf0.1, unbounded at 100 TB)
+      val g = li.groupBy(col("m0"), col("n"),
+          (col("cents") % col("n")).as("r"))
+        .agg(sum(expr("cents div n")).as("sb"), count(lit(1)).as("c"))
+      g.select(col("m0"), col("n"), col("r"), col("sb"), col("c"),
+          posexplode(sequence(lit(0), (col("n") - 1).cast("int"))))
+        .select(add_months(col("m0"), col("col")).cast("string").as("month"),
+          (col("sb") + when(col("col") < col("r"), col("c")).otherwise(0L))
+            .as("rc"),
+          col("c"))
         .groupBy(col("month"))
-        .agg(sum(expr("cents div n") +
-            when(col("idx") < col("cents") % col("n"), 1L).otherwise(0L))
-          .as("recognized_cents"),
-          count(lit(1)).as("n_lines"))
+        .agg(sum(col("rc")).as("recognized_cents"),
+          sum(col("c")).as("n_lines"))
     }),
 
     // popularity-backfill recommender (the cold-start baseline next to
