@@ -40,6 +40,60 @@ object QualityQueries {
           round(col("qn_raw"), 6).as("qn_value"))
     }),
 
+    // exact interpolated PERCENTILE_CONT (p50/p90/p99 of extended
+    // price per return flag) WITHOUT a sort of the fact table: one
+    // groupBy to per-(group, value) counts, one per-group ordered
+    // window over the bounded value domain, then the two straddling
+    // values per target position join back and interpolate with the
+    // standard h = (n-1)p rule — the formula is written out in both
+    // engines (no built-in quantile), so the result hashes exactly.
+    "q370_percentile_cont" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("grp"),
+          col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+        .withColumn("cum_prev", col("cum") - col("c"))
+      val ps = cum.withColumn("p",
+          explode(array(lit(0.5), lit(0.9), lit(0.99))))
+        .withColumn("h", (col("n") - 1).cast("double") * col("p"))
+        .withColumn("lo", floor(col("h")).cast("long"))
+        .withColumn("hi", least(col("lo") + 1, col("n") - 1))
+      ps.where((col("cum_prev") <= col("lo") && col("lo") < col("cum")) ||
+          (col("cum_prev") <= col("hi") && col("hi") < col("cum")))
+        .groupBy(col("grp"), col("p"))
+        .agg(max(col("n")).as("n"), max(col("h")).as("h"),
+          max(when(col("cum_prev") <= col("lo") && col("lo") < col("cum"),
+            col("v"))).as("v_lo"),
+          max(when(col("cum_prev") <= col("hi") && col("hi") < col("cum"),
+            col("v"))).as("v_hi"))
+        .select(col("grp"), col("p"), col("n"),
+          round(col("v_lo") + (col("h") - floor(col("h"))) *
+            (col("v_hi") - col("v_lo")), 6).as("quantile"))
+    }),
+
+    // diversified top-k: the 10 longest documents with AT MOST TWO per
+    // source — a per-source window caps each group's candidates (<= 2
+    // rows per source survive), then ONE TakeOrdered finishes; no
+    // global sort of the corpus
+    "q371_diversified_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .where(col("rs") <= 2)
+      ranked.orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rs").as("rank_in_source"))
+    }),
+
     // partition-key skew report over the lineitem->supplier key
     "q168_skew_report" -> ((s, d) => {
       DataQuality.skewReport(Tables.lineitem(s, d), col("l_suppkey"))
@@ -616,6 +670,43 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q370_percentile_cont" ->
+      """WITH counts AS (
+           SELECT l_returnflag AS grp, l_extendedprice AS v, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+          cum AS (SELECT grp, v, c,
+                         sum(c) OVER (PARTITION BY grp ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                         sum(c) OVER (PARTITION BY grp) AS n
+                  FROM counts),
+          ps AS (SELECT grp, v, cum - c AS cum_prev, cum, n, p,
+                        CAST(n - 1 AS DOUBLE) * p AS h
+                 FROM cum, unnest([CAST(0.5 AS DOUBLE),
+                     CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) t(p)),
+          pos AS (SELECT *, CAST(floor(h) AS BIGINT) AS lo,
+                         least(CAST(floor(h) AS BIGINT) + 1, n - 1) AS hi
+                  FROM ps)
+         SELECT grp, p, CAST(max(n) AS BIGINT) AS n,
+                ROUND(max(CASE WHEN cum_prev <= lo AND lo < cum THEN v END)
+                  + (max(h) - floor(max(h))) *
+                    (max(CASE WHEN cum_prev <= hi AND hi < cum THEN v END)
+                     - max(CASE WHEN cum_prev <= lo AND lo < cum THEN v END)),
+                  6) AS quantile
+         FROM pos
+         WHERE (cum_prev <= lo AND lo < cum) OR (cum_prev <= hi AND hi < cum)
+         GROUP BY grp, p""",
+
+    "q371_diversified_topk" ->
+      """WITH ranked AS (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS rs
+           FROM documents)
+         SELECT doc_id, source, n_chars, CAST(rs AS INT) AS rank_in_source
+         FROM ranked WHERE rs <= 2
+         ORDER BY n_chars DESC, doc_id LIMIT 10""",
+
     "q357_salted_join_agg" ->
       """SELECT s_nationkey, count(*) AS n_lines,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
