@@ -111,6 +111,42 @@ object RelationalQueries {
             .as("total_bal"))
     }),
 
+    // nested-aggregate semi-join (TPC-H Q20 shape): suppliers that
+    // DOMINATE at least one part (>30% of that part's total shipped
+    // quantity). Two stacked aggregates on the same key prefix — the
+    // (part, supp) rollup feeds the part totals, so the second agg
+    // reuses the first's shuffle — and the share test is an exact
+    // integer cross-multiplication (sq*10 > tq*3).
+    "q372_dominant_suppliers" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+          .cast("long").as("sq"))
+      val pt = ps.groupBy(col("l_partkey")).agg(sum(col("sq")).as("tq"))
+      ps.join(pt, Seq("l_partkey"))
+        .where(col("sq") * 10 > col("tq") * 3)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominant_parts"),
+          sum(col("sq")).as("dominant_qty_cents"))
+    }),
+
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): the return
+    // flag nulled for 'N' joins a dim that carries an explicit NULL
+    // row — null keys MATCH the null dim row instead of dropping, the
+    // SQL-surface semantics an outer-join rewrite gets wrong
+    "q373_nullsafe_join" -> ((s, d) => {
+      val s2 = s; import s2.implicits._
+      val dim = Seq((Option("A"), "accepted"), (Option("R"), "returned"),
+        (Option.empty[String], "pending")).toDF("flag", "status")
+      Tables.lineitem(s, d)
+        .select(nullif(col("l_returnflag"), lit("N")).as("lflag"),
+          money(col("l_extendedprice")).as("rev"))
+        .join(broadcast(dim), col("lflag") <=> dim("flag"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("rev")).cast("double").as("revenue"))
+    }),
+
     // correlated scalar-subquery decorrelation (TPC-H Q17 shape): lines
     // whose quantity is below half their PART's average quantity, with
     // per-part small-order revenue. Spark-first the correlation is a
@@ -441,6 +477,30 @@ object RelationalQueries {
     "q01_scan_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, CAST($MONEY_REV AS DOUBLE) AS revenue
          FROM lineitem WHERE l_quantity > 45""",
+
+    "q372_dominant_suppliers" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+                            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                              AS BIGINT) AS sq
+                     FROM lineitem GROUP BY 1, 2),
+          pt AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq
+                 FROM ps GROUP BY 1)
+         SELECT l_suppkey, count(*) AS n_dominant_parts,
+                CAST(sum(sq) AS BIGINT) AS dominant_qty_cents
+         FROM ps JOIN pt USING (l_partkey)
+         WHERE sq * 10 > tq * 3
+         GROUP BY l_suppkey""",
+
+    "q373_nullsafe_join" ->
+      """WITH dim(flag, status) AS (VALUES ('A', 'accepted'),
+             ('R', 'returned'), (NULL, 'pending')),
+          f AS (SELECT nullif(l_returnflag, 'N') AS flag,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
+                FROM lineitem)
+         SELECT status, count(*) AS n_lines,
+                CAST(sum(rev) AS DOUBLE) AS revenue
+         FROM f JOIN dim ON f.flag IS NOT DISTINCT FROM dim.flag
+         GROUP BY status""",
 
     "q368_popularity_recs" ->
       """WITH cn AS (SELECT c_custkey, c_nationkey FROM customer),
