@@ -214,6 +214,45 @@ object StatsQueries {
           col("value"), col("is_filled"))
     }),
 
+    // linear-interpolation gap fill (the third imputation mode next to
+    // q304's zero-fill and q345's LOCF): interior gaps blend the
+    // nearest observations on each side by day distance; edges fall
+    // back to the available neighbor. Two per-series windows carry the
+    // previous/next observed (value, day) pairs; the oracle replays the
+    // carries with forward+backward ASOF joins — same values, two
+    // different engines' idioms for the same stateful lookup.
+    "q374_linear_interpolate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val actual = dailySpend(s, d).select(col("event_type").as("k"),
+        col("day").cast("date").as("d"), col("spend").cast("double").as("v"))
+      val spine = actual.groupBy(col("k"))
+        .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(col("k"), explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+      val joined = spine.join(actual, Seq("k", "d"), "left")
+      val wB = Window.partitionBy(col("k")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy(col("k")).orderBy(col("d"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      joined
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+        .withColumn("pd", last(when(col("v").isNotNull, col("d")),
+          ignoreNulls = true).over(wB))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+        .withColumn("nd", first(when(col("v").isNotNull, col("d")),
+          ignoreNulls = true).over(wF))
+        .select(col("k").as("event_type"), col("d").cast("string").as("day"),
+          when(col("v").isNotNull, lit(0)).otherwise(lit(1)).as("is_filled"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("d"), col("pd")).cast("double") /
+                 datediff(col("nd"), col("pd")).cast("double"))), 6)
+            .as("value"))
+    }),
+
     // LOCF forward-fill over the same spine as q304 — gaps carry the
     // last observed daily spend instead of zero; the oracle replays the
     // carry with an ASOF LEFT JOIN (latest observation <= spine day)
@@ -787,6 +826,35 @@ object StatsQueries {
                 CAST(row_number() OVER (PARTITION BY k ORDER BY s) AS INT)
                   AS streak_idx
          FROM isl""",
+
+    "q374_linear_interpolate" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+                               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                 AS v
+                        FROM events GROUP BY 1, 2),
+          b AS (SELECT k, min(d) AS lo, max(d) AS hi FROM daily GROUP BY k),
+          spine AS (SELECT k, CAST(gs AS DATE) AS d
+                    FROM b, unnest(generate_series(CAST(lo AS TIMESTAMP),
+                      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) t(gs)),
+          prevj AS (SELECT s.k, s.d, dd.v AS pv, dd.d AS pd
+                    FROM spine s ASOF LEFT JOIN daily dd
+                      ON s.k = dd.k AND s.d >= dd.d),
+          nextj AS (SELECT s.k, s.d, dd.v AS nv, dd.d AS nd
+                    FROM spine s ASOF LEFT JOIN daily dd
+                      ON s.k = dd.k AND s.d <= dd.d),
+          m AS (SELECT p.k, p.d, p.pv, p.pd, n.nv, n.nd, o.v
+                FROM prevj p JOIN nextj n ON p.k = n.k AND p.d = n.d
+                LEFT JOIN daily o ON o.k = p.k AND o.d = p.d)
+         SELECT k AS event_type, CAST(d AS VARCHAR) AS day,
+                CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS is_filled,
+                ROUND(CASE WHEN v IS NOT NULL THEN v
+                           WHEN pv IS NULL THEN nv
+                           WHEN nv IS NULL THEN pv
+                           ELSE pv + (nv - pv) *
+                             (CAST(date_diff('day', pd, d) AS DOUBLE) /
+                              CAST(date_diff('day', pd, nd) AS DOUBLE))
+                      END, 6) AS value
+         FROM m""",
 
     "q345_locf_fill" ->
       """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
