@@ -29,7 +29,8 @@ object SparkEntry {
       (OlapQueries.queries, OlapQueries.oracles),
       (MiningQueries.queries, MiningQueries.oracles),
       (StatsQueries.queries, StatsQueries.oracles),
-      (AnalyticsQueries.queries, AnalyticsQueries.oracles)
+      (AnalyticsQueries.queries, AnalyticsQueries.oracles),
+      (PipelineQueries.queries, PipelineQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -197,6 +197,40 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Cohen's kappa per source: chance-corrected agreement between the
+    // declared language label and the q20 heuristic prediction — the
+    // one-number rollup of q247's confusion matrix. Everything stays in
+    // exact integer counts (kappa = (N*agree - SUM(row_l*col_l)) /
+    // (N^2 - SUM(row_l*col_l))), so the only IEEE op is one division of
+    // exact ints. The confusion matrix is bounded (sources x langs^2),
+    // so the marginal joins are tiny post-aggregation frames.
+    "q377_cohens_kappa" -> ((s, d) => {
+      val langs = stopwordProfiles.map(_._1)
+      val scored = Tables.documents(s, d).select(
+        col("source") +: col("lang").as("lang_label") +:
+        languageScores(col("text")).map { case (l, c) => c.as(s"s_$l") }: _*)
+      val pred = languageIdFrom(langs.map(l => l -> col(s"s_$l")))
+      val cm = scored.select(col("source"), col("lang_label"), pred.as("lang_pred"))
+        .groupBy(col("source"), col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val rows = cm.groupBy(col("source").as("rs"), col("lang_label").as("rl"))
+        .agg(sum(col("n")).as("rn"))
+      val cols = cm.groupBy(col("source").as("cs"), col("lang_pred").as("cl"))
+        .agg(sum(col("n")).as("cn"))
+      val marg = rows
+        .join(cols, col("rs") === col("cs") && col("rl") === col("cl"))
+        .groupBy(col("rs").as("source")).agg(sum(col("rn") * col("cn")).as("s_rc"))
+      val base = cm.groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          sum(when(col("lang_label") === col("lang_pred"), col("n"))
+            .otherwise(lit(0L))).as("n_agree"))
+      base.join(marg, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_agree"),
+          round((col("n_docs") * col("n_agree") - col("s_rc")).cast("double") /
+                (col("n_docs") * col("n_docs") - col("s_rc")).cast("double"), 6)
+            .as("kappa"))
+    }),
+
     "q21_text_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -507,6 +541,40 @@ object TextQueries {
            FROM t)
          SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n
          FROM p GROUP BY 1, 2"""
+    },
+
+    "q377_cohens_kappa" -> {
+      val langs = graft.functions.TextAnalysis.stopwordProfiles.map(_._1)
+      val scoreDefs = langs.map(l => s"${scoreSql(l)} AS s_$l").mkString(",\n             ")
+      val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val chain = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n                ")
+      s"""WITH t AS (
+           SELECT source, lang AS lang_label,
+             $scoreDefs
+           FROM documents),
+         p AS (
+           SELECT source, lang_label,
+             CASE WHEN $g = 0 THEN 'und'
+                  $chain
+                  END AS lang_pred
+           FROM t),
+         cm AS (SELECT source, lang_label, lang_pred, count(*) AS n
+                FROM p GROUP BY 1, 2, 3),
+         r AS (SELECT source, lang_label AS l, sum(n) AS rn
+               FROM cm GROUP BY 1, 2),
+         c AS (SELECT source, lang_pred AS l, sum(n) AS cn
+               FROM cm GROUP BY 1, 2),
+         m AS (SELECT r.source, CAST(sum(rn * cn) AS BIGINT) AS s_rc
+               FROM r JOIN c ON r.source = c.source AND r.l = c.l
+               GROUP BY 1),
+         b AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN lang_label = lang_pred
+                                    THEN n ELSE 0 END) AS BIGINT) AS n_agree
+               FROM cm GROUP BY 1)
+         SELECT b.source, n_docs, n_agree,
+                ROUND(CAST(n_docs * n_agree - s_rc AS DOUBLE) /
+                      CAST(n_docs * n_docs - s_rc AS DOUBLE), 6) AS kappa
+         FROM b JOIN m ON b.source = m.source"""
     },
 
     "q110_text_top_ngrams" ->

@@ -71,10 +71,55 @@ object TextVecQueries {
     "q136_bm25_topk" -> ((s, d) => {
       TextVectorizers.bm25TopK(Tables.documents(s, d), col("doc_id"), col("text"),
         query = "spark window join", dims = DIMS, k = 20)
+    }),
+
+    // Reciprocal-rank fusion: the hybrid-retrieval combiner. Lexical
+    // ranking = BM25 top-50 for the literal query; semantic ranking =
+    // exact cosine top-50 against the doc-0 query embedding (documents
+    // link to `embeddings` by vec_id = doc_id). RRF(id) =
+    // sum 1/(60 + rank_i) over the lists containing id, kept EXACT as a
+    // rational: with both ranks present it is (120+ra+rb)/((60+ra)(60+rb))
+    // — integer numerator/denominator, so the fused score is ONE IEEE
+    // division of exact ints and the final ordering replays bit-stable
+    // cross-engine. Both rank lists are bounded (<= 50 rows), so the
+    // fusion join and the rank windows run on k-row frames regardless of
+    // corpus size.
+    "q378_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val lex = TextVectorizers.bm25TopK(docs, col("doc_id"), col("text"),
+          query = "spark window join", dims = DIMS, k = 50)
+        .select(col("id"), row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)).as("ra"))
+      val corpus = Tables.embeddings(s, d)
+        .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"))
+      val sem = graft.operators.Similarity
+        .bruteForceTopK(corpus, corpus.where(col("vec_id") === 0L), 50)
+        .select(col("neighbor_id").as("id"), col("rank").as("rb"))
+      val both = col("ra").isNotNull && col("rb").isNotNull
+      val fused = lex.join(sem, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"), col("ra").as("rank_bm25"),
+          col("rb").as("rank_cos"),
+          (when(both, lit(120) + col("ra") + col("rb")).otherwise(lit(1))
+             .cast("double") /
+           when(both, (lit(60) + col("ra")) * (lit(60) + col("rb")))
+             .when(col("ra").isNotNull, lit(60) + col("ra"))
+             .otherwise(lit(60) + col("rb")).cast("double")).as("rrf"))
+      fused
+        .withColumn("rank_fused", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+        .where(col("rank_fused") <= 20)
     })
   )
 
   private val H60 = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+  /** Sequential dot product of two double-list expressions (left-to-
+    * right fold — matches Similarity.dotFast bit-for-bit). */
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
   private val TF =
     s"""SELECT doc_id AS id,
           CAST(${H60("tok")} % $DIMS AS INT) AS bucket, count(*) AS cnt
@@ -198,6 +243,55 @@ object TextVecQueries {
             CROSS JOIN n CROSS JOIN t
             WHERE tf.bucket IN (SELECT bucket FROM qb)
             GROUP BY 1)
-          SELECT id, score FROM scores ORDER BY score DESC, id ASC LIMIT 20"""
+          SELECT id, score FROM scores ORDER BY score DESC, id ASC LIMIT 20""",
+
+    "q378_rrf_fusion" ->
+      s"""WITH tf AS ($TF),
+          dl AS (SELECT id, sum(cnt) AS dl FROM tf GROUP BY 1),
+          dfb AS (SELECT bucket, count(DISTINCT id) AS df_b FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS m FROM documents),
+          t AS (SELECT sum(cnt) AS toks FROM tf),
+          qb AS (SELECT DISTINCT CAST(${H60("tok")} % $DIMS AS INT) AS bucket
+                 FROM (SELECT unnest(['spark', 'window', 'join']) AS tok)),
+          scores AS (
+            SELECT tf.id,
+              ROUND(sum(ln((m - df_b + 0.5) / (df_b + 0.5) + 1.0)
+                    * (cnt * 2.2)
+                    / (cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl / (toks / m)))), 6)
+                AS score
+            FROM tf JOIN dl USING (id) JOIN dfb USING (bucket)
+            CROSS JOIN n CROSS JOIN t
+            WHERE tf.bucket IN (SELECT bucket FROM qb)
+            GROUP BY 1),
+          s50 AS (SELECT id, score FROM scores
+                  ORDER BY score DESC, id ASC LIMIT 50),
+          lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id)
+                    AS INT) AS ra
+                  FROM s50),
+          e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings JOIN documents ON vec_id = doc_id),
+          q AS (SELECT * FROM e WHERE vec_id = 0),
+          sc AS (SELECT c.vec_id AS id, ${cosSql("q.emb", "c.emb")} AS cos
+                 FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+          semr AS (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id)
+                     AS INT) AS rb
+                   FROM sc),
+          sem AS (SELECT id, rb FROM semr WHERE rb <= 50),
+          f AS (SELECT coalesce(l.id, s.id) AS doc_id, ra, rb,
+                  CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                       THEN 120 + ra + rb ELSE 1 END AS num,
+                  CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                       THEN (60 + ra) * (60 + rb)
+                       WHEN ra IS NOT NULL THEN 60 + ra
+                       ELSE 60 + rb END AS den
+                FROM lex l FULL OUTER JOIN sem s ON l.id = s.id),
+          g AS (SELECT doc_id, ra AS rank_bm25, rb AS rank_cos,
+                       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS rrf
+                FROM f)
+         SELECT doc_id, rank_bm25, rank_cos, rrf,
+                CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+                  AS rank_fused
+         FROM g QUALIFY rank_fused <= 20"""
   )
 }

@@ -216,7 +216,10 @@ class PlanAuditSpec extends SparkSpec {
     // q328: the vocab-size / doc-total scalars are 1-row frames crossed
     // into the 5-row class-stats table, which broadcasts over the
     // per-token scoring join
-    "q328_nb_classify")
+    "q328_nb_classify",
+    // q378: the fusion rank windows run over two bounded (<= k = 50 row)
+    // rank lists — q320's bounded-domain window shape
+    "q378_rrf_fusion")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
@@ -229,7 +232,9 @@ class PlanAuditSpec extends SparkSpec {
     // q268 inherits the same broadcast-query-set scan as q149/q155
     "q149_ann_ndcg", "q155_ann_recall", "q268_ann_mrr",
     // q327 inherits q26's broadcast-query-set brute scan
-    "q327_knn_classify")
+    "q327_knn_classify",
+    // q378's semantic arm inherits q26's broadcast-query-set brute scan
+    "q378_rrf_fusion")
 
   // Queries where a CartesianProduct is the algorithm, not an accident:
   // ALS recommendForAllUsers scores ALL user x item pairs by design —
