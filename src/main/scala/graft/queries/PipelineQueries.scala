@@ -83,6 +83,163 @@ object PipelineQueries {
           coalesce(col("m1"), col("m2")).as("matched_partkey"),
           when(col("m1").isNotNull, lit(1))
             .when(col("m2").isNotNull, lit(2)).otherwise(lit(0)).as("tier"))
+    }),
+
+    // Weight-of-evidence / information-value feature screen (the credit-
+    // scoring staple): three categorical features (order priority,
+    // customer segment, order month-of-year) against the label
+    // "order is finished" ('F'). WoE_b = ln(good_b*B / (bad_b*G)) — one
+    // IEEE division of exact integer counts feeds ln; the IV fold
+    // quantizes each (g/G - b/B)*WoE term to 1e-9 integers so the
+    // per-feature sum is shuffle-order-invariant. The melt is a
+    // zero-shuffle Expand (stack); everything after runs on the bounded
+    // (features x buckets) frame.
+    "q379_woe_iv" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .selectExpr(
+          """stack(3,
+               'priority', o_orderpriority,
+               'segment',  c_mktsegment,
+               'month',    cast(month(o_orderdate) as string)
+             ) as (feature, bucket)""",
+          "cast(o_orderstatus = 'F' as int) as good")
+      val g = base.groupBy(col("feature"), col("bucket"))
+        .agg(sum(col("good")).as("n_good"),
+          (count(lit(1)) - sum(col("good"))).as("n_bad"))
+      val tot = g.groupBy(col("feature").as("tf"))
+        .agg(sum(col("n_good")).as("gt"), sum(col("n_bad")).as("bt"))
+      val woed = g.join(broadcast(tot), col("feature") === col("tf"))
+        .withColumn("woe_raw",
+          when(col("n_good") > 0 && col("n_bad") > 0,
+            log((col("n_good") * col("bt")).cast("double") /
+                (col("n_bad") * col("gt")).cast("double"))))
+        .withColumn("termq",
+          coalesce(round((col("n_good").cast("double") / col("gt").cast("double") -
+                          col("n_bad").cast("double") / col("bt").cast("double")) *
+                         col("woe_raw") * lit(1e9)).cast("long"), lit(0L)))
+      val iv = woed.groupBy(col("feature").as("ivf"))
+        .agg(sum(col("termq")).as("ivq"))
+      woed.join(broadcast(iv), col("feature") === col("ivf"))
+        .select(col("feature"), col("bucket"), col("n_good"), col("n_bad"),
+          round(col("woe_raw"), 6).as("woe"),
+          round(col("ivq").cast("double") / lit(1e9), 6).as("iv"))
+    }),
+
+    // Capped pro-rata budget allocation (water-filling, two unrolled
+    // rounds): each nation's budget (half its customers' spend, whole
+    // dollars) splits across customers proportional to spend via
+    // largest-remainder apportionment (q335's integer-exact pattern),
+    // clipped at a $1.5M per-customer cap; round 2 redistributes the
+    // clipped surplus over still-uncapped customers the same way. All
+    // arithmetic is int64 (spend in dollars keeps B*s < 2^63 far beyond
+    // sf0.1); the only per-nation state is a handful of scalars joined
+    // back from 25-row aggregate frames, and the remainder ranks are
+    // windows over per-nation customer sets.
+    "q380_capped_allocation" -> ((s, d) => {
+      val cap = 1500000L
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_nationkey"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")))
+          .cast("long").as("s"))
+      val nat = spend.groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(col("s")).as("st"))
+        .select(col("nk"), col("st"), expr("st div 2").as("b"))
+      val r1 = spend.join(broadcast(nat), col("c_nationkey") === col("nk"))
+        .withColumn("f1", expr("(b * s) div st"))
+        .withColumn("rem1", expr("(b * s) % st"))
+      val d1 = r1.groupBy(col("c_nationkey").as("dk1"))
+        .agg((max(col("b")) - sum(col("f1"))).as("def1"))
+      val w1 = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("rem1").desc, col("c_custkey"))
+      val a1 = r1.join(broadcast(d1), col("c_nationkey") === col("dk1"))
+        .withColumn("al1",
+          col("f1") + when(row_number().over(w1) <= col("def1"), 1L).otherwise(0L))
+        .withColumn("c1", least(col("al1"), lit(cap)))
+      val el = a1.withColumn("elig", col("c1") < cap)
+      val n2 = el.groupBy(col("c_nationkey").as("dk2"))
+        .agg((max(col("b")) - sum(col("c1"))).as("sur"),
+          sum(when(col("elig"), col("s")).otherwise(0L)).as("s2"))
+      val r2 = el.join(broadcast(n2), col("c_nationkey") === col("dk2"))
+        .withColumn("f2", when(col("elig") && col("s2") > 0,
+          expr("(sur * s) div s2")).otherwise(0L))
+        .withColumn("rem2", when(col("elig") && col("s2") > 0,
+          expr("(sur * s) % s2")).otherwise(-1L))
+      val d2 = r2.groupBy(col("c_nationkey").as("dk3"))
+        .agg((max(col("sur")) - sum(col("f2"))).as("def2"))
+      val w2 = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("rem2").desc, col("c_custkey"))
+      r2.join(broadcast(d2), col("c_nationkey") === col("dk3"))
+        .withColumn("al2", col("c1") + col("f2") +
+          when(col("elig") && row_number().over(w2) <= col("def2"), 1L)
+            .otherwise(0L))
+        .select(col("c_custkey"), col("c_nationkey"), col("s").as("spend"),
+          least(col("al2"), lit(cap)).as("alloc"),
+          (least(col("al2"), lit(cap)) === cap).as("is_capped"))
+    }),
+
+    // Fixed-period periodogram: spectral power of each event type's
+    // daily-spend series at the 7-day and 30-day cycles. The phase uses
+    // t mod p so the trig argument stays in [0, 2*pi) (full-precision
+    // reduction on both engines); each y*cos / y*sin term quantizes to
+    // 1e-6 integers before the fold, absorbing libm 1-ulp skew and
+    // making the sum shuffle-order-invariant. power = (C^2 + S^2)/N.
+    "q381_periodogram" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("spend"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).as("t"),
+          col("spend").cast("double").as("y"))
+      val periods = Seq(7, 30).map(p =>
+        daily.withColumn("period", lit(p))
+          .withColumn("ang",
+            pmod(col("t"), lit(p)).cast("double") * (lit(2.0) * lit(math.Pi)) /
+              lit(p.toDouble))
+          .withColumn("cq", round(col("y") * cos(col("ang")) * lit(1e6)).cast("long"))
+          .withColumn("sq", round(col("y") * sin(col("ang")) * lit(1e6)).cast("long")))
+      periods.reduce(_ unionByName _)
+        .groupBy(col("event_type"), col("period"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("cq")).as("cqs"), sum(col("sq")).as("sqs"))
+        .select(col("event_type"), col("period"), col("n_days"),
+          round((col("cqs").cast("double") / lit(1e6) *
+                 (col("cqs").cast("double") / lit(1e6)) +
+                 col("sqs").cast("double") / lit(1e6) *
+                 (col("sqs").cast("double") / lit(1e6))) /
+                col("n_days").cast("double"), 6).as("power"))
+    }),
+
+    // Zone-map pruning-effectiveness audit: simulate per-file min/max
+    // footer stats under two physical layouts — natural orderkey
+    // clustering (4096-key zones) vs date clustering (month zones) —
+    // and, for every month predicate, count zones a reader could skip
+    // (zone max < month or zone min > month). The scan-fraction gap
+    // between layouts is the data-layout decision this audit feeds at
+    // 100 TB. Zones and months are bounded post-aggregation frames; the
+    // zone x month evaluation is a broadcast join on a constant key.
+    "q382_zonemap_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      def zones(df: DataFrame, layout: String, bucket: Column): DataFrame =
+        df.groupBy(bucket.as("zone"))
+          .agg(min(col("m")).as("zlo"), max(col("m")).as("zhi"))
+          .select(lit(layout).as("layout"), col("zone"), col("zlo"), col("zhi"))
+      val z = zones(o, "orderkey_4096", expr("o_orderkey div 4096"))
+        .unionByName(zones(o, "date_month", col("m")))
+        .withColumn("one", lit(1))
+      val months = o.select(col("m").as("pm")).distinct()
+        .withColumn("one", lit(1))
+      z.join(broadcast(months), Seq("one"))
+        .groupBy(col("layout"), col("pm"))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("zhi") < col("pm") || col("zlo") > col("pm"), 1L)
+            .otherwise(0L)).as("n_pruned"))
+        .select(col("layout"), col("pm").as("pred_month"), col("n_zones"),
+          col("n_pruned"),
+          round((col("n_zones") - col("n_pruned")).cast("double") /
+                col("n_zones").cast("double"), 6).as("scan_frac"))
     })
   )
 
@@ -131,6 +288,134 @@ object PipelineQueries {
          FROM probes
          LEFT JOIN by_name ON probe_name = k1
          LEFT JOIN by_noun ON string_split(probe_name, ' ')[-1] = k2"""
-    }
+    },
+
+    "q379_woe_iv" ->
+      """WITH j AS (SELECT o_orderpriority, c_mktsegment,
+                           month(o_orderdate) AS mo,
+                           CAST(o_orderstatus = 'F' AS INT) AS good
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+          base AS (
+            SELECT 'priority' AS feature, o_orderpriority AS bucket, good FROM j
+            UNION ALL SELECT 'segment', c_mktsegment, good FROM j
+            UNION ALL SELECT 'month', CAST(mo AS VARCHAR), good FROM j),
+          g AS (SELECT feature, bucket, CAST(sum(good) AS BIGINT) AS n_good,
+                       CAST(count(*) - sum(good) AS BIGINT) AS n_bad
+                FROM base GROUP BY 1, 2),
+          tot AS (SELECT feature, CAST(sum(n_good) AS BIGINT) AS gt,
+                         CAST(sum(n_bad) AS BIGINT) AS bt
+                  FROM g GROUP BY 1),
+          w1 AS (SELECT g.feature, bucket, n_good, n_bad, gt, bt,
+                        CASE WHEN n_good > 0 AND n_bad > 0 THEN
+                          ln(CAST(n_good * bt AS DOUBLE) /
+                             CAST(n_bad * gt AS DOUBLE)) END AS woe_raw
+                 FROM g JOIN tot USING (feature)),
+          w2 AS (SELECT *,
+                        coalesce(CAST(round(
+                          ((CAST(n_good AS DOUBLE) / CAST(gt AS DOUBLE) -
+                            CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE))
+                           * woe_raw) * 1e9) AS BIGINT), 0) AS termq
+                 FROM w1),
+          iv AS (SELECT feature, CAST(sum(termq) AS BIGINT) AS ivq
+                 FROM w2 GROUP BY 1)
+         SELECT w2.feature, bucket, n_good, n_bad,
+                ROUND(woe_raw, 6) AS woe,
+                ROUND(CAST(ivq AS DOUBLE) / 1e9, 6) AS iv
+         FROM w2 JOIN iv USING (feature)""",
+
+    "q380_capped_allocation" ->
+      """WITH spend AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                     AS BIGINT) AS s
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2),
+          nat AS (SELECT c_nationkey AS nk, CAST(sum(s) AS BIGINT) AS st,
+                         CAST(sum(s) AS BIGINT) // 2 AS b
+                  FROM spend GROUP BY 1),
+          r1 AS (SELECT spend.*, st, b, (b * s) // st AS f1,
+                        (b * s) % st AS rem1
+                 FROM spend JOIN nat ON c_nationkey = nk),
+          d1 AS (SELECT c_nationkey AS dk1,
+                        max(b) - CAST(sum(f1) AS BIGINT) AS def1
+                 FROM r1 GROUP BY 1),
+          a1 AS (SELECT r1.*, def1,
+                        f1 + CASE WHEN row_number() OVER
+                            (PARTITION BY c_nationkey
+                             ORDER BY rem1 DESC, c_custkey) <= def1
+                          THEN 1 ELSE 0 END AS al1
+                 FROM r1 JOIN d1 ON c_nationkey = dk1),
+          e AS (SELECT *, least(al1, 1500000) AS c1,
+                       least(al1, 1500000) < 1500000 AS elig
+                FROM a1),
+          n2 AS (SELECT c_nationkey AS dk2,
+                        max(b) - CAST(sum(c1) AS BIGINT) AS sur,
+                        CAST(sum(CASE WHEN elig THEN s ELSE 0 END) AS BIGINT)
+                          AS s2
+                 FROM e GROUP BY 1),
+          r2 AS (SELECT e.*, sur, s2,
+                        CASE WHEN elig AND s2 > 0 THEN (sur * s) // s2
+                             ELSE 0 END AS f2,
+                        CASE WHEN elig AND s2 > 0 THEN (sur * s) % s2
+                             ELSE -1 END AS rem2
+                 FROM e JOIN n2 ON c_nationkey = dk2),
+          d2 AS (SELECT c_nationkey AS dk3,
+                        max(sur) - CAST(sum(f2) AS BIGINT) AS def2
+                 FROM r2 GROUP BY 1),
+          fin AS (SELECT r2.*, def2,
+                         c1 + f2 + CASE WHEN elig AND row_number() OVER
+                             (PARTITION BY c_nationkey
+                              ORDER BY rem2 DESC, c_custkey) <= def2
+                           THEN 1 ELSE 0 END AS al2
+                  FROM r2 JOIN d2 ON c_nationkey = dk3)
+         SELECT c_custkey, c_nationkey, s AS spend,
+                least(al2, 1500000) AS alloc,
+                least(al2, 1500000) = 1500000 AS is_capped
+         FROM fin""",
+
+    "q381_periodogram" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                 AS DOUBLE) AS y
+                        FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type,
+                       date_diff('day', DATE '1970-01-01', day) AS t, y
+                FROM daily),
+          terms AS (
+            SELECT event_type, p.period,
+                   CAST(round(y * cos((CAST(t % p.period AS DOUBLE)
+                       * (2.0 * pi())) / p.period) * 1e6) AS BIGINT) AS cq,
+                   CAST(round(y * sin((CAST(t % p.period AS DOUBLE)
+                       * (2.0 * pi())) / p.period) * 1e6) AS BIGINT) AS sq
+            FROM t, (VALUES (7), (30)) p(period)),
+          agg AS (SELECT event_type, period,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(sum(cq) AS BIGINT) AS cqs,
+                         CAST(sum(sq) AS BIGINT) AS sqs
+                  FROM terms GROUP BY 1, 2)
+         SELECT event_type, period, n_days,
+                ROUND((CAST(cqs AS DOUBLE) / 1e6 * (CAST(cqs AS DOUBLE) / 1e6)
+                     + CAST(sqs AS DOUBLE) / 1e6 * (CAST(sqs AS DOUBLE) / 1e6))
+                      / CAST(n_days AS DOUBLE), 6) AS power
+         FROM agg""",
+
+    "q382_zonemap_audit" ->
+      """WITH o AS (SELECT o_orderkey,
+                          year(o_orderdate) * 12 + month(o_orderdate) AS m
+                   FROM orders),
+          z AS (SELECT 'orderkey_4096' AS layout, o_orderkey // 4096 AS zone,
+                       min(m) AS zlo, max(m) AS zhi
+                FROM o GROUP BY 2
+                UNION ALL
+                SELECT 'date_month', m, min(m), max(m) FROM o GROUP BY 2),
+          mo AS (SELECT DISTINCT m AS pm FROM o)
+         SELECT layout, pm AS pred_month,
+                CAST(count(*) AS BIGINT) AS n_zones,
+                CAST(sum(CASE WHEN zhi < pm OR zlo > pm THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pruned,
+                ROUND(CAST(count(*) -
+                        sum(CASE WHEN zhi < pm OR zlo > pm THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS scan_frac
+         FROM z, mo GROUP BY 1, 2"""
   )
 }

@@ -234,7 +234,11 @@ class PlanAuditSpec extends SparkSpec {
     // q327 inherits q26's broadcast-query-set brute scan
     "q327_knn_classify",
     // q378's semantic arm inherits q26's broadcast-query-set brute scan
-    "q378_rrf_fusion")
+    "q378_rrf_fusion",
+    // q382 evaluates every zone against the bounded month-predicate
+    // dimension (<= data-span months, ~100 rows broadcast) — the zone
+    // stream stays distributed, so the BNLJ is a tiny-broadcast scan
+    "q382_zonemap_audit")
 
   // Queries where a CartesianProduct is the algorithm, not an accident:
   // ALS recommendForAllUsers scores ALL user x item pairs by design —
