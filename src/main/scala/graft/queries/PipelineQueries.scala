@@ -240,6 +240,107 @@ object PipelineQueries {
           col("n_pruned"),
           round((col("n_zones") - col("n_pruned")).cast("double") /
                 col("n_zones").cast("double"), 6).as("scan_frac"))
+    }),
+
+    // Token-bucket rate-limiter simulation: per user, replay events in
+    // time order against a bucket of capacity 3 refilling 1 token per 3
+    // days — the admission-control / quota primitive. The fold is
+    // non-linear (two-sided clamp), so no window prefix-sum expresses
+    // it; instead the whole state packs into ONE int64
+    // (((minute*8 + tokens) << 16) + accepted_count) and the fold is a
+    // row-local aggregate() over each user's sorted minute list — pure
+    // integer ops, so DuckDB's scalar list_reduce replays it exactly
+    // (its struct-state variant is unreliable, see q249). Per-user
+    // sequences are bounded; nothing shuffles except the one groupBy.
+    "q383_token_bucket" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("ts").cast("long").as("sec"), col("event_id"))
+      val seq = ev.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("sec"), col("event_id").as("o"),
+          expr("sec div 60").as("m")))).as("arr"))
+      def idiv(a: Column, b: Long): Column =
+        ((a - pmod(a, lit(b))) / lit(b.toDouble)).cast("long")
+      val folded = aggregate(col("arr"), lit(0L),
+        (acc, e) => {
+          val prev = shiftright(acc, 19)
+          val tok = shiftright(acc, 16).bitwiseAND(lit(7L))
+          val cnt = acc.bitwiseAND(lit(65535L))
+          val tb = least(lit(3L), tok + idiv(e.getField("m") - prev, 4320L))
+          val ok = tb >= 1L
+          val tok2 = tb - when(ok, 1L).otherwise(0L)
+          val cnt2 = cnt + when(ok, 1L).otherwise(0L)
+          shiftleft(e.getField("m") * 8 + tok2, 16) + cnt2
+        })
+      seq.select(col("user_id"), size(col("arr")).as("n_events"),
+          folded.bitwiseAND(lit(65535L)).as("n_accepted"),
+          (size(col("arr")) - folded.bitwiseAND(lit(65535L))).as("n_rejected"),
+          shiftright(folded, 16).bitwiseAND(lit(7L)).as("tokens_left"))
+    }),
+
+    // Interval coverage gaps: per customer, 30-day service windows from
+    // each order merge into islands (running max of window end,
+    // exclusive prefix), and the COMPLEMENT — the uncovered gaps between
+    // islands — is the output, with gap length in days. The islands pass
+    // is one window over per-customer order sets; the gap extraction is
+    // a lag over the (tiny) per-customer island frame.
+    "q384_coverage_gaps" -> ((s, d) => {
+      val iv = Tables.orders(s, d).select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("lo"), col("o_orderkey"))
+        .withColumn("hi", date_add(col("lo"), 30))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("lo"), col("o_orderkey"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val isl = iv
+        .withColumn("pmax", max(col("hi")).over(wPrev))
+        .withColumn("newi",
+          when(col("pmax").isNull || col("lo") > col("pmax"), 1).otherwise(0))
+        .withColumn("isl", sum(col("newi")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("o_custkey"), col("isl"))
+        .agg(min(col("lo")).as("s"), max(col("hi")).as("e"))
+      val wi = Window.partitionBy(col("o_custkey")).orderBy(col("isl"))
+      isl.withColumn("gap_start", lag(col("e"), 1).over(wi))
+        .where(col("gap_start").isNotNull)
+        .select(col("o_custkey"), col("gap_start").cast("string").as("gap_start"),
+          col("s").cast("string").as("gap_end"),
+          datediff(col("s"), col("gap_start")).as("gap_days"))
+    }),
+
+    // Soundex phonetic codes over a pinned fixture (q255's fixture-gate
+    // pattern: DuckDB has no soundex, so the oracle pins the expected
+    // US-census codes as VALUES literals — including the classic test
+    // vectors Robert/Rupert R163, Ashcraft A261, Tymczak T522,
+    // Pfister P236). Exercises Spark's codegen'd soundex expression,
+    // the phonetic-blocking key used for name matching.
+    "q385_soundex_blocking" -> ((s, d) => {
+      import s.implicits._
+      Seq("robert", "rupert", "ashcraft", "ashcroft", "tymczak", "pfister",
+          "honeyman", "jackson", "jaxon", "smith", "smyth", "knight",
+          "night", "gear", "ring", "widget")
+        .toDF("word")
+        .select(col("word"), soundex(col("word")).as("code"))
+    }),
+
+    // Diacritic-insensitive matching: accented probe strings fold to
+    // ASCII through an explicit translate() mapping (identical literal
+    // in both engines — no reliance on engine-specific strip_accents
+    // tables) and join the part-noun dictionary. The dictionary is a
+    // bounded pre-aggregated broadcast; the probe fixture exercises the
+    // fold + match path end to end.
+    "q386_diacritic_match" -> ((s, d) => {
+      import s.implicits._
+      val from = "áàâäéèêëíìîïóòôöúùûüçñý"
+      val to = "aaaaeeeeiiiioooouuuucny"
+      val probes = Seq("rïng", "gèar", "wídget", "bólt", "gizmò", "cáble")
+        .toDF("probe")
+        .withColumn("clean", translate(col("probe"), from, to))
+      val byNoun = Tables.part(s, d)
+        .groupBy(element_at(split(col("p_name"), " "), -1).as("noun"))
+        .agg(min(col("p_partkey")).as("matched_partkey"),
+          count(lit(1)).as("n_parts"))
+      probes.join(broadcast(byNoun), col("clean") === col("noun"), "left")
+        .select(col("probe"), col("clean"),
+          col("matched_partkey"), coalesce(col("n_parts"), lit(0L)).as("n_parts"))
     })
   )
 
@@ -416,6 +517,84 @@ object PipelineQueries {
                 ROUND(CAST(count(*) -
                         sum(CASE WHEN zhi < pm OR zlo > pm THEN 1 ELSE 0 END)
                       AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS scan_frac
-         FROM z, mo GROUP BY 1, 2"""
+         FROM z, mo GROUP BY 1, 2""",
+
+    "q383_token_bucket" -> {
+      val tok = "((acc >> 16) & 7)"
+      val tb = s"least(3, $tok + (e - (acc >> 19)) // 4320)"
+      val tok2 = s"($tb - CASE WHEN $tb >= 1 THEN 1 ELSE 0 END)"
+      val cnt2 = s"((acc & 65535) + CASE WHEN $tb >= 1 THEN 1 ELSE 0 END)"
+      s"""WITH seqd AS (
+           SELECT user_id,
+                  list(CAST(floor(epoch(ts)) AS BIGINT) // 60
+                       ORDER BY ts, event_id) AS arr
+           FROM events GROUP BY user_id),
+          f AS (SELECT user_id, len(arr) AS n,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+                         (acc, e) -> (((e * 8 + $tok2) << 16) + $cnt2)) AS st
+                FROM seqd)
+         SELECT user_id, CAST(n AS INT) AS n_events,
+                (st & 65535) AS n_accepted,
+                n - (st & 65535) AS n_rejected,
+                ((st >> 16) & 7) AS tokens_left
+         FROM f"""
+    },
+
+    "q384_coverage_gaps" ->
+      """WITH iv AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS lo,
+                            o_orderkey,
+                            CAST(o_orderdate AS DATE) + 30 AS hi
+                     FROM orders),
+          x AS (SELECT o_custkey, lo, hi, o_orderkey,
+                       max(hi) OVER (PARTITION BY o_custkey
+                                     ORDER BY lo, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax
+                FROM iv),
+          y AS (SELECT *, CASE WHEN pmax IS NULL OR lo > pmax
+                               THEN 1 ELSE 0 END AS newi
+                FROM x),
+          z AS (SELECT *, sum(newi) OVER (PARTITION BY o_custkey
+                                          ORDER BY lo, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS isl
+                FROM y),
+          isl AS (SELECT o_custkey, isl, min(lo) AS s, max(hi) AS e
+                  FROM z GROUP BY 1, 2),
+          g AS (SELECT o_custkey, s,
+                       lag(e) OVER (PARTITION BY o_custkey ORDER BY isl)
+                         AS gap_start
+                FROM isl)
+         SELECT o_custkey, CAST(gap_start AS VARCHAR) AS gap_start,
+                CAST(s AS VARCHAR) AS gap_end,
+                CAST(date_diff('day', gap_start, s) AS INT) AS gap_days
+         FROM g WHERE gap_start IS NOT NULL""",
+
+    "q385_soundex_blocking" ->
+      """SELECT * FROM (VALUES
+           ('robert', 'R163'), ('rupert', 'R163'),
+           ('ashcraft', 'A261'), ('ashcroft', 'A261'),
+           ('tymczak', 'T522'), ('pfister', 'P236'),
+           ('honeyman', 'H555'), ('jackson', 'J250'),
+           ('jaxon', 'J250'), ('smith', 'S530'), ('smyth', 'S530'),
+           ('knight', 'K523'), ('night', 'N230'),
+           ('gear', 'G600'), ('ring', 'R520'), ('widget', 'W323')
+         ) t(word, code)""",
+
+    "q386_diacritic_match" ->
+      """WITH probes AS (SELECT * FROM (VALUES
+            ('rïng'), ('gèar'), ('wídget'), ('bólt'), ('gizmò'), ('cáble')
+          ) p(probe)),
+          c AS (SELECT probe,
+                       translate(probe, 'áàâäéèêëíìîïóòôöúùûüçñý',
+                                 'aaaaeeeeiiiioooouuuucny') AS clean
+                FROM probes),
+          bn AS (SELECT string_split(p_name, ' ')[-1] AS noun,
+                        min(p_partkey) AS matched_partkey,
+                        CAST(count(*) AS BIGINT) AS n_parts
+                 FROM part GROUP BY 1)
+         SELECT probe, clean, matched_partkey,
+                coalesce(n_parts, 0) AS n_parts
+         FROM c LEFT JOIN bn ON clean = noun"""
   )
 }
