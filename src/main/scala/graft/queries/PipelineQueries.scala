@@ -341,6 +341,144 @@ object PipelineQueries {
       probes.join(broadcast(byNoun), col("clean") === col("noun"), "left")
         .select(col("probe"), col("clean"),
           col("matched_partkey"), coalesce(col("n_parts"), lit(0L)).as("n_parts"))
+    }),
+
+    // Functional-dependency REPAIR (the fix pass over q267's FD check):
+    // a deterministic 5% of orders carries a corrupted nation under the
+    // custkey -> nation dependency; the repair recodes each violating
+    // row to its key's majority value (max support, min-value tiebreak
+    // encoded as ONE scalar max_by argument — DuckDB has no struct
+    // comparator). One groupBy builds the (key, value) support table;
+    // the majority election and the violation scan are co-keyed joins.
+    "q387_fd_repair" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(pmod(hash60(concat(lit("fddirty:"), col("o_orderkey"))),
+              lit(20L)) === 0L,
+            pmod(col("c_nationkey") + 1, lit(25)))
+            .otherwise(col("c_nationkey")).as("observed"))
+      val support = base.groupBy(col("o_custkey").as("k"), col("observed").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val maj = support.groupBy(col("k"))
+        .agg(max_by(col("v"), col("c") * 1000000L - col("v")).as("repaired"),
+          max_by(col("c"), col("c") * 1000000L - col("v")).as("support"))
+      base.join(maj, col("o_custkey") === col("k"))
+        .where(col("observed") =!= col("repaired"))
+        .select(col("o_orderkey"), col("o_custkey"), col("observed"),
+          col("repaired"), col("support"))
+    }),
+
+    // Jackknife-by-partition standard error for a ratio metric (revenue
+    // cents per event) — the error bar that actually scales: 16 md5
+    // buckets play the role of partitions, each leave-one-out estimate
+    // is (S - s_g)/(N - n_g) over exact integer sufficient sums, and
+    // the two small folds (mean of 16 leave-one-outs, sum of squared
+    // deviations) quantize to integers so they are order-invariant.
+    // Everything after the one groupBy runs on a 16-row frame.
+    "q388_jackknife_se" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy(pmod(hash60(concat(lit("jk:"), col("event_id"))), lit(16L))
+          .as("g"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("sg"), count(lit(1)).as("ng"))
+      val tot = g.agg(sum(col("sg")).as("s"), sum(col("ng")).as("n"))
+      val loo = g.crossJoin(broadcast(tot))
+        .withColumn("loo", (col("s") - col("sg")).cast("double") /
+          (col("n") - col("ng")).cast("double"))
+        .withColumn("q", round(col("loo") * lit(1e9)).cast("long"))
+      val mean = loo.agg(sum(col("q")).as("qb"), count(lit(1)).as("ng2"))
+        .select((col("qb").cast("double") / lit(16.0) / lit(1e9)).as("mean_loo"))
+      loo.crossJoin(broadcast(mean))
+        .withColumn("t", round((col("loo") - col("mean_loo")) *
+          (col("loo") - col("mean_loo")) * lit(1e15)).cast("long"))
+        .agg(max(col("s")).as("sc"), max(col("n")).as("nc"),
+          sum(col("t")).as("ssq"))
+        .select(lit(16).as("n_groups"),
+          round(col("sc").cast("double") / col("nc").cast("double"), 6)
+            .as("theta_cents_per_event"),
+          round(sqrt(lit(15.0) / lit(16.0) *
+            (col("ssq").cast("double") / lit(1e15))), 6).as("jk_se"))
+    }),
+
+    // Mergeable-histogram percentile accuracy audit: the 128-bin
+    // equal-width histogram (the sketch any executor can build and any
+    // reducer can merge) estimates p50/p90/p99 by in-bin linear
+    // interpolation, and the audit joins the EXACT interpolated
+    // percentile (q370's value-domain pass) to report the estimation
+    // error — the check run before trusting histogram sketches at
+    // 100 TB. Windows run over per-group value/bin domains only.
+    "q389_hist_percentile_audit" -> ((s, d) => {
+      val ps = Seq(0.5, 0.9, 0.99)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"))
+      val mm = li.groupBy(col("grp").as("mg"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+          count(lit(1)).as("n"))
+        .withColumn("wdt", (col("mx") - col("mn")) / lit(128.0))
+      val hist = li.join(broadcast(mm), col("grp") === col("mg"))
+        .withColumn("bin", least(floor((col("v") - col("mn")) / col("wdt"))
+          .cast("long"), lit(127L)))
+        .groupBy(col("grp"), col("bin"))
+        .agg(count(lit(1)).as("c"), max(col("mn")).as("mn"),
+          max(col("wdt")).as("wdt"), max(col("n")).as("n"))
+      val wb = Window.partitionBy(col("grp")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(wb))
+        .withColumn("cum_prev", col("cum") - col("c"))
+      val est = cum
+        .withColumn("p", explode(array(ps.map(lit(_)): _*)))
+        .withColumn("pos", col("p") * col("n").cast("double"))
+        .where(col("cum_prev").cast("double") < col("pos") &&
+          col("pos") <= col("cum").cast("double"))
+        .select(col("grp"), col("p"),
+          (col("mn") + col("bin").cast("double") * col("wdt") +
+           (col("pos") - col("cum_prev").cast("double")) /
+             col("c").cast("double") * col("wdt")).as("est"))
+      val counts = li.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy(col("grp")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumv = counts.withColumn("cum", sum(col("c")).over(wv))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+        .withColumn("cum_prev", col("cum") - col("c"))
+      val exact = cumv
+        .withColumn("p", explode(array(ps.map(lit(_)): _*)))
+        .withColumn("h", (col("n") - 1).cast("double") * col("p"))
+        .withColumn("lo", floor(col("h")).cast("long"))
+        .withColumn("hi", least(col("lo") + 1, col("n") - 1))
+        .where((col("cum_prev") <= col("lo") && col("lo") < col("cum")) ||
+          (col("cum_prev") <= col("hi") && col("hi") < col("cum")))
+        .groupBy(col("grp"), col("p"))
+        .agg(max(col("h")).as("h"),
+          max(when(col("cum_prev") <= col("lo") && col("lo") < col("cum"),
+            col("v"))).as("v_lo"),
+          max(when(col("cum_prev") <= col("hi") && col("hi") < col("cum"),
+            col("v"))).as("v_hi"))
+        .select(col("grp"), col("p"),
+          (col("v_lo") + (col("h") - floor(col("h"))) *
+            (col("v_hi") - col("v_lo"))).as("exact"))
+      est.join(exact, Seq("grp", "p"))
+        .select(col("grp"), col("p"), round(col("est"), 6).as("est"),
+          round(col("exact"), 6).as("exact"),
+          round(abs(col("est") - col("exact")), 6).as("abs_err"))
+    }),
+
+    // Event debounce: collapse per-(user, event type) bursts — an event
+    // arriving within 300 s of its predecessor is suppressed (burst
+    // continuation), only burst heads survive. One lag window keyed on
+    // (user, type), aggregated to raw/kept/suppressed counts.
+    "q390_debounce" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("sec"), col("event_id"))
+      ev.withColumn("prev", lag(col("sec"), 1).over(w))
+        .withColumn("kept",
+          when(col("prev").isNull || col("sec") - col("prev") > 300L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_raw"), sum(col("kept")).as("n_kept"),
+          (count(lit(1)) - sum(col("kept"))).as("n_suppressed"))
     })
   )
 
@@ -595,6 +733,121 @@ object PipelineQueries {
                  FROM part GROUP BY 1)
          SELECT probe, clean, matched_partkey,
                 coalesce(n_parts, 0) AS n_parts
-         FROM c LEFT JOIN bn ON clean = noun"""
+         FROM c LEFT JOIN bn ON clean = noun""",
+
+    "q387_fd_repair" -> {
+      val h = H60("'fddirty:' || CAST(o_orderkey AS VARCHAR)")
+      s"""WITH base AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN $h % 20 = 0 THEN (c_nationkey + 1) % 25
+                        ELSE c_nationkey END AS observed
+            FROM orders JOIN customer ON o_custkey = c_custkey),
+          s AS (SELECT o_custkey AS k, observed AS v, count(*) AS c
+                FROM base GROUP BY 1, 2),
+          m AS (SELECT k, max_by(v, c * 1000000 - v) AS repaired,
+                       max_by(c, c * 1000000 - v) AS support
+                FROM s GROUP BY 1)
+         SELECT o_orderkey, o_custkey, observed, repaired,
+                CAST(support AS BIGINT) AS support
+         FROM base JOIN m ON o_custkey = k
+         WHERE observed <> repaired"""
+    },
+
+    "q388_jackknife_se" -> {
+      val h = H60("'jk:' || CAST(event_id AS VARCHAR)")
+      s"""WITH g AS (
+            SELECT $h % 16 AS g,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS sg,
+                   count(*) AS ng
+            FROM events GROUP BY 1),
+          tot AS (SELECT CAST(sum(sg) AS BIGINT) AS s,
+                         CAST(sum(ng) AS BIGINT) AS n FROM g),
+          loo AS (SELECT g.*, s, n,
+                         CAST(s - sg AS DOUBLE) / CAST(n - ng AS DOUBLE) AS loo
+                  FROM g, tot),
+          q AS (SELECT *, CAST(round(loo * 1e9) AS BIGINT) AS q FROM loo),
+          m AS (SELECT CAST(sum(q) AS BIGINT) AS qb FROM q),
+          dev AS (SELECT q.*, CAST(qb AS DOUBLE) / 16.0 / 1e9 AS mean_loo
+                  FROM q, m),
+          t AS (SELECT *, CAST(round((loo - mean_loo) * (loo - mean_loo)
+                  * 1e15) AS BIGINT) AS t
+                FROM dev)
+         SELECT 16 AS n_groups,
+                ROUND(CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+                  AS theta_cents_per_event,
+                ROUND(sqrt(15.0 / 16.0 *
+                  (CAST(sum(t) AS DOUBLE) / 1e15)), 6) AS jk_se
+         FROM t"""
+    },
+
+    "q389_hist_percentile_audit" ->
+      """WITH li AS (SELECT l_returnflag AS grp, l_extendedprice AS v
+                     FROM lineitem),
+          mm AS (SELECT grp AS mg, min(v) AS mn, max(v) AS mx,
+                        count(*) AS n,
+                        (max(v) - min(v)) / 128.0 AS wdt
+                 FROM li GROUP BY 1),
+          hist AS (SELECT grp, least(CAST(floor((v - mn) / wdt) AS BIGINT),
+                            127) AS bin,
+                          count(*) AS c, max(mn) AS mn, max(wdt) AS wdt,
+                          max(n) AS n
+                   FROM li JOIN mm ON grp = mg GROUP BY 1, 2),
+          cum AS (SELECT *, sum(c) OVER (PARTITION BY grp ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM hist),
+          cp AS (SELECT *, cum - c AS cum_prev FROM cum),
+          est AS (SELECT grp, p,
+                         mn + CAST(bin AS DOUBLE) * wdt +
+                           (p * CAST(n AS DOUBLE) - CAST(cum_prev AS DOUBLE))
+                           / CAST(c AS DOUBLE) * wdt AS est
+                  FROM cp, unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                    CAST(0.99 AS DOUBLE)]) t(p)
+                  WHERE CAST(cum_prev AS DOUBLE) < p * CAST(n AS DOUBLE)
+                    AND p * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)),
+          counts AS (SELECT grp, v, count(*) AS c FROM li GROUP BY 1, 2),
+          cumv AS (SELECT grp, v, c,
+                          sum(c) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS cum,
+                          sum(c) OVER (PARTITION BY grp) AS n
+                   FROM counts),
+          ps AS (SELECT grp, v, cum - c AS cum_prev, cum, n, p,
+                        CAST(n - 1 AS DOUBLE) * p AS h
+                 FROM cumv, unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                     CAST(0.99 AS DOUBLE)]) t(p)),
+          pos AS (SELECT *, CAST(floor(h) AS BIGINT) AS lo,
+                         least(CAST(floor(h) AS BIGINT) + 1, n - 1) AS hi
+                  FROM ps),
+          exact AS (
+            SELECT grp, p,
+                   max(CASE WHEN cum_prev <= lo AND lo < cum THEN v END)
+                   + (max(h) - floor(max(h))) *
+                     (max(CASE WHEN cum_prev <= hi AND hi < cum THEN v END)
+                      - max(CASE WHEN cum_prev <= lo AND lo < cum THEN v END))
+                     AS exact
+            FROM pos
+            WHERE (cum_prev <= lo AND lo < cum)
+               OR (cum_prev <= hi AND hi < cum)
+            GROUP BY grp, p)
+         SELECT est.grp, est.p, ROUND(est, 6) AS est, ROUND(exact, 6) AS exact,
+                ROUND(abs(est - exact), 6) AS abs_err
+         FROM est JOIN exact ON est.grp = exact.grp AND est.p = exact.p""",
+
+    "q390_debounce" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                            CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+                     FROM events),
+          k AS (SELECT user_id, event_type,
+                       CASE WHEN lag(sec) OVER (PARTITION BY user_id, event_type
+                              ORDER BY sec, event_id) IS NULL
+                             OR sec - lag(sec) OVER (PARTITION BY user_id,
+                              event_type ORDER BY sec, event_id) > 300
+                            THEN 1 ELSE 0 END AS kept
+                FROM ev)
+         SELECT user_id, event_type, count(*) AS n_raw,
+                CAST(sum(kept) AS BIGINT) AS n_kept,
+                count(*) - CAST(sum(kept) AS BIGINT) AS n_suppressed
+         FROM k GROUP BY 1, 2"""
   )
 }

@@ -219,7 +219,10 @@ class PlanAuditSpec extends SparkSpec {
     "q328_nb_classify",
     // q378: the fusion rank windows run over two bounded (<= k = 50 row)
     // rank lists — q320's bounded-domain window shape
-    "q378_rrf_fusion")
+    "q378_rrf_fusion",
+    // q388: the jackknife folds run on the 16-row bucket frame and cross
+    // two 1-row sufficient-stat frames — q198/q259's shape
+    "q388_jackknife_se")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
