@@ -479,6 +479,70 @@ object PipelineQueries {
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n_raw"), sum(col("kept")).as("n_kept"),
           (count(lit(1)) - sum(col("kept"))).as("n_suppressed"))
+    }),
+
+    // Reciprocal (mutual) nearest-neighbor pairs: among the blocked
+    // exact cosine candidates (>= 0.35), keep only pairs where each side
+    // is the other's single best neighbor — the high-precision pairing
+    // rule SemDeDup-style semantic dedup and RNN clustering build on.
+    // The per-node argmax encodes (cosine, -neighbor) as ONE scalar
+    // max_by key (round(c*1e6)*1e5 - id; DuckDB has no struct
+    // comparator) and the mutuality test is a self-join of the bounded
+    // best-edge frame on both directions.
+    "q391_mutual_nn" -> ((s, d) => {
+      val pairs = graft.operators.Similarity
+        .cosineNearDupPairs(Tables.embeddings(s, d), 0.35)
+      val u = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
+          col("cosine").as("c"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+          col("cosine").as("c")))
+      val key = round(col("c") * lit(1e6)).cast("long") * 100000L - col("dst")
+      val best = u.groupBy(col("src"))
+        .agg(max_by(col("dst"), key).as("best"), max_by(col("c"), key).as("bc"))
+      best.as("b1").join(best.as("b2"),
+          col("b1.best") === col("b2.src") && col("b2.best") === col("b1.src") &&
+          col("b1.src") < col("b1.best"))
+        .select(col("b1.src").as("id_a"), col("b1.best").as("id_b"),
+          col("b1.bc").as("cosine"))
+    }),
+
+    // Inverse-CDF weighted categorical sampler: the word2vec-style
+    // negative-sampling table. Vocabulary weights are the
+    // unigram^0.75-smoothed frequencies quantized to integers; each of
+    // 4096 md5 draws lands on the cumulative-weight axis and resolves
+    // to its token through the SAME union+window as-of join plan as
+    // q161 (no inequality join, no per-draw scan). The vocab is a
+    // bounded corpus statistic (freq >= 5), so its cumulative window is
+    // a corpus-scalar fit. pow(freq, 0.75) is the one libm op; its
+    // 1-ulp cross-engine risk is absorbed by the coarse *1000
+    // quantization (same risk class as the ln-based BM25/Zipf gates).
+    "q392_negative_sampler" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+        .where(length(col("tok")) > 0)
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .where(col("freq") >= 5)
+        .withColumn("w", round(pow(col("freq"), lit(0.75)) * lit(1000))
+          .cast("long"))
+      val wc = Window.orderBy(col("tok"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = vocab.withColumn("cum_lo",
+        coalesce(sum(col("w")).over(wc), lit(0L)))
+      val tot = vocab.agg(sum(col("w")).as("tw"))
+      val draws = s.range(4096).toDF("j").crossJoin(broadcast(tot))
+        .select(col("j"),
+          pmod(hash60(concat(lit("neg:"), col("j"))), col("tw")).as("u"))
+      val assigned = graft.operators.TimeSeries.asOfJoin(
+        draws, col("j"), lit(1), col("u"),
+        cum, lit(1), col("cum_lo"), col("tok"))
+      val counts = assigned.groupBy(col("asof").as("tok"))
+        .agg(count(lit(1)).as("n"))
+      cum.join(counts, Seq("tok"), "left").crossJoin(broadcast(tot))
+        .select(col("tok").as("token"), col("freq"),
+          coalesce(col("n"), lit(0L)).as("n_drawn"),
+          round(col("w").cast("double") / col("tw").cast("double"), 6)
+            .as("expected_share"))
     })
   )
 
@@ -848,6 +912,63 @@ object PipelineQueries {
          SELECT user_id, event_type, count(*) AS n_raw,
                 CAST(sum(kept) AS BIGINT) AS n_kept,
                 count(*) - CAST(sum(kept) AS BIGINT) AS n_suppressed
-         FROM k GROUP BY 1, 2"""
+         FROM k GROUP BY 1, 2""",
+
+    "q391_mutual_nn" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE))
+                             AS emb
+                    FROM embeddings),
+          p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                       ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+                           i -> a.emb[CAST(i AS INT)] * b.emb[CAST(i AS INT)]))
+                         / (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1),
+                             i -> a.emb[CAST(i AS INT)] * a.emb[CAST(i AS INT)])))
+                          * sqrt(list_sum(list_transform(range(1, len(b.emb) + 1),
+                             i -> b.emb[CAST(i AS INT)] * b.emb[CAST(i AS INT)])))),
+                         6) AS c
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE list_sum(list_transform(range(1, len(a.emb) + 1),
+                        i -> a.emb[CAST(i AS INT)] * b.emb[CAST(i AS INT)]))
+                      / (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1),
+                          i -> a.emb[CAST(i AS INT)] * a.emb[CAST(i AS INT)])))
+                       * sqrt(list_sum(list_transform(range(1, len(b.emb) + 1),
+                          i -> b.emb[CAST(i AS INT)] * b.emb[CAST(i AS INT)]))))
+                      >= 0.35),
+          u AS (SELECT ia AS src, ib AS dst, c FROM p
+                UNION ALL SELECT ib, ia, c FROM p),
+          b AS (SELECT src,
+                       max_by(dst, CAST(round(c * 1e6) AS BIGINT) * 100000 - dst)
+                         AS best,
+                       max_by(c, CAST(round(c * 1e6) AS BIGINT) * 100000 - dst)
+                         AS bc
+                FROM u GROUP BY 1)
+         SELECT b1.src AS id_a, b1.best AS id_b, b1.bc AS cosine
+         FROM b b1 JOIN b b2
+           ON b1.best = b2.src AND b2.best = b1.src AND b1.src < b1.best""",
+
+    "q392_negative_sampler" -> {
+      val h = H60("'neg:' || CAST(j AS VARCHAR)")
+      s"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                          '\\s+')) AS tok
+                        FROM documents),
+          f AS (SELECT tok, count(*) AS freq FROM toks
+                WHERE len(tok) > 0 GROUP BY 1 HAVING count(*) >= 5),
+          wv AS (SELECT tok, freq,
+                        CAST(round(pow(freq, 0.75) * 1000) AS BIGINT) AS w
+                 FROM f),
+          c AS (SELECT *, coalesce(sum(w) OVER (ORDER BY tok
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_lo
+                FROM wv),
+          t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wv),
+          d AS (SELECT j, $h % tw AS u FROM range(0, 4096) r(j), t),
+          a AS (SELECT d.j, c.tok FROM d ASOF JOIN c ON d.u >= c.cum_lo),
+          g AS (SELECT tok, count(*) AS n FROM a GROUP BY 1)
+         SELECT wv.tok AS token, freq, coalesce(n, 0) AS n_drawn,
+                ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+                  AS expected_share
+         FROM wv LEFT JOIN g USING (tok), t"""
+    }
   )
 }

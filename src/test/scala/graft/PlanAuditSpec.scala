@@ -222,7 +222,11 @@ class PlanAuditSpec extends SparkSpec {
     "q378_rrf_fusion",
     // q388: the jackknife folds run on the 16-row bucket frame and cross
     // two 1-row sufficient-stat frames — q198/q259's shape
-    "q388_jackknife_se")
+    "q388_jackknife_se",
+    // q392: the cumulative-weight window and as-of union run over the
+    // bounded vocabulary (corpus-scalar fit, q57's idf shape); the
+    // weight total is a 1-row frame crossJoin-broadcast into the draws
+    "q392_negative_sampler")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
