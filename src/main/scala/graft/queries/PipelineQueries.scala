@@ -543,6 +543,92 @@ object PipelineQueries {
           coalesce(col("n"), lit(0L)).as("n_drawn"),
           round(col("w").cast("double") / col("tw").cast("double"), 6)
             .as("expected_share"))
+    }),
+
+    // Propensity-bucket matched pairs (PSM-lite): odd-custkey "treated"
+    // customers pair 1:1 with controls inside exact percent-rank deciles
+    // of the pre-treatment covariate (account balance) — the i-th
+    // treated of a decile matches its i-th control (rank by balance,
+    // key), unmatched tails drop. ATT per decile is an integer-cents
+    // mean difference: one division at the end. The decile fit is the
+    // exact two-level percent-rank (no global sort); the pairing is a
+    // co-keyed (decile, rank) equi-join.
+    "q393_psm_att" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("y"))
+      val units = Tables.customer(s, d)
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_acctbal"), col("y"),
+          (pmod(col("c_custkey"), lit(2L)) === 1L).as("treated"))
+      val q = graft.operators.Vectorizers
+        .quantileRank(units, col("c_custkey"), col("c_acctbal"))
+        .select(col("id").as("c_custkey"),
+          least(lit(9L), floor(col("q") * 10).cast("long")).as("decile"))
+      val ranked = units.join(q, Seq("c_custkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("decile"), col("treated"))
+            .orderBy(col("c_acctbal"), col("c_custkey"))))
+      val t = ranked.where(col("treated"))
+        .select(col("decile"), col("rn"), col("y").as("yt"))
+      val c = ranked.where(!col("treated"))
+        .select(col("decile"), col("rn"), col("y").as("yc"))
+      val arms = ranked.groupBy(col("decile"))
+        .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_treated"),
+          sum(when(col("treated"), 0L).otherwise(1L)).as("n_control"))
+      t.join(c, Seq("decile", "rn"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("yt") - col("yc")).as("dsum"))
+        .join(arms, Seq("decile"))
+        .select(col("decile"), col("n_treated"), col("n_control"),
+          col("n_pairs"),
+          round(col("dsum").cast("double") / col("n_pairs").cast("double")
+            / lit(100.0), 6).as("att_dollars"))
+    }),
+
+    // Qini uplift curve by propensity decile: treated (odd custkey) vs
+    // control conversion to an urgent order, per exact percent-rank
+    // decile of account balance, plus the cumulative Qini statistic
+    // walking deciles best-first — the uplift-model evaluation the A/B
+    // readouts (q153/q259) don't cover. All counts are exact integers;
+    // the cumulative pass runs on the 10-row decile frame.
+    "q394_qini_uplift" -> ((s, d) => {
+      val conv = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+        .withColumn("b", lit(1L))
+      val units = Tables.customer(s, d)
+        .join(conv, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_acctbal"),
+          coalesce(col("b"), lit(0L)).as("b"),
+          (pmod(col("c_custkey"), lit(2L)) === 1L).as("treated"))
+      val q = graft.operators.Vectorizers
+        .quantileRank(units, col("c_custkey"), col("c_acctbal"))
+        .select(col("id").as("c_custkey"),
+          least(lit(9L), floor(col("q") * 10).cast("long")).as("decile"))
+      val dec = units.join(q, Seq("c_custkey"))
+        .groupBy(col("decile"))
+        .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treated"), col("b")).otherwise(0L)).as("conv_t"),
+          sum(when(!col("treated"), col("b")).otherwise(0L)).as("conv_c"))
+      val w = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("cnt", sum(col("n_t")).over(w))
+        .withColumn("cnc", sum(col("n_c")).over(w))
+        .withColumn("cct", sum(col("conv_t")).over(w))
+        .withColumn("ccc", sum(col("conv_c")).over(w))
+        .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"),
+          col("conv_c"),
+          round(col("conv_t").cast("double") / col("n_t").cast("double") -
+                col("conv_c").cast("double") / col("n_c").cast("double"), 6)
+            .as("uplift"),
+          round(col("cct").cast("double") - col("ccc").cast("double") *
+            (col("cnt").cast("double") / col("cnc").cast("double")), 6)
+            .as("qini"))
     })
   )
 
@@ -969,6 +1055,93 @@ object PipelineQueries {
                 ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6)
                   AS expected_share
          FROM wv LEFT JOIN g USING (tok), t"""
-    }
+    },
+
+    "q393_psm_att" ->
+      """WITH spend AS (SELECT o_custkey,
+                               CAST(sum(CAST(CAST(o_totalprice
+                                 AS DECIMAL(18,2)) * 100 AS BIGINT))
+                                 AS BIGINT) AS y
+                        FROM orders GROUP BY 1),
+          units AS (SELECT c_custkey, c_acctbal, y,
+                           (c_custkey % 2 = 1) AS treated
+                    FROM customer JOIN spend ON c_custkey = o_custkey),
+          counts AS (SELECT c_acctbal AS v, count(*) AS c
+                     FROM units GROUP BY 1),
+          nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+          below AS (SELECT v, sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                      AS below
+                    FROM counts),
+          qd AS (SELECT u.c_custkey,
+                        least(9, CAST(floor(ROUND(below / (n - 1), 6) * 10)
+                          AS BIGINT)) AS decile
+                 FROM units u JOIN below ON u.c_acctbal = below.v, nn),
+          ranked AS (SELECT u.*, qd.decile,
+                            row_number() OVER (PARTITION BY qd.decile,
+                              u.treated
+                              ORDER BY u.c_acctbal, u.c_custkey) AS rn
+                     FROM units u JOIN qd ON u.c_custkey = qd.c_custkey),
+          arms AS (SELECT decile,
+                          CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_treated,
+                          CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_control
+                   FROM ranked GROUP BY 1),
+          p AS (SELECT t.decile, count(*) AS n_pairs,
+                       CAST(sum(t.y - c.y) AS BIGINT) AS dsum
+                FROM ranked t JOIN ranked c
+                  ON t.decile = c.decile AND t.rn = c.rn
+                 AND t.treated AND NOT c.treated
+                GROUP BY 1)
+         SELECT p.decile, n_treated, n_control, n_pairs,
+                ROUND(CAST(dsum AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 100.0,
+                  6) AS att_dollars
+         FROM p JOIN arms USING (decile)""",
+
+    "q394_qini_uplift" ->
+      """WITH conv AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT'),
+          units AS (SELECT c_custkey, c_acctbal,
+                           CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END
+                             AS b,
+                           (c_custkey % 2 = 1) AS treated
+                    FROM customer LEFT JOIN conv ON c_custkey = o_custkey),
+          counts AS (SELECT c_acctbal AS v, count(*) AS c
+                     FROM units GROUP BY 1),
+          nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+          below AS (SELECT v, sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                      AS below
+                    FROM counts),
+          qd AS (SELECT u.c_custkey,
+                        least(9, CAST(floor(ROUND(below / (n - 1), 6) * 10)
+                          AS BIGINT)) AS decile
+                 FROM units u JOIN below ON u.c_acctbal = below.v, nn),
+          dec AS (SELECT decile,
+                         CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_t,
+                         CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_c,
+                         CAST(sum(CASE WHEN treated THEN b ELSE 0 END)
+                           AS BIGINT) AS conv_t,
+                         CAST(sum(CASE WHEN NOT treated THEN b ELSE 0 END)
+                           AS BIGINT) AS conv_c
+                  FROM units u JOIN qd ON u.c_custkey = qd.c_custkey
+                  GROUP BY 1),
+          cum AS (SELECT *,
+                         sum(n_t) OVER w AS cnt, sum(n_c) OVER w AS cnc,
+                         sum(conv_t) OVER w AS cct,
+                         sum(conv_c) OVER w AS ccc
+                  FROM dec
+                  WINDOW w AS (ORDER BY decile DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT decile, n_t, n_c, conv_t, conv_c,
+                ROUND(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+                      CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+                  AS uplift,
+                ROUND(CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) *
+                  (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)), 6) AS qini
+         FROM cum"""
   )
 }

@@ -226,7 +226,11 @@ class PlanAuditSpec extends SparkSpec {
     // q392: the cumulative-weight window and as-of union run over the
     // bounded vocabulary (corpus-scalar fit, q57's idf shape); the
     // weight total is a 1-row frame crossJoin-broadcast into the draws
-    "q392_negative_sampler")
+    "q392_negative_sampler",
+    // q393/q394: the percent-rank decile fit is q221's gains-table shape
+    // (cumulativeByValue prefix collect + 1-row n frame broadcast), and
+    // q394's Qini window runs over the 10-row decile frame
+    "q393_psm_att", "q394_qini_uplift")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
