@@ -629,6 +629,71 @@ object PipelineQueries {
           round(col("cct").cast("double") - col("ccc").cast("double") *
             (col("cnt").cast("double") / col("cnc").cast("double")), 6)
             .as("qini"))
+    }),
+
+    // Hierarchical-shrinkage target encoding: each (type, brand) cell's
+    // mean retail price shrinks toward its TYPE's mean, which itself
+    // shrinks toward the global mean (two-level partial pooling,
+    // k = 20 pseudo-observations per level) — the encoding that keeps
+    // rare categories sane where q139's single-level smoothing cannot.
+    // Sums stay integer cents until the two mirrored divisions; the
+    // parent frames are bounded broadcasts.
+    "q395_hier_target_encode" -> ((s, d) => {
+      val k = 20.0
+      val p = Tables.part(s, d).select(col("p_type"), col("p_brand"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val cell = p.groupBy(col("p_type"), col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      val typ = cell.groupBy(col("p_type").as("t"))
+        .agg(sum(col("n")).as("nt"), sum(col("sc")).as("st"))
+      val glob = typ.agg(sum(col("nt")).as("ng"), sum(col("st")).as("sg"))
+        .select((col("sg").cast("double") / col("ng").cast("double"))
+          .as("mg"))
+      val typS = typ.crossJoin(broadcast(glob))
+        .select(col("t"),
+          ((col("st").cast("double") + lit(k) * col("mg")) /
+           (col("nt").cast("double") + lit(k))).as("mts"))
+      cell.join(broadcast(typS), col("p_type") === col("t"))
+        .select(col("p_type"), col("p_brand"), col("n"),
+          round((col("sc").cast("double") + lit(k) * col("mts")) /
+                (col("n").cast("double") + lit(k)) / lit(100.0), 6)
+            .as("encoded_dollars"))
+    }),
+
+    // Cross-format sink/source consistency: write the customer
+    // dimension through the ORC, JSON, and CSV sinks, read each back
+    // under its explicit schema, and compare an order-independent
+    // content digest (sum of per-row md5-hash residues — floats ride as
+    // DECIMAL strings so no engine float-formatting enters the hash)
+    // against the parquet original. The oracle computes the digest once
+    // from parquet and expects every format to match — a corrupted
+    // roundtrip breaks the hash gate, not just a row count.
+    "q397_multi_format_consistency" -> ((s, d) => {
+      import graft.sources.FormatReaders
+      val base = Tables.customer(s, d)
+      def digest(df: DataFrame): DataFrame =
+        df.select(pmod(hash60(concat_ws(":", lit("dig"), col("c_custkey"),
+            col("c_name"), col("c_nationkey"),
+            col("c_acctbal").cast("decimal(12,2)"), col("c_mktsegment"))),
+          lit(1000000000000L)).as("h"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("digest"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      FormatReaders.writeOrc(base, s"$tmp/orc")
+      FormatReaders.writeJson(base, s"$tmp/json")
+      FormatReaders.writeCsv(base, s"$tmp/csv")
+      val reread = Seq(
+        "parquet" -> base,
+        "orc" -> FormatReaders.readOrc(s, s"$tmp/orc"),
+        "json" -> FormatReaders.readJson(s, s"$tmp/json", base.schema),
+        "csv" -> FormatReaders.readCsv(s, s"$tmp/csv", base.schema))
+      val ref = digest(base).select(col("digest").as("ref_digest"))
+      reread.map { case (fmt, df) =>
+        digest(df).select(lit(fmt).as("format"), col("n_rows"), col("digest"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(ref))
+        .select(col("format"), col("n_rows"), col("digest"),
+          (col("digest") === col("ref_digest")).as("matches_parquet"))
     })
   )
 
@@ -1142,6 +1207,42 @@ object PipelineQueries {
                   AS uplift,
                 ROUND(CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) *
                   (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)), 6) AS qini
-         FROM cum"""
+         FROM cum""",
+
+    "q395_hier_target_encode" ->
+      """WITH p AS (SELECT p_type, p_brand,
+                           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS cents
+                    FROM part),
+          cell AS (SELECT p_type, p_brand, count(*) AS n,
+                          CAST(sum(cents) AS BIGINT) AS sc
+                   FROM p GROUP BY 1, 2),
+          typ AS (SELECT p_type AS t, CAST(sum(n) AS BIGINT) AS nt,
+                         CAST(sum(sc) AS BIGINT) AS st
+                  FROM cell GROUP BY 1),
+          gstat AS (SELECT CAST(sum(st) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)
+                      AS mg
+                    FROM typ),
+          typs AS (SELECT t, (CAST(st AS DOUBLE) + 20.0 * mg) /
+                             (CAST(nt AS DOUBLE) + 20.0) AS mts
+                   FROM typ, gstat)
+         SELECT p_type, p_brand, n,
+                ROUND((CAST(sc AS DOUBLE) + 20.0 * mts) /
+                      (CAST(n AS DOUBLE) + 20.0) / 100.0, 6)
+                  AS encoded_dollars
+         FROM cell JOIN typs ON p_type = t""",
+
+    "q397_multi_format_consistency" -> {
+      val h = H60("'dig:' || CAST(c_custkey AS VARCHAR) || ':' || c_name" +
+        " || ':' || CAST(c_nationkey AS VARCHAR) || ':' ||" +
+        " CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) || ':' ||" +
+        " c_mktsegment")
+      s"""WITH dg AS (SELECT count(*) AS n_rows,
+                             CAST(sum($h % 1000000000000) AS BIGINT) AS digest
+                      FROM customer)
+         SELECT f.format, n_rows, digest, true AS matches_parquet
+         FROM dg, (VALUES ('parquet'), ('orc'), ('json'), ('csv'))
+           f(format)"""
+    }
   )
 }

@@ -230,7 +230,13 @@ class PlanAuditSpec extends SparkSpec {
     // q393/q394: the percent-rank decile fit is q221's gains-table shape
     // (cumulativeByValue prefix collect + 1-row n frame broadcast), and
     // q394's Qini window runs over the 10-row decile frame
-    "q393_psm_att", "q394_qini_uplift")
+    "q393_psm_att", "q394_qini_uplift",
+    // q395: the global-mean prior is a 1-row frame crossJoin-broadcast
+    // over the bounded type frame — q139's shape
+    "q395_hier_target_encode",
+    // q397: each format digest reduces to ONE sufficient-stats row and
+    // crosses the 1-row parquet reference digest — q198's shape
+    "q397_multi_format_consistency")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
