@@ -694,6 +694,74 @@ object PipelineQueries {
         .crossJoin(broadcast(ref))
         .select(col("format"), col("n_rows"), col("digest"),
           (col("digest") === col("ref_digest")).as("matches_parquet"))
+    }),
+
+    // TextRank extractive summarization: per document, 12-token chunks
+    // are the "sentences", edges are exact-rational Jaccard overlaps of
+    // their distinct-token sets (quantized to 1e9 integers), and five
+    // fixed power-iteration rounds of weighted PageRank (damping 0.85,
+    // per-round integer re-quantization — q142/q326's determinism
+    // pattern) score each chunk; the top-2 per document are the
+    // summary. Every join is co-keyed on doc_id, pair work is bounded
+    // per document, and the oracle replays all five rounds op-for-op
+    // in unrolled CTEs.
+    "q396_textrank_summary" -> ((s, d) => {
+      val chunks = graft.operators.Curation.chunkByTokens(
+          Tables.documents(s, d), col("doc_id"), col("text"), 12, 0)
+        .select(col("doc"), col("chunk_idx").as("i"), col("chunk_text"))
+      val tok = chunks.select(col("doc"), col("i"),
+          explode(array_distinct(split(col("chunk_text"), " "))).as("w"))
+        .where(length(col("w")) > 0)
+      val sizes = tok.groupBy(col("doc"), col("i")).agg(count(lit(1)).as("sz"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.doc") === col("b.doc") && col("a.w") === col("b.w") &&
+          col("a.i") < col("b.i"))
+        .groupBy(col("a.doc").as("doc"), col("a.i").as("i"),
+          col("b.i").as("j"))
+        .agg(count(lit(1)).as("nint"))
+      val edges0 = inter
+        .join(sizes.select(col("doc"), col("i"), col("sz").as("szi")),
+          Seq("doc", "i"))
+        .join(sizes.select(col("doc"), col("i").as("j"), col("sz").as("szj")),
+          Seq("doc", "j"))
+        .select(col("doc"), col("i"), col("j"),
+          round(col("nint").cast("double") /
+            (col("szi") + col("szj") - col("nint")).cast("double") * lit(1e9))
+            .cast("long").as("wq"))
+        .where(col("wq") > 0)
+      val edges = edges0
+        .select(col("doc"), col("i").as("src"), col("j").as("dst"), col("wq"))
+        .unionByName(edges0.select(col("doc"), col("j").as("src"),
+          col("i").as("dst"), col("wq")))
+      val ew = edges.join(
+        edges.groupBy(col("doc"), col("src")).agg(sum(col("wq")).as("wsum")),
+        Seq("doc", "src")).persist()
+      val nd = chunks.groupBy(col("doc")).agg(count(lit(1)).as("nd"))
+      var r = chunks.select(col("doc"), col("i")).join(nd, Seq("doc"))
+        .select(col("doc"), col("i"), col("nd"),
+          round(lit(1e9) / col("nd").cast("double")).cast("long").as("rq"))
+      for (_ <- 1 to 5) {
+        val contrib = ew
+          .join(r.select(col("doc"), col("i").as("src"), col("rq")),
+            Seq("doc", "src"))
+          .select(col("doc"), col("dst").as("i"),
+            round(col("wq").cast("double") / col("wsum").cast("double") *
+              col("rq").cast("double")).cast("long").as("c"))
+          .groupBy(col("doc"), col("i")).agg(sum(col("c")).as("sc"))
+        r = r.select(col("doc"), col("i"), col("nd"))
+          .join(contrib, Seq("doc", "i"), "left")
+          .select(col("doc"), col("i"), col("nd"),
+            round(lit(1.5e8) / col("nd").cast("double") +
+              lit(0.85) * coalesce(col("sc"), lit(0L)).cast("double"))
+              .cast("long").as("rq"))
+      }
+      val ranked = r.withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc")).orderBy(col("rq").desc, col("i"))))
+        .where(col("rank") <= 2)
+      ranked.join(chunks, Seq("doc", "i"))
+        .select(col("doc").as("doc_id"), col("i").as("chunk_idx"),
+          col("rank"), round(col("rq").cast("double") / lit(1e9), 6)
+            .as("score"), col("chunk_text"))
     })
   )
 
@@ -1243,6 +1311,74 @@ object PipelineQueries {
          SELECT f.format, n_rows, digest, true AS matches_parquet
          FROM dg, (VALUES ('parquet'), ('orc'), ('json'), ('csv'))
            f(format)"""
+    },
+
+    "q396_textrank_summary" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""c$k AS (SELECT e.doc, e.dst AS i,
+                      CAST(sum(CAST(round(CAST(e.wq AS DOUBLE)
+                        / CAST(e.wsum AS DOUBLE) * CAST(p.rq AS DOUBLE))
+                        AS BIGINT)) AS BIGINT) AS sc
+                    FROM ew e JOIN r${k - 1} p
+                      ON e.doc = p.doc AND e.src = p.i
+                    GROUP BY 1, 2),
+           r$k AS (SELECT r.doc, r.i, r.nd,
+                      CAST(round(1.5e8 / CAST(r.nd AS DOUBLE)
+                        + CAST(0.85 AS DOUBLE)
+                          * CAST(coalesce(c$k.sc, 0) AS DOUBLE))
+                        AS BIGINT) AS rq
+                   FROM r${k - 1} r LEFT JOIN c$k
+                     ON r.doc = c$k.doc AND r.i = c$k.i)"""
+      }.mkString(",\n          ")
+      s"""WITH chunks AS (
+           SELECT doc_id AS doc, CAST(start_tok // 12 AS INT) AS i,
+                  array_to_string(toks[CAST(start_tok + 1 AS INT):
+                    CAST(start_tok + 12 AS INT)], ' ') AS chunk_text
+           FROM (SELECT doc_id, toks,
+                        unnest(range(0, len(toks), 12)) AS start_tok
+                 FROM (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)), '\\s+')
+                                AS toks
+                       FROM documents))),
+          tok AS (SELECT doc, i, w
+                  FROM (SELECT doc, i,
+                               unnest(list_distinct(string_split(chunk_text,
+                                 ' '))) AS w
+                        FROM chunks)
+                  WHERE len(w) > 0),
+          sizes AS (SELECT doc, i, count(*) AS sz FROM tok GROUP BY 1, 2),
+          inter AS (SELECT a.doc, a.i AS i, b.i AS j, count(*) AS nint
+                    FROM tok a JOIN tok b
+                      ON a.doc = b.doc AND a.w = b.w AND a.i < b.i
+                    GROUP BY 1, 2, 3),
+          e0 AS (SELECT inter.doc, inter.i, inter.j,
+                        CAST(round(CAST(nint AS DOUBLE)
+                          / CAST(si.sz + sj.sz - nint AS DOUBLE) * 1e9)
+                          AS BIGINT) AS wq
+                 FROM inter
+                 JOIN sizes si ON inter.doc = si.doc AND inter.i = si.i
+                 JOIN sizes sj ON inter.doc = sj.doc AND inter.j = sj.i),
+          e1 AS (SELECT doc, i, j, wq FROM e0 WHERE wq > 0),
+          edges AS (SELECT doc, i AS src, j AS dst, wq FROM e1
+                    UNION ALL SELECT doc, j, i, wq FROM e1),
+          outw AS (SELECT doc, src, CAST(sum(wq) AS BIGINT) AS wsum
+                   FROM edges GROUP BY 1, 2),
+          ew AS (SELECT e.doc, e.src, e.dst, e.wq, o.wsum
+                 FROM edges e JOIN outw o
+                   ON e.doc = o.doc AND e.src = o.src),
+          nd AS (SELECT doc, count(*) AS nd FROM chunks GROUP BY 1),
+          r0 AS (SELECT c.doc, c.i, nd.nd,
+                        CAST(round(1e9 / CAST(nd.nd AS DOUBLE)) AS BIGINT)
+                          AS rq
+                 FROM chunks c JOIN nd ON c.doc = nd.doc),
+          $rounds
+         SELECT t.doc AS doc_id, t.i AS chunk_idx, CAST(t.rank AS INT) AS rank,
+                ROUND(CAST(t.rq AS DOUBLE) / 1e9, 6) AS score, ch.chunk_text
+         FROM (SELECT r5.*, row_number() OVER (PARTITION BY doc
+                 ORDER BY rq DESC, i) AS rank
+               FROM r5) t
+         JOIN chunks ch ON t.doc = ch.doc AND t.i = ch.i
+         WHERE t.rank <= 2"""
     }
   )
 }
