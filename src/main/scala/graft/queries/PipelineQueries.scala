@@ -762,6 +762,142 @@ object PipelineQueries {
         .select(col("doc").as("doc_id"), col("i").as("chunk_idx"),
           col("rank"), round(col("rq").cast("double") / lit(1e9), 6)
             .as("score"), col("chunk_text"))
+    }),
+
+    // Shapley decomposition of R^2 over two regressors: how much of the
+    // price variance explained by {quantity, discount} belongs to each —
+    // phi_x = (R2(x) + R2(xz) - R2(z)) / 2 — computed entirely from one
+    // sufficient-stats aggregate per flag (closed-form correlations; the
+    // 2-regressor R2 identity (rxy^2 + rzy^2 - 2 rxy rzy rxz)/(1-rxz^2)).
+    // First-order sums fold exact decimal; second-order terms quantize
+    // y*y etc. to integers so shuffle order cannot perturb bits.
+    "q398_shapley_r2" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("double").as("y"),
+        col("l_quantity").cast("decimal(12,2)").cast("double").as("x"),
+        col("l_discount").cast("decimal(12,2)").cast("double").as("z"))
+      def q2(c: Column): Column = round(c).cast("long")
+      val st = li.groupBy(col("grp")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(col("z").cast("decimal(18,2)")).cast("double").as("sz"),
+        sum(col("y").cast("decimal(18,2)")).cast("double").as("sy"),
+        sum(q2(col("x") * col("x") * lit(1e4))).cast("double").as("sxxq"),
+        sum(q2(col("z") * col("z") * lit(1e6))).cast("double").as("szzq"),
+        sum(q2(col("y") * col("y"))).cast("double").as("syyq"),
+        sum(q2(col("x") * col("y") * lit(1e2))).cast("double").as("sxyq"),
+        sum(q2(col("z") * col("y") * lit(1e4))).cast("double").as("szyq"),
+        sum(q2(col("x") * col("z") * lit(1e6))).cast("double").as("sxzq"))
+      val cor = st.select(col("grp"), col("n"),
+        ((col("n") * (col("sxyq") / lit(1e2)) - col("sx") * col("sy")) /
+         sqrt((col("n") * (col("sxxq") / lit(1e4)) - col("sx") * col("sx")) *
+              (col("n") * col("syyq") - col("sy") * col("sy")))).as("rxy"),
+        ((col("n") * (col("szyq") / lit(1e4)) - col("sz") * col("sy")) /
+         sqrt((col("n") * (col("szzq") / lit(1e6)) - col("sz") * col("sz")) *
+              (col("n") * col("syyq") - col("sy") * col("sy")))).as("rzy"),
+        ((col("n") * (col("sxzq") / lit(1e6)) - col("sx") * col("sz")) /
+         sqrt((col("n") * (col("sxxq") / lit(1e4)) - col("sx") * col("sx")) *
+              (col("n") * (col("szzq") / lit(1e6)) - col("sz") * col("sz"))))
+          .as("rxz"))
+      cor.select(col("grp"), col("n").cast("long").as("n"),
+          (col("rxy") * col("rxy")).as("r2_x"),
+          (col("rzy") * col("rzy")).as("r2_z"),
+          ((col("rxy") * col("rxy") + col("rzy") * col("rzy") -
+            lit(2.0) * col("rxy") * col("rzy") * col("rxz")) /
+           (lit(1.0) - col("rxz") * col("rxz"))).as("r2_full"))
+        .select(col("grp"), col("n"), round(col("r2_x"), 6).as("r2_x"),
+          round(col("r2_z"), 6).as("r2_z"),
+          round(col("r2_full"), 6).as("r2_full"),
+          round((col("r2_x") + col("r2_full") - col("r2_z")) / lit(2.0), 6)
+            .as("shap_x"),
+          round((col("r2_z") + col("r2_full") - col("r2_x")) / lit(2.0), 6)
+            .as("shap_z"))
+    }),
+
+    // Exact 1-D Wasserstein (earth-mover) distance between two customer
+    // segments' order-price distributions: W1 = sum over the value
+    // domain of |F1 - F2| * gap, kept exact as |cum1*n2 - cum2*n1|
+    // integer cross-multiplications; the value-domain prefix runs
+    // two-level (4096-wide price buckets -> bounded bucket frame prefix
+    // -> within-bucket windows), never a data-sized global sort. The
+    // cross-bucket lead(v) patches from the bucket frame's next-bucket
+    // minimum.
+    "q400_wasserstein" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("o_totalprice").as("v"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("i1"))
+      val vc = o.groupBy(col("v"))
+        .agg(sum(col("i1")).as("c1"), (count(lit(1)) - sum(col("i1"))).as("c2"))
+        .withColumn("b", floor(col("v") / lit(4096.0)).cast("long"))
+      val bk = vc.groupBy(col("b")).agg(sum(col("c1")).as("s1"),
+        sum(col("c2")).as("s2"), min(col("v")).as("minv"))
+      val wb = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+      val pre = bk
+        .withColumn("p1", coalesce(sum(col("s1")).over(wb), lit(0L)))
+        .withColumn("p2", coalesce(sum(col("s2")).over(wb), lit(0L)))
+      val nxt = bk.select((col("b") - 1).as("b"), col("minv").as("next_minv"))
+      val tot = vc.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+      val terms = vc
+        .join(broadcast(pre.select(col("b"), col("p1"), col("p2"))), Seq("b"))
+        .join(broadcast(nxt), Seq("b"), "left")
+        .withColumn("cum1", col("p1") + sum(col("c1")).over(
+          wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum2", col("p2") + sum(col("c2")).over(
+          wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nv", coalesce(lead(col("v"), 1).over(wv),
+          col("next_minv")))
+        .crossJoin(broadcast(tot))
+        .withColumn("t", when(col("nv").isNotNull,
+          round(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+            .cast("double") * (col("nv") - col("v"))).cast("long"))
+          .otherwise(0L))
+      terms.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(col("t")).as("ts"))
+        .select(col("n1"), col("n2"),
+          round(col("ts").cast("double") /
+            (col("n1") * col("n2")).cast("double"), 6).as("w1_distance"))
+    }),
+
+    // Empirical-Bayes proportion shrinkage (beta-binomial via method of
+    // moments): per-brand lineitem return rates shrink toward the prior
+    // fitted from the across-brand rate mean/variance — alpha/beta from
+    // closed-form MoM, shrunk = (x + alpha)/(n + alpha + beta). Rates
+    // quantize to 1e9/1e12 integers for the two small order-invariant
+    // folds; the brand frame is bounded (25 rows).
+    "q401_eb_shrinkage" -> ((s, d) => {
+      val br = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+        .withColumn("r", col("x").cast("double") / col("n").cast("double"))
+      val mom = br
+        .select(col("p_brand"), col("n"), col("x"), col("r"),
+          round(col("r") * lit(1e9)).cast("long").as("rq"),
+          round(col("r") * col("r") * lit(1e12)).cast("long").as("rrq"))
+      val prior = mom.agg(count(lit(1)).as("k"), sum(col("rq")).as("srq"),
+          sum(col("rrq")).as("srrq"))
+        .select(col("k"),
+          (col("srq").cast("double") / col("k").cast("double") / lit(1e9))
+            .as("m"),
+          (col("srrq").cast("double") / col("k").cast("double") / lit(1e12))
+            .as("e2"))
+        .select(col("k"), col("m"), (col("e2") - col("m") * col("m")).as("v"))
+        .select(col("m"), col("v"),
+          (col("m") * (col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)))
+            .as("alpha"),
+          ((lit(1.0) - col("m")) *
+           (col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)))
+            .as("beta"))
+      mom.crossJoin(broadcast(prior))
+        .select(col("p_brand"), col("n"), col("x"),
+          round(col("r"), 6).as("raw_rate"),
+          round((col("x").cast("double") + col("alpha")) /
+                (col("n").cast("double") + col("alpha") + col("beta")), 6)
+            .as("shrunk_rate"))
     })
   )
 
@@ -1379,6 +1515,105 @@ object PipelineQueries {
                FROM r5) t
          JOIN chunks ch ON t.doc = ch.doc AND t.i = ch.i
          WHERE t.rank <= 2"""
-    }
+    },
+
+    "q398_shapley_r2" ->
+      """WITH li AS (SELECT l_returnflag AS grp,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS y,
+                   CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS x,
+                   CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS z
+                   FROM lineitem),
+          st AS (SELECT grp,
+              CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+              CAST(sum(CAST(z AS DECIMAL(18,2))) AS DOUBLE) AS sz,
+              CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+              CAST(sum(CAST(round(x * x * 1e4) AS BIGINT)) AS DOUBLE) AS sxxq,
+              CAST(sum(CAST(round(z * z * 1e6) AS BIGINT)) AS DOUBLE) AS szzq,
+              CAST(sum(CAST(round(y * y) AS BIGINT)) AS DOUBLE) AS syyq,
+              CAST(sum(CAST(round(x * y * 1e2) AS BIGINT)) AS DOUBLE) AS sxyq,
+              CAST(sum(CAST(round(z * y * 1e4) AS BIGINT)) AS DOUBLE) AS szyq,
+              CAST(sum(CAST(round(x * z * 1e6) AS BIGINT)) AS DOUBLE) AS sxzq
+                 FROM li GROUP BY 1),
+          cor AS (SELECT grp, n,
+              (n * (sxyq / 1e2) - sx * sy) /
+                sqrt((n * (sxxq / 1e4) - sx * sx) * (n * syyq - sy * sy))
+                AS rxy,
+              (n * (szyq / 1e4) - sz * sy) /
+                sqrt((n * (szzq / 1e6) - sz * sz) * (n * syyq - sy * sy))
+                AS rzy,
+              (n * (sxzq / 1e6) - sx * sz) /
+                sqrt((n * (sxxq / 1e4) - sx * sx) * (n * (szzq / 1e6)
+                  - sz * sz)) AS rxz
+                  FROM st),
+          r2 AS (SELECT grp, CAST(n AS BIGINT) AS n,
+                        rxy * rxy AS r2_x, rzy * rzy AS r2_z,
+                        (rxy * rxy + rzy * rzy
+                         - 2.0 * rxy * rzy * rxz) / (1.0 - rxz * rxz)
+                          AS r2_full
+                 FROM cor)
+         SELECT grp, n, ROUND(r2_x, 6) AS r2_x, ROUND(r2_z, 6) AS r2_z,
+                ROUND(r2_full, 6) AS r2_full,
+                ROUND((r2_x + r2_full - r2_z) / 2.0, 6) AS shap_x,
+                ROUND((r2_z + r2_full - r2_x) / 2.0, 6) AS shap_z
+         FROM r2""",
+
+    "q400_wasserstein" ->
+      """WITH o AS (SELECT o_totalprice AS v,
+                          CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+                            END AS i1
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+          vc AS (SELECT v, CAST(sum(i1) AS BIGINT) AS c1,
+                        CAST(count(*) - sum(i1) AS BIGINT) AS c2
+                 FROM o GROUP BY 1),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2 FROM vc),
+          c AS (SELECT v, sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+                       lead(v) OVER (ORDER BY v) AS nv
+                FROM vc
+                WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)),
+          t AS (SELECT n1, n2,
+                       CASE WHEN nv IS NOT NULL THEN
+                         CAST(round(CAST(abs(cum1 * n2 - cum2 * n1)
+                           AS DOUBLE) * (nv - v)) AS BIGINT)
+                       ELSE 0 END AS t
+                FROM c, tot)
+         SELECT n1, n2,
+                ROUND(CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) /
+                      CAST(n1 * n2 AS DOUBLE), 6) AS w1_distance
+         FROM t GROUP BY 1, 2""",
+
+    "q401_eb_shrinkage" ->
+      """WITH br AS (SELECT p_brand, count(*) AS n,
+                            CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                              ELSE 0 END) AS BIGINT) AS x
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     GROUP BY 1),
+          mq AS (SELECT p_brand, n, x,
+                        CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS r
+                 FROM br),
+          mq2 AS (SELECT *, CAST(round(r * 1e9) AS BIGINT) AS rq,
+                         CAST(round(r * r * 1e12) AS BIGINT) AS rrq
+                  FROM mq),
+          pr1 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(rq) AS BIGINT) AS srq,
+                         CAST(sum(rrq) AS BIGINT) AS srrq
+                  FROM mq2),
+          pr2 AS (SELECT k, CAST(srq AS DOUBLE) / CAST(k AS DOUBLE) / 1e9
+                    AS m,
+                         CAST(srrq AS DOUBLE) / CAST(k AS DOUBLE) / 1e12
+                    AS e2
+                  FROM pr1),
+          pr3 AS (SELECT m, e2 - m * m AS v FROM pr2),
+          pr AS (SELECT m, v,
+                        m * (m * (1.0 - m) / v - 1.0) AS alpha,
+                        (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+                 FROM pr3)
+         SELECT p_brand, n, x, ROUND(r, 6) AS raw_rate,
+                ROUND((CAST(x AS DOUBLE) + alpha) /
+                      (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate
+         FROM mq2, pr"""
   )
 }

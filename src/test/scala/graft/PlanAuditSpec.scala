@@ -236,7 +236,16 @@ class PlanAuditSpec extends SparkSpec {
     "q395_hier_target_encode",
     // q397: each format digest reduces to ONE sufficient-stats row and
     // crosses the 1-row parquet reference digest — q198's shape
-    "q397_multi_format_consistency")
+    "q397_multi_format_consistency",
+    // q400: the value-domain prefix runs two-level — the global window
+    // orders only the 4096-wide BUCKET frame (price domain / 4096, a few
+    // dozen rows), and the 1-row (n1,n2) totals frame crossJoin-broadcasts
+    // into the terms — q198's scalar shape over q320's bounded domain
+    "q400_wasserstein",
+    // q401: the method-of-moments Beta prior is ONE sufficient-stats row
+    // (from the bounded brand frame) crossJoin-broadcast into the
+    // per-brand readout — q139/q198's shape
+    "q401_eb_shrinkage")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
