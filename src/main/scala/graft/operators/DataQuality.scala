@@ -1254,6 +1254,103 @@ object DataQuality {
     anovaOneWay(z, col("g"), col("z"), scale = 6)
   }
 
+  /** Kruskal-Wallis H test across ALL groups — the k-sample extension
+    * of [[mannWhitneyU]] and the rank-based companion to
+    * [[anovaOneWay]]. Average ranks with exact tie handling come from
+    * the two-level [[cumulativeByValue]] prefix sum (no global sort);
+    * per-group rank sums fold 2x-scaled integer ranks in DECIMAL(38,0)
+    * so petabyte row counts cannot overflow, and the k per-group
+    * squared-rank-sum terms quantize to DECIMAL(38,6) before the final
+    * k-row fold so summation order cannot perturb bits. Emits H, the
+    * tie-corrected H, and the epsilon-squared effect size. */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.where(value.isNotNull)
+      .select(group.as("g"), value.cast("decimal(18,6)").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = base.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2*rank_avg(v) = 2*(cum_before + (t+1)/2) = 2*cum_t - t + 1
+    val rk = cumulativeByValue(counts, Seq("t")).join(counts, Seq("v"))
+      .select(col("v"), (lit(2) * col("cum_t") - col("t") + 1).as("rank2"))
+    val rg = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("n_gv"))
+      .join(rk, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(col("n_gv").cast("decimal(38,0)") * col("rank2")).as("r2_g"))
+    val term = rg.select(col("n_g"),
+      round(col("r2_g").cast("double") * col("r2_g").cast("double") /
+          (lit(4.0) * col("n_g").cast("double")), 6)
+        .cast("decimal(38,6)").as("t6"))
+    val a = term.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("t6")).cast("double").as("sum_t"))
+    val ties = counts.agg(
+      sum((col("t") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)")).as("ties"))
+    val nd = col("n").cast("double")
+    val kd = col("k").cast("double")
+    val h = lit(12.0) / (nd * (nd + lit(1.0))) * col("sum_t") -
+      lit(3.0) * (nd + lit(1.0))
+    val c = lit(1.0) - col("ties").cast("double") / (nd * nd * nd - nd)
+    val out = a.crossJoin(ties)
+      .select(col("k"), col("n"), round(h, 6).as("h_stat"),
+        round(h / c, 6).as("h_tie_corrected"),
+        round((h - kd + lit(1.0)) / (nd - kd), 6).as("epsilon_sq"))
+    val res = out.localCheckpoint(true)
+    counts.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+    res
+  }
+
+  /** McNemar's test for paired binary outcomes: are two row-level
+    * predicates flagging the SAME rows, or does one systematically
+    * fire where the other doesn't? One sufficient-stats aggregation
+    * over the 2x2 concordance table; the continuity-corrected
+    * chi-square (|b-c|-1)^2/(b+c) is one IEEE division of exact
+    * integers, so both engines agree bit-for-bit. */
+  def mcnemar(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val f = df.select(when(a, 1L).otherwise(0L).as("a"),
+      when(b, 1L).otherwise(0L).as("b"))
+    val st = f.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+        .as("n_a_only"),
+      sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+        .as("n_b_only"))
+    val d = abs(col("n_a_only") - col("n_b_only")) - lit(1L)
+    st.select(col("n"), col("n_both"), col("n_a_only"), col("n_b_only"),
+      (col("n") - col("n_both") - col("n_a_only") - col("n_b_only"))
+        .as("n_neither"),
+      round((d * d).cast("double") /
+        (col("n_a_only") + col("n_b_only")).cast("double"), 6).as("chi2_cc"))
+  }
+
+  /** Cochran-Armitage trend test: is a binary rate monotonically
+    * associated with an ORDERED dose level? Per-level (n_i, b_i)
+    * sufficient stats, then the closed-form z from exact DECIMAL(38,0)
+    * cross-multiplications (num = N*Sum(w*b) - B*Sum(w*n)) — a k-row
+    * fold feeding one double division chain; no per-row math beyond
+    * the dose/success projection. */
+  def cochranArmitage(df: DataFrame, dose: Column, success: Column): DataFrame = {
+    val g = df.select(dose.cast("long").as("w"),
+        when(success, 1L).otherwise(0L).as("y"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_i"), sum(col("y")).as("b_i"))
+    val a = g.agg(count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+      sum(col("b_i")).as("b"),
+      sum(col("w").cast("decimal(38,0)") * col("n_i")).as("swn"),
+      sum(col("w").cast("decimal(38,0)") * col("b_i")).as("swb"),
+      sum((col("w") * col("w")).cast("decimal(38,0)") * col("n_i")).as("sw2n"))
+    val nDec = col("n").cast("decimal(38,0)")
+    val num = (nDec * col("swb") - col("b").cast("decimal(38,0)") * col("swn"))
+      .cast("double")
+    val den = col("b").cast("double") * (col("n") - col("b")).cast("double") *
+      (nDec * col("sw2n") - col("swn") * col("swn")).cast("double")
+    val z2 = col("n").cast("double") * num * num / den
+    a.select(col("k"), col("n"), col("b").as("n_success"),
+      round(z2, 6).as("chi2_trend"),
+      (when(num > 0, 1L).when(num < 0, -1L).otherwise(0L)).as("trend_sign"))
+  }
+
   /** Mann-Whitney U test (Wilcoxon rank-sum) between two groups —
     * the nonparametric companion to [[welchTTest]]. Average ranks with
     * exact tie handling, computed WITHOUT a global sort: value-level

@@ -99,6 +99,36 @@ object StatsQueries {
         col("value"))
     }),
 
+    // Kruskal-Wallis H across ALL order priorities on order value — the
+    // k-sample rank test (q203's machinery generalized): average ranks
+    // from the two-level prefix sum, never a global sort
+    "q399_kruskal_wallis" -> ((s, d) => {
+      DataQuality.kruskalWallis(Tables.orders(s, d), col("o_orderpriority"),
+        col("o_totalprice"))
+    }),
+
+    // McNemar paired-predicate agreement on documents: does the
+    // char-length quality rule fire on the same docs as the
+    // whitespace-token rule? 2x2 concordance + continuity-corrected chi2
+    "q402_mcnemar" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DataQuality.mcnemar(docs, col("n_chars") >= 800,
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          >= 140)
+    }),
+
+    // Cochran-Armitage trend: does the return rate trend with order
+    // priority level (1-URGENT .. 5-LOW)? lineitem outcomes joined to
+    // the order's dose level; closed form from exact integer stats
+    "q403_cochran_armitage" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        (col("l_returnflag") === "R").as("ret"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("dose"))
+      DataQuality.cochranArmitage(li.join(o,
+        col("l_orderkey") === col("o_orderkey")), col("dose"), col("ret"))
+    }),
+
     // Getis-Ord Gi* hotspot grid over the synthetic customer points:
     // 0.5-degree cells, 3x3 neighborhood sums via bounded 9x replication
     "q301_geo_hotspot" -> ((s, d) => {
@@ -1042,6 +1072,83 @@ object StatsQueries {
                 ROUND(((sum_t - s_tot * s_tot / n) / (k - 1)) /
                       ((ss_tot - sum_t) / (n - k)), 6) AS f_stat
          FROM a""",
+
+    "q399_kruskal_wallis" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+                             CAST(o_totalprice AS DECIMAL(18,6)) AS v
+                      FROM orders WHERE o_totalprice IS NOT NULL),
+          counts AS (SELECT v, count(*) AS t FROM base GROUP BY 1),
+          rk AS (SELECT v, 2 * sum(t) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 AS rank2
+                 FROM counts),
+          gv AS (SELECT g, v, count(*) AS n_gv FROM base GROUP BY 1, 2),
+          rg AS (SELECT g, CAST(sum(n_gv) AS BIGINT) AS n_g,
+                        sum(CAST(n_gv AS HUGEINT) * rank2) AS r2_g
+                 FROM gv JOIN rk USING (v) GROUP BY 1),
+          term AS (SELECT n_g,
+                     CAST(round(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE) /
+                       (4.0 * CAST(n_g AS DOUBLE)), 6) AS DECIMAL(38,6)) AS t6
+                   FROM rg),
+          a AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+                       CAST(sum(t6) AS DOUBLE) AS sum_t FROM term),
+          ties AS (SELECT sum(t * t * t - t) AS ties FROM counts),
+          h AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+                       12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                         * sum_t - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+                       1.0 - CAST(ties AS DOUBLE) /
+                         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+                          CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS c
+                FROM a, ties)
+         SELECT k, n, ROUND(h, 6) AS h_stat, ROUND(h / c, 6)
+                  AS h_tie_corrected,
+                ROUND((h - kd + 1.0) / (nd - kd), 6) AS epsilon_sq
+         FROM h""",
+
+    "q402_mcnemar" ->
+      """WITH f AS (SELECT CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END AS a,
+                           CASE WHEN length(text) -
+                             length(replace(text, ' ', '')) >= 140
+                             THEN 1 ELSE 0 END AS b
+                    FROM documents),
+          st AS (SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_both,
+                   CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a_only,
+                   CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_b_only
+                 FROM f)
+         SELECT n, n_both, n_a_only, n_b_only,
+                n - n_both - n_a_only - n_b_only AS n_neither,
+                ROUND(CAST((abs(n_a_only - n_b_only) - 1) *
+                           (abs(n_a_only - n_b_only) - 1) AS DOUBLE) /
+                      CAST(n_a_only + n_b_only AS DOUBLE), 6) AS chi2_cc
+         FROM st""",
+
+    "q403_cochran_armitage" ->
+      """WITH j AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          g AS (SELECT w, count(*) AS n_i, CAST(sum(y) AS BIGINT) AS b_i
+                FROM j GROUP BY 1),
+          a AS (SELECT count(*) AS k, CAST(sum(n_i) AS BIGINT) AS n,
+                       CAST(sum(b_i) AS BIGINT) AS b,
+                       sum(CAST(w AS HUGEINT) * n_i) AS swn,
+                       sum(CAST(w AS HUGEINT) * b_i) AS swb,
+                       sum(CAST(w * w AS HUGEINT) * n_i) AS sw2n
+                FROM g),
+          z AS (SELECT k, n, b,
+                       CAST(CAST(n AS HUGEINT) * swb - CAST(b AS HUGEINT)
+                         * swn AS DOUBLE) AS num,
+                       CAST(b AS DOUBLE) * CAST(n - b AS DOUBLE) *
+                         CAST(CAST(n AS HUGEINT) * sw2n - swn * swn
+                           AS DOUBLE) AS den
+                FROM a)
+         SELECT k, n, b AS n_success,
+                ROUND(CAST(n AS DOUBLE) * num * num / den, 6) AS chi2_trend,
+                CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0
+                  END AS BIGINT) AS trend_sign
+         FROM z""",
 
     "q210_upsert_latest" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,

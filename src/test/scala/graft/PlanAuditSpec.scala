@@ -193,6 +193,9 @@ class PlanAuditSpec extends SparkSpec {
     "q288_lorenz_curve",
     // q292: the ANOVA readout reduces k group-stat rows to one row
     "q292_anova",
+    // q402/q403: 2x2-concordance / trend-test readouts reduce the
+    // sufficient-stats rows to ONE final row — q292's shape
+    "q402_mcnemar", "q403_cochran_armitage",
     // q300: ANOVA tail on the |x - median| deviations, q292's shape
     "q300_brown_forsythe",
     // q301: the global cell-count mean/std is a 1-row sufficient-stat
