@@ -1301,6 +1301,90 @@ object DataQuality {
     res
   }
 
+  /** Tukey-HSD post-hoc pairwise comparisons after [[anovaOneWay]]:
+    * which group means actually differ? Per-group sufficient stats
+    * (k rows) self-joined on g1 < g2 (a k^2-bounded broadcast
+    * nested-loop over the tiny stats frame — never the data), with the
+    * pooled MSE riding a 1-row crossJoin-broadcast. The q statistic
+    * |m_i - m_j| / sqrt(MSE/2 * (1/n_i + 1/n_j)) is a double chain
+    * over exact decimal sums. */
+  def tukeyHsd(df: DataFrame, group: Column, value: Column,
+               scale: Int = 2): DataFrame = {
+    val v = value.cast(s"decimal(18,$scale)")
+    val gs = df.where(value.isNotNull).groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"), sum(v * v).as("ss_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = gs.select(col("n_g"), col("ss_g"),
+      round(col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double"), 6).cast("decimal(38,6)").as("t6"))
+    val mse = t.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("ss_g")).cast("double").as("ss_tot"),
+        sum(col("t6")).cast("double").as("sum_t"))
+      .select((( col("ss_tot") - col("sum_t")) /
+        (col("n").cast("double") - col("k").cast("double"))).as("mse"))
+    val a = gs.select(col("g").as("g1"), col("n_g").as("n1"),
+      (col("s_g").cast("double") / col("n_g").cast("double")).as("m1"))
+    val b = gs.select(col("g").as("g2"), col("n_g").as("n2"),
+      (col("s_g").cast("double") / col("n_g").cast("double")).as("m2"))
+    val out = a.join(b, col("g1") < col("g2")).crossJoin(broadcast(mse))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        round(col("m1") - col("m2"), 6).as("mean_diff"),
+        round(abs(col("m1") - col("m2")) /
+          sqrt(col("mse") / lit(2.0) *
+            (lit(1.0) / col("n1").cast("double") +
+             lit(1.0) / col("n2").cast("double"))), 6).as("q_stat"))
+    val res = out.localCheckpoint(true)
+    gs.unpersist(blocking = false)
+    res
+  }
+
+  /** Dunn's post-hoc pairwise rank test after [[kruskalWallis]]: which
+    * groups' rank distributions differ? Reuses the two-level exact-tie
+    * rank machinery (no global sort); the k-row mean-rank frame
+    * self-joins on g1 < g2 with the tie-corrected variance riding a
+    * 1-row crossJoin-broadcast. z = (R1 - R2) / sqrt((N(N+1)/12 -
+    * ties/(12(N-1))) * (1/n1 + 1/n2)). */
+  def dunnPosthoc(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.where(value.isNotNull)
+      .select(group.as("g"), value.cast("decimal(18,6)").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = base.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rk = cumulativeByValue(counts, Seq("t")).join(counts, Seq("v"))
+      .select(col("v"), (lit(2) * col("cum_t") - col("t") + 1).as("rank2"))
+    val rg = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("n_gv"))
+      .join(rk, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(col("n_gv").cast("decimal(38,0)") * col("rank2")).as("r2_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum(col("t")).as("n"),
+      sum((col("t") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)")).as("ties"))
+    val nd = col("n").cast("double")
+    val varRow = tot.select(
+      (nd * (nd + lit(1.0)) / lit(12.0) -
+        col("ties").cast("double") / (lit(12.0) * (nd - lit(1.0))))
+        .as("var0"))
+    def mr(side: String): DataFrame = rg.select(col("g").as(s"g$side"),
+      col("n_g").as(s"n$side"),
+      (col("r2_g").cast("double") /
+        (lit(2.0) * col("n_g").cast("double"))).as(s"mr$side"))
+    val out = mr("1").join(mr("2"), col("g1") < col("g2"))
+      .crossJoin(broadcast(varRow))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        round(col("mr1"), 6).as("mean_rank_1"),
+        round(col("mr2"), 6).as("mean_rank_2"),
+        round((col("mr1") - col("mr2")) /
+          sqrt(col("var0") * (lit(1.0) / col("n1").cast("double") +
+            lit(1.0) / col("n2").cast("double"))), 6).as("z_stat"))
+    val res = out.localCheckpoint(true)
+    rg.unpersist(blocking = false)
+    counts.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+    res
+  }
+
   /** McNemar's test for paired binary outcomes: are two row-level
     * predicates flagging the SAME rows, or does one systematically
     * fire where the other doesn't? One sufficient-stats aggregation

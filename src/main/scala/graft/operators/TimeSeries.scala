@@ -981,6 +981,53 @@ object TimeSeries {
         col("d").as("d_events"), col("c").as("n_censored"), col("survival"))
   }
 
+  /** Two-group log-rank test: do two cohorts' survival curves differ?
+    * The hypothesis-test companion to [[kaplanMeier]] — the same
+    * duration-domain reduction (one groupBy to distinct durations, an
+    * ordered pass over the bounded duration domain for the at-risk
+    * counts), with each event time's hypergeometric expected-count and
+    * variance increments quantized to DECIMAL(28,12) before the fold
+    * so the sum is exact and engine-independent.
+    * chi2 = (O1 - E1)^2 / V. */
+  def logRank(df: DataFrame, duration: Column, observed: Column,
+              inGroup1: Column): DataFrame = {
+    val counts = df.where(duration.isNotNull)
+      .groupBy(duration.cast("long").as("t"))
+      .agg(sum(when(observed, 1L).otherwise(0L)).as("d"),
+        sum(when(observed && inGroup1, 1L).otherwise(0L)).as("d1"),
+        count(lit(1)).as("m"),
+        sum(when(inGroup1, 1L).otherwise(0L)).as("m1"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val terms = counts
+      .withColumn("left_before", sum(col("m")).over(w) - col("m"))
+      .withColumn("left1_before", sum(col("m1")).over(w) - col("m1"))
+      .withColumn("n_t", sum(col("m")).over(wAll) - col("left_before"))
+      .withColumn("n1_t", sum(col("m1")).over(wAll) - col("left1_before"))
+      .where(col("d") > 0)
+      .withColumn("e1", (col("d").cast("double") *
+        col("n1_t").cast("double") / col("n_t").cast("double"))
+        .cast("decimal(28,12)"))
+      .withColumn("vt", when(col("n_t") > 1,
+        (col("d").cast("double") * col("n1_t").cast("double") /
+          col("n_t").cast("double") *
+          (col("n_t") - col("n1_t")).cast("double") /
+          col("n_t").cast("double") *
+          (col("n_t") - col("d")).cast("double") /
+          (col("n_t") - 1).cast("double")).cast("decimal(28,12)"))
+        .otherwise(lit(0.0).cast("decimal(28,12)")))
+    terms.agg(sum(col("d1")).as("observed_1"),
+        sum(col("d")).as("observed_total"),
+        sum(col("e1")).cast("double").as("e1s"),
+        sum(col("vt")).cast("double").as("vs"))
+      .select(col("observed_1"), col("observed_total"),
+        round(col("e1s"), 6).as("expected_1"),
+        round((col("observed_1").cast("double") - col("e1s")) *
+          (col("observed_1").cast("double") - col("e1s")) / col("vs"), 6)
+          .as("chi2_logrank"))
+  }
+
   /** First-order Markov transition matrix of a per-entity event-state
     * sequence: counts and MLE probabilities P(next | current) over
     * consecutive (ts, order)-ordered states. One shuffle on the entity

@@ -129,6 +129,35 @@ object StatsQueries {
         col("l_orderkey") === col("o_orderkey")), col("dose"), col("ret"))
     }),
 
+    // Tukey-HSD post-hoc pairwise mean comparisons after q292's ANOVA:
+    // which segment means differ, with the pooled-MSE q statistic
+    "q404_tukey_hsd" -> ((s, d) => {
+      DataQuality.tukeyHsd(Tables.customer(s, d), col("c_mktsegment"),
+        col("c_acctbal"))
+    }),
+
+    // Dunn's post-hoc pairwise rank test after q399's Kruskal-Wallis:
+    // tie-corrected z per priority pair from the same exact rank table
+    "q405_dunn_posthoc" -> ((s, d) => {
+      DataQuality.dunnPosthoc(Tables.orders(s, d), col("o_orderpriority"),
+        col("o_totalprice"))
+    }),
+
+    // log-rank test between even/odd user cohorts on q220's activity
+    // spans: hypergeometric expected events per duration, chi2 readout
+    "q406_logrank" -> ((s, d) => {
+      val spans = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      val cutoff = Tables.events(s, d)
+        .agg(date_sub(to_date(max(col("ts"))), 3).as("cut"))
+      val subjects = spans.crossJoin(broadcast(cutoff))
+        .select(datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+            .as("dur"),
+          (to_date(col("last_ts")) < col("cut")).as("obs"),
+          (col("user_id") % 2 === 0).as("grp1"))
+      TimeSeries.logRank(subjects, col("dur"), col("obs"), col("grp1"))
+    }),
+
     // Getis-Ord Gi* hotspot grid over the synthetic customer points:
     // 0.5-degree cells, 3x3 neighborhood sums via bounded 9x replication
     "q301_geo_hotspot" -> ((s, d) => {
@@ -1149,6 +1178,102 @@ object StatsQueries {
                 CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0
                   END AS BIGINT) AS trend_sign
          FROM z""",
+
+    "q404_tukey_hsd" ->
+      """WITH gs AS (SELECT c_mktsegment AS g, count(*) AS n_g,
+                            sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_g,
+                            sum(CAST(c_acctbal AS DECIMAL(18,2)) *
+                                CAST(c_acctbal AS DECIMAL(18,2))) AS ss_g
+                     FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+          t AS (SELECT n_g, ss_g,
+                  CAST(ROUND(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+                    CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS t6
+                FROM gs),
+          mse AS (SELECT (CAST(sum(ss_g) AS DOUBLE) -
+                          CAST(sum(t6) AS DOUBLE)) /
+                         (CAST(sum(n_g) AS DOUBLE) -
+                          CAST(count(*) AS DOUBLE)) AS mse
+                  FROM t),
+          m AS (SELECT g, n_g,
+                       CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean
+                FROM gs)
+         SELECT a.g AS g1, b.g AS g2, a.n_g AS n1, b.n_g AS n2,
+                ROUND(a.mean - b.mean, 6) AS mean_diff,
+                ROUND(abs(a.mean - b.mean) / sqrt(mse / 2.0 *
+                  (1.0 / CAST(a.n_g AS DOUBLE) +
+                   1.0 / CAST(b.n_g AS DOUBLE))), 6) AS q_stat
+         FROM m a JOIN m b ON a.g < b.g, mse""",
+
+    "q405_dunn_posthoc" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+                             CAST(o_totalprice AS DECIMAL(18,6)) AS v
+                      FROM orders WHERE o_totalprice IS NOT NULL),
+          counts AS (SELECT v, count(*) AS t FROM base GROUP BY 1),
+          rk AS (SELECT v, 2 * sum(t) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 AS rank2
+                 FROM counts),
+          gv AS (SELECT g, v, count(*) AS n_gv FROM base GROUP BY 1, 2),
+          rg AS (SELECT g, CAST(sum(n_gv) AS BIGINT) AS n_g,
+                        sum(CAST(n_gv AS HUGEINT) * rank2) AS r2_g
+                 FROM gv JOIN rk USING (v) GROUP BY 1),
+          tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                         sum(t * t * t - t) AS ties FROM counts),
+          vr AS (SELECT CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                   / 12.0 - CAST(ties AS DOUBLE) /
+                   (12.0 * (CAST(n AS DOUBLE) - 1.0)) AS var0
+                 FROM tot),
+          m AS (SELECT g, n_g, CAST(r2_g AS DOUBLE) /
+                  (2.0 * CAST(n_g AS DOUBLE)) AS mr
+                FROM rg)
+         SELECT a.g AS g1, b.g AS g2, a.n_g AS n1, b.n_g AS n2,
+                ROUND(a.mr, 6) AS mean_rank_1, ROUND(b.mr, 6) AS mean_rank_2,
+                ROUND((a.mr - b.mr) / sqrt(var0 *
+                  (1.0 / CAST(a.n_g AS DOUBLE) +
+                   1.0 / CAST(b.n_g AS DOUBLE))), 6) AS z_stat
+         FROM m a JOIN m b ON a.g < b.g, vr""",
+
+    "q406_logrank" ->
+      """WITH span AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                              CAST(max(ts) AS DATE) AS l
+                       FROM events GROUP BY user_id),
+          cut AS (SELECT CAST(max(ts) AS DATE) - 3 AS cut FROM events),
+          subj AS (SELECT date_diff('day', f, l) AS t,
+                          CASE WHEN l < cut THEN 1 ELSE 0 END AS obs,
+                          CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1
+                   FROM span, cut),
+          c AS (SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+                       CAST(sum(obs * g1) AS BIGINT) AS d1,
+                       count(*) AS m, CAST(sum(g1) AS BIGINT) AS m1
+                FROM subj GROUP BY t),
+          k AS (SELECT t, d, d1, m, m1,
+                       sum(m) OVER (ORDER BY t) - m AS left_before,
+                       sum(m1) OVER (ORDER BY t) - m1 AS left1_before,
+                       sum(m) OVER () AS total, sum(m1) OVER () AS total1
+                FROM c),
+          f AS (SELECT d, d1, total - left_before AS n_t,
+                       total1 - left1_before AS n1_t
+                FROM k WHERE d > 0),
+          e AS (SELECT d, d1,
+                       CAST(CAST(d AS DOUBLE) * CAST(n1_t AS DOUBLE) /
+                         CAST(n_t AS DOUBLE) AS DECIMAL(28,12)) AS e1,
+                       CASE WHEN n_t > 1 THEN
+                         CAST(CAST(d AS DOUBLE) * CAST(n1_t AS DOUBLE) /
+                           CAST(n_t AS DOUBLE) *
+                           CAST(n_t - n1_t AS DOUBLE) / CAST(n_t AS DOUBLE) *
+                           CAST(n_t - d AS DOUBLE) / CAST(n_t - 1 AS DOUBLE)
+                           AS DECIMAL(28,12))
+                       ELSE CAST(0.0 AS DECIMAL(28,12)) END AS vt
+                FROM f),
+          a AS (SELECT CAST(sum(d1) AS BIGINT) AS observed_1,
+                       CAST(sum(d) AS BIGINT) AS observed_total,
+                       CAST(sum(e1) AS DOUBLE) AS e1s,
+                       CAST(sum(vt) AS DOUBLE) AS vs
+                FROM e)
+         SELECT observed_1, observed_total, ROUND(e1s, 6) AS expected_1,
+                ROUND((CAST(observed_1 AS DOUBLE) - e1s) *
+                      (CAST(observed_1 AS DOUBLE) - e1s) / vs, 6)
+                  AS chi2_logrank
+         FROM a""",
 
     "q210_upsert_latest" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,

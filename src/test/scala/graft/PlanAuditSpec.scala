@@ -165,6 +165,9 @@ class PlanAuditSpec extends SparkSpec {
     // q341: Nelson-Aalen — q220's exact shape (1-row cutoff frame +
     // ordered pass over the bounded duration domain)
     "q341_nelson_aalen",
+    // q406: log-rank — q220's exact shape (1-row cutoff frame +
+    // ordered pass over the bounded duration domain, 1-row readout)
+    "q406_logrank",
     // q215: MI / marginal-entropy frames are 1 row, q151's exact shape
     "q215_theils_u",
     // q216: the node-count scalar (rank normalization) + the broadcast
