@@ -679,6 +679,78 @@ object TimeSeries {
         .as("ewma"))
   }
 
+  /** Croston's method for intermittent demand (+ the Syntetos-Boylan
+    * bias-corrected variant): per series, one EWMA over the NONZERO
+    * demand sizes and one over the inter-demand intervals, folded in
+    * period order with the same grouped-sort + sequential `aggregate`
+    * shape as [[ewmaLevel]] — sequential per series, parallel across
+    * series, never a global sort. Emits the demand level z, the mean
+    * interval p, and the demand-rate forecasts z/p and (1-a/2)*z/p.
+    * Series with fewer than two demand events are dropped (no interval
+    * estimate exists). */
+  def croston(df: DataFrame, key: Column, period: Column, demand: Column,
+              alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val w = Window.partitionBy(col("k")).orderBy(col("p"))
+    val base = df.select(key.as("k"), period.cast("long").as("p"),
+        demand.cast("double").as("d"))
+      .where(col("d") > 0)
+      .withColumn("gap", col("p") - lag(col("p"), 1).over(w))
+    val seq = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("p"), col("d")))).as("da"),
+        // collect_list drops the null produced for the first event, so
+        // ga holds the n-1 inter-demand gaps in period order
+        array_sort(collect_list(when(col("gap").isNotNull,
+          struct(col("p"), col("gap"))))).as("ga"))
+      .where(col("n_events") >= 2)
+    val a = lit(alpha)
+    val b = lit(1.0 - alpha)
+    val zf = aggregate(expr("slice(da, 2, size(da) - 1)"),
+      element_at(col("da"), 1).getField("d"),
+      (acc, e) => acc * b + e.getField("d") * a)
+    val pf = aggregate(expr("slice(ga, 2, size(ga) - 1)"),
+      element_at(col("ga"), 1).getField("gap").cast("double"),
+      (acc, e) => acc * b + e.getField("gap").cast("double") * a)
+    seq.select(col("k").as("key"), col("n_events"),
+      round(zf, 6).as("z_level"), round(pf, 6).as("p_interval"),
+      round(zf / pf, 6).as("croston_rate"),
+      round(lit(1.0 - alpha / 2.0) * (zf / pf), 6).as("sba_rate"))
+  }
+
+  /** Syntetos-Boylan demand-pattern classification (the companion
+    * diagnostic that tells you when [[croston]] applies): per series,
+    * ADI (mean inter-demand interval) and CV^2 (squared coefficient of
+    * variation of nonzero demand sizes) from one sufficient-stats pass
+    * over integer-quantized demands, with the quadrant thresholds
+    * (1.32, 0.49) decided by EXACT integer cross-multiplication so the
+    * class labels are engine-independent. smooth / intermittent /
+    * erratic / lumpy. */
+  def intermittencyClass(df: DataFrame, key: Column, period: Column,
+                         demandCents: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val st = df.select(key.as("k"), period.cast("long").as("p"),
+        demandCents.cast("long").as("q"))
+      .where(col("q") > 0)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"), min(col("p")).as("minp"),
+        max(col("p")).as("maxp"), sum(dec(col("q"))).as("sd"),
+        sum(dec(col("q")) * col("q")).as("sdd"))
+      .where(col("n_events") >= 2)
+    val nDec = dec(col("n_events"))
+    val varNum = nDec * col("sdd") - col("sd") * col("sd")
+    val adiGe = (col("maxp") - col("minp")) * 100 >=
+      lit(132L) * (col("n_events") - 1)
+    val cv2Ge = dec(lit(100L)) * varNum >= dec(lit(49L)) * (col("sd") * col("sd"))
+    st.select(col("k").as("key"), col("n_events"),
+      round((col("maxp") - col("minp")).cast("double") /
+        (col("n_events") - 1).cast("double"), 6).as("adi"),
+      round(varNum.cast("double") /
+        (col("sd") * col("sd")).cast("double"), 6).as("cv2"),
+      when(adiGe && cv2Ge, "lumpy").when(adiGe, "intermittent")
+        .when(cv2Ge, "erratic").otherwise("smooth").as("pattern"))
+  }
+
   /** Clamped running balance per key (inventory/credit semantics): the
     * balance folds deltas in (ts, order) sequence but FLOORS at zero —
     * a non-linear recurrence no window prefix-sum can express, folded

@@ -158,6 +158,67 @@ object StatsQueries {
       TimeSeries.logRank(subjects, col("dur"), col("obs"), col("grp1"))
     }),
 
+    // Croston intermittent-demand forecast per part: weekly nonzero
+    // demands, EWMA of sizes and of inter-demand intervals (alpha=0.2),
+    // plus the Syntetos-Boylan bias-corrected rate
+    "q407_croston" -> ((s, d) => {
+      val wk = Tables.lineitem(s, d).select(col("l_partkey").as("pk"),
+          floor(datediff(col("l_shipdate"), to_date(lit("1970-01-01"))) /
+            lit(7)).cast("long").as("wk"),
+          col("l_quantity").cast("decimal(12,2)").as("q"))
+        .groupBy(col("pk"), col("wk"))
+        .agg(sum(col("q")).cast("double").as("dem"))
+      TimeSeries.croston(wk, col("pk"), col("wk"), col("dem"), alpha = 0.2)
+        .withColumnRenamed("key", "part_key")
+    }),
+
+    // pinball (quantile) loss of the per-type P10/P50/P90 daily-spend
+    // forecasts: quantiles fit on all but the last 14 days, evaluated
+    // on the held-out tail — the quantile-forecast evaluation metric
+    "q408_pinball_loss" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"), col("spend").cast("double").as("y"))
+      val cut = daily.agg(date_sub(max(col("day")), 14).as("cutd"))
+      val train = daily.crossJoin(broadcast(cut))
+        .where(col("day") <= col("cutd"))
+      val test = daily.crossJoin(broadcast(cut))
+        .where(col("day") > col("cutd"))
+      val taus = Seq(0.1, 0.5, 0.9)
+      val qs = train.groupBy(col("key"))
+        .agg(percentile(col("y"), lit(taus(0))).as("q0"),
+          percentile(col("y"), lit(taus(1))).as("q1"),
+          percentile(col("y"), lit(taus(2))).as("q2"))
+      val terms = taus.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("tau"), col(s"q$i").as("q")) }
+      val ex = test.join(broadcast(qs), Seq("key"))
+        .select(col("key"), col("y"), explode(array(terms: _*)).as("tq"))
+        .select(col("key"), col("y"), col("tq.tau").as("tau"),
+          col("tq.q").as("q"))
+      val lt = greatest(col("tau") * (col("y") - col("q")),
+        (col("tau") - lit(1.0)) * (col("y") - col("q")))
+      ex.groupBy(col("key"), col("tau"))
+        .agg(count(lit(1)).as("n_test"), max(col("q")).as("qq"),
+          sum(lt.cast("decimal(28,12)")).cast("double").as("sl"))
+        .select(col("key"), col("tau"), col("n_test"),
+          round(col("qq"), 6).as("q_forecast"),
+          round(col("sl") / col("n_test").cast("double"), 6)
+            .as("pinball_loss"))
+    }),
+
+    // Syntetos-Boylan demand-pattern quadrants per part (ADI x CV^2,
+    // thresholds 1.32 / 0.49 decided by exact integer cross-mults):
+    // smooth / intermittent / erratic / lumpy — when does q407 apply?
+    "q409_intermittency_class" -> ((s, d) => {
+      val wk = Tables.lineitem(s, d).select(col("l_partkey").as("pk"),
+          floor(datediff(col("l_shipdate"), to_date(lit("1970-01-01"))) /
+            lit(7)).cast("long").as("wk"),
+          (col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+            .as("qc"))
+        .groupBy(col("pk"), col("wk")).agg(sum(col("qc")).as("q"))
+      TimeSeries.intermittencyClass(wk, col("pk"), col("wk"), col("q"))
+        .withColumnRenamed("key", "part_key")
+    }),
+
     // Getis-Ord Gi* hotspot grid over the synthetic customer points:
     // 0.5-degree cells, 3x3 neighborhood sums via bounded 9x replication
     "q301_geo_hotspot" -> ((s, d) => {
@@ -1274,6 +1335,95 @@ object StatsQueries {
                       (CAST(observed_1 AS DOUBLE) - e1s) / vs, 6)
                   AS chi2_logrank
          FROM a""",
+
+    "q407_croston" ->
+      """WITH dd AS (SELECT l_partkey AS k,
+                            CAST(floor(CAST(date_diff('day',
+                              DATE '1970-01-01', l_shipdate) AS DOUBLE) / 7)
+                              AS BIGINT) AS p,
+                            CAST(l_quantity AS DECIMAL(12,2)) AS q
+                     FROM lineitem),
+          wk AS (SELECT k, p, CAST(sum(q) AS DOUBLE) AS d
+                 FROM dd GROUP BY 1, 2),
+          g AS (SELECT k, p, d,
+                       p - lag(p) OVER (PARTITION BY k ORDER BY p) AS gap
+                FROM wk WHERE d > 0),
+          agg AS (SELECT k, count(*) AS n_events,
+                         list(d ORDER BY p) AS dl,
+                         list(CAST(gap AS DOUBLE) ORDER BY p)
+                           FILTER (WHERE gap IS NOT NULL) AS gl
+                  FROM g GROUP BY k),
+          f AS (SELECT k, n_events,
+                       list_reduce(dl, (acc, x) -> acc *
+                         (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) +
+                         x * CAST(0.2 AS DOUBLE)) AS z,
+                       list_reduce(gl, (acc, x) -> acc *
+                         (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) +
+                         x * CAST(0.2 AS DOUBLE)) AS pi
+                FROM agg WHERE n_events >= 2)
+         SELECT k AS part_key, n_events, ROUND(z, 6) AS z_level,
+                ROUND(pi, 6) AS p_interval, ROUND(z / pi, 6) AS croston_rate,
+                ROUND((CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE) / 2.0) *
+                  (z / pi), 6) AS sba_rate
+         FROM f""",
+
+    "q408_pinball_loss" ->
+      s"""WITH daily AS (SELECT key, day, y FROM ($dailySql) ds),
+          cut AS (SELECT max(day) - 14 AS cutd FROM daily),
+          train AS (SELECT key, CAST(y AS DOUBLE) AS y
+                    FROM daily, cut WHERE day <= cutd),
+          test AS (SELECT key, CAST(y AS DOUBLE) AS y
+                   FROM daily, cut WHERE day > cutd),
+          q AS (SELECT key, quantile_cont(y, 0.1) AS q0,
+                       quantile_cont(y, 0.5) AS q1,
+                       quantile_cont(y, 0.9) AS q2
+                FROM train GROUP BY key),
+          t3 AS (SELECT * FROM (VALUES (CAST(0.1 AS DOUBLE), 0),
+                                       (CAST(0.5 AS DOUBLE), 1),
+                                       (CAST(0.9 AS DOUBLE), 2)) v(tau, i)),
+          ex AS (SELECT te.key, te.y, t3.tau,
+                        CASE t3.i WHEN 0 THEN q.q0 WHEN 1 THEN q.q1
+                          ELSE q.q2 END AS q
+                 FROM test te JOIN q USING (key), t3),
+          l AS (SELECT key, tau, q,
+                       CAST(greatest(tau * (y - q), (tau - 1.0) * (y - q))
+                         AS DECIMAL(28,12)) AS lt
+                FROM ex)
+         SELECT key, tau, count(*) AS n_test, ROUND(max(q), 6) AS q_forecast,
+                ROUND(CAST(sum(lt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS pinball_loss
+         FROM l GROUP BY key, tau""",
+
+    "q409_intermittency_class" ->
+      """WITH dd AS (SELECT l_partkey AS k,
+                            CAST(floor(CAST(date_diff('day',
+                              DATE '1970-01-01', l_shipdate) AS DOUBLE) / 7)
+                              AS BIGINT) AS p,
+                            CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                              AS BIGINT) AS qc
+                     FROM lineitem),
+          wk AS (SELECT k, p, CAST(sum(qc) AS BIGINT) AS q
+                 FROM dd GROUP BY 1, 2),
+          st AS (SELECT k, count(*) AS n_events, min(p) AS minp,
+                        max(p) AS maxp, sum(CAST(q AS HUGEINT)) AS sd,
+                        sum(CAST(q AS HUGEINT) * q) AS sdd
+                 FROM wk WHERE q > 0 GROUP BY k),
+          f AS (SELECT *, CAST(n_events AS HUGEINT) * sdd - sd * sd AS varnum
+                FROM st WHERE n_events >= 2)
+         SELECT k AS part_key, n_events,
+                ROUND(CAST(maxp - minp AS DOUBLE) /
+                      CAST(n_events - 1 AS DOUBLE), 6) AS adi,
+                ROUND(CAST(varnum AS DOUBLE) /
+                      CAST(sd * sd AS DOUBLE), 6) AS cv2,
+                CASE WHEN (maxp - minp) * 100 >= 132 * (n_events - 1)
+                      AND CAST(100 AS HUGEINT) * varnum >=
+                          CAST(49 AS HUGEINT) * (sd * sd) THEN 'lumpy'
+                     WHEN (maxp - minp) * 100 >= 132 * (n_events - 1)
+                       THEN 'intermittent'
+                     WHEN CAST(100 AS HUGEINT) * varnum >=
+                          CAST(49 AS HUGEINT) * (sd * sd) THEN 'erratic'
+                     ELSE 'smooth' END AS pattern
+         FROM f""",
 
     "q210_upsert_latest" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,

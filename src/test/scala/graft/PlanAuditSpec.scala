@@ -168,6 +168,10 @@ class PlanAuditSpec extends SparkSpec {
     // q406: log-rank — q220's exact shape (1-row cutoff frame +
     // ordered pass over the bounded duration domain, 1-row readout)
     "q406_logrank",
+    // q408: the train/test cutoff is a 1-row max-date frame
+    // crossJoin-broadcast into both splits, and the per-type quantile
+    // fit broadcasts a key-domain-sized frame — q139's fit shape
+    "q408_pinball_loss",
     // q215: MI / marginal-entropy frames are 1 row, q151's exact shape
     "q215_theils_u",
     // q216: the node-count scalar (rank normalization) + the broadcast
