@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -444,6 +444,76 @@ object CurationQueries {
         (col("n") + round(lap, 0).cast("long")).as("n_noisy"))
     }),
 
+    // l-diversity audit (q310's release-safety companion): per
+    // quasi-identifier group (nation x segment), how many DISTINCT
+    // sensitive values (balance bucket) appear, plus the Shannon
+    // entropy of the sensitive distribution (per-term quantized to
+    // DECIMAL(18,12) so the fold is engine-exact); groups with l < 3
+    // are flagged as re-identification risks
+    "q410_l_diversity" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal").cast("decimal(12,2)").cast("double") /
+          lit(2000.0)).cast("long").as("b"))
+      val cgb = base.groupBy(col("nat"), col("seg"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cgb.groupBy(col("nat"), col("seg"))
+        .agg(sum(col("c")).as("n_g"))
+      val term = cgb.join(tot, Seq("nat", "seg"))
+        .withColumn("p", col("c").cast("double") / col("n_g").cast("double"))
+        .withColumn("e", (-(col("p") * log(col("p"))))
+          .cast("decimal(18,12)"))
+      term.groupBy(col("nat").as("c_nationkey"),
+          col("seg").as("c_mktsegment"))
+        .agg(max(col("n_g")).as("n"), count(lit(1)).as("l_distinct"),
+          round(sum(col("e")).cast("double"), 6).as("entropy"))
+        .withColumn("violates_l3",
+          when(col("l_distinct") < 3, 1L).otherwise(0L))
+    }),
+
+    // t-closeness audit: per quasi-identifier group, the ordered-EMD
+    // distance between the group's sensitive-bucket distribution and
+    // the global one — |F_g - F| cross-multiplied in exact integers
+    // over the zero-filled bucket grid (group-domain x bucket-domain,
+    // both bounded), normalized by (m-1); t > 0.2 decided by exact
+    // integer comparison, never a float threshold
+    "q411_t_closeness" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal").cast("decimal(12,2)").cast("double") /
+          lit(2000.0)).cast("long").as("b"))
+      val cgb = base.groupBy(col("nat"), col("seg"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val groups = base.groupBy(col("nat"), col("seg"))
+        .agg(count(lit(1)).as("n_g"))
+      val buckets = base.groupBy(col("b")).agg(count(lit(1)).as("cg"))
+      val grid = groups.crossJoin(broadcast(buckets))
+        .join(cgb, Seq("nat", "seg", "b"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wg = Window.partitionBy(col("nat"), col("seg")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy(col("nat"), col("seg"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val t = grid
+        .withColumn("cum_g", sum(col("c")).over(wg))
+        .withColumn("cum", sum(col("cg")).over(wg))
+        .withColumn("n_tot", sum(col("cg")).over(wp))
+        .withColumn("m", count(lit(1)).over(wp))
+        .withColumn("term",
+          abs(dec(col("cum_g")) * col("n_tot") - dec(col("cum")) * col("n_g")))
+      t.groupBy(col("nat").as("c_nationkey"), col("seg").as("c_mktsegment"))
+        .agg(max(col("n_g")).as("n"), max(col("m")).as("m_buckets"),
+          max(col("n_tot")).as("nt"), sum(col("term")).as("tsum"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("m_buckets"),
+          round(col("tsum").cast("double") /
+            (col("n").cast("double") * col("nt").cast("double")) /
+            (col("m_buckets") - 1).cast("double"), 6).as("t_emd"),
+          when(dec(lit(5L)) * col("tsum") >
+            dec(col("n")) * col("nt") * (col("m_buckets") - 1), 1L)
+            .otherwise(0L).as("violates_t02"))
+    }),
+
     // n-gram novelty audit: per doc, the fraction of its distinct word
     // trigrams that FIRST appear in it (global min doc_id per shingle =
     // one groupBy) — low novelty marks template spam / memorized
@@ -614,6 +684,66 @@ object CurationQueries {
            n + CAST(round(-sign(uu - 0.5) *
              ln(1.0 - 2.0 * abs(uu - 0.5)), 0) AS BIGINT) AS n_noisy
          FROM u""",
+
+    "q410_l_diversity" ->
+      """WITH base AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                             CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                               AS DOUBLE) / 2000.0) AS BIGINT) AS b
+                      FROM customer),
+          cgb AS (SELECT nat, seg, b, count(*) AS c
+                  FROM base GROUP BY 1, 2, 3),
+          tot AS (SELECT nat, seg, CAST(sum(c) AS BIGINT) AS n_g
+                  FROM cgb GROUP BY 1, 2),
+          term AS (SELECT nat, seg, n_g,
+                          CAST(-(CAST(c AS DOUBLE) / CAST(n_g AS DOUBLE) *
+                            ln(CAST(c AS DOUBLE) / CAST(n_g AS DOUBLE)))
+                            AS DECIMAL(18,12)) AS e
+                   FROM cgb JOIN tot USING (nat, seg))
+         SELECT nat AS c_nationkey, seg AS c_mktsegment,
+                CAST(max(n_g) AS BIGINT) AS n, count(*) AS l_distinct,
+                ROUND(CAST(sum(e) AS DOUBLE), 6) AS entropy,
+                CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS BIGINT)
+                  AS violates_l3
+         FROM term GROUP BY 1, 2""",
+
+    "q411_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                             CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                               AS DOUBLE) / 2000.0) AS BIGINT) AS b
+                      FROM customer),
+          cgb AS (SELECT nat, seg, b, count(*) AS c
+                  FROM base GROUP BY 1, 2, 3),
+          grp AS (SELECT nat, seg, count(*) AS n_g FROM base GROUP BY 1, 2),
+          bk AS (SELECT b, count(*) AS cg FROM base GROUP BY 1),
+          grid AS (SELECT g.nat, g.seg, g.n_g, bu.b, bu.cg,
+                          coalesce(cgb.c, 0) AS c
+                   FROM grp g CROSS JOIN bk bu
+                   LEFT JOIN cgb ON cgb.nat = g.nat AND cgb.seg = g.seg
+                     AND cgb.b = bu.b),
+          t AS (SELECT nat, seg, n_g,
+                       sum(c) OVER (PARTITION BY nat, seg ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum_g,
+                       sum(cg) OVER (PARTITION BY nat, seg ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                       sum(cg) OVER (PARTITION BY nat, seg) AS n_tot,
+                       count(*) OVER (PARTITION BY nat, seg) AS m
+                FROM grid),
+          tt AS (SELECT nat, seg, n_g, m, n_tot,
+                        abs(CAST(cum_g AS HUGEINT) * n_tot -
+                            CAST(cum AS HUGEINT) * n_g) AS term
+                 FROM t)
+         SELECT nat AS c_nationkey, seg AS c_mktsegment,
+                CAST(max(n_g) AS BIGINT) AS n,
+                CAST(max(m) AS BIGINT) AS m_buckets,
+                ROUND(CAST(sum(term) AS DOUBLE) /
+                      (CAST(max(n_g) AS DOUBLE) * CAST(max(n_tot) AS DOUBLE))
+                      / CAST(max(m) - 1 AS DOUBLE), 6) AS t_emd,
+                CAST(CASE WHEN CAST(5 AS HUGEINT) * sum(term) >
+                      CAST(max(n_g) AS HUGEINT) * max(n_tot) * (max(m) - 1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS violates_t02
+         FROM tt GROUP BY 1, 2""",
 
     "q291_ngram_novelty" ->
       """WITH sh AS (

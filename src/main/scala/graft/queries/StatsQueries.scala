@@ -219,6 +219,38 @@ object StatsQueries {
         .withColumnRenamed("key", "part_key")
     }),
 
+    // log-log price elasticity of demand per brand: OLS slope of
+    // ln(qty) on ln(net unit price). The libm logs quantize to
+    // DECIMAL(18,12) so both engines fold identical doubles; ALL
+    // sufficient sums then quantize to integer 1e9 units (q398's
+    // scheme) so no fold exceeds 2^53 and shuffle order is moot
+    "q412_price_elasticity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          col("l_extendedprice").cast("decimal(12,2)").cast("double").as("ep"),
+          col("l_discount").cast("decimal(12,2)").cast("double").as("disc"),
+          col("l_quantity").cast("decimal(12,2)").cast("double").as("qty"))
+      val xy = li.select(col("brand"),
+        log(col("ep") * (lit(1.0) - col("disc")) / col("qty"))
+          .cast("decimal(18,12)").cast("double").as("x"),
+        log(col("qty")).cast("decimal(18,12)").cast("double").as("y"))
+      def q9(c: Column): Column = round(c * lit(1e9)).cast("long")
+      val st = xy.groupBy(col("brand")).agg(
+        count(lit(1)).cast("double").as("n"),
+        (sum(q9(col("x"))).cast("double") / lit(1e9)).as("sx"),
+        (sum(q9(col("y"))).cast("double") / lit(1e9)).as("sy"),
+        sum(q9(col("x") * col("y"))).cast("double").as("sxyq"),
+        sum(q9(col("x") * col("x"))).cast("double").as("sxxq"),
+        sum(q9(col("y") * col("y"))).cast("double").as("syyq"))
+      val num = col("n") * (col("sxyq") / lit(1e9)) - col("sx") * col("sy")
+      val denx = col("n") * (col("sxxq") / lit(1e9)) - col("sx") * col("sx")
+      val deny = col("n") * (col("syyq") / lit(1e9)) - col("sy") * col("sy")
+      st.select(col("brand"), col("n").cast("long").as("n"),
+        round(num / denx, 6).as("elasticity"),
+        round(num * num / (denx * deny), 6).as("r2"))
+    }),
+
     // Getis-Ord Gi* hotspot grid over the synthetic customer points:
     // 0.5-degree cells, 3x3 neighborhood sums via bounded 9x replication
     "q301_geo_hotspot" -> ((s, d) => {
@@ -1424,6 +1456,39 @@ object StatsQueries {
                           CAST(49 AS HUGEINT) * (sd * sd) THEN 'erratic'
                      ELSE 'smooth' END AS pattern
          FROM f""",
+
+    "q412_price_elasticity" ->
+      """WITH li AS (SELECT p_brand AS brand,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+                     AS ep,
+                   CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS disc,
+                   CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+          xy AS (SELECT brand,
+                   CAST(CAST(ln(ep * (1.0 - disc) / qty) AS DECIMAL(18,12))
+                     AS DOUBLE) AS x,
+                   CAST(CAST(ln(qty) AS DECIMAL(18,12)) AS DOUBLE) AS y
+                 FROM li),
+          st AS (SELECT brand, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+                     AS sx,
+                   CAST(sum(CAST(round(y * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+                     AS sy,
+                   CAST(sum(CAST(round(x * y * 1e9) AS BIGINT)) AS DOUBLE)
+                     AS sxyq,
+                   CAST(sum(CAST(round(x * x * 1e9) AS BIGINT)) AS DOUBLE)
+                     AS sxxq,
+                   CAST(sum(CAST(round(y * y * 1e9) AS BIGINT)) AS DOUBLE)
+                     AS syyq
+                 FROM xy GROUP BY 1)
+         SELECT brand, CAST(n AS BIGINT) AS n,
+                ROUND((n * (sxyq / 1e9) - sx * sy) /
+                      (n * (sxxq / 1e9) - sx * sx), 6) AS elasticity,
+                ROUND((n * (sxyq / 1e9) - sx * sy) *
+                      (n * (sxyq / 1e9) - sx * sy) /
+                      ((n * (sxxq / 1e9) - sx * sx) *
+                       (n * (syyq / 1e9) - sy * sy)), 6) AS r2
+         FROM st""",
 
     "q210_upsert_latest" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,

@@ -271,6 +271,10 @@ class PlanAuditSpec extends SparkSpec {
     "q327_knn_classify",
     // q378's semantic arm inherits q26's broadcast-query-set brute scan
     "q378_rrf_fusion",
+    // q411: the zero-filled grid crosses the group-domain frame with
+    // the BUCKET-domain frame (both aggregation outputs, ~125 x 6
+    // rows) — a bounded-domain broadcast, never a shuffle of rows
+    "q411_t_closeness",
     // q382 evaluates every zone against the bounded month-predicate
     // dimension (<= data-span months, ~100 rows broadcast) — the zone
     // stream stays distributed, so the BNLJ is a tiny-broadcast scan
