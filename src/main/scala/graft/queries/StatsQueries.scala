@@ -251,6 +251,79 @@ object StatsQueries {
         round(num * num / (denx * deny), 6).as("r2"))
     }),
 
+    // max drawdown of each type's cumulative-revenue "equity curve":
+    // running-max minus level, ALL in exact decimal (prefix sums of
+    // DECIMAL(18,2)) so the peak-to-trough deficit is bit-exact; one
+    // partitioned window pass, one aggregation
+    "q413_max_drawdown" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"), col("spend"))
+      val w = Window.partitionBy(col("key")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("level", sum(col("spend")).over(w))
+        .withColumn("runmax", max(col("level")).over(w))
+        .withColumn("dd", col("runmax") - col("level"))
+      dd.groupBy(col("key"))
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("dd")).cast("double"), 6).as("max_drawdown"),
+          sum(when(col("dd") > 0, 1L).otherwise(0L)).as("days_in_drawdown"))
+    }),
+
+    // 14-day RSI (Cutler's SMA form) per type: rolling gain/loss sums
+    // over exact decimal day-over-day diffs; emitted only where the
+    // full 14-diff window exists
+    "q414_rsi" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"), col("spend"))
+      val wl = Window.partitionBy(col("key")).orderBy(col("day"))
+      val w14 = wl.rowsBetween(-13, 0)
+      val diffs = daily
+        .withColumn("diff", col("spend") - lag(col("spend"), 1).over(wl))
+        .where(col("diff").isNotNull)
+      val gl = diffs
+        .withColumn("nw", count(lit(1)).over(w14))
+        .withColumn("g", sum(when(col("diff") > 0, col("diff"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).over(w14))
+        .withColumn("l", sum(when(col("diff") < 0, -col("diff"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).over(w14))
+        .where(col("nw") === 14)
+      gl.select(col("key"), col("day").cast("string").as("day"),
+        round(when(col("l") === 0, lit(100.0)).otherwise(
+          lit(100.0) - lit(100.0) / (lit(1.0) +
+            col("g").cast("double") / col("l").cast("double"))), 6)
+          .as("rsi14"))
+    }),
+
+    // Bollinger bands (20-day, 2 sigma) with breakout flags per type:
+    // rolling mean/std from exact decimal rolling sums (x and x^2),
+    // so both engines derive the same band doubles and the breakout
+    // comparison is engine-independent
+    "q415_bollinger_breakouts" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"), col("spend").cast("decimal(18,2)").as("spend"))
+      val w20 = Window.partitionBy(col("key")).orderBy(col("day"))
+        .rowsBetween(-19, 0)
+      val b = daily
+        .withColumn("nw", count(lit(1)).over(w20))
+        .withColumn("sx", sum(col("spend")).over(w20))
+        .withColumn("sxx", sum((col("spend") * col("spend"))
+          .cast("decimal(38,4)")).over(w20))
+        .where(col("nw") === 20)
+        .withColumn("mean", col("sx").cast("double") / lit(20.0))
+        .withColumn("sd", sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / lit(20.0)) /
+          lit(19.0)))
+        .withColumn("upper", col("mean") + lit(2.0) * col("sd"))
+        .withColumn("lower", col("mean") - lit(2.0) * col("sd"))
+      b.select(col("key"), col("day").cast("string").as("day"),
+        round(col("mean"), 6).as("mid"), round(col("upper"), 6).as("upper"),
+        round(col("lower"), 6).as("lower"),
+        when(col("spend").cast("double") > col("upper"), 1L)
+          .when(col("spend").cast("double") < col("lower"), -1L)
+          .otherwise(0L).as("breakout"))
+    }),
+
     // Getis-Ord Gi* hotspot grid over the synthetic customer points:
     // 0.5-degree cells, 3x3 neighborhood sums via bounded 9x replication
     "q301_geo_hotspot" -> ((s, d) => {
@@ -1489,6 +1562,67 @@ object StatsQueries {
                       ((n * (sxxq / 1e9) - sx * sx) *
                        (n * (syyq / 1e9) - sy * sy)), 6) AS r2
          FROM st""",
+
+    "q413_max_drawdown" ->
+      s"""WITH daily AS (SELECT key, day, y FROM ($dailySql) ds),
+          t AS (SELECT key, day,
+                       sum(y) OVER (PARTITION BY key ORDER BY day ROWS
+                         BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS level
+                FROM daily),
+          ddt AS (SELECT key,
+                         max(level) OVER (PARTITION BY key ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW) - level AS dd
+                  FROM t)
+         SELECT key, count(*) AS n_days,
+                ROUND(CAST(max(dd) AS DOUBLE), 6) AS max_drawdown,
+                CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS days_in_drawdown
+         FROM ddt GROUP BY key""",
+
+    "q414_rsi" ->
+      s"""WITH daily AS (SELECT key, day, y FROM ($dailySql) ds),
+          df AS (SELECT key, day,
+                        y - lag(y) OVER (PARTITION BY key ORDER BY day)
+                          AS diff
+                 FROM daily),
+          d2 AS (SELECT * FROM df WHERE diff IS NOT NULL),
+          gl AS (SELECT key, day, count(*) OVER w AS nw,
+                        sum(CASE WHEN diff > 0 THEN diff
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS g,
+                        sum(CASE WHEN diff < 0 THEN -diff
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS l
+                 FROM d2
+                 WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN
+                   13 PRECEDING AND CURRENT ROW))
+         SELECT key, CAST(day AS VARCHAR) AS day,
+                ROUND(CASE WHEN l = 0 THEN 100.0
+                           ELSE 100.0 - 100.0 / (1.0 + CAST(g AS DOUBLE) /
+                             CAST(l AS DOUBLE)) END, 6) AS rsi14
+         FROM gl WHERE nw = 14""",
+
+    "q415_bollinger_breakouts" ->
+      s"""WITH daily AS (SELECT key, day, CAST(y AS DECIMAL(18,2)) AS y
+                         FROM ($dailySql) ds),
+          b AS (SELECT key, day, y, count(*) OVER w AS nw,
+                       sum(y) OVER w AS sx,
+                       sum(CAST(y * y AS DECIMAL(38,4))) OVER w AS sxx
+                FROM daily
+                WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN
+                  19 PRECEDING AND CURRENT ROW)),
+          f AS (SELECT key, day, y,
+                       CAST(sx AS DOUBLE) / 20.0 AS mean,
+                       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+                         CAST(sx AS DOUBLE) / 20.0) / 19.0) AS sd
+                FROM b WHERE nw = 20)
+         SELECT key, CAST(day AS VARCHAR) AS day, ROUND(mean, 6) AS mid,
+                ROUND(mean + 2.0 * sd, 6) AS upper,
+                ROUND(mean - 2.0 * sd, 6) AS lower,
+                CAST(CASE WHEN CAST(y AS DOUBLE) > mean + 2.0 * sd THEN 1
+                          WHEN CAST(y AS DOUBLE) < mean - 2.0 * sd THEN -1
+                          ELSE 0 END AS BIGINT) AS breakout
+         FROM f""",
 
     "q210_upsert_latest" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
