@@ -1301,6 +1301,55 @@ object DataQuality {
     res
   }
 
+  /** Best single Gini split of a numeric feature against a binary
+    * target — the transparent, auditable core of a decision-tree
+    * stump. Candidate thresholds are the distinct feature values;
+    * left-side class counts come from the two-level
+    * [[cumulativeByValue]] prefix (no global sort), right side is
+    * total-minus-prefix. The split score (sum of per-side squared
+    * class masses over side size) is a double derived from exact
+    * DECIMAL(38,0) integers, so the argmax is engine-independent;
+    * ties break to the smallest threshold. Returns ONE row:
+    * threshold (split is v <= t), per-side counts, weighted Gini. */
+  def bestGiniSplit(df: DataFrame, feature: Column, target: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.where(feature.isNotNull)
+      .select(feature.cast("decimal(18,6)").as("v"),
+        when(target, 1L).otherwise(0L).as("pos"))
+    val counts = base.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = cumulativeByValue(counts, Seq("cnt", "pos"))
+    val tot = counts.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+    val cand = cum.crossJoin(broadcast(tot))
+      .where(col("cum_cnt") < col("n"))
+      .withColumn("nl", col("cum_cnt")).withColumn("pl", col("cum_pos"))
+      .withColumn("nr", col("n") - col("cum_cnt"))
+      .withColumn("pr", col("p") - col("cum_pos"))
+      .withColumn("score",
+        (dec(col("pl")) * col("pl") +
+          dec(col("nl") - col("pl")) * (col("nl") - col("pl")))
+          .cast("double") / col("nl").cast("double") +
+        (dec(col("pr")) * col("pr") +
+          dec(col("nr") - col("pr")) * (col("nr") - col("pr")))
+          .cast("double") / col("nr").cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val best = cand.agg(max(col("score")).as("best"))
+    val bestv = cand.crossJoin(broadcast(best))
+      .where(col("score") === col("best"))
+      .agg(min(col("v")).as("bv"))
+    val out = cand.crossJoin(broadcast(bestv)).where(col("v") === col("bv"))
+      .select(round(col("v").cast("double"), 6).as("threshold"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"),
+        round(lit(1.0) - col("score") / col("n").cast("double"), 6)
+          .as("weighted_gini"))
+    val res = out.localCheckpoint(true)
+    cand.unpersist(blocking = false)
+    counts.unpersist(blocking = false)
+    res
+  }
+
   /** Tukey-HSD post-hoc pairwise comparisons after [[anovaOneWay]]:
     * which group means actually differ? Per-group sufficient stats
     * (k rows) self-joined on g1 < g2 (a k^2-bounded broadcast

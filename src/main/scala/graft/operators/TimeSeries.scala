@@ -718,6 +718,65 @@ object TimeSeries {
       round(lit(1.0 - alpha / 2.0) * (zf / pf), 6).as("sba_rate"))
   }
 
+  /** Two-piece segmented-trend fit per series: the single breakpoint
+    * that minimizes total OLS SSE of independent left/right linear
+    * fits. Every candidate split is scored from ONE pass of per-series
+    * prefix sufficient statistics (DECIMAL(38,0) folds of integer
+    * x/cents, so no overflow and no order sensitivity); right-segment
+    * stats are total-minus-prefix, never a second scan. The argmin is
+    * a per-series row_number over (sse, day) — both engines derive
+    * identical SSE doubles from identical exact integers, so the pick
+    * is engine-independent. Slopes are reported in value-units/day
+    * (cents folded, /100 at readout). */
+  def segmentedTrend(df: DataFrame, key: Column, day: Column,
+                     valueCents: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(key.as("k"), day.as("day"),
+      datediff(day, to_date(lit("1970-01-01"))).cast("long").as("x"),
+      valueCents.cast("long").as("y"))
+    val wp = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.partitionBy(col("k"))
+    val pre = base
+      .withColumn("nl", count(lit(1)).over(wp))
+      .withColumn("sxl", sum(dec(col("x"))).over(wp))
+      .withColumn("syl", sum(dec(col("y"))).over(wp))
+      .withColumn("sxyl", sum(dec(col("x")) * col("y")).over(wp))
+      .withColumn("sxxl", sum(dec(col("x")) * col("x")).over(wp))
+      .withColumn("syyl", sum(dec(col("y")) * col("y")).over(wp))
+      .withColumn("nt", count(lit(1)).over(wa))
+      .withColumn("sxt", sum(dec(col("x"))).over(wa))
+      .withColumn("syt", sum(dec(col("y"))).over(wa))
+      .withColumn("sxyt", sum(dec(col("x")) * col("y")).over(wa))
+      .withColumn("sxxt", sum(dec(col("x")) * col("x")).over(wa))
+      .withColumn("syyt", sum(dec(col("y")) * col("y")).over(wa))
+      .where(col("nl") >= 2 && col("nt") - col("nl") >= 2)
+    def fit(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column,
+            syy: Column): (Column, Column) = {
+      val nd = n.cast("double")
+      val sxd = sx.cast("double")
+      val syd = sy.cast("double")
+      val sxyc = sxy.cast("double") - sxd * syd / nd
+      val sxxc = sxx.cast("double") - sxd * sxd / nd
+      val syyc = syy.cast("double") - syd * syd / nd
+      (sxyc / sxxc, syyc - sxyc * sxyc / sxxc)
+    }
+    val (sl, el) = fit(col("nl"), col("sxl"), col("syl"), col("sxyl"),
+      col("sxxl"), col("syyl"))
+    val (sr, er) = fit(col("nt") - col("nl"), col("sxt") - col("sxl"),
+      col("syt") - col("syl"), col("sxyt") - col("sxyl"),
+      col("sxxt") - col("sxxl"), col("syyt") - col("syyl"))
+    val scored = pre.withColumn("slope_l", sl).withColumn("slope_r", sr)
+      .withColumn("sse_tot", el + er)
+    val wr = Window.partitionBy(col("k")).orderBy(col("sse_tot"), col("day"))
+    scored.withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+      .select(col("k").as("key"), col("day").cast("string").as("split_day"),
+        col("nl").as("n_left"), (col("nt") - col("nl")).as("n_right"),
+        round(col("slope_l") / lit(100.0), 6).as("slope_left"),
+        round(col("slope_r") / lit(100.0), 6).as("slope_right"),
+        round(col("sse_tot") / lit(1e4), 6).as("sse_total"))
+  }
+
   /** Syntetos-Boylan demand-pattern classification (the companion
     * diagnostic that tells you when [[croston]] applies): per series,
     * ADI (mean inter-demand interval) and CV^2 (squared coefficient of

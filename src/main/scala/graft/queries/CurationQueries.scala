@@ -514,6 +514,41 @@ object CurationQueries {
             .otherwise(0L).as("violates_t02"))
     }),
 
+    // rendezvous (highest-random-weight) sharding audit: deterministic
+    // md5 weights assign each order key to one of 8 shards; the argmax
+    // per key encodes (weight, shard) into ONE decimal scalar (no
+    // struct comparator needed in either engine). Emits the balance
+    // chi2 against uniform and the fraction of keys that move when a
+    // 9th shard joins — the ~1/9 consistent-hashing guarantee
+    "q417_rendezvous_shards" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val keys = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val a = keys.select(col("k"), explode(sequence(lit(0), lit(8))).as("shd"))
+        .withColumn("h", TextAnalysis.hash60(
+          concat_ws(":", lit("rv"), col("shd"), col("k"))))
+      val pk = a.groupBy(col("k")).agg(
+          max(when(col("shd") <= 7, dec(col("h")) * 16 + col("shd")))
+            .as("m8"),
+          max(dec(col("h")) * 16 + col("shd")).as("m9"))
+        .select(col("k"), (col("m8") % 16).cast("long").as("s8"),
+          (col("m9") % 16).cast("long").as("s9"))
+      val counts = pk.groupBy(col("s8")).agg(count(lit(1)).as("c"))
+      val stats = counts.agg(sum(col("c")).as("n"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("cc"),
+        min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+      val moved = pk.agg(
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved"))
+      stats.crossJoin(moved)
+        .select(col("n").as("n_keys"), col("min_c").as("min_shard"),
+          col("max_c").as("max_shard"),
+          round(lit(8.0) * col("cc").cast("double") /
+            col("n").cast("double") - col("n").cast("double"), 6)
+            .as("chi2_uniform"),
+          col("n_moved"),
+          round(col("n_moved").cast("double") / col("n").cast("double"), 6)
+            .as("moved_frac"))
+    }),
+
     // n-gram novelty audit: per doc, the fraction of its distinct word
     // trigrams that FIRST appear in it (global min doc_id per shingle =
     // one groupBy) — low novelty marks template spam / memorized
@@ -744,6 +779,35 @@ object CurationQueries {
                       CAST(max(n_g) AS HUGEINT) * max(n_tot) * (max(m) - 1)
                      THEN 1 ELSE 0 END AS BIGINT) AS violates_t02
          FROM tt GROUP BY 1, 2""",
+
+    "q417_rendezvous_shards" ->
+      s"""WITH keys AS (SELECT o_orderkey AS k FROM orders),
+          sh AS (SELECT unnest(generate_series(0, 8)) AS s),
+          a AS (SELECT k, s,
+                  ${H60("'rv:' || CAST(s AS VARCHAR) || ':' || CAST(k AS VARCHAR)")}
+                    AS h
+                FROM keys, sh),
+          pk AS (SELECT k,
+                   CAST(max(CASE WHEN s <= 7 THEN CAST(h AS HUGEINT) * 16 + s
+                     END) % 16 AS BIGINT) AS s8,
+                   CAST(max(CAST(h AS HUGEINT) * 16 + s) % 16 AS BIGINT)
+                     AS s9
+                 FROM a GROUP BY k),
+          counts AS (SELECT s8, count(*) AS c FROM pk GROUP BY 1),
+          stats AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                           sum(CAST(c AS HUGEINT) * c) AS cc,
+                           CAST(min(c) AS BIGINT) AS min_c,
+                           CAST(max(c) AS BIGINT) AS max_c
+                    FROM counts),
+          mv AS (SELECT CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_moved FROM pk)
+         SELECT n AS n_keys, min_c AS min_shard, max_c AS max_shard,
+                ROUND(8.0 * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE) -
+                  CAST(n AS DOUBLE), 6) AS chi2_uniform,
+                n_moved,
+                ROUND(CAST(n_moved AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  AS moved_frac
+         FROM stats, mv""",
 
     "q291_ngram_novelty" ->
       """WITH sh AS (

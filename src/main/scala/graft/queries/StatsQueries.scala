@@ -324,6 +324,23 @@ object StatsQueries {
           .otherwise(0L).as("breakout"))
     }),
 
+    // two-piece segmented trend per event type: the breakpoint that
+    // minimizes left+right OLS SSE, scored from one prefix-stats pass
+    "q416_segmented_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+      TimeSeries.segmentedTrend(daily, col("event_type"), col("day"),
+        col("cents"))
+    }),
+
+    // best Gini split of price against the return flag — the auditable
+    // decision-stump fit over the exact value-domain prefix
+    "q418_best_gini_split" -> ((s, d) => {
+      DataQuality.bestGiniSplit(Tables.lineitem(s, d),
+        col("l_extendedprice"), col("l_returnflag") === "R")
+    }),
+
     // Getis-Ord Gi* hotspot grid over the synthetic customer points:
     // 0.5-degree cells, 3x3 neighborhood sums via bounded 9x replication
     "q301_geo_hotspot" -> ((s, d) => {
@@ -1623,6 +1640,95 @@ object StatsQueries {
                           WHEN CAST(y AS DOUBLE) < mean - 2.0 * sd THEN -1
                           ELSE 0 END AS BIGINT) AS breakout
          FROM f""",
+
+    "q416_segmented_trend" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+                            AS BIGINT) AS y
+                        FROM events GROUP BY 1, 2),
+          b AS (SELECT k, day,
+                       CAST(date_diff('day', DATE '1970-01-01', day)
+                         AS BIGINT) AS x, y
+                FROM daily),
+          pre AS (SELECT k, day, count(*) OVER wp AS nl,
+                         sum(CAST(x AS HUGEINT)) OVER wp AS sxl,
+                         sum(CAST(y AS HUGEINT)) OVER wp AS syl,
+                         sum(CAST(x AS HUGEINT) * y) OVER wp AS sxyl,
+                         sum(CAST(x AS HUGEINT) * x) OVER wp AS sxxl,
+                         sum(CAST(y AS HUGEINT) * y) OVER wp AS syyl,
+                         count(*) OVER wa AS nt,
+                         sum(CAST(x AS HUGEINT)) OVER wa AS sxt,
+                         sum(CAST(y AS HUGEINT)) OVER wa AS syt,
+                         sum(CAST(x AS HUGEINT) * y) OVER wa AS sxyt,
+                         sum(CAST(x AS HUGEINT) * x) OVER wa AS sxxt,
+                         sum(CAST(y AS HUGEINT) * y) OVER wa AS syyt
+                  FROM b
+                  WINDOW wp AS (PARTITION BY k ORDER BY day ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW),
+                         wa AS (PARTITION BY k)),
+          cand AS (SELECT * FROM pre WHERE nl >= 2 AND nt - nl >= 2),
+          cm AS (SELECT k, day, nl, nt,
+                   CAST(sxyl AS DOUBLE) - CAST(sxl AS DOUBLE) *
+                     CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE) AS sxycl,
+                   CAST(sxxl AS DOUBLE) - CAST(sxl AS DOUBLE) *
+                     CAST(sxl AS DOUBLE) / CAST(nl AS DOUBLE) AS sxxcl,
+                   CAST(syyl AS DOUBLE) - CAST(syl AS DOUBLE) *
+                     CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE) AS syycl,
+                   CAST(sxyt - sxyl AS DOUBLE) - CAST(sxt - sxl AS DOUBLE) *
+                     CAST(syt - syl AS DOUBLE) / CAST(nt - nl AS DOUBLE)
+                     AS sxycr,
+                   CAST(sxxt - sxxl AS DOUBLE) - CAST(sxt - sxl AS DOUBLE) *
+                     CAST(sxt - sxl AS DOUBLE) / CAST(nt - nl AS DOUBLE)
+                     AS sxxcr,
+                   CAST(syyt - syyl AS DOUBLE) - CAST(syt - syl AS DOUBLE) *
+                     CAST(syt - syl AS DOUBLE) / CAST(nt - nl AS DOUBLE)
+                     AS syycr
+                 FROM cand),
+          sc AS (SELECT k, day, nl, nt, sxycl / sxxcl AS slope_l,
+                        sxycr / sxxcr AS slope_r,
+                        (syycl - sxycl * sxycl / sxxcl) +
+                        (syycr - sxycr * sxycr / sxxcr) AS sse_tot
+                 FROM cm),
+          r AS (SELECT *, row_number() OVER (PARTITION BY k
+                  ORDER BY sse_tot, day) AS rn FROM sc)
+         SELECT k AS key, CAST(day AS VARCHAR) AS split_day, nl AS n_left,
+                CAST(nt - nl AS BIGINT) AS n_right,
+                ROUND(slope_l / 100.0, 6) AS slope_left,
+                ROUND(slope_r / 100.0, 6) AS slope_right,
+                ROUND(sse_tot / 1e4, 6) AS sse_total
+         FROM r WHERE rn = 1""",
+
+    "q418_best_gini_split" ->
+      """WITH base AS (SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+                             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                               AS pos
+                      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          counts AS (SELECT v, count(*) AS cnt,
+                            CAST(sum(pos) AS BIGINT) AS pos
+                     FROM base GROUP BY 1),
+          cum AS (SELECT v, sum(cnt) OVER w AS nl, sum(pos) OVER w AS pl
+                  FROM counts
+                  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                         CAST(sum(pos) AS BIGINT) AS p FROM counts),
+          cand AS (SELECT v, CAST(nl AS BIGINT) AS nl,
+                          CAST(pl AS BIGINT) AS pl,
+                          CAST(n - nl AS BIGINT) AS nr,
+                          CAST(p - pl AS BIGINT) AS pr, n
+                   FROM cum, tot WHERE nl < n),
+          sc AS (SELECT *,
+                   CAST(CAST(pl AS HUGEINT) * pl +
+                     CAST(nl - pl AS HUGEINT) * (nl - pl) AS DOUBLE) /
+                     CAST(nl AS DOUBLE) +
+                   CAST(CAST(pr AS HUGEINT) * pr +
+                     CAST(nr - pr AS HUGEINT) * (nr - pr) AS DOUBLE) /
+                     CAST(nr AS DOUBLE) AS score
+                 FROM cand)
+         SELECT ROUND(CAST(v AS DOUBLE), 6) AS threshold, nl AS n_left,
+                pl AS pos_left, nr AS n_right, pr AS pos_right,
+                ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
+         FROM sc ORDER BY score DESC, v LIMIT 1""",
 
     "q210_upsert_latest" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,

@@ -203,6 +203,9 @@ class PlanAuditSpec extends SparkSpec {
     // q402/q403: 2x2-concordance / trend-test readouts reduce the
     // sufficient-stats rows to ONE final row — q292's shape
     "q402_mcnemar", "q403_cochran_armitage",
+    // q417: the balance/migration readout crosses two 1-row aggregate
+    // frames (8-shard stats x moved count) — q323's shape
+    "q417_rendezvous_shards",
     // q300: ANOVA tail on the |x - median| deviations, q292's shape
     "q300_brown_forsythe",
     // q301: the global cell-count mean/std is a 1-row sufficient-stat
