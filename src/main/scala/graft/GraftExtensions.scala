@@ -69,6 +69,13 @@ object GraftExtensions {
           checkArity("graft_nfc", 1, args)
           graft.expressions.UnicodeNormalize(args.head, "NFC")
         }),
+      (FunctionIdentifier("graft_lev_bounded"),
+        new ExpressionInfo(classOf[graft.expressions.BoundedLevenshtein].getName,
+          "graft_lev_bounded"),
+        args => {
+          checkArity("graft_lev_bounded", 3, args)
+          graft.expressions.BoundedLevenshtein(args(0), args(1), args(2))
+        }),
       (FunctionIdentifier("graft_jaro_winkler"),
         new ExpressionInfo(classOf[graft.expressions.JaroWinkler].getName,
           "graft_jaro_winkler"),

@@ -16,6 +16,26 @@ object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // first-word-blocked fuzzy pairs over the part-type DOMAIN scored
+    // with the native banded graft_lev_bounded expression (exact
+    // distance iff <= 3, else 4 — O(k*n) per pair with a length-gap
+    // fast path, not a full DP table); the distance histogram is the
+    // gate, replayed in the oracle as least(levenshtein, 4)
+    "q419_bounded_edit_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.graftshim.ColumnSql
+      val t = Tables.part(s, d).select(col("p_type").as("nm")).distinct()
+        .withColumn("w1", split(col("nm"), " ").getItem(0))
+      val a = t.select(col("w1"), col("nm").as("nm_a"))
+      val b = t.select(col("w1"), col("nm").as("nm_b"))
+      val lev = ColumnSql.columnOf(graft.expressions.BoundedLevenshtein(
+        ColumnSql.expressionOf(col("nm_a")),
+        ColumnSql.expressionOf(col("nm_b")),
+        ColumnSql.expressionOf(lit(3))))
+      a.join(b, Seq("w1")).where(col("nm_a") < col("nm_b"))
+        .select(lev.cast("long").as("dist"))
+        .where(col("dist") <= 3)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+    }),
     // fixed-iteration PageRank over the customer<->supplier trade graph
     // (suppliers offset into their own key space; both directions so
     // mass flows through the bipartite structure)
@@ -616,6 +636,15 @@ object DedupQueries {
               WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q419_bounded_edit_pairs" ->
+      """WITH t AS (SELECT DISTINCT p_type AS nm FROM part),
+          k AS (SELECT nm, str_split(nm, ' ')[1] AS w1 FROM t),
+          pr AS (SELECT x.nm AS a, y.nm AS b
+                 FROM k x JOIN k y ON x.w1 = y.w1 AND x.nm < y.nm),
+          d AS (SELECT CAST(least(levenshtein(a, b), 4) AS BIGINT) AS dist
+                FROM pr)
+         SELECT dist, count(*) AS n_pairs
+         FROM d WHERE dist <= 3 GROUP BY dist""",
     "q238_dup_rate_by_source" ->
       s"""WITH $MINHASH_PAIR_CTES,
           pr AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
