@@ -679,6 +679,41 @@ object TimeSeries {
         .as("ewma"))
   }
 
+  /** 1-D Kalman level filter per series (random-walk state, noisy
+    * observations): x' = x + K (z - x), p' = (1-K)(p+q) with the
+    * time-varying gain K = (p+q)/(p+q+r). A genuinely sequential
+    * recurrence no window prefix can express — folded with the same
+    * grouped-sort + `aggregate` struct-state shape as
+    * [[clampedBalance]] (sequential per series, parallel across
+    * series). Pure +,*,/ double arithmetic in a fixed op order, so the
+    * DuckDB oracle's list_reduce replays the trajectory bit-for-bit.
+    * Initialized at x = first observation, p = 1. */
+  def kalmanLevel(df: DataFrame, key: Column, order: Column, value: Column,
+                  qVar: Double, rVar: Double): DataFrame = {
+    require(qVar > 0 && rVar > 0, s"variances must be positive: $qVar $rVar")
+    val seq = df.select(key.as("k"), order.as("o"),
+        value.cast("double").as("z"))
+      .groupBy(col("k"))
+      .agg(array_sort(collect_list(struct(col("o"), col("z")))).as("arr"))
+    val folded = aggregate(
+      expr("slice(arr, 2, size(arr) - 1)"),
+      struct(element_at(col("arr"), 1).getField("z").as("x"),
+        lit(1.0).as("p")),
+      (acc, e) => {
+        val pq = acc.getField("p") + lit(qVar)
+        val gain = pq / (pq + lit(rVar))
+        struct(
+          (acc.getField("x") + gain * (e.getField("z") - acc.getField("x")))
+            .as("x"),
+          ((lit(1.0) - gain) * pq).as("p"))
+      })
+    seq.select(col("k").as("key"), size(col("arr")).cast("long").as("n"),
+      round(folded.getField("x"), 6).as("level"),
+      round(folded.getField("p"), 6).as("p_var"),
+      round((folded.getField("p") + lit(qVar)) /
+        (folded.getField("p") + lit(qVar) + lit(rVar)), 6).as("gain_next"))
+  }
+
   /** Croston's method for intermittent demand (+ the Syntetos-Boylan
     * bias-corrected variant): per series, one EWMA over the NONZERO
     * demand sizes and one over the inter-demand intervals, folded in

@@ -334,6 +334,16 @@ object StatsQueries {
         col("cents"))
     }),
 
+    // 1-D Kalman level filter of daily spend per type (q=0.01, r=1):
+    // the sequential struct-state fold q191's EWMA cannot express —
+    // time-varying gain, replayed step-for-step by the oracle
+    "q420_kalman_level" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"), col("spend").cast("double").as("z"))
+      TimeSeries.kalmanLevel(daily, col("key"), col("day"), col("z"),
+        qVar = 0.01, rVar = 1.0)
+    }),
+
     // best Gini split of price against the return flag — the auditable
     // decision-stump fit over the exact value-domain prefix
     "q418_best_gini_split" -> ((s, d) => {
@@ -1729,6 +1739,29 @@ object StatsQueries {
                 pl AS pos_left, nr AS n_right, pr AS pos_right,
                 ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
          FROM sc ORDER BY score DESC, v LIMIT 1""",
+
+    "q420_kalman_level" ->
+      s"""WITH daily AS (SELECT key, day, CAST(y AS DOUBLE) AS z
+                         FROM ($dailySql) ds),
+          agg AS (SELECT key, count(*) AS n,
+                    list_reduce(
+                      list_transform(list(z ORDER BY day),
+                        v -> {'z': v, 'x': v, 'p': CAST(1.0 AS DOUBLE)}),
+                      (a, b) -> {'z': b.z,
+                        'x': a.x + ((a.p + CAST(0.01 AS DOUBLE)) /
+                          (a.p + CAST(0.01 AS DOUBLE) +
+                           CAST(1.0 AS DOUBLE))) * (b.z - a.x),
+                        'p': (CAST(1.0 AS DOUBLE) -
+                          (a.p + CAST(0.01 AS DOUBLE)) /
+                          (a.p + CAST(0.01 AS DOUBLE) +
+                           CAST(1.0 AS DOUBLE))) *
+                          (a.p + CAST(0.01 AS DOUBLE))}) AS st
+                  FROM daily GROUP BY key)
+         SELECT key, n, ROUND(st.x, 6) AS level, ROUND(st.p, 6) AS p_var,
+                ROUND((st.p + CAST(0.01 AS DOUBLE)) /
+                  (st.p + CAST(0.01 AS DOUBLE) + CAST(1.0 AS DOUBLE)), 6)
+                  AS gain_next
+         FROM agg""",
 
     "q210_upsert_latest" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,

@@ -124,6 +124,27 @@ class Stats10Spec extends SparkSpec {
     assert(r.getAs[Double]("sse_total") == 0.0)
   }
 
+  test("kalmanLevel on a constant series keeps the level and contracts " +
+    "the variance monotonically") {
+    val df = (1 to 20).map(i => ("k", i.toLong, 42.0)).toDF("k", "o", "z")
+    val r = TimeSeries.kalmanLevel(df, col("k"), col("o"), col("z"),
+      qVar = 0.01, rVar = 1.0).head()
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("level") == 42.0) // innovations are all zero
+    val p = r.getAs[Double]("p_var")
+    assert(p > 0 && p < 1.0) // contracted from the p0 = 1 prior
+    // steady-state gain for q=0.01, r=1 is ~0.0951; 20 steps is close
+    assert(math.abs(r.getAs[Double]("gain_next") - 0.0951) < 0.005)
+  }
+
+  test("kalmanLevel tracks a level shift from above (smoothing lag)") {
+    val df = ((1 to 10).map(i => ("k", i.toLong, 0.0)) ++
+      (11 to 13).map(i => ("k", i.toLong, 100.0))).toDF("k", "o", "z")
+    val lvl = TimeSeries.kalmanLevel(df, col("k"), col("o"), col("z"),
+      qVar = 0.01, rVar = 1.0).head().getAs[Double]("level")
+    assert(lvl > 0.0 && lvl < 100.0) // lags the shift, moves toward it
+  }
+
   test("bestGiniSplit on perfectly separable data finds the boundary " +
     "with weighted Gini 0") {
     val df = Seq((1.0, false), (1.0, false), (2.0, false), (2.0, false),
