@@ -1301,6 +1301,62 @@ object DataQuality {
     res
   }
 
+  /** Single-feature logistic regression fit by `iters` UNROLLED Newton
+    * steps — a fully auditable GLM fit: every iteration is one
+    * sufficient-stats aggregation (gradient + 2x2 Hessian) over the
+    * data crossJoined with the 1-row parameter frame, exactly the
+    * q306 EM shape. Per-row probabilities quantize to DECIMAL(18,12)
+    * (absorbing libm exp's 1-ulp engine skew) and every sum folds in
+    * integer 1e-9 units, so the DuckDB oracle replays the whole
+    * trajectory step-for-step. Returns (n, b0, b1, logloss). */
+  def logisticNewton(df: DataFrame, feature: Column, target: Column,
+                     iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters out of [1,8]: $iters")
+    val rows = df.select(feature.cast("double").as("x"),
+        when(target, 1.0).otherwise(0.0).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def q9(c: Column): Column = round(c * lit(1e9)).cast("long")
+    def prob: Column = {
+      val eta = col("b0") + col("b1") * col("x")
+      (lit(1.0) / (lit(1.0) + exp(-eta))).cast("decimal(18,12)").cast("double")
+    }
+    var b = rows.sparkSession.range(1)
+      .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+    for (_ <- 1 to iters) {
+      val t = rows.crossJoin(broadcast(b))
+        .select(col("x"), col("y"), col("b0"), col("b1"), prob.as("p"))
+      val w = col("p") * (lit(1.0) - col("p"))
+      val st = t.agg(max(col("b0")).as("b0"), max(col("b1")).as("b1"),
+        (sum(q9(col("y") - col("p"))).cast("double") / lit(1e9)).as("g0"),
+        (sum(q9(col("x") * (col("y") - col("p")))).cast("double") / lit(1e9))
+          .as("g1"),
+        (sum(q9(w)).cast("double") / lit(1e9)).as("h00"),
+        (sum(q9(w * col("x"))).cast("double") / lit(1e9)).as("h01"),
+        (sum(q9(w * col("x") * col("x"))).cast("double") / lit(1e9))
+          .as("h11"))
+      val det = col("h00") * col("h11") - col("h01") * col("h01")
+      b = st.select(
+        (col("b0") + (col("h11") * col("g0") - col("h01") * col("g1")) / det)
+          .as("b0"),
+        (col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det)
+          .as("b1"))
+    }
+    val fin = rows.crossJoin(broadcast(b))
+      .select(col("y"), col("b0"), col("b1"), prob.as("p"))
+    val llterm = -(col("y") * log(col("p")) +
+      (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))
+    val out = fin
+      .agg(count(lit(1)).as("n"), max(col("b0")).as("b0x"),
+        max(col("b1")).as("b1x"),
+        (sum(q9(llterm)).cast("double") / lit(1e9)).as("lls"))
+      .select(col("n"), round(col("b0x"), 6).as("b0"),
+        round(col("b1x"), 6).as("b1"),
+        round(col("lls") / col("n").cast("double"), 6).as("logloss"))
+    val res = out.localCheckpoint(true)
+    rows.unpersist(blocking = false)
+    res
+  }
+
   /** Best single Gini split of a numeric feature against a binary
     * target — the transparent, auditable core of a decision-tree
     * stump. Candidate thresholds are the distinct feature values;

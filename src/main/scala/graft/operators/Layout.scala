@@ -138,4 +138,43 @@ object Layout {
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     df.repartition(files).write.mode("overwrite").parquet(outPath)
   }
+
+  /** First-fit-decreasing bin packing per group — the compaction
+    * planner's kernel (pack small files into capacity-C output files,
+    * task-size items into executor slots, …). Items sort (size DESC,
+    * id) and fold through a bin-load ARRAY state: each item lands in
+    * the FIRST bin with room, else opens a new bin — sequential per
+    * group by design (greedy order matters), parallel across groups,
+    * pure integer arithmetic so the DuckDB oracle replays the exact
+    * packing. Oversized items (> capacity) open their own over-full
+    * bin and are counted loudly rather than dropped. */
+  def ffdBinPack(df: DataFrame, group: Column, item: Column,
+                 itemSize: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val seq = df.select(group.as("g"), item.as("it"),
+        itemSize.cast("long").as("sz"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_items"), sum(col("sz")).as("total"),
+        sum(when(col("sz") > capacity, 1L).otherwise(0L)).as("n_oversize"),
+        array_sort(collect_list(struct((-col("sz")).as("ns"),
+          col("it").as("it"), col("sz").as("sz")))).as("arr"))
+    val bins = aggregate(
+      expr("slice(arr, 2, size(arr) - 1)"),
+      array(element_at(col("arr"), 1).getField("sz")),
+      (acc, e) => {
+        val x = e.getField("sz")
+        val pos = array_position(
+          transform(acc, b => b + x <= lit(capacity)), true)
+        when(pos > 0,
+          transform(acc, (b, i) =>
+            when(i.cast("long") === pos - 1, b + x).otherwise(b)))
+          .otherwise(concat(acc, array(x)))
+      })
+    seq.select(col("g").as("key"), col("n_items"), col("total"),
+      col("n_oversize"), size(bins).cast("long").as("n_bins"),
+      array_max(bins).as("max_bin"),
+      round(col("total").cast("double") /
+        (size(bins).cast("double") * lit(capacity.toDouble)), 6)
+        .as("utilization"))
+  }
 }

@@ -416,6 +416,20 @@ object RelationalQueries {
           max(col("o_orderkey")).cast("long").as("max_key"))
     }),
 
+    // first-fit-decreasing compaction planner per brand: per-part
+    // row-volumes packed into capacity-2000 bins through the exact
+    // integer array-state fold — bins, utilization, oversize audit
+    "q421_ffd_bin_packing" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("long")
+          .as("sz"))
+      graft.operators.Layout.ffdBinPack(items, col("p_brand"),
+          col("l_partkey"), col("sz"), 2000L)
+        .withColumnRenamed("key", "p_brand")
+    }),
+
     // distributed global row numbers by (orderdate, orderkey) — the
     // range-partition + zipWithIndex shape that replaces the
     // single-partition ORDER BY window at scale; gate checks a sample
@@ -452,6 +466,33 @@ object RelationalQueries {
   private val MONEY_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracles: Map[String, String] = Map(
+    "q421_ffd_bin_packing" ->
+      """WITH items AS (SELECT p_brand AS g, l_partkey AS it,
+                          CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                            AS BIGINT) AS sz
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        GROUP BY 1, 2),
+          s AS (SELECT g, count(*) AS n_items,
+                       CAST(sum(sz) AS BIGINT) AS total,
+                       CAST(sum(CASE WHEN sz > 2000 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_oversize,
+                       list(sz ORDER BY -sz, it) AS szs
+                FROM items GROUP BY g),
+          packed AS (SELECT *, list_reduce(list_transform(szs, v -> [v]),
+                       (a, b) -> CASE WHEN list_position(list_transform(a,
+                           e -> e + b[1] <= 2000), true) > 0
+                         THEN list_transform(a, (e, i) -> CASE WHEN i =
+                           list_position(list_transform(a,
+                             x -> x + b[1] <= 2000), true)
+                           THEN e + b[1] ELSE e END)
+                         ELSE list_append(a, b[1]) END) AS bins
+                     FROM s)
+         SELECT g AS p_brand, n_items, total, n_oversize,
+                CAST(len(bins) AS BIGINT) AS n_bins,
+                CAST(list_max(bins) AS BIGINT) AS max_bin,
+                ROUND(CAST(total AS DOUBLE) /
+                  (CAST(len(bins) AS DOUBLE) * 2000.0), 6) AS utilization
+         FROM packed""",
     "q335_revenue_proration" ->
       """WITH li AS (
            SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)

@@ -23,6 +23,35 @@ object StatsQueries {
   // y as DECIMAL(25,6): same values as Spark's (18,6) cast, but wide
   // enough that DuckDB promotes y*y to an int128-backed DECIMAL(38,12)
   // instead of overflowing the int64 DECIMAL(18) multiply path
+  /** One unrolled Newton step of the q422 logistic fit: score rows
+    * with the previous params, fold gradient + Hessian sufficient
+    * stats in integer 1e-9 units, solve the 2x2 system — mirroring
+    * DataQuality.logisticNewton op-for-op. */
+  private def newtonIter(i: Int): String = {
+    val prev = if (i == 1) "it0" else s"it${i - 1}"
+    s"""r$i AS (SELECT x, y, b0, b1,
+               CAST(CAST(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+                 AS DECIMAL(18,12)) AS DOUBLE) AS p
+             FROM rows_, $prev),
+       s$i AS (SELECT max(b0) AS b0, max(b1) AS b1,
+               CAST(sum(CAST(round((y - p) * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9 AS g0,
+               CAST(sum(CAST(round((x * (y - p)) * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9 AS g1,
+               CAST(sum(CAST(round((p * (1.0 - p)) * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9 AS h00,
+               CAST(sum(CAST(round((p * (1.0 - p) * x) * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9 AS h01,
+               CAST(sum(CAST(round((p * (1.0 - p) * x * x) * 1e9)
+                 AS BIGINT)) AS DOUBLE) / 1e9 AS h11
+             FROM r$i),
+       it$i AS (SELECT b0 + (h11 * g0 - h01 * g1) /
+                  (h00 * h11 - h01 * h01) AS b0,
+                b1 + (h00 * g1 - h01 * g0) /
+                  (h00 * h11 - h01 * h01) AS b1
+             FROM s$i)"""
+  }
+
   private val dailySql =
     """SELECT event_type AS key, CAST(ts AS DATE) AS day,
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(25,6)) AS y
@@ -342,6 +371,17 @@ object StatsQueries {
         col("day"), col("spend").cast("double").as("z"))
       TimeSeries.kalmanLevel(daily, col("key"), col("day"), col("z"),
         qVar = 0.01, rVar = 1.0)
+    }),
+
+    // single-feature logistic regression via THREE unrolled Newton
+    // steps — gradient + 2x2 Hessian sufficient-stats per step, the
+    // fully SQL-auditable GLM fit (q306's EM shape, integer-1e9 folds)
+    "q422_logistic_newton" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_discount").cast("decimal(12,2)").cast("double") *
+          lit(10.0)).as("x"),
+        (col("l_returnflag") === "R").as("y"))
+      DataQuality.logisticNewton(li, col("x"), col("y"), iters = 3)
     }),
 
     // best Gini split of price against the return flag — the auditable
@@ -1739,6 +1779,28 @@ object StatsQueries {
                 pl AS pos_left, nr AS n_right, pr AS pos_right,
                 ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
          FROM sc ORDER BY score DESC, v LIMIT 1""",
+
+    "q422_logistic_newton" ->
+      s"""WITH rows_ AS (SELECT CAST(CAST(l_discount AS DECIMAL(12,2))
+                           AS DOUBLE) * 10.0 AS x,
+                         CAST(CASE WHEN l_returnflag = 'R' THEN 1.0
+                           ELSE 0.0 END AS DOUBLE) AS y
+                        FROM lineitem),
+          it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+                         CAST(0.0 AS DOUBLE) AS b1),
+          ${newtonIter(1)},
+          ${newtonIter(2)},
+          ${newtonIter(3)},
+          fin AS (SELECT y, b0, b1,
+                    CAST(CAST(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+                      AS DECIMAL(18,12)) AS DOUBLE) AS p
+                  FROM rows_, it3)
+         SELECT count(*) AS n, ROUND(max(b0), 6) AS b0,
+                ROUND(max(b1), 6) AS b1,
+                ROUND(CAST(sum(CAST(round((-(y * ln(p) + (1.0 - y) *
+                  ln(1.0 - p))) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 /
+                  CAST(count(*) AS DOUBLE), 6) AS logloss
+         FROM fin""",
 
     "q420_kalman_level" ->
       s"""WITH daily AS (SELECT key, day, CAST(y AS DOUBLE) AS z
