@@ -679,6 +679,89 @@ object TimeSeries {
         .as("ewma"))
   }
 
+  /** Kleinberg two-state burst detection per series: a Viterbi fold
+    * over inter-arrival gaps with a base-rate state (r0 = 1/mean gap,
+    * from exact integer sums) and a burst state (r1 = factor * r0),
+    * exponential emission costs -ln r + r*g and an entry toll gamma.
+    * The DP state (cost0, cost1, bursts-into-0, bursts-into-1) rides
+    * the same struct-state `aggregate` fold as [[kalmanLevel]] —
+    * burst-step counts travel WITH the best path, so no backtrack pass
+    * is needed. Per-series -ln(r) constants quantize to
+    * DECIMAL(18,12), after which every fold op is +,*,min on
+    * engine-identical doubles — the oracle replays the full DP. */
+  def kleinbergBursts(df: DataFrame, key: Column, ts: Column,
+                      gamma: Double = 1.0,
+                      burstFactor: Double = 2.0): DataFrame = {
+    require(gamma > 0 && burstFactor > 1, s"bad params: $gamma $burstFactor")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+    val gaps = df.select(key.as("k"), ts.cast("long").as("t"))
+      .withColumn("g", col("t") - lag(col("t"), 1).over(w))
+      .where(col("g").isNotNull && col("g") > 0)
+    val st = gaps.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        array_sort(collect_list(struct(col("t"), col("g")))).as("arr"))
+      .where(col("n") >= 2)
+      .withColumn("r0", col("n").cast("double") / col("sg").cast("double"))
+      .withColumn("r1", lit(burstFactor) * col("r0"))
+      .withColumn("ln0", (-log(col("r0"))).cast("decimal(18,12)")
+        .cast("double"))
+      .withColumn("ln1", (-log(col("r1"))).cast("decimal(18,12)")
+        .cast("double"))
+    val folded = aggregate(
+      col("arr"),
+      struct(lit(0.0).as("c0"), lit(1e18).as("c1"),
+        lit(0L).as("b0"), lit(0L).as("b1")),
+      (acc, e) => {
+        val g = e.getField("g").cast("double")
+        val e0 = col("ln0") + col("r0") * g
+        val e1 = col("ln1") + col("r1") * g
+        val enter = acc.getField("c0") + lit(gamma)
+        struct(
+          (least(acc.getField("c0"), acc.getField("c1")) + e0).as("c0"),
+          (least(enter, acc.getField("c1")) + e1).as("c1"),
+          when(acc.getField("c0") <= acc.getField("c1"),
+            acc.getField("b0")).otherwise(acc.getField("b1")).as("b0"),
+          (when(enter <= acc.getField("c1"), acc.getField("b0"))
+            .otherwise(acc.getField("b1")) + 1).as("b1"))
+      })
+    st.select(col("k").as("key"), col("n").as("n_gaps"),
+      round(least(folded.getField("c0"), folded.getField("c1")), 6)
+        .as("path_cost"),
+      when(folded.getField("c0") <= folded.getField("c1"),
+        folded.getField("b0")).otherwise(folded.getField("b1"))
+        .as("n_burst_steps"))
+  }
+
+  /** Longest strictly-increasing subsequence length per series via the
+    * patience (tails-array) fold: each value replaces the FIRST tail
+    * >= it (the [[graft.operators.Layout.ffdBinPack]] first-fit
+    * primitive) or extends the array — O(n * L) per series on pure
+    * integers, sequential per series, parallel across series. The
+    * LIS/n ratio is a robust "sortedness" score for a trajectory. */
+  def lisLength(df: DataFrame, key: Column, order: Column,
+                value: Column): DataFrame = {
+    val seq = df.select(key.as("k"), order.as("o"),
+        value.cast("long").as("v"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("o"), col("v")))).as("arr"))
+    val tails = aggregate(
+      expr("slice(arr, 2, size(arr) - 1)"),
+      array(element_at(col("arr"), 1).getField("v")),
+      (acc, e) => {
+        val x = e.getField("v")
+        val pos = array_position(transform(acc, t => t >= x), true)
+        when(pos > 0,
+          transform(acc, (t, i) =>
+            when(i.cast("long") === pos - 1, x).otherwise(t)))
+          .otherwise(concat(acc, array(x)))
+      })
+    seq.select(col("k").as("key"), col("n"),
+      size(tails).cast("long").as("lis_len"),
+      round(size(tails).cast("double") / col("n").cast("double"), 6)
+        .as("sortedness"))
+  }
+
   /** 1-D Kalman level filter per series (random-walk state, noisy
     * observations): x' = x + K (z - x), p' = (1-K)(p+q) with the
     * time-varying gain K = (p+q)/(p+q+r). A genuinely sequential

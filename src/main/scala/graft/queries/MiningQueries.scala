@@ -18,6 +18,28 @@ object MiningQueries {
   private def money(c: Column): Column = c.cast("decimal(18,2)")
 
   val queries: Map[String, Q] = Map(
+    // Kleinberg two-state burst segmentation of each user's event
+    // stream: Viterbi fold over inter-arrival seconds (base vs 2x
+    // rate, entry toll 1.0) — emits best-path cost + burst-step count
+    "q423_kleinberg_bursts" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("ts").cast("long").as("sec"))
+      TimeSeries.kleinbergBursts(ev, col("user_id"), col("sec"),
+        gamma = 1.0, burstFactor = 2.0)
+        .withColumnRenamed("key", "user_id")
+    }),
+
+    // longest increasing subsequence of each customer's order-value
+    // trajectory (patience fold) — the "sortedness" of spending growth
+    "q424_lis_sortedness" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        concat_ws("#", col("o_orderdate"),
+          lpad(col("o_orderkey").cast("string"), 12, "0")).as("ord"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      TimeSeries.lisLength(o, col("o_custkey"), col("ord"), col("cents"))
+        .withColumnRenamed("key", "o_custkey")
+    }),
     // sequential pattern mining (PrefixSpan, ml.fpm): frequent event-type
     // subsequences of length <= 3 over per-(user, week) event sequences,
     // minSupport 0.5. The distributed fit is Spark's parallel PrefixSpan
@@ -333,6 +355,74 @@ object MiningQueries {
                ON t.event_type = se.event_type AND t.phase = se.phase)"""
 
   val oracles: Map[String, String] = Map(
+    "q423_kleinberg_bursts" ->
+      """WITH ev AS (SELECT user_id AS k,
+                            CAST(floor(epoch(ts)) AS BIGINT) AS t
+                     FROM events),
+          gp AS (SELECT k, t,
+                        t - lag(t) OVER (PARTITION BY k ORDER BY t) AS g
+                 FROM ev),
+          gf AS (SELECT k, t, g FROM gp WHERE g IS NOT NULL AND g > 0),
+          st AS (SELECT k, count(*) AS n, CAST(sum(g) AS BIGINT) AS sg,
+                        list(CAST(g AS DOUBLE) ORDER BY t) AS gl
+                 FROM gf GROUP BY k),
+          pr AS (SELECT k, n, gl,
+                        CAST(n AS DOUBLE) / CAST(sg AS DOUBLE) AS r0,
+                        CAST(2.0 AS DOUBLE) *
+                          (CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)) AS r1,
+                        CAST(CAST(-ln(CAST(n AS DOUBLE) /
+                          CAST(sg AS DOUBLE)) AS DECIMAL(18,12)) AS DOUBLE)
+                          AS ln0,
+                        CAST(CAST(-ln(CAST(2.0 AS DOUBLE) *
+                          (CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)))
+                          AS DECIMAL(18,12)) AS DOUBLE) AS ln1
+                 FROM st WHERE n >= 2),
+          f AS (SELECT k, n,
+                  -- LIST state [c0, c1, b0, b1]: DuckDB's list_reduce
+                  -- rebinds STRUCT accumulator fields in place from the
+                  -- second step on, so a struct state would read
+                  -- partially-updated values; list construction reads
+                  -- the old accumulator throughout (probed behavior)
+                  list_reduce(
+                    list_prepend([CAST(0.0 AS DOUBLE),
+                        CAST(1e18 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                        CAST(0.0 AS DOUBLE)],
+                      list_transform(gl, v -> [v])),
+                    (a, b) -> [
+                      least(a[1], a[2]) + (ln0 + r0 * b[1]),
+                      least(a[1] + 1.0, a[2]) + (ln1 + r1 * b[1]),
+                      CASE WHEN a[1] <= a[2] THEN a[3] ELSE a[4] END,
+                      (CASE WHEN a[1] + 1.0 <= a[2] THEN a[3]
+                        ELSE a[4] END) + 1.0]) AS s
+                FROM pr)
+         SELECT k AS user_id, n AS n_gaps,
+                ROUND(least(s[1], s[2]), 6) AS path_cost,
+                CAST(CASE WHEN s[1] <= s[2] THEN s[3] ELSE s[4] END
+                  AS BIGINT) AS n_burst_steps
+         FROM f""",
+
+    "q424_lis_sortedness" ->
+      """WITH o AS (SELECT o_custkey AS k,
+                           CAST(o_orderdate AS VARCHAR) || '#' ||
+                             lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+                             AS ord,
+                           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) AS v
+                    FROM orders),
+          s AS (SELECT k, count(*) AS n, list(v ORDER BY ord) AS vs
+                FROM o GROUP BY k),
+          f AS (SELECT k, n, list_reduce(list_transform(vs, x -> [x]),
+                  (a, b) -> CASE WHEN list_position(list_transform(a,
+                      t -> t >= b[1]), true) > 0
+                    THEN list_transform(a, (t, i) -> CASE WHEN i =
+                      list_position(list_transform(a, t2 -> t2 >= b[1]),
+                        true) THEN b[1] ELSE t END)
+                    ELSE list_append(a, b[1]) END) AS tails
+                FROM s)
+         SELECT k AS o_custkey, n, CAST(len(tails) AS BIGINT) AS lis_len,
+                ROUND(CAST(len(tails) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  AS sortedness
+         FROM f""",
     "q336_prefixspan" ->
       """WITH pos AS (
            SELECT user_id, date_trunc('week', ts) AS wk, event_type AS t,

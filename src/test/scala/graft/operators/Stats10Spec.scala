@@ -145,6 +145,29 @@ class Stats10Spec extends SparkSpec {
     assert(lvl > 0.0 && lvl < 100.0) // lags the shift, moves toward it
   }
 
+  test("kleinbergBursts flags the dense stretch of an on/off stream") {
+    // 10 gaps of 100s, then 10 gaps of 5s (burst), then 10 of 100s
+    val times = (0 to 9).map(_ * 100L) ++
+      (1 to 10).map(900L + _ * 5L) ++ (1 to 10).map(950L + _ * 100L)
+    val df = times.map(("u", _)).toDF("k", "t")
+    val r = TimeSeries.kleinbergBursts(df, col("k"), col("t"),
+      gamma = 1.0, burstFactor = 2.0).head()
+    assert(r.getAs[Long]("n_gaps") == 29L)
+    val bursts = r.getAs[Long]("n_burst_steps")
+    // the 10 short gaps (and only roughly those) ride the burst state
+    assert(bursts >= 8L && bursts <= 12L, s"bursts=$bursts")
+  }
+
+  test("lisLength: sorted series scores 1.0, reversed series scores 1/n") {
+    val up = (1 to 8).map(i => ("up", i.toLong, i.toLong * 10))
+    val down = (1 to 8).map(i => ("down", i.toLong, 100L - i * 10))
+    val got = TimeSeries.lisLength((up ++ down).toDF("k", "o", "v"),
+        col("k"), col("o"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("lis_len")).toMap
+    assert(got("up") == 8L)
+    assert(got("down") == 1L)
+  }
+
   test("bestGiniSplit on perfectly separable data finds the boundary " +
     "with weighted Gini 0") {
     val df = Seq((1.0, false), (1.0, false), (2.0, false), (2.0, false),
