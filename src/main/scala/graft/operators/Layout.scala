@@ -148,6 +148,42 @@ object Layout {
     * pure integer arithmetic so the DuckDB oracle replays the exact
     * packing. Oversized items (> capacity) open their own over-full
     * bin and are counted loudly rather than dropped. */
+  /** Max-weight non-overlapping interval selection per resource
+    * (weighted interval scheduling): the optimal-substructure DP folded
+    * over (end, start, weight) in end order with an [end, bestPrefix]
+    * array state — bestBefore(start) is a filtered array max over the
+    * already-processed prefix, so the fold is O(n^2) per key on pure
+    * integers, sequential per key, parallel across keys. Bound the
+    * per-key interval count (filter the time range) before calling;
+    * the state array is exactly the per-key item count. */
+  def weightedIntervalBest(df: DataFrame, key: Column, start: Column,
+                           end: Column, weight: Column): DataFrame = {
+    val base = df.select(key.as("k"), start.cast("long").as("s"),
+        end.cast("long").as("e"), weight.cast("long").as("w"))
+      .where(col("e") >= col("s"))
+    val seq = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("total_w"),
+        array_sort(collect_list(struct(col("e"), col("s"), col("w"))))
+          .as("arr"))
+    val emptyState =
+      expr("CAST(array() AS array<struct<e:bigint,best:bigint>>)")
+    val folded = aggregate(col("arr"), emptyState,
+      (acc, it) => {
+        val bestBefore = coalesce(array_max(transform(
+          filter(acc, p => p.getField("e") <= it.getField("s")),
+          p => p.getField("best"))), lit(0L))
+        val lastBest = coalesce(element_at(acc, -1).getField("best"),
+          lit(0L))
+        concat(acc, array(struct(it.getField("e").as("e"),
+          greatest(lastBest, bestBefore + it.getField("w")).as("best"))))
+      })
+    seq.select(col("k").as("key"), col("n"), col("total_w"),
+      coalesce(element_at(folded, -1).getField("best"), lit(0L))
+        .as("best_w"),
+      round(coalesce(element_at(folded, -1).getField("best"), lit(0L))
+        .cast("double") / col("total_w").cast("double"), 6).as("kept_frac"))
+  }
+
   def ffdBinPack(df: DataFrame, group: Column, item: Column,
                  itemSize: Column, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")

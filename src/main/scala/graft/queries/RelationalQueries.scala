@@ -416,6 +416,27 @@ object RelationalQueries {
           max(col("o_orderkey")).cast("long").as("max_key"))
     }),
 
+    // weighted interval scheduling per supplier: the max-value set of
+    // non-overlapping shipping jobs (ship-date + quantity-day spans,
+    // H1-1995 window bounds the per-key DP) via the exact [end, best]
+    // prefix fold — emits the optimal value and kept fraction
+    "q425_weighted_intervals" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") <= lit("1995-06-30"))
+        .select(col("l_suppkey"),
+          datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+            .cast("long").as("sd"),
+          col("l_quantity").cast("decimal(12,2)").cast("long").as("q"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+            .as("w"))
+        .select(col("l_suppkey"), col("sd"), (col("sd") + col("q")).as("ed"),
+          col("w"))
+      graft.operators.Layout.weightedIntervalBest(li, col("l_suppkey"),
+          col("sd"), col("ed"), col("w"))
+        .withColumnRenamed("key", "l_suppkey")
+    }),
+
     // first-fit-decreasing compaction planner per brand: per-part
     // row-volumes packed into capacity-2000 bins through the exact
     // integer array-state fold — bins, utilization, oversize audit
@@ -466,6 +487,40 @@ object RelationalQueries {
   private val MONEY_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracles: Map[String, String] = Map(
+    "q425_weighted_intervals" ->
+      """WITH li AS (SELECT l_suppkey AS k,
+                       CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                         AS BIGINT) AS sd,
+                       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT)
+                         AS q,
+                       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) AS w
+                     FROM lineitem
+                     WHERE l_shipdate >= DATE '1995-01-01'
+                       AND l_shipdate <= DATE '1995-06-30'),
+          iv AS (SELECT k, sd AS s, sd + q AS e, w FROM li WHERE sd + q >= sd),
+          sq AS (SELECT k, count(*) AS n, CAST(sum(w) AS BIGINT) AS total_w,
+                        list([CAST(e AS DOUBLE), CAST(s AS DOUBLE),
+                          CAST(w AS DOUBLE)] ORDER BY e, s, w) AS items
+                 FROM iv GROUP BY k),
+          f AS (SELECT k, n, total_w,
+                  list_reduce(
+                    list_prepend(CAST([] AS DOUBLE[][]),
+                      list_transform(items, v -> [v])),
+                    (a, b) -> list_append(a, [b[1][1],
+                      greatest(coalesce(a[-1][2], CAST(0.0 AS DOUBLE)),
+                        coalesce(list_max(list_transform(
+                          list_filter(a, p -> p[1] <= b[1][2]),
+                          p -> p[2])), CAST(0.0 AS DOUBLE)) + b[1][3])]))
+                    AS st
+                FROM sq)
+         SELECT k AS l_suppkey, n, total_w,
+                CAST(coalesce(st[-1][2], CAST(0.0 AS DOUBLE)) AS BIGINT)
+                  AS best_w,
+                ROUND(coalesce(st[-1][2], CAST(0.0 AS DOUBLE)) /
+                  CAST(total_w AS DOUBLE), 6) AS kept_frac
+         FROM f""",
+
     "q421_ffd_bin_packing" ->
       """WITH items AS (SELECT p_brand AS g, l_partkey AS it,
                           CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
