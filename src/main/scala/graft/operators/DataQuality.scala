@@ -1301,6 +1301,32 @@ object DataQuality {
     res
   }
 
+  /** Depth-2 Gini decision tree over one numeric feature: the root
+    * split from [[bestGiniSplit]], then the best split of each side —
+    * three stump fits, each an exact value-domain prefix scan. The
+    * root threshold crosses to the driver as ONE bounded row (the
+    * standard tree-fit control dependency); children filter on the
+    * 6-decimal threshold, which is exact for a DECIMAL(18,6) feature.
+    * Emits one row per node (root/left/right). */
+  def giniTreeDepth2(df: DataFrame, feature: Column, target: Column): DataFrame = {
+    val base = df.where(feature.isNotNull)
+      .select(feature.cast("decimal(18,6)").as("v"),
+        target.as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val root = bestGiniSplit(base, col("v"), col("y"))
+    val t0 = root.head().getAs[Double]("threshold") // bounded: 1 row
+    val left = bestGiniSplit(base.where(col("v").cast("double") <= t0),
+      col("v"), col("y"))
+    val right = bestGiniSplit(base.where(col("v").cast("double") > t0),
+      col("v"), col("y"))
+    val out = root.select(lit("root").as("node"), col("*"))
+      .unionByName(left.select(lit("left").as("node"), col("*")))
+      .unionByName(right.select(lit("right").as("node"), col("*")))
+    val res = out.localCheckpoint(true)
+    base.unpersist(blocking = false)
+    res
+  }
+
   /** Single-feature logistic regression fit by `iters` UNROLLED Newton
     * steps — a fully auditable GLM fit: every iteration is one
     * sufficient-stats aggregation (gradient + 2x2 Hessian) over the

@@ -29,6 +29,35 @@ object MiningQueries {
         .withColumnRenamed("key", "user_id")
     }),
 
+    // association rules over per-order brand baskets (q193's input):
+    // directed a->b confidence + lift from exact basket counts, with
+    // the confidence >= 0.3 cut decided by integer cross-mult
+    "q427_association_rules" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("bid"), col("p_brand").as("item"))
+        .distinct()
+      val nb = b.agg(count_distinct(col("bid")).as("nb"))
+      val singles = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.bid") === col("y.bid") && col("x.item") =!= col("y.item"))
+        .groupBy(col("x.item").as("ante"), col("y.item").as("cons"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.select(col("item").as("ante"),
+          col("n_item").as("n_a"))), Seq("ante"))
+        .join(broadcast(singles.select(col("item").as("cons"),
+          col("n_item").as("n_c"))), Seq("cons"))
+        .crossJoin(broadcast(nb))
+        .where(col("n_ab") * 10 >= col("n_a") * 3 && col("n_ab") >= 30)
+        .select(col("ante"), col("cons"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+            .as("confidence"),
+          round(col("n_ab").cast("double") * col("nb").cast("double") /
+            (col("n_a").cast("double") * col("n_c").cast("double")), 6)
+            .as("lift"))
+    }),
+
     // longest increasing subsequence of each customer's order-value
     // trajectory (patience fold) — the "sortedness" of spending growth
     "q424_lis_sortedness" -> ((s, d) => {
@@ -400,6 +429,29 @@ object MiningQueries {
                 CAST(CASE WHEN s[1] <= s[2] THEN s[3] ELSE s[4] END
                   AS BIGINT) AS n_burst_steps
          FROM f""",
+
+    "q427_association_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+          nb AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS nb FROM b),
+          singles AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+          pairs AS (SELECT x.item AS ante, y.item AS cons,
+                           count(*) AS n_ab
+                    FROM b x JOIN b y ON x.bid = y.bid
+                      AND x.item <> y.item
+                    GROUP BY 1, 2)
+         SELECT ante, cons, n_ab,
+                ROUND(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+                  AS confidence,
+                ROUND(CAST(n_ab AS DOUBLE) * CAST(nb AS DOUBLE) /
+                      (CAST(n_a AS DOUBLE) * CAST(n_c AS DOUBLE)), 6)
+                  AS lift
+         FROM pairs
+         JOIN (SELECT item AS ante, n_item AS n_a FROM singles)
+           USING (ante)
+         JOIN (SELECT item AS cons, n_item AS n_c FROM singles)
+           USING (cons), nb
+         WHERE n_ab * 10 >= n_a * 3 AND n_ab >= 30""",
 
     "q424_lis_sortedness" ->
       """WITH o AS (SELECT o_custkey AS k,

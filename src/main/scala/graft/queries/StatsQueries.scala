@@ -23,6 +23,37 @@ object StatsQueries {
   // y as DECIMAL(25,6): same values as Spark's (18,6) cast, but wide
   // enough that DuckDB promotes y*y to an int128-backed DECIMAL(38,12)
   // instead of overflowing the int64 DECIMAL(18) multiply path
+  /** One stump fit of the q426 depth-2 tree oracle: the q418 pipeline
+    * over `base0` restricted by `pred`, picked by (score DESC, v). */
+  private def giniPickSql(label: String, pred: String): String =
+    s"""counts_$label AS (SELECT v, count(*) AS cnt,
+               CAST(sum(pos) AS BIGINT) AS pos
+             FROM base0 $pred GROUP BY 1),
+        cum_$label AS (SELECT v, sum(cnt) OVER w AS nl,
+               sum(pos) OVER w AS pl
+             FROM counts_$label
+             WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+        tot_$label AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS p FROM counts_$label),
+        cand_$label AS (SELECT v, CAST(nl AS BIGINT) AS nl,
+               CAST(pl AS BIGINT) AS pl, CAST(n - nl AS BIGINT) AS nr,
+               CAST(p - pl AS BIGINT) AS pr, n
+             FROM cum_$label, tot_$label WHERE nl < n),
+        sc_$label AS (SELECT *,
+               CAST(CAST(pl AS HUGEINT) * pl +
+                 CAST(nl - pl AS HUGEINT) * (nl - pl) AS DOUBLE) /
+                 CAST(nl AS DOUBLE) +
+               CAST(CAST(pr AS HUGEINT) * pr +
+                 CAST(nr - pr AS HUGEINT) * (nr - pr) AS DOUBLE) /
+                 CAST(nr AS DOUBLE) AS score
+             FROM cand_$label),
+        pick_$label AS (SELECT '$label' AS node,
+               ROUND(CAST(v AS DOUBLE), 6) AS threshold, nl AS n_left,
+               pl AS pos_left, nr AS n_right, pr AS pos_right,
+               ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
+             FROM sc_$label ORDER BY score DESC, v LIMIT 1)"""
+
   /** One unrolled Newton step of the q422 logistic fit: score rows
     * with the previous params, fold gradient + Hessian sufficient
     * stats in integer 1e-9 units, solve the 2x2 system — mirroring
@@ -388,6 +419,13 @@ object StatsQueries {
     // decision-stump fit over the exact value-domain prefix
     "q418_best_gini_split" -> ((s, d) => {
       DataQuality.bestGiniSplit(Tables.lineitem(s, d),
+        col("l_extendedprice"), col("l_returnflag") === "R")
+    }),
+
+    // depth-2 Gini tree (q418 recursed once per side): root split, then
+    // the best split of each half — one row per node
+    "q426_gini_tree_depth2" -> ((s, d) => {
+      DataQuality.giniTreeDepth2(Tables.lineitem(s, d),
         col("l_extendedprice"), col("l_returnflag") === "R")
     }),
 
@@ -1779,6 +1817,20 @@ object StatsQueries {
                 pl AS pos_left, nr AS n_right, pr AS pos_right,
                 ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
          FROM sc ORDER BY score DESC, v LIMIT 1""",
+
+    "q426_gini_tree_depth2" ->
+      s"""WITH base0 AS (SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+                           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                             AS pos
+                         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          ${giniPickSql("root", "")},
+          ${giniPickSql("left",
+            "WHERE CAST(v AS DOUBLE) <= (SELECT threshold FROM pick_root)")},
+          ${giniPickSql("right",
+            "WHERE CAST(v AS DOUBLE) > (SELECT threshold FROM pick_root)")}
+         SELECT * FROM pick_root
+         UNION ALL SELECT * FROM pick_left
+         UNION ALL SELECT * FROM pick_right""",
 
     "q422_logistic_newton" ->
       s"""WITH rows_ AS (SELECT CAST(CAST(l_discount AS DECIMAL(12,2))

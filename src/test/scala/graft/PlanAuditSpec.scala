@@ -206,6 +206,9 @@ class PlanAuditSpec extends SparkSpec {
     // q417: the balance/migration readout crosses two 1-row aggregate
     // frames (8-shard stats x moved count) — q323's shape
     "q417_rendezvous_shards",
+    // q427: the basket-count scalar (lift denominator) is a 1-row
+    // frame crossJoin-broadcast into the bounded brand-pair rules
+    "q427_association_rules",
     // q300: ANOVA tail on the |x - median| deviations, q292's shape
     "q300_brown_forsythe",
     // q301: the global cell-count mean/std is a 1-row sufficient-stat
