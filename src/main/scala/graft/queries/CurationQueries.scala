@@ -514,6 +514,70 @@ object CurationQueries {
             .otherwise(0L).as("violates_t02"))
     }),
 
+    // monetary-unit (PPS systematic) audit sampling: every ~T-th cent
+    // of cumulative line value selects its line, md5-seeded start
+    // offset — the classic financial-audit sampler, selection decided
+    // by exact integer threshold crossings over the two-level prefix
+    "q428_monetary_unit_sampling" -> ((s, d) => {
+      val rows = Tables.lineitem(s, d).select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("v"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+            .as("w"))
+        // (orderkey, linenumber) repeats in the synthetic data: reduce
+        // to one monetary unit per position so the prefix is unambiguous
+        .groupBy(col("v")).agg(sum(col("w")).as("w"))
+      val cum = graft.operators.DataQuality.cumulativeByValue(rows, Seq("w"))
+      val tot = rows.agg(sum(col("w")).as("total"))
+        .select(col("total"),
+          (floor(col("total").cast("double") / lit(200.0)).cast("long") + 1)
+            .as("t"))
+        .select(col("total"), col("t"),
+          pmod(TextAnalysis.hash60(lit("mus")), col("t")).as("u"))
+      cum.join(rows, Seq("v")).crossJoin(broadcast(tot))
+        .where(floor((col("cum_w") - col("u")).cast("double") /
+            col("t").cast("double")) >
+          floor((col("cum_w") - col("w") - col("u")).cast("double") /
+            col("t").cast("double")))
+        .select(expr("v div 8").as("l_orderkey"),
+          pmod(col("v"), lit(8)).as("l_linenumber"),
+          col("w").as("w_cents"), col("cum_w"))
+    }),
+
+    // Neyman allocation of a 1000-unit sample across brand strata
+    // (proportional to N_h * S_h), integerized by largest remainder —
+    // survey-sampling design from exact sufficient stats
+    "q429_neyman_allocation" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val st = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+            .as("x"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_h"), sum(dec(col("x"))).as("sx"),
+          sum(dec(col("x")) * col("x")).as("sxx"))
+      val nd = col("n_h").cast("double")
+      val sh = sqrt((nd * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) /
+        (nd * (nd - lit(1.0)))) / lit(100.0)
+      val terms = st.select(col("p_brand"), col("n_h"),
+        (nd * sh).cast("decimal(28,6)").as("nhsh"), sh.as("s_h"))
+      val wAll = Window.partitionBy()
+      val wRank = Window.orderBy(col("frac").desc, col("p_brand"))
+      val alloc = terms
+        .withColumn("d", sum(col("nhsh")).over(wAll).cast("double"))
+        .withColumn("raw", lit(1000.0) * col("nhsh").cast("double") /
+          col("d"))
+        .withColumn("fl", floor(col("raw")).cast("long"))
+        .withColumn("frac", col("raw") - col("fl").cast("double"))
+        .withColumn("sum_fl", sum(col("fl")).over(wAll))
+        .withColumn("rk", row_number().over(wRank))
+      alloc.select(col("p_brand"), col("n_h"), round(col("s_h"), 6)
+          .as("s_h"),
+        (col("fl") + when(col("rk") <= lit(1000L) - col("sum_fl"), 1L)
+          .otherwise(0L)).as("alloc_n"))
+    }),
+
     // rendezvous (highest-random-weight) sharding audit: deterministic
     // md5 weights assign each order key to one of 8 shards; the argmax
     // per key encodes (weight, shard) into ONE decimal scalar (no
@@ -779,6 +843,61 @@ object CurationQueries {
                       CAST(max(n_g) AS HUGEINT) * max(n_tot) * (max(m) - 1)
                      THEN 1 ELSE 0 END AS BIGINT) AS violates_t02
          FROM tt GROUP BY 1, 2""",
+
+    "q428_monetary_unit_sampling" ->
+      s"""WITH raw_ AS (SELECT l_orderkey * 8 + l_linenumber AS v,
+                          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS w
+                        FROM lineitem),
+          rows_ AS (SELECT v, CAST(sum(w) AS BIGINT) AS w
+                    FROM raw_ GROUP BY v),
+          cum AS (SELECT v, w, sum(w) OVER (ORDER BY v ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+                  FROM rows_),
+          tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM rows_),
+          pt AS (SELECT total, CAST(floor(CAST(total AS DOUBLE) / 200.0)
+                   AS BIGINT) + 1 AS t FROM tot),
+          pu AS (SELECT total, t, ${H60("'mus'")} % t AS u FROM pt)
+         SELECT v // 8 AS l_orderkey, v % 8 AS l_linenumber, w AS w_cents,
+                CAST(cum_w AS BIGINT) AS cum_w
+         FROM cum, pu
+         WHERE floor(CAST(cum_w - u AS DOUBLE) / CAST(t AS DOUBLE)) >
+               floor(CAST(cum_w - w - u AS DOUBLE) / CAST(t AS DOUBLE))""",
+
+    "q429_neyman_allocation" ->
+      """WITH li AS (SELECT p_brand,
+                       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) AS x
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+          st AS (SELECT p_brand, count(*) AS n_h,
+                        sum(CAST(x AS HUGEINT)) AS sx,
+                        sum(CAST(x AS HUGEINT) * x) AS sxx
+                 FROM li GROUP BY 1),
+          t1 AS (SELECT p_brand, n_h,
+                        sqrt((CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                          (CAST(n_h AS DOUBLE) *
+                           (CAST(n_h AS DOUBLE) - 1.0))) / 100.0 AS s_h
+                 FROM st),
+          t2 AS (SELECT p_brand, n_h, s_h,
+                        CAST(CAST(n_h AS DOUBLE) * s_h AS DECIMAL(28,6))
+                          AS nhsh
+                 FROM t1),
+          t3 AS (SELECT *, CAST(sum(nhsh) OVER () AS DOUBLE) AS d FROM t2),
+          t4 AS (SELECT *, 1000.0 * CAST(nhsh AS DOUBLE) / d AS raw
+                 FROM t3),
+          t5 AS (SELECT *, CAST(floor(raw) AS BIGINT) AS fl,
+                        raw - CAST(CAST(floor(raw) AS BIGINT) AS DOUBLE)
+                          AS frac
+                 FROM t4),
+          t6 AS (SELECT *, CAST(sum(fl) OVER () AS BIGINT) AS sum_fl,
+                        row_number() OVER (ORDER BY frac DESC, p_brand)
+                          AS rk
+                 FROM t5)
+         SELECT p_brand, n_h, ROUND(s_h, 6) AS s_h,
+                CAST(fl + CASE WHEN rk <= 1000 - sum_fl THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_n
+         FROM t6""",
 
     "q417_rendezvous_shards" ->
       s"""WITH keys AS (SELECT o_orderkey AS k FROM orders),

@@ -209,6 +209,14 @@ class PlanAuditSpec extends SparkSpec {
     // q427: the basket-count scalar (lift denominator) is a 1-row
     // frame crossJoin-broadcast into the bounded brand-pair rules
     "q427_association_rules",
+    // q428: the (total, interval, offset) frame is ONE row
+    // crossJoin-broadcast over the prefix rows — q166's
+    // cumulativeByValue offsets + q198's scalar shape
+    "q428_monetary_unit_sampling",
+    // q429: the largest-remainder rank runs over the 25-row BRAND
+    // frame (bounded domain) with its 1-row denominator — q221's
+    // gains-table shape
+    "q429_neyman_allocation",
     // q300: ANOVA tail on the |x - median| deviations, q292's shape
     "q300_brown_forsythe",
     // q301: the global cell-count mean/std is a 1-row sufficient-stat
