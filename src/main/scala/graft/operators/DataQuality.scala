@@ -1566,6 +1566,50 @@ object DataQuality {
       (when(num > 0, 1L).when(num < 0, -1L).otherwise(0L)).as("trend_sign"))
   }
 
+  /** Two-sample Anderson-Darling test (Scholz-Stephens midrank form
+    * with ties) — the tail-sensitive companion to the q145 KS gate.
+    * Per distinct value: counts l / group-1 counts l1 plus the
+    * two-level [[cumulativeByValue]] prefix (B, M); the per-value
+    * terms l * num^2 / d4 are built ENTIRELY from exact integer
+    * cross-multiplications (midranks carried 2x-scaled; the N*l/4
+    * denominator term carried 4x-scaled), folded as integer 1e-9
+    * units. For k=2 the two group terms are equal by symmetry, so
+    * one inner sum feeds (1/n1 + 1/n2). */
+  def andersonDarling2(df: DataFrame, group: Column, value: Column,
+                       g1: String, g2: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lab = df.where((group === g1 || group === g2) && value.isNotNull)
+      .select(value.cast("decimal(18,6)").as("v"),
+        when(group === g1, 1L).otherwise(0L).as("is1"))
+    val counts = lab.groupBy(col("v"))
+      .agg(count(lit(1)).as("l"), sum(col("is1")).as("l1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = cumulativeByValue(counts, Seq("l", "l1"))
+    val tot = counts.agg(sum(col("l")).as("n"), sum(col("l1")).as("n1"))
+    val t = counts.join(cum, Seq("v")).crossJoin(broadcast(tot))
+      .withColumn("num2", dec(col("n")) * (lit(2) * col("cum_l1") - col("l1"))
+        - dec(col("n1")) * (lit(2) * col("cum_l") - col("l")))
+      .withColumn("d4", dec(lit(2) * col("cum_l") - col("l")) *
+        (lit(2) * col("n") - lit(2) * col("cum_l") + col("l")) -
+        dec(col("n")) * col("l"))
+      .withColumn("term",
+        round(col("l").cast("double") *
+          (col("num2").cast("double") * col("num2").cast("double")) /
+          col("d4").cast("double") * lit(1e9)).cast("long"))
+    val inner = t.agg(max(col("n")).as("n"), max(col("n1")).as("n1"),
+      (sum(col("term")).cast("double") / lit(1e9)).as("inner"))
+    val nd = col("n").cast("double")
+    val n1d = col("n1").cast("double")
+    val n2d = (col("n") - col("n1")).cast("double")
+    val a2 = (nd - lit(1.0)) / nd * col("inner") *
+      (lit(1.0) / n1d + lit(1.0) / n2d) / nd
+    val out = inner.select(col("n1"), (col("n") - col("n1")).as("n2"),
+      round(a2, 6).as("a2_stat"))
+    val res = out.localCheckpoint(true)
+    counts.unpersist(blocking = false)
+    res
+  }
+
   /** Mann-Whitney U test (Wilcoxon rank-sum) between two groups —
     * the nonparametric companion to [[welchTTest]]. Average ranks with
     * exact tie handling, computed WITHOUT a global sort: value-level

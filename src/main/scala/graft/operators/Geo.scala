@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spatial self-join within a radius, without a cross join (extends the
@@ -45,6 +46,40 @@ object Geo {
     * neighborhood is guaranteed to cover the radius everywhere in the
     * data's latitude band.
     */
+  /** Per-entity trajectory statistics over an ordered point stream:
+    * total haversine path length, net displacement (first -> last
+    * point), and straightness (= displacement / path). Each step
+    * distance quantizes to DECIMAL(18,12) before the per-entity
+    * DECIMAL fold (libm trig is 1-ulp engine-variant; the fold must
+    * not be), and the endpoint coordinates travel through
+    * min_by/max_by on a SINGLE scalar order key so no engine needs a
+    * struct comparator. One window pass + one aggregation. */
+  def trajectoryStats(df: DataFrame, key: Column, ord: Column,
+                      lat: Column, lon: Column): DataFrame = {
+    val base = df.select(key.as("k"), ord.cast("long").as("o"),
+      lat.cast("double").as("lat"), lon.cast("double").as("lon"))
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val steps = base
+      .withColumn("plat", lag(col("lat"), 1).over(w))
+      .withColumn("plon", lag(col("lon"), 1).over(w))
+      .withColumn("step", when(col("plat").isNotNull,
+        haversineKm(col("plat"), col("plon"), col("lat"), col("lon"))
+          .cast("decimal(18,12)")))
+    val agg = steps.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_points"), sum(col("step")).as("path"),
+        min_by(col("lat"), col("o")).as("lat0"),
+        min_by(col("lon"), col("o")).as("lon0"),
+        max_by(col("lat"), col("o")).as("lat1"),
+        max_by(col("lon"), col("o")).as("lon1"))
+      .where(col("n_points") >= 2)
+    val disp = haversineKm(col("lat0"), col("lon0"), col("lat1"),
+      col("lon1")).cast("decimal(18,12)").cast("double")
+    agg.select(col("k").as("key"), col("n_points"),
+      round(col("path").cast("double"), 6).as("path_km"),
+      round(disp, 6).as("disp_km"),
+      round(disp / col("path").cast("double"), 6).as("straightness"))
+  }
+
   def radiusJoinPairs(points: DataFrame, id: Column, lat: Column, lon: Column,
       radiusKm: Double, maxAbsLat: Double = 60.0): DataFrame = {
     require(maxAbsLat < 89.0, s"degenerate longitude cells at |lat|=$maxAbsLat")

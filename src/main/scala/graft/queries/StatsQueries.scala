@@ -429,6 +429,34 @@ object StatsQueries {
         col("l_extendedprice"), col("l_returnflag") === "R")
     }),
 
+    // two-sample Anderson-Darling (Scholz-Stephens midrank) on order
+    // values across two segments — the tail-sensitive companion to
+    // q145's KS, built from exact value-domain prefixes
+    "q430_anderson_darling" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
+      DataQuality.andersonDarling2(o, col("g"), col("v"),
+        "BUILDING", "AUTOMOBILE")
+    }),
+
+    // per-user trajectory over md5-synthetic event coordinates: total
+    // haversine path, net displacement, straightness ratio — each step
+    // quantized to DECIMAL(18,12) so the trig folds engine-exact
+    "q431_trajectory_stats" -> ((s, d) => {
+      def coord(prefix: String): Column =
+        pmod(graft.functions.TextAnalysis.hash60(
+          concat(lit(prefix + ":"), col("event_id").cast("string"))),
+          lit(1000000L)).cast("double") / lit(1000000.0) * lit(5.0)
+      val pts = Tables.events(s, d).select(col("user_id"),
+        (col("ts").cast("long") * 1000000 +
+          pmod(col("event_id"), lit(1000000L))).as("ord"),
+        (coord("tlat") + lit(40.0)).as("lat"), coord("tlon").as("lon"))
+      Geo.trajectoryStats(pts, col("user_id"), col("ord"), col("lat"),
+          col("lon"))
+        .withColumnRenamed("key", "user_id")
+    }),
+
     // Getis-Ord Gi* hotspot grid over the synthetic customer points:
     // 0.5-degree cells, 3x3 neighborhood sums via bounded 9x replication
     "q301_geo_hotspot" -> ((s, d) => {
@@ -1817,6 +1845,92 @@ object StatsQueries {
                 pl AS pos_left, nr AS n_right, pr AS pos_right,
                 ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
          FROM sc ORDER BY score DESC, v LIMIT 1""",
+
+    "q430_anderson_darling" ->
+      """WITH lab AS (SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS v,
+                             CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                               ELSE 0 END AS is1
+                      FROM orders JOIN customer ON o_custkey = c_custkey
+                      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                        AND o_totalprice IS NOT NULL),
+          counts AS (SELECT v, count(*) AS l,
+                            CAST(sum(is1) AS BIGINT) AS l1
+                     FROM lab GROUP BY 1),
+          cum AS (SELECT v, sum(l) OVER w AS cum_l,
+                         sum(l1) OVER w AS cum_l1
+                  FROM counts
+                  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW)),
+          tot AS (SELECT CAST(sum(l) AS BIGINT) AS n,
+                         CAST(sum(l1) AS BIGINT) AS n1 FROM counts),
+          t AS (SELECT l, n, n1,
+                       CAST(n AS HUGEINT) * (2 * cum_l1 - l1) -
+                         CAST(n1 AS HUGEINT) * (2 * cum_l - l) AS num2,
+                       CAST(2 * cum_l - l AS HUGEINT) *
+                         (2 * n - 2 * cum_l + l) -
+                         CAST(n AS HUGEINT) * l AS d4
+                FROM counts JOIN cum USING (v), tot),
+          q AS (SELECT n, n1,
+                       CAST(round(CAST(l AS DOUBLE) *
+                         (CAST(num2 AS DOUBLE) * CAST(num2 AS DOUBLE)) /
+                         CAST(d4 AS DOUBLE) * 1e9) AS BIGINT) AS term
+                FROM t),
+          inr AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                         CAST(max(n1) AS BIGINT) AS n1,
+                         CAST(sum(term) AS DOUBLE) / 1e9 AS innersum
+                  FROM q)
+         SELECT n1, n - n1 AS n2,
+                ROUND((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE) *
+                  innersum * (1.0 / CAST(n1 AS DOUBLE) +
+                    1.0 / CAST(n - n1 AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                  AS a2_stat
+         FROM inr""",
+
+    "q431_trajectory_stats" ->
+      """WITH pts AS (SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) * 1000000 +
+                         event_id % 1000000 AS ord,
+                       CAST(CAST(('0x' || substr(md5('tlat:' ||
+                           CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 1000000 AS DOUBLE) / 1000000.0 * 5.0 + 40.0
+                         AS lat,
+                       CAST(CAST(('0x' || substr(md5('tlon:' ||
+                           CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 1000000 AS DOUBLE) / 1000000.0 * 5.0 AS lon
+                     FROM events),
+          st AS (SELECT user_id, ord, lat, lon,
+                        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+                 FROM pts
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ord)),
+          sd AS (SELECT user_id, ord, lat, lon,
+                        CASE WHEN plat IS NOT NULL THEN
+                          CAST(2 * 6371 * asin(sqrt(
+                            sin(radians(lat - plat) / 2) *
+                              sin(radians(lat - plat) / 2)
+                            + cos(radians(plat)) * cos(radians(lat)) *
+                              (sin(radians(lon - plon) / 2) *
+                               sin(radians(lon - plon) / 2))))
+                            AS DECIMAL(18,12))
+                        END AS step
+                 FROM st),
+          ag AS (SELECT user_id, count(*) AS n_points, sum(step) AS path,
+                        min_by(lat, ord) AS lat0, min_by(lon, ord) AS lon0,
+                        max_by(lat, ord) AS lat1, max_by(lon, ord) AS lon1
+                 FROM sd GROUP BY 1),
+          fin AS (SELECT user_id, n_points, path,
+                         CAST(CAST(2 * 6371 * asin(sqrt(
+                           sin(radians(lat1 - lat0) / 2) *
+                             sin(radians(lat1 - lat0) / 2)
+                           + cos(radians(lat0)) * cos(radians(lat1)) *
+                             (sin(radians(lon1 - lon0) / 2) *
+                              sin(radians(lon1 - lon0) / 2))))
+                           AS DECIMAL(18,12)) AS DOUBLE) AS disp
+                  FROM ag WHERE n_points >= 2)
+         SELECT user_id, n_points, ROUND(CAST(path AS DOUBLE), 6)
+                  AS path_km,
+                ROUND(disp, 6) AS disp_km,
+                ROUND(disp / CAST(path AS DOUBLE), 6) AS straightness
+         FROM fin""",
 
     "q426_gini_tree_depth2" ->
       s"""WITH base0 AS (SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
