@@ -20,6 +20,45 @@ object AnalyticsQueries {
   private def money(c: Column): Column = c.cast("decimal(18,2)")
 
   val queries: Map[String, Q] = Map(
+    // exact Shapley-value channel attribution over the 16-subset
+    // characteristic function v(mask) = conversion rate of users whose
+    // touched-channel set is mask — factorial weights carried 24x, the
+    // rates 1e9-quantized, so every marginal contribution is an exact
+    // integer; the marginality axiom's answer to q283's rule-based
+    // attribution models
+    "q432_shapley_attribution" -> ((s, d) => {
+      val s2 = s; import s2.implicits._
+      val chanBit = when(col("event_type") === "view", 1)
+        .when(col("event_type") === "click", 2)
+        .when(col("event_type") === "signup", 4)
+        .when(col("event_type") === "error", 8).otherwise(0)
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(bit_or(chanBit).as("mask"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val vmask = users.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_u"), sum(col("conv")).as("n_conv"))
+      val grid = s.range(16).select(col("id").cast("int").as("mask"))
+      val v = grid.join(vmask, Seq("mask"), "left")
+        .select(col("mask"), coalesce(
+          round(col("n_conv").cast("double") / col("n_u").cast("double") *
+            lit(1e9)).cast("long"), lit(0L)).as("vq"))
+      val channels = Seq((1, "view"), (2, "click"), (4, "signup"),
+        (8, "error")).toDF("bit", "channel")
+      val w24 = when(bit_count(col("mask")) === 1, 6L)
+        .when(bit_count(col("mask")) === 2, 2L)
+        .when(bit_count(col("mask")) === 3, 2L).otherwise(6L)
+      channels.crossJoin(v)
+        .where(col("mask").bitwiseAND(col("bit")) =!= 0)
+        .join(v.select(col("mask").as("m0"), col("vq").as("vq0")),
+          col("mask") - col("bit") === col("m0"))
+        .select(col("channel"), (w24 * (col("vq") - col("vq0"))).as("t"))
+        .groupBy(col("channel"))
+        .agg(sum(col("t")).as("phi24q"))
+        .select(col("channel"),
+          round(col("phi24q").cast("double") / lit(24.0) / lit(1e9), 6)
+            .as("shapley"))
+    }),
     // storage-layout audit: zigzag+varint encoded size of each series'
     // delta-encoded daily cents — the compression-estimate pass a
     // columnar layout optimizer (sort-key / encoding chooser) runs
@@ -675,6 +714,38 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q432_shapley_attribution" ->
+      """WITH ch AS (SELECT user_id,
+                       CASE event_type WHEN 'view' THEN 1
+                         WHEN 'click' THEN 2 WHEN 'signup' THEN 4
+                         WHEN 'error' THEN 8 ELSE 0 END AS c,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                         AS p
+                     FROM events),
+          users AS (SELECT user_id, bit_or(c) AS mask,
+                           CAST(max(p) AS BIGINT) AS conv
+                    FROM ch GROUP BY 1),
+          vm AS (SELECT mask, count(*) AS n_u,
+                        CAST(sum(conv) AS BIGINT) AS n_conv
+                 FROM users GROUP BY 1),
+          grid AS (SELECT unnest(generate_series(0, 15)) AS mask),
+          v AS (SELECT g.mask,
+                       coalesce(CAST(round(CAST(n_conv AS DOUBLE) /
+                         CAST(n_u AS DOUBLE) * 1e9) AS BIGINT), 0) AS vq
+                FROM grid g LEFT JOIN vm ON g.mask = vm.mask),
+          chans AS (SELECT * FROM (VALUES (1, 'view'), (2, 'click'),
+                      (4, 'signup'), (8, 'error')) t(bit, channel)),
+          pairs AS (SELECT c.channel,
+                           (CASE bit_count(s.mask) WHEN 1 THEN 6
+                             WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 6 END) *
+                             (s.vq - s0.vq) AS t
+                    FROM chans c
+                    CROSS JOIN v s
+                    JOIN v s0 ON s.mask - c.bit = s0.mask
+                    WHERE (s.mask & c.bit) <> 0)
+         SELECT channel,
+                ROUND(CAST(sum(t) AS DOUBLE) / 24.0 / 1e9, 6) AS shapley
+         FROM pairs GROUP BY 1""",
     "q367_abc_xyz" ->
       """WITH lines AS (
            SELECT l_partkey,

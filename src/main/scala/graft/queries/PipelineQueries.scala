@@ -771,6 +771,45 @@ object PipelineQueries {
     // 2-regressor R2 identity (rxy^2 + rzy^2 - 2 rxy rzy rxz)/(1-rxz^2)).
     // First-order sums fold exact decimal; second-order terms quantize
     // y*y etc. to integers so shuffle order cannot perturb bits.
+    // Frisch-Waugh-Lovell controlled regression per flag: the effect of
+    // quantity on price CONTROLLING for discount — beta from the 3-var
+    // normal equations plus the partial correlation, all from q398's
+    // exact sufficient-stats pass (naive beta emitted for contrast)
+    "q433_partial_regression" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("double").as("y"),
+        col("l_quantity").cast("decimal(12,2)").cast("double").as("x"),
+        col("l_discount").cast("decimal(12,2)").cast("double").as("z"))
+      def q2(c: Column): Column = round(c).cast("long")
+      val st = li.groupBy(col("grp")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(col("z").cast("decimal(18,2)")).cast("double").as("sz"),
+        sum(col("y").cast("decimal(18,2)")).cast("double").as("sy"),
+        sum(q2(col("x") * col("x") * lit(1e4))).cast("double").as("sxxq"),
+        sum(q2(col("z") * col("z") * lit(1e6))).cast("double").as("szzq"),
+        sum(q2(col("y") * col("y"))).cast("double").as("syyq"),
+        sum(q2(col("x") * col("y") * lit(1e2))).cast("double").as("sxyq"),
+        sum(q2(col("z") * col("y") * lit(1e4))).cast("double").as("szyq"),
+        sum(q2(col("x") * col("z") * lit(1e6))).cast("double").as("sxzq"))
+      val cxy = col("n") * (col("sxyq") / lit(1e2)) - col("sx") * col("sy")
+      val cxz = col("n") * (col("sxzq") / lit(1e6)) - col("sx") * col("sz")
+      val czy = col("n") * (col("szyq") / lit(1e4)) - col("sz") * col("sy")
+      val cxx = col("n") * (col("sxxq") / lit(1e4)) - col("sx") * col("sx")
+      val czz = col("n") * (col("szzq") / lit(1e6)) - col("sz") * col("sz")
+      val cyy = col("n") * col("syyq") - col("sy") * col("sy")
+      val rxy = cxy / sqrt(cxx * cyy)
+      val rxz = cxz / sqrt(cxx * czz)
+      val rzy = czy / sqrt(czz * cyy)
+      st.select(col("grp"), col("n").cast("long").as("n"),
+        round(cxy / cxx, 6).as("beta_naive"),
+        round((cxy * czz - cxz * czy) / (cxx * czz - cxz * cxz), 6)
+          .as("beta_controlled"),
+        round((rxy - rxz * rzy) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - rzy * rzy)), 6)
+          .as("partial_corr"))
+    }),
+
     "q398_shapley_r2" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
         col("l_extendedprice").cast("decimal(12,2)").cast("double").as("y"),
@@ -1516,6 +1555,45 @@ object PipelineQueries {
          JOIN chunks ch ON t.doc = ch.doc AND t.i = ch.i
          WHERE t.rank <= 2"""
     },
+
+    "q433_partial_regression" ->
+      """WITH li AS (SELECT l_returnflag AS grp,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS y,
+                   CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS x,
+                   CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS z
+                   FROM lineitem),
+          st AS (SELECT grp,
+              CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+              CAST(sum(CAST(z AS DECIMAL(18,2))) AS DOUBLE) AS sz,
+              CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+              CAST(sum(CAST(round(x * x * 1e4) AS BIGINT)) AS DOUBLE) AS sxxq,
+              CAST(sum(CAST(round(z * z * 1e6) AS BIGINT)) AS DOUBLE) AS szzq,
+              CAST(sum(CAST(round(y * y) AS BIGINT)) AS DOUBLE) AS syyq,
+              CAST(sum(CAST(round(x * y * 1e2) AS BIGINT)) AS DOUBLE) AS sxyq,
+              CAST(sum(CAST(round(z * y * 1e4) AS BIGINT)) AS DOUBLE) AS szyq,
+              CAST(sum(CAST(round(x * z * 1e6) AS BIGINT)) AS DOUBLE) AS sxzq
+                 FROM li GROUP BY 1),
+          c AS (SELECT grp, n,
+                       n * (sxyq / 1e2) - sx * sy AS cxy,
+                       n * (sxzq / 1e6) - sx * sz AS cxz,
+                       n * (szyq / 1e4) - sz * sy AS czy,
+                       n * (sxxq / 1e4) - sx * sx AS cxx,
+                       n * (szzq / 1e6) - sz * sz AS czz,
+                       n * syyq - sy * sy AS cyy
+                FROM st),
+          r AS (SELECT grp, n, cxy, cxz, czy, cxx, czz,
+                       cxy / sqrt(cxx * cyy) AS rxy,
+                       cxz / sqrt(cxx * czz) AS rxz,
+                       czy / sqrt(czz * cyy) AS rzy
+                FROM c)
+         SELECT grp, CAST(n AS BIGINT) AS n,
+                ROUND(cxy / cxx, 6) AS beta_naive,
+                ROUND((cxy * czz - cxz * czy) /
+                      (cxx * czz - cxz * cxz), 6) AS beta_controlled,
+                ROUND((rxy - rxz * rzy) / sqrt((1.0 - rxz * rxz) *
+                      (1.0 - rzy * rzy)), 6) AS partial_corr
+         FROM r""",
 
     "q398_shapley_r2" ->
       """WITH li AS (SELECT l_returnflag AS grp,

@@ -289,6 +289,9 @@ class PlanAuditSpec extends SparkSpec {
     // the BUCKET-domain frame (both aggregation outputs, ~125 x 6
     // rows) — a bounded-domain broadcast, never a shuffle of rows
     "q411_t_closeness",
+    // q432: the 4-channel frame crosses the 16-row subset-value grid
+    // — a 64-row bounded-domain broadcast, never a shuffle of rows
+    "q432_shapley_attribution",
     // q382 evaluates every zone against the bounded month-predicate
     // dimension (<= data-span months, ~100 rows broadcast) — the zone
     // stream stays distributed, so the BNLJ is a tiny-broadcast scan
