@@ -23,6 +23,13 @@ object StatsQueries {
   // y as DECIMAL(25,6): same values as Spark's (18,6) cast, but wide
   // enough that DuckDB promotes y*y to an int128-backed DECIMAL(38,12)
   // instead of overflowing the int64 DECIMAL(18) multiply path
+  // Gumbel method-of-moments constants, computed ONCE in Scala and
+  // interpolated verbatim into both the Column plan and the oracle SQL
+  // (libm sqrt/log/pi would otherwise be 1-ulp engine-variant)
+  private val Sqrt6OverPi: Double = math.sqrt(6.0) / math.Pi
+  private val EulerGamma: Double = 0.5772156649015329
+  private val GumbelK12: Double = math.log(-math.log(1.0 - 1.0 / 12.0))
+
   /** One stump fit of the q426 depth-2 tree oracle: the q418 pipeline
     * over `base0` restricted by `pred`, picked by (score DESC, v). */
   private def giniPickSql(label: String, pred: String): String =
@@ -427,6 +434,57 @@ object StatsQueries {
     "q426_gini_tree_depth2" -> ((s, d) => {
       DataQuality.giniTreeDepth2(Tables.lineitem(s, d),
         col("l_extendedprice"), col("l_returnflag") === "R")
+    }),
+
+    // Gumbel extreme-value fit on weekly block maxima of daily spend
+    // (method of moments): location/scale plus the 12-week return
+    // level; the transcendental constants are Scala-computed doubles
+    // interpolated VERBATIM into the oracle so both engines use
+    // identical literals
+    "q434_gumbel_maxima" -> ((s, d) => {
+      val wk = dailySpend(s, d)
+        .groupBy(col("event_type").as("key"),
+          date_trunc("week", col("day")).cast("date").as("wk"))
+        .agg(max(col("spend").cast("decimal(18,2)")).as("mx"))
+      val st = wk.groupBy(col("key")).agg(count(lit(1)).as("n"),
+        sum(col("mx")).as("sx"),
+        sum((col("mx") * col("mx")).cast("decimal(38,4)")).as("sxx"))
+      val nd = col("n").cast("double")
+      val mean = col("sx").cast("double") / nd
+      val sd = sqrt((nd * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) /
+        (nd * (nd - lit(1.0))))
+      val sigma = sd * lit(Sqrt6OverPi)
+      val mu = mean - lit(EulerGamma) * sigma
+      st.select(col("key"), col("n").as("n_blocks"),
+        round(mu, 6).as("gumbel_mu"), round(sigma, 6).as("gumbel_sigma"),
+        round(mu - sigma * lit(GumbelK12), 6).as("return_level_12"))
+    }),
+
+    // Hill tail-index over each flag's top-k prices: xi = mean of
+    // ln(x_i / x_(k+1)) on the k largest values (ties broken by id so
+    // the top set is engine-identical); at warehouse scale the top-k
+    // comes from the bounded TopK aggregator, not a per-group sort
+    "q435_hill_tail_index" -> ((s, d) => {
+      val k = 100
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_extendedprice").cast("decimal(12,2)").as("v"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("uid"))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("v").desc, col("uid"))
+      val top = li.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k + 1)
+      val cut = top.where(col("rn") === k + 1)
+        .select(col("grp"), col("v").as("vk1"))
+      top.where(col("rn") <= k).join(broadcast(cut), Seq("grp"))
+        .select(col("grp"),
+          log(col("v").cast("double") / col("vk1").cast("double"))
+            .cast("decimal(18,12)").as("lr"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("k"),
+          (sum(col("lr")).cast("double") / lit(k.toDouble)).as("xi"))
+        .select(col("grp"), col("k"), round(col("xi"), 6).as("hill_xi"),
+          round(lit(1.0) / col("xi"), 6).as("tail_alpha"))
     }),
 
     // two-sample Anderson-Darling (Scholz-Stephens midrank) on order
@@ -1845,6 +1903,50 @@ object StatsQueries {
                 pl AS pos_left, nr AS n_right, pr AS pos_right,
                 ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
          FROM sc ORDER BY score DESC, v LIMIT 1""",
+
+    "q434_gumbel_maxima" ->
+      s"""WITH daily AS (SELECT key, day, y FROM ($dailySql) ds),
+          wk AS (SELECT key, CAST(date_trunc('week', day) AS DATE) AS wk,
+                        max(CAST(y AS DECIMAL(18,2))) AS mx
+                 FROM daily GROUP BY 1, 2),
+          st AS (SELECT key, count(*) AS n, sum(mx) AS sx,
+                        sum(CAST(mx * mx AS DECIMAL(38,4))) AS sxx
+                 FROM wk GROUP BY 1),
+          f AS (SELECT key, n,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                       sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                         AS sd
+                FROM st),
+          g AS (SELECT key, n, mean,
+                       sd * CAST($Sqrt6OverPi AS DOUBLE) AS sigma FROM f),
+          h AS (SELECT key, n,
+                       mean - CAST($EulerGamma AS DOUBLE) * sigma AS mu,
+                       sigma FROM g)
+         SELECT key, n AS n_blocks, ROUND(mu, 6) AS gumbel_mu,
+                ROUND(sigma, 6) AS gumbel_sigma,
+                ROUND(mu - sigma * CAST($GumbelK12 AS DOUBLE), 6)
+                  AS return_level_12
+         FROM h""",
+
+    "q435_hill_tail_index" ->
+      """WITH li AS (SELECT l_returnflag AS grp,
+                            CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+                            l_orderkey * 8 + l_linenumber AS uid
+                     FROM lineitem),
+          top AS (SELECT *, row_number() OVER (PARTITION BY grp
+                    ORDER BY v DESC, uid) AS rn FROM li),
+          cut AS (SELECT grp, v AS vk1 FROM top WHERE rn = 101),
+          lr AS (SELECT t.grp,
+                        CAST(ln(CAST(t.v AS DOUBLE) /
+                          CAST(c.vk1 AS DOUBLE)) AS DECIMAL(18,12)) AS lr
+                 FROM top t JOIN cut c USING (grp) WHERE t.rn <= 100)
+         SELECT grp, count(*) AS k,
+                ROUND(CAST(sum(lr) AS DOUBLE) / 100.0, 6) AS hill_xi,
+                ROUND(1.0 / (CAST(sum(lr) AS DOUBLE) / 100.0), 6)
+                  AS tail_alpha
+         FROM lr GROUP BY grp""",
 
     "q430_anderson_darling" ->
       """WITH lab AS (SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS v,
