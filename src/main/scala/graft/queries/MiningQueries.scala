@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Itemsets, TimeSeries}
@@ -27,6 +28,34 @@ object MiningQueries {
       TimeSeries.kleinbergBursts(ev, col("user_id"), col("sec"),
         gamma = 1.0, burstFactor = 2.0)
         .withColumnRenamed("key", "user_id")
+    }),
+
+    // Markov entropy rate per state (how predictable is the next event
+    // given the current one): per-state outgoing entropy with each
+    // -p ln p term quantized to DECIMAL(18,12), plus the stationary
+    // weight pi from transition marginals — q218's behavioral summary
+    // condensed to a predictability score
+    "q436_markov_entropy" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n_st"))
+      val marg = pairs.groupBy(col("cur")).agg(sum(col("n_st")).as("n_s"))
+      val tot = pairs.agg(sum(col("n_st")).as("n_tot"))
+      val p = col("n_st").cast("double") / col("n_s").cast("double")
+      val terms = pairs.join(broadcast(marg), Seq("cur"))
+        .select(col("cur"), col("n_s"),
+          (-(p * log(p))).cast("decimal(18,12)").as("e"))
+      terms.groupBy(col("cur"), col("n_s"))
+        .agg(round(sum(col("e")).cast("double"), 6).as("h_state"))
+        .crossJoin(broadcast(tot))
+        .select(col("cur").as("state"), col("n_s"),
+          round(col("n_s").cast("double") / col("n_tot").cast("double"), 6)
+            .as("pi"),
+          col("h_state"))
     }),
 
     // association rules over per-order brand baskets (q193's input):
@@ -429,6 +458,30 @@ object MiningQueries {
                 CAST(CASE WHEN s[1] <= s[2] THEN s[3] ELSE s[4] END
                   AS BIGINT) AS n_burst_steps
          FROM f""",
+
+    "q436_markov_entropy" ->
+      """WITH pr AS (SELECT event_type AS cur,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS nxt
+                     FROM events),
+          pairs AS (SELECT cur, nxt, count(*) AS n_st
+                    FROM pr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          marg AS (SELECT cur, CAST(sum(n_st) AS BIGINT) AS n_s
+                   FROM pairs GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n_tot FROM pairs),
+          terms AS (SELECT p.cur, m.n_s,
+                      CAST(-(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE) *
+                        ln(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)))
+                        AS DECIMAL(18,12)) AS e
+                    FROM pairs p JOIN marg m USING (cur)),
+          ps AS (SELECT cur, n_s,
+                        ROUND(CAST(sum(e) AS DOUBLE), 6) AS h_state
+                 FROM terms GROUP BY 1, 2)
+         SELECT cur AS state, n_s,
+                ROUND(CAST(n_s AS DOUBLE) / CAST(n_tot AS DOUBLE), 6)
+                  AS pi,
+                h_state
+         FROM ps, tot""",
 
     "q427_association_rules" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bid, p_brand AS item

@@ -487,6 +487,47 @@ object StatsQueries {
           round(lit(1.0) / col("xi"), 6).as("tail_alpha"))
     }),
 
+    // effect-size suite between two segments: Cohen's d / Hedges' g
+    // from exact moment sums, Cliff's delta from the Mann-Whitney U
+    // (2U/(n1 n2) - 1) — the practical-significance companions to the
+    // q198/q203 hypothesis tests
+    "q437_effect_sizes" -> ((s, d) => {
+      val src = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
+      val mw = DataQuality.mannWhitneyU(src, col("g"), col("v"),
+        "BUILDING", "AUTOMOBILE").select(col("n1"), col("n2"), col("u1"))
+      val m2 = (c: Column) => c.cast("decimal(18,2)")
+      val st = src.groupBy(col("g")).agg(count(lit(1)).as("m"),
+        sum(m2(col("v"))).as("sv"),
+        sum((m2(col("v")) * m2(col("v"))).cast("decimal(38,4)")).as("ss"))
+      val two = st.agg(
+        max(when(col("g") === "BUILDING", col("m"))).as("m1"),
+        max(when(col("g") === "BUILDING", col("sv"))).as("s1"),
+        max(when(col("g") === "BUILDING", col("ss"))).as("ss1"),
+        max(when(col("g") === "AUTOMOBILE", col("m"))).as("m2"),
+        max(when(col("g") === "AUTOMOBILE", col("sv"))).as("s2"),
+        max(when(col("g") === "AUTOMOBILE", col("ss"))).as("ss2"))
+      val m1d = col("m1").cast("double")
+      val m2d = col("m2").cast("double")
+      val mean1 = col("s1").cast("double") / m1d
+      val mean2 = col("s2").cast("double") / m2d
+      val ssd1 = col("ss1").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / m1d
+      val ssd2 = col("ss2").cast("double") -
+        col("s2").cast("double") * col("s2").cast("double") / m2d
+      val spooled = sqrt((ssd1 + ssd2) / (m1d + m2d - lit(2.0)))
+      val cohD = (mean1 - mean2) / spooled
+      val hedG = cohD * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * (m1d + m2d) - lit(9.0)))
+      two.crossJoin(mw).select(col("n1"), col("n2"),
+        round(cohD, 6).as("cohens_d"), round(hedG, 6).as("hedges_g"),
+        round(lit(2.0) * col("u1") /
+          (col("n1").cast("double") * col("n2").cast("double")) -
+          lit(1.0), 6).as("cliffs_delta"))
+    }),
+
     // two-sample Anderson-Darling (Scholz-Stephens midrank) on order
     // values across two segments — the tail-sensitive companion to
     // q145's KS, built from exact value-domain prefixes
@@ -1903,6 +1944,59 @@ object StatsQueries {
                 pl AS pos_left, nr AS n_right, pr AS pos_right,
                 ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
          FROM sc ORDER BY score DESC, v LIMIT 1""",
+
+    "q437_effect_sizes" ->
+      """WITH src AS (SELECT c_mktsegment AS g, o_totalprice AS v
+                      FROM orders JOIN customer ON o_custkey = c_custkey
+                      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+          lab AS (SELECT CAST(v AS DECIMAL(18,6)) AS v,
+                         CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END AS is1
+                  FROM src WHERE v IS NOT NULL),
+          c AS (SELECT v, count(*) AS t, sum(is1) AS t1
+                FROM lab GROUP BY v),
+          cc AS (SELECT v, t, t1, sum(t) OVER (ORDER BY v) AS cum_t
+                 FROM c),
+          s AS (SELECT CAST(sum(t1 * (2 * cum_t - t + 1)) AS DOUBLE)
+                    AS r2x,
+                       CAST(sum(t1) AS BIGINT) AS n1,
+                       CAST(sum(t) AS BIGINT) AS n
+                FROM cc),
+          u AS (SELECT n1, n - n1 AS n2,
+                       ROUND(r2x / 2.0 - CAST(n1 AS DOUBLE) *
+                         (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 6) AS u1
+                FROM s),
+          st AS (SELECT g, count(*) AS m,
+                        sum(CAST(v AS DECIMAL(18,2))) AS sv,
+                        sum(CAST(CAST(v AS DECIMAL(18,2)) *
+                          CAST(v AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss
+                 FROM src GROUP BY 1),
+          two AS (SELECT
+                    max(CASE WHEN g = 'BUILDING' THEN m END) AS m1,
+                    max(CASE WHEN g = 'BUILDING' THEN sv END) AS s1,
+                    max(CASE WHEN g = 'BUILDING' THEN ss END) AS ss1,
+                    max(CASE WHEN g = 'AUTOMOBILE' THEN m END) AS m2,
+                    max(CASE WHEN g = 'AUTOMOBILE' THEN sv END) AS s2,
+                    max(CASE WHEN g = 'AUTOMOBILE' THEN ss END) AS ss2
+                  FROM st),
+          f AS (SELECT
+                  CAST(s1 AS DOUBLE) / CAST(m1 AS DOUBLE) AS mean1,
+                  CAST(s2 AS DOUBLE) / CAST(m2 AS DOUBLE) AS mean2,
+                  CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+                    CAST(s1 AS DOUBLE) / CAST(m1 AS DOUBLE) AS ssd1,
+                  CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+                    CAST(s2 AS DOUBLE) / CAST(m2 AS DOUBLE) AS ssd2,
+                  CAST(m1 AS DOUBLE) AS m1d, CAST(m2 AS DOUBLE) AS m2d
+                FROM two),
+          e AS (SELECT (mean1 - mean2) /
+                  sqrt((ssd1 + ssd2) / (m1d + m2d - 2.0)) AS d,
+                       m1d, m2d
+                FROM f)
+         SELECT n1, n2, ROUND(d, 6) AS cohens_d,
+                ROUND(d * (1.0 - 3.0 / (4.0 * (m1d + m2d) - 9.0)), 6)
+                  AS hedges_g,
+                ROUND(2.0 * u1 / (CAST(n1 AS DOUBLE) *
+                  CAST(n2 AS DOUBLE)) - 1.0, 6) AS cliffs_delta
+         FROM e, u""",
 
     "q434_gumbel_maxima" ->
       s"""WITH daily AS (SELECT key, day, y FROM ($dailySql) ds),

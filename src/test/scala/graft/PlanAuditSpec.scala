@@ -209,6 +209,12 @@ class PlanAuditSpec extends SparkSpec {
     // q427: the basket-count scalar (lift denominator) is a 1-row
     // frame crossJoin-broadcast into the bounded brand-pair rules
     "q427_association_rules",
+    // q436: the transition-total scalar is a 1-row frame
+    // crossJoin-broadcast into the state-domain (5-row) readout
+    "q436_markov_entropy",
+    // q437: the two-segment moment frame and the Mann-Whitney readout
+    // are both 1-row frames crossed for the final row — q292's shape
+    "q437_effect_sizes",
     // q428: the (total, interval, offset) frame is ONE row
     // crossJoin-broadcast over the prefix rows — q166's
     // cumulativeByValue offsets + q198's scalar shape
