@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.Curation
+import graft.operators.{Curation, TimeSeries}
 import graft.functions.TextAnalysis
 
 /** Oracle-gated corpus-curation queries over `documents`: deterministic
@@ -514,6 +514,91 @@ object CurationQueries {
             .otherwise(0L).as("violates_t02"))
     }),
 
+    // ROUGE-L between adjacent doc pairs via Hunt-Szymanski: LCS =
+    // longest strictly-increasing subsequence of match positions
+    // (a-order ascending, b-position descending within an a-token), so
+    // the q424 patience fold computes summary-eval F scores with NO
+    // quadratic DP table — the distributed ROUGE kernel
+    "q438_rouge_l_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      val prs = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(docs.select(col("doc_id").as("b")), Seq("b"))
+      val aseq = prs.join(docs.select(col("doc_id").as("a"), col("toks")),
+          Seq("a"))
+        .select(col("a"), col("b"),
+          posexplode(col("toks")).as(Seq("ap0", "tok")))
+        .select(col("a"), col("b"), (col("ap0") + 1).as("ap"), col("tok"))
+      val bseq = prs.join(docs.select(col("doc_id").as("b"), col("toks")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          posexplode(col("toks")).as(Seq("bp0", "tok")))
+        .select(col("a"), col("b"), (col("bp0") + 1).as("bp"), col("tok"))
+      val matches = aseq.join(bseq, Seq("a", "b", "tok"))
+        .select(col("a"),
+          (col("ap") * 10000 + (lit(10000) - col("bp"))).as("ord"),
+          col("bp").cast("long").as("v"))
+      val lcs = TimeSeries.lisLength(matches, col("a"), col("ord"),
+          col("v"))
+        .select(col("key").as("a"), col("lis_len").as("lcs"))
+      val lens = prs
+        .join(docs.select(col("doc_id").as("a"),
+          size(col("toks")).cast("long").as("la")), Seq("a"))
+        .join(docs.select(col("doc_id").as("b"),
+          size(col("toks")).cast("long").as("lb")), Seq("b"))
+      lcs.join(lens, Seq("a"))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("lcs"),
+          round(col("lcs").cast("double") / col("la").cast("double"), 6)
+            .as("rouge_p"),
+          round(col("lcs").cast("double") / col("lb").cast("double"), 6)
+            .as("rouge_r"),
+          round(lit(2.0) * (col("lcs").cast("double") /
+              col("la").cast("double")) *
+            (col("lcs").cast("double") / col("lb").cast("double")) /
+            (col("lcs").cast("double") / col("la").cast("double") +
+             col("lcs").cast("double") / col("lb").cast("double")), 6)
+            .as("rouge_f"))
+    }),
+
+    // longest verbatim span between adjacent doc pairs: word-3-gram
+    // anchors matched by position, runs detected as gaps-and-islands
+    // along the (ap - bp) DIAGONAL — the memorization-scan kernel that
+    // finds the longest common substring without any quadratic DP
+    "q439_verbatim_span" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .where(size(col("toks")) >= 3)
+      val prs = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(docs.select(col("doc_id").as("b")), Seq("b"))
+      def g3(toks: Column): Column = transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => struct(i.as("p"), concat_ws(" ", element_at(toks, i),
+          element_at(toks, i + 1), element_at(toks, i + 2)).as("g")))
+      val ag = prs.join(docs.select(col("doc_id").as("a"), col("toks")),
+          Seq("a"))
+        .select(col("a"), col("b"), explode(g3(col("toks"))).as("sg"))
+        .select(col("a"), col("b"), col("sg.p").as("ap"),
+          col("sg.g").as("g"))
+      val bg = prs.join(docs.select(col("doc_id").as("b"), col("toks")),
+          Seq("b"))
+        .select(col("a"), col("b"), explode(g3(col("toks"))).as("sg"))
+        .select(col("a"), col("b"), col("sg.p").as("bp"),
+          col("sg.g").as("g"))
+      val mm = ag.join(bg, Seq("a", "b", "g"))
+        .select(col("a"), (col("ap") - col("bp")).as("diag"), col("ap"))
+      val w = Window.partitionBy(col("a"), col("diag")).orderBy(col("ap"))
+      mm.withColumn("grp", col("ap") - row_number().over(w))
+        .groupBy(col("a"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("n_runs"), max(col("run")).as("max_run"))
+        .select(col("a").as("doc_a"), (col("a") + 1).as("doc_b"),
+          col("n_runs"), col("max_run"),
+          (col("max_run") + 2).as("longest_span_tokens"))
+    }),
+
     // monetary-unit (PPS systematic) audit sampling: every ~T-th cent
     // of cumulative line value selects its line, md5-seeded start
     // offset — the classic financial-audit sampler, selection decided
@@ -843,6 +928,93 @@ object CurationQueries {
                       CAST(max(n_g) AS HUGEINT) * max(n_tot) * (max(m) - 1)
                      THEN 1 ELSE 0 END AS BIGINT) AS violates_t02
          FROM tt GROUP BY 1, 2""",
+
+    "q439_verbatim_span" ->
+      """WITH docs AS (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\s+')
+                           AS toks
+                       FROM documents
+                       WHERE len(regexp_split_to_array(lower(trim(text)),
+                         '\s+')) >= 3),
+          prs AS (SELECT a.doc_id AS a, a.doc_id + 1 AS b
+                  FROM docs a JOIN docs b2
+                    ON a.doc_id % 7 = 0 AND b2.doc_id = a.doc_id + 1),
+          agr AS (SELECT p.a, p.b,
+                    unnest([{'p': i,
+                             'g': array_to_string(d1.toks[i:i+2], ' ')}
+                            for i in range(1,
+                              greatest(len(d1.toks) - 2, 1) + 1)]) AS u
+                  FROM prs p JOIN docs d1 ON d1.doc_id = p.a),
+          ag AS (SELECT a, b, u.p AS ap, u.g AS g FROM agr),
+          bgr AS (SELECT p.a, p.b,
+                    unnest([{'p': i,
+                             'g': array_to_string(d2.toks[i:i+2], ' ')}
+                            for i in range(1,
+                              greatest(len(d2.toks) - 2, 1) + 1)]) AS u
+                  FROM prs p JOIN docs d2 ON d2.doc_id = p.b),
+          bg AS (SELECT a, b, u.p AS bp, u.g AS g FROM bgr),
+          mm AS (SELECT ag.a, ag.ap - bg.bp AS diag, ag.ap
+                 FROM ag JOIN bg ON ag.a = bg.a AND ag.b = bg.b
+                   AND ag.g = bg.g),
+          isl AS (SELECT a, diag,
+                         ap - row_number() OVER (PARTITION BY a, diag
+                           ORDER BY ap) AS grp
+                  FROM mm),
+          runs AS (SELECT a, diag, grp, count(*) AS run
+                   FROM isl GROUP BY 1, 2, 3)
+         SELECT a AS doc_a, a + 1 AS doc_b, count(*) AS n_runs,
+                CAST(max(run) AS BIGINT) AS max_run,
+                CAST(max(run) + 2 AS BIGINT) AS longest_span_tokens
+         FROM runs GROUP BY a""",
+
+    "q438_rouge_l_pairs" ->
+      """WITH docs AS (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\s+')
+                           AS toks
+                       FROM documents),
+          prs AS (SELECT a.doc_id AS a, a.doc_id + 1 AS b
+                  FROM docs a JOIN docs b2
+                    ON a.doc_id % 7 = 0 AND b2.doc_id = a.doc_id + 1),
+          aseqr AS (SELECT p.a, p.b,
+                      unnest(list_transform(d1.toks,
+                        (x, i) -> {'tok': x, 'p': i})) AS u
+                    FROM prs p JOIN docs d1 ON d1.doc_id = p.a),
+          aseq AS (SELECT a, b, u.p AS ap, u.tok AS tok FROM aseqr),
+          bseqr AS (SELECT p.a, p.b,
+                      unnest(list_transform(d2.toks,
+                        (x, i) -> {'tok': x, 'p': i})) AS u
+                    FROM prs p JOIN docs d2 ON d2.doc_id = p.b),
+          bseq AS (SELECT a, b, u.p AS bp, u.tok AS tok FROM bseqr),
+          m AS (SELECT aseq.a,
+                       aseq.ap * 10000 + (10000 - bseq.bp) AS ord,
+                       CAST(bseq.bp AS BIGINT) AS v
+                FROM aseq JOIN bseq ON aseq.a = bseq.a
+                  AND aseq.b = bseq.b AND aseq.tok = bseq.tok),
+          sq AS (SELECT a, list(v ORDER BY ord) AS vs FROM m GROUP BY a),
+          fl AS (SELECT a, list_reduce(list_transform(vs, x -> [x]),
+                   (acc, bb) -> CASE WHEN list_position(list_transform(acc,
+                       t -> t >= bb[1]), true) > 0
+                     THEN list_transform(acc, (t, i) -> CASE WHEN i =
+                       list_position(list_transform(acc,
+                         t2 -> t2 >= bb[1]), true) THEN bb[1] ELSE t END)
+                     ELSE list_append(acc, bb[1]) END) AS tails
+                 FROM sq),
+          lcs AS (SELECT a, CAST(len(tails) AS BIGINT) AS lcs FROM fl),
+          lens AS (SELECT p.a, p.b, CAST(len(d1.toks) AS BIGINT) AS la,
+                          CAST(len(d2.toks) AS BIGINT) AS lb
+                   FROM prs p JOIN docs d1 ON d1.doc_id = p.a
+                     JOIN docs d2 ON d2.doc_id = p.b)
+         SELECT l.a AS doc_a, le.b AS doc_b, l.lcs,
+                ROUND(CAST(lcs AS DOUBLE) / CAST(la AS DOUBLE), 6)
+                  AS rouge_p,
+                ROUND(CAST(lcs AS DOUBLE) / CAST(lb AS DOUBLE), 6)
+                  AS rouge_r,
+                ROUND(2.0 * (CAST(lcs AS DOUBLE) / CAST(la AS DOUBLE)) *
+                  (CAST(lcs AS DOUBLE) / CAST(lb AS DOUBLE)) /
+                  (CAST(lcs AS DOUBLE) / CAST(la AS DOUBLE) +
+                   CAST(lcs AS DOUBLE) / CAST(lb AS DOUBLE)), 6)
+                  AS rouge_f
+         FROM lcs l JOIN lens le USING (a)""",
 
     "q428_monetary_unit_sampling" ->
       s"""WITH raw_ AS (SELECT l_orderkey * 8 + l_linenumber AS v,
