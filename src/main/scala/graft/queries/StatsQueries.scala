@@ -23,6 +23,20 @@ object StatsQueries {
   // y as DECIMAL(25,6): same values as Spark's (18,6) cast, but wide
   // enough that DuckDB promotes y*y to an int128-backed DECIMAL(38,12)
   // instead of overflowing the int64 DECIMAL(18) multiply path
+  // SPRT constants (H0 p=0.2 vs H1 p=0.3, alpha=beta=0.05): the two
+  // per-observation log-likelihood increments and the decision
+  // boundary, Scala-computed once and interpolated verbatim into the
+  // oracle so both engines walk identical doubles
+  private val SprtLc1: Double = math.log(0.3 / 0.2) // on conversion
+  private val SprtLc0: Double = math.log(0.7 / 0.8) // on non-conversion
+  private val SprtBound: Double = math.log(19.0) // ln((1-beta)/alpha)
+
+  // RBO persistence weights (1-p) * p^(d-1) for p = 0.9, d = 1..10,
+  // Scala-computed so the oracle's VALUES list is bit-identical
+  private val RboP = 0.9
+  private val RboW: Seq[Double] =
+    (1 to 10).map(dd => (1.0 - RboP) * math.pow(RboP, dd - 1))
+
   // Gumbel method-of-moments constants, computed ONCE in Scala and
   // interpolated verbatim into both the Column plan and the oracle SQL
   // (libm sqrt/log/pi would otherwise be 1-ulp engine-variant)
@@ -485,6 +499,74 @@ object StatsQueries {
           (sum(col("lr")).cast("double") / lit(k.toDouble)).as("xi"))
         .select(col("grp"), col("k"), round(col("xi"), 6).as("hill_xi"),
           round(lit(1.0) / col("xi"), 6).as("tail_alpha"))
+    }),
+
+    // sequential probability ratio test per brand (H0 p=0.2 vs H1
+    // p=0.3 return rate): the LLR walk is a closed form of the
+    // cumulative conversion count (no fold needed), the first boundary
+    // crossing is a filtered min — early-stopping A/B inference over
+    // an ordered stream
+    "q440_sprt" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("g"),
+          concat_ws("#", col("l_shipdate"),
+            lpad((col("l_orderkey") * 8 + col("l_linenumber"))
+              .cast("string"), 12, "0")).as("ord"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val wo = Window.partitionBy(col("g")).orderBy(col("ord"), col("y"))
+      val wk = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val walk = li
+        .withColumn("t", row_number().over(wo).cast("long"))
+        .withColumn("k", sum(col("y")).over(wk))
+        .withColumn("llr", col("k").cast("double") * lit(SprtLc1) +
+          (col("t") - col("k")).cast("double") * lit(SprtLc0))
+      val finals = walk.groupBy(col("g")).agg(max(col("t")).as("t_max"),
+        max_by(col("llr"), col("t")).as("llr_final"))
+      val dec = walk.where(col("llr") >= lit(SprtBound) ||
+          col("llr") <= -lit(SprtBound))
+        .groupBy(col("g")).agg(min(col("t")).as("t_dec"),
+          min_by(col("llr"), col("t")).as("llr_dec"))
+      finals.join(dec, Seq("g"), "left")
+        .select(col("g").as("p_brand"), col("t_max").as("n_stream"),
+          coalesce(col("t_dec"), col("t_max")).as("n_at_decision"),
+          round(coalesce(col("llr_dec"), col("llr_final")), 6)
+            .as("llr_at_decision"),
+          when(col("t_dec").isNull, "undecided")
+            .when(col("llr_dec") >= lit(SprtBound), "accept_h1")
+            .otherwise("accept_h0").as("decision"))
+    }),
+
+    // rank-biased overlap (p=0.9, depth 10) between each brand's
+    // top-revenue and top-quantity part rankings — the top-weighted
+    // ranking agreement measure, depth overlaps from one bounded
+    // weights cross
+    "q441_rbo" -> ((s, d) => {
+      val s2 = s; import s2.implicits._
+      val st = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("rev"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("long")
+            .as("qty"))
+      val wa = Window.partitionBy(col("p_brand"))
+        .orderBy(col("rev").desc, col("l_partkey"))
+      val wb = Window.partitionBy(col("p_brand"))
+        .orderBy(col("qty").desc, col("l_partkey"))
+      val ranked = st.withColumn("ra", row_number().over(wa))
+        .withColumn("rb", row_number().over(wb))
+        .where(col("ra") <= 10 || col("rb") <= 10)
+      val weights = RboW.zipWithIndex
+        .map { case (wt, i) => (i + 1, wt) }.toDF("d", "wt")
+      ranked.crossJoin(broadcast(weights))
+        .where(col("ra") <= col("d") && col("rb") <= col("d"))
+        .groupBy(col("p_brand"), col("d"), col("wt"))
+        .agg(count(lit(1)).as("ov"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum((col("wt") * (col("ov").cast("double") /
+            col("d").cast("double"))).cast("decimal(28,12)"))
+          .cast("double"), 6).as("rbo"))
     }),
 
     // effect-size suite between two segments: Cohen's d / Hedges' g
@@ -1944,6 +2026,71 @@ object StatsQueries {
                 pl AS pos_left, nr AS n_right, pr AS pos_right,
                 ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
          FROM sc ORDER BY score DESC, v LIMIT 1""",
+
+    "q440_sprt" ->
+      s"""WITH li AS (SELECT p_brand AS g,
+                        CAST(l_shipdate AS VARCHAR) || '#' ||
+                          lpad(CAST(l_orderkey * 8 + l_linenumber
+                            AS VARCHAR), 12, '0') AS ord,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                          AS y
+                      FROM lineitem JOIN part ON l_partkey = p_partkey),
+          walk AS (SELECT g,
+                     CAST(row_number() OVER wo AS BIGINT) AS t,
+                     CAST(sum(y) OVER wk AS BIGINT) AS k
+                   FROM li
+                   WINDOW wo AS (PARTITION BY g ORDER BY ord, y),
+                          wk AS (PARTITION BY g ORDER BY ord, y ROWS
+                            BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          lw AS (SELECT g, t, k,
+                        CAST(k AS DOUBLE) * CAST($SprtLc1 AS DOUBLE) +
+                        CAST(t - k AS DOUBLE) * CAST($SprtLc0 AS DOUBLE)
+                          AS llr
+                 FROM walk),
+          fin AS (SELECT g, max(t) AS t_max,
+                         max_by(llr, t) AS llr_final
+                  FROM lw GROUP BY 1),
+          dec AS (SELECT g, min(t) AS t_dec, min_by(llr, t) AS llr_dec
+                  FROM lw
+                  WHERE llr >= CAST($SprtBound AS DOUBLE)
+                     OR llr <= -CAST($SprtBound AS DOUBLE)
+                  GROUP BY 1)
+         SELECT f.g AS p_brand, f.t_max AS n_stream,
+                coalesce(d.t_dec, f.t_max) AS n_at_decision,
+                ROUND(coalesce(d.llr_dec, f.llr_final), 6)
+                  AS llr_at_decision,
+                CASE WHEN d.t_dec IS NULL THEN 'undecided'
+                     WHEN d.llr_dec >= CAST($SprtBound AS DOUBLE)
+                       THEN 'accept_h1'
+                     ELSE 'accept_h0' END AS decision
+         FROM fin f LEFT JOIN dec d ON f.g = d.g""",
+
+    "q441_rbo" ->
+      s"""WITH st AS (SELECT p_brand, l_partkey,
+                        CAST(sum(CAST(CAST(l_extendedprice
+                          AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+                          AS rev,
+                        CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                          AS BIGINT) AS qty
+                      FROM lineitem JOIN part ON l_partkey = p_partkey
+                      GROUP BY 1, 2),
+          rk AS (SELECT p_brand, l_partkey,
+                   row_number() OVER (PARTITION BY p_brand
+                     ORDER BY rev DESC, l_partkey) AS ra,
+                   row_number() OVER (PARTITION BY p_brand
+                     ORDER BY qty DESC, l_partkey) AS rb
+                 FROM st),
+          rr AS (SELECT * FROM rk WHERE ra <= 10 OR rb <= 10),
+          wt AS (SELECT * FROM (VALUES ${RboW.zipWithIndex.map {
+            case (w, i) => s"(${i + 1}, CAST($w AS DOUBLE))"
+          }.mkString(", ")}) w(d, wt)),
+          ov AS (SELECT p_brand, d, wt, count(*) AS ov
+                 FROM rr, wt WHERE ra <= d AND rb <= d GROUP BY 1, 2, 3)
+         SELECT p_brand,
+                ROUND(CAST(sum(CAST(wt * (CAST(ov AS DOUBLE) /
+                  CAST(d AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE), 6)
+                  AS rbo
+         FROM ov GROUP BY 1""",
 
     "q437_effect_sizes" ->
       """WITH src AS (SELECT c_mktsegment AS g, o_totalprice AS v

@@ -298,6 +298,9 @@ class PlanAuditSpec extends SparkSpec {
     // q432: the 4-channel frame crosses the 16-row subset-value grid
     // — a 64-row bounded-domain broadcast, never a shuffle of rows
     "q432_shapley_attribution",
+    // q441: the 10-row RBO depth-weights frame crosses the bounded
+    // top-10 rank lists — a bounded-domain broadcast
+    "q441_rbo",
     // q382 evaluates every zone against the bounded month-predicate
     // dimension (<= data-span months, ~100 rows broadcast) — the zone
     // stream stays distributed, so the BNLJ is a tiny-broadcast scan
