@@ -501,6 +501,82 @@ object StatsQueries {
           round(lit(1.0) / col("xi"), 6).as("tail_alpha"))
     }),
 
+    // Grubbs single-outlier test per segment: G = max|x - mean| / sd
+    // from exact moment sums; ties on the max deviation break to the
+    // smallest value so the flagged outlier is engine-identical
+    "q442_grubbs" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(col("c_mktsegment").as("g"),
+        col("c_acctbal").cast("decimal(12,2)").cast("double").as("x"))
+      val m2 = (c: Column) => c.cast("decimal(18,2)")
+      val st = base.groupBy(col("g")).agg(count(lit(1)).as("n"),
+        sum(m2(col("x"))).as("sx"),
+        sum((m2(col("x")) * m2(col("x"))).cast("decimal(38,4)")).as("sxx"))
+      val nd = col("n").cast("double")
+      val stt = st.select(col("g"), col("n"),
+        (col("sx").cast("double") / nd).as("mean"),
+        sqrt((nd * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (nd * (nd - lit(1.0)))).as("sd"))
+      val dev = base.join(broadcast(stt), Seq("g"))
+        .withColumn("dev", abs(col("x") - col("mean")))
+      val mx = dev.groupBy(col("g")).agg(max(col("dev")).as("mdev"))
+      dev.join(broadcast(mx), Seq("g")).where(col("dev") === col("mdev"))
+        .groupBy(col("g"), col("n"), col("sd"), col("mdev"))
+        .agg(min(col("x")).as("ov"))
+        .select(col("g").as("c_mktsegment"), col("n"),
+          round(col("ov"), 6).as("outlier_value"),
+          round(col("mdev") / col("sd"), 6).as("g_stat"))
+    }),
+
+    // Wald-Wolfowitz runs test per series: is daily spend random
+    // around its median? Runs from one lag window over the
+    // above/below labels, z from exact integer counts
+    "q443_runs_test" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"), col("spend").cast("double").as("y"))
+      val med = daily.groupBy(col("key"))
+        .agg(percentile(col("y"), lit(0.5)).as("med"))
+      val lab = daily.join(broadcast(med), Seq("key"))
+        .where(col("y") =!= col("med"))
+        .withColumn("ab", (col("y") > col("med")).cast("int"))
+      val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      val runs = lab.withColumn("chg",
+        when(lag(col("ab"), 1).over(w).isNull ||
+          col("ab") =!= lag(col("ab"), 1).over(w), 1L).otherwise(0L))
+      val agg = runs.groupBy(col("key"))
+        .agg(sum(when(col("ab") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("ab") === 0, 1L).otherwise(0L)).as("n2"),
+          sum(col("chg")).as("n_runs"))
+      val n1d = col("n1").cast("double")
+      val n2d = col("n2").cast("double")
+      val ndd = (col("n1") + col("n2")).cast("double")
+      val two = lit(2.0) * n1d * n2d
+      val mu = two / ndd + lit(1.0)
+      val va = two * (two - ndd) / (ndd * ndd * (ndd - lit(1.0)))
+      agg.select(col("key"), col("n1"), col("n2"), col("n_runs"),
+        round((col("n_runs").cast("double") - mu) / sqrt(va), 6).as("z"))
+    }),
+
+    // Ljung-Box portmanteau over the first 3 autocorrelations (built
+    // from q199's ROUNDED acf values, q362's composition pattern):
+    // one whiteness score per series
+    "q444_ljung_box" -> ((s, d) => {
+      val rr = TimeSeries.acf(dailySpend(s, d), col("event_type"),
+        col("day"), col("spend"), maxLag = 3)
+      val lens = dailySpend(s, d).groupBy(col("event_type").as("key"))
+        .agg(count(lit(1)).as("n"))
+      rr.join(broadcast(lens), Seq("key"))
+        .select(col("key"), col("n"),
+          ((col("acf") * col("acf")) /
+            (col("n") - col("lag")).cast("double"))
+            .cast("decimal(28,18)").as("term"))
+        .groupBy(col("key"), col("n"))
+        .agg(round(col("n").cast("double") *
+          (col("n").cast("double") + lit(2.0)) *
+          sum(col("term")).cast("double"), 6).as("q_lb"))
+        .select(col("key"), col("n"), col("q_lb"))
+    }),
+
     // sequential probability ratio test per brand (H0 p=0.2 vs H1
     // p=0.3 return rate): the LLR walk is a closed form of the
     // cumulative conversion count (no fold needed), the first boundary
@@ -2026,6 +2102,102 @@ object StatsQueries {
                 pl AS pos_left, nr AS n_right, pr AS pos_right,
                 ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
          FROM sc ORDER BY score DESC, v LIMIT 1""",
+
+    "q442_grubbs" ->
+      """WITH base AS (SELECT c_mktsegment AS g,
+                         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+                           AS x
+                       FROM customer),
+          st AS (SELECT g, count(*) AS n,
+                        sum(CAST(x AS DECIMAL(18,2))) AS sx,
+                        sum(CAST(CAST(x AS DECIMAL(18,2)) *
+                          CAST(x AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                          AS sxx
+                 FROM base GROUP BY 1),
+          stt AS (SELECT g, n,
+                    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                      AS sd
+                  FROM st),
+          dev AS (SELECT b.g, b.x, s.n, s.sd, abs(b.x - s.mean) AS dev
+                  FROM base b JOIN stt s USING (g)),
+          mx AS (SELECT g, max(dev) AS mdev FROM dev GROUP BY 1)
+         SELECT d.g AS c_mktsegment, max(d.n) AS n,
+                ROUND(min(d.x), 6) AS outlier_value,
+                ROUND(max(d.mdev2) / max(d.sd), 6) AS g_stat
+         FROM (SELECT dev.*, mx.mdev AS mdev2 FROM dev
+               JOIN mx ON dev.g = mx.g AND dev.dev = mx.mdev) d
+         GROUP BY d.g""",
+
+    "q443_runs_test" ->
+      s"""WITH daily AS (SELECT key, day, CAST(y AS DOUBLE) AS y
+                         FROM ($dailySql) ds),
+          med AS (SELECT key, quantile_cont(y, 0.5) AS med
+                  FROM daily GROUP BY 1),
+          lab AS (SELECT d.key, d.day,
+                         CASE WHEN d.y > m.med THEN 1 ELSE 0 END AS ab
+                  FROM daily d JOIN med m USING (key)
+                  WHERE d.y <> m.med),
+          runs AS (SELECT key, ab,
+                     CASE WHEN lag(ab) OVER w IS NULL
+                       OR ab <> lag(ab) OVER w THEN 1 ELSE 0 END AS chg
+                   FROM lab
+                   WINDOW w AS (PARTITION BY key ORDER BY day)),
+          agg AS (SELECT key,
+                    CAST(sum(CASE WHEN ab = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                    CAST(sum(CASE WHEN ab = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2,
+                    CAST(sum(chg) AS BIGINT) AS n_runs
+                  FROM runs GROUP BY 1)
+         SELECT key, n1, n2, n_runs,
+                ROUND((CAST(n_runs AS DOUBLE) -
+                  (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+                   CAST(n1 + n2 AS DOUBLE) + 1.0)) /
+                  sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+                    (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) -
+                     CAST(n1 + n2 AS DOUBLE)) /
+                    (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) *
+                     (CAST(n1 + n2 AS DOUBLE) - 1.0))), 6) AS z
+         FROM agg""",
+
+    "q444_ljung_box" ->
+      s"""WITH s AS ($dailySql),
+          l AS (SELECT key, y AS x,
+                       lag(y, 1) OVER w AS x1, lag(y, 2) OVER w AS x2,
+                       lag(y, 3) OVER w AS x3
+                FROM s WINDOW w AS (PARTITION BY key ORDER BY day)),
+          e AS (SELECT key, 1 AS lag, x, x1 AS xl FROM l
+                UNION ALL SELECT key, 2, x, x2 FROM l
+                UNION ALL SELECT key, 3, x, x3 FROM l),
+          a AS (SELECT key, lag, count(*) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx,
+                       count(xl) AS np,
+                       CAST(sum(CASE WHEN xl IS NOT NULL THEN x * xl END)
+                         AS DOUBLE) AS sxy,
+                       CAST(sum(CASE WHEN xl IS NOT NULL THEN x END)
+                         AS DOUBLE) AS sh,
+                       CAST(sum(xl) AS DOUBLE) AS st
+                FROM e GROUP BY 1, 2),
+          r AS (SELECT key, lag,
+                       ROUND((sxy - (sx / CAST(n AS DOUBLE)) * (sh + st)
+                              + CAST(np AS DOUBLE) *
+                                (sx / CAST(n AS DOUBLE)) *
+                                (sx / CAST(n AS DOUBLE)))
+                         / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS acf
+                FROM a),
+          lens AS (SELECT key, count(*) AS n FROM s GROUP BY 1),
+          t AS (SELECT r.key, lens.n,
+                       CAST((acf * acf) / CAST(n - lag AS DOUBLE)
+                         AS DECIMAL(28,18)) AS term
+                FROM r JOIN lens USING (key))
+         SELECT key, n,
+                ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) *
+                  CAST(sum(term) AS DOUBLE), 6) AS q_lb
+         FROM t GROUP BY key, n""",
 
     "q440_sprt" ->
       s"""WITH li AS (SELECT p_brand AS g,
