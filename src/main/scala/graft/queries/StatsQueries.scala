@@ -501,6 +501,80 @@ object StatsQueries {
           round(lit(1.0) / col("xi"), 6).as("tail_alpha"))
     }),
 
+    // Tukey-biweight robust location per event type: start at the
+    // exact median, two unrolled IRLS rounds with weights
+    // (1 - u^2)^2, u = (x - m)/(6 * MAD); weighted sums fold as
+    // integer 1e-6/1e-9 units so the reweighting replays exactly
+    "q445_biweight_location" -> ((s, d) => {
+      val base = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type").as("key"),
+          col("value").cast("decimal(18,2)").cast("double").as("x"))
+      val med = base.groupBy(col("key"))
+        .agg(percentile(col("x"), lit(0.5)).as("m0"),
+          count(lit(1)).as("n"))
+      val mad = base.join(broadcast(med), Seq("key"))
+        .select(col("key"), abs(col("x") - col("m0")).as("ad"))
+        .groupBy(col("key"))
+        .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+      val params = med.join(mad, Seq("key"))
+      def wgt(u: Column): Column = when(abs(u) < 1.0,
+        (lit(1.0) - u * u) * (lit(1.0) - u * u)).otherwise(lit(0.0))
+      val j1 = base.join(broadcast(params), Seq("key"))
+      val w1 = wgt((col("x") - col("m0")) / (lit(6.0) * col("mad")))
+      val r1 = j1
+        .withColumn("wxq", round(w1 * col("x") * lit(1e6)).cast("long"))
+        .withColumn("wq", round(w1 * lit(1e9)).cast("long"))
+        .groupBy(col("key"), col("n"), col("mad"), col("m0"))
+        .agg(((sum(col("wxq")).cast("double") / lit(1e6)) /
+          (sum(col("wq")).cast("double") / lit(1e9))).as("m1"))
+      val j2 = base.join(broadcast(r1), Seq("key"))
+      val w2 = wgt((col("x") - col("m1")) / (lit(6.0) * col("mad")))
+      val r2 = j2
+        .withColumn("wxq", round(w2 * col("x") * lit(1e6)).cast("long"))
+        .withColumn("wq", round(w2 * lit(1e9)).cast("long"))
+        .groupBy(col("key"), col("n"), col("m0"), col("m1"))
+        .agg(((sum(col("wxq")).cast("double") / lit(1e6)) /
+          (sum(col("wq")).cast("double") / lit(1e9))).as("m2"))
+      r2.select(col("key"), col("n"), round(col("m0"), 6).as("median0"),
+        round(col("m2"), 6).as("biweight_location"))
+    }),
+
+    // knee point of each nation's customer-spend concentration curve:
+    // the curve point (i/n, cum/tot) farthest from the diagonal chord,
+    // argmax decided by the EXACT integer cross-product cum*n - i*tot
+    // (ties to the smallest i) — where disproportion peaks
+    "q446_knee_point" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nat"), col("c_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      val w = Window.partitionBy(col("nat"))
+        .orderBy(col("cents").desc, col("c_custkey"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy(col("nat"))
+      val curve = spend
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("cents")).over(wc))
+        .withColumn("n", count(lit(1)).over(wa))
+        .withColumn("tot", sum(col("cents")).over(wa))
+        .withColumn("gap", dec(col("cum")) * col("n") -
+          dec(col("i")) * col("tot"))
+      val mx = curve.groupBy(col("nat")).agg(max(col("gap")).as("mg"))
+      curve.join(broadcast(mx), Seq("nat"))
+        .where(col("gap") === col("mg"))
+        .groupBy(col("nat"), col("n"), col("tot"), col("mg"))
+        .agg(min(col("i")).as("knee_i"))
+        .select(col("nat").as("c_nationkey"), col("n").as("n_customers"),
+          col("knee_i"),
+          round(col("knee_i").cast("double") / col("n").cast("double"), 6)
+            .as("knee_x"),
+          round((col("mg").cast("double") /
+            (col("n").cast("double") * col("tot").cast("double"))), 6)
+            .as("max_gap"))
+    }),
+
     // Grubbs single-outlier test per segment: G = max|x - mean| / sd
     // from exact moment sums; ties on the max deviation break to the
     // smallest value so the flagged outlier is engine-identical
@@ -2102,6 +2176,78 @@ object StatsQueries {
                 pl AS pos_left, nr AS n_right, pr AS pos_right,
                 ROUND(1.0 - score / CAST(n AS DOUBLE), 6) AS weighted_gini
          FROM sc ORDER BY score DESC, v LIMIT 1""",
+
+    "q445_biweight_location" ->
+      """WITH base AS (SELECT event_type AS key,
+                         CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x
+                       FROM events WHERE value IS NOT NULL),
+          med AS (SELECT key, quantile_cont(x, 0.5) AS m0, count(*) AS n
+                  FROM base GROUP BY 1),
+          mad AS (SELECT b.key, quantile_cont(abs(b.x - m.m0), 0.5) AS mad
+                  FROM base b JOIN med m USING (key) GROUP BY 1),
+          p AS (SELECT med.key, med.m0, med.n, mad.mad
+                FROM med JOIN mad USING (key)),
+          t1 AS (SELECT b.key, p.n, p.mad, p.m0, b.x,
+                        (b.x - p.m0) / (6.0 * p.mad) AS u
+                 FROM base b JOIN p ON b.key = p.key),
+          t1w AS (SELECT *, CASE WHEN abs(u) < 1.0
+                    THEN (1.0 - u * u) * (1.0 - u * u) ELSE 0.0 END AS w
+                  FROM t1),
+          r1 AS (SELECT key, n, mad, m0,
+                   (CAST(sum(CAST(round(w * x * 1e6) AS BIGINT))
+                     AS DOUBLE) / 1e6) /
+                   (CAST(sum(CAST(round(w * 1e9) AS BIGINT)) AS DOUBLE)
+                     / 1e9) AS m1
+                 FROM t1w GROUP BY 1, 2, 3, 4),
+          t2 AS (SELECT b.key, r.n, r.m0, r.m1, b.x,
+                        (b.x - r.m1) / (6.0 * r.mad) AS u
+                 FROM base b JOIN r1 r ON b.key = r.key),
+          t2w AS (SELECT *, CASE WHEN abs(u) < 1.0
+                    THEN (1.0 - u * u) * (1.0 - u * u) ELSE 0.0 END AS w
+                  FROM t2),
+          r2 AS (SELECT key, n, m0, m1,
+                   (CAST(sum(CAST(round(w * x * 1e6) AS BIGINT))
+                     AS DOUBLE) / 1e6) /
+                   (CAST(sum(CAST(round(w * 1e9) AS BIGINT)) AS DOUBLE)
+                     / 1e9) AS m2
+                 FROM t2w GROUP BY 1, 2, 3, 4)
+         SELECT key, n, ROUND(m0, 6) AS median0,
+                ROUND(m2, 6) AS biweight_location
+         FROM r2""",
+
+    "q446_knee_point" ->
+      """WITH spend AS (SELECT c_nationkey AS nat, c_custkey,
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                            * 100 AS BIGINT) AS cents
+                        FROM orders JOIN customer ON o_custkey = c_custkey
+                        GROUP BY 1, 2),
+          curve AS (SELECT nat,
+                      CAST(row_number() OVER w AS BIGINT) AS i,
+                      sum(cents) OVER wc AS cum,
+                      count(*) OVER wa AS n,
+                      sum(cents) OVER wa AS tot
+                    FROM spend
+                    WINDOW w AS (PARTITION BY nat ORDER BY cents DESC,
+                        c_custkey),
+                      wc AS (PARTITION BY nat ORDER BY cents DESC,
+                        c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        CURRENT ROW),
+                      wa AS (PARTITION BY nat)),
+          g AS (SELECT nat, i, n, tot,
+                       CAST(cum AS HUGEINT) * n - CAST(i AS HUGEINT) * tot
+                         AS gap
+                FROM curve),
+          mx AS (SELECT nat, max(gap) AS mg FROM g GROUP BY 1)
+         SELECT g.nat AS c_nationkey, CAST(max(g.n) AS BIGINT)
+                  AS n_customers,
+                CAST(min(g.i) AS BIGINT) AS knee_i,
+                ROUND(CAST(min(g.i) AS DOUBLE) / CAST(max(g.n) AS DOUBLE),
+                  6) AS knee_x,
+                ROUND(CAST(max(g.gap) AS DOUBLE) /
+                  (CAST(max(g.n) AS DOUBLE) * CAST(max(g.tot) AS DOUBLE)),
+                  6) AS max_gap
+         FROM g JOIN mx ON g.nat = mx.nat AND g.gap = mx.mg
+         GROUP BY g.nat""",
 
     "q442_grubbs" ->
       """WITH base AS (SELECT c_mktsegment AS g,
