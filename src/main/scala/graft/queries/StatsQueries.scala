@@ -425,6 +425,48 @@ object StatsQueries {
         qVar = 0.01, rVar = 1.0)
     }),
 
+    // inverse-propensity-weighted ATE of deep discounting on returns:
+    // propensity fit by q422's 3-step Newton logistic (ROUNDED
+    // coefficients cross both engines verbatim), per-row p quantized
+    // to DECIMAL(18,12), Horvitz-Thompson ratio terms folded as
+    // integer 1e-6 units — the causal-inference composition
+    "q447_ipw_ate" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_quantity").cast("decimal(12,2)").cast("double") /
+          lit(10.0)).as("x"),
+        when(col("l_discount").cast("decimal(12,2)") >= 0.05, 1.0)
+          .otherwise(0.0).as("t"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val fit = DataQuality.logisticNewton(li, col("x"), col("t") === 1.0,
+        iters = 3).select(col("b0"), col("b1"))
+      val scored = li.crossJoin(broadcast(fit))
+        .withColumn("p", (lit(1.0) / (lit(1.0) +
+          exp(-(col("b0") + col("b1") * col("x")))))
+          .cast("decimal(18,12)").cast("double"))
+      def q6(c: Column): Column = round(c * lit(1e6)).cast("long")
+      val st = scored.agg(count(lit(1)).as("n"),
+        max(col("b0")).as("b0"), max(col("b1")).as("b1"),
+        (sum(q6(col("t") * col("y") / col("p"))).cast("double") / lit(1e6))
+          .as("s1y"),
+        (sum(q6(col("t") / col("p"))).cast("double") / lit(1e6)).as("s1"),
+        (sum(q6((lit(1.0) - col("t")) * col("y") /
+          (lit(1.0) - col("p")))).cast("double") / lit(1e6)).as("s0y"),
+        (sum(q6((lit(1.0) - col("t")) / (lit(1.0) - col("p"))))
+          .cast("double") / lit(1e6)).as("s0"),
+        sum(when(col("t") === 1.0 && col("y") === 1.0, 1L).otherwise(0L))
+          .as("ty"),
+        sum(when(col("t") === 1.0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("t") === 0.0 && col("y") === 1.0, 1L).otherwise(0L))
+          .as("cy"),
+        sum(when(col("t") === 0.0, 1L).otherwise(0L)).as("cn"))
+      st.select(col("n"), col("b0"), col("b1"),
+        round(col("s1y") / col("s1") - col("s0y") / col("s0"), 6)
+          .as("ipw_ate"),
+        round(col("ty").cast("double") / col("tn").cast("double") -
+          col("cy").cast("double") / col("cn").cast("double"), 6)
+          .as("naive_diff"))
+    }),
+
     // single-feature logistic regression via THREE unrolled Newton
     // steps — gradient + 2x2 Hessian sufficient-stats per step, the
     // fully SQL-auditable GLM fit (q306's EM shape, integer-1e9 folds)
@@ -2606,6 +2648,51 @@ object StatsQueries {
          SELECT * FROM pick_root
          UNION ALL SELECT * FROM pick_left
          UNION ALL SELECT * FROM pick_right""",
+
+    "q447_ipw_ate" ->
+      s"""WITH full_ AS (SELECT CAST(CAST(l_quantity AS DECIMAL(12,2))
+                           AS DOUBLE) / 10.0 AS x,
+                         CAST(CASE WHEN CAST(l_discount AS DECIMAL(12,2))
+                           >= 0.05 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS t,
+                         CAST(CASE WHEN l_returnflag = 'R' THEN 1.0
+                           ELSE 0.0 END AS DOUBLE) AS yy
+                        FROM lineitem),
+          rows_ AS (SELECT x, t AS y FROM full_),
+          it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+                         CAST(0.0 AS DOUBLE) AS b1),
+          ${newtonIter(1)},
+          ${newtonIter(2)},
+          ${newtonIter(3)},
+          fitc AS (SELECT ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1
+                   FROM it3),
+          sc AS (SELECT f.x, f.t, f.yy, c.b0, c.b1,
+                        CAST(CAST(1.0 / (1.0 + exp(-(c.b0 + c.b1 * f.x)))
+                          AS DECIMAL(18,12)) AS DOUBLE) AS p
+                 FROM full_ f, fitc c),
+          st AS (SELECT count(*) AS n, max(b0) AS b0, max(b1) AS b1,
+                   CAST(sum(CAST(round(t * yy / p * 1e6) AS BIGINT))
+                     AS DOUBLE) / 1e6 AS s1y,
+                   CAST(sum(CAST(round(t / p * 1e6) AS BIGINT))
+                     AS DOUBLE) / 1e6 AS s1,
+                   CAST(sum(CAST(round((1.0 - t) * yy / (1.0 - p) * 1e6)
+                     AS BIGINT)) AS DOUBLE) / 1e6 AS s0y,
+                   CAST(sum(CAST(round((1.0 - t) / (1.0 - p) * 1e6)
+                     AS BIGINT)) AS DOUBLE) / 1e6 AS s0,
+                   CAST(sum(CASE WHEN t = 1.0 AND yy = 1.0 THEN 1 ELSE 0
+                     END) AS BIGINT) AS ty,
+                   CAST(sum(CASE WHEN t = 1.0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tn,
+                   CAST(sum(CASE WHEN t = 0.0 AND yy = 1.0 THEN 1 ELSE 0
+                     END) AS BIGINT) AS cy,
+                   CAST(sum(CASE WHEN t = 0.0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS cn
+                 FROM sc)
+         SELECT n, b0, b1,
+                ROUND(s1y / s1 - s0y / s0, 6) AS ipw_ate,
+                ROUND(CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE) -
+                  CAST(cy AS DOUBLE) / CAST(cn AS DOUBLE), 6)
+                  AS naive_diff
+         FROM st""",
 
     "q422_logistic_newton" ->
       s"""WITH rows_ AS (SELECT CAST(CAST(l_discount AS DECIMAL(12,2))
