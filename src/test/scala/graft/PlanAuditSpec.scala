@@ -209,6 +209,10 @@ class PlanAuditSpec extends SparkSpec {
     // q427: the basket-count scalar (lift denominator) is a 1-row
     // frame crossJoin-broadcast into the bounded brand-pair rules
     "q427_association_rules",
+    // q447: the 1-row rounded-propensity-fit frame (q422's EM shape)
+    // crossJoin-broadcasts into the scoring pass; the readout is ONE
+    // sufficient-stats row — q198's shape
+    "q447_ipw_ate",
     // q436: the transition-total scalar is a 1-row frame
     // crossJoin-broadcast into the state-domain (5-row) readout
     "q436_markov_entropy",
