@@ -514,6 +514,54 @@ object CurationQueries {
             .otherwise(0L).as("violates_t02"))
     }),
 
+    // BLEU-2 between the q438 doc pairs (reference = a, candidate = b):
+    // clipped n-gram precision is sum(min(count_cand, count_ref)) via a
+    // gram-level groupBy join — never a per-pair array intersect — so
+    // the kernel is two hash aggs + one equi-join per order and scales
+    // to corpus-size pair lists; brevity penalty exp(1 - r/c) crosses
+    // the engines through the q447 DECIMAL(18,12) quantize, and the
+    // geometric mean is sqrt (IEEE-exact), not exp/ln
+    "q448_bleu_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .where(size(col("toks")) >= 2)
+      val prs = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(docs.select(col("doc_id").as("b")), Seq("b"))
+      def grams(n: Int, toks: Column): Column =
+        if (n == 1) toks
+        else transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+      def sideCounts(side: String, n: Int): DataFrame =
+        prs.join(docs.select(col("doc_id").as(side), col("toks")), Seq(side))
+          .select(col("a"), col("b"), explode(grams(n, col("toks"))).as("g"))
+          .groupBy(col("a"), col("b"), col("g"))
+          .agg(count(lit(1)).as(s"c$side"))
+      def clip(n: Int): DataFrame =
+        sideCounts("b", n).join(sideCounts("a", n), Seq("a", "b", "g"))
+          .groupBy(col("a"), col("b"))
+          .agg(sum(least(col("cb"), col("ca"))).as(s"clip$n"))
+      val lens = prs
+        .join(docs.select(col("doc_id").as("a"),
+          size(col("toks")).cast("long").as("la")), Seq("a"))
+        .join(docs.select(col("doc_id").as("b"),
+          size(col("toks")).cast("long").as("lb")), Seq("b"))
+      val j = lens.join(clip(1), Seq("a", "b"), "left")
+        .join(clip(2), Seq("a", "b"), "left")
+        .na.fill(0L, Seq("clip1", "clip2"))
+      val p1 = col("clip1").cast("double") / col("lb").cast("double")
+      val p2 = col("clip2").cast("double") / (col("lb") - 1).cast("double")
+      val bp = when(col("lb") >= col("la"), lit(1.0))
+        .otherwise(exp(lit(1.0) -
+          col("la").cast("double") / col("lb").cast("double")))
+        .cast("decimal(18,12)").cast("double")
+      j.select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("la"), col("lb"), col("clip1"), col("clip2"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        round(bp, 6).as("bp"),
+        round(bp * sqrt(p1 * p2), 6).as("bleu2"))
+    }),
+
     // ROUGE-L between adjacent doc pairs via Hunt-Szymanski: LCS =
     // longest strictly-increasing subsequence of match positions
     // (a-order ascending, b-position descending within an a-token), so
@@ -966,6 +1014,64 @@ object CurationQueries {
                 CAST(max(run) AS BIGINT) AS max_run,
                 CAST(max(run) + 2 AS BIGINT) AS longest_span_tokens
          FROM runs GROUP BY a""",
+
+    "q448_bleu_pairs" ->
+      """WITH docs AS (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\s+')
+                           AS toks
+                       FROM documents
+                       WHERE len(regexp_split_to_array(lower(trim(text)),
+                         '\s+')) >= 2),
+          prs AS (SELECT a.doc_id AS a, a.doc_id + 1 AS b
+                  FROM docs a JOIN docs b2
+                    ON a.doc_id % 7 = 0 AND b2.doc_id = a.doc_id + 1),
+          g1a AS (SELECT p.a, p.b, unnest(d.toks) AS g
+                  FROM prs p JOIN docs d ON d.doc_id = p.a),
+          c1a AS (SELECT a, b, g, count(*) AS ca FROM g1a GROUP BY 1,2,3),
+          g1b AS (SELECT p.a, p.b, unnest(d.toks) AS g
+                  FROM prs p JOIN docs d ON d.doc_id = p.b),
+          c1b AS (SELECT a, b, g, count(*) AS cb FROM g1b GROUP BY 1,2,3),
+          g2a AS (SELECT p.a, p.b,
+                    unnest(list_transform(range(1, len(d.toks)), i ->
+                      d.toks[CAST(i AS INT)] || ' ' ||
+                      d.toks[CAST(i + 1 AS INT)])) AS g
+                  FROM prs p JOIN docs d ON d.doc_id = p.a),
+          c2a AS (SELECT a, b, g, count(*) AS ca FROM g2a GROUP BY 1,2,3),
+          g2b AS (SELECT p.a, p.b,
+                    unnest(list_transform(range(1, len(d.toks)), i ->
+                      d.toks[CAST(i AS INT)] || ' ' ||
+                      d.toks[CAST(i + 1 AS INT)])) AS g
+                  FROM prs p JOIN docs d ON d.doc_id = p.b),
+          c2b AS (SELECT a, b, g, count(*) AS cb FROM g2b GROUP BY 1,2,3),
+          k1 AS (SELECT cb.a, cb.b,
+                   CAST(sum(least(cb.cb, ca.ca)) AS BIGINT) AS clip1
+                 FROM c1b cb JOIN c1a ca USING (a, b, g) GROUP BY 1, 2),
+          k2 AS (SELECT cb.a, cb.b,
+                   CAST(sum(least(cb.cb, ca.ca)) AS BIGINT) AS clip2
+                 FROM c2b cb JOIN c2a ca USING (a, b, g) GROUP BY 1, 2),
+          lens AS (SELECT p.a, p.b, CAST(len(d1.toks) AS BIGINT) AS la,
+                          CAST(len(d2.toks) AS BIGINT) AS lb
+                   FROM prs p JOIN docs d1 ON d1.doc_id = p.a
+                     JOIN docs d2 ON d2.doc_id = p.b),
+          fin AS (SELECT l.a, l.b, l.la, l.lb,
+                    coalesce(k1.clip1, 0) AS clip1,
+                    coalesce(k2.clip2, 0) AS clip2,
+                    CAST(coalesce(k1.clip1, 0) AS DOUBLE) /
+                      CAST(l.lb AS DOUBLE) AS p1r,
+                    CAST(coalesce(k2.clip2, 0) AS DOUBLE) /
+                      CAST(l.lb - 1 AS DOUBLE) AS p2r,
+                    CAST(CAST(CASE WHEN l.lb >= l.la
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE exp(CAST(1.0 AS DOUBLE) -
+                          CAST(l.la AS DOUBLE) / CAST(l.lb AS DOUBLE)) END
+                      AS DECIMAL(18,12)) AS DOUBLE) AS bpr
+                  FROM lens l LEFT JOIN k1 USING (a, b)
+                    LEFT JOIN k2 USING (a, b))
+         SELECT a AS doc_a, b AS doc_b, la, lb, clip1, clip2,
+                ROUND(p1r, 6) AS p1, ROUND(p2r, 6) AS p2,
+                ROUND(bpr, 6) AS bp,
+                ROUND(bpr * sqrt(p1r * p2r), 6) AS bleu2
+         FROM fin""",
 
     "q438_rouge_l_pairs" ->
       """WITH docs AS (SELECT doc_id,

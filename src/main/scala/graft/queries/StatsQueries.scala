@@ -467,6 +467,71 @@ object StatsQueries {
           .as("naive_diff"))
     }),
 
+    // doubly-robust AIPW ATE on q447's (x, t, y): the Newton-logistic
+    // propensity PLUS per-arm OLS outcome models m_t(x) = a + b*x10
+    // (slope = ratio of exact-integer sufficient stats — ONE IEEE
+    // division, cross-engine stable), combined in the augmented
+    // estimator mean[m1 - m0 + t(y-m1)/p - (1-t)(y-m0)/(1-p)] with
+    // 1e-6-quantized terms; consistent if EITHER nuisance model is
+    // right, and every coefficient crosses the engines at 6 decimals
+    "q449_aipw_ate" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_quantity").cast("decimal(12,2)").cast("double") /
+          lit(10.0)).as("x"),
+        when(col("l_discount").cast("decimal(12,2)") >= 0.05, 1.0)
+          .otherwise(0.0).as("t"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val fit = DataQuality.logisticNewton(li, col("x"), col("t") === 1.0,
+        iters = 3).select(col("b0").as("pb0"), col("b1").as("pb1"))
+      // per-arm OLS of y on x10 = round(10x): x10 and y are exact longs,
+      // so slope/intercept derive from integer sums via ONE division
+      val ols = li
+        .select(col("t"), round(col("x") * 10).cast("long").as("x10"),
+          col("y").cast("long").as("yl"))
+        .groupBy(col("t").as("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x10")).as("sx"),
+          sum(col("yl")).as("sy"),
+          sum(col("x10") * col("x10")).as("sxx"),
+          sum(col("x10") * col("yl")).as("sxy"))
+      val bRaw = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val aRaw = (col("sy").cast("double") - bRaw * col("sx").cast("double")) /
+        col("n").cast("double")
+      val coef = ols
+        .select(col("arm"), round(aRaw, 6).as("a"), round(bRaw, 6).as("b"))
+        .groupBy()
+        .agg(max(when(col("arm") === 0.0, col("a"))).as("a0"),
+          max(when(col("arm") === 0.0, col("b"))).as("b0o"),
+          max(when(col("arm") === 1.0, col("a"))).as("a1"),
+          max(when(col("arm") === 1.0, col("b"))).as("b1o"))
+      val scored = li
+        .withColumn("x10", round(col("x") * 10).cast("long"))
+        .crossJoin(broadcast(fit)).crossJoin(broadcast(coef))
+        .withColumn("p", (lit(1.0) / (lit(1.0) +
+          exp(-(col("pb0") + col("pb1") * col("x")))))
+          .cast("decimal(18,12)").cast("double"))
+        .withColumn("m1", col("a1") + col("b1o") * col("x10"))
+        .withColumn("m0", col("a0") + col("b0o") * col("x10"))
+      def q6(c: Column): Column = round(c * lit(1e6)).cast("long")
+      val term = col("m1") - col("m0") +
+        col("t") * (col("y") - col("m1")) / col("p") -
+        (lit(1.0) - col("t")) * (col("y") - col("m0")) /
+          (lit(1.0) - col("p"))
+      scored.agg(count(lit(1)).as("n"),
+          max(col("pb0")).as("pb0"), max(col("pb1")).as("pb1"),
+          max(col("a0")).as("a0"), max(col("b0o")).as("b0o"),
+          max(col("a1")).as("a1"), max(col("b1o")).as("b1o"),
+          sum(q6(term)).as("sq"),
+          sum(q6(col("m1") - col("m0"))).as("sreg"))
+        .select(col("n"), col("pb0"), col("pb1"),
+          col("a0"), col("b0o"), col("a1"), col("b1o"),
+          round(col("sq").cast("double") / lit(1e6) /
+            col("n").cast("double"), 6).as("aipw_ate"),
+          round(col("sreg").cast("double") / lit(1e6) /
+            col("n").cast("double"), 6).as("reg_ate"))
+    }),
+
     // single-feature logistic regression via THREE unrolled Newton
     // steps — gradient + 2x2 Hessian sufficient-stats per step, the
     // fully SQL-auditable GLM fit (q306's EM shape, integer-1e9 folds)
@@ -2692,6 +2757,70 @@ object StatsQueries {
                 ROUND(CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE) -
                   CAST(cy AS DOUBLE) / CAST(cn AS DOUBLE), 6)
                   AS naive_diff
+         FROM st""",
+
+    "q449_aipw_ate" ->
+      s"""WITH full_ AS (SELECT CAST(CAST(l_quantity AS DECIMAL(12,2))
+                           AS DOUBLE) / 10.0 AS x,
+                         CAST(CASE WHEN CAST(l_discount AS DECIMAL(12,2))
+                           >= 0.05 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS t,
+                         CAST(CASE WHEN l_returnflag = 'R' THEN 1.0
+                           ELSE 0.0 END AS DOUBLE) AS yy
+                        FROM lineitem),
+          rows_ AS (SELECT x, t AS y FROM full_),
+          it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+                         CAST(0.0 AS DOUBLE) AS b1),
+          ${newtonIter(1)},
+          ${newtonIter(2)},
+          ${newtonIter(3)},
+          fitp AS (SELECT ROUND(b0, 6) AS pb0, ROUND(b1, 6) AS pb1
+                   FROM it3),
+          olsr AS (SELECT t AS arm, CAST(round(x * 10) AS BIGINT) AS x10,
+                          CAST(yy AS BIGINT) AS yl
+                   FROM full_),
+          olsa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x10) AS BIGINT) AS sx,
+                          CAST(sum(yl) AS BIGINT) AS sy,
+                          CAST(sum(x10 * x10) AS BIGINT) AS sxx,
+                          CAST(sum(x10 * yl) AS BIGINT) AS sxy
+                   FROM olsr GROUP BY 1),
+          olsc AS (SELECT arm,
+                          ROUND((CAST(sy AS DOUBLE) -
+                            (CAST(n * sxy - sx * sy AS DOUBLE) /
+                             CAST(n * sxx - sx * sx AS DOUBLE)) *
+                            CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                            AS a,
+                          ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                            CAST(n * sxx - sx * sx AS DOUBLE), 6) AS b
+                   FROM olsa),
+          coefp AS (SELECT max(CASE WHEN arm = 0.0 THEN a END) AS a0,
+                           max(CASE WHEN arm = 0.0 THEN b END) AS b0o,
+                           max(CASE WHEN arm = 1.0 THEN a END) AS a1,
+                           max(CASE WHEN arm = 1.0 THEN b END) AS b1o
+                    FROM olsc),
+          sc AS (SELECT f.x, f.t, f.yy,
+                        CAST(round(f.x * 10) AS BIGINT) AS x10,
+                        p.pb0, p.pb1, c.a0, c.b0o, c.a1, c.b1o,
+                        CAST(CAST(1.0 / (1.0 +
+                          exp(-(p.pb0 + p.pb1 * f.x)))
+                          AS DECIMAL(18,12)) AS DOUBLE) AS pr
+                 FROM full_ f, fitp p, coefp c),
+          sc2 AS (SELECT *, a1 + b1o * x10 AS m1, a0 + b0o * x10 AS m0
+                  FROM sc),
+          st AS (SELECT count(*) AS n, max(pb0) AS pb0, max(pb1) AS pb1,
+                   max(a0) AS a0, max(b0o) AS b0o,
+                   max(a1) AS a1, max(b1o) AS b1o,
+                   CAST(sum(CAST(round((m1 - m0 + t * (yy - m1) / pr -
+                     (1.0 - t) * (yy - m0) / (1.0 - pr)) * 1e6)
+                     AS BIGINT)) AS BIGINT) AS sq,
+                   CAST(sum(CAST(round((m1 - m0) * 1e6) AS BIGINT))
+                     AS BIGINT) AS sreg
+                 FROM sc2)
+         SELECT n, pb0, pb1, a0, b0o, a1, b1o,
+                ROUND(CAST(sq AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+                  AS aipw_ate,
+                ROUND(CAST(sreg AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+                  AS reg_ate
          FROM st""",
 
     "q422_logistic_newton" ->

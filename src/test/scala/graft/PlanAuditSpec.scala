@@ -213,6 +213,9 @@ class PlanAuditSpec extends SparkSpec {
     // crossJoin-broadcasts into the scoring pass; the readout is ONE
     // sufficient-stats row — q198's shape
     "q447_ipw_ate",
+    // q449: q447's scoring shape with a SECOND 1-row coefficient frame
+    // (the per-arm OLS pivot) crossed in alongside the propensity fit
+    "q449_aipw_ate",
     // q436: the transition-total scalar is a 1-row frame
     // crossJoin-broadcast into the state-domain (5-row) readout
     "q436_markov_entropy",
