@@ -78,6 +78,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"), col("rank"))
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell-Goldstein) of a
+    * bounded per-query candidate list: greedily pick k items maximizing
+    * λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s). λ rides as the exact
+    * integer pair (lamNum, lamDen−lamNum) over 1e-6-quantized scores,
+    * so every argmax compares exact longs (ties → smaller id) and the
+    * oracle unrolls the same k rounds verbatim. Candidate lists are
+    * expected k-bounded per query (the ANN top-k output) — each round
+    * is one equi-join + hash agg + window over those bounded groups,
+    * never the corpus — the RAG diversity re-rank that runs after
+    * [[bruteForceTopK]]/IVF retrieval.
+    *
+    * cands: (query_id, cand_id, relq); sims: (query_id, ca, cb, simq)
+    * with BOTH orientations present. Emits (query_id, pos, cand_id,
+    * rel_q6, mmr_q6) with mmr_q6 = lamNum·rel − (lamDen−lamNum)·maxSim
+    * (position 1 has no diversity term). */
+  def mmrRerank(cands: DataFrame, sims: DataFrame, k: Int,
+                lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
+    require(k >= 1 && lamNum >= 0 && lamNum <= lamDen,
+      s"bad MMR params: k=$k lambda=$lamNum/$lamDen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("mmr_q6").desc, col("cand_id"))
+    def pick(scored: DataFrame, pos: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("query_id"), lit(pos).as("pos"), col("cand_id"),
+          col("rel_q6"), col("mmr_q6"))
+    var sel = pick(cands.select(col("query_id"), col("cand_id"),
+      col("relq").as("rel_q6"), (lit(lamNum) * col("relq")).as("mmr_q6")), 1)
+    for (pos <- 2 to k) {
+      val chosen = sel.select(col("query_id").as("qs"),
+        col("cand_id").as("cs"))
+      val maxSim = sims.join(chosen,
+          sims("query_id") === col("qs") && sims("cb") === col("cs"))
+        .groupBy(sims("query_id").as("query_id"), col("ca").as("cand_id"))
+        .agg(max(col("simq")).as("msim"))
+      val scored = cands
+        .join(sel.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "cand_id"))
+        .select(col("query_id"), col("cand_id"), col("relq").as("rel_q6"),
+          (lit(lamNum) * col("relq") - lit(lamDen - lamNum) * col("msim"))
+            .as("mmr_q6"))
+      sel = sel.unionByName(pick(scored, pos))
+    }
+    sel
+  }
+
   /** Per-query top-k by ascending ADC distance, same aggregator. */
   private def rankDistTopK(scored: DataFrame, k: Int): DataFrame =
     graft.aggregators.TopK.topKPerKey(scored, "query_id", "neighbor_id", "d", k,

@@ -797,6 +797,47 @@ object TimeSeries {
         (folded.getField("p") + lit(qVar) + lit(rVar)), 6).as("gain_next"))
   }
 
+  /** Page-Hinkley change-point detector per series: the sequential
+    * cumulative-deviation test m_t = Σ_{i≤t} (x_i - x̄_i - δ) with x̄_i
+    * the running mean, alarming at the first t where m_t - min_{i≤t}
+    * m_i > λ. Same grouped-sort + sequential `aggregate` fold as
+    * [[kalmanLevel]] — sequential per series, parallel across series,
+    * never a global sort — and every update is an IEEE +/-/÷ chain on
+    * exact inputs, so a list-state oracle replays it step-for-step.
+    * Emits (key, n, m_end, min_m, alarm_idx, alarm_at); alarm_idx 0 =
+    * never fired. The reference has no drift detector (its
+    * SanityChecker is batch-only); this is the standard streaming
+    * change test the q191 EWMA family feeds. */
+  def pageHinkley(df: DataFrame, key: Column, order: Column, value: Column,
+                  delta: Double, lambda: Double): DataFrame = {
+    require(lambda > 0, s"lambda must be positive: $lambda")
+    val seq = df.select(key.as("k"), order.as("o"),
+        value.cast("double").as("x"))
+      .groupBy(col("k"))
+      .agg(array_sort(collect_list(struct(col("o"), col("x")))).as("arr"))
+    val init = struct(lit(0.0).as("i"), lit(0.0).as("s"), lit(0.0).as("m"),
+      lit(0.0).as("mn"), lit(0.0).as("al"))
+    val folded = aggregate(
+      expr("transform(arr, e -> e.x)"), init,
+      (acc, x) => {
+        val i = acc.getField("i") + lit(1.0)
+        val sNew = acc.getField("s") + x
+        val m = acc.getField("m") + (x - sNew / i - lit(delta))
+        val mn = least(acc.getField("mn"), m)
+        val al = when(acc.getField("al") === 0.0 && m - mn > lit(lambda), i)
+          .otherwise(acc.getField("al"))
+        struct(i.as("i"), sNew.as("s"), m.as("m"), mn.as("mn"), al.as("al"))
+      })
+    seq.select(col("k").as("key"), size(col("arr")).cast("long").as("n"),
+      round(folded.getField("m"), 6).as("m_end"),
+      round(folded.getField("mn"), 6).as("min_m"),
+      folded.getField("al").cast("long").as("alarm_idx"),
+      when(folded.getField("al") > 0,
+        element_at(expr("transform(arr, e -> e.o)"),
+          folded.getField("al").cast("int")))
+        .as("alarm_at"))
+  }
+
   /** Croston's method for intermittent demand (+ the Syntetos-Boylan
     * bias-corrected variant): per series, one EWMA over the NONZERO
     * demand sizes and one over the inter-demand intervals, folded in

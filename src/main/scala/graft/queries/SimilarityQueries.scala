@@ -120,6 +120,34 @@ object SimilarityQueries {
           round(max(abs(col("c"))).cast("double"), 6).as("max_abs_cos"))
     }),
 
+    // MMR diversity re-ranking of the q26 top-10 lists (λ=0.7, k=5):
+    // greedy argmax of 7·rel − 3·maxSim over 1e-6-quantized cosines —
+    // exact-integer comparisons, ties to the smaller id — unrolled 5
+    // rounds in the oracle; the post-retrieval step a RAG pipeline
+    // runs to avoid returning five near-duplicates
+    "q451_mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cand = Similarity.bruteForceTopK(e, e.where(expr(QUERY_PRED)), K)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          round(col("cosine") * 1e6).cast("long").as("relq"))
+      val emb = e.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("emb"))
+      val ids = cand.select(col("query_id"), col("cand_id"))
+      val prs = ids
+        .join(ids.select(col("query_id"), col("cand_id").as("cb")),
+          Seq("query_id"))
+        .where(col("cand_id") =!= col("cb"))
+      val sims = prs
+        .join(emb.select(col("vec_id").as("cand_id"), col("emb").as("ea")),
+          Seq("cand_id"))
+        .join(emb.select(col("vec_id").as("cb"), col("emb").as("eb")),
+          Seq("cb"))
+        .select(col("query_id"), col("cand_id").as("ca"), col("cb"),
+          round(Similarity.cosine(col("ea"), col("eb")) * 1e6).cast("long")
+            .as("simq"))
+      Similarity.mmrRerank(cand, sims, 5)
+    }),
+
     "q28_sim_srp_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
@@ -204,6 +232,33 @@ object SimilarityQueries {
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))"
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  /** One unrolled MMR greedy round: score the not-yet-picked candidates
+    * against the selected set, pick the argmax, append to the running
+    * selection. */
+  private def mmrRound(i: Int): String = {
+    val prev = s"sel${i - 1}all"
+    s"""sc$i AS (SELECT m.query_id, m.cand_id, m.relq,
+                   7 * m.relq - 3 * max(m.simq) AS mmrq
+                 FROM (SELECT c.query_id, c.cand_id, c.relq, s.simq
+                       FROM cand c
+                       JOIN sims s ON s.query_id = c.query_id
+                         AND s.ca = c.cand_id
+                       JOIN $prev p ON p.query_id = s.query_id
+                         AND p.cand_id = s.cb
+                       LEFT JOIN $prev x ON x.query_id = c.query_id
+                         AND x.cand_id = c.cand_id
+                       WHERE x.cand_id IS NULL) m
+                 GROUP BY 1, 2, 3),
+       pick$i AS (SELECT query_id, $i AS pos, cand_id, relq, mmrq
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY mmrq DESC, cand_id) AS rn
+                        FROM sc$i) WHERE rn = 1),
+       sel${i}all AS (SELECT query_id, pos, cand_id, relq, mmrq FROM $prev
+                      UNION ALL
+                      SELECT query_id, pos, cand_id, relq, mmrq
+                      FROM pick$i)"""
+  }
+
   /** md5-derived hyperplane weight for (plane p, dim i) in [-1, 1). */
   private val W = s"(${H60("'srp:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} / 1152921504606846976.0 * 2.0 - 1.0)"
   /** SRP bucket id of a double-list expression (4 planes). */
@@ -335,6 +390,45 @@ object SimilarityQueries {
                  ROUND(${cosSql("a.emb", "b.emb")}, 6) AS cosine
           FROM e a JOIN e b ON a.vec_id < b.vec_id
           WHERE ${cosSql("a.emb", "b.emb")} >= 0.45""",
+
+    "q451_mmr_rerank" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          q AS (SELECT * FROM e WHERE $QUERY_PRED),
+          scored0 AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ${cosSql("q.emb", "c.emb")} AS cos
+            FROM e c CROSS JOIN q
+            WHERE q.vec_id <> c.vec_id),
+          ranked AS (
+            SELECT query_id, cand_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id) AS rank
+            FROM scored0),
+          cand AS (SELECT query_id, cand_id,
+                     CAST(round(ROUND(cos, 6) * 1e6) AS BIGINT) AS relq
+                   FROM ranked WHERE rank <= $K),
+          sims AS (SELECT c1.query_id, c1.cand_id AS ca, c2.cand_id AS cb,
+                     CAST(round(${cosSql("e1.emb", "e2.emb")} * 1e6)
+                       AS BIGINT) AS simq
+                   FROM cand c1
+                   JOIN cand c2 ON c1.query_id = c2.query_id
+                     AND c1.cand_id <> c2.cand_id
+                   JOIN e e1 ON e1.vec_id = c1.cand_id
+                   JOIN e e2 ON e2.vec_id = c2.cand_id),
+          sel1all AS (SELECT query_id, 1 AS pos, cand_id, relq,
+                        7 * relq AS mmrq
+                      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY
+                              query_id ORDER BY 7 * relq DESC, cand_id)
+                              AS rn FROM cand) WHERE rn = 1),
+          ${mmrRound(2)},
+          ${mmrRound(3)},
+          ${mmrRound(4)},
+          ${mmrRound(5)}
+         SELECT query_id, CAST(pos AS INT) AS pos, cand_id,
+                relq AS rel_q6, mmrq AS mmr_q6
+         FROM sel5all""",
 
     "q28_sim_srp_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -532,6 +532,19 @@ object StatsQueries {
             col("n").cast("double"), 6).as("reg_ate"))
     }),
 
+    // Page-Hinkley drift detection on daily spend per event type
+    // (δ=0, λ=1e5 cents): the sequential cumulative-deviation fold the
+    // q191 EWMA family can't express — running mean inside the
+    // accumulator — replayed step-for-step by a list-state oracle
+    "q450_page_hinkley" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type"), col("day"),
+        (col("spend") * 100).cast("long").cast("double").as("cents"))
+      TimeSeries.pageHinkley(daily, col("event_type"), col("day"),
+          col("cents"), delta = 0.0, lambda = 100000.0)
+        .select(col("key"), col("n"), col("m_end"), col("min_m"),
+          col("alarm_idx"), col("alarm_at").cast("string").as("alarm_at"))
+    }),
+
     // single-feature logistic regression via THREE unrolled Newton
     // steps — gradient + 2x2 Hessian sufficient-stats per step, the
     // fully SQL-auditable GLM fit (q306's EM shape, integer-1e9 folds)
@@ -2822,6 +2835,40 @@ object StatsQueries {
                 ROUND(CAST(sreg AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
                   AS reg_ate
          FROM st""",
+
+    "q450_page_hinkley" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                          CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+                            AS BIGINT) AS DOUBLE) AS cents
+                        FROM events GROUP BY 1, 2),
+          ser AS (SELECT key, count(*) AS n,
+                         list(cents ORDER BY day) AS xs,
+                         list(day ORDER BY day) AS days
+                  FROM daily GROUP BY 1),
+          fl AS (SELECT key, n, days,
+                   list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+                     list_transform(xs, v -> [v])),
+                     (a, e) -> [
+                       a[1] + 1.0,
+                       a[2] + e[1],
+                       a[3] + (e[1] - (a[2] + e[1]) / (a[1] + 1.0) - 0.0),
+                       least(a[4], a[3] + (e[1] - (a[2] + e[1]) /
+                         (a[1] + 1.0) - 0.0)),
+                       CASE WHEN a[5] = 0.0 AND
+                           (a[3] + (e[1] - (a[2] + e[1]) / (a[1] + 1.0)
+                             - 0.0)) -
+                           least(a[4], a[3] + (e[1] - (a[2] + e[1]) /
+                             (a[1] + 1.0) - 0.0)) > 100000.0
+                         THEN a[1] + 1.0 ELSE a[5] END
+                     ]) AS st
+                 FROM ser)
+         SELECT key, CAST(n AS BIGINT) AS n, ROUND(st[3], 6) AS m_end,
+                ROUND(st[4], 6) AS min_m, CAST(st[5] AS BIGINT)
+                  AS alarm_idx,
+                CASE WHEN st[5] > 0 THEN
+                  CAST(days[CAST(st[5] AS INT)] AS VARCHAR) END
+                  AS alarm_at
+         FROM fl""",
 
     "q422_logistic_newton" ->
       s"""WITH rows_ AS (SELECT CAST(CAST(l_discount AS DECIMAL(12,2))

@@ -296,6 +296,10 @@ class PlanAuditSpec extends SparkSpec {
     "q149_ann_ndcg", "q155_ann_recall", "q268_ann_mrr",
     // q327 inherits q26's broadcast-query-set brute scan
     "q327_knn_classify",
+    // q451 re-ranks q26's top-10 lists, so it inherits the same
+    // broadcast-query-set brute scan; the MMR rounds themselves are
+    // equi-joins over k-bounded candidate frames
+    "q451_mmr_rerank",
     // q378's semantic arm inherits q26's broadcast-query-set brute scan
     "q378_rrf_fusion",
     // q411: the zero-filled grid crosses the group-domain frame with
