@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{DataQuality, Dedup, Geo, Graph, TimeSeries}
+import graft.operators.{DataQuality, Dedup, Geo, Graph, Robust, TimeSeries}
 import graft.functions.TextAnalysis.hash60
 
 /** Oracle-gated statistical-testing, trend, and spatial/string linkage
@@ -102,6 +102,48 @@ object StatsQueries {
                 b1 + (h00 * g1 - h01 * g0) /
                   (h00 * h11 - h01 * h01) AS b1
              FROM s$i)"""
+  }
+
+  private val H60 =
+    (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** One unrolled Huber IRLS round for the q452 oracle: weight the
+    * residuals of c${i-1}'s coefficients, fold 1e-6-quantized weighted
+    * sums in exact longs, solve the 2x2 weighted normal equations. */
+  private def huberRound(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""t$i AS (SELECT r.key, CAST(r.xl AS DOUBLE) AS xd,
+                  CAST(r.yl AS DOUBLE) AS yd,
+                  least(CAST(1.0 AS DOUBLE), CAST(100000.0 AS DOUBLE) /
+                    abs(CAST(r.yl AS DOUBLE) - c.a -
+                      c.b * CAST(r.xl AS DOUBLE))) AS w
+                FROM rws r JOIN $prev c USING (key)),
+       s$i AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sw,
+                 CAST(sum(CAST(round(w * xd * 1e6) AS BIGINT)) AS BIGINT)
+                   AS swx,
+                 CAST(sum(CAST(round(w * xd * xd * 1e6) AS BIGINT))
+                   AS BIGINT) AS swxx,
+                 CAST(sum(CAST(round(w * yd * 1e6) AS BIGINT)) AS BIGINT)
+                   AS swy,
+                 CAST(sum(CAST(round(w * xd * yd * 1e6) AS BIGINT))
+                   AS BIGINT) AS swxy,
+                 CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nd
+               FROM t$i GROUP BY 1),
+       f$i AS (SELECT key, n, nd, CAST(sw AS DOUBLE) / 1e6 AS fw,
+                 CAST(swx AS DOUBLE) / 1e6 AS fwx,
+                 CAST(swxx AS DOUBLE) / 1e6 AS fwxx,
+                 CAST(swy AS DOUBLE) / 1e6 AS fwy,
+                 CAST(swxy AS DOUBLE) / 1e6 AS fwxy
+               FROM s$i),
+       c$i AS (SELECT key, n, nd,
+                 ROUND((fwy - ((fw * fwxy - fwx * fwy) /
+                   (fw * fwxx - fwx * fwx)) * fwx) / fw, 6) AS a,
+                 ROUND((fw * fwxy - fwx * fwy) /
+                   (fw * fwxx - fwx * fwx), 6) AS b
+               FROM f$i)"""
   }
 
   private val dailySql =
@@ -543,6 +585,32 @@ object StatsQueries {
           col("cents"), delta = 0.0, lambda = 100000.0)
         .select(col("key"), col("n"), col("m_end"), col("min_m"),
           col("alarm_idx"), col("alarm_at").cast("string").as("alarm_at"))
+    }),
+
+    // Huber-loss robust trend per event type (c = 1e5 cents, 2 IRLS
+    // rounds from the exact-integer OLS start): the resistant
+    // companion to q196's OLS trend — outlier days get weight c/|e|
+    // instead of pulling the slope quadratically
+    "q452_huber_irls" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type"), col("day"),
+        (col("spend") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val rws = daily.withColumn("idx", row_number().over(w))
+      Robust.huberIrls(rws, col("event_type"), col("idx"), col("cents"),
+        c = 100000.0, iters = 2)
+    }),
+
+    // RANSAC consensus line per event type: 8 md5-seeded 2-point
+    // models, inliers within 1e5 cents, best trial refit by exact OLS
+    // over its consensus set — the breakdown-point-0.5 fit for series
+    // where even Huber's soft weights are not enough
+    "q453_ransac_line" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type"), col("day"),
+        (col("spend") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val rws = daily.withColumn("idx", row_number().over(w))
+      Robust.ransacLine(rws, col("event_type"), col("idx"), col("idx"),
+        col("cents"), thresh = 100000.0, trials = 8)
     }),
 
     // single-feature logistic regression via THREE unrolled Newton
@@ -2835,6 +2903,102 @@ object StatsQueries {
                 ROUND(CAST(sreg AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
                   AS reg_ate
          FROM st""",
+
+    "q452_huber_irls" ->
+      s"""WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+                             AS BIGINT) AS cents
+                         FROM events GROUP BY 1, 2),
+          rws AS (SELECT key,
+                    row_number() OVER (PARTITION BY key ORDER BY day)
+                      AS xl,
+                    cents AS yl
+                  FROM daily),
+          ols AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(xl) AS BIGINT) AS sx,
+                    CAST(sum(yl) AS BIGINT) AS sy,
+                    CAST(sum(xl * xl) AS BIGINT) AS sxx,
+                    CAST(sum(xl * yl) AS BIGINT) AS sxy
+                  FROM rws GROUP BY 1),
+          c0 AS (SELECT key, n,
+                   ROUND((CAST(sy AS DOUBLE) -
+                     (CAST(n * sxy - sx * sy AS DOUBLE) /
+                      CAST(n * sxx - sx * sx AS DOUBLE)) *
+                     CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS a,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                     CAST(n * sxx - sx * sx AS DOUBLE), 6) AS b
+                 FROM ols),
+          ${huberRound(1)},
+          ${huberRound(2)}
+         SELECT c2.key, c2.n, c0.a AS a0, c0.b AS b0,
+                c2.a AS a_fit, c2.b AS b_fit, c2.nd AS n_down
+         FROM c2 JOIN c0 USING (key)""",
+
+    "q453_ransac_line" ->
+      s"""WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+                             AS BIGINT) AS cents
+                         FROM events GROUP BY 1, 2),
+          rws AS (SELECT key,
+                    row_number() OVER (PARTITION BY key ORDER BY day)
+                      AS xl,
+                    cents AS yl
+                  FROM daily),
+          sizes AS (SELECT key, CAST(count(*) AS BIGINT) AS n
+                    FROM rws GROUP BY 1),
+          grid0 AS (SELECT key, n, CAST(t AS BIGINT) AS t,
+                      ${H60("'ra:' || key || ':' || CAST(t AS VARCHAR)")}
+                        % n + 1 AS i1,
+                      ${H60("'rb:' || key || ':' || CAST(t AS VARCHAR)")}
+                        % n + 1 AS i2r
+                    FROM sizes, (SELECT unnest(range(1, 9)) AS t)),
+          grid AS (SELECT key, t, i1,
+                     CASE WHEN i2r = i1 THEN i2r % n + 1 ELSE i2r END
+                       AS i2
+                   FROM grid0),
+          pts AS (SELECT key, xl AS i, CAST(xl AS DOUBLE) AS xd,
+                         CAST(yl AS DOUBLE) AS yd
+                  FROM rws),
+          models AS (SELECT g.key, g.t,
+                       p1.yd - ((p2.yd - p1.yd) / (p2.xd - p1.xd)) *
+                         p1.xd AS am,
+                       (p2.yd - p1.yd) / (p2.xd - p1.xd) AS bm
+                     FROM grid g
+                     JOIN pts p1 ON p1.key = g.key AND p1.i = g.i1
+                     JOIN pts p2 ON p2.key = g.key AND p2.i = g.i2),
+          sc AS (SELECT r.key, m.t, m.am, m.bm,
+                   CAST(sum(CASE WHEN abs(CAST(r.yl AS DOUBLE) - m.am -
+                     m.bm * CAST(r.xl AS DOUBLE)) <= 100000.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+                 FROM rws r JOIN models m USING (key)
+                 GROUP BY 1, 2, 3, 4),
+          best AS (SELECT key, t AS best_trial, n_inliers, am, bm
+                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                           ORDER BY n_inliers DESC, t) AS rn FROM sc)
+                   WHERE rn = 1),
+          cons AS (SELECT r.key, r.xl, r.yl
+                   FROM rws r JOIN best b USING (key)
+                   WHERE abs(CAST(r.yl AS DOUBLE) - b.am -
+                     b.bm * CAST(r.xl AS DOUBLE)) <= 100000.0),
+          colsa AS (SELECT key, CAST(count(*) AS BIGINT) AS nc,
+                      CAST(sum(xl) AS BIGINT) AS sx,
+                      CAST(sum(yl) AS BIGINT) AS sy,
+                      CAST(sum(xl * xl) AS BIGINT) AS sxx,
+                      CAST(sum(xl * yl) AS BIGINT) AS sxy
+                    FROM cons GROUP BY 1),
+          refit AS (SELECT key,
+                      ROUND((CAST(sy AS DOUBLE) -
+                        (CAST(nc * sxy - sx * sy AS DOUBLE) /
+                         CAST(nc * sxx - sx * sx AS DOUBLE)) *
+                        CAST(sx AS DOUBLE)) / CAST(nc AS DOUBLE), 6)
+                        AS a_fit,
+                      ROUND(CAST(nc * sxy - sx * sy AS DOUBLE) /
+                        CAST(nc * sxx - sx * sx AS DOUBLE), 6) AS b_fit
+                    FROM colsa)
+         SELECT b.key, b.best_trial, b.n_inliers,
+                ROUND(b.am, 6) AS a_model, ROUND(b.bm, 6) AS b_model,
+                r.a_fit, r.b_fit
+         FROM best b JOIN refit r USING (key)""",
 
     "q450_page_hinkley" ->
       """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,

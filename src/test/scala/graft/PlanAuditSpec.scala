@@ -296,6 +296,10 @@ class PlanAuditSpec extends SparkSpec {
     "q149_ann_ndcg", "q155_ann_recall", "q268_ann_mrr",
     // q327 inherits q26's broadcast-query-set brute scan
     "q327_knn_classify",
+    // q453: the trial grid is a (group-count x 8-trial) crossJoin of
+    // two bounded frames — q427's tiny-grid shape; the scoring passes
+    // are broadcast equi-joins on the group key
+    "q453_ransac_line",
     // q451 re-ranks q26's top-10 lists, so it inherits the same
     // broadcast-query-set brute scan; the MMR rounds themselves are
     // equi-joins over k-bounded candidate frames
