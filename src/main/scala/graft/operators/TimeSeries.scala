@@ -797,6 +797,30 @@ object TimeSeries {
         (folded.getField("p") + lit(qVar) + lit(rVar)), 6).as("gain_next"))
   }
 
+  /** Dynamic-time-warping distance between two numeric arrays as a pure
+    * Column expression: the full O(n·m) DP runs as a nested fold —
+    * outer `aggregate` over `as` carrying the previous DP row, inner
+    * `aggregate` over `bs` growing the current row — so warping
+    * distance between bounded per-key series is row-local arithmetic
+    * (parallel across pairs, no shuffle beyond building the pair
+    * frame). Cost is L1; every cell is abs/`least`/+ on doubles in a
+    * fixed order, so a DuckDB nested list_reduce replays the exact
+    * bits. Intended for SERIES-length arrays (days, weeks — n·m cells
+    * per row); for corpus-scale sequence matching use the LCS/LIS
+    * kernels (q438) instead. */
+  def dtw(as_ : Column, bs: Column): Column = {
+    val inf = lit(1e18)
+    val initRow = concat(array(lit(0.0)), transform(bs, _ => inf))
+    val folded = aggregate(as_, initRow, (prev, a) =>
+      aggregate(bs, array(inf), (cur, b) => {
+        val j = size(cur)
+        concat(cur, array(abs(a - b) +
+          least(element_at(prev, j), element_at(prev, j + 1),
+            element_at(cur, j))))
+      }))
+    element_at(folded, size(bs) + 1)
+  }
+
   /** Page-Hinkley change-point detector per series: the sequential
     * cumulative-deviation test m_t = Σ_{i≤t} (x_i - x̄_i - δ) with x̄_i
     * the running mean, alarming at the first t where m_t - min_{i≤t}

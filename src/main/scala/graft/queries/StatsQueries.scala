@@ -587,6 +587,30 @@ object StatsQueries {
           col("alarm_idx"), col("alarm_at").cast("string").as("alarm_at"))
     }),
 
+    // DTW distance between every pair of daily-spend series: the full
+    // O(n·m) warping DP as a nested row-local fold (TimeSeries.dtw) —
+    // the alignment-tolerant series similarity q299's centroid drift
+    // and q191's EWMA can't see; 10 pairs × 900 cells, zero shuffle
+    // past the 5-row series frame
+    "q454_dtw_distance" -> ((s, d) => {
+      val daily = dailySpend(s, d).select(col("event_type"), col("day"),
+        (col("spend") * 100).cast("long").cast("double").as("cents"))
+      val ser = daily.groupBy(col("event_type").as("key"))
+        .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+          .as("arr"))
+        .select(col("key"), expr("transform(arr, e -> e.cents)").as("xs"))
+      val a = ser.select(col("key").as("key_a"), col("xs").as("xa"))
+      val b = ser.select(col("key").as("key_b"), col("xs").as("xb"))
+      a.crossJoin(b).where(col("key_a") < col("key_b"))
+        .withColumn("d", TimeSeries.dtw(col("xa"), col("xb")))
+        .select(col("key_a"), col("key_b"),
+          size(col("xa")).cast("long").as("n_a"),
+          size(col("xb")).cast("long").as("n_b"),
+          round(col("d"), 6).as("dtw"),
+          round(col("d") / (size(col("xa")) + size(col("xb")))
+            .cast("double"), 6).as("dtw_norm"))
+    }),
+
     // Huber-loss robust trend per event type (c = 1e5 cents, 2 IRLS
     // rounds from the exact-integer OLS start): the resistant
     // companion to q196's OLS trend — outlier days get weight c/|e|
@@ -2903,6 +2927,36 @@ object StatsQueries {
                 ROUND(CAST(sreg AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
                   AS reg_ate
          FROM st""",
+
+    "q454_dtw_distance" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                          CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+                            AS BIGINT) AS DOUBLE) AS cents
+                        FROM events GROUP BY 1, 2),
+          ser AS (SELECT key, list(cents ORDER BY day) AS xs
+                  FROM daily GROUP BY 1),
+          pr AS (SELECT a.key AS key_a, b.key AS key_b,
+                        a.xs AS xa, b.xs AS xb
+                 FROM ser a JOIN ser b ON a.key < b.key),
+          fl AS (SELECT key_a, key_b, len(xa) AS na, len(xb) AS nb,
+                   list_reduce(
+                     list_prepend(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(xb, x -> CAST(1e18 AS DOUBLE))),
+                       list_transform(xa, a -> [a])),
+                     (acc, e) -> list_reduce(
+                       list_prepend([CAST(1e18 AS DOUBLE)],
+                         list_transform(xb, b -> [b])),
+                       (cur, eb) -> list_append(cur,
+                         abs(e[1] - eb[1]) +
+                         least(acc[len(cur)], acc[len(cur) + 1],
+                           cur[len(cur)])))) AS row_
+                 FROM pr)
+         SELECT key_a, key_b, CAST(na AS BIGINT) AS n_a,
+                CAST(nb AS BIGINT) AS n_b,
+                ROUND(row_[CAST(nb + 1 AS INT)], 6) AS dtw,
+                ROUND(row_[CAST(nb + 1 AS INT)] /
+                  CAST(na + nb AS DOUBLE), 6) AS dtw_norm
+         FROM fl""",
 
     "q452_huber_irls" ->
       s"""WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,

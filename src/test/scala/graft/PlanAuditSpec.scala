@@ -296,6 +296,10 @@ class PlanAuditSpec extends SparkSpec {
     "q149_ann_ndcg", "q155_ann_recall", "q268_ann_mrr",
     // q327 inherits q26's broadcast-query-set brute scan
     "q327_knn_classify",
+    // q454: the series-pair frame is a (series x series) crossJoin of
+    // the GROUP-count frame (5 rows each side) — q427's tiny-grid
+    // shape; all DP work is row-local folds after the pairing
+    "q454_dtw_distance",
     // q453: the trial grid is a (group-count x 8-trial) crossJoin of
     // two bounded frames — q427's tiny-grid shape; the scoring passes
     // are broadcast equi-joins on the group key
