@@ -61,6 +61,72 @@ object Projection {
     * rows-only query plus a spec asserting the variance contract, the
     * same policy as the Lloyd-refined IVF fit.
     */
+  /** Top covariance eigenvector by `iters` power-iteration rounds over
+    * the first `dims` embedding coordinates — the hash-gated
+    * counterpart to [[pca]] (whose Breeze SVD is rows-only): every
+    * intermediate is an order-invariant 1e-12-quantized integer fold
+    * or a single IEEE division, so a DuckDB oracle unrolls the same
+    * rounds bit-for-bit. v0 is the uniform direction 1/√dims (pick
+    * dims a perfect square to keep it exactly representable).
+    *
+    * Scale: the covariance pass is one shuffle of (dim, dim) cells —
+    * d² bounded, never row-scaled — and each round is a join + agg on
+    * a d-row vector frame; corpus size only affects the first pass.
+    * Emits (d, v, eigval, n): the unit eigenvector coordinate per dim,
+    * the ‖Cv‖ eigenvalue estimate from the final round, and the row
+    * count. */
+  def powerIteration(df: DataFrame, id: Column, vec: Column,
+                     dims: Int, iters: Int = 5): DataFrame = {
+    require(dims >= 2 && iters >= 1 && iters <= 8,
+      s"bad power-iteration params: dims=$dims iters=$iters")
+    val spark = df.sparkSession
+    val ex = df.select(id.as("vid"),
+        posexplode(vec).as(Seq("d0", "x")))
+      .where(col("d0") < dims)
+      .select(col("vid"), (col("d0") + 1).as("d"),
+        round(col("x").cast("double") * 1e9).cast("long").as("xq"))
+    val mu = ex.groupBy(col("d"))
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+      .select(col("d"), col("n"),
+        (col("sq").cast("double") / col("n").cast("double") / 1e9).as("m"))
+    val cx = ex.join(mu, Seq("d"))
+      .select(col("vid"), col("d"), col("n"),
+        (col("xq").cast("double") / 1e9 - col("m")).as("cx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cov = cx.select(col("vid"), col("d").as("i"), col("cx").as("cxi"),
+        col("n"))
+      .join(cx.select(col("vid"), col("d").as("j"), col("cx").as("cxj")),
+        Seq("vid"))
+      .groupBy(col("i"), col("j"))
+      .agg(max(col("n")).as("n"),
+        sum(round(col("cxi") * col("cxj") * 1e12).cast("long")).as("pq"))
+      .select(col("i"), col("j"), col("n"),
+        (col("pq").cast("double") / col("n").cast("double") / 1e12)
+          .as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = spark.range(1, dims + 1)
+      .select(col("id").as("j"), lit(1.0 / math.sqrt(dims.toDouble)).as("v"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = cov.join(broadcast(v), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(round(col("c") * col("v") * 1e12).cast("long")).as("sw"))
+        .select(col("i"), (col("sw").cast("double") / 1e12).as("w"))
+      val nrm = w.agg(sqrt(
+        sum(round(col("w") * col("w") * 1e12).cast("long")).cast("double")
+          / 1e12).as("nrm"))
+      lastNorm = nrm
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"),
+          (col("w") / col("nrm")).cast("decimal(18,12)").cast("double")
+            .as("v"))
+    }
+    val nRow = mu.agg(max(col("n")).as("n"))
+    v.crossJoin(broadcast(lastNorm)).crossJoin(broadcast(nRow))
+      .select(col("j").as("d"), round(col("v"), 6).as("v"),
+        round(col("nrm"), 6).as("eigval"), col("n"))
+  }
+
   def pca(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     require(k >= 1, s"k must be >= 1: $k")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Similarity
+import graft.operators.{Projection, Similarity}
 
 /** Oracle-gated similarity-search queries over `embeddings`:
   * brute-force cosine top-k, cosine near-dup pairs, and SRP-LSH
@@ -118,6 +118,16 @@ object SimilarityQueries {
           round(avg(col("c")).cast("double"), 6).as("mean_cos"),
           round(avg(abs(col("c"))).cast("double"), 6).as("mean_abs_cos"),
           round(max(abs(col("c"))).cast("double"), 6).as("max_abs_cos"))
+    }),
+
+    // top covariance eigenvector of the first 16 embedding dims via 5
+    // power-iteration rounds — the HASH-GATED principal component
+    // (q189's Breeze PCA is rows-only by necessity; this replays every
+    // round in the oracle): d²-bounded covariance pass, then joins
+    // over a 16-row vector frame
+    "q455_power_iteration" -> ((s, d) => {
+      Projection.powerIteration(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), dims = 16, iters = 5)
     }),
 
     // MMR diversity re-ranking of the q26 top-10 lists (λ=0.7, k=5):
@@ -259,6 +269,24 @@ object SimilarityQueries {
                       FROM pick$i)"""
   }
 
+  /** One unrolled power-iteration round for the q455 oracle: matvec by
+    * 1e-12-quantized integer folds, L2 norm the same way, renormalize
+    * through DECIMAL(18,12). */
+  private def powRound(t: Int): String = {
+    val prev = s"v${t - 1}"
+    s"""w$t AS (SELECT c.i,
+                  CAST(sum(CAST(round(c.c * v.v * 1e12) AS BIGINT))
+                    AS BIGINT) AS sw
+                FROM covd c JOIN $prev v ON c.j = v.j GROUP BY 1),
+       wd$t AS (SELECT i, CAST(sw AS DOUBLE) / 1e12 AS w FROM w$t),
+       n$t AS (SELECT sqrt(CAST(CAST(sum(CAST(round(w * w * 1e12)
+                  AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+               FROM wd$t),
+       v$t AS (SELECT w.i AS j,
+                 CAST(CAST(w.w / n.nrm AS DECIMAL(18,12)) AS DOUBLE) AS v
+               FROM wd$t w, n$t n)"""
+  }
+
   /** md5-derived hyperplane weight for (plane p, dim i) in [-1, 1). */
   private val W = s"(${H60("'srp:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} / 1152921504606846976.0 * 2.0 - 1.0)"
   /** SRP bucket id of a double-list expression (4 planes). */
@@ -390,6 +418,42 @@ object SimilarityQueries {
                  ROUND(${cosSql("a.emb", "b.emb")}, 6) AS cosine
           FROM e a JOIN e b ON a.vec_id < b.vec_id
           WHERE ${cosSql("a.emb", "b.emb")} >= 0.45""",
+
+    "q455_power_iteration" ->
+      s"""WITH ex AS (SELECT vid, u.d AS d,
+                        CAST(round(CAST(u.x AS DOUBLE) * 1e9) AS BIGINT)
+                          AS xq
+                      FROM (SELECT vec_id AS vid,
+                              unnest(list_transform(embedding,
+                                (x, i) -> {'d': i, 'x': x})) AS u
+                            FROM embeddings)
+                      WHERE u.d <= 16),
+          mu AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xq) AS BIGINT) AS sq
+                 FROM ex GROUP BY 1),
+          mud AS (SELECT d, n,
+                    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS m
+                  FROM mu),
+          cx AS (SELECT e.vid, e.d,
+                   CAST(e.xq AS DOUBLE) / 1e9 - m.m AS cx, m.n
+                 FROM ex e JOIN mud m USING (d)),
+          cov AS (SELECT a.d AS i, b.d AS j, max(a.n) AS n,
+                    CAST(sum(CAST(round(a.cx * b.cx * 1e12) AS BIGINT))
+                      AS BIGINT) AS pq
+                  FROM cx a JOIN cx b ON a.vid = b.vid GROUP BY 1, 2),
+          covd AS (SELECT i, j,
+                     CAST(pq AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS c
+                   FROM cov),
+          v0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(0.25 AS DOUBLE) AS v
+                 FROM (SELECT unnest(range(1, 17)) AS j)),
+          ${powRound(1)},
+          ${powRound(2)},
+          ${powRound(3)},
+          ${powRound(4)},
+          ${powRound(5)}
+         SELECT v.j AS d, ROUND(v.v, 6) AS v, ROUND(n5.nrm, 6) AS eigval,
+                nn.n
+         FROM v5 v, n5, (SELECT max(n) AS n FROM mu) nn""",
 
     "q451_mmr_rerank" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding,
