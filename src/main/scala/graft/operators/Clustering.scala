@@ -16,6 +16,74 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** DBSCAN over 2-D points via grid-cell blocking: cell size = eps,
+    * each point probes its 3×3 cell neighborhood, so candidate pairs
+    * are density-bounded — never the all-pairs product (the reason a
+    * naive DBSCAN dies at scale). Cores by |N_eps| ≥ minPts (self
+    * included); clusters = connected components of the core-core
+    * eps-graph labeled by min core id ([[Dedup.connectedComponents]]'
+    * label propagation — O(diameter) rounds of co-partitioned joins
+    * with per-round lineage cuts); border points adopt the minimum
+    * cluster among their core neighbors; the rest is noise. Every tie
+    * resolves to a minimum and every distance test is an exact-double
+    * comparison, so a brute-force SQL replay reproduces the labeling
+    * bit-for-bit. Emits (id, cluster, role) with cluster = -1 for
+    * noise. */
+  def dbscan(df: DataFrame, id: Column, x: Column, y: Column,
+             eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, s"bad DBSCAN params: $eps $minPts")
+    val lv = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pts = df.select(id.as("pid"), x.cast("double").as("px"),
+        y.cast("double").as("py"))
+      .withColumn("gx", floor(col("px") / eps).cast("long"))
+      .withColumn("gy", floor(col("py") / eps).cast("long"))
+      .persist(lv)
+    val spark = df.sparkSession
+    val offs = spark.range(-1, 2).select(col("id").as("ox"))
+      .crossJoin(spark.range(-1, 2).select(col("id").as("oy")))
+    val probes = pts.crossJoin(broadcast(offs))
+      .select(col("pid").as("qid"), col("px").as("qx"),
+        col("py").as("qy"), (col("gx") + col("ox")).as("gx"),
+        (col("gy") + col("oy")).as("gy"))
+    val nbr = probes.join(pts, Seq("gx", "gy"))
+      .where(col("pid") =!= col("qid"))
+      .where((col("px") - col("qx")) * (col("px") - col("qx")) +
+        (col("py") - col("qy")) * (col("py") - col("qy")) <=
+        lit(eps * eps))
+      .select(col("qid"), col("pid"))
+      .persist(lv)
+    val cores = nbr.groupBy(col("qid")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") + 1 >= minPts)
+      .select(col("qid").as("core_id"))
+      .persist(lv)
+    val coreEdges = nbr
+      .join(cores.select(col("core_id").as("qid")), Seq("qid"))
+      .join(cores.select(col("core_id").as("pid")), Seq("pid"))
+      .where(col("qid") < col("pid"))
+      .select(col("qid").as("id_a"), col("pid").as("id_b"))
+    val comp = Dedup.connectedComponents(coreEdges)
+    val coreLabel = cores
+      .join(comp.select(col("doc_id").as("core_id"), col("component")),
+        Seq("core_id"), "left")
+      .select(col("core_id"),
+        coalesce(col("component"), col("core_id")).as("cluster"))
+      .persist(lv)
+    val borders = nbr
+      .join(cores.select(col("core_id").as("qid")), Seq("qid"), "left_anti")
+      .join(coreLabel.select(col("core_id").as("pid"), col("cluster")),
+        Seq("pid"))
+      .groupBy(col("qid")).agg(min(col("cluster")).as("cluster"))
+    val assigned = coreLabel
+      .select(col("core_id").as("pid"), col("cluster"),
+        lit("core").as("role"))
+      .unionByName(borders.select(col("qid").as("pid"), col("cluster"),
+        lit("border").as("role")))
+    pts.select(col("pid")).join(assigned, Seq("pid"), "left")
+      .select(col("pid").as("id"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        coalesce(col("role"), lit("noise")).as("role"))
+  }
+
   /** (id, cluster, dist) rows: canonicalized cluster label (smallest
     * member id in the cluster) and Euclidean distance to the fitted
     * centroid, rounded to `scale`. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{DataQuality, Dedup, Geo, Graph, Robust, TimeSeries}
+import graft.operators.{Clustering, DataQuality, Dedup, Geo, Graph, Robust, TimeSeries}
 import graft.functions.TextAnalysis.hash60
 
 /** Oracle-gated statistical-testing, trend, and spatial/string linkage
@@ -1172,6 +1172,17 @@ object StatsQueries {
     "q305_grid_dbscan" -> ((s, d) => {
       Geo.gridDbscan(customerPoints(s, d), col("lat"), col("lon"),
         cellDeg = 0.5, minPts = 12L)
+    }),
+
+    // POINT-level DBSCAN (q305 clusters grid cells; this is the real
+    // thing): eps-ball neighborhoods via 3x3 grid blocking, core /
+    // border / noise roles, clusters = min-core-id components of the
+    // core graph via the star label propagation — every tie resolves
+    // to a minimum so the brute-force oracle replays the labeling
+    "q456_point_dbscan" -> ((s, d) => {
+      val pts = customerPoints(s, d).where(col("c_custkey") % 7 === 0)
+      Clustering.dbscan(pts, col("c_custkey"), col("lat"), col("lon"),
+        eps = 0.5, minPts = 5)
     }),
 
     // Mann-Kendall trend + Kendall tau per event-type daily-spend series
@@ -2927,6 +2938,45 @@ object StatsQueries {
                 ROUND(CAST(sreg AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
                   AS reg_ate
          FROM st""",
+
+    "q456_point_dbscan" ->
+      """WITH RECURSIVE pts AS (
+           SELECT c_custkey AS pid,
+             CAST(CAST(('0x' || substr(md5('glat:' ||
+                 CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS DOUBLE) / 1000000.0 * 5.0 + 40.0 AS px,
+             CAST(CAST(('0x' || substr(md5('glon:' ||
+                 CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS DOUBLE) / 1000000.0 * 5.0 AS py
+           FROM customer WHERE c_custkey % 7 = 0),
+         nbr AS (SELECT a.pid AS qid, b.pid AS pid
+                 FROM pts a JOIN pts b ON a.pid <> b.pid
+                   AND (b.px - a.px) * (b.px - a.px) +
+                       (b.py - a.py) * (b.py - a.py) <= 0.25),
+         cores AS (SELECT qid AS core_id
+                   FROM (SELECT qid, count(*) AS deg FROM nbr GROUP BY 1)
+                   WHERE deg + 1 >= 5),
+         ce AS (SELECT n.qid AS a, n.pid AS b
+                FROM nbr n
+                JOIN cores c1 ON c1.core_id = n.qid
+                JOIN cores c2 ON c2.core_id = n.pid),
+         reach(n, m) AS (SELECT core_id, core_id FROM cores
+                         UNION
+                         SELECT r.n, e.b FROM reach r
+                         JOIN ce e ON e.a = r.m),
+         comp AS (SELECT n AS core_id, MIN(m) AS cluster
+                  FROM reach GROUP BY 1),
+         bord AS (SELECT n.qid, MIN(c.cluster) AS cluster
+                  FROM nbr n JOIN comp c ON c.core_id = n.pid
+                  WHERE n.qid NOT IN (SELECT core_id FROM cores)
+                  GROUP BY 1)
+        SELECT p.pid AS id,
+               coalesce(c.cluster, b.cluster, -1) AS cluster,
+               CASE WHEN c.core_id IS NOT NULL THEN 'core'
+                    WHEN b.qid IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role
+        FROM pts p LEFT JOIN comp c ON c.core_id = p.pid
+                   LEFT JOIN bord b ON b.qid = p.pid""",
 
     "q454_dtw_distance" ->
       """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,

@@ -301,6 +301,11 @@ class PlanAuditSpec extends SparkSpec {
     "q149_ann_ndcg", "q155_ann_recall", "q268_ann_mrr",
     // q327 inherits q26's broadcast-query-set brute scan
     "q327_knn_classify",
+    // q456: the 3x3 grid-offset frame (NINE rows) crossJoin-broadcasts
+    // over the point frame to build the cell probes — the bounded
+    // replicate-by-constant shape; the eps-ball join itself is an
+    // equi-join on the cell key
+    "q456_point_dbscan",
     // q454: the series-pair frame is a (series x series) crossJoin of
     // the GROUP-count frame (5 rows each side) — q427's tiny-grid
     // shape; all DP work is row-local folds after the pairing
