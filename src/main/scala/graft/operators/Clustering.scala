@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Normalized (u &lt; v) candidate pairs within `radius` via the same
+    * 3×3 grid blocking as [[dbscan]] — density-bounded, never
+    * all-pairs. Emits (u, v, d2) with d2 the exact squared euclidean
+    * distance. */
+  def radiusPairs(df: DataFrame, id: Column, x: Column, y: Column,
+                  radius: Double): DataFrame = {
+    require(radius > 0, s"radius must be positive: $radius")
+    val pts = df.select(id.as("pid"), x.cast("double").as("px"),
+        y.cast("double").as("py"))
+      .withColumn("gx", floor(col("px") / radius).cast("long"))
+      .withColumn("gy", floor(col("py") / radius).cast("long"))
+    val spark = df.sparkSession
+    val offs = spark.range(-1, 2).select(col("id").as("ox"))
+      .crossJoin(spark.range(-1, 2).select(col("id").as("oy")))
+    val probes = pts.crossJoin(broadcast(offs))
+      .select(col("pid").as("qid"), col("px").as("qx"),
+        col("py").as("qy"), (col("gx") + col("ox")).as("gx"),
+        (col("gy") + col("oy")).as("gy"))
+    val d2 = (col("px") - col("qx")) * (col("px") - col("qx")) +
+      (col("py") - col("qy")) * (col("py") - col("qy"))
+    probes.join(pts, Seq("gx", "gy"))
+      .where(col("qid") < col("pid"))
+      .where(d2 <= lit(radius * radius))
+      .select(col("qid").as("u"), col("pid").as("v"), d2.as("d2"))
+  }
+
   /** DBSCAN over 2-D points via grid-cell blocking: cell size = eps,
     * each point probes its 3×3 cell neighborhood, so candidate pairs
     * are density-bounded — never the all-pairs product (the reason a

@@ -392,6 +392,82 @@ object Graph {
     st.select(col("key"), col("anc").as("root_key"), col("depth"))
   }
 
+  /** Borůvka minimum spanning forest over integer-weighted undirected
+    * edges (src &lt; dst normalized, weight `wq` an exact long): each
+    * round every component picks its minimum outgoing edge under the
+    * STRICT total order (wq, src, dst) — lexicographic struct-min, so
+    * ties cannot fork the tree and the MSF is unique — picked edges
+    * merge components through [[Dedup.connectedComponents]]' min-label
+    * propagation, and the round count is O(log n) (components at least
+    * halve). Because the edge order is total, a sequential Kruskal
+    * replay produces the IDENTICAL forest — that is the oracle gate.
+    *
+    * Scale: rounds are co-partitioned joins on the component label;
+    * the per-round CC runs on the picked-edge COMPONENT graph (at most
+    * one edge per component — component-count-bounded, not
+    * edge-bounded); labels are lineage-cut per round like
+    * [[flattenHierarchy]]. Emits the forest edges (u, v, wq). */
+  def boruvkaMst(edges: DataFrame, src: Column, dst: Column, wq: Column,
+                 maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(least(src, dst).as("u"), greatest(src, dst).as("v"),
+        wq.cast("long").as("wq"))
+      .groupBy(col("u"), col("v")).agg(min(col("wq")).as("wq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var comp = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .withColumn("c", col("node")).localCheckpoint(false)
+    comp.count()
+    var liveCp = checkpointedRdd(comp)
+    var mst: DataFrame = null
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"Boruvka did not converge in $maxRounds rounds")
+      val ec = e
+        .join(comp.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
+        .join(comp.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
+        .where(col("cu") =!= col("cv"))
+      val sides = ec.select(col("cu").as("c"), col("wq"), col("u"), col("v"))
+        .union(ec.select(col("cv").as("c"), col("wq"), col("u"), col("v")))
+      val picked = sides.groupBy(col("c"))
+        .agg(min(struct(col("wq"), col("u"), col("v"))).as("m"))
+        .select(col("m.u").as("u"), col("m.v").as("v"),
+          col("m.wq").as("wq"))
+        .distinct()
+        .localCheckpoint(false)
+      if (picked.isEmpty) {
+        done = true
+      } else {
+        mst = if (mst == null) picked
+          else mst.unionByName(picked).localCheckpoint(false)
+        // merge components: CC over the picked COMPONENT pairs
+        val cPairs = picked
+          .join(comp.select(col("node").as("u"), col("c").as("ca")),
+            Seq("u"))
+          .join(comp.select(col("node").as("v"), col("c").as("cb")),
+            Seq("v"))
+          .select(col("ca").as("id_a"), col("cb").as("id_b"))
+        val merged = Dedup.connectedComponents(cPairs)
+          .select(col("doc_id").as("c"), col("component").as("nc"))
+        val next = comp.join(merged, Seq("c"), "left")
+          .select(col("node"), coalesce(col("nc"), col("c")).as("c"))
+          .localCheckpoint(false)
+        next.count()
+        liveCp.foreach(_.unpersist(blocking = false))
+        liveCp = checkpointedRdd(next)
+        comp = next
+      }
+    }
+    e.unpersist(blocking = false)
+    if (mst == null)
+      e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("u"), lit(0L).as("v"), lit(0L).as("wq"))
+        .limit(0)
+    else mst.select(col("u"), col("v"), col("wq"))
+  }
+
   /** HITS (hubs & authorities), fixed iterations: auth(v) = Σ_{u→v}
     * hub(u), hub(u) = Σ_{u→v} auth(v), each L2-normalized per round —
     * the bipartite-natural ranking PageRank isn't (who aggregates

@@ -72,6 +72,27 @@ class Stats11Spec extends SparkSpec {
     assert(r.getAs[Double]("a_fit") == 0.0)
   }
 
+  test("boruvkaMst recovers the unique MST of a weighted square-with-" +
+    "diagonal and skips the heavy redundant edges") {
+    // square 1-2-3-4 with cheap sides (1,2,3,4), expensive diagonal 9
+    // and a heavier parallel side 7: MST = the three cheapest sides
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L),
+      (4L, 1L, 4L), (1L, 3L, 9L), (2L, 3L, 7L))
+      .toDF("u", "v", "w")
+    val got = Graph.boruvkaMst(edges, col("u"), col("v"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
+  }
+
+  test("boruvkaMst on a disconnected graph returns a spanning forest") {
+    val edges = Seq((1L, 2L, 5L), (10L, 11L, 7L), (11L, 12L, 6L),
+      (10L, 12L, 8L)).toDF("u", "v", "w")
+    val got = Graph.boruvkaMst(edges, col("u"), col("v"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (11L, 12L), (10L, 11L)))
+  }
+
   test("mmrRerank picks by relevance first, then trades relevance for " +
     "diversity") {
     // two near-duplicate high-rel docs (1, 2) and a diverse lower-rel
