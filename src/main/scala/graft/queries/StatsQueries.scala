@@ -1200,6 +1200,30 @@ object StatsQueries {
         round(col("d2") * 1e12).cast("long"))
     }),
 
+    // single-linkage clustering = q457's MSF with the 2 heaviest edges
+    // cut (k += 2 clusters): the classic MST-dendrogram equivalence,
+    // labels again min-id components so the oracle's closure replays
+    // them; the hierarchical-clustering path that needs NO iterative
+    // refitting at scale — one MSF + one TakeOrdered cut
+    "q458_single_linkage" -> ((s, d) => {
+      val pts = customerPoints(s, d).where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("pid"), col("lat"), col("lon"))
+      val pairs = Clustering.radiusPairs(pts, col("pid"), col("lat"),
+        col("lon"), radius = 0.7)
+      val mst = Graph.boruvkaMst(pairs, col("u"), col("v"),
+        round(col("d2") * 1e12).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cut = mst.orderBy(col("wq").desc, col("u"), col("v")).limit(2)
+      val kept = mst.join(cut, Seq("u", "v"), "left_anti")
+      val comp = graft.operators.Dedup.connectedComponents(
+        kept.select(col("u").as("id_a"), col("v").as("id_b")))
+      pts.select(col("pid"))
+        .join(comp.select(col("doc_id").as("pid"), col("component")),
+          Seq("pid"), "left")
+        .select(col("pid").as("id"),
+          coalesce(col("component"), col("pid")).as("cluster"))
+    }),
+
     // Mann-Kendall trend + Kendall tau per event-type daily-spend series
     "q302_mann_kendall" -> ((s, d) => {
       TimeSeries.mannKendall(
@@ -2953,6 +2977,70 @@ object StatsQueries {
                 ROUND(CAST(sreg AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
                   AS reg_ate
          FROM st""",
+
+    "q458_single_linkage" ->
+      """WITH RECURSIVE pts AS (
+           SELECT c_custkey AS pid,
+             CAST(CAST(('0x' || substr(md5('glat:' ||
+                 CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS DOUBLE) / 1000000.0 * 5.0 + 40.0 AS px,
+             CAST(CAST(('0x' || substr(md5('glon:' ||
+                 CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS DOUBLE) / 1000000.0 * 5.0 AS py
+           FROM customer WHERE c_custkey % 7 = 0),
+         idx AS (SELECT pid, row_number() OVER (ORDER BY pid) AS ix
+                 FROM pts),
+         n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+         cand AS (SELECT a.pid AS u, b.pid AS v,
+                    (b.px - a.px) * (b.px - a.px) +
+                    (b.py - a.py) * (b.py - a.py) AS d2
+                  FROM pts a JOIN pts b ON a.pid < b.pid
+                  WHERE (b.px - a.px) * (b.px - a.px) +
+                        (b.py - a.py) * (b.py - a.py) <=
+                        CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE)),
+         ed AS (SELECT CAST(round(d2 * 1e12) AS BIGINT) AS wq,
+                       c.u, c.v, ia.ix AS iu, ib.ix AS iv
+                FROM cand c JOIN idx ia ON ia.pid = c.u
+                            JOIN idx ib ON ib.pid = c.v),
+         sl AS (SELECT max(n1.n) AS n,
+                       list([iu, iv, u, v] ORDER BY wq, u, v) AS es
+                FROM ed, n1),
+         fl AS (SELECT n,
+                  list_reduce(list_prepend(range(1, n + 1), es),
+                    (a, e) -> CASE
+                      WHEN a[CAST(e[1] AS INT)] = a[CAST(e[2] AS INT)]
+                        THEN a
+                      ELSE list_concat(
+                        list_transform(a, (r, k) -> CASE
+                          WHEN k <= n AND r = greatest(
+                              a[CAST(e[1] AS INT)], a[CAST(e[2] AS INT)])
+                            THEN least(a[CAST(e[1] AS INT)],
+                              a[CAST(e[2] AS INT)])
+                          ELSE r END),
+                        [e[3], e[4]]) END) AS st
+                FROM sl),
+         picked AS (SELECT st[CAST(n + 2 * p - 1 AS INT)] AS u,
+                           st[CAST(n + 2 * p AS INT)] AS v
+                    FROM (SELECT st, n,
+                            unnest(range(1, (len(st) - n) // 2 + 1)) AS p
+                          FROM fl)),
+         mst AS (SELECT p.u, p.v, e.wq
+                 FROM picked p JOIN ed e ON e.u = p.u AND e.v = p.v),
+         cut AS (SELECT u, v FROM (SELECT u, v, ROW_NUMBER() OVER
+                   (ORDER BY wq DESC, u, v) AS rn FROM mst)
+                 WHERE rn <= 2),
+         kept AS (SELECT m.u, m.v FROM mst m
+                  LEFT JOIN cut c ON c.u = m.u AND c.v = m.v
+                  WHERE c.u IS NULL),
+         sym AS (SELECT u AS a, v AS b FROM kept
+                 UNION SELECT v, u FROM kept),
+         reach(s, t) AS (SELECT pid, pid FROM pts
+                         UNION
+                         SELECT r.s, e.b FROM reach r
+                         JOIN sym e ON e.a = r.t),
+         comp AS (SELECT s AS pid, MIN(t) AS cluster
+                  FROM reach GROUP BY 1)
+        SELECT pid AS id, cluster FROM comp""",
 
     "q457_boruvka_mst" ->
       """WITH pts AS (

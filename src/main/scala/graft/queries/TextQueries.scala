@@ -61,6 +61,45 @@ object TextQueries {
             col("n_tokens").cast("double"), 6).as("coverage"))
     }),
 
+    // RAKE keyphrase extraction (top-20): candidate phrases = maximal
+    // stopword-free token runs (gaps-and-islands), word score =
+    // degree/frequency over phrase membership, phrase score = the
+    // 1e-9-quantized word-score sum (order-invariant integer fold, so
+    // the shuffle can't perturb the ranking); the co-occurrence-aware
+    // companion to q360's PMI collocations
+    "q459_rake_keyphrases" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = Tables.documents(s, d).where(col("lang") === "en")
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      val isl = tok.where(!col("w").isInCollection(englishStopwords))
+        .withColumn("grp", col("pos") - row_number().over(w))
+      val ph = isl.groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("plen"),
+          array_sort(collect_list(struct(col("pos"), col("w")))).as("arr"))
+        .select(col("doc_id"), col("grp"), col("plen"),
+          concat_ws(" ", expr("transform(arr, e -> e.w)")).as("phrase"))
+      val pw = ph.select(col("doc_id"), col("grp"), col("plen"))
+        .join(isl.select(col("doc_id"), col("grp"), col("w")),
+          Seq("doc_id", "grp"))
+      val ws = pw.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("sq", round(col("deg").cast("double") /
+          col("freq").cast("double") * 1e9).cast("long"))
+      val psc = isl.select(col("doc_id"), col("grp"), col("w"))
+        .join(ws.select(col("w"), col("sq")), Seq("w"))
+        .groupBy(col("doc_id"), col("grp")).agg(sum(col("sq")).as("scoreq"))
+      ph.join(psc, Seq("doc_id", "grp"))
+        .groupBy(col("phrase"))
+        .agg(max(col("plen")).as("n_words"), count(lit(1)).as("n_occur"),
+          max(col("scoreq")).as("scoreq"))
+        .orderBy(col("scoreq").desc, col("phrase")).limit(20)
+        .select(col("phrase"), col("n_words"), col("n_occur"),
+          round(col("scoreq").cast("double") / 1e9, 6).as("score"))
+    }),
+
     // adjacent-bigram PMI top-20 (collocation mining): PMI ranks ride
     // the EXACT rational surrogate n_xy*N^2 / (M*n_x*n_y) — a single
     // IEEE division of exact integer products (correctly rounded, so
@@ -384,6 +423,47 @@ object TextQueries {
                 ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
                   AS coverage
          FROM st""",
+
+    "q459_rake_keyphrases" ->
+      s"""WITH docs AS (SELECT doc_id,
+                          regexp_split_to_array(lower(trim(text)), '\\s+')
+                            AS toks
+                        FROM documents WHERE lang = 'en'),
+          tok AS (SELECT doc_id, u.p AS pos, u.tok AS w
+                  FROM (SELECT doc_id,
+                          unnest(list_transform(toks,
+                            (x, i) -> {'tok': x, 'p': i})) AS u
+                        FROM docs)),
+          isl AS (SELECT doc_id, pos, w,
+                    pos - row_number() OVER (PARTITION BY doc_id
+                      ORDER BY pos) AS grp
+                  FROM tok WHERE w NOT IN ($sw)),
+          ph AS (SELECT doc_id, grp,
+                   CAST(count(*) AS BIGINT) AS plen,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase
+                 FROM isl GROUP BY 1, 2),
+          pw AS (SELECT p.doc_id, p.grp, i.w, p.plen
+                 FROM ph p JOIN isl i USING (doc_id, grp)),
+          ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(plen) AS BIGINT) AS deg
+                 FROM pw GROUP BY 1),
+          wsq AS (SELECT w, CAST(round(CAST(deg AS DOUBLE) /
+                    CAST(freq AS DOUBLE) * 1e9) AS BIGINT) AS sq
+                  FROM ws),
+          psc AS (SELECT i.doc_id, i.grp,
+                    CAST(sum(s.sq) AS BIGINT) AS scoreq
+                  FROM isl i JOIN wsq s USING (w) GROUP BY 1, 2),
+          agg AS (SELECT p.phrase, max(p.plen) AS n_words,
+                    CAST(count(*) AS BIGINT) AS n_occur,
+                    max(c.scoreq) AS scoreq
+                  FROM ph p JOIN psc c USING (doc_id, grp)
+                  GROUP BY 1),
+          top AS (SELECT *, ROW_NUMBER() OVER (ORDER BY scoreq DESC,
+                    phrase) AS rn
+                  FROM agg)
+         SELECT phrase, n_words, n_occur,
+                ROUND(CAST(scoreq AS DOUBLE) / 1e9, 6) AS score
+         FROM top WHERE rn <= 20""",
 
     "q360_word_pmi_topk" ->
       """WITH t AS (SELECT doc_id,
