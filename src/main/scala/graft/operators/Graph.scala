@@ -449,7 +449,10 @@ object Graph {
           .join(comp.select(col("node").as("v"), col("c").as("cb")),
             Seq("v"))
           .select(col("ca").as("id_a"), col("cb").as("id_b"))
-        val merged = Dedup.connectedComponents(cPairs)
+        // the picked-edge component graph can chain (each component's
+        // min edge pointing to the next) — use the O(log n) star
+        // contraction, not O(diameter) label propagation
+        val merged = Dedup.connectedComponentsStar(cPairs)
           .select(col("doc_id").as("c"), col("component").as("nc"))
         val next = comp.join(merged, Seq("c"), "left")
           .select(col("node"), coalesce(col("nc"), col("c")).as("c"))

@@ -1215,7 +1215,10 @@ object StatsQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cut = mst.orderBy(col("wq").desc, col("u"), col("v")).limit(2)
       val kept = mst.join(cut, Seq("u", "v"), "left_anti")
-      val comp = graft.operators.Dedup.connectedComponents(
+      // the kept MSF is a high-diameter tree: plain label propagation
+      // is O(diameter) rounds; the large/small-star variant contracts
+      // it in O(log n)
+      val comp = graft.operators.Dedup.connectedComponentsStar(
         kept.select(col("u").as("id_a"), col("v").as("id_b")))
       pts.select(col("pid"))
         .join(comp.select(col("doc_id").as("pid"), col("component")),
