@@ -30,7 +30,8 @@ object SparkEntry {
       (MiningQueries.queries, MiningQueries.oracles),
       (StatsQueries.queries, StatsQueries.oracles),
       (AnalyticsQueries.queries, AnalyticsQueries.oracles),
-      (PipelineQueries.queries, PipelineQueries.oracles)
+      (PipelineQueries.queries, PipelineQueries.oracles),
+      (InferenceQueries.queries, InferenceQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

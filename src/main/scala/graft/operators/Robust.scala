@@ -158,4 +158,48 @@ object Robust {
         round(col("am"), 6).as("a_model"), round(col("bm"), 6).as("b_model"),
         col("a_fit"), col("b_fit"))
   }
+
+  /** Exact isotonic regression (PAVA) per key via the minimax
+    * characterization f(i) = max_{j<=i} min_{k>=i} mean(y[j..k]) — the
+    * closed form of pool-adjacent-violators, so the fit needs no
+    * sequential pooling loop: segment means come off exact DECIMAL
+    * prefix sums, the reverse cumulative min is one window per (key,j),
+    * and the final max is a plain groupBy. Mirrors the reference's
+    * IsotonicRegressionCalibrator semantics
+    * (core/src/main/scala/com/salesforce/op/stages/impl/regression/
+    * IsotonicRegressionCalibrator.scala) with a SQL-replayable answer.
+    *
+    * Scale: O(n_k^2) pairs per key, which is the right shape because a
+    * calibration fit's input is an already-aggregated (bucket, rate)
+    * curve — n_k is score-bucket-bounded (<= a few hundred), never raw
+    * rows; the 100 TB work happens in the upstream groupBy that builds
+    * the curve. Emits (key, idx, ord, y, fitted), fitted nondecreasing
+    * in idx. */
+  def isotonicPava(df: DataFrame, key: Column, ord: Column, y: Column)
+    : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(key.as("key"), ord.as("ord"),
+        y.cast("decimal(25,6)").as("y"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("pre", sum(col("y")).over(w))
+    // pair frame (j <= k) with the exact segment mean A(j,k)
+    val lo = base.select(col("key"), col("idx").as("j"),
+      (col("pre") - col("y")).as("pj")) // prefix BEFORE j
+    val hi = base.select(col("key"), col("idx").as("k"), col("pre").as("pk"))
+    val pairs = lo.join(hi, Seq("key")).where(col("j") <= col("k"))
+      .withColumn("avg", (col("pk") - col("pj")).cast("double") /
+        (col("k") - col("j") + lit(1)).cast("double"))
+    val wrev = Window.partitionBy(col("key"), col("j"))
+      .orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pairs.withColumn("mrev", min(col("avg")).over(wrev))
+      .groupBy(col("key"), col("k").as("idx"))
+      .agg(max(col("mrev")).as("fitted"))
+    base.join(fit, Seq("key", "idx"))
+      .select(col("key"), col("idx"), col("ord"),
+        round(col("y").cast("double"), 6).as("y"),
+        round(col("fitted"), 6).as("fitted"))
+  }
 }

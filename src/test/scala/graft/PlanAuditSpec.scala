@@ -287,7 +287,14 @@ class PlanAuditSpec extends SparkSpec {
     // q401: the method-of-moments Beta prior is ONE sufficient-stats row
     // (from the bounded brand frame) crossJoin-broadcast into the
     // per-brand readout — q139/q198's shape
-    "q401_eb_shrinkage")
+    "q401_eb_shrinkage",
+    // q461: the BH step-up runs entirely on the 35-row hypothesis frame
+    // (5 event types x 7 weekdays, an aggregation output): the rank
+    // self-join is a broadcast over those 35 rows and the k-max
+    // threshold is a 1-row frame crossJoin-broadcast — q198's
+    // sufficient-stats shape; the raw events reduce in the first
+    // groupBy and never see a window or nested loop
+    "q461_bh_fdr")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
