@@ -745,4 +745,46 @@ object Graph {
     e.unpersist(blocking = false)
     known
   }
+
+  /** All-pairs hop distances on a BOUNDED entity graph: every node
+    * seeds its own BFS, carried as a source tag, so one co-partitioned
+    * (state ⋈ edges) join + one min-groupBy per round relaxes all
+    * sources at once — [[shortestPaths]] with the source in the key.
+    *
+    * Scale contract: the state is Θ(V²) rows by definition of
+    * all-pairs, so this runs on AGGREGATED entity graphs (nations,
+    * categories, data centers — V in the thousands), never on raw-key
+    * graphs; the 100 TB work is the upstream edge rollup that built the
+    * entity graph. For V where V² breaks, closeness needs sampling or
+    * hyperball sketches, which change the answer — this operator is the
+    * exact small-V primitive. Emits (s, node, dist) for each reached
+    * pair within `maxHops` (including the reflexive dist-0 row). */
+  def allPairsDistances(edges: DataFrame, src: Column, dst: Column,
+                        maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(src.as("esrc"), dst.as("edst")).distinct()
+      .repartition(col("esrc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("esrc").as("node"))
+      .unionByName(e.select(col("edst").as("node"))).distinct()
+    var best = nodes.select(col("node").as("s"), col("node"),
+        lit(0L).as("dist"))
+      .localCheckpoint(false)
+    best.count()
+    var bestCp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(best)
+    for (_ <- 1 to maxHops) {
+      val relaxed = best.join(e, col("node") === col("esrc"))
+        .select(col("s"), col("edst").as("node"),
+          (col("dist") + lit(1L)).as("dist"))
+      val merged = best.unionByName(relaxed)
+        .groupBy(col("s"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+      merged.count()
+      bestCp.foreach(_.unpersist(blocking = false))
+      bestCp = checkpointedRdd(merged)
+      best = merged
+    }
+    e.unpersist(blocking = false)
+    best
+  }
 }

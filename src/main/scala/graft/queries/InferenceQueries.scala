@@ -210,6 +210,141 @@ object InferenceQueries {
       rr.select(col("key").as("event_type"), col("r1"), col("r2"),
         round(col("r1") * (lit(1.0) - col("r2")) / den, 6).as("phi1"),
         round((col("r2") - col("r1") * col("r1")) / den, 6).as("phi2"))
+    }),
+
+    // Breusch-Pagan heteroskedasticity test per series: regress the
+    // SQUARED OLS residuals back on x and report n*R² of the auxiliary
+    // fit. Residuals come off the shared rounded (a,b); each auxiliary
+    // sufficient stat crosses into DECIMAL so the sums are order-free
+    "q465_breusch_pagan" -> ((s, d) => {
+      val z = (col("e") * col("e")).as("z")
+      val r = olsFit(dailySpend(s, d)).select(col("key"), col("x"), z)
+      val t = r.groupBy(col("key")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("z").cast("decimal(32,12)")).as("sz"),
+        sum((col("x").cast("double") * col("z")).cast("decimal(32,10)"))
+          .as("sxz"),
+        sum((col("z") * col("z")).cast("decimal(38,8)")).as("szz"))
+      val nd = col("n").cast("double"); val sxd = col("sx").cast("double")
+      val szd = col("sz").cast("double")
+      val num = nd * col("sxz").cast("double") - sxd * szd
+      val denx = nd * col("sxx").cast("double") - sxd * sxd
+      val denz = nd * col("szz").cast("double") - szd * szd
+      val r2 = num * num / (denx * denz)
+      t.select(col("key").as("event_type"), col("n"),
+        round(r2, 6).as("r2_aux"), round(nd * r2, 6).as("bp"))
+    }),
+
+    // first-order Markov removal-effect attribution over per-user
+    // channel journeys (truncated at first purchase): transition
+    // probabilities, 12 unrolled absorption steps for the base chain
+    // and for each remove-one-channel chain, removal effect
+    // 1 - P(conv|without c)/P(conv), normalized to shares. Mass is
+    // re-quantized to DECIMAL(14,12) every step so the engines walk
+    // identical numbers; the only row-scaled work is the transition
+    // groupBy — everything after runs on the (channels+3)² frame
+    "q466_markov_removal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = s; import sess.implicits._
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+        col("event_id"))
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")).as("state"))
+      val kept = ev.withColumn("cb", coalesce(
+          sum(when(col("state") === "CONV", 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+        .where(col("cb") === 0)
+      val wDesc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val trans = kept.select(
+        coalesce(lag(col("state"), 1).over(w), lit("START")).as("f"),
+        col("state").as("t"))
+      val ends = kept.withColumn("rn", row_number().over(wDesc))
+        .where(col("rn") === 1 && col("state") =!= "CONV")
+        .select(col("state").as("f"), lit("END").as("t"))
+      val tc = trans.unionByName(ends)
+        .groupBy(col("f"), col("t")).agg(count(lit(1)).as("cnt"))
+      val channels = Seq("click", "error", "signup", "view")
+      val scenarios = "base" +: channels
+      val ec = scenarios.map { scn =>
+        val redirected =
+          (if (scn == "base") tc else tc.where(col("f") =!= scn))
+            .withColumn("t2",
+              when(col("t") === scn, lit("END")).otherwise(col("t")))
+        redirected.groupBy(col("f"), col("t2").as("t"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .select(lit(scn).as("scn"), col("f"), col("t"), col("cnt"))
+      }.reduce(_ unionByName _)
+      val wf = Window.partitionBy(col("scn"), col("f"))
+      val absorbers = scenarios
+        .flatMap(scn => Seq((scn, "CONV", "CONV"), (scn, "END", "END")))
+        .toDF("scn", "f", "t")
+        .select(col("scn"), col("f"), col("t"),
+          lit(1.0).cast("decimal(8,6)").as("p"))
+      val pm = ec.select(col("scn"), col("f"), col("t"),
+          round(col("cnt").cast("double") / sum(col("cnt")).over(wf), 6)
+            .cast("decimal(8,6)").as("p"))
+        .unionByName(absorbers)
+      var v = scenarios.toDF("scn")
+        .select(col("scn"), lit("START").as("f"),
+          lit(1.0).cast("decimal(14,12)").as("mass"))
+      for (_ <- 1 to 12) {
+        v = v.join(pm, Seq("scn", "f"))
+          .groupBy(col("scn"), col("t"))
+          .agg(round(sum(col("mass") * col("p")), 12)
+            .cast("decimal(14,12)").as("mass"))
+          .select(col("scn"), col("t").as("f"), col("mass"))
+      }
+      val pc = v.where(col("f") === "CONV")
+        .select(col("scn"), col("mass").cast("double").as("pconv"))
+      val base = pc.where(col("scn") === "base")
+        .select(col("pconv").as("pb"))
+      val re = pc.where(col("scn") =!= "base").crossJoin(broadcast(base))
+        .select(col("scn").as("channel"),
+          round(col("pb"), 6).as("p_conv_base"),
+          round(col("pconv"), 6).as("p_removed"),
+          round(lit(1.0) - col("pconv") / col("pb"), 6).as("removal_effect"))
+      val tot = re.agg(sum(col("removal_effect").cast("decimal(10,6)"))
+        .as("tot"))
+      re.crossJoin(broadcast(tot))
+        .select(col("channel"), col("p_conv_base"), col("p_removed"),
+          col("removal_effect"),
+          round(col("removal_effect") / col("tot").cast("double"), 6)
+            .as("share"))
+    }),
+
+    // harmonic closeness centrality on the nation trade graph (edge =
+    // customer-nation pairs with >= 280 trades): all-pairs BFS on the
+    // 25-node AGGREGATED entity graph — the rollup join is the only
+    // row-scaled stage; 1/d terms quantize to DECIMAL(12,9) so the
+    // per-node sums are order-free
+    "q467_closeness_centrality" -> ((s, d) => {
+      val cnt = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+        .agg(count(lit(1)).as("n_trades"))
+        .where(col("n_trades") >= 280)
+      val edges = cnt.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(cnt.select(col("b").as("u"), col("a").as("v")))
+      val dists = graft.operators.Graph.allPairsDistances(edges,
+        col("u"), col("v"), maxHops = 4)
+      dists.groupBy(col("s").as("node"))
+        .agg(sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_reached"),
+          sum(col("dist")).as("sum_dist"),
+          round(sum(when(col("dist") > 0,
+            round(lit(1.0) / col("dist").cast("double"), 9)
+              .cast("decimal(12,9)"))).cast("double"), 6).as("harmonic"))
     })
   )
 
@@ -338,6 +473,127 @@ object InferenceQueries {
           SELECT key AS event_type, r1, r2,
                  ROUND(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) AS phi1,
                  ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS phi2
-          FROM pv"""
+          FROM pv""",
+
+    "q465_breusch_pagan" ->
+      s"""WITH $olsSql,
+          zt AS (SELECT key, x, e * e AS z FROM r),
+          ag AS (SELECT key, count(*) AS n, sum(x) AS sx,
+                   sum(x * x) AS sxx,
+                   sum(CAST(z AS DECIMAL(32,12))) AS sz,
+                   sum(CAST(CAST(x AS DOUBLE) * z AS DECIMAL(32,10))) AS sxz,
+                   sum(CAST(z * z AS DECIMAL(38,8))) AS szz
+                 FROM zt GROUP BY 1)
+          SELECT key AS event_type, n,
+                 ROUND(pow(CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE), 2)
+                   / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+                   AS r2_aux,
+                 ROUND(CAST(n AS DOUBLE)
+                   * (pow(CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE), 2)
+                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                            - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))), 6)
+                   AS bp
+          FROM ag""",
+
+    "q466_markov_removal" -> {
+      val steps = (1 to 12).map { r =>
+        s"""v$r AS (SELECT v.scn, p.t AS f,
+                 CAST(ROUND(sum(v.mass * p.p), 12) AS DECIMAL(14,12)) AS mass
+               FROM v${r - 1} v JOIN pm p
+                 ON v.scn = p.scn AND v.f = p.f
+               GROUP BY 1, 2)"""
+      }.mkString(",\n          ")
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 'CONV'
+                      ELSE event_type END AS state
+               FROM events),
+          k AS (SELECT user_id, ts, event_id, state,
+                  coalesce(sum(CASE WHEN state = 'CONV' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cb
+                FROM ev),
+          ke AS (SELECT * FROM k WHERE cb = 0),
+          tr AS (SELECT coalesce(lag(state, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id), 'START') AS f,
+                   state AS t
+                 FROM ke),
+          en AS (SELECT state AS f, 'END' AS t
+                 FROM (SELECT state, row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM ke) le
+                 WHERE rn = 1 AND state <> 'CONV'),
+          tc AS (SELECT f, t, count(*) AS cnt
+                 FROM (SELECT * FROM tr UNION ALL SELECT * FROM en) u
+                 GROUP BY 1, 2),
+          sc AS (SELECT * FROM (VALUES ('base'), ('click'), ('error'),
+                   ('signup'), ('view')) s(scn)),
+          ec AS (SELECT scn, f,
+                   CASE WHEN t = scn THEN 'END' ELSE t END AS t,
+                   sum(cnt) AS cnt
+                 FROM sc, tc WHERE f <> scn GROUP BY 1, 2, 3),
+          pm AS (SELECT scn, f, t,
+                   CAST(ROUND(CAST(cnt AS DOUBLE)
+                     / sum(cnt) OVER (PARTITION BY scn, f), 6)
+                     AS DECIMAL(8,6)) AS p
+                 FROM ec
+                 UNION ALL
+                 SELECT scn, ab.s, ab.s, CAST(1.0 AS DECIMAL(8,6))
+                 FROM sc, (VALUES ('CONV'), ('END')) ab(s)),
+          v0 AS (SELECT scn, 'START' AS f, CAST(1.0 AS DECIMAL(14,12)) AS mass
+                 FROM sc),
+          $steps,
+          pc AS (SELECT scn, CAST(mass AS DOUBLE) AS pconv
+                 FROM v12 WHERE f = 'CONV'),
+          bs AS (SELECT pconv AS pb FROM pc WHERE scn = 'base'),
+          re AS (SELECT scn AS channel, ROUND(pb, 6) AS p_conv_base,
+                   ROUND(pconv, 6) AS p_removed,
+                   ROUND(1.0 - pconv / pb, 6) AS removal_effect
+                 FROM pc, bs WHERE scn <> 'base'),
+          tt AS (SELECT sum(CAST(removal_effect AS DECIMAL(10,6))) AS tot
+                 FROM re)
+          SELECT channel, p_conv_base, p_removed, removal_effect,
+                 ROUND(removal_effect / CAST(tot AS DOUBLE), 6) AS share
+          FROM re, tt"""
+    },
+
+    "q467_closeness_centrality" ->
+      """WITH RECURSIVE
+          cnts AS (SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+                     greatest(c.c_nationkey, s.s_nationkey) AS b,
+                     count(*) AS n_trades
+                   FROM lineitem l
+                   JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+                   JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   WHERE c.c_nationkey <> s.s_nationkey
+                   GROUP BY 1, 2
+                   HAVING count(*) >= 280),
+          e AS (SELECT a AS u, b AS v FROM cnts
+                UNION ALL SELECT b, a FROM cnts),
+          nodes AS (SELECT DISTINCT u AS node FROM e),
+          walk(s, node, dist) AS (
+            SELECT node, node, CAST(0 AS BIGINT) FROM nodes
+            UNION
+            SELECT w.s, e.v, w.dist + 1
+            FROM walk w JOIN e ON w.node = e.u
+            WHERE w.dist < 4),
+          md AS (SELECT s, node, min(dist) AS dist
+                 FROM walk GROUP BY 1, 2)
+          SELECT s AS node,
+                 CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_reached,
+                 CAST(sum(dist) AS BIGINT) AS sum_dist,
+                 ROUND(CAST(sum(CASE WHEN dist > 0 THEN
+                     CAST(ROUND(1.0 / dist, 9) AS DECIMAL(12,9)) END)
+                   AS DOUBLE), 6) AS harmonic
+          FROM md GROUP BY 1"""
   )
 }

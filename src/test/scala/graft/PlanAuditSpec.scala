@@ -294,7 +294,12 @@ class PlanAuditSpec extends SparkSpec {
     // threshold is a 1-row frame crossJoin-broadcast — q198's
     // sufficient-stats shape; the raw events reduce in the first
     // groupBy and never see a window or nested loop
-    "q461_bh_fdr")
+    "q461_bh_fdr",
+    // q466: after the transition groupBy reduces the events to the
+    // (channels+3)² chain frame, the base-conversion scalar and the
+    // removal-effect total are 1-row frames crossJoin-broadcast over
+    // the 4-channel readout — q198's sufficient-stats shape
+    "q466_markov_removal")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
