@@ -345,6 +345,119 @@ object InferenceQueries {
           round(sum(when(col("dist") > 0,
             round(lit(1.0) / col("dist").cast("double"), 9)
               .cast("decimal(12,9)"))).cast("double"), 6).as("harmonic"))
+    }),
+
+    // item-item collaborative filtering over brand co-purchases: cosine
+    // on the order-level co-occurrence counts, top-3 neighbors per
+    // brand. Vocabulary-bounded: the pair frame is (distinct brands)²
+    // after the basket rollup, and the rank window partitions on the
+    // brand — the CF shape that holds when baskets are 100 TB
+    "q468_item_cf_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pres = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val n = pres.groupBy(col("brand")).agg(count(lit(1)).as("n_orders"))
+      val co = pres.as("x").join(pres.as("y"), Seq("ok"))
+        .where(col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("ba"), col("y.brand").as("bb"))
+        .agg(count(lit(1)).as("c"))
+      val sym = co.select(col("ba"), col("bb"), col("c"))
+        .unionByName(co.select(col("bb").as("ba"), col("ba").as("bb"), col("c")))
+      val scored = sym
+        .join(broadcast(n.select(col("brand").as("ba"), col("n_orders").as("na"))), Seq("ba"))
+        .join(broadcast(n.select(col("brand").as("bb"), col("n_orders").as("nb"))), Seq("bb"))
+        .select(col("ba").as("brand"), col("bb").as("neighbor"),
+          round(col("c").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+            .as("cosine"))
+      val wr = Window.partitionBy(col("brand"))
+        .orderBy(col("cosine").desc, col("neighbor"))
+      scored.withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rank") <= 3)
+    }),
+
+    // blocked sorted-neighborhood ER candidate generation: within each
+    // market-segment block, order by the fuzzy key (coarse balance
+    // band, then key), slide a w=3 window, and emit candidate pairs
+    // with the agreement flag. The sort is per block — the window
+    // partitions on the segment, so the pass range-partitions at scale
+    "q469_sorted_neighborhood" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"),
+        floor(col("c_acctbal").cast("decimal(12,2)") / lit(100)).as("band"))
+      val wseg = Window.partitionBy(col("seg"))
+        .orderBy(col("band"), col("c_custkey"))
+      val rn = c.withColumn("rn", row_number().over(wseg).cast("long"))
+      val a = rn.select(col("seg"), col("rn").as("ra"),
+        col("c_custkey").as("key_a"), col("nat").as("nat_a"),
+        col("bal").as("bal_a"))
+      val b = rn.select(col("seg"), col("rn").as("rb"),
+        col("c_custkey").as("key_b"), col("nat").as("nat_b"),
+        col("bal").as("bal_b"))
+      a.join(b, Seq("seg"))
+        .where(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= 3)
+        .select(col("seg"), col("key_a"), col("key_b"),
+          (col("rb") - col("ra")).as("w_dist"),
+          (col("nat_a") === col("nat_b") &&
+            abs(col("bal_a") - col("bal_b")) <= lit(50)).cast("int")
+            .as("is_match"))
+    }),
+
+    // differentially-private style noisy count release per (nation,
+    // segment): Laplace(1) noise from an md5-seeded inverse-CDF draw —
+    // the noise is a pure row-local expression, so the release costs
+    // one aggregation at any scale (n_true rides along only for the
+    // gate; a real release drops it)
+    "q470_dp_laplace_release" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_true"))
+      val u = (pmod(hash60(concat_ws(":", lit("dp"), col("nation"),
+          col("seg"))), lit(1000000L)).cast("double") + lit(0.5)) /
+        lit(1000000.0) - lit(0.5)
+      g.withColumn("noise", round(
+          -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)), 6))
+        .select(col("nation"), col("seg"), col("n_true"),
+          col("noise"),
+          round(col("n_true").cast("double") + col("noise"), 6)
+            .as("n_noisy"))
+    }),
+
+    // survival concordance (c-index) per nation: order-span lifetime,
+    // churn event = any 'F' order, risk score = account balance;
+    // comparable pairs (t_i < t_j, i churned), concordant when the
+    // shorter-lived customer carries the higher score. Pairs block on
+    // the nation after the per-customer rollup — the O(pairs) frame is
+    // entity-bounded, never raw-order-scaled
+    "q471_cindex" -> ((s, d) => {
+      val life = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+          .cast("long").as("t"),
+          max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("ev"))
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey").as("nat"),
+          col("c_acctbal").cast("decimal(12,2)").as("score"))
+        .join(life, col("c_custkey") === col("o_custkey"))
+      def side(t: String) = c.select(col("nat"),
+        col("c_custkey").as(s"k$t"), col("t").as(s"t$t"),
+        col("ev").as(s"ev$t"), col("score").as(s"s$t"))
+      val pairs = side("a").join(side("b"), Seq("nat"))
+        .where(col("ta") < col("tb") && col("eva") === 1)
+      pairs.groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_comparable"),
+          sum(when(col("sa") > col("sb"), 1L).otherwise(0L)).as("n_conc"),
+          sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("n_tie"))
+        .select(col("nat").as("nation"), col("n_comparable"),
+          col("n_conc"), col("n_tie"),
+          round((col("n_conc").cast("double") +
+            lit(0.5) * col("n_tie").cast("double")) /
+            col("n_comparable").cast("double"), 6).as("c_index"))
     })
   )
 
@@ -594,6 +707,82 @@ object InferenceQueries {
                  ROUND(CAST(sum(CASE WHEN dist > 0 THEN
                      CAST(ROUND(1.0 / dist, 9) AS DECIMAL(12,9)) END)
                    AS DOUBLE), 6) AS harmonic
-          FROM md GROUP BY 1"""
+          FROM md GROUP BY 1""",
+
+    "q468_item_cf_topk" ->
+      """WITH pres AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+                       FROM lineitem JOIN part ON l_partkey = p_partkey),
+          n AS (SELECT brand, count(*) AS n_orders FROM pres GROUP BY 1),
+          co AS (SELECT x.brand AS ba, y.brand AS bb, count(*) AS c
+                 FROM pres x JOIN pres y ON x.ok = y.ok
+                 WHERE x.brand < y.brand GROUP BY 1, 2),
+          sym AS (SELECT ba, bb, c FROM co
+                  UNION ALL SELECT bb, ba, c FROM co),
+          sc AS (SELECT sym.ba AS brand, sym.bb AS neighbor,
+                   ROUND(CAST(c AS DOUBLE)
+                     / sqrt(CAST(na.n_orders AS DOUBLE)
+                            * CAST(nb.n_orders AS DOUBLE)), 6) AS cosine
+                 FROM sym
+                 JOIN n na ON sym.ba = na.brand
+                 JOIN n nb ON sym.bb = nb.brand),
+          rk AS (SELECT brand, neighbor, cosine,
+                   row_number() OVER (PARTITION BY brand
+                     ORDER BY cosine DESC, neighbor) AS rank
+                 FROM sc)
+          SELECT brand, neighbor, cosine, CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= 3""",
+
+    "q469_sorted_neighborhood" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+                      c_nationkey AS nat,
+                      CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+                      floor(CAST(c_acctbal AS DECIMAL(12,2)) / 100) AS band
+                    FROM customer),
+          rn AS (SELECT *, CAST(row_number() OVER (PARTITION BY seg
+                   ORDER BY band, c_custkey) AS BIGINT) AS rn
+                 FROM c)
+          SELECT a.seg, a.c_custkey AS key_a, b.c_custkey AS key_b,
+                 b.rn - a.rn AS w_dist,
+                 CAST(a.nat = b.nat AND abs(a.bal - b.bal) <= 50 AS INT)
+                   AS is_match
+          FROM rn a JOIN rn b
+            ON a.seg = b.seg AND b.rn - a.rn BETWEEN 1 AND 3""",
+
+    "q470_dp_laplace_release" ->
+      s"""WITH g AS (SELECT c_nationkey AS nation, c_mktsegment AS seg,
+                 count(*) AS n_true
+               FROM customer GROUP BY 1, 2),
+          u AS (SELECT nation, seg, n_true,
+                  (CAST(${H60("'dp:' || CAST(nation AS VARCHAR) || ':' || seg")}
+                     % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS uu
+                FROM g)
+          SELECT nation, seg, n_true,
+                 ROUND(-sign(uu) * ln(1.0 - 2.0 * abs(uu)), 6) AS noise,
+                 ROUND(CAST(n_true AS DOUBLE)
+                   + ROUND(-sign(uu) * ln(1.0 - 2.0 * abs(uu)), 6), 6)
+                   AS n_noisy
+          FROM u""",
+
+    "q471_cindex" ->
+      """WITH life AS (SELECT o_custkey,
+                 CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                   CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS t,
+                 max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev
+               FROM orders GROUP BY 1),
+          c AS (SELECT c_nationkey AS nat, c_custkey,
+                  CAST(c_acctbal AS DECIMAL(12,2)) AS score, t, ev
+                FROM customer JOIN life ON c_custkey = o_custkey),
+          p AS (SELECT a.nat, a.score AS sa, b.score AS sb
+                FROM c a JOIN c b
+                  ON a.nat = b.nat AND a.t < b.t AND a.ev = 1)
+          SELECT nat AS nation, count(*) AS n_comparable,
+                 CAST(sum(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_conc,
+                 CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tie,
+                 ROUND((CAST(sum(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS DOUBLE)
+                        + 0.5 * sum(CASE WHEN sa = sb THEN 1 ELSE 0 END))
+                   / count(*), 6) AS c_index
+          FROM p GROUP BY 1"""
   )
 }
