@@ -458,6 +458,141 @@ object InferenceQueries {
           round((col("n_conc").cast("double") +
             lit(0.5) * col("n_tie").cast("double")) /
             col("n_comparable").cast("double"), 6).as("c_index"))
+    }),
+
+    // Needleman-Wunsch global alignment score over probe-document token
+    // sequences (match +2, mismatch/gap -1): the same row-local nested
+    // DP fold as q454's DTW — one row of the matrix alive at a time,
+    // all work inside a single projection, pairs from a bounded probe
+    // set. Tokens pre-hash to 1e9 buckets so the fold carries doubles
+    // whose integer values stay IEEE-exact in both engines
+    "q472_needleman_wunsch" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .where(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), slice(split(lower(trim(col("text"))),
+          "\\s+"), 1, 25).as("raw"))
+        .where(size(col("raw")) > 0)
+        .select(col("doc_id"), transform(col("raw"),
+          t => pmod(hash60(t), lit(1000000000L)).cast("double")).as("xs"))
+      val a = toks.select(col("doc_id").as("doc_a"), col("xs").as("xa"))
+      val b = toks.select(col("doc_id").as("doc_b"), col("xs").as("xb"))
+      val prs = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+      val xa = col("xa"); val xb = col("xb")
+      val initRow = concat(array(lit(0.0)),
+        transform(xb, (x, j) => (lit(0) - (j + lit(1))).cast("double")))
+      val folded = aggregate(xa, initRow, (prev, av) =>
+        aggregate(xb, array(element_at(prev, 1) - lit(1.0)), (cur, bv) => {
+          val j = size(cur)
+          concat(cur, array(greatest(
+            element_at(prev, j) +
+              when(av === bv, lit(2.0)).otherwise(lit(-1.0)),
+            element_at(prev, j + 1) - lit(1.0),
+            element_at(cur, j) - lit(1.0))))
+        }))
+      prs.withColumn("score", element_at(folded, size(xb) + 1))
+        .select(col("doc_a"), col("doc_b"),
+          size(col("xa")).cast("long").as("n_a"),
+          size(col("xb")).cast("long").as("n_b"),
+          col("score").cast("long").as("nw_score"),
+          round(col("score") /
+            greatest(size(col("xa")), size(col("xb"))).cast("double"), 6)
+            .as("nw_norm"))
+    }),
+
+    // seasonal-hybrid ESD anomaly rounds: deseasonalize daily spend by
+    // the per-weekday median, then 3 unrolled ESD rounds — each removes
+    // the largest |deviation| point and reports its Grubbs-style G
+    // against the fixed 2.0 alarm line. Every stats pass is a per-key
+    // groupBy over exact decimal sums; the argmax is a window
+    // partitioned on the series key
+    "q473_shesd_anomaly" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"),
+        pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).as("dow"),
+        col("spend").cast("double").as("y"))
+      val med = daily.groupBy(col("key"), col("dow"))
+        .agg(percentile(col("y"), lit(0.5)).as("med"))
+      var cur = daily.join(broadcast(med), Seq("key", "dow"))
+        .select(col("key"), col("day"), round(col("y") - col("med"), 6)
+          .as("rd"))
+      val out = (1 to 3).map { r =>
+        val st = cur.groupBy(col("key")).agg(count(lit(1)).as("n"),
+          sum(col("rd").cast("decimal(20,6)")).as("sm"),
+          sum((col("rd") * col("rd")).cast("decimal(30,12)")).as("sq"))
+        val nd = col("n").cast("double")
+        val mean = col("sm").cast("double") / nd
+        val sd = sqrt((col("sq").cast("double") - nd * mean * mean) /
+          (nd - lit(1.0)))
+        val scored = cur.join(broadcast(
+            st.select(col("key"), mean.as("mu"), sd.as("sd"))), Seq("key"))
+          .withColumn("dev", abs(col("rd") - col("mu")))
+        val wk = Window.partitionBy(col("key"))
+          .orderBy(col("dev").desc, col("day"))
+        val ranked = scored.withColumn("rn", row_number().over(wk))
+        val flagged = ranked.where(col("rn") === 1)
+          .select(col("key").as("event_type"), lit(r).as("esd_round"),
+            col("day").cast("string").as("day"),
+            round(col("dev") / col("sd"), 6).as("g"),
+            (col("dev") / col("sd") > lit(2.0)).cast("int").as("fired"))
+        cur = ranked.where(col("rn") > 1)
+          .select(col("key"), col("day"), col("rd"))
+        flagged
+      }.reduce(_ unionByName _)
+      out
+    }),
+
+    // hierarchical forecast reconciliation: naive-drift next-month
+    // forecast per NATION (bottom-up) vs the REGION drift forecast
+    // allocated top-down by historical revenue share — the coherence
+    // check every rollup forecast pipeline reports. One monthly rollup
+    // feeds both levels; drift forecasts are closed forms over exact
+    // decimal month sums
+    "q474_forecast_reconcile" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_nationkey").as("nation"),
+          col("n_regionkey").as("region"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mi"),
+          col("o_totalprice").cast("decimal(18,2)").as("rev"))
+      val natM = rev.groupBy(col("nation"), col("region"), col("mi"))
+        .agg(sum(col("rev")).as("m_rev"))
+      def drift(df: DataFrame, keys: Seq[String]): DataFrame = {
+        val g = df.groupBy(keys.map(col): _*)
+          .agg(min_by(col("m_rev"), col("mi")).as("first_rev"),
+            max_by(col("m_rev"), col("mi")).as("last_rev"),
+            min(col("mi")).as("mi0"), max(col("mi")).as("mi1"))
+        g.withColumn("fc",
+          col("last_rev").cast("double") +
+            (col("last_rev").cast("double") - col("first_rev").cast("double")) /
+            (col("mi1") - col("mi0")).cast("double"))
+      }
+      val natF = drift(natM, Seq("nation", "region"))
+        .select(col("nation"), col("region"), col("fc").as("f_bu"))
+      val regM = natM.groupBy(col("region"), col("mi"))
+        .agg(sum(col("m_rev")).as("m_rev"))
+      val regF = drift(regM, Seq("region"))
+        .select(col("region"), col("fc").as("f_reg"))
+      val natT = natM.groupBy(col("nation"))
+        .agg(sum(col("m_rev")).as("tot_n"))
+      val regT = regM.groupBy(col("region"))
+        .agg(sum(col("m_rev")).as("tot_r"))
+      natF.join(natT, Seq("nation"))
+        .join(broadcast(regF), Seq("region"))
+        .join(broadcast(regT), Seq("region"))
+        .select(col("nation"), col("region"),
+          round(col("f_bu"), 6).as("f_bu"),
+          round(col("tot_n").cast("double") / col("tot_r").cast("double"), 6)
+            .as("share"),
+          round(col("f_reg") *
+            (col("tot_n").cast("double") / col("tot_r").cast("double")), 6)
+            .as("f_td"))
     })
   )
 
@@ -783,6 +918,121 @@ object InferenceQueries {
                  ROUND((CAST(sum(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS DOUBLE)
                         + 0.5 * sum(CASE WHEN sa = sb THEN 1 ELSE 0 END))
                    / count(*), 6) AS c_index
-          FROM p GROUP BY 1"""
+          FROM p GROUP BY 1""",
+
+    "q472_needleman_wunsch" ->
+      s"""WITH toks AS (SELECT doc_id,
+                 list_transform(
+                   regexp_split_to_array(lower(trim(text)), '\\s+')[1:25],
+                   t -> CAST(${H60("t")} % 1000000000 AS DOUBLE)) AS xs
+               FROM documents
+               WHERE doc_id % 37 = 0
+                 AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0),
+          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.xs AS xa, b.xs AS xb
+                 FROM toks a JOIN toks b ON a.doc_id < b.doc_id),
+          fl AS (SELECT doc_a, doc_b, len(xa) AS na, len(xb) AS nb,
+                   list_reduce(
+                     list_prepend(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                         [CAST(-i AS DOUBLE) for i in range(1, len(xb) + 1)]),
+                       list_transform(xa, a -> [a])),
+                     (acc, e) -> list_reduce(
+                       list_prepend([acc[1] - 1.0],
+                         list_transform(xb, b -> [b])),
+                       (cur, eb) -> list_append(cur,
+                         greatest(
+                           acc[len(cur)] + CASE WHEN e[1] = eb[1]
+                             THEN 2.0 ELSE -1.0 END,
+                           acc[len(cur) + 1] - 1.0,
+                           cur[len(cur)] - 1.0)))) AS row_
+                 FROM pr)
+          SELECT doc_a, doc_b, CAST(na AS BIGINT) AS n_a,
+                 CAST(nb AS BIGINT) AS n_b,
+                 CAST(row_[CAST(nb + 1 AS INT)] AS BIGINT) AS nw_score,
+                 ROUND(row_[CAST(nb + 1 AS INT)]
+                   / CAST(greatest(na, nb) AS DOUBLE), 6) AS nw_norm
+          FROM fl""",
+
+    "q473_shesd_anomaly" -> {
+      def esdRound(r: Int): String =
+        s"""st$r AS (SELECT key, count(*) AS n,
+                 sum(CAST(rd AS DECIMAL(20,6))) AS sm,
+                 sum(CAST(rd * rd AS DECIMAL(30,12))) AS sq
+               FROM cur${r - 1} GROUP BY 1),
+            ms$r AS (SELECT key,
+                 CAST(sm AS DOUBLE) / n AS mu,
+                 sqrt((CAST(sq AS DOUBLE)
+                   - n * (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))
+                   / (n - 1.0)) AS sd
+               FROM st$r),
+            rk$r AS (SELECT c.key, c.day, c.rd,
+                 abs(c.rd - m.mu) AS dev, m.sd,
+                 row_number() OVER (PARTITION BY c.key
+                   ORDER BY abs(c.rd - m.mu) DESC, c.day) AS rn
+               FROM cur${r - 1} c JOIN ms$r m ON c.key = m.key),
+            fl$r AS (SELECT key AS event_type, $r AS esd_round,
+                 CAST(day AS VARCHAR) AS day,
+                 ROUND(dev / sd, 6) AS g,
+                 CAST(dev / sd > 2.0 AS INT) AS fired
+               FROM rk$r WHERE rn = 1),
+            cur$r AS (SELECT key, day, rd FROM rk$r WHERE rn > 1)"""
+      s"""WITH s AS ($dailySql),
+          daily AS (SELECT key, day,
+                 (day - DATE '1970-01-01') % 7 AS dow,
+                 CAST(y AS DOUBLE) AS y
+               FROM s),
+          med AS (SELECT key, dow, median(y) AS med
+                  FROM daily GROUP BY 1, 2),
+          cur0 AS (SELECT d.key, d.day, ROUND(d.y - m.med, 6) AS rd
+                   FROM daily d JOIN med m
+                     ON d.key = m.key AND d.dow = m.dow),
+          ${esdRound(1)},
+          ${esdRound(2)},
+          ${esdRound(3)}
+          SELECT * FROM fl1
+          UNION ALL SELECT * FROM fl2
+          UNION ALL SELECT * FROM fl3"""
+    },
+
+    "q474_forecast_reconcile" ->
+      """WITH rev AS (SELECT c.c_nationkey AS nation,
+                 n.n_regionkey AS region,
+                 CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                   AS BIGINT) AS mi,
+                 CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+               FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey),
+          natm AS (SELECT nation, region, mi, sum(rev) AS m_rev
+                   FROM rev GROUP BY 1, 2, 3),
+          natf AS (SELECT nation, region,
+                 CAST(max_by(m_rev, mi) AS DOUBLE)
+                 + (CAST(max_by(m_rev, mi) AS DOUBLE)
+                    - CAST(min_by(m_rev, mi) AS DOUBLE))
+                   / CAST(max(mi) - min(mi) AS DOUBLE) AS f_bu
+               FROM natm GROUP BY 1, 2),
+          regm AS (SELECT region, mi, sum(m_rev) AS m_rev
+                   FROM natm GROUP BY 1, 2),
+          regf AS (SELECT region,
+                 CAST(max_by(m_rev, mi) AS DOUBLE)
+                 + (CAST(max_by(m_rev, mi) AS DOUBLE)
+                    - CAST(min_by(m_rev, mi) AS DOUBLE))
+                   / CAST(max(mi) - min(mi) AS DOUBLE) AS f_reg
+               FROM regm GROUP BY 1),
+          natt AS (SELECT nation, sum(m_rev) AS tot_n
+                   FROM natm GROUP BY 1),
+          regt AS (SELECT region, sum(m_rev) AS tot_r
+                   FROM regm GROUP BY 1)
+          SELECT natf.nation, natf.region,
+                 ROUND(f_bu, 6) AS f_bu,
+                 ROUND(CAST(tot_n AS DOUBLE) / CAST(tot_r AS DOUBLE), 6)
+                   AS share,
+                 ROUND(f_reg * (CAST(tot_n AS DOUBLE)
+                   / CAST(tot_r AS DOUBLE)), 6) AS f_td
+          FROM natf
+          JOIN natt ON natf.nation = natt.nation
+          JOIN regf ON natf.region = regf.region
+          JOIN regt ON natf.region = regt.region"""
   )
 }

@@ -345,7 +345,11 @@ class PlanAuditSpec extends SparkSpec {
     // q382 evaluates every zone against the bounded month-predicate
     // dimension (<= data-span months, ~100 rows broadcast) — the zone
     // stream stays distributed, so the BNLJ is a tiny-broadcast scan
-    "q382_zonemap_audit")
+    "q382_zonemap_audit",
+    // q472: the alignment pair frame crosses the BOUNDED probe set
+    // (doc_id % 37, ~1/37th of docs capped by the broadcast threshold)
+    // with itself — q454's tiny-grid shape; the DP fold is row-local
+    "q472_needleman_wunsch")
 
   // Queries where a CartesianProduct is the algorithm, not an accident:
   // ALS recommendForAllUsers scores ALL user x item pairs by design —
