@@ -593,6 +593,108 @@ object InferenceQueries {
           round(col("f_reg") *
             (col("tot_n").cast("double") / col("tot_r").cast("double")), 6)
             .as("f_td"))
+    }),
+
+    // tokenizer fertility audit per language: whitespace words vs
+    // BPE-style pre-tokens vs characters — the tokens-per-word and
+    // chars-per-token ratios that decide how much of a 100 TB corpus a
+    // fixed token budget actually buys per language. One scan, all
+    // counters map-side
+    "q475_tokenizer_fertility" -> ((s, d) => {
+      import graft.functions.TextAnalysis
+      val t = Tables.documents(s, d).select(col("lang"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("words"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("toks"))
+      t.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          sum(col("words")).as("words"), sum(col("toks")).as("toks"))
+        .select(col("lang"), col("n_docs"), col("chars"), col("words"),
+          col("toks"),
+          round(col("toks").cast("double") / col("words").cast("double"), 6)
+            .as("fertility"),
+          round(col("chars").cast("double") / col("toks").cast("double"), 6)
+            .as("chars_per_tok"))
+    }),
+
+    // strongly connected components of the DIRECTED nation trade graph
+    // (edge a->b when customers of a bought >= 150 line items from
+    // suppliers of b): mutual forward/backward reachability from the
+    // same all-pairs BFS primitive, scc id = least mutual node. Runs on
+    // the aggregated entity graph — the rollup is the row-scaled stage
+    "q476_scc_mutual_reach" -> ((s, d) => {
+      val cnt = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+        .agg(count(lit(1)).as("n_trades"))
+        .where(col("n_trades") >= 150)
+      val fwd = graft.operators.Graph.allPairsDistances(cnt,
+        col("a"), col("b"), maxHops = 6)
+      val bwd = graft.operators.Graph.allPairsDistances(cnt,
+        col("b"), col("a"), maxHops = 6)
+      val mutual = fwd.select(col("s"), col("node"))
+        .join(bwd.select(col("s"), col("node")), Seq("s", "node"))
+      val sccOf = mutual.groupBy(col("s").as("node"))
+        .agg(min(col("node")).as("scc_id"))
+      val sizes = sccOf.groupBy(col("scc_id"))
+        .agg(count(lit(1)).as("scc_size"))
+      sccOf.join(sizes, Seq("scc_id"))
+        .select(col("node"), col("scc_id"), col("scc_size"))
+    }),
+
+    // sample-ratio-mismatch check per experiment stratum: md5-seeded
+    // 50/50 assignment of orders, goodness-of-fit chi-square of the
+    // observed split per market segment, alarm over the 3.84 line (the
+    // first thing to audit before reading any A/B metric)
+    "q477_srm_check" -> ((s, d) => {
+      val a = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"),
+          pmod(hash60(concat(lit("srm:"), col("o_orderkey"))), lit(2L))
+            .as("arm"))
+      val g = a.groupBy(col("seg"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      val e = (col("n0") + col("n1")).cast("double") / lit(2.0)
+      val chi = (col("n0").cast("double") - e) * (col("n0").cast("double") - e) / e +
+        (col("n1").cast("double") - e) * (col("n1").cast("double") - e) / e
+      g.select(col("seg"), col("n0"), col("n1"),
+        round(chi, 6).as("chi2"),
+        (chi > lit(3.84)).cast("int").as("srm_alarm"))
+    }),
+
+    // A/B power analysis per segment: required sample size per arm for
+    // a 5%-of-mean lift at alpha=.05 / power=.80 from the segment's own
+    // variance — n = 2 sigma^2 (z_a + z_b)^2 / delta^2, every moment an
+    // exact decimal sum
+    "q478_power_analysis" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_totalprice").cast("decimal(18,2)").as("v"))
+      val g = o.groupBy(col("seg")).agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"), sum(col("v") * col("v")).as("qv"))
+      val nd = col("n").cast("double")
+      val mean = col("sv").cast("double") / nd
+      val sig2 = (col("qv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double") / nd) /
+        (nd - lit(1.0))
+      val delta = lit(0.05) * mean
+      val zsum2 = lit(7.84) // (z_.05 + z_.20)^2 = (1.96+0.84)^2, fixed literal
+      g.select(col("seg"), col("n"), round(mean, 6).as("mean"),
+        round(sig2, 6).as("sigma2"),
+        ceil(lit(2.0) * sig2 * zsum2 / (delta * delta)).cast("long")
+          .as("n_required"))
     })
   )
 
@@ -1033,6 +1135,99 @@ object InferenceQueries {
           FROM natf
           JOIN natt ON natf.nation = natt.nation
           JOIN regf ON natf.region = regf.region
-          JOIN regt ON natf.region = regt.region"""
+          JOIN regt ON natf.region = regt.region""",
+
+    "q475_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang, n_chars,
+                 CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS words,
+                 CAST(len(regexp_extract_all(text,
+                   '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]')) AS BIGINT) AS toks
+               FROM documents)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS chars,
+                 CAST(sum(words) AS BIGINT) AS words,
+                 CAST(sum(toks) AS BIGINT) AS toks,
+                 ROUND(CAST(sum(toks) AS DOUBLE)
+                   / CAST(sum(words) AS DOUBLE), 6) AS fertility,
+                 ROUND(CAST(sum(n_chars) AS DOUBLE)
+                   / CAST(sum(toks) AS DOUBLE), 6) AS chars_per_tok
+          FROM t GROUP BY 1""",
+
+    "q476_scc_mutual_reach" ->
+      """WITH RECURSIVE
+          e AS (SELECT c.c_nationkey AS a, s.s_nationkey AS b
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 150),
+          nodes AS (SELECT DISTINCT a AS node FROM e
+                    UNION SELECT DISTINCT b FROM e),
+          fw(s, node, dist) AS (
+            SELECT node, node, 0 FROM nodes
+            UNION
+            SELECT w.s, e.b, w.dist + 1 FROM fw w JOIN e ON w.node = e.a
+            WHERE w.dist < 6),
+          bw(s, node, dist) AS (
+            SELECT node, node, 0 FROM nodes
+            UNION
+            SELECT w.s, e.a, w.dist + 1 FROM bw w JOIN e ON w.node = e.b
+            WHERE w.dist < 6),
+          mu AS (SELECT DISTINCT f.s, f.node
+                 FROM fw f JOIN bw b ON f.s = b.s AND f.node = b.node),
+          scc AS (SELECT s AS node, min(node) AS scc_id
+                  FROM mu GROUP BY 1),
+          sz AS (SELECT scc_id, count(*) AS scc_size
+                 FROM scc GROUP BY 1)
+          SELECT scc.node, scc.scc_id, sz.scc_size
+          FROM scc JOIN sz ON scc.scc_id = sz.scc_id""",
+
+    "q477_srm_check" ->
+      s"""WITH a AS (SELECT c.c_mktsegment AS seg,
+                 ${H60("'srm:' || CAST(o_orderkey AS VARCHAR)")} % 2 AS arm
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+          g AS (SELECT seg,
+                  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n0,
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1
+                FROM a GROUP BY 1)
+          SELECT seg, n0, n1,
+                 ROUND((CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                       * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                       / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                       * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                       / (CAST(n0 + n1 AS DOUBLE) / 2.0), 6) AS chi2,
+                 CAST((CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                       * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                       / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                       * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                       / (CAST(n0 + n1 AS DOUBLE) / 2.0) > 3.84 AS INT)
+                   AS srm_alarm
+          FROM g""",
+
+    "q478_power_analysis" ->
+      """WITH o AS (SELECT c.c_mktsegment AS seg,
+                 CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+          g AS (SELECT seg, count(*) AS n, sum(v) AS sv, sum(v * v) AS qv
+                FROM o GROUP BY 1)
+          SELECT seg, n,
+                 ROUND(CAST(sv AS DOUBLE) / n, 6) AS mean,
+                 ROUND((CAST(qv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+                   / (n - 1.0), 6) AS sigma2,
+                 CAST(ceil(2.0 * ((CAST(qv AS DOUBLE)
+                     - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+                     / (n - 1.0)) * 7.84
+                   / ((0.05 * (CAST(sv AS DOUBLE) / n))
+                      * (0.05 * (CAST(sv AS DOUBLE) / n)))) AS BIGINT)
+                   AS n_required
+          FROM g"""
   )
 }
