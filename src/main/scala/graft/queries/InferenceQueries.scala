@@ -695,6 +695,150 @@ object InferenceQueries {
         round(sig2, 6).as("sigma2"),
         ceil(lit(2.0) * sig2 * zsum2 / (delta * delta)).cast("long")
           .as("n_required"))
+    }),
+
+    // v-optimal histogram DP over the order-price domain: 25 equi-width
+    // base cells (exact count/sum/sumsq each), then 6 unrolled DP
+    // layers dp_b[i] = min_j dp_{b-1}[j] + SSE(j+1..i) — the optimizer
+    // histogram construction. All DP work runs on the 25-cell frame;
+    // the scan reduces to cells map-side at any scale
+    "q479_voptimal_histogram" -> ((s, d) => {
+      val sess = s; import sess.implicits._
+      val cellsRaw = Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice").cast("decimal(18,2)")
+          .cast("double") / lit(20000.0)), lit(24.0)).cast("int").as("c"),
+          col("o_totalprice").cast("decimal(18,2)").as("v"))
+        .groupBy(col("c")).agg(count(lit(1)).as("cn"),
+          sum(col("v")).as("cs"), sum(col("v") * col("v")).as("cq"))
+      val idx = s.range(25).select(col("id").cast("int").as("c"))
+      val cells = idx.join(cellsRaw, Seq("c"), "left")
+        .select((col("c") + 1).as("i"), coalesce(col("cn"), lit(0L)).as("cn"),
+          coalesce(col("cs").cast("double"), lit(0.0)).as("cs"),
+          coalesce(col("cq").cast("double"), lit(0.0)).as("cq"))
+      import org.apache.spark.sql.expressions.Window
+      val wp = Window.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = cells.select(col("i"), sum(col("cn")).over(wp).as("pn"),
+        sum(col("cs")).over(wp).as("ps"), sum(col("cq")).over(wp).as("pq"))
+      val p0 = Seq((0, 0L, 0.0, 0.0)).toDF("i", "pn", "ps", "pq")
+      val pall = pre.unionByName(p0)
+      val lo = pall.select(col("i").as("j"), col("pn").as("nj"),
+        col("ps").as("sj"), col("pq").as("qj"))
+      val hi = pall.where(col("i") > 0).select(col("i"), col("pn").as("ni"),
+        col("ps").as("si"), col("pq").as("qi"))
+      val segs = lo.join(hi, col("j") < col("i"))
+        .select(col("j"), col("i"),
+          when(col("ni") - col("nj") === 0, lit(0.0)).otherwise(
+            (col("qi") - col("qj")) -
+              (col("si") - col("sj")) * (col("si") - col("sj")) /
+              (col("ni") - col("nj")).cast("double")).as("sse"))
+        .localCheckpoint(false)
+      var dp = segs.where(col("j") === 0)
+        .select(lit(1).as("b"), col("i"), col("sse").as("cost"))
+      var out = dp
+      for (b <- 2 to 6) {
+        dp = dp.select(col("i").as("j"), col("cost").as("pc"))
+          .join(segs, Seq("j"))
+          .groupBy(col("i"))
+          .agg(min(col("pc") + col("sse")).as("cost"))
+          .select(lit(b).as("b"), col("i"), col("cost"))
+        out = out.unionByName(dp)
+      }
+      // quantize to integer millions: cost ~ 1e13 sits far above the
+      // double ulp at 4 decimals, so engines' ROUND(x,4) impls disagree
+      // sub-ulp; ROUND(x/1e6) compares exactly
+      out.select(col("b"), col("i"),
+        round(col("cost") / lit(1000000.0)).cast("long").as("cost_m"))
+    }),
+
+    // 0/1 knapsack source selection under a token budget: weights are
+    // each source's share of corpus chars (5% units), values its
+    // quality-doc count, capacity 50% — the "which sources fit the
+    // budget" mixing decision as an exact DP fold. The DP is row-local
+    // over the source-count array; only the source rollup sees raw rows
+    "q480_knapsack_select" -> ((s, d) => {
+      val src = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("chars"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("quality"))
+      val tot = src.agg(sum(col("chars")).as("tot"))
+      val items = src.crossJoin(broadcast(tot))
+        .select(col("source"),
+          ceil(col("chars").cast("double") * lit(20.0) /
+            col("tot").cast("double")).cast("long").as("w"),
+          col("quality").as("v"))
+      val packed = items
+        .agg(array_sort(collect_list(struct(col("source"), col("w"),
+          col("v")))).as("arr"))
+      val cap = 10
+      val init = array((0 to cap).map(_ => lit(0L)): _*)
+      val folded = aggregate(col("arr"), init, (acc, it) =>
+        transform(sequence(lit(0), lit(cap)), c =>
+          greatest(element_at(acc, c + 1),
+            when(it.getField("w") <= c,
+              element_at(acc, (c - it.getField("w")).cast("int") + 1) +
+                it.getField("v")).otherwise(lit(0L)))))
+      packed.select(folded.as("dp"), size(col("arr")).as("n_items"))
+        .select(posexplode(col("dp")).as(Seq("capacity", "best_value")),
+          col("n_items"))
+        .select(col("capacity"), col("best_value"),
+          col("n_items").cast("long").as("n_items"))
+    }),
+
+    // next-event prediction accuracy from the global first-order Markov
+    // table: argmax transition per from-state (count desc, label asc),
+    // scored against every actual next event — per-state accuracy, the
+    // sanity readout of q218's transition extraction
+    "q481_markov_next_accuracy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+        col("event_id"))
+      val pairs = Tables.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type").as("f"))
+        .withColumn("t", lead(col("f"), 1).over(w))
+        .where(col("t").isNotNull)
+        .select(col("f"), col("t"))
+      val tc = pairs.groupBy(col("f"), col("t")).agg(count(lit(1)).as("cnt"))
+      val wr = Window.partitionBy(col("f"))
+        .orderBy(col("cnt").desc, col("t"))
+      val pred = tc.withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1).select(col("f"), col("t").as("pred"))
+      pairs.join(broadcast(pred), Seq("f"))
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("t") === col("pred"), 1L).otherwise(0L)).as("n_hit"))
+        .select(col("f").as("from_state"), col("n"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n").cast("double"), 6)
+            .as("accuracy"))
+    }),
+
+    // squares (4-cycles) through each node of the q467 nation graph:
+    // for every opposite-corner pair the common-neighbor count c gives
+    // C(c,2) squares — two co-partitioned wedge joins on the entity
+    // graph, the motif one step past q190's triangles
+    "q482_square_count" -> ((s, d) => {
+      val cnt = broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+        .agg(count(lit(1)).as("n_trades"))
+        .where(col("n_trades") >= 280)
+      val e = cnt.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(cnt.select(col("b").as("u"), col("a").as("v")))
+      val wedges = e.select(col("u"), col("v").as("m"))
+        .join(e.select(col("u").as("w"), col("v").as("m")), Seq("m"))
+        .where(col("u") =!= col("w"))
+        .groupBy(col("u"), col("w")).agg(count(lit(1)).as("c"))
+      wedges.groupBy(col("u").as("node"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("n_squares"),
+          max(col("c")).as("max_common"))
     })
   )
 
@@ -1228,6 +1372,120 @@ object InferenceQueries {
                    / ((0.05 * (CAST(sv AS DOUBLE) / n))
                       * (0.05 * (CAST(sv AS DOUBLE) / n)))) AS BIGINT)
                    AS n_required
-          FROM g"""
+          FROM g""",
+
+    "q479_voptimal_histogram" -> {
+      def layer(b: Int): String =
+        s"""dp$b AS (SELECT sg.i, $b AS b,
+                 min(d.cost + sg.sse) AS cost
+               FROM dp${b - 1} d JOIN sg ON d.i = sg.j
+               GROUP BY 1)"""
+      val layers = (2 to 6).map(layer).mkString(",\n          ")
+      s"""WITH cr AS (SELECT CAST(LEAST(floor(CAST(o_totalprice
+                     AS DECIMAL(18,2)) / 20000.0), 24) AS INT) AS c,
+                 count(*) AS cn,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cs,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))
+                     * CAST(o_totalprice AS DECIMAL(18,2))) AS cq
+               FROM orders GROUP BY 1),
+          idx AS (SELECT CAST(g AS INT) AS c FROM range(0, 25) t(g)),
+          cells AS (SELECT idx.c + 1 AS i,
+                 coalesce(cr.cn, 0) AS cn,
+                 coalesce(CAST(cr.cs AS DOUBLE), 0.0) AS cs,
+                 coalesce(CAST(cr.cq AS DOUBLE), 0.0) AS cq
+               FROM idx LEFT JOIN cr ON idx.c = cr.c),
+          pre AS (SELECT i,
+                 sum(cn) OVER w AS pn, sum(cs) OVER w AS ps,
+                 sum(cq) OVER w AS pq
+               FROM cells WINDOW w AS (ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          pall AS (SELECT i, pn, ps, pq FROM pre
+                   UNION ALL SELECT 0, 0, 0.0, 0.0),
+          sg AS (SELECT lo.i AS j, hi.i AS i,
+                 CASE WHEN hi.pn - lo.pn = 0 THEN 0.0
+                      ELSE (hi.pq - lo.pq)
+                        - (hi.ps - lo.ps) * (hi.ps - lo.ps)
+                          / CAST(hi.pn - lo.pn AS DOUBLE) END AS sse
+               FROM pall lo JOIN pall hi ON lo.i < hi.i),
+          dp1 AS (SELECT i, 1 AS b, sse AS cost FROM sg WHERE j = 0),
+          $layers
+          SELECT b, i, CAST(ROUND(cost / 1000000.0) AS BIGINT) AS cost_m FROM dp1
+          UNION ALL SELECT b, i, CAST(ROUND(cost / 1000000.0) AS BIGINT) FROM dp2
+          UNION ALL SELECT b, i, CAST(ROUND(cost / 1000000.0) AS BIGINT) FROM dp3
+          UNION ALL SELECT b, i, CAST(ROUND(cost / 1000000.0) AS BIGINT) FROM dp4
+          UNION ALL SELECT b, i, CAST(ROUND(cost / 1000000.0) AS BIGINT) FROM dp5
+          UNION ALL SELECT b, i, CAST(ROUND(cost / 1000000.0) AS BIGINT) FROM dp6"""
+    },
+
+    "q480_knapsack_select" ->
+      """WITH src AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars,
+                 CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v
+               FROM documents GROUP BY 1),
+          tt AS (SELECT CAST(sum(chars) AS BIGINT) AS tot FROM src),
+          it AS (SELECT source,
+                 CAST(ceil(CAST(chars AS DOUBLE) * 20.0
+                   / CAST(tot AS DOUBLE)) AS BIGINT) AS w, v
+               FROM src, tt),
+          packed AS (SELECT list_sort(list([source, CAST(w AS VARCHAR),
+                   CAST(v AS VARCHAR)])) AS arr,
+                 count(*) AS n_items
+               FROM it),
+          dp AS (SELECT n_items,
+                 list_reduce(
+                   list_prepend([CAST(0 AS BIGINT) for i in range(0, 11)],
+                     list_transform(arr,
+                       e -> [CAST(e[2] AS BIGINT), CAST(e[3] AS BIGINT)])),
+                   (acc, e) -> [CASE WHEN e[1] <= c
+                       THEN greatest(acc[c + 1],
+                         acc[CAST(c - e[1] AS INT) + 1] + e[2])
+                       ELSE acc[c + 1] END
+                     for c in range(0, 11)]) AS fin
+               FROM packed)
+          SELECT CAST(g AS INT) AS capacity, fin[CAST(g + 1 AS INT)]
+                   AS best_value,
+                 n_items
+          FROM dp, range(0, 11) t(g)""",
+
+    "q481_markov_next_accuracy" ->
+      """WITH pr AS (SELECT event_type AS f,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS t
+               FROM events),
+          pairs AS (SELECT f, t FROM pr WHERE t IS NOT NULL),
+          tc AS (SELECT f, t, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+          pred AS (SELECT f, t AS pred FROM (
+                 SELECT f, t, row_number() OVER (PARTITION BY f
+                   ORDER BY cnt DESC, t) AS rn FROM tc) r
+               WHERE rn = 1)
+          SELECT pairs.f AS from_state, count(*) AS n,
+                 CAST(sum(CASE WHEN pairs.t = pred.pred THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hit,
+                 ROUND(CAST(sum(CASE WHEN pairs.t = pred.pred
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS accuracy
+          FROM pairs JOIN pred ON pairs.f = pred.f
+          GROUP BY 1""",
+
+    "q482_square_count" ->
+      """WITH cnts AS (SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+                 greatest(c.c_nationkey, s.s_nationkey) AS b
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               WHERE c.c_nationkey <> s.s_nationkey
+               GROUP BY 1, 2
+               HAVING count(*) >= 280),
+          e AS (SELECT a AS u, b AS v FROM cnts
+                UNION ALL SELECT b, a FROM cnts),
+          wedges AS (SELECT x.u, y.u AS w, count(*) AS c
+               FROM e x JOIN e y ON x.v = y.v
+               WHERE x.u <> y.u
+               GROUP BY 1, 2)
+          SELECT u AS node,
+                 CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_squares,
+                 CAST(max(c) AS BIGINT) AS max_common
+          FROM wedges GROUP BY 1"""
   )
 }

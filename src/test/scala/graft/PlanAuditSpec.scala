@@ -299,7 +299,12 @@ class PlanAuditSpec extends SparkSpec {
     // (channels+3)² chain frame, the base-conversion scalar and the
     // removal-effect total are 1-row frames crossJoin-broadcast over
     // the 4-channel readout — q198's sufficient-stats shape
-    "q466_markov_removal")
+    "q466_markov_removal",
+    // q480: the corpus-total scalar is a 1-row frame crossJoin-broadcast
+    // into the SOURCE-domain item frame (~20 rows), and the knapsack DP
+    // folds over one collected source array — bounded by the source
+    // vocabulary, q198's scalar shape
+    "q480_knapsack_select")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
