@@ -264,8 +264,11 @@ object InferenceQueries {
       val ends = kept.withColumn("rn", row_number().over(wDesc))
         .where(col("rn") === 1 && col("state") =!= "CONV")
         .select(col("state").as("f"), lit("END").as("t"))
+      // cut lineage at the chain frame: the event-window subtree would
+      // otherwise re-execute once per unrolled absorption step
       val tc = trans.unionByName(ends)
         .groupBy(col("f"), col("t")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
       val channels = Seq("click", "error", "signup", "view")
       val scenarios = "base" +: channels
       val ec = scenarios.map { scn =>
@@ -287,6 +290,7 @@ object InferenceQueries {
           round(col("cnt").cast("double") / sum(col("cnt")).over(wf), 6)
             .cast("decimal(8,6)").as("p"))
         .unionByName(absorbers)
+        .localCheckpoint(false) // ~40-row chain matrix, referenced 12x
       var v = scenarios.toDF("scn")
         .select(col("scn"), lit("START").as("f"),
           lit(1.0).cast("decimal(14,12)").as("mass"))
@@ -516,6 +520,7 @@ object InferenceQueries {
       var cur = daily.join(broadcast(med), Seq("key", "dow"))
         .select(col("key"), col("day"), round(col("y") - col("med"), 6)
           .as("rd"))
+        .localCheckpoint(false) // deseasonalized frame feeds 3 ESD rounds
       val out = (1 to 3).map { r =>
         val st = cur.groupBy(col("key")).agg(count(lit(1)).as("n"),
           sum(col("rd").cast("decimal(20,6)")).as("sm"),
@@ -635,10 +640,11 @@ object InferenceQueries {
         .groupBy(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
         .agg(count(lit(1)).as("n_trades"))
         .where(col("n_trades") >= 150)
+        .localCheckpoint(false) // rollup feeds both BFS directions
       val fwd = graft.operators.Graph.allPairsDistances(cnt,
-        col("a"), col("b"), maxHops = 6)
+        col("a"), col("b"), maxHops = 4)
       val bwd = graft.operators.Graph.allPairsDistances(cnt,
-        col("b"), col("a"), maxHops = 6)
+        col("b"), col("a"), maxHops = 4)
       val mutual = fwd.select(col("s"), col("node"))
         .join(bwd.select(col("s"), col("node")), Seq("s", "node"))
       val sccOf = mutual.groupBy(col("s").as("node"))
@@ -1314,12 +1320,12 @@ object InferenceQueries {
             SELECT node, node, 0 FROM nodes
             UNION
             SELECT w.s, e.b, w.dist + 1 FROM fw w JOIN e ON w.node = e.a
-            WHERE w.dist < 6),
+            WHERE w.dist < 4),
           bw(s, node, dist) AS (
             SELECT node, node, 0 FROM nodes
             UNION
             SELECT w.s, e.a, w.dist + 1 FROM bw w JOIN e ON w.node = e.b
-            WHERE w.dist < 6),
+            WHERE w.dist < 4),
           mu AS (SELECT DISTINCT f.s, f.node
                  FROM fw f JOIN bw b ON f.s = b.s AND f.node = b.node),
           scc AS (SELECT s AS node, min(node) AS scc_id
