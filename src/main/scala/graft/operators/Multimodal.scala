@@ -120,6 +120,33 @@ object Multimodal {
           .as("mean_active"))
   }
 
+  /** Audio decimation plumbing over the stub codec: 3-tap moving-sum
+    * anti-alias (integer, no scaling — a real resampler swaps in a
+    * windowed-sinc FIR and nothing else changes) then take every
+    * `factor`-th interior window — the downsample every audio ingest
+    * runs before feature extraction. Row-local array work inside
+    * codegen, no explode, no shuffle; emits (doc_id, n_out, peak,
+    * total, mean_smoothed) with the 3-tap sums kept exact in longs. */
+  def decimateAudio(df: DataFrame, id: Column, payload: Column,
+                    nWindows: Int = 16, factor: Int = 3): DataFrame = {
+    def energy(w: Int): Column =
+      conv(substring(md5(concat(payload,
+        to_binary(lit(s":aw$w"), lit("utf-8")))), 1, 2), 16, 10).cast("long")
+    val es = array((0 until nWindows).map(energy): _*)
+    df.select(id.as("doc_id"), es.as("es"))
+      .select(col("doc_id"), transform(
+        sequence(lit(1L), lit(nWindows - 2L), lit(factor.toLong)),
+        w => element_at(col("es"), w.cast("int")) +
+          element_at(col("es"), w.cast("int") + 1) +
+          element_at(col("es"), w.cast("int") + 2)).as("ma"))
+      .select(col("doc_id"), size(col("ma")).cast("long").as("n_out"),
+        array_max(col("ma")).as("peak"),
+        aggregate(col("ma"), lit(0L), (acc, x) => acc + x).as("total"),
+        round(aggregate(col("ma"), lit(0L), (acc, x) => acc + x)
+          .cast("double") / lit(3.0) / size(col("ma")).cast("double"), 6)
+          .as("mean_smoothed"))
+  }
+
   /** 56-bit perceptual difference hash (dHash) over the stub decode.
     * The fake luma grid has 7 rows of 9 pixels, where row r's pixels
     * are the first 9 bytes of md5(payload ‖ ":" ‖ r), and bit

@@ -845,6 +845,91 @@ object InferenceQueries {
       wedges.groupBy(col("u").as("node"))
         .agg(sum(expr("c * (c - 1) div 2")).as("n_squares"),
           max(col("c")).as("max_common"))
+    }),
+
+    // audio decimation over the md5-stub codec: 3-tap moving-sum
+    // anti-alias then take every 3rd interior window — q311's trim
+    // sibling; entirely row-local codegen'd array work, the oracle
+    // replays the stub's bytes
+    "q483_audio_decimate" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
+      Multimodal.decimateAudio(docs, col("doc_id"), col("payload"))
+    }),
+
+    // bitemporal as-of: versioned balances (valid time = order date,
+    // transaction time = order date + md5 ingest lag) answered at a
+    // (valid V, tx T) pair — the correction-aware warehouse lookup
+    // SCD2's single time axis can't express. One window per entity key
+    "q484_bitemporal_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("valid_from"),
+        date_add(to_date(col("o_orderdate")),
+          pmod(hash60(concat(lit("lag:"), col("o_orderkey"))), lit(6L))
+            .cast("int")).as("tx_from"),
+        col("o_totalprice").cast("decimal(18,2)").as("value"))
+      val visible = v.where(col("valid_from") <= lit("1999-06-30") &&
+        col("tx_from") <= lit("1999-09-30"))
+      val w = Window.partitionBy(col("custkey"))
+        .orderBy(col("valid_from").desc, col("tx_from").desc,
+          col("o_orderkey").desc)
+      visible.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("custkey"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("tx_from").cast("string").as("tx_from"),
+          col("value").cast("double").as("value"))
+    }),
+
+    // two-component 1-D Gaussian mixture by TWO unrolled EM rounds
+    // (shared fixed variance, percentile-initialized means):
+    // responsibilities quantize to DECIMAL(8,6) per row so the E-step
+    // sums are exact and order-free — q306's EM determinism contract on
+    // a continuous mixture
+    "q485_gmm_em_1d" -> ((s, d) => {
+      val xs = Tables.orders(s, d)
+        .select((col("o_totalprice").cast("decimal(18,2)").cast("double") /
+          lit(100000.0)).as("x"))
+      val prm0 = xs.agg(count(lit(1)).as("n"),
+          round(percentile(col("x"), lit(0.25)), 6).as("mu1"),
+          round(percentile(col("x"), lit(0.75)), 6).as("mu2"),
+          sum(col("x").cast("decimal(26,12)")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(30,12)")).as("sxx"))
+        .select(col("n"), col("mu1"), col("mu2"),
+          round((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n").cast("double")) / (col("n").cast("double") - lit(1.0)),
+            6).as("sig2"),
+          lit(0.5).as("w1"))
+        .localCheckpoint(false)
+      var prm = prm0
+      for (_ <- 1 to 2) {
+        val j = xs.crossJoin(broadcast(prm))
+        val dterm = ((col("x") - col("mu1")) * (col("x") - col("mu1")) -
+          (col("x") - col("mu2")) * (col("x") - col("mu2"))) /
+          (lit(2.0) * col("sig2"))
+        val g = round(lit(1.0) / (lit(1.0) +
+          ((lit(1.0) - col("w1")) / col("w1")) * exp(dterm)), 6)
+          .cast("decimal(8,6)")
+        prm = j.select(col("n"), col("sig2"), g.as("g"), col("x"))
+          .agg(max(col("n")).as("n"), max(col("sig2")).as("sig2"),
+            sum(col("g")).as("n1"),
+            sum((col("g").cast("double") * col("x")).cast("decimal(26,12)"))
+              .as("s1"),
+            sum(((lit(1.0).cast("decimal(8,6)") - col("g")).cast("double") *
+              col("x")).cast("decimal(26,12)")).as("s2"))
+          .select(col("n"), col("sig2"),
+            round(col("s1").cast("double") / col("n1").cast("double"), 6)
+              .as("mu1"),
+            round(col("s2").cast("double") /
+              (col("n").cast("double") - col("n1").cast("double")), 6)
+              .as("mu2"),
+            round(col("n1").cast("double") / col("n").cast("double"), 6)
+              .as("w1"))
+          .localCheckpoint(false)
+      }
+      prm.select(col("n"), col("mu1"), col("mu2"), col("w1"), col("sig2"))
     })
   )
 
@@ -1492,6 +1577,80 @@ object InferenceQueries {
           SELECT u AS node,
                  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_squares,
                  CAST(max(c) AS BIGINT) AS max_common
-          FROM wedges GROUP BY 1"""
+          FROM wedges GROUP BY 1""",
+
+    "q483_audio_decimate" ->
+      """WITH e AS (SELECT doc_id,
+                 [CAST(('0x' || substr(md5(text || ':aw' ||
+                    CAST(w AS VARCHAR)), 1, 2)) AS BIGINT)
+                  for w in range(0, 16)] AS es
+               FROM documents),
+          m AS (SELECT doc_id,
+                 [es[w] + es[w + 1] + es[w + 2]
+                  for w in [1, 4, 7, 10, 13]] AS ma
+               FROM e)
+          SELECT doc_id, CAST(len(ma) AS BIGINT) AS n_out,
+                 CAST(list_max(ma) AS BIGINT) AS peak,
+                 CAST(list_sum(ma) AS BIGINT) AS total,
+                 ROUND(CAST(list_sum(ma) AS DOUBLE) / 3.0
+                   / CAST(len(ma) AS DOUBLE), 6) AS mean_smoothed
+          FROM m""",
+
+    "q484_bitemporal_asof" ->
+      s"""WITH v AS (SELECT o_custkey AS custkey, o_orderkey,
+                 CAST(o_orderdate AS DATE) AS valid_from,
+                 CAST(o_orderdate AS DATE) + CAST(
+                   ${H60("'lag:' || CAST(o_orderkey AS VARCHAR)")} % 6
+                   AS INT) AS tx_from,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS value
+               FROM orders),
+          vis AS (SELECT *, row_number() OVER (PARTITION BY custkey
+                   ORDER BY valid_from DESC, tx_from DESC,
+                     o_orderkey DESC) AS rn
+                 FROM v
+                 WHERE valid_from <= DATE '1999-06-30'
+                   AND tx_from <= DATE '1999-09-30')
+          SELECT custkey, CAST(valid_from AS VARCHAR) AS valid_from,
+                 CAST(tx_from AS VARCHAR) AS tx_from,
+                 CAST(value AS DOUBLE) AS value
+          FROM vis WHERE rn = 1""",
+
+    "q485_gmm_em_1d" -> {
+      def emRound(r: Int): String =
+        s"""g$r AS (SELECT p.n, p.sig2,
+                 CAST(ROUND(1.0 / (1.0 + ((1.0 - p.w1) / p.w1)
+                   * exp((((x.x - p.mu1) * (x.x - p.mu1))
+                        - ((x.x - p.mu2) * (x.x - p.mu2)))
+                     / (2.0 * p.sig2))), 6) AS DECIMAL(8,6)) AS g,
+                 x.x
+               FROM xs x, p${r - 1} p),
+            p$r AS (SELECT max(n) AS n, max(sig2) AS sig2,
+                 ROUND(CAST(sum(CAST(CAST(g AS DOUBLE) * x
+                     AS DECIMAL(26,12))) AS DOUBLE)
+                   / CAST(sum(g) AS DOUBLE), 6) AS mu1,
+                 ROUND(CAST(sum(CAST(CAST(CAST(1.0 AS DECIMAL(8,6)) - g
+                       AS DOUBLE) * x AS DECIMAL(26,12))) AS DOUBLE)
+                   / (CAST(max(n) AS DOUBLE) - CAST(sum(g) AS DOUBLE)), 6)
+                   AS mu2,
+                 ROUND(CAST(sum(g) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+                   AS w1
+               FROM g$r)"""
+      s"""WITH xs AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                   AS DOUBLE) / 100000.0 AS x
+               FROM orders),
+          p0 AS (SELECT count(*) AS n,
+                 ROUND(quantile_cont(x, 0.25), 6) AS mu1,
+                 ROUND(quantile_cont(x, 0.75), 6) AS mu2,
+                 ROUND((CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+                   - CAST(sum(CAST(x AS DECIMAL(26,12))) AS DOUBLE)
+                     * CAST(sum(CAST(x AS DECIMAL(26,12))) AS DOUBLE)
+                     / count(*))
+                   / (count(*) - 1.0), 6) AS sig2,
+                 0.5 AS w1
+               FROM xs),
+          ${emRound(1)},
+          ${emRound(2)}
+          SELECT n, mu1, mu2, w1, sig2 FROM p2"""
+    }
   )
 }
