@@ -930,6 +930,85 @@ object InferenceQueries {
           .localCheckpoint(false)
       }
       prm.select(col("n"), col("mu1"), col("mu2"), col("w1"), col("sig2"))
+    }),
+
+    // URL canonicalization for web-corpus dedup: synthetic crawl URLs
+    // carry the real-world noise (case-varying host, default port,
+    // scrambled query-param order, fragments, trailing slashes);
+    // canonicalize = lower host, strip :443, sort params, drop
+    // fragment/trailing slash. Reports raw-vs-canonical distincts per
+    // host — the dedup-rate readout; all row-local string work
+    "q486_url_canonicalize" -> ((s, d) => {
+      val h = pmod(hash60(concat(lit("url:"), col("o_orderkey"))), lit(8L))
+      val host = concat(lit("Shop"), pmod(col("o_custkey"), lit(20L)),
+        lit(".Example.COM"))
+      val port = when(h % 2 === 0, lit(":443")).otherwise(lit(""))
+      val params = when(h % 4 < 2, lit("?a=1&b=2")).otherwise(lit("?b=2&a=1"))
+      val frag = when(h < 4, lit("#top")).otherwise(lit(""))
+      val raw = concat(lit("https://"), host, port,
+        lit("/p/"), pmod(col("o_orderkey"), lit(100L)),
+        when(h % 8 < 3, lit("/")).otherwise(lit("")), params, frag)
+      val u = Tables.orders(s, d).select(col("o_orderkey"), raw.as("raw"))
+      // canonicalize: drop fragment, split query, lower host, strip the
+      // https default port, strip the trailing path slash, sort params
+      val noFrag = split(col("raw"), "#").getItem(0)
+      val base = split(noFrag, "\\?").getItem(0)
+      val qs = split(noFrag, "\\?").getItem(1)
+      val hostPath = substring(base, 9, 1000000)
+      val hostRaw = split(hostPath, "/").getItem(0)
+      val path = substring(hostPath, length(hostRaw) + 1, lit(1000000))
+      val canonCol = concat(lit("https://"),
+        regexp_replace(lower(hostRaw), ":443$", ""),
+        regexp_replace(path, "/$", ""),
+        lit("?"), concat_ws("&", array_sort(split(qs, "&"))))
+      val canon = u.select(col("raw"), canonCol.as("canon"))
+      canon.groupBy(regexp_extract(col("canon"),
+          "https://([^/?]+)", 1).as("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("raw")).as("n_raw_distinct"),
+          countDistinct(col("canon")).as("n_canon_distinct"))
+    }),
+
+    // dominant-script detection: Han-codepoint ratio per document,
+    // averaged per labeled language — the script-level confusion check
+    // ICU segmentation (q255) and the stopword lang-id (q20) both lean
+    // on; one regexp count per row, map-side at any scale
+    "q487_script_ratio" -> ((s, d) => {
+      val han = size(split(col("text"), "[\\p{IsHan}]")) - 1
+      val t = Tables.documents(s, d).select(col("lang"),
+        col("n_chars"), han.cast("long").as("n_han"))
+      t.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_han")).as("han_chars"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("lang"), col("n_docs"), col("han_chars"),
+          round(col("han_chars").cast("double") /
+            col("chars").cast("double"), 6).as("han_ratio"))
+    }),
+
+    // theta-method forecast per series: SES (alpha=.4) over the series
+    // plus half the drift term — the M3-winning baseline, folded
+    // sequentially per key like q338's Holt
+    "q488_theta_forecast" -> ((s, d) => {
+      val a = 0.4
+      val seqd = dailySpend(s, d)
+        .select(col("event_type"), col("day"),
+          col("spend").cast("double").as("y"))
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day").as("t"),
+          col("y").as("x")))).as("arr"),
+          count(lit(1)).as("n"),
+          min_by(col("y"), col("day")).as("y0"),
+          max_by(col("y"), col("day")).as("yn"))
+      val ses = aggregate(
+        expr("slice(arr, 2, size(arr) - 1)"),
+        element_at(col("arr"), 1).getField("x"),
+        (acc, e) => lit(a) * e.getField("x") + lit(1.0 - a) * acc)
+      val drift = (col("yn") - col("y0")) /
+        (col("n").cast("double") - lit(1.0))
+      seqd.select(col("event_type"), col("n"),
+        round(ses, 6).as("ses_level"),
+        round(drift, 6).as("drift"),
+        round(ses + lit(0.5) * drift, 6).as("theta_fc1"))
     })
   )
 
@@ -1651,6 +1730,73 @@ object InferenceQueries {
           ${emRound(1)},
           ${emRound(2)}
           SELECT n, mu1, mu2, w1, sig2 FROM p2"""
-    }
+    },
+
+    "q486_url_canonicalize" ->
+      s"""WITH u AS (SELECT o_orderkey,
+                 ${H60("'url:' || CAST(o_orderkey AS VARCHAR)")} % 8 AS h,
+                 'Shop' || (o_custkey % 20) || '.Example.COM' AS host,
+                 o_custkey, o_orderkey % 100 AS pp
+               FROM orders),
+          r AS (SELECT 'https://' || host
+                 || CASE WHEN h % 2 = 0 THEN ':443' ELSE '' END
+                 || '/p/' || pp
+                 || CASE WHEN h % 8 < 3 THEN '/' ELSE '' END
+                 || CASE WHEN h % 4 < 2 THEN '?a=1&b=2' ELSE '?b=2&a=1' END
+                 || CASE WHEN h < 4 THEN '#top' ELSE '' END AS raw
+               FROM u),
+          c AS (SELECT raw,
+                 string_split(raw, '#')[1] AS nofrag
+               FROM r),
+          c2 AS (SELECT raw,
+                 string_split(nofrag, '?')[1] AS base,
+                 string_split(nofrag, '?')[2] AS qs
+               FROM c),
+          c3 AS (SELECT raw, qs, substr(base, 9) AS hostpath FROM c2),
+          c4 AS (SELECT raw, qs, hostpath,
+                 string_split(hostpath, '/')[1] AS hostraw
+               FROM c3),
+          canon AS (SELECT raw,
+                 'https://'
+                 || regexp_replace(lower(hostraw), ':443$$', '')
+                 || regexp_replace(substr(hostpath, length(hostraw) + 1),
+                      '/$$', '')
+                 || '?'
+                 || array_to_string(list_sort(string_split(qs, '&')), '&')
+                   AS canon
+               FROM c4)
+          SELECT regexp_extract(canon, 'https://([^/?]+)', 1) AS host,
+                 count(*) AS n_urls,
+                 count(DISTINCT raw) AS n_raw_distinct,
+                 count(DISTINCT canon) AS n_canon_distinct
+          FROM canon GROUP BY 1""",
+
+    "q487_script_ratio" ->
+      """WITH t AS (SELECT lang, n_chars,
+                 CAST(len(regexp_split_to_array(text, '[\p{Han}]')) - 1
+                   AS BIGINT) AS n_han
+               FROM documents)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(n_han) AS BIGINT) AS han_chars,
+                 ROUND(CAST(sum(n_han) AS DOUBLE)
+                   / CAST(sum(n_chars) AS DOUBLE), 6) AS han_ratio
+          FROM t GROUP BY 1""",
+
+    "q488_theta_forecast" ->
+      s"""WITH s AS ($dailySql),
+          ser AS (SELECT key AS event_type,
+                 list(CAST(y AS DOUBLE) ORDER BY day) AS arr,
+                 count(*) AS n,
+                 CAST(min_by(y, day) AS DOUBLE) AS y0,
+                 CAST(max_by(y, day) AS DOUBLE) AS yn
+               FROM s GROUP BY 1)
+          SELECT event_type, n,
+                 ROUND(list_reduce(arr,
+                   (acc, x) -> 0.4 * x + (1.0 - 0.4) * acc), 6) AS ses_level,
+                 ROUND((yn - y0) / (n - 1.0), 6) AS drift,
+                 ROUND(list_reduce(arr,
+                     (acc, x) -> 0.4 * x + (1.0 - 0.4) * acc)
+                   + 0.5 * ((yn - y0) / (n - 1.0)), 6) AS theta_fc1
+          FROM ser"""
   )
 }
