@@ -1009,6 +1009,116 @@ object InferenceQueries {
         round(ses, 6).as("ses_level"),
         round(drift, 6).as("drift"),
         round(ses + lit(0.5) * drift, 6).as("theta_fc1"))
+    }),
+
+    // two-level variance decomposition of customer balances: within-
+    // nation vs between-nation sum-of-squares per region — the ANOVA
+    // partition as a rollup readout. Nation moments come off one exact
+    // groupBy; every cross-level term quantizes to DECIMAL before the
+    // region sum so the partition is order-free
+    "q489_variance_decomposition" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey").as("region"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("region"), col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("nn"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).as("sn"),
+          sum((col("c_acctbal").cast("decimal(12,2)") *
+            col("c_acctbal").cast("decimal(12,2)"))).as("qn"))
+      val reg = nat.groupBy(col("region"))
+        .agg(sum(col("nn")).as("nr"), sum(col("sn")).as("sr"))
+      val j = nat.join(broadcast(reg), Seq("region"))
+      val mn = col("sn").cast("double") / col("nn").cast("double")
+      val mr = col("sr").cast("double") / col("nr").cast("double")
+      val within = (col("qn").cast("double") -
+        col("sn").cast("double") * col("sn").cast("double") /
+          col("nn").cast("double")).cast("decimal(30,10)")
+      val between = (col("nn").cast("double") * (mn - mr) * (mn - mr))
+        .cast("decimal(30,10)")
+      j.select(col("region"), col("nn"), within.as("w"), between.as("b"))
+        .groupBy(col("region"))
+        .agg(sum(col("nn")).as("n"),
+          round(sum(col("w")).cast("double"), 4).as("ss_within"),
+          round(sum(col("b")).cast("double"), 4).as("ss_between"))
+    }),
+
+    // Hurst rescaled-range proxy per series: cumulative deviations off
+    // the exact mean, R = range of the deviation walk, S = population
+    // std, H ~ ln(R/S)/ln(n/2) — the long-memory diagnostic next to
+    // q199's ACF. One ordered window per key, moments exact
+    "q490_hurst_rs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"), col("spend").cast("decimal(25,6)").as("y"))
+      val st = daily.groupBy(col("key")).agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sy"), sum(col("y") * col("y")).as("qy"))
+      val mean = col("sy").cast("double") / col("n").cast("double")
+      val wp = Window.partitionBy(col("key")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val z = daily.join(broadcast(st.select(col("key"), mean.as("mu"),
+          col("n"), col("sy"), col("qy"))), Seq("key"))
+        .withColumn("zt", sum(col("y").cast("double") - col("mu")).over(wp))
+      z.groupBy(col("key"), col("n"), col("sy"), col("qy"), col("mu"))
+        .agg(max(col("zt")).as("zmax"), min(col("zt")).as("zmin"))
+        .select(col("key").as("event_type"), col("n"),
+          round((col("zmax") - col("zmin")) /
+            sqrt((col("qy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double") /
+                col("n").cast("double")) / col("n").cast("double")), 6)
+            .as("rs"),
+          round(log((col("zmax") - col("zmin")) /
+            sqrt((col("qy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double") /
+                col("n").cast("double")) / col("n").cast("double"))) /
+            log(col("n").cast("double") / lit(2.0)), 6).as("hurst"))
+    }),
+
+    // spectral entropy over the q381 periodogram periods {3,5,7,14,30}:
+    // normalized-power Shannon entropy per series — flat spectrum ~ 1,
+    // single dominant cycle ~ 0. Per-term p·ln p quantizes to DECIMAL
+    // so the 5-term sum is order-free
+    "q491_spectral_entropy" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("spend"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).as("t"),
+          col("spend").cast("double").as("y"))
+      val periods = Seq(3, 5, 7, 14, 30).map(p =>
+        daily.withColumn("period", lit(p))
+          .withColumn("ang",
+            pmod(col("t"), lit(p)).cast("double") * (lit(2.0) * lit(math.Pi)) /
+              lit(p.toDouble))
+          .withColumn("cq", round(col("y") * cos(col("ang")) * lit(1e6))
+            .cast("long"))
+          .withColumn("sq", round(col("y") * sin(col("ang")) * lit(1e6))
+            .cast("long")))
+      val pw = periods.reduce(_ unionByName _)
+        .groupBy(col("event_type"), col("period"))
+        .agg(count(lit(1)).as("nd"), sum(col("cq")).as("cqs"),
+          sum(col("sq")).as("sqs"))
+        .select(col("event_type"), col("period"),
+          round((col("cqs").cast("double") / lit(1e6) *
+            (col("cqs").cast("double") / lit(1e6)) +
+            col("sqs").cast("double") / lit(1e6) *
+            (col("sqs").cast("double") / lit(1e6))) /
+            col("nd").cast("double"), 6).as("power"))
+      val tot = pw.groupBy(col("event_type"))
+        .agg(sum(col("power").cast("decimal(20,6)")).as("ptot"),
+          count(lit(1)).as("k"))
+      pw.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("k"),
+          (col("power") / col("ptot").cast("double")).as("p"))
+        .select(col("event_type"), col("k"),
+          when(col("p") > 0, round(-col("p") * log(col("p")), 9)
+            .cast("decimal(12,9)")).otherwise(
+            lit(0.0).cast("decimal(12,9)")).as("term"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(sum(col("term")).as("tsum"))
+        .select(col("event_type"),
+          round(col("tsum").cast("double") /
+            log(col("k").cast("double")), 6).as("spectral_entropy"))
     })
   )
 
@@ -1797,6 +1907,101 @@ object InferenceQueries {
                  ROUND(list_reduce(arr,
                      (acc, x) -> 0.4 * x + (1.0 - 0.4) * acc)
                    + 0.5 * ((yn - y0) / (n - 1.0)), 6) AS theta_fc1
-          FROM ser"""
+          FROM ser""",
+
+    "q489_variance_decomposition" ->
+      """WITH nat AS (SELECT n.n_regionkey AS region,
+                 c.c_nationkey AS nation, count(*) AS nn,
+                 sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sn,
+                 sum(CAST(c_acctbal AS DECIMAL(12,2))
+                   * CAST(c_acctbal AS DECIMAL(12,2))) AS qn
+               FROM customer c JOIN nation n
+                 ON c.c_nationkey = n.n_nationkey
+               GROUP BY 1, 2),
+          reg AS (SELECT region, sum(nn) AS nr, sum(sn) AS sr
+                  FROM nat GROUP BY 1),
+          j AS (SELECT nat.region, nn,
+                 CAST(CAST(qn AS DOUBLE)
+                   - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                     / CAST(nn AS DOUBLE) AS DECIMAL(30,10)) AS w,
+                 CAST(CAST(nn AS DOUBLE)
+                   * (CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)
+                      - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))
+                   * (CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)
+                      - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))
+                   AS DECIMAL(30,10)) AS b
+               FROM nat JOIN reg ON nat.region = reg.region)
+          SELECT region, CAST(sum(nn) AS BIGINT) AS n,
+                 ROUND(CAST(sum(w) AS DOUBLE), 4) AS ss_within,
+                 ROUND(CAST(sum(b) AS DOUBLE), 4) AS ss_between
+          FROM j GROUP BY 1""",
+
+    "q490_hurst_rs" ->
+      s"""WITH s AS ($dailySql),
+          st AS (SELECT key, count(*) AS n, sum(y) AS sy,
+                 sum(y * y) AS qy
+               FROM s GROUP BY 1),
+          z AS (SELECT s.key, st.n, st.sy, st.qy,
+                 CAST(st.sy AS DOUBLE) / CAST(st.n AS DOUBLE) AS mu,
+                 sum(CAST(s.y AS DOUBLE)
+                     - CAST(st.sy AS DOUBLE) / CAST(st.n AS DOUBLE))
+                   OVER (PARTITION BY s.key ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS zt
+               FROM s JOIN st ON s.key = st.key),
+          r AS (SELECT key, n, sy, qy, max(zt) AS zmax, min(zt) AS zmin
+                FROM z GROUP BY 1, 2, 3, 4)
+          SELECT key AS event_type, n,
+                 ROUND((zmax - zmin)
+                   / sqrt((CAST(qy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+                   AS rs,
+                 ROUND(ln((zmax - zmin)
+                     / sqrt((CAST(qy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+                   / ln(CAST(n AS DOUBLE) / 2.0), 6) AS hurst
+          FROM r""",
+
+    "q491_spectral_entropy" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+               FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type,
+                 date_diff('day', DATE '1970-01-01', day) AS t, y
+               FROM daily),
+          terms AS (SELECT event_type, p.period,
+                 CAST(round(y * cos((CAST(t % p.period AS DOUBLE)
+                     * (2.0 * pi())) / p.period) * 1e6) AS BIGINT) AS cq,
+                 CAST(round(y * sin((CAST(t % p.period AS DOUBLE)
+                     * (2.0 * pi())) / p.period) * 1e6) AS BIGINT) AS sq
+               FROM t, (VALUES (3), (5), (7), (14), (30)) p(period)),
+          agg AS (SELECT event_type, period,
+                 CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(cq) AS BIGINT) AS cqs,
+                 CAST(sum(sq) AS BIGINT) AS sqs
+               FROM terms GROUP BY 1, 2),
+          pw AS (SELECT event_type, period,
+                 ROUND((CAST(cqs AS DOUBLE) / 1e6 * (CAST(cqs AS DOUBLE) / 1e6)
+                      + CAST(sqs AS DOUBLE) / 1e6 * (CAST(sqs AS DOUBLE) / 1e6))
+                   / CAST(nd AS DOUBLE), 6) AS power
+               FROM agg),
+          tot AS (SELECT event_type,
+                 sum(CAST(power AS DECIMAL(20,6))) AS ptot,
+                 count(*) AS k
+               FROM pw GROUP BY 1),
+          pr AS (SELECT pw.event_type, tot.k,
+                 power / CAST(ptot AS DOUBLE) AS p
+               FROM pw JOIN tot ON pw.event_type = tot.event_type),
+          tm AS (SELECT event_type, k,
+                 CASE WHEN p > 0 THEN
+                   CAST(ROUND(-p * ln(p), 9) AS DECIMAL(12,9))
+                 ELSE CAST(0.0 AS DECIMAL(12,9)) END AS term
+               FROM pr)
+          SELECT event_type,
+                 ROUND(CAST(sum(term) AS DOUBLE)
+                   / ln(CAST(k AS DOUBLE)), 6) AS spectral_entropy
+          FROM tm GROUP BY event_type, k"""
   )
 }
