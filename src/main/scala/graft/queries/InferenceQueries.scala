@@ -1119,6 +1119,146 @@ object InferenceQueries {
         .select(col("event_type"),
           round(col("tsum").cast("double") /
             log(col("k").cast("double")), 6).as("spectral_entropy"))
+    }),
+
+    // QQ plot points: deciles of order value for two market segments
+    // side by side — the distribution-shift readout a drift report
+    // plots; one interpolated-quantile pass per segment
+    "q492_qq_points" -> ((s, d) => {
+      val ps = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("seg").isin("BUILDING", "MACHINERY"))
+        .select(col("seg"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("v"))
+      val q = o.groupBy(col("seg"))
+        .agg(percentile(col("v"), lit(ps.toArray)).as("qs"))
+      val a = q.where(col("seg") === "BUILDING")
+        .select(posexplode(col("qs")).as(Seq("i", "qa")))
+      val b = q.where(col("seg") === "MACHINERY")
+        .select(posexplode(col("qs")).as(Seq("i", "qb")))
+      a.join(b, Seq("i"))
+        .select(((col("i") + 1).cast("double") / lit(10.0)).as("p"),
+          round(col("qa"), 6).as("q_building"),
+          round(col("qb"), 6).as("q_machinery"),
+          round(col("qb") - col("qa"), 6).as("qq_gap"))
+    }),
+
+    // exact two-sample energy distance on the bucketed price domain:
+    // E|X-Y| terms from the O(domain) gap decomposition — each gap
+    // (v_k, v_k+1) contributes width * (cumA*(nB-cumB) + cumB*(nA-cumA))
+    // — all BIGINT-exact, never an O(n²) pair join. q400's Wasserstein
+    // sibling with both cross and within terms
+    "q493_energy_distance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("seg").isin("BUILDING", "MACHINERY"))
+        .select(col("seg"),
+          floor(col("o_totalprice").cast("decimal(18,2)").cast("double") /
+            lit(1000.0)).cast("long").as("v"))
+      val dom = o.groupBy(col("v"))
+        .agg(sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("na"),
+          sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("nb"))
+      val wv = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = dom.select(col("v"), sum(col("na")).over(wv).as("ca"),
+          sum(col("nb")).over(wv).as("cb"))
+        .withColumn("nxt", lead(col("v"), 1).over(Window.orderBy(col("v"))))
+      val tot = dom.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val gaps = pre.where(col("nxt").isNotNull).crossJoin(broadcast(tot))
+        .select(((col("nxt") - col("v")) *
+            (col("ca") * (col("tb") - col("cb")) +
+             col("cb") * (col("ta") - col("ca")))).as("xy"),
+          ((col("nxt") - col("v")) * col("ca") * (col("ta") - col("ca")))
+            .as("xx"),
+          ((col("nxt") - col("v")) * col("cb") * (col("tb") - col("cb")))
+            .as("yy"),
+          col("ta"), col("tb"))
+      gaps.groupBy(col("ta"), col("tb"))
+        .agg(sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"),
+          sum(col("yy")).as("syy"))
+        .select(col("ta").as("n_a"), col("tb").as("n_b"),
+          round(lit(2.0) * col("sxy").cast("double") /
+            (col("ta") * col("tb")).cast("double") -
+            lit(2.0) * col("sxx").cast("double") /
+            (col("ta") * col("ta")).cast("double") -
+            lit(2.0) * col("syy").cast("double") /
+            (col("tb") * col("tb")).cast("double"), 6)
+            .as("energy_distance"))
+    }),
+
+    // exact 3x3 covariance matrix of the lineitem numeric features in
+    // ONE aggregation pass (the sufficient-stats shape every feature-
+    // correlation report runs): all nine moments are exact decimal sums
+    "q494_covariance_matrix" -> ((s, d) => {
+      // raw-value sums stay exact decimals; the k$-scale division
+      // happens once in double space at the readout (decimal division
+      // semantics differ across engines, double division does not)
+      val li = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"),
+        col("l_discount").cast("decimal(8,2)").as("z"))
+      val g = li.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      def cvs(sab: Column, sa: Column, sb: Column, scale: Double): Column = {
+        val nd = col("n").cast("double")
+        round(((sab.cast("double") - sa.cast("double") * sb.cast("double") / nd)
+          / (nd - lit(1.0))) / lit(scale), 6)
+      }
+      g.select(col("n"),
+        cvs(col("sxx"), col("sx"), col("sx"), 1.0).as("var_qty"),
+        cvs(col("syy"), col("sy"), col("sy"), 1e6).as("var_price_k2"),
+        cvs(col("szz"), col("sz"), col("sz"), 1.0).as("var_disc"),
+        cvs(col("sxy"), col("sx"), col("sy"), 1e3).as("cov_qty_price_k"),
+        cvs(col("sxz"), col("sx"), col("sz"), 1.0).as("cov_qty_disc"),
+        cvs(col("syz"), col("sy"), col("sz"), 1e3).as("cov_price_disc_k"))
+    }),
+
+    // closed-form 2-D PCA: eigen-decomposition of the exact 2x2
+    // covariance (quantity, price/1000) — lambda = ((a+c) ± sqrt((a-c)²
+    // + 4b²))/2, loadings normalized analytically. The oracle-gated
+    // companion to the rows-only Spark-ML PCA gate (q189)
+    "q495_pca2_closed_form" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      val g = li.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nd = col("n").cast("double")
+      def cvr(sab: Column, sa: Column, sb: Column): Column =
+        (sab.cast("double") - sa.cast("double") * sb.cast("double") / nd) /
+          (nd - lit(1.0))
+      // covariance of (x, y/1000) via end-scaling: cov scales linearly
+      val a = round(cvr(col("sxx"), col("sx"), col("sx")), 6)
+      val c = round(cvr(col("syy"), col("sy"), col("sy")) / lit(1e6), 6)
+      val b = round(cvr(col("sxy"), col("sx"), col("sy")) / lit(1e3), 6)
+      val w = g.select(col("n"), a.as("a"), b.as("b"), c.as("c"))
+      val disc = sqrt((col("a") - col("c")) * (col("a") - col("c")) +
+        lit(4.0) * col("b") * col("b"))
+      val l1 = (col("a") + col("c") + disc) / lit(2.0)
+      val l2 = (col("a") + col("c") - disc) / lit(2.0)
+      val vx = col("b")
+      val vy = l1 - col("a")
+      val nrm = sqrt(vx * vx + vy * vy)
+      w.select(col("n"), col("a"), col("b"), col("c"),
+        round(l1, 6).as("lambda1"), round(l2, 6).as("lambda2"),
+        round(l1 / (l1 + l2), 6).as("explained_ratio"),
+        round(vx / nrm, 6).as("loading_x"),
+        round(vy / nrm, 6).as("loading_y"))
     })
   )
 
@@ -2002,6 +2142,128 @@ object InferenceQueries {
           SELECT event_type,
                  ROUND(CAST(sum(term) AS DOUBLE)
                    / ln(CAST(k AS DOUBLE)), 6) AS spectral_entropy
-          FROM tm GROUP BY event_type, k"""
+          FROM tm GROUP BY event_type, k""",
+
+    "q492_qq_points" ->
+      """WITH o AS (SELECT c.c_mktsegment AS seg,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+          q AS (SELECT seg,
+                 quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                   0.6, 0.7, 0.8, 0.9]) AS qs
+               FROM o GROUP BY 1),
+          a AS (SELECT g AS i, qs[CAST(g + 1 AS INT)] AS qa
+                FROM q, range(0, 9) t(g) WHERE seg = 'BUILDING'),
+          b AS (SELECT g AS i, qs[CAST(g + 1 AS INT)] AS qb
+                FROM q, range(0, 9) t(g) WHERE seg = 'MACHINERY')
+          SELECT CAST(a.i + 1 AS DOUBLE) / 10.0 AS p,
+                 ROUND(qa, 6) AS q_building,
+                 ROUND(qb, 6) AS q_machinery,
+                 ROUND(qb - qa, 6) AS qq_gap
+          FROM a JOIN b ON a.i = b.i""",
+
+    "q493_energy_distance" ->
+      """WITH o AS (SELECT c.c_mktsegment AS seg,
+                 CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                   AS DOUBLE) / 1000.0) AS BIGINT) AS v
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+          dom AS (SELECT v,
+                 CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb
+               FROM o GROUP BY 1),
+          pre AS (SELECT v,
+                 CAST(sum(na) OVER w AS BIGINT) AS ca,
+                 CAST(sum(nb) OVER w AS BIGINT) AS cb,
+                 lead(v, 1) OVER (ORDER BY v) AS nxt
+               FROM dom WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                 CAST(sum(nb) AS BIGINT) AS tb FROM dom),
+          gaps AS (SELECT (nxt - v) * (ca * (tb - cb) + cb * (ta - ca)) AS xy,
+                 (nxt - v) * ca * (ta - ca) AS xx,
+                 (nxt - v) * cb * (tb - cb) AS yy,
+                 ta, tb
+               FROM pre, tot WHERE nxt IS NOT NULL)
+          SELECT ta AS n_a, tb AS n_b,
+                 ROUND(2.0 * CAST(sum(xy) AS DOUBLE)
+                     / CAST(ta * tb AS DOUBLE)
+                   - 2.0 * CAST(sum(xx) AS DOUBLE)
+                     / CAST(ta * ta AS DOUBLE)
+                   - 2.0 * CAST(sum(yy) AS DOUBLE)
+                     / CAST(tb * tb AS DOUBLE), 6) AS energy_distance
+          FROM gaps GROUP BY 1, 2""",
+
+    "q494_covariance_matrix" ->
+      """WITH li AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+                 CAST(l_discount AS DECIMAL(8,2)) AS z
+               FROM lineitem),
+          g AS (SELECT count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+                 sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+               FROM li)
+          SELECT n,
+                 ROUND(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / 1.0, 6) AS var_qty,
+                 ROUND(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / 1e6, 6) AS var_price_k2,
+                 ROUND(((CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+                   * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / 1.0, 6) AS var_disc,
+                 ROUND(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / 1e3, 6) AS cov_qty_price_k,
+                 ROUND(((CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / 1.0, 6) AS cov_qty_disc,
+                 ROUND(((CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / 1e3, 6) AS cov_price_disc_k
+          FROM g""",
+
+    "q495_pca2_closed_form" ->
+      """WITH li AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+               FROM lineitem),
+          g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+               FROM li),
+          w AS (SELECT n,
+                 ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0), 6) AS a,
+                 ROUND(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / 1e3, 6) AS b,
+                 ROUND(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / 1e6, 6) AS c
+               FROM g)
+          SELECT n, a, b, c,
+                 ROUND((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b))
+                   / 2.0, 6) AS lambda1,
+                 ROUND((a + c - sqrt((a - c) * (a - c) + 4.0 * b * b))
+                   / 2.0, 6) AS lambda2,
+                 ROUND(((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0)
+                   / (((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0)
+                    + ((a + c - sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0)),
+                   6) AS explained_ratio,
+                 ROUND(b / sqrt(b * b
+                   + ((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 - a)
+                   * ((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 - a)),
+                   6) AS loading_x,
+                 ROUND(((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 - a)
+                   / sqrt(b * b
+                   + ((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 - a)
+                   * ((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 - a)),
+                   6) AS loading_y
+          FROM w"""
   )
 }

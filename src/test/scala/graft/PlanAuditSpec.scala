@@ -304,7 +304,14 @@ class PlanAuditSpec extends SparkSpec {
     // into the SOURCE-domain item frame (~20 rows), and the knapsack DP
     // folds over one collected source array — bounded by the source
     // vocabulary, q198's scalar shape
-    "q480_knapsack_select")
+    "q480_knapsack_select",
+    // q493: the value-domain prefix window runs over the BUCKET frame
+    // (price/1000, a few hundred rows post-agg) with a 1-row totals
+    // frame crossJoin-broadcast — q400's exact Wasserstein shape
+    "q493_energy_distance",
+    // q494/q495: the whole answer is ONE sufficient-stats row (global
+    // moment aggregation) — q198's scalar shape
+    "q494_covariance_matrix", "q495_pca2_closed_form")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
