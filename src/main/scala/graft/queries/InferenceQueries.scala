@@ -1259,6 +1259,128 @@ object InferenceQueries {
         round(l1 / (l1 + l2), 6).as("explained_ratio"),
         round(vx / nrm, 6).as("loading_x"),
         round(vy / nrm, 6).as("loading_y"))
+    }),
+
+    // Gaussian KDE read at 5 fixed eval points (h=0.5 on the 1e5-scaled
+    // price axis): per-row kernel terms quantize to DECIMAL(12,9) so
+    // the density sums are order-free — the smooth histogram companion
+    // to q479's v-optimal bins, evaluated map-side with a row-local
+    // explode (no join)
+    "q496_kde_points" -> ((s, d) => {
+      val sqrt2pi = math.sqrt(2.0 * math.Pi)
+      val xs = Tables.orders(s, d)
+        .select((col("o_totalprice").cast("decimal(18,2)").cast("double") /
+          lit(100000.0)).as("x"))
+      val pts = xs.select(col("x"),
+        explode(array(lit(0.5), lit(1.5), lit(2.5), lit(3.5), lit(4.5)))
+          .as("e"))
+      val term = round(exp(-(col("x") - col("e")) * (col("x") - col("e")) /
+        (lit(2.0) * lit(0.25))), 9).cast("decimal(12,9)")
+      pts.select(col("e"), term.as("t"))
+        .groupBy(col("e"))
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("ts"))
+        .select(col("e"), col("n"),
+          round(col("ts").cast("double") /
+            (col("n").cast("double") * lit(0.5) * lit(sqrt2pi)), 6)
+            .as("density"))
+    }),
+
+    // Weibull plot fit on the empirical customer-lifetime survival
+    // curve: OLS of ln(-ln S(t)) on ln t over the duration DOMAIN
+    // (value-bounded prefix ranks, q220's shape) gives the shape k and
+    // scale lambda — the parametric summary Kaplan-Meier (q220) feeds
+    "q497_weibull_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val life = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+          .cast("long").as("t"))
+        .where(col("t") > 0)
+      val dom = life.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val n = life.count()
+      val wv = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val surv = dom.withColumn("cum", sum(col("cnt")).over(wv))
+        .withColumn("s", (lit(n.toDouble) - col("cum").cast("double")) /
+          lit(n.toDouble))
+        .where(col("s") > 0 && col("s") < 1)
+      val pt = surv.select(round(log(col("t").cast("double")), 6).as("lx"),
+        round(log(-log(col("s"))), 6).as("ly"))
+      val g = pt.agg(count(lit(1)).as("m"),
+        sum(col("lx").cast("decimal(20,6)")).as("sx"),
+        sum(col("ly").cast("decimal(20,6)")).as("sy"),
+        sum((col("lx") * col("lx")).cast("decimal(28,12)")).as("sxx"),
+        sum((col("lx") * col("ly")).cast("decimal(28,12)")).as("sxy"))
+      val md = col("m").cast("double")
+      val k = (md * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (md * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      val g2 = g.select(col("m"), round(k, 6).as("shape_k"),
+        col("sx"), col("sy"))
+      val intercept = (col("sy").cast("double") - col("shape_k") *
+        col("sx").cast("double")) / col("m").cast("double")
+      g2.select(col("m"), col("shape_k"),
+        round(exp(-intercept / col("shape_k")), 6).as("scale_lambda"))
+    }),
+
+    // augmented-Dickey-Fuller-style unit-root check per series:
+    // regress the first difference on the lagged level, report beta
+    // and its t statistic — beta near 0 means a random walk. All
+    // sufficient stats exact decimal sums off one lag window
+    "q498_adf_unit_root" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"), col("spend").cast("decimal(25,6)").as("y"))
+      val l = daily.withColumn("yl", lag(col("y"), 1).over(w))
+        .where(col("yl").isNotNull)
+        .select(col("key"), (col("y") - col("yl")).as("dy"), col("yl"))
+      val g = l.groupBy(col("key")).agg(count(lit(1)).as("n"),
+        sum(col("yl")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("yl") * col("yl")).as("sxx"),
+        sum(col("yl") * col("dy")).as("sxy"),
+        sum(col("dy") * col("dy")).as("syy"))
+      val nd = col("n").cast("double")
+      val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+      val sxxd = col("sxx").cast("double")
+      val sxyd = col("sxy").cast("double")
+      val syyd = col("syy").cast("double")
+      val sxxC = sxxd - sxd * sxd / nd
+      val beta = (sxyd - sxd * syd / nd) / sxxC
+      val alpha = (syd - beta * sxd) / nd
+      val sse = syyd - syd * syd / nd - beta * beta * sxxC
+      val se = sqrt((sse / (nd - lit(2.0))) / sxxC)
+      g.select(col("key").as("event_type"), col("n"),
+        round(beta, 6).as("beta"), round(beta / se, 6).as("t_stat"))
+    }),
+
+    // Laspeyres / Paasche / Fisher price indices between two years of
+    // lineitem trade: per-part unit values off exact decimal sums,
+    // quantity-weighted cross terms quantized to DECIMAL — the index-
+    // number readout every pricing warehouse publishes
+    "q499_price_indices" -> ((s, d) => {
+      def yr(y: Int) = Tables.lineitem(s, d)
+        .where(year(col("l_shipdate")) === y)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("spend"),
+          sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+        .select(col("l_partkey"),
+          round(col("spend").cast("double") / col("qty").cast("double"), 6)
+            .as(s"v$y"), col("qty").cast("double").as(s"q$y"))
+      val j = yr(1996).join(yr(1999), Seq("l_partkey"))
+      val g = j.select(
+          (col("v1999") * col("q1996")).cast("decimal(28,10)").as("l_num"),
+          (col("v1996") * col("q1996")).cast("decimal(28,10)").as("l_den"),
+          (col("v1999") * col("q1999")).cast("decimal(28,10)").as("p_num"),
+          (col("v1996") * col("q1999")).cast("decimal(28,10)").as("p_den"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("l_num")).as("ln"), sum(col("l_den")).as("ld"),
+          sum(col("p_num")).as("pn"), sum(col("p_den")).as("pd"))
+      val lasp = col("ln").cast("double") / col("ld").cast("double")
+      val paas = col("pn").cast("double") / col("pd").cast("double")
+      g.select(col("n_parts"), round(lasp, 6).as("laspeyres"),
+        round(paas, 6).as("paasche"),
+        round(sqrt(lasp * paas), 6).as("fisher"))
     })
   )
 
@@ -2264,6 +2386,133 @@ object InferenceQueries {
                    + ((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 - a)
                    * ((a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 - a)),
                    6) AS loading_y
-          FROM w"""
+          FROM w""",
+
+    "q496_kde_points" -> {
+      val sqrt2pi = math.sqrt(2.0 * math.Pi)
+      s"""WITH xs AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                   AS DOUBLE) / 100000.0 AS x
+               FROM orders),
+          pts AS (SELECT x, CAST(e AS DOUBLE) AS e
+                  FROM xs, (VALUES (0.5), (1.5), (2.5), (3.5), (4.5)) p(e)),
+          tm AS (SELECT e,
+                 CAST(ROUND(exp(-(x - e) * (x - e) / (2.0 * 0.25)), 9)
+                   AS DECIMAL(12,9)) AS t
+               FROM pts)
+          SELECT e, count(*) AS n,
+                 ROUND(CAST(sum(t) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 0.5 * $sqrt2pi), 6)
+                   AS density
+          FROM tm GROUP BY 1"""
+    },
+
+    "q497_weibull_fit" ->
+      """WITH life AS (SELECT o_custkey,
+                 CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                   CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS t
+               FROM orders GROUP BY 1),
+          lf AS (SELECT * FROM life WHERE t > 0),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lf),
+          dom AS (SELECT t, count(*) AS cnt FROM lf GROUP BY 1),
+          surv AS (SELECT t,
+                 (n - CAST(sum(cnt) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)) / n AS s
+               FROM dom, nn),
+          pt AS (SELECT ROUND(ln(CAST(t AS DOUBLE)), 6) AS lx,
+                 ROUND(ln(-ln(s)), 6) AS ly
+               FROM surv WHERE s > 0 AND s < 1),
+          g AS (SELECT count(*) AS m,
+                 sum(CAST(lx AS DECIMAL(20,6))) AS sx,
+                 sum(CAST(ly AS DECIMAL(20,6))) AS sy,
+                 sum(CAST(lx * lx AS DECIMAL(28,12))) AS sxx,
+                 sum(CAST(lx * ly AS DECIMAL(28,12))) AS sxy
+               FROM pt),
+          k AS (SELECT m, sx, sy,
+                 ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS shape_k
+               FROM g)
+          SELECT m, shape_k,
+                 ROUND(exp(-((CAST(sy AS DOUBLE)
+                     - shape_k * CAST(sx AS DOUBLE))
+                   / CAST(m AS DOUBLE)) / shape_k), 6) AS scale_lambda
+          FROM k""",
+
+    "q498_adf_unit_root" ->
+      s"""WITH s AS ($dailySql),
+          l AS (SELECT key, y - lag(y, 1) OVER w AS dy,
+                 lag(y, 1) OVER w AS yl
+               FROM s WINDOW w AS (PARTITION BY key ORDER BY day)),
+          f AS (SELECT key, dy, yl FROM l WHERE yl IS NOT NULL),
+          g AS (SELECT key, count(*) AS n, sum(yl) AS sx, sum(dy) AS sy,
+                 sum(yl * yl) AS sxx, sum(yl * dy) AS sxy,
+                 sum(dy * dy) AS syy
+               FROM f GROUP BY 1)
+          SELECT key AS event_type, n,
+                 ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS beta,
+                 ROUND(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / sqrt(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (CAST(n AS DOUBLE) - 2.0))
+                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+                   AS t_stat
+          FROM g""",
+
+    "q499_price_indices" ->
+      """WITH y96 AS (SELECT l_partkey,
+                 ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE)
+                   / CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                     AS DOUBLE), 6) AS v1996,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS q1996
+               FROM lineitem WHERE year(l_shipdate) = 1996
+               GROUP BY 1),
+          y99 AS (SELECT l_partkey,
+                 ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE)
+                   / CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                     AS DOUBLE), 6) AS v1999,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS q1999
+               FROM lineitem WHERE year(l_shipdate) = 1999
+               GROUP BY 1),
+          j AS (SELECT CAST(v1999 * q1996 AS DECIMAL(28,10)) AS l_num,
+                 CAST(v1996 * q1996 AS DECIMAL(28,10)) AS l_den,
+                 CAST(v1999 * q1999 AS DECIMAL(28,10)) AS p_num,
+                 CAST(v1996 * q1999 AS DECIMAL(28,10)) AS p_den
+               FROM y96 JOIN y99 ON y96.l_partkey = y99.l_partkey),
+          g AS (SELECT count(*) AS n_parts, sum(l_num) AS ln_,
+                 sum(l_den) AS ld, sum(p_num) AS pn, sum(p_den) AS pd
+               FROM j)
+          SELECT n_parts,
+                 ROUND(CAST(ln_ AS DOUBLE) / CAST(ld AS DOUBLE), 6)
+                   AS laspeyres,
+                 ROUND(CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE), 6)
+                   AS paasche,
+                 ROUND(sqrt((CAST(ln_ AS DOUBLE) / CAST(ld AS DOUBLE))
+                   * (CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE))), 6)
+                   AS fisher
+          FROM g"""
   )
 }

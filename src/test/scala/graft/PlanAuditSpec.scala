@@ -311,7 +311,12 @@ class PlanAuditSpec extends SparkSpec {
     "q493_energy_distance",
     // q494/q495: the whole answer is ONE sufficient-stats row (global
     // moment aggregation) — q198's scalar shape
-    "q494_covariance_matrix", "q495_pca2_closed_form")
+    "q494_covariance_matrix", "q495_pca2_closed_form",
+    // q497: the survival prefix runs over the duration DOMAIN (q220's
+    // Kaplan-Meier shape) and the Weibull fit is one sufficient-stats
+    // row; q499: the index numbers are one cross-term row (q198's
+    // scalar shape after the per-part rollup)
+    "q497_weibull_fit", "q499_price_indices")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
