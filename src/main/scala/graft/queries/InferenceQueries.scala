@@ -1381,6 +1381,32 @@ object InferenceQueries {
       g.select(col("n_parts"), round(lasp, 6).as("laspeyres"),
         round(paas, 6).as("paasche"),
         round(sqrt(lasp * paas), 6).as("fisher"))
+    }),
+
+    // bucketed-table round-trip under the oracle gate: orders written
+    // hash-bucketed+sorted on custkey, re-read through the catalog, and
+    // aggregated on the bucket key — the groupBy consumes the bucket
+    // layout with NO Exchange (BucketingSpec asserts the plan), which
+    // at 100 TB is the shuffle-elimination path for every repeated
+    // key-aligned pass; the oracle replays the same answer off raw
+    // parquet
+    "q500_bucketed_join" -> ((s, d) => {
+      import graft.sources.Bucketing
+      val path = "/root/repo/target/bucketed/orders_bkt_q500"
+      Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        "orders_bkt_q500", "o_custkey", 8, path)
+      val perCust = Bucketing.readBucketed(s, "orders_bkt_q500")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      perCust.join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("n_orders")).as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
     })
   )
 
@@ -2513,6 +2539,16 @@ object InferenceQueries {
                  ROUND(sqrt((CAST(ln_ AS DOUBLE) / CAST(ld AS DOUBLE))
                    * (CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE))), 6)
                    AS fisher
-          FROM g"""
+          FROM g""",
+
+    "q500_bucketed_join" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS n_orders,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+               FROM orders GROUP BY 1)
+          SELECT c.c_mktsegment AS seg, count(*) AS n_cust,
+                 CAST(sum(n_orders) AS BIGINT) AS n_orders,
+                 CAST(sum(rev) AS DOUBLE) AS revenue
+          FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+          GROUP BY 1"""
   )
 }
