@@ -1407,6 +1407,86 @@ object InferenceQueries {
         .groupBy(col("seg"))
         .agg(count(lit(1)).as("n_cust"), sum(col("n_orders")).as("n_orders"),
           sum(col("rev")).cast("double").as("revenue"))
+    }),
+
+    // Atkinson inequality index (epsilon=1) per nation: 1 - geometric
+    // mean / arithmetic mean of positive balances — the welfare-
+    // weighted companion to q285's Gini; per-row ln quantizes to
+    // DECIMAL so the log-sum is order-free
+    "q501_atkinson_index" -> ((s, d) => {
+      val x = Tables.customer(s, d)
+        .where(col("c_acctbal") > 0)
+        .select(col("c_nationkey").as("nation"),
+          col("c_acctbal").cast("decimal(12,2)").as("v"))
+      val g = x.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(round(log(col("v").cast("double")), 9)
+            .cast("decimal(16,9)")).as("sl"))
+      val mean = col("sv").cast("double") / col("n").cast("double")
+      val gm = exp(col("sl").cast("double") / col("n").cast("double"))
+      g.select(col("nation"), col("n"),
+        round(mean, 6).as("mean_bal"), round(gm, 6).as("geo_mean"),
+        round(lit(1.0) - gm / mean, 6).as("atkinson"))
+    }),
+
+    // Tukey median polish (2 full sweeps) of the event-type x weekday
+    // spend matrix: alternately remove row and column medians — the
+    // robust two-way decomposition ANOVA can't do under outliers. The
+    // matrix is the 35-cell aggregation output; each sweep is one
+    // groupBy-median + broadcast-subtract
+    "q502_median_polish" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .groupBy(col("event_type").as("k"),
+          pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(7))
+            .cast("long").as("dow"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("spend"))
+        .select(col("k"), col("dow"),
+          col("spend").cast("double").as("y"))
+      var cur = cell
+      for (_ <- 1 to 2) {
+        val rm = cur.groupBy(col("k"))
+          .agg(percentile(col("y"), lit(0.5)).as("rmed"))
+        val r1 = cur.join(broadcast(rm), Seq("k"))
+          .select(col("k"), col("dow"),
+            round(col("y") - col("rmed"), 6).as("y"))
+        val cm = r1.groupBy(col("dow"))
+          .agg(percentile(col("y"), lit(0.5)).as("cmed"))
+        cur = r1.join(broadcast(cm), Seq("dow"))
+          .select(col("k"), col("dow"),
+            round(col("y") - col("cmed"), 6).as("y"))
+      }
+      cur.select(col("k").as("event_type"), col("dow"),
+        col("y").as("residual"))
+    }),
+
+    // cross-correlation function between the click and purchase daily
+    // spend series at lags -3..3: the lead-lag discovery readout next
+    // to q199's ACF; one day-shifted equi-join per lag over the
+    // aggregated series, Pearson from exact decimal sums
+    "q503_cross_correlation" -> ((s, d) => {
+      val daily = dailySpend(s, d)
+      def ser(t: String) = daily.where(col("event_type") === t)
+        .select(col("day"), col("spend").cast("decimal(25,6)").as(s"y$t"))
+      val a = ser("click"); val b = ser("purchase")
+      val lags = (-3 to 3).map { l =>
+        a.join(b.select(date_add(col("day"), l).as("day"),
+            col("ypurchase")), Seq("day"))
+          .select(lit(l).as("lag"), col("yclick").as("x"),
+            col("ypurchase").as("y"))
+      }.reduce(_ unionByName _)
+      val g = lags.groupBy(col("lag")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nd = col("n").cast("double")
+      val num = nd * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val den = sqrt(nd * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) *
+        sqrt(nd * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))
+      g.select(col("lag"), col("n"), round(num / den, 6).as("ccf"))
     })
   )
 
@@ -2549,6 +2629,64 @@ object InferenceQueries {
                  CAST(sum(n_orders) AS BIGINT) AS n_orders,
                  CAST(sum(rev) AS DOUBLE) AS revenue
           FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
-          GROUP BY 1"""
+          GROUP BY 1""",
+
+    "q501_atkinson_index" ->
+      """WITH x AS (SELECT c_nationkey AS nation,
+                 CAST(c_acctbal AS DECIMAL(12,2)) AS v
+               FROM customer WHERE c_acctbal > 0),
+          g AS (SELECT nation, count(*) AS n, sum(v) AS sv,
+                 sum(CAST(ROUND(ln(CAST(v AS DOUBLE)), 9)
+                   AS DECIMAL(16,9))) AS sl
+               FROM x GROUP BY 1)
+          SELECT nation, n,
+                 ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS mean_bal,
+                 ROUND(exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS geo_mean,
+                 ROUND(1.0 - exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS atkinson
+          FROM g""",
+
+    "q502_median_polish" ->
+      """WITH cell AS (SELECT event_type AS k,
+                 (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+               FROM events GROUP BY 1, 2),
+          rm1 AS (SELECT k, median(y) AS rmed FROM cell GROUP BY 1),
+          r1 AS (SELECT c.k, c.dow, ROUND(c.y - rm1.rmed, 6) AS y
+                 FROM cell c JOIN rm1 ON c.k = rm1.k),
+          cm1 AS (SELECT dow, median(y) AS cmed FROM r1 GROUP BY 1),
+          c1 AS (SELECT r1.k, r1.dow, ROUND(r1.y - cm1.cmed, 6) AS y
+                 FROM r1 JOIN cm1 ON r1.dow = cm1.dow),
+          rm2 AS (SELECT k, median(y) AS rmed FROM c1 GROUP BY 1),
+          r2 AS (SELECT c1.k, c1.dow, ROUND(c1.y - rm2.rmed, 6) AS y
+                 FROM c1 JOIN rm2 ON c1.k = rm2.k),
+          cm2 AS (SELECT dow, median(y) AS cmed FROM r2 GROUP BY 1),
+          c2 AS (SELECT r2.k, r2.dow, ROUND(r2.y - cm2.cmed, 6) AS y
+                 FROM r2 JOIN cm2 ON r2.dow = cm2.dow)
+          SELECT k AS event_type, dow, y AS residual FROM c2""",
+
+    "q503_cross_correlation" ->
+      s"""WITH s AS ($dailySql),
+          a AS (SELECT day, y AS x FROM s WHERE key = 'click'),
+          b AS (SELECT day, y FROM s WHERE key = 'purchase'),
+          lg AS (SELECT l.lag, a.x, b.y
+                 FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) l(lag)
+                 CROSS JOIN a
+                 JOIN b ON b.day + l.lag = a.day),
+          g AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+               FROM lg GROUP BY 1)
+          SELECT lag, n,
+                 ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   AS ccf
+          FROM g"""
   )
 }
