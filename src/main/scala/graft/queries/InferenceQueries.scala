@@ -1487,6 +1487,107 @@ object InferenceQueries {
         sqrt(nd * col("syy").cast("double") -
           col("sy").cast("double") * col("sy").cast("double"))
       g.select(col("lag"), col("n"), round(num / den, 6).as("ccf"))
+    }),
+
+    // Hill diversity numbers per source: richness (q=0), exp-Shannon
+    // (q=1), inverse-Simpson (q=2) over the token distribution — the
+    // corpus-diversity profile a data-mixing decision reads. Simpson
+    // stays fully BIGINT-exact (sum c² / N²); Shannon terms quantize
+    "q504_hill_numbers" -> ((s, d) => {
+      val tok = Tables.documents(s, d).select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .where(length(col("t")) > 0)
+      val tc = tok.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      val nt = tc.groupBy(col("source"))
+        .agg(sum(col("c")).as("nn"), count(lit(1)).as("richness"),
+          sum(col("c") * col("c")).as("sc2"))
+      val tj = tc.join(broadcast(nt.select(col("source"), col("nn"))),
+        Seq("source"))
+      val p = col("c").cast("double") / col("nn").cast("double")
+      val sh = tj.select(col("source"),
+          round(-p * log(p), 9).cast("decimal(14,9)").as("term"))
+        .groupBy(col("source")).agg(sum(col("term")).as("h"))
+      nt.join(sh, Seq("source"))
+        .select(col("source"), col("nn").as("n_tokens"), col("richness"),
+          round(exp(col("h").cast("double")), 6).as("hill1"),
+          round((col("nn") * col("nn")).cast("double") /
+            col("sc2").cast("double"), 6).as("hill2"))
+    }),
+
+    // Heaps' law fit across sources: ln V ~ ln N regression over the
+    // per-source (tokens, vocabulary) points gives the vocabulary
+    // growth exponent beta and constant K — the scaling law that
+    // predicts vocab size at 100x the corpus
+    "q505_heaps_law" -> ((s, d) => {
+      val tok = Tables.documents(s, d).select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .where(length(col("t")) > 0)
+      val sv = tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("nn"), countDistinct(col("t")).as("v"))
+        .select(round(log(col("nn").cast("double")), 9).as("lx"),
+          round(log(col("v").cast("double")), 9).as("ly"))
+      val g = sv.agg(count(lit(1)).as("m"),
+        sum(col("lx").cast("decimal(16,9)")).as("sx"),
+        sum(col("ly").cast("decimal(16,9)")).as("sy"),
+        sum((col("lx") * col("lx")).cast("decimal(24,12)")).as("sxx"),
+        sum((col("lx") * col("ly")).cast("decimal(24,12)")).as("sxy"))
+      val md = col("m").cast("double")
+      val beta = (md * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (md * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      val g2 = g.select(col("m"), round(beta, 6).as("beta"),
+        col("sx"), col("sy"))
+      g2.select(col("m").as("n_sources"), col("beta"),
+        round(exp((col("sy").cast("double") - col("beta") *
+          col("sx").cast("double")) / col("m").cast("double")), 6)
+          .as("k_const"))
+    }),
+
+    // Burrows' delta stylometry between sources: z-scores of the top-10
+    // corpus words' relative frequencies, delta(a,b) = mean |z_a - z_b|
+    // — the authorship/contamination distance over a vocabulary-bounded
+    // frame (top-k via TakeOrdered, never a global sort of the corpus)
+    "q506_burrows_delta" -> ((s, d) => {
+      val tok = Tables.documents(s, d).select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .where(length(col("t")) > 0)
+      val top = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(10)
+        .select(col("t"))
+      val nsrc = tok.groupBy(col("source")).agg(count(lit(1)).as("nn"))
+      val f = tok.join(broadcast(top), Seq("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .join(broadcast(nsrc), Seq("source"))
+        .select(col("source"), col("t"),
+          round(col("c").cast("double") / col("nn").cast("double"), 9)
+            .cast("decimal(14,9)").as("f"))
+      val st = f.groupBy(col("t")).agg(count(lit(1)).as("m"),
+          sum(col("f")).as("sf"),
+          sum((col("f").cast("double") * col("f").cast("double"))
+            .cast("decimal(24,15)")).as("sff"))
+        .select(col("t"),
+          (col("sf").cast("double") / col("m").cast("double")).as("mu"),
+          sqrt((col("sff").cast("double") -
+            col("sf").cast("double") * col("sf").cast("double") /
+              col("m").cast("double")) /
+            (col("m").cast("double") - lit(1.0))).as("sd"))
+      val z = f.join(broadcast(st), Seq("t"))
+        .select(col("t"), col("source"),
+          round((col("f").cast("double") - col("mu")) / col("sd"), 6)
+            .as("z"))
+      val za = z.select(col("t"), col("source").as("src_a"),
+        col("z").as("za"))
+      val zb = z.select(col("t"), col("source").as("src_b"),
+        col("z").as("zb"))
+      za.join(zb, Seq("t")).where(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(abs(col("za") - col("zb")), 9).cast("decimal(14,9)")
+            .as("dz"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(col("dz")).cast("double") / lit(10.0), 6).as("delta"))
     })
   )
 
@@ -2687,6 +2788,93 @@ object InferenceQueries {
                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                    AS ccf
-          FROM g"""
+          FROM g""",
+
+    "q504_hill_numbers" ->
+      """WITH tok AS (SELECT source, t
+               FROM (SELECT source, unnest(regexp_split_to_array(
+                       lower(trim(text)), '\s+')) AS t
+                     FROM documents) u
+               WHERE length(t) > 0),
+          tc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+          nt AS (SELECT source, CAST(sum(c) AS BIGINT) AS nn,
+                 count(*) AS richness,
+                 CAST(sum(c * c) AS BIGINT) AS sc2
+               FROM tc GROUP BY 1),
+          sh AS (SELECT tc.source,
+                 sum(CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+                   AS DECIMAL(14,9))) AS h
+               FROM tc JOIN nt ON tc.source = nt.source
+               GROUP BY 1)
+          SELECT nt.source, nn AS n_tokens, richness,
+                 ROUND(exp(CAST(h AS DOUBLE)), 6) AS hill1,
+                 ROUND(CAST(nn * nn AS DOUBLE) / CAST(sc2 AS DOUBLE), 6)
+                   AS hill2
+          FROM nt JOIN sh ON nt.source = sh.source""",
+
+    "q505_heaps_law" ->
+      """WITH tok AS (SELECT source, t
+               FROM (SELECT source, unnest(regexp_split_to_array(
+                       lower(trim(text)), '\s+')) AS t
+                     FROM documents) u
+               WHERE length(t) > 0),
+          sv AS (SELECT ROUND(ln(CAST(count(*) AS DOUBLE)), 9) AS lx,
+                 ROUND(ln(CAST(count(DISTINCT t) AS DOUBLE)), 9) AS ly
+               FROM tok GROUP BY source),
+          g AS (SELECT count(*) AS m,
+                 sum(CAST(lx AS DECIMAL(16,9))) AS sx,
+                 sum(CAST(ly AS DECIMAL(16,9))) AS sy,
+                 sum(CAST(lx * lx AS DECIMAL(24,12))) AS sxx,
+                 sum(CAST(lx * ly AS DECIMAL(24,12))) AS sxy
+               FROM sv),
+          b AS (SELECT m, sx, sy,
+                 ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS beta
+               FROM g)
+          SELECT m AS n_sources, beta,
+                 ROUND(exp((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                   / CAST(m AS DOUBLE)), 6) AS k_const
+          FROM b""",
+
+    "q506_burrows_delta" ->
+      """WITH tok AS (SELECT source, t
+               FROM (SELECT source, unnest(regexp_split_to_array(
+                       lower(trim(text)), '\s+')) AS t
+                     FROM documents) u
+               WHERE length(t) > 0),
+          top AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok
+                   GROUP BY 1) g
+                  ORDER BY c DESC, t LIMIT 10),
+          nsrc AS (SELECT source, count(*) AS nn FROM tok GROUP BY 1),
+          f AS (SELECT tc.source, tc.t,
+                 CAST(ROUND(CAST(tc.c AS DOUBLE) / CAST(nsrc.nn AS DOUBLE),
+                   9) AS DECIMAL(14,9)) AS f
+               FROM (SELECT tok.source, tok.t, count(*) AS c
+                     FROM tok JOIN top ON tok.t = top.t
+                     GROUP BY 1, 2) tc
+               JOIN nsrc ON tc.source = nsrc.source),
+          st AS (SELECT t, count(*) AS m, sum(f) AS sf,
+                 sum(CAST(CAST(f AS DOUBLE) * CAST(f AS DOUBLE)
+                   AS DECIMAL(24,15))) AS sff
+               FROM f GROUP BY 1),
+          z AS (SELECT f.t, f.source,
+                 ROUND((CAST(f.f AS DOUBLE)
+                     - CAST(st.sf AS DOUBLE) / CAST(st.m AS DOUBLE))
+                   / sqrt((CAST(st.sff AS DOUBLE)
+                       - CAST(st.sf AS DOUBLE) * CAST(st.sf AS DOUBLE)
+                         / CAST(st.m AS DOUBLE))
+                     / (CAST(st.m AS DOUBLE) - 1.0)), 6) AS z
+               FROM f JOIN st ON f.t = st.t),
+          pr AS (SELECT za.source AS src_a, zb.source AS src_b,
+                 CAST(ROUND(abs(za.z - zb.z), 9) AS DECIMAL(14,9)) AS dz
+               FROM z za JOIN z zb
+                 ON za.t = zb.t AND za.source < zb.source)
+          SELECT src_a, src_b, count(*) AS n_words,
+                 ROUND(CAST(sum(dz) AS DOUBLE) / 10.0, 6) AS delta
+          FROM pr GROUP BY 1, 2"""
   )
 }

@@ -316,7 +316,11 @@ class PlanAuditSpec extends SparkSpec {
     // Kaplan-Meier shape) and the Weibull fit is one sufficient-stats
     // row; q499: the index numbers are one cross-term row (q198's
     // scalar shape after the per-part rollup)
-    "q497_weibull_fit", "q499_price_indices")
+    "q497_weibull_fit", "q499_price_indices",
+    // q505: the Heaps regression reduces the corpus to ONE (lnN, lnV)
+    // point per source (~20 rows) and then one sufficient-stats row —
+    // q198's scalar shape
+    "q505_heaps_law")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
