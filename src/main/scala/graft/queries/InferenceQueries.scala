@@ -1588,6 +1588,53 @@ object InferenceQueries {
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_words"),
           round(sum(col("dz")).cast("double") / lit(10.0), 6).as("delta"))
+    }),
+
+    // two-way fixed-effects (within) regression: price-on-quantity
+    // slope after demeaning by BOTH supplier and ship-month — the panel
+    // workhorse that strips entity and time confounders OLS absorbs
+    // into the slope. Entity/time means come off two exact rollups;
+    // the demeaned cross-products quantize to DECIMAL before summing
+    "q507_twfe_regression" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey").as("ent"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("tm"),
+        col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      val gAll = li.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy")).localCheckpoint(false)
+      val gEnt = li.groupBy(col("ent")).agg(count(lit(1)).as("ne"),
+        sum(col("x")).as("sxe"), sum(col("y")).as("sye"))
+      val gTm = li.groupBy(col("tm")).agg(count(lit(1)).as("nt"),
+        sum(col("x")).as("sxt"), sum(col("y")).as("syt"))
+      val j = li.join(broadcast(gEnt), Seq("ent"))
+        .join(broadcast(gTm), Seq("tm"))
+        .crossJoin(broadcast(gAll))
+      val mxe = col("sxe").cast("double") / col("ne").cast("double")
+      val mye = col("sye").cast("double") / col("ne").cast("double")
+      val mxt = col("sxt").cast("double") / col("nt").cast("double")
+      val myt = col("syt").cast("double") / col("nt").cast("double")
+      val mx = col("sx").cast("double") / col("n").cast("double")
+      val my = col("sy").cast("double") / col("n").cast("double")
+      val xd = round(col("x").cast("double") - mxe - mxt + mx, 6)
+      val yd = round(col("y").cast("double") - mye - myt + my, 6)
+      val t = j.select((xd * yd).cast("decimal(34,10)").as("xy"),
+          (xd * xd).cast("decimal(34,10)").as("xx"),
+          col("x"), col("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("x"))).as("sxx_raw"),
+          sum((col("x") * col("y"))).as("sxy_raw"))
+      val nd = col("n").cast("double")
+      val betaOls = (nd * col("sxy_raw").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (nd * col("sxx_raw").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      t.select(col("n"),
+        round(betaOls, 6).as("beta_ols"),
+        round(col("sxy").cast("double") / col("sxx").cast("double"), 6)
+          .as("beta_twfe"))
     })
   )
 
@@ -2875,6 +2922,48 @@ object InferenceQueries {
                  ON za.t = zb.t AND za.source < zb.source)
           SELECT src_a, src_b, count(*) AS n_words,
                  ROUND(CAST(sum(dz) AS DOUBLE) / 10.0, 6) AS delta
-          FROM pr GROUP BY 1, 2"""
+          FROM pr GROUP BY 1, 2""",
+
+    "q507_twfe_regression" ->
+      """WITH li AS (SELECT l_suppkey AS ent,
+                 CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+                   AS tm,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+               FROM lineitem),
+          ga AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM li),
+          ge AS (SELECT ent, count(*) AS ne, sum(x) AS sxe, sum(y) AS sye
+                 FROM li GROUP BY 1),
+          gt AS (SELECT tm, count(*) AS nt, sum(x) AS sxt, sum(y) AS syt
+                 FROM li GROUP BY 1),
+          dm AS (SELECT
+                 ROUND(CAST(li.x AS DOUBLE)
+                   - CAST(sxe AS DOUBLE) / CAST(ne AS DOUBLE)
+                   - CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)
+                   + CAST(ga.sx AS DOUBLE) / CAST(ga.n AS DOUBLE), 6) AS xd,
+                 ROUND(CAST(li.y AS DOUBLE)
+                   - CAST(sye AS DOUBLE) / CAST(ne AS DOUBLE)
+                   - CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                   + CAST(ga.sy AS DOUBLE) / CAST(ga.n AS DOUBLE), 6) AS yd,
+                 li.x, li.y
+               FROM li
+               JOIN ge ON li.ent = ge.ent
+               JOIN gt ON li.tm = gt.tm
+               CROSS JOIN ga),
+          t AS (SELECT count(*) AS n,
+                 sum(CAST(xd * yd AS DECIMAL(34,10))) AS sxy,
+                 sum(CAST(xd * xd AS DECIMAL(34,10))) AS sxx,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx_raw, sum(x * y) AS sxy_raw
+               FROM dm)
+          SELECT n,
+                 ROUND((CAST(n AS DOUBLE) * CAST(sxy_raw AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx_raw AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS beta_ols,
+                 ROUND(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE), 6)
+                   AS beta_twfe
+          FROM t"""
   )
 }

@@ -320,7 +320,11 @@ class PlanAuditSpec extends SparkSpec {
     // q505: the Heaps regression reduces the corpus to ONE (lnN, lnV)
     // point per source (~20 rows) and then one sufficient-stats row —
     // q198's scalar shape
-    "q505_heaps_law")
+    "q505_heaps_law",
+    // q507: the grand-mean frame is ONE row crossJoin-broadcast into
+    // the demeaning pass (entity/time means ride broadcast equi-joins);
+    // the readout is one sufficient-stats row — q198's scalar shape
+    "q507_twfe_regression")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
