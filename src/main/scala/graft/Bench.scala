@@ -38,9 +38,22 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
+      // ContextCleaner drains its reference queue ASYNCHRONOUSLY after
+      // the GC enqueues dead blocks/broadcasts — without a pause the
+      // unpersist/removeBroadcast RPC storm from everything the GC just
+      // found overlaps the NEXT timed query and inflates it (measured:
+      // q256 2.7 s standalone vs 17.7 s mid-suite at 504 queries).
+      // A short drain window keeps the cleanup outside the timed region.
+      Thread.sleep(250)
+      System.gc()
+      Thread.sleep(100)
     }
-    // warm-up pass (not reported)
-    names.foreach { n => runOne(n); spark.catalog.clearCache() }
+    // warm-up pass (not reported); deep-clean periodically so the timed
+    // passes don't start against a heap full of warmup garbage
+    names.zipWithIndex.foreach { case (n, i) =>
+      runOne(n); spark.catalog.clearCache()
+      if (i % 50 == 49) deepClean()
+    }
     deepClean()
     // best-of-2 steady-state: single-JVM local mode timing is noisy
     // (GC, VM scheduling); min is the least-biased steady-state proxy.

@@ -1635,6 +1635,110 @@ object InferenceQueries {
         round(betaOls, 6).as("beta_ols"),
         round(col("sxy").cast("double") / col("sxx").cast("double"), 6)
           .as("beta_twfe"))
+    }),
+
+    // binary-segmentation changepoints (2 levels): the max-|CUSUM| day
+    // splits each series, then each half splits again — the
+    // hierarchical extension of q200's single scan. Per level one
+    // ordered window per (key, segment) + an argmax row_number;
+    // deviations come off exact per-segment decimal means
+    "q508_binary_segmentation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = dailySpend(s, d).select(col("event_type").as("key"),
+        col("day"), col("spend").cast("decimal(25,6)").as("y"))
+      def splitOnce(df: DataFrame, level: Int): (DataFrame, DataFrame) = {
+        val st = df.groupBy(col("key"), col("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        val j = df.join(broadcast(st), Seq("key", "seg"))
+          .withColumn("dev", col("y").cast("double") -
+            col("sy").cast("double") / col("n").cast("double"))
+        val wp = Window.partitionBy(col("key"), col("seg"))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cus = j.withColumn("cz", sum(col("dev")).over(wp))
+        val wr = Window.partitionBy(col("key"), col("seg"))
+          .orderBy(abs(col("cz")).desc, col("day"))
+        val ranked = cus.withColumn("rn", row_number().over(wr))
+        val bps = ranked.where(col("rn") === 1 && col("n") >= 4)
+          .select(col("key"), lit(level).as("level"), col("seg"),
+            col("day").cast("string").as("bp_day"),
+            round(abs(col("cz")), 6).as("cusum_stat"))
+        val next = ranked.join(
+            bps.select(col("key"), col("seg"),
+              col("bp_day").cast("date").as("bd")),
+            Seq("key", "seg"))
+          .select(col("key"), col("day"), col("y"),
+            concat(col("seg"), when(col("day") <= col("bd"), "L")
+              .otherwise("R")).as("seg"))
+        (bps, next)
+      }
+      val base = daily.withColumn("seg", lit("0"))
+      val (b1, n1) = splitOnce(base, 1)
+      val (b2, _) = splitOnce(n1.localCheckpoint(false), 2)
+      b1.unionByName(b2).select(col("key").as("event_type"), col("level"),
+        col("seg"), col("bp_day"), col("cusum_stat"))
+    }),
+
+    // Fleiss' kappa inter-rater agreement: three md5-seeded pseudo-
+    // raters label each document's language (75% faithful, 25% hash
+    // noise); the agreement numerators stay BIGINT-exact all the way to
+    // the final kappa ratio
+    "q509_fleiss_kappa" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val rated = (1 to 3).map { r =>
+        val h = pmod(hash60(concat_ws(":", lit("rater"), lit(r),
+          col("doc_id"))), lit(20L))
+        val noisy = langs.zipWithIndex.foldLeft(lit(langs.head)) {
+          case (acc, (l, i)) => when(h % 5 === i, lit(l)).otherwise(acc)
+        }
+        docs.select(col("doc_id"),
+          when(h < 15, col("lang")).otherwise(noisy).as("cat"))
+      }.reduce(_ unionByName _)
+      val nic = rated.groupBy(col("doc_id"), col("cat"))
+        .agg(count(lit(1)).as("c"))
+      // per-item agreement numerator sum_c c^2 - 3 (n=3 raters)
+      val items = nic.groupBy(col("doc_id"))
+        .agg((sum(col("c") * col("c")) - lit(3L)).as("num"))
+      val pi = items.agg(count(lit(1)).as("n_items"),
+        sum(col("num")).as("snum"))
+      val pc = rated.groupBy(col("cat")).agg(count(lit(1)).as("cc"))
+        .agg(sum(col("cc") * col("cc")).as("sc2"), sum(col("cc")).as("tot"))
+      val j = pi.crossJoin(broadcast(pc))
+      val pbar = col("snum").cast("double") /
+        (col("n_items").cast("double") * lit(6.0))
+      val pe = col("sc2").cast("double") /
+        (col("tot").cast("double") * col("tot").cast("double"))
+      j.select(col("n_items"), round(pbar, 6).as("p_bar"),
+        round(pe, 6).as("p_e"),
+        round((pbar - pe) / (lit(1.0) - pe), 6).as("fleiss_kappa"))
+    }),
+
+    // intraclass correlation ICC(1,1) of balances within nations: the
+    // between/within mean squares off one exact rollup — how much of
+    // the variance the grouping explains, q489's single-number summary
+    "q510_icc" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("ng"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).as("sg"),
+          sum(col("c_acctbal").cast("decimal(12,2)") *
+            col("c_acctbal").cast("decimal(12,2)")).as("qg"))
+      val w = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"),
+        sum(col("sg")).as("st"),
+        sum(col("qg")).as("qt"),
+        sum((col("sg").cast("double") * col("sg").cast("double") /
+          col("ng").cast("double")).cast("decimal(32,10)")).as("sb"))
+      val nd = col("nn").cast("double"); val kd = col("k").cast("double")
+      val ssb = col("sb").cast("double") -
+        col("st").cast("double") * col("st").cast("double") / nd
+      val ssw = col("qt").cast("double") - col("sb").cast("double")
+      val msb = ssb / (kd - lit(1.0))
+      val msw = ssw / (nd - kd)
+      val nbar = nd / kd
+      w.select(col("k"), col("nn").as("n"),
+        round(msb, 6).as("msb"), round(msw, 6).as("msw"),
+        round((msb - msw) / (msb + (nbar - lit(1.0)) * msw), 6).as("icc1"))
     })
   )
 
@@ -2964,6 +3068,108 @@ object InferenceQueries {
                    AS beta_ols,
                  ROUND(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE), 6)
                    AS beta_twfe
-          FROM t"""
+          FROM t""",
+
+    "q508_binary_segmentation" -> {
+      def level(lv: Int): String =
+        s"""st$lv AS (SELECT key, seg, count(*) AS n, sum(y) AS sy
+               FROM cur${lv - 1} GROUP BY 1, 2),
+            cz$lv AS (SELECT c.key, c.seg, c.day, c.y, s.n,
+                 sum(CAST(c.y AS DOUBLE)
+                     - CAST(s.sy AS DOUBLE) / CAST(s.n AS DOUBLE))
+                   OVER (PARTITION BY c.key, c.seg ORDER BY c.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cz
+               FROM cur${lv - 1} c JOIN st$lv s
+                 ON c.key = s.key AND c.seg = s.seg),
+            rk$lv AS (SELECT *, row_number() OVER (PARTITION BY key, seg
+                   ORDER BY abs(cz) DESC, day) AS rn
+                 FROM cz$lv),
+            bp$lv AS (SELECT key, $lv AS level, seg,
+                 CAST(day AS VARCHAR) AS bp_day,
+                 ROUND(abs(cz), 6) AS cusum_stat
+               FROM rk$lv WHERE rn = 1 AND n >= 4),
+            cur$lv AS (SELECT r.key, r.day, r.y,
+                 r.seg || (CASE WHEN r.day <= CAST(b.bp_day AS DATE)
+                   THEN 'L' ELSE 'R' END) AS seg
+               FROM rk$lv r JOIN bp$lv b
+                 ON r.key = b.key AND r.seg = b.seg)"""
+      s"""WITH s AS ($dailySql),
+          cur0 AS (SELECT key, day, y, '0' AS seg FROM s),
+          ${level(1)},
+          ${level(2)}
+          SELECT key AS event_type, level, seg, bp_day, cusum_stat
+          FROM bp1
+          UNION ALL
+          SELECT key, level, seg, bp_day, cusum_stat FROM bp2"""
+    },
+
+    "q509_fleiss_kappa" ->
+      s"""WITH rated AS (SELECT doc_id,
+                 CASE WHEN ${H60("'rater:' || r || ':' || CAST(doc_id AS VARCHAR)")}
+                     % 20 < 15 THEN lang
+                 ELSE CASE ${H60("'rater:' || r || ':' || CAST(doc_id AS VARCHAR)")}
+                     % 20 % 5
+                   WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+                   WHEN 3 THEN 'fr' ELSE 'zh' END
+                 END AS cat
+               FROM documents, (VALUES (1), (2), (3)) rr(r)),
+          nic AS (SELECT doc_id, cat, count(*) AS c
+                  FROM rated GROUP BY 1, 2),
+          items AS (SELECT doc_id,
+                 CAST(sum(c * c) AS BIGINT) - 3 AS num
+               FROM nic GROUP BY 1),
+          pi AS (SELECT count(*) AS n_items,
+                 CAST(sum(num) AS BIGINT) AS snum FROM items),
+          pc AS (SELECT CAST(sum(cc * cc) AS BIGINT) AS sc2,
+                 CAST(sum(cc) AS BIGINT) AS tot
+               FROM (SELECT cat, count(*) AS cc FROM rated GROUP BY 1) c)
+          SELECT n_items,
+                 ROUND(CAST(snum AS DOUBLE)
+                   / (CAST(n_items AS DOUBLE) * 6.0), 6) AS p_bar,
+                 ROUND(CAST(sc2 AS DOUBLE)
+                   / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS p_e,
+                 ROUND((CAST(snum AS DOUBLE)
+                     / (CAST(n_items AS DOUBLE) * 6.0)
+                   - CAST(sc2 AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)))
+                   / (1.0 - CAST(sc2 AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))), 6)
+                   AS fleiss_kappa
+          FROM pi, pc""",
+
+    "q510_icc" ->
+      """WITH g AS (SELECT c_nationkey, count(*) AS ng,
+                 sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sg,
+                 sum(CAST(c_acctbal AS DECIMAL(12,2))
+                   * CAST(c_acctbal AS DECIMAL(12,2))) AS qg
+               FROM customer GROUP BY 1),
+          w AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS nn,
+                 sum(sg) AS st, sum(qg) AS qt,
+                 sum(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                   / CAST(ng AS DOUBLE) AS DECIMAL(32,10))) AS sb
+               FROM g)
+          SELECT k, nn AS n,
+                 ROUND((CAST(sb AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                       / CAST(nn AS DOUBLE))
+                   / (CAST(k AS DOUBLE) - 1.0), 6) AS msb,
+                 ROUND((CAST(qt AS DOUBLE) - CAST(sb AS DOUBLE))
+                   / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)), 6) AS msw,
+                 ROUND(((CAST(sb AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                       / CAST(nn AS DOUBLE))
+                   / (CAST(k AS DOUBLE) - 1.0)
+                   - (CAST(qt AS DOUBLE) - CAST(sb AS DOUBLE))
+                     / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+                   / ((CAST(sb AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                       / CAST(nn AS DOUBLE))
+                   / (CAST(k AS DOUBLE) - 1.0)
+                   + (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE) - 1.0)
+                     * ((CAST(qt AS DOUBLE) - CAST(sb AS DOUBLE))
+                       / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))), 6)
+                   AS icc1
+          FROM w"""
   )
 }

@@ -324,7 +324,12 @@ class PlanAuditSpec extends SparkSpec {
     // q507: the grand-mean frame is ONE row crossJoin-broadcast into
     // the demeaning pass (entity/time means ride broadcast equi-joins);
     // the readout is one sufficient-stats row — q198's scalar shape
-    "q507_twfe_regression")
+    "q507_twfe_regression",
+    // q509: the item-agreement and category-marginal frames each reduce
+    // to ONE sufficient-stats row crossed for the kappa readout; q510:
+    // the ICC is one mean-squares row off the nation rollup — q198's
+    // scalar shape
+    "q509_fleiss_kappa", "q510_icc")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
