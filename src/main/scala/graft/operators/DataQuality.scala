@@ -1004,6 +1004,47 @@ object DataQuality {
       }: _*)
   }
 
+  /** [[cumulativeByValue]] for exact-DECIMAL agg columns — same
+    * two-level prefix sum (range-repartition on `v`, per-range window,
+    * O(#partitions) per-partition totals broadcast back as exclusive
+    * offsets), but the totals collect reads BigDecimal so the fold
+    * stays exact for the DECIMAL(p,s) log-factor/increment columns the
+    * survival estimators accumulate. Decimal addition is associative
+    * and exact, so the output is bit-identical to a single ordered
+    * fold — independent of where the sampled range boundaries fall. */
+  private[graft] def cumulativeDecimalByValue(counts: DataFrame,
+                                              aggCols: Seq[String],
+                                              scale: Int = 12): DataFrame = {
+    val s = counts.sparkSession
+    val parts = counts
+      .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perPart = parts.groupBy(col("__pid"))
+      .agg(aggCols.map(c => sum(col(c)).as(c)).head,
+        aggCols.map(c => sum(col(c)).as(c)).tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        aggCols.map(c => Option(r.getAs[java.math.BigDecimal](c))
+          .map(BigDecimal(_)).getOrElse(BigDecimal(0))).toArray)
+      .sortBy(_._1)
+    val offsets = perPart.scanLeft(-1 -> Array.fill(aggCols.length)(BigDecimal(0))) {
+      case ((_, acc), (pid, tot)) => pid -> acc.zip(tot).map { case (a, t) => a + t }
+    }.sliding(2).map(pair => (pair(1)._1, pair(0)._2)).toSeq
+    import s.implicits._
+    val offDf = offsets.map { case (pid, acc) => (pid, acc.map(_.toString).toSeq) }
+      .toDF("__pid", "__off")
+      .select(col("__pid"),
+        col("__off").cast(s"array<decimal(38,$scale)>").as("__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    parts.join(broadcast(offDf), Seq("__pid"))
+      .select(col("v") +: aggCols.zipWithIndex.map { case (c, i) =>
+        (sum(col(c)).over(w) + element_at(col("__off"), i + 1)).as(s"cum_$c")
+      }: _*)
+  }
+
   /** Exclusive prefix MIN over the value domain — the two-level scheme
     * of [[cumulativeByValue]] with MIN as the fold: range-partition the
     * per-value table on `v`, collect the O(#partitions) per-partition

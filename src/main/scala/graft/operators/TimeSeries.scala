@@ -1247,52 +1247,70 @@ object TimeSeries {
     * and engine-independent. Emits (duration, n_at_risk, d_events,
     * cum_hazard). */
   def nelsonAalen(df: DataFrame, duration: Column, observed: Column): DataFrame = {
+    val risk = survivalRiskTable(df, duration, observed)
+    val cumInc = DataQuality.cumulativeDecimalByValue(
+      risk.select(col("v"), (col("d").cast("double") /
+        col("n_at_risk").cast("double")).cast("decimal(18,12)").as("inc")),
+      Seq("inc"))
+    risk.join(cumInc, Seq("v"))
+      .select(col("v").as("duration"), col("n_at_risk"),
+        col("d").as("d_events"),
+        round(col("cum_inc").cast("double"), 6).as("cum_hazard"))
+  }
+
+  /** Shared event-table reduction for the survival estimators: collapse
+    * to the distinct-duration domain (one groupBy), then derive each
+    * duration's at-risk count WITHOUT an unpartitioned window — the
+    * duration domain is usually resolution-bounded, but a caller
+    * feeding ms-resolution durations would make `Window.orderBy(t)` a
+    * row-sized single-partition sort, so the running "subjects departed
+    * before t" count goes through [[DataQuality.cumulativeByValue]]'s
+    * two-level prefix sum and the grand total rides a 1-row broadcast
+    * frame. Emits one row per duration `v` with (d, c, m, n_at_risk)
+    * [+ d1/m1 group-1 splits when `inGroup1` is given]. */
+  private def survivalRiskTable(df: DataFrame, duration: Column,
+                                observed: Column,
+                                inGroup1: Option[Column] = None): DataFrame = {
+    val groupAggs = Seq(
+      sum(when(observed, 1L).otherwise(0L)).as("d"),
+      sum(when(observed, 0L).otherwise(1L)).as("c"),
+      count(lit(1)).as("m")) ++ inGroup1.toSeq.flatMap(g => Seq(
+      sum(when(observed && g, 1L).otherwise(0L)).as("d1"),
+      sum(when(g, 1L).otherwise(0L)).as("m1")))
     val counts = df.where(duration.isNotNull)
-      .groupBy(duration.cast("long").as("t"))
-      .agg(sum(when(observed, 1L).otherwise(0L)).as("d"),
-        sum(when(observed, 0L).otherwise(1L)).as("c"))
-    val w = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    counts
-      .withColumn("left_before",
-        sum(col("d") + col("c")).over(w) - (col("d") + col("c")))
-      .withColumn("total", sum(col("d") + col("c")).over(wAll))
-      .withColumn("n_at_risk", col("total") - col("left_before"))
-      .withColumn("inc", (col("d").cast("double") /
-        col("n_at_risk").cast("double")).cast("decimal(18,12)"))
-      .withColumn("cum_hazard",
-        round(sum(col("inc")).over(w).cast("double"), 6))
-      .select(col("t").as("duration"), col("n_at_risk"),
-        col("d").as("d_events"), col("cum_hazard"))
+      .groupBy(duration.cast("long").as("v"))
+      .agg(groupAggs.head, groupAggs.tail: _*)
+      .localCheckpoint(false)
+    val cumCols = Seq("m") ++ (if (inGroup1.isDefined) Seq("m1") else Nil)
+    val cum = DataQuality.cumulativeByValue(
+      counts.select(col("v") +: cumCols.map(col): _*), cumCols)
+    val totalAggs = sum(col("m")).as("total") +:
+      inGroup1.toSeq.map(_ => sum(col("m1")).as("total1"))
+    val total = counts.agg(totalAggs.head, totalAggs.tail: _*)
+    val base = counts.join(cum, Seq("v")).crossJoin(broadcast(total))
+      .withColumn("n_at_risk", col("total") - (col("cum_m") - col("m")))
+    if (inGroup1.isDefined)
+      base.withColumn("n1_at_risk", col("total1") - (col("cum_m1") - col("m1")))
+    else base
   }
 
   def kaplanMeier(df: DataFrame, duration: Column, observed: Column): DataFrame = {
-    val counts = df.where(duration.isNotNull)
-      .groupBy(duration.cast("long").as("t"))
-      .agg(sum(when(observed, 1L).otherwise(0L)).as("d"),
-        sum(when(observed, 0L).otherwise(1L)).as("c"))
-    val w = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    counts
-      .withColumn("left_before",
-        sum(col("d") + col("c")).over(w) - (col("d") + col("c")))
-      .withColumn("total", sum(col("d") + col("c")).over(wAll))
-      .withColumn("n_at_risk", col("total") - col("left_before"))
-      .withColumn("lnf",
-        when(col("d") === 0, lit(0.0).cast("decimal(18,12)"))
-          // everyone at risk dies: ln(0) would be -inf (null after the
-          // decimal cast, which a sum would silently SKIP) — a -999
-          // floor keeps the fold total, and exp underflows it to an
-          // exact 0.0 in every engine
-          .when(col("d") === col("n_at_risk"), lit(-999.0).cast("decimal(18,12)"))
-          .otherwise(log(lit(1.0) - col("d").cast("double") /
-            col("n_at_risk").cast("double")).cast("decimal(18,12)")))
-      .withColumn("survival",
-        round(exp(sum(col("lnf")).over(w).cast("double")), 6))
-      .select(col("t").as("duration"), col("n_at_risk"),
-        col("d").as("d_events"), col("c").as("n_censored"), col("survival"))
+    val risk = survivalRiskTable(df, duration, observed)
+    val lnf =
+      when(col("d") === 0, lit(0.0).cast("decimal(18,12)"))
+        // everyone at risk dies: ln(0) would be -inf (null after the
+        // decimal cast, which a sum would silently SKIP) — a -999
+        // floor keeps the fold total, and exp underflows it to an
+        // exact 0.0 in every engine
+        .when(col("d") === col("n_at_risk"), lit(-999.0).cast("decimal(18,12)"))
+        .otherwise(log(lit(1.0) - col("d").cast("double") /
+          col("n_at_risk").cast("double")).cast("decimal(18,12)"))
+    val cumLnf = DataQuality.cumulativeDecimalByValue(
+      risk.select(col("v"), lnf.as("lnf")), Seq("lnf"))
+    risk.join(cumLnf, Seq("v"))
+      .select(col("v").as("duration"), col("n_at_risk"),
+        col("d").as("d_events"), col("c").as("n_censored"),
+        round(exp(col("cum_lnf").cast("double")), 6).as("survival"))
   }
 
   /** Two-group log-rank test: do two cohorts' survival curves differ?
@@ -1305,20 +1323,9 @@ object TimeSeries {
     * chi2 = (O1 - E1)^2 / V. */
   def logRank(df: DataFrame, duration: Column, observed: Column,
               inGroup1: Column): DataFrame = {
-    val counts = df.where(duration.isNotNull)
-      .groupBy(duration.cast("long").as("t"))
-      .agg(sum(when(observed, 1L).otherwise(0L)).as("d"),
-        sum(when(observed && inGroup1, 1L).otherwise(0L)).as("d1"),
-        count(lit(1)).as("m"),
-        sum(when(inGroup1, 1L).otherwise(0L)).as("m1"))
-    val w = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    val terms = counts
-      .withColumn("left_before", sum(col("m")).over(w) - col("m"))
-      .withColumn("left1_before", sum(col("m1")).over(w) - col("m1"))
-      .withColumn("n_t", sum(col("m")).over(wAll) - col("left_before"))
-      .withColumn("n1_t", sum(col("m1")).over(wAll) - col("left1_before"))
+    val terms = survivalRiskTable(df, duration, observed, Some(inGroup1))
+      .withColumnRenamed("n_at_risk", "n_t")
+      .withColumnRenamed("n1_at_risk", "n1_t")
       .where(col("d") > 0)
       .withColumn("e1", (col("d").cast("double") *
         col("n1_t").cast("double") / col("n_t").cast("double"))

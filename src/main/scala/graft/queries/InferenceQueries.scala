@@ -147,9 +147,11 @@ object InferenceQueries {
           "left")
         .groupBy(col("ka"), col("da"), col("z"), col("pa"))
         .agg(count(col("kb")).as("rank"))
-      val m = scored.count() // bounded: #hypotheses, not rows
-      val kmax = ranked
-        .where(col("pa") <= lit(0.2) * col("rank").cast("double") / lit(m.toDouble))
+      // #hypotheses rides a 1-row broadcast frame (house standard)
+      val m = scored.agg(count(lit(1)).as("m"))
+      val kmax = ranked.crossJoin(broadcast(m))
+        .where(col("pa") <=
+          lit(0.2) * col("rank").cast("double") / col("m").cast("double"))
         .agg(coalesce(max(col("rank")), lit(0L)).as("kmax"))
       ranked.crossJoin(broadcast(kmax))
         .select(col("ka").as("event_type"), col("da").as("dow"),
@@ -1290,20 +1292,22 @@ object InferenceQueries {
     // (value-bounded prefix ranks, q220's shape) gives the shape k and
     // scale lambda — the parametric summary Kaplan-Meier (q220) feeds
     "q497_weibull_fit" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val life = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate")))
           .cast("long").as("t"))
         .where(col("t") > 0)
-      val dom = life.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-      val n = life.count()
-      val wv = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val surv = dom.withColumn("cum", sum(col("cnt")).over(wv))
-        .withColumn("s", (lit(n.toDouble) - col("cum").cast("double")) /
-          lit(n.toDouble))
+      // duration-DOMAIN table; prefix counts via the two-level prefix
+      // sum and the grand total on a 1-row broadcast frame (house
+      // standard: no driver-action scalars, no unpartitioned window)
+      val dom = life.groupBy(col("t").as("v")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val cum = graft.operators.DataQuality.cumulativeByValue(dom, Seq("cnt"))
+      val tot = dom.agg(sum(col("cnt")).as("n"))
+      val surv = dom.join(cum, Seq("v")).crossJoin(broadcast(tot))
+        .withColumn("s", (col("n") - col("cum_cnt")).cast("double") /
+          col("n").cast("double"))
         .where(col("s") > 0 && col("s") < 1)
-      val pt = surv.select(round(log(col("t").cast("double")), 6).as("lx"),
+      val pt = surv.select(round(log(col("v").cast("double")), 6).as("lx"),
         round(log(-log(col("s"))), 6).as("ly"))
       val g = pt.agg(count(lit(1)).as("m"),
         sum(col("lx").cast("decimal(20,6)")).as("sx"),

@@ -102,12 +102,13 @@ object SimilarityQueries {
     "q237_embedding_isotropy" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
-      val n = e.count() // bounded fit scalar (corpus size), q26's policy
-      val pairs = s.range(2000).select(
+      // corpus size rides a 1-row broadcast frame (house standard)
+      val n = e.agg(count(lit(1)).as("n"))
+      val pairs = s.range(2000).crossJoin(broadcast(n)).select(
           pmod(graft.functions.TextAnalysis.hash60(
-            concat(lit("isoA:"), col("id"))), lit(n)).as("ia"),
+            concat(lit("isoA:"), col("id"))), col("n")).as("ia"),
           pmod(graft.functions.TextAnalysis.hash60(
-            concat(lit("isoB:"), col("id"))), lit(n)).as("ib"))
+            concat(lit("isoB:"), col("id"))), col("n")).as("ib"))
         .where(col("ia") =!= col("ib"))
       val cos = Similarity.cosine(col("ea"), col("eb"))
       pairs

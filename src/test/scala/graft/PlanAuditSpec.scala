@@ -157,17 +157,15 @@ class PlanAuditSpec extends SparkSpec {
     // q354: the pooled-corr scalar is a 1-row frame crossJoin-broadcast
     // over the 5 rollup rows — q198's sufficient-stats shape
     "q354_simpsons_paradox",
-    // q220/q221/q222: ordered passes over DOMAIN-bounded frames — the
-    // Kaplan-Meier curve over distinct durations (time resolution),
-    // the gains window over 10 deciles, the Zipf rank over the
-    // vocabulary — each reduced by an aggregation before the window
-    "q220_kaplan_meier", "q221_gains_table", "q222_zipf_fit",
-    // q341: Nelson-Aalen — q220's exact shape (1-row cutoff frame +
-    // ordered pass over the bounded duration domain)
-    "q341_nelson_aalen",
-    // q406: log-rank — q220's exact shape (1-row cutoff frame +
-    // ordered pass over the bounded duration domain, 1-row readout)
-    "q406_logrank",
+    // q221/q222: ordered passes over DOMAIN-bounded frames — the gains
+    // window over 10 deciles, the Zipf rank over the vocabulary — each
+    // reduced by an aggregation before the window
+    "q221_gains_table", "q222_zipf_fit",
+    // q220/q341/q406: survival estimators now ride cumulativeByValue
+    // (two-level prefix sum, no duration-domain window); what remains
+    // single-partition is the 1-row cutoff/grand-total frames and
+    // q406's 1-row chi2 readout — q145's exact shape
+    "q220_kaplan_meier", "q341_nelson_aalen", "q406_logrank",
     // q408: the train/test cutoff is a 1-row max-date frame
     // crossJoin-broadcast into both splits, and the per-type quantile
     // fit broadcasts a key-domain-sized frame — q139's fit shape
@@ -312,10 +310,11 @@ class PlanAuditSpec extends SparkSpec {
     // q494/q495: the whole answer is ONE sufficient-stats row (global
     // moment aggregation) — q198's scalar shape
     "q494_covariance_matrix", "q495_pca2_closed_form",
-    // q497: the survival prefix runs over the duration DOMAIN (q220's
-    // Kaplan-Meier shape) and the Weibull fit is one sufficient-stats
-    // row; q499: the index numbers are one cross-term row (q198's
-    // scalar shape after the per-part rollup)
+    // q497: the survival prefix rides cumulativeByValue (no domain
+    // window); the 1-row grand-total frame and the one-sufficient-
+    // stats-row Weibull fit remain — q145's shape; q499: the index
+    // numbers are one cross-term row (q198's scalar shape after the
+    // per-part rollup)
     "q497_weibull_fit", "q499_price_indices",
     // q505: the Heaps regression reduces the corpus to ONE (lnN, lnV)
     // point per source (~20 rows) and then one sufficient-stats row —
@@ -387,6 +386,60 @@ class PlanAuditSpec extends SparkSpec {
   // blockSize x rank matrix, multiplied with level-3 BLAS), so the
   // cross-product is over O(n/blockSize) tiny matrices, never raw rows.
   private val cartesianOk = Set("q194_als_recommend")
+
+  // Walk the EXECUTED physical tree, descending through the adaptive
+  // wrapper, materialized query stages, and subquery plans — the places
+  // runtime row-count metrics live after a run.
+  private def flattenExec(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: (kids ++ p.subqueries).flatMap(flattenExec)
+  }
+
+  test("allowlist entries carry MACHINE-CHECKED bounds: every " +
+    "single-partition exchange and BNLJ broadcast side in an allowlisted " +
+    "query moves <= 10k rows at sf0.001") {
+    // Comment-only justification does not scale to 500 queries: an
+    // entry whose "bounded domain" silently becomes row-sized (e.g. a
+    // ms-resolution duration) must FAIL CI, not hide behind an old
+    // allowlist comment. Execute each allowlisted query and read the
+    // runtime metrics of exactly the branches the allowlist excuses.
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val bound = 10000L
+    val offenders = (singlePartitionOk ++ bnljOk).toSeq.sorted.flatMap { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.queryExecution.toRdd.count()
+      val nodes = flattenExec(df.queryExecution.executedPlan)
+      val spOver = nodes.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value)
+            .orElse(e.child.metrics.get("numOutputRows").map(_.value))
+      }.flatten.filter(_ > bound)
+      // only the BNLJ's own BUILD side is what the allowlist excuses —
+      // a nested equi-join's broadcast under the same subtree is the
+      // planner's own (size-thresholded) choice, not ours to bound
+      val bnljOver = nodes.collect {
+        case j: BroadcastNestedLoopJoinExec =>
+          val buildPlan = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+            case _ => j.left
+          }
+          flattenExec(buildPlan)
+            .collectFirst { case b: BroadcastExchangeExec => b }
+            .flatMap(_.metrics.get("numOutputRows").map(_.value))
+      }.flatten.filter(_ > bound)
+      spOver.map(v => s"$n: SinglePartition exchange carries $v rows") ++
+        bnljOver.map(v => s"$n: BNLJ broadcast side carries $v rows")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 
   test("global sweep: no cartesian products; single-partition exchanges " +
     "and nested-loop joins only in allowlisted stats fits") {
