@@ -581,8 +581,8 @@ object DataQuality {
                              pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "functionalDependencies needs column pairs")
     val perPair = pairs.map { case (a, b) =>
-      df.select(coalesce(col(a).cast("string"), lit(" null")).as("lhs"),
-          coalesce(col(b).cast("string"), lit(" null")).as("rhs"))
+      df.select(coalesce(col(a).cast("string"), lit("\u0000null")).as("lhs"),
+          coalesce(col(b).cast("string"), lit("\u0000null")).as("rhs"))
         .groupBy(col("lhs"))
         .agg(countDistinct(col("rhs")).as("n_rhs"), count(lit(1)).as("n_rows"))
         .agg(count(lit(1)).as("n_lhs_values"),
@@ -680,7 +680,7 @@ object DataQuality {
     require(cols.nonEmpty, "categoricalEntropy needs at least one column")
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"),
-          coalesce(col(c).cast("string"), lit(" null")).as("value"))): _*))
+          coalesce(col(c).cast("string"), lit("\u0000null")).as("value"))): _*))
       .as("p")).select(col("p.*"))
     val counts = pairs.groupBy(col("col_name"), col("value"))
       .agg(count(lit(1)).as("cnt"))
@@ -700,8 +700,8 @@ object DataQuality {
     * Emits one row (mi, nmi, h_a, h_b). */
   def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cont = df.groupBy(
-        coalesce(a.cast("string"), lit(" null")).as("va"),
-        coalesce(b.cast("string"), lit(" null")).as("vb"))
+        coalesce(a.cast("string"), lit("\u0000null")).as("va"),
+        coalesce(b.cast("string"), lit("\u0000null")).as("vb"))
       .agg(count(lit(1)).as("cnt"))
     val ma = cont.groupBy(col("va")).agg(sum(col("cnt")).as("ca"))
     val mb = cont.groupBy(col("vb")).agg(sum(col("cnt")).as("cb"))
