@@ -41,8 +41,14 @@ object Vectorizers {
   def topKByCount(df: DataFrame, value: Column, k: Int, minSupport: Long): DataFrame = {
     val counts = df.groupBy(value.as("value")).agg(count(lit(1)).as("cnt"))
       .where(col("value").isNotNull && col("cnt") >= minSupport)
-    withRowNumber(counts, Seq(col("cnt").desc, col("value").asc), "rank")
-      .where(col("rank") <= k)
+    // TakeOrdered top-k (per-partition heads, never a global sort of
+    // the vocabulary), then rank with a window DIRECTLY on the limit's
+    // single-partition output: input is <= k rows by construction, so
+    // the unpartitioned window adds no exchange and no scale risk —
+    // and no RDD zipWithIndex round-trip (extra job, codegen break).
+    counts.orderBy(col("cnt").desc, col("value").asc).limit(k)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("cnt").desc, col("value").asc)).cast("long"))
       .select(col("value"), col("rank"))
   }
 
