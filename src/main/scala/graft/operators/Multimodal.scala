@@ -129,6 +129,10 @@ object Multimodal {
     * total, mean_smoothed) with the 3-tap sums kept exact in longs. */
   def decimateAudio(df: DataFrame, id: Column, payload: Column,
                     nWindows: Int = 16, factor: Int = 3): DataFrame = {
+    // fail fast at the operator boundary: nWindows < 3 yields an empty
+    // window sequence (null array_max / divide-by-zero mean downstream)
+    require(nWindows >= 3, s"nWindows must be >= 3: $nWindows")
+    require(factor >= 1, s"factor must be >= 1: $factor")
     def energy(w: Int): Column =
       conv(substring(md5(concat(payload,
         to_binary(lit(s":aw$w"), lit("utf-8")))), 1, 2), 16, 10).cast("long")

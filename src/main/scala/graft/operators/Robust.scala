@@ -178,7 +178,10 @@ object Robust {
   def isotonicPava(df: DataFrame, key: Column, ord: Column, y: Column)
     : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+    // y joins the sort as a tiebreak: duplicate `ord` values within a
+    // key would otherwise make idx (and the fit) nondeterministic
+    // across runs/partitionings and silently break a hash gate
+    val w = Window.partitionBy(col("key")).orderBy(col("ord"), col("y"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = df.select(key.as("key"), ord.as("ord"),
         y.cast("decimal(25,6)").as("y"))

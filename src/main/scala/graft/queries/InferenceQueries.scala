@@ -398,19 +398,25 @@ object InferenceQueries {
         floor(col("c_acctbal").cast("decimal(12,2)") / lit(100)).as("band"))
       val wseg = Window.partitionBy(col("seg"))
         .orderBy(col("band"), col("c_custkey"))
-      val rn = c.withColumn("rn", row_number().over(wseg).cast("long"))
-      val a = rn.select(col("seg"), col("rn").as("ra"),
-        col("c_custkey").as("key_a"), col("nat").as("nat_a"),
-        col("bal").as("bal_a"))
-      val b = rn.select(col("seg"), col("rn").as("rb"),
-        col("c_custkey").as("key_b"), col("nat").as("nat_b"),
-        col("bal").as("bal_b"))
-      a.join(b, Seq("seg"))
-        .where(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= 3)
-        .select(col("seg"), col("key_a"), col("key_b"),
-          (col("rb") - col("ra")).as("w_dist"),
-          (col("nat_a") === col("nat_b") &&
-            abs(col("bal_a") - col("bal_b")) <= lit(50)).cast("int")
+      // the w-1 neighbors come from lead(1..3) over the SAME window —
+      // linear work per row, never an O(block^2) self-join keyed on the
+      // 5-value segment (which would put a whole segment's pair square
+      // on one join key)
+      val withLeads = c.select(col("seg"), col("c_custkey").as("key_a"),
+        col("nat").as("nat_a"), col("bal").as("bal_a"),
+        array((1 to 3).map(i => struct(
+          lead(col("c_custkey"), i).over(wseg).as("key_b"),
+          lead(col("nat"), i).over(wseg).as("nat_b"),
+          lead(col("bal"), i).over(wseg).as("bal_b"),
+          lit(i.toLong).as("w_dist"))): _*).as("nb"))
+      withLeads
+        .select(col("seg"), col("key_a"), col("nat_a"), col("bal_a"),
+          explode(col("nb")).as("n"))
+        .where(col("n.key_b").isNotNull)
+        .select(col("seg"), col("key_a"), col("n.key_b").as("key_b"),
+          col("n.w_dist").as("w_dist"),
+          (col("nat_a") === col("n.nat_b") &&
+            abs(col("bal_a") - col("n.bal_b")) <= lit(50)).cast("int")
             .as("is_match"))
     }),
 
@@ -542,8 +548,11 @@ object InferenceQueries {
             col("day").cast("string").as("day"),
             round(col("dev") / col("sd"), 6).as("g"),
             (col("dev") / col("sd") > lit(2.0)).cast("int").as("fired"))
+        // lineage cut per round (house convention, q466/q508): without
+        // it round 3 re-executes rounds 1-2's join+window from the base
         cur = ranked.where(col("rn") > 1)
           .select(col("key"), col("day"), col("rd"))
+          .localCheckpoint(false)
         flagged
       }.reduce(_ unionByName _)
       out
@@ -1732,17 +1741,21 @@ object InferenceQueries {
         sum(col("sg")).as("st"),
         sum(col("qg")).as("qt"),
         sum((col("sg").cast("double") * col("sg").cast("double") /
-          col("ng").cast("double")).cast("decimal(32,10)")).as("sb"))
+          col("ng").cast("double")).cast("decimal(32,10)")).as("sb"),
+        // Σn_i² in DECIMAL so a 100 TB group count can't overflow long
+        sum((col("ng") * col("ng")).cast("decimal(38,0)")).as("n2"))
       val nd = col("nn").cast("double"); val kd = col("k").cast("double")
       val ssb = col("sb").cast("double") -
         col("st").cast("double") * col("st").cast("double") / nd
       val ssw = col("qt").cast("double") - col("sb").cast("double")
       val msb = ssb / (kd - lit(1.0))
       val msw = ssw / (nd - kd)
-      val nbar = nd / kd
+      // textbook one-way random-effects coefficient for UNBALANCED
+      // groups: n0 = (N - Σn_i²/N)/(k-1), not the mean group size
+      val n0 = (nd - col("n2").cast("double") / nd) / (kd - lit(1.0))
       w.select(col("k"), col("nn").as("n"),
         round(msb, 6).as("msb"), round(msw, 6).as("msw"),
-        round((msb - msw) / (msb + (nbar - lit(1.0)) * msw), 6).as("icc1"))
+        round((msb - msw) / (msb + (n0 - lit(1.0)) * msw), 6).as("icc1"))
     })
   )
 
@@ -3151,7 +3164,8 @@ object InferenceQueries {
           w AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS nn,
                  sum(sg) AS st, sum(qg) AS qt,
                  sum(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
-                   / CAST(ng AS DOUBLE) AS DECIMAL(32,10))) AS sb
+                   / CAST(ng AS DOUBLE) AS DECIMAL(32,10))) AS sb,
+                 sum(CAST(ng * ng AS DECIMAL(38,0))) AS n2
                FROM g)
           SELECT k, nn AS n,
                  ROUND((CAST(sb AS DOUBLE)
@@ -3170,7 +3184,9 @@ object InferenceQueries {
                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
                        / CAST(nn AS DOUBLE))
                    / (CAST(k AS DOUBLE) - 1.0)
-                   + (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE) - 1.0)
+                   + ((CAST(nn AS DOUBLE)
+                       - CAST(n2 AS DOUBLE) / CAST(nn AS DOUBLE))
+                      / (CAST(k AS DOUBLE) - 1.0) - 1.0)
                      * ((CAST(qt AS DOUBLE) - CAST(sb AS DOUBLE))
                        / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))), 6)
                    AS icc1
