@@ -366,8 +366,12 @@ object TextQueries {
     }),
 
     // end-to-end BPE: fit 12 merges on the corpus's distinct-word
-    // table, then tokenize every document with the fitted rules
-    // (rows-only: the data-dependent merge list isn't SQL-replayable)
+    // table, then tokenize every document with the fitted rules.
+    // HASH-GATED since round 7: the oracle unrolls the 12 fit
+    // iterations as materialized CTEs (argmax pair + list_reduce
+    // greedy fold per iteration) and tokenizes documents by joining
+    // each word to its final vocabulary entry — every document word is
+    // in the vocab because the vocab was fit on the same corpus
     "q118_bpe_tokenize" -> ((s, d) => {
       import graft.operators.Tokenizer
       val docs = Tables.documents(s, d)
@@ -404,7 +408,55 @@ object TextQueries {
     s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN ($words)))"
   }
 
+  /** DuckDB replay of the 12-merge BPE fit + greedy tokenize. Each fit
+    * iteration is one MATERIALIZED CTE pair — materialization matters:
+    * w_i is referenced by both p_{i+1} and w_{i+1}, so DuckDB's default
+    * CTE inlining would re-evaluate the chain 2^12 times (measured:
+    * 300 s inlined vs 0.23 s materialized at sf0.01). The greedy merge
+    * is the list_reduce fold with a prepended empty-list init (house
+    * DTW/NW pattern); document tokenization joins each word to its
+    * FINAL vocab entry rather than re-folding per document — equivalent
+    * because the vocab is fit on the same corpus. */
+  private def bpeTokenizeOracle(numMerges: Int): String = {
+    val seed = """w0 AS MATERIALIZED (
+      SELECT w, list_append([w[i] for i in range(1, len(w)+1)], '</w>') AS syms, cnt
+      FROM (SELECT w, count(*) AS cnt FROM (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents)
+            WHERE len(w) > 0 GROUP BY w))"""
+    val rounds = (1 to numMerges).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT unnest([syms[j] for j in range(1, len(syms))]) AS a,
+                   unnest([syms[j+1] for j in range(1, len(syms))]) AS b, cnt
+            FROM w${i - 1} WHERE len(syms) >= 2)
+          GROUP BY a, b ORDER BY sum(cnt) DESC, a, b LIMIT 1)""",
+        s"""w$i AS MATERIALIZED (
+          SELECT w, list_reduce(
+            list_prepend(CAST([] AS VARCHAR[]), [[s] for s in syms]),
+            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = p.a AND x[1] = p.b
+                        THEN list_append(acc[1:len(acc)-1], p.a || p.b)
+                        ELSE list_append(acc, x[1]) END) AS syms, cnt
+          FROM w${i - 1} CROSS JOIN p$i p)""")
+    }
+    val docSide = Seq(
+      """dw AS (
+        SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS ord
+        FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ws
+              FROM documents))""",
+      s"""tok AS (
+        SELECT doc_id, flatten(list(v.syms ORDER BY dw.ord)) AS bpe
+        FROM dw JOIN w$numMerges v USING (w) GROUP BY doc_id)""")
+    ((seed +: rounds) ++ docSide).mkString("WITH ", ",\n", "") + """
+      SELECT d.doc_id,
+        COALESCE(CAST(len(t.bpe) AS INTEGER), 0) AS n_bpe,
+        COALESCE(array_to_string(t.bpe[1:8], ' '), '') AS head_toks
+      FROM documents d LEFT JOIN tok t USING (doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q118_bpe_tokenize" -> bpeTokenizeOracle(12),
     "q359_chao1_richness" ->
       """WITH c AS (SELECT w, count(*) AS c FROM (
              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
