@@ -67,6 +67,62 @@ object Vectorizers {
       .select(col("id") +: oneHotColumns(col("value"), col("rank"), k): _*)
   }
 
+  /** Exact supervised depth-1 split (Gini stump) per numeric-map key —
+    * the SQL-replayable companion to the spark.ml tree behind
+    * [[graft.workflow.MLStages.decisionTreeMapBuckets]] (whose
+    * sample/sketch-based candidate binning an oracle cannot replay).
+    * Per key: candidate thresholds are the distinct values; the pick
+    * minimizes weighted Gini, which equals maximizing
+    * h = (pl²+ql²)/nl + (pr²+qr²)/nr. h is evaluated as ONE double
+    * division of exact integer sufficient statistics, so the argmax is
+    * engine-independent; ties break on the smallest threshold. A key
+    * with a single distinct value takes the shouldSplit=false path
+    * (null threshold) — the reference's no-informative-split case.
+    *
+    * Scale: one explode + one (key, value) groupBy; the prefix counts
+    * run in a window PARTITIONED BY KEY over the per-key value domain;
+    * the per-key totals frame is key-domain bounded and broadcast.
+    * Emits (key, threshold, n_left, pos_left, n_right, pos_right,
+    * gini). */
+  def giniStumpMapSplits(df: DataFrame, m: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(explode(m).as(Seq("key", "v")),
+      label.cast("long").as("y"))
+    val pv = base.groupBy(col("key"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val tot = pv.groupBy(col("key"))
+      .agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+    val wk = Window.partitionBy(col("key")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = pv
+      .withColumn("nl", sum(col("n")).over(wk))
+      .withColumn("pl", sum(col("pos")).over(wk))
+      .join(broadcast(tot), Seq("key"))
+      .where(col("nl") < col("nt"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("pr", col("pt") - col("pl"))
+      .withColumn("ql", col("nl") - col("pl"))
+      .withColumn("qr", col("nr") - col("pr"))
+      .withColumn("h",
+        (col("nr") * (col("pl") * col("pl") + col("ql") * col("ql")) +
+          col("nl") * (col("pr") * col("pr") + col("qr") * col("qr")))
+          .cast("double") / (col("nl") * col("nr")).cast("double"))
+    val rw = Window.partitionBy(col("key")).orderBy(col("h").desc, col("v").asc)
+    val best = cand.withColumn("rn", row_number().over(rw)).where(col("rn") === 1)
+    tot.join(best.select(col("key"), col("v"), col("nl"), col("pl"),
+        col("nr"), col("pr"), col("ql"), col("qr")), Seq("key"), "left")
+      .select(col("key"), col("v").as("threshold"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"),
+        round((col("nl").cast("double") -
+          (col("pl") * col("pl") + col("ql") * col("ql")).cast("double") /
+            col("nl").cast("double") +
+          col("nr").cast("double") -
+          (col("pr") * col("pr") + col("qr") * col("qr")).cast("double") /
+            col("nr").cast("double")) / col("nt").cast("double"), 6)
+          .as("gini"))
+  }
+
   /** Mean-impute `value` (nulls filled with the non-null mean) plus a
     * null indicator — the RealVectorizer trackNulls convention. */
   def imputeMean(df: DataFrame, id: Column, value: Column): DataFrame = {

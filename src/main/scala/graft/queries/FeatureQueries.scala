@@ -77,9 +77,10 @@ object FeatureQueries {
 
     // DecisionTreeNumericMapBucketizer (reference
     // DecisionTreeNumericMapBucketizer.scala): per-key supervised splits
-    // on a numeric map against a binary label; fitted tree thresholds
-    // are not SQL-replayable → rows-only check (spec-gated in
-    // CvCutSpec like the scalar decisionTreeBucketize)
+    // on a numeric map against a binary label; spark.ml's candidate
+    // binning is sample/sketch-based, so the fitted thresholds are not
+    // SQL-replayable → rows-only check (spec-gated in CvCutSpec), with
+    // q511_gini_stump_map as the HASH-GATED exact companion fit
     "q95_dt_map_bucketize" -> ((s, d) => {
       import graft.workflow._
       // the synthetic columns are mutually independent, so the label is
@@ -97,6 +98,20 @@ object FeatureQueries {
       val model = new Workflow(st.outputFeatures).fit(li)
       model.score(li, keep = Seq("rid"))
         .select(col("rid"), posexplode(col("nm_b")).as(Seq("slot", "value")))
+    }),
+
+    // exact Gini-stump per-key supervised split — the HASH-GATED
+    // companion to q95's spark.ml tree fit (q455's PCA pattern): same
+    // synthetic map + label, but the split search is exact over the
+    // value domain so the oracle replays it; the constant 'flat' key
+    // exercises the shouldSplit=false null-threshold path
+    "q511_gini_stump_map" -> ((s, d) => {
+      val li = Tables.orders(s, d)
+        .select(col("o_orderkey").as("rid"),
+          map(lit("price"), col("o_totalprice").cast("double"),
+              lit("flat"), lit(1.0)).as("nm"),
+          (col("o_totalprice") > 250000).cast("long").as("y"))
+      Vectorizers.giniStumpMapSplits(li, col("nm"), col("y"))
     }),
 
     "q30_impute_indicator" -> ((s, d) => {
@@ -232,6 +247,51 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // exact Gini stump per map key: h = (pl²+ql²)/nl + (pr²+qr²)/nr as
+    // ONE double division of exact integer stats → engine-independent
+    // argmax; the 'flat' key has one distinct value → null threshold
+    "q511_gini_stump_map" ->
+      """WITH ex AS (
+           SELECT 'price' AS key, CAST(o_totalprice AS DOUBLE) AS v,
+                  CAST(o_totalprice > 250000 AS BIGINT) AS y
+           FROM orders
+           UNION ALL
+           SELECT 'flat', 1.0, CAST(o_totalprice > 250000 AS BIGINT)
+           FROM orders),
+         pv AS (SELECT key, v, count(*) AS n,
+                  CAST(sum(y) AS BIGINT) AS pos
+                FROM ex GROUP BY 1, 2),
+         tot AS (SELECT key, CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(pos) AS BIGINT) AS pt
+                 FROM pv GROUP BY 1),
+         cum AS (SELECT key, v,
+                   CAST(sum(n) OVER wk AS BIGINT) AS nl,
+                   CAST(sum(pos) OVER wk AS BIGINT) AS pl
+                 FROM pv
+                 WINDOW wk AS (PARTITION BY key ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         cand AS (SELECT c.key, v, nl, pl, nt - nl AS nr, pt - pl AS pr,
+                    nl - pl AS ql, (nt - nl) - (pt - pl) AS qr
+                  FROM cum c JOIN tot t USING (key) WHERE nl < nt),
+         sc AS (SELECT *,
+                  CAST(nr * (pl*pl + ql*ql) + nl * (pr*pr + qr*qr) AS DOUBLE)
+                    / CAST(nl * nr AS DOUBLE) AS h
+                FROM cand),
+         best AS (SELECT * FROM (
+                    SELECT *, row_number() OVER
+                      (PARTITION BY key ORDER BY h DESC, v ASC) AS rn
+                    FROM sc) WHERE rn = 1)
+         SELECT t.key, b.v AS threshold,
+           b.nl AS n_left, b.pl AS pos_left,
+           b.nr AS n_right, b.pr AS pos_right,
+           ROUND((CAST(b.nl AS DOUBLE)
+               - CAST(b.pl*b.pl + b.ql*b.ql AS DOUBLE) / CAST(b.nl AS DOUBLE)
+               + CAST(b.nr AS DOUBLE)
+               - CAST(b.pr*b.pr + b.qr*b.qr AS DOUBLE) / CAST(b.nr AS DOUBLE))
+             / CAST(t.nt AS DOUBLE), 6) AS gini
+         FROM tot t LEFT JOIN best b USING (key)""",
+
     "q170_winsorize" ->
       """WITH f AS (SELECT quantile_cont(l_extendedprice, 0.05) AS p_lo,
                       quantile_cont(l_extendedprice, 0.95) AS p_hi

@@ -22,6 +22,20 @@ class VectorizersSpec extends SparkSpec {
     assert(top == Map("a" -> 1L, "b" -> 2L, "c" -> 3L)) // a before b on tie
   }
 
+  test("giniStumpMapSplits finds the perfect split and nulls the " +
+    "constant key") {
+    val s = spark; import s.implicits._
+    // value 1..8 with label = v > 4: perfect split at threshold 4
+    val df = (1 to 8).map(v => (v.toLong, v > 4)).toDF("v", "lab")
+      .select(map(lit("sig"), col("v").cast("double"),
+        lit("const"), lit(7.0)).as("m"), col("lab").cast("long").as("y"))
+    val out = Vectorizers.giniStumpMapSplits(df, col("m"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("sig") == Some(4.0)) // perfect split
+    assert(out("const").isEmpty)    // shouldSplit=false path
+  }
+
   test("stringIndex is dense 0-based by frequency") {
     val s = spark; import s.implicits._
     val df = (Seq.fill(3)("y") ++ Seq.fill(5)("x") ++ Seq("z")).toDF("v")
