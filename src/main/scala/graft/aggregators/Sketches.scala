@@ -244,6 +244,40 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("hll_state"), lit(true)))
         .as("n_distinct_est"))
 
+  /** Fully DETERMINISTIC HyperLogLog (Flajolet et al. 2007) on the md5
+    * hash60 family: m = 64 registers, bucket = h mod 64, rho = leading-
+    * zero rank of the remaining 54 bits via `bin()` string length
+    * (exact integer ops — no libm), and the harmonic mean folded as
+    * Σ 2^(55-rho) in BIGINT so the whole estimate — including the
+    * alpha_m bias constant — replays bit-for-bit in SQL. The gated
+    * counterpart to [[hllStates]]' opaque DataSketches states: same
+    * register algebra, auditable numbers. One groupBy to registers
+    * (64/group), one rollup — never a distinct of the raw values.
+    * Emits per group (buckets_set, est_distinct) with est unrounded
+    * (caller rounds at the readout). */
+  def hllDeterministic(df: DataFrame, groups: Seq[Column], value: Column)
+    : DataFrame = {
+    import graft.functions.TextAnalysis.hash60
+    val g = groups.zipWithIndex.map { case (c, i) => c.as(s"__g$i") }
+    val gcols = groups.indices.map(i => col(s"__g$i"))
+    val h = hash60(value)
+    val base = df.select(g :+ pmod(h, lit(64L)).as("__b") :+
+      shiftright(h, 6).as("__w"): _*)
+    val regs = base
+      .withColumn("__rho", when(col("__w") === 0, lit(55))
+        .otherwise(lit(55) - length(bin(col("__w")))))
+      .groupBy(gcols :+ col("__b"): _*).agg(max(col("__rho")).as("__r"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+    regs.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("buckets_set"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - __r)")).as("__sp"))
+      .withColumn("__s", col("__sp") +
+        (lit(64L) - col("buckets_set")) * lit(36028797018963968L))
+      .select(gcols ++ Seq(col("buckets_set"),
+        (alpha * lit(4096.0) * lit(3.6028797018963968e16) /
+          col("__s").cast("double")).as("est_distinct")): _*)
+  }
+
   /** KMV set-overlap estimate between two value sets (Beyer et al.
     * 2007): take the k minimum md5 hashes of the UNION's distinct
     * values; the fraction of those present in both sides estimates the

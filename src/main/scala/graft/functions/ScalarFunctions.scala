@@ -88,6 +88,25 @@ object TextFunctions {
         when(i <= size(tokens) - n,
           array_join(slice(tokens, i + 1, lit(n)), " "))),
       g => g.isNotNull)
+
+  /** Luhn (mod-10) checksum validity of a string's digit payload — the
+    * card/IMEI/account-number plausibility test a PII scrubber runs
+    * before redacting digit runs (a digit run that PASSES Luhn is far
+    * more likely to be a real identifier than noise). Non-digits are
+    * stripped first; empty payload → false. Row-local integer fold,
+    * codegen-friendly, no UDF. */
+  def luhnValid(c: Column): Column = {
+    val rev = reverse(filter(split(c, ""), ch => ch.rlike("^[0-9]$")))
+    val digitSum = aggregate(sequence(lit(1), size(rev)), lit(0),
+      (acc, j) => {
+        val d = element_at(rev, j).cast("int")
+        acc + when(pmod(j, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    // sequence(1, 0) would DESCEND, so guard the empty payload first
+    when(size(rev) === 0, lit(false))
+      .otherwise(pmod(digitSum, lit(10)) === 0)
+  }
 }
 
 object DateFunctions {

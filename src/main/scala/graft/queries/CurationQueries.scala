@@ -124,6 +124,27 @@ object CurationQueries {
     // deterministic doc_id-derived email/phone/IP suffix (replayed
     // exactly by the oracle) and the detection + redaction regexes run
     // over the result — counts plus the redacted text are both gated
+    // Luhn mod-10 plausibility audit of the digit payloads a PII
+    // scrubber would consider: per nation the valid-checksum rate over
+    // md5-derived 12-digit account-number-like strings (the synthetic
+    // corpus carries no phone column; the md5 payload is deterministic
+    // in both engines) — the triage signal separating real card/account
+    // identifiers from digit noise before redaction
+    "q513_luhn_pii_audit" -> ((s, d) => {
+      val payload = substring(TextAnalysis.hash60(
+        concat(lit("luhn:"), col("c_custkey").cast("string")))
+        .cast("string"), 1, 12)
+      Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          graft.functions.TextFunctions.luhnValid(payload).as("ok"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_luhn_valid"))
+        .select(col("c_nationkey"), col("n"), col("n_luhn_valid"),
+          round(col("n_luhn_valid").cast("double") / col("n").cast("double"), 6)
+            .as("luhn_rate"))
+    }),
+
     "q102_curation_pii_redact" -> ((s, d) => {
       val pii = concat(col("text"),
         lit(" contact u"), col("doc_id").cast("string"),
@@ -256,6 +277,25 @@ object CurationQueries {
         depth = 3, width = 64)
       graft.aggregators.Sketches.cmsEstimate(m, ev, col("user_id"),
         depth = 3, width = 64)
+    }),
+
+    // deterministic md5-HLL distinct orders per return flag, HASH-GATED
+    // against the exact count: registers from bin()-length ranks, the
+    // harmonic fold as a BIGINT power-of-two sum — the auditable
+    // companion to the opaque DataSketches states (hllStates)
+    "q512_hll_exact_replay" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val est = graft.aggregators.Sketches.hllDeterministic(li,
+          Seq(col("l_returnflag")), col("l_orderkey").cast("string"))
+        .withColumnRenamed("__g0", "flag")
+      val exact = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      est.join(exact, Seq("flag"))
+        .select(col("flag"), col("buckets_set"),
+          round(col("est_distinct"), 6).as("est_distinct"),
+          col("exact_distinct"),
+          round((col("est_distinct") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"), 6).as("rel_err"))
     }),
 
     "q130_kmv_distinct" -> ((s, d) => {
@@ -1344,6 +1384,28 @@ object CurationQueries {
          SELECT source, doc_id, CAST(ntok AS INT) AS ntok
          FROM c WHERE cum <= 5000""",
 
+    "q513_luhn_pii_audit" ->
+      s"""WITH l AS (
+           SELECT c_nationkey,
+             reverse(substr(CAST(${H60("'luhn:' || CAST(c_custkey AS VARCHAR)")}
+               AS VARCHAR), 1, 12)) AS r
+           FROM customer),
+         v AS (SELECT c_nationkey,
+                 len(r) > 0 AND
+                 list_sum([CASE WHEN j % 2 = 0 THEN
+                             CASE WHEN CAST(r[j] AS INT) * 2 > 9
+                                  THEN CAST(r[j] AS INT) * 2 - 9
+                                  ELSE CAST(r[j] AS INT) * 2 END
+                           ELSE CAST(r[j] AS INT) END
+                           for j in range(1, len(r) + 1)]) % 10 = 0 AS ok
+               FROM l)
+         SELECT c_nationkey, count(*) AS n,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_luhn_valid,
+           ROUND(CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS luhn_rate
+         FROM v GROUP BY 1""",
+
     "q102_curation_pii_redact" ->
       """WITH p AS (
            SELECT doc_id,
@@ -1526,6 +1588,39 @@ object CurationQueries {
           SELECT item, min(coalesce(cnt, 0)) AS est
           FROM qb LEFT JOIN cells USING (row, bucket)
           GROUP BY 1""",
+
+    // md5-HLL replay: same registers, same BIGINT power-of-two fold;
+    // alpha_m and 2^55 spelled as the same double expressions as Spark
+    "q512_hll_exact_replay" ->
+      s"""WITH h AS (
+           SELECT l_returnflag AS flag,
+             ${H60("CAST(l_orderkey AS VARCHAR)")} AS hv
+           FROM lineitem),
+         r AS (SELECT flag, hv % 64 AS b,
+                 CASE WHEN hv // 64 = 0 THEN 55
+                      ELSE 55 - length(bin(hv // 64)) END AS rho
+               FROM h),
+         regs AS (SELECT flag, b, max(rho) AS r FROM r GROUP BY 1, 2),
+         agg AS (SELECT flag, count(*) AS buckets_set,
+                   CAST(sum(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS sp
+                 FROM regs GROUP BY 1),
+         est AS (SELECT flag, buckets_set,
+                   CAST(0.7213 AS DOUBLE)
+                     / (CAST(1.0 AS DOUBLE)
+                        + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))
+                     * CAST(4096.0 AS DOUBLE)
+                     * CAST(36028797018963968 AS DOUBLE)
+                     / CAST(sp + (64 - buckets_set) * 36028797018963968
+                            AS DOUBLE) AS e
+                 FROM agg),
+         ex AS (SELECT l_returnflag AS flag,
+                  count(DISTINCT l_orderkey) AS exact_distinct
+                FROM lineitem GROUP BY 1)
+         SELECT flag, buckets_set, ROUND(e, 6) AS est_distinct,
+           exact_distinct,
+           ROUND((e - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+         FROM est JOIN ex USING (flag)""",
 
     "q130_kmv_distinct" ->
       s"""WITH tok AS (

@@ -127,4 +127,30 @@ class SketchesSpec extends SparkSpec {
       .select(col("n_distinct_est")).as[Long].head()
     assert(reparts == direct)
   }
+
+  test("hllDeterministic estimate is partition-invariant and inside " +
+    "the m=64 error envelope") {
+    val rows = spark.range(5000)
+      .select(lit(1).as("g"), concat(lit("u"), (col("id") % 2000)).as("u"))
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      Sketches.hllDeterministic(df, Seq(col("g")), col("u"))
+        .select(col("est_distinct")).as[Double].head()
+    val e1 = est(rows)
+    val e2 = est(rows.repartition(13))
+    assert(e1 == e2, s"register algebra must be partition-invariant: $e1 vs $e2")
+    // m=64 → ~1.04/8 = 13% std error; allow 3 sigma
+    assert(math.abs(e1 - 2000.0) / 2000.0 < 0.4, s"est=$e1")
+  }
+
+  test("luhnValid accepts known-valid payloads and rejects off-by-one") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      ("79927398713", true),        // canonical Luhn test number
+      ("79927398714", false),       // off by one
+      ("4539-1488-0343-6467", true),// separators stripped
+      ("no digits", false)          // empty payload
+    ).toDF("s", "want")
+    val bad = df.where(TextFunctions.luhnValid(col("s")) =!= col("want")).count()
+    assert(bad == 0)
+  }
 }
