@@ -12,8 +12,7 @@ class GateContractSpec extends AnyFunSuite {
   // rows-only by design: outputs that are not SQL-replayable
   private val rowsOnlyByDesign = Map(
     "q37_ml_train_score" -> "trained-model scores (12 spark.ml fits) aren't SQL-replayable",
-    "q95_dt_map_bucketize" -> "fitted per-key decision-tree splits aren't SQL-replayable",
-    "q118_bpe_tokenize" -> "data-dependent BPE merge list isn't SQL-replayable (iteration-0 stats gated by q117)",
+    "q95_dt_map_bucketize" -> "spark.ml's sample/sketch-based split binning isn't SQL-replayable; q511_gini_stump_map is the hash-gated exact companion",
     "q120_curation_quality_classifier" -> "trained LR probabilities aren't SQL-replayable (feature extraction shares q116's gated path)",
     "q189_pca" -> "eigenvector signs are an SVD convention, not SQL-replayable; variance contract spec-gated in ProjectionSpec",
     "q194_als_recommend" -> "iterative ALS factor values are not SQL-replayable; block-preference recovery spec-gated in MLStagesSpec",
