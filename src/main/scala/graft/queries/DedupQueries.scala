@@ -467,6 +467,46 @@ object DedupQueries {
       Dedup.connectedComponents(pairs)
     }),
 
+    // B-cubed precision/recall/F1 of the LSH near-dup clustering (q86's
+    // system) against exact-text duplicate groups as gold — the
+    // standard extrinsic evaluation of an ER/dedup clustering, computed
+    // from the (sys, gold) contingency cells: P = Σ n_ab²/n_sys / N,
+    // R = Σ n_ab²/n_gold / N, per-cell terms quantized to DECIMAL so
+    // the sums are order-independent. Docs in no LSH pair are their own
+    // singleton system cluster (coalesce to doc_id)
+    "q515_bcubed_cluster_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("gold"))
+      val pairs = Dedup.minHashLshPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3, numHashes = 12, numBands = 6,
+        threshold = 0.35)
+      val comp = Dedup.connectedComponents(pairs)
+      val assign = docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("gold"),
+          coalesce(col("component"), col("doc_id")).as("sys"))
+        .localCheckpoint(false)
+      val cell = assign.groupBy(col("sys"), col("gold"))
+        .agg(count(lit(1)).as("nab"))
+      val nb = cell.groupBy(col("sys")).agg(sum(col("nab")).as("nbs"))
+      val na = cell.groupBy(col("gold")).agg(sum(col("nab")).as("nas"))
+      val terms = cell.join(nb, Seq("sys")).join(na, Seq("gold"))
+        .select(
+          ((col("nab") * col("nab")).cast("double") /
+            col("nbs").cast("double")).cast("decimal(28,12)").as("tp"),
+          ((col("nab") * col("nab")).cast("double") /
+            col("nas").cast("double")).cast("decimal(28,12)").as("tr"))
+      val tot = assign.agg(count(lit(1)).as("n"),
+        countDistinct(col("sys")).as("n_sys"),
+        countDistinct(col("gold")).as("n_gold"))
+      val p = col("sp").cast("double") / col("n").cast("double")
+      val r = col("sr").cast("double") / col("n").cast("double")
+      terms.agg(sum(col("tp")).as("sp"), sum(col("tr")).as("sr"))
+        .crossJoin(broadcast(tot))
+        .select(col("n").as("n_docs"), col("n_sys"), col("n_gold"),
+          round(p, 6).as("bcubed_p"), round(r, 6).as("bcubed_r"),
+          round(lit(2.0) * p * r / (p + r), 6).as("bcubed_f1"))
+    }),
+
     // same clusters via large-star/small-star (the O(log n)-round CC
     // for high-diameter graphs) — hash-gated against the identical
     // recursive-CTE oracle as q86's label propagation
@@ -1067,6 +1107,46 @@ object DedupQueries {
             ROUND(CAST(n_found AS DOUBLE)
               / CAST(greatest(n_true, 1) AS DOUBLE), 6) AS pair_completeness
           FROM nd, nc, nf, nt""",
+
+    "q515_bcubed_cluster_eval" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+          pairs AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+          comp AS (SELECT n AS doc_id, MIN(m) AS component
+                   FROM reach GROUP BY n),
+          assign AS (SELECT d.doc_id, md5(d.text) AS gold,
+                       coalesce(c.component, d.doc_id) AS sys
+                     FROM documents d LEFT JOIN comp c USING (doc_id)),
+          cell AS (SELECT sys, gold, count(*) AS nab
+                   FROM assign GROUP BY 1, 2),
+          nb AS (SELECT sys, CAST(sum(nab) AS BIGINT) AS nbs
+                 FROM cell GROUP BY 1),
+          na AS (SELECT gold, CAST(sum(nab) AS BIGINT) AS nas
+                 FROM cell GROUP BY 1),
+          terms AS (SELECT
+                      CAST(CAST(nab * nab AS DOUBLE) / CAST(nbs AS DOUBLE)
+                        AS DECIMAL(28,12)) AS tp,
+                      CAST(CAST(nab * nab AS DOUBLE) / CAST(nas AS DOUBLE)
+                        AS DECIMAL(28,12)) AS tr
+                    FROM cell JOIN nb USING (sys) JOIN na USING (gold)),
+          tot AS (SELECT count(*) AS n, count(DISTINCT sys) AS n_sys,
+                    count(DISTINCT gold) AS n_gold
+                  FROM assign),
+          ssum AS (SELECT sum(tp) AS sp, sum(tr) AS sr FROM terms)
+          SELECT n AS n_docs, n_sys, n_gold,
+            ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS bcubed_p,
+            ROUND(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS bcubed_r,
+            ROUND(2.0 * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+                 + CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS bcubed_f1
+          FROM ssum, tot""",
 
     "q86_dedup_components" ->
       s"""WITH RECURSIVE $MINHASH_PAIR_CTES,

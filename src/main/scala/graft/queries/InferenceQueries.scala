@@ -1727,6 +1727,45 @@ object InferenceQueries {
         round((pbar - pe) / (lit(1.0) - pe), 6).as("fleiss_kappa"))
     }),
 
+    // Krippendorff's alpha (nominal) over the q509 rater panel made
+    // UNBALANCED (rater 3 only rates even doc_ids, m_u in {2,3}) — the
+    // reliability coefficient that, unlike Fleiss kappa, handles
+    // missing ratings: coincidence diagonal o_cc = Σ_u n_uc(n_uc-1)/
+    // (m_u-1) (exact halves in DECIMAL), marginals n_c over pairable
+    // items, alpha = (A_o - A_e)/(1 - A_e)
+    "q514_krippendorff_alpha" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val rated = (1 to 3).map { r =>
+        val h = pmod(hash60(concat_ws(":", lit("rater"), lit(r),
+          col("doc_id"))), lit(20L))
+        val noisy = langs.zipWithIndex.foldLeft(lit(langs.head)) {
+          case (acc, (l, i)) => when(h % 5 === i, lit(l)).otherwise(acc)
+        }
+        val base = docs.select(col("doc_id"),
+          when(h < 15, col("lang")).otherwise(noisy).as("cat"))
+        if (r == 3) base.where(col("doc_id") % 2 === 0) else base
+      }.reduce(_ unionByName _)
+      val nuc = rated.groupBy(col("doc_id"), col("cat"))
+        .agg(count(lit(1)).as("c"))
+      val mu = rated.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+      val pairable = nuc.join(mu, Seq("doc_id")).where(col("m") >= 2)
+      val occ = pairable.select(
+        ((col("c") * (col("c") - 1)).cast("double") /
+          (col("m") - 1).cast("double")).cast("decimal(18,6)").as("t"),
+        col("c"), col("cat"))
+      val diag = occ.agg(sum(col("t")).as("sa"), sum(col("c")).as("n"))
+      val marg = occ.groupBy(col("cat")).agg(sum(col("c")).as("nc"))
+        .agg(sum(col("nc") * (col("nc") - 1)).as("sc"))
+      val j = diag.crossJoin(broadcast(marg))
+      val ao = col("sa").cast("double") / col("n").cast("double")
+      val ae = col("sc").cast("double") /
+        (col("n").cast("double") * (col("n") - 1).cast("double"))
+      j.select(col("n").as("n_pairable"),
+        round(ao, 6).as("a_obs"), round(ae, 6).as("a_exp"),
+        round((ao - ae) / (lit(1.0) - ae), 6).as("kripp_alpha"))
+    }),
+
     // intraclass correlation ICC(1,1) of balances within nations: the
     // between/within mean squares off one exact rollup — how much of
     // the variance the grouping explains, q489's single-number summary
@@ -3154,6 +3193,44 @@ object InferenceQueries {
                      / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))), 6)
                    AS fleiss_kappa
           FROM pi, pc""",
+
+    "q514_krippendorff_alpha" ->
+      s"""WITH rated AS (SELECT doc_id,
+                 CASE WHEN ${H60("'rater:' || r || ':' || CAST(doc_id AS VARCHAR)")}
+                     % 20 < 15 THEN lang
+                 ELSE CASE ${H60("'rater:' || r || ':' || CAST(doc_id AS VARCHAR)")}
+                     % 20 % 5
+                   WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+                   WHEN 3 THEN 'fr' ELSE 'zh' END
+                 END AS cat
+               FROM documents, (VALUES (1), (2), (3)) rr(r)
+               WHERE r < 3 OR doc_id % 2 = 0),
+          nuc AS (SELECT doc_id, cat, count(*) AS c
+                  FROM rated GROUP BY 1, 2),
+          mu AS (SELECT doc_id, count(*) AS m FROM rated GROUP BY 1),
+          pairable AS (SELECT n.doc_id, n.cat, n.c, m.m
+                       FROM nuc n JOIN mu m USING (doc_id)
+                       WHERE m.m >= 2),
+          occ AS (SELECT cat, c,
+                    CAST(CAST(c * (c - 1) AS DOUBLE)
+                      / CAST(m - 1 AS DOUBLE) AS DECIMAL(18,6)) AS t
+                  FROM pairable),
+          diag AS (SELECT sum(t) AS sa, CAST(sum(c) AS BIGINT) AS n
+                   FROM occ),
+          marg AS (SELECT CAST(sum(nc * (nc - 1)) AS BIGINT) AS sc
+                   FROM (SELECT cat, CAST(sum(c) AS BIGINT) AS nc
+                         FROM occ GROUP BY 1) x)
+          SELECT n AS n_pairable,
+            ROUND(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE), 6) AS a_obs,
+            ROUND(CAST(sc AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS a_exp,
+            ROUND((CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(sc AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+              / (1.0 - CAST(sc AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+              AS kripp_alpha
+          FROM diag, marg""",
 
     "q510_icc" ->
       """WITH g AS (SELECT c_nationkey, count(*) AS ng,

@@ -328,7 +328,12 @@ class PlanAuditSpec extends SparkSpec {
     // to ONE sufficient-stats row crossed for the kappa readout; q510:
     // the ICC is one mean-squares row off the nation rollup — q198's
     // scalar shape
-    "q509_fleiss_kappa", "q510_icc")
+    "q509_fleiss_kappa", "q510_icc",
+    // q514: the coincidence-diagonal and category-marginal frames are
+    // 1-row sufficient-stats rows crossed for the alpha readout —
+    // q509's exact shape; q515: the B-cubed term sums and the doc/
+    // cluster totals are 1-row frames crossed for the P/R/F1 readout
+    "q514_krippendorff_alpha", "q515_bcubed_cluster_eval")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
