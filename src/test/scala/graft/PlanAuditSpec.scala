@@ -56,10 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     // the 1-row bucket-total frame against a <= `buckets`-row join
     "q133_column_profile", "q134_psi_drift",
     // q258: JS divergence — q134's exact shape (1-row bucket-total
-    // frame broadcast against the <= `buckets`-row histogram join);
-    // q259: CUPED crosses three 1-row sufficient-stat frames;
-    // q262: the blocking scorecard crosses four 1-row count frames
-    "q258_js_divergence", "q259_cuped", "q262_blocking_quality",
+    // frame broadcast against the <= `buckets`-row histogram join)
+    "q258_js_divergence",
     // q267: each FD pair reduces its (already aggregated, LHS-sized)
     // violation counts to ONE row — a per-pair readout, like q134
     "q267_fd_check",
@@ -117,10 +115,6 @@ class PlanAuditSpec extends SparkSpec {
     // q154: the entity-count scalar is a 1-row frame crossJoin-broadcast
     // over the O(types^2) pair rows
     "q154_cooccurrence_lift",
-    // q160: the OLS sums, calibration count, and conformal qhat are
-    // 1-row frames crossJoin-broadcast; the prefix-sum offsets collect
-    // is O(#partitions) (cumulativeByValue contract)
-    "q160_conformal_interval",
     // q164: the corpus-size scalar (draw modulus) is a 1-row frame
     // crossJoin-broadcast over the anchors
     "q164_negative_sample",
@@ -247,8 +241,6 @@ class PlanAuditSpec extends SparkSpec {
     // q320: the cumulative sweep window runs over the 11-bucket
     // threshold domain (q221's gains-table shape)
     "q320_dedup_threshold_curve",
-    // q321: the EM param frames (q306's shape) feed the edge threshold
-    "q321_er_pipeline",
     // q322: the reach window runs over the weeks domain
     "q322_cumulative_reach",
     // q323: the leakage readout crosses two 1-row count frames
@@ -447,17 +439,33 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("global sweep: no cartesian products; single-partition exchanges " +
-    "and nested-loop joins only in allowlisted stats fits") {
+    "and nested-loop joins only in allowlisted stats fits; no STALE " +
+    "allowlist entries") {
+    val sp = scala.collection.mutable.Set.empty[String]
+    val bnlj = scala.collection.mutable.Set.empty[String]
+    val cart = scala.collection.mutable.Set.empty[String]
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("Exchange SinglePartition")) sp += n
+      if (p.contains("BroadcastNestedLoopJoin")) bnlj += n
+      if (p.contains("CartesianProduct")) cart += n
       Seq(
-        if (p.contains("CartesianProduct") && !cartesianOk(n))
+        if (cart(n) && !cartesianOk(n))
           Some(s"$n: CartesianProduct") else None,
-        if (p.contains("Exchange SinglePartition") && !singlePartitionOk(n))
+        if (sp(n) && !singlePartitionOk(n))
           Some(s"$n: unexpected SinglePartition exchange") else None,
-        if (p.contains("BroadcastNestedLoopJoin") && !bnljOk(n))
+        if (bnlj(n) && !bnljOk(n))
           Some(s"$n: unexpected BroadcastNestedLoopJoin") else None).flatten
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+    // An allowlist entry whose plan no longer shows the excused pattern
+    // is dead weight that could silently excuse a FUTURE regression —
+    // prune it when the query improves (as the survival family did).
+    val staleSp = singlePartitionOk.filterNot(n => sp(n) || bnlj(n))
+    val staleBnlj = (bnljOk -- singlePartitionOk).filterNot(bnlj)
+    val staleCart = cartesianOk.filterNot(cart)
+    assert(staleSp.isEmpty && staleBnlj.isEmpty && staleCart.isEmpty,
+      s"stale allowlist entries — singlePartitionOk: $staleSp, " +
+        s"bnljOk: $staleBnlj, cartesianOk: $staleCart")
   }
 }
