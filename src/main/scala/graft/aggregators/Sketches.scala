@@ -257,16 +257,34 @@ object Sketches {
     * (caller rounds at the readout). */
   def hllDeterministic(df: DataFrame, groups: Seq[Column], value: Column)
     : DataFrame = {
+    val gcols = groups.indices.map(i => col(s"__g$i"))
+    hllEstimate(hllRegisters(df, groups, value), gcols)
+  }
+
+  /** The (group..., bucket, register) table behind [[hllDeterministic]]
+    * — exposed so register tables can be MERGED (per-bucket max) before
+    * estimating: union cardinality is the estimate of the merged
+    * registers, intersection follows by inclusion-exclusion. This is
+    * the algebra that makes HLL the warehouse primitive: states built
+    * per partition/day combine without re-scanning. */
+  def hllRegisters(df: DataFrame, groups: Seq[Column], value: Column)
+    : DataFrame = {
     import graft.functions.TextAnalysis.hash60
     val g = groups.zipWithIndex.map { case (c, i) => c.as(s"__g$i") }
     val gcols = groups.indices.map(i => col(s"__g$i"))
     val h = hash60(value)
     val base = df.select(g :+ pmod(h, lit(64L)).as("__b") :+
       shiftright(h, 6).as("__w"): _*)
-    val regs = base
+    base
       .withColumn("__rho", when(col("__w") === 0, lit(55))
         .otherwise(lit(55) - length(bin(col("__w")))))
       .groupBy(gcols :+ col("__b"): _*).agg(max(col("__rho")).as("__r"))
+  }
+
+  /** Fold a register table down to (group..., buckets_set,
+    * est_distinct); `gcols` empty → one global row. Estimate unrounded
+    * (caller rounds at the readout). */
+  def hllEstimate(regs: DataFrame, gcols: Seq[Column]): DataFrame = {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
     regs.groupBy(gcols: _*)
       .agg(count(lit(1)).as("buckets_set"),

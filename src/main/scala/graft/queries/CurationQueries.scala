@@ -298,6 +298,41 @@ object CurationQueries {
             col("exact_distinct").cast("double"), 6).as("rel_err"))
     }),
 
+    // HLL REGISTER ALGEBRA: union cardinality of two order-key sets
+    // (R-flag vs N-flag lineitems) by per-bucket max of their register
+    // tables, intersection by inclusion-exclusion — the merge property
+    // that makes HLL states the warehouse primitive (per-day sketches
+    // combine without re-scanning); every number replays exactly
+    "q516_hll_union_algebra" -> ((s, d) => {
+      import graft.aggregators.Sketches
+      val li = Tables.lineitem(s, d)
+      def keys(flag: String) = li.where(col("l_returnflag") === flag)
+        .select(col("l_orderkey").cast("string").as("k"))
+      def regs(flag: String) = Sketches.hllRegisters(keys(flag), Nil, col("k"))
+      def est1(regs: DataFrame, name: String) =
+        Sketches.hllEstimate(regs, Nil)
+          .select(col("est_distinct").as(name))
+      val merged = regs("R").unionByName(regs("N"))
+        .groupBy(col("__b")).agg(max(col("__r")).as("__r"))
+      val exact = keys("R").select(col("k"), lit(1).as("f"))
+        .unionByName(keys("N").select(col("k"), lit(2).as("f")))
+        .groupBy(col("k"))
+        .agg(max(when(col("f") === 1, 1).otherwise(0)).as("r"),
+          max(when(col("f") === 2, 1).otherwise(0)).as("n"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("r") === 1 && col("n") === 1, 1L).otherwise(0L))
+            .as("exact_intersect"))
+      est1(regs("R"), "est_r").crossJoin(broadcast(est1(regs("N"), "est_n")))
+        .crossJoin(broadcast(est1(merged, "est_union")))
+        .crossJoin(broadcast(exact))
+        .select(round(col("est_r"), 6).as("est_r"),
+          round(col("est_n"), 6).as("est_n"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("est_r") + col("est_n") - col("est_union"), 6)
+            .as("est_intersect"),
+          col("exact_union"), col("exact_intersect"))
+    }),
+
     "q130_kmv_distinct" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -1588,6 +1623,56 @@ object CurationQueries {
           SELECT item, min(coalesce(cnt, 0)) AS est
           FROM qb LEFT JOIN cells USING (row, bucket)
           GROUP BY 1""",
+
+    // HLL register algebra: per-flag register CTEs, union by per-bucket
+    // max, the same estimate fold per set, inclusion-exclusion readout
+    "q516_hll_union_algebra" -> {
+      def regCte(name: String, flag: String) =
+        s"""h$name AS (SELECT ${H60("CAST(l_orderkey AS VARCHAR)")} AS hv
+              FROM lineitem WHERE l_returnflag = '$flag'),
+            r$name AS (SELECT hv % 64 AS b,
+                max(CASE WHEN hv // 64 = 0 THEN 55
+                    ELSE 55 - length(bin(hv // 64)) END) AS r
+              FROM h$name GROUP BY 1)"""
+      def estCte(name: String) =
+        s"""e$name AS (SELECT count(*) AS bs_$name,
+              CAST(sum(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS sp_$name
+            FROM r$name)"""
+      def est(name: String) =
+        s"""(CAST(0.7213 AS DOUBLE)
+             / (CAST(1.0 AS DOUBLE)
+                + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))
+             * CAST(4096.0 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+             / CAST(sp_$name + (64 - bs_$name) * 36028797018963968
+                    AS DOUBLE))"""
+      s"""WITH ${regCte("r", "R")},
+          ${regCte("n", "N")},
+          rm AS (SELECT b, max(r) AS r FROM (
+                   SELECT b, r FROM rr UNION ALL SELECT b, r FROM rn) x
+                 GROUP BY 1),
+          ${estCte("r")}, ${estCte("n")},
+          em AS (SELECT count(*) AS bs_m,
+              CAST(sum(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS sp_m
+            FROM rm),
+          ex AS (SELECT count(*) AS exact_union,
+              CAST(sum(CASE WHEN r = 1 AND n = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_intersect
+            FROM (SELECT k, max(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS r,
+                    max(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS n
+                  FROM (SELECT CAST(l_orderkey AS VARCHAR) AS k, 1 AS f
+                          FROM lineitem WHERE l_returnflag = 'R'
+                        UNION ALL
+                        SELECT CAST(l_orderkey AS VARCHAR), 2
+                          FROM lineitem WHERE l_returnflag = 'N') u
+                  GROUP BY k) v)
+          SELECT ROUND(${est("r")}, 6) AS est_r,
+            ROUND(${est("n")}, 6) AS est_n,
+            ROUND(${est("m")}, 6) AS est_union,
+            ROUND(${est("r")} + ${est("n")} - ${est("m")}, 6)
+              AS est_intersect,
+            exact_union, exact_intersect
+          FROM er, en, em, ex"""
+    },
 
     // md5-HLL replay: same registers, same BIGINT power-of-two fold;
     // alpha_m and 2^55 spelled as the same double expressions as Spark

@@ -325,7 +325,11 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row sufficient-stats rows crossed for the alpha readout —
     // q509's exact shape; q515: the B-cubed term sums and the doc/
     // cluster totals are 1-row frames crossed for the P/R/F1 readout
-    "q514_krippendorff_alpha", "q515_bcubed_cluster_eval")
+    "q514_krippendorff_alpha", "q515_bcubed_cluster_eval",
+    // q516: each register set folds to ONE (buckets_set, sum) row and
+    // the exact union/intersect is one count row — four 1-row frames
+    // crossed for the inclusion-exclusion readout, q198's scalar shape
+    "q516_hll_union_algebra")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
