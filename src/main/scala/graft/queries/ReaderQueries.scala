@@ -279,6 +279,35 @@ object ReaderQueries {
       out
     }),
 
+    // partial-dependence profile of the deterministic md5-LR scorer:
+    // for 4 embedding dims x a 5-point grid, the mean score with that
+    // dim clamped to the grid value and all others as observed — the
+    // model-agnostic explanation readout next to q60's LOCO. Per-cell
+    // scores fold through DECIMAL(18,12) so the means are exact
+    "q517_pdp_profile" -> ((s, d) => {
+      val spark = s; import spark.implicits._
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+      val cells = (for {
+        k <- Seq(0L, 7L, 21L, 42L); g <- Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+      } yield (k, g)).toDF("dim", "g")
+      val replaced = transform(col("emb"),
+        (x, i) => when(i === col("dim"), col("g")).otherwise(x))
+      val margin = aggregate(
+        zip_with(replaced,
+          graft.operators.Insights.md5Weights(col("emb"), "loco"),
+          (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      e.crossJoin(broadcast(cells))
+        .select(col("dim"), col("g"),
+          (lit(1.0) / (lit(1.0) + exp(-margin))).cast("decimal(18,12)")
+            .as("ps"))
+        .groupBy(col("dim"), col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("ps")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_p"))
+    }),
+
     "q65_eval_logloss_smape" -> ((s, d) => {
       val scored = mdScored(s, d)
       val ll = graft.workflow.MLTuning.logLoss(scored, "p", "y")
@@ -737,6 +766,26 @@ object ReaderQueries {
                        AND alpha + beta * CAST(xd AS DOUBLE) + qhat
                  THEN 1 ELSE 0 END AS covered
           FROM test CROSS JOIN ab CROSS JOIN q""",
+
+    "q517_pdp_profile" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+          cells AS (SELECT CAST(d AS BIGINT) AS dim, CAST(g AS DOUBLE) AS g
+                    FROM (VALUES (0), (7), (21), (42)) dd(d),
+                         (VALUES (-2.0), (-1.0), (0.0), (1.0), (2.0)) gg(g)),
+          p AS (SELECT dim, g,
+                  CAST(1.0 / (1.0 + exp(-list_sum(list_transform(range(0, 64), i ->
+                    (CASE WHEN i = dim THEN g
+                          ELSE emb[CAST(i + 1 AS INT)] END) *
+                    (${H60("'loco:' || CAST(i AS VARCHAR)")}
+                      / 1152921504606846976.0 * 2.0 - 1.0)))))
+                    AS DECIMAL(18,12)) AS ps
+                FROM e CROSS JOIN cells)
+          SELECT dim, g, count(*) AS n,
+            ROUND(CAST(sum(ps) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+              AS avg_p
+          FROM p GROUP BY 1, 2""",
 
     "q65_eval_logloss_smape" ->
       s"""WITH s AS ($MD_SCORED)

@@ -379,7 +379,10 @@ class PlanAuditSpec extends SparkSpec {
     // q472: the alignment pair frame crosses the BOUNDED probe set
     // (doc_id % 37, ~1/37th of docs capped by the broadcast threshold)
     // with itself — q454's tiny-grid shape; the DP fold is row-local
-    "q472_needleman_wunsch")
+    "q472_needleman_wunsch",
+    // q517: the PDP (dim, grid) cell frame is 20 rows crossJoin-
+    // broadcast over the embeddings — a bounded-domain broadcast
+    "q517_pdp_profile")
 
   // Queries where a CartesianProduct is the algorithm, not an accident:
   // ALS recommendForAllUsers scores ALL user x item pairs by design —
