@@ -298,6 +298,38 @@ object CurationQueries {
             col("exact_distinct").cast("double"), 6).as("rel_err"))
     }),
 
+    // padding-waste audit across sequence-bucketing schemes: for each
+    // batching policy (power-of-two buckets floored at 64, linear 512
+    // steps, one fixed 4096 window) the padded-token bill vs the real
+    // token count — the analytic that picks a packing strategy before
+    // burning accelerator hours. Pow2 ceilings via bin()-length bit
+    // tricks (no libm), all integer sums
+    "q518_padding_waste" -> ((s, d) => {
+      val lens = Tables.documents(s, d).select(
+        size(filter(TextAnalysis.tokens(col("text")),
+          t => length(t) > 0)).cast("long").as("len"))
+        .where(col("len") > 0)
+      val pow2 = greatest(lit(64L),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(len - 1)) AS INT))"))
+      val lin = expr("((len + 511) div 512) * 512")
+      val fixed = greatest(col("len"), lit(4096L))
+      // ONE scan: all three schemes' sums in one aggregation, exploded
+      // into the per-scheme rows afterwards
+      def cell(name: String, c: Column) =
+        struct(lit(name).as("scheme"), c.as("padded_tokens"))
+      lens.agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("total_tokens"),
+          sum(pow2).as("p1"), sum(lin).as("p2"), sum(fixed).as("p3"))
+        .select(col("n_docs"), col("total_tokens"),
+          explode(array(cell("pow2_min64", col("p1")),
+            cell("linear512", col("p2")),
+            cell("fixed4096", col("p3")))).as("s"))
+        .select(col("s.scheme").as("scheme"), col("n_docs"),
+          col("total_tokens"), col("s.padded_tokens").as("padded_tokens"),
+          round((col("s.padded_tokens") - col("total_tokens")).cast("double") /
+            col("s.padded_tokens").cast("double"), 6).as("waste_pct"))
+    }),
+
     // HLL REGISTER ALGEBRA: union cardinality of two order-key sets
     // (R-flag vs N-flag lineitems) by per-bucket max of their register
     // tables, intersection by inclusion-exclusion — the merge property
@@ -1623,6 +1655,29 @@ object CurationQueries {
           SELECT item, min(coalesce(cnt, 0)) AS est
           FROM qb LEFT JOIN cells USING (row, bucket)
           GROUP BY 1""",
+
+    "q518_padding_waste" ->
+      s"""WITH lens AS (
+           SELECT CAST(len(list_filter(regexp_split_to_array(
+                    lower(trim(text)), '\\s+'), t -> len(t) > 0))
+                  AS BIGINT) AS len
+           FROM documents),
+          l AS (SELECT len FROM lens WHERE len > 0),
+          s AS (SELECT 'pow2_min64' AS scheme,
+                  greatest(CAST(64 AS BIGINT),
+                    CAST(1 AS BIGINT) << length(bin(len - 1))) AS ceil_len,
+                  len FROM l
+                UNION ALL
+                SELECT 'linear512', ((len + 511) // 512) * 512, len FROM l
+                UNION ALL
+                SELECT 'fixed4096', greatest(len, CAST(4096 AS BIGINT)), len
+                FROM l)
+          SELECT scheme, count(*) AS n_docs,
+            CAST(sum(len) AS BIGINT) AS total_tokens,
+            CAST(sum(ceil_len) AS BIGINT) AS padded_tokens,
+            ROUND(CAST(sum(ceil_len) - sum(len) AS DOUBLE)
+              / CAST(sum(ceil_len) AS DOUBLE), 6) AS waste_pct
+          FROM s GROUP BY 1""",
 
     // HLL register algebra: per-flag register CTEs, union by per-bucket
     // max, the same estimate fold per set, inclusion-exclusion readout

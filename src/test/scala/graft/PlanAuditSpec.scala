@@ -329,7 +329,10 @@ class PlanAuditSpec extends SparkSpec {
     // q516: each register set folds to ONE (buckets_set, sum) row and
     // the exact union/intersect is one count row — four 1-row frames
     // crossed for the inclusion-exclusion readout, q198's scalar shape
-    "q516_hll_union_algebra")
+    "q516_hll_union_algebra",
+    // q518: the padding bill is ONE global sufficient-stats row
+    // (count + 5 sums) exploded into 3 scheme rows — q198's shape
+    "q518_padding_waste")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
