@@ -298,6 +298,47 @@ object CurationQueries {
             col("exact_distinct").cast("double"), 6).as("rel_err"))
     }),
 
+    // DoReMi-style source reweighting: two unrolled exponentiated-
+    // gradient rounds upweight high-surprisal (hard) sources, starting
+    // from the per-source mean unigram surprisal (q108's statistic,
+    // ROUND(.,6) so both engines fold the same input). Each round's
+    // exp() output is quantized ROUND(.,6) -> DECIMAL(18,6) BEFORE the
+    // normalization sum — libm outputs never feed an exact fold at
+    // finer precision than the 6-decimal contract
+    "q519_doremi_reweight" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("source"),
+        explode(filter(TextAnalysis.tokens(col("text")),
+          t => length(t) > 0)).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("tot"))
+      val sur = toks.join(vocab, Seq("tok")).crossJoin(broadcast(total))
+        .select(col("source"),
+          (-log(col("cnt").cast("double") / col("tot").cast("double")))
+            .cast("decimal(18,12)").as("sl"))
+        .groupBy(col("source"))
+        .agg(sum(col("sl")).as("ssum"), count(lit(1)).as("ntok"))
+        .select(col("source"),
+          round(col("ssum").cast("double") / col("ntok").cast("double"), 6)
+            .as("avg_surprisal"))
+      val eta = lit(0.5)
+      val e1 = sur.select(col("source"), col("avg_surprisal"),
+        round(exp(eta * col("avg_surprisal")), 6).cast("decimal(18,6)")
+          .as("m1"))
+      val z1 = e1.agg(sum(col("m1")).as("z1"))
+      val w1 = e1.crossJoin(broadcast(z1))
+        .select(col("source"), col("avg_surprisal"),
+          (col("m1").cast("double") / col("z1").cast("double")).as("w1d"))
+      val e2 = w1.select(col("source"), col("avg_surprisal"), col("w1d"),
+        round(col("w1d") * exp(eta * col("avg_surprisal")), 6)
+          .cast("decimal(18,6)").as("m2"))
+      val z2 = e2.agg(sum(col("m2")).as("z2"))
+      e2.crossJoin(broadcast(z2))
+        .select(col("source"), col("avg_surprisal"),
+          round(col("w1d"), 6).as("w_round1"),
+          round(col("m2").cast("double") / col("z2").cast("double"), 6)
+            .as("w_round2"))
+    }),
+
     // padding-waste audit across sequence-bucketing schemes: for each
     // batching policy (power-of-two buckets floored at 64, linear 512
     // steps, one fixed 4096 window) the padded-token bill vs the real
@@ -1655,6 +1696,38 @@ object CurationQueries {
           SELECT item, min(coalesce(cnt, 0)) AS est
           FROM qb LEFT JOIN cells USING (row, bucket)
           GROUP BY 1""",
+
+    "q519_doremi_reweight" ->
+      s"""WITH toks AS (
+           SELECT source, unnest(list_filter(regexp_split_to_array(
+             lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok
+           FROM documents),
+          vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+          total AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vocab),
+          sur AS (SELECT source,
+                    ROUND(CAST(sum(CAST(-ln(CAST(cnt AS DOUBLE)
+                        / CAST(tot AS DOUBLE)) AS DECIMAL(18,12)))
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                      AS avg_surprisal
+                  FROM toks JOIN vocab USING (tok) CROSS JOIN total
+                  GROUP BY 1),
+          e1 AS (SELECT source, avg_surprisal,
+                   CAST(ROUND(exp(0.5 * avg_surprisal), 6)
+                     AS DECIMAL(18,6)) AS m1
+                 FROM sur),
+          z1 AS (SELECT sum(m1) AS z1 FROM e1),
+          w1 AS (SELECT source, avg_surprisal,
+                   CAST(m1 AS DOUBLE) / CAST(z1 AS DOUBLE) AS w1d
+                 FROM e1 CROSS JOIN z1),
+          e2 AS (SELECT source, avg_surprisal, w1d,
+                   CAST(ROUND(w1d * exp(0.5 * avg_surprisal), 6)
+                     AS DECIMAL(18,6)) AS m2
+                 FROM w1),
+          z2 AS (SELECT sum(m2) AS z2 FROM e2)
+          SELECT source, avg_surprisal,
+            ROUND(w1d, 6) AS w_round1,
+            ROUND(CAST(m2 AS DOUBLE) / CAST(z2 AS DOUBLE), 6) AS w_round2
+          FROM e2 CROSS JOIN z2""",
 
     "q518_padding_waste" ->
       s"""WITH lens AS (

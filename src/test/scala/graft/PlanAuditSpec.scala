@@ -332,7 +332,11 @@ class PlanAuditSpec extends SparkSpec {
     "q516_hll_union_algebra",
     // q518: the padding bill is ONE global sufficient-stats row
     // (count + 5 sums) exploded into 3 scheme rows — q198's shape
-    "q518_padding_waste")
+    "q518_padding_waste",
+    // q519: the corpus-total and the two EG normalization sums are
+    // 1-row frames crossJoin-broadcast over the ~20-source frame —
+    // q135's corpus-scalar shape
+    "q519_doremi_reweight")
 
   // Queries that intentionally use a broadcast nested-loop join: a
   // provably tiny broadcast side (single-row stats frame, query set,
