@@ -216,6 +216,32 @@ object DedupQueries {
     // each Jaccard cutoff — the sweep a pipeline runs ONCE (over the
     // already-computed candidate scores, 11-bucket domain) before
     // committing to a threshold
+    // LSH power planner: the S-curve P(candidate) = 1 - (1 - s^r)^b
+    // over the Jaccard grid for the three (bands, rows) splits of a
+    // 12-hash signature — the design table read BEFORE picking q86's
+    // (6,2) config; q320 is the empirical counterpart. Powers are
+    // explicit multiplication chains (no libm pow), so both engines
+    // compute bit-identical doubles
+    "q520_lsh_power_planner" -> ((s, d) => {
+      val grid = s.range(1, 20)
+        .select((col("id").cast("double") / lit(20.0)).as("s"))
+      def cfg(b: Int, r: Int) = struct(lit(b).as("b"), lit(r).as("r"))
+      val rows = grid.select(col("s"),
+        explode(array(cfg(6, 2), cfg(4, 3), cfg(3, 4))).as("c"))
+        .select(col("s"), col("c.b").as("b"), col("c.r").as("r"))
+      val sC = col("s")
+      val pBand = when(col("r") === 2, sC * sC)
+        .when(col("r") === 3, sC * sC * sC)
+        .otherwise(sC * sC * sC * sC)
+      val t = lit(1.0) - pBand
+      val miss = when(col("b") === 6, t * t * t * t * t * t)
+        .when(col("b") === 4, t * t * t * t)
+        .otherwise(t * t * t)
+      rows.select(col("s"), col("b"), col("r"),
+        round(pBand, 6).as("p_band"),
+        round(lit(1.0) - miss, 6).as("p_detect"))
+    }),
+
     "q320_dedup_threshold_curve" -> ((s, d) => {
       val pairs = Dedup.minHashLshPairs(Tables.documents(s, d),
         col("doc_id"), col("text"), k = 3, numHashes = 12, numBands = 6,
@@ -1107,6 +1133,29 @@ object DedupQueries {
             ROUND(CAST(n_found AS DOUBLE)
               / CAST(greatest(n_true, 1) AS DOUBLE), 6) AS pair_completeness
           FROM nd, nc, nf, nt""",
+
+    "q520_lsh_power_planner" ->
+      """WITH grid AS (SELECT CAST(k AS DOUBLE) / 20.0 AS s
+                       FROM range(1, 20) t(k)),
+          cfg AS (SELECT * FROM (VALUES (6, 2), (4, 3), (3, 4)) c(b, r)),
+          rows_ AS (SELECT s, b, r,
+                      CASE WHEN r = 2 THEN s * s
+                           WHEN r = 3 THEN s * s * s
+                           ELSE s * s * s * s END AS p_band_raw
+                    FROM grid CROSS JOIN cfg),
+          m AS (SELECT s, b, r, p_band_raw,
+                  CASE WHEN b = 6 THEN
+                    (1.0 - p_band_raw) * (1.0 - p_band_raw) * (1.0 - p_band_raw)
+                      * (1.0 - p_band_raw) * (1.0 - p_band_raw) * (1.0 - p_band_raw)
+                  WHEN b = 4 THEN
+                    (1.0 - p_band_raw) * (1.0 - p_band_raw)
+                      * (1.0 - p_band_raw) * (1.0 - p_band_raw)
+                  ELSE (1.0 - p_band_raw) * (1.0 - p_band_raw) * (1.0 - p_band_raw)
+                  END AS miss
+                FROM rows_)
+          SELECT s, b, r, ROUND(p_band_raw, 6) AS p_band,
+            ROUND(1.0 - miss, 6) AS p_detect
+          FROM m""",
 
     "q515_bcubed_cluster_eval" ->
       s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
