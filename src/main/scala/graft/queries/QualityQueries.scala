@@ -322,6 +322,54 @@ object QualityQueries {
           Seq("bucket"))
     }),
 
+    // watermark LATE-DROP audit: replay events in md5-scrambled arrival
+    // order as 4 one-file micro-batches (maxFilesPerTrigger=1, ascending
+    // mtimes) through a watermarked windowed count in APPEND mode, then
+    // join the emitted windows against batch ground truth — per window
+    // how many rows the watermark dropped. The oracle predicts the
+    // streaming engine analytically from the probed semantics: a batch-b
+    // row is dropped iff window_end <= W(b-1) (the PREVIOUS batch's
+    // watermark — late filtering lags eviction by one batch), a window
+    // is emitted iff window_end <= final watermark (AvailableNow's
+    // closing no-data batch). Arrival simulation (the global sort into
+    // files) is harness-side; the audited operator is the stream
+    "q521_stream_late_audit" -> ((s, d) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      import org.apache.spark.sql.expressions.Window
+      val nB = 4
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
+      val batched = ev.withColumn("b", ntile(nB).over(
+        Window.orderBy(graft.functions.TextAnalysis.hash60(
+          col("event_id").cast("string")), col("event_id"))))
+      val dir = Files.createTempDirectory("q521_arrival").toString
+      (1 to nB).foreach { i =>
+        val tmp = s"$dir/w$i"
+        batched.where(col("b") === i).select(col("ts"))
+          .coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .find(p => p.endsWith(".parquet") && !p.endsWith("_SUCCESS")).get
+        val dst = Paths.get(f"$dir/b$i%03d.parquet")
+        Files.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val schema = s.read.parquet(s"$dir/b001.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "b*.parquet").parquet(dir)
+      val agg = stream.withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n_stream"))
+        .select(col("window.start").as("ws"), col("n_stream"))
+      val streamed = Streaming.runToCompletion(s, agg, "q521_stream",
+        outputMode = "append", shufflePartitions = Some(8))
+      val totals = ev.groupBy(date_trunc("day", col("ts")).as("ws"))
+        .agg(count(lit(1)).as("n_total"))
+      streamed.join(totals, Seq("ws"))
+        .select(col("ws").cast("string").as("window_start"),
+          col("n_stream"), col("n_total"),
+          (col("n_total") - col("n_stream")).as("n_late_dropped"))
+    }),
+
     // §2.9 structured streaming: watermark + tumbling window through the
     // streaming engine (AvailableNow → batch-equivalent result)
     "q44_stream_windowed_agg" -> ((s, d) => {
@@ -1025,6 +1073,37 @@ object QualityQueries {
            count(*) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1, 2""",
+
+    // analytic replay of the probed watermark semantics: drop iff
+    // window_end <= W(b-1) (previous batch's watermark), emit iff
+    // window_end <= final watermark AND the window kept >= 1 row
+    // (a fully-dropped window never had state to emit)
+    "q521_stream_late_audit" ->
+      """WITH e AS (SELECT ts, event_id,
+             ntile(4) OVER (ORDER BY
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                 AS BIGINT), event_id) AS b
+           FROM events),
+          bmax AS (SELECT b, max(ts) AS mt FROM e GROUP BY 1),
+          wm AS (SELECT m.b,
+                   (SELECT max(mt) - INTERVAL 1 DAY FROM bmax x
+                    WHERE x.b <= m.b - 2) AS wprev
+                 FROM bmax m),
+          k AS (SELECT date_trunc('day', e.ts) AS ws,
+                  date_trunc('day', e.ts) + INTERVAL 1 DAY AS we,
+                  CASE WHEN w.wprev IS NULL
+                         OR date_trunc('day', e.ts) + INTERVAL 1 DAY > w.wprev
+                       THEN 1 ELSE 0 END AS keep
+                FROM e JOIN wm w USING (b)),
+          fw AS (SELECT max(ts) - INTERVAL 1 DAY AS fwm FROM e)
+          SELECT CAST(CAST(ws AS TIMESTAMP) AS VARCHAR) AS window_start,
+            CAST(sum(keep) AS BIGINT) AS n_stream,
+            count(*) AS n_total,
+            CAST(count(*) - sum(keep) AS BIGINT) AS n_late_dropped
+          FROM k CROSS JOIN fw
+          WHERE we <= fwm
+          GROUP BY 1
+          HAVING sum(keep) > 0""",
 
     "q44_stream_windowed_agg" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type,
