@@ -90,6 +90,30 @@ object InferenceQueries {
     // doubles; each squared term crosses into DECIMAL(32,12) so the
     // sums are order-free — the associativity contract every
     // distributed sum here obeys
+    // Page-Hinkley sequential drift detector per daily-spend series:
+    // cumulative deviation from the RUNNING mean (delta=0), alarm when
+    // it rises lambda=5000 above its running minimum — the online
+    // changepoint alarm (the streaming-monitor companion to q508's
+    // offline binary segmentation). Per-step deviations quantized to
+    // DECIMAL(18,6) so the stacked cumulative folds are exact; all
+    // three windows share ONE (key, day) partitioning
+    "q522_page_hinkley" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runMean = sum(col("spend")).over(wk).cast("double") /
+        count(lit(1)).over(wk).cast("double")
+      dailySpend(s, d)
+        .withColumn("t",
+          (col("spend").cast("double") - runMean).cast("decimal(18,6)"))
+        .withColumn("ph", sum(col("t")).over(wk))
+        .withColumn("mn", min(col("ph")).over(wk))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          round(col("ph").cast("double"), 6).as("ph"),
+          ((col("ph") - col("mn")).cast("double") > lit(5000.0))
+            .cast("int").as("alarm"))
+    }),
+
     "q460_durbin_watson" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("key")).orderBy(col("x"))
@@ -1799,6 +1823,29 @@ object InferenceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q522_page_hinkley" ->
+      s"""WITH d AS ($dailySql),
+          w1 AS (SELECT key, day, y,
+                   CAST(CAST(y AS DOUBLE)
+                     - CAST(sum(y) OVER wk AS DOUBLE)
+                       / CAST(count(*) OVER wk AS DOUBLE)
+                     AS DECIMAL(18,6)) AS t
+                 FROM d
+                 WINDOW wk AS (PARTITION BY key ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          w2 AS (SELECT key, day, sum(t) OVER wk AS ph
+                 FROM w1
+                 WINDOW wk AS (PARTITION BY key ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          w3 AS (SELECT key, day, ph, min(ph) OVER wk AS mn
+                 FROM w2
+                 WINDOW wk AS (PARTITION BY key ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT key AS event_type, CAST(day AS VARCHAR) AS day,
+            ROUND(CAST(ph AS DOUBLE), 6) AS ph,
+            CAST(CAST(ph - mn AS DOUBLE) > 5000.0 AS INT) AS alarm
+          FROM w3""",
 
     "q460_durbin_watson" ->
       s"""WITH $olsSql,
