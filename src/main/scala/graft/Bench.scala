@@ -100,7 +100,9 @@ object Bench {
     val classpath = System.getProperty("java.class.path")
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toVector
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
-    val numberRe = """"([^"]+)":(-?[0-9.eE+]+)""".r
+    // value group must admit '-' inside exponents (7.5E-4) or a
+    // sub-millisecond timing truncates to "7.5E" and .toDouble throws
+    val numberRe = """"([^"]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
     val merged = mutable.LinkedHashMap.empty[String, Double]
     val failedShards = mutable.Buffer.empty[Seq[String]]
 

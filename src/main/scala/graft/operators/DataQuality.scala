@@ -988,9 +988,14 @@ object DataQuality {
         aggCols.map(c => r.getAs[Long](c)).toArray).sortBy(_._1)
     // exclusive prefix totals per partition, shipped back as a tiny
     // broadcast frame keyed on the partition id
-    val offsets = perPart.scanLeft(-1 -> Array.fill(aggCols.length)(0L)) {
-      case ((_, acc), (pid, tot)) => pid -> acc.zip(tot).map { case (a, t) => a + t }
-    }.sliding(2).map(pair => (pair(1)._1, pair(0)._2)).toSeq
+    // empty input → scanLeft still yields its seed and sliding(2) emits a
+    // 1-element group, so pair(1) would throw; short-circuit to no offsets
+    // (the join below then returns the correct empty frame)
+    val offsets: Seq[(Int, Array[Long])] =
+      if (perPart.isEmpty) Seq.empty
+      else perPart.scanLeft(-1 -> Array.fill(aggCols.length)(0L)) {
+        case ((_, acc), (pid, tot)) => pid -> acc.zip(tot).map { case (a, t) => a + t }
+      }.sliding(2).map(pair => (pair(1)._1, pair(0)._2)).toSeq
     import s.implicits._
     val offDf = offsets.map { case (pid, acc) => (pid, acc.toSeq) }
       .toDF("__pid", "__off")
@@ -1027,9 +1032,14 @@ object DataQuality {
         aggCols.map(c => Option(r.getAs[java.math.BigDecimal](c))
           .map(BigDecimal(_)).getOrElse(BigDecimal(0))).toArray)
       .sortBy(_._1)
-    val offsets = perPart.scanLeft(-1 -> Array.fill(aggCols.length)(BigDecimal(0))) {
-      case ((_, acc), (pid, tot)) => pid -> acc.zip(tot).map { case (a, t) => a + t }
-    }.sliding(2).map(pair => (pair(1)._1, pair(0)._2)).toSeq
+    // same empty-input guard as cumulativeByValue: an empty or
+    // all-null-duration input must yield an empty frame, not an
+    // IndexOutOfBounds on the driver
+    val offsets: Seq[(Int, Array[BigDecimal])] =
+      if (perPart.isEmpty) Seq.empty
+      else perPart.scanLeft(-1 -> Array.fill(aggCols.length)(BigDecimal(0))) {
+        case ((_, acc), (pid, tot)) => pid -> acc.zip(tot).map { case (a, t) => a + t }
+      }.sliding(2).map(pair => (pair(1)._1, pair(0)._2)).toSeq
     import s.implicits._
     val offDf = offsets.map { case (pid, acc) => (pid, acc.map(_.toString).toSeq) }
       .toDF("__pid", "__off")
@@ -1067,9 +1077,12 @@ object DataQuality {
         aggCols.map(c => min(col(c)).as(c)).tail: _*)
       .collect().map(r => r.getInt(0) ->
         aggCols.map(c => r.getAs[Long](c)).toArray).sortBy(_._1)
-    val offsets = perPart.scanLeft(-1 -> Array.fill(aggCols.length)(Long.MaxValue)) {
-      case ((_, acc), (pid, tot)) => pid -> acc.zip(tot).map { case (a, t) => math.min(a, t) }
-    }.sliding(2).map(pair => (pair(1)._1, pair(0)._2)).toSeq
+    // same empty-input guard as cumulativeByValue
+    val offsets: Seq[(Int, Array[Long])] =
+      if (perPart.isEmpty) Seq.empty
+      else perPart.scanLeft(-1 -> Array.fill(aggCols.length)(Long.MaxValue)) {
+        case ((_, acc), (pid, tot)) => pid -> acc.zip(tot).map { case (a, t) => math.min(a, t) }
+      }.sliding(2).map(pair => (pair(1)._1, pair(0)._2)).toSeq
     import s.implicits._
     val offDf = offsets.map { case (pid, acc) => (pid, acc.toSeq) }
       .toDF("__pid", "__off")

@@ -103,10 +103,19 @@ object Vectorizers {
       .withColumn("pr", col("pt") - col("pl"))
       .withColumn("ql", col("nl") - col("pl"))
       .withColumn("qr", col("nr") - col("pr"))
+      // widen to decimal(38,0) BEFORE multiplying: h's numerator grows as
+      // n^3 per key, which silently wraps a (non-ANSI) BIGINT once a key
+      // holds ~2M+ rows — fatal at 100 TB. decimal(38,0) is exact to
+      // ~4.6e12 rows per key; the oracle mirrors with HUGEINT.
       .withColumn("h",
-        (col("nr") * (col("pl") * col("pl") + col("ql") * col("ql")) +
-          col("nl") * (col("pr") * col("pr") + col("qr") * col("qr")))
-          .cast("double") / (col("nl") * col("nr")).cast("double"))
+        (col("nr").cast("decimal(38,0)") *
+          (col("pl").cast("decimal(38,0)") * col("pl") +
+           col("ql").cast("decimal(38,0)") * col("ql")) +
+         col("nl").cast("decimal(38,0)") *
+          (col("pr").cast("decimal(38,0)") * col("pr") +
+           col("qr").cast("decimal(38,0)") * col("qr")))
+          .cast("double") /
+        (col("nl").cast("decimal(38,0)") * col("nr")).cast("double"))
     val rw = Window.partitionBy(col("key")).orderBy(col("h").desc, col("v").asc)
     val best = cand.withColumn("rn", row_number().over(rw)).where(col("rn") === 1)
     tot.join(best.select(col("key"), col("v"), col("nl"), col("pl"),
@@ -115,10 +124,12 @@ object Vectorizers {
         col("nl").as("n_left"), col("pl").as("pos_left"),
         col("nr").as("n_right"), col("pr").as("pos_right"),
         round((col("nl").cast("double") -
-          (col("pl") * col("pl") + col("ql") * col("ql")).cast("double") /
+          (col("pl").cast("decimal(38,0)") * col("pl") +
+           col("ql").cast("decimal(38,0)") * col("ql")).cast("double") /
             col("nl").cast("double") +
           col("nr").cast("double") -
-          (col("pr") * col("pr") + col("qr") * col("qr")).cast("double") /
+          (col("pr").cast("decimal(38,0)") * col("pr") +
+           col("qr").cast("decimal(38,0)") * col("qr")).cast("double") /
             col("nr").cast("double")) / col("nt").cast("double"), 6)
           .as("gini"))
   }

@@ -275,8 +275,9 @@ object FeatureQueries {
                     nl - pl AS ql, (nt - nl) - (pt - pl) AS qr
                   FROM cum c JOIN tot t USING (key) WHERE nl < nt),
          sc AS (SELECT *,
-                  CAST(nr * (pl*pl + ql*ql) + nl * (pr*pr + qr*qr) AS DOUBLE)
-                    / CAST(nl * nr AS DOUBLE) AS h
+                  CAST(CAST(nr AS HUGEINT) * (CAST(pl AS HUGEINT)*pl + CAST(ql AS HUGEINT)*ql)
+                       + CAST(nl AS HUGEINT) * (CAST(pr AS HUGEINT)*pr + CAST(qr AS HUGEINT)*qr) AS DOUBLE)
+                    / CAST(CAST(nl AS HUGEINT) * nr AS DOUBLE) AS h
                 FROM cand),
          best AS (SELECT * FROM (
                     SELECT *, row_number() OVER
@@ -286,9 +287,11 @@ object FeatureQueries {
            b.nl AS n_left, b.pl AS pos_left,
            b.nr AS n_right, b.pr AS pos_right,
            ROUND((CAST(b.nl AS DOUBLE)
-               - CAST(b.pl*b.pl + b.ql*b.ql AS DOUBLE) / CAST(b.nl AS DOUBLE)
+               - CAST(CAST(b.pl AS HUGEINT)*b.pl + CAST(b.ql AS HUGEINT)*b.ql AS DOUBLE)
+                 / CAST(b.nl AS DOUBLE)
                + CAST(b.nr AS DOUBLE)
-               - CAST(b.pr*b.pr + b.qr*b.qr AS DOUBLE) / CAST(b.nr AS DOUBLE))
+               - CAST(CAST(b.pr AS HUGEINT)*b.pr + CAST(b.qr AS HUGEINT)*b.qr AS DOUBLE)
+                 / CAST(b.nr AS DOUBLE))
              / CAST(t.nt AS DOUBLE), 6) AS gini
          FROM tot t LEFT JOIN best b USING (key)""",
 

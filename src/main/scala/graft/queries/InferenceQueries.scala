@@ -1805,8 +1805,10 @@ object InferenceQueries {
         sum(col("qg")).as("qt"),
         sum((col("sg").cast("double") * col("sg").cast("double") /
           col("ng").cast("double")).cast("decimal(32,10)")).as("sb"),
-        // Σn_i² in DECIMAL so a 100 TB group count can't overflow long
-        sum((col("ng") * col("ng")).cast("decimal(38,0)")).as("n2"))
+        // Σn_i² in DECIMAL so a 100 TB group count can't overflow long —
+        // cast ONE OPERAND before the multiply (a post-multiply cast would
+        // still wrap in long first)
+        sum(col("ng").cast("decimal(19,0)") * col("ng")).as("n2"))
       val nd = col("nn").cast("double"); val kd = col("k").cast("double")
       val ssb = col("sb").cast("double") -
         col("st").cast("double") * col("st").cast("double") / nd
@@ -3289,7 +3291,7 @@ object InferenceQueries {
                  sum(sg) AS st, sum(qg) AS qt,
                  sum(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
                    / CAST(ng AS DOUBLE) AS DECIMAL(32,10))) AS sb,
-                 sum(CAST(ng * ng AS DECIMAL(38,0))) AS n2
+                 sum(CAST(ng AS HUGEINT) * ng) AS n2
                FROM g)
           SELECT k, nn AS n,
                  ROUND((CAST(sb AS DOUBLE)
