@@ -106,7 +106,46 @@ object Bench {
     val merged = mutable.LinkedHashMap.empty[String, Double]
     val failedShards = mutable.Buffer.empty[Seq[String]]
 
-    names.grouped(shardSize).zipWithIndex.foreach { case (shard, i) =>
+    // Cost-balanced shard packing (LPT greedy): name-order grouping
+    // co-shards the expensive graph/rerank queries (r7: q451 read 1.46x
+    // its standalone time next to two graph heavies — shared-JVM codegen
+    // cache + old-gen pressure). Seed per-query costs from the newest
+    // local bench snapshot in cwd (or SPARK_GRAFT_COSTS), sort heaviest
+    // first, and drop each query into the cheapest not-yet-full shard —
+    // heavies land one per shard. Unknown queries get the median cost;
+    // no snapshot at all degrades to balanced-but-arbitrary packing,
+    // which is still never worse than name order. Deterministic: cost
+    // ties break on name, bin ties on index.
+    val costs: Map[String, Double] = {
+      val file = sys.env.get("SPARK_GRAFT_COSTS").map(new File(_))
+        .orElse(Option(new File(".").listFiles()).getOrElse(Array.empty[File])
+          .filter(_.getName.matches("BENCH_local_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D+", "").toInt)
+          .lastOption)
+      file.filter(_.isFile).map { f =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+          numberRe.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter { case (k, v) => k.startsWith("q") && v >= 0 }.toMap
+        } catch { case _: Throwable => Map.empty[String, Double] }
+      }.getOrElse(Map.empty)
+    }
+    val knownCosts = names.flatMap(costs.get).sorted
+    val defaultCost =
+      if (knownCosts.isEmpty) 0.3 else knownCosts(knownCosts.size / 2)
+    def costOf(n: String): Double = costs.getOrElse(n, defaultCost)
+    val nBins = math.max(1, math.ceil(names.size.toDouble / shardSize).toInt)
+    val bins = Array.fill(nBins)(mutable.Buffer.empty[String])
+    val binCost = Array.fill(nBins)(0.0)
+    names.sortBy(n => (-costOf(n), n)).foreach { n =>
+      val open = bins.indices.filter(bins(_).size < shardSize)
+      val i = open.minBy(binCost)
+      bins(i) += n; binCost(i) += costOf(n)
+    }
+    val shards = bins.toSeq.filter(_.nonEmpty).map(_.toSeq)
+
+    shards.zipWithIndex.foreach { case (shard, i) =>
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", classpath, "graft.Bench", "--shard", sfDir, shard.mkString(","))
       var partial: Option[String] = None

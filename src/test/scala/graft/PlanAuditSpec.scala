@@ -412,6 +412,68 @@ class PlanAuditSpec extends SparkSpec {
     p +: (kids ++ p.subqueries).flatMap(flattenExec)
   }
 
+  private val rowBound = 10000L
+
+  // Row counts moved through SinglePartition exchanges, read from the
+  // runtime metrics of an EXECUTED tree; only populated metrics count.
+  private def singlePartitionRows(
+      nodes: Seq[org.apache.spark.sql.execution.SparkPlan]): Seq[Long] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        e.metrics.get("shuffleRecordsWritten").map(_.value)
+          .orElse(e.child.metrics.get("numOutputRows").map(_.value))
+    }.flatten
+  }
+
+  // BNLJ build-side broadcast row counts (the branch an allowlist entry
+  // excuses — a nested equi-join's broadcast under the same subtree is
+  // the planner's own size-thresholded choice, not ours to bound).
+  private def bnljBuildRows(
+      nodes: Seq[org.apache.spark.sql.execution.SparkPlan]): Seq[Long] = {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    nodes.collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        val buildPlan = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          case _ => j.left
+        }
+        flattenExec(buildPlan)
+          .collectFirst { case b: BroadcastExchangeExec => b }
+          .flatMap(_.metrics.get("numOutputRows").map(_.value))
+    }.flatten
+  }
+
+  /** Run `body` with a QueryExecutionListener attached, returning its
+    * result plus every QueryExecution the closure triggered EAGERLY
+    * (collects inside fits, scaffold writes, …). These executions never
+    * appear in the returned frame's plan — the r7 audit blind spot: a
+    * side-effect action inside a query lambda could hide a global sort
+    * from both the pattern sweep and the row-bound check. The listener
+    * bus is drained before reading the capture (delivery is async). */
+  private def withCapturedExecutions[T](body: => T)
+      : (T, Seq[org.apache.spark.sql.execution.QueryExecution]) = {
+    import scala.jdk.CollectionConverters._
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = buf.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = buf.add(qe)
+    }
+    spark.listenerManager.register(l)
+    try {
+      val r = body
+      org.apache.spark.GraftSparkAccess.flushListenerBus(spark.sparkContext)
+      (r, buf.asScala.toSeq)
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("allowlist entries carry MACHINE-CHECKED bounds: every " +
     "single-partition exchange and BNLJ broadcast side in an allowlisted " +
     "query moves <= 10k rows at sf0.001") {
@@ -420,36 +482,34 @@ class PlanAuditSpec extends SparkSpec {
     // ms-resolution duration) must FAIL CI, not hide behind an old
     // allowlist comment. Execute each allowlisted query and read the
     // runtime metrics of exactly the branches the allowlist excuses.
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    val bound = 10000L
     val offenders = (singlePartitionOk ++ bnljOk).toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)
       df.queryExecution.toRdd.count()
       val nodes = flattenExec(df.queryExecution.executedPlan)
-      val spOver = nodes.collect {
-        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
-          e.metrics.get("shuffleRecordsWritten").map(_.value)
-            .orElse(e.child.metrics.get("numOutputRows").map(_.value))
-      }.flatten.filter(_ > bound)
-      // only the BNLJ's own BUILD side is what the allowlist excuses —
-      // a nested equi-join's broadcast under the same subtree is the
-      // planner's own (size-thresholded) choice, not ours to bound
-      val bnljOver = nodes.collect {
-        case j: BroadcastNestedLoopJoinExec =>
-          val buildPlan = j.buildSide match {
-            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
-            case _ => j.left
-          }
-          flattenExec(buildPlan)
-            .collectFirst { case b: BroadcastExchangeExec => b }
-            .flatMap(_.metrics.get("numOutputRows").map(_.value))
-      }.flatten.filter(_ > bound)
-      spOver.map(v => s"$n: SinglePartition exchange carries $v rows") ++
-        bnljOver.map(v => s"$n: BNLJ broadcast side carries $v rows")
+      singlePartitionRows(nodes).filter(_ > rowBound)
+        .map(v => s"$n: SinglePartition exchange carries $v rows") ++
+        bnljBuildRows(nodes).filter(_ > rowBound)
+          .map(v => s"$n: BNLJ broadcast side carries $v rows")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("eager-execution capture is LIVE: a side-effect action inside a " +
+    "closure is seen, and its single-partition funnel is measurable") {
+    // Positive control for the sweep below — if listener registration,
+    // bus drain, or metric reads silently break, the sweep would pass
+    // vacuously; this test fails instead. The probe closure mimics the
+    // r7 q521 scaffold: an eager global-sort action whose plan never
+    // reaches the returned frame.
+    val (_, captured) = withCapturedExecutions {
+      spark.range(0, 500).toDF("id")
+        .orderBy(col("id")).agg(sum(col("id"))).collect()
+      42
+    }
+    assert(captured.nonEmpty, "listener captured no executions")
+    val sp = captured.map(qe => singlePartitionRows(flattenExec(qe.executedPlan)))
+    assert(sp.exists(_.nonEmpty),
+      s"no measurable SinglePartition exchange in ${captured.size} captures")
   }
 
   test("global sweep: no cartesian products; single-partition exchanges " +
@@ -459,11 +519,30 @@ class PlanAuditSpec extends SparkSpec {
     val bnlj = scala.collection.mutable.Set.empty[String]
     val cart = scala.collection.mutable.Set.empty[String]
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
-      val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      val (df, captured) =
+        withCapturedExecutions(SparkEntry.queries(n)(spark, sf))
+      val p = df.queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition")) sp += n
       if (p.contains("BroadcastNestedLoopJoin")) bnlj += n
       if (p.contains("CartesianProduct")) cart += n
-      Seq(
+      // EAGER executions the closure ran while building the frame (fit
+      // collects, scaffold writes): these already executed, so bound
+      // them by RUNTIME EVIDENCE rather than a name allowlist — any
+      // single-partition funnel or BNLJ build side must move <= rowBound
+      // rows, and cartesian products are forbidden outright. This closes
+      // the r7 blind spot where a side-effect global sort was invisible.
+      val eager = captured.flatMap { qe =>
+        val nodes = flattenExec(qe.executedPlan)
+        val cartHit = nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+        (if (cartHit && !cartesianOk(n))
+          Seq(s"$n: CartesianProduct in EAGER execution") else Nil) ++
+          singlePartitionRows(nodes).filter(_ > rowBound).map(v =>
+            s"$n: EAGER SinglePartition exchange carries $v rows") ++
+          bnljBuildRows(nodes).filter(_ > rowBound).map(v =>
+            s"$n: EAGER BNLJ broadcast side carries $v rows")
+      }
+      eager ++ Seq(
         if (cart(n) && !cartesianOk(n))
           Some(s"$n: CartesianProduct") else None,
         if (sp(n) && !singlePartitionOk(n))
