@@ -612,9 +612,12 @@ object Curation {
     * `clearCache` after the scores materialize (house contract, see
     * [[graft.operators.Dedup]]). Model-based output: gate with specs /
     * rows-only, not a SQL oracle. */
-  def qualityClassifierScores(df: DataFrame, id: Column, text: Column,
-                              isTarget: Column, dims: Int = 512,
-                              regParam: Double = 0.01, maxIter: Int = 50): DataFrame = {
+  /** The (doc_id, __label, __feat) frame both the LR fit and the
+    * scoring pass consume: hashed n-gram counts densified to a
+    * `dims`-wide vector; docs tokenizing to nothing get the zero
+    * vector, not a dropped row. Persisted — the fit iterates over it. */
+  private def qualityFeatureFrame(df: DataFrame, id: Column, text: Column,
+                                  isTarget: Column, dims: Int): DataFrame = {
     val tf = hashedNgramBuckets(df, id, text, dims, Nil)
       .select(col("doc_id"), col("bucket").cast("int").as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
@@ -623,24 +626,69 @@ object Curation {
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(dims - 1)),
           b => coalesce(element_at(col("m"), b), lit(0L)).cast("double")).as("f"))
-    val prepared = df.select(id.as("doc_id"), isTarget.cast("double").as("__label"))
+    df.select(id.as("doc_id"), isTarget.cast("double").as("__label"))
       .join(dense, Seq("doc_id"), "left")
-      // docs tokenizing to nothing get the zero vector, not a dropped row
       .withColumn("f", coalesce(col("f"), array_repeat(lit(0.0), dims)))
       .select(col("doc_id"), col("__label"),
         org.apache.spark.ml.functions.array_to_vector(col("f")).as("__feat"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Fit only — exposed so the fitted coefficients can be frozen into
+    * the hash-gated scoring replay (tools.FreezeQualityLr → q523). */
+  def fitQualityLr(df: DataFrame, id: Column, text: Column,
+                   isTarget: Column, dims: Int = 512,
+                   regParam: Double = 0.01, maxIter: Int = 50)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
+    val prepared = qualityFeatureFrame(df, id, text, isTarget, dims)
     // score with a summary-free copy: the training summary drags the
     // SparkSession into the scoring closure (see MLStages.stripTrainingSummary)
-    val model = graft.workflow.MLStages.stripTrainingSummary(
+    graft.workflow.MLStages.stripTrainingSummary(
       new org.apache.spark.ml.classification.LogisticRegression()
         .setFeaturesCol("__feat").setLabelCol("__label")
         .setRegParam(regParam).setMaxIter(maxIter)
         .fit(prepared))
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+  }
+
+  def qualityClassifierScores(df: DataFrame, id: Column, text: Column,
+                              isTarget: Column, dims: Int = 512,
+                              regParam: Double = 0.01, maxIter: Int = 50): DataFrame = {
+    val prepared = qualityFeatureFrame(df, id, text, isTarget, dims)
+    val model = fitQualityLr(df, id, text, isTarget, dims, regParam, maxIter)
     model.transform(prepared)
       .select(col("doc_id"),
         org.apache.spark.ml.functions.vector_to_array(col("probability"))
           .getItem(1).as("quality_prob"))
+  }
+
+  /** Score documents with a FROZEN logistic model — the deployment half
+    * of [[qualityClassifierScores]] split out so it hash-gates: the
+    * coefficients are a quantized literal table (decimal(12,6)), the
+    * dot product folds exact decimals (weight x BIGINT count — order
+    * never matters), and only the final sigmoid runs in double space.
+    * At 100 TB this is the common production shape anyway: train once
+    * offline, ship constants, score the corpus with one broadcast join.
+    * Every doc scores — empty-token docs get the intercept-only prob. */
+  def frozenLrScores(df: DataFrame, id: Column, text: Column,
+                     weights: Seq[BigDecimal], intercept: BigDecimal): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val dims = weights.size
+    val wDf = broadcast(weights.zipWithIndex
+      .map { case (w, b) => (b.toLong, w.toString) }.toDF("bucket", "w")
+      .select(col("bucket"), col("w").cast("decimal(12,6)").as("w")))
+    val cnts = hashedNgramBuckets(df, id, text, dims, Nil)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val dot = cnts.join(wDf, "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("cnt")).as("dot"))
+    df.select(id.as("doc_id")).join(dot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(intercept.toString).cast("decimal(12,6)") +
+            coalesce(col("dot"), lit(0))).cast("double"))), 6)
+          .as("quality_prob"))
   }
 
   /** Exact duplicated-span detection over OVERLAPPING k-token windows

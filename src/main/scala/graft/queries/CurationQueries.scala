@@ -245,6 +245,17 @@ object CurationQueries {
         .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
     }),
 
+    // the DEPLOYED half of q120, hash-gated: score every document with
+    // the frozen coefficient table (FrozenQualityLr — the exact fit
+    // q120 trains, quantized to 6dp). The dot product folds exact
+    // decimals so partition order never matters; only the final sigmoid
+    // is double. The fit stays spec/rows-only; this replays scoring.
+    "q523_quality_classifier_score" -> ((s, d) => {
+      Curation.frozenLrScores(Tables.documents(s, d), col("doc_id"),
+        col("text"), graft.operators.FrozenQualityLr.weights,
+        graft.operators.FrozenQualityLr.intercept)
+    }),
+
     // per-domain cap: no source contributes more than its 10 best docs
     // (quality = n_chars here; ties to the smaller doc_id) — runs on
     // the bounded TopK aggregator, not a window
@@ -1662,6 +1673,40 @@ object CurationQueries {
                         ((c_raw + 1.0) / (tot_raw + 256)))), 6) + 0 AS dsir_weight
          FROM feats JOIN stats USING (bucket) CROSS JOIN tots
          GROUP BY doc_id""",
+
+    // frozen-LR scoring replay: the VALUES table is GENERATED from the
+    // same FrozenQualityLr array the Spark side reads — the two sides
+    // cannot drift. Exact-decimal dot product, sigmoid at the readout.
+    "q523_quality_classifier_score" -> {
+      val values = graft.operators.FrozenQualityLr.weights.zipWithIndex
+        .map { case (w, b) => s"($b, CAST($w AS DECIMAL(12,6)))" }
+        .mkString(",\n             ")
+      val b0 = graft.operators.FrozenQualityLr.intercept
+      s"""WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+         uni AS (SELECT doc_id, unnest(toks) AS f FROM t),
+         bi AS (
+           SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS f
+           FROM t),
+         cnts AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 256 AS bucket,
+             count(*) AS cnt
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+           GROUP BY 1, 2),
+         w(bucket, w) AS (
+           VALUES $values),
+         dot AS (
+           SELECT doc_id, sum(w * cnt) AS dot
+           FROM cnts JOIN w USING (bucket) GROUP BY 1)
+         SELECT d.doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(CAST(CAST($b0 AS DECIMAL(12,6))
+               + COALESCE(dot, 0) AS DOUBLE)))), 6) AS quality_prob
+         FROM documents d LEFT JOIN dot USING (doc_id)"""
+    },
 
     "q148_kmv_by_group" ->
       s"""WITH h AS (SELECT DISTINCT event_type AS grp,

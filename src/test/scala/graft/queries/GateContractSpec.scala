@@ -13,7 +13,7 @@ class GateContractSpec extends AnyFunSuite {
   private val rowsOnlyByDesign = Map(
     "q37_ml_train_score" -> "trained-model scores (12 spark.ml fits) aren't SQL-replayable",
     "q95_dt_map_bucketize" -> "spark.ml's sample/sketch-based split binning isn't SQL-replayable; q511_gini_stump_map is the hash-gated exact companion",
-    "q120_curation_quality_classifier" -> "trained LR probabilities aren't SQL-replayable (feature extraction shares q116's gated path)",
+    "q120_curation_quality_classifier" -> "the L-BFGS FIT isn't SQL-replayable (feature extraction shares q116's gated path); q523_quality_classifier_score hash-gates the SCORING half via the frozen coefficient table",
     "q189_pca" -> "eigenvector signs are an SVD convention, not SQL-replayable; variance contract spec-gated in ProjectionSpec",
     "q194_als_recommend" -> "iterative ALS factor values are not SQL-replayable; block-preference recovery spec-gated in MLStagesSpec",
     "q195_kmeans_assign" -> "iterative Lloyd centroids are not SQL-replayable; blob-recovery spec-gated in ClusteringSpec")
