@@ -123,16 +123,28 @@ object TextAnalysis {
   // lexicographically ordered — the argmax tiebreak is first-profile
   // wins, so profile order is part of the operator's contract.
   val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "التي"),
+    "cs" -> Seq("že", "jsem", "jsou", "není", "byl", "který", "také", "podle"),
+    "da" -> Seq("og", "er", "til", "ikke", "af", "hvad", "hvor", "være"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "es" -> Seq("el", "los", "y", "que", "en", "una", "por", "con"),
+    "fi" -> Seq("ja", "on", "ei", "että", "hän", "mutta", "myös", "kun"),
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
-    // profiles avoid words that are top-frequency in SIBLING languages
-    // (e.g. "de"/"que" are the most common words of fr/es/pt alike —
-    // including them in one profile would siphon other languages' text)
+    "hi" -> Seq("के", "है", "में", "की", "को", "से", "का", "पर"),
+    // "dari" not "di": the profiles avoid words that are top-frequency
+    // in SIBLING languages (e.g. "de"/"que" are the most common words
+    // of fr/es/pt alike, "di" of it/id alike — including them in one
+    // profile would siphon other languages' text)
+    "id" -> Seq("yang", "dan", "dari", "untuk", "dengan", "tidak", "ini", "itu"),
     "it" -> Seq("di", "che", "non", "per", "sono", "gli", "più", "della"),
     "nl" -> Seq("het", "een", "van", "niet", "dat", "zijn", "ik", "ook"),
+    "pl" -> Seq("się", "nie", "jest", "oraz", "które", "został", "przez", "tylko"),
     "pt" -> Seq("não", "uma", "isso", "ele", "são", "mais", "você", "muito"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "это", "как", "его"),
+    "sv" -> Seq("och", "att", "är", "inte", "på", "för", "jag", "ett"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha"),
+    "vi" -> Seq("của", "và", "là", "không", "người", "này", "được", "trong"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
   val englishStopwords: Seq[String] = stopwordProfiles.toMap.apply("en")
@@ -158,6 +170,60 @@ object TextAnalysis {
   }
 
   def languageId(text: Column): Column = languageIdFrom(languageScores(text))
+
+  /** Per-script character counts — the signal whitespace stopword
+    * profiles cannot see (zh/ja/th write without spaces; ko attaches
+    * particles). One regexp pass per script, row-local at any scale.
+    * Java script classes (\p{IsHan}) mirror to RE2 names (\p{Han}) in
+    * the oracle — the q487 house pattern. Ordered: the detector checks
+    * kana BEFORE han (Japanese text mixes kanji + kana; Chinese has han
+    * only), so sequence order is part of the contract. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]",
+    "hangul" -> "[\\p{IsHangul}]",
+    "thai" -> "[\\p{IsThai}]",
+    "han" -> "[\\p{IsHan}]")
+
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    scriptClasses.map { case (n, re) =>
+      n -> (size(split(text, re)) - 1).cast("long")
+    }
+
+  // script → language, applied in scriptClasses order with a >= 2
+  // character threshold (one CJK char can be a stray symbol; two is a
+  // message)
+  val scriptLangs: Map[String, String] =
+    Map("kana" -> "ja", "hangul" -> "ko", "thai" -> "th", "han" -> "zh")
+  val scriptThreshold = 2
+
+  /** Detected language over 22 languages (BCP-47 codes, "und" =
+    * undetermined): script vote first (ja/ko/th/zh), then the stopword
+    * argmax over the 19 word profiles. The reference wraps Optimaize's
+    * 70-language n-gram detector
+    * (core/.../utils/text/OptimaizeLanguageDetector.scala); that jar is
+    * absent here, so this is the deterministic, oracle-replayable
+    * stand-in — every branch mirrors 1:1 into SQL. */
+  def languageIdScored(text: Column): Column = {
+    val sc = scriptCounts(text).toMap
+    val words = languageScores(text)
+    val totalHits = words.map(_._2).reduce(_ + _)
+    val maxHits = greatest(words.map(_._2): _*)
+    val nChars = length(text).cast("double")
+    val scriptCase = scriptClasses.foldLeft(Option.empty[Column]) {
+      case (acc, (s, _)) =>
+        val hit = sc(s) >= scriptThreshold
+        val branch = struct(
+          lit(scriptLangs(s)).as("lang"),
+          round(sc(s).cast("double") / nChars, 6).as("confidence"))
+        Some(acc.fold(when(hit, branch))(_.when(hit, branch)))
+    }.get
+    val wordLang = languageIdFrom(words)
+    scriptCase.otherwise(struct(
+      wordLang.as("lang"),
+      when(wordLang === "und", 0.0)
+        .otherwise(round(maxHits.cast("double") / totalHits, 6))
+        .as("confidence")))
+  }
 
   /** Default stop-word list: spark.ml StopWordsRemover's English list —
     * the same default the reference wraps (OpStopWordsRemover.scala:48,

@@ -17,6 +17,36 @@ object TextQueries {
 
   private val sw = englishStopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Fixed multilingual fixture for the 22-language scored detector
+    * (q524): one native-script sentence per supported language, all
+    * lowercase (so lower() is a no-op in both engines — Turkish-I
+    * case-folding never enters the gate). The oracle's VALUES table is
+    * generated from THIS seq, so the two sides cannot drift; a spec
+    * additionally asserts the detector gets every row right. */
+  val langIdCorpus: Seq[(Long, String, String)] = Seq(
+    (1L, "ar", "هذا الكتاب من أفضل ما قرأت في حياتي على الإطلاق وهو التي أوصي به"),
+    (2L, "cs", "jsem rád že jsou zde také lidé který není podle očekávání byl"),
+    (3L, "da", "og det er ikke til at vide hvad der sker og hvor vi skal være"),
+    (4L, "de", "der hund und die katze sind nicht mit dem mann ein gutes team das ist"),
+    (5L, "en", "the cat and the dog of it is in a house to stay"),
+    (6L, "es", "el perro y los gatos que viven en una casa por la mañana con su dueño"),
+    (7L, "fi", "ja hän on myös sitä mieltä että ei kun mutta se on hyvä"),
+    (8L, "fr", "le chien et la souris est dans les champs pour une promenade"),
+    (9L, "hi", "भारत के लोग है और में की बात को से का पर"),
+    (10L, "id", "yang dan dari untuk dengan tidak ini itu adalah kalimat"),
+    (11L, "it", "di che non per sono gli più della stessa cosa"),
+    (12L, "ja", "私は東京に住んでいます。日本語のテキストです。"),
+    (13L, "ko", "모든 인간은 태어날 때부터 자유로우며 존엄과 권리에 있어"),
+    (14L, "nl", "het is een van niet dat zijn ik ook hier"),
+    (15L, "pl", "się nie jest oraz które został przez tylko zdanie"),
+    (16L, "pt", "não uma isso ele são mais você muito bom dia"),
+    (17L, "ru", "и в не на что это как его писать"),
+    (18L, "sv", "och att är inte på för jag ett hus"),
+    (19L, "th", "สวัสดีครับ ผมชื่อสมชาย และยินดีที่ได้รู้จัก"),
+    (20L, "tr", "bir ve bu için ile olarak çok daha güzel gün"),
+    (21L, "vi", "của và là không người này được trong cuộc sống"),
+    (22L, "zh", "我爱北京天安门，天安门上太阳升。"))
+
   val queries: Map[String, Q] = Map(
     // inverted-index build: the IR-side dual of q135's BM25 scoring —
     // token -> (document frequency, collection frequency, head of the
@@ -210,6 +240,27 @@ object TextQueries {
         round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
         round(uppercaseRatio(col("text")), 6).as("upper_ratio"),
         round(qualityScore(col("text")), 6).as("quality"))
+    }),
+
+    // 22-language scored detector (script vote + 19 word profiles +
+    // confidence) over the fixed multilingual fixture UNION the
+    // documents table — the fixture exercises every script branch and
+    // all 19 word profiles on native text; the documents exercise the
+    // word path at corpus scale. Row-local, one regexp pass per script.
+    "q524_langid_scored" -> ((s, d) => {
+      import s.implicits._
+      val fix = langIdCorpus.toDF("sid", "lang_expected", "text")
+        .select(concat(lit("fix:"), col("sid")).as("rid"),
+          col("lang_expected"), col("text"))
+      val docs = Tables.documents(s, d)
+        .select(concat(lit("doc:"), col("doc_id")).as("rid"),
+          col("lang").as("lang_expected"), col("text"))
+      fix.unionByName(docs)
+        .select(col("rid"), col("lang_expected"),
+          languageIdScored(col("text")).as("r"))
+        .select(col("rid"), col("lang_expected"),
+          col("r.lang").as("lang_pred"),
+          col("r.confidence").as("confidence"))
     }),
 
     "q20_text_langid" -> ((s, d) => {
@@ -639,6 +690,57 @@ object TextQueries {
            ROUND(0.4 * least(1.0, toks / 100.0) + 0.4 * least(1.0, sw_r * 4.0)
                  + 0.2 * (1.0 - least(1.0, pr * 4.0)), 6) AS quality
          FROM t""",
+
+    // generated from the SAME stopwordProfiles / scriptClasses /
+    // langIdCorpus the Spark side reads — no drift possible. Script
+    // classes map Java names to RE2 names (q487 pattern).
+    "q524_langid_scored" -> {
+      val langs = graft.functions.TextAnalysis.stopwordProfiles.map(_._1)
+      val scoreDefs = langs.map(l => s"${scoreSql(l)} AS s_$l").mkString(",\n             ")
+      val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val tot = langs.map(l => s"s_$l").mkString(" + ")
+      val chain = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n                  ")
+      val values = graft.queries.TextQueries.langIdCorpus
+        .map { case (sid, l, txt) => s"($sid, '$l', '$txt')" }
+        .mkString(",\n             ")
+      val thr = graft.functions.TextAnalysis.scriptThreshold
+      // Java \p{IsX} -> RE2 \p{X}
+      val scripts = graft.functions.TextAnalysis.scriptClasses.map {
+        case (n, re) => n -> re.replace("{Is", "{")
+      }
+      val scriptDefs = scripts.map { case (n, re) =>
+        s"len(regexp_split_to_array(text, '$re')) - 1 AS $n"
+      }.mkString(",\n             ")
+      val predChain = scripts.map { case (n, _) =>
+        s"WHEN $n >= $thr THEN '${graft.functions.TextAnalysis.scriptLangs(n)}'"
+      }.mkString("\n                  ")
+      val confChain = scripts.map { case (n, _) =>
+        s"WHEN $n >= $thr THEN ROUND(CAST($n AS DOUBLE) / n_chars, 6)"
+      }.mkString("\n                  ")
+      s"""WITH corpus(sid, lang_expected, text) AS (VALUES
+             $values),
+         src AS (
+           SELECT 'fix:' || CAST(sid AS VARCHAR) AS rid, lang_expected, text
+           FROM corpus
+           UNION ALL
+           SELECT 'doc:' || CAST(doc_id AS VARCHAR), lang, text FROM documents),
+         t AS (
+           SELECT rid, lang_expected,
+             length(text) AS n_chars,
+             $scriptDefs,
+             $scoreDefs
+           FROM src)
+         SELECT rid, lang_expected,
+           CASE $predChain
+                WHEN $g = 0 THEN 'und'
+                $chain
+           END AS lang_pred,
+           CASE $confChain
+                WHEN $g = 0 THEN 0.0
+                ELSE ROUND(CAST($g AS DOUBLE) / ($tot), 6)
+           END AS confidence
+         FROM t"""
+    },
 
     "q20_text_langid" -> {
       val langs = graft.functions.TextAnalysis.stopwordProfiles.map(_._1)

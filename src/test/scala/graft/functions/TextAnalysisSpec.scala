@@ -45,6 +45,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[String](languageId(lit("xyzzy plugh"))) == "und")
   }
 
+  test("scored 22-language detector gets every multilingual fixture row " +
+    "right, with confidence in (0,1]") {
+    val s = spark; import s.implicits._
+    val rows = graft.queries.TextQueries.langIdCorpus
+      .toDF("sid", "expected", "text")
+      .select(col("sid"), col("expected"),
+        languageIdScored(col("text")).as("r"))
+      .select(col("sid"), col("expected"),
+        col("r.lang").as("pred"), col("r.confidence").as("conf"))
+      .collect()
+    assert(rows.length == 22)
+    val wrong = rows.filter(r => r.getAs[String]("pred") != r.getAs[String]("expected"))
+    assert(wrong.isEmpty, wrong.mkString("\n"))
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("conf"); c > 0.0 && c <= 1.0
+    })
+    // und fallback with zero confidence on gibberish
+    val u = Seq(1).toDF("x")
+      .select(languageIdScored(lit("xyzzy plugh qwerty")).as("r"))
+      .select(col("r.lang"), col("r.confidence")).collect().head
+    assert(u.getString(0) == "und" && u.getDouble(1) == 0.0)
+  }
+
   test("quality score bounded and monotone in stopword presence") {
     val good = one[Double](qualityScore(lit("the cat and the dog of it is in a house " * 10)))
     val bad = one[Double](qualityScore(lit("!!! ??? *** ### $$$")))
