@@ -1009,6 +1009,41 @@ object DataQuality {
       }: _*)
   }
 
+  /** Adaptive dispatch over the value-domain size: duration-style
+    * domains are resolution-bounded in the overwhelmingly common case,
+    * where ONE <= `bound`-row single-partition window beats the
+    * two-level prefix sum's extra shuffles and jobs (r7 made the
+    * survival estimators scale-safe at a 2-3x local cost; this claws
+    * that back without reopening the scale hole). The dispatch count()
+    * reads the persisted domain frame (one cheap job); past the bound
+    * the plan falls back to [[cumulativeByValue]]. The fast path's
+    * exchange is exactly the shape PlanAuditSpec machine-bounds: a
+    * SinglePartition shuffle carrying <= bound rows BY CONSTRUCTION. */
+  private[graft] def cumulativeByValueAuto(counts: DataFrame,
+                                           aggCols: Seq[String],
+                                           bound: Long = 10000L): DataFrame = {
+    val c = counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (c.count() <= bound) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      c.select(col("v") +: aggCols.map(a => sum(col(a)).over(w).as(s"cum_$a")): _*)
+    } else cumulativeByValue(c, aggCols)
+  }
+
+  /** [[cumulativeByValueAuto]] for exact-DECIMAL agg columns. */
+  private[graft] def cumulativeDecimalByValueAuto(counts: DataFrame,
+                                                  aggCols: Seq[String],
+                                                  bound: Long = 10000L): DataFrame = {
+    val c = counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (c.count() <= bound) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      c.select(col("v") +: aggCols.map(a => sum(col(a)).over(w).as(s"cum_$a")): _*)
+    } else cumulativeDecimalByValue(c, aggCols)
+  }
+
   /** [[cumulativeByValue]] for exact-DECIMAL agg columns — same
     * two-level prefix sum (range-repartition on `v`, per-range window,
     * O(#partitions) per-partition totals broadcast back as exclusive

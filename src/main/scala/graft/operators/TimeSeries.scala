@@ -1248,7 +1248,7 @@ object TimeSeries {
     * cum_hazard). */
   def nelsonAalen(df: DataFrame, duration: Column, observed: Column): DataFrame = {
     val risk = survivalRiskTable(df, duration, observed)
-    val cumInc = DataQuality.cumulativeDecimalByValue(
+    val cumInc = DataQuality.cumulativeDecimalByValueAuto(
       risk.select(col("v"), (col("d").cast("double") /
         col("n_at_risk").cast("double")).cast("decimal(18,12)").as("inc")),
       Seq("inc"))
@@ -1282,7 +1282,7 @@ object TimeSeries {
       .agg(groupAggs.head, groupAggs.tail: _*)
       .localCheckpoint(false)
     val cumCols = Seq("m") ++ (if (inGroup1.isDefined) Seq("m1") else Nil)
-    val cum = DataQuality.cumulativeByValue(
+    val cum = DataQuality.cumulativeByValueAuto(
       counts.select(col("v") +: cumCols.map(col): _*), cumCols)
     val totalAggs = sum(col("m")).as("total") +:
       inGroup1.toSeq.map(_ => sum(col("m1")).as("total1"))
@@ -1305,7 +1305,7 @@ object TimeSeries {
         .when(col("d") === col("n_at_risk"), lit(-999.0).cast("decimal(18,12)"))
         .otherwise(log(lit(1.0) - col("d").cast("double") /
           col("n_at_risk").cast("double")).cast("decimal(18,12)"))
-    val cumLnf = DataQuality.cumulativeDecimalByValue(
+    val cumLnf = DataQuality.cumulativeDecimalByValueAuto(
       risk.select(col("v"), lnf.as("lnf")), Seq("lnf"))
     risk.join(cumLnf, Seq("v"))
       .select(col("v").as("duration"), col("n_at_risk"),

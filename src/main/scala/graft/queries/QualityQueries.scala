@@ -345,11 +345,13 @@ object QualityQueries {
         pmod(graft.functions.TextAnalysis.hash60(
           col("event_id").cast("string")), lit(nB.toLong)) + 1)
       val dir = Files.createTempDirectory("q521_arrival").toString
+      // ONE scan writes all nB arrival files (partitionBy over the
+      // bounded batch id, single writer task) — the per-batch
+      // filter+write loop cost nB full scans of events
+      batched.select(col("b"), col("ts"))
+        .coalesce(1).write.partitionBy("b").parquet(s"$dir/w")
       (1 to nB).foreach { i =>
-        val tmp = s"$dir/w$i"
-        batched.where(col("b") === i).select(col("ts"))
-          .coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        val part = Files.list(Paths.get(s"$dir/w/b=$i")).toArray.map(_.toString)
           .find(p => p.endsWith(".parquet") && !p.endsWith("_SUCCESS")).get
         val dst = Paths.get(f"$dir/b$i%03d.parquet")
         Files.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
@@ -363,7 +365,7 @@ object QualityQueries {
         .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n_stream"))
         .select(col("window.start").as("ws"), col("n_stream"))
       val streamed = Streaming.runToCompletion(s, agg, "q521_stream",
-        outputMode = "append", shufflePartitions = Some(8))
+        outputMode = "append", shufflePartitions = Some(4))
       // the memory sink now holds the result; the arrival files are dead
       // weight — delete them (bench reruns this 3x, specs once more; the
       // r7 leak grew tmp unboundedly)
@@ -576,7 +578,7 @@ object QualityQueries {
     "q85_stream_interval_join" -> ((s, d) => {
       val j = Streaming.viewPurchaseJoin(s, d, window = "1 DAY", lateness = "1 DAY")
       Streaming.runToCompletion(s, j, "q85_stream", outputMode = "append",
-        shufflePartitions = Some(8))
+        shufflePartitions = Some(2))
     }),
 
     // rolling MODE over the last 5 events per user (most-frequent

@@ -125,9 +125,17 @@ object Streaming {
     // serialized: concurrent runs would interleave the set/restore of the
     // session-wide shuffle-partition conf and leak the override
     confLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
+      // per-run conf overrides, all restored in the finally:
+      // - shuffle partitions (state-store count, see scaladoc above)
+      // - minBatchesToRetain: the default keeps 100 checkpoint versions
+      //   per store; a finite AvailableNow run needs only the last
+      //   couple, and every retained version is snapshot/cleanup I/O on
+      //   the commit path
+      val overrides: Seq[(String, String)] =
+        shufflePartitions.map(n => "spark.sql.shuffle.partitions" -> n.toString).toSeq ++
+          Seq("spark.sql.streaming.minBatchesToRetain" -> "2")
+      val prevs = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         val q = agg.writeStream
           .format("memory").queryName(name)
@@ -136,7 +144,10 @@ object Streaming {
           .start()
         q.awaitTermination()
       } finally {
-        spark.conf.set(key, prev)
+        prevs.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
         // the run is complete: unload every loaded state-store provider
         // and stop the 60 s maintenance pool. Left alive, each completed
         // query's providers keep running periodic maintenance (against

@@ -155,10 +155,14 @@ class PlanAuditSpec extends SparkSpec {
     // window over 10 deciles, the Zipf rank over the vocabulary — each
     // reduced by an aggregation before the window
     "q221_gains_table", "q222_zipf_fit",
-    // q220/q341/q406: survival estimators now ride cumulativeByValue
-    // (two-level prefix sum, no duration-domain window); what remains
-    // single-partition is the 1-row cutoff/grand-total frames and
-    // q406's 1-row chi2 readout — q145's exact shape
+    // q220/q341/q406: survival estimators ride the ADAPTIVE prefix sum
+    // (cumulativeByValueAuto): the dispatch count() proves the duration
+    // domain <= 10k rows before choosing the windowed plan, so the
+    // SinglePartition exchange here is bounded BY CONSTRUCTION (the
+    // machine-check below re-verifies from runtime metrics); past the
+    // bound the plan falls back to the two-level prefix sum and this
+    // pattern disappears. Plus the usual 1-row cutoff/grand-total
+    // frames and q406's 1-row chi2 readout — q145's exact shape
     "q220_kaplan_meier", "q341_nelson_aalen", "q406_logrank",
     // q408: the train/test cutoff is a 1-row max-date frame
     // crossJoin-broadcast into both splits, and the per-type quantile
