@@ -166,6 +166,27 @@ object StatsQueries {
       (pmod(hash60(concat_ws(":", lit("glon"), col("c_custkey"))), lit(1000000L))
         .cast("double") / lit(1000000.0) * lit(5.0)).as("lon"))
 
+  /** Memoized Borůvka MSF over the radius-blocked customer point graph —
+    * q457 returns it and q458 cuts it (MST-dendrogram equivalence), so
+    * a same-JVM run (Verify runs every query in one session; the bench
+    * deliberately isolates heavies in separate child JVMs, where each
+    * pays its own honest cost) computes the ~10s forest once. Keyed by
+    * (session, sfDir); the value is persisted. Correct under the
+    * bench's deepClean: unpersisting only drops the cache, the lineage
+    * recomputes. */
+  private val mstMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def boruvkaMstFor(s: SparkSession, d: String): DataFrame =
+    mstMemo.computeIfAbsent((s, d), _ => {
+      val pts = customerPoints(s, d).where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("pid"), col("lat"), col("lon"))
+      val pairs = Clustering.radiusPairs(pts, col("pid"), col("lat"),
+        col("lon"), radius = 0.7)
+      Graph.boruvkaMst(pairs, col("u"), col("v"),
+          round(col("d2") * 1e12).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private val queries1: Map[String, Q] = Map(
     // per-series OLS trend of daily spend against epoch day
     "q196_trend_ols" -> ((s, d) => {
@@ -1191,14 +1212,7 @@ object StatsQueries {
     // fold (union-find as a list-state relabel) reproduces the exact
     // forest; the cross-check that the parallel algorithm equals the
     // textbook one edge-for-edge
-    "q457_boruvka_mst" -> ((s, d) => {
-      val pts = customerPoints(s, d).where(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey").as("pid"), col("lat"), col("lon"))
-      val pairs = Clustering.radiusPairs(pts, col("pid"), col("lat"),
-        col("lon"), radius = 0.7)
-      Graph.boruvkaMst(pairs, col("u"), col("v"),
-        round(col("d2") * 1e12).cast("long"))
-    }),
+    "q457_boruvka_mst" -> ((s, d) => boruvkaMstFor(s, d)),
 
     // single-linkage clustering = q457's MSF with the 2 heaviest edges
     // cut (k += 2 clusters): the classic MST-dendrogram equivalence,
@@ -1208,11 +1222,7 @@ object StatsQueries {
     "q458_single_linkage" -> ((s, d) => {
       val pts = customerPoints(s, d).where(col("c_custkey") % 7 === 0)
         .select(col("c_custkey").as("pid"), col("lat"), col("lon"))
-      val pairs = Clustering.radiusPairs(pts, col("pid"), col("lat"),
-        col("lon"), radius = 0.7)
-      val mst = Graph.boruvkaMst(pairs, col("u"), col("v"),
-        round(col("d2") * 1e12).cast("long"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mst = boruvkaMstFor(s, d)
       val cut = mst.orderBy(col("wq").desc, col("u"), col("v")).limit(2)
       val kept = mst.join(cut, Seq("u", "v"), "left_anti")
       // the kept MSF is a high-diameter tree: plain label propagation
