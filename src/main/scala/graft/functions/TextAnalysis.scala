@@ -225,6 +225,30 @@ object TextAnalysis {
         .as("confidence")))
   }
 
+  /** Confusable → ASCII mapping for homoglyph skeletons (the
+    * high-frequency rows of Unicode TR39's confusables table: Cyrillic
+    * and Greek lookalikes plus fullwidth Latin). Per-codepoint, so it
+    * compiles to one `translate` — identical semantics in Spark and
+    * DuckDB. */
+  val confusableFrom: String =
+    "аеорсхуіѕјЬА" + "οαεινρυκ" + ('ａ' to 'ｚ').mkString + ('０' to '９').mkString
+  val confusableTo: String =
+    "aeopcxyisjbA" + "oaeivpuk" + ('a' to 'z').mkString + ('0' to '9').mkString
+
+  /** Zero-width / invisible codepoints dedup evaders inject (ZWSP,
+    * ZWNJ, ZWJ, BOM, soft hyphen) — literal chars inside a char class,
+    * so the same pattern string runs under Java regex and RE2. */
+  val invisibleClass: String = "[\u200B\u200C\u200D\uFEFF\u00AD]"
+
+  /** Homoglyph skeleton: strip invisible codepoints, then fold
+    * confusable lookalikes to their ASCII targets. Two row-local
+    * passes; hashing the skeleton gives the dedup key that catches
+    * Cyrillic-о / zero-width-space evasion of exact dedup (q22's
+    * content hash sees different bytes; this sees the same text). */
+  def confusableSkeleton(text: Column): Column =
+    translate(regexp_replace(text, invisibleClass, ""),
+      confusableFrom, confusableTo)
+
   /** Default stop-word list: spark.ml StopWordsRemover's English list —
     * the same default the reference wraps (OpStopWordsRemover.scala:48,
     * `StopWordsRemover.loadDefaultStopWords()`). */

@@ -55,19 +55,41 @@ object Similarity {
     * `corpus` (both: id + array<float> embedding). Queries are expected
     * to be a small set — Spark broadcasts them; the corpus is scanned
     * once. Rank ties broken by neighbor id. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** All (query, candidate) cosines with the query side broadcast —
+    * the shared probe stage under [[bruteForceTopK]] and
+    * [[hardNegativesTopK]]. */
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("c_emb"))
       .withColumn("c_nrm", norm(col("c_emb")))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val q = queries.select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("q_emb"))
       .withColumn("q_nrm", norm(col("q_emb")))
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePreNormed(dotFast(col("q_emb"), col("c_emb")),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    rankCosTopK(scored, k)
   }
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankCosTopK(scoredPairs(corpus, queries), k)
+
+  /** Hard-negative mining for contrastive / embedding training: per
+    * anchor, the top-k most-similar candidates INSIDE the band
+    * [lo, hi) — similar enough to be informative negatives, below the
+    * near-dup ceiling where a "negative" is really a positive (the
+    * sampling step of DPR/SimCSE-style pipelines; random negatives are
+    * q164's job). The gate path scores brute-force (the q26 oracle
+    * shape, broadcast probe set only — never all-pairs); at corpus
+    * scale feed the same band filter from the IVF/SRP candidate
+    * streams ([[ivfTopK]]/[[srpTopK]]) instead. The band compares RAW
+    * cosines: both engines compute them from identical operands, so
+    * the cut is deterministic cross-engine (q511's exact-double
+    * contract). */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        lo: Double, hi: Double): DataFrame =
+    rankCosTopK(scoredPairs(corpus, queries)
+      .where(col("cos") >= lo && col("cos") < hi), k)
 
   /** Per-query top-k by (cos desc, id asc) through the bounded
     * [[graft.aggregators.TopK]] aggregator: map-side partials forward at

@@ -188,6 +188,30 @@ object DedupQueries {
       Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
     }),
 
+    // homoglyph-evasion detection: exact dedup (q22) keys on raw bytes,
+    // so a Cyrillic-о or zero-width-space swap defeats it; hashing the
+    // confusable SKELETON catches exactly those. The adversarial twins
+    // are generated in-query (every 37th doc gets a latin->cyrillic
+    // substituted copy with a ZWSP appended, replayed verbatim by the
+    // oracle); the detector is the groupBy — row-local skeleton, one
+    // shuffle on the skeleton hash, scales like exact dedup
+    "q526_homoglyph_evasion" -> ((s, d) => {
+      import graft.functions.TextAnalysis
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val evaded = docs.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(translate(col("text"), "aeopcxy", "аеорсху"),
+            lit("\u200B")).as("text"))
+      docs.unionByName(evaded)
+        .select(col("doc_id"), md5(col("text")).as("raw_md5"),
+          md5(TextAnalysis.confusableSkeleton(col("text"))).as("skeleton_md5"))
+        .groupBy(col("skeleton_md5"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_md5")).as("n_raw_variants"),
+          min(col("doc_id")).as("keeper_id"))
+        .where(col("n_raw_variants") > 1)
+    }),
+
     "q23_dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 0.4,
           maxShingleDocFreq = 1000)
@@ -854,6 +878,29 @@ object DedupQueries {
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
          FROM documents GROUP BY 1""",
+
+    // skeleton fold generated from the SAME confusable table the Spark
+    // side translates with; DuckDB regexp_replace needs the explicit
+    // 'g' flag (Spark's is global by default)
+    "q526_homoglyph_evasion" -> {
+      import graft.functions.TextAnalysis
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         ev AS (SELECT doc_id + 1000000 AS doc_id,
+                  translate(text, 'aeopcxy', 'аеорсху') || '​' AS text
+                FROM docs WHERE doc_id % 37 = 0),
+         a AS (SELECT * FROM docs UNION ALL SELECT * FROM ev),
+         h AS (SELECT doc_id, md5(text) AS raw_md5,
+                 md5(translate(
+                   regexp_replace(text, '${TextAnalysis.invisibleClass}', '', 'g'),
+                   '${TextAnalysis.confusableFrom}',
+                   '${TextAnalysis.confusableTo}')) AS skeleton_md5
+               FROM a)
+         SELECT skeleton_md5, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_md5) AS BIGINT) AS n_raw_variants,
+           min(doc_id) AS keeper_id
+         FROM h GROUP BY 1
+         HAVING count(DISTINCT raw_md5) > 1"""
+    },
 
     "q23_dedup_ngram_jaccard" ->
       s"""WITH sh AS ($SHINGLES),

@@ -93,6 +93,17 @@ object SimilarityQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)
     }),
 
+    // hard-negative mining (contrastive-training sampling step): per
+    // anchor, top-10 candidates inside the cosine band [0.15, 0.35) —
+    // informative negatives above the noise floor, below this corpus's
+    // near-dup zone (q27 cuts at 0.45). Brute-force gate path; the
+    // banded filter drops onto the IVF/SRP candidate streams at scale
+    "q527_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegativesTopK(e, e.where(expr(QUERY_PRED)), K,
+        lo = 0.15, hi = 0.35)
+    }),
+
     // embedding-space isotropy probe: mean (and mean absolute) cosine
     // over a deterministic md5 sample of vector pairs — anisotropic
     // (cone-shaped) embedding spaces show mean cosine >> 0, which
@@ -392,6 +403,27 @@ object SimilarityQueries {
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
+          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= $K""",
+
+    // banded variant of q26: raw-cosine band cut is deterministic
+    // cross-engine because both sides compute cos from identical
+    // operands (exact-double contract)
+    "q527_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          q AS (SELECT * FROM e WHERE $QUERY_PRED),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosSql("q.emb", "c.emb")} AS cos
+            FROM e c CROSS JOIN q
+            WHERE q.vec_id <> c.vec_id),
+          banded AS (SELECT * FROM scored WHERE cos >= 0.15 AND cos < 0.35),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM banded)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K""",
 

@@ -170,22 +170,35 @@ object StatsQueries {
     * q457 returns it and q458 cuts it (MST-dendrogram equivalence), so
     * a same-JVM run (Verify runs every query in one session; the bench
     * deliberately isolates heavies in separate child JVMs, where each
-    * pays its own honest cost) computes the ~10s forest once. Keyed by
-    * (session, sfDir); the value is persisted. Correct under the
-    * bench's deepClean: unpersisting only drops the cache, the lineage
-    * recomputes. */
+    * pays its own honest cost) computes the ~10s forest once.
+    *
+    * VALIDITY PROBE, not computeIfAbsent: boruvkaMst localCheckpoints
+    * each round, and a localCheckpointed frame CANNOT be recomputed
+    * once its blocks are unpersisted (the bench's between-query
+    * deepClean does exactly that — the r8 first run failed both
+    * queries this way). take(1) on the memo is one cheap cached read
+    * when alive and a fast failure when the blocks are gone, in which
+    * case the forest is rebuilt fresh. */
   private val mstMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def boruvkaMstFor(s: SparkSession, d: String): DataFrame =
-    mstMemo.computeIfAbsent((s, d), _ => {
+  private def boruvkaMstFor(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    val cached = mstMemo.get(key)
+    val alive = cached != null &&
+      (try { cached.take(1); true } catch { case _: Throwable => false })
+    if (alive) cached
+    else {
       val pts = customerPoints(s, d).where(col("c_custkey") % 7 === 0)
         .select(col("c_custkey").as("pid"), col("lat"), col("lon"))
       val pairs = Clustering.radiusPairs(pts, col("pid"), col("lat"),
         col("lon"), radius = 0.7)
-      Graph.boruvkaMst(pairs, col("u"), col("v"),
+      val mst = Graph.boruvkaMst(pairs, col("u"), col("v"),
           round(col("d2") * 1e12).cast("long"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      mstMemo.put(key, mst)
+      mst
+    }
+  }
 
   private val queries1: Map[String, Q] = Map(
     // per-series OLS trend of daily spend against epoch day

@@ -263,6 +263,42 @@ object TextQueries {
           col("r.confidence").as("confidence"))
     }),
 
+    // temperature-scaled multilingual sampling mix (the mT5/UNIMAX
+    // recipe): per detected language l with share p_l, sample with
+    // probability proportional to p_l^alpha (alpha=0.3) — flattens the
+    // head so low-resource languages are not drowned. The per-lang pow
+    // outputs are rounded then folded as exact decimals (order-free);
+    // the two readout divisions run once in double space. boost =
+    // p_temp / p_raw is the per-doc duplication factor a sampler like
+    // q106's resampleByWeight consumes.
+    "q525_lang_temperature_mix" -> ((s, d) => {
+      import s.implicits._
+      val alpha = 0.3
+      val fix = langIdCorpus.toDF("sid", "lang_expected", "text").select(col("text"))
+      val src = fix.unionByName(Tables.documents(s, d).select(col("text")))
+      // <= #languages rows, referenced by three consumers (tot, scored,
+      // the readout) — checkpoint so the detector pipeline scans the
+      // corpus ONCE (house lineage-cut pattern)
+      val counts = src
+        .select(languageIdScored(col("text")).getField("lang").as("lang"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(false)
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val scored = counts.crossJoin(broadcast(tot))
+        .withColumn("p_raw",
+          col("n_docs").cast("double") / col("n_total").cast("double"))
+        .withColumn("w",
+          round(pow(col("p_raw"), lit(alpha)), 6).cast("decimal(18,6)"))
+      val wTot = scored.agg(sum(col("w")).as("w_total"))
+      scored.crossJoin(broadcast(wTot))
+        .select(col("lang"), col("n_docs"),
+          round(col("p_raw"), 6).as("p_raw"),
+          round(col("w").cast("double") / col("w_total").cast("double"), 6)
+            .as("p_temp"),
+          round((col("w").cast("double") / col("w_total").cast("double")) /
+            col("p_raw"), 6).as("boost"))
+    }),
+
     "q20_text_langid" -> ((s, d) => {
       val langs = stopwordProfiles.map(_._1)
       val scored = Tables.documents(s, d).select(
@@ -457,6 +493,36 @@ object TextQueries {
   private def scoreSql(lang: String): String = {
     val words = stopwordProfiles.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN ($words)))"
+  }
+
+  /** Shared generated-SQL fragments of the 22-language scored detector
+    * — one source of truth for the q524 and q525 oracles, all derived
+    * from the SAME Scala structures the Spark side evaluates. */
+  private object langOracle {
+    private val langs = stopwordProfiles.map(_._1)
+    private val thr = graft.functions.TextAnalysis.scriptThreshold
+    // Java \p{IsX} -> RE2 \p{X}
+    private val scripts = graft.functions.TextAnalysis.scriptClasses.map {
+      case (n, re) => n -> re.replace("{Is", "{")
+    }
+    val greatest: String = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val totalHits: String = langs.map(l => s"s_$l").mkString(" + ")
+    val wordChain: String =
+      langs.map(l => s"WHEN s_$l = $greatest THEN '$l'").mkString("\n                  ")
+    val scoreDefs: String =
+      langs.map(l => s"${scoreSql(l)} AS s_$l").mkString(",\n             ")
+    val scriptDefs: String = scripts.map { case (n, re) =>
+      s"len(regexp_split_to_array(text, '$re')) - 1 AS $n"
+    }.mkString(",\n             ")
+    val scriptChain: String = scripts.map { case (n, _) =>
+      s"WHEN $n >= $thr THEN '${graft.functions.TextAnalysis.scriptLangs(n)}'"
+    }.mkString("\n                  ")
+    val scriptConfChain: String = scripts.map { case (n, _) =>
+      s"WHEN $n >= $thr THEN ROUND(CAST($n AS DOUBLE) / n_chars, 6)"
+    }.mkString("\n                  ")
+    val corpusValues: String = langIdCorpus
+      .map { case (sid, l, txt) => s"($sid, '$l', '$txt')" }
+      .mkString(",\n             ")
   }
 
   /** DuckDB replay of the 12-merge BPE fit + greedy tokenize. Each fit
@@ -695,30 +761,15 @@ object TextQueries {
     // langIdCorpus the Spark side reads — no drift possible. Script
     // classes map Java names to RE2 names (q487 pattern).
     "q524_langid_scored" -> {
-      val langs = graft.functions.TextAnalysis.stopwordProfiles.map(_._1)
-      val scoreDefs = langs.map(l => s"${scoreSql(l)} AS s_$l").mkString(",\n             ")
-      val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      val tot = langs.map(l => s"s_$l").mkString(" + ")
-      val chain = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n                  ")
-      val values = graft.queries.TextQueries.langIdCorpus
-        .map { case (sid, l, txt) => s"($sid, '$l', '$txt')" }
-        .mkString(",\n             ")
-      val thr = graft.functions.TextAnalysis.scriptThreshold
-      // Java \p{IsX} -> RE2 \p{X}
-      val scripts = graft.functions.TextAnalysis.scriptClasses.map {
-        case (n, re) => n -> re.replace("{Is", "{")
-      }
-      val scriptDefs = scripts.map { case (n, re) =>
-        s"len(regexp_split_to_array(text, '$re')) - 1 AS $n"
-      }.mkString(",\n             ")
-      val predChain = scripts.map { case (n, _) =>
-        s"WHEN $n >= $thr THEN '${graft.functions.TextAnalysis.scriptLangs(n)}'"
-      }.mkString("\n                  ")
-      val confChain = scripts.map { case (n, _) =>
-        s"WHEN $n >= $thr THEN ROUND(CAST($n AS DOUBLE) / n_chars, 6)"
-      }.mkString("\n                  ")
+      val g = langOracle.greatest
+      val tot = langOracle.totalHits
+      val chain = langOracle.wordChain
+      val scoreDefs = langOracle.scoreDefs
+      val scriptDefs = langOracle.scriptDefs
+      val predChain = langOracle.scriptChain
+      val confChain = langOracle.scriptConfChain
       s"""WITH corpus(sid, lang_expected, text) AS (VALUES
-             $values),
+             ${langOracle.corpusValues}),
          src AS (
            SELECT 'fix:' || CAST(sid AS VARCHAR) AS rid, lang_expected, text
            FROM corpus
@@ -741,6 +792,41 @@ object TextQueries {
            END AS confidence
          FROM t"""
     },
+
+    // same generated detector; per-lang pow rounded then folded as
+    // exact decimal, the readout divisions in double (libm-fold rule)
+    "q525_lang_temperature_mix" ->
+      s"""WITH corpus(sid, lang_expected, text) AS (VALUES
+             ${langOracle.corpusValues}),
+         src AS (
+           SELECT text FROM corpus
+           UNION ALL
+           SELECT text FROM documents),
+         t AS (
+           SELECT text,
+             ${langOracle.scriptDefs},
+             ${langOracle.scoreDefs}
+           FROM src),
+         l AS (
+           SELECT CASE ${langOracle.scriptChain}
+                  WHEN ${langOracle.greatest} = 0 THEN 'und'
+                  ${langOracle.wordChain}
+                  END AS lang
+           FROM t),
+         c AS (SELECT lang, count(*) AS n_docs FROM l GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+         s AS (SELECT lang, n_docs,
+                 CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_raw,
+                 CAST(ROUND(pow(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE),
+                   0.3), 6) AS DECIMAL(18,6)) AS w
+               FROM c, tot),
+         wt AS (SELECT sum(w) AS w_total FROM s)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(p_raw, 6) AS p_raw,
+           ROUND(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS p_temp,
+           ROUND((CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) / p_raw, 6)
+             AS boost
+         FROM s, wt""",
 
     "q20_text_langid" -> {
       val langs = graft.functions.TextAnalysis.stopwordProfiles.map(_._1)

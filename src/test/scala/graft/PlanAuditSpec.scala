@@ -118,6 +118,10 @@ class PlanAuditSpec extends SparkSpec {
     // q164: the corpus-size scalar (draw modulus) is a 1-row frame
     // crossJoin-broadcast over the anchors
     "q164_negative_sample",
+    // q525: the lang-count total and the temperature-weight total are
+    // 1-row frames crossJoin-broadcast over the <= #languages rows —
+    // q198's scalar shape twice
+    "q525_lang_temperature_mix",
     // q166/q168: percent-rank / skew-report totals are 1-row frames
     // crossJoin-broadcast; both ride cumulativeByValue like q145
     "q166_quantile_rank", "q168_skew_report",
@@ -348,6 +352,8 @@ class PlanAuditSpec extends SparkSpec {
   // threshold; never a shuffle of the big side.
   private val bnljOk = singlePartitionOk ++ Set(
     "q26_sim_bruteforce_topk", "q84_sim_pq_topk",
+    // q527 is q26's banded variant — same broadcast-query-set scan
+    "q527_hard_negatives",
     // q149/q155 evaluate the SRP list against the brute-force truth, so
     // they inherit q26's broadcast-query-set scan
     // q268 inherits the same broadcast-query-set scan as q149/q155

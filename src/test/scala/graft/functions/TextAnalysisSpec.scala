@@ -68,6 +68,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(u.getString(0) == "und" && u.getDouble(1) == 0.0)
   }
 
+  test("confusable skeleton folds homoglyphs and strips invisibles") {
+    // Cyrillic а/е/о/р/с + ZWSP-injected variant both skeleton to the
+    // plain ASCII form — the evasion q526 detects
+    val evaded = "hеllo wоrld" // cyrillic е, о
+    assert(one[String](confusableSkeleton(lit(evaded))) == "hello world")
+    assert(one[String](confusableSkeleton(lit("hel​lo"))) == "hello")
+    // idempotent on plain ASCII
+    assert(one[String](confusableSkeleton(lit("plain text 42"))) == "plain text 42")
+    // fullwidth forms fold too
+    assert(one[String](confusableSkeleton(lit("ａｂｃ"))) == "abc")
+  }
+
   test("quality score bounded and monotone in stopword presence") {
     val good = one[Double](qualityScore(lit("the cat and the dog of it is in a house " * 10)))
     val bad = one[Double](qualityScore(lit("!!! ??? *** ### $$$")))

@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._3 > 0.99)
   }
 
+  test("hardNegativesTopK returns only candidates inside the band, " +
+    "ranked like bruteForceTopK") {
+    val s = spark; import s.implicits._
+    val q = vecs.where(col("vec_id") === 0)
+    val all = Similarity.bruteForceTopK(vecs, q, k = 100)
+      .as[(Long, Long, Double, Int)].collect()
+    val banded = all.filter(r => r._3 >= -0.5 && r._3 < 0.99)
+    val hard = Similarity.hardNegativesTopK(vecs, q, k = 100, lo = -0.5, hi = 0.99)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    // same set as post-filtering the full ranking, re-ranked densely
+    assert(hard.map(_._2).toSeq == banded.sortBy(r => (-r._3, r._2)).map(_._2).toSeq)
+    assert(hard.forall(r => r._3 >= -0.5 && r._3 < 0.99))
+    assert(hard.map(_._4).toSeq == (1 to hard.length))
+  }
+
   test("cosineNearDupPairs (blocked exact) equals naive all-pairs") {
     val s = spark; import s.implicits._
     // 40 deterministic pseudo-random vectors in 8 dims
