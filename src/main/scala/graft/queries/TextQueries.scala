@@ -276,11 +276,20 @@ object TextQueries {
       val alpha = 0.3
       val fix = langIdCorpus.toDF("sid", "lang_expected", "text").select(col("text"))
       val src = fix.unionByName(Tables.documents(s, d).select(col("text")))
-      // <= #languages rows, referenced by three consumers (tot, scored,
-      // the readout) — checkpoint so the detector pipeline scans the
-      // corpus ONCE (house lineage-cut pattern)
-      val counts = src
-        .select(languageIdScored(col("text")).getField("lang").as("lang"))
+      // PERSIST BARRIER between the detector projection and the
+      // groupBy: CollapseProject folds any projection chain into the
+      // Aggregate's grouping key, where the detector's case-when tree
+      // gets no codegen subexpression reuse — measured 0.4s as a pure
+      // projection vs 15.8s inlined as the key. The cache boundary
+      // keeps the detector in its own WholeStageCodegen projection
+      // (evaluated once per row) and the aggregate keys on a plain
+      // column. The <= #languages count frame is then checkpointed for
+      // its three consumers (tot, scored, the readout).
+      val perRow = src
+        .select(languageIdScored(col("text")).as("r"))
+        .select(col("r.lang").as("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = perRow
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
         .localCheckpoint(false)
       val tot = counts.agg(sum(col("n_docs")).as("n_total"))
@@ -318,7 +327,11 @@ object TextQueries {
         col("doc_id") +: col("lang").as("lang_label") +:
         languageScores(col("text")).map { case (l, c) => c.as(s"s_$l") }: _*)
       val pred = languageIdFrom(langs.map(l => l -> col(s"s_$l")))
+      // persist barrier (q525's lesson): without it CollapseProject
+      // inlines the argmax chain — and through it ALL 19 score
+      // expressions, quadratically — into the groupBy key
       scored.select(col("lang_label"), pred.as("lang_pred"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .groupBy(col("lang_label"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -336,9 +349,13 @@ object TextQueries {
         col("source") +: col("lang").as("lang_label") +:
         languageScores(col("text")).map { case (l, c) => c.as(s"s_$l") }: _*)
       val pred = languageIdFrom(langs.map(l => l -> col(s"s_$l")))
+      // persist barrier (q525's lesson): keep the 19-profile argmax out
+      // of the groupBy key, where it inlines quadratically
       val cm = scored.select(col("source"), col("lang_label"), pred.as("lang_pred"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .groupBy(col("source"), col("lang_label"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
       val rows = cm.groupBy(col("source").as("rs"), col("lang_label").as("rl"))
         .agg(sum(col("n")).as("rn"))
       val cols = cm.groupBy(col("source").as("cs"), col("lang_pred").as("cl"))
