@@ -233,6 +233,28 @@ object Curation {
     df.join(losers, id === col("__loser"), "left_anti")
   }
 
+  /** Quality-aware near-dup canonicalization: within each near-dup
+    * cluster keep the HIGHEST-quality member (ties → smallest id)
+    * rather than [[dropNearDups]]'s smallest-id convention —
+    * production pipelines keep the longest/cleanest duplicate, not an
+    * arbitrary one. Emits one row per CLUSTERED doc:
+    * (doc_id, cluster, keeper_id, kept); singletons are unaffected by
+    * dedup and not emitted. Same scale shape as dropNearDups: the
+    * O(log n) component rounds dominate; the keeper argmax is one
+    * max_by over each bounded cluster. */
+  def keepBestPerCluster(df: DataFrame, id: Column, quality: Column,
+                         pairs: DataFrame): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+    val q = df.select(id.as("doc_id"), quality.as("__q"))
+    val labeled = comp.join(q, Seq("doc_id"))
+    val keepers = labeled.groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+        struct(col("__q"), (-col("doc_id")).as("negid"))).as("keeper_id"))
+    labeled.join(keepers, Seq("component"))
+      .select(col("doc_id"), col("component").as("cluster"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("kept"))
+  }
+
   // ---- PII scrubbing --------------------------------------------------
 
   /** RE2-safe patterns (no lookaround), so the same strings run under

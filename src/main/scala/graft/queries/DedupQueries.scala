@@ -587,6 +587,18 @@ object DedupQueries {
         k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
       graft.operators.Curation.dropNearDups(docs, col("doc_id"), pairs)
         .select(col("doc_id"), col("source"))
+    }),
+
+    // quality-aware canonical selection over the SAME near-dup graph as
+    // q99: keep the LONGEST member of each cluster (ties -> smallest
+    // id) instead of the smallest-id convention — what production
+    // pipelines actually do with duplicates
+    "q528_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
+      graft.operators.Curation.keepBestPerCluster(
+        docs, col("doc_id"), col("n_chars"), pairs)
     })
   )
 
@@ -1298,6 +1310,28 @@ object DedupQueries {
             SELECT n AS doc_id FROM reach GROUP BY n HAVING n <> MIN(m))
           SELECT d.doc_id, d.source FROM documents d
           WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""",
+
+    // same transitive closure as q99; keeper = longest member, ties to
+    // the smallest id (the Spark side's max_by(doc_id, (q, -id)))
+    "q528_dedup_keep_best" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+          pairs AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+          comp AS (SELECT n AS doc_id, MIN(m) AS cluster
+                   FROM reach GROUP BY n),
+          k AS (SELECT cluster, doc_id AS keeper_id,
+                  ROW_NUMBER() OVER (PARTITION BY cluster
+                    ORDER BY d.n_chars DESC, doc_id) AS rn
+                FROM comp JOIN documents d USING (doc_id))
+          SELECT c.doc_id, c.cluster, k.keeper_id,
+            c.doc_id = k.keeper_id AS kept
+          FROM comp c JOIN k ON c.cluster = k.cluster AND k.rn = 1""",
 
     "q25_dedup_simhash" ->
       s"""WITH th AS (

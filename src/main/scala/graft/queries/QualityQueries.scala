@@ -581,6 +581,19 @@ object QualityQueries {
         shufflePartitions = Some(2))
     }),
 
+    // LEFT OUTER stream-stream interval join: matches emit like q85;
+    // an unmatched view emits null-padded only once the FINAL watermark
+    // (max ts - lateness, advanced by AvailableNow's closing batch)
+    // passes the end of its join window — later views stay in state
+    // when the finite run terminates and are absent from the output.
+    // The oracle replays both rules analytically.
+    "q529_stream_interval_left_join" -> ((s, d) => {
+      val j = Streaming.viewPurchaseLeftJoin(s, d,
+        window = "1 DAY", lateness = "1 DAY")
+      Streaming.runToCompletion(s, j, "q529_stream", outputMode = "append",
+        shufflePartitions = Some(2))
+    }),
+
     // rolling MODE over the last 5 events per user (most-frequent
     // event type, ties alphabetical): per-row 5-element window list +
     // a row-local argmin over (−count, type) structs — the categorical
@@ -1465,6 +1478,36 @@ object QualityQueries {
            ON v.event_type = 'view' AND p.event_type = 'purchase'
           AND v.user_id = p.user_id
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY""",
+
+    // analytic replay of outer-join watermark semantics: the matched
+    // half is q85's batch join; the null-padded half keeps only views
+    // whose join-window end precedes the FINAL GLOBAL watermark —
+    // which is the MIN across the two streams' watermarks (Spark's
+    // default multipleWatermarkPolicy=min; probed empirically: the
+    // purchase stream's max ts is the binding one on this fixture) —
+    // views later than that are still in state when AvailableNow
+    // terminates and never emit
+    "q529_stream_interval_left_join" ->
+      """WITH fw AS (SELECT least(
+             max(CASE WHEN event_type = 'view' THEN ts END),
+             max(CASE WHEN event_type = 'purchase' THEN ts END))
+           - INTERVAL 1 DAY AS w FROM events),
+         m AS (SELECT v.user_id, v.event_id AS view_id, p.event_id AS p_id
+               FROM events v JOIN events p
+                 ON v.event_type = 'view' AND p.event_type = 'purchase'
+                AND v.user_id = p.user_id
+                AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY),
+         um AS (SELECT v.user_id, v.event_id AS view_id,
+                  CAST(NULL AS BIGINT) AS p_id
+                FROM events v CROSS JOIN fw
+                WHERE v.event_type = 'view'
+                  AND v.ts + INTERVAL 1 DAY < fw.w
+                  AND NOT EXISTS (
+                    SELECT 1 FROM events p
+                    WHERE p.event_type = 'purchase'
+                      AND p.user_id = v.user_id
+                      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY))
+         SELECT * FROM m UNION ALL SELECT * FROM um""",
 
     "q77_multimodal_frames" ->
       """WITH u AS (

@@ -349,6 +349,32 @@ object Streaming {
       .select(col("user_id"), col("view_id"), col("p_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every view, with its
+    * in-window purchase when one exists and NULL when the watermark
+    * has proven none can arrive. Outer stream-stream joins are the
+    * watermark machinery's hardest contract: the null-padded row for
+    * an unmatched left row is emitted only once the watermark passes
+    * the end of that row's join window (otherwise a late match could
+    * still arrive), and rows whose window the final watermark never
+    * passes are HELD in state when a finite run terminates — the
+    * oracle replays exactly that semantics analytically (q521's probed
+    * pattern). */
+  def viewPurchaseLeftJoin(spark: SparkSession, dir: String,
+                           window: String, lateness: String): DataFrame = {
+    val views = eventStream(spark, dir).where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", lateness)
+    val purchases = eventStream(spark, dir).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", lateness)
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr(s"INTERVAL $window"),
+        "leftOuter")
+      .select(col("user_id"), col("view_id"), col("p_id"))
+  }
+
   /** Micro-batch model scoring (reference streamingScore,
     * OpWorkflowRunner.scala:232-263): score each micro-batch with a
     * fitted workflow model and hand it to a sink callback (parquet
