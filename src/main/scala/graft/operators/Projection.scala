@@ -70,14 +70,20 @@ object Projection {
     * dims a perfect square to keep it exactly representable).
     *
     * Scale: the covariance pass is one shuffle of (dim, dim) cells —
-    * d² bounded, never row-scaled — and each round is a join + agg on
-    * a d-row vector frame; corpus size only affects the first pass.
+    * d² bounded, never row-scaled — so corpus size only affects that
+    * first pass. The d² cov cells are then COLLECTED (require'd ≤64
+    * dims → ≤4096 rows, a fit scalar like the IVF centroid tables) and
+    * the `iters` matvec+normalize rounds run on the driver with the
+    * same quantized arithmetic the oracle unrolls: each round is O(d²)
+    * driver flops, vs the previous join-per-round plan that paid ~5
+    * Spark jobs of fixed overhead per round for 16-row frames
+    * (measured 14.2 s → the cov pass alone at sf0.1).
     * Emits (d, v, eigval, n): the unit eigenvector coordinate per dim,
     * the ‖Cv‖ eigenvalue estimate from the final round, and the row
     * count. */
   def powerIteration(df: DataFrame, id: Column, vec: Column,
                      dims: Int, iters: Int = 5): DataFrame = {
-    require(dims >= 2 && iters >= 1 && iters <= 8,
+    require(dims >= 2 && dims <= 64 && iters >= 1 && iters <= 8,
       s"bad power-iteration params: dims=$dims iters=$iters")
     val spark = df.sparkSession
     val ex = df.select(id.as("vid"),
@@ -93,7 +99,7 @@ object Projection {
       .select(col("vid"), col("d"), col("n"),
         (col("xq").cast("double") / 1e9 - col("m")).as("cx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cov = cx.select(col("vid"), col("d").as("i"), col("cx").as("cxi"),
+    val covRows = cx.select(col("vid"), col("d").as("i"), col("cx").as("cxi"),
         col("n"))
       .join(cx.select(col("vid"), col("d").as("j"), col("cx").as("cxj")),
         Seq("vid"))
@@ -103,28 +109,46 @@ object Projection {
       .select(col("i"), col("j"), col("n"),
         (col("pq").cast("double") / col("n").cast("double") / 1e12)
           .as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var v = spark.range(1, dims + 1)
-      .select(col("id").as("j"), lit(1.0 / math.sqrt(dims.toDouble)).as("v"))
-    var lastNorm: DataFrame = null
-    for (_ <- 1 to iters) {
-      val w = cov.join(broadcast(v), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(round(col("c") * col("v") * 1e12).cast("long")).as("sw"))
-        .select(col("i"), (col("sw").cast("double") / 1e12).as("w"))
-      val nrm = w.agg(sqrt(
-        sum(round(col("w") * col("w") * 1e12).cast("long")).cast("double")
-          / 1e12).as("nrm"))
-      lastNorm = nrm
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("i").as("j"),
-          (col("w") / col("nrm")).cast("decimal(18,12)").cast("double")
-            .as("v"))
+      .collect() // ≤ dims² ≤ 4096 rows — a fit scalar, require'd above
+    cx.unpersist(blocking = false)
+    // Driver-side rounds with the exact arithmetic the SQL oracle
+    // unrolls: Spark's round(double) is BigDecimal HALF_UP; long sums
+    // are order-free; w/nrm is one IEEE division; the decimal(18,12)
+    // re-quantization is a 12-dp HALF_UP.
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val cMat = Array.ofDim[Double](dims + 1, dims + 1)
+    var nRows = 0L
+    covRows.foreach { r =>
+      cMat(r.getAs[Number](0).intValue)(r.getAs[Number](1).intValue) =
+        r.getDouble(3)
+      nRows = math.max(nRows, r.getLong(2))
     }
-    val nRow = mu.agg(max(col("n")).as("n"))
-    v.crossJoin(broadcast(lastNorm)).crossJoin(broadcast(nRow))
-      .select(col("j").as("d"), round(col("v"), 6).as("v"),
-        round(col("nrm"), 6).as("eigval"), col("n"))
+    var vv = Array.fill(dims + 1)(1.0 / math.sqrt(dims.toDouble))
+    var nrm = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims + 1) { i =>
+        if (i == 0) 0.0
+        else {
+          var sw = 0L
+          var j = 1
+          while (j <= dims) { sw += halfUp(cMat(i)(j) * vv(j) * 1e12); j += 1 }
+          sw.toDouble / 1e12
+        }
+      }
+      nrm = math.sqrt(
+        (1 to dims).map(i => halfUp(w(i) * w(i) * 1e12)).sum.toDouble / 1e12)
+      vv = Array.tabulate(dims + 1) { i =>
+        if (i == 0) 0.0
+        else BigDecimal(w(i) / nrm)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    import spark.implicits._
+    (1 to dims).map(i => (i.toLong, vv(i), nrm, nRows))
+      .toDF("d", "v_raw", "nrm_raw", "n")
+      .select(col("d"), round(col("v_raw"), 6).as("v"),
+        round(col("nrm_raw"), 6).as("eigval"), col("n"))
   }
 
   def pca(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {

@@ -115,36 +115,68 @@ object Similarity {
     * with BOTH orientations present. Emits (query_id, pos, cand_id,
     * rel_q6, mmr_q6) with mmr_q6 = lamNum·rel − (lamDen−lamNum)·maxSim
     * (position 1 has no diversity term). */
+  /** Greedy maximal-marginal-relevance selection, computed ROW-LOCALLY
+    * per query: the per-query state is k-bounded by construction (≤k
+    * candidates, ≤k² candidate-pair sims), so instead of k rounds of
+    * join + window jobs (the previous plan: ~3 jobs × k rounds of
+    * fixed overhead for frames that never exceed queries×k rows) the
+    * candidates and sims are grouped into per-query arrays — ONE
+    * shuffle each — and the greedy argmax loop runs inside a scalar
+    * UDF over those bounded arrays. Same integer arithmetic the SQL
+    * oracle unrolls: mmr = lamNum·rel − (lamDen−lamNum)·maxSim, ties
+    * to the smaller cand_id; a candidate with no sim to any chosen row
+    * is skipped that round (mirrors the previous plan's inner join). */
   def mmrRerank(cands: DataFrame, sims: DataFrame, k: Int,
                 lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
     require(k >= 1 && lamNum >= 0 && lamNum <= lamDen,
       s"bad MMR params: k=$k lambda=$lamNum/$lamDen")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("mmr_q6").desc, col("cand_id"))
-    def pick(scored: DataFrame, pos: Int): DataFrame =
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("query_id"), lit(pos).as("pos"), col("cand_id"),
-          col("rel_q6"), col("mmr_q6"))
-    var sel = pick(cands.select(col("query_id"), col("cand_id"),
-      col("relq").as("rel_q6"), (lit(lamNum) * col("relq")).as("mmr_q6")), 1)
-    for (pos <- 2 to k) {
-      val chosen = sel.select(col("query_id").as("qs"),
-        col("cand_id").as("cs"))
-      val maxSim = sims.join(chosen,
-          sims("query_id") === col("qs") && sims("cb") === col("cs"))
-        .groupBy(sims("query_id").as("query_id"), col("ca").as("cand_id"))
-        .agg(max(col("simq")).as("msim"))
-      val scored = cands
-        .join(sel.select(col("query_id"), col("cand_id")),
-          Seq("query_id", "cand_id"), "left_anti")
-        .join(maxSim, Seq("query_id", "cand_id"))
-        .select(col("query_id"), col("cand_id"), col("relq").as("rel_q6"),
-          (lit(lamNum) * col("relq") - lit(lamDen - lamNum) * col("msim"))
-            .as("mmr_q6"))
-      sel = sel.unionByName(pick(scored, pos))
-    }
-    sel
+    val muNum = lamDen - lamNum
+    val greedy = udf((cs: Seq[Seq[Long]], ss: Seq[Seq[Long]]) => {
+      val cand = cs.map(a => (a(0), a(1))).sortBy(_._1)
+      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      if (ss != null) ss.foreach { a =>
+        val key = (a(0), a(1))
+        if (a(2) > sim.getOrElse(key, Long.MinValue)) sim(key) = a(2)
+      }
+      val chosen = scala.collection.mutable.Buffer.empty[Long]
+      val out = scala.collection.mutable.Buffer.empty[(Int, Long, Long, Long)]
+      var pos = 1
+      var exhausted = false
+      while (pos <= k && chosen.size < cand.size && !exhausted) {
+        var bestId = -1L; var bestRel = 0L; var bestMmr = Long.MinValue
+        var found = false
+        cand.foreach { case (id, rel) =>
+          if (!chosen.contains(id)) {
+            var msim = Long.MinValue
+            chosen.foreach { c =>
+              val s = sim.getOrElse((id, c), Long.MinValue)
+              if (s > msim) msim = s
+            }
+            if (pos == 1 || msim != Long.MinValue) {
+              val mmr = if (pos == 1) lamNum * rel
+                        else lamNum * rel - muNum * msim
+              // ascending-id iteration + strict '>' = ties to smaller id
+              if (!found || mmr > bestMmr) {
+                bestId = id; bestRel = rel; bestMmr = mmr; found = true
+              }
+            }
+          }
+        }
+        if (!found) exhausted = true
+        else { out += ((pos, bestId, bestRel, bestMmr)); chosen += bestId }
+        pos += 1
+      }
+      out.toSeq
+    })
+    val ca = cands.groupBy(col("query_id")).agg(collect_list(
+      array(col("cand_id").cast("long"), col("relq").cast("long"))).as("cs"))
+    val sa = sims.groupBy(col("query_id")).agg(collect_list(
+      array(col("ca").cast("long"), col("cb").cast("long"),
+        col("simq").cast("long"))).as("ss"))
+    ca.join(sa, Seq("query_id"), "left")
+      .select(col("query_id"), explode(greedy(col("cs"), col("ss"))).as("g"))
+      .select(col("query_id"), col("g._1").as("pos"), col("g._2").as("cand_id"),
+        col("g._3").as("rel_q6"), col("g._4").as("mmr_q6"))
   }
 
   /** Per-query top-k by ascending ADC distance, same aggregator. */

@@ -702,62 +702,90 @@ object PipelineQueries {
     // fixed power-iteration rounds of weighted PageRank (damping 0.85,
     // per-round integer re-quantization — q142/q326's determinism
     // pattern) score each chunk; the top-2 per document are the
-    // summary. Every join is co-keyed on doc_id, pair work is bounded
-    // per document, and the oracle replays all five rounds op-for-op
-    // in unrolled CTEs.
+    // summary. The Jaccard pair graph AND the five PageRank rounds run
+    // ROW-LOCALLY per document over the grouped chunk list: per-doc
+    // state is O(sum_w f_w²) pair counts — exactly the row count the
+    // previous (doc,w)-keyed self-join shuffled into a single doc's
+    // hash-agg task anyway (one-task hotspot either way; measured
+    // 8.9 s of which 8+ s was the pair-join shuffle), so the fold
+    // trades five shuffles + four joins for ONE groupBy(doc).
+    // Arithmetic is bit-identical to the unrolled oracle CTEs:
+    // HALF_UP rounds (Spark round semantics), long sums (order-free),
+    // IEEE double divisions, left-to-right as written.
     "q396_textrank_summary" -> ((s, d) => {
       val chunks = graft.operators.Curation.chunkByTokens(
           Tables.documents(s, d), col("doc_id"), col("text"), 12, 0)
         .select(col("doc"), col("chunk_idx").as("i"), col("chunk_text"))
-      val tok = chunks.select(col("doc"), col("i"),
-          explode(array_distinct(split(col("chunk_text"), " "))).as("w"))
-        .where(length(col("w")) > 0)
-      val sizes = tok.groupBy(col("doc"), col("i")).agg(count(lit(1)).as("sz"))
-      val inter = tok.as("a").join(tok.as("b"),
-          col("a.doc") === col("b.doc") && col("a.w") === col("b.w") &&
-          col("a.i") < col("b.i"))
-        .groupBy(col("a.doc").as("doc"), col("a.i").as("i"),
-          col("b.i").as("j"))
-        .agg(count(lit(1)).as("nint"))
-      val edges0 = inter
-        .join(sizes.select(col("doc"), col("i"), col("sz").as("szi")),
-          Seq("doc", "i"))
-        .join(sizes.select(col("doc"), col("i").as("j"), col("sz").as("szj")),
-          Seq("doc", "j"))
-        .select(col("doc"), col("i"), col("j"),
-          round(col("nint").cast("double") /
-            (col("szi") + col("szj") - col("nint")).cast("double") * lit(1e9))
-            .cast("long").as("wq"))
-        .where(col("wq") > 0)
-      val edges = edges0
-        .select(col("doc"), col("i").as("src"), col("j").as("dst"), col("wq"))
-        .unionByName(edges0.select(col("doc"), col("j").as("src"),
-          col("i").as("dst"), col("wq")))
-      val ew = edges.join(
-        edges.groupBy(col("doc"), col("src")).agg(sum(col("wq")).as("wsum")),
-        Seq("doc", "src")).persist()
-      val nd = chunks.groupBy(col("doc")).agg(count(lit(1)).as("nd"))
-      var r = chunks.select(col("doc"), col("i")).join(nd, Seq("doc"))
-        .select(col("doc"), col("i"), col("nd"),
-          round(lit(1e9) / col("nd").cast("double")).cast("long").as("rq"))
-      for (_ <- 1 to 5) {
-        val contrib = ew
-          .join(r.select(col("doc"), col("i").as("src"), col("rq")),
-            Seq("doc", "src"))
-          .select(col("doc"), col("dst").as("i"),
-            round(col("wq").cast("double") / col("wsum").cast("double") *
-              col("rq").cast("double")).cast("long").as("c"))
-          .groupBy(col("doc"), col("i")).agg(sum(col("c")).as("sc"))
-        r = r.select(col("doc"), col("i"), col("nd"))
-          .join(contrib, Seq("doc", "i"), "left")
-          .select(col("doc"), col("i"), col("nd"),
-            round(lit(1.5e8) / col("nd").cast("double") +
-              lit(0.85) * coalesce(col("sc"), lit(0L)).cast("double"))
-              .cast("long").as("rq"))
-      }
-      val ranked = r.withColumn("rank", row_number().over(
-          Window.partitionBy(col("doc")).orderBy(col("rq").desc, col("i"))))
-        .where(col("rank") <= 2)
+      val textRank = udf((idx: Seq[Int], texts: Seq[String]) => {
+        def halfUp(x: Double): Long =
+          BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        // distinct non-empty space-split tokens == the previous plan's
+        // explode(array_distinct(split(text,' '))) + length>0 filter
+        val toks: Map[Int, Set[String]] = idx.zip(texts).map { case (i, t) =>
+          i -> t.split(" ", -1).filter(_.nonEmpty).toSet
+        }.toMap
+        // intersection counts via an inverted token -> chunk-ids index
+        // (same f_w² pair work as the old self-join, zero shuffle)
+        val byTok = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        idx.sorted.foreach { i =>
+          toks(i).foreach(w =>
+            byTok.getOrElseUpdate(w, scala.collection.mutable.ArrayBuffer
+              .empty[Int]) += i)
+        }
+        val nint = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+          .withDefaultValue(0L)
+        byTok.valuesIterator.foreach { is =>
+          var a = 0
+          while (a < is.length - 1) {
+            var b = a + 1
+            while (b < is.length) { nint((is(a), is(b))) += 1L; b += 1 }
+            a += 1
+          }
+        }
+        // undirected Jaccard weight -> two directed edges + out-sums
+        val out = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Long)]]
+        val wsum = scala.collection.mutable.HashMap.empty[Int, Long]
+          .withDefaultValue(0L)
+        nint.foreach { case ((i, j), n) =>
+          val wq = halfUp(
+            n.toDouble / (toks(i).size + toks(j).size - n).toDouble * 1e9)
+          if (wq > 0) {
+            out.getOrElseUpdate(i, scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Long)]) += ((j, wq))
+            out.getOrElseUpdate(j, scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Long)]) += ((i, wq))
+            wsum(i) += wq; wsum(j) += wq
+          }
+        }
+        val nd = idx.size
+        var rq: Map[Int, Long] = idx.map(i => i -> halfUp(1e9 / nd.toDouble)).toMap
+        for (_ <- 1 to 5) {
+          val sc = scala.collection.mutable.HashMap.empty[Int, Long]
+            .withDefaultValue(0L)
+          out.foreach { case (src, dsts) =>
+            val ws = wsum(src)
+            dsts.foreach { case (dst, wq) =>
+              sc(dst) += halfUp(wq.toDouble / ws.toDouble * rq(src).toDouble)
+            }
+          }
+          rq = idx.map(i =>
+            i -> halfUp(1.5e8 / nd.toDouble + 0.85 * sc(i).toDouble)).toMap
+        }
+        idx.map(i => (i, rq(i))).sortBy { case (i, r) => (-r, i) }
+          .take(2).zipWithIndex
+          .map { case ((i, r), z) => (i, z + 1, r) }
+      })
+      // both arrays are projections of the SAME sorted struct array, so
+      // indices and texts stay aligned through the aggregation
+      val ranked = chunks.groupBy(col("doc"))
+        .agg(sort_array(collect_list(struct(col("i"), col("chunk_text"))))
+          .as("cs"))
+        .select(col("doc"),
+          explode(textRank(col("cs.i"), col("cs.chunk_text"))).as("g"))
+        .select(col("doc"), col("g._1").as("i"),
+          col("g._2").as("rank"), col("g._3").as("rq"))
       ranked.join(chunks, Seq("doc", "i"))
         .select(col("doc").as("doc_id"), col("i").as("chunk_idx"),
           col("rank"), round(col("rq").cast("double") / lit(1e9), 6)

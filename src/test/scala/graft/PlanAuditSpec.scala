@@ -216,11 +216,6 @@ class PlanAuditSpec extends SparkSpec {
     // q449: q447's scoring shape with a SECOND 1-row coefficient frame
     // (the per-arm OLS pivot) crossed in alongside the propensity fit
     "q449_aipw_ate",
-    // q455: each power-iteration round ends in a 1-row L2-norm frame
-    // crossJoin-broadcast back over the 16-row vector frame — q306's
-    // EM param shape, five rounds deep; the only row-scaled pass is
-    // the d²-bounded covariance aggregation
-    "q455_power_iteration",
     // q436: the transition-total scalar is a 1-row frame
     // crossJoin-broadcast into the state-domain (5-row) readout
     "q436_markov_entropy",
