@@ -140,4 +140,68 @@ object Clustering {
     assigned.join(broadcast(relabel), "__cluster")
       .select(col("id"), col("cluster"), col("dist"))
   }
+
+  /** ONE exact Lloyd round — the hash-gated companion to
+    * [[kmeansAssign]], whose spark.ml fit carries float-sum order
+    * jitter and is rows-only by necessity. Seeds are the embeddings of
+    * the k smallest ids (oracle-replayable); assignment is the argmin
+    * of INTEGER squared Euclidean distance over 1e6-quantized
+    * coordinates (ties to the smaller cell id); the refined centroid
+    * coordinate is the exact per-(cell,dim) mean re-quantized with one
+    * HALF_UP round; the re-assignment repeats the same integer argmin
+    * against the refined centroids. Every step replays bit-identically
+    * in SQL.
+    *
+    * Scale: centroids ride as collected k×d fit scalars (the IVF
+    * pattern — k, d require-bounded), each assignment is one narrow
+    * codegen map (k·d integer ops per row, no shuffle), and the
+    * centroid update is one (cell,dim)-keyed partial+final agg — never
+    * a per-cell vector list in one buffer. Emits
+    * (id, cell0, cell1, dist1_q): seed-round cell, refined cell, and
+    * the integer squared distance to the refined centroid. */
+  def kmeansLloydExact(df: DataFrame, id: Column, vec: Column,
+                       k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2,64]: $k")
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val e = df.select(id.as("id"),
+      transform(vec.cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("xq"))
+    val seeds: Array[Array[Long]] = e.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val dims = seeds.head.length
+    require(dims <= 256, s"dims must be <= 256: $dims")
+    def sqDist(cents: Array[Array[Long]]): Array[Column] =
+      cents.map { c =>
+        val cl = array(c.map(lit): _*)
+        aggregate(zip_with(col("xq"), cl, (x, s) => (x - s) * (x - s)),
+          lit(0L), (acc, v) => acc + v)
+      }
+    // argmin with ties to the smaller cell: ordered when-chain on the
+    // least() of the k distance columns
+    def argmin(ds: Array[Column]): (Column, Column) = {
+      val m = least(ds: _*)
+      val cell = ds.zipWithIndex.tail.foldLeft(when(ds(0) === m, 0)) {
+        case (acc, (dc, i)) => acc.when(dc === m, i)
+      }
+      (cell, m)
+    }
+    val (cell0, _) = argmin(sqDist(seeds))
+    val a0 = e.select(col("id"), col("xq"), cell0.as("cell0"))
+    // exact per-(cell,dim) mean, re-quantized HALF_UP — k×d fit scalar
+    val meanRows = a0
+      .select(col("cell0"), posexplode(col("xq")).as(Seq("dim", "x")))
+      .groupBy(col("cell0"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val refined: Array[Array[Long]] = seeds.map(_.clone())
+    meanRows.foreach { r =>
+      refined(r.getAs[Number](0).intValue)(r.getAs[Number](1).intValue) =
+        halfUp(r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+    val d1 = sqDist(refined)
+    val (cell1, m1) = argmin(d1)
+    a0.select(col("id"), col("cell0"), cell1.as("cell1"),
+      m1.as("dist1_q"))
+  }
 }

@@ -462,6 +462,53 @@ object Curation {
       .select(col("doc_id"), coalesce(col("surprisal2"), lit(0.0)).as("surprisal2"))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal (absolute discount
+    * D = 0.75), self-fitted on the corpus: per-doc mean of
+    * −ln P_KN(w2|w1) with
+    *   P_KN = max(c(w1,w2)−D, 0)/c(w1·)
+    *        + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/|bigram types|
+    * — the real LM smoothing (discount mass reallocated to continuation
+    * probability) that [[bigramSurprisal]]'s raw MLE lacks; the
+    * perplexity-quality filter a curation pipeline actually runs. Same
+    * distributed shape as the MLE fit: vocabulary-keyed count
+    * aggregates (bigram, context, two continuation-type counts — each a
+    * partial+final hash agg) joined back to the bigram stream, plus one
+    * 1-row bigram-type-count broadcast. Docs with fewer than two tokens
+    * score 0. */
+  def kneserNeySurprisal(df: DataFrame, id: Column, text: Column,
+                         discount: Double = 0.75): DataFrame = {
+    import graft.functions.TextAnalysis.tokens
+    require(discount > 0 && discount < 1, s"bad discount: $discount")
+    val t = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+    val bi = t.select(col("doc_id"),
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => struct(element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cab = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val ca = bi.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
+    val n1f = cab.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+    val n1b = cab.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val nbig = cab.agg(count(lit(1)).as("nbig"))
+    // op order mirrored verbatim in the oracle so IEEE results match:
+    // max(cab-D,0)/ca + D*n1f/ca*(n1b/nbig)
+    val p =
+      greatest(col("cab").cast("double") - lit(discount), lit(0.0)) /
+        col("ca").cast("double") +
+      lit(discount) * col("n1f").cast("double") / col("ca").cast("double") *
+        (col("n1b").cast("double") / col("nbig").cast("double"))
+    val scored = bi.join(cab, Seq("w1", "w2")).join(ca, Seq("w1"))
+      .join(n1f, Seq("w1")).join(n1b, Seq("w2"))
+      .crossJoin(broadcast(nbig))
+      .groupBy(col("doc_id"))
+      .agg(avg(-log(p)).as("surprisal_kn"))
+    t.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("surprisal_kn"), lit(0.0)).as("surprisal_kn"))
+  }
+
   // ---- Source-mix resampling -----------------------------------------
 
   /** Deterministic source-mix resampling: replicate each document

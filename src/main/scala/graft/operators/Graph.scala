@@ -197,6 +197,77 @@ object Graph {
     triangles
   }
 
+  /** Per-edge triangle support over a normalized (a&lt;b) undirected
+    * edge set, via the same degree-ordered orientation as
+    * [[triangleCount]] (hub-safe: out-degree bounded O(√m)); each
+    * enumerated triangle credits its three unordered edges. Edges in
+    * no triangle get support 0. */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+      .select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            struct(col("degb").as("d"), col("b").as("n")).as("rkv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            struct(col("dega").as("d"), col("a").as("n")).as("rkv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rkv").as("rkv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.rkv") < col("e2.rkv"))
+      .select(col("e1.u").as("w0"), col("e1.v").as("w1"),
+        col("e2.v").as("w2"))
+    // closure edge is oriented (w1 -> w2): within the wedge rkv(w1) <
+    // rkv(w2), and orientation always points up the (deg, id) rank
+    val tri = wedges.join(
+      oriented.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
+    val cnt = tri.select(explode(array(
+        struct(least(col("w0"), col("w1")).as("a"),
+          greatest(col("w0"), col("w1")).as("b")),
+        struct(least(col("w0"), col("w2")).as("a"),
+          greatest(col("w0"), col("w2")).as("b")),
+        struct(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+    val out = und.join(cnt, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("supp"), lit(0L)).as("supp"))
+      .localCheckpoint(true) // materialize before dropping the cache
+    oriented.unpersist(blocking = false)
+    out
+  }
+
+  /** k-truss peeling for a FIXED number of rounds: each round drops
+    * every edge with triangle support &lt; k−2, then support is
+    * recomputed on the survivors. Fixed rounds keep the computation
+    * oracle-replayable (each round is one triangle enumeration +
+    * count, unrolled in SQL) and bound the job count; real graphs
+    * converge in a few peels because support only decreases. Emits the
+    * surviving (a, b, supp) edges with the last round's support.
+    *
+    * Scale: each round is the [[triangleCount]] machinery (orientation
+    * joins + wedge closure, all hash equi-joins, O(√m)-bounded
+    * out-degree) plus one edge-keyed count; rounds are lineage-cut via
+    * localCheckpoint so depth stays constant. */
+  def trussPeel(edges: DataFrame, src: Column, dst: Column,
+                k: Int, rounds: Int = 2): DataFrame = {
+    require(k >= 3 && rounds >= 1 && rounds <= 4,
+      s"bad truss params: k=$k rounds=$rounds")
+    var e = edges.select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var support: DataFrame = null
+    for (_ <- 1 to rounds) {
+      support = edgeSupport(e) // localCheckpointed: constant lineage depth
+      e = support.where(col("supp") >= k - 2).select(col("a"), col("b"))
+    }
+    support.where(col("supp") >= k - 2)
+  }
+
   /** Personalized PageRank: identical recurrence to [[pageRank]] but
     * the teleport mass returns to a SEED distribution instead of the
     * uniform vector — pr'(v) = (1-d)*s(v) + d * sum pr(u)/outdeg(u),

@@ -202,6 +202,16 @@ object CurationQueries {
         .select(col("doc_id"), round(col("surprisal2"), 6).as("surprisal2"))
     }),
 
+    // interpolated Kneser-Ney bigram surprisal (D = 0.75): the smoothed
+    // LM perplexity filter — discount mass reallocated to continuation
+    // probability — that q112's raw MLE only approximates
+    "q531_kn_bigram_surprisal" -> ((s, d) => {
+      Curation.kneserNeySurprisal(Tables.documents(s, d), col("doc_id"),
+          col("text"))
+        .select(col("doc_id"),
+          round(col("surprisal_kn"), 6).as("surprisal_kn"))
+    }),
+
     // pretraining source-mix resampling: src0 upsampled 2.5x, src1
     // downsampled to 0.25x, everything else kept at 1x — fractional
     // parts round deterministically per doc, copies are enumerated
@@ -1609,6 +1619,31 @@ object CurationQueries {
            FROM bi JOIN cab USING (w1, w2) JOIN ca USING (w1)
            GROUP BY doc_id)
          SELECT t.doc_id, ROUND(coalesce(s.sp, 0.0), 6) + 0 AS surprisal2
+         FROM t LEFT JOIN s USING (doc_id)""",
+
+    "q531_kn_bigram_surprisal" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         bi AS (
+           SELECT doc_id,
+             unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+             unnest([toks[i + 1] for i in range(1, len(toks))]) AS w2
+           FROM t),
+         cab AS (SELECT w1, w2, count(*) AS cab FROM bi GROUP BY 1, 2),
+         ca AS (SELECT w1, count(*) AS ca FROM bi GROUP BY 1),
+         n1f AS (SELECT w1, count(*) AS n1f FROM cab GROUP BY 1),
+         n1b AS (SELECT w2, count(*) AS n1b FROM cab GROUP BY 1),
+         nbig AS (SELECT count(*) AS nbig FROM cab),
+         s AS (
+           SELECT doc_id, avg(-ln(
+             greatest(CAST(cab AS DOUBLE) - 0.75, 0.0) / CAST(ca AS DOUBLE) +
+             0.75 * CAST(n1f AS DOUBLE) / CAST(ca AS DOUBLE) *
+               (CAST(n1b AS DOUBLE) / CAST(nbig AS DOUBLE)))) AS sp
+           FROM bi JOIN cab USING (w1, w2) JOIN ca USING (w1)
+             JOIN n1f USING (w1) JOIN n1b USING (w2) CROSS JOIN nbig
+           GROUP BY doc_id)
+         SELECT t.doc_id, ROUND(coalesce(s.sp, 0.0), 6) + 0 AS surprisal_kn
          FROM t LEFT JOIN s USING (doc_id)""",
 
     "q106_curation_source_mix" ->

@@ -188,6 +188,22 @@ object DedupQueries {
       Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
     }),
 
+    // 4-truss of the part-affinity graph (q190's edges): two fixed
+    // peel rounds drop every edge in fewer than 2 triangles, support
+    // recomputed on survivors — the cohesion filter that separates
+    // genuinely clustered co-purchases from incidental pairs (denser
+    // than k-core: edges, not nodes, must be triangle-supported)
+    "q532_ktruss" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      graft.operators.Graph.trussPeel(e, col("pa"), col("pb"),
+        k = 4, rounds = 2)
+    }),
+
     // homoglyph-evasion detection: exact dedup (q22) keys on raw bytes,
     // so a Cyrillic-о or zero-width-space swap defeats it; hashing the
     // confusable SKELETON catches exactly those. The adversarial twins
@@ -832,6 +848,32 @@ object DedupQueries {
                  (SELECT count(*) FROM e0 x
                     JOIN e0 y ON y.a = x.a AND y.b > x.b
                     JOIN e0 z ON z.a = x.b AND z.b = y.b) AS n_triangles""",
+
+    "q532_ktruss" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_quantity > 40),
+          e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                 FROM li a JOIN li b
+                   ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey),
+          t0 AS (SELECT x.a AS u, x.b AS v, y.b AS w
+                 FROM e0 x JOIN e0 y ON y.a = x.a AND y.b > x.b
+                   JOIN e0 z ON z.a = x.b AND z.b = y.b),
+          s0 AS (SELECT a, b, count(*) AS supp FROM (
+                   SELECT u AS a, v AS b FROM t0
+                   UNION ALL SELECT u, w FROM t0
+                   UNION ALL SELECT v, w FROM t0)
+                 GROUP BY 1, 2),
+          e1 AS (SELECT a, b FROM s0 WHERE supp >= 2),
+          t1 AS (SELECT x.a AS u, x.b AS v, y.b AS w
+                 FROM e1 x JOIN e1 y ON y.a = x.a AND y.b > x.b
+                   JOIN e1 z ON z.a = x.b AND z.b = y.b),
+          s1 AS (SELECT a, b, count(*) AS supp FROM (
+                   SELECT u AS a, v AS b FROM t1
+                   UNION ALL SELECT u, w FROM t1
+                   UNION ALL SELECT v, w FROM t1)
+                 GROUP BY 1, 2)
+         SELECT a, b, supp FROM s1 WHERE supp >= 2""",
 
     "q142_pagerank" ->
       """WITH t AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p

@@ -84,6 +84,28 @@ object InferenceQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // pass@k (k=5) unbiased estimator per problem — the eval-harness
+    // aggregation for n-sample generation benchmarks (Chen et al. 2021,
+    // arXiv:2107.03374 §2.1): problems = parts, samples = that part's
+    // lineitems, "correct" = returnflag R. pass@5 =
+    // 1 − C(n−c,5)/C(n,5), computed as the left-to-right product of
+    // five exact-integer ratios (n−c−i)/(n−i) — overflow-free at ANY n
+    // (no factorials), hits an exact 0 factor whenever n−c < 5, and
+    // replays as the identical IEEE product in the oracle. One hash
+    // agg over lineitem, row-local arithmetic after — scales.
+    "q534_pass_at_k" -> ((s, d) => {
+      val st = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c"))
+        .where(col("n") >= 5)
+      val factor = (i: Int) =>
+        (col("n") - col("c") - lit(i)).cast("double") /
+          (col("n") - lit(i)).cast("double")
+      val prod = (1 to 4).map(factor).foldLeft(factor(0))(_ * _)
+      st.select(col("l_partkey").as("problem"), col("n"), col("c"),
+        round(lit(1.0) - prod, 6).as("pass_at_5"))
+    }),
+
     // Durbin-Watson serial-correlation statistic of the per-series OLS
     // residuals: DW = sum (e_t - e_{t-1})^2 / sum e_t^2. Residuals come
     // off the ROUNDED (a,b) fit so both engines square identical
@@ -1825,6 +1847,21 @@ object InferenceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q534_pass_at_k" ->
+      """WITH st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                                     ELSE 0 END) AS BIGINT) AS c
+                     FROM lineitem GROUP BY 1 HAVING count(*) >= 5)
+         SELECT l_partkey AS problem, n, c,
+           ROUND(1.0 -
+             CAST(n - c - 0 AS DOUBLE) / CAST(n - 0 AS DOUBLE) *
+             (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) *
+             (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)) *
+             (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE)) *
+             (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE)), 6)
+             AS pass_at_5
+         FROM st""",
 
     "q522_page_hinkley" ->
       s"""WITH d AS ($dailySql),

@@ -366,10 +366,72 @@ object MiningQueries {
 
     // k-means cluster assignments over the embedding corpus
     // (rows-only: cluster geometry is an iterative fit; canonicalized
-    // labels + blob-recovery spec make the shape deterministic)
+    // labels + blob-recovery spec make the shape deterministic —
+    // q530 is the exact hash-gated Lloyd companion)
     "q195_kmeans_assign" -> ((s, d) => {
       graft.operators.Clustering.kmeansAssign(Tables.embeddings(s, d),
         col("vec_id"), col("embedding"), k = 8)
+    }),
+
+    // ONE exact Lloyd round, bit-replayable (q195's hash-gated
+    // companion): deterministic smallest-id seeds, integer argmin
+    // assignment over 1e6-quantized coordinates, exact per-(cell,dim)
+    // mean refit with a single HALF_UP re-quantization, re-assignment
+    "q530_kmeans_lloyd_exact" -> ((s, d) => {
+      graft.operators.Clustering.kmeansLloydExact(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), k = 8)
+    }),
+
+    // Bradley-Terry preference strengths from pairwise outcomes — the
+    // aggregation an LLM-eval pipeline runs over judge votes. Games:
+    // same-order lineitem pairs of different brands, higher quantity
+    // wins, ties dropped. Two Hunter-MM rounds from uniform strengths:
+    // p_i' = W_i / Σ_j n_ij/(p_i+p_j), every per-opponent term
+    // 1e9-quantized to a long before the (order-free) sum, strengths
+    // re-quantized each round, so the oracle unrolls both rounds
+    // bit-for-bit. The only row-scaled pass is the order-keyed pair
+    // count; the MM fold runs on the collected brand-domain²-bounded
+    // wins matrix (≤ 625 rows — a fit scalar, the q455 pattern).
+    "q533_bradley_terry" -> ((s, d) => {
+      def halfUp(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val pl = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"),
+          col("l_quantity").cast("decimal(12,2)").as("q"))
+      val dwRows = pl.as("a").join(pl.as("b"),
+          col("a.ok") === col("b.ok") && col("a.b") =!= col("b.b") &&
+            col("a.q") > col("b.q"))
+        .groupBy(col("a.b").as("wi"), col("b.b").as("lo"))
+        .agg(count(lit(1)).as("w"))
+        .collect()
+      require(dwRows.length <= 10000,
+        s"bradley-terry item domain too large: ${dwRows.length} win pairs")
+      val dw = dwRows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val n = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      dw.foreach { case ((i, j), w) => n((i, j)) += w; n((j, i)) += w }
+      val items = n.keysIterator.map(_._1).toSeq.distinct.sorted
+      val wins = items.map(i =>
+        i -> dw.collect { case ((a, _), w) if a == i => w }.sum).toMap
+      val games = items.map(i =>
+        i -> n.collect { case ((a, _), g) if a == i => g }.sum).toMap
+      var pq: Map[String, Long] = items.map(_ -> 1000000000L).toMap
+      for (_ <- 1 to 2) {
+        pq = items.map { i =>
+          val pi = pq(i).toDouble / 1e9
+          var s = 0L
+          items.foreach { j =>
+            val nij = n((i, j))
+            if (j != i && nij > 0)
+              s += halfUp(nij.toDouble / (pi + pq(j).toDouble / 1e9) * 1e9)
+          }
+          i -> halfUp(wins(i).toDouble / (s.toDouble / 1e9) * 1e9)
+        }.toMap
+      }
+      import s.implicits._
+      items.map(i => (i, wins(i), games(i), pq(i)))
+        .toDF("brand", "wins", "games", "p2_q9")
     }),
 
     // ALS top-3 brand recommendations per customer from purchase
@@ -413,6 +475,90 @@ object MiningQueries {
                ON t.event_type = se.event_type AND t.phase = se.phase)"""
 
   val oracles: Map[String, String] = Map(
+    "q530_kmeans_lloyd_exact" ->
+      """WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x ->
+                        CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+                    FROM embeddings),
+          seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                           xq AS cq
+                    FROM q ORDER BY vec_id LIMIT 8),
+          d0 AS (SELECT q.vec_id, s.cell,
+                   list_sum(list_transform(range(1, len(q.xq) + 1), i ->
+                     (q.xq[CAST(i AS INT)] - s.cq[CAST(i AS INT)]) *
+                     (q.xq[CAST(i AS INT)] - s.cq[CAST(i AS INT)]))) AS dd
+                 FROM q CROSS JOIN seeds s),
+          a0 AS (SELECT vec_id, cell AS cell0
+                 FROM (SELECT vec_id, cell, ROW_NUMBER() OVER (
+                         PARTITION BY vec_id ORDER BY dd, cell) AS rn
+                       FROM d0) WHERE rn = 1),
+          ex AS (SELECT a.cell0 AS cell, u.i AS dim, u.x AS xq
+                 FROM a0 a JOIN q USING (vec_id),
+                   LATERAL (SELECT unnest(list_transform(q.xq,
+                     (x, i) -> {'i': i, 'x': x})) AS u)),
+          mn AS (SELECT cell, dim,
+                   CAST(round(CAST(sum(xq) AS DOUBLE) /
+                     CAST(count(*) AS DOUBLE)) AS BIGINT) AS cq
+                 FROM ex GROUP BY 1, 2),
+          -- empty cells keep their seed coordinate
+          cent1 AS (SELECT s.cell,
+                      list(coalesce(m.cq, s.cq[CAST(g.dim AS INT)])
+                           ORDER BY g.dim) AS cq
+                    FROM seeds s
+                    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) g
+                    LEFT JOIN mn m ON m.cell = s.cell AND m.dim = g.dim
+                    GROUP BY s.cell),
+          d1 AS (SELECT q.vec_id, c.cell,
+                   list_sum(list_transform(range(1, len(q.xq) + 1), i ->
+                     (q.xq[CAST(i AS INT)] - c.cq[CAST(i AS INT)]) *
+                     (q.xq[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS dd
+                 FROM q CROSS JOIN cent1 c),
+          a1 AS (SELECT vec_id, cell AS cell1,
+                        CAST(dd AS BIGINT) AS dist1_q
+                 FROM (SELECT vec_id, cell, dd, ROW_NUMBER() OVER (
+                         PARTITION BY vec_id ORDER BY dd, cell) AS rn
+                       FROM d1) WHERE rn = 1)
+         SELECT a0.vec_id AS id, CAST(a0.cell0 AS INT) AS cell0,
+                CAST(a1.cell1 AS INT) AS cell1, a1.dist1_q
+         FROM a0 JOIN a1 USING (vec_id)""",
+
+    "q533_bradley_terry" ->
+      """WITH pl AS (SELECT l_orderkey AS ok, p_brand AS b,
+                       CAST(l_quantity AS DECIMAL(12,2)) AS q
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+          mt AS (SELECT a.b AS wi, b.b AS lo FROM pl a JOIN pl b
+                 ON a.ok = b.ok AND a.b <> b.b AND a.q > b.q),
+          dw AS (SELECT wi, lo, count(*) AS w FROM mt GROUP BY 1, 2),
+          un AS (SELECT i, j, CAST(sum(w) AS BIGINT) AS n FROM (
+                   SELECT wi AS i, lo AS j, w FROM dw
+                   UNION ALL SELECT lo, wi, w FROM dw) GROUP BY 1, 2),
+          wt AS (SELECT wi AS i, CAST(sum(w) AS BIGINT) AS wins
+                 FROM dw GROUP BY 1),
+          it AS (SELECT i, CAST(sum(n) AS BIGINT) AS games
+                 FROM un GROUP BY 1),
+          s1 AS (SELECT i, CAST(sum(CAST(round(
+                   CAST(n AS DOUBLE) / (1.0 + 1.0) * 1e9) AS BIGINT))
+                   AS BIGINT) AS s
+                 FROM un GROUP BY 1),
+          p1 AS (SELECT s1.i, CAST(round(
+                   CAST(coalesce(wins, 0) AS DOUBLE) /
+                   (CAST(s AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS pq
+                 FROM s1 LEFT JOIN wt ON wt.i = s1.i),
+          s2 AS (SELECT un.i, CAST(sum(CAST(round(CAST(n AS DOUBLE) /
+                   (CAST(pa.pq AS DOUBLE) / 1e9 +
+                    CAST(pb.pq AS DOUBLE) / 1e9) * 1e9) AS BIGINT))
+                   AS BIGINT) AS s
+                 FROM un JOIN p1 pa ON pa.i = un.i
+                   JOIN p1 pb ON pb.i = un.j
+                 GROUP BY 1),
+          p2 AS (SELECT s2.i, CAST(round(
+                   CAST(coalesce(wins, 0) AS DOUBLE) /
+                   (CAST(s AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS pq
+                 FROM s2 LEFT JOIN wt ON wt.i = s2.i)
+         SELECT p2.i AS brand, coalesce(wt.wins, 0) AS wins,
+                it.games, p2.pq AS p2_q9
+         FROM p2 JOIN it ON it.i = p2.i LEFT JOIN wt ON wt.i = p2.i""",
+
     "q423_kleinberg_bursts" ->
       """WITH ev AS (SELECT user_id AS k,
                             CAST(floor(epoch(ts)) AS BIGINT) AS t
