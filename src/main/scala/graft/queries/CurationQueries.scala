@@ -111,6 +111,170 @@ object CurationQueries {
           round(col("containment"), 6).as("containment"))
     }),
 
+    // decontamination DEPTH: q100's containment says how much of a
+    // probe leaks; this says how LONG the longest verbatim leak is —
+    // per corpus doc, the maximal run of consecutive token positions
+    // whose 5-gram occurs in the (broadcast, distinct) probe shingle
+    // set, i.e. the longest shared substring ≥5 tokens, the statistic
+    // the "N-gram overlap ≥ 8 tokens" eval-decontamination rules
+    // actually threshold. Positional shingles are a narrow per-row
+    // map; the run-length is one doc-keyed window over matched
+    // positions (p − row_number grouping) — scales like q100.
+    "q535_contamination_span" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 5
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      def positional(df: DataFrame) = df.where(size(col("tk")) >= K)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - lit(K - 1)),
+          i => struct(i.as("p"), concat_ws(" ",
+            (0 until K).map(o => element_at(col("tk"), i + lit(o))): _*)
+            .as("sh")))).as("g"))
+        .select(col("doc_id"), col("g.p").as("p"), col("g.sh").as("sh"))
+      val probeSh = positional(t.where(col("doc_id") % 13 === 0))
+        .select(col("sh")).distinct()
+      val m = positional(t.where(col("doc_id") % 13 =!= 0))
+        .join(broadcast(probeSh), "sh")
+        .select(col("doc_id"), col("p"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val runs = m.withColumn("grp", col("p") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      runs.groupBy(col("doc_id"))
+        .agg(sum(col("run")).as("n_matched"), max(col("run")).as("max_run"))
+        .select(col("doc_id"), col("n_matched"), col("max_run"),
+          (col("max_run") + lit(K - 1)).as("span_tokens"),
+          (col("max_run") + lit(K - 1) >= 8).as("contaminated"))
+    }),
+
+    // data-constrained epoch allocation (the Muennighoff-style repeat
+    // schedule): each source's e-th epoch is worth Q_s·0.5^(e−1) per
+    // char (repeats decay geometrically, better sources decay from a
+    // higher base) and costs U_s chars; candidates (source, e≤8) are
+    // taken in marginal-value order until the 60%-of-corpus char
+    // budget is spent. Q_s = Σ min(chars,2000)/(2000·docs) — exact
+    // integer sums, ONE IEEE division; 0.5-powers are exact binary
+    // scalings, so the greedy order replays bit-stable. One hash agg
+    // over documents; the greedy runs on the collected per-source
+    // stats (source domain ≤1000, require'd — a fit scalar).
+    "q536_data_budget_epochs" -> ((s, d) => {
+      val stRows = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("u"),
+          sum(least(col("n_chars"), lit(2000))).as("qn"),
+          count(lit(1)).as("nd"))
+        .collect()
+      require(stRows.length <= 1000,
+        s"source domain too large for driver greedy: ${stRows.length}")
+      val total = stRows.map(_.getLong(1)).sum
+      val budget = total * 3 / 5
+      case class Src(source: String, u: Long, q: Double)
+      val srcs = stRows.map(r => Src(r.getString(0), r.getLong(1),
+        r.getLong(2).toDouble / (r.getLong(3) * 2000L).toDouble))
+      val cand = for (src <- srcs; e <- 1 to 8)
+        yield (src, e, src.q * math.pow(0.5, (e - 1).toDouble))
+      val ordered = cand.sortBy { case (src, e, m) => (-m, src.source, e) }
+      var cum = 0L
+      val kept = ordered.takeWhile { case (src, _, _) =>
+        cum += src.u; cum <= budget }
+      val epochs = kept.groupBy(_._1).map { case (src, rows) =>
+        (src.source, src.u, math.round(src.q * 1e6), rows.size.toLong,
+          rows.size * src.u)
+      }.toSeq.sortBy(_._1)
+      import s.implicits._
+      epochs.toDF("source", "u_chars", "quality_q6", "epochs", "chars_used")
+    }),
+
+    // LLM-watermark detection (Kirchenbauer-style green-list bias):
+    // the md5-derived half-vocabulary "green list" a watermarking
+    // sampler would favor; per doc, z = (2g − n)/√n measures how far
+    // the green-token count g sits above the n/2 chance level. A
+    // synthetic-text detector that is pure row-local arithmetic — one
+    // token explode + hash per position, exact integer counts, one
+    // sqrt + one division at the end — so it runs at scan speed and
+    // replays bit-stable in the oracle.
+    "q537_watermark_detect" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(pmod(TextAnalysis.hash60(col("w")), lit(2L)) === 0L, 1L)
+            .otherwise(0L)).as("n_green"))
+        .select(col("doc_id"), col("n_tokens"), col("n_green"),
+          round((lit(2L) * col("n_green") - col("n_tokens")).cast("double") /
+            sqrt(col("n_tokens").cast("double")), 6).as("z_green"),
+          ((lit(2L) * col("n_green") - col("n_tokens")).cast("double") /
+            sqrt(col("n_tokens").cast("double")) > 4.0).as("watermarked"))
+    }),
+
+    // vocabulary-level distribution shift per source: KL(P_s ‖ P_corpus)
+    // over the corpus unigram vocabulary with add-1 smoothing on the
+    // source side (so absent words contribute their smoothed mass, not
+    // a 0·ln0) — the "how far is this source's language from the
+    // pooled mix" number a source-weighting pipeline (q519's DoReMi,
+    // q106's mix) reads before reweighting. Every KL term is quantized
+    // to a 1e12 long before the (order-free) sum; the grid is
+    // vocab-keyed × a broadcast source domain — scales with vocabulary,
+    // never vocabulary². Emits the exact integer kl_q12.
+    "q540_source_vocab_kl" -> ((s, d) => {
+      val tok = Tables.documents(s, d).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val cs = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("csw"))
+      val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val ns = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val tot = tok.agg(count(lit(1)).as("n"),
+        countDistinct(col("w")).as("v"))
+      val grid = cw.crossJoin(broadcast(ns))
+        .join(cs, Seq("source", "w"), "left")
+        .crossJoin(broadcast(tot))
+      val p = (coalesce(col("csw"), lit(0L)) + lit(1L)).cast("double") /
+        (col("ns") + col("v")).cast("double")
+      val q = col("cw").cast("double") / col("n").cast("double")
+      grid.select(col("source"), col("ns"), col("v"),
+          round(p * log(p / q) * lit(1e12)).cast("long").as("t"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"), max(col("v")).as("vocab"),
+          sum(col("t")).as("kl_q12"))
+    }),
+
+    // self-BLEU diversity probe: per source, a deterministic md5-drawn
+    // 6-doc sample; each sampled doc's clipped unigram precision
+    // against the other sampled docs of its source — high self-BLEU
+    // flags a template-y / mode-collapsed source (the diversity check
+    // run on synthetic-data mixes before training on them). Sample is
+    // k-bounded per source, so the reference-max join fans out at most
+    // k−1 per (doc, word); clipped counts are exact integers and the
+    // precision is ONE IEEE division.
+    "q539_self_bleu" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val samp = Tables.documents(s, d)
+        .withColumn("pri", TextAnalysis.hash60(
+          concat(lit("sb:"), col("doc_id").cast("string"))))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("pri"), col("doc_id"))))
+        .where(col("rk") <= 6)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("tk"))
+      val cnt = samp
+        .select(col("source"), col("doc_id"), explode(col("tk")).as("w"))
+        .groupBy(col("source"), col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val lens = samp.select(col("source"), col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"))
+      val rf = cnt.as("a").join(cnt.as("b"),
+          col("a.source") === col("b.source") && col("a.w") === col("b.w") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.source").as("source"), col("a.doc_id").as("doc_id"),
+          col("a.w").as("w"), col("a.c").as("c"))
+        .agg(max(col("b.c")).as("rc"))
+      val cl = rf.groupBy(col("source"), col("doc_id"))
+        .agg(sum(least(col("c"), col("rc"))).as("clipped"))
+      lens.join(cl, Seq("source", "doc_id"), "left")
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          coalesce(col("clipped"), lit(0L)).as("clipped"),
+          round(coalesce(col("clipped"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 6).as("selfbleu1"))
+    }),
+
     // Gopher-style repetition filter signal: fraction of word 3-gram
     // positions whose shingle already occurred in the document
     "q101_curation_repetition" -> ((s, d) => {
@@ -1467,6 +1631,130 @@ object CurationQueries {
                  ELSE 'test' END AS split
           FROM documents
           WHERE ${bucket("s1")} < 500000""",
+
+    "q539_self_bleu" ->
+      s"""WITH dd AS (SELECT source, doc_id,
+                        regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+                        ${H60("'sb:' || CAST(doc_id AS VARCHAR)")} AS pri
+                      FROM documents),
+          samp AS (SELECT source, doc_id, tk FROM (
+                     SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY pri, doc_id) AS rk FROM dd)
+                   WHERE rk <= 6),
+          cnt AS (SELECT source, doc_id, w, CAST(count(*) AS BIGINT) AS c
+                  FROM (SELECT source, doc_id, unnest(tk) AS w FROM samp)
+                  GROUP BY 1, 2, 3),
+          lens AS (SELECT source, doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+                   FROM samp),
+          rf AS (SELECT a.source, a.doc_id, a.w, a.c,
+                        CAST(max(b.c) AS BIGINT) AS rc
+                 FROM cnt a JOIN cnt b ON a.source = b.source
+                   AND a.w = b.w AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2, 3, 4),
+          cl AS (SELECT source, doc_id,
+                        CAST(sum(least(c, rc)) AS BIGINT) AS clipped
+                 FROM rf GROUP BY 1, 2)
+         SELECT l.source, l.doc_id, l.n_tokens,
+                coalesce(cl.clipped, 0) AS clipped,
+                ROUND(CAST(coalesce(cl.clipped, 0) AS DOUBLE) /
+                  CAST(l.n_tokens AS DOUBLE), 6) AS selfbleu1
+         FROM lens l LEFT JOIN cl USING (source, doc_id)""",
+
+    "q540_source_vocab_kl" ->
+      """WITH tok AS (SELECT source,
+                        unnest(regexp_split_to_array(lower(trim(text)),
+                          '\s+')) AS w
+                      FROM documents),
+          cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS csw
+                 FROM tok GROUP BY 1, 2),
+          cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                 FROM tok GROUP BY 1),
+          ns AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+                 FROM tok GROUP BY 1),
+          tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(count(DISTINCT w) AS BIGINT) AS v
+                 FROM tok),
+          grid AS (SELECT ns.source, cw.w, cw.cw, ns.ns, tt.n, tt.v,
+                          cs.csw
+                   FROM cw CROSS JOIN ns CROSS JOIN tt
+                   LEFT JOIN cs ON cs.source = ns.source AND cs.w = cw.w),
+          terms AS (SELECT source, ns, v,
+                      CAST(round(
+                        (CAST(coalesce(csw, 0) + 1 AS DOUBLE) /
+                         CAST(ns + v AS DOUBLE)) *
+                        ln((CAST(coalesce(csw, 0) + 1 AS DOUBLE) /
+                            CAST(ns + v AS DOUBLE)) /
+                           (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))) *
+                        1e12) AS BIGINT) AS t
+                    FROM grid)
+         SELECT source, max(ns) AS n_tokens, max(v) AS vocab,
+                CAST(sum(t) AS BIGINT) AS kl_q12
+         FROM terms GROUP BY 1""",
+
+    "q537_watermark_detect" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents),
+          g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN ${H60("w")} % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_green
+                FROM t GROUP BY 1)
+         SELECT doc_id, n_tokens, n_green,
+           ROUND(CAST(2 * n_green - n_tokens AS DOUBLE) /
+             sqrt(CAST(n_tokens AS DOUBLE)), 6) AS z_green,
+           (CAST(2 * n_green - n_tokens AS DOUBLE) /
+             sqrt(CAST(n_tokens AS DOUBLE)) > 4.0) AS watermarked
+         FROM g""",
+
+    "q536_data_budget_epochs" ->
+      """WITH st AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS u,
+                       CAST(sum(least(n_chars, 2000)) AS BIGINT) AS qn,
+                       CAST(count(*) AS BIGINT) AS nd
+                     FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(u) AS BIGINT) AS t FROM st),
+          b AS (SELECT CAST((t * 3) // 5 AS BIGINT) AS bud FROM tot),
+          cand AS (SELECT source, u,
+                     CAST(qn AS DOUBLE) / CAST(nd * 2000 AS DOUBLE) AS q, e
+                   FROM st, LATERAL (SELECT unnest(range(1, 9)) AS e)),
+          sc AS (SELECT source, u, q, e,
+                   q * (0.5 ** CAST(e - 1 AS DOUBLE)) AS m FROM cand),
+          g AS (SELECT source, u, q, e, m,
+                  sum(u) OVER (ORDER BY m DESC, source, e) AS cum
+                FROM sc),
+          kept AS (SELECT g.* FROM g, b WHERE cum <= bud)
+         SELECT source, any_value(u) AS u_chars,
+                CAST(round(any_value(q) * 1e6) AS BIGINT) AS quality_q6,
+                CAST(count(*) AS BIGINT) AS epochs,
+                CAST(count(*) * any_value(u) AS BIGINT) AS chars_used
+         FROM kept GROUP BY source""",
+
+    "q535_contamination_span" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+                    FROM documents),
+          ps AS (SELECT DISTINCT concat_ws(' ',
+                   tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)],
+                   tk[CAST(i + 2 AS INT)], tk[CAST(i + 3 AS INT)],
+                   tk[CAST(i + 4 AS INT)]) AS sh
+                 FROM t, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS i)
+                 WHERE doc_id % 13 = 0 AND len(tk) >= 5),
+          cs AS (SELECT doc_id, i AS p, concat_ws(' ',
+                   tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)],
+                   tk[CAST(i + 2 AS INT)], tk[CAST(i + 3 AS INT)],
+                   tk[CAST(i + 4 AS INT)]) AS sh
+                 FROM t, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS i)
+                 WHERE doc_id % 13 <> 0 AND len(tk) >= 5),
+          m AS (SELECT doc_id, p FROM cs JOIN ps USING (sh)),
+          r AS (SELECT doc_id, p, p - row_number() OVER (
+                  PARTITION BY doc_id ORDER BY p) AS grp FROM m),
+          runs AS (SELECT doc_id, grp, count(*) AS run
+                   FROM r GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_matched,
+                CAST(max(run) AS BIGINT) AS max_run,
+                CAST(max(run) + 4 AS BIGINT) AS span_tokens,
+                (max(run) + 4 >= 8) AS contaminated
+         FROM runs GROUP BY doc_id""",
 
     "q100_curation_decontaminate" ->
       """WITH t AS (

@@ -557,6 +557,44 @@ object InferenceQueries {
             .as("nw_norm"))
     }),
 
+    // Rouge-L (LCS) F-score between sampled doc pairs — the
+    // summarization-eval / clone-detection metric NW alignment (q472)
+    // doesn't give: F = 2·LCS/(n_a+n_b), exactly the P/R harmonic
+    // mean, so ONE IEEE division after the integer DP. Same bounded
+    // probe-set shape and nested row-local fold as q472; tokens ride
+    // as md5-hash values so the DP array stays double-typed in both
+    // engines (a collision would replay identically anyway).
+    "q541_rouge_l" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .where(col("doc_id") % 29 === 0)
+        .select(col("doc_id"), slice(split(lower(trim(col("text"))),
+          "\\s+"), 1, 40).as("raw"))
+        .where(size(col("raw")) > 0)
+        .select(col("doc_id"), transform(col("raw"),
+          t => pmod(hash60(t), lit(1000000000L)).cast("double")).as("xs"))
+      val a = toks.select(col("doc_id").as("doc_a"), col("xs").as("xa"))
+      val b = toks.select(col("doc_id").as("doc_b"), col("xs").as("xb"))
+      val prs = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+      val xa = col("xa"); val xb = col("xb")
+      val initRow = concat(array(lit(0.0)), transform(xb, _ => lit(0.0)))
+      val folded = aggregate(xa, initRow, (prev, av) =>
+        aggregate(xb, array(lit(0.0)), (cur, bv) => {
+          val j = size(cur)
+          concat(cur, array(
+            when(av === bv, element_at(prev, j) + lit(1.0))
+              .otherwise(greatest(element_at(prev, j + 1),
+                element_at(cur, j)))))
+        }))
+      prs.withColumn("lcs", element_at(folded, size(xb) + 1))
+        .select(col("doc_a"), col("doc_b"),
+          size(col("xa")).cast("long").as("n_a"),
+          size(col("xb")).cast("long").as("n_b"),
+          col("lcs").cast("long").as("lcs"),
+          round(lit(2.0) * col("lcs") /
+            (size(col("xa")) + size(col("xb"))).cast("double"), 6)
+            .as("rouge_l_f"))
+    }),
+
     // seasonal-hybrid ESD anomaly rounds: deseasonalize daily spend by
     // the per-weekday median, then 3 unrolled ESD rounds — each removes
     // the largest |deviation| point and reports its Grubbs-style G
@@ -2240,6 +2278,39 @@ object InferenceQueries {
                  CAST(row_[CAST(nb + 1 AS INT)] AS BIGINT) AS nw_score,
                  ROUND(row_[CAST(nb + 1 AS INT)]
                    / CAST(greatest(na, nb) AS DOUBLE), 6) AS nw_norm
+          FROM fl""",
+
+    "q541_rouge_l" ->
+      s"""WITH toks AS (SELECT doc_id,
+                 list_transform(
+                   regexp_split_to_array(lower(trim(text)), '\\s+')[1:40],
+                   t -> CAST(${H60("t")} % 1000000000 AS DOUBLE)) AS xs
+               FROM documents
+               WHERE doc_id % 29 = 0
+                 AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0),
+          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.xs AS xa, b.xs AS xb
+                 FROM toks a JOIN toks b ON a.doc_id < b.doc_id),
+          fl AS (SELECT doc_a, doc_b, len(xa) AS na, len(xb) AS nb,
+                   list_reduce(
+                     list_prepend(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                         [CAST(0.0 AS DOUBLE) for i in range(1, len(xb) + 1)]),
+                       list_transform(xa, a -> [a])),
+                     (acc, e) -> list_reduce(
+                       list_prepend([CAST(0.0 AS DOUBLE)],
+                         list_transform(xb, b -> [b])),
+                       (cur, eb) -> list_append(cur,
+                         CASE WHEN e[1] = eb[1]
+                           THEN acc[len(cur)] + 1.0
+                           ELSE greatest(acc[len(cur) + 1], cur[len(cur)])
+                         END))) AS row_
+                 FROM pr)
+          SELECT doc_a, doc_b, CAST(na AS BIGINT) AS n_a,
+                 CAST(nb AS BIGINT) AS n_b,
+                 CAST(row_[CAST(nb + 1 AS INT)] AS BIGINT) AS lcs,
+                 ROUND(2.0 * row_[CAST(nb + 1 AS INT)]
+                   / CAST(na + nb AS DOUBLE), 6) AS rouge_l_f
           FROM fl""",
 
     "q473_shesd_anomaly" -> {

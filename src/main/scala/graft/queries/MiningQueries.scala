@@ -382,6 +382,35 @@ object MiningQueries {
         col("vec_id"), col("embedding"), k = 8)
     }),
 
+    // sequential-pattern support (GSP length-2): for every ordered
+    // event-type pair (a then b), the fraction of users with some
+    // a-event strictly before some b-event. "Exists a before b" needs
+    // only each user's min(ts) per type vs max(ts) per type — one
+    // (user,type)-keyed agg, then a user-co-keyed self-join whose
+    // per-user fan-out is bounded by the type domain², never by event
+    // count. Min-support 0.1 mirrors the itemset queries.
+    "q538_seq_pattern_support" -> ((s, d) => {
+      val ut = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+      val pairs = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type") &&
+            col("a.tmin") < col("b.tmax"))
+        .select(col("a.event_type").as("first_type"),
+          col("b.event_type").as("then_type"))
+      val nu = Tables.events(s, d)
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val raw = col("n_pattern_users").cast("double") /
+        col("n_users").cast("double")
+      pairs.groupBy(col("first_type"), col("then_type"))
+        .agg(count(lit(1)).as("n_pattern_users"))
+        .crossJoin(broadcast(nu))
+        .where(raw >= 0.1) // filter on the UNROUNDED ratio, like the oracle
+        .select(col("first_type"), col("then_type"),
+          col("n_pattern_users"), col("n_users"),
+          round(raw, 6).as("support"))
+    }),
+
     // Bradley-Terry preference strengths from pairwise outcomes — the
     // aggregation an LLM-eval pipeline runs over judge votes. Games:
     // same-order lineitem pairs of different brands, higher quantity
@@ -521,6 +550,26 @@ object MiningQueries {
          SELECT a0.vec_id AS id, CAST(a0.cell0 AS INT) AS cell0,
                 CAST(a1.cell1 AS INT) AS cell1, a1.dist1_q
          FROM a0 JOIN a1 USING (vec_id)""",
+
+    "q538_seq_pattern_support" ->
+      """WITH ut AS (SELECT user_id, event_type,
+                       min(ts) AS tmin, max(ts) AS tmax
+                     FROM events GROUP BY 1, 2),
+          pr AS (SELECT a.event_type AS first_type,
+                        b.event_type AS then_type
+                 FROM ut a JOIN ut b
+                   ON a.user_id = b.user_id
+                     AND a.event_type <> b.event_type
+                     AND a.tmin < b.tmax),
+          nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                 FROM events)
+         SELECT first_type, then_type,
+                CAST(count(*) AS BIGINT) AS n_pattern_users, n_users,
+                ROUND(CAST(count(*) AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+                  AS support
+         FROM pr CROSS JOIN nu
+         GROUP BY 1, 2, 4
+         HAVING CAST(count(*) AS DOUBLE) / CAST(n_users AS DOUBLE) >= 0.1""",
 
     "q533_bradley_terry" ->
       """WITH pl AS (SELECT l_orderkey AS ok, p_brand AS b,

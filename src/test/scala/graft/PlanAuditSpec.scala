@@ -226,6 +226,15 @@ class PlanAuditSpec extends SparkSpec {
     // crossJoin-broadcast over the prefix rows — q166's
     // cumulativeByValue offsets + q198's scalar shape
     "q428_monetary_unit_sampling",
+    // q531: the bigram-type count is a 1-row frame crossJoin-broadcast
+    // into the vocabulary-keyed surprisal join — q108's scalar shape
+    "q531_kn_bigram_surprisal",
+    // q538: the distinct-user count is a 1-row frame
+    // crossJoin-broadcast over the (type², bounded) pattern rows
+    "q538_seq_pattern_support",
+    // q540: the (corpus tokens, vocab size) totals are a 1-row frame
+    // crossJoin-broadcast into the vocab-keyed KL grid
+    "q540_source_vocab_kl",
     // q429: the largest-remainder rank runs over the 25-row BRAND
     // frame (bounded domain) with its 1-row denominator — q221's
     // gains-table shape
@@ -388,6 +397,9 @@ class PlanAuditSpec extends SparkSpec {
     // dimension (<= data-span months, ~100 rows broadcast) — the zone
     // stream stays distributed, so the BNLJ is a tiny-broadcast scan
     "q382_zonemap_audit",
+    // q541: q472's bounded-probe-set pair cross (doc_id % 29 sample);
+    // the LCS DP is a row-local nested fold after the pairing
+    "q541_rouge_l",
     // q472: the alignment pair frame crosses the BOUNDED probe set
     // (doc_id % 37, ~1/37th of docs capped by the broadcast threshold)
     // with itself — q454's tiny-grid shape; the DP fold is row-local
