@@ -275,6 +275,97 @@ object CurationQueries {
             col("n_tokens").cast("double"), 6).as("selfbleu1"))
     }),
 
+    // boilerplate-prefix detection (the C4 header/footer cleanup): docs
+    // sharing an identical first-12-token prefix are template copies —
+    // one row-local prefix projection, one hash groupBy, flag prefixes
+    // carried by ≥2 docs. Scales like exact dedup (q22): shuffle keys
+    // are the prefix hashes, never doc pairs.
+    "q542_boilerplate_prefix" -> ((s, d) => {
+      val pre = Tables.documents(s, d)
+        .select(col("doc_id"), array_join(
+          slice(TextAnalysis.tokens(col("text")), 1, 12), " ").as("prefix"))
+      pre.groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .where(col("n_docs") >= 2)
+        .select(TextAnalysis.hash60(col("prefix")).as("prefix_h60"),
+          col("prefix"), col("n_docs"), col("min_doc"))
+    }),
+
+    // PMI collocations among the top-100 corpus tokens: adjacent-pair
+    // pointwise mutual information ln(c(a,b)·N / (c(a,·)·c(·,b))), the
+    // phrase-mining signal a tokenizer-vocabulary or stopword pipeline
+    // reads. Products cross into DECIMAL(19,0)·N before the division
+    // (the 100 TB overflow guard); the top-100 filter is a TakeOrdered
+    // k-bounded frame broadcast into two semi-joins, so the pair space
+    // is 100², never vocab².
+    "q544_pmi_collocations" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      val bi = t.select(explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => struct(element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cw = t.select(explode(col("__toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val top = cw.orderBy(col("cnt").desc, col("w")).limit(100)
+        .select(col("w"))
+      val nbi = bi.agg(count(lit(1)).as("nb"))
+      val ca = bi.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
+      val cb = bi.groupBy(col("w2")).agg(count(lit(1)).as("cb"))
+      bi.join(broadcast(top.select(col("w").as("w1"))), Seq("w1"), "left_semi")
+        .join(broadcast(top.select(col("w").as("w2"))), Seq("w2"), "left_semi")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+        .where(col("cab") >= 5)
+        .join(ca, Seq("w1")).join(cb, Seq("w2"))
+        .crossJoin(broadcast(nbi))
+        .select(col("w1"), col("w2"), col("cab"),
+          round(log((col("cab").cast("decimal(19,0)") * col("nb"))
+              .cast("double") /
+            (col("ca").cast("decimal(19,0)") * col("cb")).cast("double")), 6)
+            .as("pmi"))
+    }),
+
+    // Wasserstein-1 distance between each source's doc-length
+    // (n_chars) distribution and the pooled corpus — the
+    // distribution-drift number with units (chars), complementing the
+    // unitless KL of q540: W1 = Σ_v |F_s(v) − F(v)|·gap(v) over the
+    // merged value domain, kept exact as
+    // |cum_s·n − cum·n_s|·gap / (n_s·n) with DECIMAL(38,0) numerator
+    // sums and ONE IEEE division. The grid is value-domain keyed with
+    // a broadcast source domain; cumulatives are source-partitioned
+    // windows — no single-partition pass anywhere.
+    "q545_wasserstein_length" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val csv = docs.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("cs"))
+      val cv = docs.groupBy(col("v")).agg(count(lit(1)).as("cpool"))
+      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("nsrc"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      val grid = cv.crossJoin(broadcast(ns))
+        .join(csv, Seq("source", "v"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("v"), col("nsrc"), col("n"),
+          sum(coalesce(col("cs"), lit(0L))).over(w).as("cums"),
+          sum(col("cpool")).over(w).as("cum"),
+          (lead(col("v"), 1).over(w) - col("v")).as("gap"))
+        .where(col("gap").isNotNull)
+      grid.groupBy(col("source"))
+        .agg(max(col("nsrc")).as("n_docs"), max(col("n")).as("n_total"),
+          sum(abs(col("cums").cast("decimal(19,0)") * col("n") -
+            col("cum").cast("decimal(19,0)") * col("nsrc")) * col("gap"))
+            .cast("decimal(38,0)").as("w1_num"))
+        .select(col("source"), col("n_docs"),
+          round(col("w1_num").cast("double") /
+            (col("n_docs").cast("decimal(19,0)") * col("n_total"))
+              .cast("double"), 6).as("w1_chars"))
+    }),
+
     // Gopher-style repetition filter signal: fraction of word 3-gram
     // positions whose shingle already occurred in the document
     "q101_curation_repetition" -> ((s, d) => {
@@ -1631,6 +1722,68 @@ object CurationQueries {
                  ELSE 'test' END AS split
           FROM documents
           WHERE ${bucket("s1")} < 500000""",
+
+    "q544_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                    FROM documents),
+          bi AS (SELECT unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+                        unnest([toks[i + 1] for i in range(1, len(toks))]) AS w2
+                 FROM t),
+          cw AS (SELECT w, count(*) AS cnt FROM (
+                   SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+          top AS (SELECT w FROM (SELECT w, row_number() OVER (
+                    ORDER BY cnt DESC, w) AS rk FROM cw) WHERE rk <= 100),
+          nbi AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
+          ca AS (SELECT w1, CAST(count(*) AS BIGINT) AS ca
+                 FROM bi GROUP BY 1),
+          cb AS (SELECT w2, CAST(count(*) AS BIGINT) AS cb
+                 FROM bi GROUP BY 1),
+          cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+                  FROM bi
+                  WHERE w1 IN (SELECT w FROM top)
+                    AND w2 IN (SELECT w FROM top)
+                  GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT w1, w2, cab,
+                ROUND(ln(CAST(CAST(cab AS DECIMAL(19,0)) * nb AS DOUBLE) /
+                  CAST(CAST(ca AS DECIMAL(19,0)) * cb AS DOUBLE)), 6) AS pmi
+         FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN nbi""",
+
+    "q545_wasserstein_length" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                       FROM documents),
+          csv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cs
+                  FROM docs GROUP BY 1, 2),
+          cv AS (SELECT v, CAST(count(*) AS BIGINT) AS cpool
+                 FROM docs GROUP BY 1),
+          ns AS (SELECT source, CAST(count(*) AS BIGINT) AS nsrc
+                 FROM docs GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+          grid AS (SELECT ns.source, cv.v, ns.nsrc, tot.n,
+                     sum(coalesce(csv.cs, 0)) OVER wv AS cums,
+                     sum(cv.cpool) OVER wv AS cum,
+                     lead(cv.v, 1) OVER wv - cv.v AS gap
+                   FROM cv CROSS JOIN ns CROSS JOIN tot
+                   LEFT JOIN csv ON csv.source = ns.source AND csv.v = cv.v
+                   WINDOW wv AS (PARTITION BY ns.source ORDER BY cv.v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT source, max(nsrc) AS n_docs,
+                ROUND(CAST(sum(abs(CAST(cums AS DECIMAL(19,0)) * n -
+                    CAST(cum AS DECIMAL(19,0)) * nsrc) * gap) AS DOUBLE) /
+                  CAST(CAST(max(nsrc) AS DECIMAL(19,0)) * max(n) AS DOUBLE),
+                  6) AS w1_chars
+         FROM grid WHERE gap IS NOT NULL GROUP BY source""",
+
+    "q542_boilerplate_prefix" ->
+      s"""WITH pre AS (SELECT doc_id, array_to_string(
+                         regexp_split_to_array(lower(trim(text)),
+                           '\\s+')[1:12], ' ') AS prefix
+                       FROM documents),
+          g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+                       min(doc_id) AS min_doc
+                FROM pre GROUP BY 1 HAVING count(*) >= 2)
+         SELECT ${H60("prefix")} AS prefix_h60, prefix, n_docs, min_doc
+         FROM g""",
 
     "q539_self_bleu" ->
       s"""WITH dd AS (SELECT source, doc_id,

@@ -557,6 +557,34 @@ object InferenceQueries {
             .as("nw_norm"))
     }),
 
+    // Chatterjee's xi rank-correlation (2020) per event-type series:
+    // the modern dependence coefficient that detects NON-monotone
+    // association Pearson/Spearman (q41/q204) miss — xi = 1 −
+    // 3·Σ|r_{i+1}−r_i| / (n²−1) with rows ordered by event time and r
+    // the value-rank ("does value depend on time, monotone or not").
+    // Ties broken deterministically by the unique event_id — the
+    // documented stand-in for the estimator's random tiebreak. Two
+    // group-partitioned windows + exact integer sums; the n²
+    // denominator multiplies in DECIMAL(19,0) first so group sizes
+    // past 2³¹ cannot overflow (the 100 TB guard).
+    "q543_chatterjee_xi" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_type").as("grp"),
+        col("ts"), col("value").as("y"), col("event_id").as("eid"))
+      val wy = Window.partitionBy(col("grp")).orderBy(col("y"), col("eid"))
+      val wx = Window.partitionBy(col("grp")).orderBy(col("ts"), col("eid"))
+      val ag = ev.withColumn("r", row_number().over(wy))
+        .withColumn("pr", lag(col("r"), 1).over(wx))
+        .where(col("pr").isNotNull)
+        .groupBy(col("grp"))
+        .agg(sum(abs(col("r") - col("pr"))).as("sd"),
+          (count(lit(1)) + 1).as("n"))
+      ag.select(col("grp"), col("n"), col("sd"),
+        round(lit(1.0) - lit(3.0) * col("sd").cast("double") /
+          (col("n").cast("decimal(19,0)") * col("n") - 1).cast("double"), 6)
+          .as("xi"))
+    }),
+
     // Rouge-L (LCS) F-score between sampled doc pairs — the
     // summarization-eval / clone-detection metric NW alignment (q472)
     // doesn't give: F = 2·LCS/(n_a+n_b), exactly the P/R harmonic
@@ -2279,6 +2307,23 @@ object InferenceQueries {
                  ROUND(row_[CAST(nb + 1 AS INT)]
                    / CAST(greatest(na, nb) AS DOUBLE), 6) AS nw_norm
           FROM fl""",
+
+    "q543_chatterjee_xi" ->
+      """WITH ev AS (SELECT event_type AS grp, ts, value AS y,
+                       event_id AS eid
+                     FROM events),
+          r AS (SELECT grp, ts, eid,
+                  row_number() OVER (PARTITION BY grp
+                    ORDER BY y, eid) AS r
+                FROM ev),
+          df AS (SELECT grp, r, lag(r) OVER (PARTITION BY grp
+                   ORDER BY ts, eid) AS pr FROM r),
+          ag AS (SELECT grp, CAST(sum(abs(r - pr)) AS BIGINT) AS sd,
+                   CAST(count(*) + 1 AS BIGINT) AS n
+                 FROM df WHERE pr IS NOT NULL GROUP BY 1)
+         SELECT grp, n, sd, ROUND(1.0 - 3.0 * CAST(sd AS DOUBLE) /
+           CAST(CAST(n AS DECIMAL(19,0)) * n - 1 AS DOUBLE), 6) AS xi
+         FROM ag""",
 
     "q541_rouge_l" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -235,6 +235,14 @@ class PlanAuditSpec extends SparkSpec {
     // q540: the (corpus tokens, vocab size) totals are a 1-row frame
     // crossJoin-broadcast into the vocab-keyed KL grid
     "q540_source_vocab_kl",
+    // q544: the total-bigram count is a 1-row frame crossJoin-broadcast
+    // over the 100²-bounded collocation rows; the top-100 filter is a
+    // TakeOrdered frame feeding two broadcast semi-joins
+    "q544_pmi_collocations",
+    // q545: the source-domain frame (bounded) and the 1-row corpus
+    // total cross the value-domain grid — q540's scalar shape; the
+    // cumulatives are source-partitioned windows
+    "q545_wasserstein_length",
     // q429: the largest-remainder rank runs over the 25-row BRAND
     // frame (bounded domain) with its 1-row denominator — q221's
     // gains-table shape
