@@ -741,4 +741,37 @@ object Similarity {
             (x, q) => abs(x - q.cast("double") * col("__scale"))),
           lit(0.0), (a, e) => greatest(a, e)), 9).as("max_abs_err"))
   }
+
+  /** Brute top-k over ROW-SYMMETRIC int8 codes (per-row scale =
+    * max|x|/127, the standard serving-time quantization
+    * [[quantizeInt8]] fingerprints): ranking cosine =
+    * dot/(√self_q·√self_c) over EXACT integer sums, so the quantized
+    * ranking — and therefore its recall against the f32
+    * [[bruteForceTopK]] truth — replays bit-stable in SQL. Same
+    * broadcast-probe-set scan shape as the brute oracle path; codes
+    * are a narrow per-row map. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def codes(df: DataFrame, idAs: String, qAs: String, selfAs: String) = {
+      val emb = toDouble(col("embedding"))
+      df.select(col("vec_id").as(idAs), emb.as("__e"))
+        .withColumn("__scale", greatest(
+          aggregate(col("__e"), lit(0.0), (a, x) => greatest(a, abs(x))),
+          lit(1e-30)) / 127.0)
+        .withColumn(qAs, transform(col("__e"), x =>
+          least(greatest(round(x / col("__scale")), lit(-127.0)),
+            lit(127.0)).cast("long")))
+        .select(col(idAs), col(qAs),
+          aggregate(col(qAs), lit(0L), (a, x) => a + x * x).as(selfAs))
+    }
+    val c = codes(corpus, "neighbor_id", "qc", "sc")
+    val q = codes(queries, "query_id", "qq", "sq")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (aggregate(zip_with(col("qq"), col("qc"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).cast("double") /
+          (sqrt(col("sq").cast("double")) * sqrt(col("sc").cast("double"))))
+          .as("cos"))
+    rankCosTopK(scored, k)
+  }
 }

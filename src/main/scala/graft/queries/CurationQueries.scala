@@ -521,6 +521,51 @@ object CurationQueries {
         graft.operators.FrozenQualityLr.intercept)
     }),
 
+    // Youden-J optimal decision threshold for the frozen quality
+    // classifier (q523): over the quantized score domain, maximize
+    // TPR − FPR against the src0 label, comparing via the exact
+    // integer cross-product tp·N − fp·P (DECIMAL(19,0) guard) with
+    // ties to the smallest threshold. The suffix counts ride the
+    // cumulativeByValueAuto prefix sum (machine-bounded fast path /
+    // two-level fallback), so the score domain never single-partition
+    // sorts unboundedly; the argmax is max + equality-join + min, not
+    // a global window.
+    "q546_youden_threshold" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = Curation.frozenLrScores(docs, col("doc_id"), col("text"),
+          graft.operators.FrozenQualityLr.weights,
+          graft.operators.FrozenQualityLr.intercept)
+        .join(docs.select(col("doc_id"),
+          (col("source") === "src0").as("lab")), Seq("doc_id"))
+        .select(round(col("quality_prob") * 1e6).cast("long").as("v"),
+          col("lab"))
+      val counts = scored.groupBy(col("v")).agg(
+        sum(when(col("lab"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("lab"), 1L).otherwise(0L)).as("ng"))
+      val cum = graft.operators.DataQuality
+        .cumulativeByValueAuto(counts, Seq("p", "ng"))
+      val tot = counts.agg(sum(col("p")).as("tp_all"),
+        sum(col("ng")).as("fp_all"))
+      val j = cum.join(counts, Seq("v"))
+        .crossJoin(broadcast(tot))
+        .select(col("v"),
+          (col("tp_all") - col("cum_p") + col("p")).as("tp"),
+          (col("fp_all") - col("cum_ng") + col("ng")).as("fp"),
+          col("tp_all"), col("fp_all"))
+        .withColumn("jnum",
+          col("tp").cast("decimal(19,0)") * col("fp_all") -
+            col("fp").cast("decimal(19,0)") * col("tp_all"))
+      val mx = j.agg(max(col("jnum")).as("mj"))
+      val thr = j.join(broadcast(mx), col("jnum") === col("mj"))
+        .agg(min(col("v")).as("v"))
+      j.join(broadcast(thr), Seq("v"))
+        .select(col("v").as("thr_q6"), col("tp"), col("fp"),
+          col("tp_all").as("n_pos"), col("fp_all").as("n_neg"),
+          round(col("tp").cast("double") / col("tp_all").cast("double") -
+            col("fp").cast("double") / col("fp_all").cast("double"), 6)
+            .as("youden_j"))
+    }),
+
     // per-domain cap: no source contributes more than its 10 best docs
     // (quality = n_chars here; ties to the smaller doc_id) — runs on
     // the bounded TopK aggregator, not a window
@@ -1192,6 +1237,40 @@ object CurationQueries {
   )
 
   private val H60 = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** DuckDB replay of the frozen-coefficient LR scorer (q523), emitting
+    * (doc_id, quality_prob) — shared by q523 and the q546 threshold
+    * sweep. */
+  private lazy val frozenLrSql: String = {
+    val values = graft.operators.FrozenQualityLr.weights.zipWithIndex
+      .map { case (w, b) => s"($b, CAST($w AS DECIMAL(12,6)))" }
+      .mkString(",\n             ")
+    val b0 = graft.operators.FrozenQualityLr.intercept
+    s"""WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+         uni AS (SELECT doc_id, unnest(toks) AS f FROM t),
+         bi AS (
+           SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS f
+           FROM t),
+         cnts AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 256 AS bucket,
+             count(*) AS cnt
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+           GROUP BY 1, 2),
+         w(bucket, w) AS (
+           VALUES $values),
+         dot AS (
+           SELECT doc_id, sum(w * cnt) AS dot
+           FROM cnts JOIN w USING (bucket) GROUP BY 1)
+         SELECT d.doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(CAST(CAST($b0 AS DECIMAL(12,6))
+               + COALESCE(dot, 0) AS DOUBLE)))), 6) AS quality_prob
+         FROM documents d LEFT JOIN dot USING (doc_id)"""
+  }
   private def bucket(salt: String) =
     s"${H60(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
 
@@ -2153,36 +2232,35 @@ object CurationQueries {
     // frozen-LR scoring replay: the VALUES table is GENERATED from the
     // same FrozenQualityLr array the Spark side reads — the two sides
     // cannot drift. Exact-decimal dot product, sigmoid at the readout.
-    "q523_quality_classifier_score" -> {
-      val values = graft.operators.FrozenQualityLr.weights.zipWithIndex
-        .map { case (w, b) => s"($b, CAST($w AS DECIMAL(12,6)))" }
-        .mkString(",\n             ")
-      val b0 = graft.operators.FrozenQualityLr.intercept
-      s"""WITH t AS (
-           SELECT doc_id,
-             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-           FROM documents),
-         uni AS (SELECT doc_id, unnest(toks) AS f FROM t),
-         bi AS (
-           SELECT doc_id,
-             unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS f
-           FROM t),
-         cnts AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 256 AS bucket,
-             count(*) AS cnt
-           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-           GROUP BY 1, 2),
-         w(bucket, w) AS (
-           VALUES $values),
-         dot AS (
-           SELECT doc_id, sum(w * cnt) AS dot
-           FROM cnts JOIN w USING (bucket) GROUP BY 1)
-         SELECT d.doc_id,
-           ROUND(1.0 / (1.0 + EXP(-(CAST(CAST($b0 AS DECIMAL(12,6))
-               + COALESCE(dot, 0) AS DOUBLE)))), 6) AS quality_prob
-         FROM documents d LEFT JOIN dot USING (doc_id)"""
-    },
+    "q523_quality_classifier_score" -> frozenLrSql,
+
+    "q546_youden_threshold" ->
+      s"""WITH sc AS (SELECT * FROM ($frozenLrSql)),
+          lb AS (SELECT CAST(round(s.quality_prob * 1e6) AS BIGINT) AS v,
+                        (d.source = 'src0') AS lab
+                 FROM sc s JOIN documents d USING (doc_id)),
+          cnt AS (SELECT v,
+                    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                    CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS ng
+                  FROM lb GROUP BY 1),
+          cum AS (SELECT v, p, ng,
+                    CAST(sum(p) OVER wv AS BIGINT) AS cp,
+                    CAST(sum(ng) OVER wv AS BIGINT) AS cn
+                  FROM cnt
+                  WINDOW wv AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW)),
+          tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all,
+                         CAST(sum(ng) AS BIGINT) AS fp_all FROM cnt),
+          j AS (SELECT v, tp_all - cp + p AS tp, fp_all - cn + ng AS fp,
+                  tp_all, fp_all,
+                  CAST(tp_all - cp + p AS DECIMAL(19,0)) * fp_all -
+                    CAST(fp_all - cn + ng AS DECIMAL(19,0)) * tp_all AS jnum
+                FROM cum CROSS JOIN tot)
+         SELECT v AS thr_q6, CAST(tp AS BIGINT) AS tp,
+                CAST(fp AS BIGINT) AS fp, tp_all AS n_pos, fp_all AS n_neg,
+                ROUND(CAST(tp AS DOUBLE) / CAST(tp_all AS DOUBLE) -
+                  CAST(fp AS DOUBLE) / CAST(fp_all AS DOUBLE), 6) AS youden_j
+         FROM j ORDER BY jnum DESC, v LIMIT 1""",
 
     "q148_kmv_by_group" ->
       s"""WITH h AS (SELECT DISTINCT event_type AS grp,

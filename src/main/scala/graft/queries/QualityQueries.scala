@@ -18,6 +18,42 @@ object QualityQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // PSI (population stability index) drift gate per event type: the
+    // MLOps go/no-go number between even- and odd-day traffic over 20
+    // fixed value bins (width 25, top-capped), Laplace-smoothed so
+    // empty bins contribute their prior mass instead of ln(0):
+    // PSI = Σ (p−q)·ln(p/q), each term 1e12-quantized to a long before
+    // the (order-free) sum. One hash agg over events + a 20-bin ×
+    // type-domain grid (both broadcast-bounded); PSI ≥ 0.2 flags
+    // actionable drift (the industry rule of thumb).
+    "q547_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (pmod(floor(col("ts").cast("long") / 86400L), lit(2)) === 0)
+          .as("even_day"),
+        least(floor(col("value") / 25.0).cast("long"), lit(19L)).as("b"))
+      val cnt = ev.groupBy(col("event_type"), col("b")).agg(
+        sum(when(col("even_day"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("even_day"), 1L).otherwise(0L)).as("c2"))
+      val ns = ev.groupBy(col("event_type")).agg(
+        sum(when(col("even_day"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("even_day"), 1L).otherwise(0L)).as("n2"))
+      val grid = s.range(0, 20).select(col("id").as("b"))
+        .crossJoin(broadcast(ns))
+        .join(cnt, Seq("event_type", "b"), "left")
+      val p = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
+        (col("n1") + lit(20L)).cast("double")
+      val q = (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+        (col("n2") + lit(20L)).cast("double")
+      grid.select(col("event_type"), col("n1"), col("n2"),
+          round((p - q) * log(p / q) * lit(1e12)).cast("long").as("t"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n1")).as("n_even"), max(col("n2")).as("n_odd"),
+          sum(col("t")).as("psi_q12"))
+        .select(col("event_type"), col("n_even"), col("n_odd"),
+          col("psi_q12"),
+          (col("psi_q12") >= 200000000000L).as("drift_flag"))
+    }),
+
     // quantile normalization across sources (the microarray/feature-
     // alignment classic): rank docs by n_chars within each source
     // (deterministic doc_id tiebreak), replace each value with the
@@ -744,6 +780,46 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q547_psi_drift" ->
+      """WITH ev AS (SELECT event_type,
+                       (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 2 = 0
+                         AS even_day,
+                       least(CAST(floor(value / 25.0) AS BIGINT), 19) AS b
+                     FROM events),
+          cnt AS (SELECT event_type, b,
+                    CAST(sum(CASE WHEN even_day THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                    CAST(sum(CASE WHEN even_day THEN 0 ELSE 1 END)
+                      AS BIGINT) AS c2
+                  FROM ev GROUP BY 1, 2),
+          ns AS (SELECT event_type,
+                   CAST(sum(CASE WHEN even_day THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN even_day THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n2
+                 FROM ev GROUP BY 1),
+          grid AS (SELECT ns.event_type, g.b, ns.n1, ns.n2, cnt.c1, cnt.c2
+                   FROM (SELECT unnest(range(0, 20)) AS b) g
+                   CROSS JOIN ns
+                   LEFT JOIN cnt ON cnt.event_type = ns.event_type
+                     AND cnt.b = g.b),
+          terms AS (SELECT event_type, n1, n2,
+                      CAST(round(
+                        ((CAST(coalesce(c1, 0) + 1 AS DOUBLE) /
+                          CAST(n1 + 20 AS DOUBLE)) -
+                         (CAST(coalesce(c2, 0) + 1 AS DOUBLE) /
+                          CAST(n2 + 20 AS DOUBLE))) *
+                        ln((CAST(coalesce(c1, 0) + 1 AS DOUBLE) /
+                            CAST(n1 + 20 AS DOUBLE)) /
+                           (CAST(coalesce(c2, 0) + 1 AS DOUBLE) /
+                            CAST(n2 + 20 AS DOUBLE))) * 1e12)
+                        AS BIGINT) AS t
+                    FROM grid)
+         SELECT event_type, max(n1) AS n_even, max(n2) AS n_odd,
+                CAST(sum(t) AS BIGINT) AS psi_q12,
+                (CAST(sum(t) AS BIGINT) >= 200000000000) AS drift_flag
+         FROM terms GROUP BY 1""",
+
     "q370_percentile_cont" ->
       """WITH counts AS (
            SELECT l_returnflag AS grp, l_extendedprice AS v, count(*) AS c

@@ -201,6 +201,18 @@ object SimilarityQueries {
       Similarity.ndcgAtK(approx, truth, K)
     }),
 
+    // int8 serving-quantization recall audit: recall@10 of the
+    // integer-dot int8 ranking (q261's codes) against the f32
+    // brute-force truth — the "what does 4x memory compression cost in
+    // ranking" number an embedding-serving deployment reads before
+    // switching formats
+    "q548_int8_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(e, e.where(expr(QUERY_PRED)), K)
+      val approx = Similarity.int8TopK(e, e.where(expr(QUERY_PRED)), K)
+      Similarity.recallAtK(approx, truth, K)
+    }),
+
     // IVF coarse-quantization ANN: 16 deterministic-seed cells, queries
     // probe the 4 nearest cells, exact re-rank within them
     "q74_sim_ivf_topk" -> ((s, d) => {
@@ -544,6 +556,53 @@ object SimilarityQueries {
             FROM scored)
           SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K""",
+
+    "q548_int8_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          qr AS (SELECT * FROM e WHERE $QUERY_PRED),
+          tscored AS (
+            SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cosSql("qr.emb", "c.emb")} AS cos
+            FROM e c CROSS JOIN qr
+            WHERE qr.vec_id <> c.vec_id),
+          truth AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM tscored QUALIFY rank <= $K),
+          cz AS (SELECT vec_id,
+                   list_transform(emb, x -> CAST(least(greatest(
+                     round(x / (greatest(list_max(list_transform(emb,
+                       v -> abs(v))), 1e-30) / 127.0)), -127.0), 127.0)
+                     AS BIGINT)) AS q
+                 FROM e),
+          cs AS (SELECT vec_id, q,
+                   CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT)
+                     AS sf
+                 FROM cz),
+          ascored AS (
+            SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                   CAST(${dotSql("qq.q", "cc.q")} AS DOUBLE) /
+                     (sqrt(CAST(qq.sf AS DOUBLE)) *
+                      sqrt(CAST(cc.sf AS DOUBLE))) AS cos
+            FROM cs cc CROSS JOIN (SELECT * FROM cs WHERE $QUERY_PRED) qq
+            WHERE qq.vec_id <> cc.vec_id),
+          approx AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ascored QUALIFY rank <= $K),
+          hits AS (
+            SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM approx a JOIN truth t
+              ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+            GROUP BY 1),
+          tc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+                 FROM truth GROUP BY 1)
+          SELECT tc.query_id,
+            ROUND(coalesce(n_hit, 0) * 1.0 / n_truth, 6) AS recall
+          FROM tc LEFT JOIN hits ON tc.query_id = hits.query_id""",
 
     "q155_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

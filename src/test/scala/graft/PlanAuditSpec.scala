@@ -243,6 +243,13 @@ class PlanAuditSpec extends SparkSpec {
     // total cross the value-domain grid — q540's scalar shape; the
     // cumulatives are source-partitioned windows
     "q545_wasserstein_length",
+    // q546: cumulativeByValueAuto's machine-bounded fast path over the
+    // score domain, plus the 1-row total / max-J / threshold frames
+    // crossJoin-broadcast back — q166 + q198's scalar shapes
+    "q546_youden_threshold",
+    // q547: the 20-bin range frame crosses the type-domain (bounded)
+    // stats frame — q411's tiny-grid shape
+    "q547_psi_drift",
     // q429: the largest-remainder rank runs over the 25-row BRAND
     // frame (bounded domain) with its 1-row denominator — q221's
     // gains-table shape
@@ -370,6 +377,9 @@ class PlanAuditSpec extends SparkSpec {
     // they inherit q26's broadcast-query-set scan
     // q268 inherits the same broadcast-query-set scan as q149/q155
     "q149_ann_ndcg", "q155_ann_recall", "q268_ann_mrr",
+    // q548 evaluates the int8 ranking against the brute truth — two
+    // broadcast-query-set scans, q155's shape
+    "q548_int8_recall",
     // q327 inherits q26's broadcast-query-set brute scan
     "q327_knn_classify",
     // q456: the 3x3 grid-offset frame (NINE rows) crossJoin-broadcasts
