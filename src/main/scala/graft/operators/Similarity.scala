@@ -114,18 +114,15 @@ object Similarity {
     * cands: (query_id, cand_id, relq); sims: (query_id, ca, cb, simq)
     * with BOTH orientations present. Emits (query_id, pos, cand_id,
     * rel_q6, mmr_q6) with mmr_q6 = lamNum·rel − (lamDen−lamNum)·maxSim
-    * (position 1 has no diversity term). */
-  /** Greedy maximal-marginal-relevance selection, computed ROW-LOCALLY
-    * per query: the per-query state is k-bounded by construction (≤k
-    * candidates, ≤k² candidate-pair sims), so instead of k rounds of
-    * join + window jobs (the previous plan: ~3 jobs × k rounds of
-    * fixed overhead for frames that never exceed queries×k rows) the
-    * candidates and sims are grouped into per-query arrays — ONE
-    * shuffle each — and the greedy argmax loop runs inside a scalar
-    * UDF over those bounded arrays. Same integer arithmetic the SQL
-    * oracle unrolls: mmr = lamNum·rel − (lamDen−lamNum)·maxSim, ties
-    * to the smaller cand_id; a candidate with no sim to any chosen row
-    * is skipped that round (mirrors the previous plan's inner join). */
+    * (position 1 has no diversity term).
+    *
+    * Computed ROW-LOCALLY per query: the per-query state is k-bounded
+    * by construction (≤k candidates, ≤k² candidate-pair sims), so
+    * instead of k rounds of join + window jobs the candidates and sims
+    * are grouped into per-query arrays — ONE shuffle each — and the
+    * greedy argmax loop runs inside a scalar UDF over those bounded
+    * arrays. A candidate with no sim to any chosen row is skipped that
+    * round (mirrors the join-based plan's inner join). */
   def mmrRerank(cands: DataFrame, sims: DataFrame, k: Int,
                 lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
     require(k >= 1 && lamNum >= 0 && lamNum <= lamDen,

@@ -366,6 +366,33 @@ object CurationQueries {
               .cast("double"), 6).as("w1_chars"))
     }),
 
+    // deterministic training-order shuffle: every epoch needs a
+    // different, REPLAYABLE global permutation of the corpus (resume a
+    // crashed run at batch N, or audit which docs a checkpoint saw).
+    // Position(doc, epoch) = rank of md5('epk:'||doc_id) — computed as
+    // the cumulative count over the hash-value domain via the
+    // machine-bounded cumulativeByValueAuto prefix sum, NOT a global
+    // row_number sort, so the permutation materializes with no
+    // single-partition pass at any corpus size. Emits both epochs'
+    // positions; batch = position div 64.
+    "q549_epoch_shuffle" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      def positions(epoch: Int, posAs: String, batchAs: String) = {
+        val h = docs.select(col("doc_id"), TextAnalysis.hash60(
+          concat(lit(s"ep$epoch:"), col("doc_id").cast("string"))).as("v"))
+        val counts = h.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        val cum = graft.operators.DataQuality
+          .cumulativeByValueAuto(counts, Seq("c"))
+        // md5 collisions share a cum value; doc_id disambiguates inside
+        // the tied (negligible, deterministic) group
+        h.join(cum, Seq("v"))
+          .select(col("doc_id"), (col("cum_c") - 1).as(posAs))
+          .withColumn(batchAs, expr(s"$posAs div 64"))
+      }
+      positions(1, "pos_ep1", "batch_ep1")
+        .join(positions(2, "pos_ep2", "batch_ep2"), Seq("doc_id"))
+    }),
+
     // Gopher-style repetition filter signal: fraction of word 3-gram
     // positions whose shingle already occurred in the document
     "q101_curation_repetition" -> ((s, d) => {
@@ -1852,6 +1879,29 @@ object CurationQueries {
                   CAST(CAST(max(nsrc) AS DECIMAL(19,0)) * max(n) AS DOUBLE),
                   6) AS w1_chars
          FROM grid WHERE gap IS NOT NULL GROUP BY source""",
+
+    "q549_epoch_shuffle" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+          h1 AS (SELECT doc_id,
+                   ${H60("'ep1:' || CAST(doc_id AS VARCHAR)")} AS v
+                 FROM docs),
+          c1 AS (SELECT v, count(*) AS c FROM h1 GROUP BY 1),
+          m1 AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c1),
+          p1 AS (SELECT doc_id, CAST(cum - 1 AS BIGINT) AS pos_ep1,
+                   CAST((cum - 1) // 64 AS BIGINT) AS batch_ep1
+                 FROM h1 JOIN m1 USING (v)),
+          h2 AS (SELECT doc_id,
+                   ${H60("'ep2:' || CAST(doc_id AS VARCHAR)")} AS v
+                 FROM docs),
+          c2 AS (SELECT v, count(*) AS c FROM h2 GROUP BY 1),
+          m2 AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c2),
+          p2 AS (SELECT doc_id, CAST(cum - 1 AS BIGINT) AS pos_ep2,
+                   CAST((cum - 1) // 64 AS BIGINT) AS batch_ep2
+                 FROM h2 JOIN m2 USING (v))
+         SELECT p1.doc_id, pos_ep1, batch_ep1, pos_ep2, batch_ep2
+         FROM p1 JOIN p2 USING (doc_id)""",
 
     "q542_boilerplate_prefix" ->
       s"""WITH pre AS (SELECT doc_id, array_to_string(

@@ -250,6 +250,9 @@ class PlanAuditSpec extends SparkSpec {
     // q547: the 20-bin range frame crosses the type-domain (bounded)
     // stats frame — q411's tiny-grid shape
     "q547_psi_drift",
+    // q549: two cumulativeByValueAuto prefix sums over the md5 hash
+    // domain — the machine-bounded fast path / two-level fallback
+    "q549_epoch_shuffle",
     // q429: the largest-remainder rank runs over the 25-row BRAND
     // frame (bounded domain) with its 1-row denominator — q221's
     // gains-table shape
