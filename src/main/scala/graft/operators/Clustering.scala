@@ -141,6 +141,55 @@ object Clustering {
       .select(col("id"), col("cluster"), col("dist"))
   }
 
+  /** Gonzalez farthest-point k-center selection (the classic 2-approx
+    * coreset / diverse-subset picker a training-data pipeline uses to
+    * seed clustering or pick a representative sample): start from the
+    * smallest id, then k−1 rounds of "argmax over the corpus of the
+    * min integer distance to the chosen set" (1e6-quantized squared
+    * Euclidean, ties to the smaller id — the argmax compares the total
+    * (d, −id) struct, so it is deterministic cross-engine and the
+    * oracle unrolls every round).
+    *
+    * Scale: k full-corpus aggregations (the Gonzalez lower bound) with
+    * centers riding as plan literals — each round is one narrow
+    * codegen map + one max_by agg, no shuffle beyond the agg, and the
+    * projected corpus is persisted across rounds. Emits
+    * (round, center_id, dmin_q): each pick's distance to the
+    * previously chosen set (round 1 → 0). */
+  def kCenterGreedy(df: DataFrame, id: Column, vec: Column,
+                    k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2,64]: $k")
+    val spark = df.sparkSession
+    val e = df.select(id.as("id"),
+      transform(vec.cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("xq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sqDist(c: Array[Long]): Column = {
+      val cl = array(c.map(lit): _*)
+      aggregate(zip_with(col("xq"), cl, (x, s) => (x - s) * (x - s)),
+        lit(0L), (acc, v) => acc + v)
+    }
+    val first = e.orderBy(col("id")).limit(1).collect()(0)
+    val chosen = scala.collection.mutable.Buffer(
+      (first.getLong(0), first.getSeq[Long](1).toArray, 0L))
+    for (_ <- 2 to k) {
+      val ds = chosen.toSeq.map(c => sqDist(c._2))
+      val dmin = if (ds.size == 1) ds.head else least(ds: _*)
+      val pick = e.select(col("id"), col("xq"), dmin.as("dm"))
+        .agg(max_by(struct(col("id"), col("xq"), col("dm")),
+          struct(col("dm"), (-col("id")).as("nid"))).as("p"))
+        .select(col("p.id"), col("p.xq"), col("p.dm"))
+        .collect()(0)
+      chosen += ((pick.getLong(0), pick.getSeq[Long](1).toArray,
+        pick.getLong(2)))
+    }
+    e.unpersist(blocking = false)
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((cid, _, d), i) => (i + 1, cid, d) }.toSeq
+      .toDF("round", "center_id", "dmin_q")
+  }
+
   /** ONE exact Lloyd round — the hash-gated companion to
     * [[kmeansAssign]], whose spark.ml fit carries float-sum order
     * jitter and is rows-only by necessity. Seeds are the embeddings of

@@ -242,6 +242,47 @@ object Graph {
     out
   }
 
+  /** Deterministic DeepWalk-style random walks: from every node, `len`
+    * md5-seeded uniform neighbor steps over the (directed) adjacency.
+    * Step s from node v on a walk started at `start` picks neighbor
+    * rank pmod(hash60("walk:start:s:v"), outdeg(v)) + 1 — seeded by
+    * the (start, step, current) triple so walks diverge like real
+    * draws, yet replay bit-identically in SQL (the corpus-prep step
+    * for skip-gram graph embeddings; the walk table IS the training
+    * corpus). Dead-end nodes terminate their walk (null steps).
+    *
+    * Scale: adjacency ranks are one src-partitioned window; each step
+    * is one equi-join on the node key — len joins total, no iteration
+    * state on the driver. */
+  def randomWalks(edges: DataFrame, src: Column, dst: Column,
+                  len: Int): DataFrame = {
+    require(len >= 1 && len <= 8, s"len must be in [1,8]: $len")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(src.as("s"), dst.as("d")).distinct()
+    val adj = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("d"))))
+      .withColumn("odeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+    val nodes = e.select(col("s").as("start")).distinct()
+    var walk = nodes.withColumn("cur", col("start"))
+    val hash60 = graft.functions.TextAnalysis.hash60(_: Column)
+    for (step <- 1 to len) {
+      val pick = adj.select(col("s").as("pc"), col("d").as("nxt"),
+        col("rn"), col("odeg"))
+      walk = walk.join(pick,
+          col("cur") === col("pc") &&
+            col("rn") === pmod(hash60(concat_ws(":", lit("walk"),
+              col("start"), lit(step), col("cur"))), col("odeg")) + 1,
+          "left")
+        .select(col("start") +:
+          (1 until step).map(i => col(s"n$i")) :+
+          col("nxt").as(s"n$step"): _*)
+        .withColumn("cur", col(s"n$step"))
+    }
+    walk.drop("cur")
+  }
+
   /** k-truss peeling for a FIXED number of rounds: each round drops
     * every edge with triangle support &lt; k−2, then support is
     * recomputed on the survivors. Fixed rounds keep the computation

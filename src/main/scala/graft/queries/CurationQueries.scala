@@ -393,6 +393,34 @@ object CurationQueries {
         .join(positions(2, "pos_ep2", "batch_ep2"), Seq("doc_id"))
     }),
 
+    // per-source "data card": the one-row-per-source release summary a
+    // dataset publisher ships — volume (docs, chars, exact mean),
+    // dominant language (mode, ties to the lexicographically smaller
+    // tag via a total min_by ordering), and the within-source exact-dup
+    // doc count. Three hash aggs + one broadcast join; every number is
+    // an exact integer or ONE IEEE division.
+    "q551_data_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"))
+      val topLang = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(min_by(col("lang"),
+          struct((-col("cnt")).as("nc"), col("lang"))).as("top_lang"))
+      val dups = docs.select(col("source"), md5(col("text")).as("dg"))
+        .groupBy(col("source"), col("dg")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+        .groupBy(col("source")).agg(sum(col("c")).as("dup_docs"))
+      base.join(broadcast(topLang), Seq("source"))
+        .join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          round(col("total_chars").cast("double") /
+            col("n_docs").cast("double"), 6).as("mean_chars"),
+          col("top_lang"), coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+    }),
+
     // Gopher-style repetition filter signal: fraction of word 3-gram
     // positions whose shingle already occurred in the document
     "q101_curation_repetition" -> ((s, d) => {
@@ -1879,6 +1907,27 @@ object CurationQueries {
                   CAST(CAST(max(nsrc) AS DECIMAL(19,0)) * max(n) AS DOUBLE),
                   6) AS w1_chars
          FROM grid WHERE gap IS NOT NULL GROUP BY source""",
+
+    "q551_data_card" ->
+      """WITH base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_chars) AS BIGINT) AS total_chars
+                       FROM documents GROUP BY 1),
+          lng AS (SELECT source, lang, count(*) AS cnt
+                  FROM documents GROUP BY 1, 2),
+          tl AS (SELECT source, lang AS top_lang FROM (
+                   SELECT source, lang, row_number() OVER (
+                     PARTITION BY source ORDER BY cnt DESC, lang) AS rk
+                   FROM lng) WHERE rk = 1),
+          dup AS (SELECT source, CAST(sum(c) AS BIGINT) AS dup_docs FROM (
+                    SELECT source, md5(text) AS dg, count(*) AS c
+                    FROM documents GROUP BY 1, 2 HAVING count(*) > 1)
+                  GROUP BY 1)
+         SELECT b.source, b.n_docs, b.total_chars,
+                ROUND(CAST(b.total_chars AS DOUBLE) /
+                  CAST(b.n_docs AS DOUBLE), 6) AS mean_chars,
+                tl.top_lang, coalesce(dup.dup_docs, 0) AS dup_docs
+         FROM base b JOIN tl USING (source)
+         LEFT JOIN dup USING (source)""",
 
     "q549_epoch_shuffle" ->
       s"""WITH docs AS (SELECT doc_id FROM documents),

@@ -188,6 +188,23 @@ object DedupQueries {
       Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
     }),
 
+    // DeepWalk corpus prep: 3-step md5-seeded random walks from every
+    // node of the (undirected) part-affinity graph — the walk table a
+    // skip-gram graph-embedding trainer consumes; seeds key on
+    // (start, step, current) so walks diverge like real draws yet
+    // replay exactly
+    "q552_random_walks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      val und = e0.unionByName(
+        e0.select(col("pb").as("pa"), col("pa").as("pb")))
+      graft.operators.Graph.randomWalks(und, col("pa"), col("pb"), len = 3)
+    }),
+
     // 4-truss of the part-affinity graph (q190's edges): two fixed
     // peel rounds drop every edge in fewer than 2 triangles, support
     // recomputed on survivors — the cohesion filter that separates
@@ -848,6 +865,32 @@ object DedupQueries {
                  (SELECT count(*) FROM e0 x
                     JOIN e0 y ON y.a = x.a AND y.b > x.b
                     JOIN e0 z ON z.a = x.b AND z.b = y.b) AS n_triangles""",
+
+    "q552_random_walks" -> {
+      def seed(step: Int, cur: String) =
+        s"'walk:' || CAST(start AS VARCHAR) || ':$step:' || CAST($cur AS VARCHAR)"
+      def hop(step: Int, prevCte: String, cur: String, cols: String) =
+        s"""w$step AS (SELECT $prevCte.start, $cols a.d AS n$step
+            FROM $prevCte LEFT JOIN adj a
+            ON a.s = $prevCte.$cur
+              AND a.rn = ${H60(seed(step, s"$prevCte.$cur"))} % a.odeg + 1)"""
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                      WHERE l_quantity > 40),
+          e0 AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                 FROM li a JOIN li b
+                   ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey),
+          e AS (SELECT pa AS s, pb AS d FROM e0
+                UNION SELECT pb, pa FROM e0),
+          adj AS (SELECT s, d, row_number() OVER (
+                    PARTITION BY s ORDER BY d) AS rn,
+                  count(*) OVER (PARTITION BY s) AS odeg FROM e),
+          n0 AS (SELECT DISTINCT s AS start FROM e),
+          ${hop(1, "n0", "start", "")},
+          ${hop(2, "w1", "n1", "w1.n1,")},
+          ${hop(3, "w2", "n2", "w2.n1, w2.n2,")}
+         SELECT start, n1, n2, n3 FROM w3"""
+    },
 
     "q532_ktruss" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem

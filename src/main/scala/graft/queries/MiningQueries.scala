@@ -411,6 +411,16 @@ object MiningQueries {
           round(raw, 6).as("support"))
     }),
 
+    // Gonzalez farthest-point k-center coreset: the diverse-subset /
+    // clustering-seed picker (2-approx to the optimal k-center cover);
+    // deterministic smallest-id start, 7 argmax rounds over exact
+    // integer distances, ties to the smaller id — every round unrolled
+    // in the oracle
+    "q550_kcenter_coreset" -> ((s, d) => {
+      graft.operators.Clustering.kCenterGreedy(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), k = 8)
+    }),
+
     // Bradley-Terry preference strengths from pairwise outcomes — the
     // aggregation an LLM-eval pipeline runs over judge votes. Games:
     // same-order lineitem pairs of different brands, higher quantity
@@ -504,6 +514,34 @@ object MiningQueries {
                ON t.event_type = se.event_type AND t.phase = se.phase)"""
 
   val oracles: Map[String, String] = Map(
+    "q550_kcenter_coreset" -> {
+      val k = 8
+      def dSql(ref: String) =
+        s"""list_sum(list_transform(range(1, len(q.xq) + 1), i ->
+           (q.xq[CAST(i AS INT)] - $ref.xq[CAST(i AS INT)]) *
+           (q.xq[CAST(i AS INT)] - $ref.xq[CAST(i AS INT)])))"""
+      val rounds = (2 to k).map { r =>
+        val prev = (1 until r).map(i => if (i == 1) "c1" else s"r$i")
+        val dm = if (prev.size == 1) dSql(prev.head)
+                 else "least(" + prev.map(dSql).mkString(", ") + ")"
+        s"""r$r AS (SELECT q.id, q.xq, CAST($dm AS BIGINT) AS dm
+            FROM q ${prev.map(p => s"CROSS JOIN $p").mkString(" ")}
+            ORDER BY dm DESC, q.id LIMIT 1)"""
+      }.mkString(",\n          ")
+      val sel = (Seq(
+        "SELECT 1 AS round, id AS center_id, CAST(0 AS BIGINT) AS dmin_q FROM c1") ++
+        (2 to k).map(r => s"SELECT $r, id, dm FROM r$r"))
+        .mkString("\n         UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS id,
+                       list_transform(embedding, x ->
+                         CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+                         AS xq
+                     FROM embeddings),
+          c1 AS (SELECT id, xq FROM q ORDER BY id LIMIT 1),
+          $rounds
+         $sel"""
+    },
+
     "q530_kmeans_lloyd_exact" ->
       """WITH q AS (SELECT vec_id,
                       list_transform(embedding, x ->
