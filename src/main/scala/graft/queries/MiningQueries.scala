@@ -411,6 +411,48 @@ object MiningQueries {
           round(raw, 6).as("support"))
     }),
 
+    // preference-consistency audit over q533's pairwise outcomes: how
+    // many decided brand triads are CYCLIC (a beats b beats c beats a)
+    // vs transitive — the intransitivity rate that tells an RLHF/eval
+    // pipeline whether its pairwise judgments support a total ranking
+    // at all. Decided edges (strict win majority) live on the bounded
+    // brand domain, so the triangle joins are tiny equi-joins; each
+    // cycle canonicalizes at its smallest node (counted once).
+    "q554_preference_cycles" -> ((s, d) => {
+      val pl = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"),
+          col("l_quantity").cast("decimal(12,2)").as("q"))
+      val dw = pl.as("a").join(pl.as("b"),
+          col("a.ok") === col("b.ok") && col("a.b") =!= col("b.b") &&
+            col("a.q") > col("b.q"))
+        .groupBy(col("a.b").as("wi"), col("b.b").as("lo"))
+        .agg(count(lit(1)).as("w"))
+      // decided edge i -> j iff wins(i over j) > wins(j over i)
+      val dec = dw.as("x").join(dw.as("y"),
+          col("x.wi") === col("y.lo") && col("x.lo") === col("y.wi"), "left")
+        .where(col("x.w") > coalesce(col("y.w"), lit(0L)))
+        .select(col("x.wi").as("u"), col("x.lo").as("v"))
+      val cyc = dec.as("e1")
+        .join(dec.as("e2"), col("e1.v") === col("e2.u"))
+        .join(dec.as("e3"), col("e2.v") === col("e3.u") &&
+          col("e3.v") === col("e1.u"))
+        .where(col("e1.u") < col("e1.v") && col("e1.u") < col("e2.v"))
+        .agg(count(lit(1)).as("n_cyclic"))
+      // transitive triads: a->b, b->c, a->c (each counted once as-is)
+      val tr = dec.as("e1")
+        .join(dec.as("e2"), col("e1.v") === col("e2.u"))
+        .join(dec.as("e3"), col("e1.u") === col("e3.u") &&
+          col("e2.v") === col("e3.v"))
+        .agg(count(lit(1)).as("n_transitive"))
+      val nd = dec.agg(count(lit(1)).as("n_decided"))
+      cyc.crossJoin(tr).crossJoin(nd)
+        .select(col("n_decided"), col("n_cyclic"), col("n_transitive"),
+          round(col("n_cyclic").cast("double") /
+            (col("n_cyclic") + col("n_transitive")).cast("double"), 6)
+            .as("cycle_rate"))
+    }),
+
     // Gonzalez farthest-point k-center coreset: the diverse-subset /
     // clustering-seed picker (2-approx to the optimal k-center cover);
     // deterministic smallest-id start, 7 argmax rounds over exact
@@ -608,6 +650,31 @@ object MiningQueries {
          FROM pr CROSS JOIN nu
          GROUP BY 1, 2, 4
          HAVING CAST(count(*) AS DOUBLE) / CAST(n_users AS DOUBLE) >= 0.1""",
+
+    "q554_preference_cycles" ->
+      """WITH pl AS (SELECT l_orderkey AS ok, p_brand AS b,
+                       CAST(l_quantity AS DECIMAL(12,2)) AS q
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+          mt AS (SELECT a.b AS wi, b.b AS lo FROM pl a JOIN pl b
+                 ON a.ok = b.ok AND a.b <> b.b AND a.q > b.q),
+          dw AS (SELECT wi, lo, CAST(count(*) AS BIGINT) AS w
+                 FROM mt GROUP BY 1, 2),
+          dec AS (SELECT x.wi AS u, x.lo AS v
+                  FROM dw x LEFT JOIN dw y
+                    ON x.wi = y.lo AND x.lo = y.wi
+                  WHERE x.w > coalesce(y.w, 0)),
+          cyc AS (SELECT CAST(count(*) AS BIGINT) AS n_cyclic
+                  FROM dec e1 JOIN dec e2 ON e1.v = e2.u
+                    JOIN dec e3 ON e2.v = e3.u AND e3.v = e1.u
+                  WHERE e1.u < e1.v AND e1.u < e2.v),
+          tr AS (SELECT CAST(count(*) AS BIGINT) AS n_transitive
+                 FROM dec e1 JOIN dec e2 ON e1.v = e2.u
+                   JOIN dec e3 ON e1.u = e3.u AND e2.v = e3.v),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_decided FROM dec)
+         SELECT n_decided, n_cyclic, n_transitive,
+                ROUND(CAST(n_cyclic AS DOUBLE) /
+                  CAST(n_cyclic + n_transitive AS DOUBLE), 6) AS cycle_rate
+         FROM cyc CROSS JOIN tr CROSS JOIN nd""",
 
     "q533_bradley_terry" ->
       """WITH pl AS (SELECT l_orderkey AS ok, p_brand AS b,

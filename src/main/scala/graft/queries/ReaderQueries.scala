@@ -30,6 +30,33 @@ object ReaderQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // parquet schema evolution: a v1 writer (doc_id, text_len) and a
+    // widened v2 writer (+lang) land in the same dataset dir; the
+    // mergeSchema read unifies them, v1 rows null-filling the new
+    // column — the upgrade-in-place every long-lived lakehouse table
+    // goes through. File mechanics are the tested surface; the oracle
+    // replays the CONTENT analytically (doc_id parity decides the
+    // writer version — q521's scaffold pattern).
+    "q553_schema_evolution" -> ((s, d) => {
+      val dir = "/root/repo/target/roundtrip/schema_evolution"
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del)
+        f.delete()
+      }
+      val root = new java.io.File(dir)
+      if (root.exists()) del(root)
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).as("text_len"), col("lang"))
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text_len"))
+        .write.mode("overwrite").parquet(dir + "/v1")
+      docs.where(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(dir + "/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(dir + "/v1", dir + "/v2")
+        .select(col("doc_id"), col("text_len"), col("lang"))
+    }),
+
     // gap-based sessionization: per-user 6h-gap sessions summarized —
     // one shuffle on user_id, stacked windows share the Exchange
     "q137_sessionize" -> ((s, d) => {
@@ -382,6 +409,11 @@ object ReaderQueries {
         FROM embeddings"""
 
   val oracles: Map[String, String] = Map(
+    "q553_schema_evolution" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS text_len,
+                CASE WHEN doc_id % 2 <> 0 THEN lang END AS lang
+         FROM documents""",
+
     "q154_cooccurrence_lift" ->
       """WITH s AS (SELECT DISTINCT user_id AS e, event_type AS i FROM events),
           n AS (SELECT CAST(count(DISTINCT e) AS BIGINT) AS n_entities FROM s),

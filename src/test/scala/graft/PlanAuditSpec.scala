@@ -253,6 +253,9 @@ class PlanAuditSpec extends SparkSpec {
     // q549: two cumulativeByValueAuto prefix sums over the md5 hash
     // domain — the machine-bounded fast path / two-level fallback
     "q549_epoch_shuffle",
+    // q554: the three 1-row triad/edge-count frames cross for the
+    // single readout row — q437's scalar shape
+    "q554_preference_cycles",
     // q429: the largest-remainder rank runs over the 25-row BRAND
     // frame (bounded domain) with its 1-row denominator — q221's
     // gains-table shape
