@@ -421,6 +421,49 @@ object CurationQueries {
           col("top_lang"), coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
     }),
 
+    // instruction-pair hygiene audit: treat each doc as (prompt = first
+    // 16 tokens, response = rest) and score the two degeneracy signals
+    // an SFT-data pipeline filters on — response/prompt lexical overlap
+    // (a parroting response adds no training signal) and length ratio
+    // (a truncated response under half the prompt). Pure row-local
+    // array ops at scan speed; exact integer counts, ONE IEEE division
+    // each, flags compare the raw ratios in both engines.
+    "q555_sft_pair_audit" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 16)
+      val p = array_distinct(slice(col("tk"), 1, 16))
+      val r = array_distinct(slice(col("tk"), lit(17), size(col("tk")) - 16))
+      val overlap = size(array_intersect(r, p)).cast("double") /
+        size(r).cast("double")
+      val lenRatio = (size(col("tk")) - 16).cast("double") / 16.0
+      t.select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        round(overlap, 6).as("overlap_ratio"),
+        round(lenRatio, 6).as("len_ratio"),
+        (overlap >= 0.8 || lenRatio < 0.5).as("degenerate"))
+    }),
+
+    // cleaning-funnel attribution: which Gopher rule (in pipeline
+    // order: word count → mean word length → stopwords → alpha ratio)
+    // is the FIRST to reject each doc — the per-rule drop counts that
+    // tell a curation owner which threshold actually does the cutting
+    // (q115 emits the signals; this is the funnel over them)
+    "q556_filter_attribution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      val sig = Curation.gopherQualityOf(col("__toks"),
+        minWords = 25, maxWords = 80, minMeanLen = 4.0, maxMeanLen = 10.0,
+        minStopWords = 1, minAlphaRatio = 0.8).toMap
+      docs.select(
+          when(!sig("n_words").between(25, 80), lit("n_words"))
+            .when(!sig("mean_word_len").between(4.0, 10.0),
+              lit("mean_word_len"))
+            .when(sig("n_stop") < 1, lit("n_stop"))
+            .when(sig("alpha_ratio") < 0.8, lit("alpha_ratio"))
+            .otherwise(lit("pass")).as("first_fail"))
+        .groupBy(col("first_fail")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Gopher-style repetition filter signal: fraction of word 3-gram
     // positions whose shingle already occurred in the document
     "q101_curation_repetition" -> ((s, d) => {
@@ -1907,6 +1950,48 @@ object CurationQueries {
                   CAST(CAST(max(nsrc) AS DECIMAL(19,0)) * max(n) AS DOUBLE),
                   6) AS w1_chars
          FROM grid WHERE gap IS NOT NULL GROUP BY source""",
+
+    "q555_sft_pair_audit" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+                    FROM documents),
+          f AS (SELECT doc_id, tk,
+                  list_distinct(tk[1:16]) AS p,
+                  list_distinct(tk[17:len(tk)]) AS r
+                FROM t WHERE len(tk) > 16),
+          m AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+                  CAST(len(list_intersect(r, p)) AS DOUBLE) /
+                    CAST(len(r) AS DOUBLE) AS ov,
+                  CAST(len(tk) - 16 AS DOUBLE) / 16.0 AS lr
+                FROM f)
+         SELECT doc_id, n_tokens, ROUND(ov, 6) AS overlap_ratio,
+                ROUND(lr, 6) AS len_ratio,
+                (ov >= 0.8 OR lr < 0.5) AS degenerate
+         FROM m""",
+
+    "q556_filter_attribution" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(toks) AS n,
+             CASE WHEN len(toks) > 0
+               THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS ml,
+             len(list_filter(toks, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'], x))) AS ns,
+             CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS ar
+           FROM t)
+         SELECT CASE
+             WHEN NOT (n BETWEEN 25 AND 80) THEN 'n_words'
+             WHEN NOT (ml BETWEEN 4.0 AND 10.0) THEN 'mean_word_len'
+             WHEN ns < 1 THEN 'n_stop'
+             WHEN ar < 0.8 THEN 'alpha_ratio'
+             ELSE 'pass' END AS first_fail,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM m GROUP BY 1""",
 
     "q551_data_card" ->
       """WITH base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
