@@ -550,6 +550,27 @@ object DedupQueries {
       Dedup.connectedComponents(pairs)
     }),
 
+    // the dedup BUSINESS readout over q86's clusters: how many docs the
+    // min-id-keeper policy would drop and the corpus-level savings rate
+    // — the number that justifies (or kills) running dedup at all
+    "q557_dedup_savings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+        k = 3, numHashes = 12, numBands = 6, threshold = 0.35)
+      val cl = Dedup.connectedComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      val st = cl.agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("docs_in_clusters"),
+        max(col("sz")).as("max_cluster"))
+      val tot = docs.agg(count(lit(1)).as("n_docs"))
+      st.crossJoin(broadcast(tot)).select(
+        col("n_docs"), col("docs_in_clusters"), col("n_clusters"),
+        col("max_cluster"),
+        (col("docs_in_clusters") - col("n_clusters")).as("n_dropped"),
+        round((col("docs_in_clusters") - col("n_clusters")).cast("double") /
+          col("n_docs").cast("double"), 6).as("savings_rate"))
+    }),
+
     // B-cubed precision/recall/F1 of the LSH near-dup clustering (q86's
     // system) against exact-text duplicate groups as gold — the
     // standard extrinsic evaluation of an ER/dedup clustering, computed
@@ -1340,6 +1361,30 @@ object DedupQueries {
               / (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
                  + CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS bcubed_f1
           FROM ssum, tot""",
+
+    "q557_dedup_savings" ->
+      s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
+          pairs AS (SELECT id_a, id_b FROM cand WHERE $PAIR_JACCARD >= 0.35),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS n FROM edges),
+          reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+          comp AS (SELECT n AS doc_id, MIN(m) AS component
+                   FROM reach GROUP BY n),
+          cl AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                 FROM comp GROUP BY 1),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+                        CAST(sum(sz) AS BIGINT) AS docs_in_clusters,
+                        CAST(max(sz) AS BIGINT) AS max_cluster FROM cl),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT n_docs, docs_in_clusters, n_clusters, max_cluster,
+                docs_in_clusters - n_clusters AS n_dropped,
+                ROUND(CAST(docs_in_clusters - n_clusters AS DOUBLE) /
+                  CAST(n_docs AS DOUBLE), 6) AS savings_rate
+         FROM st CROSS JOIN tot""",
 
     "q86_dedup_components" ->
       s"""WITH RECURSIVE $MINHASH_PAIR_CTES,

@@ -256,6 +256,9 @@ class PlanAuditSpec extends SparkSpec {
     // q554: the three 1-row triad/edge-count frames cross for the
     // single readout row — q437's scalar shape
     "q554_preference_cycles",
+    // q557: the 1-row cluster-stats and corpus-total frames cross for
+    // the single readout row — q437's scalar shape
+    "q557_dedup_savings",
     // q429: the largest-remainder rank runs over the 25-row BRAND
     // frame (bounded domain) with its 1-row denominator — q221's
     // gains-table shape
