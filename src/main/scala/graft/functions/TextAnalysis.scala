@@ -218,9 +218,12 @@ object TextAnalysis {
         Some(acc.fold(when(hit, branch))(_.when(hit, branch)))
     }.get
     val wordLang = languageIdFrom(words)
+    // totalHits === 0 ⟺ wordLang === "und" (languageIdFrom's first
+    // branch is max(scores) === 0), but tests the already-computed sum
+    // instead of re-evaluating the 19-branch argmax chain per row
     scriptCase.otherwise(struct(
       wordLang.as("lang"),
-      when(wordLang === "und", 0.0)
+      when(totalHits === 0, 0.0)
         .otherwise(round(maxHits.cast("double") / totalHits, 6))
         .as("confidence")))
   }

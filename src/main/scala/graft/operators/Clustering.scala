@@ -216,6 +216,7 @@ object Clustering {
     val e = df.select(id.as("id"),
       transform(vec.cast("array<double>"),
         x => round(x * 1e6).cast("long")).as("xq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds: Array[Array[Long]] = e.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     val dims = seeds.head.length
@@ -236,13 +237,17 @@ object Clustering {
       (cell, m)
     }
     val (cell0, _) = argmin(sqDist(seeds))
+    // cache the assigned frame: it feeds the mean collect AND the
+    // returned re-assignment scan (the k·d argmin is not free twice)
     val a0 = e.select(col("id"), col("xq"), cell0.as("cell0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact per-(cell,dim) mean, re-quantized HALF_UP — k×d fit scalar
     val meanRows = a0
       .select(col("cell0"), posexplode(col("xq")).as(Seq("dim", "x")))
       .groupBy(col("cell0"), col("dim"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       .collect()
+    e.unpersist(blocking = false)
     val refined: Array[Array[Long]] = seeds.map(_.clone())
     meanRows.foreach { r =>
       refined(r.getAs[Number](0).intValue)(r.getAs[Number](1).intValue) =

@@ -443,15 +443,21 @@ object Curation {
     * fewer than two tokens score 0. Two vocabulary-keyed shuffles
     * (bigram counts, context counts) and two joins back — the same
     * distributed shape as the unigram fit, one order higher. */
+  /** Adjacent (w1, w2) bigram structs of a token array — empty for
+    * arrays under two tokens. Shared by the bigram LM fits and the PMI
+    * collocation query so the Spark side cannot drift between them
+    * (the DuckDB twin is the `[toks[i] ... for i in range]` fragment). */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
   def bigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
     import graft.functions.TextAnalysis.tokens
     val t = df.select(id.as("doc_id"), tokens(text).as("__toks"))
-    val bi = t.select(col("doc_id"),
-        explode(when(size(col("__toks")) >= 2,
-          transform(sequence(lit(1), size(col("__toks")) - 1),
-            i => struct(element_at(col("__toks"), i).as("w1"),
-              element_at(col("__toks"), i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+    val bi = t.select(col("doc_id"), explode(bigramsOf(col("__toks"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val cab = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
     val ca = bi.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
@@ -480,12 +486,7 @@ object Curation {
     import graft.functions.TextAnalysis.tokens
     require(discount > 0 && discount < 1, s"bad discount: $discount")
     val t = df.select(id.as("doc_id"), tokens(text).as("__toks"))
-    val bi = t.select(col("doc_id"),
-        explode(when(size(col("__toks")) >= 2,
-          transform(sequence(lit(1), size(col("__toks")) - 1),
-            i => struct(element_at(col("__toks"), i).as("w1"),
-              element_at(col("__toks"), i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+    val bi = t.select(col("doc_id"), explode(bigramsOf(col("__toks"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val cab = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
     val ca = bi.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
@@ -708,8 +709,17 @@ object Curation {
   def fitQualityLr(df: DataFrame, id: Column, text: Column,
                    isTarget: Column, dims: Int = 512,
                    regParam: Double = 0.01, maxIter: Int = 50)
+      : org.apache.spark.ml.classification.LogisticRegressionModel =
+    fitQualityLrOn(qualityFeatureFrame(df, id, text, isTarget, dims),
+      regParam, maxIter)
+
+  /** Fit on an ALREADY-prepared feature frame — so a caller that also
+    * scores the same frame (qualityClassifierScores) fits and
+    * transforms the one plan instead of rebuilding it and relying on
+    * cache canonicalization to deduplicate. */
+  private def fitQualityLrOn(prepared: DataFrame, regParam: Double,
+                             maxIter: Int)
       : org.apache.spark.ml.classification.LogisticRegressionModel = {
-    val prepared = qualityFeatureFrame(df, id, text, isTarget, dims)
     // score with a summary-free copy: the training summary drags the
     // SparkSession into the scoring closure (see MLStages.stripTrainingSummary)
     graft.workflow.MLStages.stripTrainingSummary(
@@ -724,7 +734,7 @@ object Curation {
                               isTarget: Column, dims: Int = 512,
                               regParam: Double = 0.01, maxIter: Int = 50): DataFrame = {
     val prepared = qualityFeatureFrame(df, id, text, isTarget, dims)
-    val model = fitQualityLr(df, id, text, isTarget, dims, regParam, maxIter)
+    val model = fitQualityLrOn(prepared, regParam, maxIter)
     model.transform(prepared)
       .select(col("doc_id"),
         org.apache.spark.ml.functions.vector_to_array(col("probability"))

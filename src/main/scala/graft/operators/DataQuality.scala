@@ -1021,27 +1021,33 @@ object DataQuality {
     * SinglePartition shuffle carrying <= bound rows BY CONSTRUCTION. */
   private[graft] def cumulativeByValueAuto(counts: DataFrame,
                                            aggCols: Seq[String],
-                                           bound: Long = 10000L): DataFrame = {
-    val c = counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (c.count() <= bound) {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      c.select(col("v") +: aggCols.map(a => sum(col(a)).over(w).as(s"cum_$a")): _*)
-    } else cumulativeByValue(c, aggCols)
-  }
+                                           bound: Long = 10000L): DataFrame =
+    autoDispatch(counts, aggCols, bound, cumulativeByValue(_, _))
 
   /** [[cumulativeByValueAuto]] for exact-DECIMAL agg columns. */
   private[graft] def cumulativeDecimalByValueAuto(counts: DataFrame,
                                                   aggCols: Seq[String],
-                                                  bound: Long = 10000L): DataFrame = {
+                                                  bound: Long = 10000L): DataFrame =
+    autoDispatch(counts, aggCols, bound, cumulativeDecimalByValue(_, _))
+
+  /** Shared fast-path/fallback dispatch for the two Auto variants —
+    * ONE copy of the bounded window so a future bound or frame tweak
+    * cannot silently diverge between the long and decimal paths. The
+    * persisted domain frame is intentionally left cached: the returned
+    * plan reads it (possibly more than once downstream), and the
+    * session-level cache hygiene (bench deepClean / clearCache between
+    * queries) reclaims it. */
+  private def autoDispatch(counts: DataFrame, aggCols: Seq[String],
+                           bound: Long,
+                           fallback: (DataFrame, Seq[String]) => DataFrame)
+      : DataFrame = {
     val c = counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (c.count() <= bound) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       c.select(col("v") +: aggCols.map(a => sum(col(a)).over(w).as(s"cum_$a")): _*)
-    } else cumulativeDecimalByValue(c, aggCols)
+    } else fallback(c, aggCols)
   }
 
   /** [[cumulativeByValue]] for exact-DECIMAL agg columns — same

@@ -264,7 +264,10 @@ object Graph {
         Window.partitionBy(col("s")).orderBy(col("d"))))
       .withColumn("odeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-    val nodes = e.select(col("s").as("start")).distinct()
+    // every node starts a walk — pure sinks included (their first hop
+    // finds no adjacency row and null-terminates, per the contract)
+    val nodes = e.select(col("s").as("start"))
+      .union(e.select(col("d").as("start"))).distinct()
     var walk = nodes.withColumn("cur", col("start"))
     val hash60 = graft.functions.TextAnalysis.hash60(_: Column)
     for (step <- 1 to len) {

@@ -301,12 +301,7 @@ object CurationQueries {
     "q544_pmi_collocations" -> ((s, d) => {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
-      val bi = t.select(explode(when(size(col("__toks")) >= 2,
-          transform(sequence(lit(1), size(col("__toks")) - 1),
-            i => struct(element_at(col("__toks"), i).as("w1"),
-              element_at(col("__toks"), i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-          .as("bg"))
+      val bi = t.select(explode(Curation.bigramsOf(col("__toks"))).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val cw = t.select(explode(col("__toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -383,10 +378,14 @@ object CurationQueries {
         val counts = h.groupBy(col("v")).agg(count(lit(1)).as("c"))
         val cum = graft.operators.DataQuality
           .cumulativeByValueAuto(counts, Seq("c"))
-        // md5 collisions share a cum value; doc_id disambiguates inside
-        // the tied (negligible, deterministic) group
-        h.join(cum, Seq("v"))
-          .select(col("doc_id"), (col("cum_c") - 1).as(posAs))
+        // exclusive prefix (cum − c) + the doc_id rank WITHIN the tied
+        // hash value, so an md5 collision still yields a true
+        // permutation (distinct consecutive positions, deterministic)
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("v")).orderBy(col("doc_id"))
+        h.join(cum, Seq("v")).join(counts, Seq("v"))
+          .select(col("doc_id"),
+            (col("cum_c") - col("c") + row_number().over(wv) - 1).as(posAs))
           .withColumn(batchAs, expr(s"$posAs div 64"))
       }
       positions(1, "pos_ep1", "batch_ep1")
@@ -2020,22 +2019,30 @@ object CurationQueries {
                    ${H60("'ep1:' || CAST(doc_id AS VARCHAR)")} AS v
                  FROM docs),
           c1 AS (SELECT v, count(*) AS c FROM h1 GROUP BY 1),
-          m1 AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+          m1 AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN
                    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c1),
-          p1 AS (SELECT doc_id, CAST(cum - 1 AS BIGINT) AS pos_ep1,
-                   CAST((cum - 1) // 64 AS BIGINT) AS batch_ep1
+          p1 AS (SELECT doc_id,
+                   CAST(cum - c + row_number() OVER (
+                     PARTITION BY v ORDER BY doc_id) - 1 AS BIGINT)
+                     AS pos_ep1
                  FROM h1 JOIN m1 USING (v)),
+          b1 AS (SELECT doc_id, pos_ep1,
+                   CAST(pos_ep1 // 64 AS BIGINT) AS batch_ep1 FROM p1),
           h2 AS (SELECT doc_id,
                    ${H60("'ep2:' || CAST(doc_id AS VARCHAR)")} AS v
                  FROM docs),
           c2 AS (SELECT v, count(*) AS c FROM h2 GROUP BY 1),
-          m2 AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+          m2 AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN
                    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c2),
-          p2 AS (SELECT doc_id, CAST(cum - 1 AS BIGINT) AS pos_ep2,
-                   CAST((cum - 1) // 64 AS BIGINT) AS batch_ep2
-                 FROM h2 JOIN m2 USING (v))
-         SELECT p1.doc_id, pos_ep1, batch_ep1, pos_ep2, batch_ep2
-         FROM p1 JOIN p2 USING (doc_id)""",
+          p2 AS (SELECT doc_id,
+                   CAST(cum - c + row_number() OVER (
+                     PARTITION BY v ORDER BY doc_id) - 1 AS BIGINT)
+                     AS pos_ep2
+                 FROM h2 JOIN m2 USING (v)),
+          b2 AS (SELECT doc_id, pos_ep2,
+                   CAST(pos_ep2 // 64 AS BIGINT) AS batch_ep2 FROM p2)
+         SELECT b1.doc_id, pos_ep1, batch_ep1, pos_ep2, batch_ep2
+         FROM b1 JOIN b2 USING (doc_id)""",
 
     "q542_boilerplate_prefix" ->
       s"""WITH pre AS (SELECT doc_id, array_to_string(

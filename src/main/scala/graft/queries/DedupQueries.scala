@@ -906,7 +906,7 @@ object DedupQueries {
           adj AS (SELECT s, d, row_number() OVER (
                     PARTITION BY s ORDER BY d) AS rn,
                   count(*) OVER (PARTITION BY s) AS odeg FROM e),
-          n0 AS (SELECT DISTINCT s AS start FROM e),
+          n0 AS (SELECT s AS start FROM e UNION SELECT d FROM e),
           ${hop(1, "n0", "start", "")},
           ${hop(2, "w1", "n1", "w1.n1,")},
           ${hop(3, "w2", "n2", "w2.n1, w2.n2,")}

@@ -182,6 +182,10 @@ object StatsQueries {
   private val mstMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def boruvkaMstFor(s: SparkSession, d: String): DataFrame = {
+    // prune entries for STOPPED sessions on every access — a long-lived
+    // multi-session JVM (the spec suites create and stop sessions) must
+    // not pin dead session graphs for its lifetime
+    mstMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (s, d)
     val cached = mstMemo.get(key)
     val alive = cached != null &&
