@@ -405,6 +405,34 @@ object Dedup {
     (sh, banded, candIds)
   }
 
+  /** Near-dup pair EXPLANATION: for every LSH pair over the threshold,
+    * the exact shared-shingle count and the first `topN` shared
+    * shingles in binary-sort order — the evidence rows a human (or an
+    * appeal process) reads when a dedup decision is challenged. Same
+    * banded candidate generation as [[minHashLshPairs]]; the
+    * explanation is a row-local array intersect over the pair's
+    * bounded shingle arrays. Emits
+    * (id_a, id_b, jaccard, n_shared, rnk, shingle). */
+  def neardupExplain(df: DataFrame, id: Column, text: Column, k: Int,
+                     numHashes: Int, numBands: Int, threshold: Double,
+                     topN: Int = 3): DataFrame = {
+    val (sh, _, candIds) = lshCandidates(df, id, text, k, numHashes, numBands)
+    val cands = candIds
+      .join(sh.select(col("doc").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    val shared = array_intersect(col("sh_a"), col("sh_b"))
+    val jac = size(shared).cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - size(shared))
+    cands.select(col("id_a"), col("id_b"), jac.as("jaccard"),
+        array_sort(shared).as("is"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+        size(col("is")).as("n_shared"),
+        posexplode(slice(col("is"), 1, topN)).as(Seq("r0", "shingle")))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("n_shared"),
+        (col("r0") + 1).as("rnk"), col("shingle"))
+  }
+
   def minHashLshPairs(df: DataFrame, id: Column, text: Column, k: Int,
                       numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
     val (sh, _, candIds) = lshCandidates(df, id, text, k, numHashes, numBands)

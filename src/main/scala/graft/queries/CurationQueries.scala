@@ -463,6 +463,30 @@ object CurationQueries {
         .groupBy(col("first_fail")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    // RAG index hygiene: exact chunk-level dedup BEFORE indexing —
+    // identical 32-token chunks (overlap-8 chunking, q175's grid)
+    // collapse to their (min doc, min idx) keeper; per doc, how many of
+    // its chunks survive and the drop rate. One digest groupBy + one
+    // keyed join back — scales like exact dedup, applied at the chunk
+    // grain where RAG duplication actually bites.
+    "q559_chunk_dedup" -> ((s, d) => {
+      val chunks = Curation.chunkByTokens(Tables.documents(s, d),
+          col("doc_id"), col("text"), chunkSize = 32, overlap = 8)
+        .select(col("doc"), col("chunk_idx"), md5(col("chunk_text")).as("dg"))
+      val keep = chunks.groupBy(col("dg"))
+        .agg(min(struct(col("doc"), col("chunk_idx"))).as("k"))
+      chunks.join(keep, Seq("dg"))
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("k.doc") === col("doc") &&
+            col("k.chunk_idx") === col("chunk_idx"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .select(col("doc").as("doc_id"), col("n_chunks"), col("n_kept"),
+          (col("n_chunks") - col("n_kept")).as("n_dropped"),
+          round((col("n_chunks") - col("n_kept")).cast("double") /
+            col("n_chunks").cast("double"), 6).as("drop_rate"))
+    }),
+
     // Gopher-style repetition filter signal: fraction of word 3-gram
     // positions whose shingle already occurred in the document
     "q101_curation_repetition" -> ((s, d) => {
@@ -1949,6 +1973,29 @@ object CurationQueries {
                   CAST(CAST(max(nsrc) AS DECIMAL(19,0)) * max(n) AS DOUBLE),
                   6) AS w1_chars
          FROM grid WHERE gap IS NOT NULL GROUP BY source""",
+
+    "q559_chunk_dedup" ->
+      """WITH t0 AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM documents),
+          u AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st
+                FROM t0),
+          ch AS (SELECT doc_id AS doc, CAST(st // 24 AS INT) AS chunk_idx,
+                   md5(array_to_string(
+                     toks[CAST(st + 1 AS INT):CAST(st + 32 AS INT)], ' '))
+                     AS dg
+                 FROM u),
+          k AS (SELECT dg, doc, chunk_idx, row_number() OVER (
+                  PARTITION BY dg ORDER BY doc, chunk_idx) AS rn FROM ch)
+         SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+                ROUND(CAST(count(*) -
+                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE), 6) AS drop_rate
+         FROM k GROUP BY doc""",
 
     "q555_sft_pair_audit" ->
       """WITH t AS (SELECT doc_id,

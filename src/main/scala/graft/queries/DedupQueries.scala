@@ -550,6 +550,15 @@ object DedupQueries {
       Dedup.connectedComponents(pairs)
     }),
 
+    // near-dup pair explanation: the exact shared-shingle evidence (top
+    // 3 in binary order + total) behind each q24-style LSH match — what
+    // a reviewer reads when a dedup drop is appealed
+    "q558_neardup_explain" -> ((s, d) => {
+      graft.operators.Dedup.neardupExplain(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3, numHashes = 12, numBands = 6,
+        threshold = 0.35)
+    }),
+
     // the dedup BUSINESS readout over q86's clusters: how many docs the
     // min-id-keeper policy would drop and the corpus-level savings rate
     // — the number that justifies (or kills) running dedup at all
@@ -1361,6 +1370,20 @@ object DedupQueries {
               / (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
                  + CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS bcubed_f1
           FROM ssum, tot""",
+
+    "q558_neardup_explain" ->
+      s"""WITH $MINHASH_PAIR_CTES,
+          sc AS (SELECT id_a, id_b,
+                   $PAIR_JACCARD AS jac,
+                   list_sort(list_intersect(sh_a, sh_b)) AS shared
+                 FROM cand),
+          kept AS (SELECT id_a, id_b, jac, shared FROM sc WHERE jac >= 0.35)
+         SELECT id_a, id_b, ROUND(jac, 6) AS jaccard,
+                CAST(len(shared) AS INT) AS n_shared,
+                CAST(i AS INT) AS rnk,
+                shared[CAST(i AS INT)] AS shingle
+         FROM kept, LATERAL (SELECT unnest(range(1,
+           least(len(shared), 3) + 1)) AS i)""",
 
     "q557_dedup_savings" ->
       s"""WITH RECURSIVE $MINHASH_PAIR_CTES,
