@@ -169,10 +169,16 @@ object Clustering {
       aggregate(zip_with(col("xq"), cl, (x, s) => (x - s) * (x - s)),
         lit(0L), (acc, v) => acc + v)
     }
-    val first = e.orderBy(col("id")).limit(1).collect()(0)
+    val firstRows = e.orderBy(col("id")).limit(1).collect()
+    if (firstRows.isEmpty) {
+      e.unpersist(blocking = false)
+      throw new IllegalArgumentException("kCenterGreedy: empty input")
+    }
+    val first = firstRows(0)
     val chosen = scala.collection.mutable.Buffer(
       (first.getLong(0), first.getSeq[Long](1).toArray, 0L))
-    for (_ <- 2 to k) {
+    var saturated = false
+    for (_ <- 2 to k if !saturated) {
       val ds = chosen.toSeq.map(c => sqDist(c._2))
       val dmin = if (ds.size == 1) ds.head else least(ds: _*)
       val pick = e.select(col("id"), col("xq"), dmin.as("dm"))
@@ -180,7 +186,11 @@ object Clustering {
           struct(col("dm"), (-col("id")).as("nid"))).as("p"))
         .select(col("p.id"), col("p.xq"), col("p.dm"))
         .collect()(0)
-      chosen += ((pick.getLong(0), pick.getSeq[Long](1).toArray,
+      // max dmin == 0 ⇒ every remaining point coincides with a chosen
+      // center (corpus has < k distinct points); picking would emit a
+      // duplicate center every remaining round. Stop early instead.
+      if (pick.getLong(2) == 0L) saturated = true
+      else chosen += ((pick.getLong(0), pick.getSeq[Long](1).toArray,
         pick.getLong(2)))
     }
     e.unpersist(blocking = false)
@@ -220,7 +230,10 @@ object Clustering {
     val seeds: Array[Array[Long]] = e.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     val dims = seeds.head.length
-    require(dims <= 256, s"dims must be <= 256: $dims")
+    // 64 matches the q530 oracle's fixed dim grid (range(1,65)); a
+    // wider embedding would silently NULL-pad the oracle's refined
+    // centroids past dim 64 and diverge from this plan.
+    require(dims <= 64, s"dims must be <= 64: $dims")
     def sqDist(cents: Array[Array[Long]]): Array[Column] =
       cents.map { c =>
         val cl = array(c.map(lit): _*)
@@ -255,7 +268,12 @@ object Clustering {
     }
     val d1 = sqDist(refined)
     val (cell1, m1) = argmin(d1)
-    a0.select(col("id"), col("cell0"), cell1.as("cell1"),
-      m1.as("dist1_q"))
+    // Materialize the narrow 4-column result so a0's cache can be
+    // released before returning (same pattern as Graph.edgeSupport:
+    // localCheckpoint(true) makes the frame self-contained).
+    val out = a0.select(col("id"), col("cell0"), cell1.as("cell1"),
+      m1.as("dist1_q")).localCheckpoint(true)
+    a0.unpersist(blocking = false)
+    out
   }
 }

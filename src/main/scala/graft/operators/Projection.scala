@@ -138,10 +138,17 @@ object Projection {
       }
       nrm = math.sqrt(
         (1 to dims).map(i => halfUp(w(i) * w(i) * 1e12)).sum.toDouble / 1e12)
+      // Zero-variance input ⇒ w is all zeros and nrm == 0; w(i)/nrm is
+      // NaN and BigDecimal(NaN) throws on the driver. Mirror the old
+      // SQL plan's behavior (0/0 null → coalesced 0) by emitting 0.0.
       vv = Array.tabulate(dims + 1) { i =>
         if (i == 0) 0.0
-        else BigDecimal(w(i) / nrm)
-          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else {
+          val q = w(i) / nrm
+          if (!java.lang.Double.isFinite(q)) 0.0
+          else BigDecimal(q)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
       }
     }
     import spark.implicits._

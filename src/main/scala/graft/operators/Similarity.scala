@@ -122,11 +122,29 @@ object Similarity {
     * are grouped into per-query arrays — ONE shuffle each — and the
     * greedy argmax loop runs inside a scalar UDF over those bounded
     * arrays. A candidate with no sim to any chosen row is skipped that
-    * round (mirrors the join-based plan's inner join). */
+    * round (mirrors the join-based plan's inner join).
+    *
+    * CONTRACT (narrower than the retired join-based plan): cand_id /
+    * ca / cb must be integral (castable to bigint without loss) and
+    * relq / simq must already be 1e6-QUANTIZED LONGS — the row-local
+    * greedy compares exact longs. String ids or raw doubles are
+    * rejected up front rather than silently null-cast / truncated. */
   def mmrRerank(cands: DataFrame, sims: DataFrame, k: Int,
                 lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
     require(k >= 1 && lamNum >= 0 && lamNum <= lamDen,
       s"bad MMR params: k=$k lambda=$lamNum/$lamDen")
+    // Fail fast on schema drift: every id/score column must be an
+    // integral type (the UDF consumes exact longs).
+    def requireIntegral(df: DataFrame, cols: Seq[String], who: String): Unit =
+      cols.foreach { c =>
+        val dt = df.schema(c).dataType
+        require(Seq("byte", "short", "integer", "long")
+          .contains(dt.typeName),
+          s"mmrRerank $who.$c must be integral (bigint ids, 1e6-" +
+            s"quantized long scores); got ${dt.typeName}")
+      }
+    requireIntegral(cands, Seq("cand_id", "relq"), "cands")
+    requireIntegral(sims, Seq("ca", "cb", "simq"), "sims")
     val muNum = lamDen - lamNum
     val greedy = udf((cs: Seq[Seq[Long]], ss: Seq[Seq[Long]]) => {
       val cand = cs.map(a => (a(0), a(1))).sortBy(_._1)
