@@ -204,6 +204,19 @@ object StatsQueries {
     }
   }
 
+  /** Drop (and unpersist) the memoized forest for (s, d). q457 — the
+    * OWNER of the build — calls this at the top of its closure so every
+    * timed execution of q457 pays the full forest cost; q458 keeps
+    * reading the live memo, which is the production amortization shape
+    * (build once, cut many). Without this, the bench's best-of-2 min
+    * over a cross-run memo reported a 0.05s cache probe as q457's
+    * cost and the ~10s build appeared in nobody's number. */
+  private def invalidateMstMemo(s: SparkSession, d: String): Unit = {
+    val old = mstMemo.remove((s, d))
+    if (old != null)
+      try old.unpersist(blocking = false) catch { case _: Throwable => () }
+  }
+
   private val queries1: Map[String, Q] = Map(
     // per-series OLS trend of daily spend against epoch day
     "q196_trend_ols" -> ((s, d) => {
@@ -1229,7 +1242,10 @@ object StatsQueries {
     // fold (union-find as a list-state relabel) reproduces the exact
     // forest; the cross-check that the parallel algorithm equals the
     // textbook one edge-for-edge
-    "q457_boruvka_mst" -> ((s, d) => boruvkaMstFor(s, d)),
+    "q457_boruvka_mst" -> ((s, d) => {
+      invalidateMstMemo(s, d) // owner pays the build on EVERY run
+      boruvkaMstFor(s, d)
+    }),
 
     // single-linkage clustering = q457's MSF with the 2 heaviest edges
     // cut (k += 2 clusters): the classic MST-dendrogram equivalence,
