@@ -99,6 +99,32 @@ object WorkflowQueries {
           col("sel_prediction"), round(col("sel_prob_1"), 4).as("sel_prob_1"))
     }),
 
+    // the DEPLOYED half of q37, hash-gated: score every embedding with
+    // the frozen coefficients of the model q37's selector picks
+    // (FrozenSelectedLr — the lr_reg0 winner refit on the full frame,
+    // quantized to 6dp by tools/FreezeSelectedModel). The dot product
+    // runs in exact integer micros (wq6 · xq6, order-free long sum);
+    // prediction is the exact integer sign test logit_q12 > 0; only
+    // the final sigmoid is double. Selection + fit stay rows-only in
+    // q37; this replays scoring — the q523 pattern applied to the
+    // model-selection pipeline, and the production shape (select once,
+    // ship constants, score 100 TB row-locally, zero shuffles).
+    "q560_selected_model_score" -> ((s, d) => {
+      val fz = graft.operators.FrozenSelectedLr
+      val wl = array(fz.weightMicros.map(lit): _*)
+      val xq = transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long"))
+      val dot = aggregate(zip_with(xq, wl, (x, wv) => x * wv),
+        lit(0L), (a, v) => a + v)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), (col("label") < 5).cast("int").as("y"),
+          (lit(fz.interceptMicros) * lit(1000000L) + dot).as("lq12"))
+        .select(col("vec_id"), col("y"),
+          when(col("lq12") > 0, 1).otherwise(0).as("prediction"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("lq12").cast("double") / lit(1e12)))), 6).as("prob_1"))
+    }),
+
     // the binary EVALUATOR fully hash-gated: confusion counts at 0.5,
     // accuracy, F1, and mllib-curve-semantics trapezoid auROC/auPR, all
     // replayed in SQL. The score column is a deterministic transform of
@@ -218,6 +244,35 @@ object WorkflowQueries {
            FROM orders LEFT JOIN fitted ON o_orderpriority = fitted.value)
          SELECT o_orderkey, CAST(x.i AS INT) AS slot, l[CAST(x.i + 1 AS INT)] AS value
          FROM wide CROSS JOIN (SELECT unnest(range(0, 9)) AS i) x""",
+    // DuckDB replay of the frozen selected-model scorer: the VALUES
+    // table is generated from FrozenSelectedLr.weightMicros, so the
+    // Spark and SQL sides cannot drift.
+    "q560_selected_model_score" -> {
+      val fz = graft.operators.FrozenSelectedLr
+      val values = fz.weightMicros.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }
+        .mkString(",\n             ")
+      s"""WITH w(dim, wq) AS (
+           VALUES $values),
+         q AS (SELECT vec_id, label,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+               FROM embeddings),
+         ex AS (SELECT vec_id, u.i AS dim, u.x AS xq
+                FROM q, LATERAL (SELECT unnest(list_transform(q.xq,
+                  (x, i) -> {'i': i, 'x': x})) AS u)),
+         dot AS (SELECT vec_id, sum(xq * wq) AS dq
+                 FROM ex JOIN w USING (dim) GROUP BY 1),
+         sc AS (SELECT q.vec_id,
+                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+                  CAST(${fz.interceptMicros} AS BIGINT) * 1000000 + dq AS lq12
+                FROM q JOIN dot USING (vec_id))
+         SELECT vec_id, y,
+           CASE WHEN lq12 > 0 THEN 1 ELSE 0 END AS prediction,
+           ROUND(1.0 / (1.0 + EXP(-(CAST(lq12 AS DOUBLE) / 1e12))), 6)
+             AS prob_1
+         FROM sc"""
+    },
     "q36_workflow_pipeline" -> pipelineSql,
     // identical pipeline semantics — the save/load round trip must be
     // invisible to the oracle

@@ -11,7 +11,7 @@ class GateContractSpec extends AnyFunSuite {
 
   // rows-only by design: outputs that are not SQL-replayable
   private val rowsOnlyByDesign = Map(
-    "q37_ml_train_score" -> "trained-model scores (12 spark.ml fits) aren't SQL-replayable",
+    "q37_ml_train_score" -> "model SELECTION + FIT (grid of spark.ml fits) aren't SQL-replayable; q560_selected_model_score hash-gates the SCORING half via the frozen selected-model coefficient table",
     "q95_dt_map_bucketize" -> "spark.ml's sample/sketch-based split binning isn't SQL-replayable; q511_gini_stump_map is the hash-gated exact companion",
     "q120_curation_quality_classifier" -> "the L-BFGS FIT isn't SQL-replayable (feature extraction shares q116's gated path); q523_quality_classifier_score hash-gates the SCORING half via the frozen coefficient table",
     "q189_pca" -> "eigenvector signs are an SVD convention, not SQL-replayable; variance contract spec-gated in ProjectionSpec",
