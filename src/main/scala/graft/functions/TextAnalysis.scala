@@ -123,27 +123,66 @@ object TextAnalysis {
   // lexicographically ordered — the argmax tiebreak is first-profile
   // wins, so profile order is part of the operator's contract.
   val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "af" -> Seq("hierdie", "vir", "hulle", "baie", "ons", "gesê", "maar", "wat"),
     "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "التي"),
+    "az" -> Seq("və", "ilə", "üçün", "edir", "olan", "olub", "kimi", "həm"),
+    "bg" -> Seq("да", "се", "това", "които", "след", "към", "само", "може"),
+    "bn" -> Seq("এবং", "না", "করে", "থেকে", "এই", "তার", "জন্য", "হয়"),
+    "ca" -> Seq("els", "amb", "dels", "aquesta", "també", "són", "molt", "però"),
     "cs" -> Seq("že", "jsem", "jsou", "není", "byl", "který", "také", "podle"),
     "da" -> Seq("og", "er", "til", "ikke", "af", "hvad", "hvor", "være"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "el" -> Seq("και", "να", "το", "της", "των", "είναι", "από", "με"),
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "es" -> Seq("el", "los", "y", "que", "en", "una", "por", "con"),
+    "et" -> Seq("ning", "või", "oli", "oma", "aga", "kui", "ka", "olid"),
+    "eu" -> Seq("eta", "dela", "baina", "zen", "dira", "izan", "ere", "baita"),
+    "fa" -> Seq("که", "را", "با", "این", "است", "های", "برای", "آن"),
     "fi" -> Seq("ja", "on", "ei", "että", "hän", "mutta", "myös", "kun"),
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+    "ga" -> Seq("agus", "atá", "bhfuil", "chomh", "freisin", "déanamh", "beidh", "raibh"),
+    "gu" -> Seq("છે", "અને", "કરી", "માટે", "આ", "તે", "પણ", "હતી"),
+    "he" -> Seq("את", "של", "על", "לא", "זה", "הוא", "עם", "אבל"),
     "hi" -> Seq("के", "है", "में", "की", "को", "से", "का", "पर"),
+    "hr" -> Seq("koja", "koji", "nije", "ili", "jer", "kao", "će", "biti"),
+    "hu" -> Seq("és", "hogy", "nem", "egy", "már", "csak", "meg", "vagy"),
+    "hy" -> Seq("եւ", "է", "որ", "այս", "նաեւ", "մեջ", "համար", "նրա"),
     // "dari" not "di": the profiles avoid words that are top-frequency
     // in SIBLING languages (e.g. "de"/"que" are the most common words
-    // of fr/es/pt alike, "di" of it/id alike — including them in one
-    // profile would siphon other languages' text)
+    // of fr/es/pt alike, "di" of it/id alike, "и"/"не" of ru/bg/sr
+    // alike, "ve"/"bir" of tr vs az — including them in one profile
+    // would siphon other languages' text)
     "id" -> Seq("yang", "dan", "dari", "untuk", "dengan", "tidak", "ini", "itu"),
     "it" -> Seq("di", "che", "non", "per", "sono", "gli", "più", "della"),
+    "ka" -> Seq("და", "არის", "რომ", "ეს", "მისი", "იყო", "ასევე", "უნდა"),
+    "kn" -> Seq("ಮತ್ತು", "ಒಂದು", "ಈ", "ಎಂದು", "ಅವರು", "ಇದು", "ಮೇಲೆ", "ಆದರೆ"),
+    "lt" -> Seq("ir", "yra", "kad", "bet", "tai", "iš", "su", "kaip"),
+    "lv" -> Seq("un", "par", "arī", "kā", "tika", "bija", "gada", "viņš"),
+    "ml" -> Seq("എന്ന", "ഒരു", "ഈ", "അത്", "ആണ്", "എന്നാൽ", "വളരെ", "ഉണ്ട്"),
+    "mr" -> Seq("आहे", "आणि", "यांनी", "केली", "असून", "हे", "झाली", "तसेच"),
+    "ne" -> Seq("छ", "र", "गरेको", "भएको", "लागि", "पनि", "हुने", "गर्न"),
     "nl" -> Seq("het", "een", "van", "niet", "dat", "zijn", "ik", "ook"),
+    // bokmål shares its article/copula inventory with da — the no
+    // profile keeps to forms Danish spells differently (å/fra/noen/
+    // mellom/blir), so Danish text never lands here
+    "no" -> Seq("å", "fra", "noen", "bare", "etter", "mellom", "også", "blir"),
+    "pa" -> Seq("ਦੇ", "ਹੈ", "ਵਿੱਚ", "ਦੀ", "ਨੂੰ", "ਅਤੇ", "ਇਸ", "ਲਈ"),
     "pl" -> Seq("się", "nie", "jest", "oraz", "które", "został", "przez", "tylko"),
     "pt" -> Seq("não", "uma", "isso", "ele", "são", "mais", "você", "muito"),
+    "ro" -> Seq("și", "în", "este", "pentru", "care", "mai", "din", "sunt"),
     "ru" -> Seq("и", "в", "не", "на", "что", "это", "как", "его"),
+    "sk" -> Seq("som", "ako", "aj", "už", "ale", "či", "tiež", "bolo"),
+    "sl" -> Seq("tudi", "kot", "pa", "še", "lahko", "bil", "niso", "ker"),
+    "sq" -> Seq("dhe", "një", "të", "për", "është", "më", "nga", "kjo"),
+    "sr" -> Seq("је", "су", "али", "био", "него", "већ", "док", "ово"),
     "sv" -> Seq("och", "att", "är", "inte", "på", "för", "jag", "ett"),
+    "sw" -> Seq("kwa", "ya", "wa", "katika", "kuwa", "za", "ni", "hii"),
+    "ta" -> Seq("மற்றும்", "இது", "என்று", "உள்ளது", "அந்த", "ஒரு", "என", "இந்த"),
+    "te" -> Seq("మరియు", "ఈ", "ఒక", "అని", "కూడా", "లో", "ఆ", "ఉంది"),
+    "tl" -> Seq("ang", "mga", "ng", "sa", "namin", "ito", "hindi", "ay"),
     "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha"),
+    "uk" -> Seq("що", "або", "та", "є", "під", "після", "цей", "їх"),
+    "ur" -> Seq("کے", "ہے", "میں", "کی", "کو", "نے", "ایک", "پر"),
     "vi" -> Seq("của", "và", "là", "không", "người", "này", "được", "trong"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
@@ -156,6 +195,36 @@ object TextAnalysis {
   /** Per-language stopword-hit scores, ordered as stopwordProfiles. */
   def languageScores(text: Column): Seq[(String, Column)] =
     stopwordProfiles.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+
+  /** All 54 per-language stopword-hit counts in ONE token pass,
+    * returned as an array in stopwordProfiles order. The per-language
+    * [[languageScores]] form costs |profiles|·8 string comparisons per
+    * token (isin-filter per language); this UDF does one hash lookup
+    * per token, so cost is independent of the language count. Callers
+    * project the array FIRST (its own projection — CollapseProject
+    * won't inline a non-cheap UDF referenced 54×) and element_at the
+    * per-language columns from it. Token semantics identical to
+    * [[tokens]]: spaces-only trim, ROOT lowercase, \s+ split. */
+  def languageScoreCounts(text: Column): Column = {
+    val widx = wordLangIndex
+    val n = stopwordProfiles.size
+    val f = udf((s: String) => {
+      if (s == null) null
+      else {
+        var a = 0; var b = s.length
+        while (a < b && s.charAt(a) == ' ') a += 1
+        while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        val counts = new Array[Long](n)
+        s.substring(a, b).toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+", -1).foreach { t =>
+            val j = widx.getOrElse(t, -1)
+            if (j >= 0) counts(j) += 1
+          }
+        counts.toSeq
+      }
+    })
+    f(text)
+  }
 
   /** Argmax language with deterministic tiebreak: first language in
     * lexicographic profile order reaching the max score; all-zero → "und"
@@ -170,6 +239,39 @@ object TextAnalysis {
   }
 
   def languageId(text: Column): Column = languageIdFrom(languageScores(text))
+
+  /** Word-profile argmax language in ONE token pass (no script vote,
+    * no confidence) — the row-local form of [[languageId]] for
+    * consumers that only need the predicted code (q247/q377 confusion
+    * readouts). Exactly [[languageIdFrom]]'s contract: first profile
+    * in declaration order reaching the max hit count; all-zero →
+    * "und". */
+  def wordLanguageId(text: Column): Column = {
+    val profiles = stopwordProfiles.map(_._1).toArray
+    val widx = wordLangIndex
+    val f = udf((s: String) => {
+      if (s == null) null
+      else {
+        var a = 0; var b = s.length
+        while (a < b && s.charAt(a) == ' ') a += 1
+        while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        val counts = new Array[Long](profiles.length)
+        s.substring(a, b).toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+", -1).foreach { t =>
+            val j = widx.getOrElse(t, -1)
+            if (j >= 0) counts(j) += 1
+          }
+        var best = -1; var bestC = 0L
+        var k = 0
+        while (k < counts.length) {
+          if (counts(k) > bestC) { best = k; bestC = counts(k) }
+          k += 1
+        }
+        if (best < 0) "und" else profiles(best)
+      }
+    })
+    f(text)
+  }
 
   /** Per-script character counts — the signal whitespace stopword
     * profiles cannot see (zh/ja/th write without spaces; ko attaches
@@ -196,36 +298,100 @@ object TextAnalysis {
     Map("kana" -> "ja", "hangul" -> "ko", "thai" -> "th", "han" -> "zh")
   val scriptThreshold = 2
 
-  /** Detected language over 22 languages (BCP-47 codes, "und" =
+  /** lang/confidence pair returned by [[languageIdScored]]. */
+  case class LangScore(lang: String, confidence: Double)
+
+  /** word → profile index over ALL profiles, with a uniqueness check:
+    * the single-pass detector and the per-profile IN-list oracle are
+    * equivalent only if no stopword appears in two profiles. */
+  lazy val wordLangIndex: Map[String, Int] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    stopwordProfiles.zipWithIndex.foreach { case ((lang, ws), i) =>
+      ws.foreach { w =>
+        require(!m.contains(w),
+          s"stopword '$w' of $lang already claimed by ${stopwordProfiles(m(w))._1}")
+        m(w) = i
+      }
+    }
+    m.toMap
+  }
+
+  /** Detected language over 57 languages (BCP-47 codes, "und" =
     * undetermined): script vote first (ja/ko/th/zh), then the stopword
-    * argmax over the 19 word profiles. The reference wraps Optimaize's
+    * argmax over the 54 word profiles. The reference wraps Optimaize's
     * 70-language n-gram detector
     * (core/.../utils/text/OptimaizeLanguageDetector.scala); that jar is
     * absent here, so this is the deterministic, oracle-replayable
-    * stand-in — every branch mirrors 1:1 into SQL. */
+    * stand-in — the DuckDB oracle replays the same decision tree as
+    * per-profile IN-list scores + a CASE chain.
+    *
+    * Computed ROW-LOCALLY in ONE UDF pass: the Column-combinator form
+    * (54 isin-filters over the token array + a 54-branch argmax chain)
+    * costs 432 string comparisons per token and grew linearly with
+    * every added language (measured 0.4 s → 2.4 s on q525 when the
+    * profile table grew 19 → 54); this pass does one hash lookup per
+    * token and one UnicodeScript check per char, so detector cost is
+    * independent of the language count. Exact semantic replay of the
+    * old plan: spaces-only trim, ROOT lowercase, \s+ split, script
+    * classes in declaration order with the >= 2 threshold, first-
+    * profile-wins argmax, HALF_UP 6dp confidences. */
   def languageIdScored(text: Column): Column = {
-    val sc = scriptCounts(text).toMap
-    val words = languageScores(text)
-    val totalHits = words.map(_._2).reduce(_ + _)
-    val maxHits = greatest(words.map(_._2): _*)
-    val nChars = length(text).cast("double")
-    val scriptCase = scriptClasses.foldLeft(Option.empty[Column]) {
-      case (acc, (s, _)) =>
-        val hit = sc(s) >= scriptThreshold
-        val branch = struct(
-          lit(scriptLangs(s)).as("lang"),
-          round(sc(s).cast("double") / nChars, 6).as("confidence"))
-        Some(acc.fold(when(hit, branch))(_.when(hit, branch)))
-    }.get
-    val wordLang = languageIdFrom(words)
-    // totalHits === 0 ⟺ wordLang === "und" (languageIdFrom's first
-    // branch is max(scores) === 0), but tests the already-computed sum
-    // instead of re-evaluating the 19-branch argmax chain per row
-    scriptCase.otherwise(struct(
-      wordLang.as("lang"),
-      when(totalHits === 0, 0.0)
-        .otherwise(round(maxHits.cast("double") / totalHits, 6))
-        .as("confidence")))
+    val profiles = stopwordProfiles.map(_._1).toArray
+    val widx = wordLangIndex
+    val scriptOut = scriptClasses.map { case (n, _) => scriptLangs(n) }.toArray
+    val thr = scriptThreshold
+    val f = udf((s: String) => {
+      if (s == null) null
+      else {
+        // one char pass: script counts (kana/hangul/thai/han, same
+        // classes as scriptClasses) + codepoint count
+        var kana = 0L; var hangul = 0L; var thai = 0L; var han = 0L
+        var nChars = 0L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          Character.UnicodeScript.of(cp) match {
+            case Character.UnicodeScript.HIRAGANA |
+                 Character.UnicodeScript.KATAKANA => kana += 1
+            case Character.UnicodeScript.HANGUL => hangul += 1
+            case Character.UnicodeScript.THAI => thai += 1
+            case Character.UnicodeScript.HAN => han += 1
+            case _ => ()
+          }
+          nChars += 1
+          i += Character.charCount(cp)
+        }
+        def q6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val scriptHits = Array(kana, hangul, thai, han)
+        val si = scriptHits.indexWhere(_ >= thr)
+        if (si >= 0) LangScore(scriptOut(si), q6(scriptHits(si).toDouble / nChars))
+        else {
+          // one token pass: spaces-only trim + ROOT lowercase + \s+
+          // split — byte-identical to trim/lower/split in Spark SQL
+          var a = 0; var b = s.length
+          while (a < b && s.charAt(a) == ' ') a += 1
+          while (b > a && s.charAt(b - 1) == ' ') b -= 1
+          val toks = s.substring(a, b)
+            .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+          val counts = new Array[Long](profiles.length)
+          toks.foreach { t =>
+            val j = widx.getOrElse(t, -1)
+            if (j >= 0) counts(j) += 1
+          }
+          var best = -1; var bestC = 0L; var total = 0L
+          var k = 0
+          while (k < counts.length) {
+            total += counts(k)
+            if (counts(k) > bestC) { best = k; bestC = counts(k) }
+            k += 1
+          }
+          if (total == 0L) LangScore("und", 0.0)
+          else LangScore(profiles(best), q6(bestC.toDouble / total))
+        }
+      }
+    })
+    f(text)
   }
 
   /** Confusable → ASCII mapping for homoglyph skeletons (the

@@ -17,7 +17,7 @@ object TextQueries {
 
   private val sw = englishStopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Fixed multilingual fixture for the 22-language scored detector
+  /** Fixed multilingual fixture for the 57-language scored detector
     * (q524): one native-script sentence per supported language, all
     * lowercase (so lower() is a no-op in both engines — Turkish-I
     * case-folding never enters the gate). The oracle's VALUES table is
@@ -45,7 +45,45 @@ object TextQueries {
     (19L, "th", "สวัสดีครับ ผมชื่อสมชาย และยินดีที่ได้รู้จัก"),
     (20L, "tr", "bir ve bu için ile olarak çok daha güzel gün"),
     (21L, "vi", "của và là không người này được trong cuộc sống"),
-    (22L, "zh", "我爱北京天安门，天安门上太阳升。"))
+    (22L, "zh", "我爱北京天安门，天安门上太阳升。"),
+    // round 9: 35 added languages (22 → 57). Sentences are built
+    // mostly from the language's own profile words so each row hits
+    // its profile strictly harder than any sibling's.
+    (23L, "af", "ons is baie bly maar hulle het vir my gesê wat hierdie alles beteken"),
+    (24L, "az", "azərbaycan dili ilə yazılmış mətn və onun üçün həm də gözəl olan bir nümunə edir"),
+    (25L, "bg", "това е само един текст който може да се чете след като бъде написан към края"),
+    (26L, "bn", "এবং এই লেখা থেকে তার জন্য করে না হয় কিছু"),
+    (27L, "ca", "els nens juguen amb els amics dels veïns i aquesta tarda també hi són però molt tard"),
+    (28L, "el", "και το κείμενο είναι από της γλώσσας των ελληνικών με νόημα να διαβάζεται"),
+    (29L, "et", "ning see tekst oli kirjutatud oma keeles aga kui ka teised olid siin või seal"),
+    (30L, "eu", "eta testu hau euskaraz idatzita dago baina izan ere beste batzuk baita zen dira dela"),
+    (31L, "fa", "این متن برای نمونه است که با آن های زیادی را نوشته اند"),
+    (32L, "ga", "tá an téacs seo scríofa agus atá sé chomh maith agus a bhfuil freisin ann raibh"),
+    (33L, "gu", "આ લખાણ છે અને તે માટે કરી પણ હતી"),
+    (34L, "he", "זה טקסט של דוגמה על עברית הוא עם אבל לא את הכל"),
+    (35L, "hr", "ovaj tekst koji je napisan nije bio kao ili jer će netko biti ovdje koja"),
+    (36L, "hu", "és ez a szöveg nem egy hosszú már csak meg hogy vagy valami"),
+    (37L, "hy", "եւ այս տեքստը որ գրված է հայերեն նաեւ մեջ նրա համար"),
+    (38L, "ka", "და ეს ტექსტი არის ქართულად რომ მისი იყო ასევე უნდა წაიკითხო"),
+    (39L, "kn", "ಮತ್ತು ಈ ಪಠ್ಯವು ಒಂದು ಉದಾಹರಣೆ ಎಂದು ಅವರು ಇದು ಮೇಲೆ ಆದರೆ ಹೇಳಿದರು"),
+    (40L, "lt", "ir šis tekstas yra parašytas lietuviškai kad bet tai iš su kaip pavyzdys"),
+    (41L, "lv", "un šis teksts bija uzrakstīts latviski par ko arī kā tika gada laikā viņš teica"),
+    (42L, "ml", "എന്ന ഒരു ഈ അത് ആണ് എന്നാൽ വളരെ ഉണ്ട് വാചകം"),
+    (43L, "mr", "आहे आणि हे यांनी केली असून झाली तसेच मराठी वाक्य"),
+    (44L, "ne", "छ र यो गरेको भएको लागि पनि हुने गर्न नेपाली वाक्य हो"),
+    (45L, "no", "å skrive fra noen bare etter mellom også blir dette en norsk setning"),
+    (46L, "pa", "ਦੇ ਹੈ ਵਿੱਚ ਦੀ ਨੂੰ ਅਤੇ ਇਸ ਲਈ ਪੰਜਾਬੀ ਵਾਕ"),
+    (47L, "ro", "și acest text este scris în română pentru care mai din sunt cuvinte"),
+    (48L, "sk", "som rád ako aj už ale či tiež bolo toto napísané po slovensky"),
+    (49L, "sl", "tudi to besedilo je kot pa še lahko bil niso ker napisano slovensko"),
+    (50L, "sq", "dhe një tekst të për është më nga kjo gjuha shqipe"),
+    (51L, "sr", "је су али био него већ док ово написано српски текст"),
+    (52L, "sw", "kwa ya wa katika kuwa za ni hii maandishi kiswahili"),
+    (53L, "ta", "மற்றும் இது என்று உள்ளது அந்த ஒரு என இந்த தமிழ் வாக்கியம்"),
+    (54L, "te", "మరియు ఈ ఒక అని కూడా లో ఆ ఉంది తెలుగు వాక్యం"),
+    (55L, "tl", "ang mga bata ay pumunta sa paaralan ng maaga at ito ang hindi namin nakita"),
+    (56L, "uk", "що або та є під після цей їх українське речення було"),
+    (57L, "ur", "کے ہے میں کی کو نے ایک پر اردو جملہ"))
 
   val queries: Map[String, Q] = Map(
     // inverted-index build: the IR-side dual of q135's BM25 scoring —
@@ -242,10 +280,10 @@ object TextQueries {
         round(qualityScore(col("text")), 6).as("quality"))
     }),
 
-    // 22-language scored detector (script vote + 19 word profiles +
+    // 57-language scored detector (script vote + 54 word profiles +
     // confidence) over the fixed multilingual fixture UNION the
     // documents table — the fixture exercises every script branch and
-    // all 19 word profiles on native text; the documents exercise the
+    // all 54 word profiles on native text; the documents exercise the
     // word path at corpus scale. Row-local, one regexp pass per script.
     "q524_langid_scored" -> ((s, d) => {
       import s.implicits._
@@ -310,9 +348,15 @@ object TextQueries {
 
     "q20_text_langid" -> ((s, d) => {
       val langs = stopwordProfiles.map(_._1)
-      val scored = Tables.documents(s, d).select(
-        col("doc_id") +: col("lang").as("lang_label") +:
-        languageScores(col("text")).map { case (l, c) => c.as(s"s_$l") }: _*)
+      // ONE token pass for all 54 counts (languageScoreCounts); the
+      // array rides its own projection so CollapseProject cannot
+      // inline the UDF 54x into the per-language columns
+      val withArr = Tables.documents(s, d).select(col("doc_id"),
+        col("lang").as("lang_label"),
+        languageScoreCounts(col("text")).as("__s"))
+      val scored = withArr.select(col("doc_id") +: col("lang_label") +:
+        langs.zipWithIndex.map { case (l, i) =>
+          element_at(col("__s"), i + 1).cast("int").as(s"s_$l") }: _*)
       val scoreCols = langs.map(l => col(s"s_$l"))
       val pred = languageIdFrom(langs.map(l => l -> col(s"s_$l")))
       scored.select(col("doc_id") +: col("lang_label") +:
@@ -322,15 +366,12 @@ object TextQueries {
     // language-ID confusion matrix: declared label vs heuristic
     // prediction, the quality readout over the q20 detector
     "q247_langid_confusion" -> ((s, d) => {
-      val langs = stopwordProfiles.map(_._1)
-      val scored = Tables.documents(s, d).select(
-        col("doc_id") +: col("lang").as("lang_label") +:
-        languageScores(col("text")).map { case (l, c) => c.as(s"s_$l") }: _*)
-      val pred = languageIdFrom(langs.map(l => l -> col(s"s_$l")))
-      // persist barrier (q525's lesson): without it CollapseProject
-      // inlines the argmax chain — and through it ALL 19 score
-      // expressions, quadratically — into the groupBy key
-      scored.select(col("lang_label"), pred.as("lang_pred"))
+      // detector + argmax fused in ONE row-local UDF token pass; the
+      // persist barrier (q525's lesson) still keeps the UDF out of the
+      // groupBy key
+      Tables.documents(s, d)
+        .select(col("lang").as("lang_label"),
+          wordLanguageId(col("text")).as("lang_pred"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .groupBy(col("lang_label"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
@@ -344,14 +385,11 @@ object TextQueries {
     // exact ints. The confusion matrix is bounded (sources x langs^2),
     // so the marginal joins are tiny post-aggregation frames.
     "q377_cohens_kappa" -> ((s, d) => {
-      val langs = stopwordProfiles.map(_._1)
-      val scored = Tables.documents(s, d).select(
-        col("source") +: col("lang").as("lang_label") +:
-        languageScores(col("text")).map { case (l, c) => c.as(s"s_$l") }: _*)
-      val pred = languageIdFrom(langs.map(l => l -> col(s"s_$l")))
-      // persist barrier (q525's lesson): keep the 19-profile argmax out
-      // of the groupBy key, where it inlines quadratically
-      val cm = scored.select(col("source"), col("lang_label"), pred.as("lang_pred"))
+      // detector + argmax fused in ONE row-local UDF pass (q247's
+      // shape); the persist barrier keeps it out of the groupBy key
+      val cm = Tables.documents(s, d).select(col("source"),
+          col("lang").as("lang_label"),
+          wordLanguageId(col("text")).as("lang_pred"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .groupBy(col("source"), col("lang_label"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
@@ -512,7 +550,7 @@ object TextQueries {
     s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN ($words)))"
   }
 
-  /** Shared generated-SQL fragments of the 22-language scored detector
+  /** Shared generated-SQL fragments of the 57-language scored detector
     * — one source of truth for the q524 and q525 oracles, all derived
     * from the SAME Scala structures the Spark side evaluates. */
   private object langOracle {

@@ -45,8 +45,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[String](languageId(lit("xyzzy plugh"))) == "und")
   }
 
-  test("scored 22-language detector gets every multilingual fixture row " +
-    "right, with confidence in (0,1]") {
+  test("scored multi-language detector gets every multilingual fixture row " +
+    "right (per-language precision 100%), with confidence in (0,1]") {
     val s = spark; import s.implicits._
     val rows = graft.queries.TextQueries.langIdCorpus
       .toDF("sid", "expected", "text")
@@ -55,7 +55,8 @@ class TextAnalysisSpec extends SparkSpec {
       .select(col("sid"), col("expected"),
         col("r.lang").as("pred"), col("r.confidence").as("conf"))
       .collect()
-    assert(rows.length == 22)
+    assert(rows.length == graft.queries.TextQueries.langIdCorpus.size)
+    assert(rows.length >= 57) // 54 word profiles + ja/ko/th script votes
     val wrong = rows.filter(r => r.getAs[String]("pred") != r.getAs[String]("expected"))
     assert(wrong.isEmpty, wrong.mkString("\n"))
     assert(rows.forall { r =>
