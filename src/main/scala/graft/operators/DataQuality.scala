@@ -1037,12 +1037,24 @@ object DataQuality {
     * plan reads it (possibly more than once downstream), and the
     * session-level cache hygiene (bench deepClean / clearCache between
     * queries) reclaims it. */
+  /** Dispatch decisions recorded by [[autoDispatch]] — (domain rows,
+    * took fast path). Evidence feed for the plan-audit sweep: the
+    * 100×-scale claim on the survival estimators rests on the fallback
+    * actually existing AND the fast path actually firing at test SF,
+    * so a spec drains this after running them and asserts the branch
+    * taken, instead of inferring it from timings. Bounded: one entry
+    * per autoDispatch call; cleared by the reader. */
+  private[graft] val dispatchLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+
   private def autoDispatch(counts: DataFrame, aggCols: Seq[String],
                            bound: Long,
                            fallback: (DataFrame, Seq[String]) => DataFrame)
       : DataFrame = {
     val c = counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (c.count() <= bound) {
+    val n = c.count()
+    dispatchLog.add((n, n <= bound))
+    if (n <= bound) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)

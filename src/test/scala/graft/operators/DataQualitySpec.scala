@@ -276,4 +276,31 @@ class DataQualitySpec extends SparkSpec {
     assert(r.getLong(0) == 5 && r.getLong(1) == 1 && r.getLong(2) == 1)
     assert(r.getLong(3) == 3 && r.getDouble(4) == 0.75)
   }
+
+  test("survival estimators take the bounded-domain fast path at sf0.1 " +
+    "(dispatch evidence, not timing inference)") {
+    // The 100x-scale story for q220/q341/q406 is: bounded duration
+    // domain -> ONE <=10k-row single-partition window; unbounded ->
+    // two-level prefix sum. This asserts the branch ACTUALLY taken on
+    // the bench-scale fixture by draining autoDispatch's decision log,
+    // so the residual local latency is attributable to the per-job
+    // floor rather than a silent fallback.
+    val s = spark
+    val log = graft.operators.DataQuality.dispatchLog
+    log.clear()
+    Seq("q220_kaplan_meier", "q341_nelson_aalen", "q406_logrank").foreach { q =>
+      graft.SparkEntry.queries(q)(s, "/root/testdata/sf0.1").count()
+    }
+    val decisions = {
+      val b = Seq.newBuilder[(Long, Boolean)]
+      var e = log.poll()
+      while (e != null) { b += e; e = log.poll() }
+      b.result()
+    }
+    assert(decisions.nonEmpty, "no autoDispatch call recorded")
+    val slow = decisions.filterNot(_._2)
+    assert(slow.isEmpty,
+      s"expected the fast path for every survival dispatch; fallbacks: $slow")
+    assert(decisions.forall(_._1 <= 10000L), decisions.toString)
+  }
 }
