@@ -1,0 +1,137 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: synthesizes a `factor`× copy of an sf
+  * directory (key-shifted unions so PK/FK relationships and join
+  * fan-outs are preserved, text/vector payloads made distinct per
+  * copy), times each requested query at both scales under one
+  * protocol, and prints a JSON line with the per-query scaling
+  * exponent log(t_big/t_small)/log(factor).
+  *
+  * n·log n growth reads as exponent ~1.05-1.1 at factor 10 on these
+  * row counts, so the COVERAGE table flags anything above ~1.2 as
+  * worse-than-linearithmic (and anything near 2 as quadratic).
+  *
+  *   sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 \
+  *     /root/repo/tmp/sf1synth 10 q321_er_pipeline q347_set_cover_greedy"
+  *
+  * Timing protocol (same for both scales, so the RATIO is the
+  * measurement): one untimed warm-up at the SMALL scale only (warms
+  * codegen + JIT, which are scale-independent), then one timed run
+  * per scale with the bench's deepClean between. Each timed number is
+  * a fresh cold-cache run; JVM/session startup is outside the timed
+  * region.
+  */
+object ScaleProbe {
+
+  /** Shift an id column into copy i's disjoint key space. */
+  private def shifted(c: String, i: Int, stride: Long) =
+    (col(c) + lit(i.toLong * stride)).as(c)
+
+  private def synthesize(spark: SparkSession, src: String, out: String,
+                         factor: Int): Unit = {
+    val fs = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(fs.resolve("_SYNTH_OK"))) return
+    java.nio.file.Files.createDirectories(fs)
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.coalesce(8).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // strides: one disjoint key range per copy
+    def strideOf(df: DataFrame, k: String): Long =
+      df.agg(max(col(k))).head.getLong(0) + 1L
+    val cust = read("customer"); val C = strideOf(cust, "c_custkey")
+    val ord = read("orders"); val O = strideOf(ord, "o_orderkey")
+    val part = read("part"); val P = strideOf(part, "p_partkey")
+    val li = read("lineitem")
+    val docs = read("documents"); val D = strideOf(docs, "doc_id")
+    val emb = read("embeddings"); val V = strideOf(emb, "vec_id")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val E = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+    val U = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+    def copies(mk: Int => DataFrame): DataFrame =
+      (0 until factor).map(mk).reduce(_.unionByName(_))
+    write(copies(i => cust.select(shifted("c_custkey", i, C), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))), "customer")
+    write(copies(i => ord.select(shifted("o_orderkey", i, O),
+      shifted("o_custkey", i, C), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority"))), "orders")
+    write(copies(i => li.select(shifted("l_orderkey", i, O),
+      shifted("l_partkey", i, P), col("l_suppkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate"))), "lineitem")
+    write(copies(i => part.select(shifted("p_partkey", i, P), col("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))),
+      "part")
+    // documents: per-copy word salt makes every shingle distinct across
+    // copies — a 10x corpus, not a 10x-duplicated corpus (which would
+    // measure a different, pathological workload for the dedup/blocking
+    // plans). Copy 0 is the original bytes.
+    write(copies { i =>
+      val t = if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"$$1x$i")
+      docs.select(shifted("doc_id", i, D), t.as("text"), col("lang"),
+        col("source"), col("n_chars"))
+    }, "documents")
+    // embeddings: deterministic per-copy rotation-ish perturbation on
+    // one dimension keeps the distribution while making points distinct
+    write(copies { i =>
+      val e = if (i == 0) col("embedding")
+        else transform(col("embedding"), (x, j) =>
+          when(j === i % 64, x + lit(i.toFloat / 1000f)).otherwise(x))
+      emb.select(shifted("vec_id", i, V), e.as("embedding"), col("label"))
+    }, "embeddings")
+    write(copies(i => ev.select(shifted("event_id", i, E), col("ts"),
+      shifted("user_id", i, U), col("event_type"), col("value"),
+      col("props"))), "events")
+    Seq("region", "nation", "supplier").foreach { t =>
+      write(read(t), t)
+    }
+    java.nio.file.Files.write(fs.resolve("_SYNTH_OK"),
+      java.util.Arrays.asList(factor.toString))
+  }
+
+  private def deepClean(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    System.gc(); Thread.sleep(250); System.gc(); Thread.sleep(100)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = args(2).toInt
+    val names = args.drop(3).toSeq
+    require(names.nonEmpty, "pass query names")
+    val spark = graft.GraftSession.builder(
+      Runtime.getRuntime.availableProcessors()).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark, src, out, factor)
+    def timeOne(name: String, dir: String): Double = {
+      deepClean(spark)
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(name)(spark, dir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"PROBE FAIL $name@$dir: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = names.map { n =>
+      // scale-independent warm-up (codegen/JIT) at the small scale
+      timeOne(n, src)
+      val tSmall = timeOne(n, src)
+      val tBig = timeOne(n, out)
+      val exp = if (tSmall > 0 && tBig > 0)
+        math.log(tBig / tSmall) / math.log(factor.toDouble) else Double.NaN
+      System.err.println(f"PROBE $n small=$tSmall%.2f big=$tBig%.2f exp=$exp%.2f")
+      (n, tSmall, tBig, exp)
+    }
+    val json = rows.map { case (n, a, b, e) =>
+      f""""$n":{"t_small":$a%.3f,"t_big":$b%.3f,"exponent":${if (e.isNaN) "null" else f"$e%.3f"}}"""
+    }.mkString("{\"factor\":" + factor + ",\"small\":\"" + src + "\",\"queries\":{", ",", "}}")
+    println("SCALE_PROBE " + json)
+    spark.stop()
+  }
+}
