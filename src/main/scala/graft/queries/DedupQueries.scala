@@ -374,13 +374,22 @@ object DedupQueries {
         .persist()
       val pat = pairs.groupBy(col("g1"), col("g2"), col("g3"))
         .agg(count(lit(1)).as("n"))
+      // materialize the <=8-row weights table: the EM chain's plan
+      // re-aggregates the 900k-pair frame once per REFERENCE otherwise
+      // (each of the 2 iterations' params is itself a pat crossJoin)
       val weights = Dedup.fellegiSunterEM(pat, iters = 2)
         .select(col("g1"), col("g2"), col("g3"), col("match_weight"))
+        .localCheckpoint(true)
       val edges = pairs
         .join(broadcast(weights), Seq("g1", "g2", "g3"))
         .where(col("match_weight") >= 2.0)
         .select(col("ka").as("id_a"), col("kb").as("id_b"))
-      Dedup.connectedComponents(edges)
+      // large-star/small-star, NOT plain label propagation: the g2
+      // predicate (|n_orders| diff <= 1) chains matches, so components
+      // are high-diameter paths — min-label walked ~18 rounds (~7 jobs
+      // each, 10s of pure round overhead at sf0.1) where the star
+      // contraction lands in O(log n)
+      Dedup.connectedComponentsStar(edges)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"),
           min(col("doc_id")).as("min_key"), max(col("doc_id")).as("max_key"))
