@@ -170,6 +170,27 @@ object SimilarityQueries {
       Similarity.mmrRerank(cand, sims, 5)
     }),
 
+    // Matryoshka-style serving ablation: recall@10 of the PREFIX-dim
+    // ranking (first 16 / 32 of 64 dims) against the full-dim truth —
+    // the "how much ranking do I lose if I truncate stored vectors"
+    // number a serving deployment reads before cutting memory 4x/2x.
+    // Brute force on the gate path (broadcast probe set, never
+    // all-pairs); at scale the same slice feeds the IVF/SRP streams.
+    "q561_dim_ablation_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(e, e.where(expr(QUERY_PRED)), K)
+      def prefix(dd: Int) =
+        e.select(col("vec_id"), slice(col("embedding"), 1, dd).as("embedding"))
+      Seq(16, 32).map { dd =>
+        val p = prefix(dd)
+        Similarity.recallAtK(
+            Similarity.bruteForceTopK(p, p.where(expr(QUERY_PRED)), K),
+            truth, K)
+          .withColumn("dims", lit(dd))
+      }.reduce(_.unionByName(_))
+        .select(col("dims"), col("query_id"), col("recall"))
+    }),
+
     "q28_sim_srp_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.srpTopK(e, e.where(expr(QUERY_PRED)), K, numPlanes = 4)
@@ -400,6 +421,44 @@ object SimilarityQueries {
                  CASE WHEN p.pred_label = CAST(t.label AS INT) THEN 1 ELSE 0
                    END AS correct
           FROM pred p JOIN embeddings t ON t.vec_id = p.query_id""",
+
+    "q561_dim_ablation_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+          qr AS (SELECT * FROM e WHERE $QUERY_PRED),
+          truth AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY qr.vec_id
+                       ORDER BY ${cosSql("qr.emb", "c.emb")} DESC, c.vec_id)
+                       AS rank
+              FROM e c CROSS JOIN qr WHERE qr.vec_id <> c.vec_id)
+            WHERE rank <= $K),
+          dimgrid AS (SELECT unnest([16, 32]) AS dims),
+          ep AS (SELECT dims, vec_id, emb[1:dims] AS pemb
+                 FROM e CROSS JOIN dimgrid),
+          qp AS (SELECT * FROM ep WHERE $QUERY_PRED),
+          approx AS (
+            SELECT dims, query_id, neighbor_id FROM (
+              SELECT qp.dims, qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY qp.dims, qp.vec_id
+                       ORDER BY ${cosSql("qp.pemb", "c.pemb")} DESC, c.vec_id)
+                       AS rank
+              FROM ep c JOIN qp USING (dims)
+              WHERE qp.vec_id <> c.vec_id)
+            WHERE rank <= $K),
+          hits AS (
+            SELECT a.dims, a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM approx a JOIN truth t
+              ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+            GROUP BY 1, 2),
+          tc AS (SELECT dims, qr.vec_id AS query_id,
+                        CAST($K AS BIGINT) AS n_truth
+                 FROM qr CROSS JOIN dimgrid)
+          SELECT CAST(tc.dims AS INT) AS dims, tc.query_id,
+            ROUND(coalesce(n_hit, 0) * 1.0 / n_truth, 6) AS recall
+          FROM tc LEFT JOIN hits
+            ON tc.dims = hits.dims AND tc.query_id = hits.query_id""",
 
     "q26_sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -270,6 +270,44 @@ object TextQueries {
           round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6))
     }),
 
+    // tokenizer fertility per language: BPE-ish subword tokens per
+    // whitespace word, grouped by the declared lang column — the
+    // data-card readout that tells a tokenizer team which languages
+    // pay a fragmentation tax (fertility >> 1 = the vocab undersserves
+    // that script). ONE scan + one narrow agg; exact integer counts,
+    // one readout division.
+    "q562_tokenizer_fertility" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("n_words"),
+          sum(bpeTokenCount(col("text")).cast("long")).as("n_bpe"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+          round(col("n_bpe").cast("double") / col("n_words").cast("double"),
+            6).as("fertility"))
+    }),
+
+    // vocabulary Zipf exponent (Hill MLE over word frequencies >= 5,
+    // xmin fixed so the estimate is deterministic): alpha = 1 +
+    // m / sum(ln(f_i / 4.5)). The per-word ln is 1e-12-quantized and
+    // folded as exact decimals (order-free); the corpus-health number
+    // that says whether token frequencies look like natural text
+    // (alpha ~2) or like templated/synthetic spam (alpha drifts).
+    "q563_vocab_zipf_alpha" -> ((s, d) => {
+      val freqs = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .where(col("f") >= 5)
+      freqs.agg(count(lit(1)).as("m_words"),
+          sum(col("f")).as("n_tokens"),
+          max(col("f")).as("f_max"),
+          sum(round(log(col("f").cast("double") / 4.5), 12)
+            .cast("decimal(38,12)")).as("lsum"))
+        .select(col("m_words"), col("n_tokens"), col("f_max"),
+          round(lit(1.0) + col("m_words").cast("double") /
+            col("lsum").cast("double"), 6).as("alpha"))
+    }),
+
     "q19_text_quality" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -627,6 +665,31 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q562_tokenizer_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+             AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text,
+             '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))) AS BIGINT) AS n_bpe,
+           ROUND(CAST(sum(len(regexp_extract_all(text,
+               '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))) AS DOUBLE) /
+             CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+               AS DOUBLE), 6) AS fertility
+         FROM documents GROUP BY lang""",
+
+    "q563_vocab_zipf_alpha" ->
+      """WITH f AS (SELECT w, count(*) AS f FROM (
+             SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS w
+             FROM documents) GROUP BY w HAVING count(*) >= 5)
+         SELECT CAST(count(*) AS BIGINT) AS m_words,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(max(f) AS BIGINT) AS f_max,
+           ROUND(1.0 + CAST(count(*) AS DOUBLE) / CAST(sum(
+             CAST(round(ln(CAST(f AS DOUBLE) / 4.5), 12)
+               AS DECIMAL(38,12))) AS DOUBLE), 6) AS alpha
+         FROM f""",
 
     "q118_bpe_tokenize" -> bpeTokenizeOracle(12),
     "q359_chao1_richness" ->
