@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Projection, Similarity}
@@ -189,6 +189,60 @@ object SimilarityQueries {
           .withColumn("dims", lit(dd))
       }.reduce(_.unionByName(_))
         .select(col("dims"), col("query_id"), col("recall"))
+    }),
+
+    // label-error mining via embedding geometry: per label, the 5
+    // vectors LEAST similar to their own label centroid (cosine to the
+    // exact integer-mean centroid, ties to the smaller id) — the
+    // "probably mislabeled" worklist a data-cleaning pass reviews.
+    // Centroids are <=10x64 integer fit scalars (the IVF/kmeans
+    // pattern: coordinates 1e6-quantized, per-(label,dim) exact-mean
+    // collect, HALF_UP requantize), so scoring is one narrow codegen
+    // map and the bottom-k rides the bounded TopK aggregator.
+    "q565_label_outliers" -> ((s, d) => {
+      def halfUp(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centRows = e
+        .select(col("label"), posexplode(col("xq")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // <= |labels| x 64 fit scalars
+      val labels = centRows.map(_.getInt(0)).distinct.sorted
+      require(labels.length <= 64, s"label domain too wide: ${labels.length}")
+      val dims = centRows.map(_.getInt(1)).max + 1
+      val cents: Map[Int, Array[Long]] = labels.map { l =>
+        val a = new Array[Long](dims)
+        centRows.filter(_.getInt(0) == l).foreach { r =>
+          a(r.getInt(1)) = halfUp(r.getLong(2).toDouble / r.getLong(3).toDouble)
+        }
+        l -> a
+      }.toMap
+      def cosTo(c: Array[Long]): Column = {
+        val cl = array(c.map(lit): _*)
+        val dot = aggregate(zip_with(col("xq"), cl, (x, s) => x * s),
+          lit(0L), (a, v) => a + v).cast("double")
+        val nx = sqrt(aggregate(transform(col("xq"), x => x * x),
+          lit(0L), (a, v) => a + v).cast("double"))
+        val nc = lit(math.sqrt(c.map(v => v.toDouble * v.toDouble).sum))
+        dot / (nx * nc)
+      }
+      val cosCol = labels.tail.foldLeft(
+        when(col("label") === labels.head, cosTo(cents(labels.head)))) {
+        (acc, l) => acc.when(col("label") === l, cosTo(cents(l)))
+      }
+      val scored = e.select(col("label"), col("vec_id"),
+        round(cosCol, 6).as("cos_centroid"))
+      val out = graft.aggregators.TopK.topKPerKey(scored, "label", "vec_id",
+          "cos_centroid", 5, descending = false)
+        .select(col("label"), col("vec_id"), col("cos_centroid"), col("rank"))
+        .localCheckpoint(true)
+      e.unpersist(blocking = false)
+      out
     }),
 
     "q28_sim_srp_topk" -> ((s, d) => {
@@ -421,6 +475,39 @@ object SimilarityQueries {
                  CASE WHEN p.pred_label = CAST(t.label AS INT) THEN 1 ELSE 0
                    END AS correct
           FROM pred p JOIN embeddings t ON t.vec_id = p.query_id""",
+
+    // the cosine operands are EXACT on both sides: quantized coords,
+    // integer dot/norm sums < 2^53, one requantized-integer centroid —
+    // so the final double division + sqrt are bit-identical
+    "q565_label_outliers" ->
+      """WITH q AS (SELECT vec_id, label,
+               list_transform(embedding, x ->
+                 CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+             FROM embeddings),
+          ex AS (SELECT label, u.i AS dim, u.x AS x
+                 FROM q, LATERAL (SELECT unnest(list_transform(q.xq,
+                   (x, i) -> {'i': i, 'x': x})) AS u)),
+          mn AS (SELECT label, dim,
+                   CAST(round(CAST(sum(x) AS DOUBLE) /
+                     CAST(count(*) AS DOUBLE)) AS BIGINT) AS cq
+                 FROM ex GROUP BY 1, 2),
+          cent AS (SELECT label, list(cq ORDER BY dim) AS cq
+                   FROM mn GROUP BY label),
+          sc AS (SELECT q.vec_id, q.label,
+                   CAST(list_sum(list_transform(range(1, len(q.xq) + 1),
+                       i -> q.xq[CAST(i AS INT)] * c.cq[CAST(i AS INT)]))
+                     AS DOUBLE) /
+                   (sqrt(CAST(list_sum(list_transform(q.xq, x -> x * x))
+                      AS DOUBLE)) *
+                    sqrt(CAST(list_sum(list_transform(c.cq, x -> x * x))
+                      AS DOUBLE))) AS cos
+                 FROM q JOIN cent c USING (label)),
+          r AS (SELECT label, vec_id, ROUND(cos, 6) AS cos_centroid,
+                  ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY ROUND(cos, 6) ASC, vec_id) AS rank
+                FROM sc)
+         SELECT label, vec_id, cos_centroid, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 5""",
 
     "q561_dim_ablation_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -270,6 +270,31 @@ object TextQueries {
           round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6))
     }),
 
+    // distinct-n diversity per source (Li et al.'s distinct-1/-2): the
+    // share of unigram / bigram occurrences that are unique — low
+    // distinct-2 flags templated or model-generated text repeating the
+    // same constructions. Two explode+agg passes over one tokens scan.
+    "q564_distinct_ngrams" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"), tokens(col("text")).as("__toks"))
+      val uni = t.select(col("source"), explode(col("__toks")).as("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_uni"), count_distinct(col("w")).as("d_uni"))
+      val bi = t.select(col("source"),
+          explode(graft.operators.Curation.bigramsOf(col("__toks"))).as("bg"))
+        .select(col("source"),
+          concat_ws(" ", col("bg.w1"), col("bg.w2")).as("b"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bi"), count_distinct(col("b")).as("d_bi"))
+      uni.join(bi, Seq("source"))
+        .select(col("source"), col("n_uni"), col("d_uni"),
+          col("n_bi"), col("d_bi"),
+          round(col("d_uni").cast("double") / col("n_uni").cast("double"),
+            6).as("distinct_1"),
+          round(col("d_bi").cast("double") / col("n_bi").cast("double"),
+            6).as("distinct_2"))
+    }),
+
     // tokenizer fertility per language: BPE-ish subword tokens per
     // whitespace word, grouped by the declared lang column — the
     // data-card readout that tells a tokenizer team which languages
@@ -665,6 +690,28 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q564_distinct_ngrams" ->
+      """WITH t AS (SELECT source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+          uni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_uni,
+                    CAST(count(DISTINCT w) AS BIGINT) AS d_uni
+                  FROM (SELECT source, unnest(toks) AS w FROM t)
+                  GROUP BY source),
+          bi AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bi,
+                   CAST(count(DISTINCT b) AS BIGINT) AS d_bi
+                 FROM (SELECT source,
+                         unnest([toks[i] || ' ' || toks[i + 1]
+                           for i in range(1, len(toks))]) AS b
+                       FROM t)
+                 GROUP BY source)
+         SELECT source, n_uni, d_uni, n_bi, d_bi,
+           ROUND(CAST(d_uni AS DOUBLE) / CAST(n_uni AS DOUBLE), 6)
+             AS distinct_1,
+           ROUND(CAST(d_bi AS DOUBLE) / CAST(n_bi AS DOUBLE), 6)
+             AS distinct_2
+         FROM uni JOIN bi USING (source)""",
 
     "q562_tokenizer_fertility" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

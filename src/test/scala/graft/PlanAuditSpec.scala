@@ -80,6 +80,9 @@ class PlanAuditSpec extends SparkSpec {
     // q359: the richness readout reduces the frequency-of-frequencies
     // to ONE sufficient-stats row — q198's shape
     "q359_chao1_richness",
+    // q563: the Zipf-alpha readout reduces the (already aggregated)
+    // word-frequency table to ONE sufficient-stats row — q359's shape
+    "q563_vocab_zipf_alpha",
     // q367: the revenue-total scalar is a 1-row frame crossJoin-
     // broadcast over the part classes; the prefix-sum offsets collect
     // is O(#partitions) (cumulativeByValue contract, q160's shape)
@@ -389,6 +392,9 @@ class PlanAuditSpec extends SparkSpec {
     // q548 evaluates the int8 ranking against the brute truth — two
     // broadcast-query-set scans, q155's shape
     "q548_int8_recall",
+    // q561 evaluates two prefix-dim brute rankings against the full-dim
+    // truth — three broadcast-query-set scans, q155's shape
+    "q561_dim_ablation_recall",
     // q327 inherits q26's broadcast-query-set brute scan
     "q327_knn_classify",
     // q456: the 3x3 grid-offset frame (NINE rows) crossJoin-broadcasts
