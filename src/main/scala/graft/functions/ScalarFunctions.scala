@@ -77,6 +77,24 @@ object TextFunctions {
   def entityCandidates(c: Column): Column =
     regexp_extract_all(c, lit("([A-Z][a-z]+(?: [A-Z][a-z]+)+)"), lit(1))
 
+  /** Typed entity extraction over [[entityCandidates]] — the OpenNLP
+    * person/organization/location finders approximated with three
+    * replayable rules, in precedence order: a corporate/institutional
+    * suffix token ⇒ ORG; the span is preceded by a locative preposition
+    * (in/to/at/from, word-bounded) ⇒ LOC; otherwise PER (candidates
+    * are already 2+ capitalized tokens, the proper-name shape).
+    * Returns array<struct<entity,etype>>; both regexes are RE2-safe
+    * (no lookaround), so the DuckDB oracle replays them verbatim. */
+  def typedEntities(c: Column): Column = {
+    val cands = entityCandidates(c)
+    val locs = regexp_extract_all(c,
+      lit("\\b(?:in|to|at|from) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)"), lit(1))
+    transform(cands, e => struct(e.as("entity"),
+      when(e.rlike(" (Inc|Corp|Ltd|Labs|University|Bank)$"), "ORG")
+        .when(array_contains(locs, e), "LOC")
+        .otherwise("PER").as("etype")))
+  }
+
   /** Word n-grams (reference OpNGram.scala wraps ml.feature.NGram).
     * PERF: the slice in the lambda body re-reads `tokens` per position
     * (no CSE across lambda boundaries) — pass a materialized token

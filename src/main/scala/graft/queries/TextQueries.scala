@@ -85,6 +85,17 @@ object TextQueries {
     (56L, "uk", "що або та є під після цей їх українське речення було"),
     (57L, "ur", "کے ہے میں کی کو نے ایک پر اردو جملہ"))
 
+  /** Entity fixture for q566 — every typing rule fires: ORG by suffix
+    * (also when preposition-preceded, suffix wins), LOC by preposition,
+    * PER as the 2+-token default. The oracle's VALUES table is
+    * generated from THIS seq. */
+  val entityCorpus: Seq[(Long, String)] = Seq(
+    (1L, "Alice Johnson met Bob Smith at Acme Corp in New York"),
+    (2L, "Maria Garcia joined Globex Inc after leaving Initech Ltd in San Francisco"),
+    (3L, "the quick trip from Los Angeles to Las Vegas took Daniel Brown four hours"),
+    (4L, "Stanford University and Oxford University signed with Vector Labs"),
+    (5L, "Emma Wilson flew to Paris Texas with Noah Davis from Acme Bank"))
+
   val queries: Map[String, Q] = Map(
     // inverted-index build: the IR-side dual of q135's BM25 scoring —
     // token -> (document frequency, collection frequency, head of the
@@ -268,6 +279,28 @@ object TextQueries {
           round(col("n_covered").cast("double") / col("n_tokens"), 6))
         .withColumn("oov_rate",
           round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6))
+    }),
+
+    // typed named-entity extraction (ORG/LOC/PER), hash-gated: the
+    // capitalized-run candidates + suffix/preposition typing rules of
+    // ScalarFunctions.typedEntities over (a) a fixed entity fixture
+    // exercising every rule and (b) deterministic mixed-case sentences
+    // synthesized per customer (the corpus is lowercase, so the gate
+    // manufactures case like q122 manufactures mess). Row-local regex,
+    // one explode + one count agg.
+    "q566_entity_extraction" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.typedEntities
+      val fix = entityCorpus.toDF("sid", "text").select(col("text"))
+      val title = concat(upper(substring(col("c_mktsegment"), 1, 1)),
+        lower(substring(col("c_mktsegment"), 2, 32)))
+      val cust = Tables.customer(s, d).select(concat(
+        lit("Agent "), title, lit(" Smith visited Acme Corp in New "),
+        title, lit(" with Mary Jones")).as("text"))
+      fix.unionByName(cust)
+        .select(explode(typedEntities(col("text"))).as("e"))
+        .groupBy(col("e.entity").as("entity"), col("e.etype").as("etype"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     // distinct-n diversity per source (Li et al.'s distinct-1/-2): the
@@ -690,6 +723,38 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q566_entity_extraction" -> {
+      val values = entityCorpus
+        .map { case (sid, t) => s"($sid, '$t')" }.mkString(",\n             ")
+      s"""WITH fixture(rid, text) AS (VALUES $values),
+          title AS (SELECT c_custkey,
+              upper(substr(c_mktsegment, 1, 1)) ||
+                lower(substr(c_mktsegment, 2, 32)) AS seg
+            FROM customer),
+          cust AS (SELECT 1000000 + c_custkey AS rid,
+              'Agent ' || seg || ' Smith visited Acme Corp in New ' ||
+                seg || ' with Mary Jones' AS text
+            FROM title),
+          w AS (SELECT rid, text FROM fixture
+                UNION ALL SELECT rid, text FROM cust),
+          c AS (SELECT rid, unnest(regexp_extract_all(text,
+                  '([A-Z][a-z]+(?: [A-Z][a-z]+)+)', 1)) AS entity
+                FROM w),
+          l AS (SELECT DISTINCT rid, loc FROM (
+                  SELECT rid, unnest(regexp_extract_all(text,
+                    '\\b(?:in|to|at|from) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)',
+                    1)) AS loc
+                  FROM w)),
+          typed AS (SELECT c.entity,
+              CASE WHEN regexp_matches(c.entity,
+                     ' (Inc|Corp|Ltd|Labs|University|Bank)$$') THEN 'ORG'
+                   WHEN l.loc IS NOT NULL THEN 'LOC'
+                   ELSE 'PER' END AS etype
+            FROM c LEFT JOIN l ON l.rid = c.rid AND l.loc = c.entity)
+         SELECT entity, etype, CAST(count(*) AS BIGINT) AS n
+         FROM typed GROUP BY 1, 2"""
+    },
 
     "q564_distinct_ngrams" ->
       """WITH t AS (SELECT source,
