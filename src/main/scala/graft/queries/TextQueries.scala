@@ -303,6 +303,30 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // phone validation/normalization, hash-gated: the E.164-shape
+    // heuristic (reference wraps libphonenumber; that jar is absent —
+    // the stand-in strips separators, requires 7-15 digits with an
+    // optional leading +, and rejects any non-phone character) over
+    // six deterministic per-customer shapes covering valid/short/
+    // long/lettered cases. Row-local regex, replayed verbatim.
+    "q567_phone_validation" -> ((s, d) => {
+      import graft.functions.TextFunctions.{normalizePhone, isValidPhone}
+      val key4 = lpad(pmod(col("c_custkey"), lit(10000)).cast("string"),
+        4, "0")
+      val raw = pmod(col("c_custkey"), lit(6))
+      val phone =
+        when(raw === 0, concat(lit("+1 (555) 123-"), key4))
+          .when(raw === 1, concat(lit("555.123."), key4))
+          .when(raw === 2, lit("12345"))
+          .when(raw === 3, concat(lit("+44 20 7946 "), key4))
+          .when(raw === 4, lit("call me maybe"))
+          .otherwise(concat(lit("+12345678901234"), key4))
+      Tables.customer(s, d).select(col("c_custkey"), phone.as("raw"))
+        .select(col("c_custkey"), col("raw"),
+          normalizePhone(col("raw")).as("normalized"),
+          isValidPhone(col("raw")).as("valid"))
+    }),
+
     // distinct-n diversity per source (Li et al.'s distinct-1/-2): the
     // share of unigram / bigram occurrences that are unique — low
     // distinct-2 flags templated or model-generated text repeating the
@@ -723,6 +747,29 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q567_phone_validation" ->
+      """WITH c AS (SELECT c_custkey,
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS k4,
+             c_custkey % 6 AS m
+           FROM customer),
+          p AS (SELECT c_custkey,
+             CASE m WHEN 0 THEN '+1 (555) 123-' || k4
+                    WHEN 1 THEN '555.123.' || k4
+                    WHEN 2 THEN '12345'
+                    WHEN 3 THEN '+44 20 7946 ' || k4
+                    WHEN 4 THEN 'call me maybe'
+                    ELSE '+12345678901234' || k4 END AS raw
+           FROM c),
+          n AS (SELECT c_custkey, raw,
+             (CASE WHEN raw LIKE '+%' THEN '+' ELSE '' END) ||
+               regexp_replace(raw, '[^0-9]', '', 'g') AS normalized
+           FROM p)
+         SELECT c_custkey, raw, normalized,
+           (regexp_matches(normalized, '^\+?[0-9]{7,15}$') AND
+            NOT regexp_matches(
+              regexp_replace(raw, '[0-9+\-().\s]', '', 'g'), '.')) AS valid
+         FROM n""",
 
     "q566_entity_extraction" -> {
       val values = entityCorpus
