@@ -327,6 +327,29 @@ object TextQueries {
           isValidPhone(col("raw")).as("valid"))
     }),
 
+    // human-name detection, hash-gated: the 2-3-capitalized-token
+    // heuristic (reference HumanNameDetector + dictionaries; stand-in
+    // documented on TextFunctions.looksLikeHumanName) over six
+    // deterministic per-customer shapes — valid first/last, middle
+    // initial, short CJK-romanized, lowercase, ALL-CAPS, and a
+    // dotted title. Row-local anchored regex, replayed verbatim.
+    "q568_human_name_detection" -> ((s, d) => {
+      import graft.functions.TextFunctions.looksLikeHumanName
+      val segTitle = concat(upper(substring(col("c_mktsegment"), 1, 1)),
+        lower(substring(col("c_mktsegment"), 2, 32)))
+      val m = pmod(col("c_custkey"), lit(6))
+      val cand =
+        when(m === 0, concat(lit("John "), segTitle))
+          .when(m === 1, concat(lit("Mary J. "), segTitle))
+          .when(m === 2, concat(lit("anna "), lower(col("c_mktsegment"))))
+          .when(m === 3, col("c_mktsegment"))
+          .when(m === 4, concat(lit("Dr. Henry "), segTitle))
+          .otherwise(lit("Li Na"))
+      Tables.customer(s, d).select(col("c_custkey"), cand.as("candidate"))
+        .select(col("c_custkey"), col("candidate"),
+          looksLikeHumanName(col("candidate")).as("is_name"))
+    }),
+
     // distinct-n diversity per source (Li et al.'s distinct-1/-2): the
     // share of unigram / bigram occurrences that are unique — low
     // distinct-2 flags templated or model-generated text repeating the
@@ -747,6 +770,26 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q568_human_name_detection" ->
+      """WITH c AS (SELECT c_custkey,
+             upper(substr(c_mktsegment, 1, 1)) ||
+               lower(substr(c_mktsegment, 2, 32)) AS seg,
+             c_mktsegment, c_custkey % 6 AS m
+           FROM customer),
+          p AS (SELECT c_custkey,
+             CASE m WHEN 0 THEN 'John ' || seg
+                    WHEN 1 THEN 'Mary J. ' || seg
+                    WHEN 2 THEN 'anna ' || lower(c_mktsegment)
+                    WHEN 3 THEN c_mktsegment
+                    WHEN 4 THEN 'Dr. Henry ' || seg
+                    ELSE 'Li Na' END AS candidate
+           FROM c)
+         SELECT c_custkey, candidate,
+           regexp_matches(candidate,
+             '^[A-Z][a-z]{1,20}( [A-Z]\.?)?( [A-Z][a-z]{1,20}){1,2}$')
+             AS is_name
+         FROM p""",
 
     "q567_phone_validation" ->
       """WITH c AS (SELECT c_custkey,
