@@ -95,7 +95,12 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
-    val shardSize = sys.env.get("SPARK_GRAFT_SHARD").map(_.toInt).getOrElse(32)
+    // 24 (not 32): with ~565 queries the bin count must stay ahead of
+    // the ~20 queries costing >4s, or LPT is forced to co-shard two
+    // heavies into one child JVM (measured: q347 5.7s solo -> 11.2s
+    // co-sharded). Startup of the extra children is outside the timed
+    // region, so smaller shards only cost untimed wall.
+    val shardSize = sys.env.get("SPARK_GRAFT_SHARD").map(_.toInt).getOrElse(24)
     val javaBin = new File(new File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val classpath = System.getProperty("java.class.path")
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toVector
