@@ -126,10 +126,14 @@ object TextAnalysis {
     "af" -> Seq("hierdie", "vir", "hulle", "baie", "ons", "gesê", "maar", "wat"),
     "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "التي"),
     "az" -> Seq("və", "ilə", "üçün", "edir", "olan", "olub", "kimi", "həm"),
+    // Belarusian keeps to its own orthography (што/гэта vs ru что/это,
+    // uk що) so no Cyrillic sibling's text lands here
+    "be" -> Seq("гэта", "што", "якія", "быў", "вельмі", "таксама", "ёсць", "адзін"),
     "bg" -> Seq("да", "се", "това", "които", "след", "към", "само", "може"),
     "bn" -> Seq("এবং", "না", "করে", "থেকে", "এই", "তার", "জন্য", "হয়"),
     "ca" -> Seq("els", "amb", "dels", "aquesta", "també", "són", "molt", "però"),
     "cs" -> Seq("že", "jsem", "jsou", "není", "byl", "který", "také", "podle"),
+    "cy" -> Seq("mae", "wedi", "gyda", "hefyd", "iawn", "bod", "dyma", "eisiau"),
     "da" -> Seq("og", "er", "til", "ikke", "af", "hvad", "hvor", "være"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "el" -> Seq("και", "να", "το", "της", "των", "είναι", "από", "με"),
@@ -141,6 +145,9 @@ object TextAnalysis {
     "fi" -> Seq("ja", "on", "ei", "että", "hän", "mutta", "myös", "kun"),
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
     "ga" -> Seq("agus", "atá", "bhfuil", "chomh", "freisin", "déanamh", "beidh", "raibh"),
+    // Galician avoids the pt/es cores (de/que/en/com): tamén vs pt
+    // também, despois vs es después / pt depois — own orthography only
+    "gl" -> Seq("unha", "tamén", "moi", "coa", "dende", "xeito", "despois", "polo"),
     "gu" -> Seq("છે", "અને", "કરી", "માટે", "આ", "તે", "પણ", "હતી"),
     "he" -> Seq("את", "של", "על", "לא", "זה", "הוא", "עם", "אבל"),
     "hi" -> Seq("के", "है", "में", "की", "को", "से", "का", "पर"),
@@ -153,13 +160,22 @@ object TextAnalysis {
     // alike, "ve"/"bir" of tr vs az — including them in one profile
     // would siphon other languages' text)
     "id" -> Seq("yang", "dan", "dari", "untuk", "dengan", "tidak", "ini", "itu"),
+    // Icelandic ð/þ forms are unambiguous vs da/no/sv (og/er belong to da)
+    "is" -> Seq("að", "það", "ekki", "við", "hún", "þetta", "einnig", "mjög"),
     "it" -> Seq("di", "che", "non", "per", "sono", "gli", "più", "della"),
     "ka" -> Seq("და", "არის", "რომ", "ეს", "მისი", "იყო", "ასევე", "უნდა"),
     "kn" -> Seq("ಮತ್ತು", "ಒಂದು", "ಈ", "ಎಂದು", "ಅವರು", "ಇದು", "ಮೇಲೆ", "ಆದರೆ"),
     "lt" -> Seq("ir", "yra", "kad", "bet", "tai", "iš", "su", "kaip"),
     "lv" -> Seq("un", "par", "arī", "kā", "tika", "bija", "gada", "viņš"),
+    // Macedonian picks forms bg/sr spell differently (дека vs bg че,
+    // многу vs bg много, бидејќи has no bg/sr twin)
+    "mk" -> Seq("дека", "бидејќи", "исто", "како", "многу", "овој", "беше", "сите"),
     "ml" -> Seq("എന്ന", "ഒരു", "ഈ", "അത്", "ആണ്", "എന്നാൽ", "വളരെ", "ഉണ്ട്"),
     "mr" -> Seq("आहे", "आणि", "यांनी", "केली", "असून", "हे", "झाली", "तसेच"),
+    // Malay keeps to ms-specific forms (kerana vs id karena, sahaja vs
+    // id saja, ialah vs id adalah) so Indonesian text never lands here
+    "ms" -> Seq("kerana", "ialah", "sahaja", "boleh", "daripada", "kepada", "selepas", "amat"),
+    "mt" -> Seq("huwa", "iżda", "ukoll", "ħafna", "qed", "biex", "kienet", "dawn"),
     "ne" -> Seq("छ", "र", "गरेको", "भएको", "लागि", "पनि", "हुने", "गर्न"),
     "nl" -> Seq("het", "een", "van", "niet", "dat", "zijn", "ik", "ook"),
     // bokmål shares its article/copula inventory with da — the no
@@ -173,6 +189,7 @@ object TextAnalysis {
     "ru" -> Seq("и", "в", "не", "на", "что", "это", "как", "его"),
     "sk" -> Seq("som", "ako", "aj", "už", "ale", "či", "tiež", "bolo"),
     "sl" -> Seq("tudi", "kot", "pa", "še", "lahko", "bil", "niso", "ker"),
+    "so" -> Seq("iyo", "waa", "ayaa", "waxaa", "inuu", "soo", "kale", "sidoo"),
     "sq" -> Seq("dhe", "një", "të", "për", "është", "më", "nga", "kjo"),
     "sr" -> Seq("је", "су", "али", "био", "него", "већ", "док", "ово"),
     "sv" -> Seq("och", "att", "är", "inte", "på", "för", "jag", "ett"),
@@ -184,6 +201,9 @@ object TextAnalysis {
     "uk" -> Seq("що", "або", "та", "є", "під", "після", "цей", "їх"),
     "ur" -> Seq("کے", "ہے", "میں", "کی", "کو", "نے", "ایک", "پر"),
     "vi" -> Seq("của", "và", "là", "không", "người", "này", "được", "trong"),
+    // Yiddish shares the script but not the function words of he
+    // (un/iz/fun/der are Germanic; none appear in the he profile)
+    "yi" -> Seq("און", "איז", "פון", "דער", "האט", "מיט", "אויך", "וואס"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
   val englishStopwords: Seq[String] = stopwordProfiles.toMap.apply("en")
@@ -196,13 +216,13 @@ object TextAnalysis {
   def languageScores(text: Column): Seq[(String, Column)] =
     stopwordProfiles.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
 
-  /** All 54 per-language stopword-hit counts in ONE token pass,
+  /** All 63 per-language stopword-hit counts in ONE token pass,
     * returned as an array in stopwordProfiles order. The per-language
     * [[languageScores]] form costs |profiles|·8 string comparisons per
     * token (isin-filter per language); this UDF does one hash lookup
     * per token, so cost is independent of the language count. Callers
     * project the array FIRST (its own projection — CollapseProject
-    * won't inline a non-cheap UDF referenced 54×) and element_at the
+    * won't inline a non-cheap UDF referenced 63×) and element_at the
     * per-language columns from it. Token semantics identical to
     * [[tokens]]: spaces-only trim, ROOT lowercase, \s+ split. */
   def languageScoreCounts(text: Column): Column = {
@@ -284,7 +304,44 @@ object TextAnalysis {
     "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]",
     "hangul" -> "[\\p{IsHangul}]",
     "thai" -> "[\\p{IsThai}]",
-    "han" -> "[\\p{IsHan}]")
+    "han" -> "[\\p{IsHan}]",
+    "myanmar" -> "[\\p{IsMyanmar}]",
+    "khmer" -> "[\\p{IsKhmer}]",
+    "lao" -> "[\\p{IsLao}]",
+    "sinhala" -> "[\\p{IsSinhala}]",
+    "ethiopic" -> "[\\p{IsEthiopic}]",
+    "tibetan" -> "[\\p{IsTibetan}]")
+
+  /** The same classes as `Character.UnicodeScript` values, in the SAME
+    * order — the UDF char pass counts through this table; a mismatch
+    * with [[scriptClasses]] would silently diverge the UDF from the
+    * generated regexp oracle, so the pairing is asserted below. */
+  private val scriptEnums: Seq[(String, Seq[Character.UnicodeScript])] = {
+    import Character.UnicodeScript._
+    Seq(
+      "kana" -> Seq(HIRAGANA, KATAKANA),
+      "hangul" -> Seq(HANGUL),
+      "thai" -> Seq(THAI),
+      "han" -> Seq(HAN),
+      "myanmar" -> Seq(MYANMAR),
+      "khmer" -> Seq(KHMER),
+      "lao" -> Seq(LAO),
+      "sinhala" -> Seq(SINHALA),
+      "ethiopic" -> Seq(ETHIOPIC),
+      "tibetan" -> Seq(TIBETAN))
+  }
+  require(scriptEnums.map(_._1) == scriptClasses.map(_._1),
+    "scriptEnums out of sync with scriptClasses")
+
+  /** UnicodeScript.ordinal -> scriptClasses index (-1 = not counted),
+    * the O(1) per-char dispatch for the single-pass detector. */
+  private lazy val scriptOrdinalIndex: Array[Int] = {
+    val a = Array.fill(Character.UnicodeScript.values.length)(-1)
+    scriptEnums.zipWithIndex.foreach { case ((_, ss), i) =>
+      ss.foreach(s => a(s.ordinal) = i)
+    }
+    a
+  }
 
   def scriptCounts(text: Column): Seq[(String, Column)] =
     scriptClasses.map { case (n, re) =>
@@ -293,9 +350,13 @@ object TextAnalysis {
 
   // script → language, applied in scriptClasses order with a >= 2
   // character threshold (one CJK char can be a stray symbol; two is a
-  // message)
+  // message). Scripts written by exactly one major language get a
+  // script vote instead of a word profile — cheaper and more robust
+  // than stopwords for unsegmented or agglutinative scripts.
   val scriptLangs: Map[String, String] =
-    Map("kana" -> "ja", "hangul" -> "ko", "thai" -> "th", "han" -> "zh")
+    Map("kana" -> "ja", "hangul" -> "ko", "thai" -> "th", "han" -> "zh",
+      "myanmar" -> "my", "khmer" -> "km", "lao" -> "lo",
+      "sinhala" -> "si", "ethiopic" -> "am", "tibetan" -> "bo")
   val scriptThreshold = 2
 
   /** lang/confidence pair returned by [[languageIdScored]]. */
@@ -316,20 +377,20 @@ object TextAnalysis {
     m.toMap
   }
 
-  /** Detected language over 57 languages (BCP-47 codes, "und" =
-    * undetermined): script vote first (ja/ko/th/zh), then the stopword
-    * argmax over the 54 word profiles. The reference wraps Optimaize's
-    * 70-language n-gram detector
+  /** Detected language over 72 languages (BCP-47 codes, "und" =
+    * undetermined): script vote first (ja/ko/th/zh + my/km/lo/si/am/bo),
+    * then the stopword argmax over the 63 word profiles. The reference
+    * wraps Optimaize's 70-language n-gram detector
     * (core/.../utils/text/OptimaizeLanguageDetector.scala); that jar is
     * absent here, so this is the deterministic, oracle-replayable
     * stand-in — the DuckDB oracle replays the same decision tree as
     * per-profile IN-list scores + a CASE chain.
     *
     * Computed ROW-LOCALLY in ONE UDF pass: the Column-combinator form
-    * (54 isin-filters over the token array + a 54-branch argmax chain)
+    * (N isin-filters over the token array + an N-branch argmax chain)
     * costs 432 string comparisons per token and grew linearly with
     * every added language (measured 0.4 s → 2.4 s on q525 when the
-    * profile table grew 19 → 54); this pass does one hash lookup per
+    * profile table grew 19 → 54; now 63); this pass does one hash lookup per
     * token and one UnicodeScript check per char, so detector cost is
     * independent of the language count. Exact semantic replay of the
     * old plan: spaces-only trim, ROOT lowercase, \s+ split, script
@@ -339,31 +400,26 @@ object TextAnalysis {
     val profiles = stopwordProfiles.map(_._1).toArray
     val widx = wordLangIndex
     val scriptOut = scriptClasses.map { case (n, _) => scriptLangs(n) }.toArray
+    val ordIdx = scriptOrdinalIndex
+    val nScripts = scriptClasses.size
     val thr = scriptThreshold
     val f = udf((s: String) => {
       if (s == null) null
       else {
-        // one char pass: script counts (kana/hangul/thai/han, same
-        // classes as scriptClasses) + codepoint count
-        var kana = 0L; var hangul = 0L; var thai = 0L; var han = 0L
+        // one char pass: per-script counts (scriptClasses order, via
+        // the ordinal->index table) + codepoint count
+        val scriptHits = new Array[Long](nScripts)
         var nChars = 0L
         var i = 0
         while (i < s.length) {
           val cp = s.codePointAt(i)
-          Character.UnicodeScript.of(cp) match {
-            case Character.UnicodeScript.HIRAGANA |
-                 Character.UnicodeScript.KATAKANA => kana += 1
-            case Character.UnicodeScript.HANGUL => hangul += 1
-            case Character.UnicodeScript.THAI => thai += 1
-            case Character.UnicodeScript.HAN => han += 1
-            case _ => ()
-          }
+          val si0 = ordIdx(Character.UnicodeScript.of(cp).ordinal)
+          if (si0 >= 0) scriptHits(si0) += 1
           nChars += 1
           i += Character.charCount(cp)
         }
         def q6(x: Double): Double =
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val scriptHits = Array(kana, hangul, thai, han)
         val si = scriptHits.indexWhere(_ >= thr)
         if (si >= 0) LangScore(scriptOut(si), q6(scriptHits(si).toDouble / nChars))
         else {

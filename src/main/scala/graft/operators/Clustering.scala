@@ -155,7 +155,17 @@ object Clustering {
     * codegen map + one max_by agg, no shuffle beyond the agg, and the
     * projected corpus is persisted across rounds. Emits
     * (round, center_id, dmin_q): each pick's distance to the
-    * previously chosen set (round 1 → 0). */
+    * previously chosen set (round 1 → 0).
+    *
+    * CONTRACT — may return FEWER than k rows: when max dmin hits 0
+    * before round k (the corpus has < k distinct quantized points),
+    * selection stops instead of emitting duplicate centers, so the
+    * result has one row per DISTINCT center, `min(k, #distinct)` rows
+    * total. Callers (q550 and its oracle, which replays the same loop
+    * with the same stop rule) must tolerate a short result; a caller
+    * that requires exactly k rows must check the corpus has ≥ k
+    * distinct points first. Degenerate case spec-gated in
+    * ClusteringSpec. */
   def kCenterGreedy(df: DataFrame, id: Column, vec: Column,
                     k: Int): DataFrame = {
     require(k >= 2 && k <= 64, s"k must be in [2,64]: $k")

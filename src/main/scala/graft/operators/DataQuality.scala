@@ -1042,8 +1042,11 @@ object DataQuality {
     * 100×-scale claim on the survival estimators rests on the fallback
     * actually existing AND the fast path actually firing at test SF,
     * so a spec drains this after running them and asserts the branch
-    * taken, instead of inferring it from timings. Bounded: one entry
-    * per autoDispatch call; cleared by the reader. */
+    * taken, instead of inferring it from timings. Bounded two ways:
+    * the spec reader drains it, and the writer evicts the oldest entry
+    * past [[DispatchLogCap]] — a long-lived production JVM that never
+    * runs the spec must not grow this without bound. */
+  private[graft] val DispatchLogCap = 64
   private[graft] val dispatchLog =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
 
@@ -1054,6 +1057,7 @@ object DataQuality {
     val c = counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c.count()
     dispatchLog.add((n, n <= bound))
+    while (dispatchLog.size > DispatchLogCap) dispatchLog.poll()
     if (n <= bound) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -17,7 +17,7 @@ object TextQueries {
 
   private val sw = englishStopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Fixed multilingual fixture for the 57-language scored detector
+  /** Fixed multilingual fixture for the 72-language scored detector
     * (q524): one native-script sentence per supported language, all
     * lowercase (so lower() is a no-op in both engines — Turkish-I
     * case-folding never enters the gate). The oracle's VALUES table is
@@ -83,7 +83,25 @@ object TextQueries {
     (54L, "te", "మరియు ఈ ఒక అని కూడా లో ఆ ఉంది తెలుగు వాక్యం"),
     (55L, "tl", "ang mga bata ay pumunta sa paaralan ng maaga at ito ang hindi namin nakita"),
     (56L, "uk", "що або та є під після цей їх українське речення було"),
-    (57L, "ur", "کے ہے میں کی کو نے ایک پر اردو جملہ"))
+    (57L, "ur", "کے ہے میں کی کو نے ایک پر اردو جملہ"),
+    // round 10: 15 added languages (57 → 72, Optimaize-parity +2).
+    // be/cy/gl/is/mk/ms/mt/so/yi are word profiles; my/km/lo/si/am/bo
+    // are script votes (one dominant language per script).
+    (58L, "be", "гэта што якія быў вельмі таксама ёсць адзін беларускі сказ"),
+    (59L, "cy", "mae wedi gyda hefyd iawn bod dyma eisiau yma heddiw"),
+    (60L, "gl", "unha tamén moi coa dende xeito despois polo texto galego"),
+    (61L, "is", "að það ekki við hún þetta einnig mjög setning á íslensku"),
+    (62L, "mk", "дека бидејќи исто како многу овој беше сите македонски текст"),
+    (63L, "ms", "kerana ialah sahaja boleh daripada kepada selepas amat ayat melayu"),
+    (64L, "mt", "huwa iżda ukoll ħafna qed biex kienet dawn sentenza bil malti"),
+    (65L, "so", "iyo waa ayaa waxaa inuu soo kale sidoo qoraal af soomaali"),
+    (66L, "yi", "און איז פון דער האט מיט אויך וואס א יידישער זאץ"),
+    (67L, "my", "မြန်မာစာသည် အလွန်လှပသော ဘာသာစကားဖြစ်သည်"),
+    (68L, "km", "ភាសាខ្មែរគឺជាភាសាដ៏ស្រស់ស្អាតមួយ"),
+    (69L, "lo", "ພາສາລາວແມ່ນພາສາທີ່ງົດງາມຫຼາຍ"),
+    (70L, "si", "සිංහල භාෂාව ඉතා ලස්සන භාෂාවකි"),
+    (71L, "am", "አማርኛ በጣም ቆንጆ ቋንቋ ነው"),
+    (72L, "bo", "བོད་སྐད་ནི་མཛེས་པའི་སྐད་ཡིག་ཅིག་རེད"))
 
   /** Entity fixture for q566 — every typing rule fires: ORG by suffix
     * (also when preposition-preceded, suffix wins), LOC by preposition,
@@ -423,7 +441,7 @@ object TextQueries {
         round(qualityScore(col("text")), 6).as("quality"))
     }),
 
-    // 57-language scored detector (script vote + 54 word profiles +
+    // 72-language scored detector (script vote + 63 word profiles +
     // confidence) over the fixed multilingual fixture UNION the
     // documents table — the fixture exercises every script branch and
     // all 54 word profiles on native text; the documents exercise the
@@ -491,9 +509,9 @@ object TextQueries {
 
     "q20_text_langid" -> ((s, d) => {
       val langs = stopwordProfiles.map(_._1)
-      // ONE token pass for all 54 counts (languageScoreCounts); the
+      // ONE token pass for all 63 counts (languageScoreCounts); the
       // array rides its own projection so CollapseProject cannot
-      // inline the UDF 54x into the per-language columns
+      // inline the UDF 63x into the per-language columns
       val withArr = Tables.documents(s, d).select(col("doc_id"),
         col("lang").as("lang_label"),
         languageScoreCounts(col("text")).as("__s"))
@@ -693,7 +711,7 @@ object TextQueries {
     s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN ($words)))"
   }
 
-  /** Shared generated-SQL fragments of the 57-language scored detector
+  /** Shared generated-SQL fragments of the 72-language scored detector
     * — one source of truth for the q524 and q525 oracles, all derived
     * from the SAME Scala structures the Spark side evaluates. */
   private object langOracle {

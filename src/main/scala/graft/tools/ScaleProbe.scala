@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Bump when synthesize() changes shape, so cached corpora regenerate. */
+  private val SynthVersion = 2
+
   /** Shift an id column into copy i's disjoint key space. */
   private def shifted(c: String, i: Int, stride: Long) =
     (col(c) + lit(i.toLong * stride)).as(c)
@@ -33,7 +36,16 @@ object ScaleProbe {
   private def synthesize(spark: SparkSession, src: String, out: String,
                          factor: Int): Unit = {
     val fs = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(fs.resolve("_SYNTH_OK"))) return
+    val marker = fs.resolve("_SYNTH_OK")
+    // The marker records the factor AND a generator version; reuse the
+    // cached corpus only when both match the current request — a stale
+    // corpus (different factor, or synthesized by an older generator)
+    // would silently time the wrong data and report a wrong exponent.
+    if (java.nio.file.Files.exists(marker)) {
+      val stored = new String(java.nio.file.Files.readAllBytes(marker)).trim
+      if (stored == s"$factor v$SynthVersion") return
+      System.err.println(s"PROBE stale synth marker '$stored' != '$factor v$SynthVersion' — regenerating $out")
+    }
     java.nio.file.Files.createDirectories(fs)
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
@@ -62,9 +74,18 @@ object ScaleProbe {
       col("l_quantity"), col("l_extendedprice"), col("l_discount"),
       col("l_tax"), col("l_returnflag"), col("l_linestatus"),
       col("l_shipdate"))), "lineitem")
-    write(copies(i => part.select(shifted("p_partkey", i, P), col("p_name"),
-      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))),
-      "part")
+    // part: salt p_name tokens per copy (same pattern as documents) —
+    // the fixture's vocabulary is ~64 names, so an unsalted 10x corpus
+    // pushes EVERY token past the fuzzy-join hot-token cap and candidate
+    // generation empties, yielding meaningless negative exponents for
+    // q256/q159. Salting grows the vocabulary with the corpus, the shape
+    // a real 10x catalog has. Copy 0 keeps the original bytes.
+    write(copies { i =>
+      val nm = if (i == 0) col("p_name")
+        else regexp_replace(col("p_name"), "(\\S+)", s"$$1x$i")
+      part.select(shifted("p_partkey", i, P), nm.as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }, "part")
     // documents: per-copy word salt makes every shingle distinct across
     // copies — a 10x corpus, not a 10x-duplicated corpus (which would
     // measure a different, pathological workload for the dedup/blocking
@@ -89,8 +110,8 @@ object ScaleProbe {
     Seq("region", "nation", "supplier").foreach { t =>
       write(read(t), t)
     }
-    java.nio.file.Files.write(fs.resolve("_SYNTH_OK"),
-      java.util.Arrays.asList(factor.toString))
+    java.nio.file.Files.write(marker,
+      java.util.Arrays.asList(s"$factor v$SynthVersion"))
   }
 
   private def deepClean(spark: SparkSession): Unit = {

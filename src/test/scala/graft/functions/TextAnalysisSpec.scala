@@ -56,7 +56,7 @@ class TextAnalysisSpec extends SparkSpec {
         col("r.lang").as("pred"), col("r.confidence").as("conf"))
       .collect()
     assert(rows.length == graft.queries.TextQueries.langIdCorpus.size)
-    assert(rows.length >= 57) // 54 word profiles + ja/ko/th script votes
+    assert(rows.length >= 72) // 63 word profiles + 9 script votes
     val wrong = rows.filter(r => r.getAs[String]("pred") != r.getAs[String]("expected"))
     assert(wrong.isEmpty, wrong.mkString("\n"))
     assert(rows.forall { r =>

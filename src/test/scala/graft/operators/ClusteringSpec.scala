@@ -28,4 +28,23 @@ class ClusteringSpec extends SparkSpec {
     // distances are to a nearby centroid, not a far one
     assert(out.forall(_._3 < 10.0), "a point is far from its centroid")
   }
+
+  test("kCenterGreedy saturates short of k on < k distinct points") {
+    val s = spark; import s.implicits._
+    // 3 distinct points, each duplicated — k=5 must stop at 3 centers
+    // (the documented <k contract) rather than emit duplicate centers
+    val pts = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 0f)),
+      (3L, Array(10f, 0f)), (4L, Array(10f, 0f)),
+      (5L, Array(0f, 10f)), (6L, Array(0f, 10f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Clustering.kCenterGreedy(df, col("vec_id"), col("embedding"), k = 5)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 3, s"expected saturation at 3 centers, got ${out.length}")
+    // one center per distinct point, deterministic order: smallest id
+    // first, then farthest-point picks with min-id tiebreak on dmin
+    assert(out.map(_._2).toSet == Set(1L, 3L, 5L))
+    assert(out.head == ((1, 1L, 0L)))
+    assert(out.forall { case (r, _, d) => r == 1 || d > 0L })
+  }
 }
