@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-country phone validation rules — the fidelity step from the
+  * E.164-shape heuristic ([[TextFunctions.isValidPhone]]) toward the
+  * reference's libphonenumber-backed parser
+  * (core/.../impl/feature/PhoneNumberParser.scala — the jar is absent
+  * in this container, so the top ~20 calling codes get explicit
+  * length/prefix tables instead of the full metadata set).
+  *
+  * Reference semantics reproduced here (PhoneNumberParser.scala:260-325):
+  *   - `cleanNumber`: trim, strip every char outside [+0-9]
+  *   - raw input shorter than 2 chars → None (null, not false)
+  *   - a leading "+" switches to international parsing (the "ZZ"
+  *     convention): calling code by longest-prefix match, then the
+  *     country's national-number rules
+  *   - otherwise the DefaultRegion parameter's rules apply
+  *     (ParsePhoneDefaultCountry / IsValidPhoneDefaultCountry, default
+  *     "US"), with the country's trunk '0' stripped first
+  *   - parse returns "+<cc><national>" when valid, null otherwise;
+  *     validate returns parse's success as a boolean
+  *
+  * Documented OUT OF SCOPE vs libphonenumber (q569 gates what IS in
+  * scope): numbers outside the 22 tabled calling codes are invalid
+  * rather than ZZ-parsed; variable-length metadata beyond min/max
+  * (e.g. per-area-code patterns) is not modeled; the non-strict
+  * `truncateTooLongNumber` retry, carrier-code and extension handling,
+  * and the country-NAME Jaccard fallback of `validCountryCode` are
+  * not implemented; RU's '8' trunk prefix is not stripped.
+  *
+  * Everything below is row-local and codegen-friendly (anchored RE2-safe
+  * regex + a when-chain), and [[oracleE164Sql]] renders the IDENTICAL
+  * decision tree as DuckDB SQL from the same rules table, so the gate
+  * cannot drift from the implementation.
+  */
+object PhoneRules {
+
+  /** One country's national-number rules: calling code, length bounds,
+    * whether a national-format leading trunk '0' is stripped, and an
+    * optional anchored pattern (RE2-safe, no lookaround) the national
+    * number must match. */
+  final case class Rule(region: String, cc: String, minLen: Int, maxLen: Int,
+                        trunkZero: Boolean, pattern: Option[String])
+
+  /** Top calling codes by traffic; US covers the whole NANP (+1). The
+    * NANP pattern encodes area code and exchange both in [2-9]. */
+  val rules: Seq[Rule] = Seq(
+    Rule("US", "1", 10, 10, trunkZero = false,
+      Some("^[2-9][0-9]{2}[2-9][0-9]{6}$")),
+    Rule("RU", "7", 10, 10, trunkZero = false, None),
+    Rule("ZA", "27", 9, 9, trunkZero = true, None),
+    Rule("NL", "31", 9, 9, trunkZero = true, None),
+    Rule("FR", "33", 9, 9, trunkZero = true, None),
+    Rule("ES", "34", 9, 9, trunkZero = false, None),
+    Rule("IT", "39", 8, 11, trunkZero = false, None),
+    Rule("CH", "41", 9, 9, trunkZero = true, None),
+    Rule("GB", "44", 9, 10, trunkZero = true, None),
+    Rule("SE", "46", 7, 9, trunkZero = true, None),
+    Rule("PL", "48", 9, 9, trunkZero = false, None),
+    Rule("DE", "49", 6, 11, trunkZero = true, None),
+    Rule("MX", "52", 10, 10, trunkZero = false, None),
+    Rule("BR", "55", 10, 11, trunkZero = false, None),
+    Rule("AU", "61", 9, 9, trunkZero = true, None),
+    Rule("SG", "65", 8, 8, trunkZero = false, None),
+    Rule("JP", "81", 9, 10, trunkZero = true, None),
+    Rule("KR", "82", 8, 10, trunkZero = true, None),
+    Rule("CN", "86", 10, 11, trunkZero = true, None),
+    Rule("TR", "90", 10, 10, trunkZero = true, None),
+    Rule("IN", "91", 10, 10, trunkZero = true, Some("^[6-9][0-9]{9}$")),
+    Rule("NG", "234", 8, 10, trunkZero = true, None))
+
+  private val byRegion: Map[String, Rule] = rules.map(r => r.region -> r).toMap
+
+  /** Longest-calling-code-first order for the international prefix
+    * match ("+2347..." must bind to NG's 234, never a shorter code). */
+  private val intlOrder: Seq[Rule] = rules.sortBy(r => (-r.cc.length, r.cc))
+
+  /** Reference `cleanNumber`: trim, keep only '+' and digits. */
+  def cleanPhone(c: Column): Column = regexp_replace(trim(c), "[^+0-9]", "")
+
+  private def validNational(nat: Column, r: Rule): Column = {
+    val lenOk = length(nat).between(r.minLen, r.maxLen)
+    r.pattern.map(p => lenOk && nat.rlike(p)).getOrElse(lenOk)
+  }
+
+  /** E.164 parse under the per-country tables: "+<cc><national>" when
+    * valid, null otherwise. Decision tree (replayed 1:1 by
+    * [[oracleE164Sql]]): raw < 2 chars → null; cleaned not ^\+?[0-9]+$
+    * → null; leading '+' → longest-cc-prefix international match;
+    * otherwise `defaultRegion`'s rules with its trunk '0' stripped. */
+  def parsePhoneCountry(c: Column, defaultRegion: String = "US"): Column = {
+    val r = byRegion.getOrElse(defaultRegion.toUpperCase,
+      throw new IllegalArgumentException(s"no rules for region $defaultRegion"))
+    val cleaned = cleanPhone(c)
+    val digitsI = cleaned.substr(lit(2), length(cleaned)) // after '+'
+    val intlCase = intlOrder.map { ru =>
+      val nat = digitsI.substr(lit(ru.cc.length + 1), length(digitsI))
+      (digitsI.startsWith(ru.cc) && validNational(nat, ru),
+        concat(lit("+" + ru.cc), nat))
+    }.foldRight(lit(null).cast("string")) {
+      case ((cond, v), acc) => when(cond, v).otherwise(acc)
+    }
+    val natDigits =
+      if (r.trunkZero)
+        when(cleaned.startsWith("0"),
+          cleaned.substr(lit(2), length(cleaned))).otherwise(cleaned)
+      else cleaned
+    val nationalCase = when(validNational(natDigits, r),
+      concat(lit("+" + r.cc), natDigits)).otherwise(lit(null).cast("string"))
+    when(length(c) < 2, lit(null).cast("string"))
+      .when(!cleaned.rlike("^\\+?[0-9]+$"), lit(null).cast("string"))
+      .when(cleaned.startsWith("+"), intlCase)
+      .otherwise(nationalCase)
+  }
+
+  /** Validity under the same tables: null for <2-char inputs (the
+    * reference's None), else whether [[parsePhoneCountry]] succeeds. */
+  def isValidPhoneCountry(c: Column, defaultRegion: String = "US"): Column =
+    when(length(c) < 2, lit(null).cast("boolean"))
+      .otherwise(parsePhoneCountry(c, defaultRegion).isNotNull)
+
+  // ---- DuckDB replay, generated from the SAME rules table ----------
+
+  private def sqlValidNational(nat: String, r: Rule): String = {
+    val lenOk = s"length($nat) BETWEEN ${r.minLen} AND ${r.maxLen}"
+    r.pattern.map(p => s"($lenOk AND regexp_matches($nat, '$p'))").getOrElse(lenOk)
+  }
+
+  /** The [[parsePhoneCountry]] decision tree as one SQL CASE over the
+    * column expression `cand`; `cleaned`/`digits` are rendered inline
+    * (DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all). */
+  def oracleE164Sql(cand: String, defaultRegion: String = "US"): String = {
+    val r = byRegion(defaultRegion.toUpperCase)
+    val cleaned = s"regexp_replace(trim($cand), '[^+0-9]', '', 'g')"
+    val digitsI = s"substr($cleaned, 2)"
+    val intlArms = intlOrder.map { ru =>
+      val nat = s"substr($digitsI, ${ru.cc.length + 1})"
+      s"WHEN starts_with($digitsI, '${ru.cc}') AND ${sqlValidNational(nat, ru)} " +
+        s"THEN '+${ru.cc}' || $nat"
+    }.mkString("\n                 ")
+    val natDigits =
+      if (r.trunkZero)
+        s"CASE WHEN starts_with($cleaned, '0') THEN substr($cleaned, 2) ELSE $cleaned END"
+      else cleaned
+    s"""CASE WHEN length($cand) < 2 THEN NULL
+           WHEN NOT regexp_matches($cleaned, '^\\+?[0-9]+$$') THEN NULL
+           WHEN starts_with($cleaned, '+') THEN
+             CASE $intlArms
+                  ELSE NULL END
+           ELSE CASE WHEN ${sqlValidNational(natDigits, r)}
+                     THEN '+${r.cc}' || $natDigits ELSE NULL END
+      END"""
+  }
+}

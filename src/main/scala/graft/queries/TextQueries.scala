@@ -114,7 +114,80 @@ object TextQueries {
     (4L, "Stanford University and Oxford University signed with Vector Labs"),
     (5L, "Emma Wilson flew to Paris Texas with Noah Davis from Acme Bank"))
 
+  /** Gold-labeled NER fixture for q570 — measures the q566 rules
+    * rather than merely replaying them. Deliberately includes shapes
+    * the heuristic GETS WRONG (single-token entities the 2+-token
+    * candidate regex misses: Boston/London/Paris/Joe; suffix-less orgs
+    * typed PER: Quantum Dynamics / Wayne Enterprises / United Nations /
+    * Xavier Institute; non-preposition locations: Rio Grande / Mary
+    * Poppins Lane; a sentence-initial capitalized run FP) so the P/R
+    * readout is a real quality signal and future rule changes move it.
+    * Baseline P/R recorded in COVERAGE.md. */
+  val nerGoldCorpus: Seq[(Long, String, Seq[(String, String)])] = Seq(
+    (1L, "Alice Johnson works at Acme Corp in Boston",
+      Seq("Alice Johnson" -> "PER", "Acme Corp" -> "ORG", "Boston" -> "LOC")),
+    (2L, "the merger between Globex Inc and Initech Ltd closed in London",
+      Seq("Globex Inc" -> "ORG", "Initech Ltd" -> "ORG", "London" -> "LOC")),
+    (3L, "Sarah Connor moved from Los Angeles to New York",
+      Seq("Sarah Connor" -> "PER", "Los Angeles" -> "LOC", "New York" -> "LOC")),
+    (4L, "Quantum Dynamics hired Peter Parker in San Diego",
+      Seq("Quantum Dynamics" -> "ORG", "Peter Parker" -> "PER", "San Diego" -> "LOC")),
+    (5L, "Every Morning Joe drinks coffee",
+      Seq("Joe" -> "PER")),
+    (6L, "Bruce Wayne funds Wayne Enterprises from Gotham City",
+      Seq("Bruce Wayne" -> "PER", "Wayne Enterprises" -> "ORG", "Gotham City" -> "LOC")),
+    (7L, "Stanford University partnered with Vector Labs at Palo Alto",
+      Seq("Stanford University" -> "ORG", "Vector Labs" -> "ORG", "Palo Alto" -> "LOC")),
+    (8L, "James Bond flew to Paris with Eve Moneypenny",
+      Seq("James Bond" -> "PER", "Paris" -> "LOC", "Eve Moneypenny" -> "PER")),
+    (9L, "United Nations delegates met Angela Merkel in Geneva Switzerland",
+      Seq("United Nations" -> "ORG", "Angela Merkel" -> "PER", "Geneva Switzerland" -> "LOC")),
+    (10L, "Maria Garcia and Carlos Ruiz visited Rio Grande",
+      Seq("Maria Garcia" -> "PER", "Carlos Ruiz" -> "PER", "Rio Grande" -> "LOC")),
+    (11L, "Charles Xavier founded Xavier Institute at Westchester County",
+      Seq("Charles Xavier" -> "PER", "Xavier Institute" -> "ORG", "Westchester County" -> "LOC")),
+    (12L, "First National Bank opened near Mary Poppins Lane",
+      Seq("First National Bank" -> "ORG", "Mary Poppins Lane" -> "LOC")))
+
   val queries: Map[String, Q] = Map(
+
+    // NER quality readout over the gold fixture: per-type precision /
+    // recall of the q566 typing rules against hand labels (exact span
+    // + type match, set semantics). Unlike q566 (which proves the
+    // rules REPLAY), this measures them — the fixture is fixed and
+    // labeled, so any rule change shows its quality delta here as a
+    // hash change. Fixture-only by design: synthesized text can't
+    // carry independent gold labels.
+    "q570_entity_pr" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.typedEntities
+      val docs = nerGoldCorpus.map { case (sid, text, _) => (sid, text) }
+        .toDF("sid", "text")
+      val pred = docs
+        .select(col("sid"), explode(typedEntities(col("text"))).as("e"))
+        .select(col("sid"), col("e.entity").as("entity"),
+          col("e.etype").as("etype")).distinct()
+      val gold = nerGoldCorpus
+        .flatMap { case (sid, _, gs) => gs.map(g => (sid, g._1, g._2)) }
+        .toDF("sid", "entity", "etype")
+      val correct = pred.join(gold, Seq("sid", "entity", "etype"))
+      val types = Seq("LOC", "ORG", "PER").toDF("etype")
+      val np = pred.groupBy("etype").agg(count(lit(1)).as("n_pred"))
+      val ng = gold.groupBy("etype").agg(count(lit(1)).as("n_gold"))
+      val nc = correct.groupBy("etype").agg(count(lit(1)).as("n_correct"))
+      types.join(ng, Seq("etype"), "left").join(np, Seq("etype"), "left")
+        .join(nc, Seq("etype"), "left")
+        .select(col("etype"),
+          coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+          round(coalesce(col("n_correct"), lit(0L)).cast("double") /
+            nullif(coalesce(col("n_pred"), lit(0L)), lit(0L)).cast("double"), 6)
+            .as("precision"),
+          round(coalesce(col("n_correct"), lit(0L)).cast("double") /
+            nullif(coalesce(col("n_gold"), lit(0L)), lit(0L)).cast("double"), 6)
+            .as("recall"))
+    }),
     // inverted-index build: the IR-side dual of q135's BM25 scoring —
     // token -> (document frequency, collection frequency, head of the
     // sorted posting list). One explode + one two-level agg; the
@@ -343,6 +416,46 @@ object TextQueries {
         .select(col("c_custkey"), col("raw"),
           normalizePhone(col("raw")).as("normalized"),
           isValidPhone(col("raw")).as("valid"))
+    }),
+
+    // per-country phone rules, hash-gated: the fidelity step from
+    // q567's E.164-shape heuristic toward libphonenumber — 22 calling
+    // codes with length/prefix tables, international longest-prefix
+    // matching, trunk-'0' strip, and the DefaultRegion("US") parameter
+    // semantics of the reference's ParsePhoneDefaultCountry. Twelve
+    // deterministic per-customer shapes exercise: NANP valid/bad-area/
+    // bad-exchange, national vs international GB, DE/FR/IN lengths,
+    // the IN [6-9] first-digit rule, an unknown calling code, and the
+    // reference's <2-chars → null contract. The oracle CASE chain is
+    // GENERATED from the same PhoneRules table (langOracle pattern).
+    // PhoneRules' scaladoc lists what stays out of scope vs the jar.
+    "q569_phone_country_rules" -> ((s, d) => {
+      import graft.functions.PhoneRules.parsePhoneCountry
+      val k4 = lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")
+      val k3 = substring(k4, 1, 3)
+      val m = pmod(col("c_custkey"), lit(12))
+      val cand =
+        when(m === 0, concat(lit("+1 (555) 234-"), k4))
+          .when(m === 1, concat(lit("+1 (155) 234-"), k4))
+          .when(m === 2, concat(lit("(555) 014-"), k4))
+          .when(m === 3, concat(lit("555-234-"), k4))
+          .when(m === 4, concat(lit("07700 900"), k3))
+          .when(m === 5, concat(lit("+44 7700 900"), k3))
+          .when(m === 6, concat(lit("+49 30 "), k4))
+          .when(m === 7, concat(lit("+33 1 2345 "), k4))
+          .when(m === 8, concat(lit("+91 5"), k4, lit("23456")))
+          .when(m === 9, concat(lit("+91 9"), k4, lit("23456")))
+          .when(m === 10, concat(lit("+999 1234 "), k4))
+          .otherwise(lit("x"))
+      Tables.customer(s, d).select(col("c_custkey"), cand.as("candidate"))
+        .select(col("c_custkey"), col("candidate"),
+          parsePhoneCountry(col("candidate")).as("e164"))
+        // 1/0/null int, not boolean: a nullable bool crosses the
+        // pandas bridge as None on one engine and NaN on the other,
+        // hash-mismatching even when semantically identical
+        .withColumn("valid",
+          when(length(col("candidate")) < 2, lit(null).cast("int"))
+            .otherwise(col("e164").isNotNull.cast("int")))
     }),
 
     // human-name detection, hash-gated: the 2-3-capitalized-token
@@ -809,6 +922,36 @@ object TextQueries {
              AS is_name
          FROM p""",
 
+    // e164 CASE chain generated from the SAME PhoneRules table the
+    // Spark side evaluates — no drift possible
+    "q569_phone_country_rules" ->
+      s"""WITH c AS (SELECT c_custkey,
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS k4,
+             c_custkey % 12 AS m
+           FROM customer),
+          k AS (SELECT c_custkey, k4, substr(k4, 1, 3) AS k3, m FROM c),
+          p AS (SELECT c_custkey,
+             CASE m WHEN 0 THEN '+1 (555) 234-' || k4
+                    WHEN 1 THEN '+1 (155) 234-' || k4
+                    WHEN 2 THEN '(555) 014-' || k4
+                    WHEN 3 THEN '555-234-' || k4
+                    WHEN 4 THEN '07700 900' || k3
+                    WHEN 5 THEN '+44 7700 900' || k3
+                    WHEN 6 THEN '+49 30 ' || k4
+                    WHEN 7 THEN '+33 1 2345 ' || k4
+                    WHEN 8 THEN '+91 5' || k4 || '23456'
+                    WHEN 9 THEN '+91 9' || k4 || '23456'
+                    WHEN 10 THEN '+999 1234 ' || k4
+                    ELSE 'x' END AS candidate
+           FROM k),
+          e AS (SELECT c_custkey, candidate,
+             ${graft.functions.PhoneRules.oracleE164Sql("candidate")} AS e164
+           FROM p)
+         SELECT c_custkey, candidate, e164,
+           CASE WHEN length(candidate) < 2 THEN NULL
+                ELSE CAST(e164 IS NOT NULL AS INTEGER) END AS valid
+         FROM e""",
+
     "q567_phone_validation" ->
       """WITH c AS (SELECT c_custkey,
              lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS k4,
@@ -831,6 +974,51 @@ object TextQueries {
             NOT regexp_matches(
               regexp_replace(raw, '[0-9+\-().\s]', '', 'g'), '.')) AS valid
          FROM n""",
+
+    // docs + gold VALUES generated from nerGoldCorpus; pred replays
+    // the q566 regex rules, then exact-match P/R per type
+    "q570_entity_pr" -> {
+      val docVals = nerGoldCorpus
+        .map { case (sid, t, _) => s"($sid, '$t')" }.mkString(",\n             ")
+      val goldVals = nerGoldCorpus
+        .flatMap { case (sid, _, gs) => gs.map { case (e, ty) => s"($sid, '$e', '$ty')" } }
+        .mkString(",\n             ")
+      s"""WITH docs(sid, text) AS (VALUES $docVals),
+          gold(sid, entity, etype) AS (VALUES $goldVals),
+          c AS (SELECT sid, unnest(regexp_extract_all(text,
+                  '([A-Z][a-z]+(?: [A-Z][a-z]+)+)', 1)) AS entity
+                FROM docs),
+          l AS (SELECT DISTINCT sid, loc FROM (
+                  SELECT sid, unnest(regexp_extract_all(text,
+                    '\\b(?:in|to|at|from) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)',
+                    1)) AS loc
+                  FROM docs)),
+          pred AS (SELECT DISTINCT c.sid, c.entity,
+              CASE WHEN regexp_matches(c.entity,
+                     ' (Inc|Corp|Ltd|Labs|University|Bank)$$') THEN 'ORG'
+                   WHEN l.loc IS NOT NULL THEN 'LOC'
+                   ELSE 'PER' END AS etype
+            FROM c LEFT JOIN l ON l.sid = c.sid AND l.loc = c.entity),
+          correct AS (SELECT p.etype FROM pred p
+            JOIN gold g ON g.sid = p.sid AND g.entity = p.entity
+                       AND g.etype = p.etype),
+          types(etype) AS (VALUES ('LOC'), ('ORG'), ('PER')),
+          ng AS (SELECT etype, count(*) AS n_gold FROM gold GROUP BY 1),
+          np AS (SELECT etype, count(*) AS n_pred FROM pred GROUP BY 1),
+          nc AS (SELECT etype, count(*) AS n_correct FROM correct GROUP BY 1)
+         SELECT t.etype,
+           CAST(COALESCE(ng.n_gold, 0) AS BIGINT) AS n_gold,
+           CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(COALESCE(nc.n_correct, 0) AS BIGINT) AS n_correct,
+           ROUND(CAST(COALESCE(nc.n_correct, 0) AS DOUBLE) /
+             NULLIF(COALESCE(np.n_pred, 0), 0), 6) AS precision,
+           ROUND(CAST(COALESCE(nc.n_correct, 0) AS DOUBLE) /
+             NULLIF(COALESCE(ng.n_gold, 0), 0), 6) AS recall
+         FROM types t
+         LEFT JOIN ng ON ng.etype = t.etype
+         LEFT JOIN np ON np.etype = t.etype
+         LEFT JOIN nc ON nc.etype = t.etype"""
+    },
 
     "q566_entity_extraction" -> {
       val values = entityCorpus

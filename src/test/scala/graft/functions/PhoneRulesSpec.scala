@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PhoneRulesSpec extends SparkSpec {
+  import PhoneRules._
+
+  private def parse(s: String, region: String = "US"): Option[String] = {
+    val r = spark.range(1)
+      .select(parsePhoneCountry(lit(s), region).as("p")).collect()(0)
+    Option(r.getAs[String]("p"))
+  }
+
+  test("NANP rules: separators stripped, area/exchange in [2-9]") {
+    assert(parse("555-234-0000") == Some("+15552340000"))
+    assert(parse("+1 (555) 234-0000") == Some("+15552340000"))
+    assert(parse("+1 (155) 234-0000") == None) // area code 1xx
+    assert(parse("(555) 014-0000") == None)    // exchange 0xx
+    assert(parse("555-234-00001") == None)     // 11 national digits
+  }
+
+  test("default-region semantics with trunk-zero strip") {
+    // GB national format only parses under defaultRegion=GB
+    assert(parse("07700 900123", "GB") == Some("+447700900123"))
+    assert(parse("07700 900123", "US") == None) // 11 digits under NANP
+    assert(parse("030 1234567", "DE") == Some("+49301234567"))
+  }
+
+  test("international longest-prefix match and per-country lengths") {
+    assert(parse("+44 7700 900123") == Some("+447700900123"))
+    assert(parse("+49 30 123456789012") == None) // 14 national digits > 11
+    assert(parse("+2348012345678") == Some("+2348012345678")) // NG binds 234
+    assert(parse("+919123456789") == Some("+919123456789"))
+    assert(parse("+915123456789") == None) // IN first digit must be [6-9]
+    assert(parse("+999 1234 5678") == None) // unknown calling code
+  }
+
+  test("reference contracts: <2 chars null, junk rejected") {
+    assert(parse("x") == None)
+    assert(parse("call me maybe") == None)
+    assert(parse("++15552340000") == None) // embedded '+' survives cleaning
+    val v = spark.range(1).select(
+      isValidPhoneCountry(lit("x")).as("a"),
+      isValidPhoneCountry(lit("555-234-0000")).as("b"),
+      isValidPhoneCountry(lit("12345")).as("c")).collect()(0)
+    assert(v.isNullAt(0))      // <2 chars -> null, the reference's None
+    assert(v.getBoolean(1))
+    assert(!v.getBoolean(2))
+  }
+}
