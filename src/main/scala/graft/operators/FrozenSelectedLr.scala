@@ -14,6 +14,11 @@ package graft.operators
   *
   * The oracle's VALUES table is generated from THIS array (see
   * WorkflowQueries), so the Spark and DuckDB sides cannot drift.
+  *
+  * Selection stability is machine-asserted: SelectorStabilitySpec
+  * replays the selector on the fixture and fails loudly if the winner
+  * ever flips away from lr_reg0 (or its auROC drifts from the
+  * frozen-time 0.446860), so this table can't be silently orphaned.
   */
 object FrozenSelectedLr {
   val intercept: BigDecimal = BigDecimal("0.039715")
