@@ -29,20 +29,54 @@ object TopK {
   case class Hit(id: Long, score: Double)
 
   /** Keeps at most 2k hits between compactions (amortized O(log k) per
-    * row); `finish` emits exactly the k best in rank order. */
+    * row); `finish` emits exactly the k best in rank order.
+    *
+    * The buffer is a PRIMITIVE Array[Long] of interleaved
+    * (doubleToLongBits(score), id) pairs, not Seq[Hit]: a typed
+    * Aggregator's buffer is serialized/deserialized through its encoder
+    * on EVERY update, and for a Seq[Product] that round trip is a
+    * per-element object walk — measured ~18µs/row on q256's 1.5M
+    * scored pairs (28s of a 61s query). A primitive long array encodes
+    * as one UnsafeArrayData bulk copy. Ordering is decoded back to
+    * doubles and compared with the exact same (score desc|asc, id asc)
+    * total order as before (Double.TotalOrdering — NaN sorts after all
+    * reals in both directions), so results are hash-identical. */
   class TopKAggregator(k: Int, descending: Boolean)
-      extends Aggregator[Hit, Seq[Hit], Seq[Hit]] {
+      extends Aggregator[Hit, Array[Long], Seq[Hit]] {
     require(k >= 1, s"k must be >= 1: $k")
-    @transient private lazy val ord: Ordering[Hit] =
-      if (descending) Ordering.by(h => (-h.score, h.id))
-      else Ordering.by(h => (h.score, h.id))
-    private def cap(b: Seq[Hit]): Seq[Hit] =
-      if (b.length <= 2 * k) b else b.sorted(ord).take(k)
-    def zero: Seq[Hit] = Vector.empty
-    def reduce(b: Seq[Hit], a: Hit): Seq[Hit] = cap(b :+ a)
-    def merge(x: Seq[Hit], y: Seq[Hit]): Seq[Hit] = cap(x ++ y)
-    def finish(b: Seq[Hit]): Seq[Hit] = b.sorted(ord).take(k)
-    def bufferEncoder: Encoder[Seq[Hit]] = ExpressionEncoder()
+    @transient private lazy val ord: Ordering[(Double, Long)] =
+      if (descending) Ordering.by(t => (-t._1, t._2))
+      else Ordering.by(identity)
+    private def pairs(b: Array[Long]): Array[(Double, Long)] =
+      Array.tabulate(b.length / 2)(i =>
+        (java.lang.Double.longBitsToDouble(b(2 * i)), b(2 * i + 1)))
+    private def pack(ps: Array[(Double, Long)]): Array[Long] = {
+      val out = new Array[Long](ps.length * 2)
+      var i = 0
+      while (i < ps.length) {
+        out(2 * i) = java.lang.Double.doubleToLongBits(ps(i)._1)
+        out(2 * i + 1) = ps(i)._2
+        i += 1
+      }
+      out
+    }
+    private def cap(b: Array[Long]): Array[Long] =
+      if (b.length <= 4 * k) b else pack(pairs(b).sorted(ord).take(k))
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], a: Hit): Array[Long] = {
+      val out = java.util.Arrays.copyOf(b, b.length + 2)
+      out(b.length) = java.lang.Double.doubleToLongBits(a.score)
+      out(b.length + 1) = a.id
+      cap(out)
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      val out = java.util.Arrays.copyOf(x, x.length + y.length)
+      System.arraycopy(y, 0, out, x.length, y.length)
+      cap(out)
+    }
+    def finish(b: Array[Long]): Seq[Hit] =
+      pairs(b).sorted(ord).take(k).toSeq.map { case (s, id) => Hit(id, s) }
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[Hit]] = ExpressionEncoder()
   }
 

@@ -698,8 +698,18 @@ object Dedup {
             (col("n") - ceil(col("n") * t) + 1).cast("int"))).as("s"))
         .select(col(id), col("s.tok").as("tok"))
     }
-    val cands = prefixTok(p, "probe_id", "pt")
-      .join(prefixTok(c, "canon_id", "ct"), "tok")
+    // The prefix frames are tiny relative to the candidate pairs the
+    // join emits (sf0.1 10x probe: ~1 MB of prefix rows -> 23M pairs),
+    // so AQE's coalescer folds the pre-join shuffles into ONE partition
+    // and the entire pair generation runs serially (measured 17s of a
+    // 35s query in one task). Pin both sides to an explicit
+    // defaultParallelism-way hash partitioning on the join key — an
+    // explicit repartition is exempt from AQE coalescing, and
+    // generation parallelism then scales with the cluster, bounded
+    // only by per-token serialization (inherent to a token join).
+    val nPart = canon.sparkSession.sparkContext.defaultParallelism
+    val cands = prefixTok(p, "probe_id", "pt").repartition(nPart, col("tok"))
+      .join(prefixTok(c, "canon_id", "ct").repartition(nPart, col("tok")), "tok")
       .select(col("probe_id"), col("canon_id")).distinct()
     val scored = cands.join(p, "probe_id").join(c, "canon_id")
       .select(col("probe_id"), col("canon_id"),
