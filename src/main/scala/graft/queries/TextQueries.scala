@@ -115,14 +115,16 @@ object TextQueries {
     (5L, "Emma Wilson flew to Paris Texas with Noah Davis from Acme Bank"))
 
   /** Gold-labeled NER fixture for q570 — measures the q566 rules
-    * rather than merely replaying them. Deliberately includes shapes
-    * the heuristic GETS WRONG (single-token entities the 2+-token
-    * candidate regex misses: Boston/London/Paris/Joe; suffix-less orgs
-    * typed PER: Quantum Dynamics / Wayne Enterprises / United Nations /
-    * Xavier Institute; non-preposition locations: Rio Grande / Mary
-    * Poppins Lane; a sentence-initial capitalized run FP) so the P/R
-    * readout is a real quality signal and future rule changes move it.
-    * Baseline P/R recorded in COVERAGE.md. */
+    * rather than merely replaying them. Deliberately includes shapes a
+    * capitalized-run heuristic gets wrong; the v1 rules scored LOC
+    * R=0.58 / ORG R=0.60 / PER P=0.59 here, which drove the v2 rules
+    * (preposition-admitted single-token locations, 19 org suffixes,
+    * PER determiner blocklist) to LOC 1.00/0.92, ORG 1.00/1.00,
+    * PER 0.91/0.91. Remaining misses are genuinely out of reach for
+    * context-free rules: "Joe" (single token, no preposition) and
+    * "Rio Grande" after a verb ("visited") — typed PER, costing both
+    * the LOC recall and the PER precision slot. P/R history recorded
+    * in COVERAGE.md. */
   val nerGoldCorpus: Seq[(Long, String, Seq[(String, String)])] = Seq(
     (1L, "Alice Johnson works at Acme Corp in Boston",
       Seq("Alice Johnson" -> "PER", "Acme Corp" -> "ORG", "Boston" -> "LOC")),
@@ -819,6 +821,37 @@ object TextQueries {
     })
   )
 
+  /** Shared v2 typed-entity CTE chain (cand/c/l/typed), generated from
+    * TextFunctions' rule constants so q566 and q570 replay the SAME
+    * decision tree the Spark side evaluates: ORG suffix first, then
+    * preposition-preceded LOC (single tokens admitted via the loc
+    * list), then the PER determiner blocklist, then 2+-token PER;
+    * null-typed spans are dropped. `src` must expose ($id, text);
+    * duplicates preserved, loc-only spans appended — the same multiset
+    * Spark's concat+filter builds. */
+  private def entityOracleCTEs(src: String, id: String): String = {
+    import graft.functions.TextFunctions.{orgSuffixes, locPrepositions, perStopLead}
+    s"""cand AS (SELECT $id,
+             regexp_extract_all(text, '([A-Z][a-z]+(?: [A-Z][a-z]+)+)', 1) AS cs,
+             regexp_extract_all(text,
+               '\\b(?:$locPrepositions) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)', 1) AS ls
+           FROM $src),
+          c AS (SELECT $id,
+             unnest(cs || list_filter(ls, x -> NOT list_contains(cs, x))) AS entity
+           FROM cand),
+          l AS (SELECT DISTINCT $id, loc FROM (
+                  SELECT $id, unnest(ls) AS loc FROM cand)),
+          typed AS (SELECT * FROM (
+              SELECT c.$id, c.entity,
+                CASE WHEN regexp_matches(c.entity, ' ($orgSuffixes)$$') THEN 'ORG'
+                     WHEN l.loc IS NOT NULL THEN 'LOC'
+                     WHEN regexp_matches(c.entity, '^(?:$perStopLead) ') THEN NULL
+                     WHEN c.entity LIKE '% %' THEN 'PER'
+                     ELSE NULL END AS etype
+              FROM c LEFT JOIN l ON l.$id = c.$id AND l.loc = c.entity)
+            WHERE etype IS NOT NULL)"""
+  }
+
   private def scoreSql(lang: String): String = {
     val words = stopwordProfiles.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN ($words)))"
@@ -985,20 +1018,8 @@ object TextQueries {
         .mkString(",\n             ")
       s"""WITH docs(sid, text) AS (VALUES $docVals),
           gold(sid, entity, etype) AS (VALUES $goldVals),
-          c AS (SELECT sid, unnest(regexp_extract_all(text,
-                  '([A-Z][a-z]+(?: [A-Z][a-z]+)+)', 1)) AS entity
-                FROM docs),
-          l AS (SELECT DISTINCT sid, loc FROM (
-                  SELECT sid, unnest(regexp_extract_all(text,
-                    '\\b(?:in|to|at|from) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)',
-                    1)) AS loc
-                  FROM docs)),
-          pred AS (SELECT DISTINCT c.sid, c.entity,
-              CASE WHEN regexp_matches(c.entity,
-                     ' (Inc|Corp|Ltd|Labs|University|Bank)$$') THEN 'ORG'
-                   WHEN l.loc IS NOT NULL THEN 'LOC'
-                   ELSE 'PER' END AS etype
-            FROM c LEFT JOIN l ON l.sid = c.sid AND l.loc = c.entity),
+          ${entityOracleCTEs("docs", "sid")},
+          pred AS (SELECT DISTINCT sid, entity, etype FROM typed),
           correct AS (SELECT p.etype FROM pred p
             JOIN gold g ON g.sid = p.sid AND g.entity = p.entity
                        AND g.etype = p.etype),
@@ -1034,20 +1055,7 @@ object TextQueries {
             FROM title),
           w AS (SELECT rid, text FROM fixture
                 UNION ALL SELECT rid, text FROM cust),
-          c AS (SELECT rid, unnest(regexp_extract_all(text,
-                  '([A-Z][a-z]+(?: [A-Z][a-z]+)+)', 1)) AS entity
-                FROM w),
-          l AS (SELECT DISTINCT rid, loc FROM (
-                  SELECT rid, unnest(regexp_extract_all(text,
-                    '\\b(?:in|to|at|from) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)',
-                    1)) AS loc
-                  FROM w)),
-          typed AS (SELECT c.entity,
-              CASE WHEN regexp_matches(c.entity,
-                     ' (Inc|Corp|Ltd|Labs|University|Bank)$$') THEN 'ORG'
-                   WHEN l.loc IS NOT NULL THEN 'LOC'
-                   ELSE 'PER' END AS etype
-            FROM c LEFT JOIN l ON l.rid = c.rid AND l.loc = c.entity)
+          ${entityOracleCTEs("w", "rid")}
          SELECT entity, etype, CAST(count(*) AS BIGINT) AS n
          FROM typed GROUP BY 1, 2"""
     },
