@@ -196,10 +196,13 @@ object Bench {
     // protocol floor is ~0.26-0.30s, so small absolute wobble there is
     // noise, not co-shard inflation.
     val revalidated = mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // Bounded: under shared-box load MANY rows can drift past 1.5x at
+    // once; re-measure the worst 24 by absolute inflation rather than
+    // letting the validation pass itself dominate the wall clock.
     val suspects = names.filter { n =>
       val v = merged.getOrElse(n, -1.0)
       v > 0.5 && v > 1.5 * costOf(n)
-    }
+    }.sortBy(n => costOf(n) - merged(n)).take(24)
     if (suspects.nonEmpty)
       System.err.println(s"[bench] validating ${suspects.size} rows >1.5x expected: ${suspects.mkString(",")}")
     suspects.foreach { n =>

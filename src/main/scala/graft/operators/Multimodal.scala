@@ -33,13 +33,36 @@ object Multimodal {
     * deterministic core of reference MimeTypeDetector.scala, minus the
     * Tika database). */
   def sniffMime(payload: Column): Column = {
-    val magic = upper(hex(substring(payload, 1, 4)))
-    when(magic.startsWith("89504E47"), "image/png")
-      .when(magic.startsWith("FFD8FF"), "image/jpeg")
-      .when(magic.startsWith("47494638"), "image/gif")
-      .when(magic.startsWith("494433"), "audio/mpeg")
-      .when(magic.startsWith("52494646"), "audio/wav")
-      .when(magic.startsWith("1A45DFA3"), "video/webm")
+    // 12-byte magic window: container formats need a SECOND probe —
+    // RIFF is a family (bytes 9-12 say WAVE vs WEBP vs "AVI "; the
+    // pre-r10 single-level rule typed every RIFF as audio/wav, wrong
+    // for WebP/AVI — the fidelity bug Tika's two-level detector
+    // exists to avoid) and ISO-BMFF puts "ftyp" at byte offset 5.
+    // Hex-prefix CASE, row-local codegen, replayed verbatim by the
+    // q571 oracle over the same synthesized bytes.
+    val hex12 = upper(hex(substring(payload, 1, 12)))
+    val riffType = substring(hex12, 17, 8) // bytes 9-12
+    when(hex12.startsWith("89504E47"), "image/png")
+      .when(hex12.startsWith("FFD8FF"), "image/jpeg")
+      .when(hex12.startsWith("47494638"), "image/gif")
+      .when(hex12.startsWith("49492A00") ||
+        hex12.startsWith("4D4D002A"), "image/tiff")
+      .when(hex12.startsWith("52494646"),
+        when(riffType === "57454250", "image/webp")          // WEBP
+          .when(riffType === "57415645", "audio/wav")        // WAVE
+          .when(riffType === "41564920", "video/x-msvideo")  // "AVI "
+          .otherwise("application/octet-stream"))
+      .when(substring(hex12, 9, 8) === "66747970", "video/mp4") // ....ftyp
+      .when(hex12.startsWith("1A45DFA3"), "video/webm")
+      .when(hex12.startsWith("494433"), "audio/mpeg")          // ID3 tag
+      .when(hex12.startsWith("FFFB") || hex12.startsWith("FFF3") ||
+        hex12.startsWith("FFF2"), "audio/mpeg")                // bare framesync
+      .when(hex12.startsWith("4F676753"), "audio/ogg")         // OggS
+      .when(hex12.startsWith("664C6143"), "audio/flac")        // fLaC
+      .when(hex12.startsWith("25504446"), "application/pdf")   // %PDF
+      .when(hex12.startsWith("504B0304"), "application/zip")
+      .when(hex12.startsWith("1F8B"), "application/gzip")
+      .when(hex12.startsWith("377ABCAF271C"), "application/x-7z-compressed")
       .otherwise("text/plain")
   }
 

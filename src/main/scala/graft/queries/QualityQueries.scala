@@ -586,6 +586,47 @@ object QualityQueries {
         md5(col("payload")).as("payload_md5"))
     }),
 
+    // MIME magic-byte battery, hash-gated: q45's corpus payloads are
+    // text (only the fallback fires there), so this gate synthesizes
+    // REAL binary payloads — 20 deterministic per-customer shapes
+    // (unhex of a magic prefix + the md5 body) exercising every branch
+    // of the two-level sniff: the RIFF family dispatch (WAVE/WEBP/AVI/
+    // unknown->octet-stream), ISO-BMFF ftyp at offset 5, both TIFF
+    // byte orders, both MP3 entry points (ID3 tag + bare framesync),
+    // and the text fallback. The reference wraps Tika
+    // (MimeTypeDetector.scala); this is the documented magic-byte core.
+    "q571_mime_magic_battery" -> ((s, d) => {
+      val m = pmod(col("c_custkey"), lit(20))
+      val prefix =
+        when(m === 0, "89504E470D0A1A0A")          // PNG
+          .when(m === 1, "FFD8FFE0")               // JPEG
+          .when(m === 2, "474946383961")           // GIF89a
+          .when(m === 3, "49492A00")               // TIFF little-endian
+          .when(m === 4, "4D4D002A")               // TIFF big-endian
+          .when(m === 5, "5249464610000000" + "57415645")  // RIFF/WAVE
+          .when(m === 6, "5249464610000000" + "57454250")  // RIFF/WEBP
+          .when(m === 7, "5249464610000000" + "41564920")  // RIFF/AVI
+          .when(m === 8, "00000018" + "66747970" + "69736F6D") // MP4 ftyp isom
+          .when(m === 9, "1A45DFA3")               // EBML/WebM
+          .when(m === 10, "49443304")              // ID3v4 tag
+          .when(m === 11, "FFFB9060")              // bare MP3 framesync
+          .when(m === 12, "4F676753")              // OggS
+          .when(m === 13, "664C6143")              // fLaC
+          .when(m === 14, "255044462D312E34")      // %PDF-1.4
+          .when(m === 15, "504B0304")              // ZIP local header
+          .when(m === 16, "1F8B08")                // GZIP deflate
+          .when(m === 17, "377ABCAF271C")          // 7z
+          .when(m === 18, "5249464610000000" + "4A554E4B")  // RIFF/JUNK
+          .otherwise("68656C6C6F20")               // "hello " text
+      val payload = unhex(concat(prefix,
+        md5(col("c_custkey").cast("string"))))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), payload.as("payload"))
+        .select(col("c_custkey"),
+          Multimodal.sniffMime(col("payload")).as("mime"),
+          length(col("payload")).cast("int").as("payload_bytes"))
+    }),
+
     // multimodal: batched per-partition decode (STUB codec — schema,
     // batch shape, partitioning real; byte decode deterministic-fake).
     // The stub's md5 arithmetic IS SQL-replayable, so the oracle
@@ -1608,6 +1649,67 @@ object QualityQueries {
       """SELECT doc_id, STRLEN(text) AS payload_bytes,
            'text/plain' AS mime, MD5(text) AS payload_md5
          FROM documents""",
+
+    // replays the two-level hex-prefix sniff over the same synthesized
+    // magic+md5 payloads; the CASE order mirrors Multimodal.sniffMime
+    // branch-for-branch and every branch has a fixture row, so any
+    // drift between the trees is a guaranteed hash mismatch
+    "q571_mime_magic_battery" ->
+      """WITH c AS (SELECT c_custkey, c_custkey % 20 AS m,
+             md5(CAST(c_custkey AS VARCHAR)) AS tail
+           FROM customer),
+          p AS (SELECT c_custkey,
+             CASE m WHEN 0 THEN '89504E470D0A1A0A'
+                    WHEN 1 THEN 'FFD8FFE0'
+                    WHEN 2 THEN '474946383961'
+                    WHEN 3 THEN '49492A00'
+                    WHEN 4 THEN '4D4D002A'
+                    WHEN 5 THEN '524946461000000057415645'
+                    WHEN 6 THEN '524946461000000057454250'
+                    WHEN 7 THEN '524946461000000041564920'
+                    WHEN 8 THEN '000000186674797069736F6D'
+                    WHEN 9 THEN '1A45DFA3'
+                    WHEN 10 THEN '49443304'
+                    WHEN 11 THEN 'FFFB9060'
+                    WHEN 12 THEN '4F676753'
+                    WHEN 13 THEN '664C6143'
+                    WHEN 14 THEN '255044462D312E34'
+                    WHEN 15 THEN '504B0304'
+                    WHEN 16 THEN '1F8B08'
+                    WHEN 17 THEN '377ABCAF271C'
+                    WHEN 18 THEN '52494646100000004A554E4B'
+                    ELSE '68656C6C6F20' END || tail AS hx
+           FROM c),
+          h AS (SELECT c_custkey, upper(substr(hx, 1, 24)) AS h24,
+             CAST(len(hx) // 2 AS INT) AS payload_bytes
+           FROM p)
+         SELECT c_custkey,
+           CASE WHEN starts_with(h24, '89504E47') THEN 'image/png'
+                WHEN starts_with(h24, 'FFD8FF') THEN 'image/jpeg'
+                WHEN starts_with(h24, '47494638') THEN 'image/gif'
+                WHEN starts_with(h24, '49492A00')
+                  OR starts_with(h24, '4D4D002A') THEN 'image/tiff'
+                WHEN starts_with(h24, '52494646') THEN
+                  CASE substr(h24, 17, 8)
+                       WHEN '57454250' THEN 'image/webp'
+                       WHEN '57415645' THEN 'audio/wav'
+                       WHEN '41564920' THEN 'video/x-msvideo'
+                       ELSE 'application/octet-stream' END
+                WHEN substr(h24, 9, 8) = '66747970' THEN 'video/mp4'
+                WHEN starts_with(h24, '1A45DFA3') THEN 'video/webm'
+                WHEN starts_with(h24, '494433') THEN 'audio/mpeg'
+                WHEN starts_with(h24, 'FFFB') OR starts_with(h24, 'FFF3')
+                  OR starts_with(h24, 'FFF2') THEN 'audio/mpeg'
+                WHEN starts_with(h24, '4F676753') THEN 'audio/ogg'
+                WHEN starts_with(h24, '664C6143') THEN 'audio/flac'
+                WHEN starts_with(h24, '25504446') THEN 'application/pdf'
+                WHEN starts_with(h24, '504B0304') THEN 'application/zip'
+                WHEN starts_with(h24, '1F8B') THEN 'application/gzip'
+                WHEN starts_with(h24, '377ABCAF271C')
+                  THEN 'application/x-7z-compressed'
+                ELSE 'text/plain' END AS mime,
+           payload_bytes
+         FROM h""",
 
     // replays FakeCodec.decode: u(i) = byte i of md5(payload); feats are
     // float32 quotients widened to double and summed in declared order,
