@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level sensitive-name detection — the reference's
+  * NameDetectFun / SensitiveFeatureInformation machinery
+  * (core/.../utils/stages/NameDetectUtils.scala:60-200), which decides
+  * whether a TEXT COLUMN is a human-name column (and which gender
+  * strategy reads it best), not whether one row looks like a name
+  * (that row-level shape is q568's looksLikeHumanName).
+  *
+  * Reference semantics reproduced exactly (defaults from
+  * NameDetectUtils.scala:399-481):
+  *   - guard checks: >75% of rows have <10 tokens; >75% of rows have
+  *     length >= 3; length stddev > 0.05 (population moments, skipped
+  *     below 10 rows); >= 10 unique values (skipped below 10 rows)
+  *   - treatAsName = all guards AND avg per-row dictionary-hit token
+  *     fraction >= 0.5
+  *   - five gender strategies (GenderDetectStrategies), each scored by
+  *     (male, female, other) counts, best = fewest others:
+  *     exactly-one-honorific; first token in the gender dict
+  *     (P(male) >= 0.5 ⇒ male); last token; first token after the
+  *     LAST comma (the reference's greedy `.*,(.*)` — despite its
+  *     "first comma" name); same with one token skipped
+  *     (`.*,\s+.*?\s+(.*)`)
+  *
+  * Documented stand-ins: the JRC names file and the US/UK gender CSV
+  * are resources this container doesn't ship, so the dictionary is an
+  * embedded common-first-names subset with the reference's own
+  * documented fallback shape (`DefaultNameDictionary =
+  * DefaultGenderDictionary.keySet`, NameDetectUtils.scala:287); the
+  * >=10-unique guard is EXACT count_distinct instead of a 12-bit HLL
+  * estimate (strictly more accurate, and replayable); tokenization is
+  * the house lowercase-\s+ split standing in for TextTokenizer.
+  *
+  * Everything aggregates in one pass per column: per-row token
+  * fractions quantize to DECIMAL(18,12) before the fold (order-free),
+  * length moments are exact integer sums, and the single sqrt/divides
+  * run once per column — so the DuckDB oracle replays every number
+  * bit-for-bit. Scale: row-local projections + one partial+final agg;
+  * the dictionary rides as a literal IN-list / map literal.
+  */
+object SensitiveDetect {
+
+  /** Embedded name -> P(male) dictionary (common given names; values
+    * chosen to exercise the 0.5 threshold both ways, including
+    * ambiguous names near it). Stand-in for the reference's
+    * GenderDictionary_USandUK.csv resource. */
+  val genderDict: Seq[(String, Double)] = Seq(
+    "james" -> 0.99, "john" -> 0.99, "robert" -> 0.99, "michael" -> 0.99,
+    "william" -> 0.99, "david" -> 0.99, "richard" -> 0.99, "joseph" -> 0.99,
+    "thomas" -> 0.99, "charles" -> 0.99, "daniel" -> 0.98, "matthew" -> 0.98,
+    "anthony" -> 0.98, "mark" -> 0.98, "donald" -> 0.98, "steven" -> 0.98,
+    "paul" -> 0.98, "andrew" -> 0.98, "joshua" -> 0.98, "kenneth" -> 0.98,
+    "kevin" -> 0.98, "brian" -> 0.98, "george" -> 0.98, "henry" -> 0.98,
+    "peter" -> 0.98, "carlos" -> 0.98, "juan" -> 0.98, "luis" -> 0.98,
+    "bruce" -> 0.98, "noah" -> 0.97, "mary" -> 0.01, "patricia" -> 0.01,
+    "jennifer" -> 0.01, "linda" -> 0.01, "elizabeth" -> 0.01,
+    "barbara" -> 0.01, "susan" -> 0.01, "jessica" -> 0.01, "sarah" -> 0.02,
+    "karen" -> 0.01, "nancy" -> 0.01, "lisa" -> 0.01, "betty" -> 0.01,
+    "margaret" -> 0.01, "sandra" -> 0.01, "ashley" -> 0.04, "emma" -> 0.01,
+    "olivia" -> 0.01, "sophia" -> 0.01, "maria" -> 0.01, "anna" -> 0.02,
+    "alice" -> 0.01, "emily" -> 0.01, "grace" -> 0.01, "chloe" -> 0.01,
+    // deliberately ambiguous, straddling the 0.5 cut
+    "jordan" -> 0.55, "alex" -> 0.70, "sam" -> 0.65, "charlie" -> 0.60,
+    "taylor" -> 0.41, "casey" -> 0.45, "jamie" -> 0.40, "morgan" -> 0.38,
+    "riley" -> 0.48, "avery" -> 0.42)
+
+  /** NameDictionary = gender dict keys — the reference's own documented
+    * smaller-but-less-noisy fallback (NameDetectUtils.scala:287). */
+  val nameDict: Seq[String] = genderDict.map(_._1)
+
+  val maleHonorifics: Seq[String] = Seq("mr", "mister", "sir")
+  val femaleHonorifics: Seq[String] = Seq("ms", "mrs", "miss", "madam")
+
+  // defaults mirroring NameDetectParams
+  val GuardMaxTokens = 10
+  val GuardPctMaxTokens = 0.75
+  val GuardMinTextLen = 3
+  val GuardPctMinTextLen = 0.75
+  val GuardMinCountForStdDev = 10
+  val GuardMinStdDev = 0.05
+  val GuardMinCountForUnique = 10
+  val GuardMinUnique = 10
+  val NameThreshold = 0.5
+
+  /** Strategy names, in the deterministic tie-break (alphabetical)
+    * order the best-pick uses; the reference sorts by numOther only,
+    * with map-iteration-order ties — here ties break on this name. */
+  val strategyNames: Seq[String] =
+    Seq("after_comma", "after_comma_token", "by_index_0", "by_last", "honorific")
+
+  private def tokensOf(c: Column): Column =
+    split(lower(trim(c)), "\\s+")
+
+  /** Per-strategy gender code for one row: "M" / "F" / "NA". */
+  private def genderCols(c: Column): Seq[(String, Column)] = {
+    val dictMap = map(genderDict.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    def byToken(tok: Column): Column = {
+      val p = element_at(dictMap, tok)
+      when(p.isNull, "NA").when(p >= NameThreshold, "M").otherwise("F")
+    }
+    val toks = tokensOf(c)
+    val mHon = size(filter(toks, t => t.isin(maleHonorifics.map(lit): _*)))
+    val fHon = size(filter(toks, t => t.isin(femaleHonorifics.map(lit): _*)))
+    val honorific = when(mHon + fHon === 1,
+      when(mHon === 1, "M").otherwise("F")).otherwise("NA")
+    // greedy .* ⇒ group = text after the LAST comma (reference code,
+    // not its comment); no comma ⇒ NA
+    val afterComma = when(c.rlike("^.*,(.*)$"),
+      byToken(element_at(tokensOf(regexp_extract(c, "^.*,(.*)$", 1)), 1)))
+      .otherwise("NA")
+    val afterCommaTok = when(c.rlike("^.*,\\s+.*?\\s+(.*)$"),
+      byToken(element_at(
+        tokensOf(regexp_extract(c, "^.*,\\s+.*?\\s+(.*)$", 1)), 1)))
+      .otherwise("NA")
+    Seq(
+      "after_comma" -> afterComma,
+      "after_comma_token" -> afterCommaTok,
+      "by_index_0" -> byToken(element_at(toks, 1)),
+      "by_last" -> byToken(element_at(toks, -1)),
+      "honorific" -> honorific)
+  }
+
+  /** One stats row for the text column `c` of `df`, labeled `name`:
+    * guard quantities, avg dictionary fraction, treat_as_name, and the
+    * best gender strategy with its (male, female, other) counts. */
+  def nameColumnStats(df: DataFrame, c: Column, name: String): DataFrame = {
+    val toks = tokensOf(c)
+    val nTok = size(toks)
+    val len = length(c)
+    val hits = size(filter(toks, t => t.isin(nameDict.map(lit): _*)))
+    val frac = when(nTok > 0,
+      round(hits.cast("double") / nTok.cast("double"), 12))
+      .otherwise(lit(0.0)).cast("decimal(18,12)")
+    val gcols = genderCols(c)
+    val perRow = df.select(
+      (Seq(c.as("txt"), nTok.as("n_tok"), len.as("len"), frac.as("frac")) ++
+        gcols.map { case (n, col0) => col0.as(s"g_$n") }): _*)
+    val aggExprs =
+      (Seq(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("n_tok") < GuardMaxTokens, 1L).otherwise(0L)).as("n_below_max_tok"),
+        sum(when(col("len") >= GuardMinTextLen, 1L).otherwise(0L)).as("n_above_min_len"),
+        sum(col("len").cast("long")).as("len_sum"),
+        sum((col("len") * col("len")).cast("long")).as("len_sumsq"),
+        count_distinct(col("txt")).as("n_unique"),
+        sum(col("frac")).as("frac_sum")) ++
+        gcols.flatMap { case (n, _) => Seq(
+          sum(when(col(s"g_$n") === "M", 1L).otherwise(0L)).as(s"m_$n"),
+          sum(when(col(s"g_$n") === "F", 1L).otherwise(0L)).as(s"f_$n"),
+          sum(when(col(s"g_$n") === "NA", 1L).otherwise(0L)).as(s"o_$n"))
+        })
+    val agg0 = perRow.agg(aggExprs.head, aggExprs.tail: _*)
+    val nD = col("n_rows").cast("double")
+    val stddev = sqrt((col("len_sumsq").cast("double") -
+      col("len_sum").cast("double") * col("len_sum").cast("double") / nD) / nD)
+    val avgFrac = col("frac_sum").cast("double") / nD
+    val guards =
+      (col("n_below_max_tok").cast("double") / nD > GuardPctMaxTokens) &&
+      (col("n_above_min_len").cast("double") / nD > GuardPctMinTextLen) &&
+      (col("n_rows") < GuardMinCountForStdDev || stddev > GuardMinStdDev) &&
+      (col("n_rows") < GuardMinCountForUnique || col("n_unique") >= GuardMinUnique)
+    // best strategy: fewest others, ties on name (strategyNames is
+    // already alphabetical); its m/f/o counts ride in the same struct
+    def sStruct(n: String) = struct(col(s"o_$n").as("o"), lit(n).as("s"),
+      col(s"m_$n").as("m"), col(s"f_$n").as("f"))
+    val best = strategyNames.tail.foldLeft(sStruct(strategyNames.head)) {
+      (acc, n) =>
+        when(col(s"o_$n") < acc.getField("o"), sStruct(n)).otherwise(acc)
+    }
+    agg0.select(
+      lit(name).as("column"),
+      col("n_rows"),
+      round(col("n_below_max_tok").cast("double") / nD, 6).as("pct_below_max_tokens"),
+      round(col("n_above_min_len").cast("double") / nD, 6).as("pct_above_min_len"),
+      round(stddev, 6).as("len_stddev"),
+      col("n_unique"),
+      round(avgFrac, 6).as("avg_name_frac"),
+      guards.cast("int").as("guards_passed"),
+      (guards && avgFrac >= NameThreshold).cast("int").as("treat_as_name"),
+      best.getField("s").as("best_gender_strategy"),
+      best.getField("m").as("best_n_male"),
+      best.getField("f").as("best_n_female"),
+      best.getField("o").as("best_n_other"))
+  }
+
+  // ---- DuckDB replay, generated from the SAME dictionaries ---------
+
+  /** The [[nameColumnStats]] computation as one SQL SELECT over
+    * `srcSql` (a query yielding rows with a `txt` column), labeled
+    * `name`. Decision tree, dictionaries, quantization and fold order
+    * all render from the exact Scala structures the Spark side uses. */
+  def oracleStatsSql(srcSql: String, name: String): String = {
+    val dictCase = (tok: String) => genderDict.map { case (k, v) =>
+      s"WHEN '$k' THEN $v" }.mkString(s"CASE $tok ", " ", " END")
+    def gender(tok: String): String =
+      s"""CASE WHEN ${dictCase(tok)} IS NULL THEN 'NA'
+              WHEN ${dictCase(tok)} >= $NameThreshold THEN 'M'
+              ELSE 'F' END"""
+    val nameIn = nameDict.map(w => s"'$w'").mkString(", ")
+    val mHonIn = maleHonorifics.map(w => s"'$w'").mkString(", ")
+    val fHonIn = femaleHonorifics.map(w => s"'$w'").mkString(", ")
+    def firstTokOf(e: String): String =
+      s"(regexp_split_to_array(lower(trim($e)), '\\s+'))[1]"
+    val g = Map(
+      "after_comma" ->
+        s"""CASE WHEN regexp_matches(txt, '^.*,(.*)$$')
+              THEN ${gender(firstTokOf(s"regexp_extract(txt, '^.*,(.*)$$', 1)"))}
+              ELSE 'NA' END""",
+      "after_comma_token" ->
+        s"""CASE WHEN regexp_matches(txt, '^.*,\\s+.*?\\s+(.*)$$')
+              THEN ${gender(firstTokOf(s"regexp_extract(txt, '^.*,\\s+.*?\\s+(.*)$$', 1)"))}
+              ELSE 'NA' END""",
+      "by_index_0" -> gender("toks[1]"),
+      "by_last" -> gender("toks[len(toks)]"),
+      "honorific" ->
+        s"""CASE WHEN len(list_filter(toks, x -> x IN ($mHonIn))) +
+                     len(list_filter(toks, x -> x IN ($fHonIn))) = 1
+              THEN CASE WHEN len(list_filter(toks, x -> x IN ($mHonIn))) = 1
+                        THEN 'M' ELSE 'F' END
+              ELSE 'NA' END""")
+    val mfo = strategyNames.flatMap { n => Seq(
+      s"SUM(CASE WHEN g_$n = 'M' THEN 1 ELSE 0 END) AS m_$n",
+      s"SUM(CASE WHEN g_$n = 'F' THEN 1 ELSE 0 END) AS f_$n",
+      s"SUM(CASE WHEN g_$n = 'NA' THEN 1 ELSE 0 END) AS o_$n")
+    }.mkString(",\n               ")
+    // earlier-name-wins ties = <= against every LATER strategy
+    val bestChain = strategyNames.init.zipWithIndex.map { case (n, i) =>
+      val later = strategyNames.drop(i + 1).map(m => s"o_$n <= o_$m")
+      s"WHEN ${later.mkString(" AND ")} THEN '$n'"
+    }.mkString("CASE ", "\n                ", s"\n                ELSE '${strategyNames.last}' END")
+    def pick(field: String): String = strategyNames.init.map { n =>
+      s"WHEN best_s = '$n' THEN ${field}_$n"
+    }.mkString("CASE ", " ", s" ELSE ${field}_${strategyNames.last} END")
+    s"""SELECT '$name' AS "column", n_rows,
+          ROUND(CAST(n_below_max_tok AS DOUBLE) / n_rows, 6) AS pct_below_max_tokens,
+          ROUND(CAST(n_above_min_len AS DOUBLE) / n_rows, 6) AS pct_above_min_len,
+          ROUND(sqrt((CAST(len_sumsq AS DOUBLE) -
+            CAST(len_sum AS DOUBLE) * CAST(len_sum AS DOUBLE) / n_rows) / n_rows), 6)
+            AS len_stddev,
+          n_unique,
+          ROUND(CAST(frac_sum AS DOUBLE) / n_rows, 6) AS avg_name_frac,
+          CAST(guards AS INT) AS guards_passed,
+          CAST(guards AND CAST(frac_sum AS DOUBLE) / n_rows >= $NameThreshold AS INT)
+            AS treat_as_name,
+          best_s AS best_gender_strategy,
+          CAST(${pick("m")} AS BIGINT) AS best_n_male,
+          CAST(${pick("f")} AS BIGINT) AS best_n_female,
+          CAST(${pick("o")} AS BIGINT) AS best_n_other
+        FROM (
+          SELECT *,
+            ((CAST(n_below_max_tok AS DOUBLE) / n_rows > $GuardPctMaxTokens) AND
+             (CAST(n_above_min_len AS DOUBLE) / n_rows > $GuardPctMinTextLen) AND
+             (n_rows < $GuardMinCountForStdDev OR
+              sqrt((CAST(len_sumsq AS DOUBLE) -
+                CAST(len_sum AS DOUBLE) * CAST(len_sum AS DOUBLE) / n_rows) / n_rows)
+                > $GuardMinStdDev) AND
+             (n_rows < $GuardMinCountForUnique OR n_unique >= $GuardMinUnique))
+              AS guards,
+            $bestChain AS best_s
+          FROM (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               SUM(CASE WHEN len(toks) < $GuardMaxTokens THEN 1 ELSE 0 END) AS n_below_max_tok,
+               SUM(CASE WHEN length(txt) >= $GuardMinTextLen THEN 1 ELSE 0 END) AS n_above_min_len,
+               SUM(CAST(length(txt) AS BIGINT)) AS len_sum,
+               SUM(CAST(length(txt) AS BIGINT) * CAST(length(txt) AS BIGINT)) AS len_sumsq,
+               CAST(count(DISTINCT txt) AS BIGINT) AS n_unique,
+               SUM(frac) AS frac_sum,
+               $mfo
+            FROM (
+              SELECT txt, toks,
+                CAST(ROUND(CAST(len(list_filter(toks, x -> x IN ($nameIn))) AS DOUBLE)
+                  / CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) END, 12)
+                  AS DECIMAL(18,12)) AS frac,
+                ${strategyNames.map(n => s"${g(n)} AS g_$n").mkString(",\n                ")}
+              FROM (
+                SELECT txt,
+                  regexp_split_to_array(lower(trim(txt)), '\\s+') AS toks
+                FROM ($srcSql))))) """
+  }
+}

@@ -586,6 +586,31 @@ object QualityQueries {
         md5(col("payload")).as("payload_md5"))
     }),
 
+    // column-level sensitive-name detection (the reference's
+    // NameDetectFun/SensitiveFeatureInformation machinery, distinct
+    // from q568's row-level shape test): guard checks + avg
+    // dictionary-hit fraction + 5 gender strategies scored by fewest
+    // NAs, over (a) a 12-shape synthesized full-name column that
+    // passes every guard and clears the 0.5 name threshold, and (b)
+    // c_mktsegment, which fails the >=10-unique guard and scores ~0 —
+    // both detection outcomes exercised. Oracle SQL is GENERATED from
+    // the same dictionaries/thresholds (SensitiveDetect.oracleStatsSql).
+    "q572_name_column_detect" -> ((s, d) => {
+      val m = pmod(col("c_custkey"), lit(12))
+      val fullname =
+        when(m === 0, "John Smith").when(m === 1, "Mary Jones")
+          .when(m === 2, "Smith, John").when(m === 3, "Smith, Mr John")
+          .when(m === 4, "Mr James Brown").when(m === 5, "Taylor Jordan")
+          .when(m === 6, "mary").when(m === 7, "Miss Emma Wilson")
+          .when(m === 8, "Dr Alice Green").when(m === 9, "Jones, Mrs Mary")
+          .when(m === 10, "Robert De Niro").otherwise("sam casey")
+      val cust = Tables.customer(s, d)
+      graft.operators.SensitiveDetect.nameColumnStats(
+          cust.select(fullname.as("fullname")), col("fullname"), "fullname")
+        .unionByName(graft.operators.SensitiveDetect.nameColumnStats(
+          cust, col("c_mktsegment"), "c_mktsegment"))
+    }),
+
     // MIME magic-byte battery, hash-gated: q45's corpus payloads are
     // text (only the fallback fires there), so this gate synthesizes
     // REAL binary payloads — 20 deterministic per-customer shapes
@@ -1649,6 +1674,24 @@ object QualityQueries {
       """SELECT doc_id, STRLEN(text) AS payload_bytes,
            'text/plain' AS mime, MD5(text) AS payload_md5
          FROM documents""",
+
+    // generated branch-for-branch from the same dictionaries and
+    // thresholds the Spark side evaluates
+    "q572_name_column_detect" -> {
+      val nameSrc =
+        """SELECT CASE c_custkey % 12
+              WHEN 0 THEN 'John Smith' WHEN 1 THEN 'Mary Jones'
+              WHEN 2 THEN 'Smith, John' WHEN 3 THEN 'Smith, Mr John'
+              WHEN 4 THEN 'Mr James Brown' WHEN 5 THEN 'Taylor Jordan'
+              WHEN 6 THEN 'mary' WHEN 7 THEN 'Miss Emma Wilson'
+              WHEN 8 THEN 'Dr Alice Green' WHEN 9 THEN 'Jones, Mrs Mary'
+              WHEN 10 THEN 'Robert De Niro' ELSE 'sam casey' END AS txt
+           FROM customer"""
+      val segSrc = "SELECT c_mktsegment AS txt FROM customer"
+      graft.operators.SensitiveDetect.oracleStatsSql(nameSrc, "fullname") +
+        "\n         UNION ALL\n" +
+        graft.operators.SensitiveDetect.oracleStatsSql(segSrc, "c_mktsegment")
+    },
 
     // replays the two-level hex-prefix sniff over the same synthesized
     // magic+md5 payloads; the CASE order mirrors Multimodal.sniffMime
