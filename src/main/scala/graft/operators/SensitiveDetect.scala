@@ -124,10 +124,10 @@ object SensitiveDetect {
       "honorific" -> honorific)
   }
 
-  /** One stats row for the text column `c` of `df`, labeled `name`:
-    * guard quantities, avg dictionary fraction, treat_as_name, and the
-    * best gender strategy with its (male, female, other) counts. */
-  def nameColumnStats(df: DataFrame, c: Column, name: String): DataFrame = {
+  /** The one-pass aggregate every entry point shares: row counts,
+    * guard quantities, exact length moments, the quantized dictionary
+    * fraction sum, and per-strategy (m, f, o) gender counts. */
+  private def aggregateStats(df: DataFrame, c: Column): DataFrame = {
     val toks = tokensOf(c)
     val nTok = size(toks)
     val len = length(c)
@@ -153,7 +153,14 @@ object SensitiveDetect {
           sum(when(col(s"g_$n") === "F", 1L).otherwise(0L)).as(s"f_$n"),
           sum(when(col(s"g_$n") === "NA", 1L).otherwise(0L)).as(s"o_$n"))
         })
-    val agg0 = perRow.agg(aggExprs.head, aggExprs.tail: _*)
+    perRow.agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** One stats row for the text column `c` of `df`, labeled `name`:
+    * guard quantities, avg dictionary fraction, treat_as_name, and the
+    * best gender strategy with its (male, female, other) counts. */
+  def nameColumnStats(df: DataFrame, c: Column, name: String): DataFrame = {
+    val agg0 = aggregateStats(df, c)
     val nD = col("n_rows").cast("double")
     val stddev = sqrt((col("len_sumsq").cast("double") -
       col("len_sum").cast("double") * col("len_sum").cast("double") / nD) / nD)
@@ -187,7 +194,117 @@ object SensitiveDetect {
       best.getField("o").as("best_n_other"))
   }
 
+  /** The reference HumanNameDetectorModel's transformFn
+    * (HumanNameDetector.scala:98-115), as fit-then-score: FIT collects
+    * the column stats (two one-pass aggregations: treat decision +
+    * per-strategy NA counts) and orders ALL strategies by (others,
+    * name); SCORE is then a row-local projection emitting each row's
+    * first non-NA gender across the ordered strategies — or
+    * (is_name=0, gender=NA) for every row when the column was not
+    * detected as a name (the reference's empty NameStats map). The
+    * collected fit is a 1-row frame, the production estimator shape:
+    * decide once, ship the order as plan literals, score 100 TB
+    * row-locally. */
+  def nameDetectScore(df: DataFrame, id: Column, c: Column): DataFrame = {
+    val treatRow = nameColumnStats(df, c, "fit").collect()(0)
+    val treat = treatRow.getAs[Int]("treat_as_name") == 1
+    if (!treat)
+      df.select(id.as("rid"), c.as("candidate"),
+        lit(0).as("is_name"), lit("NA").as("gender"))
+    else {
+      val others = aggregateStats(df, c).collect()(0)
+      val ordered = strategyNames
+        .sortBy(n => (others.getAs[Long](s"o_$n"), n))
+      val gcols = genderCols(c).toMap
+      val gender = ordered.map(gcols)
+        .foldRight(lit("NA")) { (g, acc) => when(g =!= "NA", g).otherwise(acc) }
+      df.select(id.as("rid"), c.as("candidate"),
+        lit(1).as("is_name"), gender.as("gender"))
+    }
+  }
+
   // ---- DuckDB replay, generated from the SAME dictionaries ---------
+
+  /** The [[nameDetectScore]] computation as SQL over `srcSql` (rows of
+    * (rid, txt)): recomputes the fit (treat decision + per-strategy NA
+    * counts), derives the strategy order with the same (others, name)
+    * key, and picks each row's first non-NA gender via arg_min over
+    * the rank — 'NA' everywhere when the column is not treated as a
+    * name. */
+  def oracleScoreSql(srcSql: String): String = {
+    val dictCase = (tok: String) => genderDict.map { case (k, v) =>
+      s"WHEN '$k' THEN $v" }.mkString(s"CASE $tok ", " ", " END")
+    def gender(tok: String): String =
+      s"""CASE WHEN ${dictCase(tok)} IS NULL THEN 'NA'
+              WHEN ${dictCase(tok)} >= $NameThreshold THEN 'M'
+              ELSE 'F' END"""
+    val nameIn = nameDict.map(w => s"'$w'").mkString(", ")
+    val mHonIn = maleHonorifics.map(w => s"'$w'").mkString(", ")
+    val fHonIn = femaleHonorifics.map(w => s"'$w'").mkString(", ")
+    def firstTokOf(e: String): String =
+      s"(regexp_split_to_array(lower(trim($e)), '\\s+'))[1]"
+    val g = Map(
+      "after_comma" ->
+        s"""CASE WHEN regexp_matches(txt, '^.*,(.*)$$')
+              THEN ${gender(firstTokOf(s"regexp_extract(txt, '^.*,(.*)$$', 1)"))}
+              ELSE 'NA' END""",
+      "after_comma_token" ->
+        s"""CASE WHEN regexp_matches(txt, '^.*,\\s+.*?\\s+(.*)$$')
+              THEN ${gender(firstTokOf(s"regexp_extract(txt, '^.*,\\s+.*?\\s+(.*)$$', 1)"))}
+              ELSE 'NA' END""",
+      "by_index_0" -> gender("toks[1]"),
+      "by_last" -> gender("toks[len(toks)]"),
+      "honorific" ->
+        s"""CASE WHEN len(list_filter(toks, x -> x IN ($mHonIn))) +
+                     len(list_filter(toks, x -> x IN ($fHonIn))) = 1
+              THEN CASE WHEN len(list_filter(toks, x -> x IN ($mHonIn))) = 1
+                        THEN 'M' ELSE 'F' END
+              ELSE 'NA' END""")
+    val oSums = strategyNames.map(n =>
+      s"SUM(CASE WHEN g_$n = 'NA' THEN 1 ELSE 0 END) AS o_$n")
+      .mkString(",\n             ")
+    val ordRows = strategyNames.map(n =>
+      s"SELECT '$n' AS s, o_$n AS o FROM d").mkString("\n             UNION ALL ")
+    val glRows = strategyNames.map(n =>
+      s"SELECT rid, txt, '$n' AS s, g_$n AS g FROM t").mkString("\n             UNION ALL ")
+    s"""WITH src AS ($srcSql),
+        t AS (SELECT rid, txt,
+            regexp_split_to_array(lower(trim(txt)), '\\s+') AS toks,
+            ${strategyNames.map(n => s"${g(n)} AS g_$n").mkString(",\n            ")}
+          FROM src),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             SUM(CASE WHEN len(toks) < $GuardMaxTokens THEN 1 ELSE 0 END) AS n_below_max_tok,
+             SUM(CASE WHEN length(txt) >= $GuardMinTextLen THEN 1 ELSE 0 END) AS n_above_min_len,
+             SUM(CAST(length(txt) AS BIGINT)) AS len_sum,
+             SUM(CAST(length(txt) AS BIGINT) * CAST(length(txt) AS BIGINT)) AS len_sumsq,
+             CAST(count(DISTINCT txt) AS BIGINT) AS n_unique,
+             SUM(CAST(ROUND(
+               CAST(len(list_filter(toks, x -> x IN ($nameIn))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 12) AS DECIMAL(18,12))) AS frac_sum,
+             $oSums
+           FROM t),
+        d AS (SELECT *,
+            CAST(((CAST(n_below_max_tok AS DOUBLE) / n_rows > $GuardPctMaxTokens) AND
+              (CAST(n_above_min_len AS DOUBLE) / n_rows > $GuardPctMinTextLen) AND
+              (n_rows < $GuardMinCountForStdDev OR
+               sqrt((CAST(len_sumsq AS DOUBLE) -
+                 CAST(len_sum AS DOUBLE) * CAST(len_sum AS DOUBLE) / n_rows) / n_rows)
+                 > $GuardMinStdDev) AND
+              (n_rows < $GuardMinCountForUnique OR n_unique >= $GuardMinUnique) AND
+              (CAST(frac_sum AS DOUBLE) / n_rows >= $NameThreshold)) AS INT)
+              AS is_name
+          FROM a),
+        ord AS (SELECT s, row_number() OVER (ORDER BY o, s) AS rk FROM (
+             $ordRows)),
+        gl AS ($glRows),
+        pick AS (SELECT gl.rid, any_value(gl.txt) AS candidate,
+             coalesce(arg_min(gl.g, o.rk) FILTER (WHERE gl.g <> 'NA'), 'NA')
+               AS gender
+           FROM gl JOIN ord o USING (s) GROUP BY gl.rid)
+       SELECT p.rid, p.candidate, d.is_name,
+         CASE WHEN d.is_name = 1 THEN p.gender ELSE 'NA' END AS gender
+       FROM pick p CROSS JOIN d"""
+  }
 
   /** The [[nameColumnStats]] computation as one SQL SELECT over
     * `srcSql` (a query yielding rows with a `txt` column), labeled

@@ -611,6 +611,30 @@ object QualityQueries {
           cust, col("c_mktsegment"), "c_mktsegment"))
     }),
 
+    // q572's fit applied as the reference HumanNameDetectorModel
+    // transform: strategies ordered by fewest unresolved rows at fit
+    // time, each row scored with its first non-NA gender — and the
+    // non-name column (c_mktsegment) emitting the reference's empty
+    // NameStats shape (is_name=0, gender=NA) for every row
+    "q573_name_stats_score" -> ((s, d) => {
+      val m = pmod(col("c_custkey"), lit(12))
+      val fullname =
+        when(m === 0, "John Smith").when(m === 1, "Mary Jones")
+          .when(m === 2, "Smith, John").when(m === 3, "Smith, Mr John")
+          .when(m === 4, "Mr James Brown").when(m === 5, "Taylor Jordan")
+          .when(m === 6, "mary").when(m === 7, "Miss Emma Wilson")
+          .when(m === 8, "Dr Alice Green").when(m === 9, "Jones, Mrs Mary")
+          .when(m === 10, "Robert De Niro").otherwise("sam casey")
+      val cust = Tables.customer(s, d)
+      graft.operators.SensitiveDetect.nameDetectScore(
+          cust.select(col("c_custkey").as("id"), fullname.as("fullname")),
+          col("id"), col("fullname"))
+        .unionByName(graft.operators.SensitiveDetect.nameDetectScore(
+          cust.select((col("c_custkey") + 10000000L).as("id"),
+            col("c_mktsegment")),
+          col("id"), col("c_mktsegment")))
+    }),
+
     // MIME magic-byte battery, hash-gated: q45's corpus payloads are
     // text (only the fallback fires there), so this gate synthesizes
     // REAL binary payloads — 20 deterministic per-customer shapes
@@ -1691,6 +1715,24 @@ object QualityQueries {
       graft.operators.SensitiveDetect.oracleStatsSql(nameSrc, "fullname") +
         "\n         UNION ALL\n" +
         graft.operators.SensitiveDetect.oracleStatsSql(segSrc, "c_mktsegment")
+    },
+
+    "q573_name_stats_score" -> {
+      val nameSrc =
+        """SELECT c_custkey AS rid, CASE c_custkey % 12
+              WHEN 0 THEN 'John Smith' WHEN 1 THEN 'Mary Jones'
+              WHEN 2 THEN 'Smith, John' WHEN 3 THEN 'Smith, Mr John'
+              WHEN 4 THEN 'Mr James Brown' WHEN 5 THEN 'Taylor Jordan'
+              WHEN 6 THEN 'mary' WHEN 7 THEN 'Miss Emma Wilson'
+              WHEN 8 THEN 'Dr Alice Green' WHEN 9 THEN 'Jones, Mrs Mary'
+              WHEN 10 THEN 'Robert De Niro' ELSE 'sam casey' END AS txt
+           FROM customer"""
+      val segSrc =
+        "SELECT c_custkey + 10000000 AS rid, c_mktsegment AS txt FROM customer"
+      "SELECT * FROM (" +
+        graft.operators.SensitiveDetect.oracleScoreSql(nameSrc) +
+        ")\n         UNION ALL SELECT * FROM (" +
+        graft.operators.SensitiveDetect.oracleScoreSql(segSrc) + ")"
     },
 
     // replays the two-level hex-prefix sniff over the same synthesized
