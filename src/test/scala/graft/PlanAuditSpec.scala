@@ -83,6 +83,11 @@ class PlanAuditSpec extends SparkSpec {
     // q563: the Zipf-alpha readout reduces the (already aggregated)
     // word-frequency table to ONE sufficient-stats row — q359's shape
     "q563_vocab_zipf_alpha",
+    // q572: the name-column fit reduces each analyzed column to ONE
+    // sufficient-stats row (guard counts + strategy m/f/o counts) via
+    // partial+final aggregation — the single partition merges 32
+    // per-partition partials, q133's per-column-profile shape
+    "q572_name_column_detect",
     // q367: the revenue-total scalar is a 1-row frame crossJoin-
     // broadcast over the part classes; the prefix-sum offsets collect
     // is O(#partitions) (cumulativeByValue contract, q160's shape)
