@@ -121,11 +121,196 @@ object PhoneRules {
     when(length(c) < 2, lit(null).cast("boolean"))
       .otherwise(parsePhoneCountry(c, defaultRegion).isNotNull)
 
+  /** English country names per region (comma-separated variants, the
+    * reference's DefaultCountryCodes value shape) for the Jaccard
+    * fallback of [[resolveRegion]]. */
+  val countryNames: Seq[(String, String)] = Seq(
+    "US" -> "UNITED STATES OF AMERICA, USA",
+    "RU" -> "RUSSIA, RUSSIAN FEDERATION",
+    "ZA" -> "SOUTH AFRICA",
+    "NL" -> "NETHERLANDS, HOLLAND",
+    "FR" -> "FRANCE",
+    "ES" -> "SPAIN",
+    "IT" -> "ITALY",
+    "CH" -> "SWITZERLAND",
+    "GB" -> "UNITED KINGDOM, GREAT BRITAIN",
+    "SE" -> "SWEDEN",
+    "PL" -> "POLAND",
+    "DE" -> "GERMANY",
+    "MX" -> "MEXICO",
+    "BR" -> "BRAZIL",
+    "AU" -> "AUSTRALIA",
+    "SG" -> "SINGAPORE",
+    "JP" -> "JAPAN",
+    "KR" -> "SOUTH KOREA, KOREA",
+    "CN" -> "CHINA",
+    "TR" -> "TURKEY",
+    "IN" -> "INDIA",
+    "NG" -> "NIGERIA")
+
+  /** (region, one name variant) pairs in table order — the fold order
+    * of the reference's `regionCodes.zip(countryNames).flatMap(split
+    * on comma)` with maxBy's FIRST-maximum tie rule. */
+  private val nameVariants: Seq[(String, String)] =
+    countryNames.flatMap { case (r, ns) => ns.split(",").map(r -> _.trim) }
+
+  /** Distinct character 2-grams of an uppercased trimmed string column
+    * (the reference's `rc.trim.sliding(2).toSet`). */
+  private def bigramsOf(c: Column): Column = {
+    val u = upper(trim(c))
+    // length <= 1: sliding(2) yields the string itself as its one
+    // window (and [] for "", where [u] = [""] scores 0 against every
+    // name — same resolution). Guarded because sequence(1, 0) would
+    // otherwise run DOWNWARD.
+    when(length(u) <= 1, array(u)).otherwise(
+      array_distinct(transform(sequence(lit(1), length(u) - 1),
+        i => u.substr(i, lit(2)))))
+  }
+
+  /** The reference's `validCountryCode`
+    * (PhoneNumberParser.scala:285-305): a phone with a leading '+' is
+    * international ("ZZ", google's unknown-region convention); a
+    * region input that IS a known code passes through; any other
+    * non-null region resolves to the country NAME with the highest
+    * character-2-gram Jaccard similarity (first-maximum tie rule, the
+    * table order above); a null region falls back to `defaultRegion`.
+    * Row-local Column logic over literal name bigram sets. */
+  def resolveRegion(phone: Column, regionText: Column,
+                    defaultRegion: String = "US"): Column = {
+    require(byRegion.contains(defaultRegion.toUpperCase))
+    val rcU = upper(trim(regionText))
+    val rb = bigramsOf(regionText)
+    val scored = nameVariants.map { case (r, nm) =>
+      val nb = nm.sliding(2).toSeq.distinct
+      val nbLit = array(nb.map(lit): _*)
+      val j = size(array_intersect(rb, nbLit)).cast("double") /
+        size(array_union(rb, nbLit)).cast("double")
+      (r, j)
+    }
+    // first-maximum WITHOUT a when-fold: a fold that references its
+    // accumulator in both the condition and the otherwise doubles the
+    // expression tree per entry (2^25 nodes here — the first attempt
+    // hung Catalyst in plan construction). array_max over (j, -index)
+    // structs is linear and implements the same keep-earlier tie rule:
+    // max j wins, and among ties the max of -index is the SMALLEST
+    // index, i.e. the earliest table entry.
+    val best = array_max(array(scored.zipWithIndex.map { case ((_, j), i) =>
+      struct(j.as("j"), lit(-i).as("ni")) }: _*))
+    val regionArr = array(nameVariants.map(v => lit(v._1)): _*)
+    val bestRegion = element_at(regionArr, (-best.getField("ni")) + 1)
+    when(cleanPhone(phone).startsWith("+"), "ZZ")
+      .when(regionText.isNull, defaultRegion.toUpperCase)
+      .when(rcU.isin(rules.map(_.region): _*), rcU)
+      .otherwise(bestRegion)
+  }
+
+  /** National-format parse under ONE region's rules (the body
+    * [[parsePhoneCountry]] uses for its default region). */
+  private def nationalE164(cleaned: Column, r: Rule): Column = {
+    val natDigits =
+      if (r.trunkZero)
+        when(cleaned.startsWith("0"),
+          cleaned.substr(lit(2), length(cleaned))).otherwise(cleaned)
+      else cleaned
+    when(validNational(natDigits, r),
+      concat(lit("+" + r.cc), natDigits)).otherwise(lit(null).cast("string"))
+  }
+
+  private def intlE164(cleaned: Column): Column = {
+    val digitsI = cleaned.substr(lit(2), length(cleaned))
+    intlOrder.map { ru =>
+      val nat = digitsI.substr(lit(ru.cc.length + 1), length(digitsI))
+      (digitsI.startsWith(ru.cc) && validNational(nat, ru),
+        concat(lit("+" + ru.cc), nat))
+    }.foldRight(lit(null).cast("string")) {
+      case ((cond, v), acc) => when(cond, v).otherwise(acc)
+    }
+  }
+
+  /** The reference's ParsePhoneNumber BinaryTransformer: E.164 parse
+    * of `phone` under a PER-ROW RESOLVED region code (a
+    * [[resolveRegion]] output column — pre-project it so the
+    * resolution expression isn't embedded once per dispatch branch):
+    * "ZZ" runs the international longest-prefix chain, anything else
+    * that region's national rules. Same <2-chars/cleanliness
+    * contracts as [[parsePhoneCountry]]. */
+  def parsePhoneDispatch(phone: Column, resolvedRegion: Column): Column = {
+    val cleaned = cleanPhone(phone)
+    val dispatch = rules.foldLeft(
+      when(resolvedRegion === "ZZ", intlE164(cleaned))) {
+      (acc, r) => acc.when(resolvedRegion === r.region, nationalE164(cleaned, r))
+    }.otherwise(lit(null).cast("string"))
+    when(length(phone) < 2, lit(null).cast("string"))
+      .when(!cleaned.rlike("^\\+?[0-9]+$"), lit(null).cast("string"))
+      .otherwise(dispatch)
+  }
+
   // ---- DuckDB replay, generated from the SAME rules table ----------
 
   private def sqlValidNational(nat: String, r: Rule): String = {
     val lenOk = s"length($nat) BETWEEN ${r.minLen} AND ${r.maxLen}"
     r.pattern.map(p => s"($lenOk AND regexp_matches($nat, '$p'))").getOrElse(lenOk)
+  }
+
+  /** [[resolveRegion]] + [[parsePhoneWithRegion]] as one SQL query
+    * over `srcSql` (rows of (rid, phone, region)) — name bigram sets,
+    * rule bounds and the first-maximum fold order all render from the
+    * same Scala tables; the per-variant Jaccard scores compute ONCE as
+    * CTE columns so the argmax chain compares columns, not
+    * re-instantiated list expressions. */
+  def oracleParseWithRegionSql(srcSql: String,
+                               defaultRegion: String = "US"): String = {
+    val cleanedIn = "regexp_replace(trim(phone), '[^+0-9]', '', 'g')"
+    val jCols = nameVariants.zipWithIndex.map { case ((_, nm), i) =>
+      val nb = nm.sliding(2).toSeq.distinct.map(b => s"'$b'").mkString("[", ", ", "]")
+      s"(CAST(len(list_intersect(rb, $nb)) AS DOUBLE) / " +
+        s"len(list_distinct(rb || $nb))) AS j_$i"
+    }.mkString(",\n             ")
+    // first index attaining the global maximum = strictly greater than
+    // every earlier score and >= every later one (the Scala fold's
+    // keep-earlier-unless-strictly-better rule)
+    val bestChain = nameVariants.zipWithIndex.init.map { case ((r, _), i) =>
+      val before = (0 until i).map(k => s"j_$i > j_$k")
+      val after = (i + 1 until nameVariants.size).map(k => s"j_$i >= j_$k")
+      s"WHEN ${(before ++ after).mkString(" AND ")} THEN '$r'"
+    }.mkString("CASE ", "\n                ", s"\n                ELSE '${nameVariants.last._1}' END")
+    val codesIn = rules.map(r => s"'${r.region}'").mkString(", ")
+    val intlArms = intlOrder.map { ru =>
+      val nat = s"substr(substr(cleaned, 2), ${ru.cc.length + 1})"
+      s"WHEN starts_with(substr(cleaned, 2), '${ru.cc}') AND ${sqlValidNational(nat, ru)} " +
+        s"THEN '+${ru.cc}' || $nat"
+    }.mkString("\n                 ")
+    val natArms = rules.map { r =>
+      val natDigits =
+        if (r.trunkZero)
+          "CASE WHEN starts_with(cleaned, '0') THEN substr(cleaned, 2) ELSE cleaned END"
+        else "cleaned"
+      s"WHEN region_used = '${r.region}' THEN CASE WHEN ${sqlValidNational(natDigits, r)} " +
+        s"THEN '+${r.cc}' || $natDigits ELSE NULL END"
+    }.mkString("\n                 ")
+    s"""WITH src AS ($srcSql),
+        b AS (SELECT rid, phone, region, $cleanedIn AS cleaned,
+             CASE WHEN length(upper(trim(region))) <= 1 THEN [upper(trim(region))]
+                  ELSE list_distinct([substr(upper(trim(region)), i, 2)
+                         for i in range(1, length(upper(trim(region))))])
+                  END AS rb
+           FROM src),
+        j AS (SELECT rid, phone, region, cleaned,
+             $jCols
+           FROM b),
+        r AS (SELECT rid, phone, region, cleaned,
+             CASE WHEN starts_with(cleaned, '+') THEN 'ZZ'
+                  WHEN region IS NULL THEN '${defaultRegion.toUpperCase}'
+                  WHEN upper(trim(region)) IN ($codesIn) THEN upper(trim(region))
+                  ELSE $bestChain END AS region_used
+           FROM j)
+       SELECT rid, phone, region AS region_input, region_used,
+         CASE WHEN length(phone) < 2 THEN NULL
+              WHEN NOT regexp_matches(cleaned, '^\\+?[0-9]+$$') THEN NULL
+              WHEN region_used = 'ZZ' THEN CASE $intlArms ELSE NULL END
+              $natArms
+              ELSE NULL END AS e164
+       FROM r"""
   }
 
   /** The [[parsePhoneCountry]] decision tree as one SQL CASE over the

@@ -460,6 +460,48 @@ object TextQueries {
             .otherwise(col("e164").isNotNull.cast("int")))
     }),
 
+    // the reference's ParsePhoneNumber BinaryTransformer (phone +
+    // per-row region TEXT input): region resolution via code
+    // passthrough / leading-'+' ZZ / country-NAME 2-gram Jaccard with
+    // the first-maximum tie rule / null -> DefaultRegion("US"), then
+    // E.164 parse dispatched on the resolved region's rules — this
+    // closes the validCountryCode semantics q569 documented as out of
+    // scope. Eight shapes exercise every resolution branch including
+    // a misspelled country ('FRANZIA' -> FR by Jaccard). Oracle
+    // generated from the same tables (j-scores as CTE columns).
+    "q574_phone_region_dispatch" -> ((s, d) => {
+      import graft.functions.PhoneRules.{resolveRegion, parsePhoneDispatch}
+      val k4 = lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")
+      val k3 = substring(k4, 1, 3)
+      val m = pmod(col("c_custkey"), lit(8))
+      val phone =
+        when(m === 0, concat(lit("555-234-"), k4))
+          .when(m === 1, concat(lit("07700 900"), k3))
+          .when(m === 2, concat(lit("07700 900"), k3))
+          .when(m === 3, concat(lit("+49 30 "), k4))
+          .when(m === 4, concat(lit("030 123"), k4))
+          .when(m === 5, concat(lit("555-234-"), k4))
+          .when(m === 6, concat(lit("01 2345 6"), k3))
+          .otherwise(lit("12345"))
+      val region =
+        when(m === 0, lit("US")).when(m === 1, lit("GB"))
+          .when(m === 2, lit("United Kingdom")).when(m === 3, lit("FRANCE"))
+          .when(m === 4, lit("Germany"))
+          .when(m === 5, lit(null).cast("string"))
+          .when(m === 6, lit("FRANZIA")).otherwise(lit("US"))
+      Tables.customer(s, d)
+        .select(col("c_custkey").as("rid"), phone.as("phone"),
+          region.as("region"))
+        // region resolution projected FIRST so the dispatch reads a
+        // plain column instead of embedding the Jaccard argmax once
+        // per region branch
+        .select(col("rid"), col("phone"), col("region").as("region_input"),
+          resolveRegion(col("phone"), col("region")).as("region_used"))
+        .select(col("rid"), col("phone"), col("region_input"),
+          col("region_used"),
+          parsePhoneDispatch(col("phone"), col("region_used")).as("e164"))
+    }),
+
     // human-name detection, hash-gated: the 2-3-capitalized-token
     // heuristic (reference HumanNameDetector + dictionaries; stand-in
     // documented on TextFunctions.looksLikeHumanName) over six
@@ -954,6 +996,28 @@ object TextQueries {
              '^[A-Z][a-z]{1,20}( [A-Z]\.?)?( [A-Z][a-z]{1,20}){1,2}$')
              AS is_name
          FROM p""",
+
+    "q574_phone_region_dispatch" ->
+      graft.functions.PhoneRules.oracleParseWithRegionSql(
+        """SELECT c_custkey AS rid,
+             CASE c_custkey % 8
+                  WHEN 0 THEN '555-234-' || k4
+                  WHEN 1 THEN '07700 900' || k3
+                  WHEN 2 THEN '07700 900' || k3
+                  WHEN 3 THEN '+49 30 ' || k4
+                  WHEN 4 THEN '030 123' || k4
+                  WHEN 5 THEN '555-234-' || k4
+                  WHEN 6 THEN '01 2345 6' || k3
+                  ELSE '12345' END AS phone,
+             CASE c_custkey % 8
+                  WHEN 0 THEN 'US' WHEN 1 THEN 'GB'
+                  WHEN 2 THEN 'United Kingdom' WHEN 3 THEN 'FRANCE'
+                  WHEN 4 THEN 'Germany' WHEN 5 THEN NULL
+                  WHEN 6 THEN 'FRANZIA' ELSE 'US' END AS region
+           FROM (SELECT c_custkey,
+                   lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS k4,
+                   substr(lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), 1, 3) AS k3
+                 FROM customer)"""),
 
     // e164 CASE chain generated from the SAME PhoneRules table the
     // Spark side evaluates — no drift possible

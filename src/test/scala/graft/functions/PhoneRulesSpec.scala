@@ -36,6 +36,27 @@ class PhoneRulesSpec extends SparkSpec {
     assert(parse("+999 1234 5678") == None) // unknown calling code
   }
 
+  test("region resolution: code passthrough, '+' -> ZZ, name Jaccard, null default") {
+    def resolve(phone: String, region: Option[String]): String =
+      spark.range(1).select(resolveRegion(lit(phone),
+        region.map(lit).getOrElse(lit(null).cast("string"))).as("r"))
+        .collect()(0).getString(0)
+    assert(resolve("555-234-0000", Some("us")) == "US")   // code, case-folded
+    assert(resolve("+49 30 1234", Some("FRANCE")) == "ZZ") // '+' wins over region
+    assert(resolve("0123", Some("United Kingdom")) == "GB")
+    assert(resolve("0123", Some("GREAT BRITAIN")) == "GB") // second name variant
+    assert(resolve("0123", Some("FRANZIA")) == "FR")       // misspelling, Jaccard
+    assert(resolve("0123", None) == "US")                  // null -> DefaultRegion
+    // a region sharing zero bigrams with every name resolves to the
+    // FIRST table entry (all scores 0, keep-earlier tie rule)
+    assert(resolve("0123", Some("QQ")) == "US")
+    // dispatch applies the resolved region's national rules
+    val r = spark.range(1).select(
+      parsePhoneDispatch(lit("07700 900123"), lit("GB")).as("a"),
+      parsePhoneDispatch(lit("07700 900123"), lit("US")).as("b")).collect()(0)
+    assert(r.getString(0) == "+447700900123" && r.isNullAt(1))
+  }
+
   test("reference contracts: <2 chars null, junk rejected") {
     assert(parse("x") == None)
     assert(parse("call me maybe") == None)
