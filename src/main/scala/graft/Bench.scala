@@ -114,27 +114,40 @@ object Bench {
     // Cost-balanced shard packing (LPT greedy): name-order grouping
     // co-shards the expensive graph/rerank queries (r7: q451 read 1.46x
     // its standalone time next to two graph heavies — shared-JVM codegen
-    // cache + old-gen pressure). Seed per-query costs from the newest
-    // local bench snapshot in cwd (or SPARK_GRAFT_COSTS), sort heaviest
-    // first, and drop each query into the cheapest not-yet-full shard —
-    // heavies land one per shard. Unknown queries get the median cost;
-    // no snapshot at all degrades to balanced-but-arbitrary packing,
-    // which is still never worse than name order. Deterministic: cost
-    // ties break on name, bin ties on index.
+    // cache + old-gen pressure). Seed per-query costs from local bench
+    // snapshots in cwd (or SPARK_GRAFT_COSTS), sort heaviest first, and
+    // drop each query into the cheapest not-yet-full shard — heavies
+    // land one per shard. Unknown queries get the median cost; no
+    // snapshot at all degrades to balanced-but-arbitrary packing, which
+    // is still never worse than name order. Deterministic: cost ties
+    // break on name, bin ties on index.
+    //
+    // MIN across ALL historical snapshots (plus their recorded solo
+    // remeasurements), not the newest one: validating against the
+    // newest snapshot lets an inflated row become its own expected cost
+    // the next round and ratchet upward unchallenged (r10 shipped q305
+    // at 4.65s because the mid-round snapshot had already absorbed a
+    // 1.34x-inflated value that sat under the 1.5x threshold). The
+    // best-known historical cost is the honest yardstick: a row can
+    // only escape solo revalidation by actually being fast.
     val costs: Map[String, Double] = {
-      val file = sys.env.get("SPARK_GRAFT_COSTS").map(new File(_))
-        .orElse(Option(new File(".").listFiles()).getOrElse(Array.empty[File])
-          .filter(_.getName.matches("BENCH_local_r\\d+\\.json"))
-          .sortBy(f => f.getName.replaceAll("\\D+", "").toInt)
-          .lastOption)
-      file.filter(_.isFile).map { f =>
+      val soloRe = """"(q[^"]+)":\{"in_suite":[0-9.eE+-]+,"solo":([0-9.eE+-]+)\}""".r
+      val files: Seq[File] = sys.env.get("SPARK_GRAFT_COSTS")
+        .map(p => Seq(new File(p)))
+        .getOrElse(Option(new File(".").listFiles()).getOrElse(Array.empty[File])
+          .filter(_.getName.matches("BENCH_local_r\\d+\\.json")).toSeq)
+      val perFile = files.filter(_.isFile).flatMap { f =>
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
-          numberRe.findAllMatchIn(txt)
+          val plain = numberRe.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter { case (k, v) => k.startsWith("q") && v >= 0 }.toMap
-        } catch { case _: Throwable => Map.empty[String, Double] }
-      }.getOrElse(Map.empty)
+            .filter { case (k, v) => k.startsWith("q") && v >= 0 }
+          val solos = soloRe.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).filter(_._2 >= 0)
+          (plain ++ solos).toSeq
+        } catch { case _: Throwable => Seq.empty[(String, Double)] }
+      }
+      perFile.groupMapReduce(_._1)(_._2)(math.min)
     }
     val knownCosts = names.flatMap(costs.get).sorted
     val defaultCost =
@@ -198,21 +211,28 @@ object Bench {
     val revalidated = mutable.LinkedHashMap.empty[String, (Double, Double)]
     // Bounded: under shared-box load MANY rows can drift past 1.5x at
     // once; re-measure the worst 24 by absolute inflation rather than
-    // letting the validation pass itself dominate the wall clock.
-    val suspects = names.filter { n =>
+    // letting the validation pass itself dominate the wall clock. If
+    // the cap truncates, the snapshot SAYS so (validated:false +
+    // validation_truncated count) instead of presenting partially
+    // validated numbers as fully validated.
+    val allSuspects = names.filter { n =>
       val v = merged.getOrElse(n, -1.0)
       v > 0.5 && v > 1.5 * costOf(n)
-    }.sortBy(n => costOf(n) - merged(n)).take(24)
+    }.sortBy(n => costOf(n) - merged(n))
+    val suspects = allSuspects.take(24)
+    val truncated = allSuspects.size - suspects.size
     if (suspects.nonEmpty)
-      System.err.println(s"[bench] validating ${suspects.size} rows >1.5x expected: ${suspects.mkString(",")}")
+      System.err.println(s"[bench] validating ${suspects.size}/${allSuspects.size} rows >1.5x expected: ${suspects.mkString(",")}")
     suspects.foreach { n =>
       runShardChild(Seq(n)).flatMap(_.get(n)).filter(_ >= 0).foreach { solo =>
         val suite = merged(n)
         System.err.println(f"[bench] $n: in-suite $suite%.2f s -> solo $solo%.2f s")
         revalidated(n) = (suite, solo)
-        // min: both runs measure the same code; if solo >= suite the
-        // suite row wasn't co-shard-inflated and stands (best-of rule)
-        merged(n) = math.min(suite, solo)
+        // the solo number substitutes UNCONDITIONALLY: a fresh 1-query
+        // child is the stated interference-free protocol, and keeping
+        // min(suite, solo) would make flagged rows best-of-two samples
+        // while every other row is single-sampled
+        merged(n) = solo
       }
     }
 
@@ -221,6 +241,20 @@ object Bench {
     val revalJson = revalidated.map { case (n, (suite, solo)) =>
       f""""$n":{"in_suite":$suite%.3f,"solo":$solo%.3f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","validated":true,"revalidated":$revalJson,"queries":${toJson(ordered)},"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","validated":${truncated == 0},"validation_truncated":$truncated,"revalidated":$revalJson,"queries":${toJson(ordered)},"sf":"$sfDir"}"""
+    // Full snapshot -> file (the committed BENCH_local_r*.json record)
+    // AND stdout for interactive runs; the driver's stdout capture keeps
+    // only a ~2KB tail, which truncated the 570-query line every round
+    // ("parsed": null in BENCH_r*.json). So the LAST line printed is a
+    // compact summary — totals + the 25 costliest queries — that fits
+    // the tail whole and parses.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_local_latest.json"), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] snapshot write failed: $e") }
+    println(fullJson)
+    val top = ordered.filter(_._2 >= 0).sortBy(-_._2).take(25)
+    Console.out.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","validated":${truncated == 0},"n_queries":${ordered.size},"queries":${toJson(top)},"full_snapshot":"BENCH_local_latest.json","sf":"$sfDir"}""")
+    Console.out.flush()
   }
 }

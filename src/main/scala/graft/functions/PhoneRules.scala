@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * scope): numbers outside the 22 tabled calling codes are invalid
   * rather than ZZ-parsed; variable-length metadata beyond min/max
   * (e.g. per-area-code patterns) is not modeled; the non-strict
-  * `truncateTooLongNumber` retry, carrier-code and extension handling,
-  * and the country-NAME Jaccard fallback of `validCountryCode` are
-  * not implemented; RU's '8' trunk prefix is not stripped.
+  * `truncateTooLongNumber` retry and carrier-code/extension handling
+  * are not implemented; RU's '8' trunk prefix is not stripped. (The
+  * country-NAME Jaccard fallback of `validCountryCode` IS implemented —
+  * [[resolveRegion]], gated by q574 — and now uses the reference's
+  * raw-string leading-'+' test for the ZZ branch.)
   *
   * Everything below is row-local and codegen-friendly (anchored RE2-safe
   * regex + a when-chain), and [[oracleE164Sql]] renders the IDENTICAL
@@ -115,10 +117,15 @@ object PhoneRules {
       .otherwise(nationalCase)
   }
 
-  /** Validity under the same tables: null for <2-char inputs (the
-    * reference's None), else whether [[parsePhoneCountry]] succeeds. */
+  /** Validity under the same tables: null for <2-char inputs AND for
+    * candidates whose cleaned form has no digit at all (the reference's
+    * PhoneNumberParser.validate yields None whenever phoneUtil.parse
+    * THROWS — NOT_A_NUMBER — and Some(false) only for
+    * parseable-but-invalid numbers); otherwise whether
+    * [[parsePhoneCountry]] succeeds. */
   def isValidPhoneCountry(c: Column, defaultRegion: String = "US"): Column =
     when(length(c) < 2, lit(null).cast("boolean"))
+      .when(!cleanPhone(c).rlike("[0-9]"), lit(null).cast("boolean"))
       .otherwise(parsePhoneCountry(c, defaultRegion).isNotNull)
 
   /** English country names per region (comma-separated variants, the
@@ -198,7 +205,12 @@ object PhoneRules {
       struct(j.as("j"), lit(-i).as("ni")) }: _*))
     val regionArr = array(nameVariants.map(v => lit(v._1)): _*)
     val bestRegion = element_at(regionArr, (-best.getField("ni")) + 1)
-    when(cleanPhone(phone).startsWith("+"), "ZZ")
+    // RAW startsWith("+"), trim-free: the reference's
+    // isInternationalFormat checks the ORIGINAL string, so "(+44) ..."
+    // and " +44 ..." take the region/Jaccard path here (not ZZ) and
+    // only a literal leading '+' switches to ZZ. The parse itself still
+    // handles an embedded '+' (see parsePhoneDispatch).
+    when(phone.startsWith("+"), "ZZ")
       .when(regionText.isNull, defaultRegion.toUpperCase)
       .when(rcU.isin(rules.map(_.region): _*), rcU)
       .otherwise(bestRegion)
@@ -242,6 +254,11 @@ object PhoneRules {
     }.otherwise(lit(null).cast("string"))
     when(length(phone) < 2, lit(null).cast("string"))
       .when(!cleaned.rlike("^\\+?[0-9]+$"), lit(null).cast("string"))
+      // a '+' ANYWHERE-leading after cleaning (e.g. "(+44) 20...", which
+      // resolveRegion no longer sends to ZZ) still parses as
+      // international — libphonenumber's parse extracts the country
+      // code from the number itself and ignores the region then
+      .when(cleaned.startsWith("+"), intlE164(cleaned))
       .otherwise(dispatch)
   }
 
@@ -299,7 +316,7 @@ object PhoneRules {
              $jCols
            FROM b),
         r AS (SELECT rid, phone, region, cleaned,
-             CASE WHEN starts_with(cleaned, '+') THEN 'ZZ'
+             CASE WHEN starts_with(phone, '+') THEN 'ZZ'
                   WHEN region IS NULL THEN '${defaultRegion.toUpperCase}'
                   WHEN upper(trim(region)) IN ($codesIn) THEN upper(trim(region))
                   ELSE $bestChain END AS region_used
@@ -307,7 +324,8 @@ object PhoneRules {
        SELECT rid, phone, region AS region_input, region_used,
          CASE WHEN length(phone) < 2 THEN NULL
               WHEN NOT regexp_matches(cleaned, '^\\+?[0-9]+$$') THEN NULL
-              WHEN region_used = 'ZZ' THEN CASE $intlArms ELSE NULL END
+              WHEN region_used = 'ZZ' OR starts_with(cleaned, '+')
+                THEN CASE $intlArms ELSE NULL END
               $natArms
               ELSE NULL END AS e164
        FROM r"""

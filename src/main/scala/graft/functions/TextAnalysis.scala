@@ -172,9 +172,12 @@ object TextAnalysis {
     "mk" -> Seq("дека", "бидејќи", "исто", "како", "многу", "овој", "беше", "сите"),
     "ml" -> Seq("എന്ന", "ഒരു", "ഈ", "അത്", "ആണ്", "എന്നാൽ", "വളരെ", "ഉണ്ട്"),
     "mr" -> Seq("आहे", "आणि", "यांनी", "केली", "असून", "हे", "झाली", "तसेच"),
-    // Malay keeps to ms-specific forms (kerana vs id karena, sahaja vs
-    // id saja, ialah vs id adalah) so Indonesian text never lands here
-    "ms" -> Seq("kerana", "ialah", "sahaja", "boleh", "daripada", "kepada", "selepas", "amat"),
+    // Malay keeps to ms-EXCLUSIVE forms (kerana vs id karena, sahaja vs
+    // id saja, selepas vs id setelah, kelmarin vs id kemarin, awak vs
+    // id kamu) so Indonesian text doesn't siphon here. Earlier drafts
+    // carried boleh/daripada/kepada, which are also standard Indonesian
+    // function words — heavy-formal id documents could land in ms.
+    "ms" -> Seq("kerana", "ialah", "sahaja", "selepas", "amat", "kelmarin", "awak", "esok"),
     "mt" -> Seq("huwa", "iżda", "ukoll", "ħafna", "qed", "biex", "kienet", "dawn"),
     "ne" -> Seq("छ", "र", "गरेको", "भएको", "लागि", "पनि", "हुने", "गर्न"),
     "nl" -> Seq("het", "een", "van", "niet", "dat", "zijn", "ik", "ook"),

@@ -208,7 +208,14 @@ object Geo {
         col("cx").as("nx")), Seq("ny", "nx"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val comp = Dedup.connectedComponents(nbr)
+    // Size-dispatched CC, not min-label propagation: a core-cell GRID
+    // graph's diameter grows with the map extent (10x10 at sf0.1
+    // already needs ~18 propagation rounds — pure iteration cadence,
+    // r10's entire q305 cost). Under the 10k-edge bound a driver
+    // union-find resolves it in one collect; above it the O(log n)
+    // star contraction runs. Labels identical (component = min cell
+    // id) either way, so the oracle replay is unchanged.
+    val comp = Dedup.connectedComponentsAuto(nbr)
     val out = cells
       .join(comp.select(col("doc_id").as("cell"), col("component")),
         Seq("cell"), "left")

@@ -145,7 +145,10 @@ object SensitiveDetect {
         sum(when(col("n_tok") < GuardMaxTokens, 1L).otherwise(0L)).as("n_below_max_tok"),
         sum(when(col("len") >= GuardMinTextLen, 1L).otherwise(0L)).as("n_above_min_len"),
         sum(col("len").cast("long")).as("len_sum"),
-        sum((col("len") * col("len")).cast("long")).as("len_sumsq"),
+        // cast EACH factor before multiplying: IntegerType * IntegerType
+        // overflows 32-bit for texts >= 46341 chars, and the DuckDB
+        // oracle multiplies BIGINTs — keep both engines in 64-bit
+        sum(col("len").cast("long") * col("len").cast("long")).as("len_sumsq"),
         count_distinct(col("txt")).as("n_unique"),
         sum(col("frac")).as("frac_sum")) ++
         gcols.flatMap { case (n, _) => Seq(

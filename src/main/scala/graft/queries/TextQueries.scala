@@ -92,7 +92,7 @@ object TextQueries {
     (60L, "gl", "unha tamén moi coa dende xeito despois polo texto galego"),
     (61L, "is", "að það ekki við hún þetta einnig mjög setning á íslensku"),
     (62L, "mk", "дека бидејќи исто како многу овој беше сите македонски текст"),
-    (63L, "ms", "kerana ialah sahaja boleh daripada kepada selepas amat ayat melayu"),
+    (63L, "ms", "kerana ialah sahaja selepas amat kelmarin awak esok ayat melayu"),
     (64L, "mt", "huwa iżda ukoll ħafna qed biex kienet dawn sentenza bil malti"),
     (65L, "so", "iyo waa ayaa waxaa inuu soo kale sidoo qoraal af soomaali"),
     (66L, "yi", "און איז פון דער האט מיט אויך וואס א יידישער זאץ"),
@@ -473,7 +473,7 @@ object TextQueries {
       import graft.functions.PhoneRules.{resolveRegion, parsePhoneDispatch}
       val k4 = lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")
       val k3 = substring(k4, 1, 3)
-      val m = pmod(col("c_custkey"), lit(8))
+      val m = pmod(col("c_custkey"), lit(10))
       val phone =
         when(m === 0, concat(lit("555-234-"), k4))
           .when(m === 1, concat(lit("07700 900"), k3))
@@ -482,13 +482,20 @@ object TextQueries {
           .when(m === 4, concat(lit("030 123"), k4))
           .when(m === 5, concat(lit("555-234-"), k4))
           .when(m === 6, concat(lit("01 2345 6"), k3))
+          // raw-vs-cleaned '+' distinction (reference isInternationalFormat
+          // reads the RAW string): parenthesized / space-padded '+' takes
+          // the region path, but the PARSE still goes international
+          .when(m === 7, concat(lit("(+44) 7700 900"), k3))
+          .when(m === 8, concat(lit(" +44 7700 900"), k3))
           .otherwise(lit("12345"))
       val region =
         when(m === 0, lit("US")).when(m === 1, lit("GB"))
           .when(m === 2, lit("United Kingdom")).when(m === 3, lit("FRANCE"))
           .when(m === 4, lit("Germany"))
           .when(m === 5, lit(null).cast("string"))
-          .when(m === 6, lit("FRANZIA")).otherwise(lit("US"))
+          .when(m === 6, lit("FRANZIA"))
+          .when(m === 7, lit("FRANCE"))
+          .when(m === 8, lit(null).cast("string")).otherwise(lit("US"))
       Tables.customer(s, d)
         .select(col("c_custkey").as("rid"), phone.as("phone"),
           region.as("region"))
@@ -1000,7 +1007,7 @@ object TextQueries {
     "q574_phone_region_dispatch" ->
       graft.functions.PhoneRules.oracleParseWithRegionSql(
         """SELECT c_custkey AS rid,
-             CASE c_custkey % 8
+             CASE c_custkey % 10
                   WHEN 0 THEN '555-234-' || k4
                   WHEN 1 THEN '07700 900' || k3
                   WHEN 2 THEN '07700 900' || k3
@@ -1008,12 +1015,15 @@ object TextQueries {
                   WHEN 4 THEN '030 123' || k4
                   WHEN 5 THEN '555-234-' || k4
                   WHEN 6 THEN '01 2345 6' || k3
+                  WHEN 7 THEN '(+44) 7700 900' || k3
+                  WHEN 8 THEN ' +44 7700 900' || k3
                   ELSE '12345' END AS phone,
-             CASE c_custkey % 8
+             CASE c_custkey % 10
                   WHEN 0 THEN 'US' WHEN 1 THEN 'GB'
                   WHEN 2 THEN 'United Kingdom' WHEN 3 THEN 'FRANCE'
                   WHEN 4 THEN 'Germany' WHEN 5 THEN NULL
-                  WHEN 6 THEN 'FRANZIA' ELSE 'US' END AS region
+                  WHEN 6 THEN 'FRANZIA' WHEN 7 THEN 'FRANCE'
+                  WHEN 8 THEN NULL ELSE 'US' END AS region
            FROM (SELECT c_custkey,
                    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS k4,
                    substr(lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), 1, 3) AS k3

@@ -50,11 +50,19 @@ class PhoneRulesSpec extends SparkSpec {
     // a region sharing zero bigrams with every name resolves to the
     // FIRST table entry (all scores 0, keep-earlier tie rule)
     assert(resolve("0123", Some("QQ")) == "US")
+    // ZZ tests the RAW string (reference isInternationalFormat): a
+    // parenthesized or space-padded '+' takes the region path instead
+    assert(resolve("(+44) 20 7946 0958", Some("FRANCE")) == "FR")
+    assert(resolve(" +44 20 7946 0958", Some("FRANCE")) == "FR")
     // dispatch applies the resolved region's national rules
     val r = spark.range(1).select(
       parsePhoneDispatch(lit("07700 900123"), lit("GB")).as("a"),
-      parsePhoneDispatch(lit("07700 900123"), lit("US")).as("b")).collect()(0)
+      parsePhoneDispatch(lit("07700 900123"), lit("US")).as("b"),
+      // cleaned-leading '+' still parses internationally under ANY
+      // resolved region (libphonenumber ignores the region then)
+      parsePhoneDispatch(lit("(+44) 7700 900123"), lit("FR")).as("c")).collect()(0)
     assert(r.getString(0) == "+447700900123" && r.isNullAt(1))
+    assert(r.getString(2) == "+447700900123")
   }
 
   test("reference contracts: <2 chars null, junk rejected") {
@@ -64,9 +72,13 @@ class PhoneRulesSpec extends SparkSpec {
     val v = spark.range(1).select(
       isValidPhoneCountry(lit("x")).as("a"),
       isValidPhoneCountry(lit("555-234-0000")).as("b"),
-      isValidPhoneCountry(lit("12345")).as("c")).collect()(0)
+      isValidPhoneCountry(lit("12345")).as("c"),
+      isValidPhoneCountry(lit("call me maybe")).as("d")).collect()(0)
     assert(v.isNullAt(0))      // <2 chars -> null, the reference's None
     assert(v.getBoolean(1))
     assert(!v.getBoolean(2))
+    // digit-less candidate: phoneUtil.parse THROWS in the reference, so
+    // validate is None (null), not false
+    assert(v.isNullAt(3))
   }
 }

@@ -45,6 +45,20 @@ class DedupSpec extends SparkSpec {
     assert(star(3L) == 1L && star(12L) == 10L && star(9L) == 7L && star(25L) == 20L)
   }
 
+  test("connectedComponentsAuto: both dispatch paths yield identical labels") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 12L), (12L, 11L), (11L, 10L),
+      (7L, 9L), (20L, 25L), (20L, 23L), (20L, 21L)).toDF("id_a", "id_b")
+    // 9 edges <= 10000: driver union-find fires
+    val fast = Dedup.connectedComponentsAuto(pairs).as[(Long, Long)].collect().toMap
+    // bound = 0 forces the distributed star path on the SAME input
+    val dist = Dedup.connectedComponentsAuto(pairs, bound = 0L)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(fast == star && dist == star)
+    assert(fast(3L) == 1L && fast(12L) == 10L && fast(25L) == 20L)
+  }
+
   test("connectedComponentsStar converges in O(log n) rounds on a path graph") {
     val s = spark; import s.implicits._
     // a 200-node path has diameter 199: min-label propagation needs ~199
