@@ -124,7 +124,7 @@ object TextAnalysis {
   // wins, so profile order is part of the operator's contract.
   val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
     "af" -> Seq("hierdie", "vir", "hulle", "baie", "ons", "gesê", "maar", "wat"),
-    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "التي"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "التي", "لا", "متى"),
     "az" -> Seq("və", "ilə", "üçün", "edir", "olan", "olub", "kimi", "həm"),
     // Belarusian keeps to its own orthography (што/гэта vs ru что/это,
     // uk що) so no Cyrillic sibling's text lands here
@@ -132,14 +132,14 @@ object TextAnalysis {
     "bg" -> Seq("да", "се", "това", "които", "след", "към", "само", "може"),
     "bn" -> Seq("এবং", "না", "করে", "থেকে", "এই", "তার", "জন্য", "হয়"),
     "ca" -> Seq("els", "amb", "dels", "aquesta", "també", "són", "molt", "però"),
-    "cs" -> Seq("že", "jsem", "jsou", "není", "byl", "který", "také", "podle"),
+    "cs" -> Seq("že", "jsem", "jsou", "není", "byl", "který", "také", "podle", "jestli", "nebo"),
     "cy" -> Seq("mae", "wedi", "gyda", "hefyd", "iawn", "bod", "dyma", "eisiau"),
     "da" -> Seq("og", "er", "til", "ikke", "af", "hvad", "hvor", "være"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für"),
     "el" -> Seq("και", "να", "το", "της", "των", "είναι", "από", "με"),
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
-    "es" -> Seq("el", "los", "y", "que", "en", "una", "por", "con"),
-    "et" -> Seq("ning", "või", "oli", "oma", "aga", "kui", "ka", "olid"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "was"),
+    "es" -> Seq("el", "los", "y", "que", "en", "una", "por", "con", "muy"),
+    "et" -> Seq("ning", "või", "oli", "oma", "aga", "kui", "ka", "olid", "millal"),
     "eu" -> Seq("eta", "dela", "baina", "zen", "dira", "izan", "ere", "baita"),
     "fa" -> Seq("که", "را", "با", "این", "است", "های", "برای", "آن"),
     "fi" -> Seq("ja", "on", "ei", "että", "hän", "mutta", "myös", "kun"),
@@ -200,7 +200,7 @@ object TextAnalysis {
     "ta" -> Seq("மற்றும்", "இது", "என்று", "உள்ளது", "அந்த", "ஒரு", "என", "இந்த"),
     "te" -> Seq("మరియు", "ఈ", "ఒక", "అని", "కూడా", "లో", "ఆ", "ఉంది"),
     "tl" -> Seq("ang", "mga", "ng", "sa", "namin", "ito", "hindi", "ay"),
-    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha", "önce", "değil"),
     "uk" -> Seq("що", "або", "та", "є", "під", "після", "цей", "їх"),
     "ur" -> Seq("کے", "ہے", "میں", "کی", "کو", "نے", "ایک", "پر"),
     "vi" -> Seq("của", "và", "là", "không", "người", "này", "được", "trong"),

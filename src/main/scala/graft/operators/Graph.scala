@@ -565,44 +565,20 @@ object Graph {
             Seq("v"))
           .select(col("ca").as("id_a"), col("cb").as("id_b"))
         // the picked-edge component graph can chain (each component's
-        // min edge pointing to the next) — use the O(log n) star
-        // contraction, not O(diameter) label propagation. FAST PATH
-        // (the autoDispatch pattern): the pair list is one row per
+        // min edge pointing to the next) — use the size-dispatched CC
+        // (shared helper; the fast path was born here): one row per
         // component, and components at least halve every round, so
         // once it fits the machine-checked 10k bound a driver
         // union-find (min-root, identical labels to the star CC)
         // replaces ~15 jobs of distributed contraction per round;
-        // past the bound the distributed path stands.
-        val cpPersisted = cPairs
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nPairs = cpPersisted.count()
-        val merged = if (nPairs <= 10000) {
-          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-            var c2 = x
-            while (parent.getOrElse(c2, c2) != c2) {
-              val nxt = parent(c2); parent(c2) = r; c2 = nxt
-            }
-            r
-          }
-          cpPersisted.collect().foreach { r =>
-            val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
-            if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
-          }
-          val nodes = parent.keySet ++ parent.values
-          val s2 = e.sparkSession
-          import s2.implicits._
-          broadcast(
-            nodes.toSeq.sorted.map(n2 => (n2, find(n2))).toDF("c", "nc"))
-        } else Dedup.connectedComponentsStar(cPairs)
+        // past the bound the distributed O(log n) star path stands.
+        // Both paths are spec-asserted label-identical on the helper.
+        val merged = Dedup.connectedComponentsAuto(cPairs)
           .select(col("doc_id").as("c"), col("component").as("nc"))
         val next = comp.join(merged, Seq("c"), "left")
           .select(col("node"), coalesce(col("nc"), col("c")).as("c"))
           .localCheckpoint(false)
         next.count()
-        cpPersisted.unpersist(blocking = false)
         liveCp.foreach(_.unpersist(blocking = false))
         liveCp = checkpointedRdd(next)
         comp = next

@@ -29,19 +29,55 @@ object Multimodal {
     df.withColumn("payload", to_binary(col(textCol), lit("utf-8")))
       .withColumn("payload_bytes", octet_length(col("payload")).cast("long"))
 
-  /** Magic-byte MIME sniff over the first 4 payload bytes (the
-    * deterministic core of reference MimeTypeDetector.scala, minus the
-    * Tika database). */
+  /** Hex rendering of an ASCII marker string — shared by the Spark
+    * detector and the battery/oracle generators so the three can't
+    * spell a marker differently. */
+  def hexOf(s: String): String =
+    s.getBytes("UTF-8").map(b => f"$b%02X").mkString
+
+  /** Entry-name markers for the zip-container second level (the
+    * [Content_Types].xml / part-name peek Tika's container detector
+    * does): OOXML archives carry the content-types part plus a
+    * format-identifying first part; jars carry the manifest. */
+  val ZipMarkers: Map[String, String] = Map(
+    "content_types" -> hexOf("[Content_Types].xml"),
+    "docx" -> hexOf("word/document"),
+    "xlsx" -> hexOf("xl/workbook"),
+    "pptx" -> hexOf("ppt/presentation"),
+    "jar" -> hexOf("META-INF/MANIFEST.MF"))
+
+  /** EBML DocType strings (element 0x4282) — mkv vs webm share the
+    * 1A45DFA3 header and differ only here. */
+  val EbmlMarkers: Map[String, String] =
+    Map("matroska" -> hexOf("matroska"), "webm" -> hexOf("webm"))
+
+  /** Magic-byte MIME sniff (the deterministic core of reference
+    * MimeTypeDetector.scala, minus the Tika database): a 12-byte
+    * level-1 window, plus THREE second-level probes for container
+    * families —
+    *  - RIFF: bytes 9-12 say WAVE vs WEBP vs "AVI " (the pre-r10
+    *    single-level rule typed every RIFF as audio/wav);
+    *  - zip: entry-name peek in the first 512 bytes —
+    *    [Content_Types].xml plus word/|xl/|ppt/ part names type the
+    *    OOXML trio, META-INF/MANIFEST.MF types jars, anything else
+    *    stays application/zip (Tika reads the central directory; the
+    *    head-window scan is the streaming-safe approximation, and 512
+    *    bytes always covers the FIRST local-header name, which is
+    *    what the OOXML convention pins);
+    *  - EBML: DocType string picks video/x-matroska vs video/webm
+    *    (bare headers without a DocType in window default to webm,
+    *    the common short-header case).
+    * Plus tar's out-of-band magic ("ustar" at byte offset 258 — tar
+    * has NO header at offset 0) and OLE2/bzip2/xz/rar level-1 rules.
+    * Marker search runs on the hex rendering (binary-safe; markers are
+    * >=10 hex chars so nibble-aliasing needs contrived bytes). All
+    * row-local codegen; the q571 oracle replays the identical chain
+    * over the same synthesized bytes, with every branch exercised. */
   def sniffMime(payload: Column): Column = {
-    // 12-byte magic window: container formats need a SECOND probe —
-    // RIFF is a family (bytes 9-12 say WAVE vs WEBP vs "AVI "; the
-    // pre-r10 single-level rule typed every RIFF as audio/wav, wrong
-    // for WebP/AVI — the fidelity bug Tika's two-level detector
-    // exists to avoid) and ISO-BMFF puts "ftyp" at byte offset 5.
-    // Hex-prefix CASE, row-local codegen, replayed verbatim by the
-    // q571 oracle over the same synthesized bytes.
     val hex12 = upper(hex(substring(payload, 1, 12)))
     val riffType = substring(hex12, 17, 8) // bytes 9-12
+    val headHex = upper(hex(substring(payload, 1, 512)))
+    val tarMagic = upper(hex(substring(payload, 258, 5)))
     when(hex12.startsWith("89504E47"), "image/png")
       .when(hex12.startsWith("FFD8FF"), "image/jpeg")
       .when(hex12.startsWith("47494638"), "image/gif")
@@ -53,16 +89,34 @@ object Multimodal {
           .when(riffType === "41564920", "video/x-msvideo")  // "AVI "
           .otherwise("application/octet-stream"))
       .when(substring(hex12, 9, 8) === "66747970", "video/mp4") // ....ftyp
-      .when(hex12.startsWith("1A45DFA3"), "video/webm")
+      .when(hex12.startsWith("1A45DFA3"),                       // EBML family
+        when(headHex.contains(EbmlMarkers("matroska")), "video/x-matroska")
+          .when(headHex.contains(EbmlMarkers("webm")), "video/webm")
+          .otherwise("video/webm"))
       .when(hex12.startsWith("494433"), "audio/mpeg")          // ID3 tag
       .when(hex12.startsWith("FFFB") || hex12.startsWith("FFF3") ||
         hex12.startsWith("FFF2"), "audio/mpeg")                // bare framesync
       .when(hex12.startsWith("4F676753"), "audio/ogg")         // OggS
       .when(hex12.startsWith("664C6143"), "audio/flac")        // fLaC
       .when(hex12.startsWith("25504446"), "application/pdf")   // %PDF
-      .when(hex12.startsWith("504B0304"), "application/zip")
+      .when(hex12.startsWith("504B0304"),                      // zip family
+        when(headHex.contains(ZipMarkers("content_types")),
+          when(headHex.contains(ZipMarkers("docx")),
+            "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+            .when(headHex.contains(ZipMarkers("xlsx")),
+              "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+            .when(headHex.contains(ZipMarkers("pptx")),
+              "application/vnd.openxmlformats-officedocument.presentationml.presentation")
+            .otherwise("application/zip"))
+          .when(headHex.contains(ZipMarkers("jar")), "application/java-archive")
+          .otherwise("application/zip"))
       .when(hex12.startsWith("1F8B"), "application/gzip")
       .when(hex12.startsWith("377ABCAF271C"), "application/x-7z-compressed")
+      .when(hex12.startsWith("D0CF11E0A1B11AE1"), "application/x-ole-storage")
+      .when(hex12.startsWith("425A68"), "application/x-bzip2")  // BZh
+      .when(hex12.startsWith("FD377A585A00"), "application/x-xz")
+      .when(hex12.startsWith("526172211A07"), "application/vnd.rar")
+      .when(tarMagic === hexOf("ustar"), "application/x-tar")
       .otherwise("text/plain")
   }
 

@@ -15,6 +15,50 @@ import graft.streaming.Streaming
   */
 object QualityQueries {
 
+  /** q571 battery: one hex prefix per sniffMime branch; index =
+    * c_custkey % size. Shared by the Spark query AND the DuckDB oracle
+    * renderer, and the zip/EBML marker bytes come from the SAME
+    * Multimodal tables the detector matches against — a marker typo
+    * would fail the gate, not silently pass it. */
+  private val mimeBattery: Seq[String] = {
+    import graft.operators.Multimodal.{hexOf, ZipMarkers, EbmlMarkers}
+    Seq(
+      "89504E470D0A1A0A",                          // 0 PNG
+      "FFD8FFE0",                                  // 1 JPEG
+      "474946383961",                              // 2 GIF89a
+      "49492A00",                                  // 3 TIFF little-endian
+      "4D4D002A",                                  // 4 TIFF big-endian
+      "5249464610000000" + "57415645",             // 5 RIFF/WAVE
+      "5249464610000000" + "57454250",             // 6 RIFF/WEBP
+      "5249464610000000" + "41564920",             // 7 RIFF/AVI
+      "00000018" + "66747970" + "69736F6D",        // 8 MP4 ftyp isom
+      "1A45DFA3",                                  // 9 bare EBML -> webm default
+      "49443304",                                  // 10 ID3v4 tag
+      "FFFB9060",                                  // 11 bare MP3 framesync
+      "4F676753",                                  // 12 OggS
+      "664C6143",                                  // 13 fLaC
+      "255044462D312E34",                          // 14 %PDF-1.4
+      "504B0304",                                  // 15 plain ZIP (no markers)
+      "1F8B08",                                    // 16 GZIP deflate
+      "377ABCAF271C",                              // 17 7z
+      "5249464610000000" + "4A554E4B",             // 18 RIFF/JUNK -> octet-stream
+      hexOf("hello "),                             // 19 text fallback
+      // zip-container second level: local header + content-types part
+      // + the format-identifying part name (the OOXML convention)
+      "504B0304" + "14000000" + ZipMarkers("content_types") + "00" + ZipMarkers("docx"),  // 20
+      "504B0304" + "14000000" + ZipMarkers("content_types") + "00" + ZipMarkers("xlsx"),  // 21
+      "504B0304" + "14000000" + ZipMarkers("content_types") + "00" + ZipMarkers("pptx"),  // 22
+      "504B0304" + "14000000" + ZipMarkers("jar"),                                        // 23
+      // EBML with explicit DocType (element 0x4282)
+      "1A45DFA3" + "93428288" + EbmlMarkers("matroska"),                                  // 24
+      "1A45DFA3" + "93428284" + EbmlMarkers("webm"),                                      // 25
+      "00" * 257 + hexOf("ustar") + "00",          // 26 tar: magic at offset 258
+      "D0CF11E0A1B11AE1",                          // 27 OLE2 compound file
+      "425A6839",                                  // 28 bzip2 "BZh9"
+      "FD377A585A0000",                            // 29 xz
+      "526172211A0700")                            // 30 rar v4
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -637,36 +681,25 @@ object QualityQueries {
 
     // MIME magic-byte battery, hash-gated: q45's corpus payloads are
     // text (only the fallback fires there), so this gate synthesizes
-    // REAL binary payloads — 20 deterministic per-customer shapes
-    // (unhex of a magic prefix + the md5 body) exercising every branch
-    // of the two-level sniff: the RIFF family dispatch (WAVE/WEBP/AVI/
-    // unknown->octet-stream), ISO-BMFF ftyp at offset 5, both TIFF
-    // byte orders, both MP3 entry points (ID3 tag + bare framesync),
-    // and the text fallback. The reference wraps Tika
-    // (MimeTypeDetector.scala); this is the documented magic-byte core.
+    // REAL binary payloads — one deterministic per-customer shape per
+    // detector branch (unhex of a magic prefix + the md5 body),
+    // exercising every branch of the two-level sniff: the RIFF family
+    // dispatch (WAVE/WEBP/AVI/unknown->octet-stream), ISO-BMFF ftyp at
+    // offset 5, both TIFF byte orders, both MP3 entry points, the
+    // ZIP-CONTAINER second level ([Content_Types].xml + part-name peek
+    // -> docx/xlsx/pptx, MANIFEST -> jar, plain -> zip), the EBML
+    // DocType dispatch (matroska vs webm vs bare header), tar's
+    // offset-258 magic, OLE2/bzip2/xz/rar, and the text fallback. The
+    // prefix table is SHARED with the oracle renderer (mimeBattery) so
+    // the two sides cannot spell a byte differently. The reference
+    // wraps Tika (MimeTypeDetector.scala); this is the documented
+    // magic-byte + container-peek core.
     "q571_mime_magic_battery" -> ((s, d) => {
-      val m = pmod(col("c_custkey"), lit(20))
-      val prefix =
-        when(m === 0, "89504E470D0A1A0A")          // PNG
-          .when(m === 1, "FFD8FFE0")               // JPEG
-          .when(m === 2, "474946383961")           // GIF89a
-          .when(m === 3, "49492A00")               // TIFF little-endian
-          .when(m === 4, "4D4D002A")               // TIFF big-endian
-          .when(m === 5, "5249464610000000" + "57415645")  // RIFF/WAVE
-          .when(m === 6, "5249464610000000" + "57454250")  // RIFF/WEBP
-          .when(m === 7, "5249464610000000" + "41564920")  // RIFF/AVI
-          .when(m === 8, "00000018" + "66747970" + "69736F6D") // MP4 ftyp isom
-          .when(m === 9, "1A45DFA3")               // EBML/WebM
-          .when(m === 10, "49443304")              // ID3v4 tag
-          .when(m === 11, "FFFB9060")              // bare MP3 framesync
-          .when(m === 12, "4F676753")              // OggS
-          .when(m === 13, "664C6143")              // fLaC
-          .when(m === 14, "255044462D312E34")      // %PDF-1.4
-          .when(m === 15, "504B0304")              // ZIP local header
-          .when(m === 16, "1F8B08")                // GZIP deflate
-          .when(m === 17, "377ABCAF271C")          // 7z
-          .when(m === 18, "5249464610000000" + "4A554E4B")  // RIFF/JUNK
-          .otherwise("68656C6C6F20")               // "hello " text
+      val m = pmod(col("c_custkey"), lit(mimeBattery.size))
+      val prefix = mimeBattery.zipWithIndex.init.foldLeft(
+        when(m === 0, mimeBattery.head)) { case (acc, (hx, i)) =>
+        if (i == 0) acc else acc.when(m === i, hx)
+      }.otherwise(mimeBattery.last)
       val payload = unhex(concat(prefix,
         md5(col("c_custkey").cast("string"))))
       Tables.customer(s, d)
@@ -1739,33 +1772,21 @@ object QualityQueries {
     // magic+md5 payloads; the CASE order mirrors Multimodal.sniffMime
     // branch-for-branch and every branch has a fixture row, so any
     // drift between the trees is a guaranteed hash mismatch
-    "q571_mime_magic_battery" ->
-      """WITH c AS (SELECT c_custkey, c_custkey % 20 AS m,
+    "q571_mime_magic_battery" -> {
+      import graft.operators.Multimodal.{hexOf, ZipMarkers, EbmlMarkers}
+      val prefixArms = mimeBattery.zipWithIndex.init.map { case (hx, i) =>
+        s"WHEN $i THEN '$hx'"
+      }.mkString("\n                    ")
+      s"""WITH c AS (SELECT c_custkey, c_custkey % ${mimeBattery.size} AS m,
              md5(CAST(c_custkey AS VARCHAR)) AS tail
            FROM customer),
           p AS (SELECT c_custkey,
-             CASE m WHEN 0 THEN '89504E470D0A1A0A'
-                    WHEN 1 THEN 'FFD8FFE0'
-                    WHEN 2 THEN '474946383961'
-                    WHEN 3 THEN '49492A00'
-                    WHEN 4 THEN '4D4D002A'
-                    WHEN 5 THEN '524946461000000057415645'
-                    WHEN 6 THEN '524946461000000057454250'
-                    WHEN 7 THEN '524946461000000041564920'
-                    WHEN 8 THEN '000000186674797069736F6D'
-                    WHEN 9 THEN '1A45DFA3'
-                    WHEN 10 THEN '49443304'
-                    WHEN 11 THEN 'FFFB9060'
-                    WHEN 12 THEN '4F676753'
-                    WHEN 13 THEN '664C6143'
-                    WHEN 14 THEN '255044462D312E34'
-                    WHEN 15 THEN '504B0304'
-                    WHEN 16 THEN '1F8B08'
-                    WHEN 17 THEN '377ABCAF271C'
-                    WHEN 18 THEN '52494646100000004A554E4B'
-                    ELSE '68656C6C6F20' END || tail AS hx
+             CASE m $prefixArms
+                    ELSE '${mimeBattery.last}' END || tail AS hx
            FROM c),
           h AS (SELECT c_custkey, upper(substr(hx, 1, 24)) AS h24,
+             upper(substr(hx, 1, 1024)) AS hh,
+             upper(substr(hx, 515, 10)) AS tar_magic,
              CAST(len(hx) // 2 AS INT) AS payload_bytes
            FROM p)
          SELECT c_custkey,
@@ -1781,20 +1802,43 @@ object QualityQueries {
                        WHEN '41564920' THEN 'video/x-msvideo'
                        ELSE 'application/octet-stream' END
                 WHEN substr(h24, 9, 8) = '66747970' THEN 'video/mp4'
-                WHEN starts_with(h24, '1A45DFA3') THEN 'video/webm'
+                WHEN starts_with(h24, '1A45DFA3') THEN
+                  CASE WHEN contains(hh, '${EbmlMarkers("matroska")}')
+                         THEN 'video/x-matroska'
+                       WHEN contains(hh, '${EbmlMarkers("webm")}')
+                         THEN 'video/webm'
+                       ELSE 'video/webm' END
                 WHEN starts_with(h24, '494433') THEN 'audio/mpeg'
                 WHEN starts_with(h24, 'FFFB') OR starts_with(h24, 'FFF3')
                   OR starts_with(h24, 'FFF2') THEN 'audio/mpeg'
                 WHEN starts_with(h24, '4F676753') THEN 'audio/ogg'
                 WHEN starts_with(h24, '664C6143') THEN 'audio/flac'
                 WHEN starts_with(h24, '25504446') THEN 'application/pdf'
-                WHEN starts_with(h24, '504B0304') THEN 'application/zip'
+                WHEN starts_with(h24, '504B0304') THEN
+                  CASE WHEN contains(hh, '${ZipMarkers("content_types")}') THEN
+                         CASE WHEN contains(hh, '${ZipMarkers("docx")}')
+                                THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+                              WHEN contains(hh, '${ZipMarkers("xlsx")}')
+                                THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+                              WHEN contains(hh, '${ZipMarkers("pptx")}')
+                                THEN 'application/vnd.openxmlformats-officedocument.presentationml.presentation'
+                              ELSE 'application/zip' END
+                       WHEN contains(hh, '${ZipMarkers("jar")}')
+                         THEN 'application/java-archive'
+                       ELSE 'application/zip' END
                 WHEN starts_with(h24, '1F8B') THEN 'application/gzip'
                 WHEN starts_with(h24, '377ABCAF271C')
                   THEN 'application/x-7z-compressed'
+                WHEN starts_with(h24, 'D0CF11E0A1B11AE1')
+                  THEN 'application/x-ole-storage'
+                WHEN starts_with(h24, '425A68') THEN 'application/x-bzip2'
+                WHEN starts_with(h24, 'FD377A585A00') THEN 'application/x-xz'
+                WHEN starts_with(h24, '526172211A07') THEN 'application/vnd.rar'
+                WHEN tar_magic = '${hexOf("ustar")}' THEN 'application/x-tar'
                 ELSE 'text/plain' END AS mime,
            payload_bytes
-         FROM h""",
+         FROM h"""
+    },
 
     // replays FakeCodec.decode: u(i) = byte i of md5(payload); feats are
     // float32 quotients widened to double and summed in declared order,

@@ -103,6 +103,64 @@ object TextQueries {
     (71L, "am", "አማርኛ በጣም ቆንጆ ቋንቋ ነው"),
     (72L, "bo", "བོད་སྐད་ནི་མཛེས་པའི་སྐད་ཡིག་ཅིག་རེད"))
 
+  /** Gold-labeled SHORT-TEXT lang-id fixture for q575 — the q570
+    * pattern: labels are authored independently of the detector's
+    * stopword profiles (natural 5-15-token sentences, not profile-word
+    * lists), so this gate MEASURES recall on the detector's named weak
+    * axis (short and code-switched text, where Optimaize's trained
+    * n-grams beat word profiles) instead of replaying the rules. Three
+    * groups: plain short Latin-script sentences, code-switched pairs
+    * labeled with the dominant language, and short native-script lines.
+    * All lowercase for the same Turkish-I reason as [[langIdCorpus]];
+    * apostrophe-free so the generated VALUES need no escaping. P/R
+    * readout recorded in COVERAGE.md; profile changes show their delta
+    * here. */
+  val langShortGold: Seq[(Long, String, String)] = Seq(
+    // -- plain short sentences (one easy + one harder per language) --
+    (1L, "en", "please send me the report by tomorrow morning"),
+    (2L, "en", "she said it would not take more than a few minutes"),
+    (3L, "de", "der zug ist heute wieder viel zu spät angekommen"),
+    (4L, "de", "wir haben keine zeit für diese lange besprechung"),
+    (5L, "fr", "nous avons pris le train pour aller à paris hier soir"),
+    (6L, "fr", "il ne faut pas oublier les clés sur la table"),
+    (7L, "es", "los niños están jugando en el parque con sus amigos"),
+    (8L, "es", "no podemos llegar tarde porque la reunión es muy importante"),
+    (9L, "pt", "não sabemos quando ele vai chegar de são paulo"),
+    (10L, "pt", "você pode me ajudar com isso mais tarde hoje"),
+    (11L, "it", "la cena di stasera è stata davvero ottima per tutti"),
+    (12L, "it", "non possiamo partire senza controllare prima i documenti"),
+    (13L, "nl", "het is vandaag niet zo koud als gisteren"),
+    (14L, "nl", "wij hebben een nieuwe auto gekocht voor het gezin"),
+    (15L, "da", "det er ikke så nemt som det ser ud"),
+    (16L, "sv", "vi kommer inte att hinna med tåget i morgon"),
+    (17L, "no", "vi må bare vente til toget kommer fra oslo"),
+    (18L, "fi", "emme voi tulla huomenna koska meillä on niin paljon töitä"),
+    (19L, "id", "kami tidak tahu kapan dia akan datang ke jakarta"),
+    (20L, "ms", "awak boleh datang esok selepas kerja jika mahu"),
+    (21L, "tr", "yarın sabah toplantıya gelmeden önce lütfen beni ara"),
+    (22L, "pl", "nie wiemy jeszcze kiedy pociąg przyjedzie do warszawy"),
+    (23L, "cs", "nevíme jestli zítra bude pršet nebo bude hezky"),
+    (24L, "ro", "nu știm când va ajunge trenul în gara de nord"),
+    (25L, "hu", "nem tudjuk mikor érkezik meg a vonat budapestre"),
+    (26L, "vi", "chúng tôi không biết khi nào tàu sẽ đến ga"),
+    (27L, "et", "me ei tea millal rong jaama jõuab"),
+    // -- code-switched, labeled with the dominant language --
+    (28L, "en", "we are going to the fiesta mañana with the whole team"),
+    (29L, "es", "el deadline del proyecto es el viernes por la tarde"),
+    (30L, "de", "das meeting wurde wegen dem feiertag auf nächste woche verschoben"),
+    (31L, "fr", "le weekend dernier nous avons regardé un match de football"),
+    (32L, "id", "kami akan meeting dengan tim marketing besok pagi"),
+    (33L, "en", "der film was actually quite good despite the reviews"),
+    // -- short native-script lines (script vote or non-Latin profiles) --
+    (34L, "ru", "мы не знаем когда он придёт домой"),
+    (35L, "zh", "我们明天去北京开会"),
+    (36L, "ja", "私たちは明日東京へ行きます"),
+    (37L, "ko", "우리는 내일 서울에 갑니다"),
+    (38L, "ar", "نحن لا نعرف متى سيصل القطار"),
+    (39L, "el", "δεν ξέρουμε πότε θα φτάσει το τρένο"),
+    (40L, "he", "אנחנו לא יודעים מתי הרכבת תגיע"),
+    (41L, "th", "เราไม่รู้ว่ารถไฟจะมาถึงเมื่อไหร่"))
+
   /** Entity fixture for q566 — every typing rule fires: ORG by suffix
     * (also when preposition-preceded, suffix wins), LOC by preposition,
     * PER as the 2+-token default. The oracle's VALUES table is
@@ -180,6 +238,37 @@ object TextQueries {
       types.join(ng, Seq("etype"), "left").join(np, Seq("etype"), "left")
         .join(nc, Seq("etype"), "left")
         .select(col("etype"),
+          coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+          round(coalesce(col("n_correct"), lit(0L)).cast("double") /
+            nullif(coalesce(col("n_pred"), lit(0L)), lit(0L)).cast("double"), 6)
+            .as("precision"),
+          round(coalesce(col("n_correct"), lit(0L)).cast("double") /
+            nullif(coalesce(col("n_gold"), lit(0L)), lit(0L)).cast("double"), 6)
+            .as("recall"))
+    }),
+
+    // short/code-switched lang-id P/R readout over the independent
+    // gold fixture (q570 pattern: predictions replay in the oracle, but
+    // the LABELS can't be generated from the rules — a wrong profile
+    // shows up as a worse number, not a matching hash). Per gold
+    // language: gold/pred/correct counts + precision/recall. This is
+    // the measurement VERDICT r10 named as the detector's open axis.
+    "q575_langid_short_pr" -> ((s, d) => {
+      import s.implicits._
+      val docs = langShortGold.toDF("sid", "gold", "text")
+      val pred = docs
+        .select(col("sid"), col("gold"), languageIdScored(col("text")).as("r"))
+        .select(col("sid"), col("gold"), col("r.lang").as("pred"))
+      val langs = langShortGold.map(_._2).distinct.sorted.toDF("lang")
+      val ng = pred.groupBy(col("gold").as("lang")).agg(count(lit(1)).as("n_gold"))
+      val np = pred.groupBy(col("pred").as("lang")).agg(count(lit(1)).as("n_pred"))
+      val nc = pred.where(col("gold") === col("pred"))
+        .groupBy(col("gold").as("lang")).agg(count(lit(1)).as("n_correct"))
+      langs.join(ng, Seq("lang"), "left").join(np, Seq("lang"), "left")
+        .join(nc, Seq("lang"), "left")
+        .select(col("lang"),
           coalesce(col("n_gold"), lit(0L)).as("n_gold"),
           coalesce(col("n_pred"), lit(0L)).as("n_pred"),
           coalesce(col("n_correct"), lit(0L)).as("n_correct"),
@@ -1399,6 +1488,44 @@ object TextQueries {
                 ELSE ROUND(CAST($g AS DOUBLE) / ($tot), 6)
            END AS confidence
          FROM t"""
+    },
+
+    // prediction side generated from the same detector tables (replay);
+    // gold labels are independent literals — the P/R numbers are the
+    // measurement, the hash only pins that both engines compute them
+    "q575_langid_short_pr" -> {
+      val goldVals = langShortGold
+        .map { case (sid, g, t) => s"($sid, '$g', '$t')" }
+        .mkString(",\n             ")
+      val langVals = langShortGold.map(_._2).distinct.sorted
+        .map(l => s"('$l')").mkString(", ")
+      s"""WITH gold(sid, gold, text) AS (VALUES
+             $goldVals),
+         t AS (SELECT sid, gold,
+             ${langOracle.scriptDefs},
+             ${langOracle.scoreDefs}
+           FROM gold),
+         p AS (SELECT sid, gold,
+             CASE ${langOracle.scriptChain}
+                  WHEN ${langOracle.greatest} = 0 THEN 'und'
+                  ${langOracle.wordChain}
+             END AS pred
+           FROM t),
+         langs(lang) AS (VALUES $langVals),
+         ng AS (SELECT gold AS lang, count(*) AS n_gold FROM p GROUP BY 1),
+         np AS (SELECT pred AS lang, count(*) AS n_pred FROM p GROUP BY 1),
+         nc AS (SELECT gold AS lang, count(*) AS n_correct FROM p
+                WHERE gold = pred GROUP BY 1)
+         SELECT l.lang,
+           COALESCE(ng.n_gold, 0) AS n_gold,
+           COALESCE(np.n_pred, 0) AS n_pred,
+           COALESCE(nc.n_correct, 0) AS n_correct,
+           ROUND(CAST(COALESCE(nc.n_correct, 0) AS DOUBLE) /
+             NULLIF(COALESCE(np.n_pred, 0), 0), 6) AS precision,
+           ROUND(CAST(COALESCE(nc.n_correct, 0) AS DOUBLE) /
+             NULLIF(COALESCE(ng.n_gold, 0), 0), 6) AS recall
+         FROM langs l LEFT JOIN ng USING (lang) LEFT JOIN np USING (lang)
+           LEFT JOIN nc USING (lang)"""
     },
 
     // same generated detector; per-lang pow rounded then folded as

@@ -120,16 +120,35 @@ object ScaleProbe {
     System.gc(); Thread.sleep(250); System.gc(); Thread.sleep(100)
   }
 
+  /** Usage: ScaleProbe <srcDir> <outBase> <factor[,factor2,...]> <q...>
+    *
+    * One factor reproduces the original behavior (corpus at <outBase>
+    * when it already carries a matching marker, else <outBase>_f<N>).
+    * Several ascending factors (e.g. "10,30") additionally report the
+    * PIECEWISE exponent between consecutive factors — the second-decade
+    * number that exposes a knee a single-decade exponent hides
+    * (broadcast thresholds, driver-side bounds, checkpoint pressure all
+    * shift with another decade of data). */
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
-    val factor = args(2).toInt
+    val factors = args(2).split(",").map(_.trim.toInt).toSeq.sorted
     val names = args.drop(3).toSeq
     require(names.nonEmpty, "pass query names")
+    require(factors.nonEmpty && factors.forall(_ > 1), s"bad factors: $factors")
     val spark = graft.GraftSession.builder(
       Runtime.getRuntime.availableProcessors()).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    synthesize(spark, src, out, factor)
+    // reuse <outBase> verbatim when it already holds this factor's
+    // corpus (the pre-multi-factor layout); otherwise suffix per factor
+    def dirFor(f: Int): String = {
+      val marker = java.nio.file.Paths.get(out).resolve("_SYNTH_OK")
+      val legacyOk = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker)).trim == s"$f v$SynthVersion"
+      if (legacyOk) out else s"${out}_f$f"
+    }
+    val dirs = factors.map(f => f -> dirFor(f))
+    dirs.foreach { case (f, d) => synthesize(spark, src, d, f) }
     def timeOne(name: String, dir: String): Double = {
       deepClean(spark)
       val t0 = System.nanoTime()
@@ -139,19 +158,31 @@ object ScaleProbe {
         return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    def expOf(tA: Double, tB: Double, ratio: Double): Double =
+      if (tA > 0 && tB > 0) math.log(tB / tA) / math.log(ratio) else Double.NaN
+    def j(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
     val rows = names.map { n =>
       // scale-independent warm-up (codegen/JIT) at the small scale
       timeOne(n, src)
       val tSmall = timeOne(n, src)
-      val tBig = timeOne(n, out)
-      val exp = if (tSmall > 0 && tBig > 0)
-        math.log(tBig / tSmall) / math.log(factor.toDouble) else Double.NaN
-      System.err.println(f"PROBE $n small=$tSmall%.2f big=$tBig%.2f exp=$exp%.2f")
-      (n, tSmall, tBig, exp)
+      val tBig = dirs.map { case (f, d) => f -> timeOne(n, d) }
+      val overall = tBig.map { case (f, t) => f -> expOf(tSmall, t, f) }
+      val piecewise = tBig.sliding(2).collect {
+        case Seq((f1, t1), (f2, t2)) =>
+          (f1, f2, expOf(t1, t2, f2.toDouble / f1))
+      }.toSeq
+      val msg = tBig.map { case (f, t) => f"f$f=$t%.2f" }.mkString(" ") + " " +
+        overall.map { case (f, e) => f"exp$f=$e%.2f" }.mkString(" ") +
+        piecewise.map { case (a, b, e) => f" exp${a}_$b=$e%.2f" }.mkString
+      System.err.println(f"PROBE $n small=$tSmall%.2f $msg")
+      (n, tSmall, tBig, overall, piecewise)
     }
-    val json = rows.map { case (n, a, b, e) =>
-      f""""$n":{"t_small":$a%.3f,"t_big":$b%.3f,"exponent":${if (e.isNaN) "null" else f"$e%.3f"}}"""
-    }.mkString("{\"factor\":" + factor + ",\"small\":\"" + src + "\",\"queries\":{", ",", "}}")
+    val json = rows.map { case (n, s0, ts, ov, pw) =>
+      val tsJ = ts.map { case (f, t) => f""""t_f$f":${j(t)}""" }.mkString(",")
+      val ovJ = ov.map { case (f, e) => f""""exp_f$f":${j(e)}""" }.mkString(",")
+      val pwJ = pw.map { case (a, b, e) => f""""exp_f${a}_f$b":${j(e)}""" }.mkString(",")
+      s""""$n":{"t_small":${j(s0)},$tsJ,$ovJ${if (pwJ.nonEmpty) "," + pwJ else ""}}"""
+    }.mkString("{\"factors\":[" + factors.mkString(",") + "],\"small\":\"" + src + "\",\"queries\":{", ",", "}}")
     println("SCALE_PROBE " + json)
     spark.stop()
   }

@@ -28,6 +28,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq("image/png", "image/jpeg", "text/plain"))
   }
 
+  test("sniffMime second level: zip containers, EBML DocType, tar offset magic") {
+    val s = spark; import s.implicits._
+    import Multimodal.{ZipMarkers, EbmlMarkers, hexOf}
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows = Seq(
+      1 -> bytes("504B030414000000" + ZipMarkers("content_types") + "00" + ZipMarkers("docx")),
+      2 -> bytes("504B030414000000" + ZipMarkers("content_types") + "00" + ZipMarkers("xlsx")),
+      3 -> bytes("504B030414000000" + ZipMarkers("jar")),
+      4 -> bytes("504B0304AABB"), // plain zip, no markers
+      5 -> bytes("1A45DFA393428288" + EbmlMarkers("matroska")),
+      6 -> bytes("1A45DFA393428284" + EbmlMarkers("webm")),
+      7 -> bytes("00" * 257 + hexOf("ustar") + "00"),
+      8 -> bytes("D0CF11E0A1B11AE1"))
+    val out = rows.toDF("id", "payload")
+      .select(col("id"), Multimodal.sniffMime(col("payload")).as("mime"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq(
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+      "application/java-archive",
+      "application/zip",
+      "video/x-matroska",
+      "video/webm",
+      "application/x-tar",
+      "application/x-ole-storage"))
+  }
+
   test("sampleFrames explodes every-Kth frame; null decodes emit none") {
     val s = spark; import s.implicits._
     val d = Multimodal.withPayload(docs, "text")
