@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * rather than ZZ-parsed; variable-length metadata beyond min/max
   * (e.g. per-area-code patterns) is not modeled; the non-strict
   * `truncateTooLongNumber` retry and carrier-code/extension handling
-  * are not implemented; RU's '8' trunk prefix is not stripped. (The
+  * are not implemented. RU's '8' trunk prefix IS stripped (r11), with
+  * libphonenumber's validate-after-strip guard: only at plan
+  * length + 1, so a bare 10-digit 8800 toll-free keeps its 8. (The
   * country-NAME Jaccard fallback of `validCountryCode` IS implemented —
   * [[resolveRegion]], gated by q574 — and now uses the reference's
   * raw-string leading-'+' test for the ZZ branch.)
@@ -42,16 +44,21 @@ object PhoneRules {
   /** One country's national-number rules: calling code, length bounds,
     * whether a national-format leading trunk '0' is stripped, and an
     * optional anchored pattern (RE2-safe, no lookaround) the national
-    * number must match. */
+    * number must match. `trunkEight` is RU's national prefix: '8' is
+    * stripped only when the cleaned number is one digit LONGER than
+    * the plan length (libphonenumber's validate-after-strip semantics
+    * specialized to RU's fixed-length plan — a bare 10-digit
+    * 8-800-toll-free number must NOT lose its leading 8). */
   final case class Rule(region: String, cc: String, minLen: Int, maxLen: Int,
-                        trunkZero: Boolean, pattern: Option[String])
+                        trunkZero: Boolean, pattern: Option[String],
+                        trunkEight: Boolean = false)
 
   /** Top calling codes by traffic; US covers the whole NANP (+1). The
     * NANP pattern encodes area code and exchange both in [2-9]. */
   val rules: Seq[Rule] = Seq(
     Rule("US", "1", 10, 10, trunkZero = false,
       Some("^[2-9][0-9]{2}[2-9][0-9]{6}$")),
-    Rule("RU", "7", 10, 10, trunkZero = false, None),
+    Rule("RU", "7", 10, 10, trunkZero = false, None, trunkEight = true),
     Rule("ZA", "27", 9, 9, trunkZero = true, None),
     Rule("NL", "31", 9, 9, trunkZero = true, None),
     Rule("FR", "33", 9, 9, trunkZero = true, None),
@@ -87,6 +94,28 @@ object PhoneRules {
     r.pattern.map(p => lenOk && nat.rlike(p)).getOrElse(lenOk)
   }
 
+  /** National digits after the country's trunk-prefix rule: '0'
+    * stripped unconditionally (national-format convention), RU's '8'
+    * stripped only at plan length + 1 (see [[Rule.trunkEight]]). The
+    * ONE definition both the Column path and [[sqlNatDigits]] mirror. */
+  private def natDigitsOf(cleaned: Column, r: Rule): Column =
+    if (r.trunkZero)
+      when(cleaned.startsWith("0"),
+        cleaned.substr(lit(2), length(cleaned))).otherwise(cleaned)
+    else if (r.trunkEight)
+      when(cleaned.startsWith("8") && length(cleaned) === r.maxLen + 1,
+        cleaned.substr(lit(2), length(cleaned))).otherwise(cleaned)
+    else cleaned
+
+  /** [[natDigitsOf]] rendered as a DuckDB expression over `cleaned`. */
+  private def sqlNatDigits(cleaned: String, r: Rule): String =
+    if (r.trunkZero)
+      s"CASE WHEN starts_with($cleaned, '0') THEN substr($cleaned, 2) ELSE $cleaned END"
+    else if (r.trunkEight)
+      s"CASE WHEN starts_with($cleaned, '8') AND length($cleaned) = ${r.maxLen + 1} " +
+        s"THEN substr($cleaned, 2) ELSE $cleaned END"
+    else cleaned
+
   /** E.164 parse under the per-country tables: "+<cc><national>" when
     * valid, null otherwise. Decision tree (replayed 1:1 by
     * [[oracleE164Sql]]): raw < 2 chars → null; cleaned not ^\+?[0-9]+$
@@ -104,11 +133,7 @@ object PhoneRules {
     }.foldRight(lit(null).cast("string")) {
       case ((cond, v), acc) => when(cond, v).otherwise(acc)
     }
-    val natDigits =
-      if (r.trunkZero)
-        when(cleaned.startsWith("0"),
-          cleaned.substr(lit(2), length(cleaned))).otherwise(cleaned)
-      else cleaned
+    val natDigits = natDigitsOf(cleaned, r)
     val nationalCase = when(validNational(natDigits, r),
       concat(lit("+" + r.cc), natDigits)).otherwise(lit(null).cast("string"))
     when(length(c) < 2, lit(null).cast("string"))
@@ -219,11 +244,7 @@ object PhoneRules {
   /** National-format parse under ONE region's rules (the body
     * [[parsePhoneCountry]] uses for its default region). */
   private def nationalE164(cleaned: Column, r: Rule): Column = {
-    val natDigits =
-      if (r.trunkZero)
-        when(cleaned.startsWith("0"),
-          cleaned.substr(lit(2), length(cleaned))).otherwise(cleaned)
-      else cleaned
+    val natDigits = natDigitsOf(cleaned, r)
     when(validNational(natDigits, r),
       concat(lit("+" + r.cc), natDigits)).otherwise(lit(null).cast("string"))
   }
@@ -298,10 +319,7 @@ object PhoneRules {
         s"THEN '+${ru.cc}' || $nat"
     }.mkString("\n                 ")
     val natArms = rules.map { r =>
-      val natDigits =
-        if (r.trunkZero)
-          "CASE WHEN starts_with(cleaned, '0') THEN substr(cleaned, 2) ELSE cleaned END"
-        else "cleaned"
+      val natDigits = sqlNatDigits("cleaned", r)
       s"WHEN region_used = '${r.region}' THEN CASE WHEN ${sqlValidNational(natDigits, r)} " +
         s"THEN '+${r.cc}' || $natDigits ELSE NULL END"
     }.mkString("\n                 ")
@@ -344,10 +362,7 @@ object PhoneRules {
       s"WHEN starts_with($digitsI, '${ru.cc}') AND ${sqlValidNational(nat, ru)} " +
         s"THEN '+${ru.cc}' || $nat"
     }.mkString("\n                 ")
-    val natDigits =
-      if (r.trunkZero)
-        s"CASE WHEN starts_with($cleaned, '0') THEN substr($cleaned, 2) ELSE $cleaned END"
-      else cleaned
+    val natDigits = sqlNatDigits(cleaned, r)
     s"""CASE WHEN length($cand) < 2 THEN NULL
            WHEN NOT regexp_matches($cleaned, '^\\+?[0-9]+$$') THEN NULL
            WHEN starts_with($cleaned, '+') THEN

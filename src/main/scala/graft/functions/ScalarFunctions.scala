@@ -94,6 +94,21 @@ object TextFunctions {
     * that makes the single token a span, not noise). */
   val locPrepositions: String = "in|to|at|from|near"
 
+  /** Motion/visit verbs that also type the following capitalized span
+    * as LOC (v3: the q570 readout's last PER-precision miss was
+    * "visited Rio Grande" typed PER — a motion verb is locative
+    * context exactly like a preposition, and OpenNLP's location model
+    * scores these transitions the same way). Lowercase verb forms
+    * only: a capitalized "Visited" would itself join the span. */
+  val locMotionVerbs: String =
+    "visited|toured|entered|crossed|reached|departed|explored"
+
+  /** The full locative-context alternation ([[locPrepositions]] +
+    * [[locMotionVerbs]]) — the ONE constant both [[typedEntities]] and
+    * the generated DuckDB oracle interpolate, so the two engines
+    * cannot disagree on what counts as locative context. */
+  val locContext: String = s"$locPrepositions|$locMotionVerbs"
+
   /** Capitalized determiners/quantifiers that open a capitalized run
     * without being part of a name — a run led by one is dropped at the
     * PER fallback ("Every Morning Joe" is not a person), while the ORG
@@ -104,8 +119,8 @@ object TextFunctions {
   /** Typed entity extraction — the OpenNLP person/organization/location
     * finders approximated with replayable rules, in precedence order:
     * a corporate/institutional suffix token ⇒ ORG; the span is preceded
-    * by a locative preposition (word-bounded [[locPrepositions]]) ⇒
-    * LOC; a span led by a [[perStopLead]] determiner is dropped;
+    * by locative context (word-bounded [[locContext]]: a preposition
+    * or a motion verb) ⇒ LOC; a span led by a [[perStopLead]] determiner is dropped;
     * otherwise 2+-token spans ⇒ PER (the proper-name shape). Candidates
     * are [[entityCandidates]]' 2+-token runs plus preposition-preceded
     * spans (which may be single tokens); duplicates are preserved and
@@ -117,7 +132,7 @@ object TextFunctions {
   def typedEntities(c: Column): Column = {
     val cands = entityCandidates(c)
     val locs = regexp_extract_all(c,
-      lit(s"\\b(?:$locPrepositions) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)"), lit(1))
+      lit(s"\\b(?:$locContext) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)"), lit(1))
     val all = concat(cands, filter(locs, l => !array_contains(cands, l)))
     filter(
       transform(all, e => struct(e.as("entity"),

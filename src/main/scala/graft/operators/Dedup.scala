@@ -256,6 +256,18 @@ object Dedup {
     * ~10k rows regardless of input scale. Output: (doc_id, component),
     * broadcast when the fast path fired (component frames this small
     * always join broadcast-side). */
+  /** Dispatch decisions recorded by [[connectedComponentsAuto]] —
+    * (distinct edges, took driver union-find). Same evidence contract
+    * as `DataQuality.dispatchLog`: the 100×-scale claim on every
+    * CC-backed pipeline (q86 clusters, Borůvka merges, q305 cell
+    * graphs) rests on the distributed fallback actually firing once
+    * the edge count outgrows the driver bound — a spec and the scale
+    * probe read the branch taken here instead of inferring it from
+    * timings. Bounded: reader drains, writer evicts past the cap. */
+  private[graft] val CcDispatchLogCap = 64
+  private[graft] val ccDispatchLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+
   def connectedComponentsAuto(pairs: DataFrame, bound: Long = 10000L,
                               maxIter: Int = 50): DataFrame = {
     val canon = pairs
@@ -264,6 +276,8 @@ object Dedup {
       .where(col("u") =!= col("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = canon.count()
+    ccDispatchLog.add((nEdges, nEdges <= bound))
+    while (ccDispatchLog.size > CcDispatchLogCap) ccDispatchLog.poll()
     val out = if (nEdges <= bound) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

@@ -95,8 +95,9 @@ object SensitiveDetect {
     split(lower(trim(c)), "\\s+")
 
   /** Per-strategy gender code for one row: "M" / "F" / "NA". */
-  private def genderCols(c: Column): Seq[(String, Column)] = {
-    val dictMap = map(genderDict.flatMap { case (k, v) =>
+  private def genderCols(c: Column,
+      dict: Seq[(String, Double)] = genderDict): Seq[(String, Column)] = {
+    val dictMap = map(dict.flatMap { case (k, v) =>
       Seq(lit(k), lit(v)) }: _*)
     def byToken(tok: Column): Column = {
       val p = element_at(dictMap, tok)
@@ -127,15 +128,16 @@ object SensitiveDetect {
   /** The one-pass aggregate every entry point shares: row counts,
     * guard quantities, exact length moments, the quantized dictionary
     * fraction sum, and per-strategy (m, f, o) gender counts. */
-  private def aggregateStats(df: DataFrame, c: Column): DataFrame = {
+  private def aggregateStats(df: DataFrame, c: Column,
+      dict: Seq[(String, Double)] = genderDict): DataFrame = {
     val toks = tokensOf(c)
     val nTok = size(toks)
     val len = length(c)
-    val hits = size(filter(toks, t => t.isin(nameDict.map(lit): _*)))
+    val hits = size(filter(toks, t => t.isin(dict.map(e => lit(e._1)): _*)))
     val frac = when(nTok > 0,
       round(hits.cast("double") / nTok.cast("double"), 12))
       .otherwise(lit(0.0)).cast("decimal(18,12)")
-    val gcols = genderCols(c)
+    val gcols = genderCols(c, dict)
     val perRow = df.select(
       (Seq(c.as("txt"), nTok.as("n_tok"), len.as("len"), frac.as("frac")) ++
         gcols.map { case (n, col0) => col0.as(s"g_$n") }): _*)
@@ -162,8 +164,13 @@ object SensitiveDetect {
   /** One stats row for the text column `c` of `df`, labeled `name`:
     * guard quantities, avg dictionary fraction, treat_as_name, and the
     * best gender strategy with its (male, female, other) counts. */
-  def nameColumnStats(df: DataFrame, c: Column, name: String): DataFrame = {
-    val agg0 = aggregateStats(df, c)
+  /** `dict` defaults to the production [[genderDict]]; the override
+    * exists so NameGoldSpec can prove the q577 gold gate FLIPS under a
+    * deliberately-wrong dictionary entry (VERDICT r10 item 4) without
+    * touching production behavior. */
+  def nameColumnStats(df: DataFrame, c: Column, name: String,
+      dict: Seq[(String, Double)] = genderDict): DataFrame = {
+    val agg0 = aggregateStats(df, c, dict)
     val nD = col("n_rows").cast("double")
     val stddev = sqrt((col("len_sumsq").cast("double") -
       col("len_sum").cast("double") * col("len_sum").cast("double") / nD) / nD)

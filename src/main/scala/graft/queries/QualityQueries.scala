@@ -61,7 +61,65 @@ object QualityQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Hand-labeled name-column fixture for q577 — five 12-row columns,
+    * each designed so a DIFFERENT gender strategy wins (or none).
+    * VERDICT r10 item 4: q572/q573's oracles are rendered from the
+    * same dictionaries, so a wrong dictionary entry would replay into
+    * its own gate; here the expected winner, (m, f, other) counts,
+    * guard bits and avg dictionary fraction are hand-derived from the
+    * reference's NameDetectUtils semantics and shipped as literal
+    * VALUES the implementation cannot generate. NameGoldSpec proves
+    * the gate flips under a deliberately-corrupted dictionary. */
+  val nameGoldFixture: Seq[(String, Seq[String])] = Seq(
+    "honorific_col" -> Seq(
+      "Mr James Smith", "Ms Mary Jones", "Mrs Patricia Brown",
+      "Mr Robert Lee", "Miss Susan Clark", "Sir William Grey",
+      "Madam Karen White", "Mr David Kim", "Ms Linda Park",
+      "Mr Michael Fox", "Ms Sarah Cole", "Mr John Hart"),
+    "first_first" -> Seq(
+      "james smith", "mary jones", "patricia brown", "robert lee",
+      "susan clark", "william grey", "karen white", "david kim",
+      "linda park", "michael fox", "sarah cole", "john hart"),
+    "comma_sep" -> Seq(
+      "Smith, James", "Jones, Mary", "Brown, Patricia", "Lee, Robert",
+      "Clark, Susan", "Grey, William", "White, Karen", "Kim, David",
+      "Park, Linda", "Fox, Michael", "Cole, Sarah", "Hart, John"),
+    "last_first" -> Seq(
+      "smith james", "jones mary", "brown patricia", "lee robert",
+      "clark susan", "grey william", "white karen", "kim david",
+      "park linda", "fox michael", "cole sarah", "hart john"),
+    "non_name" -> Seq(
+      "red apple", "blue sky", "green grass", "dark night", "cold river",
+      "warm sand", "tall tower", "soft cloud", "wild storm", "deep ocean",
+      "quiet road", "bright lamp"))
+
+  /** The hand-derived gold labels for [[nameGoldFixture]]: (column,
+    * avg_name_frac, guards, treat, best strategy, m, f, other). */
+  val nameGoldLabels: Seq[(String, Double, Int, Int, String, Long, Long, Long)] =
+    Seq(
+      ("honorific_col", 0.333333, 1, 0, "honorific", 6L, 6L, 0L),
+      ("first_first", 0.5, 1, 1, "by_index_0", 6L, 6L, 0L),
+      ("comma_sep", 0.5, 1, 1, "after_comma", 6L, 6L, 0L),
+      ("last_first", 0.5, 1, 1, "by_last", 6L, 6L, 0L),
+      ("non_name", 0.0, 1, 0, "after_comma", 0L, 0L, 12L))
+
   val queries: Map[String, Q] = Map(
+
+    // name-detection GOLD gate: the full guard + dictionary + strategy
+    // scoring machinery over the hand-labeled fixture; the oracle is
+    // the labels themselves (literal VALUES). Complements q572/q573,
+    // whose generated oracles prove determinism, not fidelity.
+    "q577_name_gold" -> ((s, d) => {
+      import s.implicits._
+      nameGoldFixture.map { case (name, rows) =>
+        graft.operators.SensitiveDetect.nameColumnStats(
+            rows.toDF("v"), col("v"), name)
+          .select(col("column"), col("n_rows"), col("n_unique"),
+            col("avg_name_frac"), col("guards_passed"),
+            col("treat_as_name"), col("best_gender_strategy"),
+            col("best_n_male"), col("best_n_female"), col("best_n_other"))
+      }.reduce(_.unionByName(_))
+    }),
     // PSI (population stability index) drift gate per event type: the
     // MLOps go/no-go number between even- and odd-day traffic over 20
     // fixed value bins (width 25, top-capped), Laplace-smoothed so
@@ -903,6 +961,20 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // q577: the oracle IS the hand-derived gold labels — nothing here
+    // is rendered from the dictionaries or thresholds
+    "q577_name_gold" -> {
+      val rows = nameGoldLabels.map { case (c, frac, g, t, strat, m, f, o) =>
+        s"('$c', CAST(12 AS BIGINT), CAST(12 AS BIGINT), " +
+          s"CAST($frac AS DOUBLE), $g, $t, '$strat', " +
+          s"CAST($m AS BIGINT), CAST($f AS BIGINT), CAST($o AS BIGINT))"
+      }.mkString(",\n             ")
+      s"""SELECT * FROM (VALUES $rows)
+          AS t("column", n_rows, n_unique, avg_name_frac, guards_passed,
+               treat_as_name, best_gender_strategy, best_n_male,
+               best_n_female, best_n_other)"""
+    },
     "q547_psi_drift" ->
       """WITH ev AS (SELECT event_type,
                        (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 2 = 0

@@ -178,11 +178,12 @@ object TextQueries {
     * R=0.58 / ORG R=0.60 / PER P=0.59 here, which drove the v2 rules
     * (preposition-admitted single-token locations, 19 org suffixes,
     * PER determiner blocklist) to LOC 1.00/0.92, ORG 1.00/1.00,
-    * PER 0.91/0.91. Remaining misses are genuinely out of reach for
-    * context-free rules: "Joe" (single token, no preposition) and
-    * "Rio Grande" after a verb ("visited") — typed PER, costing both
-    * the LOC recall and the PER precision slot. P/R history recorded
-    * in COVERAGE.md. */
+    * PER 0.91/0.91; the v3 rules (motion-verb locative context —
+    * "visited Rio Grande" was typed PER) to LOC 1.00/1.00,
+    * ORG 1.00/1.00, PER 1.00/0.91. The remaining miss is genuinely out
+    * of reach for context-free rules: "Joe" (single lowercase-context
+    * token, no locative or honorific cue). P/R history recorded in
+    * COVERAGE.md. */
   val nerGoldCorpus: Seq[(Long, String, Seq[(String, String)])] = Seq(
     (1L, "Alice Johnson works at Acme Corp in Boston",
       Seq("Alice Johnson" -> "PER", "Acme Corp" -> "ORG", "Boston" -> "LOC")),
@@ -209,7 +210,80 @@ object TextQueries {
     (12L, "First National Bank opened near Mary Poppins Lane",
       Seq("First National Bank" -> "ORG", "Mary Poppins Lane" -> "LOC")))
 
+  /** Hand-labeled phone-parse gold fixture for q576 — (id, raw phone,
+    * region text, expected E.164 or None). VERDICT r10 item 4: q569 and
+    * q574 are gated by oracles RENDERED from the same rules tables, so
+    * a wrong table entry would pass its own gate; these labels are
+    * instead hand-derived from public numbering-plan examples (Ofcom
+    * drama ranges, NANP 555-01xx fiction block, carrier example
+    * numbers) and typed independently of `PhoneRules.rules` — the
+    * DuckDB side is literal VALUES, so the gate matches only when the
+    * tables agree with the published plans. PhoneGoldSpec additionally
+    * proves sensitivity: forcing a wrong region table on the same
+    * fixture flips rows. */
+  val phoneGoldFixture: Seq[(Long, String, Option[String], Option[String])] =
+    Seq(
+      (1L, "650-253-0000", Some("US"), Some("+16502530000")),
+      (2L, "(212) 555-0123", Some("USA"), Some("+12125550123")),
+      (3L, "020 7946 0958", Some("GB"), Some("+442079460958")),
+      (4L, "07700 900123", Some("United Kingdom"), Some("+447700900123")),
+      (5L, "+44 20 7946 0958", Some("FRANCE"), Some("+442079460958")),
+      (6L, "01 23 45 67 89", Some("France"), Some("+33123456789")),
+      (7L, "030 12345678", Some("Germany"), Some("+493012345678")),
+      (8L, "(02) 9876 5432", Some("Australia"), Some("+61298765432")),
+      (9L, "03-1234-5678", Some("Japan"), Some("+81312345678")),
+      (10L, "+91 98765 43210", None, Some("+919876543210")),
+      (11L, "98765 43210", Some("India"), Some("+919876543210")),
+      (12L, "12345 67890", Some("India"), None),
+      (13L, "138 0013 8000", Some("China"), Some("+8613800138000")),
+      (14L, "011 123 4567", Some("South Africa"), Some("+27111234567")),
+      (15L, "11 91234-5678", Some("Brazil"), Some("+5511912345678")),
+      (16L, "55 1234 5678", Some("Mexico"), Some("+525512345678")),
+      (17L, "6123 4567", Some("Singapore"), Some("+6561234567")),
+      (18L, "+234 803 123 4567", Some("Nigeria"), Some("+2348031234567")),
+      (19L, "+7 912 345 67 89", None, Some("+79123456789")),
+      (20L, "0532 123 45 67", Some("Turkey"), Some("+905321234567")),
+      (21L, "06 69812345", Some("Italy"), Some("+390669812345")),
+      (22L, "020 123 4567", Some("Holland"), Some("+31201234567")),
+      (23L, "912 345 678", Some("Spain"), Some("+34912345678")),
+      (24L, "044 668 18 00", Some("Switzerland"), Some("+41446681800")),
+      (25L, "08-123 456 78", Some("Sweden"), Some("+46812345678")),
+      (26L, "22 123 45 67", Some("Poland"), Some("+48221234567")),
+      (27L, "02-312-3456", Some("South Korea"), Some("+8223123456")),
+      (28L, "123-456-7890", Some("US"), None),
+      (29L, "555-0123", Some("US"), None),
+      (30L, "+999 123456", None, None),
+      (31L, "abc", Some("US"), None),
+      (32L, "1", Some("US"), None),
+      (33L, "020 7946", Some("GB"), None),
+      (34L, "0 170 1234567", Some("Germany"), Some("+491701234567")),
+      (35L, "+1 650 253 0000", Some("FRANCE"), Some("+16502530000")),
+      // RU trunk '8': stripped at plan length + 1, kept on a bare
+      // 10-digit 8800 toll-free (libphonenumber validate-after-strip)
+      (36L, "8 912 345 67 89", Some("Russia"), Some("+79123456789")),
+      (37L, "8 800 555 35 35", Some("Russia"), Some("+78005553535")),
+      (38L, "800 555 35 35", Some("Russia"), Some("+78005553535")))
+
   val queries: Map[String, Q] = Map(
+
+    // phone-parse GOLD gate: the engine's full resolve+dispatch path
+    // over the hand-labeled fixture; the oracle is the labels
+    // themselves (literal VALUES — nothing rendered from the rules
+    // tables), so this hash is green only while the tables match the
+    // published numbering plans. Complements q569/q574, whose oracles
+    // replay the same decision tree and so prove determinism, not
+    // fidelity.
+    "q576_phone_gold" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.PhoneRules.{resolveRegion, parsePhoneDispatch}
+      val fx = phoneGoldFixture
+        .map { case (id, p, r, _) => (id, p, r.orNull) }
+        .toDF("rid", "phone", "region")
+      fx.select(col("rid"), col("phone"),
+          resolveRegion(col("phone"), col("region")).as("region_used"))
+        .select(col("rid"), col("phone"), col("region_used"),
+          parsePhoneDispatch(col("phone"), col("region_used")).as("e164"))
+    }),
 
     // NER quality readout over the gold fixture: per-type precision /
     // recall of the q566 typing rules against hand labels (exact span
@@ -968,11 +1042,11 @@ object TextQueries {
     * duplicates preserved, loc-only spans appended — the same multiset
     * Spark's concat+filter builds. */
   private def entityOracleCTEs(src: String, id: String): String = {
-    import graft.functions.TextFunctions.{orgSuffixes, locPrepositions, perStopLead}
+    import graft.functions.TextFunctions.{orgSuffixes, locContext, perStopLead}
     s"""cand AS (SELECT $id,
              regexp_extract_all(text, '([A-Z][a-z]+(?: [A-Z][a-z]+)+)', 1) AS cs,
              regexp_extract_all(text,
-               '\\b(?:$locPrepositions) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)', 1) AS ls
+               '\\b(?:$locContext) ([A-Z][a-z]+(?: [A-Z][a-z]+)*)', 1) AS ls
            FROM $src),
           c AS (SELECT $id,
              unnest(cs || list_filter(ls, x -> NOT list_contains(cs, x))) AS entity
@@ -1071,7 +1145,32 @@ object TextQueries {
       FROM documents d LEFT JOIN tok t USING (doc_id)"""
   }
 
+  /** Hand-derived resolved regions for [[phoneGoldFixture]] — part of
+    * the q576 gold labels (NOT rendered from PhoneRules): '+'-leading
+    * raw phones are ZZ, exact codes pass through, country names map to
+    * their ISO region, null regions default to US. */
+  val phoneGoldRegions: Map[Long, String] = Map(
+    1L -> "US", 2L -> "US", 3L -> "GB", 4L -> "GB", 5L -> "ZZ", 6L -> "FR",
+    7L -> "DE", 8L -> "AU", 9L -> "JP", 10L -> "ZZ", 11L -> "IN", 12L -> "IN",
+    13L -> "CN", 14L -> "ZA", 15L -> "BR", 16L -> "MX", 17L -> "SG",
+    18L -> "ZZ", 19L -> "ZZ", 20L -> "TR", 21L -> "IT", 22L -> "NL",
+    23L -> "ES", 24L -> "CH", 25L -> "SE", 26L -> "PL", 27L -> "KR",
+    28L -> "US", 29L -> "US", 30L -> "ZZ", 31L -> "US", 32L -> "US",
+    33L -> "GB", 34L -> "DE", 35L -> "ZZ", 36L -> "RU", 37L -> "RU",
+    38L -> "RU")
+
   val oracles: Map[String, String] = Map(
+
+    // q576: the oracle IS the gold labels — literal VALUES, no SQL
+    // rendered from the rules tables anywhere in this string
+    "q576_phone_gold" -> {
+      val rows = phoneGoldFixture.map { case (id, p, _, e164) =>
+        val e = e164.map(v => s"'$v'").getOrElse("CAST(NULL AS VARCHAR)")
+        s"(CAST($id AS BIGINT), '$p', '${phoneGoldRegions(id)}', $e)"
+      }.mkString(",\n             ")
+      s"""SELECT * FROM (VALUES $rows)
+          AS t(rid, phone, region_used, e164)"""
+    },
 
     "q568_human_name_detection" ->
       """WITH c AS (SELECT c_custkey,

@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(fast(3L) == 1L && fast(12L) == 10L && fast(25L) == 20L)
   }
 
+  test("connectedComponentsAuto: dispatch log records the branch taken") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    Dedup.ccDispatchLog.clear()
+    // under the bound: driver union-find fires
+    Dedup.connectedComponentsAuto(pairs).count()
+    // bound tripped: the distributed star fallback must actually fire,
+    // not just exist — this is the branch evidence the 100x claim needs
+    Dedup.connectedComponentsAuto(pairs, bound = 2L).count()
+    val log = Iterator.continually(Dedup.ccDispatchLog.poll())
+      .takeWhile(_ != null).toSeq
+    assert(log == Seq((3L, true), (3L, false)),
+      s"expected fast-then-star dispatch on 3 edges, got $log")
+  }
+
   test("connectedComponentsStar converges in O(log n) rounds on a path graph") {
     val s = spark; import s.implicits._
     // a 200-node path has diameter 199: min-label propagation needs ~199
