@@ -88,6 +88,10 @@ class PlanAuditSpec extends SparkSpec {
     // partial+final aggregation — the single partition merges 32
     // per-partition partials, q133's per-column-profile shape
     "q572_name_column_detect",
+    // q577: the gold-fixture gate runs the SAME per-column 1-row
+    // partial+final fit as q572, over five 12-row literal columns —
+    // the funnel carries <= 32 partials per column
+    "q577_name_gold",
     // q367: the revenue-total scalar is a 1-row frame crossJoin-
     // broadcast over the part classes; the prefix-sum offsets collect
     // is O(#partitions) (cumulativeByValue contract, q160's shape)
