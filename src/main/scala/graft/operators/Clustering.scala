@@ -87,7 +87,13 @@ object Clustering {
       .join(cores.select(col("core_id").as("pid")), Seq("pid"))
       .where(col("qid") < col("pid"))
       .select(col("qid").as("id_a"), col("pid").as("id_b"))
-    val comp = Dedup.connectedComponents(coreEdges)
+    // size-dispatched CC (labels identical to min-label propagation:
+    // component = min core id): eps-graphs of dense clusters are
+    // high-diameter chains, where min-label walks O(diameter) rounds
+    // of 2 jobs each; the auto dispatch collapses a bounded core graph
+    // into one driver union-find and keeps the O(log n) star
+    // contraction for big ones
+    val comp = Dedup.connectedComponentsAuto(coreEdges)
     val coreLabel = cores
       .join(comp.select(col("doc_id").as("core_id"), col("component")),
         Seq("core_id"), "left")

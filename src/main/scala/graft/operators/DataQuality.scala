@@ -827,10 +827,20 @@ object DataQuality {
           graft.functions.TextAnalysis.hash60(concat_ws(":", lit("c"),
             col(c).cast("decimal(18,6)").cast("string"))).as("h"))): _*)).as("p"))
       .select(col("p.*")).where(col("h").isNotNull)
-    val prof = pairs.groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_nonnull"),
-        countDistinct(col("h")).as("n_distinct"),
-        sum(col("h").cast("decimal(38,0)")).as("digest"))
+    // two-level aggregation instead of a mixed distinct/non-distinct
+    // agg: count(DISTINCT h) next to plain aggregates planned as an
+    // Expand that doubles the exploded rows into the shuffle. Keying
+    // the partial agg on (col_name, h) dedups map-side, and the second
+    // level is value-domain-sized. sum(h·cnt) == sum over all rows of h
+    // (exact: h < 2^60, cnt ≤ row count, product well inside
+    // DECIMAL(38,0)); types and values are unchanged.
+    val perVal = pairs.groupBy(col("col_name"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val prof = perVal.groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_nonnull"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("h").cast("decimal(38,0)") * col("cnt")).cast("decimal(38,0)")
+          .as("digest"))
     val groups = prof.groupBy(col("digest").as("d2"), col("n_nonnull").as("nn2"))
       .agg(min(col("col_name")).as("dup_group"))
     prof.join(broadcast(groups),
@@ -1449,8 +1459,12 @@ object DataQuality {
   def logisticNewton(df: DataFrame, feature: Column, target: Column,
                      iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters out of [1,8]: $iters")
-    val rows = df.select(feature.cast("double").as("x"),
-        when(target, 1.0).otherwise(0.0).as("y"))
+    // spread the cached projection: a single-row-group scan caches as
+    // ONE partition, serializing every Newton pass (5 passes × 600k
+    // exp/decimal rows on one core dominated the fit at sf0.1)
+    val rows = graft.sources.Tables.spreadIfNarrow(
+        df.select(feature.cast("double").as("x"),
+          when(target, 1.0).otherwise(0.0).as("y")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def q9(c: Column): Column = round(c * lit(1e9)).cast("long")
     def prob: Column = {

@@ -74,7 +74,16 @@ object Dedup {
     * the scan's filter predicate — the same CSE trap, resurfacing
     * through predicate pushdown. */
   def shingleFrame(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
-    df.select(id.as("doc"), tokens(text).as("__toks"))
+    // spread the raw (id, text) rows before tokenizing: the corpus
+    // arrives as single-row-group parquet, so without the (narrow,
+    // text-column-only) exchange the ICU tokenization + shingle build
+    // of the WHOLE corpus pipelines into the one-task scan stage and
+    // runs on one core — guide §2.5's unsplittable-input fix. No-op at
+    // cluster scale (see Tables.spreadIfNarrow). Measured at sf0.1:
+    // q262 7.05 s → 3.93 s best-of-2 (and cold q24 42.7 s → 2.2 s).
+    graft.sources.Tables.spreadIfNarrow(
+        df.select(id.as("doc"), text.as("__txt")))
+      .select(col("doc"), tokens(col("__txt")).as("__toks"))
       .where(size(col("__toks")) >= k)
       .select(col("doc"), col("__toks"), wordShinglesOf(col("__toks"), k).as("shingles"))
       .drop("__toks")
@@ -199,18 +208,24 @@ object Dedup {
     // round's LogicalRDD plan, so ONLY our own blocks are ever touched
     var liveCp = checkpointedRdd(labels)
     while (changed > 0 && i < maxIter) {
+      // the previous label rides the round as the `own`-flagged row of
+      // the union (every node has exactly ONE self row), so the
+      // changed-count needs no join back to the previous labels — it is
+      // a narrow scan of the round's own checkpointed output. The old
+      // shape paid one extra node-keyed shuffle join per round just to
+      // diff the labels.
       val newLabels = edges.join(labels, edges("dst") === labels("node"))
-        .select(col("src").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(col("src").as("node"), col("label"), lit(false).as("own"))
+        .union(labels.select(col("node"), col("label"), lit(true).as("own")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"),
+          max(when(col("own"), col("label"))).as("old"))
         .localCheckpoint(false)
       // the changed-count job materializes newLabels AND still reads the
       // previous labels — only free those blocks after it completes
-      changed = newLabels.join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old")).count()
+      changed = newLabels.where(col("label") =!= col("old")).count()
       liveCp.foreach(_.unpersist(blocking = false))
       liveCp = checkpointedRdd(newLabels)
-      labels = newLabels
+      labels = newLabels.select(col("node"), col("label"))
       i += 1
     }
     edges.unpersist()
@@ -269,7 +284,15 @@ object Dedup {
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
 
   def connectedComponentsAuto(pairs: DataFrame, bound: Long = 10000L,
-                              maxIter: Int = 50): DataFrame = {
+                              maxIter: Int = 50): DataFrame =
+    connectedComponentsAutoCounted(pairs, bound, maxIter)._1
+
+  /** [[connectedComponentsAuto]] plus the distinct canonical edge count
+    * its dispatch already pays for — callers that also need an
+    * emptiness/progress signal (Borůvka's merge loop) read it here
+    * instead of running a separate isEmpty/count action. */
+  def connectedComponentsAutoCounted(pairs: DataFrame, bound: Long = 10000L,
+                                     maxIter: Int = 50): (DataFrame, Long) = {
     val canon = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
@@ -303,7 +326,7 @@ object Dedup {
     // the fast path has already collected; the star path checkpoints
     // its own first round before returning, so the input can drop
     canon.unpersist(blocking = false)
-    out
+    (out, nEdges)
   }
 
   /** [[connectedComponentsStar]] plus the round count (exposed so specs

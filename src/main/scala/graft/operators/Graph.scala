@@ -169,7 +169,7 @@ object Graph {
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val nNodes = deg.count() // materializes und + bounds the next joins
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // orient by (deg, node): rank keys ride along so wedge ordering
     // needs no further join
     val oriented = und
@@ -183,16 +183,24 @@ object Graph {
             struct(col("dega").as("d"), col("a").as("n")).as("rkv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rkv").as("rkv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = oriented.count()
+    // node/edge totals ride as 1-row broadcast frames instead of
+    // driver collects: the old shape paid two extra materializing
+    // actions (deg.count, oriented.count) before the wedge join could
+    // even start — with persisted inputs the single final action
+    // computes everything once, and block-level cache locking keeps the
+    // shared frames single-computed across plan branches
+    val nNodesF = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdgesF = oriented.agg(count(lit(1)).as("n_edges"))
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.rkv") < col("e2.rkv"))
       .select(col("e1.v").as("u"), col("e2.v").as("v"))
     val triangles = wedges.join(oriented.select(col("u"), col("v")), Seq("u", "v"))
       .agg(count(lit(1)).as("n_triangles"))
-      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
-        col("n_triangles"))
+      .crossJoin(broadcast(nNodesF)).crossJoin(broadcast(nEdgesF))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
       .localCheckpoint(true) // self-contained: caches can go
     und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     oriented.unpersist(blocking = false)
     triangles
   }
@@ -421,10 +429,13 @@ object Graph {
         least(src, dst).as("a"), greatest(src, dst).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // deg is referenced three times (two orientation joins + the final
+    // coefficient join): cache it; lazy rounds — the single final
+    // action materializes everything once (no per-step count barriers)
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    und.count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val oriented = und
       .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
@@ -436,7 +447,6 @@ object Graph {
             struct(col("dega").as("d"), col("a").as("n")).as("rkv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rkv").as("rkv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    oriented.count()
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.rkv") < col("e2.rkv"))
       .select(col("e1.u").as("c"), col("e1.v").as("u"), col("e2.v").as("v"))
@@ -452,6 +462,7 @@ object Graph {
           6).as("clustering_coeff"))
     val chk = out.localCheckpoint(true) // self-contained: caches can go
     und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     oriented.unpersist(blocking = false)
     chk
   }
@@ -540,7 +551,14 @@ object Graph {
       round += 1
       require(round <= maxRounds,
         s"Boruvka did not converge in $maxRounds rounds")
-      val ec = e
+      // round 1 runs on the IDENTITY labeling (comp(x) = x), so the two
+      // |E|-row component-lookup joins reduce to a projection — the
+      // heaviest round (every edge still live) skips two shuffles
+      val ec = if (round == 1)
+        e.where(col("u") =!= col("v"))
+          .select(col("u"), col("v"), col("wq"),
+            col("u").as("cu"), col("v").as("cv"))
+      else e
         .join(comp.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
         .join(comp.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
         .where(col("cu") =!= col("cv"))
@@ -552,28 +570,35 @@ object Graph {
           col("m.wq").as("wq"))
         .distinct()
         .localCheckpoint(false)
-      if (picked.isEmpty) {
+      // merge components: CC over the picked COMPONENT pairs.
+      // The picked-edge component graph can chain (each component's
+      // min edge pointing to the next) — use the size-dispatched CC
+      // (shared helper; the fast path was born here): one row per
+      // component, and components at least halve every round, so
+      // once it fits the machine-checked 10k bound a driver
+      // union-find (min-root, identical labels to the star CC)
+      // replaces ~15 jobs of distributed contraction per round;
+      // past the bound the distributed O(log n) star path stands.
+      // Both paths are spec-asserted label-identical on the helper.
+      // The counted variant's edge count doubles as the termination
+      // test (picked nonempty ⇔ component pairs nonempty, since every
+      // picked edge crosses two distinct components), replacing the
+      // separate picked.isEmpty action the loop used to pay per round.
+      val cPairs = if (round == 1)
+        picked.select(col("u").as("id_a"), col("v").as("id_b"))
+      else picked
+        .join(comp.select(col("node").as("u"), col("c").as("ca")),
+          Seq("u"))
+        .join(comp.select(col("node").as("v"), col("c").as("cb")),
+          Seq("v"))
+        .select(col("ca").as("id_a"), col("cb").as("id_b"))
+      val (labels, nPairs) = Dedup.connectedComponentsAutoCounted(cPairs)
+      if (nPairs == 0) {
         done = true
       } else {
         mst = if (mst == null) picked
           else mst.unionByName(picked).localCheckpoint(false)
-        // merge components: CC over the picked COMPONENT pairs
-        val cPairs = picked
-          .join(comp.select(col("node").as("u"), col("c").as("ca")),
-            Seq("u"))
-          .join(comp.select(col("node").as("v"), col("c").as("cb")),
-            Seq("v"))
-          .select(col("ca").as("id_a"), col("cb").as("id_b"))
-        // the picked-edge component graph can chain (each component's
-        // min edge pointing to the next) — use the size-dispatched CC
-        // (shared helper; the fast path was born here): one row per
-        // component, and components at least halve every round, so
-        // once it fits the machine-checked 10k bound a driver
-        // union-find (min-root, identical labels to the star CC)
-        // replaces ~15 jobs of distributed contraction per round;
-        // past the bound the distributed O(log n) star path stands.
-        // Both paths are spec-asserted label-identical on the helper.
-        val merged = Dedup.connectedComponentsAuto(cPairs)
+        val merged = labels
           .select(col("doc_id").as("c"), col("component").as("nc"))
         val next = comp.join(merged, Seq("c"), "left")
           .select(col("node"), coalesce(col("nc"), col("c")).as("c"))

@@ -27,34 +27,64 @@ object CurationQueries {
     // stays distributed. The oracle unrolls the same 4 rounds.
     "q347_set_cover_greedy" -> ((s, d) => {
       val s2 = s; import s2.implicits._
-      val ts = Tables.documents(s, d)
+      // Bitmask formulation of the same greedy: one cached column of
+      // per-shingle source-membership masks replaces the per-round
+      // (anti-join + agg + covered-distinct + checkpoint + count)
+      // cadence — bit_or is idempotent, so the (source, w) pre-distinct
+      // disappears too (the partial agg collapses duplicates map-side).
+      // Each round is ONE narrow scan of the cached mask column; the
+      // marginal for source s is #masks with no picked bit and s's bit,
+      // and cum_tokens = running sum of marginals (covered sets grow by
+      // exactly the marginal — disjoint increments), both identical to
+      // the set-algebra the old shape computed. Ties still break to the
+      // smallest source name; saturation (all marginals 0) still stops.
+      val docs = Tables.documents(s, d)
+      val srcList = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted
+      require(srcList.nonEmpty && srcList.length <= 62,
+        s"set-cover bitmask needs 1..62 sources, got ${srcList.length}")
+      val bitOf = srcList.zipWithIndex.toMap
+      val bitExpr = srcList.tail.foldLeft(
+        when(col("source") === srcList.head, lit(1L << bitOf(srcList.head)))) {
+        case (acc, sn) => acc.when(col("source") === sn, lit(1L << bitOf(sn)))
+      }
+      val wm = docs
         .select(col("source"),
           explode(graft.operators.Dedup.wordShinglesOf(
             TextAnalysis.tokens(col("text")), 2)).as("w"))
-        .distinct()
+        .select(col("w"), bitExpr.as("b"))
+        .groupBy(col("w")).agg(expr("bit_or(b)").as("mask"))
+        .select(col("mask"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ts.count()
-      var covered = Seq.empty[String].toDF("w")
+      var pickedMask = 0L
       var picked = Vector.empty[String]
+      var cum = 0L
       var rows = Vector.empty[(Int, String, Long, Long)]
       var done = false
       for (step <- 1 to 4 if !done) {
-        val notPicked =
-          if (picked.isEmpty) lit(true) else !col("source").isin(picked: _*)
-        // argmax over <= |sources| rows — bounded collect
-        val best = ts.join(covered, Seq("w"), "left_anti").where(notPicked)
-          .groupBy(col("source")).agg(count(lit(1)).as("m"))
-          .orderBy(col("m").desc, col("source")).limit(1).collect()
-        if (best.isEmpty) done = true // coverage saturated: stop, like the
-        else {                       // oracle's empty p_k branches
-          picked = picked :+ best.head.getString(0)
-          covered = ts.where(col("source").isin(picked: _*))
-            .select(col("w")).distinct().localCheckpoint(false)
-          rows = rows :+ ((step, best.head.getString(0), best.head.getLong(1),
-            covered.count()))
+        val unpicked = srcList.filterNot(picked.contains)
+        if (unpicked.isEmpty) done = true
+        else {
+          val aggs = unpicked.map { sn =>
+            sum(when(col("mask").bitwiseAND(lit(pickedMask)) === 0 &&
+                shiftright(col("mask"), bitOf(sn)).bitwiseAND(lit(1L)) === 1,
+              1L).otherwise(0L)).as(s"m_${bitOf(sn)}")
+          }
+          val r = wm.agg(aggs.head, aggs.tail: _*).head()
+          unpicked.map(sn => (sn, r.getAs[Long](s"m_${bitOf(sn)}")))
+            .filter(_._2 > 0)
+            .sortBy { case (sn, m) => (-m, sn) }
+            .headOption match {
+            case None => done = true // coverage saturated: stop, like the
+            case Some((sn, m)) =>    // oracle's empty p_k branches
+              picked = picked :+ sn
+              pickedMask |= (1L << bitOf(sn))
+              cum += m
+              rows = rows :+ ((step, sn, m, cum))
+          }
         }
       }
-      ts.unpersist(blocking = false)
+      wm.unpersist(blocking = false)
       rows.toDF("step", "source", "marginal_new_tokens", "cum_tokens")
     }),
 

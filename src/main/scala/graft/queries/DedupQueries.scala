@@ -145,11 +145,19 @@ object DedupQueries {
           .select(col("o_orderkey"), col("o_custkey")))
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
-      val labels = graft.operators.Graph.labelPropagation(
-        trade, col("c"), col("p"), iters = 2)
+      // dedup the trade edges ONCE and cache: the un-persisted shape
+      // re-ran the orders⋈lineitem build + distinct up to 6x across the
+      // modularity readout's three references to the symmetrized edge
+      // set (labelPropagation caches its own copy, but t/e did not).
+      // Feeding t to labelPropagation is label-identical — it distincts
+      // its symmetrized input anyway.
       val t = trade.select(col("c"), col("p")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = graft.operators.Graph.labelPropagation(
+        t, col("c"), col("p"), iters = 2)
       val e = t.select(col("c").as("u"), col("p").as("v"))
         .unionByName(t.select(col("p").as("u"), col("c").as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lab = labels.select(col("node"), col("label"))
       val eL = e.join(lab.select(col("node").as("u"), col("label").as("lu")),
           Seq("u"))
@@ -388,7 +396,9 @@ object DedupQueries {
       // predicate (|n_orders| diff <= 1) chains matches, so components
       // are high-diameter paths — min-label walked ~18 rounds (~7 jobs
       // each, 10s of pure round overhead at sf0.1) where the star
-      // contraction lands in O(log n)
+      // contraction lands in O(log n). (r11 measured the size-dispatched
+      // CC here at 1.12x — the canon distinct+count over the ~1M-pair
+      // match graph costs more than the dispatch saves; Star stays.)
       Dedup.connectedComponentsStar(edges)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"),

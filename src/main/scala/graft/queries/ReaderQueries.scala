@@ -274,10 +274,14 @@ object ReaderQueries {
       // into a cache instead of three raw re-scans (+ the fit sums are
       // a bounded 1-row artifact — resolve them eagerly and score both
       // sides with plan literals, the qhat policy one level down)
-      val li = Tables.lineitem(s, d).select(
-          concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
-          col("l_quantity").cast("decimal(15,2)").as("xd"),
-          col("l_extendedprice").cast("decimal(15,2)").as("yd"))
+      // spread before caching: the 1-row-group scan otherwise caches as
+      // ONE partition and every pass below (fit sums, residual
+      // histogram, test widening) runs single-threaded
+      val li = graft.sources.Tables.spreadIfNarrow(
+          Tables.lineitem(s, d).select(
+            concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
+            col("l_quantity").cast("decimal(15,2)").as("xd"),
+            col("l_extendedprice").cast("decimal(15,2)").as("yd")))
         .withColumn("bkt", graft.operators.Curation.sampleBucket(col("rid"), "conf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cal = li.where(col("bkt") < 500000)

@@ -71,10 +71,14 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val custNation = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"))
+      // bought is referenced twice (popularity rollup + the already-
+      // bought anti-join): cache it, or the orders⋈lineitem build and
+      // its distinct run twice
       val bought = broadcast(Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey")))
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c_custkey"), col("l_partkey")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pop = bought.join(broadcast(custNation), Seq("c_custkey"))
         .groupBy(col("c_nationkey"), col("l_partkey"))
         .agg(count(lit(1)).as("cnt"))

@@ -524,12 +524,20 @@ object StatsQueries {
     // to DECIMAL(18,12), Horvitz-Thompson ratio terms folded as
     // integer 1e-6 units — the causal-inference composition
     "q447_ipw_ate" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        (col("l_quantity").cast("decimal(12,2)").cast("double") /
-          lit(10.0)).as("x"),
-        when(col("l_discount").cast("decimal(12,2)") >= 0.05, 1.0)
-          .otherwise(0.0).as("t"),
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      // cache the narrow (x,t,y) projection — spread across cores
+      // first (the scan is one row group = ONE task, and a 1-partition
+      // cache serializes every later pass): the Newton fit's internal
+      // passes AND the scoring pass otherwise each re-scan lineitem
+      // parquet + redo the decimal casts (2 extra full scans), all on
+      // one core
+      val li = graft.sources.Tables.spreadIfNarrow(
+        Tables.lineitem(s, d).select(
+          (col("l_quantity").cast("decimal(12,2)").cast("double") /
+            lit(10.0)).as("x"),
+          when(col("l_discount").cast("decimal(12,2)") >= 0.05, 1.0)
+            .otherwise(0.0).as("t"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fit = DataQuality.logisticNewton(li, col("x"), col("t") === 1.0,
         iters = 3).select(col("b0"), col("b1"))
       val scored = li.crossJoin(broadcast(fit))
@@ -552,12 +560,15 @@ object StatsQueries {
         sum(when(col("t") === 0.0 && col("y") === 1.0, 1L).otherwise(0L))
           .as("cy"),
         sum(when(col("t") === 0.0, 1L).otherwise(0L)).as("cn"))
-      st.select(col("n"), col("b0"), col("b1"),
+      val out = st.select(col("n"), col("b0"), col("b1"),
         round(col("s1y") / col("s1") - col("s0y") / col("s0"), 6)
           .as("ipw_ate"),
         round(col("ty").cast("double") / col("tn").cast("double") -
           col("cy").cast("double") / col("cn").cast("double"), 6)
           .as("naive_diff"))
+        .localCheckpoint(true) // 1-row result: release the cache now
+      li.unpersist(blocking = false)
+      out
     }),
 
     // doubly-robust AIPW ATE on q447's (x, t, y): the Newton-logistic
@@ -568,12 +579,19 @@ object StatsQueries {
     // 1e-6-quantized terms; consistent if EITHER nuisance model is
     // right, and every coefficient crosses the engines at 6 decimals
     "q449_aipw_ate" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        (col("l_quantity").cast("decimal(12,2)").cast("double") /
-          lit(10.0)).as("x"),
-        when(col("l_discount").cast("decimal(12,2)") >= 0.05, 1.0)
-          .otherwise(0.0).as("t"),
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      // cache the narrow (x,t,y) projection — spread across cores
+      // first (1-row-group scan = 1-partition cache, see q447): the
+      // Newton fit, the per-arm OLS, and the scoring pass otherwise
+      // EACH re-scan lineitem parquet + redo the decimal casts (3
+      // extra full scans), all on one core
+      val li = graft.sources.Tables.spreadIfNarrow(
+        Tables.lineitem(s, d).select(
+          (col("l_quantity").cast("decimal(12,2)").cast("double") /
+            lit(10.0)).as("x"),
+          when(col("l_discount").cast("decimal(12,2)") >= 0.05, 1.0)
+            .otherwise(0.0).as("t"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fit = DataQuality.logisticNewton(li, col("x"), col("t") === 1.0,
         iters = 3).select(col("b0").as("pb0"), col("b1").as("pb1"))
       // per-arm OLS of y on x10 = round(10x): x10 and y are exact longs,
@@ -611,7 +629,7 @@ object StatsQueries {
         col("t") * (col("y") - col("m1")) / col("p") -
         (lit(1.0) - col("t")) * (col("y") - col("m0")) /
           (lit(1.0) - col("p"))
-      scored.agg(count(lit(1)).as("n"),
+      val out = scored.agg(count(lit(1)).as("n"),
           max(col("pb0")).as("pb0"), max(col("pb1")).as("pb1"),
           max(col("a0")).as("a0"), max(col("b0o")).as("b0o"),
           max(col("a1")).as("a1"), max(col("b1o")).as("b1o"),
@@ -623,6 +641,9 @@ object StatsQueries {
             col("n").cast("double"), 6).as("aipw_ate"),
           round(col("sreg").cast("double") / lit(1e6) /
             col("n").cast("double"), 6).as("reg_ate"))
+        .localCheckpoint(true) // 1-row result: release the cache now
+      li.unpersist(blocking = false)
+      out
     }),
 
     // Page-Hinkley drift detection on daily spend per event type
@@ -1259,9 +1280,11 @@ object StatsQueries {
       val cut = mst.orderBy(col("wq").desc, col("u"), col("v")).limit(2)
       val kept = mst.join(cut, Seq("u", "v"), "left_anti")
       // the kept MSF is a high-diameter tree: plain label propagation
-      // is O(diameter) rounds; the large/small-star variant contracts
-      // it in O(log n)
-      val comp = graft.operators.Dedup.connectedComponentsStar(
+      // is O(diameter) rounds; the size-dispatched CC resolves a
+      // bounded forest (edge count < node count, here ~|pts|) in one
+      // driver union-find with IDENTICAL min-id labels and keeps the
+      // O(log n) star contraction past the 10k bound
+      val comp = graft.operators.Dedup.connectedComponentsAuto(
         kept.select(col("u").as("id_a"), col("v").as("id_b")))
       pts.select(col("pid"))
         .join(comp.select(col("doc_id").as("pid"), col("component")),

@@ -42,4 +42,26 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Spread a compute-heavy pipeline across the session's shuffle
+    * parallelism when the upstream SCAN under-partitions it — the
+    * single-row-group parquet files the driver ships are unsplittable,
+    * so Spark reads each as ONE task and everything pipelined into the
+    * scan stage (tokenization, hashing, per-row model math) runs on one
+    * core (the optimization guide's §2.5 "unsplittable input" fix:
+    * repartition immediately after the read).
+    *
+    * Scale-adaptive, not a local[32] constant: a cluster-scale table
+    * arrives as thousands of scan partitions, the condition fails, and
+    * NO extra shuffle is paid — only parallelism-starved inputs pay the
+    * one narrow exchange. Callers must pass a SCAN-ROOTED frame
+    * (projection/filter over a read, no upstream exchange): the
+    * partition probe walks the physical plan, and an upstream shuffle
+    * would both defeat the probe and make the spread redundant. Project
+    * BEFORE calling so the exchange carries only the needed columns
+    * (guide §2.3). */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
 }

@@ -221,13 +221,11 @@ class PlanAuditSpec extends SparkSpec {
     // q427: the basket-count scalar (lift denominator) is a 1-row
     // frame crossJoin-broadcast into the bounded brand-pair rules
     "q427_association_rules",
-    // q447: the 1-row rounded-propensity-fit frame (q422's EM shape)
-    // crossJoin-broadcasts into the scoring pass; the readout is ONE
-    // sufficient-stats row — q198's shape
-    "q447_ipw_ate",
-    // q449: q447's scoring shape with a SECOND 1-row coefficient frame
-    // (the per-arm OLS pivot) crossed in alongside the propensity fit
-    "q449_aipw_ate",
+    // q447/q449 were allowlisted here until r11: they now materialize
+    // their 1-row readout eagerly (to release the cached projection),
+    // so the returned plan is an RDD scan and the funnel moved to the
+    // EAGER path, which the sweep bounds by runtime row evidence — the
+    // stale-entry check prunes them per its own contract.
     // q436: the transition-total scalar is a 1-row frame
     // crossJoin-broadcast into the state-domain (5-row) readout
     "q436_markov_entropy",
