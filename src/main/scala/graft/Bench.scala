@@ -63,7 +63,31 @@ object Bench {
       System.gc()
       Thread.sleep(100)
     }
-    names.foreach { n => runOne(n); spark.catalog.clearCache() }
+    // Warm-up pass OVERLAPPED (guide §2.6): the cold pass is untimed
+    // but real wall — Janino codegen compilation + first-touch JIT made
+    // it ~half of every shard's wall clock (r11's full suite overran
+    // the driver's timeout, BENCH_r11.json rc=124). Spark schedules
+    // concurrent jobs FIFO with back-fill, so 4 driver threads keep the
+    // cores busy through each query's single-task cold stages. Queries
+    // are independent (distinct names, per-query temp/output dirs); the
+    // pool fully drains and a deep clean runs BEFORE any timed run, so
+    // the timed protocol (sequential best-of-2 pairs) is unchanged.
+    // Per-query clearCache is skipped in concurrent mode — it would
+    // yank another in-flight query's blocks (incl. truncated-lineage
+    // localCheckpoints, which cannot recompute); the post-pool
+    // deepClean releases everything at once.
+    val warmThreads = sys.env.get("SPARK_GRAFT_WARM_THREADS").map(_.toInt).getOrElse(4)
+    if (warmThreads <= 1) {
+      names.foreach { n => runOne(n); spark.catalog.clearCache() }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmThreads)
+      names.foreach { n =>
+        pool.submit(new Runnable { def run(): Unit = { runOne(n); () } }); ()
+      }
+      pool.shutdown()
+      pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
+      ()
+    }
     deepClean()
     // Deep clean BETWEEN pairs but not within one — identical-plan
     // persist() reuse across the two runs is steady-state behavior.
@@ -210,16 +234,23 @@ object Bench {
     // noise, not co-shard inflation.
     val revalidated = mutable.LinkedHashMap.empty[String, (Double, Double)]
     // Bounded: under shared-box load MANY rows can drift past 1.5x at
-    // once; re-measure the worst 24 by absolute inflation rather than
+    // once; re-measure the worst few by absolute inflation rather than
     // letting the validation pass itself dominate the wall clock. If
     // the cap truncates, the snapshot SAYS so (validated:false +
     // validation_truncated count) instead of presenting partially
     // validated numbers as fully validated.
+    // Cap 8 (was 24): each solo child is a fresh JVM+session (~15 s) +
+    // 3 runs of the query — at 24 the validation pass alone cost up to
+    // ~12 min and pushed the r11 full-suite wall past the driver's
+    // timeout (BENCH_r11.json rc=124). 8 bounds it to ~3 min while
+    // still covering every row whose absolute inflation matters; the
+    // truncation count keeps the record honest.
+    val valMax = sys.env.get("SPARK_GRAFT_VALIDATE_MAX").map(_.toInt).getOrElse(8)
     val allSuspects = names.filter { n =>
       val v = merged.getOrElse(n, -1.0)
       v > 0.5 && v > 1.5 * costOf(n)
     }.sortBy(n => costOf(n) - merged(n))
-    val suspects = allSuspects.take(24)
+    val suspects = allSuspects.take(valMax)
     val truncated = allSuspects.size - suspects.size
     if (suspects.nonEmpty)
       System.err.println(s"[bench] validating ${suspects.size}/${allSuspects.size} rows >1.5x expected: ${suspects.mkString(",")}")

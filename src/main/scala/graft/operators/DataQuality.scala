@@ -821,8 +821,15 @@ object DataQuality {
     require(cols.nonEmpty, "columnFingerprints needs columns")
     // one hash per (column, value): the 60-bit value hash feeds BOTH the
     // digest sum and the distinct count, so the wide value strings never
-    // reach a shuffle (measured 6.6 s -> ~3 s on 5 x 600k values)
-    val pairs = df.select(explode(array(cols.map(c =>
+    // reach a shuffle (measured 6.6 s -> ~3 s on 5 x 600k values).
+    // Spread the projected input first: the per-row work (cols× decimal
+    // →string→md5 hash) otherwise pipelines into the single-row-group
+    // scan's ONE task (guide §2.5 unsplittable input); the narrow
+    // projection keeps the spreading exchange to just the fingerprinted
+    // columns (guide §2.3 project-before-exchange).
+    val spread = graft.sources.Tables.spreadIfNarrow(
+      df.select(cols.map(col): _*))
+    val pairs = spread.select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"),
           graft.functions.TextAnalysis.hash60(concat_ws(":", lit("c"),
             col(c).cast("decimal(18,6)").cast("string"))).as("h"))): _*)).as("p"))
@@ -1430,21 +1437,29 @@ object DataQuality {
     * 6-decimal threshold, which is exact for a DECIMAL(18,6) feature.
     * Emits one row per node (root/left/right). */
   def giniTreeDepth2(df: DataFrame, feature: Column, target: Column): DataFrame = {
-    val base = df.where(feature.isNotNull)
+    // The three fits share ONE per-value count table: a child node's
+    // value-level counts are exactly the parent's counts filtered by
+    // the threshold (the split predicate is on the value itself), so
+    // the left/right fits re-aggregate the value DOMAIN instead of
+    // re-scanning the 600k base rows — two full-frame aggregations
+    // drop out of the tree. Values unchanged: same groups, same sums.
+    val counts = df.where(feature.isNotNull)
       .select(feature.cast("decimal(18,6)").as("v"),
-        target.as("y"))
+        when(target, 1L).otherwise(0L).as("pos"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val root = bestGiniSplit(base, col("v"), col("y"))
+    val root = bestGiniSplitFromCounts(counts)
     val t0 = root.head().getAs[Double]("threshold") // bounded: 1 row
-    val left = bestGiniSplit(base.where(col("v").cast("double") <= t0),
-      col("v"), col("y"))
-    val right = bestGiniSplit(base.where(col("v").cast("double") > t0),
-      col("v"), col("y"))
+    val left = bestGiniSplitFromCounts(
+      counts.where(col("v").cast("double") <= t0))
+    val right = bestGiniSplitFromCounts(
+      counts.where(col("v").cast("double") > t0))
     val out = root.select(lit("root").as("node"), col("*"))
       .unionByName(left.select(lit("left").as("node"), col("*")))
       .unionByName(right.select(lit("right").as("node"), col("*")))
     val res = out.localCheckpoint(true)
-    base.unpersist(blocking = false)
+    counts.unpersist(blocking = false)
     res
   }
 
@@ -1519,13 +1534,25 @@ object DataQuality {
     * ties break to the smallest threshold. Returns ONE row:
     * threshold (split is v <= t), per-side counts, weighted Gini. */
   def bestGiniSplit(df: DataFrame, feature: Column, target: Column): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     val base = df.where(feature.isNotNull)
       .select(feature.cast("decimal(18,6)").as("v"),
         when(target, 1L).otherwise(0L).as("pos"))
     val counts = base.groupBy(col("v"))
       .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = bestGiniSplitFromCounts(counts)
+    counts.unpersist(blocking = false)
+    res
+  }
+
+  /** [[bestGiniSplit]] over a pre-aggregated (v, cnt, pos) value-count
+    * frame — the shared-counts entry [[giniTreeDepth2]] uses so child
+    * fits don't re-scan the base rows. The CALLER owns the cache of
+    * `counts` (it is read twice here: prefix build + totals); this
+    * body neither persists nor unpersists it, so a tree can hand the
+    * same persisted parent to all three fits. */
+  private def bestGiniSplitFromCounts(counts: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val cum = cumulativeByValue(counts, Seq("cnt", "pos"))
     val tot = counts.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
     val cand = cum.crossJoin(broadcast(tot))
@@ -1553,7 +1580,6 @@ object DataQuality {
           .as("weighted_gini"))
     val res = out.localCheckpoint(true)
     cand.unpersist(blocking = false)
-    counts.unpersist(blocking = false)
     res
   }
 

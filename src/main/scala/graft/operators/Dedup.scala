@@ -298,10 +298,18 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = canon.count()
-    ccDispatchLog.add((nEdges, nEdges <= bound))
+    // ONE action for both the dispatch test and the fast-path edge
+    // list: limit(bound+1) returning <= bound rows proves the input is
+    // exhausted (take scans until it has bound+1 or runs out), so those
+    // rows ARE the complete edge set and their count is exact — the old
+    // shape paid a full count() and then a second collect() for the
+    // same data. The slow path still counts (it never collects).
+    val head = canon.limit(bound.toInt + 1).collect()
+    val fast = head.length <= bound
+    val nEdges = if (fast) head.length.toLong else canon.count()
+    ccDispatchLog.add((nEdges, fast))
     while (ccDispatchLog.size > CcDispatchLogCap) ccDispatchLog.poll()
-    val out = if (nEdges <= bound) {
+    val out = if (fast) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -312,7 +320,7 @@ object Dedup {
         }
         r
       }
-      canon.collect().foreach { r =>
+      head.foreach { r =>
         val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }

@@ -66,18 +66,25 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // bounded scalar action: materializes e + nodes
-    withDeg.count()       // materialize from the e cache, then drop e
-    e.unpersist(blocking = false)
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    // N rides as a 1-row broadcast frame instead of a collected scalar
+    // (the triangleCount pattern): the two setup actions the scalar
+    // forced (nodes.count, withDeg.count) disappear — the final cp
+    // action materializes e, withDeg and nodes once through the block-
+    // locked caches (shallow nesting: two cache levels, linear DAG).
+    // Values unchanged: lit(1.0)/N and lit(1-d)/N are the same IEEE
+    // double divisions the driver-side literals computed.
+    val nF = nodes.agg(count(lit(1)).as("__n"))
+    var pr = nodes.crossJoin(broadcast(nF))
+      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
     var liveCp: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iters) {
       val contrib = withDeg.join(pr, col("src") === col("node"))
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       var next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nF))
         .select(col("node"),
-          (lit((1.0 - damping) / n) +
+          (lit(1.0 - damping) / col("__n") +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
       if (i % checkpointEvery == 0 || i == iters) {
         next = next.localCheckpoint(false)
@@ -87,6 +94,7 @@ object Graph {
       }
       pr = next
     }
+    e.unpersist(blocking = false)
     withDeg.unpersist()
     nodes.unpersist()
     pr
@@ -121,6 +129,12 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("u").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the setup count STAYS (r12 measured removing it at +36%, 3.76 →
+    // 5.10 s same-session probe: the final action then materializes the
+    // caches concurrently from multiple plan branches and the
+    // block-lock convoy costs more than the bounded action saves;
+    // pageRank/PPR tolerate the lazy form — their round plans reference
+    // each cache once)
     nodes.count() // materialize both caches
     var labels = nodes.withColumn("label", col("node"))
     var liveCp: Option[org.apache.spark.rdd.RDD[_]] = None
@@ -350,9 +364,8 @@ object Graph {
         when(col("__seed").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0))
           .as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
-    withDeg.count()
-    e.unpersist(blocking = false)
+    // no setup counts (see pageRank): the final cp action materializes
+    // e, withDeg and nodes once through the block-locked caches
     var pr = nodes.withColumn("pr", col("s"))
     var liveCp: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iters) {
@@ -371,6 +384,7 @@ object Graph {
       }
       pr = next
     }
+    e.unpersist(blocking = false)
     withDeg.unpersist()
     nodes.unpersist()
     pr.select(col("node"), col("pr"))
@@ -539,6 +553,12 @@ object Graph {
         wq.cast("long").as("wq"))
       .groupBy(col("u"), col("v")).agg(min(col("wq")).as("wq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-round label checkpoints stay EAGER (count per round): the
+    // lazy-ride-the-next-probe variant was measured at +28% (9.40 →
+    // 12.05 s same-session probe) — comp is referenced up to 6x per
+    // round (two ec lookups through the sides union + two cPairs
+    // lookups), and an unmaterialized cut consumed from that many plan
+    // branches recomputes/lock-convoys, the r11 finding-2 trap.
     var comp = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
       .withColumn("c", col("node")).localCheckpoint(false)
@@ -609,6 +629,7 @@ object Graph {
         comp = next
       }
     }
+    liveCp.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
     if (mst == null)
       e.sparkSession.emptyDataFrame
@@ -639,28 +660,41 @@ object Graph {
     var hub = nodes.withColumn("h", lit(1.0))
     var auth = nodes.withColumn("a", lit(1.0))
     for (_ <- 1 to iters) {
-      val a1 = e.join(hub, col("src") === col("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(dec9(col("h"))).cast("double").as("a"))
-      val an = nodes.join(a1, Seq("node"), "left")
+      // lineage cut BEFORE normalization, not after: checkpointing the
+      // normalized frame made the half-iteration's one action compute
+      // the heavy subtree (edge join + agg + node outer join) TWICE —
+      // once under the broadcast norm subquery and once on the main
+      // path — plus a crossJoin pass. Checkpointing the un-normalized
+      // sums runs the heavy subtree ONCE; the norm is then a narrow
+      // 1-row agg over the cut and the division rides lazily into the
+      // next half-iteration's join (shallow nesting: one cache level,
+      // consumed once — not the deep per-round chain the r11 lazy
+      // experiment showed recomputing under AQE). Values unchanged:
+      // identical expressions, same dec9 quantization points.
+      val an = nodes.join(
+          e.join(hub, col("src") === col("node"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(dec9(col("h"))).cast("double").as("a")),
+          Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
+        .localCheckpoint(false)
+      an.count()
       val na = an.agg(
         sqrt(sum(dec9(col("a") * col("a"))).cast("double")).as("na"))
       auth = an.crossJoin(broadcast(na))
         .select(col("node"), (col("a") / col("na")).as("a"))
-        .localCheckpoint(false)
-      auth.count()
-      val h1 = e.join(auth, col("dst") === col("node"))
-        .groupBy(col("src").as("node"))
-        .agg(sum(dec9(col("a"))).cast("double").as("h"))
-      val hn = nodes.join(h1, Seq("node"), "left")
+      val hn = nodes.join(
+          e.join(auth, col("dst") === col("node"))
+            .groupBy(col("src").as("node"))
+            .agg(sum(dec9(col("a"))).cast("double").as("h")),
+          Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
+        .localCheckpoint(false)
+      hn.count()
       val nh = hn.agg(
         sqrt(sum(dec9(col("h") * col("h"))).cast("double")).as("nh"))
       hub = hn.crossJoin(broadcast(nh))
         .select(col("node"), (col("h") / col("nh")).as("h"))
-        .localCheckpoint(false)
-      hub.count()
     }
     val out = hub.join(auth, Seq("node"))
       .select(col("node"), round(col("h"), 6).as("hub"),
@@ -707,14 +741,16 @@ object Graph {
   /** Bounded Bellman-Ford: minimum path COST from any seed within
     * `maxHops` relaxation rounds, over non-negative edge weights —
     * [[bfsDistances]]'s weighted generalization. Each round is one
-    * min-plus step: join the current best-cost frame to the out-edges,
-    * add the weight, union with the standing bests, and keep the min
-    * per node (one co-partitioned join + one hash agg — the classic
-    * distributed SSSP shape). Lineage cut per round. Unlike BFS, a
-    * node can improve after it is first reached, so the whole best
-    * frame (not a frontier) joins each round; at planetary scale swap
-    * in delta-stepping, which keeps this exact join shape per bucket.
-    * Emits (node, cost) for nodes reachable within `maxHops`. */
+    * min-plus step: join the LAST ROUND'S IMPROVED nodes (the
+    * label-correcting frontier) to the out-edges, add the weight, and
+    * fold the candidates into the standing bests with a full-outer
+    * least() merge (one co-partitioned join + one hash agg — the
+    * classic distributed SSSP shape). Lineage cut per round. Unlike
+    * BFS a node can improve after it is first reached, so the frontier
+    * is the improved set, not the newly-reached set; at planetary
+    * scale swap in delta-stepping, which keeps this exact join shape
+    * per bucket. Emits (node, cost) for nodes reachable within
+    * `maxHops`. */
   def shortestPaths(edges: DataFrame, src: Column, dst: Column, weight: Column,
                     seeds: DataFrame, seedKey: Column,
                     maxHops: Int): DataFrame = {
@@ -723,24 +759,41 @@ object Graph {
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Label-correcting frontier, not whole-frame min-plus: only nodes
+    // whose cost improved last round can produce new improvements this
+    // round (a node whose cost is unchanged re-derives relaxations
+    // already folded in an earlier round), so each round joins the
+    // improved set — carried as a flag on the round's own checkpointed
+    // merge — instead of the entire best frame, and stops early once
+    // nothing improves. After round h both forms hold exactly
+    // "min cost over paths of <= h edges" (each round propagates one
+    // edge; a node's last improvement <= h-1 relaxes at <= h), so the
+    // result is identical to the previous shape round for round.
     var best = seeds.select(seedKey.as("node")).distinct()
-      .select(col("node"), lit(0L).as("cost"))
+      .select(col("node"), lit(0L).as("cost"), lit(true).as("__imp"))
       .localCheckpoint(false)
-    best.count()
+    var frontierN = best.count()
     var bestCp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(best)
-    for (_ <- 1 to maxHops) {
-      val relaxed = best.join(e, col("node") === col("src"))
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-      val merged = best.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+    var h = 1
+    while (h <= maxHops && frontierN > 0) {
+      val cand = best.where(col("__imp"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("cost") + col("w")).as("newc"))
+      val merged = best.select(col("node"), col("cost"))
+        .join(cand, Seq("node"), "full")
+        .select(col("node"), least(col("cost"), col("newc")).as("cost"),
+          (col("newc").isNotNull &&
+            (col("cost").isNull || col("newc") < col("cost"))).as("__imp"))
         .localCheckpoint(false)
-      merged.count()
+      frontierN = merged.where(col("__imp")).count()
       bestCp.foreach(_.unpersist(blocking = false))
       bestCp = checkpointedRdd(merged)
       best = merged
+      h += 1
     }
     e.unpersist(blocking = false)
-    best
+    best.select(col("node"), col("cost"))
   }
 
   /** Ancestor transitive closure of a parent-pointer hierarchy:
@@ -806,29 +859,33 @@ object Graph {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var known = seeds.select(seedKey.as("node")).distinct()
-      .select(col("node"), lit(0L).as("dist"))
+      .select(col("node"), lit(0L).as("dist"), lit(true).as("__new"))
       .localCheckpoint(false)
     var frontierN = known.count() // materializes both the seeds and e
     var knownCp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(known)
-    var frontier = known
     var h = 1
     while (h <= maxHops && frontierN > 0) {
+      // The round's frontier count rides the round's OWN checkpointed
+      // output (an `__new` flag on the union) instead of a separately
+      // materialized frontier frame: one cp + one action per round
+      // where the old shape paid two (nxt cp+count, merged cp+count).
+      // The count job is a narrow scan of the fresh cut — no shuffle.
+      val frontier = known.where(col("__new"))
       val nxt = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(known, Seq("node"), "left_anti")
-        .select(col("node"), lit(h.toLong).as("dist"))
-        .localCheckpoint(false)
-      frontierN = nxt.count()
-      val merged = known.unionByName(nxt).localCheckpoint(false)
-      merged.count()
+        .select(col("node"), lit(h.toLong).as("dist"), lit(true).as("__new"))
+      val merged = known.select(col("node"), col("dist"),
+          lit(false).as("__new"))
+        .unionByName(nxt).localCheckpoint(false)
+      frontierN = merged.where(col("__new")).count()
       knownCp.foreach(_.unpersist(blocking = false))
       knownCp = checkpointedRdd(merged)
       known = merged
-      frontier = nxt
       h += 1
     }
     e.unpersist(blocking = false)
-    known
+    known.select(col("node"), col("dist"))
   }
 
   /** Time-respecting reachability with min-date dominance: starting from
@@ -863,33 +920,37 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var known = seeds
       .groupBy(seedKey.as("node")).agg(min(seedDate).as("exp_d"))
+      .withColumn("__imp", lit(true))
       .localCheckpoint(false)
     var frontierN = known.count()
     var knownCp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(known)
-    var frontier = known
     var h = 1
     while (h <= maxHops && frontierN > 0) {
+      // One cp + one action per round (was two: improved cp+count,
+      // merged cp+count): the improved set is re-derived as a flag on
+      // the round's own full-outer merge — a candidate improves exactly
+      // when it is new or strictly earlier, the same predicate the
+      // separate `improved` frame filtered on; least() ignores nulls,
+      // so non-improving candidates keep the standing date. Labels and
+      // the frontier are unchanged; the count is a narrow cut scan.
+      val frontier = known.where(col("__imp"))
       val cand = frontier.join(e, col("node") === col("src") &&
           col("d") > col("exp_d"))
         .groupBy(col("dst").as("node")).agg(min(col("d")).as("new_d"))
-      val improved = cand.join(known, Seq("node"), "left")
-        .where(col("exp_d").isNull || col("new_d") < col("exp_d"))
-        .select(col("node"), col("new_d").as("exp_d"))
+      val merged = known.select(col("node"), col("exp_d"))
+        .join(cand, Seq("node"), "full")
+        .select(col("node"), least(col("exp_d"), col("new_d")).as("exp_d"),
+          (col("new_d").isNotNull &&
+            (col("exp_d").isNull || col("new_d") < col("exp_d"))).as("__imp"))
         .localCheckpoint(false)
-      frontierN = improved.count()
-      val merged = known.join(improved.select(col("node"),
-            col("exp_d").as("imp_d")), Seq("node"), "full")
-        .select(col("node"), least(col("exp_d"), col("imp_d")).as("exp_d"))
-        .localCheckpoint(false)
-      merged.count()
+      frontierN = merged.where(col("__imp")).count()
       knownCp.foreach(_.unpersist(blocking = false))
       knownCp = checkpointedRdd(merged)
       known = merged
-      frontier = improved
       h += 1
     }
     e.unpersist(blocking = false)
-    known
+    known.select(col("node"), col("exp_d"))
   }
 
   /** All-pairs hop distances on a BOUNDED entity graph: every node
@@ -913,24 +974,38 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("esrc").as("node"))
       .unionByName(e.select(col("edst").as("node"))).distinct()
+    // Tagged multi-source BFS, not per-round min-plus over the whole
+    // state: with unit hops a (s, node) pair's FIRST discovery round is
+    // its minimum distance, so each round expands only the previous
+    // round's frontier (carried as a flag on the round's own
+    // checkpointed union — one cp + one narrow-count action per round,
+    // where the min-plus shape re-joined and re-aggregated the entire
+    // Θ(V²) state every round) and stops early once no pair is new
+    // (identical output: the skipped rounds were no-ops). Same min-hop
+    // distances as the min-plus recurrence, pair for pair.
     var best = nodes.select(col("node").as("s"), col("node"),
-        lit(0L).as("dist"))
+        lit(0L).as("dist"), lit(true).as("__new"))
       .localCheckpoint(false)
-    best.count()
+    var frontierN = best.count()
     var bestCp: Option[org.apache.spark.rdd.RDD[_]] = checkpointedRdd(best)
-    for (_ <- 1 to maxHops) {
-      val relaxed = best.join(e, col("node") === col("esrc"))
-        .select(col("s"), col("edst").as("node"),
-          (col("dist") + lit(1L)).as("dist"))
-      val merged = best.unionByName(relaxed)
-        .groupBy(col("s"), col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
-      merged.count()
+    var h = 1
+    while (h <= maxHops && frontierN > 0) {
+      val nxt = best.where(col("__new"))
+        .join(e, col("node") === col("esrc"))
+        .select(col("s"), col("edst").as("node")).distinct()
+        .join(best, Seq("s", "node"), "left_anti")
+        .select(col("s"), col("node"), lit(h.toLong).as("dist"),
+          lit(true).as("__new"))
+      val merged = best.select(col("s"), col("node"), col("dist"),
+          lit(false).as("__new"))
+        .unionByName(nxt).localCheckpoint(false)
+      frontierN = merged.where(col("__new")).count()
       bestCp.foreach(_.unpersist(blocking = false))
       bestCp = checkpointedRdd(merged)
       best = merged
+      h += 1
     }
     e.unpersist(blocking = false)
-    best
+    best.select(col("s"), col("node"), col("dist"))
   }
 }

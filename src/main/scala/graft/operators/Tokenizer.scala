@@ -75,23 +75,33 @@ object Tokenizer {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
     var words = wordFrequencies(df, text).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // One action per merge iteration instead of two: the new state is a
+    // LAZY localCheckpoint whose blocks materialize as a side effect of
+    // the next iteration's argmax collect (the pairCounts scan computes
+    // and stores them in the same job). The previous state must stay
+    // resident until that collect runs — its blocks are the lazy cut's
+    // only input (lineage was truncated) — so it unpersists one
+    // iteration late. Shallow nesting: exactly one unmaterialized cache
+    // level at any time, consumed by exactly one downstream chain.
+    var prev: DataFrame = null
     var continue = true
     while (merges.size < numMerges && continue) {
       val top = pairCounts(words)
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
+        .limit(1).collect() // materializes `words` if it was a lazy cut
+      if (prev != null) { prev.unpersist(false); prev = null }
       if (top.isEmpty) continue = false
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val prev = words
+        prev = words
         words = words
           .select(mergePair(col("syms"), a, b).as("syms"), col("cnt"))
-          .localCheckpoint(true)
-        prev.unpersist(false)
+          .localCheckpoint(false)
       }
     }
     words.unpersist(false)
+    if (prev != null) prev.unpersist(false)
     merges.toSeq
   }
 

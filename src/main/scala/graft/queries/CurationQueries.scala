@@ -17,41 +17,26 @@ object CurationQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
-    // greedy set-cover source selection (data-mixture curation): pick 4
-    // sources one at a time, each maximizing the count of NOT-yet-
-    // covered distinct tokens (ties broken by source name) — the
-    // classical ln(n)-approximate corpus-selection step. Each round is
-    // one anti-join + one 20-group agg whose 1-row argmax is collected
-    // (bounded by the SOURCE count, never the corpus); the covered set
-    // stays distributed. The oracle unrolls the same 4 rounds.
-    "q347_set_cover_greedy" -> ((s, d) => {
-      val s2 = s; import s2.implicits._
-      // Bitmask formulation of the same greedy: one cached column of
-      // per-shingle source-membership masks replaces the per-round
-      // (anti-join + agg + covered-distinct + checkpoint + count)
-      // cadence — bit_or is idempotent, so the (source, w) pre-distinct
-      // disappears too (the partial agg collapses duplicates map-side).
-      // Each round is ONE narrow scan of the cached mask column; the
-      // marginal for source s is #masks with no picked bit and s's bit,
-      // and cum_tokens = running sum of marginals (covered sets grow by
-      // exactly the marginal — disjoint increments), both identical to
-      // the set-algebra the old shape computed. Ties still break to the
-      // smallest source name; saturation (all marginals 0) still stops.
-      val docs = Tables.documents(s, d)
-      val srcList = docs.select(col("source")).distinct()
-        .collect().map(_.getString(0)).sorted
-      require(srcList.nonEmpty && srcList.length <= 62,
-        s"set-cover bitmask needs 1..62 sources, got ${srcList.length}")
+  /** Greedy 4-round set-cover source selection over a (source, w)
+    * shingle frame. Two label-identical formulations, dispatched on the
+    * source count (both spec-gated in SetCoverSpec):
+    *  - 1..62 sources: bitmask fast path — one cached long column of
+    *    per-shingle membership masks; each round is ONE narrow scan.
+    *  - >62 sources: the set-algebra greedy (per round one anti-join
+    *    against the covered set + one source-count agg, 1-row argmax
+    *    collected) — handles any source cardinality.
+    *  - empty source list: empty result, no failure. */
+  private[graft] def setCoverGreedy(s: SparkSession, srcList: Seq[String],
+                                    shingled: DataFrame): DataFrame = {
+    val s2 = s; import s2.implicits._
+    var rows = Vector.empty[(Int, String, Long, Long)]
+    if (srcList.nonEmpty && srcList.length <= 62) {
       val bitOf = srcList.zipWithIndex.toMap
       val bitExpr = srcList.tail.foldLeft(
         when(col("source") === srcList.head, lit(1L << bitOf(srcList.head)))) {
         case (acc, sn) => acc.when(col("source") === sn, lit(1L << bitOf(sn)))
       }
-      val wm = docs
-        .select(col("source"),
-          explode(graft.operators.Dedup.wordShinglesOf(
-            TextAnalysis.tokens(col("text")), 2)).as("w"))
+      val wm = shingled
         .select(col("w"), bitExpr.as("b"))
         .groupBy(col("w")).agg(expr("bit_or(b)").as("mask"))
         .select(col("mask"))
@@ -59,7 +44,6 @@ object CurationQueries {
       var pickedMask = 0L
       var picked = Vector.empty[String]
       var cum = 0L
-      var rows = Vector.empty[(Int, String, Long, Long)]
       var done = false
       for (step <- 1 to 4 if !done) {
         val unpicked = srcList.filterNot(picked.contains)
@@ -85,7 +69,69 @@ object CurationQueries {
         }
       }
       wm.unpersist(blocking = false)
-      rows.toDF("step", "source", "marginal_new_tokens", "cum_tokens")
+    } else if (srcList.nonEmpty) {
+      // set-algebra fallback for >62 sources (the pre-bitmask greedy,
+      // step-identical): the bitmask formulation would overflow a long
+      val ts = shingled.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ts.count()
+      var covered = Seq.empty[String].toDF("w")
+      var picked = Vector.empty[String]
+      var done = false
+      for (step <- 1 to 4 if !done) {
+        val notPicked =
+          if (picked.isEmpty) lit(true) else !col("source").isin(picked: _*)
+        val best = ts.join(covered, Seq("w"), "left_anti").where(notPicked)
+          .groupBy(col("source")).agg(count(lit(1)).as("m"))
+          .orderBy(col("m").desc, col("source")).limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          picked = picked :+ best.head.getString(0)
+          covered = ts.where(col("source").isin(picked: _*))
+            .select(col("w")).distinct().localCheckpoint(false)
+          rows = rows :+ ((step, best.head.getString(0),
+            best.head.getLong(1), covered.count()))
+        }
+      }
+      ts.unpersist(blocking = false)
+    } // srcList empty (no documents): fall through to the empty frame
+    rows.toDF("step", "source", "marginal_new_tokens", "cum_tokens")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // greedy set-cover source selection (data-mixture curation): pick 4
+    // sources one at a time, each maximizing the count of NOT-yet-
+    // covered distinct tokens (ties broken by source name) — the
+    // classical ln(n)-approximate corpus-selection step. Each round is
+    // one anti-join + one 20-group agg whose 1-row argmax is collected
+    // (bounded by the SOURCE count, never the corpus); the covered set
+    // stays distributed. The oracle unrolls the same 4 rounds.
+    "q347_set_cover_greedy" -> ((s, d) => {
+      // Bitmask formulation of the same greedy: one cached column of
+      // per-shingle source-membership masks replaces the per-round
+      // (anti-join + agg + covered-distinct + checkpoint + count)
+      // cadence — bit_or is idempotent, so the (source, w) pre-distinct
+      // disappears too (the partial agg collapses duplicates map-side).
+      // Each round is ONE narrow scan of the cached mask column; the
+      // marginal for source s is #masks with no picked bit and s's bit,
+      // and cum_tokens = running sum of marginals (covered sets grow by
+      // exactly the marginal — disjoint increments), both identical to
+      // the set-algebra the old shape computed. Ties still break to the
+      // smallest source name; saturation (all marginals 0) still stops.
+      val docs = Tables.documents(s, d)
+      val srcList = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted
+      // spread the (source, text) rows before tokenize+shingle: the
+      // per-row ICU tokenize + shingle build otherwise pipelines into
+      // the single-row-group scan's ONE task (guide §2.5); project
+      // first so the exchange carries only the two used columns
+      val spreadDocs = Tables.spreadIfNarrow(
+        docs.select(col("source"), col("text")))
+      val shingled = spreadDocs
+        .select(col("source"),
+          explode(graft.operators.Dedup.wordShinglesOf(
+            TextAnalysis.tokens(col("text")), 2)).as("w"))
+      setCoverGreedy(s, srcList, shingled)
     }),
 
     // sequential Poisson sampling (Ohlsson): a size-weighted sample of

@@ -168,7 +168,7 @@ object DedupQueries {
         .join(lab, Seq("node"))
         .groupBy(col("label")).agg(sum(col("deg")).as("dc"))
       val tot = e.agg(count(lit(1)).as("E"))
-      degs.join(within, Seq("label"), "left")
+      val out = degs.join(within, Seq("label"), "left")
         .select(col("label"), coalesce(col("w"), lit(0L)).as("w"), col("dc"))
         .crossJoin(broadcast(tot))
         .select((col("w").cast("double") / col("E") -
@@ -177,6 +177,14 @@ object DedupQueries {
           .cast("decimal(18,12)").as("term"))
         .agg(count(lit(1)).as("n_communities"),
           round(sum(col("term")).cast("double"), 6).as("modularity"))
+        // eager 1-row materialization so t/e release at the LIBRARY
+        // surface (repeated invocations no longer accumulate caches
+        // across queries — the bench-level clearCache was the only
+        // thing releasing them before)
+        .localCheckpoint(true)
+      t.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      out
     }),
 
     // exact triangle count over the part-affinity graph (parts bought

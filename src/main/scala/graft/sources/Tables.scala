@@ -61,7 +61,10 @@ object Tables {
     * BEFORE calling so the exchange carries only the needed columns
     * (guide §2.3). */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+    // numShufflePartitions is always numeric (resolves 'auto'/defaults),
+    // and toRdd probes partitioning without building the deserializer
+    // plan a .rdd QueryExecution would pay per call
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.queryExecution.toRdd.getNumPartitions < n) df.repartition(n) else df
   }
 }

@@ -19,7 +19,7 @@ object JobProbe {
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val taskTime = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -27,7 +27,8 @@ object JobProbe {
         if (t.taskMetrics != null) taskTime.addAndGet(t.taskMetrics.executorRunTime)
         ()
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
     // EXACTLY the Bench/TimeOne protocol: warm-up, deep clean, then a
     // best-of-2 pair with NO clean inside the pair (identical-plan
     // persist reuse across the pair is the declared steady-state).
@@ -41,6 +42,10 @@ object JobProbe {
     SparkEntry.queries(name)(spark, sfDir).count() // warm-up
     deepClean()
     def timed(tag: String): Double = {
+      // drain the listener bus (unpersist/cleanup jobs from deepClean)
+      // BEFORE zeroing, so background work between timed() calls does
+      // not leak into this run's attribution
+      Thread.sleep(300)
       jobs.set(0); stages.set(0); tasks.set(0); taskTime.set(0)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
@@ -53,6 +58,7 @@ object JobProbe {
     val a = timed("runA")
     val b = timed("runB")
     println(f"JOBPROBE $name best=${math.min(a, b)}%.2f s")
+    spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
 }

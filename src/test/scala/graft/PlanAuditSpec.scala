@@ -96,10 +96,11 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast over the part classes; the prefix-sum offsets collect
     // is O(#partitions) (cumulativeByValue contract, q160's shape)
     "q367_abc_xyz",
-    // q365: the edge-total scalar is a 1-row frame crossJoin-broadcast
-    // over the per-community terms, and the modularity readout is ONE
-    // sufficient-stats row — q198's shape
-    "q365_modularity",
+    // q365 was allowlisted here until r12: it now materializes its
+    // 2-row readout eagerly (localCheckpoint(true), releasing the t/e
+    // caches at the library surface — r11 ADVICE item), so the returned
+    // plan is an RDD scan and the funnel moved to the EAGER path the
+    // sweep bounds by runtime row evidence.
     // q360: the corpus totals (N, M) are 1-row frames crossJoin-
     // broadcast into the PMI scoring join — q135's corpus-scalar shape
     "q360_word_pmi_topk",
@@ -189,6 +190,12 @@ class PlanAuditSpec extends SparkSpec {
     // q216: the node-count scalar (rank normalization) + the broadcast
     // seed-set membership join, q142's shape
     "q216_personalized_pagerank",
+    // q325: HITS's final hub/auth normalizations ride lazily on the
+    // half-iteration checkpoints (r12: the cut moved BEFORE the
+    // normalization so the heavy subtree computes once) — each is a
+    // 1-row L2-norm aggregate (SinglePartition by construction)
+    // crossJoin-broadcast over the node frame, q198's scalar shape
+    "q325_hits",
     // q217: the replica means reduce to `replicas` rows; the point-mean
     // and CI aggregates are 1-row frames crossJoin-broadcast
     "q217_bootstrap_ci",
